@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard tuning.
+  *
+  * Local mode is a stand-in for a real cluster: `local[32]` = one JVM,
+  * 32 executor threads. Everything else (shuffle partitions, AQE, UTC
+  * session time zone) is what we would set on a 1000-executor cluster,
+  * scaled to the box: shuffle partitions sized to cores (not the 200
+  * default), AQE on so skewed shuffles re-plan at runtime, broadcast
+  * threshold left at default so small dims broadcast automatically.
+  */
+object GraftSession {
+  def builder(appName: String = "graft", cores: Int = defaultCores): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.compression.codec", "snappy")
+      // read TIMESTAMP(NANOS) parquet (unsupported by Spark's
+      // TimestampType) as raw nano longs; converted at the source
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def defaultCores: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+
+  def getOrCreate(appName: String = "graft"): SparkSession = {
+    val s = builder(appName).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,99 @@
+package graft.core
+
+/** Engine configuration — parity with the reference's CLI surface
+  * (`cli/ToolOptions.java:63-374`): source/sink connect strings,
+  * replication mode, column projection, predicate, arbitrary query,
+  * parallelism, fetch size, staging controls, and free-form
+  * `connect.parameter.*` passthrough (here: `options`).
+  */
+final case class SourceConf(
+    connect: String,
+    table: Option[String] = None,
+    columns: Option[Seq[String]] = None,
+    where: Option[String] = None,
+    query: Option[String] = None,
+    /** CSV declared column types, e.g. "VARCHAR,INTEGER,DATE"
+      * (reference `manager/file/CsvFileManager.java:215-219`). */
+    columnTypes: Option[Seq[String]] = None,
+    columnNames: Option[Seq[String]] = None,
+    partitions: Int = 4,
+    fetchSize: Int = 5000,
+    options: Map[String, String] = Map.empty)
+
+sealed trait ReplicationMode
+object ReplicationMode {
+  /** Truncate sink, then load. Reference `cli/ReplicationMode.java:3-19`. */
+  case object Complete extends ReplicationMode
+  /** Load staging, atomically swap — readers never see a partial sink. */
+  case object CompleteAtomic extends ReplicationMode
+  /** Load staging, merge/upsert into sink on its primary keys. */
+  case object Incremental extends ReplicationMode
+
+  def parse(s: String): ReplicationMode = s.trim.toLowerCase match {
+    case "complete" => Complete
+    case "complete-atomic" => CompleteAtomic
+    case "incremental" => Incremental
+    case other => throw new IllegalArgumentException(s"unknown mode: $other")
+  }
+}
+
+final case class SinkConf(
+    connect: String,
+    table: Option[String] = None,
+    columns: Option[Seq[String]] = None,
+    mode: ReplicationMode = ReplicationMode.Complete,
+    stagingTable: Option[String] = None,
+    disableTruncate: Boolean = false,
+    /** Merge keys; discovered from JDBC metadata when empty
+      * (reference `SqlManager.java:283-318`). */
+    keyColumns: Seq[String] = Nil,
+    batchSize: Int = 5000,
+    options: Map[String, String] = Map.empty)
+
+final case class ReplConf(source: SourceConf, sink: SinkConf)
+
+object Config {
+  private val EnvPattern = "\\$\\{([A-Za-z0-9_]+)\\}".r
+
+  /** `${VAR}` env interpolation, reference
+    * `cli/EnvironmentVariableEvaluator.java:20-35`. */
+  def interpolateEnv(s: String, env: Map[String, String] = sys.env): String =
+    EnvPattern.replaceAllIn(s, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        env.getOrElse(m.group(1),
+          throw new IllegalArgumentException(s"undefined env var: ${m.group(1)}"))))
+
+  /** Parse a java-properties style map (already key->value) into a
+    * ReplConf, mirroring the reference's options file
+    * (`cli/OptionsFile.java:32-96`). */
+  def fromProperties(p: Map[String, String]): ReplConf = {
+    def get(k: String): Option[String] = p.get(k).map(interpolateEnv(_))
+    def prefixed(prefix: String): Map[String, String] =
+      p.collect { case (k, v) if k.startsWith(prefix) =>
+        k.stripPrefix(prefix) -> interpolateEnv(v) }
+    val source = SourceConf(
+      connect = get("source.connect").getOrElse(
+        throw new IllegalArgumentException("source.connect is required")),
+      table = get("source.table"),
+      columns = get("source.columns").map(_.split(",").map(_.trim).toSeq),
+      where = get("source.where"),
+      query = get("source.query"),
+      columnTypes = get("source.columns.types").map(_.split(",").map(_.trim).toSeq),
+      columnNames = get("source.columns.names").map(_.split(",").map(_.trim).toSeq),
+      partitions = get("jobs").map(_.toInt).getOrElse(4),
+      fetchSize = get("fetch.size").map(_.toInt).getOrElse(5000),
+      options = prefixed("source.connect.parameter."))
+    val sink = SinkConf(
+      connect = get("sink.connect").getOrElse(
+        throw new IllegalArgumentException("sink.connect is required")),
+      table = get("sink.table"),
+      columns = get("sink.columns").map(_.split(",").map(_.trim).toSeq),
+      mode = get("mode").map(ReplicationMode.parse).getOrElse(ReplicationMode.Complete),
+      stagingTable = get("sink.staging.table"),
+      disableTruncate = get("sink.disable.truncate").exists(_.toBoolean),
+      keyColumns = get("sink.key.columns").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
+      batchSize = get("fetch.size").map(_.toInt).getOrElse(5000),
+      options = prefixed("sink.connect.parameter."))
+    ReplConf(source, sink)
+  }
+}

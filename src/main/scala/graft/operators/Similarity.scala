@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), beyond-parity (SURVEY.md §7.3#7).
+  *
+  * Three tiers:
+  *  - `bruteForceTopK` — exact: queries x corpus cross product. Correct
+  *    baseline; scales as |Q| * |C|, so only for small query sets.
+  *  - `lshTopK` — random-hyperplane LSH: corpus bucketed by sign
+  *    pattern, queries probe their own bucket (optionally multi-probe
+  *    by flipping bits). Recall < 1, cost ~ |Q| * bucket.
+  *  - `ivfTopK` — inverted-file: corpus assigned to nearest of C
+  *    centroids; queries probe nProbe nearest centroid lists. This is
+  *    the 100 TB path: the centroid assignment is one broadcast join
+  *    (centroids are tiny), the probe is a shuffle-on-centroid join.
+  *
+  * All dot products use `zip_with` + `aggregate` built-ins (codegen'd,
+  * no UDF); norms are computed once and carried as columns.
+  */
+object Similarity {
+
+  /** Dot product of two array<float|double> columns (double result). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Deterministic random hyperplanes (seeded), as literal array
+    * columns — broadcast by construction, no shuffle. */
+  private[operators] def hyperplanes(dim: Int, planes: Int, seed: Long): Seq[Array[Double]] = {
+    val rnd = new Random(seed)
+    Seq.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-pattern LSH signature (long) of a vector column. */
+  def hyperplaneSignature(df: DataFrame, vecCol: String, planes: Int, seed: Long): Column = {
+    val dim = firstVectorDim(df, vecCol)
+    val hps = hyperplanes(dim, planes, seed)
+    hps.zipWithIndex.map { case (h, i) =>
+      val hCol = array(h.map(lit): _*)
+      when(dot(col(vecCol), hCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  private def firstVectorDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * `queries` and `corpus`: (id, vec). Excludes self-matches when ids
+    * collide. Deterministic tie-break by neighbor id.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      l2norm(col(vecCol)).as("cn"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** LSH-bucketed approximate top-k: compare only within the query's
+    * hyperplane bucket (single-probe). */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      planes: Int = 8, seed: Long = 42L): DataFrame = {
+    val qSig = hyperplaneSignature(queries, vecCol, planes, seed)
+    val cSig = hyperplaneSignature(corpus, vecCol, planes, seed)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2norm(col(vecCol)).as("qn"), qSig.as("sig"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      l2norm(col(vecCol)).as("cn"), cSig.as("sig"))
+    val scored = q.join(c, "sig")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** IVF approximate top-k. Centroids: the `nCentroids` corpus vectors
+    * with the smallest ids (deterministic placeholder for k-means||;
+    * swap in MLlib KMeans offline at real scale — the probe-side plan
+    * is identical). Each corpus vector is assigned to its nearest
+    * centroid (broadcast join: centroids are tiny). Queries probe the
+    * `nProbe` nearest centroid lists.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cent = corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"),
+        l2norm(col(vecCol)).as("cent_n"))
+
+    def assign(df: DataFrame, id: String, v: String, topN: Int): DataFrame = {
+      val scored = df.select(col(id), col(v), l2norm(col(v)).as("n"))
+        .crossJoin(broadcast(cent))
+        .withColumn("sim", dot(col(v), col("cent_v")) / (col("n") * col("cent_n")))
+      val w = Window.partitionBy(col(id)).orderBy(col("sim").desc, col("cent_id").asc)
+      scored.withColumn("r", row_number().over(w)).filter(col("r") <= topN)
+        .select(col(id), col(v), col("n"), col("cent_id"))
+    }
+
+    val corpusAssigned = assign(corpus, idCol, vecCol, 1)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("n").as("cn"), col("cent_id"))
+    val queryProbes = assign(queries, idCol, vecCol, nProbe)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("n").as("qn"), col("cent_id"))
+
+    val scored = queryProbes.join(corpusAssigned, "cent_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+}

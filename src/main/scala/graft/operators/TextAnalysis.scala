@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextExpressions
+
+/** Text-analysis operators for training-data pipelines (beyond-parity;
+  * SURVEY.md §7.3#7). All column-level, codegen'd built-ins — no UDFs —
+  * so they fuse into the scan stage and scale linearly with no shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text (empty text -> single empty
+    * token, mirroring SQL regexp-split semantics). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** BPE-ish subword count: letter runs, single digits, single
+    * punctuation marks — the shape of a byte-pair tokenizer's input
+    * segmentation, as a cheap token-budget estimator. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  def digitCount(text: Column): Column =
+    length(regexp_replace(text, "[^0-9]", ""))
+
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]{}-]", ""))
+
+  /** Stopword hits for a marker-word list, used by both quality
+    * scoring and language ID. `boundaries=false` for scripts without
+    * word separators (CJK): \b is ASCII-word-based in both Java and
+    * RE2 regexes, so it would never match inside CJK runs. */
+  def markerHits(text: Column, markers: Seq[String], boundaries: Boolean = true): Column = {
+    val core = "(" + markers.mkString("|") + ")"
+    val pattern = if (boundaries) "\\b" + core + "\\b" else core
+    size(regexp_extract_all(lower(text), lit(pattern), lit(0)))
+  }
+
+  /** Language marker lists (tiny n-gram-free heuristic: function words
+    * are the highest-frequency tokens of each language). */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es" -> Seq("el", "los", "las", "es", "un", "una", "que", "por"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "不", "有", "我"))
+
+  /** Best-scoring language by marker hits; deterministic tie-break by
+    * language code order; "und" (undetermined) when no marker hits. */
+  def langId(text: Column): Column = {
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(markerHits(text, words, boundaries = lang != "zh").as("hits"),
+        lit(lang).as("lang"))
+    }
+    // array_max on struct(hits, lang) orders by hits then lang — but we
+    // want ties to pick the *first* lang code, so invert: take max hits,
+    // then the first lang achieving it.
+    val arr = array(scored: _*)
+    val maxHits = array_max(arr.getField("hits"))
+    val winner = filter(arr, s => s.getField("hits") === maxHits)(0).getField("lang")
+    when(maxHits > 0, winner).otherwise(lit("und"))
+  }
+
+  /** Composite quality score in [0,1]: penalizes extreme length, high
+    * digit/punct density, and missing stopwords. Weights are the usual
+    * C4/Gopher-style heuristics, normalized. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val nChar = charCount(text).cast("double")
+    val lenOk = when(nTok.between(5, 10000), lit(1.0)).otherwise(lit(0.0))
+    val meanTokLen = nChar / greatest(nTok, lit(1.0))
+    val tokLenOk = when(meanTokLen.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0))
+    val digitFrac = digitCount(text).cast("double") / greatest(nChar, lit(1.0))
+    val punctFrac = punctCount(text).cast("double") / greatest(nChar, lit(1.0))
+    val stopFrac = markerHits(text, langMarkers("en")).cast("double") / greatest(nTok, lit(1.0))
+    (lenOk * 0.25 + tokLenOk * 0.25
+      + (lit(1.0) - least(digitFrac * 5.0, lit(1.0))) * 0.2
+      + (lit(1.0) - least(punctFrac * 5.0, lit(1.0))) * 0.2
+      + least(stopFrac * 5.0, lit(1.0)) * 0.1)
+  }
+
+  /** 64-bit rolling-hash fingerprint of whitespace-normalized text
+    * (custom codegen Expression — graft.functions.TextExpressions). */
+  def fingerprint(text: Column): Column =
+    TextExpressions.rolling_hash(regexp_replace(trim(text), "\\s+", " "))
+
+  /** One-stop annotation: append the standard stats columns. */
+  def annotate(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_chars_calc", charCount(t))
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_bpeish_tokens", bpeishTokenCount(t))
+      .withColumn("n_digits", digitCount(t))
+      .withColumn("n_punct", punctCount(t))
+      .withColumn("lang_guess", langId(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

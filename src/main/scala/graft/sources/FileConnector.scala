@@ -1,0 +1,138 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.core.SourceConf
+
+/** File sources/sinks: CSV with declared JDBC-style column types and
+  * dialect presets, plus parquet/orc/json/avro (native readers).
+  *
+  * Reference: `manager/file/CsvFileManager.java:38-227` (11 dialect
+  * presets + format knobs, mandatory `columns.types`),
+  * `rowset/CsvCachedRowSetImpl.java:92-157` (type-name -> schema),
+  * `manager/file/FileFormats.java:3-15` (format registry).
+  *
+  * The reference's per-task temp-file write + merge machinery
+  * (`manager/LocalFileManager.java`, SURVEY.md §2.2 W9) is replaced
+  * wholesale by Spark's committer: per-partition part files with an
+  * atomic job commit. Single-file output, when demanded, is
+  * `coalesce(1)` — a deliberate serialization point, so it is opt-in.
+  */
+object FileConnector {
+
+  /** JDBC type-name -> Spark type, the CSV `columns.types` contract
+    * (reference `CsvCachedRowSetImpl.java:92-157`). */
+  def sqlTypeToSpark(t: String): DataType = t.trim.toUpperCase match {
+    case "VARCHAR" | "CHAR" | "LONGVARCHAR" | "NVARCHAR" | "NCHAR" => StringType
+    case "TINYINT" => ByteType
+    case "SMALLINT" => ShortType
+    case "INTEGER" | "INT" => IntegerType
+    case "BIGINT" => LongType
+    case "NUMERIC" | "DECIMAL" => DecimalType(38, 18)
+    case "REAL" | "FLOAT" => FloatType
+    case "DOUBLE" | "DOUBLE PRECISION" => DoubleType
+    case "BOOLEAN" | "BIT" => BooleanType
+    case "DATE" => DateType
+    case "TIME" => StringType // no TimeType; ISO string interchange
+    case "TIMESTAMP" => TimestampType
+    case "BINARY" | "VARBINARY" | "LONGVARBINARY" | "BLOB" => BinaryType
+    case other => throw new IllegalArgumentException(s"unsupported declared type: $other")
+  }
+
+  def declaredSchema(names: Seq[String], types: Seq[String]): StructType = {
+    require(names.length == types.length,
+      s"columns (${names.length}) and types (${types.length}) length mismatch")
+    StructType(names.zip(types).map { case (n, t) =>
+      StructField(n, sqlTypeToSpark(t), nullable = true) })
+  }
+
+  /** CSV dialect presets (reference `CsvFileManager.java:38-201`),
+    * mapped onto Spark CSV reader/writer options. */
+  val csvDialects: Map[String, Map[String, String]] = Map(
+    "DEFAULT" -> Map("sep" -> ",", "quote" -> "\"", "ignoreLeadingWhiteSpace" -> "false",
+      "ignoreTrailingWhiteSpace" -> "false"),
+    "EXCEL" -> Map("sep" -> ",", "quote" -> "\""),
+    "INFORMIX_UNLOAD" -> Map("sep" -> "|", "quote" -> "\"", "escape" -> "\\"),
+    "INFORMIX_UNLOAD_CSV" -> Map("sep" -> ",", "quote" -> "\""),
+    "MONGODB_CSV" -> Map("sep" -> ",", "quote" -> "\"", "escape" -> "\""),
+    "MONGODB_TSV" -> Map("sep" -> "\t", "quote" -> "\"", "escape" -> "\""),
+    "MYSQL" -> Map("sep" -> "\t", "quote" -> "", "escape" -> "\\", "nullValue" -> "\\N"),
+    "ORACLE" -> Map("sep" -> ",", "quote" -> "\"", "escape" -> "\\"),
+    "POSTGRESQL_CSV" -> Map("sep" -> ",", "quote" -> "\"", "escape" -> "\"", "nullValue" -> ""),
+    "POSTGRESQL_TEXT" -> Map("sep" -> "\t", "quote" -> "\"", "escape" -> "\\", "nullValue" -> "\\N"),
+    "RFC4180" -> Map("sep" -> ",", "quote" -> "\""),
+    "TDF" -> Map("sep" -> "\t", "quote" -> "\"", "ignoreLeadingWhiteSpace" -> "true"))
+
+  def format(path: String, explicit: Option[String]): String =
+    explicit.getOrElse {
+      val p = path.toLowerCase.stripSuffix("/")
+      if (p.endsWith(".csv") || p.endsWith(".csv.gz")) "csv"
+      else if (p.endsWith(".orc")) "orc"
+      else if (p.endsWith(".json") || p.endsWith(".jsonl")) "json"
+      else if (p.endsWith(".avro")) "avro"
+      else "parquet"
+    }
+
+  def read(spark: SparkSession, conf: SourceConf): DataFrame = {
+    val path = stripScheme(conf.connect)
+    val fmt = format(path, conf.options.get("format"))
+    var reader: DataFrameReader = spark.read.format(fmt)
+    val dialectOpts = conf.options.get("dialect")
+      .map(d => csvDialects.getOrElse(d.toUpperCase,
+        throw new IllegalArgumentException(s"unknown CSV dialect: $d")))
+      .getOrElse(Map.empty)
+    reader = reader.options(dialectOpts ++ (conf.options - "format" - "dialect"))
+    (conf.columnNames, conf.columnTypes) match {
+      case (Some(names), Some(types)) =>
+        reader = reader.schema(declaredSchema(names, types))
+      case (None, Some(_)) =>
+        throw new IllegalArgumentException(
+          "columns.types requires columns names (source.columns.names)")
+      case _ if fmt == "csv" =>
+        // reference requires declared types for CSV; we default to
+        // header+inference only when explicitly allowed
+        if (!conf.options.get("inferSchema").exists(_.toBoolean) &&
+            conf.columnNames.isEmpty)
+          throw new IllegalArgumentException(
+            "CSV source requires declared columns.types (or inferSchema=true)")
+      case _ => ()
+    }
+    reader.load(path)
+  }
+
+  def write(df: DataFrame, path: String, fmt: String,
+      options: Map[String, String], overwrite: Boolean,
+      singleFile: Boolean = false): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.format(fmt)
+      .options(options)
+      .mode(if (overwrite) "overwrite" else "append")
+      .save(stripScheme(path))
+  }
+
+  /** complete-atomic for file sinks: write the full output to a
+    * staging directory, then swap it in with a rename — readers of the
+    * sink path never observe a partially-written directory. The
+    * staging write itself is task-atomic via Spark's commit protocol;
+    * the rename makes the directory replacement atomic too (the
+    * reference's staging+swap, `SqlManager.java:386-434`, re-expressed
+    * for file systems).
+    */
+  def writeAtomic(df: DataFrame, path: String, fmt: String,
+      options: Map[String, String]): Unit = {
+    val target = stripScheme(path)
+    val staging = target + "__staging"
+    df.write.format(fmt).options(options).mode("overwrite").save(staging)
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(target).getFileSystem(hconf)
+    val targetP = new org.apache.hadoop.fs.Path(target)
+    val stagingP = new org.apache.hadoop.fs.Path(staging)
+    if (fs.exists(targetP)) fs.delete(targetP, true)
+    if (!fs.rename(stagingP, targetP))
+      throw new java.io.IOException(s"atomic swap failed: $staging -> $target")
+  }
+
+  def stripScheme(connect: String): String =
+    if (connect.startsWith("file://")) connect.stripPrefix("file://") else connect
+}

@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, TimestampType}
+
+import graft.functions.Conversions
+
+/** Kafka producer sink: one JSON message per row (reference
+  * `manager/KafkaManager.java:49-190`, SURVEY.md §2.2 W8).
+  *
+  * Semantics preserved:
+  *  - date/timestamp columns serialize as ISO-8601 UTC strings
+  *    (`KafkaManager.java:129-141`);
+  *  - a column literally named `json` passes pre-serialized JSON
+  *    through as the value untouched (`KafkaManager.java:97-99`);
+  *  - optional key column.
+  *
+  * The payload builder is separated from the send so it is unit-
+  * testable without a broker; `write` is `df.write.format("kafka")`.
+  */
+object KafkaSink {
+
+  /** Build the (key, value) frame Kafka expects. */
+  def payload(df: DataFrame, keyColumn: Option[String]): DataFrame = {
+    val value: Column =
+      if (df.columns.contains("json")) col("json")
+      else {
+        val serialized = df.schema.fields.map { f =>
+          f.dataType match {
+            case TimestampType => Conversions.toIso8601Utc(col(f.name)).as(f.name)
+            case DateType => date_format(col(f.name), "yyyy-MM-dd").as(f.name)
+            case _ => col(f.name)
+          }
+        }
+        to_json(struct(serialized.toSeq: _*))
+      }
+    keyColumn match {
+      case Some(k) => df.select(col(k).cast("string").as("key"), value.as("value"))
+      case None => df.select(value.as("value"))
+    }
+  }
+
+  def write(df: DataFrame, bootstrapServers: String, topic: String,
+      keyColumn: Option[String] = None,
+      options: Map[String, String] = Map.empty): Unit =
+    payload(df, keyColumn).write.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .options(options)
+      .save()
+}
