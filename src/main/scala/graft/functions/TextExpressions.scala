@@ -210,12 +210,12 @@ object TextExpressions {
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
-      "rolling_hash", exprs => RollingHash(exprs.head), "builtin")
+      "rolling_hash", exprs => RollingHash(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "builtin")
+      "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
       "minhash_signature",
       exprs => MinHashSignature(exprs.head,
-        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "builtin")
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "scala_udf")
   }
 }

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types.StructType
+
+import graft.core.SinkConf
+import graft.sources.JdbcConnector
+
+/** Structured Streaming surface — a beyond-parity extension (the
+  * reference has no streaming; SURVEY.md §2.8): the same replication
+  * pipe as `readStream -> transforms -> writeStream`, plus watermarked
+  * window aggregation and stateful sessionization.
+  *
+  * Every transform here works on both batch and streaming DataFrames
+  * (the batch equivalents are verified against DuckDB oracles in
+  * SparkEntry st1/st2) — write once, run either mode, which is the
+  * point of Structured Streaming.
+  */
+object EventStream {
+
+  /** File-based event stream (the streaming analogue of the engine's
+    * file source): new files under `path` are discovered per
+    * micro-batch. */
+  def readFileStream(spark: SparkSession, path: String, schema: StructType,
+      format: String = "parquet"): DataFrame =
+    spark.readStream.schema(schema).format(format).load(path)
+
+  /** Tumbling-window counts/sums per event type with a watermark for
+    * state cleanup; late data beyond `watermark` is dropped. */
+  def windowedAgg(events: DataFrame, window: String = "1 hour",
+      watermark: String = "10 minutes",
+      tsCol: String = "ts", typeCol: String = "event_type",
+      valueCol: String = "value"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window)
+        .getField("start").as("window_start"), col(typeCol))
+      .agg(count(lit(1)).as("n"), round(sum(valueCol), 2).as("sum_value"))
+
+  /** Session state for mapGroupsWithState sessionization. */
+  case class SessionState(lastTsMicros: Long, nEvents: Long, nSessions: Long)
+  case class SessionUpdate(user_id: Long, n_events: Long, n_sessions: Long)
+
+  /** Stateful sessionization: a new session starts after `gapMinutes`
+    * of inactivity per user. Streaming-native via
+    * KeyValueGroupedDataset.mapGroupsWithState; the batch-equivalent
+    * (lag/window) is SparkEntry.st2_sessionize.
+    *
+    * Scale: state is one tiny record per user key, partitioned by
+    * user hash — linear in distinct users, not events.
+    */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30): Dataset[SessionUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMicros = gapMinutes.toLong * 60 * 1000000
+
+    events
+      .selectExpr("user_id", "unix_micros(ts) AS ts_us")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          val sorted = rows.map(_._2).toSeq.sorted
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { ts =>
+            val newSession = st.lastTsMicros == Long.MinValue || ts - st.lastTsMicros > gapMicros
+            st = SessionState(ts, st.nEvents + 1, st.nSessions + (if (newSession) 1 else 0))
+          }
+          state.update(st)
+          SessionUpdate(userId, st.nEvents, st.nSessions)
+      }
+  }
+
+  /** Stream -> JDBC incremental sink: each micro-batch is staged and
+    * merged (exactly the engine's incremental mode) via foreachBatch —
+    * idempotent upserts make the sink consistent under micro-batch
+    * retries. */
+  def writeJdbcUpsert(stream: DataFrame, conf: SinkConf,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        JdbcConnector.write(batch.toDF(), conf)
+      }
+      .start()
+
+  /** Stream -> files under the engine's file-sink path semantics. */
+  def writeFileStream(stream: DataFrame, path: String, checkpoint: String,
+      format: String = "parquet"): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .format(format)
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .start()
+}

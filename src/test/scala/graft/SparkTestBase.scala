@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One shared local session for the whole test run (fork=true → one
+  * JVM), sized small so suites stay fast. */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = GraftSession.builder("graft-test", cores = 4).getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+abstract class SparkTestBase extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
+}

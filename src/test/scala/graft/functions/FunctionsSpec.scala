@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class ConversionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("epoch day/milli/micro conversions round-trip") {
+    val df = Seq(0L, 86400000L, 1704067200000L).toDF("ms")
+      .withColumn("ts", Conversions.epochMillisToTimestamp(col("ms")))
+      .withColumn("back", Conversions.timestampToEpochMillis(col("ts")))
+      .withColumn("day", Conversions.dateToEpochDay(col("ts").cast("date")))
+    val rows = df.collect()
+    assert(rows.forall(r => r.getLong(0) == r.getLong(2)))
+    assert(rows.map(_.getInt(3)).toSeq == Seq(0, 1, 19723))
+  }
+
+  test("ISO-8601 UTC serialization matches the Kafka sink contract") {
+    val iso = Seq(1704067200123L).toDF("ms")
+      .select(Conversions.toIso8601Utc(Conversions.epochMillisToTimestamp(col("ms"))))
+      .first().getString(0)
+    assert(iso == "2024-01-01T00:00:00.123Z")
+  }
+
+  test("pg hex literal and bulk-text escaping") {
+    val r = Seq(("ab", "a\\b\nc")).toDF("bin", "txt")
+      .select(
+        Conversions.toPgHexLiteral(col("bin").cast("binary")),
+        Conversions.escapeBulkText(col("txt")))
+      .first()
+    assert(r.getString(0) == "\\x6162")
+    assert(r.getString(1) == "a\\\\b\\nc")
+  }
+
+  test("lenient boolean coercion accepts the reference's truthy forms") {
+    val vals = Seq("1", "yes", "ON", " t ", "Y", "true", "0", "no", "x")
+    val out = vals.toDF("v").select(Conversions.lenientBoolean(col("v"))).collect().map(_.getBoolean(0))
+    assert(out.toSeq == Seq(true, true, true, true, true, true, false, false, false))
+  }
+}
+
+class TextExpressionsSpec extends SparkTestBase {
+  import spark.implicits._
+  import TextExpressions._
+
+  test("rolling_hash matches a reference implementation and is stable") {
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 31L + (b & 0xffL))
+    val inputs = Seq("", "a", "hello world", "héllo ✓")
+    val out = inputs.toDF("s").select(rolling_hash(col("s"))).collect().map(_.getLong(0))
+    assert(out.toSeq == inputs.map(ref))
+  }
+
+  test("rolling_hash interpreted eval equals codegen result") {
+    val e = RollingHash(org.apache.spark.sql.catalyst.expressions.Literal("graft"))
+    val interpreted = e.eval(null)
+    val viaDf = Seq("graft").toDF("s").select(rolling_hash(col("s"))).first().getLong(0)
+    assert(interpreted == viaDf)
+  }
+
+  test("simhash64: identical token sets collide, disjoint sets differ") {
+    val df = Seq(
+      ("a", Seq("x", "y", "z", "w")),
+      ("b", Seq("x", "y", "z", "w")),
+      ("c", Seq("q", "r", "s", "t"))).toDF("id", "toks")
+      .select(col("id"), simhash64(col("toks")).as("h"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("a") == m("b"))
+    assert(m("a") != m("c"))
+  }
+
+  test("simhash64 near-identical sets land within small hamming distance") {
+    val base = (1 to 50).map("tok" + _)
+    val df = Seq(("a", base), ("b", base.updated(0, "CHANGED"))).toDF("id", "toks")
+      .select(col("id"), simhash64(col("toks")).as("h"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(m("a") ^ m("b")) <= 8)
+  }
+
+  test("minhash_signature equals the naive per-seed minimum") {
+    val shingles = Seq("aa bb", "bb cc", "cc dd")
+    val sig = Seq(shingles).toDF("sh")
+      .select(minhash_signature(col("sh"), 8)).first()
+      .getSeq[Long](0)
+    val xxh = (s: String, seed: Long) =>
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), seed)
+    val naive = (0 until 8).map(j => shingles.map(xxh(_, j.toLong)).min)
+    assert(sig == naive)
+  }
+
+  test("null inputs propagate as null") {
+    val r = Seq(Option.empty[String]).toDF("s")
+      .select(rolling_hash(col("s"))).first()
+    assert(r.isNullAt(0))
+  }
+
+  test("SQL registration exposes the functions to spark.sql") {
+    registerAll(spark)
+    val r = spark.sql("SELECT rolling_hash('x'), simhash64(array('a','b')), " +
+      "minhash_signature(array('a','b'), 4)").first()
+    assert(!r.isNullAt(0) && !r.isNullAt(1) && r.getSeq[Long](2).size == 4)
+  }
+}

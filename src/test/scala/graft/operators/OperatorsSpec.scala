@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),      // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),      // near dup of 1
+    (4L, "completely different content about spark engines"),
+    (5L, "unrelated text mentioning training data pipelines")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per distinct content with counts") {
+    val out = Dedup.exact(docs, "doc_id", Seq("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 2)       // docs 1+2 collapse, survivor = 1
+    assert(out.size == 4)
+    val survivors = Dedup.exactSurvivors(docs, "doc_id", Seq("text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash LSH finds the planted near-duplicate pair and the exact pair") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleSize = 2, numHashes = 32, numBands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash jaccard verification is exact (dup pair scores 1.0)") {
+    val j = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleSize = 2, numHashes = 32, numBands = 16, threshold = 0.5)
+      .filter("id_a = 1 AND id_b = 2").select("jaccard").first().getDouble(0)
+    assert(j == 1.0)
+  }
+
+  test("simhash pairs catch exact and near duplicates, not strangers") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngram jaccard with blocking computes exact similarity") {
+    val blocked = docs.withColumn("blk", lit(1))
+    val out = Dedup.ngramJaccardPairs(blocked, "doc_id", "text",
+      blockCols = Seq("blk"), shingleSize = 1, threshold = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(out((1L, 3L)) == (7.0 / 9.0))  // 8-word sets sharing 7
+  }
+
+  test("cluster assignment labels connected components with min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val c = Dedup.clusters(pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c(1L) == 1L && c(2L) == 1L && c(3L) == 1L)
+    assert(c(10L) == 10L && c(11L) == 10L)
+  }
+
+  test("embedding near-dup finds an identical vector pair") {
+    val v = Array.tabulate(8)(i => i.toFloat + 1)
+    val e = Seq((1L, v.toSeq), (2L, v.toSeq), (3L, v.map(x => -x).toSeq))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding",
+      threshold = 0.99, planes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Seq(1f, 0f, 0f)),
+    (1L, Seq(0.9f, 0.1f, 0f)),
+    (2L, Seq(0f, 1f, 0f)),
+    (3L, Seq(0f, 0f, 1f)),
+    (4L, Seq(-1f, 0f, 0f))).toDF("id", "v")
+
+  test("brute-force top-k ranks by cosine with id tie-break") {
+    val out = Similarity.bruteForceTopK(
+      vecs.filter("id = 0"), vecs, "id", "v", 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+    assert(out.head.getDouble(3) > 0.99)
+  }
+
+  test("full-probe IVF equals brute force") {
+    val bf = Similarity.bruteForceTopK(vecs.filter("id < 2"), vecs, "id", "v", 3)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    val ivf = Similarity.ivfTopK(vecs.filter("id < 2"), vecs, "id", "v", 3,
+      nCentroids = 5, nProbe = 5)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    assert(ivf == bf)
+  }
+
+  test("lsh top-k returns only same-bucket neighbors, never the query itself") {
+    val out = Similarity.lshTopK(vecs, vecs, "id", "v", 4, planes = 2)
+      .collect()
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)))
+  }
+
+  test("dot/norm/cosine column helpers are exact on known vectors") {
+    val r = Seq((Seq(3.0, 4.0), Seq(4.0, 3.0))).toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")),
+        Similarity.l2norm(col("a")),
+        Similarity.cosine(col("a"), col("b")))
+      .first()
+    assert(r.getDouble(0) == 24.0)
+    assert(r.getDouble(1) == 5.0)
+    assert(math.abs(r.getDouble(2) - 0.96) < 1e-12)
+  }
+}
+
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("token/char/digit/punct counts") {
+    val r = Seq("Hello, world 42! ").toDF("t").select(
+      TextAnalysis.charCount(col("t")),
+      TextAnalysis.tokenCount(col("t")),
+      TextAnalysis.digitCount(col("t")),
+      TextAnalysis.punctCount(col("t")),
+      TextAnalysis.bpeishTokenCount(col("t"))).first()
+    assert(r.getInt(0) == 17)
+    assert(r.getInt(1) == 3)
+    assert(r.getInt(2) == 2)
+    assert(r.getInt(3) == 2)      // ',' and '!'
+    assert(r.getInt(4) == 6)      // Hello , world 4 2 !
+  }
+
+  test("language id picks the dominant marker language, und when none") {
+    val out = Seq(
+      "the cat and the dog is in the house",
+      "der hund und die katze ist nicht hier",
+      "le chat est dans la maison et le jardin",
+      "xyzzy plugh 12345").toDF("t")
+      .select(TextAnalysis.langId(col("t"))).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("en", "de", "fr", "und"))
+  }
+
+  test("quality score penalizes degenerate text") {
+    val out = Seq(
+      "This is a reasonable sentence with the usual words and structure.",
+      "1 2 3 4 5 6 7 8 9 0 1 2 3 4 5 6 7 8 9 0").toDF("t")
+      .select(TextAnalysis.qualityScore(col("t"))).collect().map(_.getDouble(0))
+    assert(out(0) > out(1))
+  }
+
+  test("fingerprint is whitespace-normalization invariant") {
+    val out = Seq("a  b\tc", "a b c").toDF("t")
+      .select(TextAnalysis.fingerprint(col("t"))).collect().map(_.getLong(0))
+    assert(out(0) == out(1))
+  }
+}
+
+class ModesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("upsert: staging wins on key collision, unmatched target survives") {
+    val target = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val staging = Seq((2, "B2"), (4, "d")).toDF("k", "v")
+    val out = Modes.upsert(target, staging, Seq("k"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out == Map(1 -> "a", 2 -> "B2", 3 -> "c", 4 -> "d"))
+  }
+
+  test("upsert aligns staging columns to target order") {
+    val target = Seq((1, "a", 1.0)).toDF("k", "v", "x")
+    val staging = Seq((2.0, 2, "b")).toDF("x", "k", "v")
+    val out = Modes.upsert(target, staging, Seq("k"))
+    assert(out.columns.toSeq == Seq("k", "v", "x"))
+    assert(out.count() == 2)
+  }
+}
+
+class MultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def media = Multimodal.toMediaTable(
+    Seq((1L, "hello world", "s1"), (2L, "", "s2")).toDF("id", "content", "src"),
+    "id", "content", "text/plain", "src")
+
+  test("media table carries payload bytes + typed metadata") {
+    val r = media.orderBy("media_id").collect()
+    assert(r(0).getStruct(2).getString(0) == "text/plain")
+    assert(r(0).getStruct(2).getLong(1) == 11L)
+    assert(r(1).getStruct(2).getLong(1) == 0L)
+  }
+
+  test("decode-stub feature extraction is deterministic and shaped") {
+    val f1 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    val f2 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1(0).getSeq[Double](4).size == 8)
+    assert(math.abs(f1(0).getSeq[Double](4).sum - 1.0) < 1e-9)
+    assert(f1(0).getInt(1) >= 64)   // stub width floor
+  }
+
+  test("frame sampling splits payloads and keeps every stride-th frame") {
+    val payload = ("x" * 1000)
+    val m = Multimodal.toMediaTable(
+      Seq((1L, payload, "s")).toDF("id", "c", "src"), "id", "c", "bin", "src")
+    val frames = Multimodal.sampleFrames(m, frameSize = 256, stride = 2)
+      .orderBy("frame_idx").collect()
+    // 1000 bytes -> 4 frames (256,256,256,232), stride 2 -> idx 0,2
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 2))
+    assert(frames.map(_.getAs[Array[Byte]](2).length).toSeq == Seq(256, 256))
+  }
+}

@@ -1,0 +1,160 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkTestBase
+import graft.core._
+
+class FileConnectorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("declared JDBC type names map onto Spark types") {
+    val st = FileConnector.declaredSchema(
+      Seq("a", "b", "c", "d"), Seq("VARCHAR", "INTEGER", "NUMERIC", "TIMESTAMP"))
+    assert(st.fields.map(_.dataType).toSeq ==
+      Seq(StringType, IntegerType, DecimalType(38, 18), TimestampType))
+    assertThrows[IllegalArgumentException](
+      FileConnector.declaredSchema(Seq("a"), Seq("GEOGRAPHY")))
+    assertThrows[IllegalArgumentException](
+      FileConnector.declaredSchema(Seq("a", "b"), Seq("VARCHAR")))
+  }
+
+  test("csv round-trip with declared schema preserves typed values") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csvspec").toString + "/data"
+    val df = Seq((1L, "x", 1.5, true), (2L, null.asInstanceOf[String], -0.25, false))
+      .toDF("id", "s", "d", "b")
+    FileConnector.write(df, dir, "csv", Map("header" -> "true"), overwrite = true)
+    val back = FileConnector.read(spark, SourceConf(connect = dir,
+      columnNames = Some(Seq("id", "s", "d", "b")),
+      columnTypes = Some(Seq("BIGINT", "VARCHAR", "DOUBLE", "BOOLEAN")),
+      options = Map("format" -> "csv", "header" -> "true")))
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("csv without declared types is rejected (reference contract)") {
+    assertThrows[IllegalArgumentException](
+      FileConnector.read(spark, SourceConf(connect = "/tmp/x.csv")))
+  }
+
+  test("unknown dialect is rejected; known dialect sets separator") {
+    assertThrows[IllegalArgumentException](
+      FileConnector.read(spark, SourceConf(connect = "/tmp/x.csv",
+        columnNames = Some(Seq("a")), columnTypes = Some(Seq("VARCHAR")),
+        options = Map("dialect" -> "NOPE"))))
+    assert(FileConnector.csvDialects("TDF")("sep") == "\t")
+    assert(FileConnector.csvDialects.size == 12)
+  }
+
+  test("format sniffing by extension with explicit override") {
+    assert(FileConnector.format("/d/x.csv", None) == "csv")
+    assert(FileConnector.format("/d/x.jsonl", None) == "json")
+    assert(FileConnector.format("/d/dir", None) == "parquet")
+    assert(FileConnector.format("/d/x.csv", Some("json")) == "json")
+  }
+
+  test("atomic swap replaces the sink only after a complete write") {
+    val base = java.nio.file.Files.createTempDirectory("graft_atomicspec").toString
+    val sink = base + "/t"
+    FileConnector.writeAtomic(Seq(1, 2, 3).toDF("v"), sink, "parquet", Map.empty)
+    assert(spark.read.parquet(sink).count() == 3)
+    FileConnector.writeAtomic(Seq(4, 5).toDF("v"), sink, "parquet", Map.empty)
+    assert(spark.read.parquet(sink).as[Int].collect().toSet == Set(4, 5))
+    assert(!new java.io.File(sink + "__staging").exists())
+  }
+}
+
+class JdbcConnectorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshDb(): String =
+    s"jdbc:derby:memory:spec${System.nanoTime()};create=true"
+
+  private def mkTable(url: String): Unit =
+    JdbcConnector.withConnection(url, Map.empty) { c =>
+      val st = c.createStatement()
+      st.execute("CREATE TABLE T (K BIGINT PRIMARY KEY, V VARCHAR(20), X DOUBLE)")
+      st.close()
+    }
+
+  private def readBack(url: String) =
+    JdbcConnector.read(spark, SourceConf(connect = url, table = Some("T"), partitions = 1))
+
+  test("complete mode truncates and loads") {
+    val url = freshDb(); mkTable(url)
+    val sink = SinkConf(connect = url, table = Some("T"), mode = ReplicationMode.Complete)
+    JdbcConnector.write(Seq((1L, "a", 1.0)).toDF("K", "V", "X"), sink)
+    JdbcConnector.write(Seq((2L, "b", 2.0), (3L, "c", 3.0)).toDF("K", "V", "X"), sink)
+    val rows = readBack(url).collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+
+  test("incremental mode merges on the discovered primary key") {
+    val url = freshDb(); mkTable(url)
+    JdbcConnector.write(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("K", "V", "X"),
+      SinkConf(connect = url, table = Some("T"), mode = ReplicationMode.Complete))
+    JdbcConnector.write(Seq((2L, "B2", 2.5), (4L, "d", 4.0)).toDF("K", "V", "X"),
+      SinkConf(connect = url, table = Some("T"), mode = ReplicationMode.Incremental))
+    val m = readBack(url).collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(m == Map(1L -> ("a", 1.0), 2L -> ("B2", 2.5), 4L -> ("d", 4.0)))
+    // staging table dropped after merge
+    JdbcConnector.withConnection(url, Map.empty) { c =>
+      val rs = c.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      var names = List.empty[String]
+      while (rs.next()) names ::= rs.getString("TABLE_NAME")
+      assert(names.count(_.startsWith("T")) == 1)
+    }
+  }
+
+  test("complete-atomic swaps staging into the sink transactionally") {
+    val url = freshDb(); mkTable(url)
+    JdbcConnector.write(Seq((1L, "old", 0.0)).toDF("K", "V", "X"),
+      SinkConf(connect = url, table = Some("T"), mode = ReplicationMode.Complete))
+    JdbcConnector.write(Seq((9L, "new", 9.0)).toDF("K", "V", "X"),
+      SinkConf(connect = url, table = Some("T"), mode = ReplicationMode.CompleteAtomic))
+    val rows = readBack(url).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(9L))
+  }
+
+  test("incremental without any key fails fast") {
+    val url = freshDb()
+    JdbcConnector.withConnection(url, Map.empty) { c =>
+      val st = c.createStatement()
+      st.execute("CREATE TABLE T (K BIGINT, V VARCHAR(20), X DOUBLE)") // no PK
+      st.close()
+    }
+    assertThrows[IllegalArgumentException](
+      JdbcConnector.write(Seq((1L, "a", 1.0)).toDF("K", "V", "X"),
+        SinkConf(connect = url, table = Some("T"), mode = ReplicationMode.Incremental)))
+  }
+
+  test("partitioned read with mod predicates returns the full table") {
+    val url = freshDb(); mkTable(url)
+    val df = (1L to 100L).map(i => (i, s"v$i", i.toDouble)).toDF("K", "V", "X")
+    JdbcConnector.write(df, SinkConf(connect = url, table = Some("T"),
+      mode = ReplicationMode.Complete))
+    val back = JdbcConnector.read(spark, SourceConf(connect = url,
+      table = Some("T"), partitions = 4, options = Map("partition.key" -> "K")))
+    assert(back.rdd.getNumPartitions == 4)
+    assert(back.count() == 100)
+    assert(back.agg(sum("K")).first().getLong(0) == 5050)
+  }
+}
+
+class KafkaSinkSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("payload serializes rows as JSON with ISO-8601 timestamps") {
+    val df = Seq((1L, "x")).toDF("id", "name")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00.123")))
+    val out = KafkaSink.payload(df, keyColumn = Some("id")).first()
+    assert(out.getString(0) == "1")
+    assert(out.getString(1) ==
+      """{"id":1,"name":"x","ts":"2024-01-01T00:00:00.123Z"}""")
+  }
+
+  test("a column literally named json passes through pre-serialized") {
+    val df = Seq(("""{"a":1}""", 7L)).toDF("json", "k")
+    val out = KafkaSink.payload(df, keyColumn = None).first()
+    assert(out.getString(0) == """{"a":1}""")
+  }
+}

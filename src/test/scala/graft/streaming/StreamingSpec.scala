@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.core.{ReplicationMode, SinkConf, SourceConf}
+import graft.sources.JdbcConnector
+
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val batch1 = Seq(
+    Ev(ts("2024-01-01 00:05:00"), 1, "click", 1.0),
+    Ev(ts("2024-01-01 00:15:00"), 1, "click", 2.0),
+    Ev(ts("2024-01-01 01:05:00"), 2, "view", 3.0))
+  private val batch2 = Seq(
+    Ev(ts("2024-01-01 01:30:00"), 2, "view", 4.0),
+    Ev(ts("2024-01-01 02:30:00"), 1, "click", 5.0))
+
+  test("windowed aggregation over a memory stream matches batch semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStream.windowedAgg(mem.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    val rows = spark.table("win_out")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    assert(rows == Set(
+      ("2024-01-01 00:00:00.0", "click", 2L),
+      ("2024-01-01 01:00:00.0", "view", 2L),
+      ("2024-01-01 02:00:00.0", "click", 1L)))
+  }
+
+  test("stateful sessionization counts sessions across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStream.sessionizeStream(mem.toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("update").start()
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    val rows = spark.table("sess_out")
+      .groupBy("user_id").agg(max("n_events").as("n_events"), max("n_sessions").as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    q.stop()
+    // user 1: 00:05, 00:15 (one session), 02:30 (new) = 2 sessions, 3 events
+    // user 2: 01:05, 01:30 within 30min -> 1 session, 2 events
+    assert(rows(1L) == ((3L, 2L)))
+    assert(rows(2L) == ((2L, 1L)))
+  }
+
+  test("stream to JDBC upsert sink stays consistent across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val url = s"jdbc:derby:memory:stream${System.nanoTime()};create=true"
+    JdbcConnector.withConnection(url, Map.empty) { c =>
+      val st = c.createStatement()
+      st.execute("CREATE TABLE AGG (USER_ID BIGINT PRIMARY KEY, N_EVENTS BIGINT, N_SESSIONS BIGINT)")
+      st.close()
+    }
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val mem = MemoryStream[Ev]
+    val stream = EventStream.sessionizeStream(mem.toDF(), gapMinutes = 30)
+      .toDF("USER_ID", "N_EVENTS", "N_SESSIONS")
+    val q = EventStream.writeJdbcUpsert(stream,
+      SinkConf(connect = url, table = Some("AGG"), mode = ReplicationMode.Incremental),
+      checkpoint)
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val out = JdbcConnector.read(spark,
+      SourceConf(connect = url, table = Some("AGG"), partitions = 1))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((3L, 2L)))
+    assert(out(2L) == ((2L, 1L)))
+  }
+}
