@@ -74,37 +74,43 @@ object Dedup {
     val rowsPerBand = numHashes / numBands
 
     val sh = shingles(col(textCol), shingleSize)
-    val sig = TextExpressions.minhash_signature(sh, numHashes)
+    val withShingles = df.select(col(idCol).as("id"), sh.as("sh"))
 
-    val withSig = df.select(col(idCol).as("id"), sh.as("sh"), sig.as("sig"))
-
-    // Band bucket key: hash of the band's signature slice.
-    val banded = withSig.select(
-      col("id"), col("sh"),
+    // Signatures only — the heavy shingle arrays never enter the
+    // band explode or the pair generation, so all LSH shuffles move
+    // (id, band, bucket) triples, not document bodies.
+    val sigs = withShingles.select(col("id"),
+      TextExpressions.minhash_signature(col("sh"), numHashes).as("sig"))
+    val banded = sigs.select(
+      col("id"),
       posexplode(transform(
         sequence(lit(0), lit(numBands - 1)),
         b => xxhash64(concat_ws(",", transform(
           slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string"))), b)))
         .as(Seq("band", "bucket")))
 
-    // Candidate pairs from shared (band, bucket); bucket-size cap
-    // prevents quadratic blowup on degenerate bands.
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-    val bucketSizes = banded.groupBy("band", "bucket").count()
-      .filter(col("count") <= maxBucketSize && col("count") > 1)
-      .select("band", "bucket")
-    val candidates = a
-      .join(bucketSizes, Seq("band", "bucket"), "left_semi")
-      .join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+    // Pairs generated inside each bucket after ONE shuffle
+    // (groupBy band+bucket -> in-bucket combinations via higher-order
+    // functions), instead of a bucket self-join. The size cap bounds
+    // the quadratic in-bucket work on degenerate bands.
+    val ids = array_sort(col("ids"))
+    val candidates = banded
+      .groupBy("band", "bucket").agg(collect_list("id").as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+      .select(explode(flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + 2, size(ids)),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    // Exact verification on the shingle sets.
+    // Exact verification: re-join the shingle sets for candidate ids
+    // only (candidates << corpus at scale).
+    val a = withShingles.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = withShingles.select(col("id").as("id_b"), col("sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
     candidates
+      .join(a, "id_a").join(b, "id_b")
       .withColumn("jaccard", inter / union)
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
@@ -118,23 +124,30 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame = {
     val sig = TextExpressions.simhash64(TextAnalysis.tokens(lower(col(textCol))))
     val withSig = df.select(col(idCol).as("id"), sig.as("sig"))
+    // carry (id, sig) pairs — 16 bytes — through the chunk explode;
+    // pairs are generated in-bucket after one shuffle (same shape as
+    // minhashLshPairs), then verified by exact Hamming distance
     val chunked = withSig.select(
-      col("id"), col("sig"),
+      struct(col("id"), col("sig")).as("row"),
       posexplode(array((0 until 4).map(ci =>
         shiftrightunsigned(col("sig"), ci * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("chunk_idx", "chunk")))
-    val a = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
-    val hamming = bit_count(col("sig_a").bitwiseXOR(col("sig_b")))
-    a.join(b, Seq("chunk_idx", "chunk"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val rows = array_sort(col("rows"))
+    val hamming = bit_count(col("p.id_a.sig").bitwiseXOR(col("p.id_b.sig")))
+    chunked
+      .groupBy("chunk_idx", "chunk").agg(collect_list("row").as("rows"))
+      .filter(size(col("rows")).between(2, maxBucketSize))
+      .select(explode(flatten(transform(rows, (x, i) =>
+        transform(slice(rows, i + 2, size(rows)),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
       .withColumn("hamming", hamming)
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .select(col("p.id_a.id").as("id_a"), col("p.id_b.id").as("id_b"), col("hamming"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact n-gram (word k-gram) Jaccard similarity for all pairs
@@ -148,15 +161,33 @@ object Dedup {
       textCol: String,
       blockCols: Seq[String],
       shingleSize: Int = 1,
-      threshold: Double = 0.0): DataFrame = {
-    val sh = shingles(col(textCol), shingleSize)
-    val base = df.select((col(idCol).as("id") +: sh.as("sh") +: blockCols.map(col)): _*)
-    val a = base.select((col("id").as("id_a") +: col("sh").as("sh_a") +: blockCols.map(col)): _*)
-    val b = base.select((col("id").as("id_b") +: col("sh").as("sh_b") +: blockCols.map(col)): _*)
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
-    a.join(b, blockCols)
+      threshold: Double = 0.0,
+      saltBuckets: Int = 32): DataFrame = {
+    // Shingle STRINGS are hashed to sorted 64-bit sets once per doc:
+    // set Jaccard is hash-invariant (collisions are ~2^-64), and the
+    // pairwise inner loop becomes a codegen merge scan over sorted
+    // longs (SortedIntersectCount) instead of per-pair hash sets.
+    val sh = array_sort(transform(shingles(col(textCol), shingleSize), t => xxhash64(t)))
+    val base = df.select((col(idCol).as("id") +: sh.as("sh") +: size(sh).as("n") +: blockCols.map(col)): _*)
+    // Blocking keys are few (e.g. 5 languages) while in-block work is
+    // quadratic — AQE's byte-based skew split cannot see compute skew,
+    // so the join is salted explicitly: side A picks a deterministic
+    // salt from its id, side B replicates across all salts. Parallelism
+    // becomes |blocks| * saltBuckets instead of |blocks|.
+    val a = base.select((col("id").as("id_a") +: col("sh").as("sh_a") +: col("n").as("n_a") +:
+      pmod(xxhash64(col("id")), lit(saltBuckets)).as("__salt") +: blockCols.map(col)): _*)
+    val b = base.select((col("id").as("id_b") +: col("sh").as("sh_b") +: col("n").as("n_b") +:
+      explode(sequence(lit(0L), lit(saltBuckets - 1L))).as("__salt") +: blockCols.map(col)): _*)
+    // J(a,b) <= min(|a|,|b|)/max(|a|,|b|): exact length-ratio prune
+    // skips the intersect for pairs that cannot reach the threshold;
+    // |union| = |a|+|b|-|intersect| avoids materializing array_union.
+    val inter = graft.functions.TextExpressions
+      .sorted_intersect_count(col("sh_a"), col("sh_b")).cast("double")
+    val union = col("n_a").cast("double") + col("n_b") - inter
+    a.join(b, blockCols :+ "__salt")
       .filter(col("id_a") < col("id_b"))
+      .filter(least(col("n_a"), col("n_b")).cast("double") >=
+        lit(threshold) * greatest(col("n_a"), col("n_b")))
       .withColumn("jaccard", inter / union)
       .filter(col("jaccard") >= threshold)
       .select(("id_a" +: "id_b" +: "jaccard" +: blockCols).map(col): _*)

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan assertions: the properties that decide whether these
+  * operators survive a 100 TB scale-up — column pruning and predicate
+  * pushdown into the parquet scan, broadcast of small dimensions,
+  * partial (map-side) aggregation, whole-stage codegen on the hot
+  * expressions. A green result that scans every column or shuffles a
+  * dimension table would pass a value check and still be wrong; these
+  * tests fail it.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf())
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("s1 projection is pruned at the parquet scan") {
+    val p = planOf("s1_scan_project")
+    assert(p.contains("ReadSchema"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_extendedprice"))
+    assert(!readSchema.contains("l_quantity") && !readSchema.contains("l_partkey"))
+  }
+
+  test("f1 predicate reaches the scan as a pushed filter") {
+    val p = planOf("f1_filter_where")
+    assert(p.contains("PushedFilters: ["))
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).get
+    assert(pushed.contains("o_totalprice") && pushed.contains("o_orderstatus"))
+  }
+
+  test("agg1 pushes the date filter and aggregates partially before the shuffle") {
+    val df = SparkEntry.queries("agg1_pricing_summary")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("l_shipdate")))
+    // partial agg (map-side combine) must appear below the exchange
+    assert(p.contains("HashAggregate(keys=[l_returnflag"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+  }
+
+  test("j1 broadcasts the nation dimension instead of shuffling it") {
+    val p = planOf("j1_join_agg")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+  }
+
+  test("text sketch expressions run inside whole-stage codegen") {
+    val df = SparkEntry.queries("ta3_fingerprint")(spark, sf())
+    df.collect() // force codegen to actually compile
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" is the whole-stage-codegen stage marker on the node that
+    // evaluates the custom expressions
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("rolling_hash")))
+    assert(!p.contains("CodegenFallback"))
+  }
+
+  test("dd4 block join is salted: parallelism >> number of blocks") {
+    val df = SparkEntry.queries("dd4_ngram_jaccard")(spark, sf())
+    // 5 language blocks * 32 salts = 160 effective join keys; assert
+    // the salt column made it into the join keys
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("__salt"))
+  }
+
+  test("m4 upsert anti join broadcasts the staging key set") {
+    val df = SparkEntry.queries("m4_upsert_dataframe")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
+  }
+}
