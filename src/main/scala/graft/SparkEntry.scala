@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core._
 import graft.functions.{Conversions, TextExpressions}
 import graft.operators._
-import graft.sources.{FileConnector, JdbcConnector}
+import graft.sources.{FileConnector, JdbcConnector, MongoShim, ObjectPerRowSink}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the beyond-parity training-data operators), with a
@@ -85,6 +85,51 @@ object SparkEntry {
         columnTypes = Some(Seq("BIGINT", "VARCHAR", "DOUBLE", "TIMESTAMP")),
         options = Map("format" -> "csv", "header" -> "true"))
       ReplicaEngine.read(s, conf)
+    }),
+
+    "c2_orc_json_roundtrip" -> ((s, dir) => {
+      // ORC + JSON sources (S12/S13): write both, read both back,
+      // verify the union against 2x the table
+      val base = tmpDir("graft_fmt")
+      val src = t(s, dir, "supplier")
+      FileConnector.write(src, s"$base/sup.orc", "orc", Map.empty, overwrite = true)
+      FileConnector.write(src, s"$base/sup.json", "json", Map.empty, overwrite = true)
+      val orc = FileConnector.read(s, SourceConf(connect = s"$base/sup.orc"))
+      val json = FileConnector.read(s, SourceConf(connect = s"$base/sup.json",
+        options = Map("format" -> "json")))
+      // JSON is schemaless on read (ints widen to bigint) — restore
+      // the declared schema before the union
+      orc.unionByName(json.select(orc.schema.fields.toIndexedSeq.map(f =>
+        json.col(f.name).cast(f.dataType).as(f.name)): _*))
+    }),
+
+    "s9_mongo_filter" -> ((s, dir) => {
+      // Mongo BSON filter + projection semantics (S9) over documents
+      val filtered = t(s, dir, "documents").filter(MongoShim.filterToColumn(
+        """{"lang": {"$in": ["en", "de"]}, "n_chars": {"$gt": 200}}"""))
+      MongoShim.project(filtered, """{"doc_id": 1, "lang": 1, "n_chars": 1}""")
+    }),
+
+    "s10_mongo_pipeline" -> ((s, dir) =>
+      // Mongo aggregation pipeline semantics (S10)
+      MongoShim.pipeline(t(s, dir, "documents"),
+        """[
+          {"$match": {"n_chars": {"$gte": 100}}},
+          {"$group": {"_id": "$source", "n_docs": {"$sum": 1},
+                      "total_chars": {"$sum": "$n_chars"}}},
+          {"$sort": {"_id": 1}}
+        ]""")),
+
+    "w11_object_per_row" -> ((s, dir) => {
+      // object-per-row sink (W11): one object per document, read back
+      val base = tmpDir("graft_objects")
+      val docs = t(s, dir, "documents").filter("doc_id < 100")
+        .selectExpr("concat('doc_', doc_id, '.txt') AS key", "text AS body")
+      ObjectPerRowSink.write(docs, base, "key", "body")
+      s.read.format("binaryFile").load(s"$base/*.txt")
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.txt", 1).cast("long").as("doc_id"),
+          col("length").as("n_bytes"))
     }),
 
     // ---- §2.6 replication modes -----------------------------------
@@ -336,6 +381,19 @@ object SparkEntry {
 
     "c1_csv_declared_schema" ->
       "SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders",
+
+    "c2_orc_json_roundtrip" ->
+      "SELECT * FROM supplier UNION ALL SELECT * FROM supplier",
+
+    "s9_mongo_filter" ->
+      "SELECT doc_id, lang, n_chars FROM documents WHERE lang IN ('en', 'de') AND n_chars > 200",
+
+    "s10_mongo_pipeline" ->
+      """SELECT source AS _id, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE n_chars >= 100 GROUP BY source""".stripMargin,
+
+    "w11_object_per_row" ->
+      "SELECT doc_id, strlen(text) AS n_bytes FROM documents WHERE doc_id < 100",
 
     "m1_mode_complete" ->
       "SELECT * FROM lineitem",

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+
+/** Bandwidth throttling — parity with the reference's
+  * `manager/util/BandwidthThrottling.java:30-74`: estimate the row
+  * size from the first row, convert a KB/s cap into a per-chunk
+  * permit rate, and block the pipe when it runs hot.
+  *
+  * Spark re-expression: a `mapPartitions` rate limiter. The global
+  * cap is divided by the number of partitions so N parallel tasks
+  * jointly respect it (the reference divides its cap across its N
+  * replication threads the same way — one semaphore per task,
+  * `BandwidthThrottling.java:45-52`).
+  *
+  * This is a sink-protection operator, not a performance one; it
+  * exists because replicating INTO a production database at full
+  * cluster speed is a denial of service on the sink.
+  */
+object Throttle {
+
+  /** Limit total throughput to ~rowsPerSecond across the whole
+    * DataFrame (divided evenly among partitions). */
+  def byRows(df: DataFrame, rowsPerSecond: Long): DataFrame = {
+    require(rowsPerSecond > 0)
+    val parts = math.max(1, df.rdd.getNumPartitions)
+    val perPartition = math.max(1L, rowsPerSecond / parts)
+    val enc = RowEncoder.encoderFor(df.schema)
+    df.mapPartitions { rows =>
+      new ThrottledIterator(rows, perPartition, _ => 1L)
+    }(enc)
+  }
+
+  /** Limit to ~kbPerSecond, estimating bytes from each row's string
+    * form (the reference estimates from the first row only; per-row
+    * estimation is strictly better and still cheap). */
+  def byBandwidth(df: DataFrame, kbPerSecond: Long): DataFrame = {
+    require(kbPerSecond > 0)
+    val parts = math.max(1, df.rdd.getNumPartitions)
+    val perPartition = math.max(1024L, kbPerSecond * 1024L / parts)
+    val enc = RowEncoder.encoderFor(df.schema)
+    df.mapPartitions { rows =>
+      new ThrottledIterator(rows, perPartition, estimateRowBytes)
+    }(enc)
+  }
+
+  private[graft] def estimateRowBytes(r: Row): Long = {
+    var n = 8L
+    var i = 0
+    while (i < r.length) {
+      n += (if (r.isNullAt(i)) 1L else r.get(i) match {
+        case s: String => s.length.toLong + 4
+        case b: Array[Byte] => b.length.toLong + 4
+        case _ => 8L
+      })
+      i += 1
+    }
+    n
+  }
+
+  /** Token-bucket pacing: consume permits per row, sleep when the
+    * bucket is dry. Permits refill continuously at `permitsPerSecond`. */
+  private final class ThrottledIterator(
+      underlying: Iterator[Row],
+      permitsPerSecond: Long,
+      cost: Row => Long) extends Iterator[Row] {
+    private var available = permitsPerSecond.toDouble // 1s burst
+    private var lastRefill = System.nanoTime()
+
+    override def hasNext: Boolean = underlying.hasNext
+
+    override def next(): Row = {
+      val row = underlying.next()
+      val c = cost(row).toDouble
+      refill()
+      while (available < c) {
+        val deficit = c - available
+        val sleepMs = math.min(1000L, math.max(1L, (deficit * 1000 / permitsPerSecond).toLong))
+        Thread.sleep(sleepMs)
+        refill()
+      }
+      available -= c
+      row
+    }
+
+    private def refill(): Unit = {
+      val now = System.nanoTime()
+      available = math.min(permitsPerSecond.toDouble,
+        available + (now - lastRefill) / 1e9 * permitsPerSecond)
+      lastRefill = now
+    }
+  }
+}

@@ -1,0 +1,118 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class MongoShimSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val df = Seq(
+    (1L, "alice", 30, "us"),
+    (2L, "bob", 25, "de"),
+    (3L, "carol", 35, "us"),
+    (4L, "dave", 25, "fr"),
+    (5L, null.asInstanceOf[String], 40, "us")).toDF("id", "name", "age", "country")
+
+  test("implicit equality and comparison operators") {
+    assert(df.filter(MongoShim.filterToColumn("""{"country": "us"}"""))
+      .count() == 3)
+    assert(df.filter(MongoShim.filterToColumn("""{"age": {"$gt": 25, "$lt": 40}}"""))
+      .select("id").as[Long].collect().toSet == Set(1L, 3L))
+    assert(df.filter(MongoShim.filterToColumn("""{"age": {"$ne": 25}}"""))
+      .count() == 3)
+  }
+
+  test("$in, $exists, $regex, $or, $not") {
+    assert(df.filter(MongoShim.filterToColumn("""{"country": {"$in": ["de", "fr"]}}"""))
+      .count() == 2)
+    assert(df.filter(MongoShim.filterToColumn("""{"name": {"$exists": false}}"""))
+      .select("id").as[Long].head() == 5L)
+    assert(df.filter(MongoShim.filterToColumn("""{"name": {"$regex": "^[ab]"}}"""))
+      .count() == 2)
+    assert(df.filter(MongoShim.filterToColumn(
+      """{"$or": [{"country": "de"}, {"age": {"$gte": 40}}]}""")).count() == 2)
+    assert(df.filter(MongoShim.filterToColumn("""{"age": {"$not": {"$lt": 30}}}"""))
+      .count() == 3)
+  }
+
+  test("projection documents include or exclude") {
+    assert(MongoShim.project(df, """{"id": 1, "name": 1}""").columns.toSeq ==
+      Seq("id", "name"))
+    assert(MongoShim.project(df, """{"age": 0}""").columns.toSeq ==
+      Seq("id", "name", "country"))
+  }
+
+  test("aggregation pipeline: match, group, sort, limit") {
+    val out = MongoShim.pipeline(df,
+      """[
+        {"$match": {"age": {"$gte": 25}}},
+        {"$group": {"_id": "$country", "n": {"$sum": 1}, "avg_age": {"$avg": "$age"}}},
+        {"$sort": {"n": -1, "_id": 1}},
+        {"$limit": 2}
+      ]""")
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq(("us", 3L), ("de", 1L)))
+  }
+
+  test("$count and global $group (null _id)") {
+    assert(MongoShim.pipeline(df, """[{"$count": "total"}]""").first().getLong(0) == 5L)
+    val g = MongoShim.pipeline(df,
+      """[{"$group": {"_id": null, "max_age": {"$max": "$age"}}}]""").first()
+    assert(g.getInt(0) == 40)
+  }
+
+  test("unsupported operators fail loudly, not silently") {
+    assertThrows[IllegalArgumentException](
+      MongoShim.filterToColumn("""{"loc": {"$geoWithin": {}}}"""))
+    assertThrows[IllegalArgumentException](
+      MongoShim.pipeline(df, """[{"$lookup": {}}]"""))
+  }
+}
+
+class ObjectPerRowSinkSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("writes one object per row with key and body from columns") {
+    val base = java.nio.file.Files.createTempDirectory("graft_objrow").toString
+    val df = Seq(("a.txt", "alpha"), ("sub/b.txt", "beta")).toDF("key", "body")
+    ObjectPerRowSink.write(df, base, "key", "body")
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(base, "a.txt")) == "alpha")
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(base, "sub/b.txt")) == "beta")
+  }
+
+  test("binary bodies and null keys/bodies") {
+    val base = java.nio.file.Files.createTempDirectory("graft_objrow2").toString
+    val df = Seq(
+      ("bin.dat", Some(Array[Byte](1, 2, 3))),
+      ("empty.dat", None),
+      (null.asInstanceOf[String], Some(Array[Byte](9)))).toDF("key", "body")
+    ObjectPerRowSink.write(df, base, "key", "body")
+    assert(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(base, "bin.dat")).toSeq == Seq[Byte](1, 2, 3))
+    assert(java.nio.file.Files.size(java.nio.file.Paths.get(base, "empty.dat")) == 0)
+    assert(new java.io.File(base).listFiles().count(_.isFile) == 2)
+  }
+}
+
+class ThrottleSpec extends SparkTestBase {
+  import spark.implicits._
+  import graft.operators.Throttle
+
+  test("row throttling paces the pipe to roughly the configured rate") {
+    val df = (1 to 200).toDF("v").coalesce(1)
+    val t0 = System.nanoTime()
+    assert(Throttle.byRows(df, 2000).count() == 200)
+    // 200 rows at 2000 rows/s with a 1s burst bucket: fast but bounded
+    val unthrottled = System.nanoTime()
+    val slow = Throttle.byRows((1 to 600).toDF("v").coalesce(1), 400)
+    assert(slow.count() == 600)
+    val elapsed = (System.nanoTime() - unthrottled) / 1e9
+    // 600 rows at 400/s minus the 400-permit initial burst -> >= ~0.4s
+    assert(elapsed > 0.3, s"expected pacing, took ${elapsed}s")
+  }
+
+  test("row size estimation counts strings and binary payloads") {
+    val r = org.apache.spark.sql.Row(1L, "abcd", Array[Byte](1, 2))
+    assert(Throttle.estimateRowBytes(r) == 8 + 8 + 8 + 6)
+  }
+}
