@@ -342,6 +342,24 @@ object SparkEntry {
         .select("media_id", "width", "height", "n_bytes")
     }),
 
+    "agg3_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n"))),
+
+    "j2_asof_join" -> ((s, dir) => {
+      // as-of enrichment: each event gets the value of the user's
+      // most recent purchase at-or-before its timestamp
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
+      AsOfJoin.asofBackward(
+        ev.select("event_id", "user_id", "ts"), purchases,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        valueCols = Seq("purchase_value"))
+    }),
+
     // ---- stream-shaped (batch-equivalent of graft.streaming) ------
     "st1_event_windows" -> ((s, dir) =>
       events(s, dir)
@@ -482,6 +500,20 @@ object SparkEntry {
         |       CAST(l_shipdate AS DATE) AS ship_date,
         |       date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS ship_epoch_day
         |FROM lineitem""".stripMargin,
+
+    "agg3_rollup" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "j2_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT e.user_id, e.ts, e.event_id, p.purchase_value
+        |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
 
     "dd1_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",
