@@ -1,0 +1,51 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.TextExpressions
+
+/** SparkSessionExtensions entry point: makes graft's native
+  * expressions available as SQL functions in any session built with
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.core.GraftExtensions")
+  * }}}
+  *
+  * (or `.withExtensions(new GraftExtensions)`), so `spark.sql("SELECT
+  * rolling_hash(text) ...")` works cluster-wide without imports. For
+  * an existing session, `TextExpressions.registerAll(spark)` does the
+  * same at runtime.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[TextExpressions.type].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      info("rolling_hash", "rolling_hash(str) - 64-bit polynomial rolling hash"),
+      (exprs: Seq[Expression]) => TextExpressions.RollingHash(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(array<string>) - 64-bit SimHash of tokens"),
+      (exprs: Seq[Expression]) => TextExpressions.SimHash64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      info("minhash_signature",
+        "minhash_signature(array<string>, k) - k-wise MinHash signature"),
+      (exprs: Seq[Expression]) => TextExpressions.MinHashSignature(exprs.head,
+        exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          .asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count",
+        "sorted_intersect_count(array<bigint>, array<bigint>) - |A∩B| merge scan"),
+      (exprs: Seq[Expression]) =>
+        TextExpressions.SortedIntersectCount(exprs.head, exprs(1))))
+  }
+}

@@ -275,6 +275,9 @@ object TextExpressions {
     reg.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
       "minhash_signature",
       exprs => MinHashSignature(exprs.head,
         exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "scala_udf")

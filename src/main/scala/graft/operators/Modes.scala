@@ -24,15 +24,20 @@ object Modes {
     * the reference's staging⋈sink merge (`PostgresqlManager.java:
     * 262-307` et al.) as a DataFrame op.
     *
-    * Scale: one shuffle-on-keys anti join. The staging side of an
-    * incremental load is normally orders of magnitude smaller than
-    * the target, so it is broadcast (hint honored when it fits,
-    * silently falls back to shuffle join when not — AQE decides).
+    * Scale: one anti join on the keys. The staging side of an
+    * incremental load is normally orders of magnitude smaller than the
+    * target; `broadcastStaging = true` (default) hints its KEY COLUMNS
+    * ONLY for broadcast — at billions of staged rows pass false and
+    * let AQE pick the join (the hint would force an executor-memory
+    * blowup; a hint is an order, not a suggestion).
     */
-  def upsert(target: DataFrame, staging: DataFrame, keys: Seq[String]): DataFrame = {
+  def upsert(target: DataFrame, staging: DataFrame, keys: Seq[String],
+      broadcastStaging: Boolean = true): DataFrame = {
     require(keys.nonEmpty, "upsert requires key columns")
     val stagingAligned = staging.select(target.columns.map(staging.col).toIndexedSeq: _*)
-    target.join(broadcast(stagingAligned.select(keys.map(staging.col): _*)), keys, "left_anti")
+    val stagingKeys = stagingAligned.select(keys.map(staging.col): _*)
+    val probe = if (broadcastStaging) broadcast(stagingKeys) else stagingKeys
+    target.join(probe, keys, "left_anti")
       .unionByName(stagingAligned)
   }
 }

@@ -1,0 +1,40 @@
+package graft.core
+
+import graft.SparkTestBase
+
+class TelemetrySpec extends SparkTestBase {
+
+  test("measure captures rows read, shuffle traffic and task time") {
+    val (rows, m) = Telemetry.measure(spark) {
+      spark.read.parquet(s"${sf()}/lineitem.parquet")
+        .groupBy("l_returnflag").count().collect().length
+    }
+    assert(rows == 3)
+    assert(m.recordsRead >= 6000)
+    assert(m.bytesRead > 0)
+    assert(m.shuffleBytesWritten > 0 && m.shuffleBytesRead > 0)
+    assert(m.tasks > 0 && m.taskTimeMs >= 0)
+    assert(m.pretty.contains("rows"))
+  }
+
+  test("collection is scoped: listener removed after the block") {
+    import org.apache.spark.graftbridge.ListenerBridge
+    val before = ListenerBridge.listenerCount(spark.sparkContext)
+    Telemetry.measure(spark)(spark.range(10).count())
+    assert(ListenerBridge.listenerCount(spark.sparkContext) == before)
+  }
+}
+
+class GraftExtensionsSpec extends SparkTestBase {
+
+  test("extension registers the native functions in a fresh extensions set") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw; builders resolvable
+    // and the runtime-registration path exposes the same names via SQL
+    graft.functions.TextExpressions.registerAll(spark)
+    val out = spark.sql(
+      "SELECT sorted_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 9L))")
+      .first().getInt(0)
+    assert(out == 2)
+  }
+}
