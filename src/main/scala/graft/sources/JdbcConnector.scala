@@ -31,6 +31,8 @@ import graft.core.{ReplicationMode, SinkConf, SourceConf}
   */
 object JdbcConnector {
 
+  GraftDerbyDialect.ensureRegistered
+
   def read(spark: SparkSession, conf: SourceConf): DataFrame = {
     val url = conf.connect
     val table = conf.query
