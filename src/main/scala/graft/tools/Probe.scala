@@ -9,6 +9,7 @@ object Probe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.getOrCreate("graft-probe")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (args.headOption.contains("scale10x")) { scale10x(spark, dir); spark.stop(); return }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
 
     // minhash LSH: bucket-size distribution + candidate count
@@ -41,5 +42,45 @@ object Probe {
       docs, "doc_id", "text", 3, 64, 16, 0.7).count())
 
     spark.stop()
+  }
+
+  /** Synthetic 10x scale-up (union of id-shifted copies ≈ sf1):
+    * validates that the headline operators' wall-clock grows ~linearly
+    * and nothing falls over (memory, skew) an order of magnitude above
+    * the bench scale. */
+  def scale10x(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.DataFrame
+    def x10(name: String, idCols: Seq[String]): DataFrame = {
+      val base = spark.read.parquet(s"$dir/$name.parquet")
+      (0 until 10).map { i =>
+        idCols.foldLeft(base)((df, c) =>
+          df.withColumn(c, col(c) + lit(i.toLong * 100000000L)))
+      }.reduce(_.unionAll(_))
+    }
+    def timed(label: String)(f: => Long): Unit = {
+      val t = System.nanoTime(); val n = f
+      println(f"=== scale10x $label: ${(System.nanoTime() - t) / 1e9}%.1fs ($n%,d rows)")
+    }
+    val li = x10("lineitem", Seq("l_orderkey"))
+    val docs = x10("documents", Seq("doc_id"))
+    timed("agg1 6M rows")(li.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity"), avg("l_discount"), count(lit(1))).count())
+    timed("join 6M x 1.5M")(
+      li.join(x10("orders", Seq("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count().count())
+    timed("m1 write 6M")({
+      val out = java.nio.file.Files.createTempDirectory("probe10x").toString + "/s"
+      li.write.mode("overwrite").parquet(out)
+      spark.read.parquet(out).count()
+    })
+    timed("dd1 exact dedup 50K docs")(
+      graft.operators.Dedup.exact(docs, "doc_id", Seq("text")).count())
+    timed("dd2 minhash LSH 50K docs")(
+      graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.7).count())
+    timed("sim1 topk 10 x 20K vecs")({
+      val e = x10("embeddings", Seq("vec_id"))
+      graft.operators.Similarity.bruteForceTopK(
+        e.filter("vec_id < 10"), e, "vec_id", "embedding", 5).count()
+    })
   }
 }
