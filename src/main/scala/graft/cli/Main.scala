@@ -1,0 +1,87 @@
+package graft.cli
+
+import scala.jdk.CollectionConverters._
+
+import graft.GraftSession
+import graft.core.{Config, ReplicaEngine}
+
+/** CLI entry point with the reference's option surface
+  * (`cli/ToolOptions.java:63-374`): a ReplicaDB invocation like
+  *
+  * {{{
+  * replicadb --mode=incremental \
+  *   --source-connect=jdbc:... --source-table=t --source-where=... \
+  *   --sink-connect=jdbc:...   --sink-table=t  --jobs=4
+  * }}}
+  *
+  * maps 1:1 onto
+  *
+  * {{{
+  * spark-submit --class graft.cli.Main replicadbspark.jar \
+  *   --mode=incremental --source-connect=... --sink-connect=... --jobs=4
+  * }}}
+  *
+  * `--options-file=path` loads a java-properties file (same keys as the
+  * reference: `source.connect`, `sink.table`, `mode`, ...); CLI flags
+  * override file values; `${ENV}` interpolation applies to both.
+  */
+object Main {
+
+  /** CLI flag -> properties key (the reference uses the same dual
+    * naming: `--source-connect` flag vs `source.connect` property). */
+  private val flagToKey: Map[String, String] = Map(
+    "mode" -> "mode",
+    "jobs" -> "jobs",
+    "fetch-size" -> "fetch.size",
+    "source-connect" -> "source.connect",
+    "source-table" -> "source.table",
+    "source-columns" -> "source.columns",
+    "source-where" -> "source.where",
+    "source-query" -> "source.query",
+    "source-columns-types" -> "source.columns.types",
+    "source-columns-names" -> "source.columns.names",
+    "sink-connect" -> "sink.connect",
+    "sink-table" -> "sink.table",
+    "sink-columns" -> "sink.columns",
+    "sink-staging-table" -> "sink.staging.table",
+    "sink-disable-truncate" -> "sink.disable.truncate",
+    "sink-key-columns" -> "sink.key.columns")
+
+  def parseArgs(args: Array[String]): Map[String, String] = {
+    val parsed = args.map {
+      case a if a.startsWith("--") && a.contains('=') =>
+        val Array(k, v) = a.stripPrefix("--").split("=", 2)
+        k -> v
+      case a if a.startsWith("--") => a.stripPrefix("--") -> "true"
+      case a => throw new IllegalArgumentException(s"unrecognized argument: $a")
+    }.toMap
+
+    val fromFile: Map[String, String] = parsed.get("options-file") match {
+      case Some(path) =>
+        val p = new java.util.Properties()
+        val in = new java.io.FileInputStream(path)
+        try p.load(in) finally in.close()
+        p.stringPropertyNames().asScala.map(k => k -> p.getProperty(k)).toMap
+      case None => Map.empty
+    }
+
+    val fromFlags = (parsed - "options-file").map { case (flag, v) =>
+      flagToKey.getOrElse(flag,
+        // passthrough for source.connect.parameter.* style flags
+        if (flag.contains('.')) flag
+        else throw new IllegalArgumentException(s"unknown option: --$flag")) -> v
+    }
+    fromFile ++ fromFlags // flags win
+  }
+
+  def run(args: Array[String]): Unit = {
+    val conf = Config.fromProperties(parseArgs(args))
+    val spark = GraftSession.getOrCreate("graft-replicate")
+    ReplicaEngine.replicate(spark, conf)
+  }
+
+  def main(args: Array[String]): Unit = {
+    run(args)
+    sys.exit(0)
+  }
+}
