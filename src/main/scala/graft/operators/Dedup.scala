@@ -15,10 +15,10 @@ import graft.functions.TextExpressions
   *    rows are ~16 bytes + key instead of the document body.
   *  - MinHash/SimHash signatures are computed scan-side by custom
   *    codegen expressions (one pass per row), then only the small
-  *    signatures shuffle. Band buckets are capped (`maxBucketSize`)
-  *    so a degenerate band (all-identical boilerplate) cannot create
-  *    a quadratic pair explosion on one reducer; the cap is surfaced
-  *    in the output, not silently dropped.
+  *    signatures shuffle. Band buckets beyond `maxBucketSize`
+  *    (mass-templated boilerplate) degrade from all-pairs to a linear
+  *    star expansion around the bucket minimum — bounded reducer work
+  *    with connectivity preserved for clustering, never a silent drop.
   *  - Pair verification re-joins the two document sides by id; at
   *    scale the candidate side is orders of magnitude smaller than the
   *    corpus, so both joins are shuffle-on-id with AQE skew handling.
@@ -40,11 +40,15 @@ object Dedup {
     * the content itself; `content` is re-derived from the survivor.
     */
   def exact(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame = {
-    val h = xxhash64(contentCols.map(col): _*)
-    df.withColumn("__h", h)
-      .groupBy(col("__h"))
+    // 96-bit key (xxhash64 + murmur3): a lone 64-bit key has ~50%
+    // birthday-collision odds at ~5B documents, and a collision here
+    // silently deletes a distinct document
+    val h64 = xxhash64(contentCols.map(col): _*)
+    val h32 = hash(contentCols.map(col): _*)
+    df.withColumn("__h", h64).withColumn("__h2", h32)
+      .groupBy(col("__h"), col("__h2"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
-      .drop("__h")
+      .drop("__h", "__h2")
   }
 
   /** Exact-dedup survivors: the full rows that remain. */
@@ -91,15 +95,22 @@ object Dedup {
 
     // Pairs generated inside each bucket after ONE shuffle
     // (groupBy band+bucket -> in-bucket combinations via higher-order
-    // functions), instead of a bucket self-join. The size cap bounds
-    // the quadratic in-bucket work on degenerate bands.
+    // functions), instead of a bucket self-join. Buckets over
+    // maxBucketSize (mass-templated boilerplate) degrade to a STAR
+    // expansion — every id paired with the bucket minimum — linear
+    // instead of quadratic, and connectivity is preserved for
+    // downstream clustering rather than silently dropped.
     val ids = array_sort(col("ids"))
+    val allPairs = flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+    val starPairs = transform(slice(ids, lit(2), size(ids)),
+      y => struct(element_at(ids, 1).as("id_a"), y.as("id_b")))
     val candidates = banded
       .groupBy("band", "bucket").agg(collect_list("id").as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
-      .select(explode(flatten(transform(ids, (x, i) =>
-        transform(slice(ids, i + 2, size(ids)),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(when(size(ids) <= maxBucketSize, allPairs)
+        .otherwise(starPairs)).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .dropDuplicates("id_a", "id_b")
 
@@ -217,14 +228,47 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
-  /** Duplicate-cluster assignment from a pair list: iterative min-id
-    * label propagation (connected components, bounded iterations —
-    * cluster diameters in dedup graphs are tiny). Returns (id,
-    * cluster_id) for every id present in the pair list.
+  /** End-to-end near-duplicate removal — the call a training-data
+    * pipeline actually makes: exact dedup first (cheap, exact), then
+    * MinHash-LSH near-dup pairs on the survivors, connected-component
+    * clustering, keep the min-id document of each cluster.
     */
-  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def dedupCorpus(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      numBands: Int = 16,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = 1000,
+      maxIter: Int = 20): DataFrame = {
+    val exactKept = exactSurvivors(df, idCol, Seq(textCol))
+    // materialize the pair list once: clusters() iterates with two
+    // actions per round, and without this the whole scan->shingle->
+    // minhash->band->verify pipeline would re-execute every iteration
+    val pairs = minhashLshPairs(exactKept, idCol, textCol,
+      shingleSize, numHashes, numBands, threshold, maxBucketSize)
+      .localCheckpoint(eager = true)
+    val clustered = clusters(pairs, maxIter)
+    val drop = clustered.filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    exactKept.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** Duplicate-cluster assignment from a pair list: iterative min-id
+    * label propagation (connected components). Returns (id,
+    * cluster_id) for every id present in the pair list. Cluster
+    * diameters in dedup graphs are tiny (LSH links near-dups to each
+    * other densely), so propagation converges in a few rounds; if
+    * `maxIter` is hit first, a warning is logged and the labels are
+    * returned as-is (over-retention, never data loss).
+    */
+  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // snapshot the edge list: the loop below runs 2 actions per round
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(eager = true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
     var i = 0
@@ -244,6 +288,10 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"Dedup.clusters did not converge in $maxIter iterations; " +
+          "some clusters may retain extra members (raise maxIter)")
     labels
   }
 }

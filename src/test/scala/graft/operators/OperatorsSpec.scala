@@ -56,11 +56,39 @@ class DedupSpec extends SparkTestBase {
     assert(out((1L, 3L)) == (7.0 / 9.0))  // 8-word sets sharing 7
   }
 
+  test("over-cap buckets degrade to star expansion, not a silent drop") {
+    val clones = (1L to 6L).map(i => (i, "identical text repeated for every clone row here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(clones, "doc_id", "text",
+      shingleSize = 2, numHashes = 32, numBands = 16, threshold = 0.5,
+      maxBucketSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bucket of 6 > cap 3: star around the minimum keeps every clone
+    // connected to doc 1 (quadratic all-pairs would be 15 pairs)
+    assert(pairs == (2L to 6L).map(i => (1L, i)).toSet)
+  }
+
+  test("clusters converges on a 15-node chain within default iterations") {
+    val chain = (1L until 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.clusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.values.toSet == Set(1L))
+    assert(labels.size == 15)
+  }
+
   test("cluster assignment labels connected components with min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val c = Dedup.clusters(pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(c(1L) == 1L && c(2L) == 1L && c(3L) == 1L)
     assert(c(10L) == 10L && c(11L) == 10L)
+  }
+
+  test("dedupCorpus drops exact and near duplicates, keeps min-id survivors") {
+    val out = Dedup.dedupCorpus(docs, "doc_id", "text",
+      shingleSize = 2, numHashes = 32, numBands = 16, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    // 2 is an exact dup of 1; 3 is a near dup of 1 -> both dropped
+    assert(out == Set(1L, 4L, 5L))
   }
 
   test("embedding near-dup finds an identical vector pair") {
