@@ -327,6 +327,22 @@ object SparkEntry {
         TextAnalysis.fingerprint(col("text")).as("fingerprint"),
         round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))),
 
+    "sp1_stratified_sample" -> ((s, dir) =>
+      // deterministic exact-count stratified sample (training mix)
+      Sampling.stratified(t(s, dir, "documents"), "doc_id", Seq("lang"), 10)
+        .select("doc_id", "lang")),
+
+    "sp2_mixture" -> ((s, dir) =>
+      // weighted per-source corpus mixture, reproducible by id-hash
+      Sampling.mixture(t(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.5))
+        .select("doc_id", "source")),
+
+    "tn1_normalize" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextNormalize.canonical(col("text")).as("canonical"))),
+
     // ---- beyond-parity: multimodal --------------------------------
     "mm1_media_metadata" -> ((s, dir) =>
       Multimodal.toMediaTable(t(s, dir, "documents"),
@@ -574,6 +590,26 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "ta2_lang_id" -> langIdOracle,
+
+    "sp1_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY (doc_id * 2654435761) % 4294967296 ASC, doc_id ASC) AS rn
+        |  FROM documents) WHERE rn <= 10""".stripMargin,
+
+    "sp2_mixture" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE (doc_id * 2654435761) % 4294967296 <
+        |      CASE source WHEN 'src0' THEN 4294967296
+        |                  WHEN 'src1' THEN 2147483648 ELSE -1 END""".stripMargin,
+
+    "tn1_normalize" ->
+      """SELECT doc_id,
+        |       trim(regexp_replace(regexp_replace(lower(
+        |         regexp_replace(text, '[\x00-\x1f\x7f]', '', 'g')),
+        |         '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS canonical
+        |FROM documents""".stripMargin,
 
     "mm1_media_metadata" ->
       """SELECT doc_id AS media_id, 'text/plain' AS format,

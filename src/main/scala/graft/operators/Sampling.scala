@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and corpus mixing for training-data
+  * pipelines (beyond-parity).
+  *
+  * Everything here is REPRODUCIBLE BY CONSTRUCTION: selection is a
+  * pure function of the row's id (Knuth multiplicative hashing), not
+  * of an RNG stream, partition layout, or row order. Re-running the
+  * pipeline — or re-running it on a different cluster size — selects
+  * the same rows. That property is what makes training mixtures
+  * auditable, and it is also what lets these operators be verified
+  * against an independent SQL engine.
+  */
+object Sampling {
+
+  /** Knuth multiplicative hash of an integer id into [0, 2^32):
+    * h(id) = (id * 2654435761) mod 2^32 — scatters sequential ids
+    * uniformly; expressible in any SQL engine (pure arithmetic). */
+  def idHash(id: Column): Column =
+    pmod(id.cast("long") * lit(2654435761L), lit(4294967296L))
+
+  /** Deterministic fraction sample: keep rows whose id-hash falls
+    * under fraction * 2^32. */
+  def byFraction(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1)
+    df.filter(idHash(col(idCol)) < (fraction * 4294967296.0).toLong)
+  }
+
+  /** Exact-count stratified sample: the n rows with the smallest
+    * id-hash per stratum (deterministic, order-independent).
+    * One shuffle on the stratum keys. */
+  def stratified(df: DataFrame, idCol: String, strataCols: Seq[String],
+      perStratum: Int): DataFrame = {
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(idHash(col(idCol)).asc, col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perStratum)
+      .drop("__rn")
+  }
+
+  /** Weighted corpus mixture: per source key, keep the configured
+    * fraction of rows (deterministic). The training-mix primitive:
+    * `mixture(docs, "doc_id", "source", Map("src0" -> 1.0,
+    * "src1" -> 0.25))` keeps all of src0, a quarter of src1, and
+    * drops unlisted sources. */
+  def mixture(df: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.values.forall(w => w >= 0 && w <= 1),
+      "mixture weights are per-source keep fractions in [0,1]")
+    val cutoff = weights.foldLeft(lit(-1L)) { case (acc, (src, w)) =>
+      when(col(sourceCol) === src, lit((w * 4294967296.0).toLong)).otherwise(acc)
+    }
+    df.filter(idHash(col(idCol)) < cutoff)
+  }
+
+  /** Split into train/validation/test by id-hash range — stable
+    * across runs and immune to upstream reordering. Returns the
+    * subset named by `split` given cumulative fractions. */
+  def holdout(df: DataFrame, idCol: String, split: String,
+      trainFrac: Double = 0.98, validFrac: Double = 0.01): DataFrame = {
+    val h = idHash(col(idCol))
+    val trainCut = (trainFrac * 4294967296.0).toLong
+    val validCut = ((trainFrac + validFrac) * 4294967296.0).toLong
+    split match {
+      case "train" => df.filter(h < trainCut)
+      case "valid" => df.filter(h >= trainCut && h < validCut)
+      case "test" => df.filter(h >= validCut)
+      case other => throw new IllegalArgumentException(s"unknown split: $other")
+    }
+  }
+}
