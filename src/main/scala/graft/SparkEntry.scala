@@ -607,7 +607,7 @@ object SparkEntry {
     "tn1_normalize" ->
       """SELECT doc_id,
         |       trim(regexp_replace(regexp_replace(lower(
-        |         regexp_replace(text, '[\x00-\x1f\x7f]', '', 'g')),
+        |         regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g')),
         |         '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS canonical
         |FROM documents""".stripMargin,
 

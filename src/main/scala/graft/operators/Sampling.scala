@@ -18,10 +18,20 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Knuth multiplicative hash of an integer id into [0, 2^32):
-    * h(id) = (id * 2654435761) mod 2^32 — scatters sequential ids
-    * uniformly; expressible in any SQL engine (pure arithmetic). */
-  def idHash(id: Column): Column =
-    pmod(id.cast("long") * lit(2654435761L), lit(4294967296L))
+    * h(id) = (id * 2654435761) mod 2^32, computed with a 16-bit limb
+    * split so no intermediate product exceeds 2^49 — the naive 64-bit
+    * multiply overflows (and under Spark 4's default ANSI mode,
+    * THROWS) for ids >= ~3.47e9, which snowflake-style ids exceed.
+    * Same value as the naive formula wherever that one is defined;
+    * still pure arithmetic, expressible in any SQL engine. */
+  def idHash(id: Column): Column = {
+    val c = 2654435761L
+    val m = 4294967296L
+    val lo = pmod(id.cast("long"), lit(m))       // only low 32 bits matter mod 2^32
+    val l1 = (lo / 65536L).cast("long")          // high 16 of lo
+    val l0 = pmod(lo, lit(65536L))               // low 16 of lo
+    pmod(pmod(l1 * c, lit(m)) * 65536L + l0 * c, lit(m))
+  }
 
   /** Deterministic fraction sample: keep rows whose id-hash falls
     * under fraction * 2^32. */
@@ -37,9 +47,13 @@ object Sampling {
       perStratum: Int): DataFrame = {
     val w = Window.partitionBy(strataCols.map(col): _*)
       .orderBy(idHash(col(idCol)).asc, col(idCol).asc)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= perStratum)
-      .drop("__rn")
+    // collision-safe temp name: withColumn would silently REPLACE a
+    // user column of the same name
+    var rn = "__rn"
+    while (df.columns.contains(rn)) rn += "_"
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= perStratum)
+      .drop(rn)
   }
 
   /** Weighted corpus mixture: per source key, keep the configured
@@ -62,6 +76,9 @@ object Sampling {
     * subset named by `split` given cumulative fractions. */
   def holdout(df: DataFrame, idCol: String, split: String,
       trainFrac: Double = 0.98, validFrac: Double = 0.01): DataFrame = {
+    require(trainFrac >= 0 && validFrac >= 0 && trainFrac + validFrac <= 1,
+      s"invalid split fractions: train=$trainFrac valid=$validFrac " +
+        "(each >= 0, sum <= 1; test gets the remainder)")
     val h = idHash(col(idCol))
     val trainCut = (trainFrac * 4294967296.0).toLong
     val validCut = ((trainFrac + validFrac) * 4294967296.0).toLong

@@ -23,18 +23,25 @@ object TextNormalize {
     regexp_replace(c, "[\\x00-\\x1f\\x7f]", "")
 
   /** Lowercased, punctuation-free, whitespace-collapsed canonical
-    * form — the input MinHash/SimHash shingling should see. */
+    * form — the input MinHash/SimHash shingling should see. Control
+    * characters become SPACES (not deletions) before the collapse:
+    * deleting a newline would fuse the words around it and corrupt
+    * every shingle spanning the join point. */
   def canonical(c: Column): Column =
-    collapseWhitespace(stripPunct(lower(stripControl(c))))
+    collapseWhitespace(stripPunct(lower(
+      regexp_replace(c, "[\\x00-\\x1f\\x7f]", " "))))
 
   /** Truncate to at most `n` characters without splitting a word:
-    * cut at the last space within the window (or hard-cut a single
-    * overlong token). */
+    * keep the window whole when it ends exactly on a word boundary,
+    * otherwise cut at the last space inside it (or hard-cut a single
+    * overlong token). Output carries no trailing whitespace. */
   def truncateAtWord(c: Column, n: Int): Column = {
     val window = substring(c, 1, n)
+    val nextCh = substring(c, n + 1, 1)
     val lastSpace = length(window) - locate(" ", reverse(window)) + 1
     when(length(c) <= n, c)
-      .when(locate(" ", window) === 0, window)
-      .otherwise(substring(window, lit(1), lastSpace - 1))
+      .when(nextCh === " ", rtrim(window))          // boundary exactly at n
+      .when(locate(" ", window) === 0, window)      // single overlong token
+      .otherwise(rtrim(substring(window, lit(1), lastSpace - 1)))
   }
 }

@@ -40,6 +40,9 @@ object Probe {
       docs, "doc_id", "text", 3, 64, 16, 0.7).count())
     timed("dd2 full second run")(graft.operators.Dedup.minhashLshPairs(
       docs, "doc_id", "text", 3, 64, 16, 0.7).count())
+    for (salt <- Seq(16, 32, 64, 128))
+      timed(s"dd4 salt=$salt")(graft.operators.Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", Seq("lang"), 1, 0.5, salt).count())
 
     spark.stop()
   }
