@@ -1,0 +1,36 @@
+package graft
+
+/** Guards on the driver contract itself: a typo'd oracle key or an
+  * empty flagship query would silently zero part of the round's
+  * correctness gate — fail here instead.
+  */
+class ContractSpec extends SparkTestBase {
+
+  test("every oracle key has a matching query") {
+    val orphaned = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphaned.isEmpty, s"oracles without queries: $orphaned")
+  }
+
+  test("rows-only queries are the documented intentional set") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set(
+      "dd2_dedup_minhash_lsh", "dd3_dedup_simhash", "dd5_embedding_neardup",
+      "k1_kafka_payload", "mm2_media_features", "ta3_fingerprint"),
+      s"unexpected rows-only set: $rowsOnly")
+  }
+
+  test("flagship entry returns rows at sf0.001") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+  }
+
+  test("every query executes at sf0.001 and returns a non-degenerate schema") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf())
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      withClue(s"query $name failed to execute: ") {
+        df.limit(1).collect()
+      }
+    }
+  }
+}
