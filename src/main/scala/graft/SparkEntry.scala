@@ -343,6 +343,12 @@ object SparkEntry {
         col("doc_id"),
         TextNormalize.canonical(col("text")).as("canonical"))),
 
+    "pf1_corpus_stats" -> ((s, dir) =>
+      Profiling.corpusStats(t(s, dir, "documents"), Seq("lang"), "n_chars")),
+
+    "pf2_token_freq" -> ((s, dir) =>
+      Profiling.tokenFrequencies(t(s, dir, "documents"), Seq("lang"), "text", 5)),
+
     // ---- beyond-parity: multimodal --------------------------------
     "mm1_media_metadata" -> ((s, dir) =>
       Multimodal.toMediaTable(t(s, dir, "documents"),
@@ -610,6 +616,25 @@ object SparkEntry {
         |         regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g')),
         |         '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS canonical
         |FROM documents""".stripMargin,
+
+    "pf1_corpus_stats" ->
+      """SELECT lang, count(*) AS n_docs, min(n_chars) AS min_len,
+        |       max(n_chars) AS max_len, round(avg(n_chars), 4) AS mean_len,
+        |       round(quantile_cont(n_chars, 0.5), 4) AS median_len,
+        |       round(quantile_cont(n_chars, 0.95), 4) AS p95_len
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "pf2_token_freq" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents),
+        |counts AS (
+        |  SELECT lang, token, count(*) AS n FROM toks
+        |  WHERE length(token) > 0 GROUP BY lang, token)
+        |SELECT lang, token, n, rank FROM (
+        |  SELECT lang, token, n,
+        |         row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rank
+        |  FROM counts) WHERE rank <= 5""".stripMargin,
 
     "mm1_media_metadata" ->
       """SELECT doc_id AS media_id, 'text/plain' AS format,

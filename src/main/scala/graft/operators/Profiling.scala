@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus profiling for training-data pipelines (beyond-parity):
+  * per-group size/length distributions and token frequencies — the
+  * numbers a data curator looks at before and after every filter
+  * stage.
+  *
+  * Scale: stats are one partial-aggregated shuffle per call. Exact
+  * percentiles sort within groups — for monitoring at 100 TB swap in
+  * `approx_percentile` (same call shape); exact is the default here
+  * because it is independently verifiable.
+  */
+object Profiling {
+
+  /** Per-group length distribution: count, min/max, mean, exact
+    * median (linear interpolation, matching SQL quantile_cont). */
+  def corpusStats(df: DataFrame, groupCols: Seq[String], lenCol: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(lenCol).as("min_len"),
+        max(lenCol).as("max_len"),
+        round(avg(lenCol), 4).as("mean_len"),
+        round(expr(s"percentile($lenCol, 0.5)"), 4).as("median_len"),
+        round(expr(s"percentile($lenCol, 0.95)"), 4).as("p95_len"))
+
+  /** Top-k most frequent whitespace tokens per group, deterministic
+    * tie-break by token. The explode→count→rank shape is the
+    * inverted-index build; partial aggregation keeps the shuffle at
+    * (group, token) cardinality, not token occurrences. */
+  def tokenFrequencies(df: DataFrame, groupCols: Seq[String],
+      textCol: String, k: Int): DataFrame = {
+    val counts = df
+      .select((groupCols.map(col) :+
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("token")): _*)
+      .filter(length(col("token")) > 0)
+      .groupBy((groupCols.map(col) :+ col("token")): _*)
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("n").desc, col("token").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Vocabulary size (distinct tokens) and token count per group. */
+  def vocabulary(df: DataFrame, groupCols: Seq[String], textCol: String): DataFrame =
+    df.select((groupCols.map(col) :+
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("token")): _*)
+      .filter(length(col("token")) > 0)
+      .groupBy(groupCols.map(col): _*)
+      .agg(countDistinct(col("token")).as("vocab_size"),
+        count(lit(1)).as("n_tokens"))
+}
