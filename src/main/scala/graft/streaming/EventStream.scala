@@ -73,6 +73,16 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup: drop rows whose key columns were already
+    * seen, with state bounded by the watermark (late duplicates beyond
+    * it are not caught — that is the deal that keeps state finite).
+    * The in-flight half of Dedup.exact for ingestion pipelines.
+    */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+      tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Stream -> JDBC incremental sink: each micro-batch is staged and
     * merged (exactly the engine's incremental mode) via foreachBatch —
     * idempotent upserts make the sink consistent under micro-batch

@@ -62,6 +62,24 @@ class StreamingSpec extends SparkTestBase {
     assert(rows(2L) == ((2L, 1L)))
   }
 
+  test("streaming dedup drops cross-batch duplicates within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStream.streamingDedup(mem.toDF(), Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    mem.addData(batch1: _*) // user1/click appears twice in batch1
+    q.processAllAvailable()
+    mem.addData(batch2: _*) // user1/click + user2/view again
+    q.processAllAvailable()
+    val rows = spark.table("dedup_out")
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    q.stop()
+    // one row per distinct (user, type): dups within AND across batches dropped
+    assert(rows.length == rows.distinct.length)
+    assert(rows.toSet == Set((1L, "click"), (2L, "view")))
+  }
+
   test("stream to JDBC upsert sink stays consistent across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val url = s"jdbc:derby:memory:stream${System.nanoTime()};create=true"
