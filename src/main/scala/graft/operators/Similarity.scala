@@ -73,18 +73,28 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
-  /** LSH-bucketed approximate top-k: compare only within the query's
-    * hyperplane bucket (single-probe). */
+  /** LSH-bucketed approximate top-k: compare within the query's
+    * hyperplane bucket, plus (multi-probe) every bucket at Hamming
+    * distance 1 — flipping each plane bit. Probing 1+planes buckets
+    * instead of 1 recovers most of the recall single-probe loses at
+    * bucket boundaries, for planes× more candidates (still a vanishing
+    * fraction of the corpus). */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      planes: Int = 8, seed: Long = 42L): DataFrame = {
+      planes: Int = 8, seed: Long = 42L,
+      multiProbe: Boolean = true): DataFrame = {
     val qSig = hyperplaneSignature(queries, vecCol, planes, seed)
     val cSig = hyperplaneSignature(corpus, vecCol, planes, seed)
+    val probes: Column =
+      if (multiProbe)
+        array((qSig +: (0 until planes).map(b => qSig.bitwiseXOR(lit(1L << b)))): _*)
+      else array(qSig)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      l2norm(col(vecCol)).as("qn"), qSig.as("sig"))
+      l2norm(col(vecCol)).as("qn"), explode(probes).as("sig"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       l2norm(col(vecCol)).as("cn"), cSig.as("sig"))
     val scored = q.join(c, "sig")
+      .dropDuplicates("query_id", "neighbor_id")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")
@@ -94,19 +104,44 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
-  /** IVF approximate top-k. Centroids: the `nCentroids` corpus vectors
-    * with the smallest ids (deterministic placeholder for k-means||;
-    * swap in MLlib KMeans offline at real scale — the probe-side plan
-    * is identical). Each corpus vector is assigned to its nearest
-    * centroid (broadcast join: centroids are tiny). Queries probe the
-    * `nProbe` nearest centroid lists.
+  /** IVF approximate top-k. Centroids either from MLlib k-means||
+    * (`kmeansCentroids = true`, seeded — the quality path) or the
+    * `nCentroids` smallest-id corpus vectors (deterministic trivial
+    * fallback, also the full-probe verification mode). Each corpus
+    * vector is assigned to its nearest centroid (broadcast join:
+    * centroids are tiny). Queries probe the `nProbe` nearest centroid
+    * lists. This is the 100 TB layout: train centroids on a sample,
+    * one broadcast-join assignment pass, shuffle-on-centroid probes.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cent = corpus.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"),
-        l2norm(col(vecCol)).as("cent_n"))
+      nCentroids: Int = 16, nProbe: Int = 4,
+      kmeansCentroids: Boolean = false, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    val cent =
+      if (kmeansCentroids) {
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        val train = corpus.select(array_to_vector(
+          col(vecCol).cast("array<double>")).as("features"))
+        val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(10)
+          .fit(train)
+        import scala.jdk.CollectionConverters._
+        val rows = model.clusterCenters.zipWithIndex.map { case (v, i) =>
+          org.apache.spark.sql.Row(i.toLong, v.toArray.toSeq)
+        }.toSeq
+        spark.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cent_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cent_v",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType)))))
+          .withColumn("cent_n", l2norm(col("cent_v")))
+      } else {
+        corpus.orderBy(col(idCol)).limit(nCentroids)
+          .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"),
+            l2norm(col(vecCol)).as("cent_n"))
+      }
 
     def assign(df: DataFrame, id: String, v: String, topN: Int): DataFrame = {
       val scored = df.select(col(id), col(v), l2norm(col(v)).as("n"))

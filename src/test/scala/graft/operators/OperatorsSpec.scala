@@ -135,6 +135,35 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.forall(r => r.getLong(0) != r.getLong(1)))
   }
 
+  test("multi-probe recall dominates single-probe recall vs brute force") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .withColumnRenamed("vec_id", "id").withColumnRenamed("embedding", "v")
+    val q = e.filter("id < 20")
+    val truth = Similarity.bruteForceTopK(q, e, "id", "v", 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(multiProbe: Boolean): Double = {
+      val got = Similarity.lshTopK(q, e, "id", "v", 5, planes = 6,
+        multiProbe = multiProbe)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val single = recall(multiProbe = false)
+    val multi = recall(multiProbe = true)
+    assert(multi >= single)
+    assert(multi > 0.2, s"multi-probe recall too low: $multi")
+  }
+
+  test("kmeans-centroid IVF returns k ranked neighbors per query") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .withColumnRenamed("vec_id", "id").withColumnRenamed("embedding", "v")
+    val out = Similarity.ivfTopK(e.filter("id < 5"), e, "id", "v", 3,
+      nCentroids = 8, nProbe = 3, kmeansCentroids = true)
+    val byQuery = out.collect().groupBy(_.getLong(0))
+    assert(byQuery.size == 5)
+    assert(byQuery.values.forall(_.map(_.getInt(2)).sorted.sameElements(Array(1, 2, 3))))
+  }
+
   test("dot/norm/cosine column helpers are exact on known vectors") {
     val r = Seq((Seq(3.0, 4.0), Seq(4.0, 3.0))).toDF("a", "b")
       .select(Similarity.dot(col("a"), col("b")),
