@@ -46,12 +46,17 @@ object JdbcConnector {
     val df =
       if (conf.partitions <= 1) spark.read.jdbc(url, table, props)
       else {
-        val preds = JdbcPartitioning.forUrl(
-          url, conf.partitions, conf.options.get("partition.key"),
-          for {
-            lo <- conf.options.get("partition.lower").map(_.toLong)
-            hi <- conf.options.get("partition.upper").map(_.toLong)
-          } yield (lo, hi))
+        val key = conf.options.get("partition.key")
+        val explicitBounds = for {
+          lo <- conf.options.get("partition.lower").map(_.toLong)
+          hi <- conf.options.get("partition.upper").map(_.toLong)
+        } yield (lo, hi)
+        // range predicates beat MOD on an indexed key (each slice is
+        // one index range scan, not a full scan per slice); discover
+        // min/max with one cheap aggregate when not supplied
+        val bounds = explicitBounds.orElse(key.flatMap(k =>
+          discoverKeyBounds(url, conf.options, table, k)))
+        val preds = JdbcPartitioning.forUrl(url, conf.partitions, key, bounds)
         spark.read.jdbc(url, table, preds.toArray, props)
       }
     val projected = conf.columns.map(cs => df.select(cs.map(df.col): _*)).getOrElse(df)
@@ -130,6 +135,25 @@ object JdbcConnector {
   private def stagingTableName(conf: SinkConf, table: String): String =
     conf.stagingTable.getOrElse(
       DialectMerge.stagingName(table, table.hashCode))
+
+  /** Min/max of a numeric partition key — the split-planning
+    * aggregate (the Spark-native replacement for the reference's
+    * count(*)-based chunk sizing, `PostgresqlManager.java:310-354`).
+    * Returns None on any failure (non-numeric key, empty table) so
+    * the caller falls back to MOD predicates. */
+  def discoverKeyBounds(url: String, options: Map[String, String],
+      table: String, key: String): Option[(Long, Long)] =
+    try withConnection(url, options) { c =>
+      val st = c.createStatement()
+      try {
+        val rs = st.executeQuery(s"SELECT MIN($key), MAX($key) FROM $table")
+        if (rs.next()) {
+          val lo = rs.getLong(1); val loNull = rs.wasNull()
+          val hi = rs.getLong(2); val hiNull = rs.wasNull()
+          if (loNull || hiNull) None else Some((lo, hi))
+        } else None
+      } finally st.close()
+    } catch { case _: java.sql.SQLException => None }
 
   /** PK discovery with the reference's upper/lower-case retry
     * (`SqlManager.java:283-318`). */

@@ -127,7 +127,7 @@ class JdbcConnectorSpec extends SparkTestBase {
         SinkConf(connect = url, table = Some("T"), mode = ReplicationMode.Incremental)))
   }
 
-  test("partitioned read with mod predicates returns the full table") {
+  test("partitioned read (auto-discovered key ranges) returns the full table") {
     val url = freshDb(); mkTable(url)
     val df = (1L to 100L).map(i => (i, s"v$i", i.toDouble)).toDF("K", "V", "X")
     JdbcConnector.write(df, SinkConf(connect = url, table = Some("T"),
