@@ -45,6 +45,39 @@ class FileConnectorSpec extends SparkTestBase {
     assert(FileConnector.csvDialects.size == 12)
   }
 
+  test("MYSQL dialect roundtrip: tab separator and \\N null marker") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mysqldial").toString + "/d"
+    // note: values containing the separator need the quoting dialects;
+    // MYSQL (LOAD DATA text) is quote-less by design
+    val df = Seq((1L, "plain"), (2L, null.asInstanceOf[String]), (3L, "third"))
+      .toDF("id", "s")
+    val opts = FileConnector.csvDialects("MYSQL") + ("header" -> "true")
+    FileConnector.write(df, dir, "csv", opts, overwrite = true)
+    val raw = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".csv"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines()).mkString("\n")
+    assert(raw.contains("2\t\\N")) // literal null marker on disk
+    val back = FileConnector.read(spark, SourceConf(connect = dir,
+      columnNames = Some(Seq("id", "s")), columnTypes = Some(Seq("BIGINT", "VARCHAR")),
+      options = Map("format" -> "csv", "dialect" -> "MYSQL", "header" -> "true")))
+    val m = back.collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(m(2L).isEmpty)
+    assert(m(3L).contains("third"))
+  }
+
+  test("POSTGRESQL_CSV dialect roundtrip: doubled-quote escaping") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pgdial").toString + "/d"
+    val df = Seq((1L, """say "hi", ok"""), (2L, "line\nbreak")).toDF("id", "s")
+    val opts = FileConnector.csvDialects("POSTGRESQL_CSV") + ("header" -> "true")
+    FileConnector.write(df, dir, "csv", opts, overwrite = true)
+    val back = FileConnector.read(spark, SourceConf(connect = dir,
+      columnNames = Some(Seq("id", "s")), columnTypes = Some(Seq("BIGINT", "VARCHAR")),
+      options = Map("format" -> "csv", "dialect" -> "POSTGRESQL_CSV",
+        "header" -> "true", "multiLine" -> "true")))
+    val m = back.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == """say "hi", ok""")
+    assert(m(2L) == "line\nbreak")
+  }
+
   test("format sniffing by extension with explicit override") {
     assert(FileConnector.format("/d/x.csv", None) == "csv")
     assert(FileConnector.format("/d/x.jsonl", None) == "json")
