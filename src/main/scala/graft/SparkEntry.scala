@@ -343,6 +343,25 @@ object SparkEntry {
         col("doc_id"),
         TextNormalize.canonical(col("text")).as("canonical"))),
 
+    "sk1_salted_distinct" -> ((s, dir) =>
+      // two-stage salted distinct: exact result, hot keys spread over
+      // 32 reducers instead of one
+      Skew.saltedCountDistinct(t(s, dir, "orders"),
+        Seq("o_orderpriority"), "o_custkey")),
+
+    "pipe1_training_pipeline" -> ((s, dir) => {
+      // end-to-end curation: normalize -> quality gate -> near-dup
+      // removal -> annotate; the integration query for the whole
+      // training-data surface (LSH inside -> rows-only check)
+      val docs = t(s, dir, "documents")
+        .withColumn("text", TextNormalize.canonical(col("text")))
+        .filter(TextAnalysis.qualityScore(col("text")) >= 0.3)
+      Dedup.dedupCorpus(docs, "doc_id", "text", threshold = 0.8)
+        .select(col("doc_id"), col("lang"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    }),
+
     "pf1_corpus_stats" -> ((s, dir) =>
       Profiling.corpusStats(t(s, dir, "documents"), Seq("lang"), "n_chars")),
 
@@ -616,6 +635,10 @@ object SparkEntry {
         |         regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g')),
         |         '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS canonical
         |FROM documents""".stripMargin,
+
+    "sk1_salted_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_distinct_o_custkey
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "pf1_corpus_stats" ->
       """SELECT lang, count(*) AS n_docs, min(n_chars) AS min_len,
