@@ -164,6 +164,23 @@ class SimilaritySpec extends SparkTestBase {
     assert(byQuery.values.forall(_.map(_.getInt(2)).sorted.sameElements(Array(1, 2, 3))))
   }
 
+  test("int8 quantization round-trips within tolerance and preserves top-k") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .withColumnRenamed("vec_id", "id").withColumnRenamed("embedding", "v")
+    // reconstruction error bounded by scale/2 per component
+    val (q, s) = Similarity.quantize(col("v"))
+    val err = e.select(array_max(
+        zip_with(col("v"), Similarity.dequantize(q, s), (a, b) => abs(a - b))).as("e"))
+      .agg(max("e")).first().getFloat(0)
+    assert(err < 0.02f, s"max reconstruction error $err")
+    // quantized ranking ~= exact ranking (top-1 agreement on 10 queries)
+    val truth = Similarity.bruteForceTopK(e.filter("id < 10"), e, "id", "v", 1)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.bruteForceTopKQuantized(e.filter("id < 10"), e, "id", "v", 1)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(quant.intersect(truth).size >= 8, s"quantized top-1 agreement ${quant.intersect(truth).size}/10")
+  }
+
   test("dot/norm/cosine column helpers are exact on known vectors") {
     val r = Seq((Seq(3.0, 4.0), Seq(4.0, 3.0))).toDF("a", "b")
       .select(Similarity.dot(col("a"), col("b")),
