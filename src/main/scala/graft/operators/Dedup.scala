@@ -243,7 +243,11 @@ object Dedup {
       threshold: Double = 0.8,
       maxBucketSize: Int = 1000,
       maxIter: Int = 20): DataFrame = {
+    // materialize the exact survivors once: they feed the signature
+    // branch, BOTH verify sides, and the final anti join — without
+    // this the dedup groupBy+semi-join re-executes four times
     val exactKept = exactSurvivors(df, idCol, Seq(textCol))
+      .localCheckpoint(eager = true)
     // materialize the pair list once: clusters() iterates with two
     // actions per round, and without this the whole scan->shingle->
     // minhash->band->verify pipeline would re-execute every iteration
