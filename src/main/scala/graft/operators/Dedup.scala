@@ -161,12 +161,144 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
-  /** Exact n-gram (word k-gram) Jaccard similarity for all pairs
-    * within the same blocking key. Quadratic within a block — the
-    * blocking columns ARE the scale control; callers must block
-    * (by language, length bucket, LSH bucket...).
+  /** Exact n-gram (word k-gram) Jaccard similarity pairs within the
+    * same blocking key — an adaptive dispatcher (small planner-side
+    * probe, in the spirit of AQE):
+    *
+    *  1. Vocabulary probe: if the corpus has <= `bitsetVocabCap`
+    *     distinct shingles, token sets are fixed-width bitmasks and
+    *     Jaccard is popcount arithmetic — [[bitsetJaccardPairs]].
+    *     (Small-domain corpora are exactly where similarity output is
+    *     dense and candidate pruning CANNOT win, so cheap pairs and a
+    *     light shuffle are everything.)
+    *  2. `threshold > 0` on an open vocabulary routes to
+    *     [[prefixJaccardPairs]] — an exact (lossless) prefix-filtered
+    *     join whose candidate set is the pairs sharing a rare token,
+    *     instead of all O(block^2) pairs.
+    *  3. `threshold == 0` means the caller wants the full in-block
+    *     similarity matrix, where no filter can prune — the salted
+    *     all-pairs join; the blocking columns ARE the scale control.
     */
   def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String],
+      shingleSize: Int = 1,
+      threshold: Double = 0.0,
+      saltBuckets: Int = 32,
+      bitsetVocabCap: Int = 256): DataFrame = {
+    val vocab = df
+      .select(explode(shingles(col(textCol), shingleSize)).as("tok"))
+      .distinct().limit(bitsetVocabCap + 1).collect().map(_.getString(0))
+    if (vocab.length <= bitsetVocabCap)
+      bitsetJaccardPairs(df, idCol, textCol, blockCols, vocab.sorted,
+        shingleSize, threshold, saltBuckets)
+    else if (threshold > 0)
+      prefixJaccardPairs(df, idCol, textCol, blockCols, shingleSize, threshold)
+    else
+      allPairsJaccard(df, idCol, textCol, blockCols, shingleSize, threshold, saltBuckets)
+  }
+
+  /** In-block Jaccard pairs over a CLOSED vocabulary (<= a few hundred
+    * distinct shingles): each document's shingle set is encoded as a
+    * fixed-width bitmask (`ceil(|V|/64)` longs), so
+    *
+    *   |A ∩ B| = Σ popcount(a_i & b_i),  |A ∪ B| = |A| + |B| - |A ∩ B|
+    *
+    * and the pairwise kernel is a handful of codegen'd AND+POPCNT ops
+    * with no array allocation. The salted join that enumerates pairs
+    * shuffles ~(8·w + 24)-byte rows instead of the full shingle
+    * arrays — on dense-output corpora (most in-block pairs qualify,
+    * where pruning is impossible by construction) this is the whole
+    * cost. Results are identical to [[allPairsJaccard]]: the vocab
+    * index maps raw shingle STRINGS (no hashing), so not even a
+    * hash-collision caveat applies.
+    */
+  def bitsetJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String],
+      vocab: Seq[String],
+      shingleSize: Int = 1,
+      threshold: Double = 0.0,
+      saltBuckets: Int = 32): DataFrame =
+    bitsetPairsFromEncoded(
+      bitsetEncode(df, idCol, textCol, blockCols, vocab, shingleSize),
+      blockCols, (vocab.size + 63) / 64, threshold, saltBuckets)
+
+  /** (id, m: array<long> bitmask, n: popcount, blockCols...) encoding
+    * of each document's shingle set over a closed vocabulary.
+    *
+    * Built RELATIONALLY — explode shingles, broadcast-join the vocab
+    * index, `groupBy(id).agg(bit_or(1L << idx))` per word — rather
+    * than with array higher-order functions, for two reasons:
+    * HOF expressions are CodegenFallback (interpreted), and a pure
+    * projection can be collapsed by Catalyst into downstream operators
+    * and re-evaluated once PER JOIN OUTPUT ROW (measured 12x slowdown
+    * at sf0.1). An aggregate is codegen'd end to end and is a plan
+    * barrier: masks are provably computed once per document.
+    */
+  def bitsetEncode(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String],
+      vocab: Seq[String],
+      shingleSize: Int = 1): DataFrame = {
+    val words = (vocab.size + 63) / 64
+    require(words <= 16, s"bitset path needs |vocab| <= 1024, got ${vocab.size}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocabDf = vocab.zipWithIndex.toDF("__tok", "__idx")
+    val toks = df.select((col(idCol).as("id") +: blockCols.map(col) :+
+      explode(shingles(col(textCol), shingleSize)).as("__tok")): _*)
+    val wordAggs = (0 until words).map { w =>
+      bit_or(when(col("__idx").geq(w * 64) && col("__idx").lt((w + 1) * 64),
+        call_function("shiftleft", lit(1L), col("__idx") - w * 64))
+        .otherwise(lit(0L))).as(s"__m$w")
+    }
+    toks.join(broadcast(vocabDf), "__tok")
+      .groupBy((col("id") +: blockCols.map(col)): _*)
+      .agg(wordAggs.head, (wordAggs.tail :+ count(lit(1)).as("n")): _*)
+      .select((col("id") +:
+        array((0 until words).map(w => col(s"__m$w")): _*).as("m") +:
+        col("n") +: blockCols.map(col)): _*)
+  }
+
+  /** Salted in-block pair join over [[bitsetEncode]] output. The
+    * pairwise kernel must stay inside whole-stage codegen, and
+    * higher-order functions (zip_with/aggregate) are CodegenFallback —
+    * so popcount sums are UNROLLED over the word count (known at plan
+    * time) into plain AND/POPCNT expression chains. */
+  def bitsetPairsFromEncoded(
+      encoded: DataFrame,
+      blockCols: Seq[String],
+      words: Int,
+      threshold: Double,
+      saltBuckets: Int): DataFrame = {
+    val a = encoded.select((col("id").as("id_a") +: col("m").as("m_a") +: col("n").as("n_a") +:
+      pmod(xxhash64(col("id")), lit(saltBuckets)).as("__salt") +: blockCols.map(col)): _*)
+    val b = encoded.select((col("id").as("id_b") +: col("m").as("m_b") +: col("n").as("n_b") +:
+      explode(sequence(lit(0L), lit(saltBuckets - 1L))).as("__salt") +: blockCols.map(col)): _*)
+    val inter = (0 until words)
+      .map(i => bit_count(element_at(col("m_a"), i + 1)
+        .bitwiseAND(element_at(col("m_b"), i + 1))).cast("long"))
+      .reduce(_ + _).cast("double")
+    val union = col("n_a").cast("double") + col("n_b") - inter
+    a.join(b, blockCols :+ "__salt")
+      .filter(col("id_a") < col("id_b"))
+      .filter(least(col("n_a"), col("n_b")).cast("double") >=
+        lit(threshold) * greatest(col("n_a"), col("n_b")))
+      .withColumn("jaccard", inter / union)
+      .filter(col("jaccard") >= threshold)
+      .select(("id_a" +: "id_b" +: "jaccard" +: blockCols).map(col): _*)
+  }
+
+  /** Salted all-pairs in-block Jaccard — the threshold=0 full-matrix
+    * path of [[ngramJaccardPairs]]. */
+  def allPairsJaccard(
       df: DataFrame,
       idCol: String,
       textCol: String,
@@ -199,6 +331,104 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .filter(least(col("n_a"), col("n_b")).cast("double") >=
         lit(threshold) * greatest(col("n_a"), col("n_b")))
+      .withColumn("jaccard", inter / union)
+      .filter(col("jaccard") >= threshold)
+      .select(("id_a" +: "id_b" +: "jaccard" +: blockCols).map(col): _*)
+  }
+
+  /** Exact thresholded Jaccard pairs via prefix filtering (Bayardo et
+    * al., "Scaling Up All Pairs Similarity Search", WWW'07; the
+    * MapReduce staging follows Vernica/Carey/Li, SIGMOD'10).
+    *
+    * Lossless: returns exactly the pairs `allPairsJaccard` would at
+    * the same threshold. The prefix-filtering principle: under ANY
+    * global token order, two sets with J >= t must share a token
+    * among the first `n - ceil(t*n) + 1` tokens of each (else the
+    * required overlap `ceil(t*n)` cannot fit in the remainder). So
+    * candidates = pairs sharing >= 1 prefix token — an inverted-index
+    * join — instead of all in-block pairs.
+    *
+    * The global order is ascending document frequency (rare tokens
+    * first), so stop-word-like tokens fall OUT of prefixes and the
+    * inverted index stays skew-free. DF ranks for the `topVocab` most
+    * frequent tokens are collected once (a top-K aggregate — tiny
+    * even at 100 TB) and shipped as a map literal; tokens outside it
+    * are rarer than everything inside and tie-break by hash value.
+    * `topVocab` stays stopword-scale ON PURPOSE: Catalyst evaluates
+    * `element_at` on a map literal as a linear key scan, so the
+    * per-token cost is O(topVocab) — 256 entries captures the head of
+    * the Zipf curve (what causes index skew) at negligible scan cost,
+    * while ANY truncation point keeps the order a pure function of
+    * the token, hence the result exact.
+    *
+    * Scale shape: one token-count aggregate, one explode of ~(1-t)*n
+    * prefix tokens per doc shuffled by (block, token), a candidate
+    * distinct, and a verify join on ids — no quadratic stage, no salt
+    * replication. Verify is the codegen merge scan over value-sorted
+    * hashed shingles.
+    */
+  def prefixJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String],
+      shingleSize: Int = 1,
+      threshold: Double = 0.5,
+      topVocab: Int = 256): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "prefixJaccardPairs needs 0 < threshold <= 1 (at 0 nothing prunes; use allPairsJaccard)")
+    val sh = array_sort(transform(shingles(col(textCol), shingleSize), t => xxhash64(t)))
+    val base = df.select((col(idCol).as("id") +: sh.as("sh") +: size(sh).as("n") +:
+      blockCols.map(col)): _*)
+
+    // Global DF order, realized as a broadcast map literal over the
+    // topVocab most frequent tokens. Rank by (count desc) truncated at
+    // topVocab: anything outside the map gets rank MaxValue and
+    // tie-breaks by token hash — rarer than everything inside, and any
+    // consistent total order is correct for the prefix principle.
+    val dfTop = base.select(explode(col("sh")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok"))
+      .limit(topVocab)
+      .collect()
+    // rank 0 = most frequent; prefix order sorts DESCENDING rank via
+    // (Int.MaxValue - rank) so rare-or-unknown sorts first
+    val rankMap = dfTop.iterator.zipWithIndex
+      .map { case (r, i) => r.getLong(0) -> i }.toMap
+    val rankLit = typedLit(rankMap)
+
+    // Per-doc prefix: sort tokens by (rareness, token), keep the first
+    // n - ceil(t*n) + 1. The 1e-9 guards fp noise in t*n toward the
+    // LONGER prefix (extra candidates, never a missed pair).
+    val keyed = transform(col("sh"), t => struct(
+      (lit(Int.MaxValue) - coalesce(element_at(rankLit, t), lit(Int.MaxValue))).as("r"),
+      t.as("tok")))
+    val plen = greatest(lit(1),
+      (col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1).cast("int"))
+    val prefixed = base.withColumn("__pref",
+      transform(slice(array_sort(keyed), lit(1), plen), s => s("tok")))
+
+    // Inverted-index candidate join on (block, prefix token), with the
+    // exact length-ratio prune J <= min/max applied pre-distinct.
+    val aTok = prefixed.select((col("id").as("id_a") +: col("n").as("n_a") +:
+      explode(col("__pref")).as("tok") +: blockCols.map(col)): _*)
+    val bTok = prefixed.select((col("id").as("id_b") +: col("n").as("n_b") +:
+      explode(col("__pref")).as("tok") +: blockCols.map(col)): _*)
+    val candidates = aTok.join(bTok, blockCols :+ "tok")
+      .filter(col("id_a") < col("id_b"))
+      .filter(least(col("n_a"), col("n_b")).cast("double") >=
+        lit(threshold) * greatest(col("n_a"), col("n_b")))
+      .select(("id_a" +: "id_b" +: blockCols).map(col): _*)
+      .dropDuplicates("id_a" +: "id_b" +: blockCols)
+
+    // Exact verification on candidate ids only.
+    val a = base.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a"))
+    val b = base.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b"))
+    val inter = graft.functions.TextExpressions
+      .sorted_intersect_count(col("sh_a"), col("sh_b")).cast("double")
+    val union = col("n_a").cast("double") + col("n_b") - inter
+    candidates
+      .join(a, "id_a").join(b, "id_b")
       .withColumn("jaccard", inter / union)
       .filter(col("jaccard") >= threshold)
       .select(("id_a" +: "id_b" +: "jaccard" +: blockCols).map(col): _*)

@@ -10,6 +10,7 @@ object Probe {
     val spark = GraftSession.getOrCreate("graft-probe")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.headOption.contains("scale10x")) { scale10x(spark, dir); spark.stop(); return }
+    if (args.headOption.contains("dd4")) { dd4(spark, dir); spark.stop(); return }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
 
     // minhash LSH: bucket-size distribution + candidate count
@@ -40,11 +41,60 @@ object Probe {
       docs, "doc_id", "text", 3, 64, 16, 0.7).count())
     timed("dd2 full second run")(graft.operators.Dedup.minhashLshPairs(
       docs, "doc_id", "text", 3, 64, 16, 0.7).count())
-    for (salt <- Seq(16, 32, 64, 128))
-      timed(s"dd4 salt=$salt")(graft.operators.Dedup.ngramJaccardPairs(
-        docs, "doc_id", "text", Seq("lang"), 1, 0.5, salt).count())
+    timed("dd4 full")(graft.operators.Dedup.ngramJaccardPairs(
+      docs, "doc_id", "text", Seq("lang"), 1, 0.5, 32).count())
+    // join-only baseline: same shuffle + pair materialization, no
+    // intersect — isolates the merge-scan cost
+    locally {
+      val sh = array_sort(transform(graft.operators.Dedup.shingles(col("text"), 1),
+        t => xxhash64(t)))
+      val base = docs.select(col("doc_id").as("id"), sh.as("sh"), col("lang"))
+      val a = base.select(col("id").as("id_a"), col("sh").as("sh_a"), col("lang"),
+        pmod(xxhash64(col("id")), lit(32)).as("__salt"))
+      val b = base.select(col("id").as("id_b"), col("sh").as("sh_b"), col("lang"),
+        explode(sequence(lit(0L), lit(31L))).as("__salt"))
+      timed("dd4 join-only (no intersect)")(
+        a.join(b, Seq("lang", "__salt")).filter(col("id_a") < col("id_b"))
+          .select(size(col("sh_a")) + size(col("sh_b"))).agg(sum("(size(sh_a) + size(sh_b))")).first())
+      timed("dd4 join+intersect, no threshold")(
+        a.join(b, Seq("lang", "__salt")).filter(col("id_a") < col("id_b"))
+          .select(graft.functions.TextExpressions.sorted_intersect_count(
+            col("sh_a"), col("sh_b")).as("i")).agg(sum("i")).first())
+    }
 
     spark.stop()
+  }
+
+  /** dd4 piecewise timing: vocab probe, mask build, join, full. */
+  def dd4(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    def timed[T](label: String)(f: => T): T = {
+      val t = System.nanoTime(); val r = f
+      println(s"=== $label: ${(System.nanoTime() - t) / 1e9}s"); r
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val vocab = timed("vocab probe")(docs
+      .select(explode(graft.operators.Dedup.shingles(col("text"), 1)).as("tok"))
+      .distinct().limit(257).collect().map(_.getString(0)))
+    println(s"=== vocab size: ${vocab.length}")
+    timed("bitset full 1st")(graft.operators.Dedup.bitsetJaccardPairs(
+      docs, "doc_id", "text", Seq("lang"), vocab.sorted, 1, 0.5).count())
+    timed("bitset full 2nd")(graft.operators.Dedup.bitsetJaccardPairs(
+      docs, "doc_id", "text", Seq("lang"), vocab.sorted, 1, 0.5).count())
+    timed("bitset nofilter count")(graft.operators.Dedup.bitsetJaccardPairs(
+      docs, "doc_id", "text", Seq("lang"), vocab.sorted, 1, 0.0).count())
+    for (sb <- Seq(1, 8, 64))
+      timed(s"bitset salt=$sb")(graft.operators.Dedup.bitsetJaccardPairs(
+        docs, "doc_id", "text", Seq("lang"), vocab.sorted, 1, 0.5, saltBuckets = sb).count())
+    // is the interpreted mask build being recomputed downstream?
+    // pre-materialize (id, mask, n, lang) and join from that.
+    val pre = timed("mask precompute")(graft.operators.Dedup
+      .bitsetEncode(docs, "doc_id", "text", Seq("lang"), vocab.sorted, 1)
+      .localCheckpoint(true))
+    timed("bitset join from checkpoint")(
+      graft.operators.Dedup.bitsetPairsFromEncoded(pre, Seq("lang"),
+        (vocab.length + 63) / 64, 0.5, 32).count())
+    graft.operators.Dedup.bitsetJaccardPairs(
+      docs, "doc_id", "text", Seq("lang"), vocab.sorted, 1, 0.5).explain("formatted")
   }
 
   /** Synthetic 10x scale-up (union of id-shifted copies ≈ sf1):

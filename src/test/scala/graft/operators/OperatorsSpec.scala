@@ -56,6 +56,32 @@ class DedupSpec extends SparkTestBase {
     assert(out((1L, 3L)) == (7.0 / 9.0))  // 8-word sets sharing 7
   }
 
+  test("prefix-filtered jaccard equals the all-pairs result exactly (sf0.001)") {
+    val d = spark.read.parquet(sf() + "/documents.parquet")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), BigDecimal(r.getDouble(2)).setScale(12,
+        BigDecimal.RoundingMode.HALF_UP), r.getString(3))
+    val all = Dedup.allPairsJaccard(d, "doc_id", "text",
+      blockCols = Seq("lang"), shingleSize = 1, threshold = 0.5)
+      .collect().map(key).toSet
+    val pref = Dedup.prefixJaccardPairs(d, "doc_id", "text",
+      blockCols = Seq("lang"), shingleSize = 1, threshold = 0.5)
+      .collect().map(key).toSet
+    assert(all.nonEmpty)
+    assert(pref == all)
+  }
+
+  test("prefix filter stays exact when the vocab map truncates (topVocab=4)") {
+    val blocked = docs.withColumn("blk", lit(1))
+    val all = Dedup.allPairsJaccard(blocked, "doc_id", "text",
+      blockCols = Seq("blk"), shingleSize = 1, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val pref = Dedup.prefixJaccardPairs(blocked, "doc_id", "text",
+      blockCols = Seq("blk"), shingleSize = 1, threshold = 0.3, topVocab = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pref == all)
+  }
+
   test("over-cap buckets degrade to star expansion, not a silent drop") {
     val clones = (1L to 6L).map(i => (i, "identical text repeated for every clone row here"))
       .toDF("doc_id", "text")
