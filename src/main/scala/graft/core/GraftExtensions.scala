@@ -42,6 +42,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
           .asInstanceOf[Int])))
     ext.injectFunction((
+      FunctionIdentifier("minhash_band_buckets"),
+      info("minhash_band_buckets",
+        "minhash_band_buckets(array<string>, k, bands) - LSH band bucket ids"),
+      (exprs: Seq[Expression]) => TextExpressions.MinHashBandBuckets(exprs.head,
+        exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int],
+        exprs(2).eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int])))
+    ext.injectFunction((
       FunctionIdentifier("sorted_intersect_count"),
       info("sorted_intersect_count",
         "sorted_intersect_count(array<bigint>, array<bigint>) - |A∩B| merge scan"),

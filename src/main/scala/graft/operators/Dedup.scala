@@ -25,6 +25,20 @@ import graft.functions.TextExpressions
   */
 object Dedup {
 
+  /** Compute-parallelism guard: the per-document work downstream
+    * (shingling, MinHash, mask encoding) is CPU-bound, and a small
+    * parquet input arrives as 1-2 scan partitions — which serializes
+    * that work on one core no matter how many the cluster has. AQE
+    * cannot fix it (it balances BYTES, not compute). Repartition up to
+    * default parallelism ONLY when the scan is narrower than that; at
+    * real scale inputs already carry thousands of partitions and this
+    * is a no-op (no shuffle inserted).
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Word k-shingles of normalized text, distinct. */
   def shingles(text: Column, k: Int): Column = {
     val toks = split(lower(trim(text)), "\\s+")
@@ -78,19 +92,17 @@ object Dedup {
     val rowsPerBand = numHashes / numBands
 
     val sh = shingles(col(textCol), shingleSize)
-    val withShingles = df.select(col(idCol).as("id"), sh.as("sh"))
+    val withShingles = spread(df).select(col(idCol).as("id"), sh.as("sh"))
 
-    // Signatures only — the heavy shingle arrays never enter the
+    // Bucket ids only — the heavy shingle arrays never enter the
     // band explode or the pair generation, so all LSH shuffles move
-    // (id, band, bucket) triples, not document bodies.
-    val sigs = withShingles.select(col("id"),
-      TextExpressions.minhash_signature(col("sh"), numHashes).as("sig"))
-    val banded = sigs.select(
+    // (id, band, bucket) triples, not document bodies. Signature +
+    // band hashing is ONE codegen pass (MinHashBandBuckets): building
+    // buckets from slice/concat_ws/xxhash64 over a signature array is
+    // CodegenFallback and was the pipeline's dominant cost.
+    val banded = withShingles.select(
       col("id"),
-      posexplode(transform(
-        sequence(lit(0), lit(numBands - 1)),
-        b => xxhash64(concat_ws(",", transform(
-          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string"))), b)))
+      posexplode(TextExpressions.minhash_band_buckets(col("sh"), numHashes, numBands))
         .as(Seq("band", "bucket")))
 
     // Pairs generated inside each bucket after ONE shuffle
@@ -138,7 +150,7 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucketSize: Int = 10000): DataFrame = {
     val sig = TextExpressions.simhash64(TextAnalysis.tokens(lower(col(textCol))))
-    val withSig = df.select(col(idCol).as("id"), sig.as("sig"))
+    val withSig = spread(df).select(col(idCol).as("id"), sig.as("sig"))
     // carry (id, sig) pairs — 16 bytes — through the chunk explode;
     // pairs are generated in-bucket after one shuffle (same shape as
     // minhashLshPairs), then verified by exact Hamming distance
@@ -252,7 +264,7 @@ object Dedup {
     val spark = df.sparkSession
     import spark.implicits._
     val vocabDf = vocab.zipWithIndex.toDF("__tok", "__idx")
-    val toks = df.select((col(idCol).as("id") +: blockCols.map(col) :+
+    val toks = spread(df).select((col(idCol).as("id") +: blockCols.map(col) :+
       explode(shingles(col(textCol), shingleSize)).as("__tok")): _*)
     val wordAggs = (0 until words).map { w =>
       bit_or(when(col("__idx").geq(w * 64) && col("__idx").lt((w + 1) * 64),
@@ -311,7 +323,7 @@ object Dedup {
     // pairwise inner loop becomes a codegen merge scan over sorted
     // longs (SortedIntersectCount) instead of per-pair hash sets.
     val sh = array_sort(transform(shingles(col(textCol), shingleSize), t => xxhash64(t)))
-    val base = df.select((col(idCol).as("id") +: sh.as("sh") +: size(sh).as("n") +: blockCols.map(col)): _*)
+    val base = spread(df).select((col(idCol).as("id") +: sh.as("sh") +: size(sh).as("n") +: blockCols.map(col)): _*)
     // Blocking keys are few (e.g. 5 languages) while in-block work is
     // quadratic — AQE's byte-based skew split cannot see compute skew,
     // so the join is salted explicitly: side A picks a deterministic
@@ -378,7 +390,7 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       "prefixJaccardPairs needs 0 < threshold <= 1 (at 0 nothing prunes; use allPairsJaccard)")
     val sh = array_sort(transform(shingles(col(textCol), shingleSize), t => xxhash64(t)))
-    val base = df.select((col(idCol).as("id") +: sh.as("sh") +: size(sh).as("n") +:
+    val base = spread(df).select((col(idCol).as("id") +: sh.as("sh") +: size(sh).as("n") +:
       blockCols.map(col)): _*)
 
     // Global DF order, realized as a broadcast map literal over the
@@ -446,7 +458,7 @@ object Dedup {
       planes: Int = 8,
       seed: Long = 42L): DataFrame = {
     val sig = Similarity.hyperplaneSignature(df, vecCol, planes, seed)
-    val base = df.withColumn("__sig", sig)
+    val base = spread(df).withColumn("__sig", sig)
       .withColumn("__norm", Similarity.l2norm(col(vecCol)))
       .select(col(idCol).as("id"), col("__sig"), col(vecCol).as("v"), col("__norm").as("n"))
     val a = base.select(col("__sig"), col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))

@@ -11,6 +11,7 @@ object Probe {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.headOption.contains("scale10x")) { scale10x(spark, dir); spark.stop(); return }
     if (args.headOption.contains("dd4")) { dd4(spark, dir); spark.stop(); return }
+    if (args.headOption.contains("dd2")) { dd2(spark, dir); spark.stop(); return }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
 
     // minhash LSH: bucket-size distribution + candidate count
@@ -63,6 +64,51 @@ object Probe {
     }
 
     spark.stop()
+  }
+
+  /** dd2 piecewise timing: signatures, banding, candidate gen, verify. */
+  def dd2(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    def timed[T](label: String)(f: => T): T = {
+      val t = System.nanoTime(); val r = f
+      println(s"=== $label: ${(System.nanoTime() - t) / 1e9}s"); r
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    spark.read.parquet(s"$dir/region.parquet").count() // warm
+    val sh = graft.operators.Dedup.shingles(col("text"), 3)
+    val withShingles = docs.select(col("doc_id").as("id"), sh.as("sh"))
+    val sigs = withShingles.select(col("id"),
+      graft.functions.TextExpressions.minhash_signature(col("sh"), 64).as("sig"))
+    timed("sigs count")(sigs.count())
+    val banded = withShingles.select(col("id"),
+      posexplode(graft.functions.TextExpressions.minhash_band_buckets(col("sh"), 64, 16))
+        .as(Seq("band", "bucket")))
+    timed("banded count")(banded.count())
+    timed("banded count 2nd")(banded.count())
+    val ids = array_sort(col("ids"))
+    val allPairs = flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+    val cand = banded.groupBy("band", "bucket").agg(collect_list("id").as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(allPairs).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .dropDuplicates("id_a", "id_b")
+    timed("candidates count")(cand.count())
+    timed("candidates count 2nd")(cand.count())
+    // verify join in isolation, from materialized candidates
+    val candChk = cand.localCheckpoint(true)
+    val a = withShingles.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b2 = withShingles.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    timed("verify join only")(candChk
+      .join(a, "id_a").join(b2, "id_b")
+      .withColumn("jaccard", inter / union)
+      .filter(col("jaccard") >= 0.7).count())
+    timed("full 1st")(graft.operators.Dedup.minhashLshPairs(
+      docs, "doc_id", "text", 3, 64, 16, 0.7).count())
+    timed("full 2nd")(graft.operators.Dedup.minhashLshPairs(
+      docs, "doc_id", "text", 3, 64, 16, 0.7).count())
   }
 
   /** dd4 piecewise timing: vocab probe, mask build, join, full. */
