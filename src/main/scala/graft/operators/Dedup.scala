@@ -510,7 +510,39 @@ object Dedup {
     * `maxIter` is hit first, a warning is logged and the labels are
     * returned as-is (over-retention, never data loss).
     */
-  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def clusters(pairs: DataFrame, maxIter: Int = 20,
+      driverCcMaxEdges: Long = 5000000L): DataFrame = {
+    // Near-dup pair graphs are tiny relative to the corpus (LSH emits
+    // few edges per doc): below an explicit bound, union-find on the
+    // driver replaces ~2 shuffle jobs PER ITERATION with one collect —
+    // the same "small side collapses to the driver/broadcast" call
+    // Spark itself makes for broadcast joins. The distributed
+    // label-propagation loop remains the path for huge edge lists.
+    import org.apache.spark.sql.types.LongType
+    val longIds = pairs.schema("id_a").dataType == LongType &&
+      pairs.schema("id_b").dataType == LongType
+    val rawEdges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+    if (longIds && rawEdges.limit((driverCcMaxEdges + 1).toInt).count() <= driverCcMaxEdges) {
+      val es = rawEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN root so the surviving label is the min id
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val labels = parent.keys.toSeq.map(id => (id, find(id)))
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return labels.toDF("id", "cluster")
+    }
     // snapshot the edge list: the loop below runs 2 actions per round
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))

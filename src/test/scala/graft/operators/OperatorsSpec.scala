@@ -99,6 +99,10 @@ class DedupSpec extends SparkTestBase {
     val labels = Dedup.clusters(chain).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.values.toSet == Set(1L))
+    // distributed label-propagation path must agree with union-find
+    val dist = Dedup.clusters(chain, driverCcMaxEdges = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == labels)
     assert(labels.size == 15)
   }
 
