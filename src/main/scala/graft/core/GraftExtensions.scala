@@ -54,5 +54,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "sorted_intersect_count(array<bigint>, array<bigint>) - |A∩B| merge scan"),
       (exprs: Seq[Expression]) =>
         TextExpressions.SortedIntersectCount(exprs.head, exprs(1))))
+    // size(array_intersect(array_sort(array_distinct(x)), ...)) →
+    // allocation-free merge scan; see graft.plans.IntersectCountRewrite
+    ext.injectOptimizerRule(_ => graft.plans.IntersectCountRewrite)
   }
 }
