@@ -106,4 +106,34 @@ class StreamingSpec extends SparkTestBase {
     assert(out(1L) == ((3L, 2L)))
     assert(out(2L) == ((2L, 1L)))
   }
+
+  test("file stream source to file sink e2e: dedup across discovered files") {
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_e2e")
+    val in = base.resolve("in").toString
+    val out = base.resolve("out").toString
+    val chk = base.resolve("chk").toString
+
+    // second batch re-sends user 2's 01:30 event (a retry within the
+    // watermark) plus a genuinely new event; the retry must be dropped
+    val dup = Ev(ts("2024-01-01 01:30:00"), 2, "view", 4.0)
+    val b2 = Seq(dup, Ev(ts("2024-01-01 02:00:00"), 3, "click", 6.0))
+
+    batch1.toDF().coalesce(1).write.mode("append").parquet(in)
+    val stream = EventStream.streamingDedup(
+      EventStream.readFileStream(spark, in, batch1.toDF().schema),
+      keyCols = Seq("ts", "user_id", "event_type"), watermark = "2 hours")
+    val q = EventStream.writeFileStream(stream, out, chk)
+    q.processAllAvailable()
+    // new files appear after the query started: per-micro-batch discovery
+    (batch2 :+ dup).toDF().coalesce(1).write.mode("append").parquet(in)
+    b2.toDF().coalesce(1).write.mode("append").parquet(in)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.read.parquet(out)
+      .select("ts", "user_id", "event_type", "value").as[Ev].collect()
+    val expected = (batch1 ++ batch2 :+ b2.last).toSet
+    assert(got.toSet == expected) // every distinct event once, no retry
+    assert(got.length == expected.size)
+  }
 }
