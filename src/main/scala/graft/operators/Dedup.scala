@@ -522,7 +522,9 @@ object Dedup {
     val longIds = pairs.schema("id_a").dataType == LongType &&
       pairs.schema("id_b").dataType == LongType
     val rawEdges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-    if (longIds && rawEdges.limit((driverCcMaxEdges + 1).toInt).count() <= driverCcMaxEdges) {
+    val probeLimit = math.min(driverCcMaxEdges + 1, Int.MaxValue.toLong).toInt
+    if (driverCcMaxEdges > 0 && longIds &&
+        rawEdges.limit(probeLimit).count() <= driverCcMaxEdges) {
       val es = rawEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {

@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.{ArrayType, LongType}
+import org.scalacheck.{Gen, Test => SCTest, Prop}
+
+import graft.SparkTestBase
+import graft.functions.TextExpressions.SortedIntersectCount
+import graft.operators.Dedup
+
+/** Property-based checks. The expression-level properties eval the
+  * Catalyst expression directly (no Spark jobs), so scalacheck can
+  * afford hundreds of cases; the graph property runs full Spark jobs
+  * and uses a handful of fixed-seed random graphs instead.
+  */
+class PropertySpec extends SparkTestBase {
+
+  private def longArrayLit(xs: Array[Long]) =
+    Literal.create(xs, ArrayType(LongType, containsNull = false))
+
+  test("sorted_intersect_count == |A ∩ B| for arbitrary long sets") {
+    val genSet = Gen.containerOf[Set, Long](Gen.chooseNum(-50L, 50L))
+    val prop = Prop.forAll(genSet, genSet) { (sa: Set[Long], sb: Set[Long]) =>
+      val a = sa.toArray.sorted
+      val b = sb.toArray.sorted
+      val got = SortedIntersectCount(longArrayLit(a), longArrayLit(b))
+        .eval(null).asInstanceOf[Int]
+      got == (sa intersect sb).size
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("driver union-find and distributed propagation agree on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 4).foreach { _ =>
+      val n = 2 + rnd.nextInt(30)
+      val edges = Seq.fill(1 + rnd.nextInt(40))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val pairs = edges.toDF("id_a", "id_b")
+        val fast = Dedup.clusters(pairs).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val dist = Dedup.clusters(pairs, driverCcMaxEdges = 0L).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(dist == fast, s"edges=$edges")
+      }
+    }
+  }
+}
