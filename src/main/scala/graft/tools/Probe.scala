@@ -176,6 +176,9 @@ object Probe {
       graft.operators.Dedup.exact(docs, "doc_id", Seq("text")).count())
     timed("dd2 minhash LSH 50K docs")(
       graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.7).count())
+    timed("dd4 ngram jaccard 50K docs")(
+      graft.operators.Dedup.ngramJaccardPairs(
+        docs, "doc_id", "text", Seq("lang"), threshold = 0.8).count())
     timed("sim1 topk 10 x 20K vecs")({
       val e = x10("embeddings", Seq("vec_id"))
       graft.operators.Similarity.bruteForceTopK(
