@@ -291,6 +291,17 @@ object SparkEntry {
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.35, planes = 4)),
 
+    // cluster labeling over a DETERMINISTIC pair source (exact Jaccard,
+    // same params as dd4, doc subset to keep it light) so the min-label
+    // connected components can be checked against a DuckDB recursive CTE
+    "dd6_jaccard_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") <= 100)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        blockCols = Seq("lang"), shingleSize = 1, threshold = 0.5)
+      Dedup.clusters(pairs.select("id_a", "id_b"))
+        .select(col("id").as("doc_id"), col("cluster"))
+    }),
+
     // ---- beyond-parity: similarity search -------------------------
     "sim1_bruteforce_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -571,6 +582,27 @@ object SparkEntry {
         |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.w, b.w))::DOUBLE /
         |        (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.5""".stripMargin,
+
+    // connected components via transitive closure: reach(id, label)
+    // accumulates every smaller-id node reachable from id; min(label)
+    // is exactly the min-label cluster id the Spark operator assigns
+    "dd6_jaccard_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents WHERE doc_id <= 100),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.w, b.w))::DOUBLE /
+        |        (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.5),
+        |e AS (SELECT id_a AS s, id_b AS d FROM p
+        |      UNION SELECT id_b AS s, id_a AS d FROM p),
+        |reach AS (
+        |  SELECT s AS id, s AS label FROM e
+        |  UNION
+        |  SELECT e.s AS id, r.label AS label FROM e JOIN reach r ON e.d = r.id)
+        |SELECT id AS doc_id, min(label) AS cluster FROM reach GROUP BY id""".stripMargin,
 
     "sim1_bruteforce_topk" ->
       """WITH e AS (
