@@ -10,6 +10,7 @@ object Probe {
     val spark = GraftSession.getOrCreate("graft-probe")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.headOption.contains("scale10x")) { scale10x(spark, dir); spark.stop(); return }
+    if (args.headOption.contains("jdbcYardstick")) { jdbcYardstick(spark, dir); spark.stop(); return }
     if (args.headOption.contains("dd4")) { dd4(spark, dir); spark.stop(); return }
     if (args.headOption.contains("dd2")) { dd2(spark, dir); spark.stop(); return }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -147,6 +148,38 @@ object Probe {
     * validates that the headline operators' wall-clock grows ~linearly
     * and nothing falls over (memory, skew) an order of magnitude above
     * the bench scale. */
+  /** BASELINE.md's local sanity yardstick: full-lineitem parquet →
+    * embedded-JDBC complete-mode load, wall-clock + rows/min. The
+    * reference's projections are ~666 K rows/min (1 worker) to ~1 M
+    * rows/min (20 workers). */
+  def jdbcYardstick(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import graft.core.{ReplicationMode, SinkConf}
+    val url = s"jdbc:derby:memory:yardstick${System.nanoTime()};create=true"
+    graft.sources.JdbcConnector.withConnection(url, Map.empty) { c =>
+      val st = c.createStatement()
+      st.execute("""CREATE TABLE LINEITEM (
+        L_ORDERKEY BIGINT, L_PARTKEY BIGINT, L_SUPPKEY BIGINT,
+        L_LINENUMBER INTEGER, L_QUANTITY DOUBLE, L_EXTENDEDPRICE DOUBLE,
+        L_DISCOUNT DOUBLE, L_TAX DOUBLE, L_RETURNFLAG VARCHAR(1),
+        L_LINESTATUS VARCHAR(1), L_SHIPDATE TIMESTAMP)""")
+      st.close()
+    }
+    val li = spark.read.parquet(s"$dir/lineitem.parquet").toDF(
+      "L_ORDERKEY", "L_PARTKEY", "L_SUPPKEY", "L_LINENUMBER", "L_QUANTITY",
+      "L_EXTENDEDPRICE", "L_DISCOUNT", "L_TAX", "L_RETURNFLAG",
+      "L_LINESTATUS", "L_SHIPDATE")
+    val t = System.nanoTime()
+    graft.sources.JdbcConnector.write(li,
+      SinkConf(connect = url, table = Some("LINEITEM"),
+        mode = ReplicationMode.Complete))
+    val secs = (System.nanoTime() - t) / 1e9
+    val n = graft.sources.JdbcConnector.withConnection(url, Map.empty) { c =>
+      val rs = c.createStatement().executeQuery("SELECT COUNT(*) FROM LINEITEM")
+      rs.next(); rs.getLong(1)
+    }
+    println(f"=== jdbcYardstick: $n%,d rows in $secs%.1fs = ${n / secs * 60}%,.0f rows/min")
+  }
+
   def scale10x(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     import org.apache.spark.sql.DataFrame
     def x10(name: String, idCols: Seq[String]): DataFrame = {
