@@ -502,13 +502,17 @@ object Dedup {
     exactKept.join(drop, Seq(idCol), "left_anti")
   }
 
-  /** Duplicate-cluster assignment from a pair list: iterative min-id
-    * label propagation (connected components). Returns (id,
-    * cluster_id) for every id present in the pair list. Cluster
-    * diameters in dedup graphs are tiny (LSH links near-dups to each
-    * other densely), so propagation converges in a few rounds; if
-    * `maxIter` is hit first, a warning is logged and the labels are
-    * returned as-is (over-retention, never data loss).
+  /** Duplicate-cluster assignment from a pair list (connected
+    * components, min-id labels). Returns (id, cluster_id) for every id
+    * present in the pair list. Small graphs run union-find on the
+    * driver; large ones run alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14), which converges in O(log²) rounds instead
+    * of the O(graph diameter) rounds plain label propagation needs —
+    * a long chain of boilerplate-linked docs costs ~log rounds, not
+    * one shuffle per hop. If `maxIter` is hit first, a warning is
+    * logged and min-parent labels are returned as-is (over-retention,
+    * never data loss).
     */
   def clusters(pairs: DataFrame, maxIter: Int = 20,
       driverCcMaxEdges: Long = 5000000L): DataFrame = {
@@ -545,33 +549,53 @@ object Dedup {
       import spark.implicits._
       return labels.toDF("id", "cluster")
     }
-    // snapshot the edge list: the loop below runs 2 actions per round
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(eager = true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
+    // Large-star/small-star contraction. Edges are kept canonical as
+    // (c, p) with c > p ("child, parent"); at the fixpoint the edge
+    // set is a disjoint union of stars, each centered at its
+    // component's min id. Self-pairs carry no connectivity but their
+    // node must still be labeled, so nodes are taken from the raw
+    // pairs before self-edges are dropped.
+    val nodes = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    var edges = pairs.filter(col("id_a") =!= col("id_b"))
+      .select(greatest(col("id_a"), col("id_b")).as("c"),
+        least(col("id_a"), col("id_b")).as("p"))
+      .distinct().localCheckpoint(eager = true)
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
-      val propagated = edges
-        .join(labels, edges("dst") === labels("id"))
-        .groupBy(edges("src").as("id"))
-        .agg(min(col("cluster")).as("nbr_min"))
-      val next = labels.join(propagated, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
-        .localCheckpoint(eager = true)
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") =!= col("old")).limit(1).count()
-      labels = next
-      converged = changed == 0
+      // large-star: every node links its LARGER neighbors to the min
+      // of its neighborhood (needs adjacency in both directions)
+      val both = edges.select(col("c").as("u"), col("p").as("v"))
+        .union(edges.select(col("p").as("u"), col("c").as("v")))
+      val lmins = both.groupBy("u").agg(min("v").as("mn"))
+      val large = both.join(lmins, "u")
+        .filter(col("v") > col("u"))
+        // new edge (v, min(u, mn)): canonical, since min(u, mn) <= u < v
+        .select(col("v").as("c"), least(col("u"), col("mn")).as("p"))
+      // small-star: every node links its smaller neighbors (its
+      // parents, in canonical form) and itself to the smallest one
+      val smins = large.groupBy("c").agg(min("p").as("m"))
+      val small = smins.select(col("c"), col("m").as("p"))
+        .union(large.join(smins, "c").filter(col("p") =!= col("m"))
+          .select(col("p").as("c"), col("m").as("p")))
+      val next = small.distinct().localCheckpoint(eager = true)
+      // exact fixpoint test: same edge set (stars are stable under
+      // both operations, so an unchanged round means fully converged)
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).limit(1).count() == 0
+      edges = next
       i += 1
     }
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"Dedup.clusters did not converge in $maxIter iterations; " +
           "some clusters may retain extra members (raise maxIter)")
-    labels
+    // at the fixpoint each non-root appears exactly once as c; the
+    // min-agg also keeps output one-row-per-node if maxIter was hit
+    val parents = edges.groupBy("c").agg(min("p").as("cluster"))
+      .withColumnRenamed("c", "id")
+    nodes.join(parents, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 }

@@ -31,6 +31,17 @@ class PropertySpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("distributed star contraction collapses a 60-node chain (diameter >> rounds)") {
+    import spark.implicits._
+    // plain label propagation needs diameter rounds (59 > default
+    // maxIter); large-star/small-star must converge in ~log rounds
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.clusters(chain, driverCcMaxEdges = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 60)
+    assert(labels.values.toSet == Set(1L))
+  }
+
   test("driver union-find and distributed propagation agree on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
