@@ -23,15 +23,30 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
 
   /** events.ts is TIMESTAMP(NANOS) parquet — Spark reads it as a nano
-    * long (nanosAsLong); normalize to TimestampType (micros, matching
-    * DuckDB's CAST(ts AS TIMESTAMP) truncation). */
+    * long (nanosAsLong); normalize to TIMESTAMP_NTZ (micros, matching
+    * DuckDB's naive CAST(ts AS TIMESTAMP) truncation). NTZ, not the
+    * session-tz TimestampType: the source data is wall-clock naive and
+    * the oracle compares naive values — LTZ here made every ts-bearing
+    * output fail the schema gate (round-1 c1/j2/m3/st1 root cause). */
   private def events(s: SparkSession, dir: String): DataFrame = {
     val raw = t(s, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
       case _ => raw
     }
+  }
+
+  /** Cast every session-tz timestamp column to TIMESTAMP_NTZ (UTC
+    * session ⇒ instant-preserving). Applied at boundaries that
+    * re-introduce LTZ, e.g. JDBC readback. */
+  private def ntz(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      if (f.dataType == org.apache.spark.sql.types.TimestampType)
+        col(f.name).cast("timestamp_ntz").as(f.name)
+      else col(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
   }
 
   private def tmpDir(prefix: String): String =
@@ -126,7 +141,9 @@ object SparkEntry {
       val docs = t(s, dir, "documents").filter("doc_id < 100")
         .selectExpr("concat('doc_', doc_id, '.txt') AS key", "text AS body")
       ObjectPerRowSink.write(docs, base, "key", "body")
-      s.read.format("binaryFile").load(s"$base/*.txt")
+      // deterministic re-read: list the directory just written (a bare
+      // "*.txt" glob threw on empty match during the r1 bench run)
+      s.read.format("binaryFile").option("pathGlobFilter", "*.txt").load(base)
         .select(
           regexp_extract(col("path"), "doc_(\\d+)\\.txt", 1).cast("long").as("doc_id"),
           col("length").as("n_bytes"))
@@ -177,7 +194,9 @@ object SparkEntry {
       val back = JdbcConnector.read(s, SourceConf(connect = url,
         table = Some("orders_sink"), partitions = 4,
         options = Map("partition.key" -> "O_ORDERKEY")))
-      back.toDF(back.columns.map(_.toLowerCase).toIndexedSeq: _*)
+      // Derby TIMESTAMP reads back as session-tz TimestampType; the
+      // stored values are naive — normalize for the naive oracle
+      ntz(back.toDF(back.columns.map(_.toLowerCase).toIndexedSeq: _*))
     }),
 
     "m4_upsert_dataframe" -> ((s, dir) => {
@@ -427,7 +446,8 @@ object SparkEntry {
         .withColumn("prev_ts", lag(col("ts"), 1).over(w))
         .withColumn("new_session",
           when(col("prev_ts").isNull ||
-            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000, 1)
+            unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(col("prev_ts").cast("timestamp")) > 30L * 60 * 1000000, 1)
             .otherwise(0))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"), sum("new_session").as("n_sessions"))

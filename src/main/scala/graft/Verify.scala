@@ -15,9 +15,18 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val out = fn(spark, sfDir)
+        // session-tz timestamps would dump with isAdjustedToUTC=true and
+        // fail the naive-TIMESTAMP oracle schema gate; the session zone
+        // is UTC so the NTZ cast is instant-preserving
+        val normalized = out.select(out.schema.fields.toIndexedSeq.map { f =>
+          if (f.dataType == org.apache.spark.sql.types.TimestampType)
+            org.apache.spark.sql.functions.col(f.name).cast("timestamp_ntz").as(f.name)
+          else org.apache.spark.sql.functions.col(f.name)
+        }: _*)
+        normalized.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -35,15 +35,23 @@ object AsOfJoin {
     require(keys.nonEmpty, "as-of join requires at least one key column")
 
     val leftCols = left.columns.toSeq
-    // union layout: keys ++ ts ++ side ++ left payload ++ right values
+    // All value columns are carried as ONE struct per right row: a
+    // per-column last(_, ignoreNulls) would resurrect an older row's
+    // value whenever the most recent right row holds NULL in one
+    // column, stitching the output from different right rows. The
+    // struct is the whole right row — its NULL fields stay NULL.
+    val rStructType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType, nullable = true)))
+    // union layout: keys ++ ts ++ side ++ left payload ++ right struct
     val lPrepped = left.select(
       (keys.map(col) :+ col(leftTs).as("__ts") :+ lit(1).as("__side")) ++
-        leftCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+        leftCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")) :+
+        lit(null).cast(rStructType).as("__r"): _*)
     val rPrepped = right.select(
       (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side")) ++
-        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) ++
-        valueCols.map(c => col(c).as(s"__r_$c")): _*)
+        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) :+
+        struct(valueCols.map(col): _*).as("__r"): _*)
 
     // sort right rows before left rows at equal ts so ties match
     val w = Window.partitionBy(keys.map(col): _*)
@@ -52,15 +60,15 @@ object AsOfJoin {
 
     val carried = lPrepped.unionByName(rPrepped)
       .select((keys.map(col) :+ col("__ts") :+ col("__side")) ++
-        leftCols.filterNot(keys.contains).map(c => col(s"__l_$c")) ++
-        valueCols.map(c => last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"__r_$c")): _*)
+        leftCols.filterNot(keys.contains).map(c => col(s"__l_$c")) :+
+        last(col("__r"), ignoreNulls = true).over(w).as("__r"): _*)
 
     carried.filter(col("__side") === 1)
       .select(
         (keys.map(col) :+ col("__ts").as(leftTs)) ++
           leftCols.filterNot(k => keys.contains(k) || k == leftTs)
             .map(c => col(s"__l_$c").as(c)) ++
-          valueCols.map(c => col(s"__r_$c").as(c)): _*)
+          valueCols.map(c => col("__r").getField(c).as(c)): _*)
   }
 
   /** Range join: left rows matched to right intervals

@@ -35,7 +35,11 @@ object FileConnector {
     case "BOOLEAN" | "BIT" => BooleanType
     case "DATE" => DateType
     case "TIME" => StringType // no TimeType; ISO string interchange
-    case "TIMESTAMP" => TimestampType
+    // plain SQL TIMESTAMP is zone-naive (the reference round-trips it
+    // as a literal string, CsvCachedRowSetImpl.java:139-141) → NTZ;
+    // only the WITH TIME ZONE variant carries an instant
+    case "TIMESTAMP" => TimestampNTZType
+    case "TIMESTAMP WITH TIME ZONE" | "TIMESTAMPTZ" => TimestampType
     case "BINARY" | "VARBINARY" | "LONGVARBINARY" | "BLOB" => BinaryType
     case other => throw new IllegalArgumentException(s"unsupported declared type: $other")
   }

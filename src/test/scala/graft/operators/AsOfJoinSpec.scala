@@ -30,6 +30,22 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out("e4").isEmpty)           // no right row <= 10:30 for user 2
   }
 
+  test("NULL in the latest right row is carried as NULL, not resurrected from older rows") {
+    // right rows: (09:00, v=100, w=7) then (11:00, v=NULL, w=8) — the
+    // most recent row at 12:00 has v NULL; a per-column carry would
+    // stitch v=100 (from 09:00) with w=8 (from 11:00)
+    val r = Seq(
+      (1L, ts("2024-01-01 09:00:00"), Some(100.0), Some(7L)),
+      (1L, ts("2024-01-01 11:00:00"), None, Some(8L)))
+      .toDF("user_id", "ts", "v", "w")
+    val out = AsOfJoin.asofBackward(left.filter($"user_id" === 1L), r,
+      Seq("user_id"), "ts", "ts", Seq("v", "w"))
+      .collect().map(x => x.getString(2) -> (Option(x.get(3)), Option(x.get(4)))).toMap
+    assert(out("e1") == (Some(100.0), Some(7L)))  // 09:00 row whole
+    assert(out("e2") == (None, Some(8L)))         // 11:00 row whole: v stays NULL
+    assert(out("e3") == (None, Some(8L)))
+  }
+
   test("as-of join is one shuffle: no cartesian/broadcast-nested-loop in the plan") {
     val df = AsOfJoin.asofBackward(left, right, Seq("user_id"), "ts", "ts", Seq("v"))
     val plan = df.queryExecution.executedPlan.toString

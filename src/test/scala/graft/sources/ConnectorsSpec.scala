@@ -10,9 +10,11 @@ class FileConnectorSpec extends SparkTestBase {
 
   test("declared JDBC type names map onto Spark types") {
     val st = FileConnector.declaredSchema(
-      Seq("a", "b", "c", "d"), Seq("VARCHAR", "INTEGER", "NUMERIC", "TIMESTAMP"))
+      Seq("a", "b", "c", "d", "e"),
+      Seq("VARCHAR", "INTEGER", "NUMERIC", "TIMESTAMP", "TIMESTAMP WITH TIME ZONE"))
+    // plain TIMESTAMP is zone-naive (NTZ); only WITH TIME ZONE is an instant
     assert(st.fields.map(_.dataType).toSeq ==
-      Seq(StringType, IntegerType, DecimalType(38, 18), TimestampType))
+      Seq(StringType, IntegerType, DecimalType(38, 18), TimestampNTZType, TimestampType))
     assertThrows[IllegalArgumentException](
       FileConnector.declaredSchema(Seq("a"), Seq("GEOGRAPHY")))
     assertThrows[IllegalArgumentException](
