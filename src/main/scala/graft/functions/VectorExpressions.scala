@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.{Bridge => ExpressionUtils}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector/ANN hot path.
+  *
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` builds the dot product
+  * out of higher-order functions, which are CodegenFallback: every
+  * evaluation allocates a zipped intermediate array and walks it
+  * interpreted. That kernel runs once per compared pair in
+  * brute-force/LSH/IVF top-k and embedding near-dup — the hottest
+  * loops ANN has. This expression is the same single fused loop the
+  * HOF form describes, but inside whole-stage codegen with no
+  * allocation. (Same reasoning as MinHashBandBuckets, which replaced
+  * the HOF band-bucket composition at a measured 3.4 s → 0.2 s.)
+  */
+object VectorExpressions {
+
+  private def numericElem(dt: DataType): Boolean = dt match {
+    case ArrayType(et, _) => et match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => true
+      case _ => false
+    }
+    case _ => false
+  }
+
+  /** Σ a(i)*b(i) over two numeric array columns (double result; double
+    * accumulation — exact for integer payloads within 2^53). Walks
+    * min(|a|,|b|) elements; null elements contribute 0.
+    */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "dot_product"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (numericElem(left.dataType) && numericElem(right.dataType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_product requires two numeric array columns, got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+    private def elemType(e: Expression): DataType =
+      e.dataType.asInstanceOf[ArrayType].elementType
+
+    private def getDouble(arr: ArrayData, et: DataType, i: Int): Double = et match {
+      case DoubleType => arr.getDouble(i)
+      case FloatType => arr.getFloat(i).toDouble
+      case LongType => arr.getLong(i).toDouble
+      case IntegerType => arr.getInt(i).toDouble
+      case ShortType => arr.getShort(i).toDouble
+      case ByteType => arr.getByte(i).toDouble
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val lt = elemType(left); val rt = elemType(right)
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (!x.isNullAt(i) && !y.isNullAt(i))
+          acc += getDouble(x, lt, i) * getDouble(y, rt, i)
+        i += 1
+      }
+      acc
+    }
+
+    private def genGet(arr: String, et: DataType, i: String): String = et match {
+      case DoubleType => s"$arr.getDouble($i)"
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case LongType => s"(double) $arr.getLong($i)"
+      case IntegerType => s"(double) $arr.getInt($i)"
+      case ShortType => s"(double) $arr.getShort($i)"
+      case ByteType => s"(double) $arr.getByte($i)"
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+           |    $acc += ${genGet(a, elemType(left), i)} * ${genGet(b, elemType(right), i)};
+           |  }
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): DotProduct =
+      copy(left = newLeft, right = newRight)
+  }
+
+  // ---- Column-level API ----
+
+  def dot_product(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProduct(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Register the SQL form in a session's function registry. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
+  }
+}

@@ -161,12 +161,21 @@ object Dedup {
         .as(Seq("chunk_idx", "chunk")))
     val rows = array_sort(col("rows"))
     val hamming = bit_count(col("p.id_a.sig").bitwiseXOR(col("p.id_b.sig")))
+    // Oversized buckets (mass-templated boilerplate) degrade to a STAR
+    // expansion around the bucket minimum — the same linear degrade as
+    // minhashLshPairs, preserving connectivity for clustering. NOT a
+    // silent drop: the pigeonhole guarantee (hamming<=3 ⇒ some chunk
+    // shared) keeps holding through the star's hub.
+    val allPairs = flatten(transform(rows, (x, i) =>
+      transform(slice(rows, i + 2, size(rows)),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+    val starPairs = transform(slice(rows, lit(2), size(rows)),
+      y => struct(element_at(rows, 1).as("id_a"), y.as("id_b")))
     chunked
       .groupBy("chunk_idx", "chunk").agg(collect_list("row").as("rows"))
-      .filter(size(col("rows")).between(2, maxBucketSize))
-      .select(explode(flatten(transform(rows, (x, i) =>
-        transform(slice(rows, i + 2, size(rows)),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .filter(size(col("rows")) >= 2)
+      .select(explode(when(size(rows) <= maxBucketSize, allPairs)
+        .otherwise(starPairs)).as("p"))
       .withColumn("hamming", hamming)
       .filter(col("hamming") <= maxHamming)
       .select(col("p.id_a.id").as("id_a"), col("p.id_b.id").as("id_b"), col("hamming"))
@@ -174,22 +183,29 @@ object Dedup {
   }
 
   /** Exact n-gram (word k-gram) Jaccard similarity pairs within the
-    * same blocking key — an adaptive dispatcher (small planner-side
-    * probe, in the spirit of AQE):
+    * same blocking key. All strategies return identical results (each
+    * is exact); the dispatcher only picks the execution shape:
     *
-    *  1. Vocabulary probe: if the corpus has <= `bitsetVocabCap`
-    *     distinct shingles, token sets are fixed-width bitmasks and
-    *     Jaccard is popcount arithmetic — [[bitsetJaccardPairs]].
-    *     (Small-domain corpora are exactly where similarity output is
-    *     dense and candidate pruning CANNOT win, so cheap pairs and a
-    *     light shuffle are everything.)
-    *  2. `threshold > 0` on an open vocabulary routes to
-    *     [[prefixJaccardPairs]] — an exact (lossless) prefix-filtered
-    *     join whose candidate set is the pairs sharing a rare token,
-    *     instead of all O(block^2) pairs.
-    *  3. `threshold == 0` means the caller wants the full in-block
-    *     similarity matrix, where no filter can prune — the salted
-    *     all-pairs join; the blocking columns ARE the scale control.
+    *  - `"auto"` (default, NO corpus scan before work starts):
+    *    `vocabHint` present and <= `bitsetVocabCap` distinct shingles →
+    *    [[bitsetJaccardPairs]] (popcount kernel over fixed-width
+    *    bitmasks — the winning shape on small-domain corpora, where
+    *    output is dense and candidate pruning cannot win); otherwise
+    *    `threshold > 0` → [[prefixJaccardPairs]] (exact prefix-filtered
+    *    join, no quadratic stage); `threshold == 0` → the full in-block
+    *    matrix, where no filter can prune — [[allPairsJaccard]], salted.
+    *  - `"probe"` (OPT-IN — runs a full-corpus distinct-shingle probe
+    *    job before dispatching, which at 100 TB is an extra full pass;
+    *    only for corpora small enough that planning-time adaptivity is
+    *    worth more than the probe): round-robin of the same three paths
+    *    keyed on the measured vocabulary size.
+    *  - `"bitset"` / `"prefix"` / `"allpairs"`: force a path.
+    *
+    * `vocabHint` is a CONTRACT: it must contain every shingle the
+    * corpus can produce (a closed domain known to the caller — enum
+    * fields, tag sets, controlled vocabularies). Tokens outside the
+    * hint would be silently ignored by the bitset encoding, so an
+    * incomplete hint under-counts intersections.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -199,17 +215,43 @@ object Dedup {
       shingleSize: Int = 1,
       threshold: Double = 0.0,
       saltBuckets: Int = 32,
-      bitsetVocabCap: Int = 256): DataFrame = {
-    val vocab = df
+      bitsetVocabCap: Int = 256,
+      strategy: String = "auto",
+      vocabHint: Option[Seq[String]] = None): DataFrame = {
+    def probeVocab(): Seq[String] = df
       .select(explode(shingles(col(textCol), shingleSize)).as("tok"))
-      .distinct().limit(bitsetVocabCap + 1).collect().map(_.getString(0))
-    if (vocab.length <= bitsetVocabCap)
-      bitsetJaccardPairs(df, idCol, textCol, blockCols, vocab.sorted,
-        shingleSize, threshold, saltBuckets)
-    else if (threshold > 0)
-      prefixJaccardPairs(df, idCol, textCol, blockCols, shingleSize, threshold)
-    else
-      allPairsJaccard(df, idCol, textCol, blockCols, shingleSize, threshold, saltBuckets)
+      .distinct().limit(bitsetVocabCap + 1).collect().map(_.getString(0)).toSeq
+    def openVocabPath(): DataFrame =
+      if (threshold > 0)
+        prefixJaccardPairs(df, idCol, textCol, blockCols, shingleSize, threshold)
+      else
+        allPairsJaccard(df, idCol, textCol, blockCols, shingleSize, threshold, saltBuckets)
+    strategy match {
+      case "auto" => vocabHint match {
+        case Some(v) if v.size <= bitsetVocabCap =>
+          bitsetJaccardPairs(df, idCol, textCol, blockCols, v.sorted.distinct,
+            shingleSize, threshold, saltBuckets)
+        case _ => openVocabPath()
+      }
+      case "probe" =>
+        val vocab = vocabHint.getOrElse(probeVocab())
+        if (vocab.size <= bitsetVocabCap)
+          bitsetJaccardPairs(df, idCol, textCol, blockCols, vocab.sorted.distinct,
+            shingleSize, threshold, saltBuckets)
+        else openVocabPath()
+      case "bitset" =>
+        val vocab = vocabHint.getOrElse(probeVocab())
+        require(vocab.size <= bitsetVocabCap,
+          s"bitset strategy needs <= $bitsetVocabCap distinct shingles, got > ${vocab.size - 1}")
+        bitsetJaccardPairs(df, idCol, textCol, blockCols, vocab.sorted.distinct,
+          shingleSize, threshold, saltBuckets)
+      case "prefix" =>
+        prefixJaccardPairs(df, idCol, textCol, blockCols, shingleSize, threshold)
+      case "allpairs" =>
+        allPairsJaccard(df, idCol, textCol, blockCols, shingleSize, threshold, saltBuckets)
+      case other => throw new IllegalArgumentException(
+        s"unknown ngramJaccardPairs strategy: $other (auto|probe|bitset|prefix|allpairs)")
+    }
   }
 
   /** In-block Jaccard pairs over a CLOSED vocabulary (<= a few hundred

@@ -20,14 +20,18 @@ import scala.util.Random
   *    the 100 TB path: the centroid assignment is one broadcast join
   *    (centroids are tiny), the probe is a shuffle-on-centroid join.
   *
-  * All dot products use `zip_with` + `aggregate` built-ins (codegen'd,
-  * no UDF); norms are computed once and carried as columns.
+  * All dot products use the native `DotProduct` Catalyst expression
+  * (full whole-stage codegen, no per-pair allocation) — the HOF form
+  * `aggregate(zip_with(...))` it replaced is CodegenFallback and was
+  * the dominant per-pair cost; norms are computed once and carried as
+  * columns.
   */
 object Similarity {
 
-  /** Dot product of two array<float|double> columns (double result). */
+  /** Dot product of two numeric array columns (double result) —
+    * codegen kernel, see [[graft.functions.VectorExpressions.DotProduct]]. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExpressions.dot_product(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -131,15 +135,13 @@ object Similarity {
     }
     val q = prep(queries, "query_id", "qv", "qs")
     val c = prep(corpus, "neighbor_id", "cv", "cs")
-    val intDot = aggregate(zip_with(col("qv"), col("cv"),
-      (x, y) => x.cast("long") * y.cast("long")), lit(0L), (acc, x) => acc + x)
-    val qNorm = sqrt(aggregate(transform(col("qv"), x => x.cast("long") * x.cast("long")),
-      lit(0L), (acc, x) => acc + x).cast("double"))
-    val cNorm = sqrt(aggregate(transform(col("cv"), x => x.cast("long") * x.cast("long")),
-      lit(0L), (acc, x) => acc + x).cast("double"))
+    // int8 products accumulate exactly in the double kernel (|sum| ≪ 2^53)
+    val intDot = dot(col("qv"), col("cv"))
+    val qNorm = sqrt(dot(col("qv"), col("qv")))
+    val cNorm = sqrt(dot(col("cv"), col("cv")))
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", intDot.cast("double") / (qNorm * cNorm))
+      .withColumn("cosine", intDot / (qNorm * cNorm))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

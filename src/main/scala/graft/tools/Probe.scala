@@ -12,6 +12,7 @@ object Probe {
     if (args.headOption.contains("scale10x")) { scale10x(spark, dir); spark.stop(); return }
     if (args.headOption.contains("jdbcYardstick")) { jdbcYardstick(spark, dir); spark.stop(); return }
     if (args.headOption.contains("dd4")) { dd4(spark, dir); spark.stop(); return }
+    if (args.headOption.contains("dd6")) { dd6(spark, dir); spark.stop(); return }
     if (args.headOption.contains("dd2")) { dd2(spark, dir); spark.stop(); return }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
 
@@ -65,6 +66,27 @@ object Probe {
     }
 
     spark.stop()
+  }
+
+  /** dd6 stage timing: prefix pair-gen vs clusters() on the ≤100-doc
+    * subset, to localize where the wall-clock goes. */
+  def dd6(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    def timed[T](label: String)(f: => T): T = {
+      val t = System.nanoTime(); val r = f
+      println(s"=== $label: ${(System.nanoTime() - t) / 1e9}s"); r
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") <= 100)
+    val pairs = timed("pairgen construct")(
+      graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        blockCols = Seq("lang"), shingleSize = 1, threshold = 0.5))
+    timed("pairgen count")(println(pairs.count()))
+    timed("pairgen count again")(println(pairs.count()))
+    timed("clusters on raw pairs")(
+      println(graft.operators.Dedup.clusters(pairs.select("id_a", "id_b")).count()))
+    val mat = pairs.select("id_a", "id_b").localCheckpoint(true)
+    timed("clusters on materialized pairs")(
+      println(graft.operators.Dedup.clusters(mat).count()))
   }
 
   /** dd2 piecewise timing: signatures, banding, candidate gen, verify. */

@@ -56,12 +56,32 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CodegenFallback"))
   }
 
-  test("dd4 block join is salted: parallelism >> number of blocks") {
+  test("dd4 default path is prefix-filtered: no probe job, no quadratic stage") {
     val df = SparkEntry.queries("dd4_ngram_jaccard")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    // candidate generation is the inverted-index token join, not a
+    // salted all-pairs self-join — and never a cartesian product
+    assert(p.contains("tok"))
+    assert(!p.contains("__salt"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("all-pairs jaccard block join is salted: parallelism >> number of blocks") {
+    val d = spark.read.parquet(sf() + "/documents.parquet")
+    val df = graft.operators.Dedup.allPairsJaccard(d, "doc_id", "text",
+      blockCols = Seq("lang"), shingleSize = 1, threshold = 0.0)
     // 5 language blocks * 32 salts = 160 effective join keys; assert
     // the salt column made it into the join keys
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("__salt"))
+  }
+
+  test("ANN dot-product kernel runs inside whole-stage codegen") {
+    val df = SparkEntry.queries("sim1_bruteforce_topk")(spark, sf())
+    df.collect() // force codegen to actually compile
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("dot_product")))
+    assert(!p.contains("CodegenFallback"))
   }
 
   test("m4 upsert anti join broadcasts the staging key set") {

@@ -103,3 +103,59 @@ class TextExpressionsSpec extends SparkTestBase {
     assert(!r.isNullAt(0) && !r.isNullAt(1) && r.getSeq[Long](2).size == 4)
   }
 }
+
+class VectorExpressionsSpec extends SparkTestBase {
+  import spark.implicits._
+  import VectorExpressions._
+
+  test("dot_product equals the HOF composition it replaces (float × double)") {
+    val df = Seq((Seq(1.5f, -2f, 3f), Seq(2.0, 4.0, 0.5))).toDF("a", "b")
+    val viaExpr = df.select(dot_product(col("a"), col("b"))).first().getDouble(0)
+    val viaHof = df.select(
+      aggregate(zip_with(col("a").cast("array<double>"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)).first().getDouble(0)
+    assert(viaExpr == viaHof)
+    assert(viaExpr == -3.5)
+  }
+
+  test("dot_product interpreted eval equals the codegen (DataFrame) result") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    val a = Literal.create(Seq(0.25, -1.0, 8.0), ArrayType(DoubleType))
+    val b = Literal.create(Seq(4.0, 3.0, 0.5), ArrayType(DoubleType))
+    val interpreted = DotProduct(a, b).eval(null)
+    val viaDf = Seq((Seq(0.25, -1.0, 8.0), Seq(4.0, 3.0, 0.5))).toDF("a", "b")
+      .select(dot_product(col("a"), col("b"))).first().getDouble(0)
+    assert(interpreted == viaDf)
+    assert(viaDf == 0.25 * 4.0 + -1.0 * 3.0 + 8.0 * 0.5)
+  }
+
+  test("length mismatch walks the shorter side; null elements contribute zero") {
+    val r = Seq((Seq(Some(2.0), None, Some(5.0)), Seq(3.0, 9.0, 9.0, 9.0)))
+      .toDF("a", "b").select(dot_product(col("a"), col("b"))).first().getDouble(0)
+    assert(r == 2.0 * 3.0 + 5.0 * 9.0)
+  }
+
+  test("null array propagates null; integer arrays accumulate exactly") {
+    val nullRow = Seq((Option.empty[Seq[Double]], Seq(1.0)))
+      .toDF("a", "b").select(dot_product(col("a"), col("b"))).first()
+    assert(nullRow.isNullAt(0))
+    val ints = Seq((Seq(1000000L, -3L), Seq(1000000L, 2L))).toDF("a", "b")
+      .select(dot_product(col("a"), col("b"))).first().getDouble(0)
+    assert(ints == 1e12 - 6)
+  }
+
+  test("SQL registration exposes dot_product to spark.sql") {
+    registerAll(spark)
+    val r = spark.sql("SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+      .first().getDouble(0)
+    assert(r == 11.0)
+  }
+
+  test("non-numeric array input is rejected at analysis") {
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      Seq((Seq("x"), Seq(1.0))).toDF("a", "b")
+        .select(dot_product(col("a"), col("b"))).collect()
+    }
+  }
+}

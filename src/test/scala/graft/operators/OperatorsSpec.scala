@@ -94,6 +94,36 @@ class DedupSpec extends SparkTestBase {
     assert(pairs == (2L to 6L).map(i => (1L, i)).toSet)
   }
 
+  test("simhash over-cap buckets degrade to star expansion, not a silent drop") {
+    val clones = (1L to 6L).map(i => (i, "identical text repeated for every clone row here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(clones, "doc_id", "text",
+      maxHamming = 3, maxBucketSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every chunk bucket holds all 6 clones (> cap 3): the star keeps
+    // each clone connected to doc 1 instead of dropping the bucket
+    assert(pairs == (2L to 6L).map(i => (1L, i)).toSet)
+  }
+
+  test("ngramJaccardPairs strategies all return the same exact result") {
+    val blocked = docs.withColumn("blk", lit(1))
+    def run(strategy: String, hint: Option[Seq[String]] = None) =
+      Dedup.ngramJaccardPairs(blocked, "doc_id", "text",
+        blockCols = Seq("blk"), shingleSize = 1, threshold = 0.3,
+        strategy = strategy, vocabHint = hint)
+        .select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val all = run("allpairs")
+    assert(all.nonEmpty)
+    assert(run("auto") == all)      // default: prefix path, no probe job
+    assert(run("probe") == all)     // opt-in probe: bitset (closed vocab here)
+    assert(run("prefix") == all)
+    val hint = docs.select(explode(Dedup.shingles(col("text"), 1)).as("t"))
+      .distinct().as[String].collect().toSeq
+    assert(run("auto", Some(hint)) == all)  // caller-supplied closed vocab
+    assertThrows[IllegalArgumentException](run("nope"))
+  }
+
   test("clusters converges on a 15-node chain within default iterations") {
     val chain = (1L until 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val labels = Dedup.clusters(chain).collect()
