@@ -108,7 +108,10 @@ object DialectMerge {
         s"CREATE TABLE $staging AS SELECT * FROM $sink WITH NO DATA"
     }
 
-  /** Random staging name, reference `ConnManager.java:144-177`. */
+  /** Random staging name, reference `ConnManager.java:144-177`. The
+    * seed must be per-invocation random (not derived from the table):
+    * two concurrent loads into the same sink would otherwise share a
+    * staging table and each would drop the other's in-flight data. */
   def stagingName(base: String, seed: Int): String =
-    s"${base}_repdb${math.abs(seed) % 100}"
+    s"${base}_repdb${math.abs(seed.toLong) % 100000}"
 }

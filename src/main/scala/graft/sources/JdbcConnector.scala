@@ -32,6 +32,7 @@ import graft.core.{ReplicationMode, SinkConf, SourceConf}
 object JdbcConnector {
 
   GraftDerbyDialect.ensureRegistered
+  GraftOracleDialect.ensureRegistered
 
   def read(spark: SparkSession, conf: SourceConf): DataFrame = {
     val url = conf.connect
@@ -134,7 +135,7 @@ object JdbcConnector {
 
   private def stagingTableName(conf: SinkConf, table: String): String =
     conf.stagingTable.getOrElse(
-      DialectMerge.stagingName(table, table.hashCode))
+      DialectMerge.stagingName(table, scala.util.Random.nextInt()))
 
   /** Min/max of a numeric partition key — the split-planning
     * aggregate (the Spark-native replacement for the reference's

@@ -51,11 +51,91 @@ class DialectMergeSpec extends AnyFunSuite {
     assert(createStagingSql("stg", "sink", DerbyAnsi).contains("WITH NO DATA"))
   }
 
+  test("staging names are collision-resistant across invocations") {
+    // concurrent loads into the same sink must not share a staging
+    // table; the name carries the invocation's random seed
+    val names = (1 to 50).map(_ =>
+      stagingName("sink", scala.util.Random.nextInt())).toSet
+    assert(names.size > 1)
+    assert(names.forall(_.startsWith("sink_repdb")))
+    // Int.MinValue must not crash the abs
+    assert(stagingName("sink", Int.MinValue).startsWith("sink_repdb"))
+  }
+
   test("dialect sniffing from JDBC url") {
     assert(fromUrl("jdbc:postgresql://h/db") == Postgres)
     assert(fromUrl("jdbc:mariadb://h/db") == MySql)
     assert(fromUrl("jdbc:oracle:thin:@h") == Oracle)
     assert(fromUrl("jdbc:derby:memory:x") == DerbyAnsi)
+  }
+}
+
+class GraftOracleDialectSpec extends AnyFunSuite {
+  import org.apache.spark.sql.types._
+  import GraftOracleDialect._
+  private val md = new MetadataBuilder()
+
+  test("handles oracle urls only") {
+    assert(canHandle("jdbc:oracle:thin:@h:1521/db"))
+    assert(!canHandle("jdbc:postgresql://h/db"))
+  }
+
+  test("TZ timestamp vendor codes -101/-102 map to TimestampType") {
+    assert(getCatalystType(TIMESTAMPTZ, "TIMESTAMP WITH TIME ZONE", 0, md)
+      .contains(TimestampType))
+    assert(getCatalystType(TIMESTAMPLTZ, "TIMESTAMP WITH LOCAL TIME ZONE", 0, md)
+      .contains(TimestampType))
+  }
+
+  test("interval vendor codes -103/-104 replicate as their literal string") {
+    assert(getCatalystType(INTERVALYM, "INTERVAL YEAR TO MONTH", 0, md)
+      .contains(StringType))
+    assert(getCatalystType(INTERVALDS, "INTERVAL DAY TO SECOND", 0, md)
+      .contains(StringType))
+  }
+
+  test("XMLType surfaces as the XML document string (SQLXML and OTHER forms)") {
+    assert(getCatalystType(java.sql.Types.SQLXML, "XMLTYPE", 0, md)
+      .contains(StringType))
+    assert(getCatalystType(java.sql.Types.OTHER, "SYS.XMLTYPE", 0, md)
+      .contains(StringType))
+    assert(getCatalystType(java.sql.Types.OTHER, "SOMETHING_ELSE", 0, md).isEmpty)
+  }
+
+  test("ROWID and object types (SDO_GEOMETRY) read as best-effort strings") {
+    assert(getCatalystType(java.sql.Types.ROWID, "ROWID", 0, md).contains(StringType))
+    assert(getCatalystType(java.sql.Types.STRUCT, "MDSYS.SDO_GEOMETRY", 0, md)
+      .contains(StringType))
+  }
+
+  test("BINARY_FLOAT/BINARY_DOUBLE map to native float/double") {
+    assert(getCatalystType(BINARY_FLOAT, "BINARY_FLOAT", 0, md).contains(FloatType))
+    assert(getCatalystType(BINARY_DOUBLE, "BINARY_DOUBLE", 0, md).contains(DoubleType))
+  }
+
+  test("unbounded NUMBER keeps a wide decimal, sized NUMBER defers to Spark") {
+    assert(getCatalystType(java.sql.Types.NUMERIC, "NUMBER", 0, md)
+      .contains(DecimalType(38, 10)))
+    assert(getCatalystType(java.sql.Types.NUMERIC, "NUMBER", 10, md).isEmpty)
+  }
+
+  test("write-side DDL types match Oracle vendor DDL") {
+    assert(getJDBCType(BooleanType).map(_.databaseTypeDefinition).contains("NUMBER(1)"))
+    assert(getJDBCType(FloatType).map(_.databaseTypeDefinition).contains("BINARY_FLOAT"))
+    assert(getJDBCType(StringType).map(_.databaseTypeDefinition).contains("VARCHAR2(4000)"))
+    assert(getJDBCType(TimestampType).map(_.databaseTypeDefinition)
+      .contains("TIMESTAMP WITH TIME ZONE"))
+    assert(getJDBCType(TimestampNTZType).map(_.databaseTypeDefinition)
+      .contains("TIMESTAMP"))
+  }
+
+  test("session init statement carries the reference ALTER SESSION batch") {
+    val s = sessionInitStatement(directRead = true)
+    assert(s.startsWith("BEGIN ") && s.endsWith("END;"))
+    assert(s.contains("NLS_TIMESTAMP_TZ_FORMAT"))
+    assert(s.contains("ENABLE PARALLEL DML"))
+    assert(s.contains("_serial_direct_read"))
+    assert(!sessionInitStatement(directRead = false).contains("_serial_direct_read"))
   }
 }
 
