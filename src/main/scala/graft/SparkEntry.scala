@@ -290,6 +290,13 @@ object SparkEntry {
       graft.sources.KafkaSink.payload(
         t(s, dir, "orders"), keyColumn = Some("o_orderkey"))),
 
+    "k1b_kafka_typed_payload" -> ((s, dir) =>
+      // the same payload with fields as typed columns: everything the
+      // sink serializes EXCEPT the engine-specific JSON concatenation
+      // hash-checks against the oracle
+      graft.sources.KafkaSink.typedPayload(
+        t(s, dir, "orders"), keyColumn = Some("o_orderkey"))),
+
     // ---- beyond-parity: dedup -------------------------------------
     "dd1_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", Seq("text"))),
@@ -564,6 +571,13 @@ object SparkEntry {
         |(SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
         | EXCEPT
         | SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1994)""".stripMargin,
+
+    "k1b_kafka_typed_payload" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS key,
+        |       o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%gZ') AS o_orderdate,
+        |       o_orderpriority
+        |FROM orders""".stripMargin,
 
     "t1_conversions" ->
       """SELECT l_orderkey, l_linenumber,

@@ -109,10 +109,24 @@ object Multimodal {
 
   /** Repartition media rows so each task reads a bounded number of
     * payload bytes — media tables are byte-skewed, row-count
-    * partitioning is wrong at scale. */
-  def repartitionByBytes(media: DataFrame, targetBytesPerPartition: Long): DataFrame = {
-    val totalBytes = media.agg(sum(coalesce(col("meta.n_bytes"),
-      octet_length(col("payload")).cast("long"))).cast("long")).head().getLong(0)
+    * partitioning is wrong at scale.
+    *
+    * The byte total comes from Catalyst's plan statistics
+    * (file-listing sizes for file sources — a metadata lookup, no
+    * job), NOT from aggregating the payload column: at 100 TB an
+    * exact pre-count would be a full extra pass over every byte it
+    * is about to bound. `exactCount = true` opts into that pass for
+    * callers whose plan statistics are unusable (e.g. a post-shuffle
+    * intermediate with heavy filtering). */
+  def repartitionByBytes(media: DataFrame, targetBytesPerPartition: Long,
+      exactCount: Boolean = false): DataFrame = {
+    val totalBytes: Long =
+      if (exactCount)
+        media.agg(sum(coalesce(col("meta.n_bytes"),
+          octet_length(col("payload")).cast("long"))).cast("long")).head().getLong(0)
+      else
+        media.queryExecution.optimizedPlan.stats.sizeInBytes
+          .min(BigInt(Long.MaxValue)).toLong
     val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytesPerPartition).toInt)
     media.repartition(parts)
   }

@@ -115,26 +115,79 @@ object FileConnector {
       .save(stripScheme(path))
   }
 
-  /** complete-atomic for file sinks: write the full output to a
-    * staging directory, then swap it in with a rename — readers of the
-    * sink path never observe a partially-written directory. The
-    * staging write itself is task-atomic via Spark's commit protocol;
-    * the rename makes the directory replacement atomic too (the
-    * reference's staging+swap, `SqlManager.java:386-434`, re-expressed
-    * for file systems).
+  /** complete-atomic for file sinks: readers of the sink path always
+    * observe a complete table — old or new, never partial, never
+    * absent (the reference's staging+swap contract,
+    * `SqlManager.java:386-434`, re-expressed for file systems).
+    *
+    * Local FS: data lives in versioned directories
+    * (`<path>__v<stamp>`) and the sink path is a SYMLINK to the
+    * current version; the swap is one atomic `rename` of a fresh
+    * symlink over the old one, so there is no instant at which the
+    * path is missing — directories themselves cannot be swapped
+    * atomically on POSIX, links can. (A pre-existing plain directory
+    * is migrated to the versioned layout on first atomic write; that
+    * one migration has the old rename window.)
+    *
+    * Non-local FS (HDFS, s3a): no symlinks — falls back to
+    * rename-aside (target -> old, staging -> target, drop old), which
+    * shrinks the exposure to one metadata rename instead of a full
+    * recursive delete, with rollback of the old directory if the
+    * second rename fails.
     */
   def writeAtomic(df: DataFrame, path: String, fmt: String,
       options: Map[String, String]): Unit = {
     val target = stripScheme(path)
-    val staging = target + "__staging"
-    df.write.format(fmt).options(options).mode("overwrite").save(staging)
     val hconf = df.sparkSession.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(target).getFileSystem(hconf)
+    val targetP = new org.apache.hadoop.fs.Path(target)
+    val fs = targetP.getFileSystem(hconf)
+    val isLocal = fs.getUri.getScheme == "file"
+    if (isLocal) writeAtomicLocal(df, target, fmt, options, fs)
+    else writeAtomicRenameAside(df, target, fmt, options, fs)
+  }
+
+  private def writeAtomicLocal(df: DataFrame, target: String, fmt: String,
+      options: Map[String, String], fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val t = Paths.get(target)
+    val dataDir = s"${target}__v${System.nanoTime()}"
+    df.write.format(fmt).options(options).mode("overwrite").save(dataDir)
+    // migrate a pre-versioned plain directory into the symlink layout
+    if (Files.exists(t, java.nio.file.LinkOption.NOFOLLOW_LINKS) &&
+        !Files.isSymbolicLink(t)) {
+      val migrated = Paths.get(s"${target}__v0_migrated")
+      Files.move(t, migrated)
+      Files.createSymbolicLink(t, migrated)
+    }
+    val prev =
+      if (Files.isSymbolicLink(t)) Some(Files.readSymbolicLink(t)) else None
+    val ln = Paths.get(s"${target}__ln${System.nanoTime()}")
+    Files.createSymbolicLink(ln, Paths.get(dataDir).toAbsolutePath)
+    // rename(2) replaces the existing link in one atomic step: the
+    // sink path resolves to the old table right up until it resolves
+    // to the new one
+    Files.move(ln, t, StandardCopyOption.ATOMIC_MOVE)
+    prev.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p.toString), true))
+  }
+
+  private def writeAtomicRenameAside(df: DataFrame, target: String, fmt: String,
+      options: Map[String, String], fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val staging = target + "__staging"
+    val old = target + "__old"
+    df.write.format(fmt).options(options).mode("overwrite").save(staging)
     val targetP = new org.apache.hadoop.fs.Path(target)
     val stagingP = new org.apache.hadoop.fs.Path(staging)
-    if (fs.exists(targetP)) fs.delete(targetP, true)
-    if (!fs.rename(stagingP, targetP))
+    val oldP = new org.apache.hadoop.fs.Path(old)
+    if (fs.exists(oldP)) fs.delete(oldP, true) // leftover from a crashed swap
+    val hadTarget = fs.exists(targetP)
+    if (hadTarget && !fs.rename(targetP, oldP))
+      throw new java.io.IOException(s"atomic swap failed: $target -> $old")
+    if (!fs.rename(stagingP, targetP)) {
+      // roll the old directory back so readers still see a table
+      if (hadTarget) fs.rename(oldP, targetP)
       throw new java.io.IOException(s"atomic swap failed: $staging -> $target")
+    }
+    if (hadTarget) fs.delete(oldP, true)
   }
 
   def stripScheme(connect: String): String =

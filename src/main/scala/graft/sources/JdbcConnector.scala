@@ -73,11 +73,20 @@ object JdbcConnector {
 
     conf.mode match {
       case ReplicationMode.Complete =>
-        val writer = aligned.write.mode(SaveMode.Overwrite)
-          .option("truncate", (!conf.disableTruncate).toString)
-          .option("batchsize", conf.batchSize.toString)
-        conf.options.foldLeft(writer) { case (w, (k, v)) => w.option(k, v) }
-          .jdbc(url, table, new java.util.Properties())
+        if (BulkLoad.available(url)) {
+          // vendor bulk path: truncate on one connection, then stream
+          // every partition through COPY / LOAD DATA in parallel
+          withConnection(url, conf.options) { c =>
+            exec(c, DialectMerge.truncateSql(table, dialect))
+          }
+          BulkLoad.bulkAppend(aligned, url, table, conf.batchSize)
+        } else {
+          val writer = aligned.write.mode(SaveMode.Overwrite)
+            .option("truncate", (!conf.disableTruncate).toString)
+            .option("batchsize", conf.batchSize.toString)
+          conf.options.foldLeft(writer) { case (w, (k, v)) => w.option(k, v) }
+            .jdbc(url, table, new java.util.Properties())
+        }
 
       case ReplicationMode.CompleteAtomic =>
         val staging = stagingTableName(conf, table)
@@ -126,12 +135,15 @@ object JdbcConnector {
     }
   }
 
-  private def appendTo(df: DataFrame, url: String, table: String, conf: SinkConf): Unit = {
-    val writer = df.write.mode(SaveMode.Append)
-      .option("batchsize", conf.batchSize.toString)
-    conf.options.foldLeft(writer) { case (w, (k, v)) => w.option(k, v) }
-      .jdbc(url, table, new java.util.Properties())
-  }
+  private def appendTo(df: DataFrame, url: String, table: String, conf: SinkConf): Unit =
+    if (BulkLoad.available(url)) {
+      BulkLoad.bulkAppend(df, url, table, conf.batchSize)
+    } else {
+      val writer = df.write.mode(SaveMode.Append)
+        .option("batchsize", conf.batchSize.toString)
+      conf.options.foldLeft(writer) { case (w, (k, v)) => w.option(k, v) }
+        .jdbc(url, table, new java.util.Properties())
+    }
 
   private def stagingTableName(conf: SinkConf, table: String): String =
     conf.stagingTable.getOrElse(

@@ -21,23 +21,43 @@ import graft.functions.Conversions
   */
 object KafkaSink {
 
+  /** Every field in its on-the-wire serialized form: timestamps as
+    * ISO-8601 UTC (zone-naive columns are UTC by pipeline convention,
+    * so they carry the same `Z` suffix), dates as `yyyy-MM-dd`,
+    * everything else native. */
+  private def serializedFields(df: DataFrame): Seq[Column] =
+    df.schema.fields.toSeq.map { f =>
+      f.dataType match {
+        case TimestampType => Conversions.toIso8601Utc(col(f.name)).as(f.name)
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          date_format(col(f.name), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as(f.name)
+        case DateType => date_format(col(f.name), "yyyy-MM-dd").as(f.name)
+        case _ => col(f.name)
+      }
+    }
+
   /** Build the (key, value) frame Kafka expects. */
   def payload(df: DataFrame, keyColumn: Option[String]): DataFrame = {
     val value: Column =
       if (df.columns.contains("json")) col("json")
-      else {
-        val serialized = df.schema.fields.map { f =>
-          f.dataType match {
-            case TimestampType => Conversions.toIso8601Utc(col(f.name)).as(f.name)
-            case DateType => date_format(col(f.name), "yyyy-MM-dd").as(f.name)
-            case _ => col(f.name)
-          }
-        }
-        to_json(struct(serialized.toSeq: _*))
-      }
+      else to_json(struct(serializedFields(df): _*))
     keyColumn match {
       case Some(k) => df.select(col(k).cast("string").as("key"), value.as("value"))
       case None => df.select(value.as("value"))
+    }
+  }
+
+  /** The payload with its fields left as TYPED COLUMNS beside the key
+    * instead of folded into one JSON string — same key, same field
+    * serialization, no JSON formatting. JSON string formatting is
+    * engine-specific (field order, float rendering), so this is the
+    * oracle-checkable face of the sink: everything except the final
+    * `to_json` concatenation. */
+  def typedPayload(df: DataFrame, keyColumn: Option[String]): DataFrame = {
+    val fields = serializedFields(df)
+    keyColumn match {
+      case Some(k) => df.select(col(k).cast("string").as("key") +: fields: _*)
+      case None => df.select(fields: _*)
     }
   }
 

@@ -140,4 +140,42 @@ object MongoShim {
       case v => df.groupBy(ref(v).as("_id")).agg(aggs.head, aggs.tail: _*)
     }
   }
+
+  /** Merge-key discovery from `listIndexes` output — the reference's
+    * unique-index selection rule (`MongoDBManager.java:431-507`):
+    *
+    *  1. an index counts as unique when `unique: true` OR it is the
+    *     implicit `_id_` index;
+    *  2. the FIRST user-defined unique index (name != `_id_`) wins;
+    *     `_id_` is only kept while nothing better has appeared;
+    *  3. no unique index at all (or malformed metadata) falls back to
+    *     `Seq("_id")`.
+    *
+    * Key field order is the index's own declaration order. Input is
+    * the index-metadata documents as JSON (what `listIndexes` returns
+    * through any driver); with a real connector on the classpath this
+    * feeds the incremental-mode merge keys. */
+  def mergeKeyFromIndexes(indexDocs: Seq[String]): Seq[String] = {
+    var selectedName: Option[String] = None
+    var selected: Seq[String] = Nil
+    indexDocs.foreach { docStr =>
+      val doc = try parseJson(docStr) catch { case _: Throwable => JNothing }
+      val name = doc \ "name" match { case JString(s) => s; case _ => "" }
+      val isUnique = (doc \ "unique" match {
+        case JBool(b) => b
+        case _ => false
+      }) || name == "_id_"
+      val keyFields = doc \ "key" match {
+        case JObject(fields) => fields.map(_._1)
+        case _ => Nil
+      }
+      if (isUnique && keyFields.nonEmpty &&
+          (selectedName.isEmpty ||
+            (selectedName.contains("_id_") && name != "_id_"))) {
+        selectedName = Some(name)
+        selected = keyFields
+      }
+    }
+    if (selected.isEmpty) Seq("_id") else selected
+  }
 }

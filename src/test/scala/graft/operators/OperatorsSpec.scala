@@ -348,4 +348,20 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.map(_.getInt(1)).toSeq == Seq(0, 2))
     assert(frames.map(_.getAs[Array[Byte]](2).length).toSeq == Seq(256, 256))
   }
+
+  test("byte-budget repartition sizes from plan stats without an extra job") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mmbytes").toString + "/m"
+    media.write.parquet(dir)
+    val onDisk = spark.read.parquet(dir)
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val sized = Multimodal.repartitionByBytes(onDisk, targetBytesPerPartition = 512)
+    val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    // the size estimate reads file-listing stats, no Spark job; the
+    // .rdd materialization below may run AQE stages and is not counted
+    assert(jobsAfter == jobsBefore, "estimating bytes must not run a Spark job")
+    assert(sized.rdd.getNumPartitions >= 1)
+    // exact mode still available, and counts the real payload bytes
+    val exact = Multimodal.repartitionByBytes(onDisk, 8, exactCount = true)
+    assert(exact.rdd.getNumPartitions >= 2) // 11 payload bytes / 8 per task
+  }
 }

@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Protocol-level tests for the vendor bulk-load writers: no Postgres
+  * or MySQL server exists in this environment, so the emitted wire
+  * text and SQL command strings ARE the testable contract
+  * (reference `PostgresqlManager.java:133-137`, `:363-393`,
+  * `MySQLManager.java:176-215`). */
+class BulkLoadSpec extends AnyFunSuite {
+  import BulkLoad._
+
+  private val US = 0x1f.toChar
+
+  test("field escaping covers backslash, newline, CR, NUL and the delimiter") {
+    assert(escapeField("a\\b") == "a\\\\b")
+    assert(escapeField("a\nb\rc") == "a\\nb\\rc")
+    assert(escapeField("a\u0000b") == "a\\0b")
+    // the reference leaves a raw 0x1F in data unescaped, which would
+    // shift every following column; here it is escaped
+    assert(escapeField(s"a${US}b") == s"a\\${US}b")
+    assert(escapeField("a\nb", disableEscape = true) == "a\nb")
+  }
+
+  test("binary renders as uppercase hex; postgres form carries the bytea wire prefix") {
+    val bytes = Array[Byte](0x00, 0x0f, 0x10, 0xff.toByte)
+    assert(bytesToHex(bytes) == "000F10FF")
+    assert(bytesToPostgresHex(bytes) == "\\\\x000F10FF")
+  }
+
+  test("row encoding: unit-separated fields, \\N nulls, typed text forms") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("ok", BooleanType), StructField("data", BinaryType)))
+    val row = Row(7L, "a\nb", true, Array[Byte](0x01, 0xab.toByte))
+    assert(encodeRow(row, schema, bytesToHex) == s"7${US}a\\nb${US}true${US}01AB")
+    assert(encodeRow(row, schema, bytesToPostgresHex) ==
+      s"7${US}a\\nb${US}true${US}\\\\x01AB")
+    val nulls = Row(null, null, null, null)
+    assert(encodeRow(nulls, schema, bytesToHex) == s"\\N$US\\N$US\\N$US\\N")
+  }
+
+  test("COPY command matches the reference meta-command") {
+    assert(pgCopyCommand("sink", Seq("a", "b")) ==
+      "COPY sink (a, b) FROM STDIN WITH DELIMITER e'\\x1f' ENCODING 'UTF-8' ")
+    assert(pgCopyCommand("sink", Nil) ==
+      "COPY sink FROM STDIN WITH DELIMITER e'\\x1f' ENCODING 'UTF-8' ")
+  }
+
+  test("LOAD DATA stages binary columns through @vars decoded with UNHEX") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("img", BinaryType),
+      StructField("name", StringType)))
+    val sql = mysqlLoadDataCommand("sink", schema)
+    assert(sql.startsWith("LOAD DATA LOCAL INFILE 'dummy' INTO TABLE sink"))
+    assert(sql.contains("FIELDS TERMINATED BY X'1F'"))
+    assert(sql.contains("(id, @img, name)"))
+    assert(sql.endsWith(" SET img = UNHEX(@img)"))
+    // no binary columns: no @vars, no SET clause
+    val plain = mysqlLoadDataCommand("sink",
+      StructType(Seq(StructField("id", LongType))))
+    assert(plain.endsWith("(id)"))
+    assert(!plain.contains("UNHEX"))
+  }
+
+  test("url routing picks the vendor path; derby and oracle have none") {
+    assert(pathForUrl("jdbc:postgresql://h/db").contains(PgCopy))
+    assert(pathForUrl("jdbc:mysql://h/db").contains(MySqlLoadData))
+    assert(pathForUrl("jdbc:mariadb://h/db").contains(MySqlLoadData))
+    assert(pathForUrl("jdbc:derby:memory:x").isEmpty)
+    assert(pathForUrl("jdbc:oracle:thin:@h").isEmpty)
+  }
+
+  test("fast path does not activate without the vendor driver on the classpath") {
+    // this container has neither driver jar: the connector must fall
+    // back to the generic batched-insert writer (Derby e2e specs
+    // exercise that path)
+    assert(!available("jdbc:postgresql://h/db"))
+    assert(!available("jdbc:mysql://h/db"))
+    assert(!available("jdbc:derby:memory:x"))
+  }
+}

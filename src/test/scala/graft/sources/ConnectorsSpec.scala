@@ -95,6 +95,29 @@ class FileConnectorSpec extends SparkTestBase {
     FileConnector.writeAtomic(Seq(4, 5).toDF("v"), sink, "parquet", Map.empty)
     assert(spark.read.parquet(sink).as[Int].collect().toSet == Set(4, 5))
     assert(!new java.io.File(sink + "__staging").exists())
+    assert(!new java.io.File(sink + "__old").exists())
+  }
+
+  test("readers polling the sink during the swap never observe an absent path") {
+    val base = java.nio.file.Files.createTempDirectory("graft_swapvis").toString
+    val sink = base + "/t"
+    FileConnector.writeAtomic(Seq(1).toDF("v"), sink, "parquet", Map.empty)
+    val f = new java.io.File(sink)
+    @volatile var running = true
+    @volatile var sawAbsent = false
+    val poller = new Thread(() => while (running) {
+      if (!f.exists()) sawAbsent = true
+    })
+    poller.start()
+    try (1 to 5).foreach { i =>
+      // rename-aside swap: old-or-new is always present at the path
+      FileConnector.writeAtomic(Seq(i).toDF("v"), sink, "parquet", Map.empty)
+    } finally {
+      running = false
+      poller.join()
+    }
+    assert(!sawAbsent)
+    assert(spark.read.parquet(sink).as[Int].collect().toSeq == Seq(5))
   }
 }
 
@@ -191,5 +214,19 @@ class KafkaSinkSpec extends SparkTestBase {
     val df = Seq(("""{"a":1}""", 7L)).toDF("json", "k")
     val out = KafkaSink.payload(df, keyColumn = None).first()
     assert(out.getString(0) == """{"a":1}""")
+  }
+
+  test("typedPayload keeps serialized fields as typed columns beside the key") {
+    val df = Seq((1L, "x")).toDF("id", "name")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00.123")))
+      .withColumn("tsn", lit("2024-01-01 00:00:00.123").cast("timestamp_ntz"))
+    val out = KafkaSink.typedPayload(df, keyColumn = Some("id"))
+    assert(out.columns.toSeq == Seq("key", "id", "name", "ts", "tsn"))
+    val r = out.first()
+    assert(r.getString(0) == "1")
+    assert(r.getLong(1) == 1L)
+    // LTZ and NTZ (UTC convention) serialize to the same instant form
+    assert(r.getString(3) == "2024-01-01T00:00:00.123Z")
+    assert(r.getString(4) == "2024-01-01T00:00:00.123Z")
   }
 }

@@ -67,6 +67,25 @@ class MongoShimSpec extends SparkTestBase {
     assertThrows[IllegalArgumentException](
       MongoShim.pipeline(df, """[{"$lookup": {}}]"""))
   }
+
+  test("merge-key discovery prefers the first user unique index over _id_") {
+    val idIdx = """{"name": "_id_", "key": {"_id": 1}}"""
+    val userUnique = """{"name": "u_email", "unique": true,
+                        "key": {"email": 1, "tenant": 1}}"""
+    val laterUnique = """{"name": "u_code", "unique": true, "key": {"code": 1}}"""
+    val nonUnique = """{"name": "ix_age", "key": {"age": 1}}"""
+    // compound field order preserved from the index declaration
+    assert(MongoShim.mergeKeyFromIndexes(Seq(idIdx, nonUnique, userUnique, laterUnique))
+      == Seq("email", "tenant"))
+    // only _id_: it is implicitly unique
+    assert(MongoShim.mergeKeyFromIndexes(Seq(idIdx, nonUnique)) == Seq("_id"))
+    // _id_ listed after the user index must not displace it
+    assert(MongoShim.mergeKeyFromIndexes(Seq(userUnique, idIdx)) == Seq("email", "tenant"))
+    // nothing unique / malformed metadata falls back to _id
+    assert(MongoShim.mergeKeyFromIndexes(Seq(nonUnique)) == Seq("_id"))
+    assert(MongoShim.mergeKeyFromIndexes(Seq("not json at all")) == Seq("_id"))
+    assert(MongoShim.mergeKeyFromIndexes(Nil) == Seq("_id"))
+  }
 }
 
 class ObjectPerRowSinkSpec extends SparkTestBase {
