@@ -12,6 +12,7 @@ object Probe {
     if (args.headOption.contains("scale10x")) { scale10x(spark, dir); spark.stop(); return }
     if (args.headOption.contains("jdbcYardstick")) { jdbcYardstick(spark, dir); spark.stop(); return }
     if (args.headOption.contains("dd4")) { dd4(spark, dir); spark.stop(); return }
+    if (args.headOption.contains("dotKernel")) { dotKernel(spark, dir); spark.stop(); return }
     if (args.headOption.contains("dd6")) { dd6(spark, dir); spark.stop(); return }
     if (args.headOption.contains("dd2")) { dd2(spark, dir); spark.stop(); return }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -239,5 +240,40 @@ object Probe {
       graft.operators.Similarity.bruteForceTopK(
         e.filter("vec_id < 10"), e, "vec_id", "embedding", 5).count()
     })
+    timed("sim2 IVF topk 10 x 20K vecs")({
+      val e = x10("embeddings", Seq("vec_id"))
+      graft.operators.Similarity.ivfTopK(
+        e.filter("vec_id < 10"), e, "vec_id", "embedding", 5,
+        nCentroids = 16, nProbe = 4).count()
+    })
+    timed("dd5 embedding near-dup 20K vecs")(
+      graft.operators.Dedup.embeddingNearDupPairs(
+        x10("embeddings", Seq("vec_id")), "vec_id", "embedding",
+        threshold = 0.35, planes = 4).count())
+  }
+
+  /** Dot-product kernel microbench: the codegen `DotProduct`
+    * expression vs the `aggregate(zip_with(...))` HOF composition it
+    * replaced, same pairs, same reduction. */
+  def dotKernel(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    def timed[T](label: String)(f: => T): T = {
+      val t = System.nanoTime(); val r = f
+      println(f"=== dotKernel $label: ${(System.nanoTime() - t) / 1e9}%.2fs"); r
+    }
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val pairs = q.crossJoin(e.select(col("vec_id").as("cid"), col("embedding").as("cv")))
+      .localCheckpoint(true) // isolate kernel cost from the join
+    println(s"pairs: ${pairs.count()}")
+    val hof = aggregate(zip_with(col("qv").cast("array<double>"), col("cv").cast("array<double>"),
+      (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val gen = graft.functions.VectorExpressions.dot_product(col("qv"), col("cv"))
+    (1 to 3).foreach { i =>
+      timed(s"HOF aggregate(zip_with) run $i")(
+        pairs.agg(sum(hof)).first())
+      timed(s"codegen dot_product run $i")(
+        pairs.agg(sum(gen)).first())
+    }
   }
 }
