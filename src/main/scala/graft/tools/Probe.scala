@@ -13,6 +13,7 @@ object Probe {
     if (args.headOption.contains("jdbcYardstick")) { jdbcYardstick(spark, dir); spark.stop(); return }
     if (args.headOption.contains("dd4")) { dd4(spark, dir); spark.stop(); return }
     if (args.headOption.contains("dotKernel")) { dotKernel(spark, dir); spark.stop(); return }
+    if (args.headOption.contains("dd6b")) { dd6b(spark, dir); spark.stop(); return }
     if (args.headOption.contains("dd6")) { dd6(spark, dir); spark.stop(); return }
     if (args.headOption.contains("dd2")) { dd2(spark, dir); spark.stop(); return }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -88,6 +89,31 @@ object Probe {
     val mat = pairs.select("id_a", "id_b").localCheckpoint(true)
     timed("clusters on materialized pairs")(
       println(graft.operators.Dedup.clusters(mat).count()))
+  }
+
+  /** dd6b: isolate the stages of the 100-doc prefix pipeline. */
+  def dd6b(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    def timed[T](label: String)(f: => T): T = {
+      val t = System.nanoTime(); val r = f
+      println(s"=== $label: ${(System.nanoTime() - t) / 1e9}s"); r
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") <= 100)
+    timed("docs count")(println(docs.count()))
+    val sh = array_sort(transform(graft.operators.Dedup.shingles(col("text"), 1),
+      t => xxhash64(t)))
+    val base = docs.select(col("doc_id").as("id"), sh.as("sh"), size(sh).as("n"), col("lang"))
+    timed("base count")(println(base.count()))
+    timed("topVocab agg collect")(println(
+      base.select(explode(col("sh")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(256).collect().length))
+    timed("prefix full (construct+count)")(println(
+      graft.operators.Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+        Seq("lang"), 1, 0.5).count()))
+    timed("bitset full (construct+count)")(println(
+      graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        Seq("lang"), 1, 0.5, strategy = "probe").count()))
   }
 
   /** dd2 piecewise timing: signatures, banding, candidate gen, verify. */

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
 
 /** Physical-plan assertions: the properties that decide whether these
   * operators survive a 100 TB scale-up — column pruning and predicate
@@ -56,14 +57,39 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CodegenFallback"))
   }
 
-  test("dd4 default path is prefix-filtered: no probe job, no quadratic stage") {
+  test("dd4 auto-dispatch picks the bitset path on the closed-vocab corpus") {
+    // the sample gate detects the synthetic corpus's ~30-word
+    // vocabulary and routes to the salted popcount path (measured 10x
+    // over prefix there); never a cartesian product
     val df = SparkEntry.queries("dd4_ngram_jaccard")(spark, sf())
     val p = df.queryExecution.executedPlan.toString
-    // candidate generation is the inverted-index token join, not a
-    // salted all-pairs self-join — and never a cartesian product
+    assert(p.contains("__salt"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("auto on open-vocab data routes to the prefix join; no full-corpus pass") {
+    val d = spark.range(1200)
+      .select(col("id").as("doc_id"),
+        concat(lit("w"), col("id"), lit(" w"), col("id") + 10000).as("text"),
+        lit(1).as("blk"))
+    val df = graft.operators.Dedup.ngramJaccardPairs(d, "doc_id", "text",
+      blockCols = Seq("blk"), shingleSize = 1, threshold = 0.5)
+    val p = df.queryExecution.executedPlan.toString
+    // inverted-index token join, not the salted all-pairs self-join
     assert(p.contains("tok"))
     assert(!p.contains("__salt"))
     assert(!p.contains("CartesianProduct"))
+  }
+
+  test("auto with a closed vocabHint builds its plan without running any job") {
+    val d = spark.range(64)
+      .select(col("id").as("doc_id"), lit("a b c").as("text"), lit(1).as("blk"))
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    graft.operators.Dedup.ngramJaccardPairs(d, "doc_id", "text",
+      blockCols = Seq("blk"), shingleSize = 1, threshold = 0.5,
+      vocabHint = Some(Seq("a", "b", "c")))
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, "hinted dispatch must not probe the corpus")
   }
 
   test("all-pairs jaccard block join is salted: parallelism >> number of blocks") {

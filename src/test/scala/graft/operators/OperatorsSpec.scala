@@ -115,8 +115,8 @@ class DedupSpec extends SparkTestBase {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val all = run("allpairs")
     assert(all.nonEmpty)
-    assert(run("auto") == all)      // default: prefix path, no probe job
-    assert(run("probe") == all)     // opt-in probe: bitset (closed vocab here)
+    assert(run("auto") == all)      // sample gate -> bitset (closed vocab here)
+    assert(run("probe") == all)     // opt-in full probe: bitset too
     assert(run("prefix") == all)
     val hint = docs.select(explode(Dedup.shingles(col("text"), 1)).as("t"))
       .distinct().as[String].collect().toSeq
