@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.sources.{FileConnector, JdbcConnector, KafkaSink}
+import graft.sources.{FileConnector, JdbcConnector, KafkaSink, MongoConnector}
 
 /** Connector registry + mode orchestration — the Spark re-expression
   * of the reference's `ManagerFactory` scheme dispatch
@@ -21,12 +21,14 @@ object ConnectorRegistry {
   case object File extends Kind
   case object Kafka extends Kind
   case object S3 extends Kind
+  case object Mongo extends Kind
 
   /** Scheme sniffing, reference `SupportedManagers.extractScheme:46-81`. */
   def kindOf(connect: String): Kind = {
     val c = connect.toLowerCase
     if (c.startsWith("jdbc:")) Jdbc
     else if (c.startsWith("kafka://")) Kafka
+    else if (c.startsWith("mongodb://") || c.startsWith("mongodb+srv://")) Mongo
     else if (c.startsWith("s3://") || c.startsWith("s3a://")) S3
     else if (c.startsWith("file:") || c.startsWith("/") || c.startsWith("hdfs:")) File
     else throw new IllegalArgumentException(s"unsupported connect string: $connect")
@@ -39,6 +41,7 @@ object ReplicaEngine {
   def read(spark: SparkSession, conf: SourceConf): DataFrame = kindOf(conf.connect) match {
     case Jdbc => JdbcConnector.read(spark, conf)
     case File | S3 => FileConnector.read(spark, conf)
+    case Mongo => MongoConnector.read(spark, conf)
     case Kafka => throw new UnsupportedOperationException(
       // parity: the reference's README marks Kafka source unsupported
       // (README.md:188); use Structured Streaming (graft.streaming).
@@ -63,6 +66,7 @@ object ReplicaEngine {
 
   def write(df: DataFrame, conf: SinkConf): Unit = kindOf(conf.connect) match {
     case Jdbc => JdbcConnector.write(df, conf)
+    case Mongo => MongoConnector.write(df, conf)
     case File | S3 =>
       val path = conf.table.map(t => s"${conf.connect}/$t").getOrElse(conf.connect)
       val fmt = FileConnector.format(FileConnector.stripScheme(path), conf.options.get("format"))

@@ -135,12 +135,14 @@ object BulkLoad {
   sealed trait FastPath
   case object PgCopy extends FastPath
   case object MySqlLoadData extends FastPath
+  case object SqlServerBulk extends FastPath
 
   /** Which fast path a URL selects, independent of driver presence. */
   def pathForUrl(url: String): Option[FastPath] =
     DialectMerge.fromUrl(url) match {
       case DialectMerge.Postgres => Some(PgCopy)
       case DialectMerge.MySql if !url.startsWith("jdbc:sqlite") => Some(MySqlLoadData)
+      case DialectMerge.SqlServer => Some(SqlServerBulk)
       case _ => None
     }
 
@@ -154,6 +156,8 @@ object BulkLoad {
     case Some(MySqlLoadData) =>
       classPresent("com.mysql.cj.jdbc.JdbcPreparedStatement") ||
         classPresent("org.mariadb.jdbc.MariaDbStatement")
+    case Some(SqlServerBulk) =>
+      classPresent("com.microsoft.sqlserver.jdbc.SQLServerBulkCopy")
     case None => false
   }
 
@@ -171,8 +175,92 @@ object BulkLoad {
         case PgCopy => pgCopyPartition(rows, url, table, schema, disableEscape)
         case MySqlLoadData =>
           mysqlLoadPartition(rows, url, table, schema, batchRows, disableEscape)
+        case SqlServerBulk =>
+          sqlServerBulkPartition(rows, url, table, schema, batchRows)
       }
     }
+  }
+
+  /** The JDBC type code + precision/scale BulkCopy declares per Spark
+    * column (`SQLServerManager.java:61-128` feeds BulkCopy from a
+    * ResultSet; here the declaration comes from the schema). */
+  def sqlServerColumnMeta(dt: DataType): (Int, Int, Int) = dt match {
+    case BooleanType => (java.sql.Types.BIT, 1, 0)
+    case ByteType => (java.sql.Types.TINYINT, 3, 0)
+    case ShortType => (java.sql.Types.SMALLINT, 5, 0)
+    case IntegerType => (java.sql.Types.INTEGER, 10, 0)
+    case LongType => (java.sql.Types.BIGINT, 19, 0)
+    case FloatType => (java.sql.Types.REAL, 7, 0)
+    case DoubleType => (java.sql.Types.DOUBLE, 15, 0)
+    case d: DecimalType => (java.sql.Types.DECIMAL, d.precision, d.scale)
+    case StringType => (java.sql.Types.NVARCHAR, 4000, 0)
+    case BinaryType => (java.sql.Types.VARBINARY, 8000, 0)
+    case DateType => (java.sql.Types.DATE, 10, 0)
+    case TimestampType | _: TimestampNTZType => (java.sql.Types.TIMESTAMP, 27, 7)
+    case other => (java.sql.Types.NVARCHAR, 4000, 0)
+  }
+
+  /** Reflection-free core of the BulkCopy record feed: answers the
+    * `ISQLServerBulkData` surface (column metadata + row cursor) from
+    * a Spark schema and row iterator. The dynamic proxy below binds it
+    * to the driver's interface at runtime. */
+  final class BulkRecordState(schema: StructType, rows: Iterator[Row]) {
+    private var current: Row = _
+    val ordinals: java.util.Set[Integer] = {
+      val s = new java.util.LinkedHashSet[Integer]()
+      (1 to schema.length).foreach(i => s.add(Integer.valueOf(i)))
+      s
+    }
+    def columnName(i: Int): String = schema(i - 1).name
+    def columnType(i: Int): Int = sqlServerColumnMeta(schema(i - 1).dataType)._1
+    def precision(i: Int): Int = sqlServerColumnMeta(schema(i - 1).dataType)._2
+    def scale(i: Int): Int = sqlServerColumnMeta(schema(i - 1).dataType)._3
+    def next(): Boolean = {
+      if (!rows.hasNext) false
+      else { current = rows.next(); true }
+    }
+    def rowData(): Array[AnyRef] =
+      (0 until schema.length).map { i =>
+        if (current.isNullAt(i)) null else current.get(i).asInstanceOf[AnyRef]
+      }.toArray
+  }
+
+  /** One partition's BulkCopy stream: reflective
+    * `SQLServerBulkCopy.writeToServer(ISQLServerBulkData)` with the
+    * record interface satisfied by a dynamic proxy over
+    * [[BulkRecordState]] — same calls as `SQLServerManager.java:75-120`
+    * without a compile-time driver dependency. */
+  private def sqlServerBulkPartition(rows: Iterator[Row], url: String,
+      table: String, schema: StructType, batchRows: Int): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val dataIface = Class.forName("com.microsoft.sqlserver.jdbc.ISQLServerBulkData")
+      val state = new BulkRecordState(schema, rows)
+      val record = java.lang.reflect.Proxy.newProxyInstance(
+        dataIface.getClassLoader, Array(dataIface),
+        (_, method, args) => method.getName match {
+          case "getColumnOrdinals" => state.ordinals
+          case "getColumnName" => state.columnName(args(0).asInstanceOf[Int])
+          case "getColumnType" => Integer.valueOf(state.columnType(args(0).asInstanceOf[Int]))
+          case "getPrecision" => Integer.valueOf(state.precision(args(0).asInstanceOf[Int]))
+          case "getScale" => Integer.valueOf(state.scale(args(0).asInstanceOf[Int]))
+          case "getRowData" => state.rowData()
+          case "next" => java.lang.Boolean.valueOf(state.next())
+          case other => throw new UnsupportedOperationException(other)
+        })
+      val bcClass = Class.forName("com.microsoft.sqlserver.jdbc.SQLServerBulkCopy")
+      val bc = bcClass.getConstructor(classOf[java.sql.Connection]).newInstance(conn)
+      val optClass = Class.forName("com.microsoft.sqlserver.jdbc.SQLServerBulkCopyOptions")
+      val opts = optClass.getConstructor().newInstance()
+      optClass.getMethod("setBatchSize", classOf[Int])
+        .invoke(opts, Integer.valueOf(batchRows))
+      optClass.getMethod("setBulkCopyTimeout", classOf[Int])
+        .invoke(opts, Integer.valueOf(0))
+      bcClass.getMethod("setBulkCopyOptions", optClass).invoke(bc, opts)
+      bcClass.getMethod("setDestinationTableName", classOf[String]).invoke(bc, table)
+      bcClass.getMethod("writeToServer", dataIface).invoke(bc, record)
+      bcClass.getMethod("close").invoke(bc)
+    } finally conn.close()
   }
 
   /** One partition's COPY stream. Reflective against the PG driver:

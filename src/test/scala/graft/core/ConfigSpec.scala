@@ -50,6 +50,8 @@ class ConfigSpec extends AnyFunSuite {
     assert(kindOf("file:///data/x.csv") == File)
     assert(kindOf("s3a://bucket/key") == S3)
     assert(kindOf("kafka://broker:9092/topic") == Kafka)
-    assertThrows[IllegalArgumentException](kindOf("mongodb+srv://x"))
+    assert(kindOf("mongodb://h/db") == Mongo)
+    assert(kindOf("mongodb+srv://cluster/db") == Mongo)
+    assertThrows[IllegalArgumentException](kindOf("ftp://nope"))
   }
 }

@@ -69,16 +69,43 @@ class BulkLoadSpec extends AnyFunSuite {
     assert(pathForUrl("jdbc:postgresql://h/db").contains(PgCopy))
     assert(pathForUrl("jdbc:mysql://h/db").contains(MySqlLoadData))
     assert(pathForUrl("jdbc:mariadb://h/db").contains(MySqlLoadData))
+    assert(pathForUrl("jdbc:sqlserver://h;db").contains(SqlServerBulk))
     assert(pathForUrl("jdbc:derby:memory:x").isEmpty)
     assert(pathForUrl("jdbc:oracle:thin:@h").isEmpty)
   }
 
   test("fast path does not activate without the vendor driver on the classpath") {
-    // this container has neither driver jar: the connector must fall
-    // back to the generic batched-insert writer (Derby e2e specs
+    // this container has no vendor driver jars: the connector must
+    // fall back to the generic batched-insert writer (Derby e2e specs
     // exercise that path)
     assert(!available("jdbc:postgresql://h/db"))
     assert(!available("jdbc:mysql://h/db"))
+    assert(!available("jdbc:sqlserver://h;db"))
     assert(!available("jdbc:derby:memory:x"))
+  }
+
+  test("BulkCopy record feed declares SQL Server column metadata and walks rows") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("price", DecimalType(10, 2)), StructField("img", BinaryType)))
+    val rows = Iterator(
+      Row(1L, "a", null, Array[Byte](1)),
+      Row(2L, null, null, null))
+    val st = new BulkRecordState(schema, rows)
+    // ordinals are 1-based and ordered
+    assert(st.ordinals.toArray.toSeq == Seq(1, 2, 3, 4))
+    assert(st.columnName(1) == "id" && st.columnName(4) == "img")
+    assert(st.columnType(1) == java.sql.Types.BIGINT)
+    assert(st.columnType(2) == java.sql.Types.NVARCHAR)
+    assert(st.columnType(3) == java.sql.Types.DECIMAL)
+    assert(st.precision(3) == 10 && st.scale(3) == 2)
+    assert(st.columnType(4) == java.sql.Types.VARBINARY)
+    // cursor protocol: next() then getRowData(), nulls preserved
+    assert(st.next())
+    assert(st.rowData()(0) == java.lang.Long.valueOf(1L))
+    assert(st.rowData()(2) == null)
+    assert(st.next())
+    assert(st.rowData()(1) == null)
+    assert(!st.next())
   }
 }
