@@ -117,4 +117,27 @@ class ReplicationMatrixSpec extends SparkTestBase {
       assert(canon(readBack(url, partitions)) == canon(expected))
     }
   }
+
+  test("replicate() end-to-end: CSV file source -> where filter -> Derby sink") {
+    // the reference's canonical file path (SURVEY.md §3.3: CSV ->
+    // Postgres) through the engine's full dispatch: scheme sniffing,
+    // declared CSV schema, source-where, mode write, readback
+    import graft.core.{ReplConf, ReplicaEngine}
+    val dir = java.nio.file.Files.createTempDirectory("graft_repl_e2e").toString + "/in"
+    fixture(n).select("C_INTEGER", "C_VARCHAR", "C_DOUBLE")
+      .write.option("header", "true").csv(dir)
+    val url = freshSink()
+    ReplicaEngine.replicate(spark, ReplConf(
+      source = SourceConf(connect = dir,
+        columnNames = Some(Seq("C_INTEGER", "C_VARCHAR", "C_DOUBLE")),
+        columnTypes = Some(Seq("INTEGER", "VARCHAR", "DOUBLE")),
+        where = Some("C_INTEGER <= 50"),
+        options = Map("format" -> "csv", "header" -> "true")),
+      sink = SinkConf(connect = url, table = Some("T_SINK"),
+        columns = Some(Seq("C_INTEGER", "C_VARCHAR", "C_DOUBLE")),
+        mode = ReplicationMode.Complete)))
+    val back = readBack(url, 1).select("C_INTEGER", "C_VARCHAR", "C_DOUBLE")
+    assert(back.count() == 50)
+    assert(back.filter("C_VARCHAR = 'row_7'").count() == 1)
+  }
 }
