@@ -84,6 +84,46 @@ class BulkLoadSpec extends AnyFunSuite {
     assert(!available("jdbc:derby:memory:x"))
   }
 
+  test("escaping is lossless: an unescape inverse recovers arbitrary strings") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // the COPY/LOAD DATA text decoder the server implements; flags
+    // any control byte reaching it OUTSIDE an escape sequence (those
+    // would break row/field framing on the wire; an ESCAPED delimiter
+    // is backslash + the raw byte and is legal)
+    def unescape(s: String): (String, Boolean) = {
+      val b = new StringBuilder
+      var bare = false
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case '\\' => b += '\\'
+            case 'n' => b += '\n'
+            case 'r' => b += '\r'
+            case '0' => b += '\u0000'
+            case e => b += e // escaped delimiter and friends
+          }
+          i += 2
+        } else {
+          if (c == '\n' || c == '\r' || c == US || c == '\u0000') bare = true
+          b += c; i += 1
+        }
+      }
+      (b.toString, bare)
+    }
+    val tricky = Gen.listOf(Gen.frequency(
+      8 -> Gen.asciiPrintableChar,
+      1 -> Gen.oneOf('\\', '\n', '\r', '\u0000', US),
+      1 -> Gen.choose(0x20.toChar, 0x2fff.toChar))).map(_.mkString)
+    val prop = Prop.forAll(tricky) { s =>
+      val (decoded, bareControl) = unescape(escapeField(s))
+      !bareControl && decoded == s
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("BulkCopy record feed declares SQL Server column metadata and walks rows") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("name", StringType),
