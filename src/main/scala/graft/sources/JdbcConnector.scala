@@ -76,7 +76,7 @@ object JdbcConnector {
         if (BulkLoad.available(url)) {
           // vendor bulk path: truncate on one connection, then stream
           // every partition through COPY / LOAD DATA in parallel
-          withConnection(url, conf.options) { c =>
+          if (!conf.disableTruncate) withConnection(url, conf.options) { c =>
             exec(c, DialectMerge.truncateSql(table, dialect))
           }
           BulkLoad.bulkAppend(aligned, url, table, conf.batchSize)
