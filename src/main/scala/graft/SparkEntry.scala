@@ -317,6 +317,16 @@ object SparkEntry {
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.35, planes = 4)),
 
+    // contamination detection: eval-split docs leaking into the
+    // train-split, exact bipartite Jaccard (candidates only across
+    // sides via the shared-prefix inverted index)
+    "dd7_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.crossJaccardPairs(
+        docs.filter(col("doc_id") <= 250), docs.filter(col("doc_id") > 250),
+        "doc_id", "text", blockCols = Seq("lang"), shingleSize = 1, threshold = 0.5)
+    }),
+
     // cluster labeling over a DETERMINISTIC pair source (exact Jaccard,
     // same params as dd4, doc subset to keep it light) so the min-label
     // connected components can be checked against a DuckDB recursive CTE
@@ -616,6 +626,20 @@ object SparkEntry {
         |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.w, b.w))::DOUBLE /
         |        (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.5""".stripMargin,
+
+    "dd7_contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents)
+        |SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+        |       len(list_intersect(l.w, r.w))::DOUBLE /
+        |         (len(l.w) + len(r.w) - len(list_intersect(l.w, r.w))) AS jaccard,
+        |       l.lang AS lang
+        |FROM t l JOIN t r ON l.lang = r.lang
+        |WHERE l.doc_id <= 250 AND r.doc_id > 250
+        |  AND len(list_intersect(l.w, r.w))::DOUBLE /
+        |        (len(l.w) + len(r.w) - len(list_intersect(l.w, r.w))) >= 0.5""".stripMargin,
 
     // connected components via transitive closure: reach(id, label)
     // accumulates every smaller-id node reachable from id; min(label)

@@ -459,36 +459,8 @@ object Dedup {
       topVocab: Int = 256): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "prefixJaccardPairs needs 0 < threshold <= 1 (at 0 nothing prunes; use allPairsJaccard)")
-    val sh = array_sort(transform(shingles(col(textCol), shingleSize), t => xxhash64(t)))
-    val base = spread(df).select((col(idCol).as("id") +: sh.as("sh") +: size(sh).as("n") +:
-      blockCols.map(col)): _*)
-
-    // Global DF order, realized as a broadcast map literal over the
-    // topVocab most frequent tokens. Rank by (count desc) truncated at
-    // topVocab: anything outside the map gets rank MaxValue and
-    // tie-breaks by token hash — rarer than everything inside, and any
-    // consistent total order is correct for the prefix principle.
-    val dfTop = base.select(explode(col("sh")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("tok"))
-      .limit(topVocab)
-      .collect()
-    // rank 0 = most frequent; prefix order sorts DESCENDING rank via
-    // (Int.MaxValue - rank) so rare-or-unknown sorts first
-    val rankMap = dfTop.iterator.zipWithIndex
-      .map { case (r, i) => r.getLong(0) -> i }.toMap
-    val rankLit = typedLit(rankMap)
-
-    // Per-doc prefix: sort tokens by (rareness, token), keep the first
-    // n - ceil(t*n) + 1. The 1e-9 guards fp noise in t*n toward the
-    // LONGER prefix (extra candidates, never a missed pair).
-    val keyed = transform(col("sh"), t => struct(
-      (lit(Int.MaxValue) - coalesce(element_at(rankLit, t), lit(Int.MaxValue))).as("r"),
-      t.as("tok")))
-    val plen = greatest(lit(1),
-      (col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1).cast("int"))
-    val prefixed = base.withColumn("__pref",
-      transform(slice(array_sort(keyed), lit(1), plen), s => s("tok")))
+    val base = hashedShingleBase(df, idCol, textCol, blockCols, shingleSize)
+    val prefixed = withPrefix(base, dfRankLit(base, topVocab), threshold)
 
     // Inverted-index candidate join on (block, prefix token), with the
     // exact length-ratio prune J <= min/max applied pre-distinct.
@@ -503,17 +475,117 @@ object Dedup {
       .select(("id_a" +: "id_b" +: blockCols).map(col): _*)
       .dropDuplicates("id_a" +: "id_b" +: blockCols)
 
-    // Exact verification on candidate ids only.
-    val a = base.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a"))
-    val b = base.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b"))
+    verifyCandidates(candidates, base, base, "id_a", "id_b", threshold)
+      .select(("id_a" +: "id_b" +: "jaccard" +: blockCols).map(col): _*)
+  }
+
+  /** (id, sorted hashed shingles, set size, blocks) for one corpus. */
+  private def hashedShingleBase(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], shingleSize: Int): DataFrame = {
+    val sh = array_sort(transform(shingles(col(textCol), shingleSize), t => xxhash64(t)))
+    spread(df).select((col(idCol).as("id") +: sh.as("sh") +: size(sh).as("n") +:
+      blockCols.map(col)): _*)
+  }
+
+  /** The global DF order as a broadcast map literal over the
+    * `topVocab` most frequent tokens of `rankSource` (the corpus — or
+    * the UNION of both corpora in the bipartite case: the prefix
+    * principle needs ONE total order shared by every compared set);
+    * rank by (count desc) truncated at topVocab — anything outside the
+    * map is rarer than everything inside and tie-breaks by token hash.
+    * Any consistent total order is correct, so truncation keeps the
+    * result exact. */
+  private def dfRankLit(rankSource: DataFrame, topVocab: Int): Column = {
+    val dfTop = rankSource.select(explode(col("sh")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok"))
+      .limit(topVocab)
+      .collect()
+    typedLit(dfTop.iterator.zipWithIndex
+      .map { case (r, i) => r.getLong(0) -> i }.toMap)
+  }
+
+  /** Adds the `__pref` prefix-token array to `base` under the given
+    * token order. Per-doc prefix length is `n - ceil(t*n) + 1` (the
+    * 1e-9 guards fp noise toward the LONGER prefix — extra candidates,
+    * never a missed pair). */
+  private def withPrefix(base: DataFrame, rankLit: Column,
+      threshold: Double): DataFrame = {
+    val keyed = transform(col("sh"), t => struct(
+      (lit(Int.MaxValue) - coalesce(element_at(rankLit, t), lit(Int.MaxValue))).as("r"),
+      t.as("tok")))
+    val plen = greatest(lit(1),
+      (col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1).cast("int"))
+    base.withColumn("__pref",
+      transform(slice(array_sort(keyed), lit(1), plen), s => s("tok")))
+  }
+
+  /** Exact Jaccard verification of a candidate id-pair list against
+    * the two shingle bases (codegen merge scan; |union| via
+    * |A|+|B|-|A∩B| so no union array is materialized). */
+  private def verifyCandidates(candidates: DataFrame, aBase: DataFrame,
+      bBase: DataFrame, aId: String, bId: String, threshold: Double): DataFrame = {
+    val a = aBase.select(col("id").as(aId), col("sh").as("sh_a"), col("n").as("n_a"))
+    val b = bBase.select(col("id").as(bId), col("sh").as("sh_b"), col("n").as("n_b"))
     val inter = graft.functions.TextExpressions
       .sorted_intersect_count(col("sh_a"), col("sh_b")).cast("double")
     val union = col("n_a").cast("double") + col("n_b") - inter
     candidates
-      .join(a, "id_a").join(b, "id_b")
+      .join(a, aId).join(b, bId)
       .withColumn("jaccard", inter / union)
       .filter(col("jaccard") >= threshold)
-      .select(("id_a" +: "id_b" +: "jaccard" +: blockCols).map(col): _*)
+  }
+
+  /** Exact CROSS-CORPUS Jaccard pairs — contamination detection: every
+    * (left, right) pair sharing a block with J >= `threshold`, e.g.
+    * eval-set documents leaking into a training corpus. The question a
+    * training pipeline must answer before any run, and exactly where
+    * all-pairs breaks at scale: |eval| × |corpus| is astronomically
+    * large, but prefix filtering bounds candidates to pairs sharing a
+    * rare token.
+    *
+    * BIPARTITE prefix filtering: the inverted-index join generates
+    * candidates ONLY across sides (left prefix tokens vs right prefix
+    * tokens — within-side pairs never exist, no `id <` dance), under
+    * one global token order computed from the union of both corpora.
+    * Exact and lossless for the same reason as [[prefixJaccardPairs]];
+    * ids must be distinct across the two inputs (they name the pair).
+    *
+    * Scale shape: one token-count aggregate over both corpora, one
+    * prefix explode per side shuffled by (block, token), candidate
+    * distinct, verify join. With |left| ≪ |right| (the typical
+    * eval-vs-training case) the left posting lists are tiny and the
+    * join cost tracks the right corpus linearly.
+    */
+  def crossJaccardPairs(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String],
+      shingleSize: Int = 1,
+      threshold: Double = 0.5,
+      topVocab: Int = 256): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      "crossJaccardPairs needs 0 < threshold <= 1")
+    val lBase = hashedShingleBase(left, idCol, textCol, blockCols, shingleSize)
+    val rBase = hashedShingleBase(right, idCol, textCol, blockCols, shingleSize)
+    val rankLit = dfRankLit(lBase.select("sh").unionAll(rBase.select("sh")), topVocab)
+    val lPref = withPrefix(lBase, rankLit, threshold)
+    val rPref = withPrefix(rBase, rankLit, threshold)
+
+    val lTok = lPref.select((col("id").as("left_id") +: col("n").as("n_a") +:
+      explode(col("__pref")).as("tok") +: blockCols.map(col)): _*)
+    val rTok = rPref.select((col("id").as("right_id") +: col("n").as("n_b") +:
+      explode(col("__pref")).as("tok") +: blockCols.map(col)): _*)
+    val candidates = lTok.join(rTok, blockCols :+ "tok")
+      .filter(least(col("n_a"), col("n_b")).cast("double") >=
+        lit(threshold) * greatest(col("n_a"), col("n_b")))
+      .select(("left_id" +: "right_id" +: blockCols).map(col): _*)
+      .dropDuplicates("left_id" +: "right_id" +: blockCols)
+
+    verifyCandidates(candidates, lBase, rBase, "left_id", "right_id", threshold)
+      .select(("left_id" +: "right_id" +: "jaccard" +: blockCols).map(col): _*)
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold, blocked by

@@ -124,6 +124,24 @@ class DedupSpec extends SparkTestBase {
     assertThrows[IllegalArgumentException](run("nope"))
   }
 
+  test("crossJaccardPairs equals the cross-side slice of the all-pairs self-join") {
+    val blocked = docs.withColumn("blk", lit(1))
+    val l = blocked.filter(col("doc_id") <= 2)
+    val r = blocked.filter(col("doc_id") > 2)
+    val cross = Dedup.crossJaccardPairs(l, r, "doc_id", "text",
+      blockCols = Seq("blk"), shingleSize = 1, threshold = 0.3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    // oracle: the exact self-join over the union, restricted to pairs
+    // straddling the split (id_a <= 2 < id_b since id_a < id_b)
+    val expected = Dedup.ngramJaccardPairs(blocked, "doc_id", "text",
+      blockCols = Seq("blk"), shingleSize = 1, threshold = 0.3,
+      strategy = "allpairs")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+      .filter { case (a, b, _) => a <= 2 && b > 2 }.toSet
+    assert(expected.nonEmpty)
+    assert(cross == expected)
+  }
+
   test("clusters converges on a 15-node chain within default iterations") {
     val chain = (1L until 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val labels = Dedup.clusters(chain).collect()
