@@ -234,13 +234,6 @@ object Dedup {
       vocabHint: Option[Seq[String]] = None,
       sampleDocs: Int = 512,
       bitsetMaxRows: Long = 8192): DataFrame = {
-    def probeVocab(): Seq[String] = df
-      .select(explode(shingles(col(textCol), shingleSize)).as("tok"))
-      .distinct().limit(bitsetVocabCap + 1).collect().map(_.getString(0)).toSeq
-    def sampleIsClosed(): Boolean = df
-      .select(col(textCol)).limit(sampleDocs)
-      .select(explode(shingles(col(textCol), shingleSize)).as("tok"))
-      .distinct().limit(bitsetVocabCap + 1).count() <= bitsetVocabCap
     def openVocabPath(): DataFrame =
       if (threshold > 0)
         prefixJaccardPairs(df, idCol, textCol, blockCols, shingleSize, threshold)
@@ -254,22 +247,19 @@ object Dedup {
         case Some(v) if v.size <= bitsetVocabCap => bitset(v)
         case Some(_) => openVocabPath()
         case None =>
-          // both gates are bounded jobs (limit + count), never a
-          // full pass; the full confirm probe only runs when both say
-          // the 10x bitset payoff is on the table
-          def smallCorpus(): Boolean =
-            df.select(col(idCol)).limit((bitsetMaxRows + 1).toInt).count() <= bitsetMaxRows
-          if (!sampleIsClosed() || !smallCorpus()) openVocabPath()
-          else {
-            val vocab = probeVocab() // closed-vocab evidence: confirm
-            if (vocab.size <= bitsetVocabCap) bitset(vocab) else openVocabPath()
+          autoClosedVocab(df, textCol, shingleSize, bitsetVocabCap,
+            sampleDocs, bitsetMaxRows) match {
+            case Some(vocab) => bitset(vocab)
+            case None => openVocabPath()
           }
       }
       case "probe" =>
-        val vocab = vocabHint.getOrElse(probeVocab())
+        val vocab = vocabHint.getOrElse(
+          fullVocabProbe(df, textCol, shingleSize, bitsetVocabCap))
         if (vocab.size <= bitsetVocabCap) bitset(vocab) else openVocabPath()
       case "bitset" =>
-        val vocab = vocabHint.getOrElse(probeVocab())
+        val vocab = vocabHint.getOrElse(
+          fullVocabProbe(df, textCol, shingleSize, bitsetVocabCap))
         require(vocab.size <= bitsetVocabCap,
           s"bitset strategy needs <= $bitsetVocabCap distinct shingles, got > ${vocab.size - 1}")
         bitset(vocab)
@@ -280,6 +270,32 @@ object Dedup {
       case other => throw new IllegalArgumentException(
         s"unknown ngramJaccardPairs strategy: $other (auto|probe|bitset|prefix|allpairs)")
     }
+  }
+
+  /** Full-corpus distinct-shingle probe, truncated at `cap + 1`. */
+  private def fullVocabProbe(texts: DataFrame, textCol: String,
+      shingleSize: Int, cap: Int): Seq[String] = texts
+    .select(explode(shingles(col(textCol), shingleSize)).as("tok"))
+    .distinct().limit(cap + 1).collect().map(_.getString(0)).toSeq
+
+  /** The bounded auto-dispatch gate shared by the self-join and
+    * bipartite Jaccard entry points: Some(vocab) exactly when a
+    * `sampleDocs`-document sample AND a limit+count row bound both
+    * signal a small closed-vocabulary corpus, confirmed by the full
+    * distinct probe. Every job here is bounded except the confirm,
+    * which runs only on positive closed-vocab evidence — open-vocab
+    * (real text) corpora never pay a full pass. */
+  private def autoClosedVocab(texts: DataFrame, textCol: String,
+      shingleSize: Int, cap: Int, sampleDocs: Int,
+      maxRows: Long): Option[Seq[String]] = {
+    def sampleIsClosed = texts.select(col(textCol)).limit(sampleDocs)
+      .select(explode(shingles(col(textCol), shingleSize)).as("tok"))
+      .distinct().limit(cap + 1).count() <= cap
+    def smallCorpus = texts.select(col(textCol))
+      .limit((maxRows + 1).toInt).count() <= maxRows
+    if (!sampleIsClosed || !smallCorpus) None
+    else Some(fullVocabProbe(texts, textCol, shingleSize, cap))
+      .filter(_.size <= cap)
   }
 
   /** In-block Jaccard pairs over a CLOSED vocabulary (<= a few hundred
@@ -556,6 +572,13 @@ object Dedup {
     * distinct, verify join. With |left| ≪ |right| (the typical
     * eval-vs-training case) the left posting lists are tiny and the
     * join cost tracks the right corpus linearly.
+    *
+    * Dispatch mirrors [[ngramJaccardPairs]]: `"auto"` uses the same
+    * bounded sample + size gates (over BOTH corpora) to route small
+    * closed-vocabulary inputs to the bipartite popcount path
+    * ([[crossBitsetPairs]] — dense-output corpora are where prefix
+    * pruning cannot win) and everything else to the prefix join;
+    * `vocabHint` / `"bitset"` / `"prefix"` override.
     */
   def crossJaccardPairs(
       left: DataFrame,
@@ -565,26 +588,97 @@ object Dedup {
       blockCols: Seq[String],
       shingleSize: Int = 1,
       threshold: Double = 0.5,
-      topVocab: Int = 256): DataFrame = {
+      topVocab: Int = 256,
+      saltBuckets: Int = 32,
+      bitsetVocabCap: Int = 256,
+      strategy: String = "auto",
+      vocabHint: Option[Seq[String]] = None,
+      sampleDocs: Int = 512,
+      bitsetMaxRows: Long = 8192): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "crossJaccardPairs needs 0 < threshold <= 1")
-    val lBase = hashedShingleBase(left, idCol, textCol, blockCols, shingleSize)
-    val rBase = hashedShingleBase(right, idCol, textCol, blockCols, shingleSize)
-    val rankLit = dfRankLit(lBase.select("sh").unionAll(rBase.select("sh")), topVocab)
-    val lPref = withPrefix(lBase, rankLit, threshold)
-    val rPref = withPrefix(rBase, rankLit, threshold)
+    def prefixPath(): DataFrame = {
+      val lBase = hashedShingleBase(left, idCol, textCol, blockCols, shingleSize)
+      val rBase = hashedShingleBase(right, idCol, textCol, blockCols, shingleSize)
+      val rankLit = dfRankLit(lBase.select("sh").unionAll(rBase.select("sh")), topVocab)
+      val lPref = withPrefix(lBase, rankLit, threshold)
+      val rPref = withPrefix(rBase, rankLit, threshold)
 
-    val lTok = lPref.select((col("id").as("left_id") +: col("n").as("n_a") +:
-      explode(col("__pref")).as("tok") +: blockCols.map(col)): _*)
-    val rTok = rPref.select((col("id").as("right_id") +: col("n").as("n_b") +:
-      explode(col("__pref")).as("tok") +: blockCols.map(col)): _*)
-    val candidates = lTok.join(rTok, blockCols :+ "tok")
+      val lTok = lPref.select((col("id").as("left_id") +: col("n").as("n_a") +:
+        explode(col("__pref")).as("tok") +: blockCols.map(col)): _*)
+      val rTok = rPref.select((col("id").as("right_id") +: col("n").as("n_b") +:
+        explode(col("__pref")).as("tok") +: blockCols.map(col)): _*)
+      val candidates = lTok.join(rTok, blockCols :+ "tok")
+        .filter(least(col("n_a"), col("n_b")).cast("double") >=
+          lit(threshold) * greatest(col("n_a"), col("n_b")))
+        .select(("left_id" +: "right_id" +: blockCols).map(col): _*)
+        .dropDuplicates("left_id" +: "right_id" +: blockCols)
+
+      verifyCandidates(candidates, lBase, rBase, "left_id", "right_id", threshold)
+        .select(("left_id" +: "right_id" +: "jaccard" +: blockCols).map(col): _*)
+    }
+    def bitset(vocab: Seq[String]): DataFrame =
+      crossBitsetPairs(left, right, idCol, textCol, blockCols,
+        vocab.sorted.distinct, shingleSize, threshold, saltBuckets)
+    def bothTexts: DataFrame =
+      left.select(col(textCol)).unionAll(right.select(col(textCol)))
+    strategy match {
+      case "auto" => vocabHint match {
+        case Some(v) if v.size <= bitsetVocabCap => bitset(v)
+        case Some(_) => prefixPath()
+        case None =>
+          autoClosedVocab(bothTexts, textCol, shingleSize, bitsetVocabCap,
+            sampleDocs, bitsetMaxRows) match {
+            case Some(vocab) => bitset(vocab)
+            case None => prefixPath()
+          }
+      }
+      case "bitset" =>
+        val vocab = vocabHint.getOrElse(
+          fullVocabProbe(bothTexts, textCol, shingleSize, bitsetVocabCap))
+        require(vocab.size <= bitsetVocabCap,
+          s"bitset strategy needs <= $bitsetVocabCap distinct shingles, got > ${vocab.size - 1}")
+        bitset(vocab)
+      case "prefix" => prefixPath()
+      case other => throw new IllegalArgumentException(
+        s"unknown crossJaccardPairs strategy: $other (auto|bitset|prefix)")
+    }
+  }
+
+  /** Bipartite bitset path of [[crossJaccardPairs]]: both corpora
+    * encoded as fixed-width bitmasks over one closed vocabulary, then
+    * a salted block join ACROSS sides only — popcount kernel, no
+    * within-side pairs, no `id <` dance. The salt comes from the left
+    * id with the right side replicated: with |left| ≪ |right| (the
+    * eval-vs-training shape) every core still gets work because
+    * parallelism is |blocks| × saltBuckets. */
+  def crossBitsetPairs(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String],
+      vocab: Seq[String],
+      shingleSize: Int = 1,
+      threshold: Double = 0.5,
+      saltBuckets: Int = 32): DataFrame = {
+    val words = (vocab.size + 63) / 64
+    val l = bitsetEncode(left, idCol, textCol, blockCols, vocab, shingleSize)
+    val r = bitsetEncode(right, idCol, textCol, blockCols, vocab, shingleSize)
+    val a = l.select((col("id").as("left_id") +: col("m").as("m_a") +: col("n").as("n_a") +:
+      pmod(xxhash64(col("id")), lit(saltBuckets)).as("__salt") +: blockCols.map(col)): _*)
+    val b = r.select((col("id").as("right_id") +: col("m").as("m_b") +: col("n").as("n_b") +:
+      explode(sequence(lit(0L), lit(saltBuckets - 1L))).as("__salt") +: blockCols.map(col)): _*)
+    val inter = (0 until words)
+      .map(i => bit_count(element_at(col("m_a"), i + 1)
+        .bitwiseAND(element_at(col("m_b"), i + 1))).cast("long"))
+      .reduce(_ + _).cast("double")
+    val union = col("n_a").cast("double") + col("n_b") - inter
+    a.join(b, blockCols :+ "__salt")
       .filter(least(col("n_a"), col("n_b")).cast("double") >=
         lit(threshold) * greatest(col("n_a"), col("n_b")))
-      .select(("left_id" +: "right_id" +: blockCols).map(col): _*)
-      .dropDuplicates("left_id" +: "right_id" +: blockCols)
-
-    verifyCandidates(candidates, lBase, rBase, "left_id", "right_id", threshold)
+      .withColumn("jaccard", inter / union)
+      .filter(col("jaccard") >= threshold)
       .select(("left_id" +: "right_id" +: "jaccard" +: blockCols).map(col): _*)
   }
 

@@ -128,8 +128,9 @@ class DedupSpec extends SparkTestBase {
     val blocked = docs.withColumn("blk", lit(1))
     val l = blocked.filter(col("doc_id") <= 2)
     val r = blocked.filter(col("doc_id") > 2)
-    val cross = Dedup.crossJaccardPairs(l, r, "doc_id", "text",
-      blockCols = Seq("blk"), shingleSize = 1, threshold = 0.3)
+    def run(strategy: String) = Dedup.crossJaccardPairs(l, r, "doc_id", "text",
+      blockCols = Seq("blk"), shingleSize = 1, threshold = 0.3,
+      strategy = strategy)
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
     // oracle: the exact self-join over the union, restricted to pairs
     // straddling the split (id_a <= 2 < id_b since id_a < id_b)
@@ -139,7 +140,9 @@ class DedupSpec extends SparkTestBase {
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
       .filter { case (a, b, _) => a <= 2 && b > 2 }.toSet
     assert(expected.nonEmpty)
-    assert(cross == expected)
+    assert(run("auto") == expected)    // sample gate -> bitset here
+    assert(run("prefix") == expected)
+    assert(run("bitset") == expected)
   }
 
   test("clusters converges on a 15-node chain within default iterations") {
