@@ -276,6 +276,14 @@ object Probe {
       graft.operators.Dedup.embeddingNearDupPairs(
         x10("embeddings", Seq("vec_id")), "vec_id", "embedding",
         threshold = 0.35, planes = 4).count())
+    timed("dd7 contamination 2.5K x 47.5K docs")({
+      // 50K rows > the size gate: auto routes the bipartite prefix
+      // join (the open-vocab/large-corpus path) at this scale
+      val d = docs
+      graft.operators.Dedup.crossJaccardPairs(
+        d.filter(col("doc_id") % 10000000L <= 250), d.filter(col("doc_id") % 10000000L > 250),
+        "doc_id", "text", Seq("lang"), shingleSize = 1, threshold = 0.8).count()
+    })
   }
 
   /** Dot-product kernel microbench: the codegen `DotProduct`
