@@ -145,6 +145,34 @@ class DedupSpec extends SparkTestBase {
     assert(run("bitset") == expected)
   }
 
+  test("bitset paths stay exact with a multi-word mask (vocab > 64)") {
+    // 80-token vocabulary -> 2-long bitmasks: exercises the unrolled
+    // popcount over word boundaries in both the self-join and the
+    // bipartite kernel
+    val vocab = (0 until 80).map(i => s"w$i")
+    val text = udf((id: Long) =>
+      (0 until 80).filter(i => (i + id) % 3 == 0 || i % (id + 2) == 0)
+        .map(i => s"w$i").mkString(" "))
+    val corpus = spark.range(1, 21)
+      .select(col("id").as("doc_id"), text(col("id")).as("text"), lit(1).as("blk"))
+    val all = Dedup.allPairsJaccard(corpus, "doc_id", "text",
+      blockCols = Seq("blk"), shingleSize = 1, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val bits = Dedup.bitsetJaccardPairs(corpus, "doc_id", "text",
+      blockCols = Seq("blk"), vocab = vocab, shingleSize = 1, threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(all.nonEmpty)
+    assert(bits == all)
+    val l = corpus.filter(col("doc_id") <= 10)
+    val r = corpus.filter(col("doc_id") > 10)
+    val cross = Dedup.crossBitsetPairs(l, r, "doc_id", "text",
+      blockCols = Seq("blk"), vocab = vocab, shingleSize = 1, threshold = 0.3)
+      .collect().map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(2))).toMap
+    val expectedCross = all.filter { case ((a, b), _) => a <= 10 && b > 10 }
+    assert(expectedCross.nonEmpty)
+    assert(cross == expectedCross)
+  }
+
   test("clusters converges on a 15-node chain within default iterations") {
     val chain = (1L until 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val labels = Dedup.clusters(chain).collect()
