@@ -127,7 +127,12 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
 
     // Exact verification: re-join the shingle sets for candidate ids
-    // only (candidates << corpus at scale).
+    // only (candidates << corpus at scale). NOTE measured: swapping
+    // this for the hashed-long merge-scan kernel (the exact-Jaccard
+    // paths' verify) is a REGRESSION here — the sort+hash projection
+    // is a CodegenFallback HOF that Catalyst collapses into the join
+    // and re-evaluates per candidate row; array_intersect/array_union
+    // over the string arrays are native codegen and faster end to end.
     val a = withShingles.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val b = withShingles.select(col("id").as("id_b"), col("sh").as("sh_b"))
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
