@@ -346,6 +346,85 @@ object TextExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** The per-row kernel of [[SortedShingleHashes]], shared verbatim by
+    * interpreted eval and generated code (the generated Java calls the
+    * static forwarder — one virtual call per ROW is noise next to the
+    * tokenization itself, and it keeps the two paths identical by
+    * construction).
+    *
+    * Tokenization replicates `split(lower(trim(text)), "\\s+")` at
+    * UTF8String level (Spark's trim strips spaces only; split keeps a
+    * leading empty token) so the hash values are EXACTLY those of
+    * `array_sort(transform(shingles(text, k), xxhash64))` — Spark's
+    * `xxhash64` is XXH64 with seed 42 — with duplicates removed after
+    * hashing instead of before (same set, collisions ~2^-64).
+    */
+  def shingleHashKernel(text: UTF8String, k: Int, seed: Long): ArrayData = {
+    val toks = text.trim().toLowerCase().toString.split("\\s+", -1)
+    val hashes: Array[Long] =
+      if (toks.length <= k)
+        Array(XXH64.hashUTF8String(UTF8String.fromString(toks.mkString(" ")), seed))
+      else {
+        val m = toks.length - k + 1
+        val out = new Array[Long](m)
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i < m) {
+          sb.setLength(0)
+          var j = 0
+          while (j < k) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          out(i) = XXH64.hashUTF8String(UTF8String.fromString(sb.toString), seed)
+          i += 1
+        }
+        out
+      }
+    java.util.Arrays.sort(hashes)
+    var w = 0
+    var i = 0
+    while (i < hashes.length) {
+      if (w == 0 || hashes(i) != hashes(w - 1)) { hashes(w) = hashes(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hashes, w))
+  }
+
+  /** Sorted distinct XXH64 hashes of a document's word k-shingles in
+    * ONE fused pass over the text. The composition it replaces —
+    * `array_sort(transform(array_distinct(<k-gram transform>),
+    * xxhash64))` — stacks three `ArrayTransform`-family higher-order
+    * functions, every one CodegenFallback (interpreted, one
+    * intermediate array each); worse, as a PROJECTION it can be
+    * collapsed by Catalyst into downstream joins and re-evaluated per
+    * join-output row. This expression is the base of every hashed
+    * Jaccard path (prefix, all-pairs, bipartite).
+    */
+  case class SortedShingleHashes(child: Expression, k: Int, seed: Long = 42L)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "sorted_shingle_hashes"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sorted_shingle_hashes requires a string column, got ${other.catalogString}")
+      }
+
+    override protected def nullSafeEval(input: Any): Any =
+      shingleHashKernel(input.asInstanceOf[UTF8String], k, seed)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExpressions.shingleHashKernel($c, $k, ${seed}L);")
+
+    override protected def withNewChildInternal(newChild: Expression): SortedShingleHashes =
+      copy(child = newChild)
+  }
+
   // ---- Column-level API ----
 
   def rolling_hash(c: Column): Column =
@@ -363,6 +442,9 @@ object TextExpressions {
   def sorted_intersect_count(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedIntersectCount(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def sorted_shingle_hashes(c: Column, k: Int): Column =
+    ExpressionUtils.column(SortedShingleHashes(ExpressionUtils.expression(c), k))
 
   /** Register the SQL forms (`rolling_hash`, `simhash64`,
     * `minhash_signature`) in a session's function registry. */

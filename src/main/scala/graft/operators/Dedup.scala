@@ -413,8 +413,7 @@ object Dedup {
     // set Jaccard is hash-invariant (collisions are ~2^-64), and the
     // pairwise inner loop becomes a codegen merge scan over sorted
     // longs (SortedIntersectCount) instead of per-pair hash sets.
-    val sh = array_sort(transform(shingles(col(textCol), shingleSize), t => xxhash64(t)))
-    val base = spread(df).select((col(idCol).as("id") +: sh.as("sh") +: size(sh).as("n") +: blockCols.map(col)): _*)
+    val base = hashedShingleBase(df, idCol, textCol, blockCols, shingleSize)
     // Blocking keys are few (e.g. 5 languages) while in-block work is
     // quadratic — AQE's byte-based skew split cannot see compute skew,
     // so the join is salted explicitly: side A picks a deterministic
@@ -500,10 +499,12 @@ object Dedup {
       .select(("id_a" +: "id_b" +: "jaccard" +: blockCols).map(col): _*)
   }
 
-  /** (id, sorted hashed shingles, set size, blocks) for one corpus. */
+  /** (id, sorted hashed shingles, set size, blocks) for one corpus —
+    * one fused codegen pass per row (`sorted_shingle_hashes`), not the
+    * stacked interpreted HOFs it replaced. */
   private def hashedShingleBase(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], shingleSize: Int): DataFrame = {
-    val sh = array_sort(transform(shingles(col(textCol), shingleSize), t => xxhash64(t)))
+    val sh = TextExpressions.sorted_shingle_hashes(col(textCol), shingleSize)
     spread(df).select((col(idCol).as("id") +: sh.as("sh") +: size(sh).as("n") +:
       blockCols.map(col)): _*)
   }

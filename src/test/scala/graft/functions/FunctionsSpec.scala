@@ -96,6 +96,40 @@ class TextExpressionsSpec extends SparkTestBase {
     assert(r.isNullAt(0))
   }
 
+  test("sorted_shingle_hashes equals the HOF composition it replaces") {
+    // tricky tokenization: repeated shingles, mixed case, interior
+    // newlines/tabs, leading/trailing spaces, short text (n <= k)
+    val texts = Seq(
+      "The quick  brown fox the quick brown fox",
+      "  padded   with spaces  ",
+      "line\nbreak\tand tab",
+      "one",
+      "TwO ToKeNs")
+    for (k <- Seq(1, 2, 3); t <- texts) {
+      val df = Seq(t).toDF("text")
+      val fused = df.select(sorted_shingle_hashes(col("text"), k))
+        .first().getSeq[Long](0)
+      val hof = df.select(array_sort(transform(
+          graft.operators.Dedup.shingles(col("text"), k), s => xxhash64(s))))
+        .first().getSeq[Long](0)
+      assert(fused == hof, s"k=$k text=$t")
+    }
+    // null propagates
+    assert(Seq(Option.empty[String]).toDF("text")
+      .select(sorted_shingle_hashes(col("text"), 2)).first().isNullAt(0))
+    // interpreted eval equals the DataFrame (codegen) result
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val interp = SortedShingleHashes(Literal("a b c a"), 2).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray().toSeq
+    val viaDf = Seq("a b c a").toDF("text")
+      .select(sorted_shingle_hashes(col("text"), 2)).first().getSeq[Long](0)
+    assert(interp == viaDf)
+    // non-string input rejected at analysis
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      Seq(1L).toDF("x").select(sorted_shingle_hashes(col("x"), 2)).collect()
+    }
+  }
+
   test("SQL registration exposes the functions to spark.sql") {
     registerAll(spark)
     val r = spark.sql("SELECT rolling_hash('x'), simhash64(array('a','b')), " +
