@@ -392,6 +392,86 @@ object TextExpressions {
     new GenericArrayData(java.util.Arrays.copyOf(hashes, w))
   }
 
+  /** The per-row kernel of [[MinHashBandBucketsFromText]]: tokenize →
+    * k-gram → per-seed minima → band-bucket chain, one pass, no
+    * intermediate shingle array. Hash values identical to
+    * `minhash_band_buckets(shingles(text, k), H, B)`: min-hash over
+    * the k-gram MULTISET equals min-hash over the distinct set, so
+    * skipping the distinct changes nothing. */
+  def minHashBandKernel(text: UTF8String, k: Int,
+      numHashes: Int, numBands: Int): ArrayData = {
+    val toks = text.trim().toLowerCase().toString.split("\\s+", -1)
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    def update(s: String): Unit = {
+      val u = UTF8String.fromString(s)
+      var j = 0
+      while (j < numHashes) {
+        val h = XXH64.hashUTF8String(u, j.toLong)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+    }
+    if (toks.length <= k) update(toks.mkString(" "))
+    else {
+      val m = toks.length - k + 1
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < m) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        update(sb.toString)
+        i += 1
+      }
+    }
+    val rowsPerBand = numHashes / numBands
+    val out = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var h = b.toLong
+      var j = b * rowsPerBand
+      while (j < (b + 1) * rowsPerBand) { h = XXH64.hashLong(mins(j), h); j += 1 }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** [[MinHashBandBuckets]] fused with the shingling itself: takes the
+    * raw TEXT column so the interpreted `transform`/`concat_ws`
+    * shingle-array construction disappears from the LSH signature
+    * stage. Values are identical to the composition it replaces. */
+  case class MinHashBandBucketsFromText(
+      child: Expression, k: Int, numHashes: Int, numBands: Int)
+      extends UnaryExpression {
+    require(numHashes % numBands == 0, "numHashes must be divisible by numBands")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "minhash_band_buckets_text"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_band_buckets_text requires a string column, got ${other.catalogString}")
+      }
+
+    override protected def nullSafeEval(input: Any): Any =
+      minHashBandKernel(input.asInstanceOf[UTF8String], k, numHashes, numBands)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExpressions.minHashBandKernel(" +
+          s"$c, $k, $numHashes, $numBands);")
+
+    override protected def withNewChildInternal(
+        newChild: Expression): MinHashBandBucketsFromText =
+      copy(child = newChild)
+  }
+
   /** Sorted distinct XXH64 hashes of a document's word k-shingles in
     * ONE fused pass over the text. The composition it replaces —
     * `array_sort(transform(array_distinct(<k-gram transform>),
@@ -445,6 +525,10 @@ object TextExpressions {
 
   def sorted_shingle_hashes(c: Column, k: Int): Column =
     ExpressionUtils.column(SortedShingleHashes(ExpressionUtils.expression(c), k))
+
+  def minhash_band_buckets_text(c: Column, k: Int, numHashes: Int, numBands: Int): Column =
+    ExpressionUtils.column(MinHashBandBucketsFromText(
+      ExpressionUtils.expression(c), k, numHashes, numBands))
 
   /** Register the SQL forms (`rolling_hash`, `simhash64`,
     * `minhash_signature`) in a session's function registry. */

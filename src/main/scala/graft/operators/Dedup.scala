@@ -96,13 +96,15 @@ object Dedup {
 
     // Bucket ids only — the heavy shingle arrays never enter the
     // band explode or the pair generation, so all LSH shuffles move
-    // (id, band, bucket) triples, not document bodies. Signature +
-    // band hashing is ONE codegen pass (MinHashBandBuckets): building
-    // buckets from slice/concat_ws/xxhash64 over a signature array is
-    // CodegenFallback and was the pipeline's dominant cost.
-    val banded = withShingles.select(
-      col("id"),
-      posexplode(TextExpressions.minhash_band_buckets(col("sh"), numHashes, numBands))
+    // (id, band, bucket) triples, not document bodies. Tokenize +
+    // shingle + signature + band hashing is ONE codegen pass straight
+    // from the text (MinHashBandBucketsFromText): both the HOF
+    // band-bucket composition AND the HOF shingle-array construction
+    // are CodegenFallback and were the stage's dominant cost.
+    val banded = spread(df).select(
+      col(idCol).as("id"),
+      posexplode(TextExpressions.minhash_band_buckets_text(
+        col(textCol), shingleSize, numHashes, numBands))
         .as(Seq("band", "bucket")))
 
     // Pairs generated inside each bucket after ONE shuffle

@@ -96,6 +96,23 @@ class TextExpressionsSpec extends SparkTestBase {
     assert(r.isNullAt(0))
   }
 
+  test("minhash_band_buckets_text equals the shingle-array composition") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and more words here",
+      "  short  ", "one two", "x")
+    for (k <- Seq(2, 3); t <- texts) {
+      val df = Seq(t).toDF("text")
+      val fused = df.select(minhash_band_buckets_text(col("text"), k, 32, 8))
+        .first().getSeq[Long](0)
+      val composed = df.select(minhash_band_buckets(
+          graft.operators.Dedup.shingles(col("text"), k), 32, 8))
+        .first().getSeq[Long](0)
+      assert(fused == composed, s"k=$k text=$t")
+    }
+    assert(Seq(Option.empty[String]).toDF("text")
+      .select(minhash_band_buckets_text(col("text"), 3, 32, 8)).first().isNullAt(0))
+  }
+
   test("sorted_shingle_hashes equals the HOF composition it replaces") {
     // tricky tokenization: repeated shingles, mixed case, interior
     // newlines/tabs, leading/trailing spaces, short text (n <= k)
