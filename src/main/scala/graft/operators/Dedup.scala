@@ -91,9 +91,6 @@ object Dedup {
     require(numHashes % numBands == 0, "numHashes must be divisible by numBands")
     val rowsPerBand = numHashes / numBands
 
-    val sh = shingles(col(textCol), shingleSize)
-    val withShingles = spread(df).select(col(idCol).as("id"), sh.as("sh"))
-
     // Bucket ids only — the heavy shingle arrays never enter the
     // band explode or the pair generation, so all LSH shuffles move
     // (id, band, bucket) triples, not document bodies. Tokenize +
@@ -129,16 +126,19 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
 
     // Exact verification: re-join the shingle sets for candidate ids
-    // only (candidates << corpus at scale). NOTE measured: swapping
-    // this for the hashed-long merge-scan kernel (the exact-Jaccard
-    // paths' verify) is a REGRESSION here — the sort+hash projection
-    // is a CodegenFallback HOF that Catalyst collapses into the join
-    // and re-evaluates per candidate row; array_intersect/array_union
-    // over the string arrays are native codegen and faster end to end.
-    val a = withShingles.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = withShingles.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    val union = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    // only (candidates << corpus at scale), as sorted hashed longs
+    // (one fused codegen pass per doc) with the merge-scan intersect
+    // per pair — no per-pair string hash sets, no union array.
+    // (An earlier attempt at this with the HOF sort∘hash composition
+    // regressed: interpreted and re-evaluated per join row once
+    // collapsed; the fused expression made it the winning shape.)
+    val hs = TextExpressions.sorted_shingle_hashes(col(textCol), shingleSize)
+    val sides = spread(df).select(col(idCol).as("id"), hs.as("hs"), size(hs).as("n"))
+    val a = sides.select(col("id").as("id_a"), col("hs").as("hs_a"), col("n").as("n_a"))
+    val b = sides.select(col("id").as("id_b"), col("hs").as("hs_b"), col("n").as("n_b"))
+    val inter = TextExpressions
+      .sorted_intersect_count(col("hs_a"), col("hs_b")).cast("double")
+    val union = col("n_a").cast("double") + col("n_b") - inter
     candidates
       .join(a, "id_a").join(b, "id_b")
       .withColumn("jaccard", inter / union)
