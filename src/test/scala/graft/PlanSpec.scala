@@ -79,6 +79,27 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("tok"))
     assert(!p.contains("__salt"))
     assert(!p.contains("CartesianProduct"))
+    // the fused shingle-hash base replaced the interpreted HOF stack:
+    // the whole plan stays out of CodegenFallback
+    assert(p.contains("sorted_shingle_hashes"))
+    assert(!p.contains("CodegenFallback"))
+  }
+
+  test("LSH signature and verify stages stay inside codegen (no HOF fallback)") {
+    val d = spark.read.parquet(sf() + "/documents.parquet")
+    val df = graft.operators.Dedup.minhashLshPairs(d, "doc_id", "text",
+      shingleSize = 3, numHashes = 32, numBands = 8, threshold = 0.5)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("minhash_band_buckets_text"))
+    assert(p.contains("sorted_intersect_count"))
+    // the only CodegenFallback allowed is the bounded in-bucket pair
+    // generation (array HOFs over collected id lists, once per bucket,
+    // not per pair) — the per-doc and per-pair kernels must be codegen
+    assert(p.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("minhash_band_buckets_text")))
+    assert(p.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("sorted_intersect_count")))
   }
 
   test("auto with a closed vocabHint builds its plan without running any job") {
