@@ -472,6 +472,79 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** Fixed-width bitmask of a document's word k-shingles over a CLOSED
+    * vocabulary, in one fused pass over the text: tokenize → k-gram →
+    * vocab index lookup → set bit. Replaces the relational encode
+    * (explode + broadcast vocab join + `bit_or` aggregate) with a
+    * single projection — the per-call vocabulary map lives in the
+    * expression (broadcast with the serialized plan; vocab is capped
+    * at ~1K entries) and builds once per task. Tokens outside the
+    * vocabulary are ignored, which is exactly the closed-vocab
+    * CONTRACT the bitset Jaccard paths document; the matched-set size
+    * needed for |union| is the mask's popcount, so no separate count
+    * survives either.
+    */
+  case class BitsetShingleMask(child: Expression, k: Int, vocab: Seq[String])
+      extends UnaryExpression {
+    private val words = (vocab.size + 63) / 64
+    require(words <= 16, s"bitset mask needs |vocab| <= 1024, got ${vocab.size}")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "bitset_shingle_mask"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bitset_shingle_mask requires a string column, got ${other.catalogString}")
+      }
+
+    @transient private lazy val index: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](vocab.size * 2)
+      vocab.zipWithIndex.foreach { case (t, i) => m.put(t, Integer.valueOf(i)) }
+      m
+    }
+
+    /** Instance kernel (needs the vocab map); generated code calls it
+      * through a plan reference object. */
+    def kernel(text: UTF8String): ArrayData = {
+      val toks = text.trim().toLowerCase().toString.split("\\s+", -1)
+      val mask = new Array[Long](words)
+      def set(s: String): Unit = {
+        val idx = index.get(s)
+        if (idx != null) mask(idx >> 6) |= (1L << (idx & 63))
+      }
+      if (toks.length <= k) set(toks.mkString(" "))
+      else {
+        val m = toks.length - k + 1
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i < m) {
+          sb.setLength(0)
+          var j = 0
+          while (j < k) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          set(sb.toString)
+          i += 1
+        }
+      }
+      new GenericArrayData(mask)
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      kernel(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bitsetMask", this, classOf[BitsetShingleMask].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): BitsetShingleMask =
+      copy(child = newChild)
+  }
+
   /** Sorted distinct XXH64 hashes of a document's word k-shingles in
     * ONE fused pass over the text. The composition it replaces —
     * `array_sort(transform(array_distinct(<k-gram transform>),
@@ -529,6 +602,9 @@ object TextExpressions {
   def minhash_band_buckets_text(c: Column, k: Int, numHashes: Int, numBands: Int): Column =
     ExpressionUtils.column(MinHashBandBucketsFromText(
       ExpressionUtils.expression(c), k, numHashes, numBands))
+
+  def bitset_shingle_mask(c: Column, k: Int, vocab: Seq[String]): Column =
+    ExpressionUtils.column(BitsetShingleMask(ExpressionUtils.expression(c), k, vocab))
 
   /** Register the SQL forms (`rolling_hash`, `simhash64`,
     * `minhash_signature`) in a session's function registry. */

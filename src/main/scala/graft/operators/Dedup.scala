@@ -334,16 +334,19 @@ object Dedup {
       blockCols, (vocab.size + 63) / 64, threshold, saltBuckets)
 
   /** (id, m: array<long> bitmask, n: popcount, blockCols...) encoding
-    * of each document's shingle set over a closed vocabulary.
+    * of each document's shingle set over a closed vocabulary — ONE
+    * codegen projection per row (`bitset_shingle_mask`: tokenize →
+    * k-gram → vocab lookup → set bit, vocab map shipped inside the
+    * expression), with `n` recovered as the mask's popcount.
     *
-    * Built RELATIONALLY — explode shingles, broadcast-join the vocab
-    * index, `groupBy(id).agg(bit_or(1L << idx))` per word — rather
-    * than with array higher-order functions, for two reasons:
-    * HOF expressions are CodegenFallback (interpreted), and a pure
-    * projection can be collapsed by Catalyst into downstream operators
-    * and re-evaluated once PER JOIN OUTPUT ROW (measured 12x slowdown
-    * at sf0.1). An aggregate is codegen'd end to end and is a plan
-    * barrier: masks are provably computed once per document.
+    * Replaced the earlier relational encode (explode + broadcast vocab
+    * join + `bit_or` aggregate — itself chosen over array HOFs, which
+    * are CodegenFallback and get re-evaluated per join-output row when
+    * collapsed): the fused expression keeps the one-pass guarantee
+    * WITHOUT the explode blow-up or the groupBy shuffle. Docs whose
+    * shingles all fall outside the vocabulary keep an all-zero mask
+    * (n=0) and can never reach a qualifying pair, matching the inner
+    * vocab join's drop semantics.
     */
   def bitsetEncode(
       df: DataFrame,
@@ -354,22 +357,14 @@ object Dedup {
       shingleSize: Int = 1): DataFrame = {
     val words = (vocab.size + 63) / 64
     require(words <= 16, s"bitset path needs |vocab| <= 1024, got ${vocab.size}")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val vocabDf = vocab.zipWithIndex.toDF("__tok", "__idx")
-    val toks = spread(df).select((col(idCol).as("id") +: blockCols.map(col) :+
-      explode(shingles(col(textCol), shingleSize)).as("__tok")): _*)
-    val wordAggs = (0 until words).map { w =>
-      bit_or(when(col("__idx").geq(w * 64) && col("__idx").lt((w + 1) * 64),
-        call_function("shiftleft", lit(1L), col("__idx") - w * 64))
-        .otherwise(lit(0L))).as(s"__m$w")
-    }
-    toks.join(broadcast(vocabDf), "__tok")
-      .groupBy((col("id") +: blockCols.map(col)): _*)
-      .agg(wordAggs.head, (wordAggs.tail :+ count(lit(1)).as("n")): _*)
-      .select((col("id") +:
-        array((0 until words).map(w => col(s"__m$w")): _*).as("m") +:
-        col("n") +: blockCols.map(col)): _*)
+    val mask = TextExpressions.bitset_shingle_mask(col(textCol), shingleSize, vocab)
+    val n = (0 until words)
+      .map(w => bit_count(element_at(col("m"), w + 1)).cast("long"))
+      .reduce(_ + _)
+    spread(df)
+      .select((col(idCol).as("id") +: mask.as("m") +: blockCols.map(col)): _*)
+      .withColumn("n", n)
+      .select((col("id") +: col("m") +: col("n") +: blockCols.map(col)): _*)
   }
 
   /** Salted in-block pair join over [[bitsetEncode]] output. The
