@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes straight through to this process's
+// stdout/stderr instead of sbt's logger: the driver parses Bench's
+// single JSON stdout line, which must not carry an "[info] " prefix
+// (and Spark's stderr logs must not become "[error]" noise).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -170,9 +170,11 @@ object Dedup {
     val hamming = bit_count(col("p.id_a.sig").bitwiseXOR(col("p.id_b.sig")))
     // Oversized buckets (mass-templated boilerplate) degrade to a STAR
     // expansion around the bucket minimum — the same linear degrade as
-    // minhashLshPairs, preserving connectivity for clustering. NOT a
-    // silent drop: the pigeonhole guarantee (hamming<=3 ⇒ some chunk
-    // shared) keeps holding through the star's hub.
+    // minhashLshPairs. Above maxBucketSize recall is BEST-EFFORT, not
+    // guaranteed: pairs survive only when each member is within
+    // maxHamming of the hub, so two near-dups both far from the hub
+    // lose their direct edge (connectivity only via hub-adjacent
+    // members). Still strictly better than the old silent drop.
     val allPairs = flatten(transform(rows, (x, i) =>
       transform(slice(rows, i + 2, size(rows)),
         y => struct(x.as("id_a"), y.as("id_b")))))
@@ -345,7 +347,8 @@ object Dedup {
     * collapsed): the fused expression keeps the one-pass guarantee
     * WITHOUT the explode blow-up or the groupBy shuffle. Docs whose
     * shingles all fall outside the vocabulary keep an all-zero mask
-    * (n=0) and can never reach a qualifying pair, matching the inner
+    * (n=0); the pair joins must filter n > 0 explicitly (0/0 = NaN
+    * and NaN compares above every threshold) to match the old inner
     * vocab join's drop semantics.
     */
   def bitsetEncode(
@@ -389,6 +392,12 @@ object Dedup {
     val union = col("n_a").cast("double") + col("n_b") - inter
     a.join(b, blockCols :+ "__salt")
       .filter(col("id_a") < col("id_b"))
+      // all-out-of-vocab docs carry n=0; without this guard the ratio
+      // prune passes (0 >= t*0) and 0/0 = NaN, which Spark orders
+      // ABOVE every double, so `NaN >= threshold` would admit the
+      // pair. The prefix strategy drops such docs (no tokens to join
+      // on), and all strategies must return identical results.
+      .filter(col("n_a") > 0 && col("n_b") > 0)
       .filter(least(col("n_a"), col("n_b")).cast("double") >=
         lit(threshold) * greatest(col("n_a"), col("n_b")))
       .withColumn("jaccard", inter / union)
@@ -428,6 +437,9 @@ object Dedup {
     val union = col("n_a").cast("double") + col("n_b") - inter
     a.join(b, blockCols :+ "__salt")
       .filter(col("id_a") < col("id_b"))
+      // empty-shingle docs carry n=0 → 0/0 = NaN sorts above every
+      // threshold; the prefix strategy drops them, so this must too
+      .filter(col("n_a") > 0 && col("n_b") > 0)
       .filter(least(col("n_a"), col("n_b")).cast("double") >=
         lit(threshold) * greatest(col("n_a"), col("n_b")))
       .withColumn("jaccard", inter / union)
@@ -678,6 +690,9 @@ object Dedup {
       .reduce(_ + _).cast("double")
     val union = col("n_a").cast("double") + col("n_b") - inter
     a.join(b, blockCols :+ "__salt")
+      // n=0 guard: see bitsetPairsFromEncoded (0/0 = NaN sorts above
+      // every threshold)
+      .filter(col("n_a") > 0 && col("n_b") > 0)
       .filter(least(col("n_a"), col("n_b")).cast("double") >=
         lit(threshold) * greatest(col("n_a"), col("n_b")))
       .withColumn("jaccard", inter / union)
@@ -704,6 +719,9 @@ object Dedup {
     val b = base.select(col("__sig"), col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
     a.join(b, "__sig")
       .filter(col("id_a") < col("id_b"))
+      // zero vectors have norm 0 → cosine 0/0 = NaN, which Spark
+      // orders above every double and would pass the threshold
+      .filter(col("n_a") > 0 && col("n_b") > 0)
       .withColumn("cosine", Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

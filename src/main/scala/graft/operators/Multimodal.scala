@@ -117,17 +117,31 @@ object Multimodal {
     * exact pre-count would be a full extra pass over every byte it
     * is about to bound. `exactCount = true` opts into that pass for
     * callers whose plan statistics are unusable (e.g. a post-shuffle
-    * intermediate with heavy filtering). */
+    * intermediate with heavy filtering).
+    *
+    * Plan stats measure ALL columns (compressed) and, for non-leaf
+    * plans without CBO, multiply child estimates — they can blow past
+    * any physical reality (up to the Long.MaxValue sentinel). Two
+    * guards: an estimate in the sentinel range falls back to the
+    * exact aggregate, and the final count is clamped to
+    * `maxPartitions` so a bad estimate can never ask `repartition`
+    * for an absurd shuffle. */
   def repartitionByBytes(media: DataFrame, targetBytesPerPartition: Long,
-      exactCount: Boolean = false): DataFrame = {
+      exactCount: Boolean = false, maxPartitions: Int = 1 << 16): DataFrame = {
+    def exact: Long =
+      media.agg(sum(coalesce(col("meta.n_bytes"),
+        octet_length(col("payload")).cast("long"))).cast("long")).head().getLong(0)
     val totalBytes: Long =
-      if (exactCount)
-        media.agg(sum(coalesce(col("meta.n_bytes"),
-          octet_length(col("payload")).cast("long"))).cast("long")).head().getLong(0)
-      else
-        media.queryExecution.optimizedPlan.stats.sizeInBytes
-          .min(BigInt(Long.MaxValue)).toLong
-    val parts = math.max(1, math.ceil(totalBytes.toDouble / targetBytesPerPartition).toInt)
+      if (exactCount) exact
+      else {
+        val est = media.queryExecution.optimizedPlan.stats.sizeInBytes
+        // >= Long.MaxValue/2 is the no-information regime: the
+        // defaultSizeInBytes sentinel itself, or a multiplied
+        // join/filter estimate that saturated toward it
+        if (est >= BigInt(Long.MaxValue / 2)) exact else est.toLong
+      }
+    val parts = math.min(maxPartitions.toLong,
+      math.max(1L, math.ceil(totalBytes.toDouble / targetBytesPerPartition).toLong)).toInt
     media.repartition(parts)
   }
 }

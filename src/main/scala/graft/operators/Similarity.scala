@@ -69,6 +69,10 @@ object Similarity {
       l2norm(col(vecCol)).as("cn"))
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
+      // zero-norm vectors have no direction: 0/0 throws under ANSI
+      // mode (and would rank FIRST as NaN with ANSI off) — filter
+      // BEFORE the division
+      .filter(col("qn") > 0 && col("cn") > 0)
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -100,6 +104,10 @@ object Similarity {
     val scored = q.join(c, "sig")
       .dropDuplicates("query_id", "neighbor_id")
       .filter(col("query_id") =!= col("neighbor_id"))
+      // zero-norm vectors have no direction: 0/0 throws under ANSI
+      // mode (and would rank FIRST as NaN with ANSI off) — filter
+      // BEFORE the division
+      .filter(col("qn") > 0 && col("cn") > 0)
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -141,6 +149,7 @@ object Similarity {
     val cNorm = sqrt(dot(col("cv"), col("cv")))
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(qNorm > 0 && cNorm > 0)
       .withColumn("cosine", intDot / (qNorm * cNorm))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -190,7 +199,9 @@ object Similarity {
 
     def assign(df: DataFrame, id: String, v: String, topN: Int): DataFrame = {
       val scored = df.select(col(id), col(v), l2norm(col(v)).as("n"))
+        .filter(col("n") > 0)
         .crossJoin(broadcast(cent))
+        .filter(col("cent_n") > 0)
         .withColumn("sim", dot(col(v), col("cent_v")) / (col("n") * col("cent_n")))
       val w = Window.partitionBy(col(id)).orderBy(col("sim").desc, col("cent_id").asc)
       scored.withColumn("r", row_number().over(w)).filter(col("r") <= topN)
@@ -204,6 +215,10 @@ object Similarity {
 
     val scored = queryProbes.join(corpusAssigned, "cent_id")
       .filter(col("query_id") =!= col("neighbor_id"))
+      // zero-norm vectors have no direction: 0/0 throws under ANSI
+      // mode (and would rank FIRST as NaN with ANSI off) — filter
+      // BEFORE the division
+      .filter(col("qn") > 0 && col("cn") > 0)
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)

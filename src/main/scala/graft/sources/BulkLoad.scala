@@ -81,12 +81,18 @@ object BulkLoad {
 
   /** Render one Spark row to the shared wire text (without trailing
     * newline). `binaryHex` renders a non-null binary column — PG and
-    * MySQL differ only there. */
+    * MySQL differ there, and in booleans: MySQL LOAD DATA coerces the
+    * text 'true' into TINYINT(1)/BIT as 0 (truncation warning, or an
+    * error in strict mode), so the MySQL encoder must emit 1/0 — the
+    * reference gets this for free because MySQL's own
+    * `ResultSet.getString` renders booleans as "1"/"0". Postgres COPY
+    * accepts true/false. */
   def encodeRow(
       row: Row,
       schema: StructType,
       binaryHex: Array[Byte] => String,
-      disableEscape: Boolean = false): String = {
+      disableEscape: Boolean = false,
+      boolAsInt: Boolean = false): String = {
     val b = new java.lang.StringBuilder(64)
     var i = 0
     while (i < schema.length) {
@@ -97,9 +103,11 @@ object BulkLoad {
           b.append(binaryHex(row.getAs[Array[Byte]](i)))
         case StringType =>
           b.append(escapeField(row.getString(i), disableEscape))
+        case BooleanType if boolAsInt =>
+          b.append(if (row.getBoolean(i)) '1' else '0')
         case _ =>
-          // numbers / booleans / dates / timestamps: JDBC text forms
-          // are their toString renderings, nothing escapable inside
+          // numbers / dates / timestamps: JDBC text forms are their
+          // toString renderings, nothing escapable inside
           b.append(String.valueOf(row.get(i)))
       }
       i += 1
@@ -149,6 +157,23 @@ object BulkLoad {
   private def classPresent(name: String): Boolean =
     try { Class.forName(name); true } catch { case _: Throwable => false }
 
+  /** JDBC connection `Properties` from the engine's option map — the
+    * same `sink.connect.parameter.*` passthrough the generic writer
+    * applies (user / password / driver / vendor knobs). A sink that
+    * authenticates via options must keep working when the vendor
+    * driver appears on the classpath and the bulk path activates. */
+  def connProps(options: Map[String, String]): java.util.Properties = {
+    val p = new java.util.Properties()
+    options.foreach { case (k, v) => p.setProperty(k, v) }
+    p
+  }
+
+  private def openConnection(url: String,
+      options: Map[String, String]): java.sql.Connection = {
+    options.get("driver").foreach(Class.forName)
+    java.sql.DriverManager.getConnection(url, connProps(options))
+  }
+
   /** True when the URL has a fast path AND its driver is loadable —
     * the activation condition for [[bulkAppend]]. */
   def available(url: String): Boolean = pathForUrl(url) match {
@@ -166,17 +191,18 @@ object BulkLoad {
     * table must already exist (complete mode truncates first, staging
     * modes create it — same contract as the generic writer). */
   def bulkAppend(df: DataFrame, url: String, table: String,
-      batchRows: Int = 5000, disableEscape: Boolean = false): Unit = {
+      batchRows: Int = 5000, disableEscape: Boolean = false,
+      options: Map[String, String] = Map.empty): Unit = {
     val schema = df.schema
     val path = pathForUrl(url).getOrElse(
       throw new IllegalArgumentException(s"no bulk path for $url"))
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) path match {
-        case PgCopy => pgCopyPartition(rows, url, table, schema, disableEscape)
+        case PgCopy => pgCopyPartition(rows, url, options, table, schema, disableEscape)
         case MySqlLoadData =>
-          mysqlLoadPartition(rows, url, table, schema, batchRows, disableEscape)
+          mysqlLoadPartition(rows, url, options, table, schema, batchRows, disableEscape)
         case SqlServerBulk =>
-          sqlServerBulkPartition(rows, url, table, schema, batchRows)
+          sqlServerBulkPartition(rows, url, options, table, schema, batchRows)
       }
     }
   }
@@ -231,8 +257,9 @@ object BulkLoad {
     * [[BulkRecordState]] — same calls as `SQLServerManager.java:75-120`
     * without a compile-time driver dependency. */
   private def sqlServerBulkPartition(rows: Iterator[Row], url: String,
-      table: String, schema: StructType, batchRows: Int): Unit = {
-    val conn = java.sql.DriverManager.getConnection(url)
+      options: Map[String, String], table: String, schema: StructType,
+      batchRows: Int): Unit = {
+    val conn = openConnection(url, options)
     try {
       val dataIface = Class.forName("com.microsoft.sqlserver.jdbc.ISQLServerBulkData")
       val state = new BulkRecordState(schema, rows)
@@ -267,8 +294,9 @@ object BulkLoad {
     * CopyManager.copyIn(sql) -> CopyIn.writeToCopy/endCopy — the same
     * calls as `PostgresqlManager.java:68-72,146-156`. */
   private def pgCopyPartition(rows: Iterator[Row], url: String,
-      table: String, schema: StructType, disableEscape: Boolean): Unit = {
-    val conn = java.sql.DriverManager.getConnection(url)
+      options: Map[String, String], table: String, schema: StructType,
+      disableEscape: Boolean): Unit = {
+    val conn = openConnection(url, options)
     try {
       val pgConn = conn.unwrap(Class.forName("org.postgresql.PGConnection")
         .asInstanceOf[Class[AnyRef]])
@@ -293,10 +321,10 @@ object BulkLoad {
     * through setLocalInfileInputStream + executeUpdate
     * (`MySQLManager.java:164-174`). */
   private def mysqlLoadPartition(rows: Iterator[Row], url: String,
-      table: String, schema: StructType, batchRows: Int,
-      disableEscape: Boolean): Unit = {
+      options: Map[String, String], table: String, schema: StructType,
+      batchRows: Int, disableEscape: Boolean): Unit = {
     val sql = mysqlLoadDataCommand(table, schema)
-    val conn = java.sql.DriverManager.getConnection(url)
+    val conn = openConnection(url, options)
     try {
       val st = conn.prepareStatement(sql)
       val stClass = Seq("com.mysql.cj.jdbc.JdbcPreparedStatement",
@@ -317,7 +345,8 @@ object BulkLoad {
         buf.setLength(0); n = 0
       }
       rows.foreach { r =>
-        buf.append(encodeRow(r, schema, bytesToHex, disableEscape)).append('\n')
+        buf.append(encodeRow(r, schema, bytesToHex, disableEscape,
+          boolAsInt = true)).append('\n')
         n += 1
         if (n >= batchRows) flush()
       }

@@ -73,13 +73,14 @@ object JdbcConnector {
 
     conf.mode match {
       case ReplicationMode.Complete =>
-        if (BulkLoad.available(url)) {
+        if (!conf.disableBulk && BulkLoad.available(url)) {
           // vendor bulk path: truncate on one connection, then stream
           // every partition through COPY / LOAD DATA in parallel
           if (!conf.disableTruncate) withConnection(url, conf.options) { c =>
             exec(c, DialectMerge.truncateSql(table, dialect))
           }
-          BulkLoad.bulkAppend(aligned, url, table, conf.batchSize)
+          BulkLoad.bulkAppend(aligned, url, table, conf.batchSize,
+            options = conf.options)
         } else {
           val writer = aligned.write.mode(SaveMode.Overwrite)
             .option("truncate", (!conf.disableTruncate).toString)
@@ -136,8 +137,9 @@ object JdbcConnector {
   }
 
   private def appendTo(df: DataFrame, url: String, table: String, conf: SinkConf): Unit =
-    if (BulkLoad.available(url)) {
-      BulkLoad.bulkAppend(df, url, table, conf.batchSize)
+    if (!conf.disableBulk && BulkLoad.available(url)) {
+      BulkLoad.bulkAppend(df, url, table, conf.batchSize,
+        options = conf.options)
     } else {
       val writer = df.write.mode(SaveMode.Append)
         .option("batchsize", conf.batchSize.toString)
@@ -190,7 +192,7 @@ object JdbcConnector {
 
   def withConnection[T](url: String, options: Map[String, String])(f: Connection => T): T = {
     options.get("driver").foreach(Class.forName)
-    val c = DriverManager.getConnection(url)
+    val c = DriverManager.getConnection(url, BulkLoad.connProps(options))
     try f(c) finally c.close()
   }
 

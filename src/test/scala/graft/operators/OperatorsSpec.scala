@@ -173,6 +173,35 @@ class DedupSpec extends SparkTestBase {
     assert(cross == expectedCross)
   }
 
+  test("bitset paths drop all-out-of-vocab docs instead of emitting NaN pairs") {
+    // two docs entirely outside the vocab (and one empty doc) encode
+    // to n=0 masks; 0/0 = NaN orders above every threshold in Spark,
+    // so without the n>0 guard each such pair would be emitted
+    val rows = Seq(
+      (1L, "w1 w2 w3"), (2L, "w1 w2 w3"),       // real in-vocab near-dups
+      (3L, "zz qq xx"), (4L, "zz qq xx"), (5L, ""))
+      .toDF("doc_id", "text").withColumn("blk", lit(1))
+    val vocab = Seq("w1", "w2", "w3", "w4")
+    val pairs = Dedup.bitsetJaccardPairs(rows, "doc_id", "text",
+      blockCols = Seq("blk"), vocab = vocab, shingleSize = 1, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a >= 3L || b >= 3L })
+    val cross = Dedup.crossBitsetPairs(
+      rows.filter(col("doc_id") % 2 === 1), rows.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", blockCols = Seq("blk"), vocab = vocab,
+      shingleSize = 1, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cross == Set((1L, 2L)))
+    // the open-vocab exact path must agree (empty docs have no
+    // shingles: 0/0 is undefined, not a match)
+    val all = Dedup.allPairsJaccard(rows, "doc_id", "text",
+      blockCols = Seq("blk"), shingleSize = 1, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == Set((1L, 2L), (3L, 4L))) // zz-docs are real dups here
+    assert(!all.contains((4L, 5L)) && !all.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
   test("clusters converges on a 15-node chain within default iterations") {
     val chain = (1L until 15L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val labels = Dedup.clusters(chain).collect()
@@ -236,6 +265,22 @@ class SimilaritySpec extends SparkTestBase {
       nCentroids = 5, nProbe = 5)
       .select("query_id", "neighbor_id", "rank").collect().toSet
     assert(ivf == bf)
+  }
+
+  test("zero-norm vectors never rank (NaN cosine would sort first)") {
+    val withZero = vecs.unionAll(Seq((9L, Seq(0f, 0f, 0f))).toDF("id", "v"))
+    val out = Similarity.bruteForceTopK(
+      withZero.filter("id = 0"), withZero, "id", "v", 5).collect()
+    assert(out.forall(_.getLong(1) != 9L))
+    assert(out.forall(r => !r.getDouble(3).isNaN))
+    // a zero-vector QUERY yields no rows rather than NaN rankings
+    val zq = Similarity.bruteForceTopK(
+      withZero.filter("id = 9"), withZero, "id", "v", 5).collect()
+    assert(zq.isEmpty)
+    val nd = Dedup.embeddingNearDupPairs(withZero, "id", "v", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!nd.exists(p => p._1 == 9L || p._2 == 9L))
+    assert(nd.contains((0L, 1L)))
   }
 
   test("lsh top-k returns only same-bucket neighbors, never the query itself") {
@@ -412,5 +457,19 @@ class MultimodalSpec extends SparkTestBase {
     // exact mode still available, and counts the real payload bytes
     val exact = Multimodal.repartitionByBytes(onDisk, 8, exactCount = true)
     assert(exact.rdd.getNumPartitions >= 2) // 11 payload bytes / 8 per task
+  }
+
+  test("byte-budget repartition survives sentinel plan stats and clamps the count") {
+    // a non-leaf plan without CBO can multiply child estimates toward
+    // the Long.MaxValue sentinel; the operator must fall back to the
+    // exact aggregate instead of asking repartition() for ~Int.MaxValue
+    // partitions, and a tiny target must still respect the clamp
+    val clamped = Multimodal.repartitionByBytes(media, 1, maxPartitions = 4)
+    assert(clamped.rdd.getNumPartitions <= 4)
+    val crossed = media.as("a").crossJoin(media.as("b"))
+      .select(col("a.media_id").as("media_id"), col("a.payload").as("payload"),
+        col("a.meta").as("meta"))
+    val sized = Multimodal.repartitionByBytes(crossed, 1024)
+    assert(sized.rdd.getNumPartitions <= (1 << 16))
   }
 }

@@ -42,6 +42,29 @@ class BulkLoadSpec extends AnyFunSuite {
     assert(encodeRow(nulls, schema, bytesToHex) == s"\\N$US\\N$US\\N$US\\N")
   }
 
+  test("MySQL wire renders booleans as 1/0; Postgres keeps true/false") {
+    // MySQL coerces the text 'true' into TINYINT(1)/BIT as 0 (silent
+    // corruption, or an error in strict mode): the LOAD DATA encoder
+    // must emit 1/0, matching what MySQL's own ResultSet.getString
+    // produces. Postgres COPY accepts true/false.
+    val schema = StructType(Seq(
+      StructField("ok", BooleanType), StructField("no", BooleanType)))
+    val row = Row(true, false)
+    assert(encodeRow(row, schema, bytesToHex, boolAsInt = true) == s"1${US}0")
+    assert(encodeRow(row, schema, bytesToPostgresHex) == s"true${US}false")
+    assert(encodeRow(Row(null, null), schema, bytesToHex, boolAsInt = true) ==
+      s"\\N$US\\N")
+  }
+
+  test("connection properties carry the engine's option map (credentials)") {
+    val p = connProps(Map("user" -> "u", "password" -> "secret",
+      "loginTimeout" -> "10"))
+    assert(p.getProperty("user") == "u")
+    assert(p.getProperty("password") == "secret")
+    assert(p.getProperty("loginTimeout") == "10")
+    assert(connProps(Map.empty).isEmpty)
+  }
+
   test("COPY command matches the reference meta-command") {
     assert(pgCopyCommand("sink", Seq("a", "b")) ==
       "COPY sink (a, b) FROM STDIN WITH DELIMITER e'\\x1f' ENCODING 'UTF-8' ")
