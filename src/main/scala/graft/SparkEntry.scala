@@ -409,6 +409,41 @@ object SparkEntry {
           TextAnalysis.fingerprint(col("text")).as("fingerprint"))
     }),
 
+    // ---- beyond-parity: privacy / quality / scoring / packing -----
+    "pii1_redact" -> ((s, dir) => {
+      // the corpus itself is synthetic word salad, so deterministic
+      // PII is injected per row — the oracle builds the identical
+      // string, making the regex semantics the thing under test
+      val aug = t(s, dir, "documents").withColumn("text",
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"),
+          lit("@example.com ip 10.0."),
+          (col("doc_id") % 200).cast("string"),
+          lit(".7 ssn 123-45-6789 call 555-867-5309")))
+      Privacy.scrub(aug, "text")
+        .select("doc_id", "pii_email", "pii_ip", "pii_ssn", "pii_card",
+          "pii_phone", "pii_total", "text_redacted")
+    }),
+
+    "qf1_quality_gate" -> ((s, dir) =>
+      QualityFilters.gate(t(s, dir, "documents"), "text")
+        .select("doc_id", "n_words", "mean_word_len", "max_word_len",
+          "symbol_ratio", "stopword_hits", "keep")),
+
+    "rep1_repetition" -> ((s, dir) =>
+      QualityFilters.repetitionSignals(t(s, dir, "documents"),
+          "doc_id", "text", n = 2)
+        .select("doc_id", "n_grams", "top_gram", "top_gram_frac",
+          "distinct_word_frac")),
+
+    "tf1_top_terms" -> ((s, dir) =>
+      Scoring.topTerms(t(s, dir, "documents"), "doc_id", "text", 3)),
+
+    "pack1_shards" -> ((s, dir) =>
+      Packing.assignShards(t(s, dir, "documents"), "doc_id", "text",
+          budget = 2000, buckets = 32)
+        .select("doc_id", "n_tokens", "cum", "shard")),
+
     "pf1_corpus_stats" -> ((s, dir) =>
       Profiling.corpusStats(t(s, dir, "documents"), Seq("lang"), "n_chars")),
 
@@ -749,6 +784,68 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rank
         |  FROM counts) WHERE rank <= 5""".stripMargin,
 
+    "pii1_redact" -> piiOracle,
+
+    "qf1_quality_gate" -> qualityGateOracle,
+
+    "rep1_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |         CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words,
+        |         unnest(list_transform(generate_series(1, len(w) - 1),
+        |           i -> w[i] || ' ' || w[i + 1])) AS gram
+        |  FROM toks WHERE len(w) >= 2),
+        |c AS (
+        |  SELECT doc_id, n_words, n_distinct_words, gram, count(*) AS c
+        |  FROM g GROUP BY doc_id, n_words, n_distinct_words, gram),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY c DESC, gram ASC) AS rn
+        |  FROM c)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |       min(gram) FILTER (WHERE rn = 1) AS top_gram,
+        |       round(max(c) * 1.0 / greatest(CAST(sum(c) AS BIGINT), 1), 4) AS top_gram_frac,
+        |       round(any_value(n_distinct_words) * 1.0 / greatest(any_value(n_words), 1), 4)
+        |         AS distinct_word_frac
+        |FROM ranked GROUP BY doc_id""".stripMargin,
+
+    "tf1_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tc AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term <> '' GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df,
+        |         tf * ln((SELECT count(*) FROM documents) * 1.0 / df) AS tfidf
+        |  FROM tc JOIN dfq USING (term)),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY tfidf DESC, term ASC) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf,
+        |       CAST(df AS BIGINT) AS df, round(tfidf, 4) AS tfidf
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "pack1_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |         sum(n_tokens) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum,
+        |       CAST(floor((cum - n_tokens) * 1.0 / 2000) AS BIGINT) AS shard
+        |FROM c""".stripMargin,
+
     "mm1_media_metadata" ->
       """SELECT doc_id AS media_id, 'text/plain' AS format,
         |       strlen(text) AS n_bytes, source
@@ -769,6 +866,62 @@ object SparkEntry {
         |  FROM events)
         |SELECT user_id, count(*) AS n_events, CAST(sum(new_session) AS BIGINT) AS n_sessions
         |FROM flagged GROUP BY user_id""".stripMargin)
+
+  /** pii1 oracle: built from Privacy.categories so both engines run
+    * THE SAME patterns (regexes restricted to constructs Java and RE2
+    * interpret identically). Counts run on the augmented original,
+    * redaction chains the replacements in category order — exactly
+    * [[graft.operators.Privacy.scrub]]. */
+  private def piiOracle: String = {
+    val aug = "text || ' contact user' || CAST(doc_id AS VARCHAR) ||" +
+      " '@example.com ip 10.0.' || CAST(doc_id % 200 AS VARCHAR) ||" +
+      " '.7 ssn 123-45-6789 call 555-867-5309'"
+    val counts = Privacy.categories.map { case (name, pattern, _) =>
+      s"len(regexp_extract_all(text, '$pattern')) AS pii_$name"
+    }.mkString(",\n       ")
+    val total = Privacy.categories
+      .map { case (name, _, _) => s"pii_$name" }.mkString(" + ")
+    val redacted = Privacy.categories.foldLeft("text") {
+      case (inner, (_, pattern, token)) =>
+        s"regexp_replace($inner, '$pattern', '$token', 'g')"
+    }
+    s"""WITH aug AS (SELECT doc_id, $aug AS text FROM documents),
+       |counted AS (
+       |  SELECT doc_id,
+       |       $counts,
+       |       $redacted AS text_redacted
+       |  FROM aug)
+       |SELECT doc_id, pii_email, pii_ip, pii_ssn, pii_card, pii_phone,
+       |       CAST($total AS BIGINT) AS pii_total, text_redacted
+       |FROM counted""".stripMargin
+  }
+
+  /** qf1 oracle: mirrors QualityFilters.signals/gate — identical
+    * token split, rounded ratios, and threshold comparisons on the
+    * ROUNDED values (matching the Spark column the gate reads). */
+  private def qualityGateOracle: String = {
+    val stop = "\\b(" + QualityFilters.stopwords.mkString("|") + ")\\b"
+    val th = QualityFilters.Thresholds()
+    raw"""WITH s AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+       |    round(length(regexp_replace(text, '\s', '', 'g')) * 1.0 /
+       |      greatest(len(string_split_regex(trim(text), '\s+')), 1), 4) AS mean_word_len,
+       |    CAST(coalesce(list_max(list_transform(
+       |      string_split_regex(trim(text), '\s+'), w -> length(w))), 0) AS BIGINT)
+       |      AS max_word_len,
+       |    round(len(regexp_extract_all(text, '[#@{}<>\\|~^]')) * 1.0 /
+       |      greatest(length(text), 1), 4) AS symbol_ratio,
+       |    CAST(len(regexp_extract_all(lower(text), '$stop')) AS BIGINT) AS stopword_hits
+       |  FROM documents)
+       |SELECT doc_id, n_words, mean_word_len, max_word_len, symbol_ratio,
+       |       stopword_hits,
+       |       (n_words BETWEEN ${th.minWords} AND ${th.maxWords}
+       |        AND mean_word_len BETWEEN ${th.minMeanWordLen} AND ${th.maxMeanWordLen}
+       |        AND symbol_ratio <= ${th.maxSymbolRatio}
+       |        AND stopword_hits >= ${th.minStopwordHits}) AS keep
+       |FROM s""".stripMargin
+  }
 
   /** ta2 oracle: must mirror TextAnalysis.langId exactly — per-lang
     * marker-hit counts, winner = first lang (sorted code order)

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-budget sequence packing (beyond-parity; SURVEY.md §7.3#7):
+  * assign documents, in a stable global order, to fixed-token-budget
+  * shards — the step that turns a curated corpus into training shards
+  * ("fill each 2^k-token shard in doc order, documents spill across
+  * shard boundaries").
+  *
+  * The core is a DISTRIBUTED PREFIX SUM. A naive
+  * `Window.orderBy(id)` with no partition key funnels the whole
+  * corpus through ONE task — the classic global-cumsum scale trap.
+  * Instead:
+  *
+  *  1. bucket each row by range over the order column; boundaries
+  *     come from `approxQuantile` (one cheap pass). The boundaries
+  *     only shape the DISTRIBUTION — the result is exact for any
+  *     boundary choice, so approximate quantiles are fine.
+  *  2. local cumsum per bucket: `Window.partitionBy(bucket)
+  *     .orderBy(id)` — parallel across buckets, one shuffle.
+  *  3. bucket totals -> driver (one row per bucket — bounded,
+  *     explicitly small), exclusive prefix-sum, broadcast-join the
+  *     offsets back on the bucket key.
+  *
+  * global_cum(row) = local_cum(row) + offset(bucket). One real
+  * shuffle, a vocabulary-of-buckets collect, no single-task stage.
+  * ROWS frames + a required-unique order key keep ties impossible and
+  * the result engine-portable.
+  */
+object Packing {
+
+  /** `df` plus `cum` = inclusive prefix sum of `valueCol` in
+    * `orderCol` order. `orderCol` must be numeric-castable and unique
+    * (document ids); `valueCol` must be non-negative. */
+  def cumulative(df: DataFrame, orderCol: String, valueCol: String,
+      buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, "need at least one bucket")
+    val spark = df.sparkSession
+    // range boundaries over the order key; exactness does not depend
+    // on them (they only balance the buckets)
+    val probed = df.select(col(orderCol).cast("double").as("__ord"))
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val boundaries =
+      if (probs.isEmpty) Array.empty[Double]
+      else probed.stat.approxQuantile("__ord", probs, 0.001)
+    val bucket: Column = boundaries.distinct.foldLeft(lit(0)) {
+      case (acc, b) => acc + when(col(orderCol).cast("double") > b, 1).otherwise(0)
+    }
+    val local = df.withColumn("__bucket", bucket)
+    val w = Window.partitionBy("__bucket").orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = local.withColumn("__cum_local",
+      sum(col(valueCol).cast("long")).over(w))
+    // per-bucket totals: tiny by construction (<= `buckets` rows)
+    val totals = local.groupBy("__bucket")
+      .agg(sum(col(valueCol).cast("long")).as("__total"))
+      .orderBy("__bucket")
+      .collect()
+    var acc = 0L
+    val offsets = totals.map { row =>
+      val pair = (row.getInt(0), acc) // exclusive prefix: offset BEFORE this bucket
+      acc += row.getLong(1)
+      pair
+    }.toSeq
+    val offsetDf = spark.createDataFrame(offsets)
+      .toDF("__bucket", "__offset")
+    withLocal.join(broadcast(offsetDf), "__bucket")
+      .withColumn("cum", col("__cum_local") + col("__offset"))
+      .drop("__bucket", "__cum_local", "__offset")
+  }
+
+  /** Shard assignment under `budget` tokens per shard: a document
+    * lands in the shard containing its FIRST token
+    * (`shard = floor((cum - tokens) / budget)`), so documents spill
+    * across shard boundaries instead of leaving per-shard slack —
+    * the sequence-packing rule, exact and order-stable.
+    * Output: input columns + `n_tokens`, `cum` (inclusive), `shard`. */
+  def assignShards(df: DataFrame, orderCol: String, textCol: String,
+      budget: Long, buckets: Int = 64): DataFrame = {
+    require(budget >= 1, "budget must be positive")
+    val withTokens = df.withColumn("n_tokens",
+      TextAnalysis.tokenCount(col(textCol)).cast("long"))
+    cumulative(withTokens, orderCol, "n_tokens", buckets)
+      .withColumn("shard",
+        floor((col("cum") - col("n_tokens")).cast("double") / budget).cast("long"))
+  }
+
+  /** Per-shard roll-up: document count and token sum — the shard
+    * manifest a training loader consumes. */
+  def shardManifest(assigned: DataFrame): DataFrame =
+    assigned.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"))
+      .orderBy("shard")
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII detection and redaction for training-data pipelines
+  * (beyond-parity; SURVEY.md §7.3#7): the scrub a corpus must pass
+  * before any training run.
+  *
+  * Everything is `regexp_count` / `regexp_replace` built-ins — pure
+  * per-row codegen'd projections that fuse into the scan stage, no
+  * shuffle, no UDF — so the operator costs one linear pass at any
+  * corpus size.
+  *
+  * The patterns deliberately use only portable regex constructs
+  * (character classes, bounded repetition, ASCII `\b`) that mean the
+  * same thing in Java's engine and in RE2-family engines, so results
+  * are verifiable against a second engine. They are heuristics in the
+  * usual precision/recall trade: an IPv4 pattern that accepts 999.0.0.1
+  * would over-redact; one demanding valid octets is not expressible
+  * without alternation both engines still share — kept simple here and
+  * documented per pattern.
+  */
+object Privacy {
+
+  /** Category -> (pattern, replacement token). Order matters: SSN
+    * before phone (a dashed SSN is also a plausible phone fragment);
+    * redaction applies in this sequence. */
+  val categories: Seq[(String, String, String)] = Seq(
+    // local-part @ domain.tld — the standard liberal email shape
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    // dotted quad; \b keeps it from matching inside longer digit runs
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    // US SSN dashed form
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"),
+    // 13-19 digit card number, optionally dash/space grouped by 4
+    ("card", "\\b[0-9]{4}([ -]?[0-9]{4}){3}\\b", "<CARD>"),
+    // NANP-ish phone: optional +1, 3-3-4 groups with separators. The
+    // word boundary sits BEFORE the first digit (a leading \b would
+    // reject "(555) ..." — space-to-paren is not a boundary)
+    ("phone", "(\\+?1[ .-])?\\(?\\b[0-9]{3}\\)?[ .-][0-9]{3}[ .-][0-9]{4}\\b", "<PHONE>"))
+
+  /** Hit count per category as one column each (`pii_<name>`). */
+  def detect(text: Column): Seq[(String, Column)] =
+    categories.map { case (name, pattern, _) =>
+      s"pii_$name" -> regexp_count(text, lit(pattern))
+    }
+
+  /** Text with every category replaced by its token, applied in
+    * [[categories]] order so overlapping patterns resolve
+    * deterministically (SSN wins over phone). */
+  def redact(text: Column): Column =
+    categories.foldLeft(text) { case (c, (_, pattern, token)) =>
+      regexp_replace(c, lit(pattern), lit(token))
+    }
+
+  /** Annotate a corpus with per-category counts, a total, and the
+    * redacted text. Detection counts run against the ORIGINAL text
+    * (counts after redaction would always be zero). */
+  def scrub(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val counted = detect(t).foldLeft(df) { case (d, (name, c)) =>
+      d.withColumn(name, c)
+    }
+    counted
+      .withColumn("pii_total",
+        detect(t).map(_._2.cast("long")).reduce(_ + _))
+      .withColumn("text_redacted", redact(t))
+  }
+}

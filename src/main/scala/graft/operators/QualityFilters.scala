@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document-quality gating in the C4 / Gopher style (beyond-parity;
+  * SURVEY.md §7.3#7): per-document signals plus a keep/drop verdict —
+  * the filter stage a pretraining corpus passes before dedup.
+  *
+  * Two cost tiers, deliberately separated:
+  *  - [[signals]] / [[gate]]: pure per-row codegen'd projections
+  *    (split/regexp/length built-ins) — fuse into the scan, no
+  *    shuffle, linear at any scale.
+  *  - [[repetitionSignals]]: needs per-(doc, n-gram) counts, so it is
+  *    relational — explode n-grams, two-level aggregate. One shuffle
+  *    keyed by doc_id, partial aggregation map-side; n-gram strings
+  *    shuffle once per doc (bounded by corpus token count). At 100 TB
+  *    this is the same shape as the shingle stages in Dedup, which is
+  *    the proven one.
+  */
+object QualityFilters {
+
+  /** Gopher-style per-document bounds. Defaults follow the published
+    * heuristics scaled down for short-document corpora. */
+  final case class Thresholds(
+      minWords: Int = 5,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 2.0,
+      maxMeanWordLen: Double = 12.0,
+      maxSymbolRatio: Double = 0.1,
+      minStopwordHits: Int = 1,
+      maxTopGramFrac: Double = 0.30,
+      minDistinctWordFrac: Double = 0.30)
+
+  val stopwords: Seq[String] = TextAnalysis.langMarkers("en")
+
+  /** Per-row quality signals, one projection. Formulas chosen to be
+    * engine-portable (verifiable in plain SQL):
+    * mean word length = non-whitespace chars / words. */
+  def signals(text: Column): Seq[(String, Column)] = {
+    val words = TextAnalysis.tokens(text)
+    val nWords = size(words).cast("long")
+    val nCharsNoWs = length(regexp_replace(text, "\\s", ""))
+    Seq(
+      "n_words" -> nWords,
+      "mean_word_len" -> round(nCharsNoWs.cast("double") /
+        greatest(nWords, lit(1L)), 4),
+      "max_word_len" -> coalesce(array_max(transform(words, w => length(w))),
+        lit(0)).cast("long"),
+      "symbol_ratio" -> round(
+        regexp_count(text, lit("[#@{}<>\\\\|~^]")).cast("double") /
+          greatest(length(text), lit(1)).cast("double"), 4),
+      "stopword_hits" -> TextAnalysis.markerHits(text, stopwords).cast("long"))
+  }
+
+  /** Append [[signals]] plus the row-local part of the keep verdict
+    * (everything except repetition, which needs aggregation). */
+  def gate(df: DataFrame, textCol: String,
+      t: Thresholds = Thresholds()): DataFrame = {
+    val annotated = signals(col(textCol)).foldLeft(df) {
+      case (d, (name, c)) => d.withColumn(name, c)
+    }
+    annotated.withColumn("keep",
+      col("n_words").between(t.minWords, t.maxWords) &&
+        col("mean_word_len").between(t.minMeanWordLen, t.maxMeanWordLen) &&
+        col("symbol_ratio") <= t.maxSymbolRatio &&
+        col("stopword_hits") >= t.minStopwordHits)
+  }
+
+  /** Word n-grams of the lowercased whitespace tokens as space-joined
+    * strings ("the quick", "quick fox", ...). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(lower(text))
+    if (n == 1) toks
+    else filter(
+      transform(toks, (_, i) =>
+        when(i + n <= size(toks),
+          concat_ws(" ", slice(toks, i + lit(1), lit(n))))),
+      g => g.isNotNull)
+  }
+
+  /** Gopher repetition signals per document:
+    *  - `top_gram_frac`: occurrences of the single most frequent
+    *    n-gram / total n-grams (tie-broken by gram text so the count
+    *    is deterministic);
+    *  - `distinct_word_frac`: distinct words / total words.
+    * Output: (idCol, n_grams, top_gram, top_gram_frac,
+    * distinct_word_frac), one row per input document with >= 1 gram.
+    *
+    * Shape: explode -> count(doc, gram) [one shuffle, map-side
+    * partial] -> max_by/sum per doc [second aggregate over the
+    * already doc-keyed counts]. No collect, no window over the whole
+    * corpus.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+      explode(wordNgrams(col(textCol), n)).as("gram"),
+      size(TextAnalysis.tokens(lower(col(textCol)))).cast("long").as("n_words"),
+      size(array_distinct(TextAnalysis.tokens(lower(col(textCol)))))
+        .cast("long").as("n_distinct_words"))
+    grams
+      .groupBy("id", "n_words", "n_distinct_words", "gram")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("id", "n_words", "n_distinct_words")
+      .agg(
+        sum("c").as("n_grams"),
+        // deterministic winner: highest count, ties -> lexicographically
+        // smallest gram (min over (-count, gram) struct order)
+        min_by(col("gram"), struct((col("c") * -1).as("nc"), col("gram").as("g")))
+          .as("top_gram"),
+        max("c").as("top_gram_count"))
+      .select(
+        col("id").as(idCol),
+        col("n_grams"),
+        col("top_gram"),
+        round(col("top_gram_count").cast("double") /
+          greatest(col("n_grams"), lit(1L)), 4).as("top_gram_frac"),
+        round(col("n_distinct_words").cast("double") /
+          greatest(col("n_words"), lit(1L)), 4).as("distinct_word_frac"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-relative term scoring (beyond-parity; SURVEY.md §7.3#7):
+  * TF-IDF — the classic relevance/keyword weight a curation pipeline
+  * uses for topic filtering and near-duplicate triage.
+  *
+  * Scale shape (the standard two-aggregate layout):
+  *  1. explode tokens -> count(doc, term): ONE shuffle keyed by
+  *     (doc, term), map-side partial aggregation.
+  *  2. document frequency: re-aggregate the (doc, term) counts by
+  *     term — input is already distinct per (doc, term), so df(term)
+  *     is a count, not a count-distinct. Second shuffle is
+  *     vocabulary-sized.
+  *  3. join tf with df on term. The df side is |vocabulary| rows —
+  *     AQE broadcasts it when small; at web scale it hash-joins on
+  *     term, which is the correct co-location anyway.
+  *  4. per-doc top-k by a window over doc_id (state bounded by k via
+  *     WindowGroupLimit pushdown).
+  * No driver-side collect anywhere; every stage is a partial-agg
+  * shuffle or a key-colocated join.
+  */
+object Scoring {
+
+  /** Per-(doc, term) TF-IDF over whitespace tokens:
+    * tf = occurrences in doc, idf = ln(N / df(term)),
+    * score = tf * idf. Plain ln (no smoothing) keeps the formula
+    * verifiable in any SQL engine; terms present in every document
+    * score exactly 0.
+    */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = df.count()
+    val termCounts = df
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val docFreq = termCounts.groupBy("term")
+      .agg(count(lit(1)).as("df"))
+    termCounts.join(docFreq, "term")
+      .withColumn("tfidf",
+        col("tf").cast("double") * log(lit(n.toDouble) / col("df")))
+      .select(col("id").as(idCol), col("term"), col("tf"), col("df"),
+        col("tfidf"))
+  }
+
+  /** Top-k highest-TF-IDF terms per document, rank 1..k,
+    * deterministic tie-break by term text. */
+  def topTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val scored = tfidf(df, idCol, textCol)
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"),
+        round(col("tfidf"), 4).as("tfidf"))
+  }
+}

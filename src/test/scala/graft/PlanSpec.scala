@@ -136,4 +136,37 @@ class PlanSpec extends SparkTestBase {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
   }
+
+  test("pii1/qf1 scrub and gate are shuffle-free single-pass projections") {
+    // PII scrubbing and the row-local quality gate must fuse into the
+    // scan: at 100 TB an accidental exchange here doubles the job
+    for (name <- Seq("pii1_redact", "qf1_quality_gate")) {
+      val df = SparkEntry.queries(name)(spark, sf())
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"$name must not shuffle:\n$p")
+    }
+  }
+
+  test("pack1 prefix sum never runs a global single-partition window") {
+    val df = SparkEntry.queries("pack1_shards")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    // every window must carry a partition key (the range bucket);
+    // windowspecdefinition(...) with a leading order-only spec would
+    // mean the whole corpus funnels through one task
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty)
+    assert(specs.forall(_.contains("__bucket")),
+      s"window without bucket partition key:\n$p")
+    // and the offsets come back as a broadcast join, not a shuffle join
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("tf1 aggregates partially before each shuffle (map-side combine)") {
+    val df = SparkEntry.queries("tf1_top_terms")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    // tf and df stages: both HashAggregates appear in partial+final
+    // pairs (>= 4 nodes), never a single post-shuffle aggregate
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
 }

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Specs for the round-3 pipeline operators: PII scrubbing, quality
+  * gating, repetition signals, TF-IDF, and token-budget packing. */
+class PrivacySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("detects and redacts every PII category, leaves clean text alone") {
+    val rows = Seq(
+      (1L, "reach me at jane.doe+spam@mail.example.org thanks"),
+      (2L, "server 192.168.0.1 and 10.0.0.254 rebooted"),
+      (3L, "ssn 123-45-6789 card 4111 1111 1111 1111"),
+      (4L, "call (555) 867-5309 or +1 555.867.5309"),
+      (5L, "perfectly clean sentence with numbers 12345 and 3.14"))
+      .toDF("id", "text")
+    val out = Privacy.scrub(rows, "text").orderBy("id").collect()
+    def counts(i: Int) = (out(i).getAs[Int]("pii_email"), out(i).getAs[Int]("pii_ip"),
+      out(i).getAs[Int]("pii_ssn"), out(i).getAs[Int]("pii_card"),
+      out(i).getAs[Int]("pii_phone"))
+    assert(counts(0) == ((1, 0, 0, 0, 0)))
+    assert(counts(1) == ((0, 2, 0, 0, 0)))
+    assert(counts(2) == ((0, 0, 1, 1, 0)))
+    assert(counts(3) == ((0, 0, 0, 0, 2)))
+    assert(counts(4) == ((0, 0, 0, 0, 0)))
+    val redacted = out.map(_.getAs[String]("text_redacted"))
+    assert(redacted(0) == "reach me at <EMAIL> thanks")
+    assert(redacted(1) == "server <IP> and <IP> rebooted")
+    assert(redacted(2) == "ssn <SSN> card <CARD>")
+    assert(redacted(3).contains("<PHONE>") && !redacted(3).exists(_.isDigit))
+    assert(redacted(4) == "perfectly clean sentence with numbers 12345 and 3.14")
+    assert(out.map(_.getAs[Long]("pii_total")).toSeq == Seq(1L, 2L, 2L, 2L, 0L))
+  }
+
+  test("redaction order resolves SSN/phone overlap deterministically") {
+    // a dashed SSN must become <SSN>, never half a phone match
+    val out = Privacy.scrub(Seq((1L, "id 123-45-6789 end")).toDF("id", "text"), "text")
+      .head()
+    assert(out.getAs[String]("text_redacted") == "id <SSN> end")
+  }
+}
+
+class QualityFiltersSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("gate computes Gopher-style signals and the keep verdict") {
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"), // keeps
+      (2L, "no"),                                                // too short
+      (3L, "the " + "#@{}<>" * 50),                              // symbol soup
+      (4L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaa bbbbbbbbbbbbbbbbbbbbbbbbbbbb " * 3 + "the end here now"))
+      .toDF("doc_id", "text")
+    val out = QualityFilters.gate(rows, "text").orderBy("doc_id").collect()
+    assert(out(0).getAs[Boolean]("keep"))
+    assert(out(0).getAs[Long]("n_words") == 10)
+    assert(!out(1).getAs[Boolean]("keep"))       // n_words < 5
+    assert(!out(2).getAs[Boolean]("keep"))       // symbol_ratio
+    assert(out(2).getAs[Double]("symbol_ratio") > 0.1)
+    // doc 4: mean word length pushed past 12 by the letter runs
+    assert(!out(3).getAs[Boolean]("keep"))
+    assert(out(3).getAs[Double]("mean_word_len") > 12.0)
+  }
+
+  test("repetition signals flag the boilerplate document") {
+    val rows = Seq(
+      (1L, "buy now buy now buy now buy now buy now"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val out = QualityFilters.repetitionSignals(rows, "doc_id", "text", n = 2)
+      .orderBy("doc_id").collect()
+    // doc 1: 9 bigrams, "buy now" occurs 5 times
+    assert(out(0).getAs[Long]("n_grams") == 9)
+    assert(out(0).getAs[String]("top_gram") == "buy now")
+    assert(out(0).getAs[Double]("top_gram_frac") == 0.5556)
+    assert(out(0).getAs[Double]("distinct_word_frac") == 0.2)
+    // doc 2: all bigrams unique
+    assert(out(1).getAs[Double]("top_gram_frac") == 0.1111)
+    assert(out(1).getAs[Double]("distinct_word_frac") == 1.0)
+  }
+
+  test("single-word and empty documents yield no repetition rows") {
+    val rows = Seq((1L, "lonely"), (2L, ""), (3L, "a b")).toDF("doc_id", "text")
+    val out = QualityFilters.repetitionSignals(rows, "doc_id", "text", n = 2)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(3L))
+  }
+}
+
+class ScoringSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("tfidf: corpus-wide terms score zero, rare terms dominate") {
+    val rows = Seq(
+      (1L, "shared shared unique1"),
+      (2L, "shared unique2 unique2"),
+      (3L, "shared other"))
+      .toDF("doc_id", "text")
+    val scored = Scoring.tfidf(rows, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(4)).toMap
+    // "shared" appears in every doc: idf = ln(3/3) = 0
+    assert(scored((1L, "shared")) == 0.0)
+    // unique2: tf=2, idf=ln(3/1)
+    assert(math.abs(scored((2L, "unique2")) - 2 * math.log(3.0)) < 1e-12)
+    assert(math.abs(scored((1L, "unique1")) - math.log(3.0)) < 1e-12)
+  }
+
+  test("topTerms ranks per doc with deterministic tie-break") {
+    val rows = Seq(
+      (1L, "zz aa zz aa bb"),
+      (2L, "cc cc cc dd"))
+      .toDF("doc_id", "text")
+    val out = Scoring.topTerms(rows, "doc_id", "text", 2)
+      .orderBy("doc_id", "rank").collect()
+    // doc 1: aa and zz tie (tf=2, same df) -> term order breaks the tie
+    assert(out(0).getString(2) == "aa" && out(0).getInt(1) == 1)
+    assert(out(1).getString(2) == "zz" && out(1).getInt(1) == 2)
+    assert(out(2).getString(2) == "cc")
+    assert(out.length == 4)
+  }
+}
+
+class PackingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("distributed prefix sum equals the single-partition reference") {
+    val rows = (1L to 1000L).map(i => (i, i % 7 + 1)).toDF("id", "v")
+      .repartition(13) // scatter the input; result must not care
+    val got = Packing.cumulative(rows, "id", "v", buckets = 8)
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    var acc = 0L
+    (1L to 1000L).foreach { i =>
+      acc += i % 7 + 1
+      assert(got(i) == acc, s"cum mismatch at id=$i")
+    }
+  }
+
+  test("prefix sum is exact for any bucket count, including 1") {
+    val rows = Seq((10L, 5L), (20L, 7L), (30L, 1L)).toDF("id", "v")
+    for (b <- Seq(1, 2, 64)) {
+      val got = Packing.cumulative(rows, "id", "v", buckets = b)
+        .orderBy("id").select("cum").as[Long].collect().toSeq
+      assert(got == Seq(5L, 12L, 13L), s"buckets=$b")
+    }
+  }
+
+  test("shard assignment follows the first-token rule and fills budgets") {
+    // 10 docs x 4 tokens, budget 10 -> cum 4,8,12,... doc3 starts at
+    // token 8 -> shard 0; doc4 starts at 12 -> shard 1
+    val rows = (1L to 10L).map(i => (i, "t t t t")).toDF("doc_id", "text")
+    val out = Packing.assignShards(rows, "doc_id", "text", budget = 10L)
+      .orderBy("doc_id").select("shard").as[Long].collect().toSeq
+    assert(out == Seq(0L, 0L, 0L, 1L, 1L, 2L, 2L, 2L, 3L, 3L))
+    val manifest = Packing.shardManifest(
+      Packing.assignShards(rows, "doc_id", "text", budget = 10L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(manifest.map(_._3).sum == 40L)
+    assert(manifest.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+  }
+}
