@@ -327,6 +327,23 @@ object SparkEntry {
         "doc_id", "text", blockCols = Seq("lang"), shingleSize = 1, threshold = 0.5)
     }),
 
+    // benchmark decontamination at scale: Bloom prefilter (built from
+    // the small eval side, probed codegen-native on the big train
+    // side BEFORE any shuffle) + exact verify join -> output is
+    // exactly the exact-overlap result the oracle computes
+    "dd8_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.bloomContaminatedDocs(
+        docs.filter(col("doc_id") > 250), docs.filter(col("doc_id") <= 250),
+        "doc_id", "text", gramSize = 3, expectedEvalGrams = 1 << 16)
+    }),
+
+    // C4-style over-duplicated span detection: word 3-grams occurring
+    // in >= 5 docs corpus-wide, counted per containing doc
+    "dd9_hot_spans" -> ((s, dir) =>
+      Decontaminate.hotSpanDocs(t(s, dir, "documents"), "doc_id", "text",
+        gramSize = 3, minDocs = 5)),
+
     // cluster labeling over a DETERMINISTIC pair source (exact Jaccard,
     // same params as dd4, doc subset to keep it light) so the min-label
     // connected components can be checked against a DuckDB recursive CTE
@@ -439,6 +456,9 @@ object SparkEntry {
     "tf1_top_terms" -> ((s, dir) =>
       Scoring.topTerms(t(s, dir, "documents"), "doc_id", "text", 3)),
 
+    "ta4_unigram_logprob" -> ((s, dir) =>
+      Scoring.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
+
     "pack1_shards" -> ((s, dir) =>
       Packing.assignShards(t(s, dir, "documents"), "doc_id", "text",
           budget = 2000, buckets = 32)
@@ -482,6 +502,45 @@ object SparkEntry {
         keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
         valueCols = Seq("purchase_value"))
     }),
+
+    // keyless interval join: Spark would plan the raw range predicate
+    // as a BroadcastNestedLoopJoin (O(|L|*|R|)); the binned operator
+    // turns it into an equi-join on time bins + exact filter
+    "j3_range_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_shipdate", "l_quantity")
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          (col("o_orderdate") + expr("INTERVAL 3 DAYS")).as("o_end"))
+      AsOfJoin.binnedRangeJoin(li, ord, "l_shipdate", "o_orderdate", "o_end",
+          binWidth = "3 days")
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+    }),
+
+    "agg4_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_extendedprice"), 2).as("sum_price"),
+          count(lit(1)).as("n"))),
+
+    // pivot with EXPLICIT values: never collect-distinct the pivot
+    // column at scale — declare the spine
+    "pv1_pivot" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum("o_totalprice"), 2))),
+
+    // exact interpolated percentiles (matches quantile_cont); at
+    // 100 TB swap for approx_percentile and a rows-only gate
+    "pct1_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))),
 
     // ---- stream-shaped (batch-equivalent of graft.streaming) ------
     "st1_event_windows" -> ((s, dir) =>
@@ -637,6 +696,34 @@ object SparkEntry {
         |       count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
+    "agg4_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "pv1_pivot" ->
+      """SELECT o_orderpriority,
+        |       round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS "F",
+        |       round(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 2) AS "O",
+        |       round(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 2) AS "P"
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "pct1_percentiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        |       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "j3_range_join" ->
+      """SELECT o.o_orderkey, count(*) AS n_items,
+        |       round(sum(l.l_quantity), 2) AS sum_qty
+        |FROM orders o JOIN lineitem l
+        |  ON l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate < o.o_orderdate + INTERVAL 3 DAY
+        |GROUP BY 1""".stripMargin,
+
     "j2_asof_join" ->
       """WITH e AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
@@ -675,6 +762,32 @@ object SparkEntry {
         |WHERE l.doc_id <= 250 AND r.doc_id > 250
         |  AND len(list_intersect(l.w, r.w))::DOUBLE /
         |        (len(l.w) + len(r.w) - len(list_intersect(l.w, r.w))) >= 0.5""".stripMargin,
+
+    // word 3-grams via DuckDB list comprehension over the same
+    // whitespace tokenization; DISTINCT per doc mirrors the
+    // sorted_shingle_hashes distinct-per-doc contract
+    "dd8_decontaminate" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(l[i:i+2], ' ') for i in range(1, greatest(len(l)-1, 1))]
+        |  )) AS gram
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+        |        FROM documents)),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id <= 250),
+        |tr AS (SELECT doc_id, gram FROM g WHERE doc_id > 250)
+        |SELECT tr.doc_id, count(*) AS n_shared_grams
+        |FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id""".stripMargin,
+
+    "dd9_hot_spans" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(l[i:i+2], ' ') for i in range(1, greatest(len(l)-1, 1))]
+        |  )) AS gram
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+        |        FROM documents)),
+        |hot AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 5)
+        |SELECT doc_id, count(*) AS n_hot_spans
+        |FROM g JOIN hot USING (gram) GROUP BY doc_id""".stripMargin,
 
     // connected components via transitive closure: reach(id, label)
     // accumulates every smaller-id node reachable from id; min(label)
@@ -831,6 +944,20 @@ object SparkEntry {
         |SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf,
         |       CAST(df AS BIGINT) AS df, round(tfidf, 4) AS tfidf
         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "ta4_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tc AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term <> '' GROUP BY doc_id, term),
+        |model AS (SELECT term, sum(tf) AS mc FROM tc GROUP BY term),
+        |tot AS (SELECT sum(mc) AS total FROM model)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |       round(sum(tf * ln(mc * 1.0 / total)) / sum(tf), 4) AS avg_logprob
+        |FROM tc JOIN model USING (term), tot
+        |GROUP BY doc_id""".stripMargin,
 
     "pack1_shards" ->
       """WITH t AS (

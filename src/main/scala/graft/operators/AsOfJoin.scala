@@ -87,4 +87,53 @@ object AsOfJoin {
       left(leftTs) >= right(startCol) && left(leftTs) < right(endCol)
     left.join(right, cond)
   }
+
+  /** KEYLESS interval join at scale: points matched to intervals
+    * [startCol, endCol) with no equi key. Spark plans a pure range
+    * predicate as BroadcastNestedLoopJoin — O(|points|·|intervals|)
+    * comparisons, the classic scale-killer. Binning turns it into an
+    * equi-join: every interval explodes to the integer time bins it
+    * overlaps, every point lands in its single bin, the join runs on
+    * bin equality (hash/sort-merge, shuffle-partitioned), and the
+    * exact range predicate filters the candidates. A point's bin is
+    * unique, so each qualifying (point, interval) pair is emitted
+    * exactly once — no dedup pass.
+    *
+    * `binWidth` should be ≥ the typical interval length: an interval
+    * explodes to `len/binWidth + 1` bins, so width ≈ max interval
+    * length caps the blowup at 2× |intervals| while keeping bins
+    * selective. Optional `keys` become additional equi conditions
+    * (bins then bound per-key skew too).
+    *
+    * Both frames must have disjoint column names (alias first).
+    */
+  def binnedRangeJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      binWidth: String = "1 day",
+      keys: Seq[String] = Nil): DataFrame = {
+    val widthMicros = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(binWidth)) match {
+      case iv =>
+        require(iv.months == 0, "binWidth must be a fixed-length interval (days/hours/...)")
+        iv.days * 86400000000L + iv.microseconds
+    }
+    def binOf(c: Column): Column =
+      floor(unix_micros(c.cast("timestamp")) / widthMicros)
+
+    val p = points.withColumn("__bin", binOf(col(pointCol)))
+    // sequence() is inclusive of both bounds -> covers every bin the
+    // interval [start, end) can touch; the exact filter below removes
+    // the end-boundary slack
+    val i = intervals.withColumn("__bin",
+      explode(sequence(binOf(col(startCol)), binOf(col(endCol)))))
+
+    val eq = (Seq(p("__bin") === i("__bin")) ++ keys.map(k => p(k) === i(k)))
+      .reduce(_ && _)
+    p.join(i, eq && p(pointCol) >= i(startCol) && p(pointCol) < i(endCol))
+      .drop("__bin")
+  }
 }

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{SketchExpressions, TextExpressions}
+
+/** Gram-level corpus hygiene: benchmark decontamination with a Bloom
+  * prefilter, and C4-style over-duplicated span detection.
+  *
+  * Both operate on word k-gram hashes from the fused
+  * `sorted_shingle_hashes` kernel (distinct per doc, codegen'd) — doc
+  * bodies never shuffle, only 8-byte gram hashes do.
+  */
+object Decontaminate {
+
+  /** Train docs sharing ≥1 word k-gram with an eval/benchmark corpus,
+    * with the count of distinct shared grams per train doc — the
+    * "is my training set contaminated by the test set" primitive.
+    *
+    * Scale shape (the reason this beats a plain join at 100 TB): the
+    * eval side is small (benchmarks are); its distinct gram hashes
+    * are collected into a Bloom filter in ONE pass (treeAggregate, no
+    * shuffle). The train side — the 100 TB one — probes the filter
+    * inside whole-stage codegen BEFORE any exchange, so only the
+    * ~fpp·|train grams| + true hits ever shuffle for the exact
+    * verify semi-join. False positives are removed by that join;
+    * false negatives don't exist — the output is EXACTLY the join
+    * result, which is what the DuckDB oracle (dd8) checks.
+    */
+  def bloomContaminatedDocs(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramSize: Int = 3,
+      expectedEvalGrams: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    val evalGrams = eval
+      .select(explode(TextExpressions.sorted_shingle_hashes(col(textCol), gramSize))
+        .as("gram"))
+      .distinct()
+    // eval grams are needed twice (bloom build + exact verify); at
+    // benchmark scale this is small — cache instead of recompute
+    evalGrams.persist()
+    try {
+      val bloomBytes = SketchExpressions.buildLongBloom(
+        evalGrams, "gram", expectedEvalGrams, fpp)
+      train
+        .select(col(idCol),
+          explode(TextExpressions.sorted_shingle_hashes(col(textCol), gramSize))
+            .as("gram"))
+        .where(SketchExpressions.bloom_might_contain_long(bloomBytes, col("gram")))
+        .join(evalGrams, "gram") // exact verify: kills false positives
+        .groupBy(idCol)
+        .agg(count(lit(1)).as("n_shared_grams")) // grams are distinct per doc already
+    } finally evalGrams.unpersist()
+  }
+
+  /** Docs containing "hot" spans — word k-grams occurring in ≥
+    * `minDocs` distinct documents corpus-wide (C4-style boilerplate /
+    * over-duplication signal). Returns (id, n_hot_spans) for affected
+    * docs.
+    *
+    * One shuffle of 8-byte gram hashes to count doc-frequency
+    * (partial aggregation applies map-side), one gram-colocated join
+    * back. Doc text itself never moves.
+    */
+  def hotSpanDocs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramSize: Int = 5,
+      minDocs: Int = 10): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(TextExpressions.sorted_shingle_hashes(col(textCol), gramSize))
+        .as("gram"))
+    // distinct per doc by construction -> count(*) = doc frequency
+    val hot = grams.groupBy("gram")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select("gram")
+    grams.join(hot, "gram")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hot_spans"))
+  }
+}

@@ -59,4 +59,36 @@ object Scoring {
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"),
         round(col("tfidf"), 4).as("tfidf"))
   }
+
+  /** Corpus-unigram language-model score: mean token ln-probability
+    * per document (the cheap perplexity proxy curation pipelines use
+    * to rank "how typical is this document of the corpus" — low
+    * scorers are gibberish or off-distribution).
+    *
+    * Scale shape: token counting reuses the (doc, term) partial-agg
+    * layout, so the model join runs on DISTINCT terms per doc, not
+    * every token occurrence; the corpus total rides in as a broadcast
+    * 1-row frame (no driver collect, no scalar subquery recompute).
+    * Unsmoothed by design — every scored token exists in the model
+    * because the model IS the corpus; score with a different corpus
+    * needs smoothing first.
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val termCounts = df
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val model = termCounts.groupBy("term").agg(sum("tf").as("tc"))
+    val total = model.agg(sum("tc").as("total"))
+    termCounts
+      .join(model, "term")
+      .crossJoin(broadcast(total))
+      .groupBy("id")
+      .agg(sum("tf").as("n_tokens"),
+        (sum(col("tf") * log(col("tc").cast("double") / col("total"))) /
+          sum("tf")).as("avg_logprob"))
+      .select(col("id").as(idCol), col("n_tokens"),
+        round(col("avg_logprob"), 4).as("avg_logprob"))
+  }
 }

@@ -2,6 +2,8 @@ package graft.operators
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.{lit, when}
+
 import graft.SparkTestBase
 
 class AsOfJoinSpec extends SparkTestBase {
@@ -60,5 +62,46 @@ class AsOfJoinSpec extends SparkTestBase {
     val out = AsOfJoin.rangeJoin(left, intervals, Seq("user_id"), "ts", "start", "end")
       .select("tag", "label").collect().map(r => (r.getString(0), r.getString(1)))
     assert(out.toSeq == Seq(("e2", "window_a")))
+  }
+
+  private val points = Seq(
+    (ts("2024-01-01 10:00:00"), "p1"),
+    (ts("2024-01-01 10:59:59"), "p2"),
+    (ts("2024-01-01 11:00:00"), "p3"),   // exactly at iv_a's end -> excluded
+    (ts("2024-01-03 00:00:00"), "p4"),
+    (ts("2024-01-09 12:00:00"), "p5")    // matches nothing
+  ).toDF("pt", "ptag")
+
+  private val ivs = Seq(
+    (ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), "iv_a"),
+    // multi-bin interval (2 days wide at 1-day bins), overlaps p3, p4
+    (ts("2024-01-01 10:30:00"), ts("2024-01-03 12:00:00"), "iv_b"))
+    .toDF("lo", "hi", "itag")
+
+  test("binned range join equals the naive non-equi join, each pair once") {
+    val binned = AsOfJoin.binnedRangeJoin(points, ivs, "pt", "lo", "hi",
+        binWidth = "1 day")
+      .select("ptag", "itag").as[(String, String)].collect().sorted
+    val naive = points.join(ivs, $"pt" >= $"lo" && $"pt" < $"hi")
+      .select("ptag", "itag").as[(String, String)].collect().sorted
+    assert(binned.toSeq == naive.toSeq)
+    assert(binned.toSeq == Seq(("p1", "iv_a"), ("p2", "iv_a"), ("p2", "iv_b"),
+      ("p3", "iv_b"), ("p4", "iv_b")))
+  }
+
+  test("binned range join plans as an equi-join, not a nested loop") {
+    val df = AsOfJoin.binnedRangeJoin(points, ivs, "pt", "lo", "hi", "1 day")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("binned range join honors extra equi keys") {
+    val kp = points.withColumn("k", lit("x"))
+    val ki = ivs.withColumn("k", when($"itag" === "iv_a", "x").otherwise("y"))
+    val out = AsOfJoin.binnedRangeJoin(kp, ki, "pt", "lo", "hi", "1 day",
+        keys = Seq("k"))
+      .select("ptag", "itag").as[(String, String)].collect().sorted
+    assert(out.toSeq == Seq(("p1", "iv_a"), ("p2", "iv_a")))
   }
 }

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.{SketchExpressions, TextExpressions}
+
+class DecontaminateSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // planted corpus: t100 shares the eval doc's exact text, t101 shares
+  // one 3-gram span ("over the lazy"), t102 shares nothing
+  private val evalDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "pack my box with five dozen liquor jugs"))
+    .toDF("doc_id", "text")
+  private val trainDocs = Seq(
+    (100L, "the quick brown fox jumps over the lazy dog"),
+    (101L, "a cat stepped over the lazy dog yesterday"),
+    (102L, "completely disjoint vocabulary sentence here now"))
+    .toDF("doc_id", "text")
+
+  test("bloom decontamination finds exactly the exact-overlap result") {
+    val out = Decontaminate.bloomContaminatedDocs(
+      trainDocs, evalDocs, "doc_id", "text", gramSize = 3,
+      expectedEvalGrams = 1024)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 100: 7 distinct 3-grams, all shared; doc 101 shares
+    // "over the lazy" and "the lazy dog"; doc 102 absent
+    assert(out == Map(100L -> 7L, 101L -> 2L))
+  }
+
+  test("bloom prefilter output stays exact even at absurd fpp") {
+    // fpp ~50%: the Bloom passes many false positives; the verify
+    // join must still reduce to the exact overlap
+    val loose = Decontaminate.bloomContaminatedDocs(
+      trainDocs, evalDocs, "doc_id", "text", gramSize = 3,
+      expectedEvalGrams = 10, fpp = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(loose == Map(100L -> 7L, 101L -> 2L))
+  }
+
+  test("bloom expression: members always hit; interpreted equals codegen") {
+    val grams = evalDocs.select(
+      explode(TextExpressions.sorted_shingle_hashes(col("text"), 3)).as("g"))
+    val bytes = SketchExpressions.buildLongBloom(grams, "g", 100)
+    // no false negatives: every inserted hash must probe true
+    val hits = grams
+      .filter(SketchExpressions.bloom_might_contain_long(bytes, col("g")))
+      .count()
+    assert(hits == grams.count())
+    // interpreted eval agrees with the DataFrame (codegen) path
+    val sample = grams.limit(3).as[Long].collect()
+    sample.foreach { h =>
+      val e = SketchExpressions.BloomMightContainLong(bytes,
+        org.apache.spark.sql.catalyst.expressions.Literal(h))
+      assert(e.eval(null) == true)
+    }
+  }
+
+  test("hot spans: corpus-wide frequent grams counted per doc") {
+    // "over the lazy" + "the lazy dog" appear in eval1, t100, t101 ->
+    // df=3 with a combined corpus; threshold 3 flags exactly those
+    val corpus = evalDocs.unionByName(trainDocs)
+    val out = Decontaminate.hotSpanDocs(corpus, "doc_id", "text",
+      gramSize = 3, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L, 100L, 101L))
+    // each of the three docs contains both hot grams, and doc 1/100
+    // share the rest of the sentence only pairwise (df=2, below bar)
+    assert(out.values.toSet == Set(2L))
+  }
+
+  test("hot spans: nothing flagged below the doc-frequency bar") {
+    // within trainDocs alone the most shared gram sits in 2 docs
+    val out = Decontaminate.hotSpanDocs(trainDocs, "doc_id", "text",
+      gramSize = 3, minDocs = 3)
+    assert(out.count() == 0)
+  }
+}
