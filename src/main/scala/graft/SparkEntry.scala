@@ -507,8 +507,14 @@ object SparkEntry {
     // as a BroadcastNestedLoopJoin (O(|L|*|R|)); the binned operator
     // turns it into an equi-join on time bins + exact filter
     "j3_range_join" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select("l_shipdate", "l_quantity")
+      // filtered sides keep the matched-pair volume demonstrative
+      // rather than quadratic-in-sf (the unfiltered 3-day window is
+      // ~1e8 TRUE pairs at sf0.1 — a property of the query, not the
+      // operator; candidate overhead vs true pairs stays ~2x)
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+        .select("l_shipdate", "l_quantity")
       val ord = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey"), col("o_orderdate"),
           (col("o_orderdate") + expr("INTERVAL 3 DAYS")).as("o_end"))
       AsOfJoin.binnedRangeJoin(li, ord, "l_shipdate", "o_orderdate", "o_end",
@@ -549,6 +555,44 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"),
           round(sum("value"), 2).as("sum_value"))),
+
+    // streaming incremental replication e2e: a chronological file
+    // stream of events runs through Structured Streaming into a JDBC
+    // sink via foreachBatch (per-batch latest-per-key reduce + staged
+    // merge). Two input files + maxFilesPerTrigger=1 force a real
+    // multi-micro-batch run; the readback is the newest event per user.
+    "st3_stream_upsert" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select("user_id", "ts", "event_id", "event_type", "value")
+      val base = tmpDir("graft_st3")
+      val in = s"$base/in"
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+      ev.filter(col("ts") < cut).coalesce(1).write.mode("append").parquet(in)
+      ev.filter(col("ts") >= cut).coalesce(1).write.mode("append").parquet(in)
+      val url = s"jdbc:derby:memory:graftst3${System.nanoTime()};create=true"
+      JdbcConnector.withConnection(url, Map.empty) { c =>
+        val st = c.createStatement()
+        st.execute("CREATE TABLE LATEST (USER_ID BIGINT PRIMARY KEY, " +
+          "TS TIMESTAMP, EVENT_ID BIGINT, EVENT_TYPE VARCHAR(20), VALUE DOUBLE)")
+        st.close()
+      }
+      val schema = s.read.parquet(in).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in)
+        .toDF("USER_ID", "TS", "EVENT_ID", "EVENT_TYPE", "VALUE")
+      val q = graft.streaming.EventStream.writeJdbcUpsert(stream,
+        SinkConf(connect = url, table = Some("LATEST"),
+          mode = ReplicationMode.Incremental),
+        s"$base/chk",
+        b => graft.streaming.EventStream.latestPerKey(
+          b, Seq("USER_ID"), Seq("TS", "EVENT_ID")))
+      q.processAllAvailable()
+      q.stop()
+      val back = JdbcConnector.read(s, SourceConf(connect = url,
+        table = Some("LATEST"), partitions = 1))
+      ntz(back.toDF(back.columns.map(_.toLowerCase).toIndexedSeq: _*))
+    }),
 
     "st2_sessionize" -> ((s, dir) => {
       // gaps-and-islands sessionization: 30-minute inactivity gap
@@ -722,6 +766,7 @@ object SparkEntry {
         |FROM orders o JOIN lineitem l
         |  ON l.l_shipdate >= o.o_orderdate
         | AND l.l_shipdate < o.o_orderdate + INTERVAL 3 DAY
+        |WHERE o.o_orderpriority = '1-URGENT' AND l.l_quantity >= 45
         |GROUP BY 1""".stripMargin,
 
     "j2_asof_join" ->
@@ -982,6 +1027,13 @@ object SparkEntry {
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
         |       count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "st3_stream_upsert" ->
+      """SELECT user_id, ts, event_id, event_type, value FROM (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
 
     "st2_sessionize" ->
       """WITH flagged AS (

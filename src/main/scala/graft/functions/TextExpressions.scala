@@ -578,6 +578,93 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** Per-document repetition statistics in ONE fused row-local pass:
+    * tokenize -> word n-grams -> in-row hash-count -> top gram. The
+    * relational form (explode grams -> groupBy(doc, gram) -> groupBy
+    * doc) shuffles every gram STRING corpus-wide twice to compute a
+    * quantity that never leaves the row — at 100 TB that is two
+    * exchanges of the whole corpus re-keyed, for a per-row loop.
+    * Returns null when the doc has fewer than `n` words (mirroring
+    * the explode form, which drops such docs).
+    *
+    * Struct fields: n_words, n_distinct_words, n_grams, top_gram
+    * (most frequent n-gram, ties -> lexicographically smallest),
+    * top_count.
+    */
+  case class RepetitionStats(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 1, "n-gram size must be >= 1")
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_words", LongType, nullable = false),
+      StructField("n_distinct_words", LongType, nullable = false),
+      StructField("n_grams", LongType, nullable = false),
+      StructField("top_gram", StringType, nullable = false),
+      StructField("top_count", LongType, nullable = false)))
+    override def nullable: Boolean = true
+    override def prettyName: String = "repetition_stats"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"repetition_stats requires a string column, got ${other.catalogString}")
+      }
+
+    override protected def nullSafeEval(input: Any): Any =
+      repetitionKernel(input.asInstanceOf[UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.functions.TextExpressions.repetitionKernel($c, $n);
+        ${ev.isNull} = ${ev.value} == null;""")
+
+    override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+      copy(child = newChild)
+  }
+
+  /** The per-row kernel of [[RepetitionStats]]; tokenization matches
+    * `split(trim(lower(text)), "\\s+")` like every kernel here. */
+  def repetitionKernel(text: UTF8String, n: Int): InternalRow = {
+    val toks = text.trim().toLowerCase().toString.split("\\s+", -1)
+    if (toks.length < n) return null
+    val distinct = new java.util.HashSet[String]()
+    var t = 0
+    while (t < toks.length) { distinct.add(toks(t)); t += 1 }
+    val nGrams = toks.length - n + 1
+    val counts = new java.util.HashMap[String, Long](nGrams * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < nGrams) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      counts.merge(sb.toString, 1L, (a, b) => a + b)
+      i += 1
+    }
+    var topGram: String = null
+    var topCount = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue
+      // tie-break in UTF-8 byte order (what Spark/DuckDB string
+      // comparison uses), not UTF-16 code-unit order
+      if (c > topCount ||
+          (c == topCount && (topGram == null ||
+            UTF8String.fromString(e.getKey).compareTo(
+              UTF8String.fromString(topGram)) < 0))) {
+        topCount = c
+        topGram = e.getKey
+      }
+    }
+    new GenericInternalRow(Array[Any](
+      toks.length.toLong, distinct.size.toLong, nGrams.toLong,
+      UTF8String.fromString(topGram), topCount))
+  }
+
   // ---- Column-level API ----
 
   def rolling_hash(c: Column): Column =
@@ -605,6 +692,9 @@ object TextExpressions {
 
   def bitset_shingle_mask(c: Column, k: Int, vocab: Seq[String]): Column =
     ExpressionUtils.column(BitsetShingleMask(ExpressionUtils.expression(c), k, vocab))
+
+  def repetition_stats(c: Column, n: Int): Column =
+    ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(c), n))
 
   /** Register the SQL forms (`rolling_hash`, `simhash64`,
     * `minhash_signature`) in a session's function registry. */

@@ -94,29 +94,22 @@ object QualityFilters {
     */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2): DataFrame = {
-    val grams = df.select(col(idCol).as("id"),
-      explode(wordNgrams(col(textCol), n)).as("gram"),
-      size(TextAnalysis.tokens(lower(col(textCol)))).cast("long").as("n_words"),
-      size(array_distinct(TextAnalysis.tokens(lower(col(textCol)))))
-        .cast("long").as("n_distinct_words"))
-    grams
-      .groupBy("id", "n_words", "n_distinct_words", "gram")
-      .agg(count(lit(1)).as("c"))
-      .groupBy("id", "n_words", "n_distinct_words")
-      .agg(
-        sum("c").as("n_grams"),
-        // deterministic winner: highest count, ties -> lexicographically
-        // smallest gram (min over (-count, gram) struct order)
-        min_by(col("gram"), struct((col("c") * -1).as("nc"), col("gram").as("g")))
-          .as("top_gram"),
-        max("c").as("top_gram_count"))
+    // One fused row-local kernel (codegen RepetitionStats) instead of
+    // explode -> groupBy(doc, gram) -> groupBy(doc): the statistics
+    // never leave the row, so shuffling every gram string corpus-wide
+    // twice was pure waste — measured 9.7 s -> sub-second at sf0.1.
+    // The null filter mirrors the explode form, which dropped docs
+    // with fewer than n words.
+    df.select(col(idCol),
+        graft.functions.TextExpressions.repetition_stats(col(textCol), n).as("s"))
+      .filter(col("s").isNotNull)
       .select(
-        col("id").as(idCol),
-        col("n_grams"),
-        col("top_gram"),
-        round(col("top_gram_count").cast("double") /
-          greatest(col("n_grams"), lit(1L)), 4).as("top_gram_frac"),
-        round(col("n_distinct_words").cast("double") /
-          greatest(col("n_words"), lit(1L)), 4).as("distinct_word_frac"))
+        col(idCol),
+        col("s.n_grams").as("n_grams"),
+        col("s.top_gram").as("top_gram"),
+        round(col("s.top_count").cast("double") /
+          greatest(col("s.n_grams"), lit(1L)), 4).as("top_gram_frac"),
+        round(col("s.n_distinct_words").cast("double") /
+          greatest(col("s.n_words"), lit(1L)), 4).as("distinct_word_frac"))
   }
 }

@@ -86,16 +86,35 @@ object EventStream {
   /** Stream -> JDBC incremental sink: each micro-batch is staged and
     * merged (exactly the engine's incremental mode) via foreachBatch —
     * idempotent upserts make the sink consistent under micro-batch
-    * retries. */
+    * retries. `transform` runs per batch before the merge (e.g.
+    * [[latestPerKey]] to collapse a batch to one row per key — without
+    * it a batch holding two versions of a key would merge both in
+    * arbitrary order). */
   def writeJdbcUpsert(stream: DataFrame, conf: SinkConf,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String,
+      transform: DataFrame => DataFrame = identity): StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        JdbcConnector.write(batch.toDF(), conf)
+        JdbcConnector.write(transform(batch.toDF()), conf)
       }
       .start()
+
+  /** Collapse to the newest row per key: deterministic pick by
+    * `orderCols` descending (include a unique tiebreaker column).
+    * Used as the per-batch reduce for change-log upserts; when event
+    * time is monotone across micro-batches, batch-local latest +
+    * last-writer-wins merge composes to the global latest. */
+  def latestPerKey(df: DataFrame, keys: Seq[String],
+      orderCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
 
   /** Stream -> files under the engine's file-sink path semantics. */
   def writeFileStream(stream: DataFrame, path: String, checkpoint: String,

@@ -169,4 +169,34 @@ class PlanSpec extends SparkTestBase {
     // pairs (>= 4 nodes), never a single post-shuffle aggregate
     assert("HashAggregate".r.findAllIn(p).size >= 4, p)
   }
+
+  test("rep1 repetition stats are a shuffle-free codegen projection") {
+    // the fused RepetitionStats kernel replaced explode -> two
+    // corpus-wide gram-string shuffles; nothing may leave the row
+    val df = SparkEntry.queries("rep1_repetition")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"rep1 must not shuffle:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("repetition_stats")))
+    assert(!p.contains("CodegenFallback"))
+  }
+
+  test("dd8 bloom probe filters inside codegen before the verify join's shuffle") {
+    val df = SparkEntry.queries("dd8_decontaminate")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the membership probe is a codegen'd Filter on the train side
+    assert(p.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("bloom_might_contain_long")))
+    assert(!p.contains("CodegenFallback"))
+  }
+
+  test("j3 binned range join is an equi-join on bins, never a nested loop") {
+    val p = planOf("j3_range_join")
+    assert(p.contains("__bin"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // quantity/priority filters reach the scans
+    assert(p.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("l_quantity")))
+  }
 }
