@@ -222,6 +222,37 @@ object SparkEntry {
           countDistinct(o("o_orderkey")).as("n_orders"))
     }),
 
+    // TPC-H Q3 shape: selective filters on all three tables, 3-way
+    // join, grouped revenue, top-10 — the full declare-and-let-
+    // Catalyst-plan pipeline (pushdown + join order + partial agg +
+    // WindowGroupLimit-free top-k via sort/limit)
+    "q2_shipping_priority" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp_ntz"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp_ntz"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(li("l_orderkey"), o("o_orderdate"), o("o_orderpriority"))
+        .agg(round(sum(li("l_extendedprice") * (lit(1.0) - li("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // GROUPING SETS through the SQL surface (DataFrame API exposes
+    // only rollup/cube); grouping_id() disambiguates the null rows
+    "gs1_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("gs1_lineitem")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        FROM gs1_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))""")
+    }),
+
     "agg1_pricing_summary" -> ((s, dir) => {
       // TPC-H Q1 shape: filter pushdown + grouped aggregates
       t(s, dir, "lineitem")
@@ -739,6 +770,23 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
         |       count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q2_shipping_priority" ->
+      """SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+        |       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1996-01-01'
+        |  AND l.l_shipdate > TIMESTAMP '1996-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l.l_orderkey ASC LIMIT 10""".stripMargin,
+
+    "gs1_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+        |                        (l_returnflag, l_linestatus))""".stripMargin,
 
     "agg4_cube" ->
       """SELECT l_returnflag, l_linestatus,

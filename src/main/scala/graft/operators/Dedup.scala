@@ -158,36 +158,46 @@ object Dedup {
       maxBucketSize: Int = 10000): DataFrame = {
     val sig = TextExpressions.simhash64(TextAnalysis.tokens(lower(col(textCol))))
     val withSig = spread(df).select(col(idCol).as("id"), sig.as("sig"))
-    // carry (id, sig) pairs — 16 bytes — through the chunk explode;
-    // pairs are generated in-bucket after one shuffle (same shape as
-    // minhashLshPairs), then verified by exact Hamming distance
-    val chunked = withSig.select(
-      struct(col("id"), col("sig")).as("row"),
+    // carry (id, sig) — 16 bytes — through the chunk explode
+    val chunked = withSig.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(ci =>
         shiftrightunsigned(col("sig"), ci * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("chunk_idx", "chunk")))
-    val rows = array_sort(col("rows"))
-    val hamming = bit_count(col("p.id_a.sig").bitwiseXOR(col("p.id_b.sig")))
+    // In-bucket pairs come from a bucket-keyed SELF-JOIN, not from
+    // collect_list + array pair expansion: simhash chunk blocking
+    // makes LARGE buckets normal (16 bits of a correlated signature),
+    // and an O(q^2) pair array materialized in a single row is a
+    // multi-GB allocation at q ~ 10^4 — the join emits the same pairs
+    // streamed through whole-stage codegen instead. Bucket size and
+    // hub ride in from one aggregate over the same shuffle key.
+    val stats = chunked.groupBy("chunk_idx", "chunk")
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("id"), col("sig"))).as("hub"))
+    val sized = chunked.join(stats, Seq("chunk_idx", "chunk"))
+    val small = sized.filter(col("n").between(2, maxBucketSize))
+    val smallPairs = small
+      .select(col("chunk_idx"), col("chunk"),
+        col("id").as("id_a"), col("sig").as("sig_a"))
+      .join(small.select(col("chunk_idx"), col("chunk"),
+        col("id").as("id_b"), col("sig").as("sig_b")),
+        Seq("chunk_idx", "chunk"))
+      .filter(col("id_a") < col("id_b"))
     // Oversized buckets (mass-templated boilerplate) degrade to a STAR
-    // expansion around the bucket minimum — the same linear degrade as
-    // minhashLshPairs. Above maxBucketSize recall is BEST-EFFORT, not
-    // guaranteed: pairs survive only when each member is within
-    // maxHamming of the hub, so two near-dups both far from the hub
-    // lose their direct edge (connectivity only via hub-adjacent
-    // members). Still strictly better than the old silent drop.
-    val allPairs = flatten(transform(rows, (x, i) =>
-      transform(slice(rows, i + 2, size(rows)),
-        y => struct(x.as("id_a"), y.as("id_b")))))
-    val starPairs = transform(slice(rows, lit(2), size(rows)),
-      y => struct(element_at(rows, 1).as("id_a"), y.as("id_b")))
-    chunked
-      .groupBy("chunk_idx", "chunk").agg(collect_list("row").as("rows"))
-      .filter(size(col("rows")) >= 2)
-      .select(explode(when(size(rows) <= maxBucketSize, allPairs)
-        .otherwise(starPairs)).as("p"))
-      .withColumn("hamming", hamming)
+    // expansion around the bucket minimum — linear, not quadratic.
+    // Above maxBucketSize recall is BEST-EFFORT, not guaranteed: pairs
+    // survive only when each member is within maxHamming of the hub,
+    // so two near-dups both far from the hub lose their direct edge
+    // (connectivity only via hub-adjacent members). Still strictly
+    // better than a silent drop.
+    val starPairs = sized.filter(col("n") > maxBucketSize)
+      .filter(col("id") =!= col("hub.id"))
+      .select(col("hub.id").as("id_a"), col("hub.sig").as("sig_a"),
+        col("id").as("id_b"), col("sig").as("sig_b"))
+    smallPairs.select("id_a", "sig_a", "id_b", "sig_b")
+      .unionByName(starPairs)
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
-      .select(col("p.id_a.id").as("id_a"), col("p.id_b.id").as("id_b"), col("hamming"))
+      .select("id_a", "id_b", "hamming")
       .dropDuplicates("id_a", "id_b")
   }
 

@@ -284,6 +284,30 @@ object Probe {
         d.filter(col("doc_id") % 10000000L <= 250), d.filter(col("doc_id") % 10000000L > 250),
         "doc_id", "text", Seq("lang"), shingleSize = 1, threshold = 0.8).count()
     })
+    timed("dd8 bloom decontaminate 2.5K eval x 47.5K train")(
+      graft.operators.Decontaminate.bloomContaminatedDocs(
+        docs.filter(col("doc_id") % 10000000L > 250),
+        docs.filter(col("doc_id") % 10000000L <= 250),
+        "doc_id", "text", gramSize = 3, expectedEvalGrams = 1 << 18).count())
+    timed("dd9 hot spans 50K docs")(
+      graft.operators.Decontaminate.hotSpanDocs(
+        docs, "doc_id", "text", gramSize = 3, minDocs = 5).count())
+    timed("rep1 repetition stats 50K docs")(
+      graft.operators.QualityFilters.repetitionSignals(
+        docs, "doc_id", "text", n = 2).count())
+    timed("ta4 unigram logprob 50K docs")(
+      graft.operators.Scoring.unigramLogProb(docs, "doc_id", "text").count())
+    timed("j3 binned range join 6M x 1.5M")({
+      val liF = li.filter(col("l_quantity") >= 45).select("l_shipdate", "l_quantity")
+      val ord = x10("orders", Seq("o_orderkey"))
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          (col("o_orderdate") + expr("INTERVAL 3 DAYS")).as("o_end"))
+      graft.operators.AsOfJoin.binnedRangeJoin(
+          liF, ord, "l_shipdate", "o_orderdate", "o_end", binWidth = "3 days")
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_items")).count()
+    })
   }
 
   /** Dot-product kernel microbench: the codegen `DotProduct`

@@ -191,6 +191,16 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CodegenFallback"))
   }
 
+  test("dd3 simhash pairs stream through a bucket join, no per-bucket array") {
+    // collect_list + array pair expansion would materialize O(q^2)
+    // structs in one row for a big bucket; the pair set must come
+    // from a join
+    val df = SparkEntry.queries("dd3_dedup_simhash")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("collect_list"), s"dd3 must not collect buckets:\n$p")
+    assert(p.contains("Join"))
+  }
+
   test("j3 binned range join is an equi-join on bins, never a nested loop") {
     val p = planOf("j3_range_join")
     assert(p.contains("__bin"))

@@ -136,4 +136,47 @@ class StreamingSpec extends SparkTestBase {
     assert(got.toSet == expected) // every distinct event once, no retry
     assert(got.length == expected.size)
   }
+
+  test("latestPerKey picks one newest row per key with a deterministic tiebreak") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:10:00"), 10L, "a"),
+      (1L, ts("2024-01-01 00:20:00"), 11L, "b"),
+      (1L, ts("2024-01-01 00:20:00"), 12L, "c"),   // ts tie -> higher id wins
+      (2L, ts("2024-01-01 00:05:00"), 13L, "d"))
+      .toDF("user_id", "ts", "event_id", "tag")
+    val out = EventStream.latestPerKey(df, Seq("user_id"), Seq("ts", "event_id"))
+      .select("user_id", "tag").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "c", 2L -> "d"))
+  }
+
+  test("upsert sink transform collapses each batch before the merge") {
+    // one batch holds two versions of user 1; without the reduce the
+    // merge order within the batch would be arbitrary
+    implicit val sqlCtx = spark.sqlContext
+    val url = s"jdbc:derby:memory:latest${System.nanoTime()};create=true"
+    JdbcConnector.withConnection(url, Map.empty) { c =>
+      val st = c.createStatement()
+      st.execute("CREATE TABLE LATEST (USER_ID BIGINT PRIMARY KEY, " +
+        "TS TIMESTAMP, VALUE DOUBLE)")
+      st.close()
+    }
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft_lk").toString
+    val mem = MemoryStream[Ev]
+    val stream = mem.toDF().select(
+      col("user_id").as("USER_ID"), col("ts").as("TS"), col("value").as("VALUE"))
+    val q = EventStream.writeJdbcUpsert(stream,
+      SinkConf(connect = url, table = Some("LATEST"),
+        mode = ReplicationMode.Incremental),
+      checkpoint,
+      b => EventStream.latestPerKey(b, Seq("USER_ID"), Seq("TS")))
+    mem.addData(batch1: _*)   // user 1 twice in ONE batch
+    q.processAllAvailable()
+    mem.addData(batch2: _*)   // later values arrive in a second batch
+    q.processAllAvailable()
+    q.stop()
+    val out = JdbcConnector.read(spark,
+      SourceConf(connect = url, table = Some("LATEST"), partitions = 1))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out == Map(1L -> 5.0, 2L -> 4.0))
+  }
 }
