@@ -208,6 +208,24 @@ object SparkEntry {
       Modes.upsert(target, staging, Seq("o_orderkey"))
     }),
 
+    // file-sink incremental: complete-load the base, then staged
+    // upsert re-written through the ATOMIC swap (readers always see
+    // old-or-new, never nothing) — the file analogue of m3. The merge
+    // plan reads the CURRENT version while the swap stages the next
+    // one; the versioned-dir layout is what makes that self-merge
+    // safe.
+    "m5_mode_incremental_file" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val target = tmpDir("graft_m5") + "/orders_sink"
+      FileConnector.writeAtomic(
+        orders.filter("o_orderkey % 3 != 0"), target, "parquet", Map.empty)
+      val delta = orders.filter("o_orderkey % 2 = 0")
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      val merged = Modes.upsert(s.read.parquet(target), delta, Seq("o_orderkey"))
+      FileConnector.writeAtomic(merged, target, "parquet", Map.empty)
+      s.read.parquet(target)
+    }),
+
     // ---- joins / aggregations / windows / sorts / set ops ---------
     "j1_join_agg" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -579,6 +597,20 @@ object SparkEntry {
           round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
           round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))),
 
+    // time-RANGE window frame: trailing 1-hour sum/count per user —
+    // frames over a numeric order key plan as a single shuffle+sort,
+    // state bounded by the frame
+    "w3_window_range" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, 0L)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"))
+        .withColumn("trail_1h_sum", round(sum("value").over(w), 2))
+        .withColumn("trail_1h_n", count(lit(1)).over(w))
+        .select("event_id", "user_id", "ts", "trail_1h_sum", "trail_1h_n")
+    }),
+
     // ---- stream-shaped (batch-equivalent of graft.streaming) ------
     "st1_event_windows" -> ((s, dir) =>
       events(s, dir)
@@ -698,6 +730,26 @@ object SparkEntry {
         |SELECT t.* FROM orders t
         |WHERE t.o_orderkey % 3 <> 0
         |  AND t.o_orderkey NOT IN (SELECT o_orderkey FROM staging)""".stripMargin,
+
+    "m5_mode_incremental_file" ->
+      """WITH staging AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT * FROM staging
+        |UNION ALL
+        |SELECT t.* FROM orders t
+        |WHERE t.o_orderkey % 3 <> 0
+        |  AND t.o_orderkey NOT IN (SELECT o_orderkey FROM staging)""".stripMargin,
+
+    "w3_window_range" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |       round(sum(value) OVER w, 2) AS trail_1h_sum,
+        |       count(*) OVER w AS trail_1h_n
+        |FROM (SELECT event_id, user_id, ts, value,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "j1_join_agg" ->
       """SELECT n.n_name, round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,

@@ -96,6 +96,25 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("binned range join == naive join on seeded random data incl. degenerate intervals") {
+    val rnd = new scala.util.Random(42)
+    def tsAt(minutes: Int) = new Timestamp(1704067200000L + minutes * 60000L)
+    val ps = (1 to 400).map(i => (tsAt(rnd.nextInt(10000)), s"p$i")).toDF("pt", "ptag")
+    // interval lengths 0..5h, some inverted (hi < lo) — both must
+    // yield no pairs rather than errors
+    val is = (1 to 120).map { i =>
+      val lo = rnd.nextInt(10000)
+      val len = rnd.nextInt(300) - 30
+      (tsAt(lo), tsAt(lo + len), s"i$i")
+    }.toDF("lo", "hi", "itag")
+    val binned = AsOfJoin.binnedRangeJoin(ps, is, "pt", "lo", "hi", "2 hours")
+      .select("ptag", "itag").as[(String, String)].collect().sorted.toSeq
+    val naive = ps.join(is, $"pt" >= $"lo" && $"pt" < $"hi")
+      .select("ptag", "itag").as[(String, String)].collect().sorted.toSeq
+    assert(binned == naive)
+    assert(binned.nonEmpty)
+  }
+
   test("binned range join honors extra equi keys") {
     val kp = points.withColumn("k", lit("x"))
     val ki = ivs.withColumn("k", when($"itag" === "iv_a", "x").otherwise("y"))
