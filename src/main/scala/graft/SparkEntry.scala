@@ -519,6 +519,12 @@ object SparkEntry {
     "pf2_token_freq" -> ((s, dir) =>
       Profiling.tokenFrequencies(t(s, dir, "documents"), Seq("lang"), "text", 5)),
 
+    // the 100 TB profiling path: t-digest percentiles + HLL distinct
+    // (sketches are approximate by design -> rows-only; ProfilingSpec
+    // bounds them against the exact aggregates)
+    "pf3_approx_stats" -> ((s, dir) =>
+      Profiling.approxCorpusStats(t(s, dir, "documents"), Seq("lang"), "n_chars")),
+
     // ---- beyond-parity: multimodal --------------------------------
     "mm1_media_metadata" -> ((s, dir) =>
       Multimodal.toMediaTable(t(s, dir, "documents"),

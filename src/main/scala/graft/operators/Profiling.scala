@@ -28,6 +28,32 @@ object Profiling {
         round(expr(s"percentile($lenCol, 0.5)"), 4).as("median_len"),
         round(expr(s"percentile($lenCol, 0.95)"), 4).as("p95_len"))
 
+  /** The 100 TB form of [[corpusStats]]: sketch aggregates instead of
+    * exact ones. `percentile` holds every value per group in memory —
+    * exact and fine at test scale, unbounded at corpus scale;
+    * `approx_percentile` (t-digest, bounded state per group) and
+    * `approx_count_distinct` (HyperLogLog++) keep the same one-pass
+    * partial-agg shape with constant-size partial states. accuracy:
+    * percentile rank error ≤ 1/`accuracy`; HLL relative sd ≈
+    * 1.04/sqrt(2^p) at the default 5%.
+    */
+  def approxCorpusStats(df: DataFrame, groupCols: Seq[String],
+      lenCol: String, accuracy: Int = 10000): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        approx_count_distinct(lenCol).as("approx_distinct_len"),
+        min(lenCol).as("min_len"),
+        max(lenCol).as("max_len"),
+        round(avg(lenCol), 4).as("mean_len"),
+        // approx_percentile preserves the input type (long-in ->
+        // long-out); cast so the schema matches the exact form's
+        // double percentiles
+        round(expr(s"approx_percentile($lenCol, 0.5, $accuracy)").cast("double"), 4)
+          .as("median_len"),
+        round(expr(s"approx_percentile($lenCol, 0.95, $accuracy)").cast("double"), 4)
+          .as("p95_len"))
+
   /** Top-k most frequent whitespace tokens per group, deterministic
     * tie-break by token. The explode→count→rank shape is the
     * inverted-index build; partial aggregation keeps the shuffle at

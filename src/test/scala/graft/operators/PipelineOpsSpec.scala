@@ -86,6 +86,45 @@ class QualityFiltersSpec extends SparkTestBase {
     val out = QualityFilters.repetitionSignals(rows, "doc_id", "text", n = 2)
     assert(out.select("doc_id").as[Long].collect().toSet == Set(3L))
   }
+
+  test("fused repetition kernel == the relational explode form on random docs") {
+    import org.apache.spark.sql.functions._
+    // seeded random docs over a small vocab (forces ties and heavy
+    // repetition), plus edge shapes
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "cc", "ddd", "Buy", "NOW")
+    val docs = ((1 to 200).map { i =>
+      val n = rnd.nextInt(30)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } ++ Seq((998L, ""), (999L, "  padded   whitespace  "))).toDF("doc_id", "text")
+
+    val fused = QualityFilters.repetitionSignals(docs, "doc_id", "text", n = 2)
+
+    // the pre-fusion relational reference, inlined
+    val grams = docs.select(col("doc_id"),
+      explode(QualityFilters.wordNgrams(col("text"), 2)).as("gram"),
+      size(TextAnalysis.tokens(lower(col("text")))).cast("long").as("n_words"),
+      size(array_distinct(TextAnalysis.tokens(lower(col("text")))))
+        .cast("long").as("n_distinct_words"))
+    val reference = grams
+      .groupBy("doc_id", "n_words", "n_distinct_words", "gram")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_words", "n_distinct_words")
+      .agg(sum("c").as("n_grams"),
+        min_by(col("gram"), struct((col("c") * -1).as("nc"), col("gram").as("g")))
+          .as("top_gram"),
+        max("c").as("top_gram_count"))
+      .select(col("doc_id"), col("n_grams"), col("top_gram"),
+        round(col("top_gram_count").cast("double") /
+          greatest(col("n_grams"), lit(1L)), 4).as("top_gram_frac"),
+        round(col("n_distinct_words").cast("double") /
+          greatest(col("n_words"), lit(1L)), 4).as("distinct_word_frac"))
+
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+    assert(key(fused) == key(reference))
+  }
 }
 
 class ScoringSpec extends SparkTestBase {

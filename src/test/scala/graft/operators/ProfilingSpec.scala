@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class ProfilingSpec extends SparkTestBase {
+
+  private lazy val docs = spark.read.parquet(sf() + "/documents.parquet")
+
+  test("approx corpus stats track the exact aggregates within sketch bounds") {
+    def byLang(df: org.apache.spark.sql.DataFrame): Map[String, Row] =
+      df.collect().map(r => r.getString(0) -> r).toMap
+    val exact = byLang(Profiling.corpusStats(docs, Seq("lang"), "n_chars"))
+    val approx = byLang(Profiling.approxCorpusStats(docs, Seq("lang"), "n_chars"))
+    assert(exact.keySet == approx.keySet)
+    for ((lang, e) <- exact) {
+      val a = approx(lang)
+      // exact columns are exact in both forms
+      assert(a.getAs[Long]("n_docs") == e.getAs[Long]("n_docs"))
+      assert(a.getAs[Long]("min_len") == e.getAs[Long]("min_len"))
+      assert(a.getAs[Long]("max_len") == e.getAs[Long]("max_len"))
+      assert(a.getAs[Double]("mean_len") == e.getAs[Double]("mean_len"))
+      // t-digest at accuracy=10000 on a few hundred values per group
+      // must land within a small relative error of the exact quantile
+      def close(ac: Double, ex: Double) =
+        math.abs(ac - ex) <= math.max(5.0, 0.05 * math.abs(ex))
+      assert(close(a.getAs[Double]("median_len"), e.getAs[Double]("median_len")),
+        s"$lang median: ${a.getAs[Double]("median_len")} vs ${e.getAs[Double]("median_len")}")
+      assert(close(a.getAs[Double]("p95_len"), e.getAs[Double]("p95_len")),
+        s"$lang p95: ${a.getAs[Double]("p95_len")} vs ${e.getAs[Double]("p95_len")}")
+      // HLL at default 5% sd: generous 3-sigma bound vs the true
+      // distinct count of lengths in the group
+      val trueDistinct = docs.filter(col("lang") === lang)
+        .select("n_chars").distinct().count()
+      val hll = a.getAs[Long]("approx_distinct_len")
+      assert(math.abs(hll - trueDistinct) <= math.max(3, 0.15 * trueDistinct),
+        s"$lang distinct: $hll vs $trueDistinct")
+    }
+  }
+
+  test("approx stats plan is a single partial-agg pass (no extra shuffle)") {
+    val df = Profiling.approxCorpusStats(docs, Seq("lang"), "n_chars")
+    val p = df.queryExecution.executedPlan.toString
+    // partial + final aggregate over one exchange, like the exact form
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+}
