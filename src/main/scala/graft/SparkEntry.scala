@@ -420,6 +420,21 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank")
     }),
 
+    // hyperplane-LSH bucketed top-k (multi-probe): candidate recall is
+    // probabilistic -> rows-only; SimilaritySpec bounds recall vs
+    // brute force
+    "sim3_lsh_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e.filter("vec_id < 10"), e, "vec_id", "embedding", 5)
+        .select("query_id", "neighbor_id", "rank")
+    }),
+
+    // bandwidth throttling changes TIMING, not content: the throttled
+    // scan must hash-match the plain scan's oracle (sink-protection
+    // parity operator, rate generous enough to finish promptly)
+    "u1_throttled_scan" -> ((s, dir) =>
+      Throttle.byRows(t(s, dir, "supplier"), rowsPerSecond = 500000)),
+
     // ---- beyond-parity: text analysis -----------------------------
     "ta1_text_stats" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -686,6 +701,9 @@ object SparkEntry {
 
     "s2_partitioned_scan" ->
       "SELECT * FROM orders",
+
+    "u1_throttled_scan" ->
+      "SELECT * FROM supplier",
 
     "f1_filter_where" ->
       "SELECT * FROM orders WHERE o_totalprice > 100000 AND o_orderstatus = 'F'",
