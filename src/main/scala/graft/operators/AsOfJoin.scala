@@ -121,6 +121,7 @@ object AsOfJoin {
         require(iv.months == 0, "binWidth must be a fixed-length interval (days/hours/...)")
         iv.days * 86400000000L + iv.microseconds
     }
+    require(widthMicros > 0, s"binWidth must be positive, got '$binWidth'")
     def binOf(c: Column): Column =
       floor(unix_micros(c.cast("timestamp")) / widthMicros)
 

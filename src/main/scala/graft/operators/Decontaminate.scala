@@ -11,6 +11,12 @@ import graft.functions.{SketchExpressions, TextExpressions}
   * Both operate on word k-gram hashes from the fused
   * `sorted_shingle_hashes` kernel (distinct per doc, codegen'd) — doc
   * bodies never shuffle, only 8-byte gram hashes do.
+  *
+  * Short-doc contract (from the shingle kernel): a doc with fewer
+  * than `gramSize` words contributes ONE gram — the whole text —
+  * rather than zero, so identical short docs still collide. SQL
+  * reimplementations that emit zero grams for short docs will
+  * diverge on corpora containing them.
   */
 object Decontaminate {
 
@@ -36,25 +42,26 @@ object Decontaminate {
       gramSize: Int = 3,
       expectedEvalGrams: Long = 1L << 20,
       fpp: Double = 0.01): DataFrame = {
+    // eval grams are needed twice (bloom build, which is an EAGER
+    // action, and the lazily-executed exact verify join):
+    // localCheckpoint materializes them once — persist/unpersist
+    // can't work here because the caller executes the returned plan
+    // after this function (and any finally-unpersist) has run
     val evalGrams = eval
       .select(explode(TextExpressions.sorted_shingle_hashes(col(textCol), gramSize))
         .as("gram"))
       .distinct()
-    // eval grams are needed twice (bloom build + exact verify); at
-    // benchmark scale this is small — cache instead of recompute
-    evalGrams.persist()
-    try {
-      val bloomBytes = SketchExpressions.buildLongBloom(
-        evalGrams, "gram", expectedEvalGrams, fpp)
-      train
-        .select(col(idCol),
-          explode(TextExpressions.sorted_shingle_hashes(col(textCol), gramSize))
-            .as("gram"))
-        .where(SketchExpressions.bloom_might_contain_long(bloomBytes, col("gram")))
-        .join(evalGrams, "gram") // exact verify: kills false positives
-        .groupBy(idCol)
-        .agg(count(lit(1)).as("n_shared_grams")) // grams are distinct per doc already
-    } finally evalGrams.unpersist()
+      .localCheckpoint()
+    val bloomBytes = SketchExpressions.buildLongBloom(
+      evalGrams, "gram", expectedEvalGrams, fpp)
+    train
+      .select(col(idCol),
+        explode(TextExpressions.sorted_shingle_hashes(col(textCol), gramSize))
+          .as("gram"))
+      .where(SketchExpressions.bloom_might_contain_long(bloomBytes, col("gram")))
+      .join(evalGrams, "gram") // exact verify: kills false positives
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shared_grams")) // grams are distinct per doc already
   }
 
   /** Docs containing "hot" spans — word k-grams occurring in ≥
