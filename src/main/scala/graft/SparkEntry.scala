@@ -678,6 +678,13 @@ object SparkEntry {
       ntz(back.toDF(back.columns.map(_.toLowerCase).toIndexedSeq: _*))
     }),
 
+    // per-user ordered event sequence — the trajectory builder
+    // behavioral training examples come from; one partial-agg shuffle,
+    // in-row ordering, capped payload
+    "seq1_user_sequences" -> ((s, dir) =>
+      Sequences.orderedJoined(events(s, dir), Seq("user_id"),
+        Seq("ts", "event_id"), "event_type")),
+
     "st2_sessionize" -> ((s, dir) => {
       // gaps-and-islands sessionization: 30-minute inactivity gap
       val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
@@ -1158,6 +1165,12 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY user_id
         |           ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "seq1_user_sequences" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       string_agg(event_type, '>'
+        |         ORDER BY CAST(ts AS TIMESTAMP), event_id) AS seq
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "st2_sessionize" ->
       """WITH flagged AS (
