@@ -523,6 +523,9 @@ object SparkEntry {
     "ta4_unigram_logprob" -> ((s, dir) =>
       Scoring.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
 
+    "ta5_bigram_logprob" -> ((s, dir) =>
+      Scoring.ngramLogProb(t(s, dir, "documents"), "doc_id", "text", n = 2)),
+
     "pack1_shards" -> ((s, dir) =>
       Packing.assignShards(t(s, dir, "documents"), "doc_id", "text",
           budget = 2000, buckets = 32)
@@ -684,6 +687,24 @@ object SparkEntry {
     "seq1_user_sequences" -> ((s, dir) =>
       Sequences.orderedJoined(events(s, dir), Seq("user_id"),
         Seq("ts", "event_id"), "event_type")),
+
+    // session-scoped trajectories: st2's gaps-and-islands session ids
+    // composed with the sequence builder -> one training example per
+    // (user, session)
+    "seq2_session_sequences" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val flagged = events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(col("prev_ts").cast("timestamp")) > 30L * 60 * 1000000, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      Sequences.orderedJoined(flagged, Seq("user_id", "session_id"),
+        Seq("ts", "event_id"), "event_type")
+    }),
 
     "st2_sessionize" -> ((s, dir) => {
       // gaps-and-islands sessionization: 30-minute inactivity gap
@@ -1135,6 +1156,24 @@ object SparkEntry {
         |FROM tc JOIN model USING (term), tot
         |GROUP BY doc_id""".stripMargin,
 
+    "ta5_bigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+        |           i -> w[i] || ' ' || w[i + 1])) AS term
+        |  FROM toks WHERE len(w) >= 2),
+        |tc AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM g
+        |  WHERE term <> '' GROUP BY doc_id, term),
+        |model AS (SELECT term, sum(tf) AS mc FROM tc GROUP BY term),
+        |tot AS (SELECT sum(mc) AS total FROM model)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |       round(sum(tf * ln(mc * 1.0 / total)) / sum(tf), 4) AS avg_logprob
+        |FROM tc JOIN model USING (term), tot
+        |GROUP BY doc_id""".stripMargin,
+
     "pack1_shards" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -1171,6 +1210,24 @@ object SparkEntry {
         |       string_agg(event_type, '>'
         |         ORDER BY CAST(ts AS TIMESTAMP), event_id) AS seq
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "seq2_session_sequences" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+        |                OR epoch_us(CAST(ts AS TIMESTAMP))
+        |                   - epoch_us(CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS TIMESTAMP))
+        |                   > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sess AS (
+        |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+        |           ORDER BY ts ASC, event_id ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
 
     "st2_sessionize" ->
       """WITH flagged AS (

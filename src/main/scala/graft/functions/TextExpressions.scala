@@ -578,6 +578,60 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** Word n-grams of the lowercased whitespace tokens as space-joined
+    * strings, NON-distinct, in one fused codegen pass. Replaces the
+    * `filter(transform(tokens, slice+concat_ws))` HOF stack
+    * (CodegenFallback, per-element slice allocation) everywhere a
+    * gram LIST is needed — measured 2x+ on the bigram-LM corpus pass.
+    */
+  case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1, "n-gram size must be >= 1")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "word_ngrams"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_ngrams requires a string column, got ${other.catalogString}")
+      }
+
+    override protected def nullSafeEval(input: Any): Any =
+      wordNgramsKernel(input.asInstanceOf[UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExpressions.wordNgramsKernel($c, $n);")
+
+    override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+      copy(child = newChild)
+  }
+
+  /** Kernel of [[WordNgrams]]; tokenization matches
+    * `split(trim(lower(text)), "\\s+")` like every kernel here (for
+    * n=1 this is exactly the token list, empty-string token for empty
+    * input included). */
+  def wordNgramsKernel(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.trim().toLowerCase().toString.split("\\s+", -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val m = toks.length - n + 1
+    val out = new Array[Any](m)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-document repetition statistics in ONE fused row-local pass:
     * tokenize -> word n-grams -> in-row hash-count -> top gram. The
     * relational form (explode grams -> groupBy(doc, gram) -> groupBy
@@ -695,6 +749,9 @@ object TextExpressions {
 
   def repetition_stats(c: Column, n: Int): Column =
     ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(c), n))
+
+  def word_ngrams(c: Column, n: Int): Column =
+    ExpressionUtils.column(WordNgrams(ExpressionUtils.expression(c), n))
 
   /** Register the SQL forms (`rolling_hash`, `simhash64`,
     * `minhash_signature`) in a session's function registry. */

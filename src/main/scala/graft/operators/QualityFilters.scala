@@ -68,16 +68,12 @@ object QualityFilters {
   }
 
   /** Word n-grams of the lowercased whitespace tokens as space-joined
-    * strings ("the quick", "quick fox", ...). */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(lower(text))
-    if (n == 1) toks
-    else filter(
-      transform(toks, (_, i) =>
-        when(i + n <= size(toks),
-          concat_ws(" ", slice(toks, i + lit(1), lit(n))))),
-      g => g.isNotNull)
-  }
+    * strings ("the quick", "quick fox", ...) — the fused codegen
+    * expression; FunctionsSpec pins it value-identical to the HOF
+    * `filter(transform(tokens, slice+concat_ws))` composition it
+    * replaced. */
+  def wordNgrams(text: Column, n: Int): Column =
+    graft.functions.TextExpressions.word_ngrams(text, n)
 
   /** Gopher repetition signals per document:
     *  - `top_gram_frac`: occurrences of the single most frequent

@@ -73,10 +73,24 @@ object Scoring {
     * because the model IS the corpus; score with a different corpus
     * needs smoothing first.
     */
-  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    ngramLogProb(df, idCol, textCol, n = 1)
+
+  /** [[unigramLogProb]] generalized to word n-grams: the model is the
+    * corpus n-gram distribution, the score the mean n-gram
+    * ln-probability — higher-order context makes the "how typical"
+    * signal sharper (a bigram model penalizes scrambled word order
+    * that a unigram model cannot see). Same scale shape; docs with
+    * fewer than `n` words produce no row (they have no n-grams).
+    */
+  def ngramLogProb(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1)
+    val units =
+      if (n == 1) TextAnalysis.tokens(lower(col(textCol)))
+      else QualityFilters.wordNgrams(col(textCol), n)
     val termCounts = df
-      .select(col(idCol).as("id"),
-        explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+      .select(col(idCol).as("id"), explode(units).as("term"))
       .filter(col("term") =!= "")
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val model = termCounts.groupBy("term").agg(sum("tf").as("tc"))

@@ -209,4 +209,26 @@ class VectorExpressionsSpec extends SparkTestBase {
         .select(dot_product(col("a"), col("b"))).collect()
     }
   }
+
+  test("word_ngrams fused kernel == the HOF composition it replaced") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq("the quick brown fox", "one", "", "  padded  text ",
+      "a a a a a", "MiXeD CaSe Words Here").toDF("text")
+    for (n <- Seq(1, 2, 3)) {
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      val hof =
+        if (n == 1) toks
+        else filter(
+          transform(toks, (_, i) =>
+            when(i + n <= size(toks),
+              concat_ws(" ", slice(toks, i + lit(1), lit(n))))),
+          g => g.isNotNull)
+      val got = docs.select(
+        TextExpressions.word_ngrams(col("text"), n).as("a"), hof.as("b"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"n=$n row=$r")
+      }
+    }
+  }
 }

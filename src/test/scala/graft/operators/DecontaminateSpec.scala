@@ -58,6 +58,21 @@ class DecontaminateSpec extends SparkTestBase {
     }
   }
 
+  test("bloom expression survives java serialization (how plans ship to executors)") {
+    import java.io._
+    val grams = evalDocs.select(
+      explode(TextExpressions.sorted_shingle_hashes(col("text"), 3)).as("g"))
+    val bytes = SketchExpressions.buildLongBloom(grams, "g", 100)
+    val h = grams.limit(1).as[Long].collect().head
+    val e = SketchExpressions.BloomMightContainLong(bytes,
+      org.apache.spark.sql.catalyst.expressions.Literal(h))
+    val buf = new ByteArrayOutputStream()
+    new ObjectOutputStream(buf).writeObject(e)
+    val back = new ObjectInputStream(new ByteArrayInputStream(buf.toByteArray))
+      .readObject().asInstanceOf[SketchExpressions.BloomMightContainLong]
+    assert(back.eval(null) == true)
+  }
+
   test("hot spans: corpus-wide frequent grams counted per doc") {
     // "over the lazy" + "the lazy dog" appear in eval1, t100, t101 ->
     // df=3 with a combined corpus; threshold 3 flags exactly those
