@@ -688,6 +688,23 @@ object SparkEntry {
       Sequences.orderedJoined(events(s, dir), Seq("user_id"),
         Seq("ts", "event_id"), "event_type")),
 
+    // stream-stream interval join, batch equivalent: purchases
+    // attributed to the same user's views within the previous hour
+    // (the streaming form with watermark-bounded state is exercised
+    // in StreamingSpec; this is the same mode-agnostic function)
+    "st4_attribution_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("value"))
+      graft.streaming.EventStream.intervalJoin(
+          views, purchases, Seq("user_id"), "view_ts", "p_ts", "1 hour")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_attributed"),
+          round(sum("value"), 2).as("attributed_value"))
+    }),
+
     // session-scoped trajectories: st2's gaps-and-islands session ids
     // composed with the sequence builder -> one training example per
     // (user, session)
@@ -1210,6 +1227,19 @@ object SparkEntry {
         |       string_agg(event_type, '>'
         |         ORDER BY CAST(ts AS TIMESTAMP), event_id) AS seq
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "st4_attribution_join" ->
+      """WITH v AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |  WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT v.user_id, count(*) AS n_attributed,
+        |       round(sum(p.value), 2) AS attributed_value
+        |FROM v JOIN p ON v.user_id = p.user_id
+        | AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR
+        |GROUP BY v.user_id""".stripMargin,
 
     "seq2_session_sequences" ->
       """WITH flagged AS (

@@ -116,6 +116,34 @@ object EventStream {
       .drop("__rn")
   }
 
+  /** Stream-stream interval join (attribution): right-side events
+    * matched to same-key left-side events at most `window` earlier —
+    * "purchases attributed to the view that preceded them". Both
+    * sides carry watermarks, so join state is EVICTED once an event
+    * ages past watermark + window; without the time bound a
+    * stream-stream join would buffer both streams forever.
+    *
+    * Mode-agnostic like every transform here: on batch frames the
+    * watermark is a no-op and this is a keyed range join (equi on
+    * keys -> hash/sort-merge, never a nested loop); the batch
+    * equivalent is verified against a DuckDB oracle
+    * (SparkEntry st4), the streaming behavior in StreamingSpec.
+    * Column names must be disjoint apart from `keys` (alias first).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, window: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame = {
+    require(keys.nonEmpty, "interval join requires key columns")
+    val l = (if (left.isStreaming) left.withWatermark(leftTs, watermark) else left)
+      .alias("l")
+    val r = (if (right.isStreaming) right.withWatermark(rightTs, watermark) else right)
+      .alias("r")
+    val cond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _) &&
+      col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+      col(s"r.$rightTs") < col(s"l.$leftTs") + expr(s"INTERVAL $window")
+    keys.foldLeft(l.join(r, cond))((df, k) => df.drop(col(s"r.$k")))
+  }
+
   /** Stream -> files under the engine's file-sink path semantics. */
   def writeFileStream(stream: DataFrame, path: String, checkpoint: String,
       format: String = "parquet"): StreamingQuery =

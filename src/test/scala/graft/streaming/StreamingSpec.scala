@@ -137,6 +137,30 @@ class StreamingSpec extends SparkTestBase {
     assert(got.length == expected.size)
   }
 
+  test("stream-stream interval join attributes across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val joined = EventStream.intervalJoin(
+      views.toDF().select($"user_id", $"ts".as("view_ts")),
+      buys.toDF().select($"user_id", $"ts".as("p_ts"), $"value"),
+      Seq("user_id"), "view_ts", "p_ts", window = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    // view arrives in batch 1; the matching purchase only in batch 2 —
+    // the join must hold view state across the batch boundary
+    views.addData(Ev(ts("2024-01-01 10:00:00"), 1, "view", 0.0),
+      Ev(ts("2024-01-01 08:00:00"), 2, "view", 0.0))
+    q.processAllAvailable()
+    buys.addData(Ev(ts("2024-01-01 10:30:00"), 1, "purchase", 9.0),
+      Ev(ts("2024-01-01 10:30:00"), 2, "purchase", 7.0)) // 2.5h after u2's view
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attr_out")
+      .select("user_id", "value").as[(Long, Double)].collect().toSet
+    assert(got == Set((1L, 9.0))) // u2's purchase is outside the window
+  }
+
   test("latestPerKey picks one newest row per key with a deterministic tiebreak") {
     val df = Seq(
       (1L, ts("2024-01-01 00:10:00"), 10L, "a"),
