@@ -20,15 +20,29 @@ object Sequences {
 
   /** One row per key: `n_events` (true count, pre-cap) and `seq` —
     * the first `maxLen` values of `valueCol` ordered by `orderCols`
-    * (include a unique tiebreaker for determinism). */
+    * (include a unique tiebreaker for determinism).
+    *
+    * The cap is enforced BEFORE aggregation (row_number over the key
+    * window), so no aggregation buffer ever holds more than `maxLen`
+    * elements — a slice after collect_list would bound the OUTPUT but
+    * still assemble the bot key's unbounded list in memory. The
+    * window and the groupBy share the key distribution, so this is
+    * still one exchange.
+    */
   def ordered(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
       valueCol: String, maxLen: Int = 1 << 16): DataFrame = {
     require(keyCols.nonEmpty && orderCols.nonEmpty)
     require(maxLen >= 1)
+    val keyWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    val orderedWin = keyWin.orderBy(orderCols.map(c => col(c).asc): _*)
     val sortStruct = struct((orderCols :+ valueCol).map(col): _*)
-    df.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("n_events"),
-        slice(array_sort(collect_list(sortStruct)), 1, maxLen).as("__sorted"))
+    df.withColumn("__rn", row_number().over(orderedWin))
+      .withColumn("__n", count(lit(1)).over(keyWin))
+      .filter(col("__rn") <= maxLen)
+      .groupBy(keyCols.map(col): _*)
+      .agg(max("__n").as("n_events"),
+        array_sort(collect_list(sortStruct)).as("__sorted"))
       .withColumn("seq", transform(col("__sorted"), _.getField(valueCol)))
       .drop("__sorted")
   }
