@@ -30,23 +30,40 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Two samples per query, report the MIN: one cold sample is not a
+    // measurement — a co-tenant CPU burst during the single run wrote
+    // a 6x phantom regression into the round-3 record (dd7 35.5s vs a
+    // reproducible 4.6s). The min of two back-to-back runs measures
+    // the plan; the first (cold) sample is kept as a separate field
+    // for anyone tracking planning/classload latency.
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: $e")
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+      def once(): Either[String, Double] = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
+        }
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      once() match {
+        case Left(err) => (name, Double.NaN, Double.NaN, Some(err))
+        case Right(cold) => once() match {
+          case Left(err) => (name, Double.NaN, Double.NaN, Some(err))
+          case Right(warm) => (name, math.min(cold, warm), cold, None)
+        }
+      }
     }
-    val ok = results.filter(_._3.isEmpty)
-    val failed = results.filter(_._3.nonEmpty)
-    val qs = ok.map { case (k, v, _) => jstr(k) + ":" + f"$v%.3f" }
+    val ok = results.filter(_._4.isEmpty)
+    val failed = results.filter(_._4.nonEmpty)
+    val qs = ok.map { case (k, v, _, _) => jstr(k) + ":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val errs = failed.map { case (k, _, e) => jstr(k) + ":" + jstr(e.get) }
+    val cold = ok.map { case (k, _, c, _) => jstr(k) + ":" + f"$c%.3f" }
+      .mkString("{", ",", "}")
+    val errs = failed.map { case (k, _, _, e) => jstr(k) + ":" + jstr(e.get) }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$errs,"n_ok":${ok.size},"n_failed":${failed.size},"sf":${jstr(sfDir)}}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cold":$cold,"failed":$errs,"n_ok":${ok.size},"n_failed":${failed.size},"sf":${jstr(sfDir)}}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

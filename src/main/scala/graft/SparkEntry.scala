@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -429,6 +429,26 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank")
     }),
 
+    // int8 quantization exact-recovery check: quantized values are
+    // integers (sum_q/max_abs_q hash-compare exactly) and the
+    // dequantization error bound |dequant - x| <= scale/2 is a
+    // deterministic property of round-half-away — a MATCH oracle for
+    // the 4x-smaller embedding representation sim pipelines shuffle
+    "sim4_quantize" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (qv, scale) = Similarity.quantize(col("embedding"))
+      e.select(col("vec_id"), col("embedding"), qv.as("qv"), scale.as("scale"))
+        .select(
+          col("vec_id"),
+          size(col("qv")).as("n_dims"),
+          array_max(transform(col("qv"), x => abs(x))).cast("int").as("max_abs_q"),
+          aggregate(col("qv"), lit(0L), (acc, x) => acc + x.cast("long")).as("sum_q"),
+          (array_max(zip_with(
+            Similarity.dequantize(col("qv"), col("scale")), col("embedding"),
+            (d, x) => abs(d.cast("double") - x.cast("double"))))
+            <= col("scale") * 0.5000001).as("err_within_bound"))
+    }),
+
     // bandwidth throttling changes TIMING, not content: the throttled
     // scan must hash-match the plain scan's oracle (sink-protection
     // parity operator, rate generous enough to finish promptly)
@@ -531,6 +551,14 @@ object SparkEntry {
           budget = 2000, buckets = 32)
         .select("doc_id", "n_tokens", "cum", "shard")),
 
+    // tokenizer-aware packing: same distributed prefix sum, budget
+    // denominated in BPE-ish subword units instead of whitespace words
+    "pack2_bpeish_shards" -> ((s, dir) =>
+      Packing.assignShards(t(s, dir, "documents"), "doc_id", "text",
+          budget = 4000, buckets = 32,
+          tokenCounter = TextAnalysis.bpeishTokenCount)
+        .select("doc_id", "n_tokens", "cum", "shard")),
+
     "pf1_corpus_stats" -> ((s, dir) =>
       Profiling.corpusStats(t(s, dir, "documents"), Seq("lang"), "n_chars")),
 
@@ -551,11 +579,23 @@ object SparkEntry {
           col("meta.n_bytes").as("n_bytes"), col("meta.source").as("source"))),
 
     "mm2_media_features" -> ((s, dir) => {
-      // decode-stub feature extraction (mapPartitions batch plumbing)
-      val media = Multimodal.toMediaTable(t(s, dir, "documents"),
-        "doc_id", "text", "text/plain", "source")
+      // REAL codec round-trip: deterministic two-band PNGs (dims and
+      // colors are arithmetic in doc_id) encoded AND decoded with
+      // javax.imageio on executors; the oracle recomputes the decoded
+      // dimensions and exact channel means analytically
+      val d = col("doc_id")
+      def pack(r: Column, g: Column, b: Column): Column =
+        shiftleft(r, 16).bitwiseOR(shiftleft(g, 8)).bitwiseOR(b)
+      val media = Multimodal.synthesizePngTable(
+        t(s, dir, "documents").select("doc_id"), "doc_id",
+        width = d % 40 + 8, height = d % 23 + 8,
+        topRgb = pack(d % 256, (d * 7) % 256, (d * 13) % 256),
+        bottomRgb = pack((d * 3) % 256, (d * 11) % 256, (d * 17) % 256))
       Multimodal.extractFeatures(media)
-        .select("media_id", "width", "height", "n_bytes")
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("features")(0), 4).as("mean_r"),
+          round(col("features")(1), 4).as("mean_g"),
+          round(col("features")(2), 4).as("mean_b"))
     }),
 
     "agg3_rollup" -> ((s, dir) =>
@@ -687,6 +727,15 @@ object SparkEntry {
     "seq1_user_sequences" -> ((s, dir) =>
       Sequences.orderedJoined(events(s, dir), Seq("user_id"),
         Seq("ts", "event_id"), "event_type")),
+
+    // the TRUNCATING form of seq1: maxLen below the busiest key's
+    // event count, so the pre-aggregation row_number cap (the scale
+    // contract — no agg buffer ever holds more than maxLen elements)
+    // is what produces the output; n_events still reports the true
+    // pre-cap count
+    "seq3_truncated_sequences" -> ((s, dir) =>
+      Sequences.orderedJoined(events(s, dir), Seq("user_id"),
+        Seq("ts", "event_id"), "event_type", maxLen = 5)),
 
     // stream-stream interval join, batch equivalent: purchases
     // attributed to the same user's views within the previous hour
@@ -979,11 +1028,15 @@ object SparkEntry {
 
     // word 3-grams via DuckDB list comprehension over the same
     // whitespace tokenization; DISTINCT per doc mirrors the
-    // sorted_shingle_hashes distinct-per-doc contract
+    // sorted_shingle_hashes distinct-per-doc contract. The CASE
+    // mirrors the kernel's short-doc branch (docs with <= gramSize
+    // words contribute ONE whole-text gram, never zero) so the oracle
+    // cannot silently diverge on corpora containing short docs.
     "dd8_decontaminate" ->
       """WITH g AS (
         |  SELECT doc_id, unnest(list_distinct(
-        |    [array_to_string(l[i:i+2], ' ') for i in range(1, greatest(len(l)-1, 1))]
+        |    CASE WHEN len(l) <= 3 THEN [array_to_string(l, ' ')]
+        |         ELSE [array_to_string(l[i:i+2], ' ') for i in range(1, len(l) - 1)] END
         |  )) AS gram
         |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
         |        FROM documents)),
@@ -995,7 +1048,8 @@ object SparkEntry {
     "dd9_hot_spans" ->
       """WITH g AS (
         |  SELECT doc_id, unnest(list_distinct(
-        |    [array_to_string(l[i:i+2], ' ') for i in range(1, greatest(len(l)-1, 1))]
+        |    CASE WHEN len(l) <= 3 THEN [array_to_string(l, ' ')]
+        |         ELSE [array_to_string(l[i:i+2], ' ') for i in range(1, len(l) - 1)] END
         |  )) AS gram
         |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
         |        FROM documents)),
@@ -1057,6 +1111,30 @@ object SparkEntry {
         |                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
         |  FROM scored)
         |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // quantize/dequantize mirrored element-for-element: same scale
+    // (max|x|/127), same round-half-away-from-zero, same float cast in
+    // dequantize — integer outputs (max_abs_q, sum_q) hash-compare
+    // exactly; the error bound is slack enough (x1.0000002) that both
+    // engines' identical-IEEE doubles agree
+    "sim4_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |         greatest(list_max(list_transform(embedding, x -> abs(x))),
+        |                  CAST(1e-30 AS FLOAT)) / 127.0 AS scale
+        |  FROM embeddings),
+        |qq AS (
+        |  SELECT vec_id, embedding, scale,
+        |         list_transform(embedding, x -> CAST(round(x / scale) AS TINYINT)) AS qv
+        |  FROM q)
+        |SELECT vec_id, len(qv) AS n_dims,
+        |       CAST(list_max(list_transform(qv, x -> abs(x))) AS INT) AS max_abs_q,
+        |       CAST(list_sum(qv) AS BIGINT) AS sum_q,
+        |       list_max(list_transform(range(1, 65), i ->
+        |         abs(CAST(CAST(qv[i] * scale AS FLOAT) AS DOUBLE)
+        |             - CAST(embedding[i] AS DOUBLE)))) <= scale * 0.5000001
+        |         AS err_within_bound
+        |FROM qq""".stripMargin,
 
     "ta1_text_stats" ->
       """SELECT doc_id,
@@ -1205,10 +1283,43 @@ object SparkEntry {
         |       CAST(floor((cum - n_tokens) * 1.0 / 2000) AS BIGINT) AS shard
         |FROM c""".stripMargin,
 
+    "pack2_bpeish_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+        |           AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |         sum(n_tokens) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum,
+        |       CAST(floor((cum - n_tokens) * 1.0 / 4000) AS BIGINT) AS shard
+        |FROM c""".stripMargin,
+
     "mm1_media_metadata" ->
       """SELECT doc_id AS media_id, 'text/plain' AS format,
         |       strlen(text) AS n_bytes, source
         |FROM documents""".stripMargin,
+
+    // the decoded raster of a two-band image has analytically exact
+    // channel means: (top * floor(h/2) + bottom * (h - floor(h/2)))/h
+    // — integer numerators, so both engines' IEEE division and
+    // round(.,4) agree bit-for-bit
+    "mm2_media_features" ->
+      """WITH p AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(doc_id % 40 + 8 AS INT) AS width,
+        |         CAST(doc_id % 23 + 8 AS INT) AS height,
+        |         doc_id % 256 AS r1, (doc_id * 7) % 256 AS g1, (doc_id * 13) % 256 AS b1,
+        |         (doc_id * 3) % 256 AS r2, (doc_id * 11) % 256 AS g2, (doc_id * 17) % 256 AS b2
+        |  FROM documents)
+        |SELECT media_id, width, height,
+        |       round((r1 * (height // 2) + r2 * (height - height // 2)) * 1.0 / height, 4) AS mean_r,
+        |       round((g1 * (height // 2) + g2 * (height - height // 2)) * 1.0 / height, 4) AS mean_g,
+        |       round((b1 * (height // 2) + b2 * (height - height // 2)) * 1.0 / height, 4) AS mean_b
+        |FROM p""".stripMargin,
 
     "st1_event_windows" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
@@ -1227,6 +1338,19 @@ object SparkEntry {
         |       string_agg(event_type, '>'
         |         ORDER BY CAST(ts AS TIMESTAMP), event_id) AS seq
         |FROM events GROUP BY user_id""".stripMargin,
+
+    // truncation: seq keeps only the first 5 events per key (sliced
+    // ordered string_agg), n_events stays the TRUE count
+    "seq3_truncated_sequences" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |       string_agg(event_type, '>' ORDER BY ts, event_id)
+        |         FILTER (WHERE rn <= 5) AS seq
+        |FROM r GROUP BY user_id""".stripMargin,
 
     "st4_attribution_join" ->
       """WITH v AS (

@@ -14,7 +14,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // iteration aid (mirrors Bench): SPARK_GRAFT_VERIFY_ONLY=q1,q2
+    // limits the dump; the driver sets nothing and gets every query
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try {
         val out = fn(spark, sfDir)
         // session-tz timestamps would dump with isAdjustedToUTC=true and

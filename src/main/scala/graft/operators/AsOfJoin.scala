@@ -114,7 +114,8 @@ object AsOfJoin {
       startCol: String,
       endCol: String,
       binWidth: String = "1 day",
-      keys: Seq[String] = Nil): DataFrame = {
+      keys: Seq[String] = Nil,
+      maxBinsPerInterval: Int = 100000): DataFrame = {
     val widthMicros = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(binWidth)) match {
       case iv =>
@@ -122,15 +123,31 @@ object AsOfJoin {
         iv.days * 86400000000L + iv.microseconds
     }
     require(widthMicros > 0, s"binWidth must be positive, got '$binWidth'")
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
     def binOf(c: Column): Column =
       floor(unix_micros(c.cast("timestamp")) / widthMicros)
 
     val p = points.withColumn("__bin", binOf(col(pointCol)))
     // sequence() is inclusive of both bounds -> covers every bin the
     // interval [start, end) can touch; the exact filter below removes
-    // the end-boundary slack
-    val i = intervals.withColumn("__bin",
-      explode(sequence(binOf(col(startCol)), binOf(col(endCol)))))
+    // the end-boundary slack. Guards: an inverted interval (end <
+    // start) matches no point, so it contributes ZERO bins instead of
+    // a descending sequence of spurious candidates; an interval
+    // spanning more than `maxBinsPerInterval` bins fails loudly — the
+    // per-row explode array is the operator's memory bound, and a
+    // degenerate interval (or a too-narrow binWidth) silently building
+    // a millions-long array is an OOM, not a join.
+    val startBin = binOf(col(startCol))
+    val endBin = binOf(col(endCol))
+    val binSpan = endBin - startBin
+    val bins = when(binSpan < 0, array().cast("array<bigint>"))
+      .when(binSpan >= maxBinsPerInterval, raise_error(concat(
+        lit(s"binnedRangeJoin: interval [$startCol, $endCol) spans "),
+        (binSpan + 1).cast("string"),
+        lit(s" bins at binWidth='$binWidth' (cap $maxBinsPerInterval); " +
+          "widen binWidth or raise maxBinsPerInterval"))))
+      .otherwise(sequence(startBin, endBin))
+    val i = intervals.withColumn("__bin", explode(bins))
 
     val eq = (Seq(p("__bin") === i("__bin")) ++ keys.map(k => p(k) === i(k)))
       .reduce(_ && _)

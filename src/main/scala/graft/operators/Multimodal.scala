@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -9,12 +9,13 @@ import org.apache.spark.sql.types._
   * (beyond-parity; SURVEY.md §7.3#7).
   *
   * Media (image/audio/video) travels as opaque `binary` columns next
-  * to a typed metadata struct. The Spark-side machinery — schema,
-  * batch iteration via mapPartitions, partition sizing — is real and
-  * tested; the actual codec calls are STUBBED with a deterministic
-  * fake (this container has no image/audio libraries). Swapping the
-  * stub for a real decoder (JNI/ffmpeg/javacv) changes only the
-  * function body marked DECODE-STUB below.
+  * to a typed metadata struct. Image decode is REAL — `javax.imageio`
+  * is in the JDK, so PNG/JPEG/GIF/BMP payloads yield true raster
+  * dimensions and per-channel pixel statistics; payloads no installed
+  * reader understands fall back to byte statistics with width/height
+  * 0 (dimensions are never fabricated). Audio/video codecs are not in
+  * the JDK: those formats take the byte-stats path until a JNI/ffmpeg
+  * decoder is wired into the same mapPartitions slot.
   *
   * At 100 TB: binary payloads dominate row size, so these operators
   * repartition by byte budget, not row count (`repartitionByBytes`),
@@ -49,42 +50,106 @@ object Multimodal {
         octet_length(col(contentCol).cast("binary")).cast("long").as("n_bytes"),
         col(sourceCol).as("source")).as("meta"))
 
-  /** DECODE-STUB: a real implementation would hand `payload` to an
-    * image codec and return (width, height, feature vector). This fake
-    * is deterministic in the payload bytes so tests are stable: width/
-    * height from a byte hash, features = 8-bin byte histogram,
-    * normalized. The SIGNATURE and batch shape are the real contract.
-    */
-  private def decodeStub(payload: Array[Byte]): (Int, Int, Array[Double]) = {
-    if (payload == null || payload.isEmpty) (0, 0, Array.fill(8)(0.0))
+  /** Real image decode: `javax.imageio` reads the payload; a decoded
+    * raster yields (width, height, [mean_r, mean_g, mean_b]). Returns
+    * None when no installed reader recognizes the bytes (including
+    * null/empty payloads) — the caller falls back to byte statistics
+    * rather than fabricating dimensions. */
+  private def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+    if (payload == null || payload.length < 8) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        // bulk raster read: one array, not w*h virtual getRGB calls
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          sr += (p >>> 16) & 0xff; sg += (p >>> 8) & 0xff; sb += p & 0xff
+          i += 1
+        }
+        val n = (w.toLong * h).toDouble
+        Some((w, h, Array(sr / n, sg / n, sb / n)))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Non-image fallback features: normalized 8-bin byte histogram —
+    * deterministic in the payload, cheap, and honest (no decoded
+    * semantics implied). */
+  private def byteHistogram(payload: Array[Byte]): Array[Double] = {
+    if (payload == null || payload.isEmpty) Array.fill(8)(0.0)
     else {
-      var h = 1125899906842597L
       val hist = new Array[Double](8)
       var i = 0
-      while (i < payload.length) {
-        h = h * 31L + (payload(i) & 0xffL)
-        hist((payload(i) & 0xff) >>> 5) += 1.0
-        i += 1
-      }
-      val n = payload.length.toDouble
-      (64 + math.floorMod(h, 512).toInt, 64 + math.floorMod(h >> 16, 512).toInt,
-        hist.map(_ / n))
+      while (i < payload.length) { hist((payload(i) & 0xff) >>> 5) += 1.0; i += 1 }
+      hist.map(_ / payload.length)
     }
   }
 
   /** Decode / feature-extract over media rows. mapPartitions (not a
-    * per-row UDF) so a real codec can amortize init per task — the
-    * Scala analogue of a Pandas `mapInPandas` batch UDF.
+    * per-row UDF) so codec init amortizes per task — the Scala
+    * analogue of a Pandas `mapInPandas` batch UDF. Image payloads
+    * (anything `javax.imageio` can read) produce true raster width/
+    * height and per-channel means; everything else gets width/height
+    * 0 and a byte histogram.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(featureSchema)
     media.select("media_id", "payload").mapPartitions { rows =>
-      // real codecs would initialize here, once per partition
+      // keep ImageIO off its disk scratch cache: decode in memory
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
         val id = r.getLong(0)
         val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-        val (w, h, feats) = decodeStub(payload)
-        Row(id, w, h, if (payload == null) 0L else payload.length.toLong, feats)
+        val nBytes = if (payload == null) 0L else payload.length.toLong
+        decodeImage(payload) match {
+          case Some((w, h, feats)) => Row(id, w, h, nBytes, feats)
+          case None => Row(id, 0, 0, nBytes, byteHistogram(payload))
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic PNG fixture table: one two-band image per input
+    * row (top half `topRgb`, bottom half `bottomRgb`, packed
+    * 0xRRGGBB), dimensions and colors all COLUMNS so construction is
+    * distributed — encode runs on executors in the same mapPartitions
+    * shape as [[extractFeatures]], nothing collects. The payload is a
+    * genuine `javax.imageio` PNG byte stream, which is what makes the
+    * decode side a real-codec test: decoded width/height and channel
+    * means are analytically predictable from the parameters while the
+    * bytes themselves round-trip a real encoder/decoder pair. */
+  def synthesizePngTable(df: DataFrame, idCol: String, width: Column,
+      height: Column, topRgb: Column, bottomRgb: Column): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    val prepped = df.select(col(idCol).cast("long").as("media_id"),
+      width.cast("int").as("w"), height.cast("int").as("h"),
+      topRgb.cast("int").as("top"), bottomRgb.cast("int").as("bottom"))
+    prepped.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = r.getInt(1); val h = r.getInt(2)
+        require(w > 0 && h > 0, s"synthesizePngTable: non-positive dims ${w}x$h for id $id")
+        val top = r.getInt(3); val bottom = r.getInt(4)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          val rgb = if (y < h / 2) top else bottom
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val bytes = bos.toByteArray
+        Row(id, bytes, Row("image/png", bytes.length.toLong, "synth"))
       }
     }(enc)
   }

@@ -77,12 +77,18 @@ object Packing {
     * (`shard = floor((cum - tokens) / budget)`), so documents spill
     * across shard boundaries instead of leaving per-shard slack —
     * the sequence-packing rule, exact and order-stable.
-    * Output: input columns + `n_tokens`, `cum` (inclusive), `shard`. */
+    * Output: input columns + `n_tokens`, `cum` (inclusive), `shard`.
+    *
+    * `tokenCounter` is the budget currency: whitespace tokens by
+    * default; pass [[TextAnalysis.bpeishTokenCount]] to budget in
+    * BPE-ish subword units — training shards are sized in tokenizer
+    * tokens, not words, and the two differ 1.3-3x on real text. */
   def assignShards(df: DataFrame, orderCol: String, textCol: String,
-      budget: Long, buckets: Int = 64): DataFrame = {
+      budget: Long, buckets: Int = 64,
+      tokenCounter: Column => Column = TextAnalysis.tokenCount): DataFrame = {
     require(budget >= 1, "budget must be positive")
     val withTokens = df.withColumn("n_tokens",
-      TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      tokenCounter(col(textCol)).cast("long"))
     cumulative(withTokens, orderCol, "n_tokens", buckets)
       .withColumn("shard",
         floor((col("cum") - col("n_tokens")).cast("double") / budget).cast("long"))

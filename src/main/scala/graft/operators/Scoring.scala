@@ -89,10 +89,17 @@ object Scoring {
     val units =
       if (n == 1) TextAnalysis.tokens(lower(col(textCol)))
       else QualityFilters.wordNgrams(col(textCol), n)
+    // termCounts feeds three subtrees (the join probe, the model, and
+    // the corpus total): localCheckpoint materializes the heavy
+    // tokenize+explode+count pass ONCE. Same pattern as
+    // Decontaminate.bloomContaminatedDocs — persist/unpersist can't
+    // work because the caller executes the returned plan after this
+    // function (and any finally-unpersist) has run.
     val termCounts = df
       .select(col(idCol).as("id"), explode(units).as("term"))
       .filter(col("term") =!= "")
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val model = termCounts.groupBy("term").agg(sum("tf").as("tc"))
     val total = model.agg(sum("tc").as("total"))
     termCounts

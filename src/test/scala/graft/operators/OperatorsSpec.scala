@@ -423,13 +423,33 @@ class MultimodalSpec extends SparkTestBase {
     assert(r(1).getStruct(2).getLong(1) == 0L)
   }
 
-  test("decode-stub feature extraction is deterministic and shaped") {
+  test("non-image payloads fall back to byte stats, never fabricated dims") {
     val f1 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
     val f2 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
-    assert(f1.toSeq == f2.toSeq)
-    assert(f1(0).getSeq[Double](4).size == 8)
+    assert(f1.toSeq == f2.toSeq) // deterministic
+    assert(f1(0).getInt(1) == 0 && f1(0).getInt(2) == 0) // text != image
+    assert(f1(0).getSeq[Double](4).size == 8) // byte histogram
     assert(math.abs(f1(0).getSeq[Double](4).sum - 1.0) < 1e-9)
-    assert(f1(0).getInt(1) >= 64)   // stub width floor
+    assert(f1(1).getSeq[Double](4).forall(_ == 0.0)) // empty payload
+  }
+
+  test("png round-trip: real imageio encode + decode recovers dims and channel means") {
+    val base = Seq((7L, 0), (8L, 0)).toDF("id", "pad")
+    val synth = Multimodal.synthesizePngTable(base, "id",
+      width = lit(10), height = lit(5), // odd height: 2 top rows, 3 bottom
+      topRgb = lit(0xff0000), bottomRgb = lit(0x0000ff))
+    val m = synth.orderBy("media_id").collect()
+    assert(m(0).getStruct(2).getString(0) == "image/png")
+    // a real PNG stream: magic bytes
+    val bytes = m(0).getAs[Array[Byte]](1)
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+    val f = Multimodal.extractFeatures(synth).orderBy("media_id").collect()
+    assert(f(0).getInt(1) == 10 && f(0).getInt(2) == 5)
+    val feats = f(0).getSeq[Double](4)
+    // means: red band 2/5 rows of 255, blue band 3/5 rows of 255
+    assert(math.abs(feats(0) - 255.0 * 2 / 5) < 1e-12)
+    assert(feats(1) == 0.0)
+    assert(math.abs(feats(2) - 255.0 * 3 / 5) < 1e-12)
   }
 
   test("frame sampling splits payloads and keeps every stride-th frame") {
