@@ -393,6 +393,17 @@ object SparkEntry {
       Decontaminate.hotSpanDocs(t(s, dir, "documents"), "doc_id", "text",
         gramSize = 3, minDocs = 5)),
 
+    // span-level decontamination: WHERE the contamination sits in each
+    // train doc (maximal runs of consecutive matching 3-gram
+    // positions), so pipelines can excise spans instead of dropping
+    // docs; same train/eval split as dd8
+    "dd10_contaminated_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.contaminatedSpans(
+        docs.filter(col("doc_id") > 250), docs.filter(col("doc_id") <= 250),
+        "doc_id", "text", gramSize = 3, expectedEvalGrams = 1 << 16)
+    }),
+
     // cluster labeling over a DETERMINISTIC pair source (exact Jaccard,
     // same params as dd4, doc subset to keep it light) so the min-label
     // connected components can be checked against a DuckDB recursive CTE
@@ -754,6 +765,23 @@ object SparkEntry {
           round(sum("value"), 2).as("attributed_value"))
     }),
 
+    // the outer half of attribution: every view kept, matched or not
+    // (right columns null for views that never converted within the
+    // hour); per user, the row count and how many never converted
+    "st5_unattributed_views" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("value"))
+      graft.streaming.EventStream.intervalJoin(
+          views, purchases, Seq("user_id"), "view_ts", "p_ts", "1 hour",
+          joinType = "left_outer")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("p_ts").isNull, 1)).as("n_unattributed"))
+    }),
+
     // session-scoped trajectories: st2's gaps-and-islands session ids
     // composed with the sequence builder -> one training example per
     // (user, session)
@@ -1056,6 +1084,27 @@ object SparkEntry {
         |hot AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 5)
         |SELECT doc_id, count(*) AS n_hot_spans
         |FROM g JOIN hot USING (gram) GROUP BY doc_id""".stripMargin,
+
+    // positional grams (struct comprehension keeps pos), gram join,
+    // then gaps-and-islands: consecutive positions share pos - row_number
+    "dd10_contaminated_spans" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+        |             FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(l) <= 3 THEN [{'pos': 0, 'gram': array_to_string(l, ' ')}]
+        |         ELSE [{'pos': i - 1, 'gram': array_to_string(l[i:i+2], ' ')}
+        |               for i in range(1, len(l) - 1)] END,
+        |    recursive := true)
+        |  FROM tok),
+        |ev AS (SELECT DISTINCT doc_id AS eval_id, gram FROM g WHERE doc_id <= 250),
+        |tr AS (SELECT doc_id AS train_id, pos, gram FROM g WHERE doc_id > 250),
+        |m AS (SELECT train_id, eval_id, pos FROM tr JOIN ev USING (gram)),
+        |isl AS (SELECT train_id, eval_id, pos,
+        |        pos - row_number() OVER (PARTITION BY train_id, eval_id ORDER BY pos) AS grp
+        |        FROM m)
+        |SELECT train_id, eval_id, min(pos) AS span_start, count(*) + 2 AS span_words
+        |FROM isl GROUP BY train_id, eval_id, grp""".stripMargin,
 
     // connected components via transitive closure: reach(id, label)
     // accumulates every smaller-id node reachable from id; min(label)
@@ -1362,6 +1411,19 @@ object SparkEntry {
         |SELECT v.user_id, count(*) AS n_attributed,
         |       round(sum(p.value), 2) AS attributed_value
         |FROM v JOIN p ON v.user_id = p.user_id
+        | AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR
+        |GROUP BY v.user_id""".stripMargin,
+
+    "st5_unattributed_views" ->
+      """WITH v AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |  WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT v.user_id, count(*) AS n_rows,
+        |       count(*) FILTER (WHERE p.ts IS NULL) AS n_unattributed
+        |FROM v LEFT JOIN p ON v.user_id = p.user_id
         | AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR
         |GROUP BY v.user_id""".stripMargin,
 

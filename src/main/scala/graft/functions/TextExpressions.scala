@@ -578,6 +578,66 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** Word k-gram hashes in POSITION order — the span-aware sibling of
+    * [[SortedShingleHashes]]: element i is the hash of the gram
+    * starting at word i, NOT sorted and NOT deduplicated, so
+    * `posexplode` recovers (word_offset, gram_hash) pairs. Same
+    * tokenization, same short-doc contract (a doc with fewer than `k`
+    * words yields ONE whole-text gram at position 0), same hash values
+    * as the sorted form — only the ordering differs. Used by
+    * span-level decontamination, where WHERE a gram matched matters.
+    */
+  case class PositionalShingleHashes(child: Expression, k: Int, seed: Long = 42L)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "positional_shingle_hashes"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"positional_shingle_hashes requires a string column, got ${other.catalogString}")
+      }
+
+    override protected def nullSafeEval(input: Any): Any =
+      positionalShingleHashKernel(input.asInstanceOf[UTF8String], k, seed)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExpressions.positionalShingleHashKernel($c, $k, ${seed}L);")
+
+    override protected def withNewChildInternal(newChild: Expression): PositionalShingleHashes =
+      copy(child = newChild)
+  }
+
+  /** Kernel of [[PositionalShingleHashes]] — [[shingleHashKernel]]
+    * without the sort/dedup tail, preserving gram order. */
+  def positionalShingleHashKernel(text: UTF8String, k: Int, seed: Long): ArrayData = {
+    val toks = text.trim().toLowerCase().toString.split("\\s+", -1)
+    val hashes: Array[Long] =
+      if (toks.length <= k)
+        Array(XXH64.hashUTF8String(UTF8String.fromString(toks.mkString(" ")), seed))
+      else {
+        val m = toks.length - k + 1
+        val out = new Array[Long](m)
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i < m) {
+          sb.setLength(0)
+          var j = 0
+          while (j < k) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          out(i) = XXH64.hashUTF8String(UTF8String.fromString(sb.toString), seed)
+          i += 1
+        }
+        out
+      }
+    new GenericArrayData(hashes)
+  }
+
   /** Word n-grams of the lowercased whitespace tokens as space-joined
     * strings, NON-distinct, in one fused codegen pass. Replaces the
     * `filter(transform(tokens, slice+concat_ws))` HOF stack
@@ -752,6 +812,9 @@ object TextExpressions {
 
   def word_ngrams(c: Column, n: Int): Column =
     ExpressionUtils.column(WordNgrams(ExpressionUtils.expression(c), n))
+
+  def positional_shingle_hashes(c: Column, k: Int): Column =
+    ExpressionUtils.column(PositionalShingleHashes(ExpressionUtils.expression(c), k))
 
   /** Register the SQL forms (`rolling_hash`, `simhash64`,
     * `minhash_signature`) in a session's function registry. */

@@ -64,6 +64,64 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_shared_grams")) // grams are distinct per doc already
   }
 
+  /** Exact contaminated SPANS: for each (train doc, eval doc) pair
+    * sharing word k-grams, the maximal runs of consecutive matching
+    * gram positions in the train doc — so a pipeline can EXCISE the
+    * contaminated bytes instead of dropping the whole document.
+    * Returns (train_id, eval_id, span_start, span_words): span_start
+    * is the 0-based word offset of the run's first gram; span_words =
+    * run_length + k - 1 is the word count the run covers. Short-doc
+    * contract: a train doc with fewer than k words contributes one
+    * whole-text gram at position 0, so its span reports span_words =
+    * k (an upper bound — the doc itself is shorter).
+    *
+    * Scale shape: same Bloom-prefilter skeleton as
+    * [[bloomContaminatedDocs]] — eval grams collected once into a
+    * broadcast Bloom (eval corpora are small), the 100 TB train side
+    * probes it inside codegen BEFORE any exchange, and only surviving
+    * (train_id, pos, gram) triples shuffle for the exact verify join.
+    * The run-detection window partitions by (train_id, eval_id) —
+    * only CONTAMINATED pairs ever reach it, and per-pair state is the
+    * pair's matched gram count, so the window is skew-safe even when
+    * the corpus is huge.
+    */
+  def contaminatedSpans(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramSize: Int = 3,
+      expectedEvalGrams: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // (eval_id, gram) pairs — distinct per doc by the sorted-shingle
+    // kernel's contract; materialized once (bloom build is an eager
+    // action, the verify join replays the plan otherwise)
+    val evalGrams = eval
+      .select(col(idCol).as("eval_id"),
+        explode(TextExpressions.sorted_shingle_hashes(col(textCol), gramSize))
+          .as("gram"))
+      .localCheckpoint()
+    val bloomBytes = SketchExpressions.buildLongBloom(
+      evalGrams.select("gram").distinct(), "gram", expectedEvalGrams, fpp)
+    val trainGrams = train
+      .select(col(idCol).as("train_id"),
+        posexplode(TextExpressions.positional_shingle_hashes(col(textCol), gramSize))
+          .as(Seq("pos", "gram")))
+      .where(SketchExpressions.bloom_might_contain_long(bloomBytes, col("gram")))
+    // exact verify: one row per (train pos, eval doc containing gram)
+    val matched = trainGrams.join(evalGrams, "gram")
+      .select("train_id", "eval_id", "pos")
+    // gaps-and-islands: consecutive positions share (pos - row_number)
+    val w = Window.partitionBy("train_id", "eval_id").orderBy("pos")
+    matched
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("train_id", "eval_id", "grp")
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (count(lit(1)) + lit(gramSize - 1)).as("span_words"))
+      .drop("grp")
+  }
+
   /** Docs containing "hot" spans — word k-grams occurring in ≥
     * `minDocs` distinct documents corpus-wide (C4-style boilerplate /
     * over-duplication signal). Returns (id, n_hot_spans) for affected

@@ -129,10 +129,19 @@ object EventStream {
     * equivalent is verified against a DuckDB oracle
     * (SparkEntry st4), the streaming behavior in StreamingSpec.
     * Column names must be disjoint apart from `keys` (alias first).
+    *
+    * `joinType = "left_outer"` keeps UNMATCHED left rows (right
+    * columns null) — the other half of attribution analysis ("which
+    * views never converted"). In streaming mode Spark emits an outer
+    * row only once the watermark proves no matching right event can
+    * still arrive, which is why both the watermark and the time-range
+    * bound are mandatory for outer stream-stream joins; on batch
+    * frames it is a plain left outer range join. Batch MATCH:
+    * SparkEntry st5; streaming emission: StreamingSpec.
     */
   def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, window: String = "1 hour",
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour", joinType: String = "inner"): DataFrame = {
     require(keys.nonEmpty, "interval join requires key columns")
     val l = (if (left.isStreaming) left.withWatermark(leftTs, watermark) else left)
       .alias("l")
@@ -141,7 +150,7 @@ object EventStream {
     val cond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _) &&
       col(s"r.$rightTs") >= col(s"l.$leftTs") &&
       col(s"r.$rightTs") < col(s"l.$leftTs") + expr(s"INTERVAL $window")
-    keys.foldLeft(l.join(r, cond))((df, k) => df.drop(col(s"r.$k")))
+    keys.foldLeft(l.join(r, cond, joinType))((df, k) => df.drop(col(s"r.$k")))
   }
 
   /** Stream -> files under the engine's file-sink path semantics. */

@@ -86,6 +86,47 @@ class DecontaminateSpec extends SparkTestBase {
     assert(out.values.toSet == Set(2L))
   }
 
+  test("contaminated spans: maximal runs with correct offsets and widths") {
+    val out = Decontaminate.contaminatedSpans(
+      trainDocs, evalDocs, "doc_id", "text", gramSize = 3,
+      expectedEvalGrams = 1024)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // t100 == eval1: one run over all 7 gram positions -> 9 words;
+    // t101 matches "over the lazy"+"the lazy dog" at pos 3,4 -> 4 words
+    assert(out == Set((100L, 1L, 0, 9L), (101L, 1L, 3, 4L)))
+  }
+
+  test("contaminated spans: disjoint runs yield separate spans") {
+    val train = Seq((200L, "the quick brown fox QQ ZZ WW over the lazy dog"))
+      .toDF("doc_id", "text")
+    val out = Decontaminate.contaminatedSpans(
+      train, evalDocs, "doc_id", "text", gramSize = 3,
+      expectedEvalGrams = 1024)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // "the quick brown"+"quick brown fox" at pos 0,1 -> 4 words;
+    // "over the lazy"+"the lazy dog" at pos 7,8 -> 4 words
+    assert(out == Set((200L, 1L, 0, 4L), (200L, 1L, 7, 4L)))
+  }
+
+  test("contaminated spans: short-doc whole-text gram reports the k-bound span") {
+    val shortEval = Seq((1L, "tiny doc")).toDF("doc_id", "text")
+    val shortTrain = Seq((100L, "tiny doc"), (101L, "other text"))
+      .toDF("doc_id", "text")
+    val out = Decontaminate.contaminatedSpans(
+      shortTrain, shortEval, "doc_id", "text", gramSize = 3,
+      expectedEvalGrams = 64)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // one whole-text gram at pos 0; span_words = k by the documented
+    // upper-bound contract (the doc has only 2 words)
+    assert(out == Set((100L, 1L, 0, 3L)))
+  }
+
   test("hot spans: nothing flagged below the doc-frequency bar") {
     // within trainDocs alone the most shared gram sits in 2 docs
     val out = Decontaminate.hotSpanDocs(trainDocs, "doc_id", "text",

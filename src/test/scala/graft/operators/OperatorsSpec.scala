@@ -105,6 +105,64 @@ class DedupSpec extends SparkTestBase {
     assert(pairs == (2L to 6L).map(i => (1L, i)).toSet)
   }
 
+  test("property: simhash star-degrade matches the documented reference model") {
+    // The documented contract above maxBucketSize (Dedup.scala): an
+    // over-cap bucket emits ONLY hub->member star edges, so a near-dup
+    // pair far from the hub keeps connectivity solely via hub-adjacent
+    // members — or is knowingly lost. This pins that contract against
+    // a pure-Scala reference model on randomized corpora with planted
+    // duplicate groups (texts drawn WITH replacement from a small
+    // pool, so identical-sig groups blow past the cap).
+    import graft.functions.TextExpressions
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val cap = 3
+    var sawOverCap = false
+    var sawLostPair = false
+    for (seed <- 1 to 4; maxH <- Seq(3, 10)) {
+      val rnd = new scala.util.Random(seed)
+      val pool = Vector.fill(8) {
+        val len = 3 + rnd.nextInt(8)
+        Vector.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val docs = (1L to 40L).map(i => (i, pool(rnd.nextInt(pool.size))))
+        .toDF("doc_id", "text")
+      val sigs = docs.select(col("doc_id"),
+        TextExpressions.simhash64(TextAnalysis.tokens(lower(col("text")))).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val model = scala.collection.mutable.Set[(Long, Long)]()
+      val coBucketed = scala.collection.mutable.Set[(Long, Long)]()
+      for (ci <- 0 until 4) {
+        sigs.groupBy { case (_, sig) => (sig >>> (ci * 16)) & 0xffffL }
+          .values.map(_.keys.toSeq.sorted).foreach { ids =>
+            for (i <- ids.indices; j <- i + 1 until ids.size)
+              coBucketed += ((ids(i), ids(j)))
+            if (ids.size >= 2 && ids.size <= cap)
+              for (i <- ids.indices; j <- i + 1 until ids.size)
+                model += ((ids(i), ids(j)))
+            else if (ids.size > cap) {
+              sawOverCap = true
+              ids.tail.foreach(x => model += ((ids.head, x)))
+            }
+          }
+      }
+      val expected = model.filter { case (a, b) =>
+        hamming(sigs(a), sigs(b)) <= maxH }.toSet
+      // documented best-effort loss: within-threshold co-bucketed
+      // pairs whose every shared bucket was over-cap (no direct edge)
+      if (coBucketed.exists { case (a, b) =>
+          hamming(sigs(a), sigs(b)) <= maxH && !model.contains((a, b)) })
+        sawLostPair = true
+      val actual = Dedup.simhashPairs(docs, "doc_id", "text",
+        maxHamming = maxH, maxBucketSize = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(actual == expected, s"seed=$seed maxHamming=$maxH")
+    }
+    // the generator must actually exercise the degrade path
+    assert(sawOverCap)
+    assert(sawLostPair)
+  }
+
   test("ngramJaccardPairs strategies all return the same exact result") {
     val blocked = docs.withColumn("blk", lit(1))
     def run(strategy: String, hint: Option[Seq[String]] = None) =

@@ -161,6 +161,42 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Set((1L, 9.0))) // u2's purchase is outside the window
   }
 
+  test("left-outer interval join emits unmatched views once the watermark proves no match") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val joined = EventStream.intervalJoin(
+      views.toDF().select($"user_id", $"ts".as("view_ts")),
+      buys.toDF().select($"user_id", $"ts".as("p_ts"), $"value"),
+      Seq("user_id"), "view_ts", "p_ts", window = "1 hour",
+      watermark = "1 hour", joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("outer_attr_out")
+      .outputMode("append").start()
+    // u1 converts within the hour; u2 never converts
+    views.addData(Ev(ts("2024-01-01 10:00:00"), 1, "view", 0.0),
+      Ev(ts("2024-01-01 10:00:00"), 2, "view", 0.0))
+    buys.addData(Ev(ts("2024-01-01 10:30:00"), 1, "purchase", 9.0))
+    q.processAllAvailable()
+    // u2's outer row must NOT appear yet: a purchase before 11:00
+    // could still arrive
+    val early = spark.table("outer_attr_out")
+      .select("user_id", "value").as[(Long, java.lang.Double)].collect().toSet
+    assert(early == Set((1L, java.lang.Double.valueOf(9.0))))
+    // advance BOTH watermarks past view_ts + window + delay; the
+    // watermark moves at the NEXT batch boundary, so push two rounds
+    for (h <- Seq("20", "21")) {
+      views.addData(Ev(ts(s"2024-01-01 $h:00:00"), 99, "view", 0.0))
+      buys.addData(Ev(ts(s"2024-01-01 $h:00:00"), 98, "purchase", 1.0))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("outer_attr_out")
+      .filter($"user_id" === 2)
+      .select("user_id", "value").as[(Long, java.lang.Double)].collect().toSet
+    // exactly one outer row for u2, with null right-side columns
+    assert(got == Set((2L, null: java.lang.Double)))
+  }
+
   test("latestPerKey picks one newest row per key with a deterministic tiebreak") {
     val df = Seq(
       (1L, ts("2024-01-01 00:10:00"), 10L, "a"),
