@@ -460,6 +460,16 @@ object SparkEntry {
             <= col("scale") * 0.5000001).as("err_within_bound"))
     }),
 
+    // exact cosine pair enumeration (the brute-force baseline dd5's
+    // LSH recall is measured against) — oracle-checkable because the
+    // codegen dot product accumulates double left-to-right, exactly
+    // like the SQL mirror
+    "sim5_exact_cosine_pairs" -> ((s, dir) =>
+      Dedup.exactCosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.35)
+        .select(col("id_a"), col("id_b"),
+          round(col("cosine"), 6).as("cos_sim"))),
+
     // bandwidth throttling changes TIMING, not content: the throttled
     // scan must hash-match the plain scan's oracle (sink-protection
     // parity operator, rate generous enough to finish promptly)
@@ -496,6 +506,12 @@ object SparkEntry {
       Sampling.mixture(t(s, dir, "documents"), "doc_id", "source",
         Map("src0" -> 1.0, "src1" -> 0.5))
         .select("doc_id", "source")),
+
+    // alpha-smoothed (temperature) mixture weights per source — the
+    // multilingual/multi-source rebalancing primitive
+    "mix1_temperature_weights" -> ((s, dir) =>
+      Sampling.temperatureWeights(t(s, dir, "documents"), "source",
+        alpha = 0.5)),
 
     "tn1_normalize" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -569,6 +585,12 @@ object SparkEntry {
           budget = 4000, buckets = 32,
           tokenCounter = TextAnalysis.bpeishTokenCount)
         .select("doc_id", "n_tokens", "cum", "shard")),
+
+    // context-window chunking: 32-token windows, 8-token overlap —
+    // the row-local splitting stage between curation and packing
+    "ch1_chunk_documents" -> ((s, dir) =>
+      Chunking.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+        maxTokens = 32, overlap = 8)),
 
     "pf1_corpus_stats" -> ((s, dir) =>
       Profiling.corpusStats(t(s, dir, "documents"), Seq("lang"), "n_chars")),
@@ -812,7 +834,14 @@ object SparkEntry {
             .otherwise(0))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"), sum("new_session").as("n_sessions"))
-    }))
+    }),
+
+    // closed sessions WITH bounds (the per-session rows st2's per-user
+    // totals roll up from); the streaming event-time-timeout form is
+    // EventStream.closedSessionsStream, spec-covered
+    "st6_session_bounds" -> ((s, dir) =>
+      graft.streaming.EventStream.sessionBounds(
+        events(s, dir).select("user_id", "ts"), gapMinutes = 30)))
 
   /** DuckDB-runnable oracles. Omitted keys (LSH/simhash candidate
     * generation, engine-specific JSON/fingerprint/decode-stub) get the
@@ -1426,6 +1455,54 @@ object SparkEntry {
         |FROM v LEFT JOIN p ON v.user_id = p.user_id
         | AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR
         |GROUP BY v.user_id""".stripMargin,
+
+    "st6_session_bounds" ->
+      """WITH flagged AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) IS NULL
+        |                OR epoch_us(CAST(ts AS TIMESTAMP))
+        |                   - epoch_us(CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) AS TIMESTAMP))
+        |                   > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sess AS (
+        |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, min(ts) AS session_start,
+        |       max(ts) AS session_end, count(*) AS n_events
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    // positional chunk enumeration mirrors the kernel: starts at
+    // multiples of stride below max(len - overlap, 1)
+    "ch1_chunk_documents" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |             FROM documents),
+        |c AS (SELECT doc_id, len(l) AS n, l,
+        |      unnest(range(0, greatest(len(l) - 8, 1), 24)) AS start FROM tok)
+        |SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_idx,
+        |       array_to_string(l[start + 1 : start + 32], ' ') AS chunk_text,
+        |       CAST(least(start + 32, n) - start AS BIGINT) AS n_tokens
+        |FROM c""".stripMargin,
+
+    "mix1_temperature_weights" ->
+      """SELECT source, count(*) AS n_docs,
+        |       round(pow(count(*), 0.5) / sum(pow(count(*), 0.5)) OVER (), 6) AS weight
+        |FROM documents GROUP BY source""".stripMargin,
+
+    // double-identical to the Spark plan: the codegen dot product
+    // accumulates CAST-to-double products left-to-right, as does
+    // list_sum over the transformed list
+    "sim5_exact_cosine_pairs" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, 65),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, 65),
+        |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cos, 6) AS cos_sim FROM p WHERE cos >= 0.35""".stripMargin,
 
     "seq2_session_sequences" ->
       """WITH flagged AS (

@@ -692,6 +692,74 @@ object TextExpressions {
     new GenericArrayData(out)
   }
 
+  /** Fixed-token-window chunks with overlap — the context-window
+    * splitting step of a training-data pipeline. Element c is the
+    * chunk starting at token c*(maxTokens-overlap), covering up to
+    * `maxTokens` whitespace tokens; consecutive chunks share
+    * `overlap` tokens. Chunk starts run while start <
+    * max(nTokens - overlap, 1), so every token is covered, the final
+    * chunk always carries at least one token beyond the overlap, and
+    * a doc with <= maxTokens tokens yields exactly one chunk.
+    * Case-PRESERVING (chunks feed training; only trim, no lower),
+    * unlike the hashing kernels above. One fused pass, full codegen.
+    * Returns array<struct<chunk_text: string, n_tokens: int>>.
+    */
+  case class ChunkTokens(child: Expression, maxTokens: Int, overlap: Int)
+      extends UnaryExpression {
+    require(maxTokens >= 1 && overlap >= 0 && overlap < maxTokens,
+      s"need maxTokens >= 1 and 0 <= overlap < maxTokens, got ($maxTokens, $overlap)")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("chunk_text", StringType, nullable = false),
+      StructField("n_tokens", IntegerType, nullable = false))), containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "chunk_tokens"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"chunk_tokens requires a string column, got ${other.catalogString}")
+      }
+
+    override protected def nullSafeEval(input: Any): Any =
+      chunkTokensKernel(input.asInstanceOf[UTF8String], maxTokens, overlap)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExpressions.chunkTokensKernel($c, $maxTokens, $overlap);")
+
+    override protected def withNewChildInternal(newChild: Expression): ChunkTokens =
+      copy(child = newChild)
+  }
+
+  /** Kernel of [[ChunkTokens]]; tokenization is `split(trim(text),
+    * "\\s+")` — NOT lowercased (the one kernel here that feeds model
+    * input rather than a hash). */
+  def chunkTokensKernel(text: UTF8String, maxTokens: Int, overlap: Int): ArrayData = {
+    val toks = text.trim().toString.split("\\s+", -1)
+    val n = toks.length
+    val stride = maxTokens - overlap
+    val bound = math.max(n - overlap, 1) // starts: 0, stride, ... < bound
+    val nChunks = (bound + stride - 1) / stride
+    val out = new Array[Any](nChunks)
+    val sb = new java.lang.StringBuilder
+    var c = 0
+    while (c < nChunks) {
+      val start = c * stride
+      val end = math.min(start + maxTokens, n)
+      sb.setLength(0)
+      var i = start
+      while (i < end) {
+        if (i > start) sb.append(' ')
+        sb.append(toks(i))
+        i += 1
+      }
+      out(c) = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(sb.toString), end - start))
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-document repetition statistics in ONE fused row-local pass:
     * tokenize -> word n-grams -> in-row hash-count -> top gram. The
     * relational form (explode grams -> groupBy(doc, gram) -> groupBy
@@ -815,6 +883,9 @@ object TextExpressions {
 
   def positional_shingle_hashes(c: Column, k: Int): Column =
     ExpressionUtils.column(PositionalShingleHashes(ExpressionUtils.expression(c), k))
+
+  def chunk_tokens(c: Column, maxTokens: Int, overlap: Int): Column =
+    ExpressionUtils.column(ChunkTokens(ExpressionUtils.expression(c), maxTokens, overlap))
 
   /** Register the SQL forms (`rolling_hash`, `simhash64`,
     * `minhash_signature`) in a session's function registry. */

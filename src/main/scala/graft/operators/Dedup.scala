@@ -737,6 +737,35 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Brute-force exact cosine pairs: every (a, b) with cosine >=
+    * threshold — the VERIFICATION BASELINE for
+    * [[embeddingNearDupPairs]] (which only compares within LSH
+    * buckets, trading recall for scale). Quadratic in |df| by
+    * definition; run it on samples and sub-corpora to measure LSH
+    * recall, never on the full 100 TB corpus — the LSH form is the
+    * scale path. Norms are computed once per row before the join;
+    * the dot product is the codegen [[graft.functions.VectorExpressions.DotProduct]]
+    * kernel, so the quadratic stage does no per-pair allocation.
+    */
+  def exactCosinePairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val base = spread(df)
+      .withColumn("__norm", Similarity.l2norm(col(vecCol)))
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("__norm").as("n"))
+    val a = base.select(col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
+    val b = base.select(col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      // zero vectors: norm 0 → 0/0 NaN orders above every threshold
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("cosine", Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** End-to-end near-duplicate removal — the call a training-data
     * pipeline actually makes: exact dedup first (cheap, exact), then
     * MinHash-LSH near-dup pairs on the survivors, connected-component

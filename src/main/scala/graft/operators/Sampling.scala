@@ -71,6 +71,30 @@ object Sampling {
     df.filter(idHash(col(idCol)) < cutoff)
   }
 
+  /** Temperature-scaled mixture weights: per source s, weight
+    * w_s = n_s^alpha / sum_t(n_t^alpha). alpha = 1 reproduces the
+    * natural distribution, alpha = 0 is uniform over sources, and
+    * the usual alpha in (0, 1) up-weights small sources — the
+    * standard smoothing for multilingual / multi-source training
+    * mixes. Returns (sourceCol, n_docs, weight), weight rounded to 6.
+    *
+    * Scale shape: one partial-aggregated count shuffle; the
+    * normalizing window runs over ONE row per source — sources are a
+    * small closed set by definition (languages, crawls, datasets), so
+    * the single-partition window holds #sources rows, not data.
+    * Compose with [[mixture]]: keep fraction for source s =
+    * min(1, budget * w_s / n_s) turns the weights into per-source
+    * sampling rates for a token/doc budget.
+    */
+  def temperatureWeights(df: DataFrame, sourceCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha >= 0, s"alpha must be >= 0, got $alpha")
+    val w = Window.partitionBy()
+    df.groupBy(sourceCol).agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight",
+        round(pow(col("n_docs"), alpha) / sum(pow(col("n_docs"), alpha)).over(w), 6))
+  }
+
   /** Split into train/validation/test by id-hash range — stable
     * across runs and immune to upstream reordering. Returns the
     * subset named by `split` given cumulative fractions. */

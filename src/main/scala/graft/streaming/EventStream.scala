@@ -73,6 +73,99 @@ object EventStream {
       }
   }
 
+  /** Closed sessions with bounds, batch form: gaps-and-islands
+    * (new-session flag via lag, running sum as session id), then one
+    * aggregate per (user, session). Returns (user_id, session_id,
+    * session_start, session_end, n_events). One exchange on the user
+    * key; tie order at equal timestamps cannot change bounds or
+    * counts. The streaming form with event-time-timeout emission is
+    * [[closedSessionsStream]]; batch MATCH is SparkEntry st6.
+    */
+  def sessionBounds(events: DataFrame, gapMinutes: Int = 30,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(userCol).orderBy(col(tsCol).asc)
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    events
+      .withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          unix_micros(col(tsCol).cast("timestamp")) -
+            unix_micros(col("__prev").cast("timestamp")) > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("__new").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Per-key open-session state for [[closedSessionsStream]]. */
+  case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+  case class ClosedSession(user_id: Long, session_start: Long,
+      session_end: Long, n_events: Long)
+
+  /** Streaming closed-session emission: a session is emitted exactly
+    * once, when it CLOSES — either a later event of the same user
+    * opens the next session (in-batch close), or the event-time
+    * watermark passes last_event + gap with no successor
+    * (`GroupStateTimeout.EventTimeTimeout` fires and flushes the open
+    * session). This is the flatMapGroupsWithState shape — emit on
+    * state transition — where [[sessionizeStream]]'s
+    * mapGroupsWithState emits a running value per key per batch.
+    * Timestamps are unix micros in the output (callers re-cast).
+    *
+    * Scale: state is ONE OpenSession record per live user key, evicted
+    * by the timeout — bounded by concurrently-active users, not
+    * events. Late events beyond the watermark may resurrect a closed
+    * session as a new one (the standard watermark deal).
+    */
+  def closedSessionsStream(events: DataFrame, gapMinutes: Int = 30,
+      watermark: String = "10 minutes"): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+
+    events
+      .withWatermark("ts", watermark)
+      // the watermarked column itself must survive to the stateful
+      // operator (Spark's event-time-timeout analysis requires it)
+      .selectExpr("user_id", "ts", "unix_micros(ts) AS ts_us")
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (userId, rows, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastUs + gap: no successor can arrive
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(userId, s.startUs, s.lastUs, s.n))
+          } else {
+            val closed = scala.collection.mutable.ListBuffer[ClosedSession]()
+            var cur = state.getOption
+            rows.map(_._3).toSeq.sorted.foreach { ts =>
+              cur match {
+                case Some(s) if ts - s.lastUs <= gapUs =>
+                  cur = Some(OpenSession(s.startUs, math.max(s.lastUs, ts), s.n + 1))
+                case Some(s) =>
+                  closed += ClosedSession(userId, s.startUs, s.lastUs, s.n)
+                  cur = Some(OpenSession(ts, ts, 1))
+                case None =>
+                  cur = Some(OpenSession(ts, ts, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000) // millis
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup: drop rows whose key columns were already
     * seen, with state bounded by the watermark (late duplicates beyond
     * it are not caught — that is the deal that keeps state finite).

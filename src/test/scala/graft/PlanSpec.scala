@@ -209,4 +209,30 @@ class PlanSpec extends SparkTestBase {
     // quantity/priority filters reach the scans
     assert(p.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("l_quantity")))
   }
+
+  test("ch1 chunking is a shuffle-free codegen generate over the scan") {
+    // chunking is the map-only stage before packing: at 100 TB an
+    // exchange here would reshuffle the whole corpus for a row-local op
+    val df = SparkEntry.queries("ch1_chunk_documents")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"ch1 must not shuffle:\n$p")
+    assert(p.contains("chunk_tokens"))
+    assert(!p.contains("CodegenFallback"))
+  }
+
+  test("dd10 probes the bloom filter inside codegen before any exchange") {
+    val df = SparkEntry.queries("dd10_contaminated_spans")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("bloom_might_contain_long")))
+    assert(!p.contains("CodegenFallback"))
+    // run detection partitions by the contaminated pair, never order-only
+    val specs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(specs.nonEmpty)
+    assert(specs.forall(s => s.contains("train_id") && s.contains("eval_id")),
+      s"window must partition by (train_id, eval_id):\n$p")
+  }
 }

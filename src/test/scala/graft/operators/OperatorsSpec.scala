@@ -296,6 +296,32 @@ class DedupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("exact cosine pairs: known geometry, and LSH recall is a subset") {
+    val e = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(1f, 0f, 0f, 0f)),   // identical to 1 -> cos 1
+      (3L, Seq(1f, 1f, 0f, 0f)),   // 45 deg to 1 -> cos ~0.7071
+      (4L, Seq(0f, 0f, 1f, 0f)),   // orthogonal
+      (5L, Seq(0f, 0f, 0f, 0f)))   // zero vector: must be excluded
+      .toDF("vec_id", "embedding")
+    val out = Dedup.exactCosinePairs(e, "vec_id", "embedding", threshold = 0.7)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+      .toMap
+    assert(out.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(out((1L, 2L)) == BigDecimal("1.0000"))
+    assert(out((1L, 3L)) == BigDecimal("0.7071"))
+    // bucketed LSH can only MISS pairs relative to the exact baseline
+    val embeddings = spark.read.parquet(sf() + "/embeddings.parquet")
+    val exact = Dedup.exactCosinePairs(embeddings, "vec_id", "embedding", 0.35)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupPairs(embeddings, "vec_id", "embedding",
+      threshold = 0.35, planes = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    assert(exact.nonEmpty)
+  }
 }
 
 class SimilaritySpec extends SparkTestBase {

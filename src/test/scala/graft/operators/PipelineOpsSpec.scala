@@ -198,3 +198,44 @@ class PackingSpec extends SparkTestBase {
     assert(manifest.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
   }
 }
+
+class ChunkingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def chunksOf(text: String, maxTokens: Int, overlap: Int) =
+    Chunking.chunkDocuments(Seq((1L, text)).toDF("doc_id", "text"),
+        "doc_id", "text", maxTokens, overlap)
+      .orderBy("chunk_idx")
+      .select("chunk_text", "n_tokens").as[(String, Long)].collect().toSeq
+
+  test("overlapping windows cover every token with the shared prefix") {
+    // 10 tokens, window 4, overlap 1 -> starts 0,3,6: t6..t9 closes it
+    val got = chunksOf("a b c d e f g h i j", 4, 1)
+    assert(got == Seq(("a b c d", 4L), ("d e f g", 4L), ("g h i j", 4L)))
+  }
+
+  test("ragged tail keeps at least one token beyond the overlap") {
+    // 11 tokens, window 4, stride 3 -> starts 0,3,6,9; last chunk 2 toks
+    val got = chunksOf("a b c d e f g h i j k", 4, 1)
+    assert(got.map(_._2) == Seq(4L, 4L, 4L, 2L))
+    assert(got.last._1 == "j k")
+  }
+
+  test("short and empty docs yield exactly one chunk, case preserved") {
+    assert(chunksOf("Hello World", 32, 8) == Seq(("Hello World", 2L)))
+    assert(chunksOf("   ", 32, 8) == Seq(("", 1L)))
+  }
+
+  test("property: dropping each chunk's overlap prefix reconstructs the doc") {
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(1, 5, 24, 25, 40, 100); overlap <- Seq(0, 3)) {
+      val toks = Vector.fill(n)("w" + rnd.nextInt(50))
+      val got = chunksOf(toks.mkString(" "), 25, overlap)
+      val rebuilt = got.head._1.split(" ").toVector ++
+        got.tail.flatMap(_._1.split(" ").drop(overlap))
+      assert(rebuilt == toks, s"n=$n overlap=$overlap")
+      assert(got.map(_._2).sum ==
+        n + overlap.toLong * (got.size - 1), s"token accounting n=$n")
+    }
+  }
+}

@@ -38,6 +38,35 @@ class SamplingSpec extends SparkTestBase {
     assert(bySource("src1") > 0 && bySource("src1") < docs.filter("source = 'src1'").count())
   }
 
+  test("temperature weights: alpha interpolates natural -> uniform") {
+    // skewed corpus (the sf corpora are uniform per source, which
+    // would make the interpolation degenerate): 80/16/4
+    val skewed = ((1 to 80).map(i => (i.toLong, "big")) ++
+      (81 to 96).map(i => (i.toLong, "mid")) ++
+      (97 to 100).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    def weights(alpha: Double) =
+      Sampling.temperatureWeights(skewed, "source", alpha)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val natural = weights(1.0)
+    val uniform = weights(0.0)
+    val smoothed = weights(0.5)
+    // alpha=1 reproduces the corpus distribution; alpha=0 is uniform
+    assert(natural("big") == ((80L, 0.8)))
+    assert(natural("small") == ((4L, 0.04)))
+    uniform.values.foreach { case (_, w) =>
+      assert(math.abs(w - 1.0 / 3) < 1e-5) }
+    // every alpha normalizes to 1
+    Seq(natural, uniform, smoothed).foreach { ws =>
+      assert(math.abs(ws.values.map(_._2).sum - 1.0) < 1e-4) }
+    // 0 < alpha < 1 up-weights small sources, down-weights large ones
+    assert(smoothed("small")._2 > natural("small")._2)
+    assert(smoothed("big")._2 < natural("big")._2)
+    // sqrt weights exactly: sqrt(80)/(sqrt(80)+sqrt(16)+sqrt(4)) etc.
+    val denom = math.sqrt(80) + 4 + 2
+    assert(math.abs(smoothed("big")._2 - math.sqrt(80) / denom) < 1e-5)
+  }
+
   test("holdout splits partition the corpus without overlap") {
     val train = Sampling.holdout(docs, "doc_id", "train", 0.8, 0.1).select("doc_id").collect().toSet
     val valid = Sampling.holdout(docs, "doc_id", "valid", 0.8, 0.1).select("doc_id").collect().toSet

@@ -161,6 +161,55 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Set((1L, 9.0))) // u2's purchase is outside the window
   }
 
+  test("closed sessions: in-batch close on gap, timeout close on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStream.closedSessionsStream(mem.toDF(), gapMinutes = 30,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("closed_out")
+      .outputMode("append").start()
+    def us(s: String) = ts(s).getTime * 1000L
+    mem.addData(batch1: _*) // u1: 00:05,00:15; u2: 01:05
+    q.processAllAvailable()
+    mem.addData(batch2: _*) // u2: 01:30 extends; u1: 02:30 CLOSES 00:05-00:15 in-batch
+    q.processAllAvailable()
+    val afterB2 = spark.table("closed_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // u1's first session closed in-batch (successor event 02:30);
+    // u2's closed by TIMEOUT: batch2 moved the watermark to
+    // 02:30 - 10min = 02:20, past u2's 01:30 + 30min deadline. u1's
+    // 02:30 session (deadline 03:00) must still be open.
+    assert(afterB2 == Set(
+      (1L, us("2024-01-01 00:05:00"), us("2024-01-01 00:15:00"), 2L),
+      (2L, us("2024-01-01 01:05:00"), us("2024-01-01 01:30:00"), 2L)))
+    // push the watermark far past every open session + gap: the
+    // event-time timeouts must flush them (two rounds: the watermark
+    // advances at the NEXT batch boundary)
+    for (h <- Seq("10", "11")) {
+      mem.addData(Ev(ts(s"2024-01-01 $h:00:00"), 99, "click", 0.0))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val all = spark.table("closed_out")
+      .filter($"user_id" < 99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(all == Set(
+      (1L, us("2024-01-01 00:05:00"), us("2024-01-01 00:15:00"), 2L),
+      (1L, us("2024-01-01 02:30:00"), us("2024-01-01 02:30:00"), 1L),
+      (2L, us("2024-01-01 01:05:00"), us("2024-01-01 01:30:00"), 2L)))
+  }
+
+  test("batch sessionBounds rolls up to the per-user sessionize totals") {
+    val df = (batch1 ++ batch2).toDF()
+    val bounds = EventStream.sessionBounds(df, gapMinutes = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).toString, r.getTimestamp(3).toString, r.getLong(4))).toSet
+    assert(bounds == Set(
+      (1L, 1L, "2024-01-01 00:05:00.0", "2024-01-01 00:15:00.0", 2L),
+      (1L, 2L, "2024-01-01 02:30:00.0", "2024-01-01 02:30:00.0", 1L),
+      (2L, 1L, "2024-01-01 01:05:00.0", "2024-01-01 01:30:00.0", 2L)))
+  }
+
   test("left-outer interval join emits unmatched views once the watermark proves no match") {
     implicit val sqlCtx = spark.sqlContext
     val views = MemoryStream[Ev]
