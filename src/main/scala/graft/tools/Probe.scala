@@ -10,6 +10,7 @@ object Probe {
     val spark = GraftSession.getOrCreate("graft-probe")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.headOption.contains("scale10x")) { scale10x(spark, dir); spark.stop(); return }
+    if (args.headOption.contains("r4probe")) { r4probe(spark, dir); spark.stop(); return }
     if (args.headOption.contains("jdbcYardstick")) { jdbcYardstick(spark, dir); spark.stop(); return }
     if (args.headOption.contains("dd4")) { dd4(spark, dir); spark.stop(); return }
     if (args.headOption.contains("dotKernel")) { dotKernel(spark, dir); spark.stop(); return }
@@ -308,6 +309,39 @@ object Probe {
         .groupBy("o_orderkey")
         .agg(count(lit(1)).as("n_items")).count()
     })
+  }
+
+  /** 10x probes for the round-4 operators (same synthetic union as
+    * scale10x): span decontamination, chunking, and the quadratic
+    * exact-cosine baseline at 10x its intended sample size. */
+  def r4probe(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.DataFrame
+    def x10(name: String, idCols: Seq[String]): DataFrame = {
+      val base = spark.read.parquet(s"$dir/$name.parquet")
+      (0 until 10).map { i =>
+        idCols.foldLeft(base)((df, c) =>
+          df.withColumn(c, col(c) + lit(i.toLong * 100000000L)))
+      }.reduce(_.unionAll(_))
+    }
+    def timed(label: String)(f: => Long): Unit = {
+      val t = System.nanoTime(); val n = f
+      println(f"=== r4probe $label: ${(System.nanoTime() - t) / 1e9}%.1fs ($n%,d rows)")
+    }
+    val docs = x10("documents", Seq("doc_id"))
+    spark.read.parquet(s"$dir/region.parquet").count() // warm
+    timed("ch1 chunking 50K docs")(
+      graft.operators.Chunking.chunkDocuments(docs, "doc_id", "text",
+        maxTokens = 32, overlap = 8).count())
+    timed("dd10 contaminated spans 2.5K eval x 47.5K train")(
+      graft.operators.Decontaminate.contaminatedSpans(
+        docs.filter(col("doc_id") % 10000000L > 250),
+        docs.filter(col("doc_id") % 10000000L <= 250),
+        "doc_id", "text", gramSize = 3, expectedEvalGrams = 1 << 18).count())
+    timed("sim5 exact cosine 5K vecs / 12.5M pairs (quadratic baseline)")(
+      graft.operators.Dedup.exactCosinePairs(
+        x10("embeddings", Seq("vec_id")), "vec_id", "embedding", 0.35).count())
+    timed("mix1 temperature weights 50K docs")(
+      graft.operators.Sampling.temperatureWeights(docs, "source", 0.5).count())
   }
 
   /** Dot-product kernel microbench: the codegen `DotProduct`
