@@ -496,6 +496,16 @@ object SparkEntry {
         TextAnalysis.fingerprint(col("text")).as("fingerprint"),
         round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))),
 
+    // zlib redundancy signal (rows-only: no SQL engine mirrors
+    // DEFLATE): ratio + the threshold verdict a curation gate uses
+    "qf2_compression_signal" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.compressionRatio(col("text")).as("r"))
+        .select(col("doc_id"),
+          round(col("r"), 4).as("deflate_ratio"),
+          (col("r") < 0.35).as("highly_repetitive"))),
+
     "sp1_stratified_sample" -> ((s, dir) =>
       // deterministic exact-count stratified sample (training mix)
       Sampling.stratified(t(s, dir, "documents"), "doc_id", Seq("lang"), 10)

@@ -760,6 +760,56 @@ object TextExpressions {
     new GenericArrayData(out)
   }
 
+  /** DEFLATE compression ratio of the UTF-8 text:
+    * compressed_size / raw_size, the classic redundancy signal for
+    * boilerplate/template detection (highly repetitive text
+    * compresses far below ~0.4; natural prose sits higher). Empty
+    * input reports 1.0. Row-local, full codegen; the Deflater is
+    * allocated per call (no shared native state across rows — plan
+    * re-evaluation and task retries stay safe). Deterministic for a
+    * given JDK's bundled zlib; treat it as a SIGNAL (thresholds,
+    * ordering), not a portable hash — different zlib builds may
+    * differ by a byte or two.
+    */
+  case class DeflateRatio(child: Expression, level: Int = 6)
+      extends UnaryExpression {
+    require(level >= 1 && level <= 9, s"deflate level in [1,9], got $level")
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "deflate_ratio"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"deflate_ratio requires a string column, got ${other.catalogString}")
+      }
+
+    override protected def nullSafeEval(input: Any): Any =
+      deflateRatioKernel(input.asInstanceOf[UTF8String], level)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExpressions.deflateRatioKernel($c, $level);")
+
+    override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
+      copy(child = newChild)
+  }
+
+  /** Kernel of [[DeflateRatio]]. */
+  def deflateRatioKernel(text: UTF8String, level: Int): Double = {
+    val bytes = text.getBytes
+    if (bytes.length == 0) return 1.0
+    val d = new java.util.zip.Deflater(level, true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total.toDouble / bytes.length
+    } finally d.end()
+  }
+
   /** Per-document repetition statistics in ONE fused row-local pass:
     * tokenize -> word n-grams -> in-row hash-count -> top gram. The
     * relational form (explode grams -> groupBy(doc, gram) -> groupBy
@@ -886,6 +936,9 @@ object TextExpressions {
 
   def chunk_tokens(c: Column, maxTokens: Int, overlap: Int): Column =
     ExpressionUtils.column(ChunkTokens(ExpressionUtils.expression(c), maxTokens, overlap))
+
+  def deflate_ratio(c: Column, level: Int = 6): Column =
+    ExpressionUtils.column(DeflateRatio(ExpressionUtils.expression(c), level))
 
   /** Register the SQL forms (`rolling_hash`, `simhash64`,
     * `minhash_signature`) in a session's function registry. */

@@ -88,6 +88,14 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     TextExpressions.rolling_hash(regexp_replace(trim(text), "\\s+", " "))
 
+  /** DEFLATE compression ratio (compressed/raw bytes): the classic
+    * redundancy signal — template/boilerplate text compresses far
+    * below natural prose. Row-local codegen expression; a signal for
+    * thresholds and ordering, not a portable hash (see
+    * [[TextExpressions.DeflateRatio]]). */
+  def compressionRatio(text: Column, level: Int = 6): Column =
+    TextExpressions.deflate_ratio(text, level)
+
   /** One-stop annotation: append the standard stats columns. */
   def annotate(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

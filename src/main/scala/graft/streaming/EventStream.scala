@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types.StructType
 
 import graft.core.SinkConf
@@ -164,6 +164,76 @@ object EventStream {
             closed.iterator
           }
       }
+  }
+
+  /** [[closedSessionsStream]] on the Spark 4 arbitrary-state v2 API
+    * (`transformWithState`): identical semantics, but state lives in
+    * named typed handles (`ValueState[OpenSession]`) and session
+    * close-by-inactivity uses REGISTERED EVENT-TIME TIMERS instead of
+    * the single implicit mapGroupsWithState timeout — the v2 model
+    * allows many timers and state variables per key, schema
+    * evolution, and the RocksDB store (required by Spark for this
+    * operator; set `spark.sql.streaming.stateStore.providerClass` to
+    * the RocksDB provider). Each extension of a session deletes the
+    * old timer and registers the new deadline; the expired timer
+    * flushes the open session exactly once.
+    */
+  class SessionProcessor(gapMinutes: Int)
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp, Long), ClosedSession] {
+    private val gapUs = gapMinutes.toLong * 60 * 1000000
+    @transient private var open: ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession]("open",
+        org.apache.spark.sql.Encoders.product[OpenSession], TTLConfig.NONE)
+
+    private def deadlineMs(s: OpenSession): Long = (s.lastUs + gapUs) / 1000
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, Long)],
+        timerValues: TimerValues): Iterator[ClosedSession] = {
+      val closed = scala.collection.mutable.ListBuffer[ClosedSession]()
+      var cur = if (open.exists()) Some(open.get()) else None
+      cur.foreach(s => getHandle.deleteTimer(deadlineMs(s)))
+      rows.map(_._3).toSeq.sorted.foreach { ts =>
+        cur match {
+          case Some(s) if ts - s.lastUs <= gapUs =>
+            cur = Some(OpenSession(s.startUs, math.max(s.lastUs, ts), s.n + 1))
+          case Some(s) =>
+            closed += ClosedSession(key, s.startUs, s.lastUs, s.n)
+            cur = Some(OpenSession(ts, ts, 1))
+          case None =>
+            cur = Some(OpenSession(ts, ts, 1))
+        }
+      }
+      cur.foreach { s =>
+        open.update(s)
+        getHandle.registerTimer(deadlineMs(s))
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] =
+      if (open.exists() && deadlineMs(open.get()) == expiredTimerInfo.getExpiryTimeInMs) {
+        val s = open.get()
+        open.clear()
+        Iterator.single(ClosedSession(key, s.startUs, s.lastUs, s.n))
+      } else Iterator.empty
+  }
+
+  /** See [[SessionProcessor]]; requires the RocksDB state store. */
+  def closedSessionsStreamV2(events: DataFrame, gapMinutes: Int = 30,
+      watermark: String = "10 minutes"): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .selectExpr("user_id", "ts", "unix_micros(ts) AS ts_us")
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessor(gapMinutes),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Streaming exact dedup: drop rows whose key columns were already

@@ -87,6 +87,25 @@ class QualityFiltersSpec extends SparkTestBase {
     assert(out.select("doc_id").as[Long].collect().toSet == Set(3L))
   }
 
+  test("deflate ratio separates boilerplate from varied text, deterministically") {
+    val docs = Seq(
+      (1L, Seq.fill(200)("the same line repeated forever").mkString(" ")),
+      (2L, (1 to 200).map(i => s"w${i * 7919 % 1013}x${i * 104729 % 997}").mkString(" ")),
+      (3L, ""))
+      .toDF("doc_id", "text")
+    def run() = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.compressionRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val a = run()
+    // repetitive text compresses an order of magnitude harder
+    assert(a(1L) < 0.1, s"boilerplate ratio ${a(1L)}")
+    assert(a(2L) > 0.3, s"varied ratio ${a(2L)}")
+    assert(a(1L) < a(2L))
+    assert(a(3L) == 1.0)            // empty-input contract
+    assert(a.values.forall(_ > 0))
+    assert(run() == a)              // deterministic across plans/runs
+  }
+
   test("fused repetition kernel == the relational explode form on random docs") {
     import org.apache.spark.sql.functions._
     // seeded random docs over a small vocab (forces ties and heavy

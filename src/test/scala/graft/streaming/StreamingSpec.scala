@@ -199,6 +199,43 @@ class StreamingSpec extends SparkTestBase {
       (2L, us("2024-01-01 01:05:00"), us("2024-01-01 01:30:00"), 2L)))
   }
 
+  test("transformWithState sessions (state v2 + RocksDB) match the v1 semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val q = EventStream.closedSessionsStreamV2(mem.toDF(), gapMinutes = 30,
+          watermark = "10 minutes")
+        .writeStream.format("memory").queryName("closed_v2_out")
+        .outputMode("append").start()
+      def us(s: String) = ts(s).getTime * 1000L
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      for (h <- Seq("10", "11")) { // push timers past every deadline
+        mem.addData(Ev(ts(s"2024-01-01 $h:00:00"), 99, "click", 0.0))
+        q.processAllAvailable()
+      }
+      q.stop()
+      val all = spark.table("closed_v2_out")
+        .filter($"user_id" < 99)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // identical close-out to the mapGroupsWithState form
+      assert(all == Set(
+        (1L, us("2024-01-01 00:05:00"), us("2024-01-01 00:15:00"), 2L),
+        (1L, us("2024-01-01 02:30:00"), us("2024-01-01 02:30:00"), 1L),
+        (2L, us("2024-01-01 01:05:00"), us("2024-01-01 01:30:00"), 2L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("batch sessionBounds rolls up to the per-user sessionize totals") {
     val df = (batch1 ++ batch2).toDF()
     val bounds = EventStream.sessionBounds(df, gapMinutes = 30)
