@@ -26,6 +26,10 @@ object GraftSession {
       // read TIMESTAMP(NANOS) parquet (unsupported by Spark's
       // TimestampType) as raw nano longs; converted at the source
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // catalog tables (bucketed layouts) land in tmp, not the cwd;
+      // deployments point this at their real warehouse
+      .config("spark.sql.warehouse.dir",
+        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
 
   def defaultCores: Int =
     sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
