@@ -851,7 +851,20 @@ object SparkEntry {
     // EventStream.closedSessionsStream, spec-covered
     "st6_session_bounds" -> ((s, dir) =>
       graft.streaming.EventStream.sessionBounds(
-        events(s, dir).select("user_id", "ts"), gapMinutes = 30)))
+        events(s, dir).select("user_id", "ts"), gapMinutes = 30)),
+
+    // Spark's BUILT-IN session windows (the same operator works
+    // unchanged on a stream): session_window.end = last event + gap,
+    // which the oracle mirrors as max(ts) + INTERVAL
+    "st7_session_window" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"),
+          col("n_events"))))
 
   /** DuckDB-runnable oracles. Omitted keys (LSH/simhash candidate
     * generation, engine-specific JSON/fingerprint/decode-stub) get the
@@ -1480,6 +1493,25 @@ object SparkEntry {
         |  FROM flagged)
         |SELECT user_id, session_id, min(ts) AS session_start,
         |       max(ts) AS session_end, count(*) AS n_events
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    // note >=, not >: session_window windows are half-open [ts, ts+gap),
+    // so an event landing EXACTLY gap after its predecessor opens a new
+    // session (st2/st6's manual forms use > by their own contract)
+    "st7_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) IS NULL
+        |                OR epoch_us(CAST(ts AS TIMESTAMP))
+        |                   - epoch_us(CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) AS TIMESTAMP))
+        |                   >= 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sess AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
 
     // positional chunk enumeration mirrors the kernel: starts at

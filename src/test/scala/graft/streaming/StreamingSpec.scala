@@ -236,6 +236,36 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("built-in session_window works unchanged on a stream (append after watermark)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = mem.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"sw.start".as("s"), $"sw.end".as("e"), $"n")
+      .writeStream.format("memory").queryName("sw_out")
+      .outputMode("append").start()
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    for (h <- Seq("10", "11")) { // advance the watermark to finalize
+      mem.addData(Ev(ts(s"2024-01-01 $h:00:00"), 99, "click", 0.0))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("sw_out").filter($"user_id" < 99)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3)))
+      .toSet
+    // merged sessions with end = last event + gap, emitted exactly once
+    assert(got == Set(
+      (1L, "2024-01-01 00:05:00.0", "2024-01-01 00:45:00.0", 2L),
+      (1L, "2024-01-01 02:30:00.0", "2024-01-01 03:00:00.0", 1L),
+      (2L, "2024-01-01 01:05:00.0", "2024-01-01 02:00:00.0", 2L)))
+  }
+
   test("batch sessionBounds rolls up to the per-user sessionize totals") {
     val df = (batch1 ++ batch2).toDF()
     val bounds = EventStream.sessionBounds(df, gapMinutes = 30)
