@@ -528,6 +528,26 @@ object SparkEntry {
         col("doc_id"),
         TextNormalize.canonical(col("text")).as("canonical"))),
 
+    // ANALYZE-style per-column profile (nulls / exact distinct /
+    // numeric min-max) in one aggregate pass + row-local unpivot
+    "pf4_column_profile" -> ((s, dir) =>
+      Profiling.columnProfile(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))),
+
+    // declarative data-quality report over the warehouse tables:
+    // null/uniqueness/referential/domain/range checks, one row each
+    // (mix of passing and violated checks so nonzero paths are tested)
+    "dq1_quality_report" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      DataQuality.report(
+        DataQuality.notNull(o, "o_custkey"),
+        DataQuality.unique(o, Seq("o_orderkey")),
+        DataQuality.referential(l, "l_orderkey", o, "o_orderkey"),
+        DataQuality.acceptedValues(o, "o_orderstatus", Seq("F", "O")),
+        DataQuality.inRange(o, "o_totalprice", 0, 200000))
+    }),
+
     "sk1_salted_distinct" -> ((s, dir) =>
       // two-stage salted distinct: exact result, hot keys spread over
       // 32 reducers instead of one
@@ -1530,6 +1550,50 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs,
         |       round(pow(count(*), 0.5) / sum(pow(count(*), 0.5)) OVER (), 6) AS weight
         |FROM documents GROUP BY source""".stripMargin,
+
+    "pf4_column_profile" ->
+      """WITH s AS (SELECT count(*) AS n,
+        |  count(*) FILTER (o_orderkey IS NULL) AS nn1,
+        |  count(DISTINCT o_orderkey) AS nd1,
+        |  CAST(min(o_orderkey) AS DOUBLE) AS mn1, CAST(max(o_orderkey) AS DOUBLE) AS mx1,
+        |  count(*) FILTER (o_custkey IS NULL) AS nn2,
+        |  count(DISTINCT o_custkey) AS nd2,
+        |  CAST(min(o_custkey) AS DOUBLE) AS mn2, CAST(max(o_custkey) AS DOUBLE) AS mx2,
+        |  count(*) FILTER (o_orderstatus IS NULL) AS nn3,
+        |  count(DISTINCT o_orderstatus) AS nd3,
+        |  count(*) FILTER (o_totalprice IS NULL) AS nn4,
+        |  count(DISTINCT o_totalprice) AS nd4,
+        |  CAST(min(o_totalprice) AS DOUBLE) AS mn4, CAST(max(o_totalprice) AS DOUBLE) AS mx4
+        |  FROM orders)
+        |SELECT 'o_orderkey' AS col_name, n AS n_rows, nn1 AS n_nulls,
+        |       nd1 AS n_distinct, mn1 AS min_num, mx1 AS max_num FROM s
+        |UNION ALL
+        |SELECT 'o_custkey', n, nn2, nd2, mn2, mx2 FROM s
+        |UNION ALL
+        |SELECT 'o_orderstatus', n, nn3, nd3, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM s
+        |UNION ALL
+        |SELECT 'o_totalprice', n, nn4, nd4, mn4, mx4 FROM s""".stripMargin,
+
+    "dq1_quality_report" ->
+      """SELECT 'not_null:o_custkey' AS check_name,
+        |       count(*) FILTER (o_custkey IS NULL) AS n_violations FROM orders
+        |UNION ALL
+        |SELECT 'unique:o_orderkey',
+        |       CAST(coalesce(sum(__n - 1), 0) AS BIGINT)
+        |FROM (SELECT count(*) AS __n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+        |UNION ALL
+        |SELECT 'fk:l_orderkey->o_orderkey', count(*) FROM lineitem
+        |WHERE l_orderkey IS NOT NULL
+        |  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |UNION ALL
+        |SELECT 'accepted:o_orderstatus',
+        |       count(*) FILTER (o_orderstatus IS NOT NULL
+        |                        AND o_orderstatus NOT IN ('F', 'O')) FROM orders
+        |UNION ALL
+        |SELECT 'range:o_totalprice',
+        |       count(*) FILTER (o_totalprice IS NOT NULL
+        |                        AND (o_totalprice < 0 OR o_totalprice > 200000))
+        |FROM orders""".stripMargin,
 
     // double-identical to the Spark plan: the codegen dot product
     // accumulates CAST-to-double products left-to-right, as does

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality checks (beyond-parity): each check reduces
+  * a table to ONE row (check_name, n_violations), and [[report]]
+  * unions them into the quality table a pipeline gates on — the
+  * dbt-test / Deequ-style surface, kept exact so an independent SQL
+  * engine can verify every number.
+  *
+  * Scale shape: every check is a single partial-aggregated pass (the
+  * shuffle carries one partial count per task), except [[referential]]
+  * which is a left-anti join on the key — Spark picks broadcast or
+  * shuffled-hash automatically by parent size. The report union
+  * combines 1-row frames; cost is the sum of its checks, each
+  * independently parallel.
+  */
+object DataQuality {
+
+  /** Rows where `c` is null. */
+  def notNull(df: DataFrame, c: String): DataFrame =
+    df.agg(count(when(col(c).isNull, 1)).as("n_violations"))
+      .select(lit(s"not_null:$c").as("check_name"), col("n_violations"))
+
+  /** Excess rows beyond one per distinct key tuple (0 = key is
+    * unique). */
+  def unique(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .agg(coalesce(sum(col("__n") - 1), lit(0L)).as("n_violations"))
+      .select(lit(s"unique:${keys.mkString(",")}").as("check_name"),
+        col("n_violations"))
+
+  /** Orphaned child rows: non-null child keys with no matching parent
+    * (SQL FK semantics — null FKs are not violations). */
+  def referential(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame =
+    child.filter(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey)), col(childKey) === col(parentKey),
+        "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit(s"fk:$childKey->$parentKey").as("check_name"),
+        col("n_violations"))
+
+  /** Non-null values outside the accepted set. */
+  def acceptedValues(df: DataFrame, c: String, values: Seq[String]): DataFrame =
+    df.agg(count(when(col(c).isNotNull && !col(c).isInCollection(values), 1))
+        .as("n_violations"))
+      .select(lit(s"accepted:$c").as("check_name"), col("n_violations"))
+
+  /** Non-null values outside [lo, hi]. */
+  def inRange(df: DataFrame, c: String, lo: Double, hi: Double): DataFrame =
+    df.agg(count(when(col(c).isNotNull && (col(c) < lo || col(c) > hi), 1))
+        .as("n_violations"))
+      .select(lit(s"range:$c").as("check_name"), col("n_violations"))
+
+  /** Union the per-check rows into one quality table. */
+  def report(checks: DataFrame*): DataFrame =
+    checks.reduce(_.unionByName(_))
+}

@@ -72,6 +72,46 @@ object Profiling {
       .filter(col("rank") <= k)
   }
 
+  /** Generic per-column profile — the ANALYZE-style table a data
+    * engineer runs before trusting a new source: one output row per
+    * column with (col_name, n_rows, n_nulls, n_distinct, min_num,
+    * max_num); min/max are cast to double for numeric columns and
+    * null otherwise.
+    *
+    * ONE pass: all measures for all columns aggregate together, then
+    * a row-local stack unpivots the single result row. The exact
+    * multi-column distinct makes Spark expand the input k ways —
+    * verifiable and fine for table-sized profiling; pass
+    * `approx = true` at corpus scale to swap in HyperLogLog distinct
+    * counts (same single-pass shape, constant-size partials, no
+    * expand).
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String],
+      approx: Boolean = false): DataFrame = {
+    require(cols.nonEmpty)
+    val numeric = df.schema.fields.map(f =>
+      f.name -> f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]).toMap
+    def minMax(c: String, fn: Column => Column): Column =
+      if (numeric(c)) fn(col(c)).cast("double") else lit(null).cast("double")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(when(col(c).isNull, 1)).as(s"__nn_$c"),
+        (if (approx) approx_count_distinct(col(c)) else countDistinct(col(c)))
+          .as(s"__nd_$c"),
+        minMax(c, min).as(s"__mn_$c"),
+        minMax(c, max).as(s"__mx_$c"))
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c => struct(
+      lit(c).as("col_name"),
+      col("__n").as("n_rows"),
+      col(s"__nn_$c").as("n_nulls"),
+      col(s"__nd_$c").as("n_distinct"),
+      col(s"__mn_$c").as("min_num"),
+      col(s"__mx_$c").as("max_num")))
+    one.select(explode(array(stacked: _*)).as("p")).select("p.*")
+  }
+
   /** Vocabulary size (distinct tokens) and token count per group. */
   def vocabulary(df: DataFrame, groupCols: Seq[String], textCol: String): DataFrame =
     df.select((groupCols.map(col) :+

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class DataQualitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  // planted defects: one null key, one duplicated key (x3), one value
+  // outside the domain, one out-of-range amount
+  private val rows = Seq(
+    (Option(1L), "A", 10.0),
+    (Option(2L), "A", 20.0),
+    (Option(2L), "B", 30.0),
+    (Option(2L), "B", 40.0),
+    (None, "C", 50.0),
+    (Option(5L), "Z", -7.0))
+    .toDF("id", "status", "amount")
+  private val parent = Seq(1L, 2L).toDF("pid")
+
+  test("each check counts exactly its planted violations") {
+    val got = DataQuality.report(
+      DataQuality.notNull(rows, "id"),
+      DataQuality.unique(rows, Seq("id")),
+      DataQuality.referential(rows, "id", parent, "pid"),
+      DataQuality.acceptedValues(rows, "status", Seq("A", "B", "C")),
+      DataQuality.inRange(rows, "amount", 0, 45))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("not_null:id") == 1)         // the None row
+    assert(got("unique:id") == 2)           // id=2 appears 3x -> 2 excess
+    assert(got("fk:id->pid") == 1)          // id=5 orphan; null id exempt
+    assert(got("accepted:status") == 1)     // "Z"
+    assert(got("range:amount") == 2)        // -7 and 50
+  }
+
+  test("a clean table reports zero violations on every check") {
+    val clean = Seq((1L, "A", 1.0), (2L, "B", 2.0)).toDF("id", "status", "amount")
+    val got = DataQuality.report(
+      DataQuality.notNull(clean, "id"),
+      DataQuality.unique(clean, Seq("id")),
+      DataQuality.referential(clean, "id", parent, "pid"),
+      DataQuality.acceptedValues(clean, "status", Seq("A", "B")),
+      DataQuality.inRange(clean, "amount", 0, 10))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.values.forall(_ == 0L))
+    assert(got.size == 5)
+  }
+}

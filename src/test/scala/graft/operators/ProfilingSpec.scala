@@ -9,6 +9,27 @@ class ProfilingSpec extends SparkTestBase {
 
   private lazy val docs = spark.read.parquet(sf() + "/documents.parquet")
 
+  test("column profile: exact counts, numeric min/max, null for strings") {
+    import spark.implicits._
+    val df = Seq(
+      (Option(1L), Option("a"), 1.5),
+      (Option(2L), Option("a"), -2.0),
+      (None, None, 1.5))
+      .toDF("id", "tag", "v")
+    val got = Profiling.columnProfile(df, Seq("id", "tag", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Double]))).toMap
+    assert(got("id") == ((3L, 1L, 2L, Some(1.0), Some(2.0))))
+    assert(got("tag") == ((3L, 1L, 1L, None, None)))   // string: no min/max
+    assert(got("v") == ((3L, 0L, 2L, Some(-2.0), Some(1.5))))
+    // approx form: same shape, distinct within HLL tolerance
+    val ap = Profiling.columnProfile(df, Seq("id"), approx = true)
+      .collect().head
+    assert(ap.getLong(1) == 3L && ap.getLong(3) >= 1L)
+  }
+
   test("approx corpus stats track the exact aggregates within sketch bounds") {
     def byLang(df: org.apache.spark.sql.DataFrame): Map[String, Row] =
       df.collect().map(r => r.getString(0) -> r).toMap
