@@ -679,6 +679,30 @@ object SparkEntry {
         valueCols = Seq("purchase_value"))
     }),
 
+    // forward as-of: each event gets the user's NEXT purchase at or
+    // after its timestamp
+    "j4_asof_forward" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
+      AsOfJoin.asofForward(
+        ev.select("event_id", "user_id", "ts"), purchases,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        valueCols = Seq("purchase_value"))
+    }),
+
+    // nearest as-of: whichever purchase is temporally closest, ties
+    // resolved backward
+    "j5_asof_nearest" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
+      AsOfJoin.asofNearest(
+        ev.select("event_id", "user_id", "ts"), purchases,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        valueCols = Seq("purchase_value"))
+    }),
+
     // keyless interval join: Spark would plan the raw range predicate
     // as a BroadcastNestedLoopJoin (O(|L|*|R|)); the binned operator
     // turns it into an equi-join on time bins + exact filter
@@ -1095,6 +1119,37 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
         |SELECT e.user_id, e.ts, e.event_id, p.purchase_value
         |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+
+    "j4_asof_forward" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT e.user_id, e.ts, e.event_id, p.purchase_value
+        |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.ts""".stripMargin,
+
+    // two directional ASOF joins, the closer candidate wins, exact
+    // ties -> backward (the at-or-before row)
+    "j5_asof_nearest" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |b AS (
+        |  SELECT e.event_id, e.user_id, e.ts, p.ts AS bts, p.purchase_value AS bval
+        |  FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts),
+        |f AS (
+        |  SELECT e.event_id, p.ts AS fts, p.purchase_value AS fval
+        |  FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.ts)
+        |SELECT b.user_id, b.ts, b.event_id,
+        |       CASE WHEN fts IS NULL THEN bval
+        |            WHEN bts IS NULL THEN fval
+        |            WHEN epoch_us(fts) - epoch_us(b.ts)
+        |                 < epoch_us(b.ts) - epoch_us(bts) THEN fval
+        |            ELSE bval END AS purchase_value
+        |FROM b JOIN f USING (event_id)""".stripMargin,
 
     "dd1_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",

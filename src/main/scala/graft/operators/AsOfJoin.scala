@@ -31,7 +31,30 @@ object AsOfJoin {
       keys: Seq[String],
       leftTs: String,
       rightTs: String,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String]): DataFrame =
+    asofDirectional(left, right, keys, leftTs, rightTs, valueCols, forward = false)
+
+  /** Forward as-of: the EARLIEST right row with `right.ts >= left.ts`
+    * ("next known state after this event"). Mirror image of
+    * [[asofBackward]] — same union + one-exchange carry, with the
+    * window scanning time descending; ties match. */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String]): DataFrame =
+    asofDirectional(left, right, keys, leftTs, rightTs, valueCols, forward = true)
+
+  private def asofDirectional(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String],
+      forward: Boolean): DataFrame = {
     require(keys.nonEmpty, "as-of join requires at least one key column")
 
     val leftCols = left.columns.toSeq
@@ -53,9 +76,10 @@ object AsOfJoin {
         leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) :+
         struct(valueCols.map(col): _*).as("__r"): _*)
 
-    // sort right rows before left rows at equal ts so ties match
+    // sort right rows before left rows at equal ts so ties match;
+    // forward scans time DESCENDING so "last seen" = earliest at-or-after
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(if (forward) col("__ts").desc else col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = lPrepped.unionByName(rPrepped)
@@ -69,6 +93,69 @@ object AsOfJoin {
           leftCols.filterNot(k => keys.contains(k) || k == leftTs)
             .map(c => col(s"__l_$c").as(c)) ++
           valueCols.map(c => col("__r").getField(c).as(c)): _*)
+  }
+
+  /** Nearest as-of: the right row minimizing |right.ts - left.ts|,
+    * ties broken BACKWARD (at-or-before wins). One union and ONE
+    * exchange like the directional forms; the two opposite-order
+    * window carries share the partitioning, so Spark re-sorts within
+    * partitions but never reshuffles. The per-row choice compares the
+    * two candidates' timestamp distances.
+    */
+  def asofNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "as-of join requires at least one key column")
+
+    val leftCols = left.columns.toSeq
+    // carried struct = right ts (for the distance) + the value columns
+    val rStructType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__rts",
+        right.schema(rightTs).dataType, nullable = true) +:
+      valueCols.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType, nullable = true)))
+    val lPrepped = left.select(
+      (keys.map(col) :+ col(leftTs).as("__ts") :+ lit(1).as("__side")) ++
+        leftCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")) :+
+        lit(null).cast(rStructType).as("__r"): _*)
+    val rPrepped = right.select(
+      (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side")) ++
+        leftCols.filterNot(keys.contains).map(c =>
+          lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) :+
+        struct(col(rightTs).as("__rts") +: valueCols.map(col): _*).as("__r"): _*)
+
+    val wB = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").desc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = lPrepped.unionByName(rPrepped)
+      .select((keys.map(col) :+ col("__ts") :+ col("__side")) ++
+        leftCols.filterNot(keys.contains).map(c => col(s"__l_$c")) :+
+        last(col("__r"), ignoreNulls = true).over(wB).as("__b") :+
+        last(col("__r"), ignoreNulls = true).over(wF).as("__f"): _*)
+
+    def us(c: Column): Column = unix_micros(c.cast("timestamp"))
+    val db = us(col("__ts")) - us(col("__b.__rts"))
+    val df = us(col("__f.__rts")) - us(col("__ts"))
+    val chosen = when(col("__f").isNull, col("__b"))
+      .when(col("__b").isNull, col("__f"))
+      .when(df < db, col("__f"))
+      .otherwise(col("__b")) // tie -> backward
+
+    carried.filter(col("__side") === 1)
+      .withColumn("__c", chosen)
+      .select(
+        (keys.map(col) :+ col("__ts").as(leftTs)) ++
+          leftCols.filterNot(k => keys.contains(k) || k == leftTs)
+            .map(c => col(s"__l_$c").as(c)) ++
+          valueCols.map(c => col("__c").getField(c).as(c)): _*)
   }
 
   /** Range join: left rows matched to right intervals

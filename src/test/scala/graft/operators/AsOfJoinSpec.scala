@@ -48,6 +48,41 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out("e3") == (None, Some(8L)))
   }
 
+  test("forward as-of picks the earliest right row at-or-after each left ts") {
+    val out = AsOfJoin.asofForward(left, right, Seq("user_id"), "ts", "ts", Seq("v"))
+      .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(out("e1").contains(200.0))   // next at-or-after 10:00 is 11:00
+    assert(out("e2").contains(200.0))   // tie at 11:00 matches
+    assert(out("e3").isEmpty)           // nothing after 12:00
+    assert(out("e4").contains(300.0))   // user 2's 11:00 purchase is ahead
+  }
+
+  test("nearest as-of minimizes distance, tie goes backward") {
+    // e1 10:00: back 09:00 (60m) vs fwd 11:00 (60m) -> TIE -> backward
+    // e2 11:00: exact tie both directions -> same row either way
+    // e3 12:00: back 11:00 (60m), no fwd -> backward
+    // e4 10:30: no back, fwd 11:00 -> forward
+    val out = AsOfJoin.asofNearest(left, right, Seq("user_id"), "ts", "ts", Seq("v"))
+      .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(out("e1").contains(100.0))
+    assert(out("e2").contains(200.0))
+    assert(out("e3").contains(200.0))
+    assert(out("e4").contains(300.0))
+    // asymmetric distances choose the closer side
+    val l2 = Seq((1L, ts("2024-01-01 10:45:00"), "x")).toDF("user_id", "ts", "tag")
+    val near = AsOfJoin.asofNearest(l2, right, Seq("user_id"), "ts", "ts", Seq("v"))
+      .collect().head
+    assert(Option(near.get(3)).contains(200.0)) // 11:00 (15m) beats 09:00 (105m)
+  }
+
+  test("nearest as-of keeps a single exchange (two sorts, no join)") {
+    val df = AsOfJoin.asofNearest(left, right, Seq("user_id"), "ts", "ts", Seq("v"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert("Exchange".r.findAllIn(plan).size <= 2, plan) // union shuffle only (+AQE read)
+  }
+
   test("as-of join is one shuffle: no cartesian/broadcast-nested-loop in the plan") {
     val df = AsOfJoin.asofBackward(left, right, Seq("user_id"), "ts", "ts", Seq("v"))
     val plan = df.queryExecution.executedPlan.toString
