@@ -541,11 +541,15 @@ object SparkEntry {
       val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem")
       DataQuality.report(
-        DataQuality.notNull(o, "o_custkey"),
+        // the three row-local checks fuse into ONE scan of orders
+        DataQuality.rowChecks(o, Seq(
+          "not_null:o_custkey" -> DataQuality.isNullViolation("o_custkey"),
+          "accepted:o_orderstatus" ->
+            DataQuality.acceptedViolation("o_orderstatus", Seq("F", "O")),
+          "range:o_totalprice" ->
+            DataQuality.rangeViolation("o_totalprice", 0, 200000))),
         DataQuality.unique(o, Seq("o_orderkey")),
-        DataQuality.referential(l, "l_orderkey", o, "o_orderkey"),
-        DataQuality.acceptedValues(o, "o_orderstatus", Seq("F", "O")),
-        DataQuality.inRange(o, "o_totalprice", 0, 200000))
+        DataQuality.referential(l, "l_orderkey", o, "o_orderkey"))
     }),
 
     "sk1_salted_distinct" -> ((s, dir) =>

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Declarative data-quality checks (beyond-parity): each check reduces
@@ -59,4 +59,35 @@ object DataQuality {
   /** Union the per-check rows into one quality table. */
   def report(checks: DataFrame*): DataFrame =
     checks.reduce(_.unionByName(_))
+
+  // ---- fused single-pass form --------------------------------------
+
+  /** Violation predicates for [[rowChecks]] — same contracts as the
+    * standalone checks above. */
+  def isNullViolation(c: String): Column = col(c).isNull
+  def acceptedViolation(c: String, values: Seq[String]): Column =
+    col(c).isNotNull && !col(c).isInCollection(values)
+  def rangeViolation(c: String, lo: Double, hi: Double): Column =
+    col(c).isNotNull && (col(c) < lo || col(c) > hi)
+
+  /** ALL row-local checks in ONE aggregate pass over the table: at
+    * 100 TB the difference between one scan and one scan per check is
+    * the whole cost of the quality gate. Takes (check_name ->
+    * violation predicate) pairs; returns the same (check_name,
+    * n_violations) rows as running each check separately (exactly —
+    * dq1 keeps its oracle after switching to this form). Key-level
+    * checks ([[unique]]) and cross-table checks ([[referential]])
+    * need their own shuffle/join and stay standalone.
+    */
+  def rowChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty)
+    val aggs = checks.zipWithIndex.map { case ((_, pred), i) =>
+      count(when(pred, 1)).as(s"__v_$i")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = checks.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("check_name"), col(s"__v_$i").as("n_violations"))
+    }
+    one.select(explode(array(stacked: _*)).as("c")).select("c.*")
+  }
 }

@@ -32,6 +32,26 @@ class DataQualitySpec extends SparkTestBase {
     assert(got("range:amount") == 2)        // -7 and 50
   }
 
+  test("fused single-pass rowChecks equals the standalone checks exactly") {
+    val fused = DataQuality.rowChecks(rows, Seq(
+      "not_null:id" -> DataQuality.isNullViolation("id"),
+      "accepted:status" -> DataQuality.acceptedViolation("status", Seq("A", "B", "C")),
+      "range:amount" -> DataQuality.rangeViolation("amount", 0, 45)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val standalone = DataQuality.report(
+      DataQuality.notNull(rows, "id"),
+      DataQuality.acceptedValues(rows, "status", Seq("A", "B", "C")),
+      DataQuality.inRange(rows, "amount", 0, 45))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fused == standalone)
+    // and the fused form reads the table once
+    val p = DataQuality.rowChecks(rows, Seq(
+      "a" -> DataQuality.isNullViolation("id"),
+      "b" -> DataQuality.rangeViolation("amount", 0, 45)))
+      .queryExecution.executedPlan.toString
+    assert("LocalTableScan".r.findAllIn(p).size <= 1, p)
+  }
+
   test("a clean table reports zero violations on every check") {
     val clean = Seq((1L, "A", 1.0), (2L, "B", 2.0)).toDF("id", "status", "amount")
     val got = DataQuality.report(
