@@ -880,6 +880,19 @@ object SparkEntry {
         Seq("ts", "event_id"), "event_type")
     }),
 
+    // schema-on-read over the semi-structured props column: from_json
+    // with an explicit schema (codegen JacksonParser), then relational
+    // aggregation on the extracted field
+    "et1_json_props" -> ((s, dir) =>
+      events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))),
+
     "st2_sessionize" -> ((s, dir) => {
       // gaps-and-islands sessionization: 30-minute inactivity gap
       val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
@@ -1557,6 +1570,15 @@ object SparkEntry {
         |FROM v LEFT JOIN p ON v.user_id = p.user_id
         | AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR
         |GROUP BY v.user_id""".stripMargin,
+
+    "et1_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type""".stripMargin,
 
     "st6_session_bounds" ->
       """WITH flagged AS (
