@@ -259,6 +259,43 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // TPC-H Q5 shape: six-way join through region->nation->customer->
+    // orders->lineitem->supplier with the local-supplier predicate
+    // (c_nationkey == s_nationkey); small dims broadcast, the fact
+    // join shuffles once on orderkey
+    "q3_local_supplier_volume" -> ((s, dir) => {
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz"))
+        .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .join(c, o("o_custkey") === c("c_custkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(n("n_name"))
+        .agg(round(sum(li("l_extendedprice") * (lit(1.0) - li("l_discount"))), 2)
+          .as("revenue"))
+    }),
+
+    // TPC-H Q4 shape: EXISTS correlated subquery planned as a
+    // left-semi join (never a count-materializing inner join)
+    "q4_order_priority" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz"))
+        .filter(col("o_orderdate") < lit("1996-07-01").cast("timestamp_ntz"))
+      val li = t(s, dir, "lineitem")
+      o.join(li, o("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > o("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
     // GROUPING SETS through the SQL surface (DataFrame API exposes
     // only rollup/cube); grouping_id() disambiguates the null rows
     "gs1_grouping_sets" -> ((s, dir) => {
@@ -527,6 +564,12 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"),
         TextNormalize.canonical(col("text")).as("canonical"))),
+
+    // mergeable-sketch vocabulary: per-lang HLL estimates + an ALL row
+    // built by UNIONING the sketches (rows-only: Datasketches HLL is
+    // engine-specific; ProfilingSpec bounds error vs exact)
+    "pf5_sketch_union" -> ((s, dir) =>
+      Profiling.vocabularySketched(t(s, dir, "documents"), "lang", "text")),
 
     // ANALYZE-style per-column profile (nulls / exact distinct /
     // numeric min-max) in one aggregate pass + row-local unpivot
@@ -1167,6 +1210,31 @@ object SparkEntry {
         |                 < epoch_us(b.ts) - epoch_us(bts) THEN fval
         |            ELSE bval END AS purchase_value
         |FROM b JOIN f USING (event_id)""".stripMargin,
+
+    "q3_local_supplier_volume" ->
+      """SELECT n.n_name,
+        |       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        | AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n.n_name""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
 
     "dd1_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",

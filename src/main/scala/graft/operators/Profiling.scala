@@ -120,4 +120,31 @@ object Profiling {
       .groupBy(groupCols.map(col): _*)
       .agg(countDistinct(col("token")).as("vocab_size"),
         count(lit(1)).as("n_tokens"))
+
+  /** REAGGREGATABLE vocabulary profile: per-group Datasketches-HLL
+    * vocabulary estimates plus an "ALL" row computed by UNIONING the
+    * group sketches — not by re-scanning. This is the rollup pattern
+    * exact distinct counts cannot support (distincts don't sum): at
+    * 100 TB you persist the per-group sketch column and answer any
+    * coarser grouping by hll_union over it, never touching the corpus
+    * again. Estimates are deterministic for given data; relative
+    * error ~1.6% at the default lgConfigK=12 (spec-bounded against
+    * the exact counts).
+    */
+  def vocabularySketched(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(groupCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+    val perGroup = toks.groupBy(groupCol)
+      .agg(hll_sketch_agg(col("token")).as("__sk"),
+        count(lit(1)).as("n_tokens"))
+    val all = perGroup.agg(
+      hll_sketch_estimate(hll_union_agg(col("__sk"))).as("vocab_est"),
+      sum("n_tokens").as("n_tokens"))
+      .select(lit("ALL").as(groupCol), col("vocab_est"), col("n_tokens"))
+    perGroup.select(col(groupCol),
+        hll_sketch_estimate(col("__sk")).as("vocab_est"), col("n_tokens"))
+      .unionByName(all)
+  }
 }

@@ -210,6 +210,16 @@ class PlanSpec extends SparkTestBase {
     assert(p.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("l_quantity")))
   }
 
+  test("q3 six-way join broadcasts the dimensions; q4 EXISTS plans as a semi join") {
+    val q3 = planOf("q3_local_supplier_volume")
+    assert(q3.contains("BroadcastHashJoin") || q3.contains("BroadcastExchange"), q3)
+    assert(!q3.contains("CartesianProduct") && !q3.contains("BroadcastNestedLoopJoin"))
+    // the date filter reaches the orders scan
+    assert(q3.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("o_orderdate")))
+    val q4 = planOf("q4_order_priority")
+    assert(q4.contains("LeftSemi"), q4) // EXISTS must not materialize matches
+  }
+
   test("ch1 chunking is a shuffle-free codegen generate over the scan") {
     // chunking is the map-only stage before packing: at 100 TB an
     // exchange here would reshuffle the whole corpus for a row-local op

@@ -30,6 +30,28 @@ class ProfilingSpec extends SparkTestBase {
     assert(ap.getLong(1) == 3L && ap.getLong(3) >= 1L)
   }
 
+  test("sketched vocabulary: per-group and UNIONED estimates track exact counts") {
+    val got = Profiling.vocabularySketched(docs, "lang", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Profiling.vocabulary(docs, Seq("lang"), "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val globalExact = Profiling.vocabulary(
+      docs.selectExpr("'x' AS g", "text"), Seq("g"), "text")
+      .collect().head.getLong(1)
+    for ((lang, (est, nTok)) <- got if lang != "ALL") {
+      assert(nTok == exact(lang)._2)
+      assert(math.abs(est - exact(lang)._1).toDouble / exact(lang)._1 < 0.05,
+        s"$lang est=$est exact=${exact(lang)._1}")
+    }
+    // the ALL row merges SKETCHES — it must estimate the true global
+    // distinct (vocabularies overlap, so summing groups would not)
+    val all = got("ALL")
+    assert(all._2 == exact.values.map(_._2).sum)
+    assert(math.abs(all._1 - globalExact).toDouble / globalExact < 0.05,
+      s"union est=${all._1} exact=$globalExact")
+    assert(all._1 < exact.values.map(_._1).sum) // overlap: union < sum of parts
+  }
+
   test("approx corpus stats track the exact aggregates within sketch bounds") {
     def byLang(df: org.apache.spark.sql.DataFrame): Map[String, Row] =
       df.collect().map(r => r.getString(0) -> r).toMap
