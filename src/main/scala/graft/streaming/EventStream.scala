@@ -149,7 +149,11 @@ object EventStream {
             rows.map(_._3).toSeq.sorted.foreach { ts =>
               cur match {
                 case Some(s) if ts - s.lastUs <= gapUs =>
-                  cur = Some(OpenSession(s.startUs, math.max(s.lastUs, ts), s.n + 1))
+                  // min(): a late event inside the watermark can extend
+                  // the open session BACKWARD (merge is by gap to the
+                  // newest event; the oldest defines the start)
+                  cur = Some(OpenSession(math.min(s.startUs, ts),
+                    math.max(s.lastUs, ts), s.n + 1))
                 case Some(s) =>
                   closed += ClosedSession(userId, s.startUs, s.lastUs, s.n)
                   cur = Some(OpenSession(ts, ts, 1))
@@ -198,7 +202,9 @@ object EventStream {
       rows.map(_._3).toSeq.sorted.foreach { ts =>
         cur match {
           case Some(s) if ts - s.lastUs <= gapUs =>
-            cur = Some(OpenSession(s.startUs, math.max(s.lastUs, ts), s.n + 1))
+            // min(): late in-watermark events extend the session backward
+            cur = Some(OpenSession(math.min(s.startUs, ts),
+              math.max(s.lastUs, ts), s.n + 1))
           case Some(s) =>
             closed += ClosedSession(key, s.startUs, s.lastUs, s.n)
             cur = Some(OpenSession(ts, ts, 1))

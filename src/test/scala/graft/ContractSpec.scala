@@ -16,7 +16,9 @@ class ContractSpec extends SparkTestBase {
     assert(rowsOnly == Set(
       "dd2_dedup_minhash_lsh", "dd3_dedup_simhash", "dd5_embedding_neardup",
       "k1_kafka_payload", "ta3_fingerprint",
-      "pipe1_training_pipeline", "pf3_approx_stats", "sim3_lsh_topk"),
+      "pipe1_training_pipeline", "pf3_approx_stats", "sim3_lsh_topk",
+      "qf2_compression_signal", // DEFLATE has no SQL mirror
+      "pf5_sketch_union"),      // Datasketches HLL is engine-specific
       s"unexpected rows-only set: $rowsOnly")
   }
 

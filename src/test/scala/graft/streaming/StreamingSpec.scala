@@ -199,6 +199,30 @@ class StreamingSpec extends SparkTestBase {
       (2L, us("2024-01-01 01:05:00"), us("2024-01-01 01:30:00"), 2L)))
   }
 
+  test("a late in-watermark event extends the open session backward") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStream.closedSessionsStream(mem.toDF(), gapMinutes = 30,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    mem.addData(Ev(ts("2024-01-01 03:00:00"), 7, "click", 0.0))
+    q.processAllAvailable()
+    // 02:55 is 5 min late but inside the 10-min watermark: it must
+    // merge AND move session_start back
+    mem.addData(Ev(ts("2024-01-01 02:55:00"), 7, "click", 0.0))
+    q.processAllAvailable()
+    for (h <- Seq("10", "11")) {
+      mem.addData(Ev(ts(s"2024-01-01 $h:00:00"), 99, "click", 0.0))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("late_out").filter($"user_id" === 7)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val us = (s: String) => ts(s).getTime * 1000L
+    assert(got == Set((us("2024-01-01 02:55:00"), us("2024-01-01 03:00:00"), 2L)))
+  }
+
   test("transformWithState sessions (state v2 + RocksDB) match the v1 semantics") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
