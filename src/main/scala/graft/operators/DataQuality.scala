@@ -70,6 +70,53 @@ object DataQuality {
   def rangeViolation(c: String, lo: Double, hi: Double): Column =
     col(c).isNotNull && (col(c) < lo || col(c) > hi)
 
+  /** Attach the row-local checks to a DataFrame as OBSERVED metrics
+    * (`Dataset.observe`): violation counts are accumulated DURING
+    * whatever action the caller runs next — zero extra scans, and the
+    * same call works on a streaming DataFrame (metrics per
+    * micro-batch via the progress/listener surfaces). The relational
+    * forms above are for when the report IS the output; this is for
+    * monitoring a pipeline you were going to run anyway. Read the
+    * counts with [[MetricsListener]] (batch) or
+    * `StreamingQueryProgress.observedMetrics` (streaming).
+    */
+  def observed(df: DataFrame, metricName: String,
+      checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty)
+    val exprs = checks.map { case (name, pred) =>
+      count(when(pred, 1)).as(name)
+    }
+    df.observe(metricName, exprs.head, exprs.tail: _*)
+  }
+
+  /** Captures observed metrics from completed batch actions.
+    * Register with `spark.listenerManager.register(listener)`; after
+    * an action on an [[observed]] frame, [[metricsFor]] polls the
+    * asynchronously-delivered result. */
+  class MetricsListener extends org.apache.spark.sql.util.QueryExecutionListener {
+    private val seen =
+      new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Row]()
+
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+      qe.observedMetrics.foreach { case (k, v) => seen.put(k, v) }
+
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        exception: Exception): Unit = ()
+
+    /** Poll for a metric row (listener delivery is async). */
+    def metricsFor(name: String, timeoutMs: Long = 10000): Option[org.apache.spark.sql.Row] = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (System.nanoTime() < deadline) {
+        val r = seen.get(name)
+        if (r != null) return Some(r)
+        Thread.sleep(20)
+      }
+      Option(seen.get(name))
+    }
+  }
+
   /** ALL row-local checks in ONE aggregate pass over the table: at
     * 100 TB the difference between one scan and one scan per check is
     * the whole cost of the quality gate. Takes (check_name ->

@@ -52,6 +52,22 @@ class DataQualitySpec extends SparkTestBase {
     assert("LocalTableScan".r.findAllIn(p).size <= 1, p)
   }
 
+  test("observed metrics ride along with the action — no extra scan") {
+    val listener = new DataQuality.MetricsListener
+    spark.listenerManager.register(listener)
+    try {
+      val observed = DataQuality.observed(rows, "dq_metrics", Seq(
+        "null_ids" -> DataQuality.isNullViolation("id"),
+        "bad_amounts" -> DataQuality.rangeViolation("amount", 0, 45)))
+      // the action the pipeline was going to run anyway
+      assert(observed.count() == 6)
+      val m = listener.metricsFor("dq_metrics")
+      assert(m.isDefined, "observed metrics not delivered")
+      assert(m.get.getAs[Long]("null_ids") == 1L)
+      assert(m.get.getAs[Long]("bad_amounts") == 2L)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("a clean table reports zero violations on every check") {
     val clean = Seq((1L, "A", 1.0), (2L, "B", 2.0)).toDF("id", "status", "amount")
     val got = DataQuality.report(
