@@ -26,10 +26,13 @@ object GraftSession {
       // read TIMESTAMP(NANOS) parquet (unsupported by Spark's
       // TimestampType) as raw nano longs; converted at the source
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // catalog tables (bucketed layouts) land in tmp, not the cwd;
-      // deployments point this at their real warehouse
+      // catalog tables (bucketed layouts) land in a PER-PROCESS tmp dir,
+      // not the cwd and not a shared path (concurrent runs writing the
+      // same table name would corrupt each other); deployments point
+      // this at their real warehouse
       .config("spark.sql.warehouse.dir",
-        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
+        sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+          s"/graft-warehouse-${ProcessHandle.current().pid()}")
 
   def defaultCores: Int =
     sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)

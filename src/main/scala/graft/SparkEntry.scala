@@ -1757,7 +1757,8 @@ object SparkEntry {
         |     * sqrt(list_sum(list_transform(range(1, 65),
         |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, round(cos, 6) AS cos_sim FROM p WHERE cos >= 0.35""".stripMargin,
+        |SELECT id_a, id_b, round(cos, 6) AS cos_sim FROM p
+        |WHERE cos >= 0.35 AND isfinite(cos)""".stripMargin,
 
     "seq2_session_sequences" ->
       """WITH flagged AS (

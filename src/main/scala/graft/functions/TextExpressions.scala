@@ -360,28 +360,11 @@ object TextExpressions {
     * hashing instead of before (same set, collisions ~2^-64).
     */
   def shingleHashKernel(text: UTF8String, k: Int, seed: Long): ArrayData = {
-    val toks = text.trim().toLowerCase().toString.split("\\s+", -1)
-    val hashes: Array[Long] =
-      if (toks.length <= k)
-        Array(XXH64.hashUTF8String(UTF8String.fromString(toks.mkString(" ")), seed))
-      else {
-        val m = toks.length - k + 1
-        val out = new Array[Long](m)
-        val sb = new java.lang.StringBuilder
-        var i = 0
-        while (i < m) {
-          sb.setLength(0)
-          var j = 0
-          while (j < k) {
-            if (j > 0) sb.append(' ')
-            sb.append(toks(i + j))
-            j += 1
-          }
-          out(i) = XXH64.hashUTF8String(UTF8String.fromString(sb.toString), seed)
-          i += 1
-        }
-        out
-      }
+    // ONE tokenize/gram/hash contract: the positional kernel produces
+    // the hashes in document order; this form is exactly its output
+    // sorted and deduplicated (so the two can never drift apart —
+    // dd8/dd10 oracle parity depends on them agreeing)
+    val hashes = positionalHashArray(text, k, seed)
     java.util.Arrays.sort(hashes)
     var w = 0
     var i = 0
@@ -612,30 +595,34 @@ object TextExpressions {
 
   /** Kernel of [[PositionalShingleHashes]] — [[shingleHashKernel]]
     * without the sort/dedup tail, preserving gram order. */
-  def positionalShingleHashKernel(text: UTF8String, k: Int, seed: Long): ArrayData = {
+  def positionalShingleHashKernel(text: UTF8String, k: Int, seed: Long): ArrayData =
+    new GenericArrayData(positionalHashArray(text, k, seed))
+
+  /** The single tokenize→k-gram→hash loop both shingle kernels share:
+    * element i is the hash of the gram starting at word i; a doc with
+    * fewer than k words yields one whole-text gram. */
+  private def positionalHashArray(text: UTF8String, k: Int, seed: Long): Array[Long] = {
     val toks = text.trim().toLowerCase().toString.split("\\s+", -1)
-    val hashes: Array[Long] =
-      if (toks.length <= k)
-        Array(XXH64.hashUTF8String(UTF8String.fromString(toks.mkString(" ")), seed))
-      else {
-        val m = toks.length - k + 1
-        val out = new Array[Long](m)
-        val sb = new java.lang.StringBuilder
-        var i = 0
-        while (i < m) {
-          sb.setLength(0)
-          var j = 0
-          while (j < k) {
-            if (j > 0) sb.append(' ')
-            sb.append(toks(i + j))
-            j += 1
-          }
-          out(i) = XXH64.hashUTF8String(UTF8String.fromString(sb.toString), seed)
-          i += 1
+    if (toks.length <= k)
+      Array(XXH64.hashUTF8String(UTF8String.fromString(toks.mkString(" ")), seed))
+    else {
+      val m = toks.length - k + 1
+      val out = new Array[Long](m)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < m) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
         }
-        out
+        out(i) = XXH64.hashUTF8String(UTF8String.fromString(sb.toString), seed)
+        i += 1
       }
-    new GenericArrayData(hashes)
+      out
+    }
   }
 
   /** Word n-grams of the lowercased whitespace tokens as space-joined

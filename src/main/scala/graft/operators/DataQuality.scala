@@ -34,15 +34,20 @@ object DataQuality {
         col("n_violations"))
 
   /** Orphaned child rows: non-null child keys with no matching parent
-    * (SQL FK semantics — null FKs are not violations). */
+    * (SQL FK semantics — null FKs are not violations). The parent key
+    * is renamed before the join so same-named child/parent key
+    * columns (the common FK shape) do not collide. */
   def referential(child: DataFrame, childKey: String,
-      parent: DataFrame, parentKey: String): DataFrame =
+      parent: DataFrame, parentKey: String): DataFrame = {
+    var pk = "__graft_pk"
+    while (child.columns.contains(pk)) pk += "_"
     child.filter(col(childKey).isNotNull)
-      .join(parent.select(col(parentKey)), col(childKey) === col(parentKey),
+      .join(parent.select(col(parentKey).as(pk)), col(childKey) === col(pk),
         "left_anti")
       .agg(count(lit(1)).as("n_violations"))
       .select(lit(s"fk:$childKey->$parentKey").as("check_name"),
         col("n_violations"))
+  }
 
   /** Non-null values outside the accepted set. */
   def acceptedValues(df: DataFrame, c: String, values: Seq[String]): DataFrame =

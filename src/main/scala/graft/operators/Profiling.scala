@@ -89,26 +89,32 @@ object Profiling {
   def columnProfile(df: DataFrame, cols: Seq[String],
       approx: Boolean = false): DataFrame = {
     require(cols.nonEmpty)
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"columnProfile: column(s) not in schema: ${missing.mkString(", ")} " +
+        s"(have: ${df.columns.mkString(", ")})")
     val numeric = df.schema.fields.map(f =>
       f.name -> f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]).toMap
     def minMax(c: String, fn: Column => Column): Column =
       if (numeric(c)) fn(col(c)).cast("double") else lit(null).cast("double")
-    val aggs = cols.flatMap { c =>
+    // index-based internal aliases: a user column name containing a
+    // dot would otherwise turn the alias into a struct-field path
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        count(when(col(c).isNull, 1)).as(s"__nn_$c"),
+        count(when(col(c).isNull, 1)).as(s"__nn_$i"),
         (if (approx) approx_count_distinct(col(c)) else countDistinct(col(c)))
-          .as(s"__nd_$c"),
-        minMax(c, min).as(s"__mn_$c"),
-        minMax(c, max).as(s"__mx_$c"))
+          .as(s"__nd_$i"),
+        minMax(c, min).as(s"__mn_$i"),
+        minMax(c, max).as(s"__mx_$i"))
     } :+ count(lit(1)).as("__n")
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = cols.map(c => struct(
+    val stacked = cols.zipWithIndex.map { case (c, i) => struct(
       lit(c).as("col_name"),
       col("__n").as("n_rows"),
-      col(s"__nn_$c").as("n_nulls"),
-      col(s"__nd_$c").as("n_distinct"),
-      col(s"__mn_$c").as("min_num"),
-      col(s"__mx_$c").as("max_num")))
+      col(s"__nn_$i").as("n_nulls"),
+      col(s"__nd_$i").as("n_distinct"),
+      col(s"__mn_$i").as("min_num"),
+      col(s"__mx_$i").as("max_num")) }
     one.select(explode(array(stacked: _*)).as("p")).select("p.*")
   }
 

@@ -148,15 +148,22 @@ object EventStream {
             var cur = state.getOption
             rows.map(_._3).toSeq.sorted.foreach { ts =>
               cur match {
-                case Some(s) if ts - s.lastUs <= gapUs =>
-                  // min(): a late event inside the watermark can extend
-                  // the open session BACKWARD (merge is by gap to the
-                  // newest event; the oldest defines the start)
+                case Some(s) if ts >= s.startUs - gapUs && ts - s.lastUs <= gapUs =>
+                  // min(): a late event inside the watermark extends the
+                  // open session BACKWARD — but only within one gap of
+                  // its start (or inside its span); merging further back
+                  // would build a session with an internal gap > gap
                   cur = Some(OpenSession(math.min(s.startUs, ts),
                     math.max(s.lastUs, ts), s.n + 1))
-                case Some(s) =>
+                case Some(s) if ts > s.lastUs + gapUs =>
                   closed += ClosedSession(userId, s.startUs, s.lastUs, s.n)
                   cur = Some(OpenSession(ts, ts, 1))
+                case Some(_) =>
+                  // late event more than a gap BEFORE the open session:
+                  // it belongs to an earlier, already-emitted epoch —
+                  // emit it as its own closed singleton (best-effort
+                  // for late data, never silently absorbed)
+                  closed += ClosedSession(userId, ts, ts, 1)
                 case None =>
                   cur = Some(OpenSession(ts, ts, 1))
               }
@@ -201,13 +208,16 @@ object EventStream {
       cur.foreach(s => getHandle.deleteTimer(deadlineMs(s)))
       rows.map(_._3).toSeq.sorted.foreach { ts =>
         cur match {
-          case Some(s) if ts - s.lastUs <= gapUs =>
-            // min(): late in-watermark events extend the session backward
+          case Some(s) if ts >= s.startUs - gapUs && ts - s.lastUs <= gapUs =>
+            // late in-watermark events extend the session backward, but
+            // only within one gap of its start (see v1 form above)
             cur = Some(OpenSession(math.min(s.startUs, ts),
               math.max(s.lastUs, ts), s.n + 1))
-          case Some(s) =>
+          case Some(s) if ts > s.lastUs + gapUs =>
             closed += ClosedSession(key, s.startUs, s.lastUs, s.n)
             cur = Some(OpenSession(ts, ts, 1))
+          case Some(_) =>
+            closed += ClosedSession(key, ts, ts, 1) // stale late event
           case None =>
             cur = Some(OpenSession(ts, ts, 1))
         }

@@ -32,6 +32,15 @@ class DataQualitySpec extends SparkTestBase {
     assert(got("range:amount") == 2)        // -7 and 50
   }
 
+  test("referential check works when child and parent key share a name") {
+    val child = Seq(1L, 2L, 9L).toDF("id")
+    val par = Seq(1L, 2L).toDF("id") // same column name: must not collide
+    val got = DataQuality.referential(child, "id", par, "id")
+      .collect().head
+    assert(got.getString(0) == "fk:id->id")
+    assert(got.getLong(1) == 1L) // the orphan 9
+  }
+
   test("fused single-pass rowChecks equals the standalone checks exactly") {
     val fused = DataQuality.rowChecks(rows, Seq(
       "not_null:id" -> DataQuality.isNullViolation("id"),

@@ -223,6 +223,33 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Set((us("2024-01-01 02:55:00"), us("2024-01-01 03:00:00"), 2L)))
   }
 
+  test("a late event more than a gap before the session becomes its own singleton") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // gap 5 min but watermark 60 min: late events can arrive that are
+    // NOT mergeable — they must not be absorbed into a session with an
+    // internal 30-minute hole
+    val q = EventStream.closedSessionsStream(mem.toDF(), gapMinutes = 5,
+        watermark = "60 minutes")
+      .writeStream.format("memory").queryName("stale_out")
+      .outputMode("append").start()
+    mem.addData(Ev(ts("2024-01-01 12:00:00"), 7, "click", 0.0))
+    q.processAllAvailable()
+    mem.addData(Ev(ts("2024-01-01 11:30:00"), 7, "click", 0.0)) // 30 min late
+    q.processAllAvailable()
+    for (h <- Seq("20", "21")) {
+      mem.addData(Ev(ts(s"2024-01-01 $h:00:00"), 99, "click", 0.0))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val us = (s: String) => ts(s).getTime * 1000L
+    val got = spark.table("stale_out").filter($"user_id" === 7)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (us("2024-01-01 11:30:00"), us("2024-01-01 11:30:00"), 1L),
+      (us("2024-01-01 12:00:00"), us("2024-01-01 12:00:00"), 1L)))
+  }
+
   test("transformWithState sessions (state v2 + RocksDB) match the v1 semantics") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
