@@ -31,6 +31,27 @@ class PropertySpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("positional and sorted shingle kernels agree for arbitrary text") {
+    // the documented contract dd8/dd10 parity rests on: the sorted
+    // kernel IS the positional kernel's output sorted + deduplicated,
+    // including the short-doc whole-text gram and whitespace edge cases
+    import org.apache.spark.unsafe.types.UTF8String
+    val genText = Gen.listOf(Gen.oneOf(
+      Gen.oneOf("a", "b", "word", "XY", "", " ", "  ", "\t"),
+      Gen.alphaNumStr.map(_.take(6)))).map(_.mkString(" "))
+    val genK = Gen.chooseNum(1, 4)
+    val prop = Prop.forAll(genText, genK) { (text: String, k: Int) =>
+      val u = UTF8String.fromString(text)
+      val pos = TextExpressions.positionalShingleHashKernel(u, k, 42L).toLongArray()
+      val sorted = TextExpressions.shingleHashKernel(u, k, 42L).toLongArray()
+      pos.toSet == sorted.toSet &&
+        sorted.toSeq == sorted.distinct.sorted.toSeq &&
+        pos.nonEmpty // short-doc contract: never zero grams
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("distributed star contraction collapses a 60-node chain (diameter >> rounds)") {
     import spark.implicits._
     // plain label propagation needs diameter rounds (59 > default
