@@ -122,6 +122,35 @@ object Decontaminate {
       .drop("grp")
   }
 
+  /** Ingestion-time decontamination gate: keep only docs sharing NO
+    * word k-gram with the eval corpus, decided ROW-LOCALLY against a
+    * broadcast Bloom filter — so the same call runs unchanged on a
+    * STREAMING DataFrame (append mode, no state, no join), which is
+    * where a production pipeline wants this check: before the doc
+    * ever lands. The filter is CONSERVATIVE: a Bloom false positive
+    * drops a clean doc (P ≈ 1-(1-fpp)^grams per doc), never the
+    * reverse — contaminated docs cannot slip through. For the exact
+    * post-hoc accounting (which docs, how many grams) use the batch
+    * [[bloomContaminatedDocs]].
+    */
+  def bloomCleanDocs(
+      docs: DataFrame,
+      eval: DataFrame,
+      textCol: String,
+      gramSize: Int = 3,
+      expectedEvalGrams: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    val evalGrams = eval
+      .select(explode(TextExpressions.sorted_shingle_hashes(col(textCol), gramSize))
+        .as("gram"))
+      .distinct()
+    val bloomBytes = SketchExpressions.buildLongBloom(
+      evalGrams, "gram", expectedEvalGrams, fpp)
+    docs.where(!exists(
+      TextExpressions.sorted_shingle_hashes(col(textCol), gramSize),
+      g => SketchExpressions.bloom_might_contain_long(bloomBytes, g)))
+  }
+
   /** Docs containing "hot" spans — word k-grams occurring in ≥
     * `minDocs` distinct documents corpus-wide (C4-style boilerplate /
     * over-duplication signal). Returns (id, n_hot_spans) for affected

@@ -127,6 +127,30 @@ class DecontaminateSpec extends SparkTestBase {
     assert(out == Set((100L, 1L, 0, 3L)))
   }
 
+  test("bloom clean gate: conservative, and identical on batch and stream") {
+    // batch: doc 102 is the only one sharing no gram with eval
+    val kept = Decontaminate.bloomCleanDocs(trainDocs, evalDocs, "text",
+      gramSize = 3, expectedEvalGrams = 1024)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(102L))
+    // stream: same call on a MemoryStream, append mode, no state
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = Decontaminate.bloomCleanDocs(
+        mem.toDF().toDF("doc_id", "text"), evalDocs, "text",
+        gramSize = 3, expectedEvalGrams = 1024)
+      .writeStream.format("memory").queryName("clean_out")
+      .outputMode("append").start()
+    mem.addData((100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "a cat stepped over the lazy dog yesterday"),
+      (102L, "completely disjoint vocabulary sentence here now"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("clean_out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == Set(102L))
+  }
+
   test("hot spans: nothing flagged below the doc-frequency bar") {
     // within trainDocs alone the most shared gram sits in 2 docs
     val out = Decontaminate.hotSpanDocs(trainDocs, "doc_id", "text",
