@@ -424,6 +424,17 @@ object SparkEntry {
         "doc_id", "text", gramSize = 3, expectedEvalGrams = 1 << 16)
     }),
 
+    // dd10's spans as sliceable character offsets on the normalized
+    // text — the actual excision coordinates
+    "dd11_span_char_offsets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val spans = Decontaminate.contaminatedSpans(
+        docs.filter(col("doc_id") > 250), docs.filter(col("doc_id") <= 250),
+        "doc_id", "text", gramSize = 3, expectedEvalGrams = 1 << 16)
+      Decontaminate.spanCharOffsets(spans,
+        docs.filter(col("doc_id") > 250), "doc_id", "text")
+    }),
+
     // C4-style over-duplicated span detection: word 3-grams occurring
     // in >= 5 docs corpus-wide, counted per containing doc
     "dd9_hot_spans" -> ((s, dir) =>
@@ -1296,6 +1307,36 @@ object SparkEntry {
         |hot AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 5)
         |SELECT doc_id, count(*) AS n_hot_spans
         |FROM g JOIN hot USING (gram) GROUP BY doc_id""".stripMargin,
+
+    // dd10 + the offsets join; token lengths are case-invariant so the
+    // lowercased gram token list doubles as the offset ruler
+    "dd11_span_char_offsets" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+        |             FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(l) <= 3 THEN [{'pos': 0, 'gram': array_to_string(l, ' ')}]
+        |         ELSE [{'pos': i - 1, 'gram': array_to_string(l[i:i+2], ' ')}
+        |               for i in range(1, len(l) - 1)] END,
+        |    recursive := true)
+        |  FROM tok),
+        |ev AS (SELECT DISTINCT doc_id AS eval_id, gram FROM g WHERE doc_id <= 250),
+        |tr AS (SELECT doc_id AS train_id, pos, gram FROM g WHERE doc_id > 250),
+        |m AS (SELECT train_id, eval_id, pos FROM tr JOIN ev USING (gram)),
+        |isl AS (SELECT train_id, eval_id, pos,
+        |        pos - row_number() OVER (PARTITION BY train_id, eval_id ORDER BY pos) AS grp
+        |        FROM m),
+        |sp AS (SELECT train_id, eval_id, min(pos) AS span_start,
+        |              count(*) + 2 AS span_words
+        |       FROM isl GROUP BY train_id, eval_id, grp)
+        |SELECT sp.train_id, sp.eval_id, sp.span_start, sp.span_words,
+        |       CASE WHEN sp.span_start = 0 THEN 0
+        |            ELSE len(array_to_string(t.l[1:CAST(sp.span_start AS INT)], ' ')) + 1
+        |       END AS char_start,
+        |       len(array_to_string(
+        |         t.l[CAST(sp.span_start AS INT) + 1
+        |             : CAST(sp.span_start + sp.span_words AS INT)], ' ')) AS char_len
+        |FROM sp JOIN tok t ON t.doc_id = sp.train_id""".stripMargin,
 
     // positional grams (struct comprehension keeps pos), gram join,
     // then gaps-and-islands: consecutive positions share pos - row_number

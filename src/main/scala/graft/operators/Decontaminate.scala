@@ -122,6 +122,36 @@ object Decontaminate {
       .drop("grp")
   }
 
+  /** Character offsets for [[contaminatedSpans]] output — the form a
+    * pipeline actually slices. Offsets are defined on the
+    * WHITESPACE-NORMALIZED text (tokens joined by single spaces):
+    * char_start = length of the first span_start tokens plus their
+    * separators; char_len covers the span's tokens. Token boundaries
+    * are case-insensitive-identical to the hashing kernels'
+    * (lowercasing never moves whitespace), so the offsets line up
+    * with the gram positions the spans came from. Row-local compute
+    * joined doc-colocated — the spans frame is tiny relative to the
+    * corpus, so Spark broadcasts it.
+    */
+  def spanCharOffsets(
+      spans: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("train_id"),
+      split(trim(col(textCol)), "\\s+").as("__toks"))
+    spans.join(toks, "train_id")
+      .withColumn("char_start",
+        when(col("span_start") === 0, lit(0L)).otherwise(
+          length(array_join(slice(col("__toks"), lit(1),
+            col("span_start").cast("int")), " ")).cast("long") + 1L))
+      .withColumn("char_len",
+        length(array_join(slice(col("__toks"),
+          col("span_start").cast("int") + 1,
+          col("span_words").cast("int")), " ")).cast("long"))
+      .drop("__toks")
+  }
+
   /** Ingestion-time decontamination gate: keep only docs sharing NO
     * word k-gram with the eval corpus, decided ROW-LOCALLY against a
     * broadcast Bloom filter — so the same call runs unchanged on a

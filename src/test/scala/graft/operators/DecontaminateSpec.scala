@@ -127,6 +127,27 @@ class DecontaminateSpec extends SparkTestBase {
     assert(out == Set((100L, 1L, 0, 3L)))
   }
 
+  test("span char offsets slice exactly the contaminated tokens") {
+    val spans = Decontaminate.contaminatedSpans(
+      trainDocs, evalDocs, "doc_id", "text", gramSize = 3,
+      expectedEvalGrams = 1024)
+    val out = Decontaminate.spanCharOffsets(spans, trainDocs, "doc_id", "text")
+      .collect()
+    val texts = trainDocs.collect().map(r => r.getLong(0) ->
+      r.getString(1).trim.split("\\s+").toSeq).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val toks = texts(r.getAs[Long]("train_id"))
+      val normalized = toks.mkString(" ")
+      val start = r.getAs[Long]("span_start").toInt
+      val words = r.getAs[Long]("span_words").toInt
+      val sliced = normalized.substring(r.getAs[Long]("char_start").toInt,
+        r.getAs[Long]("char_start").toInt + r.getAs[Long]("char_len").toInt)
+      assert(sliced == toks.slice(start, start + words).mkString(" "),
+        s"bad slice for $r")
+    }
+  }
+
   test("bloom clean gate: conservative, and identical on batch and stream") {
     // batch: doc 102 is the only one sharing no gram with eval
     val kept = Decontaminate.bloomCleanDocs(trainDocs, evalDocs, "text",
