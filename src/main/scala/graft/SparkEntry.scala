@@ -463,6 +463,16 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("cluster"))
     }),
 
+    // quality-aware survivor per duplicate cluster (same deterministic
+    // pair source as dd6; longest doc wins, ties -> min id)
+    "dd12_cluster_survivors" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") <= 100)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        blockCols = Seq("lang"), shingleSize = 1, threshold = 0.5)
+      Dedup.clustersKeepBest(pairs.select("id_a", "id_b"),
+        docs, "doc_id", "n_chars")
+    }),
+
     // ---- beyond-parity: similarity search -------------------------
     "sim1_bruteforce_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1379,6 +1389,30 @@ object SparkEntry {
         |  UNION
         |  SELECT e.s AS id, r.label AS label FROM e JOIN reach r ON e.d = r.id)
         |SELECT id AS doc_id, min(label) AS cluster FROM reach GROUP BY id""".stripMargin,
+
+    // dd6's components + per-cluster argmax on n_chars (ties -> min id)
+    "dd12_cluster_survivors" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents WHERE doc_id <= 100),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.w, b.w))::DOUBLE /
+        |        (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.5),
+        |e AS (SELECT id_a AS s, id_b AS d FROM p
+        |      UNION SELECT id_b AS s, id_a AS d FROM p),
+        |reach AS (
+        |  SELECT s AS id, s AS label FROM e
+        |  UNION
+        |  SELECT e.s AS id, r.label AS label FROM e JOIN reach r ON e.d = r.id),
+        |lab AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id),
+        |j AS (SELECT lab.cluster, lab.id, d.n_chars,
+        |      row_number() OVER (PARTITION BY lab.cluster
+        |                         ORDER BY d.n_chars DESC, lab.id ASC) AS rn
+        |      FROM lab JOIN documents d ON d.doc_id = lab.id)
+        |SELECT cluster, id AS survivor, n_chars AS score FROM j WHERE rn = 1""".stripMargin,
 
     "sim1_bruteforce_topk" ->
       """WITH e AS (

@@ -905,4 +905,33 @@ object Dedup {
     nodes.join(parents, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
+
+  /** Quality-aware survivor selection: for each duplicate cluster,
+    * keep the member with the HIGHEST score (ties → smallest id) —
+    * what a production pipeline wants instead of [[clusters]]' min-id
+    * convention (the longest / cleanest / highest-LM-score copy
+    * survives, not whichever got the smallest id). Returns one row
+    * per cluster: (cluster, survivor id, its score). `scored` must
+    * hold one row per id appearing in `pairs`.
+    *
+    * Scale: [[clusters]]' shape plus one broadcast-or-shuffle join of
+    * the (tiny) labeled-node set against the score column and a
+    * per-cluster window over cluster sizes — near-dup clusters are
+    * small by construction, so no skew.
+    */
+  def clustersKeepBest(
+      pairs: DataFrame,
+      scored: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val labeled = clusters(pairs, maxIter)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+      .orderBy(col("score").desc, col("id").asc)
+    labeled
+      .join(scored.select(col(idCol).as("id"), col(scoreCol).as("score")), "id")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("cluster"), col("id").as("survivor"), col("score"))
+  }
 }

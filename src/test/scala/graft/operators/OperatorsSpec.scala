@@ -105,6 +105,19 @@ class DedupSpec extends SparkTestBase {
     assert(pairs == (2L to 6L).map(i => (1L, i)).toSet)
   }
 
+  test("clustersKeepBest keeps the highest-scored member, ties to min id") {
+    // clusters: {1,2,3} and {10,11}; 4 is a singleton via self-pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (4L, 4L)).toDF("id_a", "id_b")
+    val scored = Seq((1L, 5.0), (2L, 9.0), (3L, 9.0), (10L, 1.0), (11L, 2.0),
+      (4L, 7.0)).toDF("doc_id", "quality")
+    val out = Dedup.clustersKeepBest(pairs, scored, "doc_id", "quality")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set(
+      (1L, 2L, 9.0),   // 2 and 3 tie at 9.0 -> min id 2 survives
+      (10L, 11L, 2.0), // higher score beats lower id
+      (4L, 4L, 7.0)))  // singleton survives itself
+  }
+
   test("property: simhash star-degrade matches the documented reference model") {
     // The documented contract above maxBucketSize (Dedup.scala): an
     // over-cap bucket emits ONLY hub->member star edges, so a near-dup
