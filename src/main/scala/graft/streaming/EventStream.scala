@@ -262,6 +262,29 @@ object EventStream {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming SIGNATURE-level near-dup drop: documents whose 64-bit
+    * simhash collides with one already seen inside the watermark are
+    * dropped — the in-flight counterpart of [[graft.operators.Dedup.simhashPairs]]
+    * for ingestion pipelines (batch near-dup sweeps still run behind
+    * it for hamming > 0). Signature equality is aggressive by design:
+    * docs at hamming 0 are overwhelmingly boilerplate/near-identical,
+    * and an (astronomically rare) unrelated collision costs one doc.
+    * State = one signature per distinct doc shape within the
+    * watermark, evicted with it.
+    */
+  def streamingNearDedup(docs: DataFrame, textCol: String,
+      tsCol: String = "ts", watermark: String = "1 hour"): DataFrame = {
+    var sig = "__sig"
+    while (docs.columns.contains(sig)) sig += "_"
+    docs
+      .withColumn(sig, graft.functions.TextExpressions.simhash64(
+        org.apache.spark.sql.functions.split(
+          lower(trim(col(textCol))), "\\s+")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(sig)
+      .drop(sig)
+  }
+
   /** Stream -> JDBC incremental sink: each micro-batch is staged and
     * merged (exactly the engine's incremental mode) via foreachBatch —
     * idempotent upserts make the sink consistent under micro-batch

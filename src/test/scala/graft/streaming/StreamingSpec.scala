@@ -161,6 +161,26 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Set((1L, 9.0))) // u2's purchase is outside the window
   }
 
+  test("streaming signature dedup drops same-signature docs across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = EventStream.streamingNearDedup(
+        mem.toDF().toDF("ts", "doc_id", "text"), "text", "ts", "1 hour")
+      .writeStream.format("memory").queryName("neardedup_out")
+      .outputMode("append").start()
+    mem.addData((ts("2024-01-01 10:00:00"), 1L, "the quick brown fox"))
+    q.processAllAvailable()
+    mem.addData(
+      // identical text, different whitespace/case: same signature -> dropped
+      (ts("2024-01-01 10:05:00"), 2L, "  THE   quick BROWN fox "),
+      (ts("2024-01-01 10:06:00"), 3L, "completely different content here"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("neardedup_out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("closed sessions: in-batch close on gap, timeout close on watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
