@@ -28,11 +28,25 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // catalog tables (bucketed layouts) land in a PER-PROCESS tmp dir,
       // not the cwd and not a shared path (concurrent runs writing the
-      // same table name would corrupt each other); deployments point
-      // this at their real warehouse
-      .config("spark.sql.warehouse.dir",
-        sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-          s"/graft-warehouse-${ProcessHandle.current().pid()}")
+      // same table name would corrupt each other); removed on JVM exit
+      // so repeated runs don't grow tmp. Deployments point this at
+      // their real warehouse
+      .config("spark.sql.warehouse.dir", defaultWarehouseDir)
+
+  /** Per-process warehouse default, deleted (best-effort) at JVM exit. */
+  private lazy val defaultWarehouseDir: String = {
+    val dir = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+      s"graft-warehouse-${ProcessHandle.current().pid()}")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        if (java.nio.file.Files.exists(dir))
+          java.nio.file.Files.walk(dir)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      } catch { case _: Throwable => () }))
+    dir.toString
+  }
 
   def defaultCores: Int =
     sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)

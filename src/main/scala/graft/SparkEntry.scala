@@ -1318,10 +1318,13 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_hot_spans
         |FROM g JOIN hot USING (gram) GROUP BY doc_id""".stripMargin,
 
-    // dd10 + the offsets join; token lengths are case-invariant so the
-    // lowercased gram token list doubles as the offset ruler
+    // dd10 + the offsets join; the ruler uses the RAW-case token list
+    // (lowercasing can change character counts — e.g. İ -> i̇ — and
+    // the product measures original-case text)
     "dd11_span_char_offsets" ->
-      """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+      """WITH tok AS (SELECT doc_id,
+        |                    string_split_regex(lower(trim(text)), '\s+') AS l,
+        |                    string_split_regex(trim(text), '\s+') AS lr
         |             FROM documents),
         |g AS (
         |  SELECT doc_id, unnest(
@@ -1341,11 +1344,11 @@ object SparkEntry {
         |       FROM isl GROUP BY train_id, eval_id, grp)
         |SELECT sp.train_id, sp.eval_id, sp.span_start, sp.span_words,
         |       CASE WHEN sp.span_start = 0 THEN 0
-        |            ELSE len(array_to_string(t.l[1:CAST(sp.span_start AS INT)], ' ')) + 1
+        |            ELSE len(array_to_string(t.lr[1:CAST(sp.span_start AS INT)], ' ')) + 1
         |       END AS char_start,
         |       len(array_to_string(
-        |         t.l[CAST(sp.span_start AS INT) + 1
-        |             : CAST(sp.span_start + sp.span_words AS INT)], ' ')) AS char_len
+        |         t.lr[CAST(sp.span_start AS INT) + 1
+        |              : CAST(sp.span_start + sp.span_words AS INT)], ' ')) AS char_len
         |FROM sp JOIN tok t ON t.doc_id = sp.train_id""".stripMargin,
 
     // positional grams (struct comprehension keeps pos), gram join,

@@ -20,6 +20,25 @@ import graft.functions.{SketchExpressions, TextExpressions}
   */
 object Decontaminate {
 
+  /** The one eval-side gram pipeline every operator here shares:
+    * distinct (optionally id-tagged) gram hashes, materialized once
+    * (the Bloom build is an eager action and the exact-verify joins
+    * replay the plan otherwise), plus the Bloom built from them. */
+  private def evalGramsAndBloom(eval: DataFrame, textCol: String,
+      gramSize: Int, expectedEvalGrams: Long, fpp: Double,
+      idCol: Option[String]): (DataFrame, Array[Byte]) = {
+    val gramCol = explode(
+      TextExpressions.sorted_shingle_hashes(col(textCol), gramSize)).as("gram")
+    val grams = (idCol match {
+      case Some(id) => eval.select(col(id).as("eval_id"), gramCol)
+      case None => eval.select(gramCol).distinct()
+    }).localCheckpoint()
+    val bloom = SketchExpressions.buildLongBloom(
+      (if (idCol.isDefined) grams.select("gram").distinct() else grams),
+      "gram", expectedEvalGrams, fpp)
+    (grams, bloom)
+  }
+
   /** Train docs sharing ≥1 word k-gram with an eval/benchmark corpus,
     * with the count of distinct shared grams per train doc — the
     * "is my training set contaminated by the test set" primitive.
@@ -42,18 +61,12 @@ object Decontaminate {
       gramSize: Int = 3,
       expectedEvalGrams: Long = 1L << 20,
       fpp: Double = 0.01): DataFrame = {
-    // eval grams are needed twice (bloom build, which is an EAGER
-    // action, and the lazily-executed exact verify join):
-    // localCheckpoint materializes them once — persist/unpersist
-    // can't work here because the caller executes the returned plan
-    // after this function (and any finally-unpersist) has run
-    val evalGrams = eval
-      .select(explode(TextExpressions.sorted_shingle_hashes(col(textCol), gramSize))
-        .as("gram"))
-      .distinct()
-      .localCheckpoint()
-    val bloomBytes = SketchExpressions.buildLongBloom(
-      evalGrams, "gram", expectedEvalGrams, fpp)
+    // localCheckpoint (inside the helper) materializes the eval grams
+    // once — persist/unpersist can't work here because the caller
+    // executes the returned plan after this function (and any
+    // finally-unpersist) has run
+    val (evalGrams, bloomBytes) = evalGramsAndBloom(
+      eval, textCol, gramSize, expectedEvalGrams, fpp, idCol = None)
     train
       .select(col(idCol),
         explode(TextExpressions.sorted_shingle_hashes(col(textCol), gramSize))
@@ -95,15 +108,9 @@ object Decontaminate {
       fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // (eval_id, gram) pairs — distinct per doc by the sorted-shingle
-    // kernel's contract; materialized once (bloom build is an eager
-    // action, the verify join replays the plan otherwise)
-    val evalGrams = eval
-      .select(col(idCol).as("eval_id"),
-        explode(TextExpressions.sorted_shingle_hashes(col(textCol), gramSize))
-          .as("gram"))
-      .localCheckpoint()
-    val bloomBytes = SketchExpressions.buildLongBloom(
-      evalGrams.select("gram").distinct(), "gram", expectedEvalGrams, fpp)
+    // kernel's contract
+    val (evalGrams, bloomBytes) = evalGramsAndBloom(
+      eval, textCol, gramSize, expectedEvalGrams, fpp, idCol = Some(idCol))
     val trainGrams = train
       .select(col(idCol).as("train_id"),
         posexplode(TextExpressions.positional_shingle_hashes(col(textCol), gramSize))
@@ -170,12 +177,8 @@ object Decontaminate {
       gramSize: Int = 3,
       expectedEvalGrams: Long = 1L << 20,
       fpp: Double = 0.01): DataFrame = {
-    val evalGrams = eval
-      .select(explode(TextExpressions.sorted_shingle_hashes(col(textCol), gramSize))
-        .as("gram"))
-      .distinct()
-    val bloomBytes = SketchExpressions.buildLongBloom(
-      evalGrams, "gram", expectedEvalGrams, fpp)
+    val (_, bloomBytes) = evalGramsAndBloom(
+      eval, textCol, gramSize, expectedEvalGrams, fpp, idCol = None)
     docs.where(!exists(
       TextExpressions.sorted_shingle_hashes(col(textCol), gramSize),
       g => SketchExpressions.bloom_might_contain_long(bloomBytes, g)))

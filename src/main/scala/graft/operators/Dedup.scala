@@ -926,10 +926,19 @@ object Dedup {
       scoreCol: String,
       maxIter: Int = 20): DataFrame = {
     val labeled = clusters(pairs, maxIter)
+      .localCheckpoint() // reused: the unscored-id check + the join
+    val scores = scored.select(col(idCol).as("id"), col(scoreCol).as("score"))
+    // a silently-dropped unscored member would elect a WRONG survivor;
+    // fail loudly on the violated precondition instead
+    val unscored = labeled.join(scores, Seq("id"), "left_anti")
+      .select("id").limit(3).collect()
+    require(unscored.isEmpty,
+      "clustersKeepBest: ids in `pairs` missing from `scored`: " +
+        unscored.map(_.get(0)).mkString(", ") + "...")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
       .orderBy(col("score").desc, col("id").asc)
     labeled
-      .join(scored.select(col(idCol).as("id"), col(scoreCol).as("score")), "id")
+      .join(scores, "id")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("cluster"), col("id").as("survivor"), col("score"))

@@ -95,14 +95,16 @@ object Profiling {
         s"(have: ${df.columns.mkString(", ")})")
     val numeric = df.schema.fields.map(f =>
       f.name -> f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]).toMap
+    // backtick-quoted input references + index-based internal aliases:
+    // a user column name containing a dot must neither parse as a
+    // struct path on read nor become one via the alias
+    def in(c: String): Column = col("`" + c.replace("`", "``") + "`")
     def minMax(c: String, fn: Column => Column): Column =
-      if (numeric(c)) fn(col(c)).cast("double") else lit(null).cast("double")
-    // index-based internal aliases: a user column name containing a
-    // dot would otherwise turn the alias into a struct-field path
+      if (numeric(c)) fn(in(c)).cast("double") else lit(null).cast("double")
     val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        count(when(col(c).isNull, 1)).as(s"__nn_$i"),
-        (if (approx) approx_count_distinct(col(c)) else countDistinct(col(c)))
+        count(when(in(c).isNull, 1)).as(s"__nn_$i"),
+        (if (approx) approx_count_distinct(in(c)) else countDistinct(in(c)))
           .as(s"__nd_$i"),
         minMax(c, min).as(s"__mn_$i"),
         minMax(c, max).as(s"__mx_$i"))

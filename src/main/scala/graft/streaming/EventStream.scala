@@ -107,6 +107,31 @@ object EventStream {
   case class ClosedSession(user_id: Long, session_start: Long,
       session_end: Long, n_events: Long)
 
+  /** Shared per-key merge step for both closed-session processors:
+    * fold the batch's sorted timestamps into gap-separated intervals,
+    * add the open-session interval from state, merge overlapping /
+    * within-gap intervals (this is what makes CHAINS of late events
+    * sessionize correctly — two late events 2 minutes apart form one
+    * late session, and a late chain that reaches within the gap of
+    * the open session bridges into it), then return (sessions closed
+    * now = all but the last, new open state = the last). */
+  private[streaming] def mergeSessions(state: Option[OpenSession],
+      sortedTs: Seq[Long], gapUs: Long): (Seq[OpenSession], OpenSession) = {
+    val batchIvs = sortedTs.foldLeft(List.empty[OpenSession]) {
+      case (h :: t, ts) if ts - h.lastUs <= gapUs =>
+        OpenSession(h.startUs, math.max(h.lastUs, ts), h.n + 1) :: t
+      case (acc, ts) => OpenSession(ts, ts, 1) :: acc
+    }.reverse
+    val all = (batchIvs ++ state.toList).sortBy(s => (s.startUs, s.lastUs))
+    val merged = all.foldLeft(List.empty[OpenSession]) {
+      case (h :: t, iv) if iv.startUs - h.lastUs <= gapUs =>
+        OpenSession(math.min(h.startUs, iv.startUs),
+          math.max(h.lastUs, iv.lastUs), h.n + iv.n) :: t
+      case (acc, iv) => iv :: acc
+    }.reverse
+    (merged.init, merged.last)
+  }
+
   /** Streaming closed-session emission: a session is emitted exactly
     * once, when it CLOSES — either a later event of the same user
     * opens the next session (in-batch close), or the event-time
@@ -144,35 +169,21 @@ object EventStream {
             state.remove()
             Iterator.single(ClosedSession(userId, s.startUs, s.lastUs, s.n))
           } else {
-            val closed = scala.collection.mutable.ListBuffer[ClosedSession]()
-            var cur = state.getOption
-            rows.map(_._3).toSeq.sorted.foreach { ts =>
-              cur match {
-                case Some(s) if ts >= s.startUs - gapUs && ts - s.lastUs <= gapUs =>
-                  // min(): a late event inside the watermark extends the
-                  // open session BACKWARD — but only within one gap of
-                  // its start (or inside its span); merging further back
-                  // would build a session with an internal gap > gap
-                  cur = Some(OpenSession(math.min(s.startUs, ts),
-                    math.max(s.lastUs, ts), s.n + 1))
-                case Some(s) if ts > s.lastUs + gapUs =>
-                  closed += ClosedSession(userId, s.startUs, s.lastUs, s.n)
-                  cur = Some(OpenSession(ts, ts, 1))
-                case Some(_) =>
-                  // late event more than a gap BEFORE the open session:
-                  // it belongs to an earlier, already-emitted epoch —
-                  // emit it as its own closed singleton (best-effort
-                  // for late data, never silently absorbed)
-                  closed += ClosedSession(userId, ts, ts, 1)
-                case None =>
-                  cur = Some(OpenSession(ts, ts, 1))
-              }
+            // interval-merge semantics: batch events fold into their
+            // own gap-separated sessions first, then merge with the
+            // open session — so late in-watermark events chain with
+            // EACH OTHER and can bridge into the open session; every
+            // merged interval except the newest closes now (the
+            // emit-on-successor contract), the newest stays open
+            val sorted = rows.map(_._3).toSeq.sorted
+            if (sorted.isEmpty && state.getOption.isEmpty) Iterator.empty
+            else {
+              val (closedIvs, open) = mergeSessions(state.getOption, sorted, gapUs)
+              state.update(open)
+              state.setTimeoutTimestamp((open.lastUs + gapUs) / 1000) // millis
+              closedIvs.iterator.map(s =>
+                ClosedSession(userId, s.startUs, s.lastUs, s.n))
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000) // millis
-            }
-            closed.iterator
           }
       }
   }
@@ -203,30 +214,17 @@ object EventStream {
     override def handleInputRows(key: Long,
         rows: Iterator[(Long, java.sql.Timestamp, Long)],
         timerValues: TimerValues): Iterator[ClosedSession] = {
-      val closed = scala.collection.mutable.ListBuffer[ClosedSession]()
-      var cur = if (open.exists()) Some(open.get()) else None
-      cur.foreach(s => getHandle.deleteTimer(deadlineMs(s)))
-      rows.map(_._3).toSeq.sorted.foreach { ts =>
-        cur match {
-          case Some(s) if ts >= s.startUs - gapUs && ts - s.lastUs <= gapUs =>
-            // late in-watermark events extend the session backward, but
-            // only within one gap of its start (see v1 form above)
-            cur = Some(OpenSession(math.min(s.startUs, ts),
-              math.max(s.lastUs, ts), s.n + 1))
-          case Some(s) if ts > s.lastUs + gapUs =>
-            closed += ClosedSession(key, s.startUs, s.lastUs, s.n)
-            cur = Some(OpenSession(ts, ts, 1))
-          case Some(_) =>
-            closed += ClosedSession(key, ts, ts, 1) // stale late event
-          case None =>
-            cur = Some(OpenSession(ts, ts, 1))
-        }
+      val prev = if (open.exists()) Some(open.get()) else None
+      prev.foreach(s => getHandle.deleteTimer(deadlineMs(s)))
+      val sorted = rows.map(_._3).toSeq.sorted
+      if (sorted.isEmpty && prev.isEmpty) Iterator.empty
+      else {
+        // same interval-merge semantics as the v1 form above
+        val (closedIvs, openIv) = mergeSessions(prev, sorted, gapUs)
+        open.update(openIv)
+        getHandle.registerTimer(deadlineMs(openIv))
+        closedIvs.iterator.map(s => ClosedSession(key, s.startUs, s.lastUs, s.n))
       }
-      cur.foreach { s =>
-        open.update(s)
-        getHandle.registerTimer(deadlineMs(s))
-      }
-      closed.iterator
     }
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,

@@ -243,6 +243,32 @@ class StreamingSpec extends SparkTestBase {
     assert(got == Set((us("2024-01-01 02:55:00"), us("2024-01-01 03:00:00"), 2L)))
   }
 
+  test("late event chains merge with each other and bridge into the open session") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStream.closedSessionsStream(mem.toDF(), gapMinutes = 5,
+        watermark = "60 minutes")
+      .writeStream.format("memory").queryName("chain_out")
+      .outputMode("append").start()
+    mem.addData(Ev(ts("2024-01-01 12:00:00"), 7, "click", 0.0))
+    q.processAllAvailable()
+    // two late events 4 min apart, the later one 4 min before the open
+    // session: {11:52, 11:56, 12:00} is ONE session under gap=5 —
+    // naive per-event checks would emit a bogus [11:52] singleton
+    mem.addData(Ev(ts("2024-01-01 11:56:00"), 7, "click", 0.0),
+      Ev(ts("2024-01-01 11:52:00"), 7, "click", 0.0))
+    q.processAllAvailable()
+    for (h <- Seq("20", "21")) {
+      mem.addData(Ev(ts(s"2024-01-01 $h:00:00"), 99, "click", 0.0))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val us = (s: String) => ts(s).getTime * 1000L
+    val got = spark.table("chain_out").filter($"user_id" === 7)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((us("2024-01-01 11:52:00"), us("2024-01-01 12:00:00"), 3L)))
+  }
+
   test("a late event more than a gap before the session becomes its own singleton") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
