@@ -798,6 +798,47 @@ object Dedup {
     exactKept.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** [[dedupCorpus]] with quality-aware survivors: exact dedup keeps
+    * the BEST-scored copy per identical content (not the min id),
+    * then near-dup clusters keep their best-scored member via
+    * [[clustersKeepBest]]. `scoreCol` must be a column of `df`
+    * (length, LM score, quality composite — higher is better). Same
+    * checkpointed three-stage shape as [[dedupCorpus]].
+    */
+  def dedupCorpusKeepBest(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      scoreCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      numBands: Int = 16,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = 1000,
+      maxIter: Int = 20): DataFrame = {
+    // exact stage: best-scored row per identical content (ties min id)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(xxhash64(col(textCol)))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val exactKept = df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .localCheckpoint(eager = true)
+    val pairs = minhashLshPairs(exactKept, idCol, textCol,
+      shingleSize, numHashes, numBands, threshold, maxBucketSize)
+      .localCheckpoint(eager = true)
+    // one clustering pass; drop every member that is not its
+    // cluster's best-scored row (ties min id, like clustersKeepBest)
+    val labeled = clusters(pairs.select("id_a", "id_b"), maxIter)
+    val scores = exactKept.select(col(idCol).as("id"), col(scoreCol).as("score"))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+      .orderBy(col("score").desc, col("id").asc)
+    val losers = labeled.join(scores, "id")
+      .withColumn("__rn", row_number().over(wc))
+      .filter(col("__rn") =!= 1)
+      .select(col("id").as(idCol))
+    exactKept.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Duplicate-cluster assignment from a pair list (connected
     * components, min-id labels). Returns (id, cluster_id) for every id
     * present in the pair list. Small graphs run union-find on the

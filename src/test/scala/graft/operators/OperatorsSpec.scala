@@ -105,6 +105,22 @@ class DedupSpec extends SparkTestBase {
     assert(pairs == (2L to 6L).map(i => (1L, i)).toSet)
   }
 
+  test("dedupCorpusKeepBest keeps the best-scored copy at both stages") {
+    // 1=2 exact dups (2 higher quality); 3 near-dup of them (highest
+    // quality -> survives the cluster); 4 unrelated
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", 0.2),
+      (2L, "the quick brown fox jumps over the lazy dog", 0.9),
+      (3L, "the quick brown fox jumps over the lazy cat", 0.95),
+      (4L, "completely different content about spark engines", 0.1))
+      .toDF("doc_id", "text", "quality")
+    val kept = Dedup.dedupCorpusKeepBest(corpus, "doc_id", "text", "quality",
+      shingleSize = 2, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // exact stage keeps 2 (not min-id 1); near-dup cluster {2,3} keeps 3
+    assert(kept == Set(3L, 4L))
+  }
+
   test("clustersKeepBest keeps the highest-scored member, ties to min id") {
     // clusters: {1,2,3} and {10,11}; 4 is a singleton via self-pair
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (4L, 4L)).toDF("id_a", "id_b")
