@@ -296,6 +296,41 @@ object SparkEntry {
         .agg(count(lit(1)).as("order_count"))
     }),
 
+    // NOT EXISTS as a left-anti join: segments' customers with no
+    // order in the window
+    "q5_inactive_customers" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_inactive"))
+    }),
+
+    // TPC-H Q13 shape: left outer join preserving order-less customers,
+    // then the distribution of per-customer order counts (double agg)
+    "q6_customer_distribution" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(c("c_custkey"))
+        .agg(count(o("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // rank-family window breadth: ntile/percent_rank/cume_dist over
+    // one ordered partition spec
+    "w4_window_ranks" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(10).over(w).cast("long").as("decile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+    }),
+
     // GROUPING SETS through the SQL surface (DataFrame API exposes
     // only rollup/cube); grouping_id() disambiguates the null rows
     "gs1_grouping_sets" -> ((s, dir) => {
@@ -1246,6 +1281,30 @@ object SparkEntry {
         |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n.n_name""".stripMargin,
+
+    "q5_inactive_customers" ->
+      """SELECT c_mktsegment, count(*) AS n_inactive
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '1996-01-01')
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q6_customer_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |      GROUP BY c.c_custkey)
+        |GROUP BY c_count""".stripMargin,
+
+    "w4_window_ranks" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |       ntile(10) OVER w AS decile,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin,
 
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
