@@ -33,18 +33,29 @@ object GraftSession {
       // their real warehouse
       .config("spark.sql.warehouse.dir", defaultWarehouseDir)
 
-  /** Per-process warehouse default, deleted (best-effort) at JVM exit. */
+  /** Per-process warehouse default, deleted (best-effort) at JVM exit.
+    *
+    * Registered through Hadoop's ShutdownHookManager (the ordered
+    * registry Spark itself uses) at priority 1 — BELOW SparkContext's
+    * stop hook (30) and the Hadoop FileSystem close hook (10), so the
+    * delete runs only after Spark has fully stopped and flushed. A
+    * plain JVM hook would race Spark's own unordered hooks and could
+    * delete catalog files mid-flush.
+    */
   private lazy val defaultWarehouseDir: String = {
     val dir = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
       s"graft-warehouse-${ProcessHandle.current().pid()}")
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
-        if (java.nio.file.Files.exists(dir))
-          java.nio.file.Files.walk(dir)
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-      } catch { case _: Throwable => () }))
+    org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+      new Runnable {
+        override def run(): Unit =
+          try {
+            if (java.nio.file.Files.exists(dir))
+              java.nio.file.Files.walk(dir)
+                .sorted(java.util.Comparator.reverseOrder())
+                .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+          } catch { case _: Throwable => () }
+      }, 1)
     dir.toString
   }
 

@@ -470,6 +470,19 @@ object SparkEntry {
         docs.filter(col("doc_id") > 250), "doc_id", "text")
     }),
 
+    // the step dd10/dd11 set up: the CLEANED corpus — contaminated
+    // spans merged and cut out of the normalized text, with
+    // removed-chars / merged-region audit columns (same train/eval
+    // split as dd8/dd10/dd11)
+    "dd13_excised_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") > 250)
+      val spans = Decontaminate.contaminatedSpans(
+        train, docs.filter(col("doc_id") <= 250),
+        "doc_id", "text", gramSize = 3, expectedEvalGrams = 1 << 16)
+      Decontaminate.excise(train, spans, "doc_id", "text")
+    }),
+
     // C4-style over-duplicated span detection: word 3-grams occurring
     // in >= 5 docs corpus-wide, counted per containing doc
     "dd9_hot_spans" -> ((s, dir) =>
@@ -495,6 +508,18 @@ object SparkEntry {
       val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         blockCols = Seq("lang"), shingleSize = 1, threshold = 0.5)
       Dedup.clusters(pairs.select("id_a", "id_b"))
+        .select(col("id").as("doc_id"), col("cluster"))
+    }),
+
+    // SAME pair set through the large-star/small-star contraction path
+    // (driverCcMaxEdges = 0 disables the driver union-find shortcut):
+    // the branch that actually runs at 100 TB edge counts, verified
+    // against the identical recursive-CTE oracle as dd6
+    "dd6b_clusters_contraction" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") <= 100)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        blockCols = Seq("lang"), shingleSize = 1, threshold = 0.5)
+      Dedup.clusters(pairs.select("id_a", "id_b"), driverCcMaxEdges = 0L)
         .select(col("id").as("doc_id"), col("cluster"))
     }),
 
@@ -1410,6 +1435,75 @@ object SparkEntry {
         |              : CAST(sp.span_start + sp.span_words AS INT)], ' ')) AS char_len
         |FROM sp JOIN tok t ON t.doc_id = sp.train_id""".stripMargin,
 
+    // the substring-stitch form of excision: dd10's span set deduped
+    // across eval docs, merged in token space (touching intervals
+    // collapse), mapped to char regions on the raw-case ruler — an
+    // interior region consumes its trailing separator, a doc-final
+    // one its leading separator — then the complement segments are
+    // stitched back together. A MATCH proves the Spark operator's
+    // row-local token filtering equals this char-offset slice.
+    "dd13_excised_corpus" ->
+      """WITH tok AS (SELECT doc_id,
+        |                    string_split_regex(lower(trim(text)), '\s+') AS l,
+        |                    string_split_regex(trim(text), '\s+') AS lr
+        |             FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(l) <= 3 THEN [{'pos': 0, 'gram': array_to_string(l, ' ')}]
+        |         ELSE [{'pos': i - 1, 'gram': array_to_string(l[i:i+2], ' ')}
+        |               for i in range(1, len(l) - 1)] END,
+        |    recursive := true)
+        |  FROM tok),
+        |ev AS (SELECT DISTINCT doc_id AS eval_id, gram FROM g WHERE doc_id <= 250),
+        |tr AS (SELECT doc_id AS train_id, pos, gram FROM g WHERE doc_id > 250),
+        |m AS (SELECT train_id, eval_id, pos FROM tr JOIN ev USING (gram)),
+        |isl AS (SELECT train_id, eval_id, pos,
+        |        pos - row_number() OVER (PARTITION BY train_id, eval_id ORDER BY pos) AS grp
+        |        FROM m),
+        |sp AS (SELECT DISTINCT train_id, min(pos) AS s,
+        |              min(pos) + count(*) + 2 AS e
+        |       FROM isl GROUP BY train_id, eval_id, grp),
+        |tisl AS (SELECT train_id, s, e,
+        |         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY train_id ORDER BY s, e
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |              THEN 1 ELSE 0 END AS brk
+        |         FROM sp),
+        |tm AS (SELECT train_id, min(s) AS s, max(e) AS e
+        |       FROM (SELECT *, sum(brk) OVER (PARTITION BY train_id ORDER BY s, e) AS grp
+        |             FROM tisl)
+        |       GROUP BY train_id, grp),
+        |reg AS (SELECT tm.train_id,
+        |        CASE WHEN tm.e >= len(t.l) AND tm.s > 0
+        |             THEN len(array_to_string(t.lr[1:CAST(tm.s AS INT)], ' '))
+        |             WHEN tm.s = 0 THEN 0
+        |             ELSE len(array_to_string(t.lr[1:CAST(tm.s AS INT)], ' ')) + 1 END AS a,
+        |        CASE WHEN tm.e >= len(t.l) THEN len(array_to_string(t.lr, ' '))
+        |             ELSE len(array_to_string(t.lr[1:CAST(tm.e AS INT)], ' ')) + 1 END AS b
+        |        FROM tm JOIN tok t ON t.doc_id = tm.train_id),
+        |seg AS (
+        |  SELECT train_id,
+        |         coalesce(lag(b) OVER (PARTITION BY train_id ORDER BY a), 0) AS p,
+        |         a AS q
+        |  FROM reg
+        |  UNION ALL
+        |  SELECT train_id, max(b) AS p, NULL AS q FROM reg GROUP BY train_id),
+        |stitched AS (
+        |  SELECT s.train_id,
+        |         string_agg(substr(array_to_string(t.lr, ' '), CAST(s.p AS INT) + 1,
+        |           CAST(coalesce(s.q, len(array_to_string(t.lr, ' '))) - s.p AS INT)),
+        |           '' ORDER BY s.p) AS cleaned,
+        |         count(*) - 1 AS n_spans
+        |  FROM seg s JOIN tok t ON t.doc_id = s.train_id
+        |  GROUP BY s.train_id)
+        |SELECT t.doc_id,
+        |       coalesce(st.cleaned, array_to_string(t.lr, ' ')) AS clean_text,
+        |       CAST(len(array_to_string(t.lr, ' ')) -
+        |            len(coalesce(st.cleaned, array_to_string(t.lr, ' '))) AS BIGINT)
+        |         AS removed_chars,
+        |       CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans
+        |FROM tok t LEFT JOIN stitched st ON st.train_id = t.doc_id
+        |WHERE t.doc_id > 250""".stripMargin,
+
     // positional grams (struct comprehension keeps pos), gram join,
     // then gaps-and-islands: consecutive positions share pos - row_number
     "dd10_contaminated_spans" ->
@@ -1435,6 +1529,26 @@ object SparkEntry {
     // accumulates every smaller-id node reachable from id; min(label)
     // is exactly the min-label cluster id the Spark operator assigns
     "dd6_jaccard_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents WHERE doc_id <= 100),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.w, b.w))::DOUBLE /
+        |        (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.5),
+        |e AS (SELECT id_a AS s, id_b AS d FROM p
+        |      UNION SELECT id_b AS s, id_a AS d FROM p),
+        |reach AS (
+        |  SELECT s AS id, s AS label FROM e
+        |  UNION
+        |  SELECT e.s AS id, r.label AS label FROM e JOIN reach r ON e.d = r.id)
+        |SELECT id AS doc_id, min(label) AS cluster FROM reach GROUP BY id""".stripMargin,
+
+    // identical oracle to dd6 — the contraction path must produce the
+    // exact same min-label components as the driver union-find
+    "dd6b_clusters_contraction" ->
       """WITH RECURSIVE t AS (
         |  SELECT doc_id, lang,
         |         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS w

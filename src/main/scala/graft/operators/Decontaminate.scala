@@ -30,7 +30,11 @@ object Decontaminate {
     val gramCol = explode(
       TextExpressions.sorted_shingle_hashes(col(textCol), gramSize)).as("gram")
     val grams = (idCol match {
-      case Some(id) => eval.select(col(id).as("eval_id"), gramCol)
+      // distinct() here only guards duplicate eval IDs (gram hashes
+      // are already distinct per doc): a duplicated eval row would
+      // emit duplicate (eval_id, gram) pairs and fragment the
+      // gaps-and-islands run detection downstream
+      case Some(id) => eval.select(col(id).as("eval_id"), gramCol).distinct()
       case None => eval.select(gramCol).distinct()
     }).localCheckpoint()
     val bloom = SketchExpressions.buildLongBloom(
@@ -157,6 +161,73 @@ object Decontaminate {
           col("span_start").cast("int") + 1,
           col("span_words").cast("int")), " ")).cast("long"))
       .drop("__toks")
+  }
+
+  /** The excision step [[contaminatedSpans]] / [[spanCharOffsets]]
+    * set up: emit the CLEANED corpus with the contaminated spans cut
+    * out, plus audit columns. Returns one row per doc in `docs`:
+    * (idCol, clean_text, removed_chars, n_spans) — `clean_text` is
+    * defined on the whitespace-normalized text (tokens joined by
+    * single spaces, like [[spanCharOffsets]]' ruler), `removed_chars`
+    * counts every normalized char cut (span bodies plus the one
+    * separator each excised region consumes), `n_spans` counts
+    * MERGED excised regions (overlapping/adjacent spans collapse).
+    *
+    * `spans` is [[contaminatedSpans]]' output (dd10/dd11 shape):
+    * (train_id, span_start, span_words) in word coordinates; the same
+    * span reported against several eval docs is excised once.
+    *
+    * Equivalence contract (what the DuckDB oracle checks): dropping
+    * the covered TOKENS and re-joining on single spaces is exactly
+    * the substring-stitch of the normalized text over the merged
+    * char-offset regions, where each interior region also consumes
+    * its trailing separator and a doc-final region its leading one —
+    * so the cleaned text never carries doubled or dangling spaces.
+    *
+    * Scale shape: the spans frame is sized by CONTAMINATION (tiny
+    * relative to the corpus); it aggregates to one interval-array row
+    * per affected doc, joins on the doc key (AQE broadcasts it), and
+    * everything else — interval merge, token filter, audit counts —
+    * is row-local inside the doc's task. The corpus text never
+    * shuffles, span-free docs never join anything.
+    */
+  def excise(
+      docs: DataFrame,
+      spans: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val ivs = spans.select(col("train_id"),
+        struct(col("span_start").cast("long").as("s"),
+          (col("span_start") + col("span_words")).cast("long").as("e"))
+          .as("__iv"))
+      .groupBy("train_id")
+      .agg(array_sort(collect_set(col("__iv"))).as("__ivs"))
+    val toks = split(trim(col(textCol)), "\\s+")
+    val norm = array_join(toks, " ")
+    val kept = array_join(
+      filter(toks, (_, i) => !exists(col("__ivs"), iv =>
+        i.cast("long") >= iv.getField("s") &&
+          i.cast("long") < iv.getField("e"))), " ")
+    // merged-region count: fold sorted intervals, new region iff the
+    // interval starts past the running max end (touching merges —
+    // adjacent spans leave no token between them)
+    val nSpans = aggregate(col("__ivs"),
+      struct(lit(-1L).as("mx"), lit(0L).as("n")),
+      (acc, iv) => struct(
+        greatest(acc.getField("mx"), iv.getField("e")).as("mx"),
+        (acc.getField("n") + when(iv.getField("s") > acc.getField("mx"),
+          lit(1L)).otherwise(lit(0L))).as("n")),
+      acc => acc.getField("n"))
+    docs.join(ivs, docs(idCol) === ivs("train_id"), "left")
+      .withColumn("clean_text",
+        when(col("__ivs").isNull, norm).otherwise(kept))
+      .withColumn("removed_chars",
+        when(col("__ivs").isNull, lit(0L))
+          .otherwise((length(norm) - length(col("clean_text"))).cast("long")))
+      .withColumn("n_spans",
+        when(col("__ivs").isNull, lit(0L)).otherwise(nSpans))
+      .select(col(idCol), col("clean_text"), col("removed_chars"),
+        col("n_spans"))
   }
 
   /** Ingestion-time decontamination gate: keep only docs sharing NO

@@ -804,6 +804,12 @@ object Dedup {
     * [[clustersKeepBest]]. `scoreCol` must be a column of `df`
     * (length, LM score, quality composite — higher is better). Same
     * checkpointed three-stage shape as [[dedupCorpus]].
+    *
+    * "Identical content" means xxhash64-equal, the same approximation
+    * [[exact]] documents: two distinct texts colliding in 64 bits
+    * would be treated as duplicates and one dropped. Birthday math
+    * puts the first expected collision near 2^32 ≈ 4B docs — compare
+    * the text column within hash groups if operating past that scale.
     */
   def dedupCorpusKeepBest(
       df: DataFrame,

@@ -138,9 +138,20 @@ object Profiling {
     * again. Estimates are deterministic for given data; relative
     * error ~1.6% at the default lgConfigK=12 (spec-bounded against
     * the exact counts).
+    *
+    * `groupCol` must be a string column: the rollup row is emitted
+    * with the sentinel value "ALL" in `groupCol` (a non-string group
+    * would be silently coerced to string by the union, changing the
+    * output schema). Contract: a real group literally named "ALL" is
+    * indistinguishable from the rollup row — callers with such data
+    * should rename the group or use [[vocabulary]] (no rollup row).
     */
   def vocabularySketched(df: DataFrame, groupCol: String,
       textCol: String): DataFrame = {
+    require(df.schema(groupCol).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"vocabularySketched needs a string group column, got " +
+        df.schema(groupCol).dataType.simpleString)
     val toks = df.select(col(groupCol),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
       .filter(length(col("token")) > 0)

@@ -32,7 +32,12 @@ object Scoring {
     * score exactly 0.
     */
   def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val n = df.count()
+    // N rides in as a broadcast 1-row frame (same pattern as
+    // ngramLogProb's corpus total): no driver-side count, the whole
+    // operator stays one lazy plan. N counts ALL documents — including
+    // token-free ones — so it cannot be derived from the termCounts
+    // tree; the count(*) subtree is column-pruned to metadata.
+    val nDocs = df.agg(count(lit(1)).cast("double").as("n_docs"))
     val termCounts = df
       .select(col(idCol).as("id"),
         explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
@@ -41,8 +46,9 @@ object Scoring {
     val docFreq = termCounts.groupBy("term")
       .agg(count(lit(1)).as("df"))
     termCounts.join(docFreq, "term")
+      .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
-        col("tf").cast("double") * log(lit(n.toDouble) / col("df")))
+        col("tf").cast("double") * log(col("n_docs") / col("df")))
       .select(col("id").as(idCol), col("term"), col("tf"), col("df"),
         col("tfidf"))
   }

@@ -66,6 +66,12 @@ object JdbcConnector {
 
   def write(df: DataFrame, conf: SinkConf): Unit = {
     val url = conf.connect
+    // Denodo is a read-only virtualization layer — the reference
+    // refuses every sink operation up front
+    // (DenodoManager.java:33-45); fail at plan time, not mid-load.
+    if (url.startsWith("jdbc:denodo") || url.startsWith("jdbc:vdb"))
+      throw new UnsupportedOperationException(
+        "Denodo is not supported for data insertion")
     val table = conf.table.getOrElse(
       throw new IllegalArgumentException("JDBC sink needs a table"))
     val dialect = DialectMerge.fromUrl(url)

@@ -170,6 +170,20 @@ class PlanSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 4, p)
   }
 
+  test("tf1 builds its plan without running any job (N is a broadcast frame)") {
+    // tfidf used to call df.count() on the driver — an extra full
+    // corpus pass at 100 TB; N must now ride in lazily like
+    // ngramLogProb's corpus total. In-memory input isolates the
+    // operator from the parquet footer-read job.
+    val d = spark.range(100)
+      .select(col("id").as("doc_id"), lit("a b c").as("text"))
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    graft.operators.Scoring.topTerms(d, "doc_id", "text", 3)
+      .queryExecution.executedPlan
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, "tfidf plan construction must not run a job")
+  }
+
   test("rep1 repetition stats are a shuffle-free codegen projection") {
     // the fused RepetitionStats kernel replaced explode -> two
     // corpus-wide gram-string shuffles; nothing may leave the row

@@ -171,6 +171,17 @@ class JdbcPartitioningSpec extends AnyFunSuite {
     assert(c == Seq((0L, Some(4L)), (4L, Some(4L)), (8L, None)))
   }
 
+  test("denodo sink fast-fails at plan time, before any connection") {
+    // reference DenodoManager.java:33-45 throws on every sink op; the
+    // guard must fire before the DataFrame or a connection is touched
+    for (url <- Seq("jdbc:denodo://h:9999/vdb", "jdbc:vdb://h:9999/base")) {
+      val e = intercept[UnsupportedOperationException] {
+        JdbcConnector.write(null, graft.core.SinkConf(url, Some("t")))
+      }
+      assert(e.getMessage.contains("Denodo"))
+    }
+  }
+
   test("url dispatch picks the dialect strategy") {
     assert(forUrl("jdbc:oracle:thin:@h", 2, None).head.startsWith("ora_hash"))
     assert(forUrl("jdbc:sqlserver://h", 2, None).head.contains("physloc"))
