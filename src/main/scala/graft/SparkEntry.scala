@@ -500,6 +500,28 @@ object SparkEntry {
         "doc_id", "text", gramSize = 3, expectedEvalGrams = 1 << 16)
     }),
 
+    // cross-run incremental dedup: the corpus's LSH signatures persist
+    // as bucketed store tables; the new batch probes them without
+    // rescanning the corpus. Exact shingle-Jaccard verify on the
+    // candidates -> deterministic output (band generation is seeded;
+    // at 64/16 the per-pair miss probability on the >= 0.9 planted
+    // dups is ~4e-8, and the whole path is deterministic per dataset)
+    "dd14_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (bands, shingles) = Dedup.signatureStore(
+        docs.filter(col("doc_id") <= 400), "doc_id", "text",
+        shingleSize = 3, numHashes = 64, numBands = 16)
+      graft.sources.Bucketing.writeBucketed(bands, "dd14_bands",
+        Seq("bucket"), 8)
+      graft.sources.Bucketing.writeBucketed(shingles, "dd14_shingles",
+        Seq("id"), 8)
+      Dedup.incrementalDedup(docs.filter(col("doc_id") > 400),
+        graft.sources.Bucketing.readBucketed(s, "dd14_bands"),
+        graft.sources.Bucketing.readBucketed(s, "dd14_shingles"),
+        "doc_id", "text", shingleSize = 3, numHashes = 64,
+        numBands = 16, threshold = 0.8)
+    }),
+
     // cluster labeling over a DETERMINISTIC pair source (exact Jaccard,
     // same params as dd4, doc subset to keep it light) so the min-label
     // connected components can be checked against a DuckDB recursive CTE
@@ -576,6 +598,16 @@ object SparkEntry {
             Similarity.dequantize(col("qv"), col("scale")), col("embedding"),
             (d, x) => abs(d.cast("double") - x.cast("double"))))
             <= col("scale") * 0.5000001).as("err_within_bound"))
+    }),
+
+    // quantized IVF (sim2's probe + sim4's int8 payload) at full
+    // probe: integer dot products are exact in double, so the ranks
+    // hash-match brute force over the quantized vectors
+    "sim6_ivf_quantized" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopKQuantized(e.filter("vec_id < 10"), e,
+          "vec_id", "embedding", 5, nCentroids = 8, nProbe = 8)
+        .select("query_id", "neighbor_id", "rank")
     }),
 
     // exact cosine pair enumeration (the brute-force baseline dd5's
@@ -1525,6 +1557,25 @@ object SparkEntry {
         |SELECT train_id, eval_id, min(pos) AS span_start, count(*) + 2 AS span_words
         |FROM isl GROUP BY train_id, eval_id, grp""".stripMargin,
 
+    // the probe's ground truth: every new-vs-corpus pair at exact
+    // 3-gram Jaccard >= 0.8 (the oracle assumes LSH recall 1 on this
+    // dataset — deterministic, verified; planted dups sit at >= 0.9)
+    "dd14_incremental_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(l) <= 3 THEN [array_to_string(l, ' ')]
+        |         ELSE [array_to_string(l[i:i+2], ' ') for i in range(1, len(l) - 1)] END) AS w
+        |  FROM t)
+        |SELECT n.doc_id AS new_id, c.doc_id AS dup_of,
+        |       len(list_intersect(n.w, c.w))::DOUBLE /
+        |         (len(n.w) + len(c.w) - len(list_intersect(n.w, c.w))) AS jaccard
+        |FROM g n JOIN g c ON n.doc_id > 400 AND c.doc_id <= 400
+        |WHERE len(list_intersect(n.w, c.w))::DOUBLE /
+        |      (len(n.w) + len(c.w) - len(list_intersect(n.w, c.w))) >= 0.8""".stripMargin,
+
     // connected components via transitive closure: reach(id, label)
     // accumulates every smaller-id node reachable from id; min(label)
     // is exactly the min-label cluster id the Spark operator assigns
@@ -1647,6 +1698,38 @@ object SparkEntry {
         |             - CAST(embedding[i] AS DOUBLE)))) <= scale * 0.5000001
         |         AS err_within_bound
         |FROM qq""".stripMargin,
+
+    // brute force over int8-quantized vectors (same scale formula and
+    // rounding as sim4); full-probe IVF must reproduce these ranks
+    // exactly — integer products make every cosine value exact in
+    // double, independent of accumulation order
+    "sim6_ivf_quantized" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |         greatest(list_max(list_transform(embedding, x -> abs(x))),
+        |                  CAST(1e-30 AS FLOAT)) / 127.0 AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(x / scale) AS TINYINT)) AS qv
+        |  FROM s),
+        |e AS (
+        |  SELECT vec_id, qv,
+        |         sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(qv[i] AS DOUBLE) * qv[i]))) AS nrm
+        |  FROM q),
+        |scored AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |         list_sum(list_transform(range(1, 65),
+        |           i -> CAST(a.qv[i] AS DOUBLE) * b.qv[i])) / (a.nrm * b.nrm) AS cosine
+        |  FROM e a JOIN e b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+        |  WHERE a.nrm > 0 AND b.nrm > 0),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""".stripMargin,
 
     "ta1_text_stats" ->
       """SELECT doc_id,

@@ -146,6 +146,120 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** The two frames of a PERSISTENT near-dup signature store — how a
+    * production corpus deduplicates INCREMENTALLY: new batches probe
+    * the stored signatures instead of rescanning (or re-shingling)
+    * the whole corpus.
+    *
+    * Returns (bands, shingles):
+    *  - bands: (bucket, id) — one row per doc per LSH band, the probe
+    *    index. `bucket` fuses the band index into the band's bucket
+    *    hash (`xxhash64(band, bandBucket)`) so the probe join has ONE
+    *    key — exactly the bucketed column. A wider (band, bucket)
+    *    join key would disable the bucketed scan (Spark only plans a
+    *    bucket join when the join keys equal the bucket spec); the
+    *    fused key keeps candidate semantics (equal (band, bucket) ⇔
+    *    equal fused key, modulo 64-bit collisions that only ADD
+    *    candidates for the exact verify to kill). Persist with
+    *    `Bucketing.writeBucketed(bands, table, Seq("bucket"), n)` so
+    *    every future probe join reads it EXCHANGE-FREE.
+    *  - shingles: (id, hs, n) — each doc's sorted shingle hashes for
+    *    the exact verify. Persist bucketed on `id`; candidate pairs
+    *    join it exchange-free on the store side.
+    *
+    * Signature parameters are part of the store's identity: probes
+    * must use the same (shingleSize, numHashes, numBands).
+    */
+  def signatureStore(docs: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64,
+      numBands: Int = 16): (DataFrame, DataFrame) = {
+    val bands = spread(docs).select(col(idCol).as("id"),
+      posexplode(TextExpressions.minhash_band_buckets_text(
+        col(textCol), shingleSize, numHashes, numBands))
+        .as(Seq("band", "__bb")))
+      .select(xxhash64(col("band"), col("__bb")).as("bucket"), col("id"))
+    val hs = TextExpressions.sorted_shingle_hashes(col(textCol), shingleSize)
+    val shingles = spread(docs)
+      .select(col(idCol).as("id"), hs.as("hs"), size(hs).as("n"))
+    (bands, shingles)
+  }
+
+  /** New-vs-corpus near-duplicates WITHOUT rescanning the corpus: the
+    * incremental form of [[minhashLshPairs]]. `storeBands` /
+    * `storeShingles` are a [[signatureStore]] (typically read back
+    * from its bucketed tables); `newDocs` is the incoming batch.
+    * Returns (new_id, dup_of, jaccard) — every new doc paired with
+    * each stored doc whose exact shingle Jaccard ≥ `threshold`,
+    * candidates generated by band-bucket collision.
+    *
+    * Scale shape: the new batch (small) shuffles to the store's
+    * bucket layout; the store side reads its bucketed table with NO
+    * exchange (BucketingSpec pins it). The exact verify joins
+    * candidate ids back — new side by new_id, store side exchange-free
+    * on its id-bucketed shingle table. Corpus cost is O(matched
+    * buckets), not O(corpus).
+    */
+  def incrementalDedup(newDocs: DataFrame, storeBands: DataFrame,
+      storeShingles: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, numBands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val probe = spread(newDocs).select(col(idCol).as("new_id"),
+      posexplode(TextExpressions.minhash_band_buckets_text(
+        col(textCol), shingleSize, numHashes, numBands))
+        .as(Seq("band", "__bb")))
+      .select(xxhash64(col("band"), col("__bb")).as("bucket"),
+        col("new_id"))
+    val candidates = probe
+      .join(storeBands.withColumnRenamed("id", "dup_of"), Seq("bucket"))
+      .filter(col("new_id") =!= col("dup_of"))
+      .select("new_id", "dup_of")
+      .dropDuplicates("new_id", "dup_of")
+    val hs = TextExpressions.sorted_shingle_hashes(col(textCol), shingleSize)
+    val a = spread(newDocs)
+      .select(col(idCol).as("new_id"), hs.as("hs_a"), size(hs).as("n_a"))
+    val b = storeShingles.select(col("id").as("dup_of"),
+      col("hs").as("hs_b"), col("n").as("n_b"))
+    val inter = TextExpressions
+      .sorted_intersect_count(col("hs_a"), col("hs_b")).cast("double")
+    val union = col("n_a").cast("double") + col("n_b") - inter
+    candidates.join(a, "new_id").join(b, "dup_of")
+      .withColumn("jaccard", inter / union)
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "dup_of", "jaccard")
+  }
+
+  /** One 64-bit simhash per doc — the signature frame
+    * [[incrementalDedupGate]] probes. Same tokenization and signature
+    * as `EventStream.streamingNearDedup`, so the within-stream gate
+    * and the cross-run gate agree on what "same doc shape" means.
+    * Persist with `Bucketing.writeBucketed(_, table, Seq("sig"), n)`
+    * for an exchange-free probe. */
+  def simhashStore(docs: DataFrame, textCol: String): DataFrame =
+    spread(docs).select(TextExpressions.simhash64(
+      split(lower(trim(col(textCol))), "\\s+")).as("sig")).distinct()
+
+  /** Ingestion-time signature gate against a PERSISTENT store — the
+    * cross-run form of `EventStream.streamingNearDedup`: drop any
+    * incoming doc whose simhash equals a stored signature, decided by
+    * one row-local signature plus one stream-static anti-join
+    * (stateless, append-safe — the same call runs unchanged on a
+    * STREAMING frame, which is where a production pipeline wants it:
+    * before the doc ever lands). Hamming-0 semantics like the
+    * within-stream gate: docs at distance 0 are overwhelmingly
+    * boilerplate/near-identical; an (astronomically rare) unrelated
+    * collision costs one doc. For exact Jaccard-thresholded
+    * accounting run the batch [[incrementalDedup]].
+    */
+  def incrementalDedupGate(newDocs: DataFrame, storeSigs: DataFrame,
+      textCol: String): DataFrame = {
+    var sig = "__sig"
+    while (newDocs.columns.contains(sig)) sig += "_"
+    newDocs.withColumn(sig, TextExpressions.simhash64(
+        split(lower(trim(col(textCol))), "\\s+")))
+      .join(storeSigs.select(col("sig").as(sig)), Seq(sig), "left_anti")
+      .drop(sig)
+  }
+
   /** SimHash near-duplicate pairs: 64-bit simhash, blocked by the four
     * 16-bit chunks (pigeonhole: hamming distance <= 3 implies at least
     * one identical chunk), verified by exact Hamming distance.

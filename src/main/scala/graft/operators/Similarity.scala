@@ -158,6 +158,31 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** IVF over int8-quantized vectors — [[ivfTopK]]'s centroid probe
+    * composed with [[quantize]]'s payload: the memory-bound form a
+    * 100 TB ANN index actually ships (4× smaller corpus partitions,
+    * 4× less probe shuffle). The per-vector symmetric scale CANCELS
+    * in cosine — dot(s·q, s'·c) / (|s·q|·|s'·c|) = dot(q, c) /
+    * (|q|·|c|) — so ranking needs only the int8 arrays; scales are
+    * never shuffled and reconstruction stays available via
+    * [[dequantize]] for a full-precision re-rank of the top
+    * candidates. Integer dot products accumulate exactly in the
+    * double codegen kernel (|sum| ≪ 2^53), so full-probe results are
+    * bit-identical to brute force over the quantized vectors — the
+    * oracle-verified configuration. Ranking differs from the
+    * float-vector [[ivfTopK]] only by quantization noise.
+    */
+  def ivfTopKQuantized(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      kmeansCentroids: Boolean = false, seed: Long = 42L): DataFrame = {
+    val (qv, _) = quantize(col(vecCol))
+    val q = queries.select(col(idCol), qv.as("__qvec"))
+    val c = corpus.select(col(idCol), qv.as("__qvec"))
+    ivfTopK(q, c, idCol, "__qvec", k, nCentroids, nProbe,
+      kmeansCentroids, seed)
+  }
+
   /** IVF approximate top-k. Centroids either from MLlib k-means||
     * (`kmeansCentroids = true`, seeded — the quality path) or the
     * `nCentroids` smallest-id corpus vectors (deterministic trivial

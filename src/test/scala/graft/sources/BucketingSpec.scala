@@ -44,6 +44,30 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 
+  test("incremental dedup probe never re-shuffles the signature store") {
+    // the point of the persistent store: the corpus-sized band index
+    // pays its shuffle once at write time; every future batch probe
+    // shuffles only the (small) new batch to the store's layout
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val (bands, _) = graft.operators.Dedup.signatureStore(
+      docs.filter(col("doc_id") <= 400), "doc_id", "text")
+    Bucketing.writeBucketed(bands, "b_sig_bands", Seq("bucket"), 8)
+    try withNoBroadcast {
+      val store = Bucketing.readBucketed(spark, "b_sig_bands")
+      val (probe, _) = graft.operators.Dedup.signatureStore(
+        docs.filter(col("doc_id") > 400), "doc_id", "text")
+      val j = probe.withColumnRenamed("id", "new_id")
+        .join(store.withColumnRenamed("id", "dup_of"), Seq("bucket"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.linesIterator.exists(l =>
+        l.contains("b_sig_bands") && l.contains("Bucketed: true")), p)
+      // exactly ONE hash exchange: the probe batch moving to the
+      // store's bucket layout; the store side reads exchange-free
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    } finally spark.sql("DROP TABLE IF EXISTS b_sig_bands")
+  }
+
   test("bucket pruning: an equality filter on the bucket key reads one bucket") {
     val orders = spark.read.parquet(sf() + "/orders.parquet")
     Bucketing.writeBucketed(orders, "b_orders_prune", Seq("o_orderkey"), 8)

@@ -181,6 +181,36 @@ class StreamingSpec extends SparkTestBase {
     assert(kept == Set(1L, 3L))
   }
 
+  test("cross-run signature gate drops stored-corpus dups from a stream") {
+    // the persistent-store form of streamingNearDedup: the store
+    // remembers LAST run's corpus, the stream is THIS run's intake;
+    // stream-static anti-join, stateless, append mode
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((10L, "the quick brown fox"), (11L, "stored corpus doc"))
+      .toDF("doc_id", "text")
+    val sigs = graft.operators.Dedup.simhashStore(corpus, "text")
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val gated = graft.operators.Dedup.incrementalDedupGate(
+      mem.toDF().toDF("ts", "doc_id", "text"), sigs, "text")
+    val q = gated.writeStream.format("memory").queryName("xrun_gate_out")
+      .outputMode("append").start()
+    mem.addData(
+      // same signature as stored doc 10 (case/whitespace-insensitive)
+      (ts("2024-01-01 10:00:00"), 1L, "  THE   quick BROWN fox "),
+      (ts("2024-01-01 10:01:00"), 2L, "genuinely new material here"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("xrun_gate_out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+    // batch == stream: the identical call on a batch frame agrees
+    val batchKept = graft.operators.Dedup.incrementalDedupGate(
+      Seq((1L, "  THE   quick BROWN fox "), (2L, "genuinely new material here"))
+        .toDF("doc_id", "text"), sigs, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKept == Set(2L))
+  }
+
   test("closed sessions: in-batch close on gap, timeout close on watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
