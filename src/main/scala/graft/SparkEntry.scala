@@ -52,6 +52,19 @@ object SparkEntry {
   private def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  /** Corpus-trained subword vocabulary for the tok1/pack3/ch2 family,
+    * memoized per sf dir (training is two aggregations + two bounded
+    * collects; the tokenizer queries share one table). vocabSize 64
+    * on the synthetic corpus (31 distinct words) keeps most FULL
+    * words out of the vocab, so the greedy matcher genuinely splits
+    * into subwords rather than degenerating to whole-word tokens. */
+  private val vocabCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+  private def trainedVocab(s: SparkSession, dir: String): Array[String] =
+    vocabCache.computeIfAbsent(dir, _ =>
+      Tokenizer.trainVocab(t(s, dir, "documents"), "text",
+        vocabSize = 64, maxTokenLen = 8))
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("j1_join_agg")(spark, "/root/testdata/sf0.001")
@@ -782,6 +795,37 @@ object SparkEntry {
       Chunking.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
         maxTokens = 32, overlap = 8)),
 
+    // corpus-trained subword tokenizer: frequency-ranked vocab (all
+    // chars + top substrings), greedy longest-match in codegen; the
+    // oracle re-learns the same vocab in SQL and replays the greedy
+    // match per distinct word with a recursive CTE
+    "tok1_subword_tokens" -> ((s, dir) => {
+      val vocab = trainedVocab(s, dir)
+      t(s, dir, "documents").select(col("doc_id"),
+        Tokenizer.subwordCount(vocab)(col("text")).cast("long")
+          .as("n_tokens"))
+    }),
+
+    // shard packing budgeted in TRAINED tokenizer units — the form a
+    // production pipeline sizes shards in (pack1 words / pack2
+    // regex-heuristic / pack3 trained subwords)
+    "pack3_subword_shards" -> ((s, dir) => {
+      val vocab = trainedVocab(s, dir)
+      Packing.assignShards(t(s, dir, "documents"), "doc_id", "text",
+          budget = 2000, buckets = 32,
+          tokenCounter = Tokenizer.subwordCount(vocab))
+        .select("doc_id", "n_tokens", "cum", "shard")
+    }),
+
+    // context windows budgeted in trained subword units at word
+    // boundaries (ch1's trained-tokenizer sibling; same shuffle-free
+    // plan shape)
+    "ch2_subword_chunks" -> ((s, dir) => {
+      val vocab = trainedVocab(s, dir)
+      Tokenizer.chunkBySubwords(t(s, dir, "documents"), "doc_id",
+        "text", vocab, maxTokens = 64)
+    }),
+
     "pf1_corpus_stats" -> ((s, dir) =>
       Profiling.corpusStats(t(s, dir, "documents"), Seq("lang"), "n_chars")),
 
@@ -1086,6 +1130,46 @@ object SparkEntry {
   /** DuckDB-runnable oracles. Omitted keys (LSH/simhash candidate
     * generation, engine-specific JSON/fingerprint/decode-stub) get the
     * driver's weaker rows-only check by design. */
+  /** Shared CTE prefix for the subword-tokenizer oracles (tok1, pack3,
+    * ch2): re-learns Tokenizer.trainVocab's vocabulary in SQL
+    * (vocabSize 64, maxTokenLen 8 — the query parameters) and replays
+    * the greedy longest-match per distinct word with a recursive CTE,
+    * ending in `doctok(doc_id, n_tokens)`. Deliberately NOT closed —
+    * each oracle appends its own final select (and further CTEs). */
+  private val subwordCte: String =
+    """WITH RECURSIVE wcnt AS (
+      |  SELECT w, count(*) AS f FROM (
+      |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      |    FROM documents) WHERE w <> '' GROUP BY w),
+      |chars AS (SELECT DISTINCT unnest([w[i:i] for i in range(1, len(w)+1)]) AS tok
+      |          FROM wcnt),
+      |subs AS (
+      |  SELECT unnest(flatten([[w[i:i+l-1] for l in range(2, least(8, len(w)-i+1)+1)]
+      |                         for i in range(1, len(w)+1)])) AS tok, f
+      |  FROM wcnt),
+      |score AS (SELECT tok, sum(f) AS s FROM subs GROUP BY tok),
+      |ranked AS (SELECT tok, row_number() OVER (ORDER BY s DESC, tok ASC) AS rn
+      |           FROM score),
+      |vocab AS (SELECT tok FROM chars
+      |          UNION ALL
+      |          SELECT tok FROM ranked
+      |          WHERE rn <= 64 - (SELECT count(*) FROM chars)),
+      |tk AS (
+      |  SELECT w, 1 AS pos, 0 AS n FROM wcnt
+      |  UNION ALL
+      |  SELECT w, pos + coalesce((SELECT max(len(v.tok)) FROM vocab v
+      |                            WHERE v.tok = substr(tk.w, CAST(tk.pos AS INT),
+      |                                                 len(v.tok))), 1),
+      |         n + 1
+      |  FROM tk WHERE pos <= len(w)),
+      |wtok AS (SELECT w, n FROM tk WHERE pos > len(w)),
+      |dw AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      |       FROM documents),
+      |cnt AS (SELECT doc_id, sum(n) AS n FROM dw JOIN wtok USING (w)
+      |        WHERE w <> '' GROUP BY doc_id),
+      |doctok AS (SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_tokens
+      |           FROM documents d LEFT JOIN cnt c USING (doc_id))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "s1_scan_project" ->
       "SELECT l_orderkey, l_extendedprice, l_shipdate FROM lineitem",
@@ -1892,6 +1976,44 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum,
         |       CAST(floor((cum - n_tokens) * 1.0 / 4000) AS BIGINT) AS shard
         |FROM c""".stripMargin,
+
+    // shared trainer + greedy-match replay for tok1/pack3/ch2: learns
+    // the SAME frequency-ranked vocab in SQL (chars + top substrings,
+    // score DESC / token ASC tie-break), then walks each distinct
+    // word with a recursive CTE taking the longest vocab prefix per
+    // step (single chars always advance) — exactly the codegen
+    // matcher's contract
+    "tok1_subword_tokens" ->
+      (subwordCte + "\nSELECT doc_id, n_tokens FROM doctok"),
+
+    "pack3_subword_shards" ->
+      (subwordCte + """,
+        |cc AS (SELECT doc_id, n_tokens,
+        |       sum(n_tokens) OVER (ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM doctok)
+        |SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum,
+        |       CAST(floor((cum - n_tokens) * 1.0 / 2000) AS BIGINT) AS shard
+        |FROM cc""".stripMargin),
+
+    "ch2_subword_chunks" ->
+      (subwordCte + """,
+        |pw AS (SELECT doc_id, unnest([{'pos': i, 'wr': lr[i]}
+        |                              for i in range(1, len(lr)+1)],
+        |                             recursive := true)
+        |       FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS lr
+        |             FROM documents)),
+        |pc AS (SELECT p.doc_id, p.pos, p.wr, t.n
+        |       FROM pw p JOIN wtok t ON t.w = lower(p.wr)),
+        |cw AS (SELECT doc_id, pos, wr, n,
+        |       sum(n) OVER (PARTITION BY doc_id ORDER BY pos
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM pc),
+        |ci AS (SELECT doc_id, (cum - n) // 64 AS chunk_idx, wr, pos, n FROM cw)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |       string_agg(wr, ' ' ORDER BY pos) AS chunk_text,
+        |       CAST(sum(n) AS BIGINT) AS n_tokens
+        |FROM ci GROUP BY doc_id, chunk_idx""".stripMargin),
 
     "mm1_media_metadata" ->
       """SELECT doc_id AS media_id, 'text/plain' AS format,

@@ -245,6 +245,22 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CodegenFallback"))
   }
 
+  test("subword tokenizer kernels run inside codegen; ch2 never shuffles") {
+    // tok1: the greedy matcher is a codegen expression, not a UDF
+    val df = SparkEntry.queries("tok1_subword_tokens")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("subword_count")), p)
+    assert(!p.contains("CodegenFallback"))
+    // ch2: like ch1, chunking is a map-only generate over the scan
+    val ch = SparkEntry.queries("ch2_subword_chunks")(spark, sf())
+    ch.collect()
+    val cp = ch.queryExecution.executedPlan.toString
+    assert(!cp.contains("Exchange"), s"ch2 must not shuffle:\n$cp")
+    assert(cp.contains("subword_chunks"))
+    assert(!cp.contains("CodegenFallback"))
+  }
+
   test("dd10 probes the bloom filter inside codegen before any exchange") {
     val df = SparkEntry.queries("dd10_contaminated_spans")(spark, sf())
     df.collect()
