@@ -36,11 +36,12 @@ object GraftSession {
   /** Per-process warehouse default, deleted (best-effort) at JVM exit.
     *
     * Registered through Hadoop's ShutdownHookManager (the ordered
-    * registry Spark itself uses) at priority 1 — BELOW SparkContext's
-    * stop hook (30) and the Hadoop FileSystem close hook (10), so the
-    * delete runs only after Spark has fully stopped and flushed. A
-    * plain JVM hook would race Spark's own unordered hooks and could
-    * delete catalog files mid-flush.
+    * registry Spark itself uses) at priority 1 — below Spark's
+    * Hadoop-level hook (FileSystem.SHUTDOWN_HOOK_PRIORITY + 30 = 40,
+    * inside which SparkContext's stop runs) and the Hadoop FileSystem
+    * close hook (10), so the delete runs only after Spark has fully
+    * stopped and flushed. A plain JVM hook would race Spark's own
+    * unordered hooks and could delete catalog files mid-flush.
     */
   private lazy val defaultWarehouseDir: String = {
     val dir = java.nio.file.Paths.get(

@@ -521,16 +521,23 @@ object SparkEntry {
     // dups is ~4e-8, and the whole path is deterministic per dataset)
     "dd14_incremental_dedup" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // table names scoped by sf dir: this lambda WRITES the store at
+      // construction time, so globally-named tables would let a later
+      // construction (another sf dir) silently corrupt an earlier
+      // not-yet-executed plan's store
+      val suffix = java.lang.Integer.toHexString(dir.hashCode)
+      val (bandsTable, shinglesTable) =
+        (s"dd14_bands_$suffix", s"dd14_shingles_$suffix")
       val (bands, shingles) = Dedup.signatureStore(
         docs.filter(col("doc_id") <= 400), "doc_id", "text",
         shingleSize = 3, numHashes = 64, numBands = 16)
-      graft.sources.Bucketing.writeBucketed(bands, "dd14_bands",
+      graft.sources.Bucketing.writeBucketed(bands, bandsTable,
         Seq("bucket"), 8)
-      graft.sources.Bucketing.writeBucketed(shingles, "dd14_shingles",
+      graft.sources.Bucketing.writeBucketed(shingles, shinglesTable,
         Seq("id"), 8)
       Dedup.incrementalDedup(docs.filter(col("doc_id") > 400),
-        graft.sources.Bucketing.readBucketed(s, "dd14_bands"),
-        graft.sources.Bucketing.readBucketed(s, "dd14_shingles"),
+        graft.sources.Bucketing.readBucketed(s, bandsTable),
+        graft.sources.Bucketing.readBucketed(s, shinglesTable),
         "doc_id", "text", shingleSize = 3, numHashes = 64,
         numBands = 16, threshold = 0.8)
     }),

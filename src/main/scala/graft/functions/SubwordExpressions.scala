@@ -39,13 +39,18 @@ object SubwordExpressions {
     private val maxLen = if (vocab.isEmpty) 1 else vocab.iterator.map(_.length).max
 
     /** Tokens of ONE already-lowercased word, appended to `out`
-      * (pass null to only count). Returns the token count. */
+      * (pass null to only count). Returns the token count. The
+      * fallback advances by a full CODE POINT, not a UTF-16 unit — an
+      * out-of-vocab non-BMP character (emoji in a batch the vocab was
+      * not trained on) must pass through as ONE intact token, never
+      * as two unpaired-surrogate fragments. */
     def word(w: String, out: java.util.ArrayList[AnyRef]): Int = {
       var pos = 0
       var n = 0
       while (pos < w.length) {
         var l = math.min(maxLen, w.length - pos)
         while (l > 1 && !set.contains(w.substring(pos, pos + l))) l -= 1
+        if (l == 1) l = Character.charCount(w.codePointAt(pos))
         if (out != null) out.add(UTF8String.fromString(w.substring(pos, pos + l)))
         pos += l
         n += 1
@@ -161,7 +166,13 @@ object SubwordExpressions {
     @transient private lazy val matcher = new Matcher(vocab)
 
     def kernel(text: UTF8String): ArrayData = {
-      val toks = text.trim().toString.split("\\s+", -1)
+      val trimmed = text.trim()
+      val toks = trimmed.toString.split("\\s+", -1)
+      // lowercase ONCE per row (UTF8String: locale-independent, like
+      // the trained vocabulary's normalization); lowercasing never
+      // turns a non-space char into whitespace, so the two splits are
+      // index-aligned — no per-word allocation in the hot kernel
+      val lowToks = trimmed.toLowerCase.toString.split("\\s+", -1)
       val out = new java.util.ArrayList[AnyRef]
       var sb: java.lang.StringBuilder = null
       var curIdx = -1
@@ -175,10 +186,7 @@ object SubwordExpressions {
       while (i < toks.length) {
         val w = toks(i)
         if (w.nonEmpty) {
-          // UTF8String lowercasing: locale-independent, matching the
-          // trained vocabulary's normalization
-          val cost = matcher.word(
-            UTF8String.fromString(w).toLowerCase.toString, null)
+          val cost = matcher.word(lowToks(i), null)
           val idx = (cum / maxTokens).toInt
           if (idx != curIdx) {
             flush()

@@ -203,20 +203,18 @@ object Dedup {
       storeShingles: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, numBands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
-    val probe = spread(newDocs).select(col(idCol).as("new_id"),
-      posexplode(TextExpressions.minhash_band_buckets_text(
-        col(textCol), shingleSize, numHashes, numBands))
-        .as(Seq("band", "__bb")))
-      .select(xxhash64(col("band"), col("__bb")).as("bucket"),
-        col("new_id"))
-    val candidates = probe
+    // the probe side is, definitionally, a signature store for the
+    // new batch — ONE construction of the fused key / shingle frames
+    // keeps store and probe colliding by design
+    val (probeBands, probeShingles) = signatureStore(
+      newDocs, idCol, textCol, shingleSize, numHashes, numBands)
+    val candidates = probeBands.withColumnRenamed("id", "new_id")
       .join(storeBands.withColumnRenamed("id", "dup_of"), Seq("bucket"))
       .filter(col("new_id") =!= col("dup_of"))
       .select("new_id", "dup_of")
       .dropDuplicates("new_id", "dup_of")
-    val hs = TextExpressions.sorted_shingle_hashes(col(textCol), shingleSize)
-    val a = spread(newDocs)
-      .select(col(idCol).as("new_id"), hs.as("hs_a"), size(hs).as("n_a"))
+    val a = probeShingles.select(col("id").as("new_id"),
+      col("hs").as("hs_a"), col("n").as("n_a"))
     val b = storeShingles.select(col("id").as("dup_of"),
       col("hs").as("hs_b"), col("n").as("n_b"))
     val inter = TextExpressions

@@ -148,6 +148,44 @@ class DecontaminateSpec extends SparkTestBase {
     }
   }
 
+  test("excise cuts merged spans, keeps clean docs, and audits the cut") {
+    val spans = Decontaminate.contaminatedSpans(
+      trainDocs, evalDocs, "doc_id", "text", gramSize = 3,
+      expectedEvalGrams = 1024)
+    val out = Decontaminate.excise(trainDocs, spans, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 100 is wholly contaminated (exact copy of eval doc 1): the
+    // single merged span covers everything -> empty cleaned text
+    assert(out(100L) == (("",
+      "the quick brown fox jumps over the lazy dog".length, 1L)))
+    // doc 101 shares the run "over the lazy dog": those four tokens
+    // (one merged region) disappear, the rest survives single-spaced
+    assert(out(101L) == (("a cat stepped yesterday",
+      "over the lazy dog ".length, 1L)))
+    // doc 102 shares nothing: normalized text intact, zero audit
+    assert(out(102L) ==
+      (("completely disjoint vocabulary sentence here now", 0L, 0L)))
+  }
+
+  test("excise merges overlapping spans from different eval docs") {
+    // two eval docs overlap the same train region at offset 1: spans
+    // [1,4) and [2,5) in gram coords -> token intervals [1,6) and
+    // [2,7) merge into ONE region covering tokens 1..6
+    val ev = Seq(
+      (1L, "b c d e f"),
+      (2L, "c d e f g")).toDF("doc_id", "text")
+    val tr = Seq((100L, "a b c d e f g h")).toDF("doc_id", "text")
+    val spans = Decontaminate.contaminatedSpans(tr, ev, "doc_id", "text",
+      gramSize = 3, expectedEvalGrams = 1024)
+    val out = Decontaminate.excise(tr, spans, "doc_id", "text").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(1) == "a h")
+    assert(r.getLong(3) == 1L, "overlapping spans must merge to one region")
+    assert(r.getLong(2) == "a b c d e f g h".length - "a h".length)
+  }
+
   test("bloom clean gate: conservative, and identical on batch and stream") {
     // batch: doc 102 is the only one sharing no gram with eval
     val kept = Decontaminate.bloomCleanDocs(trainDocs, evalDocs, "text",

@@ -380,6 +380,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivf == bf)
   }
 
+  test("full-probe quantized IVF equals quantized brute force; recall ~ float") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .withColumnRenamed("vec_id", "id").withColumnRenamed("embedding", "v")
+    val q = e.filter("id < 10")
+    val bfq = Similarity.bruteForceTopKQuantized(q, e, "id", "v", 5)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    val ivfq = Similarity.ivfTopKQuantized(q, e, "id", "v", 5,
+      nCentroids = 8, nProbe = 8)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    assert(ivfq == bfq, "full probe must reproduce quantized brute force")
+    // int8 noise barely perturbs the float ranking: overlap >= 80%
+    val bf = Similarity.bruteForceTopK(q, e, "id", "v", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = ivfq.map(t => (t.getLong(0), t.getLong(1)))
+    assert(got.intersect(bf).size.toDouble / bf.size >= 0.8)
+  }
+
   test("zero-norm vectors never rank (NaN cosine would sort first)") {
     val withZero = vecs.unionAll(Seq((9L, Seq(0f, 0f, 0f))).toDF("id", "v"))
     val out = Similarity.bruteForceTopK(

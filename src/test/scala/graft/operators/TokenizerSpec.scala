@@ -61,6 +61,15 @@ class TokenizerSpec extends SparkTestBase {
     // every emitted multi-char token is in the vocab; single chars may
     // be fallbacks
     assert(toks.filter(_.length > 1).forall(vset.contains))
+    // and the match is GREEDY, not just valid: with "ab" and "abc"
+    // both in vocab, "abc" must come out whole, and "abd" must fall
+    // back to the longest prefix "ab" + "d" — a shortest-match
+    // regression would emit "ab" + "c" / "a" + "b" + "d"
+    val greedy = Seq((1L, "abc abd")).toDF("doc_id", "text")
+      .select(SubwordExpressions.subword_tokens(col("text"),
+        Seq("a", "b", "c", "d", "ab", "abc")))
+      .as[Seq[String]].head()
+    assert(greedy == Seq("abc", "ab", "d"))
   }
 
   test("subwordCount equals the token array size") {
