@@ -872,6 +872,218 @@ object SparkEntry {
           round(col("features")(2), 4).as("mean_b"))
     }),
 
+    // TPC-H Q7 shape (volume shipping): the same nation dim joined
+    // TWICE under different roles (supplier vs customer side), a
+    // symmetric pair filter, and a year-bucketed revenue rollup
+    "q7_volume_shipping" -> ((s, dir) => {
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_6" && col("cust_nation") === "NATION_7") ||
+          (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_6"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+
+    // TPC-H Q10 shape (returned items): quarter-scoped revenue lost
+    // to returns per customer, top 20 — date-range pushdown, a
+    // return-flag filter, and a deterministic rounded-revenue TopK
+    "q10_returned_items" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp_ntz"))
+        .filter(col("o_orderdate") < lit("1996-10-01").cast("timestamp_ntz"))
+      t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("c_acctbal"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    // TPC-H Q18 shape (large orders): IN-subquery over a HAVING
+    // aggregate — orders whose total quantity clears a threshold,
+    // re-joined to customers and re-aggregated
+    "q18_large_orders" -> ((s, dir) => {
+      // fresh scan for the subquery side: reusing the same DataFrame
+      // in both roles trips the ambiguous-self-join check
+      val big = t(s, dir, "lineitem").groupBy("l_orderkey")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+        .select(col("l_orderkey").as("big_orderkey"))
+      val li = t(s, dir, "lineitem")
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("big_orderkey"), "left_semi")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(li, col("o_orderkey") === li("l_orderkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), round(col("o_totalprice"), 2).as("o_totalprice"))
+        .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+    }),
+
+    // TPC-H Q8 shape (market share): one supplier nation's share of
+    // ECONOMY-part revenue sold into ASIA customers, per order year —
+    // a conditional-sum ratio over a six-way join with a semi-join
+    // region filter
+    "q8_market_share" -> ((s, dir) => {
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val supNation = t(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val asiaNations = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select(col("n_nationkey").as("c_nk"))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(asiaNations), col("c_nationkey") === col("c_nk"), "left_semi")
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(supNation), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_6", vol).otherwise(lit(0.0))) /
+            sum(vol), 4).as("mkt_share"))
+    }),
+
+    // TPC-H Q14 shape (promo revenue): conditional-sum percentage of
+    // PROMO-part revenue within one ship month
+    "q14_promo_revenue" -> ((s, dir) => {
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp_ntz"))
+        .filter(col("l_shipdate") < lit("1997-10-01").cast("timestamp_ntz"))
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          lit(100.0) * sum(when(col("p_type") === "PROMO", vol).otherwise(lit(0.0))) /
+            sum(vol), 4).as("promo_revenue"))
+    }),
+
+    // TPC-H Q15 shape (top supplier): quarter revenue per supplier,
+    // keep the max — the scalar-subquery-on-an-aggregate pattern, as
+    // a broadcast join against the 1-row max frame
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz"))
+        .filter(col("l_shipdate") < lit("1997-04-01").cast("timestamp_ntz"))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("total_revenue"))
+      val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
+      rev.join(broadcast(maxRev), col("total_revenue") === col("max_revenue"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    }),
+
+    // TPC-H Q17 shape (small-quantity revenue): correlated
+    // avg-quantity-per-part subquery as a self-aggregate join; the
+    // threshold is exact because quantities are integral (their sum
+    // is an exact double in any order)
+    "q17_small_quantity" -> ((s, dir) => {
+      val pk = broadcast(t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#12").select("p_partkey"))
+      // fresh scans on each side of the self-aggregate join
+      val avgq = t(s, dir, "lineitem")
+        .join(pk, col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_partkey").as("agg_partkey"))
+        .agg((avg(col("l_quantity")) * 0.2).as("qty_limit"))
+      t(s, dir, "lineitem")
+        .join(pk, col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(avgq, col("l_partkey") === col("agg_partkey"))
+        .filter(col("l_quantity") < col("qty_limit"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+    }),
+
+    // TPC-H Q19 shape (disjunctive predicates): three brand/size/
+    // quantity disjuncts over the lineitem-part join — the OR must
+    // not defeat the broadcast or the scan pruning
+    "q19_disjunctive" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+
+    // TPC-H Q22 shape (global-balance anti join): customers above the
+    // positive-balance average with no orders, bucketed — a global
+    // scalar aggregate broadcast back plus an anti join
+    "q22_global_balance" -> ((s, dir) => {
+      val avgBal = t(s, dir, "customer")
+        .filter(col("c_acctbal") > 0.0)
+        .agg(round(avg(col("c_acctbal")), 2).as("avg_bal"))
+      t(s, dir, "customer")
+        .join(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(t(s, dir, "orders").select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy((col("c_nationkey") % 5).cast("int").as("cntry_bucket"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal")), 2).as("totacctbal"))
+    }),
+
+    "mm3_audio_features" -> ((s, dir) => {
+      // REAL audio codec round-trip: square-wave mono 16-bit PCM
+      // clips (params arithmetic in doc_id) encoded AND decoded with
+      // javax.sound.sampled on executors; every sample is ±amp, so
+      // the decoded peak and RMS equal amp EXACTLY and the sign-flip
+      // count is closed-form — the oracle recomputes all of it
+      val d = col("doc_id")
+      val media = Multimodal.synthesizeWavTable(
+        t(s, dir, "documents").select("doc_id"), "doc_id",
+        sampleRate = (d % 4) * 4000 + 8000,
+        nSamples = (d % 200) + 400,
+        amp = (d % 20) * 500 + 1000,
+        halfPeriod = (d % 9) + 1)
+      Multimodal.extractAudioFeatures(media)
+    }),
+
+    "mm4_video_features" -> ((s, dir) => {
+      // REAL video container round-trip: RIFF/AVI clips of solid
+      // alternating-color DIB frames (params arithmetic in doc_id)
+      // assembled on executors, then demuxed + frame-decoded by
+      // extractVideoFeatures; header fields round-trip exactly and
+      // channel means are the frame-count-weighted color average
+      val d = col("doc_id")
+      val er = (d % 4) * 60 + 10
+      val eg = (d % 8) * 30 + 5
+      val eb = (d % 16) * 15
+      val media = Multimodal.synthesizeAviTable(
+        t(s, dir, "documents").select("doc_id"), "doc_id",
+        width = (d % 3) * 8 + 16,
+        height = (d % 5) * 4 + 8,
+        nFrames = (d % 7) + 2,
+        microsPerFrame = (d % 5) * 1000 + 20000,
+        evenRgb = er * 65536 + eg * 256 + eb,
+        oddRgb = (lit(255) - er) * 65536 + (lit(250) - eg) * 256 + (lit(240) - eb))
+      Multimodal.extractVideoFeatures(media)
+        .select(col("media_id"), col("width"), col("height"),
+          col("micros_per_frame"), col("n_frames"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"))
+    }),
+
     "agg3_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
@@ -2021,6 +2233,161 @@ object SparkEntry {
         |       string_agg(wr, ' ' ORDER BY pos) AS chunk_text,
         |       CAST(sum(n) AS BIGINT) AS n_tokens
         |FROM ci GROUP BY doc_id, chunk_idx""".stripMargin),
+
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_6' AND n2.n_name = 'NATION_7')
+        |   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_6')
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c.c_custkey, c.c_name, round(c.c_acctbal, 2) AS c_acctbal,
+        |       n.n_name,
+        |       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o.o_orderdate < TIMESTAMP '1996-10-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c.c_custkey ASC
+        |LIMIT 20""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |       round(o.o_totalprice, 2) AS o_totalprice,
+        |       round(sum(l.l_quantity), 2) AS total_qty
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING round(sum(l_quantity), 2) > 300)
+        |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |       round(sum(CASE WHEN sn.n_name = 'NATION_6'
+        |                      THEN l.l_extendedprice * (1.0 - l.l_discount)
+        |                      ELSE 0.0 END)
+        |             / sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS mkt_share
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |WHERE c.c_nationkey IN (
+        |  SELECT n.n_nationkey FROM nation n
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'ASIA')
+        |GROUP BY 1""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+        |                             THEN l.l_extendedprice * (1.0 - l.l_discount)
+        |                             ELSE 0.0 END)
+        |             / sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS promo_revenue
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+        |  AND l.l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, r.total_revenue
+        |FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+
+    "q17_small_quantity" ->
+      """WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#12'),
+        |     avgq AS (
+        |  SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_limit
+        |  FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM pk)
+        |  GROUP BY 1)
+        |SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l
+        |JOIN avgq a ON l.l_partkey = a.l_partkey
+        |WHERE l.l_partkey IN (SELECT p_partkey FROM pk)
+        |  AND l.l_quantity < a.qty_limit""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+        |       AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+        |       AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q22_global_balance" ->
+      """WITH ab AS (
+        |  SELECT round(avg(c_acctbal), 2) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT CAST(c.c_nationkey % 5 AS INT) AS cntry_bucket,
+        |       count(*) AS numcust,
+        |       round(sum(c.c_acctbal), 2) AS totacctbal
+        |FROM customer c, ab
+        |WHERE c.c_acctbal > ab.avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY 1""".stripMargin,
+
+    // analytic square-wave ground truth: every sample is ±amp, so
+    // peak = rms = amp exactly; sign transitions occur at every
+    // halfPeriod boundary -> floor((n-1)/halfPeriod)
+    "mm3_audio_features" ->
+      """WITH p AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST((doc_id % 4) * 4000 + 8000 AS INT) AS sample_rate,
+        |         CAST((doc_id % 200) + 400 AS BIGINT) AS n_samples,
+        |         CAST((doc_id % 20) * 500 + 1000 AS INT) AS peak,
+        |         CAST((doc_id % 9) + 1 AS BIGINT) AS hp
+        |  FROM documents)
+        |SELECT media_id, sample_rate, CAST(1 AS INT) AS channels,
+        |       n_samples, peak, peak * 1.0 AS rms,
+        |       (n_samples - 1) // hp AS n_flips
+        |FROM p""".stripMargin,
+
+    // alternating solid frames: channel means are the frame-count-
+    // weighted average of the two colors — integer numerators over
+    // the frame count, so IEEE division and round(.,4) agree exactly
+    "mm4_video_features" ->
+      """WITH p AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST((doc_id % 3) * 8 + 16 AS INT) AS width,
+        |         CAST((doc_id % 5) * 4 + 8 AS INT) AS height,
+        |         CAST((doc_id % 5) * 1000 + 20000 AS INT) AS micros_per_frame,
+        |         CAST((doc_id % 7) + 2 AS BIGINT) AS n_frames,
+        |         (doc_id % 4) * 60 + 10 AS er,
+        |         (doc_id % 8) * 30 + 5 AS eg,
+        |         (doc_id % 16) * 15 AS eb
+        |  FROM documents)
+        |SELECT media_id, width, height, micros_per_frame, n_frames,
+        |       round(((n_frames + 1) // 2 * er + n_frames // 2 * (255 - er))
+        |             / CAST(n_frames AS DOUBLE), 4) AS mean_r,
+        |       round(((n_frames + 1) // 2 * eg + n_frames // 2 * (250 - eg))
+        |             / CAST(n_frames AS DOUBLE), 4) AS mean_g,
+        |       round(((n_frames + 1) // 2 * eb + n_frames // 2 * (240 - eb))
+        |             / CAST(n_frames AS DOUBLE), 4) AS mean_b
+        |FROM p""".stripMargin,
 
     "mm1_media_metadata" ->
       """SELECT doc_id AS media_id, 'text/plain' AS format,

@@ -554,6 +554,99 @@ class MultimodalSpec extends SparkTestBase {
     assert(r(1).getStruct(2).getLong(1) == 0L)
   }
 
+  test("wav round-trip: real javax.sound encode + decode recovers the waveform") {
+    val params = Seq((1L, 8000, 100, 2000, 3), (2L, 16000, 257, 32767, 7))
+      .toDF("id", "rate", "n", "amp", "hp")
+    val wavs = Multimodal.synthesizeWavTable(params, "id",
+      col("rate"), col("n"), col("amp"), col("hp"))
+    // the payload is a genuine RIFF/WAVE container
+    val head = wavs.orderBy("media_id").head()
+    val bytes = head.getAs[Array[Byte]]("payload")
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    val got = Multimodal.extractAudioFeatures(wavs).orderBy("media_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getInt(4), r.getDouble(5), r.getLong(6)))
+    assert(got(0) == ((1L, 8000, 1, 100L, 2000, 2000.0, (100L - 1) / 3)))
+    assert(got(1) == ((2L, 16000, 1, 257L, 32767, 32767.0, (257L - 1) / 7)))
+  }
+
+  test("non-audio payloads report zeros, never a fabricated waveform") {
+    val out = Multimodal.extractAudioFeatures(media).orderBy("media_id").collect()
+    out.foreach { r =>
+      assert(r.getInt(1) == 0 && r.getInt(2) == 0 && r.getLong(3) == 0L)
+      assert(r.getInt(4) == 0 && r.getDouble(5) == 0.0 && r.getLong(6) == 0L)
+    }
+  }
+
+  test("avi round-trip: real RIFF demux + DIB decode recovers header and pixels") {
+    // odd width exercises the 4-byte row stride padding in both
+    // the assembler and the decoder
+    val params = Seq((1L, 5, 4, 3, 40000, 0x102030, 0xF0E0D0),
+      (2L, 16, 8, 2, 33333, 0xFF0000, 0x0000FF))
+      .toDF("id", "w", "h", "nf", "mpf", "even", "odd")
+    val avis = Multimodal.synthesizeAviTable(params, "id",
+      col("w"), col("h"), col("nf"), col("mpf"), col("even"), col("odd"))
+    val head = avis.orderBy("media_id").head()
+    val bytes = head.getAs[Array[Byte]]("payload")
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "AVI ")
+    val got = Multimodal.extractVideoFeatures(avis).orderBy("media_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    // id 1: 3 frames = 2 even + 1 odd
+    assert(got(0) == ((1L, 5, 4, 40000, 3L,
+      (2 * 0x10 + 0xF0) / 3.0, (2 * 0x20 + 0xE0) / 3.0, (2 * 0x30 + 0xD0) / 3.0)))
+    // id 2: 2 frames = 1 red + 1 blue
+    assert(got(1) == ((2L, 16, 8, 33333, 2L, 127.5, 0.0, 127.5)))
+  }
+
+  test("mjpeg avi: 00dc frames decode through the real imageio jpeg codec") {
+    // assemble the container in the test, independently of
+    // synthesizeAviTable, so the demuxer is checked against a
+    // second writer; the frame is a real imageio JPEG
+    javax.imageio.ImageIO.setUseCache(false)
+    val w = 16; val h = 8
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, 0x608040)
+    val jb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jb)
+    val jpeg = jb.toByteArray
+
+    val bos = new java.io.ByteArrayOutputStream()
+    def le(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff) }
+    def cc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val jpad = jpeg.length + (jpeg.length & 1)
+    val hdrlSize = 4 + 8 + 40
+    val moviSize = 4 + 8 + jpad
+    cc("RIFF"); le(4 + 8 + hdrlSize + 8 + moviSize); cc("AVI ")
+    cc("LIST"); le(hdrlSize); cc("hdrl")
+    cc("avih"); le(40)
+    le(50000); le(0); le(0); le(0); le(1); le(0); le(1); le(0); le(w); le(h)
+    cc("LIST"); le(moviSize); cc("movi")
+    cc("00dc"); le(jpeg.length); bos.write(jpeg)
+    if ((jpeg.length & 1) == 1) bos.write(0)
+
+    val avi = Seq((7L, bos.toByteArray)).toDF("media_id", "payload")
+    val r = Multimodal.extractVideoFeatures(avi).head()
+    assert((r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)) == ((w, h, 50000, 1L)))
+    // JPEG is lossy: means land near the solid color, not exactly on it
+    assert(math.abs(r.getDouble(5) - 0x60) < 3.0)
+    assert(math.abs(r.getDouble(6) - 0x80) < 3.0)
+    assert(math.abs(r.getDouble(7) - 0x40) < 3.0)
+  }
+
+  test("non-video payloads report zeros, never a fabricated clip") {
+    val out = Multimodal.extractVideoFeatures(media).orderBy("media_id").collect()
+    out.foreach { r =>
+      assert(r.getInt(1) == 0 && r.getInt(2) == 0 && r.getInt(3) == 0)
+      assert(r.getLong(4) == 0L)
+      assert(r.getDouble(5) == 0.0 && r.getDouble(6) == 0.0 && r.getDouble(7) == 0.0)
+    }
+  }
+
   test("non-image payloads fall back to byte stats, never fabricated dims") {
     val f1 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
     val f2 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
