@@ -22,6 +22,18 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Deterministic URL fixture for url1/qf3: the corpus has no URLs,
+    * so append two per document — a mixed-case host (normalization
+    * must lowercase it) and a host with port + query (the domain
+    * parse must stop at ':'). */
+  private def urlFixture(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"),
+        lit(" http://d"), (col("doc_id") % 7).cast("string"),
+        lit(".example/p/"), col("doc_id").cast("string"),
+        lit(" https://CDN-d"), (col("doc_id") % 4).cast("string"),
+        lit(".Example:8443/x?q="), col("doc_id").cast("string")).as("text"))
+
   /** events.ts is TIMESTAMP(NANOS) parquet — Spark reads it as a nano
     * long (nanosAsLong); normalize to TIMESTAMP_NTZ (micros, matching
     * DuckDB's naive CAST(ts AS TIMESTAMP) truncation). NTZ, not the
@@ -178,6 +190,17 @@ object SparkEntry {
       ReplicaEngine.replicate(s, ReplConf(
         SourceConf(connect = s"$dir/orders.parquet"),
         SinkConf(connect = sink, mode = ReplicationMode.CompleteAtomic)))
+      s.read.parquet(sink)
+    }),
+
+    // small-file compaction: fragment customer into 64 tiny files,
+    // bin-pack back to a handful, read the compacted table — row
+    // parity against the source proves the rewrite lost nothing
+    "m6_compaction" -> ((s, dir) => {
+      val sink = tmpDir("graft_compact") + "/customer_sink"
+      t(s, dir, "customer").repartition(64).write
+        .mode("overwrite").parquet(sink)
+      graft.sources.Compaction.compactParquet(s, sink, 64L << 20)
       s.read.parquet(sink)
     }),
 
@@ -343,6 +366,45 @@ object SparkEntry {
           round(percent_rank().over(w), 6).as("pct_rank"),
           round(cume_dist().over(w), 6).as("cume"))
     }),
+
+    // lag/lead navigation: per-customer order timeline with gap days
+    // to the previous order and the next order's value
+    "w5_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+            .cast("long").as("days_since_prev"),
+          round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"),
+          round(first(col("o_totalprice")).over(w), 2).as("first_price"))
+    }),
+
+    // TPC-H Q6 shape (forecasting revenue change): tight range
+    // predicates only — every filter must reach the parquet scan
+    "q6_forecast_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz"))
+        .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+        .filter(col("l_discount").between(0.02, 0.06))
+        .filter(col("l_quantity") < 10)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"))),
+
+    // TPC-H Q12 shape (priority by line status): two-level CASE
+    // aggregation — counts of urgent vs non-urgent orders per
+    // lineitem group after a join
+    "q12_priority_count" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz"))
+        .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))),
 
     // GROUPING SETS through the SQL surface (DataFrame API exposes
     // only rollup/cube); grouping_id() disambiguates the null rows
@@ -540,6 +602,26 @@ object SparkEntry {
         graft.sources.Bucketing.readBucketed(s, shinglesTable),
         "doc_id", "text", shingleSize = 3, numHashes = 64,
         numBands = 16, threshold = 0.8)
+    }),
+
+    // C4-style paragraph dedup over a paragraphed fixture: each doc
+    // becomes 3 word-slice paragraphs, the middle one taken from its
+    // 5-group leader — planting cross-doc duplicate paragraphs that
+    // the operator must excise while reassembling survivors in order
+    "dd15_paragraph_dedup" -> ((s, dir) => {
+      val own = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val leaders = t(s, dir, "documents")
+        .select(col("doc_id").as("l_id"), split(col("text"), " ").as("lw"))
+      val fixture = own
+        .join(broadcast(leaders),
+          col("l_id") === col("doc_id") - col("doc_id") % 5)
+        .select(col("doc_id"),
+          concat_ws("\n\n",
+            array_join(slice(col("w"), 1, 4), " "),
+            array_join(slice(col("lw"), 5, 4), " "),
+            array_join(slice(col("w"), 9, 2), " ")).as("text"))
+      Dedup.paragraphDedup(fixture, "doc_id", "text")
     }),
 
     // cluster labeling over a DETERMINISTIC pair source (exact Jaccard,
@@ -767,6 +849,21 @@ object SparkEntry {
       QualityFilters.gate(t(s, dir, "documents"), "text")
         .select("doc_id", "n_words", "mean_word_len", "max_word_len",
           "symbol_ratio", "stopword_hits", "keep")),
+
+    // URL fixture shared by url1/qf3: two deterministic URLs per doc
+    // (one mixed-case host, one with a port + query) appended to the
+    // text — the extraction and the gate must find and normalize both
+    "url1_extract" -> ((s, dir) =>
+      QualityFilters.extractUrls(urlFixture(t(s, dir, "documents")),
+        "doc_id", "text")),
+
+    "qf3_domain_gate" -> ((s, dir) => {
+      import s.implicits._
+      val blocked = Seq("d2.example", "d5.example", "cdn-d1.example")
+        .toDF("domain")
+      QualityFilters.domainGate(urlFixture(t(s, dir, "documents")),
+        "doc_id", "text", blocked)
+    }),
 
     "rep1_repetition" -> ((s, dir) =>
       QualityFilters.repetitionSignals(t(s, dir, "documents"),
@@ -1427,6 +1524,9 @@ object SparkEntry {
     "m2_mode_complete_atomic" ->
       "SELECT * FROM orders",
 
+    "m6_compaction" ->
+      "SELECT * FROM customer",
+
     "m3_mode_incremental_jdbc" ->
       """WITH staging AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
@@ -1666,6 +1766,36 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_orderpriority
         |             ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin,
 
+    "w5_lag_lead" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |       CAST(date_diff('day', lag(o_orderdate, 1) OVER w, o_orderdate)
+        |            AS BIGINT) AS days_since_prev,
+        |       round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+        |       round(first_value(o_totalprice) OVER w, 2) AS first_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.06
+        |  AND l_quantity < 10""".stripMargin,
+
+    "q12_priority_count" ->
+      """SELECT l.l_returnflag, l.l_linestatus,
+        |       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2""".stripMargin,
+
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders o
@@ -1879,6 +2009,34 @@ object SparkEntry {
         |WHERE len(list_intersect(n.w, c.w))::DOUBLE /
         |      (len(n.w) + len(c.w) - len(list_intersect(n.w, c.w))) >= 0.8""".stripMargin,
 
+    // same fixture construction, then first-occurrence-wins paragraph
+    // dedup replayed with window functions; string_agg skips the
+    // NULLed losers and reassembles survivors in paragraph order
+    "dd15_paragraph_dedup" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |fixture AS (
+        |  SELECT b.doc_id,
+        |         array_to_string(b.w[1:4], ' ') || chr(10) || chr(10) ||
+        |         array_to_string(l.w[5:8], ' ') || chr(10) || chr(10) ||
+        |         array_to_string(b.w[9:10], ' ') AS text
+        |  FROM base b JOIN base l ON l.doc_id = b.doc_id - b.doc_id % 5),
+        |paras AS (
+        |  SELECT doc_id, CAST(i - 1 AS INT) AS para_idx, ps[i] AS para
+        |  FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps
+        |        FROM fixture), unnest([1, 2, 3]) AS t(i)),
+        |ranked AS (
+        |  SELECT doc_id, para_idx, para,
+        |         row_number() OVER (PARTITION BY para
+        |                            ORDER BY doc_id, para_idx) AS rk
+        |  FROM paras)
+        |SELECT doc_id,
+        |       string_agg(CASE WHEN rk = 1 THEN para END,
+        |                  chr(10) || chr(10) ORDER BY para_idx) AS clean_text,
+        |       CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN rk <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |FROM ranked GROUP BY doc_id
+        |HAVING sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) > 0""".stripMargin,
+
     // connected components via transitive closure: reach(id, label)
     // accumulates every smaller-id node reachable from id; min(label)
     // is exactly the min-label cluster id the Spark operator assigns
@@ -2090,6 +2248,36 @@ object SparkEntry {
     "pii1_redact" -> piiOracle,
 
     "qf1_quality_gate" -> qualityGateOracle,
+
+    "url1_extract" ->
+      """WITH fx AS (
+        |  SELECT doc_id,
+        |         text || ' http://d' || (doc_id % 7)::VARCHAR ||
+        |         '.example/p/' || doc_id::VARCHAR ||
+        |         ' https://CDN-d' || (doc_id % 4)::VARCHAR ||
+        |         '.Example:8443/x?q=' || doc_id::VARCHAR AS text
+        |  FROM documents)
+        |SELECT doc_id, u AS url,
+        |       lower(regexp_extract(u, '^https?://([^/:?#\s]+)', 1)) AS domain
+        |FROM fx, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS t(u)""".stripMargin,
+
+    "qf3_domain_gate" ->
+      """WITH fx AS (
+        |  SELECT doc_id,
+        |         text || ' http://d' || (doc_id % 7)::VARCHAR ||
+        |         '.example/p/' || doc_id::VARCHAR ||
+        |         ' https://CDN-d' || (doc_id % 4)::VARCHAR ||
+        |         '.Example:8443/x?q=' || doc_id::VARCHAR AS text
+        |  FROM documents),
+        |urls AS (
+        |  SELECT doc_id,
+        |         lower(regexp_extract(u, '^https?://([^/:?#\s]+)', 1)) AS domain
+        |  FROM fx, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS t(u)),
+        |blocked AS (
+        |  SELECT DISTINCT doc_id FROM urls
+        |  WHERE domain IN ('d2.example', 'd5.example', 'cdn-d1.example'))
+        |SELECT f.doc_id, f.text FROM fx f
+        |WHERE f.doc_id NOT IN (SELECT doc_id FROM blocked)""".stripMargin,
 
     "rep1_repetition" ->
       """WITH toks AS (

@@ -1102,4 +1102,42 @@ object Dedup {
       .filter(col("__rn") === 1)
       .select(col("cluster"), col("id").as("survivor"), col("score"))
   }
+
+  /** Paragraph-level exact dedup with document reassembly (the
+    * C4/RefinedWeb line-dedup step): split each document on `sep`,
+    * keep only the corpus-wide FIRST occurrence of every distinct
+    * paragraph (first by (doc_id, paragraph position)), stitch the
+    * survivors back together in their original in-document order, and
+    * report per-document kept/dropped counts. Documents whose every
+    * paragraph was seen earlier elsewhere disappear from the output.
+    *
+    * Scale shape: paragraphs shuffle ONCE keyed by their 64-bit
+    * content hash (the window's partition key — same hash-equality
+    * convention as [[exact]], collision caveat included), where a
+    * row_number elects the winner; reassembly is one groupBy on
+    * doc_id. No self-join, no driver state, text never shuffles more
+    * than twice.
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val paras = docs.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("para_idx", "para")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(xxhash64(col("para")))
+      .orderBy(col("doc_id"), col("para_idx"))
+    paras
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__rn") === 1, struct(col("para_idx"), col("para"))))),
+            _.getField("para")),
+          sep).as("clean_text"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__rn") =!= 1, 1L).otherwise(0L)).as("n_dropped"))
+      .filter(col("n_kept") > 0)
+  }
 }

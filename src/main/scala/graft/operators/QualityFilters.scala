@@ -67,6 +67,32 @@ object QualityFilters {
         col("stopword_hits") >= t.minStopwordHits)
   }
 
+  /** URL surface for C4-style provenance filtering: every
+    * `http(s)://` URL in the text, exploded to one row per URL with
+    * its lowercased registrable host (scheme/port/path/query
+    * stripped). Pure codegen'd regexp projection + generate — no
+    * shuffle, linear at any scale. */
+  def extractUrls(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(regexp_extract_all(col(textCol),
+          lit("https?://[^\\s]+"), lit(0))).as("url"))
+      .withColumn("domain",
+        lower(regexp_extract(col("url"), "^https?://([^/:?#\\s]+)", 1)))
+
+  /** Drop documents that cite any blocklisted domain (the C4
+    * bad-domain gate). The blocklist is a DataFrame so a real
+    * deployment can read it from a table; it broadcasts into a semi
+    * join — the corpus never shuffles, only the (id, domain) pairs
+    * do, and only to prune ids. */
+  def domainGate(df: DataFrame, idCol: String, textCol: String,
+      blocked: DataFrame): DataFrame = {
+    val bad = extractUrls(df, idCol, textCol)
+      .join(broadcast(blocked.select(lower(col("domain")).as("domain"))),
+        Seq("domain"), "left_semi")
+      .select(col(idCol))
+    df.join(bad, Seq(idCol), "left_anti")
+  }
+
   /** Word n-grams of the lowercased whitespace tokens as space-joined
     * strings ("the quick", "quick fox", ...) — the fused codegen
     * expression; FunctionsSpec pins it value-identical to the HOF

@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction for file-backed tables (beyond-parity).
+  *
+  * Long-lived corpora accumulate small files — incremental appends,
+  * streaming micro-batches, over-parallel writers — and at 100 TB the
+  * file count itself becomes the bottleneck: task-per-file scheduling,
+  * NameNode/listing pressure, row-group overhead. Compaction bin-packs
+  * a directory back to `targetBytes`-sized files.
+  *
+  * Shape: one FS metadata listing prices the directory (no job), the
+  * rewrite is a single `coalesce` (no shuffle — merging files needs no
+  * data movement beyond concatenation; `shuffle = true` opts into a
+  * `repartition` when the input is size-skewed enough that balanced
+  * outputs are worth a full exchange), and the swap rides
+  * [[FileConnector.writeAtomic]] so readers always observe a complete
+  * table. The whole directory is rewritten — at warehouse scale run it
+  * per partition directory (the unit Hive/Iceberg/Delta compaction
+  * jobs use), never across the full table at once.
+  */
+object Compaction {
+
+  /** Data-file inventory under `path`: (file, bytes) for every
+    * non-hidden file — one recursive FS metadata listing, no Spark
+    * job, no data read. */
+  def dataFiles(spark: SparkSession, path: String): Seq[(String, Long)] = {
+    val root = new org.apache.hadoop.fs.Path(FileConnector.stripScheme(path))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val it = fs.listFiles(root, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith("."))
+        buf += ((f.getPath.toString, f.getLen))
+    }
+    buf.toSeq
+  }
+
+  /** Rewrite the parquet directory at `path` into
+    * ceil(totalBytes / targetBytes) files, atomically (readers see the
+    * old file set right up until they see the new one). Returns the
+    * output file count. No-op (returns the current count) when the
+    * directory already meets the target — compaction must be safe to
+    * run on a schedule. */
+  def compactParquet(spark: SparkSession, path: String, targetBytes: Long,
+      shuffle: Boolean = false): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val files = dataFiles(spark, path)
+    require(files.nonEmpty, s"compactParquet: no data files under $path")
+    val total = files.map(_._2).sum
+    val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    if (files.size <= n) return files.size
+    val df = spark.read.parquet(FileConnector.stripScheme(path))
+    val out = if (shuffle) df.repartition(n) else df.coalesce(n)
+    FileConnector.writeAtomic(out, path, "parquet", Map.empty)
+    n
+  }
+}

@@ -275,4 +275,37 @@ class PlanSpec extends SparkTestBase {
     assert(specs.forall(s => s.contains("train_id") && s.contains("eval_id")),
       s"window must partition by (train_id, eval_id):\n$p")
   }
+
+  test("new TPC-H shapes broadcast dims and plan subqueries as joins, not loops") {
+    val q8 = planOf("q8_market_share")
+    assert(q8.contains("BroadcastHashJoin"))
+    assert(q8.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("p_type")))
+    assert(!q8.contains("CartesianProduct") && !q8.contains("BroadcastNestedLoopJoin"))
+    // the 1-row max frame joins as a broadcast equi-join, never a loop
+    val q15 = planOf("q15_top_supplier")
+    assert(q15.contains("BroadcastHashJoin"))
+    assert(!q15.contains("CartesianProduct") && !q15.contains("BroadcastNestedLoopJoin"))
+    // both part-key membership tests plan as broadcast semi joins
+    val q17 = planOf("q17_small_quantity")
+    assert("LeftSemi".r.findAllIn(q17).size >= 2)
+    assert(q17.contains("BroadcastHashJoin"))
+    assert(!q17.contains("CartesianProduct"))
+    // no-order customers prune through an anti join; the global
+    // average rides in as a deliberate 1-row broadcast
+    val q22 = planOf("q22_global_balance")
+    assert(q22.contains("LeftAnti"))
+    assert(q22.contains("BroadcastExchange"))
+  }
+
+  test("dd15 elects paragraph winners on a hash-keyed window, no self-join") {
+    val df = SparkEntry.queries("dd15_paragraph_dedup")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    // the winner election shuffles by the 64-bit paragraph hash
+    // (projected as the _w0 window partition column), not by raw
+    // text, and there is no pairwise join anywhere
+    assert(p.linesIterator.exists(l => l.contains("xxhash64") && l.contains("_w")))
+    assert(p.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("_w")))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
 }

@@ -14,6 +14,22 @@ class DedupSpec extends SparkTestBase {
     (5L, "unrelated text mentioning training data pipelines")
   ).toDF("doc_id", "text")
 
+  test("paragraph dedup keeps first occurrence, reassembles, drops empty docs") {
+    val paraDocs = Seq(
+      (1L, "alpha one\n\nshared body\n\nomega one"),
+      (2L, "alpha two\n\nshared body\n\nomega two"),   // middle para dup of 1
+      (3L, "shared body"),                              // entire doc already seen
+      (4L, "alpha one\n\nfresh tail")                   // first para dup of 1
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(paraDocs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 4L)) // doc 3 fully excised
+    assert(out(0) == ((1L, "alpha one\n\nshared body\n\nomega one", 3L, 0L)))
+    assert(out(1) == ((2L, "alpha two\n\nomega two", 2L, 1L)))
+    assert(out(2) == ((4L, "fresh tail", 1L, 1L)))
+  }
+
   test("exact dedup keeps min id per distinct content with counts") {
     val out = Dedup.exact(docs, "doc_id", Seq("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -64,6 +64,23 @@ class QualityFiltersSpec extends SparkTestBase {
     assert(out(3).getAs[Double]("mean_word_len") > 12.0)
   }
 
+  test("url extraction explodes normalized domains; gate drops blocklisted docs") {
+    val rows = Seq(
+      (1L, "see http://Ads.Example/banner and https://good.example/a?x=1"),
+      (2L, "plain text with no links at all"),
+      (3L, "dup http://good.example/1 http://good.example/2 https://t.co:443/z"))
+      .toDF("doc_id", "text")
+    val urls = QualityFilters.extractUrls(rows, "doc_id", "text")
+      .orderBy("doc_id", "url")
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(urls.toSeq == Seq((1L, "ads.example"), (1L, "good.example"),
+      (3L, "good.example"), (3L, "good.example"), (3L, "t.co")))
+    val blocked = Seq("ads.example").toDF("domain")
+    val kept = QualityFilters.domainGate(rows, "doc_id", "text", blocked)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L)) // doc 1 cites the blocked domain
+  }
+
   test("repetition signals flag the boilerplate document") {
     val rows = Seq(
       (1L, "buy now buy now buy now buy now buy now"),

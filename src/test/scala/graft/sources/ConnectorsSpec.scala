@@ -38,6 +38,23 @@ class FileConnectorSpec extends SparkTestBase {
       FileConnector.read(spark, SourceConf(connect = "/tmp/x.csv")))
   }
 
+  test("compaction bin-packs small files atomically and loses no rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/tbl"
+    val df = (1 to 1000).map(i => (i.toLong, s"row$i")).toDF("id", "v")
+    df.repartition(40).write.mode("overwrite").parquet(dir)
+    assert(Compaction.dataFiles(spark, dir).size >= 40)
+    // huge target -> everything packs into one file
+    val n = Compaction.compactParquet(spark, dir, 1L << 30)
+    assert(n == 1)
+    assert(Compaction.dataFiles(spark, dir).count(_._1.endsWith(".parquet")) == 1)
+    assert(spark.read.parquet(dir).orderBy("id").collect().toSeq ==
+      df.orderBy("id").collect().toSeq)
+    // already compact -> scheduled re-run is a no-op (same file set)
+    val before = Compaction.dataFiles(spark, dir).toSet
+    assert(Compaction.compactParquet(spark, dir, 1L << 30) == 1)
+    assert(Compaction.dataFiles(spark, dir).toSet == before)
+  }
+
   test("unknown dialect is rejected; known dialect sets separator") {
     assertThrows[IllegalArgumentException](
       FileConnector.read(spark, SourceConf(connect = "/tmp/x.csv",
