@@ -1122,6 +1122,29 @@ object SparkEntry {
           .as("revenue"))
     }),
 
+    // TPC-H Q21 shape (suppliers who kept orders waiting): EXISTS and
+    // NOT EXISTS correlated on the same fact table with an inequality
+    // rider — a semi join AND an anti join against fresh lineitem
+    // scans, sharing the orderkey equi-key
+    "q21_waiting_supplier" -> ((s, dir) => {
+      val l1 = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val l2 = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+      val l3 = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+      l1.join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(l2, col("l_orderkey") === col("k2") &&
+          col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("k3") &&
+          col("l_suppkey") =!= col("s3"), "left_anti")
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(20)
+    }),
+
     // TPC-H Q22 shape (global-balance anti join): customers above the
     // positive-balance average with no orders, bucketed — a global
     // scalar aggregate broadcast back plus an anti join
@@ -2257,8 +2280,9 @@ object SparkEntry {
         |         ' https://CDN-d' || (doc_id % 4)::VARCHAR ||
         |         '.Example:8443/x?q=' || doc_id::VARCHAR AS text
         |  FROM documents)
-        |SELECT doc_id, u AS url,
-        |       lower(regexp_extract(u, '^https?://([^/:?#\s]+)', 1)) AS domain
+        |SELECT doc_id, regexp_replace(u, '[.,;:!?)\]''"]+$', '') AS url,
+        |       lower(regexp_extract(regexp_replace(u, '[.,;:!?)\]''"]+$', ''),
+        |                            '^https?://([^/:?#\s]+)', 1)) AS domain
         |FROM fx, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS t(u)""".stripMargin,
 
     "qf3_domain_gate" ->
@@ -2271,7 +2295,8 @@ object SparkEntry {
         |  FROM documents),
         |urls AS (
         |  SELECT doc_id,
-        |         lower(regexp_extract(u, '^https?://([^/:?#\s]+)', 1)) AS domain
+        |         lower(regexp_extract(regexp_replace(u, '[.,;:!?)\]''"]+$', ''),
+        |                              '^https?://([^/:?#\s]+)', 1)) AS domain
         |  FROM fx, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS t(u)),
         |blocked AS (
         |  SELECT DISTINCT doc_id FROM urls
@@ -2525,6 +2550,24 @@ object SparkEntry {
         |       AND l.l_quantity BETWEEN 10 AND 20)
         |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
         |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """SELECT s.s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders o ON l1.l_orderkey = o.o_orderkey
+        |              AND o.o_orderstatus = 'F'
+        |JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY 1
+        |ORDER BY numwait DESC, s_name ASC
+        |LIMIT 20""".stripMargin,
 
     "q22_global_balance" ->
       """WITH ab AS (

@@ -1111,10 +1111,12 @@ object Dedup {
     * report per-document kept/dropped counts. Documents whose every
     * paragraph was seen earlier elsewhere disappear from the output.
     *
-    * Scale shape: paragraphs shuffle ONCE keyed by their 64-bit
-    * content hash (the window's partition key — same hash-equality
-    * convention as [[exact]], collision caveat included), where a
-    * row_number elects the winner; reassembly is one groupBy on
+    * Scale shape: paragraphs shuffle ONCE, keyed by (64-bit content
+    * hash, paragraph) — the hash spreads the shuffle, and since the
+    * paragraph text travels with its row anyway (unlike [[exact]],
+    * which shuffles only hashes), including it in the key costs
+    * nothing and makes winner election EXACT under hash collisions.
+    * A row_number elects the winner; reassembly is one groupBy on
     * doc_id. No self-join, no driver state, text never shuffles more
     * than twice.
     */
@@ -1124,7 +1126,7 @@ object Dedup {
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("para_idx", "para")))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(xxhash64(col("para")))
+      .partitionBy(xxhash64(col("para")), col("para"))
       .orderBy(col("doc_id"), col("para_idx"))
     paras
       .withColumn("__rn", row_number().over(w))

@@ -213,10 +213,10 @@ object Multimodal {
   }
 
   /** Audio feature extraction over media rows — same mapPartitions
-    * shape as [[extractFeatures]] (codec init amortized per task).
-    * Recognized 16-bit PCM audio yields the decoded header (sample
-    * rate, channels, frames) and waveform statistics (peak, RMS, sign
-    * transitions); anything else reports zeros with the byte count. */
+    * shape as [[extractFeatures]]. Recognized 16-bit PCM audio yields
+    * the decoded header (sample rate, channels, frames) and waveform
+    * statistics (peak, RMS, sign transitions); anything else reports
+    * an all-zeros row, never a fabricated waveform. */
   def extractAudioFeatures(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(audioFeatureSchema)
     media.select("media_id", "payload").mapPartitions { rows =>

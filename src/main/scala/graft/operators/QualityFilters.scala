@@ -70,12 +70,17 @@ object QualityFilters {
   /** URL surface for C4-style provenance filtering: every
     * `http(s)://` URL in the text, exploded to one row per URL with
     * its lowercased registrable host (scheme/port/path/query
-    * stripped). Pure codegen'd regexp projection + generate — no
-    * shuffle, linear at any scale. */
+    * stripped). Trailing prose punctuation is trimmed off the match —
+    * in natural text URLs overwhelmingly end at a sentence boundary
+    * ("see http://x.example.") and keeping the '.' would defeat the
+    * blocklist's exact host match. Pure codegen'd regexp projection +
+    * generate — no shuffle, linear at any scale. */
   def extractUrls(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
         explode(regexp_extract_all(col(textCol),
-          lit("https?://[^\\s]+"), lit(0))).as("url"))
+          lit("https?://[^\\s]+"), lit(0))).as("raw"))
+      .select(col(idCol),
+        regexp_replace(col("raw"), "[.,;:!?)\\]'\"]+$", "").as("url"))
       .withColumn("domain",
         lower(regexp_extract(col("url"), "^https?://([^/:?#\\s]+)", 1)))
 

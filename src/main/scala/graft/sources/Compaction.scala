@@ -22,19 +22,28 @@ import org.apache.spark.sql.SparkSession
   */
 object Compaction {
 
-  /** Data-file inventory under `path`: (file, bytes) for every
-    * non-hidden file — one recursive FS metadata listing, no Spark
-    * job, no data read. */
+  /** Data-file inventory under `path`: (file, bytes) for every file
+    * with no hidden component anywhere below the root (Spark's reader
+    * skips `_temporary`/`.hidden` subtrees at any depth, so a crashed
+    * write's leftovers must not price the directory) — one recursive
+    * FS metadata listing, no Spark job, no data read. */
   def dataFiles(spark: SparkSession, path: String): Seq[(String, Long)] = {
     val root = new org.apache.hadoop.fs.Path(FileConnector.stripScheme(path))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
+    val rootQ = fs.makeQualified(root).toString
+    // only segments BELOW the table root count as hidden — the root
+    // itself (or an ancestor tmpdir) may legitimately start with '.'
+    def hiddenBelowRoot(p: org.apache.hadoop.fs.Path): Boolean = {
+      val s = p.toString
+      val rel = if (s.startsWith(rootQ)) s.substring(rootQ.length) else p.getName
+      rel.split('/').exists(seg => seg.startsWith("_") || seg.startsWith("."))
+    }
     val it = fs.listFiles(root, true)
     val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     while (it.hasNext) {
       val f = it.next()
-      val name = f.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith("."))
+      if (!hiddenBelowRoot(f.getPath))
         buf += ((f.getPath.toString, f.getLen))
     }
     buf.toSeq
@@ -43,9 +52,15 @@ object Compaction {
   /** Rewrite the parquet directory at `path` into
     * ceil(totalBytes / targetBytes) files, atomically (readers see the
     * old file set right up until they see the new one). Returns the
-    * output file count. No-op (returns the current count) when the
+    * post-rewrite data-file count — measured from the directory, not
+    * assumed from the plan. No-op (returns the current count) when the
     * directory already meets the target — compaction must be safe to
-    * run on a schedule. */
+    * run on a schedule.
+    *
+    * The scan may arrive with fewer partitions than the target
+    * (`maxPartitionBytes` packs small files together), and `coalesce`
+    * can only shrink — so when the scan is under target the rewrite
+    * repartitions up to hit the requested file size. */
   def compactParquet(spark: SparkSession, path: String, targetBytes: Long,
       shuffle: Boolean = false): Int = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
@@ -55,8 +70,9 @@ object Compaction {
     val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
     if (files.size <= n) return files.size
     val df = spark.read.parquet(FileConnector.stripScheme(path))
-    val out = if (shuffle) df.repartition(n) else df.coalesce(n)
+    val scanParts = df.rdd.getNumPartitions
+    val out = if (shuffle || scanParts < n) df.repartition(n) else df.coalesce(n)
     FileConnector.writeAtomic(out, path, "parquet", Map.empty)
-    n
+    dataFiles(spark, path).size
   }
 }

@@ -68,17 +68,23 @@ class QualityFiltersSpec extends SparkTestBase {
     val rows = Seq(
       (1L, "see http://Ads.Example/banner and https://good.example/a?x=1"),
       (2L, "plain text with no links at all"),
-      (3L, "dup http://good.example/1 http://good.example/2 https://t.co:443/z"))
+      (3L, "dup http://good.example/1 http://good.example/2 https://t.co:443/z"),
+      (4L, "ends a sentence (http://spam.example), then http://paren.example."))
       .toDF("doc_id", "text")
     val urls = QualityFilters.extractUrls(rows, "doc_id", "text")
       .orderBy("doc_id", "url")
-      .collect().map(r => (r.getLong(0), r.getString(2)))
-    assert(urls.toSeq == Seq((1L, "ads.example"), (1L, "good.example"),
-      (3L, "good.example"), (3L, "good.example"), (3L, "t.co")))
-    val blocked = Seq("ads.example").toDF("domain")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(urls.map(u => (u._1, u._3)).toSeq == Seq(
+      (1L, "ads.example"), (1L, "good.example"),
+      (3L, "good.example"), (3L, "good.example"), (3L, "t.co"),
+      (4L, "paren.example"), (4L, "spam.example")))
+    // trailing prose punctuation never survives into the url
+    assert(urls.filter(_._1 == 4L).map(_._2).toSeq ==
+      Seq("http://paren.example", "http://spam.example"))
+    val blocked = Seq("ads.example", "spam.example").toDF("domain")
     val kept = QualityFilters.domainGate(rows, "doc_id", "text", blocked)
       .select("doc_id").as[Long].collect().toSet
-    assert(kept == Set(2L, 3L)) // doc 1 cites the blocked domain
+    assert(kept == Set(2L, 3L)) // docs 1 and 4 cite blocked domains
   }
 
   test("repetition signals flag the boilerplate document") {
