@@ -604,6 +604,23 @@ object SparkEntry {
         numBands = 16, threshold = 0.8)
     }),
 
+    // character-level verify: every non-leader doc paired with its
+    // 5-group leader, edit distance + similarity over capped texts
+    "ed1_edit_distance" -> ((s, dir) => {
+      val cands = t(s, dir, "documents")
+        .select(col("doc_id").as("a"),
+          (col("doc_id") - col("doc_id") % 5).as("b"))
+        .filter(col("a") =!= col("b"))
+      Dedup.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
+        cands, "a", "b", maxLen = 256)
+    }),
+
+    // dense equi-width histogram of order values: every bucket
+    // present including empty over/underflow
+    "pf6_histogram" -> ((s, dir) =>
+      Profiling.histogram(t(s, dir, "orders"), "o_totalprice",
+        lo = 0.0, hi = 500000.0, nBuckets = 10)),
+
     // C4-style paragraph dedup over a paragraphed fixture: each doc
     // becomes 3 word-slice paragraphs, the middle one taken from its
     // 5-group leader — planting cross-doc duplicate paragraphs that
@@ -1312,6 +1329,32 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"),
           round(sum("value"), 2).as("sum_value"))),
+
+    // streaming exact-dedup gate e2e: the event table arrives TWICE
+    // (two identical files, maxFilesPerTrigger=1 forces separate
+    // micro-batches), so every second-batch row is a cross-batch
+    // duplicate that dropDuplicatesWithinWatermark must match against
+    // state and drop; the surviving set is exactly the distinct rows
+    "st8_stream_dedup" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select("event_id", "user_id", "ts", "event_type", "value")
+      val base = tmpDir("graft_st8")
+      val in = s"$base/in"
+      ev.coalesce(1).write.mode("append").parquet(in)
+      ev.coalesce(1).write.mode("append").parquet(in)
+      val schema = s.read.parquet(in).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        // watermarks need an instant (TimestampType); UTC session ->
+        // same wall-clock values as the NTZ source
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val deduped = graft.streaming.EventStream.streamingDedup(
+        stream, Seq("event_id"), "ts", "30 days")
+      val q = graft.streaming.EventStream.writeFileStream(
+        deduped, s"$base/out", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out")
+    }),
 
     // streaming incremental replication e2e: a chronological file
     // stream of events runs through Structured Streaming into a JDBC
@@ -2032,6 +2075,38 @@ object SparkEntry {
         |WHERE len(list_intersect(n.w, c.w))::DOUBLE /
         |      (len(n.w) + len(c.w) - len(list_intersect(n.w, c.w))) >= 0.8""".stripMargin,
 
+    "ed1_edit_distance" ->
+      """WITH c AS (
+        |  SELECT doc_id AS id_a, doc_id - doc_id % 5 AS id_b
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |j AS (
+        |  SELECT c.id_a, c.id_b,
+        |         substr(a.text, 1, 256) AS ta, substr(b.text, 1, 256) AS tb
+        |  FROM c
+        |  JOIN documents a ON a.doc_id = c.id_a
+        |  JOIN documents b ON b.doc_id = c.id_b)
+        |SELECT id_a, id_b,
+        |       CAST(levenshtein(ta, tb) AS BIGINT) AS edit_distance,
+        |       round(1.0 - levenshtein(ta, tb)::DOUBLE /
+        |             greatest(length(ta), length(tb), 1), 4) AS similarity
+        |FROM j""".stripMargin,
+
+    "pf6_histogram" ->
+      """WITH b AS (
+        |  SELECT CASE WHEN o_totalprice < 0 THEN -1
+        |              WHEN o_totalprice >= 500000 THEN 10
+        |              ELSE CAST(floor(o_totalprice / 50000) AS BIGINT) END AS bucket
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |c AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1),
+        |spine AS (SELECT unnest(range(-1, 11)) AS bucket)
+        |SELECT s.bucket,
+        |       CASE WHEN s.bucket BETWEEN 0 AND 9
+        |            THEN round(s.bucket * 50000.0, 4) END AS lo_bound,
+        |       CASE WHEN s.bucket BETWEEN 0 AND 9
+        |            THEN round((s.bucket + 1) * 50000.0, 4) END AS hi_bound,
+        |       COALESCE(c.n, 0) AS n
+        |FROM spine s LEFT JOIN c USING (bucket)""".stripMargin,
+
     // same fixture construction, then first-occurrence-wins paragraph
     // dedup replayed with window functions; string_agg skips the
     // NULLed losers and reassembles survivors in paragraph order
@@ -2647,6 +2722,13 @@ object SparkEntry {
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
         |       count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the doubled stream collapses back to the source rows: event_id
+    // is unique in the source, so distinct-by-key == distinct rows
+    "st8_stream_dedup" ->
+      """SELECT DISTINCT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |       event_type, value
+        |FROM events""".stripMargin,
 
     "st3_stream_upsert" ->
       """SELECT user_id, ts, event_id, event_type, value FROM (

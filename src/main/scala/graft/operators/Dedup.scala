@@ -1103,6 +1103,38 @@ object Dedup {
       .select(col("cluster"), col("id").as("survivor"), col("score"))
   }
 
+  /** Verify candidate near-duplicate pairs by Levenshtein edit
+    * distance — the character-level verify modality (shingle Jaccard
+    * misses single-character edits in short documents; edit distance
+    * is exact on them). `candidates` carries (aCol, bCol) id pairs
+    * from any blocking stage (LSH buckets, adjacent sort keys, ...);
+    * texts are capped at `maxLen` chars so the O(len²) DP stays
+    * bounded per pair regardless of document size. Output: (id_a,
+    * id_b, edit_distance, similarity) with similarity = 1 - dist /
+    * max(len) over the capped texts.
+    *
+    * Scale shape: two id-keyed joins pull the capped texts to the
+    * pair — identical to the verify stage of [[ngramJaccardPairs]];
+    * cost is linear in candidate pairs, never corpus². */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+      candidates: DataFrame, aCol: String, bCol: String,
+      maxLen: Int = 256): DataFrame = {
+    require(maxLen > 0, s"maxLen must be positive: $maxLen")
+    val a = docs.select(col(idCol).cast("long").as("__a"),
+      substring(col(textCol), 1, maxLen).as("__ta"))
+    val b = docs.select(col(idCol).cast("long").as("__b"),
+      substring(col(textCol), 1, maxLen).as("__tb"))
+    val dist = levenshtein(col("__ta"), col("__tb")).cast("long")
+    candidates
+      .select(col(aCol).cast("long").as("__a"), col(bCol).cast("long").as("__b"))
+      .join(a, "__a").join(b, "__b")
+      .select(col("__a").as("id_a"), col("__b").as("id_b"),
+        dist.as("edit_distance"),
+        round(lit(1.0) - dist.cast("double") /
+          greatest(length(col("__ta")), length(col("__tb")), lit(1))
+            .cast("double"), 4).as("similarity"))
+  }
+
   /** Paragraph-level exact dedup with document reassembly (the
     * C4/RefinedWeb line-dedup step): split each document on `sep`,
     * keep only the corpus-wide FIRST occurrence of every distinct

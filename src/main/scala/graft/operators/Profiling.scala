@@ -166,4 +166,38 @@ object Profiling {
         hll_sketch_estimate(col("__sk")).as("vocab_est"), col("n_tokens"))
       .unionByName(all)
   }
+
+  /** Dense equi-width histogram: `nBuckets` buckets over [lo, hi)
+    * plus an underflow (-1) and an overflow (`nBuckets`) bucket,
+    * EVERY bucket present in the output (empty ones with n = 0 — a
+    * dashboard histogram with silently missing bars misreads as a
+    * different distribution). Output: (bucket, lo_bound, hi_bound, n)
+    * with null bounds on the two out-of-range buckets.
+    *
+    * One map-side-combined aggregate over at most nBuckets+2 keys,
+    * then a broadcast join against the tiny bucket spine — the data
+    * pass is a single scan regardless of corpus size. */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    require(hi > lo, s"empty histogram range [$lo, $hi)")
+    val width = (hi - lo) / nBuckets
+    val counts = df.select(
+        when(col(valueCol).isNull, lit(null))
+          .when(col(valueCol) < lo, lit(-1L))
+          .when(col(valueCol) >= hi, lit(nBuckets.toLong))
+          .otherwise(floor((col(valueCol) - lo) / width))
+          .cast("long").as("bucket"))
+      .filter(col("bucket").isNotNull)
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    val spine = df.sparkSession.range(-1L, nBuckets + 1L)
+      .select(col("id").as("bucket"))
+    spine.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        when(col("bucket").between(0, nBuckets - 1),
+          round(col("bucket") * width + lo, 4)).as("lo_bound"),
+        when(col("bucket").between(0, nBuckets - 1),
+          round((col("bucket") + 1) * width + lo, 4)).as("hi_bound"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
 }

@@ -11,6 +11,7 @@ object Probe {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if (args.headOption.contains("scale10x")) { scale10x(spark, dir); spark.stop(); return }
     if (args.headOption.contains("r4probe")) { r4probe(spark, dir); spark.stop(); return }
+    if (args.headOption.contains("r5probe")) { r5probe(spark, dir); spark.stop(); return }
     if (args.headOption.contains("jdbcYardstick")) { jdbcYardstick(spark, dir); spark.stop(); return }
     if (args.headOption.contains("dd4")) { dd4(spark, dir); spark.stop(); return }
     if (args.headOption.contains("dotKernel")) { dotKernel(spark, dir); spark.stop(); return }
@@ -342,6 +343,57 @@ object Probe {
         x10("embeddings", Seq("vec_id")), "vec_id", "embedding", 0.35).count())
     timed("mix1 temperature weights 50K docs")(
       graft.operators.Sampling.temperatureWeights(docs, "source", 0.5).count())
+  }
+
+  /** Round-5 operators at the 10× union (≈sf1): paragraph dedup over
+    * 150K paragraphs with 10× planted cross-copy duplication, the
+    * edit-distance verify at ~45K candidate pairs, and a real
+    * small-file compaction of a 256-file fragment. */
+  def r5probe(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.DataFrame
+    def x10(name: String, idCols: Seq[String]): DataFrame = {
+      val base = spark.read.parquet(s"$dir/$name.parquet")
+      (0 until 10).map { i =>
+        idCols.foldLeft(base)((df, c) =>
+          df.withColumn(c, col(c) + lit(i.toLong * 100000000L)))
+      }.reduce(_.unionAll(_))
+    }
+    def timed(label: String)(f: => Long): Unit = {
+      val t = System.nanoTime(); val n = f
+      println(f"=== r5probe $label: ${(System.nanoTime() - t) / 1e9}%.1fs ($n%,d rows)")
+    }
+    val docs = x10("documents", Seq("doc_id"))
+    spark.read.parquet(s"$dir/region.parquet").count() // warm
+    // the 10 id-shifted copies share identical text -> every
+    // paragraph has 10 planted copies plus any organic repeats
+    timed("dd15 paragraph dedup 50K docs / 150K paras")({
+      val w = split(col("text"), " ")
+      val fixture = docs.select(col("doc_id"),
+        concat_ws("\n\n",
+          array_join(slice(w, 1, 4), " "),
+          array_join(slice(w, 5, 4), " "),
+          array_join(slice(w, 9, 2), " ")).as("text"))
+      graft.operators.Dedup.paragraphDedup(fixture, "doc_id", "text").count()
+    })
+    timed("ed1 edit distance 45K candidate pairs")({
+      val cands = docs.select(col("doc_id").as("a"),
+          (col("doc_id") - col("doc_id") % 5).as("b"))
+        .filter(col("a") =!= col("b"))
+      graft.operators.Dedup.editDistancePairs(docs, "doc_id", "text",
+        cands, "a", "b", maxLen = 256).count()
+    })
+    timed("m6 compaction 256-file fragment -> bin-packed")({
+      val sink = java.nio.file.Files.createTempDirectory("graft_r5probe")
+        .toString + "/tbl"
+      x10("lineitem", Seq("l_orderkey")).repartition(256)
+        .write.mode("overwrite").parquet(sink)
+      val n = graft.sources.Compaction.compactParquet(spark, sink, 128L << 20)
+      spark.read.parquet(sink).count() / math.max(n, 1)
+    })
+    timed("st8-shape batch dedup by key 100K events doubled")({
+      val ev = x10("events", Seq("event_id"))
+      ev.unionAll(ev).dropDuplicates(Seq("event_id")).count()
+    })
   }
 
   /** Dot-product kernel microbench: the codegen `DotProduct`

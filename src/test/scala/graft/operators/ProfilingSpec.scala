@@ -89,4 +89,36 @@ class ProfilingSpec extends SparkTestBase {
     // partial + final aggregate over one exchange, like the exact form
     assert("Exchange".r.findAllIn(p).size == 1, p)
   }
+
+  test("histogram is dense: empty, under- and overflow buckets all present") {
+    import spark.implicits._
+    val vals = Seq(-5.0, 0.0, 0.5, 9.99, 25.0, 120.0, 120.0)
+      .toDF("v").union(Seq.empty[Double].toDF("v"))
+    val out = Profiling.histogram(vals, "v", lo = 0.0, hi = 100.0, nBuckets = 10)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(out.length == 12) // 10 buckets + underflow + overflow
+    assert(out(0) == ((-1L, 1L)))                  // -5.0
+    assert(out(1) == ((0L, 3L)))                   // 0.0, 0.5, 9.99
+    assert(out(3) == ((2L, 1L)))                   // 25.0
+    assert(out(11) == ((10L, 2L)))                 // both 120.0 overflow
+    assert(out.map(_._2).sum == 7)
+    // interior bounds are populated, sentinels are null
+    val rows = Profiling.histogram(vals, "v", 0.0, 100.0, 10)
+      .orderBy("bucket").collect()
+    assert(rows(1).getDouble(1) == 0.0 && rows(1).getDouble(2) == 10.0)
+    assert(rows(0).isNullAt(1) && rows(11).isNullAt(2))
+  }
+
+  test("edit distance pairs verify candidates with exact Levenshtein") {
+    import spark.implicits._
+    val docs = Seq((1L, "kitten"), (2L, "sitting"), (3L, "kitten"))
+      .toDF("doc_id", "text")
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
+    val out = Dedup.editDistancePairs(docs, "doc_id", "text", cands, "a", "b")
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out(0) == ((1L, 2L, 3L, 0.5714))) // 1 - 3/7 rounded to 4
+    assert(out(1) == ((1L, 3L, 0L, 1.0)))
+  }
 }
