@@ -22,6 +22,40 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Deterministic partsupp fixture: the testdata has no partsupp
+    * table, so synthesize the TPC-H relationship — 4 suppliers per
+    * part by modular arithmetic (collision-free for i in 0..3 at any
+    * supplier count >= 53), availqty/supplycost derived from the keys
+    * so both engines rebuild identical rows. The supplier count rides
+    * in as a broadcast 1-row frame, never a driver action. Unlocks
+    * the Q2/Q9/Q11/Q16/Q20 shapes. */
+  private def partsuppFixture(s: SparkSession, dir: String): DataFrame = {
+    val ns = broadcast(t(s, dir, "supplier").agg(count(lit(1)).as("__ns")))
+    t(s, dir, "part").select(col("p_partkey"))
+      .crossJoin(ns)
+      .select(col("p_partkey"), col("__ns"),
+        explode(sequence(lit(0L), lit(3L))).as("i"))
+      .select(
+        col("p_partkey").as("ps_partkey"),
+        ((col("p_partkey") * 7 + col("i") * 13) % col("__ns")).as("ps_suppkey"),
+        ((col("p_partkey") * 13 + col("i") * 17) % 9999 + 1).cast("int")
+          .as("ps_availqty"),
+        round(((col("p_partkey") * 31 + col("i") * 7) % 90000) / lit(100.0)
+          + 100.0, 2).as("ps_supplycost"))
+  }
+
+  /** The partsupp fixture as oracle SQL (kept textually in one place:
+    * every qN oracle that needs it prepends this CTE). */
+  private val psFixtureSql: String =
+    """ps AS (
+      |  SELECT p.p_partkey AS ps_partkey,
+      |         (p.p_partkey * 7 + t.i * 13) %
+      |           (SELECT count(*) FROM supplier) AS ps_suppkey,
+      |         CAST((p.p_partkey * 13 + t.i * 17) % 9999 + 1 AS INT) AS ps_availqty,
+      |         round((p.p_partkey * 31 + t.i * 7) % 90000 / 100.0 + 100.0, 2)
+      |           AS ps_supplycost
+      |  FROM part p, unnest([0, 1, 2, 3]) AS t(i))""".stripMargin
+
   /** Deterministic URL fixture for url1/qf3: the corpus has no URLs,
     * so append two per document — a mixed-case host (normalization
     * must lowercase it) and a host with port + query (the domain
@@ -1177,6 +1211,117 @@ object SparkEntry {
         .groupBy((col("c_nationkey") % 5).cast("int").as("cntry_bucket"))
         .agg(count(lit(1)).as("numcust"),
           round(sum(col("c_acctbal")), 2).as("totacctbal"))
+    }),
+
+    // TPC-H Q2 shape (minimum-cost supplier): the correlated
+    // min-supplycost-per-part subquery as a self-aggregate join;
+    // exact equality works because supplycost is 2-decimal by
+    // construction. partsupp is the deterministic fixture.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val euro = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .select(col("n_nationkey"), col("n_name"))
+      val euroSupp = t(s, dir, "supplier")
+        .join(broadcast(euro), col("s_nationkey") === col("n_nationkey"))
+      val ps = partsuppFixture(s, dir)
+        .join(euroSupp.select("s_suppkey"),
+          col("ps_suppkey") === col("s_suppkey"), "left_semi")
+      val minCost = ps.groupBy(col("ps_partkey").as("mc_partkey"))
+        .agg(min(col("ps_supplycost")).as("min_cost"))
+      partsuppFixture(s, dir)
+        .join(broadcast(t(s, dir, "part").filter(col("p_size") === 15)
+          .select("p_partkey", "p_name")),
+          col("ps_partkey") === col("p_partkey"))
+        .join(minCost, col("ps_partkey") === col("mc_partkey") &&
+          col("ps_supplycost") === col("min_cost"))
+        .join(euroSupp, col("ps_suppkey") === col("s_suppkey"))
+        .select(round(col("s_acctbal"), 2).as("s_acctbal"), col("s_name"),
+          col("n_name"), col("p_partkey"), col("p_name"),
+          col("ps_supplycost"))
+        .orderBy(col("s_acctbal").desc, col("n_name").asc,
+          col("s_name").asc, col("p_partkey").asc)
+        .limit(100)
+    }),
+
+    // TPC-H Q9 shape (product-type profit): revenue minus supply cost
+    // over a five-way join, grouped by supplier nation and year
+    "q9_product_profit" -> ((s, dir) => {
+      val ps = partsuppFixture(s, dir)
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_name").like("%red%")).select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(ps, col("l_partkey") === col("ps_partkey") &&
+          col("l_suppkey") === col("ps_suppkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          - col("ps_supplycost") * col("l_quantity")), 2).as("profit"))
+    }),
+
+    // TPC-H Q11 shape (important stock): one nation's inventory value
+    // per part, kept above a fraction of the total — the total rides
+    // back in as a broadcast 1-row frame, never a driver action
+    "q11_important_stock" -> ((s, dir) => {
+      val natSupp = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation").filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val v = partsuppFixture(s, dir)
+        .join(natSupp, col("ps_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("ps_partkey"))
+        .agg(sum(col("ps_supplycost") * col("ps_availqty")).as("value"))
+      val tot = v.agg((sum(col("value")) * 0.002).as("threshold"))
+      v.join(broadcast(tot))
+        .filter(round(col("value"), 2) > round(col("threshold"), 2))
+        .select(col("ps_partkey"), round(col("value"), 2).as("value"))
+        .orderBy(col("value").desc, col("ps_partkey").asc)
+    }),
+
+    // TPC-H Q16 shape (supplier relationship): distinct-supplier
+    // counts per part shape, excluding flagged suppliers via NOT IN
+    // (planned as a broadcast anti join)
+    "q16_supplier_relationship" -> ((s, dir) => {
+      val flagged = t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      partsuppFixture(s, dir)
+        .join(broadcast(flagged),
+          col("ps_suppkey") === col("s_suppkey"), "left_anti")
+        .join(t(s, dir, "part"), col("ps_partkey") === col("p_partkey"))
+        .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+    }),
+
+    // TPC-H Q20 shape (part promotion): suppliers whose stock exceeds
+    // half a year's shipments of that part — nested IN subqueries as
+    // chained semi joins; the threshold is exact (integral quantities)
+    "q20_part_promotion" -> ((s, dir) => {
+      val sq = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz"))
+        .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg((sum(col("l_quantity")) * 0.5).as("half_qty"))
+      val redParts = t(s, dir, "part")
+        .filter(col("p_name").like("red%")).select("p_partkey")
+      val qualified = partsuppFixture(s, dir)
+        .join(broadcast(redParts),
+          col("ps_partkey") === col("p_partkey"), "left_semi")
+        .join(sq, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .filter(col("ps_availqty") > col("half_qty"))
+        .select(col("ps_suppkey"))
+      t(s, dir, "supplier")
+        .join(qualified, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey").asc)
     }),
 
     "mm3_audio_features" -> ((s, dir) => {
@@ -2643,6 +2788,89 @@ object SparkEntry {
         |GROUP BY 1
         |ORDER BY numwait DESC, s_name ASC
         |LIMIT 20""".stripMargin,
+
+    "q2_min_cost_supplier" -> ("WITH " + psFixtureSql + "," +
+      """
+        |euro AS (
+        |  SELECT s.s_suppkey, s.s_name, round(s.s_acctbal, 2) AS s_acctbal,
+        |         n.n_name
+        |  FROM supplier s
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'EUROPE'),
+        |mc AS (
+        |  SELECT ps_partkey, min(ps_supplycost) AS min_cost
+        |  FROM ps JOIN euro ON ps.ps_suppkey = euro.s_suppkey
+        |  GROUP BY 1)
+        |SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_name,
+        |       ps.ps_supplycost
+        |FROM ps
+        |JOIN part p ON ps.ps_partkey = p.p_partkey AND p.p_size = 15
+        |JOIN mc ON ps.ps_partkey = mc.ps_partkey
+        |        AND ps.ps_supplycost = mc.min_cost
+        |JOIN euro e ON ps.ps_suppkey = e.s_suppkey
+        |ORDER BY e.s_acctbal DESC, e.n_name ASC, e.s_name ASC, p.p_partkey ASC
+        |LIMIT 100""".stripMargin),
+
+    "q9_product_profit" -> ("WITH " + psFixtureSql +
+      """
+        |SELECT n.n_name AS nation,
+        |       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |       round(sum(l.l_extendedprice * (1.0 - l.l_discount)
+        |                 - ps.ps_supplycost * l.l_quantity), 2) AS profit
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+        |JOIN ps ON l.l_partkey = ps.ps_partkey AND l.l_suppkey = ps.ps_suppkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY 1, 2""".stripMargin),
+
+    "q11_important_stock" -> ("WITH " + psFixtureSql + "," +
+      """
+        |v AS (
+        |  SELECT ps_partkey, sum(ps_supplycost * ps_availqty) AS value
+        |  FROM ps
+        |  WHERE ps_suppkey IN (
+        |    SELECT s_suppkey FROM supplier s
+        |    JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |    WHERE n.n_name = 'NATION_3')
+        |  GROUP BY 1)
+        |SELECT ps_partkey, round(value, 2) AS value
+        |FROM v
+        |WHERE round(value, 2) > round((SELECT sum(value) * 0.002 FROM v), 2)
+        |ORDER BY value DESC, ps_partkey ASC""".stripMargin),
+
+    "q16_supplier_relationship" -> ("WITH " + psFixtureSql +
+      """
+        |SELECT p.p_brand, p.p_type, p.p_size,
+        |       count(DISTINCT ps.ps_suppkey) AS supplier_cnt
+        |FROM ps
+        |JOIN part p ON ps.ps_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+        |  AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+        |  AND ps.ps_suppkey NOT IN
+        |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin),
+
+    "q20_part_promotion" -> ("WITH " + psFixtureSql + "," +
+      """
+        |sq AS (
+        |  SELECT l_partkey, l_suppkey, 0.5 * sum(l_quantity) AS half_qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2)
+        |SELECT s.s_suppkey, s.s_name
+        |FROM supplier s
+        |WHERE s.s_suppkey IN (
+        |  SELECT ps.ps_suppkey FROM ps
+        |  JOIN sq ON ps.ps_partkey = sq.l_partkey
+        |         AND ps.ps_suppkey = sq.l_suppkey
+        |  WHERE ps.ps_partkey IN
+        |        (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |    AND ps.ps_availqty > sq.half_qty)
+        |ORDER BY s.s_suppkey ASC""".stripMargin),
 
     "q22_global_balance" ->
       """WITH ab AS (

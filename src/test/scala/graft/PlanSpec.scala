@@ -297,6 +297,23 @@ class PlanSpec extends SparkTestBase {
     assert(q22.contains("BroadcastExchange"))
   }
 
+  test("partsupp-fixture TPC-H shapes: broadcasts where small, no loop joins") {
+    // the fixture's supplier-count frame joins as a deliberate 1-row
+    // broadcast cross (the documented scalar-rider pattern), so only
+    // an unbounded CartesianProduct would be a defect here
+    val q9 = planOf("q9_product_profit")
+    assert(q9.contains("BroadcastHashJoin"))
+    assert(!q9.contains("CartesianProduct"))
+    // the inventory total must ride back in as a broadcast, and the
+    // flagged-supplier NOT IN must plan as an anti join
+    val q11 = planOf("q11_important_stock")
+    assert(q11.contains("BroadcastExchange"))
+    assert(!q11.contains("CartesianProduct"))
+    val q16 = planOf("q16_supplier_relationship")
+    assert(q16.contains("LeftAnti"))
+    assert(!q16.contains("CartesianProduct"))
+  }
+
   test("dd15 elects paragraph winners on a hash-keyed window, no self-join") {
     val df = SparkEntry.queries("dd15_paragraph_dedup")(spark, sf())
     val p = df.queryExecution.executedPlan.toString
