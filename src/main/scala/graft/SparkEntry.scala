@@ -238,6 +238,34 @@ object SparkEntry {
       s.read.parquet(sink)
     }),
 
+    // CDC change-feed apply: a deterministic feed with superseded
+    // changes per key (stale update under a delete, stale delete under
+    // an update) — latest-wins per key, deletes remove, inserts add
+    "m7_cdc_apply" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val k = col("c_custkey")
+      def chg(df: DataFrame, op: String, seq: Long): DataFrame =
+        df.withColumn("op", lit(op)).withColumn("seq", lit(seq))
+      val changes =
+        chg(c.filter(k % 10 === 0), "D", 1L)
+          .unionByName(chg(c.filter(k % 10 === 0)
+            .withColumn("c_acctbal", col("c_acctbal") + 55), "U", 0L))
+          .unionByName(chg(c.filter(k % 10 === 1 || k % 10 === 2)
+            .withColumn("c_acctbal", round(col("c_acctbal") + 1000, 2)), "U", 1L))
+          .unionByName(chg(c.filter(k % 10 === 1), "D", 0L))
+          .unionByName(chg(c.filter(k % 10 === 3)
+            .withColumn("c_custkey", k + 1000000), "I", 1L))
+      Modes.applyChanges(c, changes, Seq("c_custkey"), "op", "seq")
+    }),
+
+    // agg-to-array shape: per-customer sorted distinct priority list,
+    // serialized for engine-portable comparison
+    "agg5_priority_sets" -> ((s, dir) =>
+      t(s, dir, "orders").groupBy("o_custkey")
+        .agg(array_join(array_sort(collect_set(col("o_orderpriority"))), ",")
+          .as("priorities"),
+          countDistinct(col("o_orderpriority")).as("n_priorities"))),
+
     "m3_mode_incremental_jdbc" -> ((s, dir) => {
       // incremental staged merge against a real JDBC database
       // (embedded Derby): complete-load the base, upsert the delta,
@@ -861,6 +889,13 @@ object SparkEntry {
         DataQuality.referential(l, "l_orderkey", o, "o_orderkey"))
     }),
 
+    // Tukey-fence outliers on the right-skewed event values, per
+    // event type — exact quartiles, fences broadcast back
+    "dq2_outliers" -> ((s, dir) =>
+      DataQuality.outliers(
+        events(s, dir).select("event_id", "event_type", "value"),
+        Seq("event_type"), "value")),
+
     "sk1_salted_distinct" -> ((s, dir) =>
       // two-stage salted distinct: exact result, hot keys spread over
       // 32 reducers instead of one
@@ -881,6 +916,36 @@ object SparkEntry {
     }),
 
     // ---- beyond-parity: privacy / quality / scoring / packing -----
+    // salted-hash pseudonymization: names become stable SHA-256
+    // pseudonyms that still join/group; nulls stay null
+    "pii2_pseudonymize" -> ((s, dir) =>
+      Privacy.pseudonymize(t(s, dir, "customer"),
+          Seq("c_name"), salt = "graft-salt")
+        .select("c_custkey", "c_name", "c_mktsegment")),
+
+    // stream-static enrichment: the event stream joins the customer
+    // dim (broadcast) per micro-batch — stateless, so no watermark;
+    // two input files force a real multi-batch run
+    "st9_stream_enrich" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select("event_id", "user_id", "ts", "event_type", "value")
+      val base = tmpDir("graft_st9")
+      val in = s"$base/in"
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+      ev.filter(col("ts") < cut).coalesce(1).write.mode("append").parquet(in)
+      ev.filter(col("ts") >= cut).coalesce(1).write.mode("append").parquet(in)
+      val schema = s.read.parquet(in).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val joined = stream.join(broadcast(dim), Seq("user_id"), "left")
+      val q = graft.streaming.EventStream.writeFileStream(
+        joined, s"$base/out", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out")
+    }),
+
     "pii1_redact" -> ((s, dir) => {
       // the corpus itself is synthetic word salad, so deterministic
       // PII is injected per row — the oracle builds the identical
@@ -1738,6 +1803,41 @@ object SparkEntry {
     "m6_compaction" ->
       "SELECT * FROM customer",
 
+    "m7_cdc_apply" ->
+      """WITH chg AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |         'D' AS op, 1 AS seq FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 55, c_mktsegment,
+        |         'U', 0 FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_nationkey, round(c_acctbal + 1000, 2),
+        |         c_mktsegment, 'U', 1
+        |  FROM customer WHERE c_custkey % 10 IN (1, 2)
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+        |         'D', 0 FROM customer WHERE c_custkey % 10 = 1
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal,
+        |         c_mktsegment, 'I', 1 FROM customer WHERE c_custkey % 10 = 3),
+        |latest AS (
+        |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |                               ORDER BY seq DESC, op DESC) AS rn
+        |  FROM chg)
+        |SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment
+        |FROM customer c
+        |WHERE c.c_custkey NOT IN (SELECT c_custkey FROM latest WHERE rn = 1)
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM latest WHERE rn = 1 AND op <> 'D'""".stripMargin,
+
+    "agg5_priority_sets" ->
+      """SELECT o_custkey,
+        |       array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+        |         AS priorities,
+        |       count(DISTINCT o_orderpriority) AS n_priorities
+        |FROM orders GROUP BY 1""".stripMargin,
+
     "m3_mode_incremental_jdbc" ->
       """WITH staging AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
@@ -2490,6 +2590,19 @@ object SparkEntry {
 
     "pii1_redact" -> piiOracle,
 
+    "pii2_pseudonymize" ->
+      """SELECT c_custkey,
+        |       CASE WHEN c_name IS NOT NULL
+        |            THEN sha256('graft-salt' || c_name) END AS c_name,
+        |       c_mktsegment
+        |FROM customer""".stripMargin,
+
+    "st9_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+        |       e.event_type, e.value, c.c_mktsegment
+        |FROM events e
+        |LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+
     "qf1_quality_gate" -> qualityGateOracle,
 
     "url1_extract" ->
@@ -3114,6 +3227,19 @@ object SparkEntry {
         |       count(*) FILTER (o_totalprice IS NOT NULL
         |                        AND (o_totalprice < 0 OR o_totalprice > 200000))
         |FROM orders""".stripMargin,
+
+    "dq2_outliers" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |         quantile_cont(value, 0.25) AS q1,
+        |         quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value,
+        |       round(f.q1 - (f.q3 - f.q1) * 1.5, 4) AS lo_fence,
+        |       round(f.q3 + (f.q3 - f.q1) * 1.5, 4) AS hi_fence
+        |FROM events e JOIN f USING (event_type)
+        |WHERE e.value < f.q1 - (f.q3 - f.q1) * 1.5
+        |   OR e.value > f.q3 + (f.q3 - f.q1) * 1.5""".stripMargin,
 
     // double-identical to the Spark plan: the codegen dot product
     // accumulates CAST-to-double products left-to-right, as does

@@ -65,6 +65,31 @@ object DataQuality {
   def report(checks: DataFrame*): DataFrame =
     checks.reduce(_.unionByName(_))
 
+  /** Tukey-fence outlier detection per group: rows whose `valueCol`
+    * falls strictly outside [q1 - k·IQR, q3 + k·IQR] of their group's
+    * distribution. Quartiles are EXACT (`percentile`, the pct1-proven
+    * kernel) in one aggregate pass; the per-group fences broadcast
+    * back onto the scan (group count is small by construction — one
+    * fence row per group), so the data passes twice and shuffles only
+    * into the quartile aggregate. Appends rounded `lo_fence` /
+    * `hi_fence` columns to the surviving rows. */
+  def outliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Double = 1.5): DataFrame = {
+    require(groupCols.nonEmpty, "outliers needs at least one group column")
+    val v = col(valueCol)
+    val fences = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(v, lit(0.25)).as("__q1"),
+        percentile(v, lit(0.75)).as("__q3"))
+      .select(groupCols.map(col) ++ Seq(
+        (col("__q1") - (col("__q3") - col("__q1")) * k).as("__lo"),
+        (col("__q3") + (col("__q3") - col("__q1")) * k).as("__hi")): _*)
+    df.join(broadcast(fences), groupCols)
+      .filter(v < col("__lo") || v > col("__hi"))
+      .withColumn("lo_fence", round(col("__lo"), 4))
+      .withColumn("hi_fence", round(col("__hi"), 4))
+      .drop("__lo", "__hi")
+  }
+
   // ---- fused single-pass form --------------------------------------
 
   /** Violation predicates for [[rowChecks]] — same contracts as the

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.functions.{broadcast, col, row_number}
 
 /** Replication-mode dataflow as pure DataFrame algebra (SURVEY.md
   * §2.6). The connector layer (JdbcConnector/FileConnector) applies
@@ -39,5 +39,35 @@ object Modes {
     val probe = if (broadcastStaging) broadcast(stagingKeys) else stagingKeys
     target.join(probe, keys, "left_anti")
       .unionByName(stagingAligned)
+  }
+
+  /** CDC change-feed apply (beyond-parity — the reference's
+    * incremental mode only upserts; a real replication pipeline also
+    * consumes deletes): `changes` carries the target's columns plus an
+    * op column ('I'/'U'/'D') and an ordering column. Per key, only the
+    * LATEST change applies (ties broken by op so a same-instant
+    * delete+insert is deterministic): latest op 'D' removes the key,
+    * latest 'I'/'U' replaces the row, untouched target rows survive.
+    *
+    * Scale: one window over the (small) change feed keyed by the PK,
+    * then exactly [[upsert]]'s anti-join shape — the target never
+    * shuffles more than the upsert path it extends. */
+  def applyChanges(target: DataFrame, changes: DataFrame, keys: Seq[String],
+      opCol: String, orderCol: String,
+      broadcastChanges: Boolean = true): DataFrame = {
+    require(keys.nonEmpty, "applyChanges requires key columns")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).desc, col(opCol).desc)
+    val latest = changes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val survivors = latest.filter(col(opCol) =!= "D")
+      .select(target.columns.map(col).toIndexedSeq: _*)
+    val touchedKeys = latest.select(keys.map(col): _*)
+    val probe = if (broadcastChanges) broadcast(touchedKeys) else touchedKeys
+    target.join(probe, keys, "left_anti")
+      .unionByName(survivors)
   }
 }

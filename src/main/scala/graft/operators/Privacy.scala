@@ -54,6 +54,18 @@ object Privacy {
       regexp_replace(c, lit(pattern), lit(token))
     }
 
+  /** Salted-hash pseudonymization (the GDPR-pipeline sibling of
+    * [[redact]]): each listed column is replaced by the SHA-256 of
+    * salt+value — deterministic, so the pseudonym still joins and
+    * groups across tables sharing the salt, while the raw identifier
+    * never leaves the cluster. Nulls stay null (a hashed null would
+    * mint a fake cross-row link). Row-local codegen projection,
+    * shuffle-free. */
+  def pseudonymize(df: DataFrame, cols: Seq[String], salt: String): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c,
+      when(col(c).isNotNull,
+        sha2(concat_ws("", lit(salt), col(c).cast("string")), 256))))
+
   /** Annotate a corpus with per-category counts, a total, and the
     * redacted text. Detection counts run against the ORIGINAL text
     * (counts after redaction would always be zero). */

@@ -77,6 +77,22 @@ class DataQualitySpec extends SparkTestBase {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("tukey outliers: exact fences per group, strict-outside filter") {
+    // group A: 1..11 uniform plus one far point; B: tight cluster
+    val rows = ((1 to 11).map(i => ("A", i.toDouble)) :+ ("A", 100.0)) ++
+      Seq(("B", 5.0), ("B", 5.1), ("B", 4.9), ("B", 50.0))
+    val df = rows.toDF("g", "v")
+    val out = DataQuality.outliers(df, Seq("g"), "v")
+      .orderBy("g", "v").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    // A: q1=3.75, q3=9.25 -> fences [-4.5, 17.5]: only 100 outside
+    // B: q1=4.975, q3=16.325 -> hi fence 33.35: only 50 outside
+    assert(out.toSeq == Seq(("A", 100.0), ("B", 50.0)))
+    val fences = DataQuality.outliers(df, Seq("g"), "v")
+      .select("g", "lo_fence", "hi_fence").distinct().orderBy("g").collect()
+    assert(fences.length == 2) // one fence pair per group survives
+  }
+
   test("a clean table reports zero violations on every check") {
     val clean = Seq((1L, "A", 1.0), (2L, "B", 2.0)).toDF("id", "status", "amount")
     val got = DataQuality.report(

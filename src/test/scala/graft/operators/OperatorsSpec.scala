@@ -554,6 +554,19 @@ class ModesSpec extends SparkTestBase {
     assert(out.columns.toSeq == Seq("k", "v", "x"))
     assert(out.count() == 2)
   }
+
+  test("applyChanges: latest-wins per key, deletes remove, inserts add") {
+    val target = Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("k", "v")
+    val changes = Seq(
+      (1, "A1", "U", 1L), (1, "x", "D", 0L),  // stale delete loses to update
+      (2, "x", "U", 0L), (2, "x", "D", 1L),   // stale update loses to delete
+      (5, "e", "I", 1L),                      // insert of a new key
+      (3, "C1", "U", 1L), (3, "C2", "U", 2L)  // two updates: later wins
+    ).toDF("k", "v", "op", "seq")
+    val out = Modes.applyChanges(target, changes, Seq("k"), "op", "seq")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out == Map(1 -> "A1", 3 -> "C2", 4 -> "d", 5 -> "e"))
+  }
 }
 
 class MultimodalSpec extends SparkTestBase {
