@@ -825,7 +825,11 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fingerprint"),
-        round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))),
+        // raw double, deliberately unrounded: the per-row arithmetic
+        // is bit-identical across engines, while round(.,4) splits at
+        // exact half-boundaries (0.93125) where Spark's HALF_UP and
+        // DuckDB's float rounding disagree
+        TextAnalysis.qualityScore(col("text")).as("quality"))),
 
     // zlib redundancy signal (rows-only: no SQL engine mirrors
     // DEFLATE): ratio + the threshold verdict a curation gate uses
@@ -1429,6 +1433,25 @@ object SparkEntry {
           round(col("mean_r"), 4).as("mean_r"),
           round(col("mean_g"), 4).as("mean_g"),
           round(col("mean_b"), 4).as("mean_b"))
+    }),
+
+    "mm5_frame_sample" -> ((s, dir) => {
+      // REAL frame sampling: decode every 2nd frame of the same AVI
+      // fixture; sampled (even) frames are solid evenRgb, so the
+      // per-frame means are the exact color components
+      val d = col("doc_id")
+      val er = (d % 4) * 60 + 10
+      val eg = (d % 8) * 30 + 5
+      val eb = (d % 16) * 15
+      val media = Multimodal.synthesizeAviTable(
+        t(s, dir, "documents").select("doc_id"), "doc_id",
+        width = (d % 3) * 8 + 16,
+        height = (d % 5) * 4 + 8,
+        nFrames = (d % 7) + 2,
+        microsPerFrame = (d % 5) * 1000 + 20000,
+        evenRgb = er * 65536 + eg * 256 + eb,
+        oddRgb = (lit(255) - er) * 65536 + (lit(250) - eg) * 256 + (lit(240) - eb))
+      Multimodal.sampleVideoFrames(media, stride = 2)
     }),
 
     "agg3_rollup" -> ((s, dir) =>
@@ -2340,7 +2363,8 @@ object SparkEntry {
       """WITH b AS (
         |  SELECT CASE WHEN o_totalprice < 0 THEN -1
         |              WHEN o_totalprice >= 500000 THEN 10
-        |              ELSE CAST(floor(o_totalprice / 50000) AS BIGINT) END AS bucket
+        |              ELSE CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT)
+        |              END AS bucket
         |  FROM orders WHERE o_totalprice IS NOT NULL),
         |c AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1),
         |spine AS (SELECT unnest(range(-1, 11)) AS bucket)
@@ -2544,6 +2568,8 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     "ta2_lang_id" -> langIdOracle,
+
+    "ta3_fingerprint" -> ta3Oracle,
 
     "sp1_stratified_sample" ->
       """SELECT doc_id, lang FROM (
@@ -3036,6 +3062,23 @@ object SparkEntry {
         |             / CAST(n_frames AS DOUBLE), 4) AS mean_b
         |FROM p""".stripMargin,
 
+    // even (sampled) frames are solid evenRgb, so each decoded
+    // frame's means are exactly the color components
+    "mm5_frame_sample" ->
+      """WITH p AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST((doc_id % 3) * 8 + 16 AS INT) AS width,
+        |         CAST((doc_id % 5) * 4 + 8 AS INT) AS height,
+        |         (doc_id % 7) + 2 AS n_frames,
+        |         (doc_id % 4) * 60 + 10 AS er,
+        |         (doc_id % 8) * 30 + 5 AS eg,
+        |         (doc_id % 16) * 15 AS eb
+        |  FROM documents)
+        |SELECT media_id, CAST(unnest(range(0, n_frames, 2)) AS INT) AS frame_idx,
+        |       width, height,
+        |       er * 1.0 AS mean_r, eg * 1.0 AS mean_g, eb * 1.0 AS mean_b
+        |FROM p""".stripMargin,
+
     "mm1_media_metadata" ->
       """SELECT doc_id AS media_id, 'text/plain' AS format,
         |       strlen(text) AS n_bytes, source
@@ -3340,6 +3383,45 @@ object SparkEntry {
        |        AND symbol_ratio <= ${th.maxSymbolRatio}
        |        AND stopword_hits >= ${th.minStopwordHits}) AS keep
        |FROM s""".stripMargin
+  }
+
+  /** ta3 oracle: replays the RollingHash kernel (h = h*31 + byte,
+    * wrapping at 2^64) as a HUGEINT fold over the normalized text's
+    * characters (the corpus is ASCII, so codepoints == UTF-8 bytes —
+    * asserted by the zero non-ASCII count the fixture data carries),
+    * then maps the unsigned residue onto Spark's signed Long. The
+    * quality score replays TextAnalysis.qualityScore term-by-term in
+    * the same association order so the doubles agree bit-for-bit. */
+  private def ta3Oracle: String = {
+    val stop = "\\b(" + QualityFilters.stopwords.mkString("|") + ")\\b"
+    raw"""WITH fp AS (
+       |  SELECT doc_id,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS HUGEINT),
+       |        [CAST(unicode(c) AS HUGEINT)
+       |         for c in string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), '')]),
+       |      (h, b) -> (h * 31 + b) % CAST('18446744073709551616' AS HUGEINT)) AS m
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS nt,
+       |    CAST(length(text) AS DOUBLE) AS nc,
+       |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS nd,
+       |    CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g'))
+       |      AS DOUBLE) AS np,
+       |    CAST(len(regexp_extract_all(lower(text), '$stop')) AS DOUBLE) AS sh
+       |  FROM documents)
+       |SELECT f.doc_id,
+       |  CAST(CASE WHEN f.m < CAST('9223372036854775808' AS HUGEINT) THEN f.m
+       |            ELSE f.m - CAST('18446744073709551616' AS HUGEINT) END
+       |       AS BIGINT) AS fingerprint,
+       |  CASE WHEN q.nt BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END * 0.25
+       |      + CASE WHEN q.nc / greatest(q.nt, 1.0) BETWEEN 2.0 AND 12.0
+       |             THEN 1.0 ELSE 0.0 END * 0.25
+       |      + (1.0 - least(q.nd / greatest(q.nc, 1.0) * 5.0, 1.0)) * 0.2
+       |      + (1.0 - least(q.np / greatest(q.nc, 1.0) * 5.0, 1.0)) * 0.2
+       |      + least(q.sh / greatest(q.nt, 1.0) * 5.0, 1.0) * 0.1 AS quality
+       |FROM fp f JOIN q USING (doc_id)""".stripMargin
   }
 
   /** ta2 oracle: must mirror TextAnalysis.langId exactly — per-lang

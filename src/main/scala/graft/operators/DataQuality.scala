@@ -80,14 +80,18 @@ object DataQuality {
     val fences = df.groupBy(groupCols.map(col): _*)
       .agg(percentile(v, lit(0.25)).as("__q1"),
         percentile(v, lit(0.75)).as("__q3"))
-      .select(groupCols.map(col) ++ Seq(
+      .select(groupCols.map(c => col(c).as(s"__g_$c")) ++ Seq(
         (col("__q1") - (col("__q3") - col("__q1")) * k).as("__lo"),
         (col("__q3") + (col("__q3") - col("__q1")) * k).as("__hi")): _*)
-    df.join(broadcast(fences), groupCols)
+    // null-SAFE join: a NULL group still has a fence row (groupBy
+    // emits one), and an equi-join would silently drop exactly the
+    // dirty null-keyed rows a quality check must not lose
+    val cond = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
+    df.join(broadcast(fences), cond)
       .filter(v < col("__lo") || v > col("__hi"))
       .withColumn("lo_fence", round(col("__lo"), 4))
       .withColumn("hi_fence", round(col("__hi"), 4))
-      .drop("__lo", "__hi")
+      .drop(groupCols.map(c => s"__g_$c") ++ Seq("__lo", "__hi"): _*)
   }
 
   // ---- fused single-pass form --------------------------------------

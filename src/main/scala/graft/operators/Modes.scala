@@ -46,8 +46,11 @@ object Modes {
     * consumes deletes): `changes` carries the target's columns plus an
     * op column ('I'/'U'/'D') and an ordering column. Per key, only the
     * LATEST change applies (ties broken by op so a same-instant
-    * delete+insert is deterministic): latest op 'D' removes the key,
-    * latest 'I'/'U' replaces the row, untouched target rows survive.
+    * delete+insert is deterministic, then by a content hash so even a
+    * degenerate feed with two same-instant same-op changes resolves
+    * STABLY across runs and micro-batch retries): latest op 'D'
+    * removes the key, latest 'I'/'U' replaces the row, untouched
+    * target rows survive.
     *
     * Scale: one window over the (small) change feed keyed by the PK,
     * then exactly [[upsert]]'s anti-join shape — the target never
@@ -58,7 +61,9 @@ object Modes {
     require(keys.nonEmpty, "applyChanges requires key columns")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col(orderCol).desc, col(opCol).desc)
+      .orderBy(col(orderCol).desc, col(opCol).desc,
+        org.apache.spark.sql.functions.xxhash64(
+          changes.columns.map(col).toIndexedSeq: _*).desc)
     val latest = changes
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -474,11 +474,112 @@ object Multimodal {
     }(enc)
   }
 
+  val frameFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType)))
+
+  /** REAL frame sampling: demux the AVI container and decode every
+    * `stride`-th video frame (`00db` DIB natively, `00dc` MJPEG via
+    * `javax.imageio`) into one output row with its per-channel means —
+    * the real-codec upgrade of [[sampleFrames]]'s exploded contract.
+    * Non-AVI payloads contribute no rows (never fabricated frames).
+    * flatMap over mapPartitions: each clip's frames stream out without
+    * materializing the whole clip's decoded rasters at once. */
+  def sampleVideoFrames(media: DataFrame, stride: Int): DataFrame = {
+    require(stride > 0, s"stride must be positive: $stride")
+    val enc = RowEncoder.encoderFor(frameFeatureSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (payload == null || payload.length < 24 ||
+            fourCC(payload, 0) != "RIFF" || fourCC(payload, 8) != "AVI ")
+          Iterator.empty
+        else {
+          try {
+            var width = 0; var height = 0
+            val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+            var frameIdx = 0
+            def emitDib(off: Int, size: Int): Unit = {
+              val stride4 = ((width * 3) + 3) & ~3
+              if (size < stride4 * height) return
+              if (frameIdx % stride == 0) {
+                var sr = 0L; var sg = 0L; var sb = 0L
+                var y = 0
+                while (y < height) {
+                  var x = 0
+                  val row = off + y * stride4
+                  while (x < width) {
+                    sb += payload(row + 3 * x) & 0xff
+                    sg += payload(row + 3 * x + 1) & 0xff
+                    sr += payload(row + 3 * x + 2) & 0xff
+                    x += 1
+                  }
+                  y += 1
+                }
+                val n = (width.toLong * height).toDouble
+                out += Row(id, frameIdx, width, height, sr / n, sg / n, sb / n)
+              }
+              frameIdx += 1
+            }
+            def emitJpeg(off: Int, size: Int): Unit = {
+              if (frameIdx % stride == 0) {
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(payload, off, size))
+                if (img != null) {
+                  val w = img.getWidth; val h = img.getHeight
+                  val px = img.getRGB(0, 0, w, h, null, 0, w)
+                  var sr = 0L; var sg = 0L; var sb = 0L
+                  var i = 0
+                  while (i < px.length) {
+                    val p = px(i)
+                    sr += (p >>> 16) & 0xff; sg += (p >>> 8) & 0xff; sb += p & 0xff
+                    i += 1
+                  }
+                  val n = (w.toLong * h).toDouble
+                  out += Row(id, frameIdx, w, h, sr / n, sg / n, sb / n)
+                }
+              }
+              frameIdx += 1
+            }
+            def walk(start: Int, end: Int): Unit = {
+              var off = start
+              while (off + 8 <= end) {
+                val cid = fourCC(payload, off)
+                val size = leInt(payload, off + 4)
+                if (size < 0 || off + 8 + size > end) return
+                val body = off + 8
+                cid match {
+                  case "LIST" => walk(body + 4, body + size)
+                  case "avih" if size >= 40 =>
+                    width = leInt(payload, body + 32)
+                    height = leInt(payload, body + 36)
+                  case "00db" if width > 0 && height > 0 => emitDib(body, size)
+                  case "00dc" => emitJpeg(body, size)
+                  case _ => ()
+                }
+                off = body + size + (size & 1)
+              }
+            }
+            walk(12, math.min(payload.length, 8 + leInt(payload, 4)))
+            out.iterator
+          } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+        }
+      }
+    }(enc)
+  }
+
   /** Deterministic frame sampling for video-as-binary: split the
     * payload into `frameSize`-byte pseudo-frames and keep every
-    * `stride`-th. Real impl: container demux + keyframe select; the
-    * exploded output shape (media_id, frame_idx, frame) is the
-    * contract.
+    * `stride`-th. [[sampleVideoFrames]] is the real-codec form
+    * (container demux + frame decode); this byte-window form remains
+    * for opaque non-AVI payloads.
     */
   def sampleFrames(media: DataFrame, frameSize: Int, stride: Int): DataFrame = {
     require(frameSize > 0 && stride > 0)

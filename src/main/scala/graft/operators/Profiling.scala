@@ -186,7 +186,11 @@ object Profiling {
         when(col(valueCol).isNull, lit(null))
           .when(col(valueCol) < lo, lit(-1L))
           .when(col(valueCol) >= hi, lit(nBuckets.toLong))
-          .otherwise(floor((col(valueCol) - lo) / width))
+          // least(): FP division can land an in-range value exactly on
+          // nBuckets (e.g. v just below hi with width = range/n
+          // rounding up) — clamp it into the top interior bucket
+          .otherwise(least(floor((col(valueCol) - lo) / width),
+            lit((nBuckets - 1).toLong)))
           .cast("long").as("bucket"))
       .filter(col("bucket").isNotNull)
       .groupBy("bucket").agg(count(lit(1)).as("n"))

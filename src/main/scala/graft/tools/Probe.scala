@@ -347,7 +347,7 @@ object Probe {
 
   /** Round-5 operators at the 10× union (≈sf1): paragraph dedup over
     * 150K paragraphs with 10× planted cross-copy duplication, the
-    * edit-distance verify at ~45K candidate pairs, and a real
+    * edit-distance verify at 40K candidate pairs, and a real
     * small-file compaction of a 256-file fragment. */
   def r5probe(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     import org.apache.spark.sql.DataFrame
@@ -375,7 +375,7 @@ object Probe {
           array_join(slice(w, 9, 2), " ")).as("text"))
       graft.operators.Dedup.paragraphDedup(fixture, "doc_id", "text").count()
     })
-    timed("ed1 edit distance 45K candidate pairs")({
+    timed("ed1 edit distance 40K candidate pairs")({
       val cands = docs.select(col("doc_id").as("a"),
           (col("doc_id") - col("doc_id") % 5).as("b"))
         .filter(col("a") =!= col("b"))

@@ -15,7 +15,7 @@ class ContractSpec extends SparkTestBase {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set(
       "dd2_dedup_minhash_lsh", "dd3_dedup_simhash", "dd5_embedding_neardup",
-      "k1_kafka_payload", "ta3_fingerprint",
+      "k1_kafka_payload",
       "pipe1_training_pipeline", "pf3_approx_stats", "sim3_lsh_topk",
       "qf2_compression_signal", // DEFLATE has no SQL mirror
       "pf5_sketch_union"),      // Datasketches HLL is engine-specific

@@ -93,6 +93,16 @@ class DataQualitySpec extends SparkTestBase {
     assert(fences.length == 2) // one fence pair per group survives
   }
 
+  test("outliers: null-keyed groups are checked, not silently dropped") {
+    val rows = Seq((Some("A"), 1.0), (Some("A"), 2.0), (Some("A"), 3.0),
+      (None, 1.0), (None, 1.1), (None, 0.9), (None, 1000.0))
+    val df = rows.toDF("g", "v")
+    val out = DataQuality.outliers(df, Seq("g"), "v")
+      .collect().map(r => (Option(r.getString(0)), r.getDouble(1)))
+    // the dirty null group's extreme value must surface
+    assert(out.toSeq == Seq((None, 1000.0)))
+  }
+
   test("a clean table reports zero violations on every check") {
     val clean = Seq((1L, "A", 1.0), (2L, "B", 2.0)).toDF("id", "status", "amount")
     val got = DataQuality.report(

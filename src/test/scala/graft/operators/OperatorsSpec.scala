@@ -567,6 +567,16 @@ class ModesSpec extends SparkTestBase {
       .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
     assert(out == Map(1 -> "A1", 3 -> "C2", 4 -> "d", 5 -> "e"))
   }
+
+  test("applyChanges: full ties resolve stably across runs (content-hash break)") {
+    val target = Seq((1, "a")).toDF("k", "v")
+    val changes = Seq((1, "X", "U", 1L), (1, "Y", "U", 1L)).toDF("k", "v", "op", "seq")
+    val runs = (1 to 3).map(_ =>
+      Modes.applyChanges(target, changes, Seq("k"), "op", "seq")
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap)
+    assert(runs.distinct.size == 1) // same winner every run
+    assert(Set("X", "Y").contains(runs.head(1)))
+  }
 }
 
 class MultimodalSpec extends SparkTestBase {
@@ -665,6 +675,23 @@ class MultimodalSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(5) - 0x60) < 3.0)
     assert(math.abs(r.getDouble(6) - 0x80) < 3.0)
     assert(math.abs(r.getDouble(7) - 0x40) < 3.0)
+  }
+
+  test("sampleVideoFrames decodes every stride-th real frame exactly") {
+    val params = Seq((1L, 8, 4, 5, 40000, 0x102030, 0xF0E0D0))
+      .toDF("id", "w", "h", "nf", "mpf", "even", "odd")
+    val avis = Multimodal.synthesizeAviTable(params, "id",
+      col("w"), col("h"), col("nf"), col("mpf"), col("even"), col("odd"))
+    val got = Multimodal.sampleVideoFrames(avis, stride = 2)
+      .orderBy("frame_idx").collect()
+      .map(r => (r.getInt(1), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    // frames 0,2,4 sampled; all even -> solid evenRgb exactly
+    assert(got.toSeq == Seq(
+      (0, 0x10.toDouble, 0x20.toDouble, 0x30.toDouble),
+      (2, 0x10.toDouble, 0x20.toDouble, 0x30.toDouble),
+      (4, 0x10.toDouble, 0x20.toDouble, 0x30.toDouble)))
+    // non-AVI payloads emit no frames at all
+    assert(Multimodal.sampleVideoFrames(media, 1).count() == 0)
   }
 
   test("non-video payloads report zeros, never a fabricated clip") {

@@ -110,6 +110,15 @@ class ProfilingSpec extends SparkTestBase {
     assert(rows(0).isNullAt(1) && rows(11).isNullAt(2))
   }
 
+  test("histogram top edge: FP division cannot leak in-range rows to overflow") {
+    import spark.implicits._
+    // (v - lo) / (range / 3) rounds to exactly 3.0 for this v < hi
+    val v = 0.9999999999999999
+    val out = Profiling.histogram(Seq(v).toDF("v"), "v", 0.0, 1.0, 3)
+      .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(out.toSeq == Seq((-1L, 0L), (0L, 0L), (1L, 0L), (2L, 1L), (3L, 0L)))
+  }
+
   test("edit distance pairs verify candidates with exact Levenshtein") {
     import spark.implicits._
     val docs = Seq((1L, "kitten"), (2L, "sitting"), (3L, "kitten"))
