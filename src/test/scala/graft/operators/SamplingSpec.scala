@@ -77,6 +77,41 @@ class SamplingSpec extends SparkTestBase {
   }
 }
 
+class EpochShuffleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+
+  test("every epoch is a complete permutation, dealt into shards") {
+    val out = Sampling.epochShuffle(docs, "doc_id", epochs = 2, shards = 4)
+    val n = docs.count()
+    // each epoch holds every doc exactly once
+    val perEpoch = out.groupBy("epoch").agg(
+      count(lit(1)).as("n"), countDistinct("doc_id").as("d")).collect()
+    assert(perEpoch.length == 2)
+    perEpoch.foreach(r => assert(r.getLong(1) == n && r.getLong(2) == n))
+    // positions are contiguous 1..len within each (epoch, shard)
+    val bad = out.groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("n"), max("position").as("mx"), min("position").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+    assert(bad.count() == 0)
+  }
+
+  test("epochs get genuinely different orders; runs are identical") {
+    val out = Sampling.epochShuffle(docs, "doc_id", 2, 1)
+    val order0 = out.filter("epoch = 0").orderBy("position")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val order1 = out.filter("epoch = 1").orderBy("position")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(order0 != order1)            // reshuffled between epochs
+    assert(order0.toSet == order1.toSet) // same membership
+    val again = Sampling.epochShuffle(docs, "doc_id", 2, 1)
+      .filter("epoch = 0").orderBy("position")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(order0 == again)             // reproducible
+  }
+}
+
 class TextNormalizeSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -94,6 +129,25 @@ class TextNormalizeSpec extends SparkTestBase {
     val can = Seq("line one\nline two\u0000three").toDF("t")
       .select(TextNormalize.canonical(col("t"))).first().getString(0)
     assert(can == "line one line two three")
+  }
+
+  test("unicodeNormalize composes combining marks (NFC) and folds compatibility forms (NFKC)") {
+    val df = Seq("e\u0301 A\u030A").toDF("t")
+    val nfc = df.select(TextNormalize.unicodeNormalize(col("t"))).first().getString(0)
+    assert(nfc == "\u00e9 \u00c5")   // composed forms
+    assert(nfc.length == 3)             // 5 codepoints -> 3
+    // NFKC additionally folds compatibility characters (ﬁ -> fi)
+    val nfkc = Seq("ﬁle").toDF("t")
+      .select(TextNormalize.unicodeNormalize(col("t"), "NFKC")).first().getString(0)
+    assert(nfkc == "file")
+    // NFC leaves the ligature alone
+    val nfcLig = Seq("ﬁle").toDF("t")
+      .select(TextNormalize.unicodeNormalize(col("t"))).first().getString(0)
+    assert(nfcLig == "ﬁle")
+    // nulls stay null
+    val n = Seq(Option.empty[String]).toDF("t")
+      .select(TextNormalize.unicodeNormalize(col("t"))).first()
+    assert(n.isNullAt(0))
   }
 
   test("word-boundary truncation never splits words") {
