@@ -817,6 +817,16 @@ object SparkEntry {
       Clustering.diversitySample(t(s, dir, "embeddings"), "vec_id",
         "embedding", k = 8, maxIter = 2, perCluster = 3)),
 
+    // SemDeDup: k-means clusters as blocking, exact cosine within —
+    // |corpus|^2 falls to sum(|cluster|^2); the missed cross-cluster
+    // pairs are the documented recall trade (spec prices it against
+    // the exact yardstick)
+    "dd16_semantic_pairs" -> ((s, dir) =>
+      Clustering.semanticNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+          "embedding", k = 8, maxIter = 2, threshold = 0.35)
+        .select(col("id_a"), col("id_b"), col("cluster"),
+          round(col("cosine"), 6).as("cos_sim"))),
+
     // reproducible per-epoch training order: fresh deterministic
     // permutation per epoch, dealt into shards (window parallelism =
     // epochs x shards, never a global sort)
@@ -2646,6 +2656,20 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY cluster
         |           ORDER BY dist ASC, vec_id ASC) AS rank
         |  FROM af) WHERE rank <= 3""".stripMargin),
+
+    "dd16_semantic_pairs" ->
+      (kmeansOracleCtes(8, 2, 64) + """,
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, 65),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, 65),
+        |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM af a JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cluster, round(cos, 6) AS cos_sim FROM p
+        |WHERE cos >= 0.35 AND isfinite(cos)""".stripMargin),
 
     // chr(769) = U+0301 combining acute, chr(778) = U+030A combining
     // ring — DuckDB's nfc_normalize must compose them exactly like

@@ -102,6 +102,40 @@ object Clustering {
     df.select(col(idCol), clusterOf(vecCol, cents).as("cluster"))
   }
 
+  /** SemDeDup-style semantic near-dup pairs: k-means clusters as the
+    * BLOCKING stage, exact cosine only within clusters (Abbas et al.
+    * 2023, "SemDeDup" — public paper). Cost falls from |corpus|² to
+    * Σ|cluster|²; pairs straddling a cluster boundary are missed by
+    * construction — the standard recall trade of clustered blocking,
+    * priced against the exact-pair yardstick in the spec.
+    *
+    * Scale shape: assignment is the same projection-only pass as
+    * [[kmeans]]; the pair stage shuffles once on the cluster id and
+    * never cross-joins the corpus. A skewed giant cluster re-creates
+    * the quadratic locally — raise k (or cluster hierarchically) so
+    * max|cluster| stays bounded; the spec pins the within-cluster
+    * join shape.
+    */
+  def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, maxIter: Int, threshold: Double): DataFrame = {
+    val cents = kmeansCentroids(df, idCol, vecCol, k, maxIter)
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      clusterOf(vecCol, cents).as("cluster"),
+      Similarity.l2norm(col(vecCol)).as("n"))
+    val a = base.select(col("cluster"), col("id").as("id_a"),
+      col("v").as("v_a"), col("n").as("n_a"))
+    val b = base.select(col("cluster"), col("id").as("id_b"),
+      col("v").as("v_b"), col("n").as("n_b"))
+    a.join(b, "cluster")
+      .filter(col("id_a") < col("id_b"))
+      // zero vectors: norm 0 → 0/0 NaN orders above every threshold
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("cosine",
+        Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cluster"), col("cosine"))
+  }
+
   /** Cluster-stratified diversity sample: the `perCluster` most
     * central members of each k-means cluster (rank by distance to the
     * final centroid, ties by id) — the "cover every topic, take the

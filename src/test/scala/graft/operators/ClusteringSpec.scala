@@ -61,6 +61,19 @@ class ClusteringSpec extends SparkTestBase {
     assert(ids.size == 6)
   }
 
+  test("semantic pairs: subset of exact pairs, full recall inside blobs") {
+    val exact = Dedup.exactCosinePairs(blobs, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = Clustering.semanticNearDupPairs(blobs, "vec_id", "embedding",
+        k = 2, maxIter = 2, threshold = 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sem.subsetOf(exact))     // blocking never invents pairs
+    // blobs are tighter than any cross-blob pair: clusters == blobs,
+    // so within-blob near-dup pairs are ALL recovered
+    assert(sem == exact, s"missed: ${exact -- sem}")
+    assert(exact.nonEmpty)
+  }
+
   test("guards: k must be satisfiable and parameters positive") {
     assertThrows[IllegalArgumentException](
       Clustering.kmeans(blobs, "vec_id", "embedding", 0, 1))
