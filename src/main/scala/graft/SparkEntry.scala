@@ -817,6 +817,22 @@ object SparkEntry {
       Clustering.diversitySample(t(s, dir, "embeddings"), "vec_id",
         "embedding", k = 8, maxIter = 2, perCluster = 3)),
 
+    // DSIR importance weights: every doc scored by how much more
+    // likely its tokens are under the French-subset unigram model
+    // than the corpus's own (add-one smoothing on the joint vocab)
+    "dsir1_importance_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Scoring.importanceWeights(docs, docs.filter(col("lang") === "fr"),
+        "doc_id", "text")
+    }),
+
+    // domain-targeted selection: the 50 most French-like docs
+    "dsir2_domain_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Scoring.selectByImportance(docs, docs.filter(col("lang") === "fr"),
+        "doc_id", "text", topN = 50)
+    }),
+
     // SemDeDup: k-means clusters as blocking, exact cosine within —
     // |corpus|^2 falls to sum(|cluster|^2); the missed cross-cluster
     // pairs are the documented recall trade (spec prices it against
@@ -2818,6 +2834,11 @@ object SparkEntry {
         |FROM tc JOIN model USING (term), tot
         |GROUP BY doc_id""".stripMargin,
 
+    "dsir1_importance_weights" -> dsirOracle(""),
+
+    "dsir2_domain_select" -> dsirOracle(
+      "ORDER BY avg_log_ratio DESC, doc_id ASC LIMIT 50"),
+
     "ta5_bigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
@@ -3481,6 +3502,38 @@ object SparkEntry {
        |        AND stopword_hits >= ${th.minStopwordHits}) AS keep
        |FROM s""".stripMargin
   }
+
+  /** dsir1/dsir2 oracle: replays the importance-weight formula — the
+    * French-subset unigram model vs the corpus model, add-one
+    * smoothed over the joint vocabulary; dsir2 appends the rounded
+    * ordered cutoff (id tie-break makes it engine-stable). */
+  private def dsirOracle(suffix: String): String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |tc0 AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM toks
+      |  WHERE term <> '' GROUP BY doc_id, term),
+      |cm AS (SELECT term, sum(tf) AS cc FROM tc0 GROUP BY term),
+      |tt AS (
+      |  SELECT term, count(*) AS tcnt FROM (
+      |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      |    FROM documents WHERE lang = 'fr')
+      |  WHERE term <> '' GROUP BY term),
+      |vocab AS (
+      |  SELECT term, coalesce(cc, 0) AS cc, coalesce(tcnt, 0) AS tc
+      |  FROM cm FULL OUTER JOIN tt USING (term)),
+      |tot AS (SELECT sum(cc) AS nc, sum(tc) AS nt,
+      |               CAST(count(*) AS DOUBLE) AS v FROM vocab),
+      |w AS (
+      |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |         round(sum(tf * (ln((tc + 1) * 1.0 / (nt + v))
+      |                       - ln((cc + 1) * 1.0 / (nc + v)))) / sum(tf), 4)
+      |           AS avg_log_ratio
+      |  FROM tc0 JOIN vocab USING (term), tot
+      |  GROUP BY doc_id)
+      |SELECT * FROM w
+      |""".stripMargin + suffix
 
   /** kmeans1/div1 oracle prefix: Lloyd's iterations unrolled as CTEs
     * with the SAME deterministic contract as `Clustering.kmeans` —

@@ -118,4 +118,68 @@ object Scoring {
       .select(col("id").as(idCol), col("n_tokens"),
         round(col("avg_logprob"), 4).as("avg_logprob"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — public paper):
+    * score every corpus document by how much more likely its tokens
+    * are under a TARGET domain's unigram model than under the
+    * corpus's own model —
+    * avg_log_ratio = mean over token occurrences of
+    * ln p_target(tok) - ln p_corpus(tok), with add-one smoothing over
+    * the JOINT vocabulary so both models cover every scored token.
+    * High scorers look like the target domain; selection = take the
+    * top fraction ([[selectByImportance]]).
+    *
+    * Scale shape: the corpus tokenize+count pass is the same
+    * (doc, term) partial-agg layout as [[ngramLogProb]], checkpointed
+    * once; the two models full-outer-join on term (vocabulary-sized);
+    * totals ride in as a broadcast 1-row frame. No driver collect.
+    * The target is typically tiny (a quality sample); its model
+    * aggregate is a no-op next to the corpus pass.
+    */
+  def importanceWeights(corpus: DataFrame, target: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val corpusTc = corpus
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val corpusModel = corpusTc.groupBy("term").agg(sum("tf").as("cc"))
+    val targetModel = target
+      .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("tc"))
+    // joint vocabulary feeds both the totals and the probe join:
+    // checkpoint so the model join builds once
+    val vocab = corpusModel.join(targetModel, Seq("term"), "full_outer")
+      .select(col("term"), coalesce(col("cc"), lit(0L)).as("cc"),
+        coalesce(col("tc"), lit(0L)).as("tc"))
+      .localCheckpoint()
+    val totals = vocab.agg(sum("cc").as("nc"), sum("tc").as("nt"),
+      count(lit(1)).cast("double").as("v"))
+    corpusTc.join(vocab, "term")
+      .crossJoin(broadcast(totals))
+      .groupBy("id")
+      .agg(sum("tf").as("n_tokens"),
+        (sum(col("tf") *
+          (log((col("tc") + 1).cast("double") / (col("nt") + col("v"))) -
+           log((col("cc") + 1).cast("double") / (col("nc") + col("v"))))) /
+          sum("tf")).as("avg_log_ratio"))
+      .select(col("id").as(idCol), col("n_tokens"),
+        round(col("avg_log_ratio"), 4).as("avg_log_ratio"))
+  }
+
+  /** Domain-targeted selection: the `topN` corpus documents most
+    * like the target domain by [[importanceWeights]]. Ordered by the
+    * ROUNDED ratio with an id tie-break so the cutoff is stable
+    * across engines and runs; executes as a distributed
+    * TakeOrdered, never a single-partition window. */
+  def selectByImportance(corpus: DataFrame, target: DataFrame,
+      idCol: String, textCol: String, topN: Int): DataFrame = {
+    require(topN > 0, s"topN=$topN")
+    importanceWeights(corpus, target, idCol, textCol)
+      .orderBy(col("avg_log_ratio").desc, col(idCol).asc)
+      .limit(topN)
+  }
 }

@@ -187,6 +187,33 @@ class ScoringSpec extends SparkTestBase {
     assert(math.abs(scored((1L, "unique1")) - math.log(3.0)) < 1e-12)
   }
 
+  test("importance weights rank target-like docs above off-domain docs") {
+    // corpus: 4 "english" docs + 2 "latin" docs; target = the latin ones
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog ran in the park"),
+      (3L, "a bird flew over the lake"),
+      (4L, "the fish swam in the sea"),
+      (5L, "lorem ipsum dolor sit amet"),
+      (6L, "ipsum lorem amet consectetur")).toDF("doc_id", "text")
+    val target = corpus.filter("doc_id >= 5")
+    val w = Scoring.importanceWeights(corpus, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w.size == 6)
+    // every latin doc outranks every english doc
+    val latin = Seq(5L, 6L).map(w)
+    val english = Seq(1L, 2L, 3L, 4L).map(w)
+    assert(latin.min > english.max,
+      s"latin=$latin english=$english")
+    // selection takes exactly the latin docs first
+    val top = Scoring.selectByImportance(corpus, target, "doc_id", "text", 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(top == Set(5L, 6L))
+    // smoothing: a target token absent from the corpus must not blow
+    // up any score (all finite)
+    assert(w.values.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
   test("topTerms ranks per doc with deterministic tie-break") {
     val rows = Seq(
       (1L, "zz aa zz aa bb"),
