@@ -1067,6 +1067,22 @@ object SparkEntry {
           budget = 2000, buckets = 32)
         .select("doc_id", "n_tokens", "cum", "shard")),
 
+    // packed-file index map: where each doc lands (char offsets)
+    // inside its shard's concatenated training file
+    "pack4_concat_offsets" -> ((s, dir) =>
+      Packing.concatOffsets(
+        Packing.assignShards(t(s, dir, "documents"), "doc_id", "text",
+          budget = 2000, buckets = 32),
+        "doc_id", "text")),
+
+    // the packed shard files themselves: docs joined in id order,
+    // one budget-bounded row per shard
+    "pack5_packed_shards" -> ((s, dir) =>
+      Packing.packShards(
+        Packing.assignShards(t(s, dir, "documents"), "doc_id", "text",
+          budget = 2000, buckets = 32),
+        "doc_id", "text")),
+
     // tokenizer-aware packing: same distributed prefix sum, budget
     // denominated in BPE-ish subword units instead of whitespace words
     "pack2_bpeish_shards" -> ((s, dir) =>
@@ -2870,6 +2886,51 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum,
         |       CAST(floor((cum - n_tokens) * 1.0 / 2000) AS BIGINT) AS shard
         |FROM c""".stripMargin,
+
+    // replay shard assignment, then the per-shard char layout:
+    // start = sum of (len + sep) over earlier docs in the shard
+    "pack4_concat_offsets" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, n_tokens,
+        |         sum(n_tokens) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t),
+        |a AS (
+        |  SELECT doc_id, text,
+        |         CAST(floor((cum - n_tokens) * 1.0 / 2000) AS BIGINT) AS shard
+        |  FROM c)
+        |SELECT shard, doc_id,
+        |       CAST(sum(length(text) + 2) OVER (PARTITION BY shard ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         - length(text) - 2 AS BIGINT) AS start_char,
+        |       CAST(sum(length(text) + 2) OVER (PARTITION BY shard ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         - 2 AS BIGINT) AS end_char
+        |FROM a""".stripMargin,
+
+    "pack5_packed_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, n_tokens,
+        |         sum(n_tokens) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t),
+        |a AS (
+        |  SELECT doc_id, text,
+        |         CAST(floor((cum - n_tokens) * 1.0 / 2000) AS BIGINT) AS shard
+        |  FROM c)
+        |SELECT shard, count(*) AS n_docs,
+        |       string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS packed_text,
+        |       CAST(length(string_agg(text, chr(10) || chr(10) ORDER BY doc_id))
+        |         AS BIGINT) AS packed_len
+        |FROM a GROUP BY shard""".stripMargin,
 
     "pack2_bpeish_shards" ->
       """WITH t AS (

@@ -100,4 +100,44 @@ object Packing {
     assigned.groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"))
       .orderBy("shard")
+
+  /** Character layout of each shard's packed file: docs concatenated
+    * in `orderCol` order with `sep` between consecutive docs. Emits
+    * the index map a loader needs to slice any doc back out of its
+    * packed shard: (shard, doc, start_char 0-based, end_char
+    * exclusive).
+    *
+    * Scale shape: lengths are row-local; the cumulative window
+    * partitions by shard (parallelism = shard count, and a shard is
+    * budget-bounded by construction). The text itself never moves —
+    * only its length enters the window.
+    */
+  def concatOffsets(assigned: DataFrame, orderCol: String,
+      textCol: String, sep: String = "\n\n"): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val len = length(col(textCol)).cast("long")
+    assigned
+      .withColumn("__cum", sum(len + lit(sep.length.toLong)).over(w))
+      .withColumn("start_char", col("__cum") - len - sep.length)
+      .withColumn("end_char", col("start_char") + len)
+      .select(col("shard"), col(orderCol), col("start_char"), col("end_char"))
+  }
+
+  /** Materialize each shard's packed file content: docs joined in
+    * `orderCol` order by `sep`. One row per shard — safe because a
+    * shard's size is budget-bounded by construction (assignShards),
+    * so the aggregated string is a training-file-sized payload, not
+    * an unbounded blob. Pair with [[concatOffsets]] for the slice
+    * map; write with `.write.partitionBy("shard")` at scale. */
+  def packShards(assigned: DataFrame, orderCol: String,
+      textCol: String, sep: String = "\n\n"): DataFrame =
+    assigned.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(orderCol), col(textCol).as("t")))),
+            s => s.getField("t")),
+          sep).as("packed_text"))
+      .withColumn("packed_len", length(col("packed_text")).cast("long"))
 }

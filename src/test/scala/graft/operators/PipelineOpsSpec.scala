@@ -266,6 +266,39 @@ class PackingSpec extends SparkTestBase {
     assert(manifest.map(_._3).sum == 40L)
     assert(manifest.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
   }
+
+  test("concat offsets slice every doc back out of its packed shard") {
+    val rows = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "delta eps zeta"),
+      (4L, "longer document here to roll the shard"), (5L, "tail"))
+      .toDF("doc_id", "text")
+    val assigned = Packing.assignShards(rows, "doc_id", "text", budget = 6L)
+    val packed = Packing.packShards(assigned, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val offsets = Packing.concatOffsets(assigned, "doc_id", "text").collect()
+    val texts = rows.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // THE contract: substring(packed, start, end) == original doc
+    offsets.foreach { r =>
+      val (shard, id, s, e) =
+        (r.getLong(0), r.getLong(1), r.getLong(2).toInt, r.getLong(3).toInt)
+      assert(packed(shard).substring(s, e) == texts(id),
+        s"doc $id mis-sliced from shard $shard")
+    }
+    // offsets are dense: doc k+1 starts sep-width after doc k ends
+    offsets.groupBy(_.getLong(0)).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(2))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(2) == a.getLong(3) + 2)
+        case _ =>
+      }
+      assert(sorted.head.getLong(2) == 0L)
+    }
+    // packed_len agrees with the last end offset
+    val lastEnd = offsets.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(3)).max).toMap
+    packed.foreach { case (shard, text) =>
+      assert(text.length.toLong == lastEnd(shard)) }
+  }
 }
 
 class ChunkingSpec extends SparkTestBase {
