@@ -394,6 +394,28 @@ object Probe {
       val ev = x10("events", Seq("event_id"))
       ev.unionAll(ev).dropDuplicates(Seq("event_id")).count()
     })
+    // late-round-5 additions: clustering family + DSIR at 10×
+    val embs = x10("embeddings", Seq("vec_id"))
+    timed("kmeans 20K vecs x 64d, k=32, 2 iters")(
+      graft.operators.Clustering.kmeans(embs, "vec_id", "embedding",
+        k = 32, maxIter = 2).count())
+    // k scaled with corpus (32 clusters / 20K vecs) keeps the
+    // within-cluster pair stage ~|corpus|^2/k even with 10 planted
+    // copies per vector
+    timed("dd16 semantic pairs 20K vecs, k=32 blocking")(
+      graft.operators.Clustering.semanticNearDupPairs(embs, "vec_id",
+        "embedding", k = 32, maxIter = 2, threshold = 0.35).count())
+    timed("dsir importance weights 50K docs vs fr target")(
+      graft.operators.Scoring.importanceWeights(docs,
+        docs.filter(col("lang") === "fr"), "doc_id", "text").count())
+    timed("shuf1 epoch shuffle 50K docs x 3 epochs")(
+      graft.operators.Sampling.epochShuffle(docs, "doc_id", 3, 32).count())
+    timed("pack4/5 packed layout 50K docs")({
+      val assigned = graft.operators.Packing.assignShards(docs, "doc_id",
+        "text", budget = 2000, buckets = 32)
+      graft.operators.Packing.concatOffsets(assigned, "doc_id", "text").count() +
+        graft.operators.Packing.packShards(assigned, "doc_id", "text").count()
+    })
   }
 
   /** Dot-product kernel microbench: the codegen `DotProduct`
