@@ -817,6 +817,25 @@ object SparkEntry {
       Clustering.diversitySample(t(s, dir, "embeddings"), "vec_id",
         "embedding", k = 8, maxIter = 2, perCluster = 3)),
 
+    // SemDeDup end-to-end: semantic pairs -> connected components ->
+    // keep the min-id member per cluster; unpaired vectors survive
+    "dd17_semantic_survivors" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val pairs = Clustering.semanticNearDupPairs(e, "vec_id", "embedding",
+        k = 8, maxIter = 2, threshold = 0.35)
+      val dropped = Dedup.clusters(pairs.select("id_a", "id_b"))
+        .filter(col("id") =!= col("cluster"))
+      e.join(dropped.select(col("id").as("vec_id")), Seq("vec_id"), "left_anti")
+        .select("vec_id")
+    }),
+
+    // equal-frequency binning on an integer column: exact decile
+    // cutoffs ride back as literals, binning is row-local — the
+    // length-curriculum / balanced-batching primitive
+    "pf7_percentile_bins" -> ((s, dir) =>
+      Profiling.percentileBins(t(s, dir, "documents"), "doc_id",
+        "n_chars", nBins = 10)),
+
     // DSIR importance weights: every doc scored by how much more
     // likely its tokens are under the French-subset unigram model
     // than the corpus's own (add-one smoothing on the joint vocab)
@@ -2690,18 +2709,40 @@ object SparkEntry {
         |  FROM af) WHERE rank <= 3""".stripMargin),
 
     "dd16_semantic_pairs" ->
-      (kmeansOracleCtes(8, 2, 64) + """,
-        |p AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
-        |    list_sum(list_transform(range(1, 65),
-        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(range(1, 65),
-        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-        |     * sqrt(list_sum(list_transform(range(1, 65),
-        |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos
-        |  FROM af a JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+      (kmeansOracleCtes(8, 2, 64) + ",\n" + semanticPairCte + """
         |SELECT id_a, id_b, cluster, round(cos, 6) AS cos_sim FROM p
         |WHERE cos >= 0.35 AND isfinite(cos)""".stripMargin),
+
+    // the kmeans CTE chain + within-cluster pairs + recursive
+    // connected components; survivors = min-id per component plus
+    // every unpaired vector
+    "dd17_semantic_survivors" ->
+      (kmeansOracleCtes(8, 2, 64).replaceFirst("WITH ", "WITH RECURSIVE ") +
+        ",\n" + semanticPairCte + """,
+        |pf AS (SELECT id_a, id_b FROM p
+        |       WHERE cos >= 0.35 AND isfinite(cos)),
+        |e AS (SELECT id_a AS s, id_b AS d FROM pf
+        |      UNION SELECT id_b AS s, id_a AS d FROM pf),
+        |reach AS (
+        |  SELECT s AS id, s AS label FROM e
+        |  UNION
+        |  SELECT e.s AS id, r.label AS label FROM e JOIN reach r ON e.d = r.id),
+        |cc AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id FROM cc WHERE id <> cluster)""".stripMargin),
+
+    "pf7_percentile_bins" ->
+      """WITH c AS (
+        |  SELECT quantile_cont(n_chars,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |       (n_chars > q[1])::INT + (n_chars > q[2])::INT
+        |     + (n_chars > q[3])::INT + (n_chars > q[4])::INT
+        |     + (n_chars > q[5])::INT + (n_chars > q[6])::INT
+        |     + (n_chars > q[7])::INT + (n_chars > q[8])::INT
+        |     + (n_chars > q[9])::INT AS bin
+        |FROM documents, c""".stripMargin,
 
     // chr(769) = U+0301 combining acute, chr(778) = U+030A combining
     // ring — DuckDB's nfc_normalize must compose them exactly like
@@ -3595,6 +3636,19 @@ object SparkEntry {
       |  GROUP BY doc_id)
       |SELECT * FROM w
       |""".stripMargin + suffix
+
+  /** Within-cluster cosine pair CTE over the kmeans chain's `af`
+    * (shared by dd16/dd17): replays the ordered-double dot kernel. */
+  private val semanticPairCte: String =
+    """p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
+      |    list_sum(list_transform(range(1, 65),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(range(1, 65),
+      |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(range(1, 65),
+      |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos
+      |  FROM af a JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)""".stripMargin
 
   /** kmeans1/div1 oracle prefix: Lloyd's iterations unrolled as CTEs
     * with the SAME deterministic contract as `Clustering.kmeans` —

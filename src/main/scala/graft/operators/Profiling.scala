@@ -167,6 +167,32 @@ object Profiling {
       .unionByName(all)
   }
 
+  /** Equal-frequency (percentile) binning: assign each row the bin
+    * index counting how many of the n-1 exact interior percentile
+    * cutoffs its value exceeds — length-curriculum ordering, balanced
+    * batching, and quantile-bucketed sampling all start here.
+    *
+    * Scale shape: ONE exact-percentile aggregate (collected: n-1
+    * doubles, bounded), cutoffs ride back in as literals, binning is
+    * a row-local projection. Use an integer-valued column: interior
+    * cutoffs then either land strictly between integers (engine FP
+    * ulps cannot flip an integer comparison) or exactly ON an integer
+    * (both engines agree by construction) — what makes the bin ids
+    * verifiable across engines. Nulls get a null bin.
+    */
+  def percentileBins(df: DataFrame, idCol: String, valueCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2: $nBins")
+    val probs = (1 until nBins).map(_.toDouble / nBins)
+    val cutoffs = df
+      .agg(percentile(col(valueCol), array(probs.map(lit): _*)).as("q"))
+      .head().getSeq[Double](0)
+    val bin = cutoffs.map(c =>
+      when(col(valueCol) > c, 1).otherwise(0)).reduce(_ + _)
+    df.select(col(idCol), col(valueCol),
+      when(col(valueCol).isNull, lit(null)).otherwise(bin).as("bin"))
+  }
+
   /** Dense equi-width histogram: `nBuckets` buckets over [lo, hi)
     * plus an underflow (-1) and an overflow (`nBuckets`) bucket,
     * EVERY bucket present in the output (empty ones with n = 0 — a

@@ -110,6 +110,26 @@ class ProfilingSpec extends SparkTestBase {
     assert(rows(0).isNullAt(1) && rows(11).isNullAt(2))
   }
 
+  test("percentile bins are balanced and ordered; nulls get a null bin") {
+    import spark.implicits._
+    val rows = (1 to 100).map(i => (i.toLong, Some(i))) :+ (101L, Option.empty[Int])
+    val df = rows.toDF("id", "v")
+    val out = Profiling.percentileBins(df, "id", "v", nBins = 4).collect()
+    val bins = out.filter(!_.isNullAt(2)).map(r => r.getInt(1) -> r.getInt(2))
+    // 1..100 into quartiles: exact 25/25/25/25
+    assert(bins.groupBy(_._2).view.mapValues(_.length).toMap ==
+      Map(0 -> 25, 1 -> 25, 2 -> 25, 3 -> 25))
+    // monotone: higher value never lands in a lower bin
+    val sorted = bins.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 <= b._2)
+      case _ =>
+    }
+    assert(out.find(_.getLong(0) == 101L).get.isNullAt(2))
+    assertThrows[IllegalArgumentException](
+      Profiling.percentileBins(df, "id", "v", 1))
+  }
+
   test("histogram top edge: FP division cannot leak in-range rows to overflow") {
     import spark.implicits._
     // (v - lo) / (range / 3) rounds to exactly 3.0 for this v < hi
