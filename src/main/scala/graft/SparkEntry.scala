@@ -1031,6 +1031,28 @@ object SparkEntry {
       s.read.parquet(s"$base/out")
     }),
 
+    // train-offline / assign-online: centroids fit in batch, then a
+    // REAL two-micro-batch stream routes each vector by topic with a
+    // stateless projection; must agree with the batch assignment
+    // (same oracle as kmeans1)
+    "st10_stream_cluster_assign" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = Clustering.kmeansCentroids(e, "vec_id", "embedding",
+        k = 8, maxIter = 2)
+      val base = tmpDir("graft_st10")
+      val in = s"$base/in"
+      e.filter(col("vec_id") % 2 === 0).coalesce(1).write.mode("append").parquet(in)
+      e.filter(col("vec_id") % 2 === 1).coalesce(1).write.mode("append").parquet(in)
+      val schema = s.read.parquet(in).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val assigned = Clustering.assign(stream, "vec_id", "embedding", cents)
+      val q = graft.streaming.EventStream.writeFileStream(
+        assigned, s"$base/out", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out")
+    }),
+
     "pii1_redact" -> ((s, dir) => {
       // the corpus itself is synthetic word salad, so deterministic
       // PII is injected per row — the oracle builds the identical
@@ -2698,6 +2720,10 @@ object SparkEntry {
         |FROM k""".stripMargin,
 
     "kmeans1_embedding_clusters" ->
+      (kmeansOracleCtes(8, 2, 64) + "\nSELECT vec_id, cluster FROM af"),
+
+    // the stream must land exactly where the batch assignment does
+    "st10_stream_cluster_assign" ->
       (kmeansOracleCtes(8, 2, 64) + "\nSELECT vec_id, cluster FROM af"),
 
     "div1_diversity_sample" ->

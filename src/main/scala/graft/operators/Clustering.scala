@@ -94,12 +94,24 @@ object Clustering {
     cents
   }
 
+  /** Projection-only (id, cluster) assignment against precomputed
+    * centroids. Stateless, so it runs identically on batch and
+    * STREAMING frames — the train-offline / assign-online pattern an
+    * ingestion pipeline uses to route documents by topic as they
+    * arrive (no watermark, no state store, exactly-once trivially).
+    */
+  def assign(df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]]): DataFrame = {
+    require(cents.nonEmpty, "assign requires at least one centroid")
+    df.select(col(idCol), clusterOf(vecCol, cents).as("cluster"))
+  }
+
   /** (id, cluster) assignment after `maxIter` Lloyd iterations —
     * the final pass is projection-only over the scan. */
   def kmeans(df: DataFrame, idCol: String, vecCol: String,
       k: Int, maxIter: Int): DataFrame = {
     val cents = kmeansCentroids(df, idCol, vecCol, k, maxIter)
-    df.select(col(idCol), clusterOf(vecCol, cents).as("cluster"))
+    assign(df, idCol, vecCol, cents)
   }
 
   /** SemDeDup-style semantic near-dup pairs: k-means clusters as the
