@@ -2941,35 +2941,13 @@ object SparkEntry {
         |GROUP BY doc_id""".stripMargin,
 
     "pack1_shards" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, n_tokens,
-        |         sum(n_tokens) OVER (ORDER BY doc_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |  FROM t)
-        |SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum,
-        |       CAST(floor((cum - n_tokens) * 1.0 / 2000) AS BIGINT) AS shard
-        |FROM c""".stripMargin,
+      (packOracleCtes("doc_id") +
+        "\nSELECT doc_id, n_tokens, cum, shard FROM a"),
 
     // replay shard assignment, then the per-shard char layout:
     // start = sum of (len + sep) over earlier docs in the shard
     "pack4_concat_offsets" ->
-      """WITH t AS (
-        |  SELECT doc_id, text,
-        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, text, n_tokens,
-        |         sum(n_tokens) OVER (ORDER BY doc_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |  FROM t),
-        |a AS (
-        |  SELECT doc_id, text,
-        |         CAST(floor((cum - n_tokens) * 1.0 / 2000) AS BIGINT) AS shard
-        |  FROM c)
+      (packOracleCtes("doc_id, text") + """
         |SELECT shard, doc_id,
         |       CAST(sum(length(text) + 2) OVER (PARTITION BY shard ORDER BY doc_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -2977,27 +2955,15 @@ object SparkEntry {
         |       CAST(sum(length(text) + 2) OVER (PARTITION BY shard ORDER BY doc_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |         - 2 AS BIGINT) AS end_char
-        |FROM a""".stripMargin,
+        |FROM a""".stripMargin),
 
     "pack5_packed_shards" ->
-      """WITH t AS (
-        |  SELECT doc_id, text,
-        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, text, n_tokens,
-        |         sum(n_tokens) OVER (ORDER BY doc_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |  FROM t),
-        |a AS (
-        |  SELECT doc_id, text,
-        |         CAST(floor((cum - n_tokens) * 1.0 / 2000) AS BIGINT) AS shard
-        |  FROM c)
+      (packOracleCtes("doc_id, text") + """
         |SELECT shard, count(*) AS n_docs,
         |       string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS packed_text,
         |       CAST(length(string_agg(text, chr(10) || chr(10) ORDER BY doc_id))
         |         AS BIGINT) AS packed_len
-        |FROM a GROUP BY shard""".stripMargin,
+        |FROM a GROUP BY shard""".stripMargin),
 
     "pack2_bpeish_shards" ->
       """WITH t AS (
@@ -3662,6 +3628,26 @@ object SparkEntry {
       |  GROUP BY doc_id)
       |SELECT * FROM w
       |""".stripMargin + suffix
+
+  /** pack-family oracle prefix (pack1/pack4/pack5): whitespace
+    * tokenize, global cumulative sum, first-token shard rule at
+    * budget 2000 — the single replay of `Packing.assignShards`'
+    * entry parameters. `cols` carries the columns each query needs
+    * downstream. Ends with `a` = (cols, n_tokens, cum, shard). */
+  private def packOracleCtes(cols: String): String =
+    s"""WITH t AS (
+       |  SELECT $cols,
+       |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT $cols, n_tokens,
+       |         sum(n_tokens) OVER (ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t),
+       |a AS (
+       |  SELECT $cols, n_tokens, CAST(cum AS BIGINT) AS cum,
+       |         CAST(floor((cum - n_tokens) * 1.0 / 2000) AS BIGINT) AS shard
+       |  FROM c)""".stripMargin
 
   /** Within-cluster cosine pair CTE over the kmeans chain's `af`
     * (shared by dd16/dd17): replays the ordered-double dot kernel. */

@@ -131,20 +131,17 @@ object Clustering {
   def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       k: Int, maxIter: Int, threshold: Double): DataFrame = {
     val cents = kmeansCentroids(df, idCol, vecCol, k, maxIter)
+    // checkpoint: the k-dot-product assignment feeds BOTH sides of
+    // the self-join and would otherwise run twice per row
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       clusterOf(vecCol, cents).as("cluster"),
       Similarity.l2norm(col(vecCol)).as("n"))
+      .localCheckpoint()
     val a = base.select(col("cluster"), col("id").as("id_a"),
       col("v").as("v_a"), col("n").as("n_a"))
     val b = base.select(col("cluster"), col("id").as("id_b"),
       col("v").as("v_b"), col("n").as("n_b"))
-    a.join(b, "cluster")
-      .filter(col("id_a") < col("id_b"))
-      // zero vectors: norm 0 → 0/0 NaN orders above every threshold
-      .filter(col("n_a") > 0 && col("n_b") > 0)
-      .withColumn("cosine",
-        Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
-      .filter(col("cosine") >= threshold)
+    Similarity.scoreJoinedPairs(a.join(b, "cluster"), threshold)
       .select(col("id_a"), col("id_b"), col("cluster"), col("cosine"))
   }
 

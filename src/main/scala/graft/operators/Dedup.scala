@@ -869,12 +869,7 @@ object Dedup {
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("__norm").as("n"))
     val a = base.select(col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
     val b = base.select(col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
-    a.crossJoin(b)
-      .filter(col("id_a") < col("id_b"))
-      // zero vectors: norm 0 → 0/0 NaN orders above every threshold
-      .filter(col("n_a") > 0 && col("n_b") > 0)
-      .withColumn("cosine", Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
-      .filter(col("cosine") >= threshold)
+    Similarity.scoreJoinedPairs(a.crossJoin(b), threshold)
       .select("id_a", "id_b", "cosine")
   }
 

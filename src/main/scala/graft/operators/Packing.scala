@@ -107,6 +107,13 @@ object Packing {
     * packed shard: (shard, doc, start_char 0-based, end_char
     * exclusive).
     *
+    * Offsets count Unicode CODEPOINTS (what `length()` returns in
+    * both Spark and SQL engines) — a JVM loader must slice with
+    * `offsetByCodePoints`, not raw `String.substring`, or
+    * supplementary-plane characters (emoji) shift every later doc in
+    * the shard. A byte-oriented loader should recompute offsets in
+    * bytes via `octet_length`.
+    *
     * Scale shape: lengths are row-local; the cumulative window
     * partitions by shard (parallelism = shard count, and a shard is
     * budget-bounded by construction). The text itself never moves —

@@ -184,9 +184,14 @@ object Profiling {
       nBins: Int): DataFrame = {
     require(nBins >= 2, s"nBins must be >= 2: $nBins")
     val probs = (1 until nBins).map(_.toDouble / nBins)
-    val cutoffs = df
+    val row = df
       .agg(percentile(col(valueCol), array(probs.map(lit): _*)).as("q"))
-      .head().getSeq[Double](0)
+      .head()
+    // empty input / all-null column: the percentile array is NULL —
+    // fail loudly instead of an opaque NPE downstream
+    require(!row.isNullAt(0),
+      s"percentileBins: no non-null values in '$valueCol'")
+    val cutoffs = row.getSeq[Double](0)
     val bin = cutoffs.map(c =>
       when(col(valueCol) > c, 1).otherwise(0)).reduce(_ + _)
     df.select(col(idCol), col(valueCol),

@@ -57,6 +57,22 @@ object Similarity {
   private def firstVectorDim(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).head().getInt(0)
 
+  /** Score a pre-joined pair frame carrying (id_a, v_a, n_a, id_b,
+    * v_b, n_b): canonical id order, zero-norm guard BEFORE the
+    * division (0/0 throws under ANSI mode and would rank FIRST as
+    * NaN without it), cosine, threshold. The one shared definition of
+    * pair semantics — [[graft.operators.Dedup.exactCosinePairs]]
+    * (cross join) and `Clustering.semanticNearDupPairs`
+    * (cluster-blocked join) differ only in how pairs are generated.
+    */
+  private[operators] def scoreJoinedPairs(joined: DataFrame,
+      threshold: Double): DataFrame =
+    joined
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("cosine", dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cosine") >= threshold)
+
   /** Exact top-k cosine neighbors for each query vector.
     * `queries` and `corpus`: (id, vec). Excludes self-matches when ids
     * collide. Deterministic tie-break by neighbor id.

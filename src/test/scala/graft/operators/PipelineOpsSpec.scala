@@ -268,7 +268,11 @@ class PackingSpec extends SparkTestBase {
   }
 
   test("concat offsets slice every doc back out of its packed shard") {
-    val rows = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "delta eps zeta"),
+    // doc 1 carries a supplementary-plane emoji: offsets count
+    // CODEPOINTS, so the slice must use offsetByCodePoints — raw
+    // String.substring would shift every doc after it
+    val rows = Seq((1L, "alpha 😀 beta"), (2L, "gamma"),
+      (3L, "delta eps zeta"),
       (4L, "longer document here to roll the shard"), (5L, "tail"))
       .toDF("doc_id", "text")
     val assigned = Packing.assignShards(rows, "doc_id", "text", budget = 6L)
@@ -276,11 +280,13 @@ class PackingSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     val offsets = Packing.concatOffsets(assigned, "doc_id", "text").collect()
     val texts = rows.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    // THE contract: substring(packed, start, end) == original doc
+    def cpSlice(s: String, start: Int, end: Int): String =
+      s.substring(s.offsetByCodePoints(0, start), s.offsetByCodePoints(0, end))
+    // THE contract: codepoint-slice(packed, start, end) == original doc
     offsets.foreach { r =>
       val (shard, id, s, e) =
         (r.getLong(0), r.getLong(1), r.getLong(2).toInt, r.getLong(3).toInt)
-      assert(packed(shard).substring(s, e) == texts(id),
+      assert(cpSlice(packed(shard), s, e) == texts(id),
         s"doc $id mis-sliced from shard $shard")
     }
     // offsets are dense: doc k+1 starts sep-width after doc k ends
@@ -293,11 +299,11 @@ class PackingSpec extends SparkTestBase {
       }
       assert(sorted.head.getLong(2) == 0L)
     }
-    // packed_len agrees with the last end offset
+    // packed_len agrees with the last end offset (both in codepoints)
     val lastEnd = offsets.groupBy(_.getLong(0)).view
       .mapValues(_.map(_.getLong(3)).max).toMap
     packed.foreach { case (shard, text) =>
-      assert(text.length.toLong == lastEnd(shard)) }
+      assert(text.codePointCount(0, text.length).toLong == lastEnd(shard)) }
   }
 }
 

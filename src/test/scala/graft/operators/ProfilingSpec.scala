@@ -128,6 +128,11 @@ class ProfilingSpec extends SparkTestBase {
     assert(out.find(_.getLong(0) == 101L).get.isNullAt(2))
     assertThrows[IllegalArgumentException](
       Profiling.percentileBins(df, "id", "v", 1))
+    // empty / all-null input fails loudly, not with an opaque NPE
+    assertThrows[IllegalArgumentException](
+      Profiling.percentileBins(df.filter("id > 1000"), "id", "v", 4))
+    assertThrows[IllegalArgumentException](
+      Profiling.percentileBins(df.filter("id = 101"), "id", "v", 4))
   }
 
   test("histogram top edge: FP division cannot leak in-range rows to overflow") {
