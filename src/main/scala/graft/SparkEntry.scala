@@ -1682,6 +1682,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           round(sum("value"), 2).as("sum_value"))),
 
+    // dense hourly resample + forward fill: every hour between first
+    // and last present (gaps carry the last non-empty hour's sum);
+    // the ffill window runs over grid rows, never events
+    "ts1_hourly_resample" -> ((s, dir) =>
+      TimeSeries.resampleHourly(events(s, dir), "ts", "value")),
+
+    // SCD2 dimension history: each change opens a version, the next
+    // change (or delete) closes it — half-open [valid_from, valid_to)
+    "scd1_dimension_history" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val k = col("c_custkey")
+      def v(df: DataFrame, op: String, seq: Long): DataFrame =
+        df.withColumn("op", lit(op)).withColumn("seq", lit(seq))
+      val base = c.select(col("c_custkey"), col("c_acctbal"))
+      val feed =
+        v(base.filter(k % 10 <= 2), "I", 0L)
+          .unionByName(v(base.filter(k % 10 <= 2)
+            .withColumn("c_acctbal", round(col("c_acctbal") + 100, 2)), "U", 1L))
+          .unionByName(v(base.filter(k % 10 === 0), "D", 2L))
+      Modes.scdHistory(feed, Seq("c_custkey"), "op", "seq")
+        .select("c_custkey", "c_acctbal", "valid_from", "valid_to", "is_current")
+    }),
+
     // streaming exact-dedup gate e2e: the event table arrives TWICE
     // (two identical files, maxFilesPerTrigger=1 forces separate
     // micro-batches), so every second-batch row is a cross-batch
@@ -3318,6 +3341,38 @@ object SparkEntry {
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
         |       count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "ts1_hourly_resample" ->
+      """WITH e AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, value
+        |  FROM events),
+        |agg AS (
+        |  SELECT h, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |  FROM e GROUP BY h),
+        |b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b)
+        |SELECT s.h, coalesce(a.n_events, 0) AS n_events, a.sum_value,
+        |       last_value(a.sum_value IGNORE NULLS) OVER (ORDER BY s.h
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value_ffill
+        |FROM spine s LEFT JOIN agg a USING (h)""".stripMargin,
+
+    "scd1_dimension_history" ->
+      """WITH f AS (
+        |  SELECT c_custkey, c_acctbal, 'I' AS op, CAST(0 AS BIGINT) AS seq
+        |  FROM customer WHERE c_custkey % 10 <= 2
+        |  UNION ALL
+        |  SELECT c_custkey, round(c_acctbal + 100, 2), 'U', 1
+        |  FROM customer WHERE c_custkey % 10 <= 2
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal, 'D', 2
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |h AS (
+        |  SELECT c_custkey, c_acctbal, op, seq AS valid_from,
+        |         lead(seq) OVER (PARTITION BY c_custkey ORDER BY seq) AS valid_to
+        |  FROM f)
+        |SELECT c_custkey, c_acctbal, valid_from, valid_to,
+        |       valid_to IS NULL AS is_current
+        |FROM h WHERE op <> 'D'""".stripMargin,
 
     // the doubled stream collapses back to the source rows: event_id
     // is unique in the source, so distinct-by-key == distinct rows

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{broadcast, col, row_number}
+import org.apache.spark.sql.functions.{broadcast, col, lead, row_number}
 
 /** Replication-mode dataflow as pure DataFrame algebra (SURVEY.md
   * §2.6). The connector layer (JdbcConnector/FileConnector) applies
@@ -74,5 +74,32 @@ object Modes {
     val probe = if (broadcastChanges) broadcast(touchedKeys) else touchedKeys
     target.join(probe, keys, "left_anti")
       .unionByName(survivors)
+  }
+
+  /** SCD type-2 history from a change feed: every 'I'/'U' change
+    * becomes a VERSION row with a half-open validity interval
+    * [valid_from, valid_to) in feed order; the next change for the
+    * same key (including a delete) closes it. Delete rows close the
+    * previous version without opening one. `is_current` marks the
+    * open interval. Precondition (checked per-row semantics, not
+    * globally): (key, orderCol) pairs must be unique — same-instant
+    * changes have no defined version order; run the feed through
+    * [[applyChanges]] instead if only the latest state matters.
+    *
+    * Scale: one window over the change feed keyed by the PK —
+    * dimension history feeds are small next to facts; nothing else
+    * shuffles. */
+  def scdHistory(changes: DataFrame, keys: Seq[String], opCol: String,
+      orderCol: String): DataFrame = {
+    require(keys.nonEmpty, "scdHistory requires key columns")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).asc)
+    changes
+      .withColumn("valid_from", col(orderCol))
+      // lead BEFORE dropping deletes: a delete closes its predecessor
+      .withColumn("valid_to", lead(col(orderCol), 1).over(w))
+      .filter(col(opCol) =!= "D")
+      .withColumn("is_current", col("valid_to").isNull)
   }
 }

@@ -568,6 +568,39 @@ class ModesSpec extends SparkTestBase {
     assert(out == Map(1 -> "A1", 3 -> "C2", 4 -> "d", 5 -> "e"))
   }
 
+  test("scdHistory: versions chain half-open, deletes close without opening") {
+    val feed = Seq(
+      (1, "a", "I", 0L), (1, "b", "U", 5L), (1, "c", "U", 9L),
+      (2, "x", "I", 0L), (2, "y", "U", 3L), (2, "", "D", 7L))
+      .toDF("k", "v", "op", "seq")
+    val out = Modes.scdHistory(feed, Seq("k"), "op", "seq")
+      .select("k", "v", "valid_from", "valid_to", "is_current")
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+      .sortBy(t => (t._1, t._3))
+    assert(out.toSeq == Seq(
+      (1, "a", 0L, 5L, false), (1, "b", 5L, 9L, false), (1, "c", 9L, -1L, true),
+      (2, "x", 0L, 3L, false), (2, "y", 3L, 7L, false)))
+    // key 2 has NO current version: the delete closed its history
+    assert(!out.filter(_._1 == 2).exists(_._5))
+  }
+
+  test("resampleHourly: dense spine, zero-count gaps, forward-filled sums") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (ts("2024-03-01 10:15:00"), 1.0), (ts("2024-03-01 10:45:00"), 2.0),
+      // 11:00 and 12:00 empty
+      (ts("2024-03-01 13:05:00"), 7.0))
+      .toDF("ts", "value")
+    val out = TimeSeries.resampleHourly(rows, "ts", "value")
+      .orderBy("h").collect()
+    assert(out.length == 4) // 10,11,12,13 — gaps present
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 0L, 0L, 1L))
+    // sum_value null on gaps, ffill carries 3.0 across them
+    assert(out(0).getDouble(2) == 3.0 && out(1).isNullAt(2))
+    assert(out.map(_.getDouble(3)).toSeq == Seq(3.0, 3.0, 3.0, 7.0))
+  }
+
   test("applyChanges: full ties resolve stably across runs (content-hash break)") {
     val target = Seq((1, "a")).toDF("k", "v")
     val changes = Seq((1, "X", "U", 1L), (1, "Y", "U", 1L)).toDF("k", "v", "op", "seq")
