@@ -56,6 +56,45 @@ object SparkEntry {
       |           AS ps_supplycost
       |  FROM part p, unnest([0, 1, 2, 3]) AS t(i))""".stripMargin
 
+  /** Unrolled-CTE replay of [[graft.operators.LinkGraph.pageRank]]'s
+    * integer recurrence for the pr1 fixture graph: one (dang, inb,
+    * r) CTE triple per iteration, every operation BIGINT floor
+    * division/multiply/add — exact agreement with the Spark result
+    * is the point (fixed-point PageRank is engine-independent). */
+  private def pr1OracleSql(iters: Int): String = {
+    val scale = 1000000000000L
+    val head =
+      """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        |v AS (SELECT doc_id AS node FROM documents),
+        |e AS (SELECT doc_id AS src,
+        |        (doc_id * 13 + t.i * 17 + 1) % (SELECT n_docs FROM n) AS dst
+        |      FROM documents, unnest([0, 1, 2, 3]) AS t(i)
+        |      WHERE t.i < doc_id % 4),
+        |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+        |r0 AS (SELECT node, (SELECT SCALE // n_docs FROM n) AS rank_fp FROM v)"""
+        .stripMargin.replace("SCALE", scale.toString)
+    val iterCtes = (1 to iters).map { k =>
+      s"""dang$k AS (
+         |  SELECT CAST(coalesce(sum(rank_fp), 0) AS BIGINT) AS dang
+         |  FROM r${k - 1} LEFT JOIN deg USING (node) WHERE deg IS NULL),
+         |inb$k AS (
+         |  SELECT e.dst AS node,
+         |         CAST(sum(r.rank_fp // d.deg) AS BIGINT) AS inbound
+         |  FROM e JOIN r${k - 1} r ON r.node = e.src
+         |         JOIN deg d ON d.node = e.src
+         |  GROUP BY 1),
+         |r$k AS (
+         |  SELECT v.node,
+         |         (((100 - 85) * $scale) // (100 * n.n_docs))
+         |         + ((85 * (coalesce(i.inbound, 0) + (dg.dang // n.n_docs))) // 100)
+         |           AS rank_fp
+         |  FROM v LEFT JOIN inb$k i ON v.node = i.node
+         |  CROSS JOIN dang$k dg CROSS JOIN n)""".stripMargin
+    }
+    (head +: iterCtes).mkString(",\n") +
+      s"\nSELECT node, rank_fp FROM r$iters"
+  }
+
   /** Deterministic URL fixture for url1/qf3: the corpus has no URLs,
     * so append two per document — a mixed-case host (normalization
     * must lowercase it) and a host with port + query (the domain
@@ -942,6 +981,43 @@ object SparkEntry {
         col("doc_id"),
         TextNormalize.unicodeNormalize(suffixed).as("nfc"),
         length(TextNormalize.unicodeNormalize(suffixed)).as("nfc_len"))
+    }),
+
+    // raw-crawl text extraction: each doc wrapped in an HTML fixture
+    // (script with < > operators inside, style, comment, entities
+    // incl. the &amp;amp; double-escape) — extractText must drop the
+    // code blocks wholesale, break words at tags, and decode the
+    // named entities exactly once; the oracle replays the identical
+    // regex/replace chain
+    "html1_extract_text" -> ((s, dir) => {
+      val d = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><head><script type=\"text/javascript\">if(1<2&&3>0){track('x');}</script>"),
+        lit("<style media=\"all\">p{color:red}</style><title>Doc "), d,
+        lit("</title></head><body><!-- nav --><h1 class=\"t\">Doc "), d,
+        lit("</h1><p>"), substring(col("text"), 1, 120),
+        lit("</p><p>lang &lt;"), col("lang"),
+        lit("&gt;&nbsp;&amp;amp; source &quot;"), col("source"),
+        lit("&quot; &#39;end&#39;</p></body></html>"))
+      t(s, dir, "documents").select(col("doc_id"),
+          TextNormalize.extractText(html).as("extracted"))
+        .withColumn("n_chars_extracted", length(col("extracted")))
+    }),
+
+    // link-graph PageRank in exact fixed-point: the corpus has no
+    // links, so derive a deterministic graph (out-degree doc_id % 4,
+    // targets hashed mod |docs| — includes dangling nodes and
+    // self-loops); 5 integer-recurrence sweeps must agree with the
+    // oracle's unrolled replay to the last fixed-point unit
+    "pr1_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nF = docs.agg(count(lit(1)).as("n_docs"))
+      val edges = docs.crossJoin(broadcast(nF))
+        .select(col("doc_id").as("src"), col("n_docs"),
+          explode(expr("filter(array(0, 1, 2, 3), i -> i < doc_id % 4)")).as("i"))
+        .select(col("src"), expr("(src * 13 + i * 17 + 1) % n_docs").as("dst"))
+      LinkGraph.pageRank(docs.select("doc_id"), edges, "src", "dst",
+        iterations = 5)
     }),
 
     // mergeable-sketch vocabulary: per-lang HLL estimates + an ALL row
@@ -2809,6 +2885,36 @@ object SparkEntry {
         |         regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g')),
         |         '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS canonical
         |FROM documents""".stripMargin,
+
+    "html1_extract_text" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    '<html><head><script type="text/javascript">if(1<2&&3>0){track(''x'');}</script>'
+        |    || '<style media="all">p{color:red}</style><title>Doc ' || CAST(doc_id AS VARCHAR)
+        |    || '</title></head><body><!-- nav --><h1 class="t">Doc ' || CAST(doc_id AS VARCHAR)
+        |    || '</h1><p>' || substr(text, 1, 120)
+        |    || '</p><p>lang &lt;' || lang
+        |    || '&gt;&nbsp;&amp;amp; source &quot;' || source
+        |    || '&quot; &#39;end&#39;</p></body></html>' AS html
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |          html,
+        |          '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |          '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '(?s)<!--.*?-->', ' ', 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS extracted
+        |  FROM f)
+        |SELECT doc_id, extracted, length(extracted) AS n_chars_extracted
+        |FROM e""".stripMargin,
+
+    "pr1_pagerank" -> pr1OracleSql(5),
 
     "sk1_salted_distinct" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_distinct_o_custkey

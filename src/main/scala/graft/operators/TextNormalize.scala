@@ -40,6 +40,35 @@ object TextNormalize {
   def unicodeNormalize(c: Column, form: String = "NFC"): Column =
     graft.functions.TextExpressions.unicode_normalize(c, form)
 
+  /** Visible text out of HTML/XML markup — the raw-crawl → corpus
+    * extraction step every web-scale pipeline runs first. Drops
+    * script/style payloads and comments wholesale (their content is
+    * code, not prose), turns every remaining tag into a SPACE (a tag
+    * is a word boundary: `<p>a</p><p>b</p>` must not fuse "ab"),
+    * decodes the six ubiquitous character entities (`&amp;` LAST, so
+    * `&amp;lt;` decodes to the literal "&lt;" exactly once — the
+    * HTML5 double-escape rule), then collapses whitespace.
+    *
+    * Deliberately regex-composable (no backreferences, no
+    * lookaround): the whole chain is native `regexp_replace`/
+    * `replace` — whole-stage codegen on the Spark side, and exactly
+    * replayable in any RE2-class SQL engine, which is what the
+    * `html1` oracle does. Not a browser: CDATA, conditional
+    * comments, and numeric entities beyond the named six pass
+    * through as-is (document-level noise the quality gate
+    * downstream prices anyway). Row-local, shuffle-free. */
+  def extractText(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (col0, (from, to)) =>
+        replace(col0, lit(from), lit(to)) }
+    collapseWhitespace(ent)
+  }
+
   /** Truncate to at most `n` characters without splitting a word:
     * keep the window whole when it ends exactly on a word boundary,
     * otherwise cut at the last space inside it (or hard-cut a single

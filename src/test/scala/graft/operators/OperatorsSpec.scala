@@ -806,3 +806,53 @@ class MultimodalSpec extends SparkTestBase {
     assert(sized.rdd.getNumPartitions <= (1 << 16))
   }
 }
+
+class LinkGraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val scale = 1000000000000L
+
+  /** Reference model of the documented integer recurrence. */
+  private def model(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      iters: Int): Map[Long, Long] = {
+    val kept = edges.filter(e => nodes.contains(e._2))
+    val deg = kept.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = nodes.size.toLong
+    var rank = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val dang = nodes.filterNot(deg.contains).map(rank).sum
+      rank = nodes.map { v =>
+        val inb = kept.filter(_._2 == v).map { case (u, _) => rank(u) / deg(u) }.sum
+        v -> ((15L * scale) / (100L * n) + (85L * (inb + dang / n)) / 100L)
+      }.toMap
+    }
+    rank
+  }
+
+  test("pageRank matches the reference integer model exactly") {
+    val nodes = (0L until 7L).toSeq
+    // node 6 isolated; nodes 2,4,5 in cycles; edge to 99 must be
+    // dropped (outside the node set) and not count toward degree
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 2L),
+      (3L, 4L), (4L, 5L), (5L, 4L), (1L, 99L))
+    val out = LinkGraph.pageRank(nodes.toDF("id"), edges.toDF("s", "d"),
+        "s", "d", iterations = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == model(nodes, edges, 6))
+    // rank mass conserved up to defined truncation (strictly bounded
+    // by one unit per div per node per iteration)
+    val total = out.values.sum
+    assert(total <= scale && total > scale - 7L * 6L * 4L)
+    // the most-linked node outranks everything
+    assert(out.maxBy(_._2)._1 == 2L)
+  }
+
+  test("pageRank keeps a symmetric ring uniform") {
+    val nodes = (0L until 5L).toSeq
+    val ring = nodes.map(v => v -> ((v + 1L) % 5L))
+    val out = LinkGraph.pageRank(nodes.toDF("id"), ring.toDF("s", "d"),
+        "s", "d", iterations = 4)
+      .collect().map(_.getLong(1)).distinct
+    assert(out.length == 1) // perfectly uniform, iteration after iteration
+  }
+}

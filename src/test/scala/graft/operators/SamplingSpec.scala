@@ -150,6 +150,24 @@ class TextNormalizeSpec extends SparkTestBase {
     assert(n.isNullAt(0))
   }
 
+  test("extractText: drops code blocks, breaks words at tags, decodes entities once") {
+    val html = "<html><head><script>if(1<2&&3>0){x('</div>');}</script>" +
+      "<style>p{color:red}</style></head><body><!-- hidden -->" +
+      "<p>a</p><p>b</p>R&amp;D &lt;tag&gt; &amp;amp; &quot;q&quot;&nbsp;&#39;s&#39;</body></html>"
+    val out = Seq(html).toDF("t")
+      .select(TextNormalize.extractText(col("t"))).first().getString(0)
+    // script content (incl. its < > operators and fake close tag) gone;
+    // adjacent <p> blocks don't fuse; &amp;amp; decodes exactly once
+    assert(out == "a b R&D <tag> &amp; \"q\" 's'")
+    // plain text untouched beyond whitespace collapse
+    val plain = Seq("no   markup here").toDF("t")
+      .select(TextNormalize.extractText(col("t"))).first().getString(0)
+    assert(plain == "no markup here")
+    // nulls stay null
+    assert(Seq(Option.empty[String]).toDF("t")
+      .select(TextNormalize.extractText(col("t"))).first().isNullAt(0))
+  }
+
   test("word-boundary truncation never splits words") {
     val df = Seq("the quick brown fox", "supercalifragilistic", "short")
       .toDF("t").select(TextNormalize.truncateAtWord(col("t"), 12).as("o"))
