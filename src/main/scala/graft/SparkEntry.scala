@@ -1764,6 +1764,34 @@ object SparkEntry {
     "ts1_hourly_resample" -> ((s, dir) =>
       TimeSeries.resampleHourly(events(s, dir), "ts", "value")),
 
+    // trailing 3-hour moving baseline over the dense grid: gaps stay
+    // in the frame (mov_n counts them out) instead of shrinking it
+    "ts2_rolling_stats" -> ((s, dir) =>
+      TimeSeries.rollingStats(
+        TimeSeries.resampleHourly(events(s, dir), "ts", "value")
+          .drop("sum_value_ffill"),
+        "h", "sum_value", trailing = 3)),
+
+    // incremental aggregate maintenance: state built on 2/3 of
+    // lineitem, the remaining third folded in as an arrival batch,
+    // rolled up to returnflag from STATE alone — the oracle
+    // recomputes from scratch, proving merge == recompute
+    "inc1_incremental_state" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val existing = IncrementalAgg.state(
+        l.filter(col("l_orderkey") % 3 =!= 0),
+        Seq("l_returnflag", "l_linestatus"), "l_quantity")
+      val arrival = IncrementalAgg.state(
+        l.filter(col("l_orderkey") % 3 === 0),
+        Seq("l_returnflag", "l_linestatus"), "l_quantity")
+      IncrementalAgg.withAvg(
+          IncrementalAgg.rollup(
+            IncrementalAgg.merge(existing, arrival), Seq("l_returnflag")))
+        .select(col("l_returnflag"), col("n"), col("n_v"),
+          round(col("sum_v"), 2).as("sum_v"),
+          col("min_v"), col("max_v"), col("avg_v"))
+    }),
+
     // SCD2 dimension history: each change opens a version, the next
     // change (or delete) closes it — half-open [valid_from, valid_to)
     "scd1_dimension_history" -> ((s, dir) => {
@@ -3461,6 +3489,36 @@ object SparkEntry {
         |       last_value(a.sum_value IGNORE NULLS) OVER (ORDER BY s.h
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value_ffill
         |FROM spine s LEFT JOIN agg a USING (h)""".stripMargin,
+
+    "ts2_rolling_stats" ->
+      """WITH e AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, value
+        |  FROM events),
+        |agg AS (
+        |  SELECT h, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |  FROM e GROUP BY h),
+        |b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
+        |g AS (
+        |  SELECT s.h, coalesce(a.n_events, 0) AS n_events, a.sum_value
+        |  FROM spine s LEFT JOIN agg a USING (h))
+        |SELECT h, n_events, sum_value,
+        |       CAST(count(sum_value) OVER w AS BIGINT) AS mov_n,
+        |       round(avg(sum_value) OVER w, 4) AS mov_avg,
+        |       min(sum_value) OVER w AS mov_min,
+        |       max(sum_value) OVER w AS mov_max
+        |FROM g
+        |WINDOW w AS (ORDER BY h ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "inc1_incremental_state" ->
+      """SELECT l_returnflag,
+        |       count(*) AS n,
+        |       count(l_quantity) AS n_v,
+        |       round(sum(l_quantity), 2) AS sum_v,
+        |       min(l_quantity) AS min_v,
+        |       max(l_quantity) AS max_v,
+        |       round(sum(l_quantity) / count(l_quantity), 4) AS avg_v
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "scd1_dimension_history" ->
       """WITH f AS (

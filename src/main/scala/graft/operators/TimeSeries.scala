@@ -43,4 +43,23 @@ object TimeSeries {
         col("sum_value"),
         last(col("sum_value"), ignoreNulls = true).over(w).as("sum_value_ffill"))
   }
+
+  /** Trailing-window stats over an (ordered, dense) grid frame —
+    * moving average / min / max / non-empty count of `valueCol` over
+    * the current row and the `trailing` rows before it. The moving
+    * baseline every rate monitor and anomaly detector compares
+    * against; run it on [[resampleHourly]] output so gaps (null
+    * value, counted out by `mov_n`) don't silently shrink the
+    * window. Same scale argument as the ffill window: ordered by the
+    * GRID column, bounded by grid size, never by event count. */
+  def rollingStats(grid: DataFrame, orderCol: String, valueCol: String,
+      trailing: Int = 3): DataFrame = {
+    require(trailing >= 1, "rollingStats needs a trailing window >= 1")
+    val w = Window.orderBy(orderCol).rowsBetween(-trailing, Window.currentRow)
+    grid
+      .withColumn("mov_n", count(col(valueCol)).over(w))
+      .withColumn("mov_avg", round(avg(col(valueCol)).over(w), 4))
+      .withColumn("mov_min", min(col(valueCol)).over(w))
+      .withColumn("mov_max", max(col(valueCol)).over(w))
+  }
 }

@@ -856,3 +856,60 @@ class LinkGraphSpec extends SparkTestBase {
     assert(out.length == 1) // perfectly uniform, iteration after iteration
   }
 }
+
+class IncrementalAggSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val data = Seq(
+    (1L, "a", "x", Option(1.0)), (2L, "a", "x", Option.empty[Double]),
+    (3L, "a", "y", Option(5.0)), (4L, "b", "x", Option(2.0)),
+    (5L, "b", "x", Option(4.0)), (6L, "c", "z", Option(9.0)))
+    .toDF("id", "g1", "g2", "v")
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3), if (r.isNullAt(4)) null else r.getDouble(4),
+      if (r.isNullAt(5)) null else r.getDouble(5),
+      if (r.isNullAt(6)) null else r.getDouble(6))).toSet
+
+  test("merge of split states == state of the union (nulls, disjoint groups)") {
+    val full = IncrementalAgg.state(data, Seq("g1", "g2"), "v")
+    // split leaves group c entirely on the odd side — it must survive
+    val merged = IncrementalAgg.merge(
+      IncrementalAgg.state(data.filter($"id" % 2 === 0), Seq("g1", "g2"), "v"),
+      IncrementalAgg.state(data.filter($"id" % 2 =!= 0), Seq("g1", "g2"), "v"))
+    assert(rows(merged) == rows(full))
+    // the null value counted in n but not n_v
+    val ax = merged.filter($"g1" === "a" && $"g2" === "x").first()
+    assert(ax.getLong(2) == 2L && ax.getLong(3) == 1L)
+  }
+
+  test("rollup answers the coarser grouping from state alone") {
+    val st = IncrementalAgg.state(data, Seq("g1", "g2"), "v")
+    val up = IncrementalAgg.rollup(st, Seq("g1"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(up("a") == ((3L, 2L, 6.0)))
+    assert(up("b") == ((2L, 2L, 6.0)))
+    assert(up("c") == ((1L, 1L, 9.0)))
+    // avg derives from the non-null count, not the row count
+    val avg = IncrementalAgg.withAvg(IncrementalAgg.rollup(st, Seq("g1")))
+      .filter($"g1" === "a").select("avg_v").first().getDouble(0)
+    assert(avg == 3.0) // (1 + 5) / 2 non-null, NOT / 3 rows
+  }
+
+  test("rollingStats: gaps stay in the frame, counted out by mov_n") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val grid = TimeSeries.resampleHourly(Seq(
+      (ts("2024-03-01 10:00:00"), 2.0), (ts("2024-03-01 13:30:00"), 8.0))
+      .toDF("ts", "value"), "ts", "value").drop("sum_value_ffill")
+    val out = TimeSeries.rollingStats(grid, "h", "sum_value", trailing = 3)
+      .orderBy("h").collect()
+    assert(out.length == 4)
+    // last row's frame spans all four grid hours: two non-empty
+    assert(out(3).getLong(3) == 2L)                 // mov_n
+    assert(out(3).getDouble(4) == 5.0)              // mov_avg = (2+8)/2
+    assert(out(1).getLong(3) == 1L)                 // gap row: frame has 10h only
+    assert(out(1).getDouble(5) == 2.0 && out(1).getDouble(6) == 2.0)
+  }
+}
