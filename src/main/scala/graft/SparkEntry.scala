@@ -1063,6 +1063,19 @@ object SparkEntry {
       Skew.saltedCountDistinct(t(s, dir, "orders"),
         Seq("o_orderpriority"), "o_custkey")),
 
+    // manual skew join: fact salted on a non-key column, dim
+    // replicated 8x, join runs on (partkey, salt) so a hot part's
+    // rows land on 8 reducers — result == the plain join, which is
+    // exactly what the oracle computes
+    "sk2_salted_join" -> ((s, dir) => {
+      val joined = Skew.saltedJoin(
+        t(s, dir, "lineitem"),
+        t(s, dir, "part").withColumnRenamed("p_partkey", "l_partkey"),
+        keys = Seq("l_partkey"), saltFrom = "l_orderkey", replication = 8)
+      joined.groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+    }),
+
     "pipe1_training_pipeline" -> ((s, dir) => {
       // end-to-end curation: normalize -> quality gate -> near-dup
       // removal -> annotate; the integration query for the whole
@@ -1250,6 +1263,17 @@ object SparkEntry {
 
     "pf2_token_freq" -> ((s, dir) =>
       Profiling.tokenFrequencies(t(s, dir, "documents"), Seq("lang"), "text", 5)),
+
+    // exact heavy hitters without shuffling the token tail:
+    // Misra-Gries candidates (bounded per-partition maps, merged),
+    // then exact counts for candidate rows only — output == the
+    // HAVING-clause answer the oracle computes the expensive way
+    "hh1_heavy_hitters" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+      Profiling.exactHeavyHitters(toks, "token", support = 0.02)
+    }),
 
     // the 100 TB profiling path: t-digest percentiles + HLL distinct
     // (sketches are approximate by design -> rows-only; ProfilingSpec
@@ -2948,6 +2972,11 @@ object SparkEntry {
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_distinct_o_custkey
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
+    "sk2_salted_join" ->
+      """SELECT p_brand, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1""".stripMargin,
+
     "pf1_corpus_stats" ->
       """SELECT lang, count(*) AS n_docs, min(n_chars) AS min_len,
         |       max(n_chars) AS max_len, round(avg(n_chars), 4) AS mean_len,
@@ -2966,6 +2995,17 @@ object SparkEntry {
         |  SELECT lang, token, n,
         |         row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rank
         |  FROM counts) WHERE rank <= 5""".stripMargin,
+
+    "hh1_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT t.token
+        |  FROM documents,
+        |       unnest(string_split_regex(lower(trim(text)), '\s+')) AS t(token)
+        |  WHERE length(t.token) > 0),
+        |tot AS (SELECT count(*) AS n_total FROM toks)
+        |SELECT token, count(*) AS n, (SELECT n_total FROM tot) AS n_total
+        |FROM toks GROUP BY token
+        |HAVING count(*) > (SELECT n_total FROM tot) * 0.02""".stripMargin,
 
     "pii1_redact" -> piiOracle,
 

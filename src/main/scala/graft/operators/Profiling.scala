@@ -208,6 +208,70 @@ object Profiling {
     * One map-side-combined aggregate over at most nBuckets+2 keys,
     * then a broadcast join against the tiny bucket spine — the data
     * pass is a single scan regardless of corpus size. */
+  /** EXACT heavy hitters — every value occurring in more than
+    * `support` fraction of rows, with its exact count — found
+    * without ever shuffling the long tail. Two phases:
+    *
+    *  1. CANDIDATES: a Misra-Gries summary per partition (bounded
+    *     map of `capacity` counters — overflow decrements all, the
+    *     streaming-classic bound), merged pairwise with the same
+    *     decrement rule. MG guarantees any value with true frequency
+    *     > n/(capacity+1) survives; `capacity` defaults to
+    *     2/support, a 2× margin, so every true heavy hitter is a
+    *     candidate. The collect is ≤ capacity rows — bounded by
+    *     construction, like the vocab≤256 collects elsewhere.
+    *  2. VERIFY: exact counts for candidate rows only (the `isin`
+    *     prunes before the exchange; map-side combine leaves ≤
+    *     capacity rows per task in the shuffle), filtered against
+    *     the total ridden in as a broadcast 1-row frame. Exact
+    *     counts kill MG's overestimates; the capacity margin rules
+    *     out false negatives — so the output is exactly the
+    *     HAVING-clause answer, which is what the hh1 oracle checks.
+    *
+    * The 100 TB contrast: `groupBy(value).count()` shuffles every
+    * distinct value — a web corpus's token tail is billions of
+    * groups that exist only to be discarded by the HAVING. This
+    * never shuffles a non-candidate. `valueCol` must be a string
+    * column (tokens, domains, keys). */
+  def exactHeavyHitters(df: DataFrame, valueCol: String, support: Double,
+      capacity: Int = 0): DataFrame = {
+    require(support > 0 && support < 1, s"support in (0,1), got $support")
+    val m = if (capacity > 0) capacity
+      else math.max(16, math.ceil(2.0 / support).toInt)
+    require(m + 1 > 1.0 / support,
+      s"capacity $m cannot guarantee support $support (needs > ${1 / support - 1})")
+    def shrink(c: scala.collection.mutable.HashMap[String, Long]): Unit =
+      if (c.size > m) {
+        // subtract the (m+1)-th largest count: ≤ m survivors, and
+        // every count drops by at most what a decrement-loop would
+        val cut = c.values.toArray.sorted(Ordering[Long].reverse).apply(m)
+        c.filterInPlace((_, n) => n > cut)
+        c.mapValuesInPlace((_, n) => n - cut)
+      }
+    val summaries = df.select(col(valueCol).cast("string"))
+      .na.drop.rdd.mapPartitions { it =>
+        val c = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { r =>
+          c.updateWith(r.getString(0)) {
+            case Some(n) => Some(n + 1); case None => Some(1L) }
+          if (c.size > m) shrink(c)
+        }
+        Iterator.single(c)
+      }
+    val candidates = summaries.treeReduce { (a, b) =>
+      b.foreach { case (v, n) =>
+        a.updateWith(v) { case Some(x) => Some(x + n); case None => Some(n) } }
+      shrink(a); a
+    }.keys.toSeq
+    val nTotal = df.agg(count(lit(1)).as("n_total"))
+    val candidateRows = if (candidates.isEmpty) df.filter(lit(false))
+      else df.filter(col(valueCol).isin(candidates: _*))
+    candidateRows
+      .groupBy(col(valueCol)).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(nTotal))
+      .filter(col("n") > col("n_total") * support)
+  }
+
   def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
       nBuckets: Int): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")

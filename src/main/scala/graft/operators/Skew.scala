@@ -35,6 +35,35 @@ object Skew {
       .agg(sum("__partial").as(s"sum_$valueCol"))
   }
 
+  /** Salted equi-join for a skewed fact against a dim too large to
+    * broadcast: the fact side gets a per-row salt (hash of
+    * `saltFrom`, a high-cardinality fact column OUTSIDE the join
+    * key), the dim side replicates `replication` ways, and the join
+    * runs on (keys..., salt) — so a pathological hot key's rows
+    * spread over `replication` reducers instead of funneling into
+    * one. Exactly the plain join's rows (each fact row meets each
+    * matching dim row exactly once, in the one salt partition it
+    * landed in), at the cost of a `replication`× dim shuffle.
+    *
+    * This is the MANUAL form for when AQE's skew-join split can't
+    * see the skew (first-shuffle skew, or stats hidden behind a
+    * complex child). Prefer broadcast when the dim fits; prefer AQE
+    * when it fires. Inner and left_outer survive salting untouched;
+    * other types would need dim-side null handling — rejected. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+      saltFrom: String, replication: Int = 16,
+      joinType: String = "inner"): DataFrame = {
+    require(replication > 0, "replication must be positive")
+    require(keys.nonEmpty, "saltedJoin needs join keys")
+    require(Seq("inner", "left", "left_outer").contains(joinType),
+      s"saltedJoin supports inner/left_outer, got $joinType")
+    val f = fact.withColumn("__salt",
+      pmod(xxhash64(col(saltFrom)), lit(replication)))
+    val d = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(replication - 1L))))
+    f.join(d, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   /** Salted exact distinct count per key: stage 1 dedupes
     * (key, value) pairs — THE skew killer: the hot key's values
     * spread over `salt` reducers — stage 2 counts the deduped pairs.
