@@ -95,6 +95,25 @@ object SparkEntry {
       s"\nSELECT node, rank_fp FROM r$iters"
   }
 
+  /** Bit-for-bit SQL replay of [[graft.sources.Layout.interleaveBits]]
+    * for z1: one fully-parenthesized (mask, shift, or) term per bit
+    * position, BIGINT throughout. */
+  private def z1OracleSql(bits: Int): String = {
+    val mask = (1L << bits) - 1
+    val terms = (0 until bits).flatMap { i =>
+      Seq(s"(((a >> $i) & 1) << ${2 * i})",
+        s"(((b >> $i) & 1) << ${2 * i + 1})")
+    }
+    s"""WITH m AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |         CAST(l_partkey AS BIGINT) & $mask AS a,
+       |         CAST(l_suppkey AS BIGINT) & $mask AS b
+       |  FROM lineitem)
+       |SELECT l_orderkey, l_linenumber,
+       |       ${terms.mkString(" | ")} AS zkey
+       |FROM m""".stripMargin
+  }
+
   /** Deterministic URL fixture for url1/qf3: the corpus has no URLs,
     * so append two per document — a mixed-case host (normalization
     * must lowercase it) and a host with port + query (the domain
@@ -1062,6 +1081,15 @@ object SparkEntry {
       // 32 reducers instead of one
       Skew.saltedCountDistinct(t(s, dir, "orders"),
         Seq("o_orderpriority"), "o_custkey")),
+
+    // Morton (z-order) key over two scan dimensions: pure bit
+    // arithmetic, engine-pinned exact — the write-side layout tool
+    // (Layout.writeZOrdered) sorts files by this key so parquet
+    // min/max stats prune on BOTH columns
+    "z1_zorder_key" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        graft.sources.Layout.interleaveBits(
+          col("l_partkey"), col("l_suppkey"), 16).as("zkey"))),
 
     // manual skew join: fact salted on a non-key column, dim
     // replicated 8x, join runs on (partkey, salt) so a hot part's
@@ -2976,6 +3004,8 @@ object SparkEntry {
       """SELECT p_brand, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1""".stripMargin,
+
+    "z1_zorder_key" -> z1OracleSql(16),
 
     "pf1_corpus_stats" ->
       """SELECT lang, count(*) AS n_docs, min(n_chars) AS min_len,

@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) file layout — multi-dimensional data
+  * skipping for the scan patterns bucketing can't serve. Bucketing
+  * co-locates ONE join key; a warehouse fact table is also range-
+  * scanned on several columns at once (date × customer, partkey ×
+  * suppkey). Sorting files by the interleaved-bit Morton code of two
+  * dimensions gives every file LOCALITY IN BOTH: its parquet
+  * min/max footer stats are narrow on each dimension, so a predicate
+  * on either (or both) prunes most files before any I/O — the same
+  * reason Delta/Iceberg expose OPTIMIZE ZORDER BY.
+  *
+  * The code itself is pure bit arithmetic (mask, shift, or) over the
+  * low `bits` bits of each dimension — whole-stage codegen on the
+  * Spark side, and replayed operation-for-operation by the z1 oracle
+  * in SQL, so the key is engine-pinned exact. Callers map their
+  * domains onto [0, 2^bits) first (truncate a date to days, mask an
+  * id; [[scaleToBits]] does min-max scaling with the bounds ridden
+  * in as a broadcast 1-row frame, never a driver collect).
+  */
+object Layout {
+
+  /** Morton code of two non-negative long columns: bit i of `a`
+    * lands at position 2i, bit i of `b` at 2i+1. Values are masked
+    * to the low `bits` bits first (callers own the domain mapping).
+    * `bits` ≤ 31 keeps the result in the positive long range. */
+  def interleaveBits(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be 1..31, got $bits")
+    val mask = (1L << bits) - 1
+    val am = a.cast("long").bitwiseAND(lit(mask))
+    val bm = b.cast("long").bitwiseAND(lit(mask))
+    (0 until bits).map { i =>
+      shiftleft(shiftright(am, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(bm, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Min-max scale a numeric column onto [0, 2^bits): the bounds
+    * aggregate once and broadcast back — the standard domain mapping
+    * when the dimension isn't already a small non-negative int.
+    * Degenerate (min == max) maps everything to 0. */
+  def scaleToBits(df: DataFrame, valueCol: String, bits: Int,
+      outCol: String): DataFrame = {
+    require(bits >= 1 && bits <= 31, s"bits must be 1..31, got $bits")
+    val top = (1L << bits) - 1
+    val bounds = df.agg(min(col(valueCol)).cast("double").as("__lo"),
+      max(col(valueCol)).cast("double").as("__hi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(outCol,
+        when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(least(lit(top), floor(
+            (col(valueCol).cast("double") - col("__lo")) /
+              (col("__hi") - col("__lo")) * (top + 1)))))
+      .drop("__lo", "__hi")
+  }
+
+  /** Write `df` z-ordered on (`aCol`, `bCol`): range-partition by the
+    * Morton code into `numFiles` files, sort within each, drop the
+    * key. One range shuffle at write time buys min/max footer
+    * locality on BOTH columns for every scan afterwards. */
+  def writeZOrdered(df: DataFrame, path: String, aCol: String,
+      bCol: String, numFiles: Int, bits: Int = 16): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    df.withColumn("__z", interleaveBits(col(aCol), col(bCol), bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

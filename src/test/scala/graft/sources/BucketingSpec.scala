@@ -93,3 +93,47 @@ class BucketingSpec extends SparkTestBase {
     }
   }
 }
+
+class LayoutSpec extends SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("interleaveBits: known Morton codes, masking, commutative-free positions") {
+    val out = Seq((3L, 1L), (0L, 0L), (5L, 2L), (65536L + 3L, 1L))
+      .toDF("a", "b")
+      .select(Layout.interleaveBits(col("a"), col("b"), 16).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(out(0) == 7L)   // a bits at even: 1+4; b bit0 at pos1: 2
+    assert(out(1) == 0L)
+    assert(out(2) == 25L)  // a=101 -> 1+16; b=10 -> bit1 at pos3: 8
+    assert(out(3) == 7L)   // bit 16 of a masked off at bits=16
+  }
+
+  test("scaleToBits maps min->0, max->top, degenerate column to 0") {
+    val out = Layout.scaleToBits(Seq(10.0, 20.0, 30.0).toDF("v"), "v", 4, "s")
+      .orderBy("v").collect().map(_.getLong(1)).toSeq
+    assert(out.head == 0L && out.last == 15L && out(1) == 8L)
+    val degen = Layout.scaleToBits(Seq(5.0, 5.0).toDF("v"), "v", 4, "s")
+      .collect().map(_.getLong(1)).toSeq
+    assert(degen == Seq(0L, 0L))
+  }
+
+  test("z-ordered files have min/max locality in BOTH dimensions") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString + "/t"
+    val grid = (for (a <- 0 until 64; b <- 0 until 64) yield (a.toLong, b.toLong))
+      .toDF("a", "b").repartition(8) // scrambled input
+    Layout.writeZOrdered(grid, dir, "a", "b", numFiles = 16, bits = 6)
+    val perFile = spark.read.parquet(dir)
+      .withColumn("f", input_file_name())
+      .groupBy("f").agg(
+        (max("a") - min("a")).as("spanA"),
+        (max("b") - min("b")).as("spanB"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(perFile.length == 16)
+    // each file along the curve covers a tile: span far below the
+    // global 63 in BOTH dims (an unordered layout spans ~63 in each)
+    assert(perFile.forall(r => r.getLong(1) <= 31 && r.getLong(2) <= 31))
+    assert(perFile.map(_.getLong(3)).sum == 64L * 64L)
+  }
+}
