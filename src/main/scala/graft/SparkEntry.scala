@@ -1082,6 +1082,21 @@ object SparkEntry {
       Skew.saltedCountDistinct(t(s, dir, "orders"),
         Seq("o_orderpriority"), "o_custkey")),
 
+    // SFT chat rendering with the loss mask: documents grouped into
+    // conversations (alternating roles), rendered turn-by-turn, and
+    // every assistant response located by exact char offsets —
+    // span_text is SLICED from the rendered string, so a hash match
+    // proves the coordinates land on the response text
+    "sft1_chat_spans" -> ((s, dir) => {
+      val turns = t(s, dir, "documents").select(
+        (col("doc_id") % 40).as("conv_id"),
+        col("doc_id").as("ord"),
+        when(expr("(doc_id div 40) % 2") === 0, lit("user"))
+          .otherwise(lit("assistant")).as("role"),
+        substring(col("text"), 1, 60).as("turn_text"))
+      ChatFormat.assistantSpans(turns, "conv_id", "ord", "role", "turn_text")
+    }),
+
     // Morton (z-order) key over two scan dimensions: pure bit
     // arithmetic, engine-pinned exact — the write-side layout tool
     // (Layout.writeZOrdered) sorts files by this key so parquet
@@ -3006,6 +3021,38 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
 
     "z1_zorder_key" -> z1OracleSql(16),
+
+    "sft1_chat_spans" ->
+      """WITH turns AS (
+        |  SELECT doc_id % 40 AS conv_id, doc_id AS ord,
+        |         CASE WHEN (doc_id // 40) % 2 = 0 THEN 'user'
+        |              ELSE 'assistant' END AS role,
+        |         substr(text, 1, 60) AS turn_text
+        |  FROM documents),
+        |seg AS (
+        |  SELECT conv_id, ord, role, turn_text,
+        |         CASE WHEN role = 'assistant' THEN '<|assistant|>' || chr(10)
+        |              ELSE '<|user|>' || chr(10) END
+        |           || turn_text || chr(10) AS seg
+        |  FROM turns),
+        |pos AS (
+        |  SELECT conv_id, ord, role, turn_text,
+        |         CAST(row_number() OVER w AS BIGINT) AS turn_rank,
+        |         CAST(coalesce(sum(length(seg)) OVER (PARTITION BY conv_id
+        |           ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) AS BIGINT) AS seg_start
+        |  FROM seg
+        |  WINDOW w AS (PARTITION BY conv_id ORDER BY ord)),
+        |full_t AS (
+        |  SELECT conv_id, string_agg(seg, '' ORDER BY ord) AS full_text
+        |  FROM seg GROUP BY conv_id)
+        |SELECT p.conv_id, p.turn_rank,
+        |       p.seg_start + 14 AS start_char,
+        |       p.seg_start + 14 + length(p.turn_text) AS end_char,
+        |       substr(f.full_text, p.seg_start + 14 + 1, length(p.turn_text))
+        |         AS span_text
+        |FROM pos p JOIN full_t f USING (conv_id)
+        |WHERE p.role = 'assistant'""".stripMargin,
 
     "pf1_corpus_stats" ->
       """SELECT lang, count(*) AS n_docs, min(n_chars) AS min_len,

@@ -913,3 +913,40 @@ class IncrementalAggSpec extends SparkTestBase {
     assert(out(1).getDouble(5) == 2.0 && out(1).getDouble(6) == 2.0)
   }
 }
+
+class ChatFormatSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val turns = Seq(
+    (1L, 1L, "user", "hello there"),
+    (1L, 2L, "assistant", "hi, how can I help?"),
+    (1L, 3L, "user", "you said: hi, how can I help?"), // quotes the reply
+    (1L, 4L, "assistant", "yes I did"),
+    (2L, 1L, "user", "solo question"))
+    .toDF("conv_id", "ord", "role", "turn_text")
+
+  test("assistant spans slice exactly the response text, even when quoted later") {
+    val out = ChatFormat.assistantSpans(turns, "conv_id", "ord", "role", "turn_text")
+      .orderBy("conv_id", "turn_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    assert(out.length == 2) // conversation 2 has no assistant turn
+    assert(out(0)._5 == "hi, how can I help?")
+    assert(out(1)._5 == "yes I did")
+    // the quoted copy inside turn 3 does NOT shift turn 4's span:
+    // offsets come from arithmetic, not string search
+    val rendered = ChatFormat.render(turns, "conv_id", "ord", "role", "turn_text")
+      .filter($"conv_id" === 1L).first().getString(1)
+    val (s2, e2) = (out(1)._3.toInt, out(1)._4.toInt)
+    assert(rendered.substring(s2, e2) == "yes I did")
+    // span 1 coordinates too
+    assert(rendered.substring(out(0)._3.toInt, out(0)._4.toInt) == "hi, how can I help?")
+  }
+
+  test("render assembles turns in order with tags and separators") {
+    val r = ChatFormat.render(turns, "conv_id", "ord", "role", "turn_text")
+      .filter($"conv_id" === 2L).first()
+    assert(r.getString(1) == "<|user|>\nsolo question\n")
+    assert(r.getLong(2) == 1L)
+  }
+}
