@@ -83,7 +83,11 @@ object LinkGraph {
           expr(s"((100 - $d100) * $scale) div (100 * n_nodes)" +
             s" + ($d100 * (coalesce(inbound, 0) + dang div n_nodes)) div 100")
             .as("rank_fp"))
-      if (i % 4 == 0 && i < iterations) rank = rank.localCheckpoint()
+      // materialize EVERY sweep: the dangling broadcast is a separate
+      // action on rank, so an unmaterialized lineage would replay all
+      // prior sweeps there — quadratic total work. One |V|-row
+      // materialization per sweep is the Pregel norm.
+      if (i < iterations) rank = rank.localCheckpoint()
     }
     rank
   }

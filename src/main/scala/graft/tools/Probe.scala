@@ -12,6 +12,7 @@ object Probe {
     if (args.headOption.contains("scale10x")) { scale10x(spark, dir); spark.stop(); return }
     if (args.headOption.contains("r4probe")) { r4probe(spark, dir); spark.stop(); return }
     if (args.headOption.contains("r5probe")) { r5probe(spark, dir); spark.stop(); return }
+    if (args.headOption.contains("r5bprobe")) { r5bprobe(spark, dir); spark.stop(); return }
     if (args.headOption.contains("jdbcYardstick")) { jdbcYardstick(spark, dir); spark.stop(); return }
     if (args.headOption.contains("dd4")) { dd4(spark, dir); spark.stop(); return }
     if (args.headOption.contains("dotKernel")) { dotKernel(spark, dir); spark.stop(); return }
@@ -349,6 +350,71 @@ object Probe {
     * 150K paragraphs with 10× planted cross-copy duplication, the
     * edit-distance verify at 40K candidate pairs, and a real
     * small-file compaction of a 256-file fragment. */
+  /** 10× pricing for the second half of round 5: PageRank, heavy
+    * hitters, HTML extraction, chat spans, z-order, salted join. */
+  def r5bprobe(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.DataFrame
+    def x10(name: String, idCols: Seq[String]): DataFrame = {
+      val base = spark.read.parquet(s"$dir/$name.parquet")
+      (0 until 10).map { i =>
+        idCols.foldLeft(base)((df, c) =>
+          df.withColumn(c, col(c) + lit(i.toLong * 100000000L)))
+      }.reduce(_.unionAll(_))
+    }
+    def timed(label: String)(f: => Long): Unit = {
+      val t = System.nanoTime(); val n = f
+      println(f"=== r5bprobe $label: ${(System.nanoTime() - t) / 1e9}%.1fs ($n%,d rows)")
+    }
+    spark.read.parquet(s"$dir/region.parquet").count() // warm
+    val docs = x10("documents", Seq("doc_id"))
+    val li = x10("lineitem", Seq("l_orderkey"))
+    timed("pr1 pagerank 50K nodes / ~75K edges, 5 sweeps")({
+      val nF = docs.agg(count(lit(1)).as("n_docs"))
+      val edges = docs.crossJoin(broadcast(nF))
+        .select(col("doc_id").as("src"), col("n_docs"),
+          explode(expr("filter(array(0, 1, 2, 3), i -> i < doc_id % 4)")).as("i"))
+        .select(col("src"), expr("(src * 13 + i * 17 + 1) % n_docs").as("dst"))
+      graft.operators.LinkGraph.pageRank(
+        docs.select("doc_id"), edges, "src", "dst", iterations = 5).count()
+    })
+    timed("hh1 heavy hitters 50K docs / ~5M tokens")({
+      val toks = docs.select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+      graft.operators.Profiling.exactHeavyHitters(toks, "token", 0.02).count()
+    })
+    timed("html1 extract 50K docs")(docs.select(
+      graft.operators.TextNormalize.extractText(
+        concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>")))
+        .as("t")).filter(length(col("t")) > 0).count())
+    timed("sft1 chat spans 50K turns")({
+      val turns = docs.select((col("doc_id") % 40).as("conv_id"),
+        col("doc_id").as("ord"),
+        when(expr("(doc_id div 40) % 2") === 0, lit("user"))
+          .otherwise(lit("assistant")).as("role"),
+        substring(col("text"), 1, 60).as("turn_text"))
+      graft.operators.ChatFormat.assistantSpans(
+        turns, "conv_id", "ord", "role", "turn_text").count()
+    })
+    timed("z1 morton keys 6M rows")(li.select(
+      graft.sources.Layout.interleaveBits(
+        col("l_partkey"), col("l_suppkey"), 16).as("z"))
+      .filter(col("z") >= 0L).count())
+    timed("sk2 salted join 6M x 200K")({
+      graft.operators.Skew.saltedJoin(li,
+        x10("part", Seq("p_partkey")).withColumnRenamed("p_partkey", "l_partkey"),
+        Seq("l_partkey"), "l_orderkey", 8).groupBy("p_brand").count().count()
+    })
+    timed("inc1 state merge 6M rows")({
+      val s1 = graft.operators.IncrementalAgg.state(
+        li.filter(col("l_orderkey") % 3 =!= 0),
+        Seq("l_returnflag", "l_linestatus"), "l_quantity")
+      val s2 = graft.operators.IncrementalAgg.state(
+        li.filter(col("l_orderkey") % 3 === 0),
+        Seq("l_returnflag", "l_linestatus"), "l_quantity")
+      graft.operators.IncrementalAgg.merge(s1, s2).count()
+    })
+  }
+
   def r5probe(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     import org.apache.spark.sql.DataFrame
     def x10(name: String, idCols: Seq[String]): DataFrame = {
