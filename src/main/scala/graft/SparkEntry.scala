@@ -1082,6 +1082,36 @@ object SparkEntry {
       Skew.saltedCountDistinct(t(s, dir, "orders"),
         Seq("o_orderpriority"), "o_custkey")),
 
+    // winsorize the heavy-tailed event values at exact [p5, p95]:
+    // one percentile aggregate, cutoffs broadcast, row-local clamp
+    "dq3_winsorize" -> ((s, dir) =>
+      DataQuality.winsorize(
+        events(s, dir).select("event_id", "value"), "value")),
+
+    // table diff: the after-version plants updates (%7), removals
+    // (%13), and additions (%17, shifted keys); diff must emit
+    // exactly the planted differences — the oracle derives the
+    // expected rows independently from the planting rules
+    "diff1_table_diff" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val k = col("c_custkey")
+      val after = c.filter(k % 13 =!= 0)
+        .withColumn("c_acctbal",
+          when(k % 7 === 0, round(col("c_acctbal") + 10, 2))
+            .otherwise(col("c_acctbal")))
+        .unionByName(c.filter(k % 17 === 0)
+          .withColumn("c_custkey", k + 10000000L))
+      DataQuality.diff(c, after, Seq("c_custkey"))
+    }),
+
+    // per-lang nucleus selection: the best documents covering half
+    // the character mass of each language (integer running sums, so
+    // the boundary is engine-exact)
+    "mix2_nucleus_select" -> ((s, dir) =>
+      Sampling.nucleusByGroup(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        Seq("lang"), "doc_id", "n_chars", p = 0.5)),
+
     // SFT chat rendering with the loss mask: documents grouped into
     // conversations (alternating roles), rendered turn-by-turn, and
     // every assistant response located by exact char offsets —
@@ -3021,6 +3051,40 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
 
     "z1_zorder_key" -> z1OracleSql(16),
+
+    "dq3_winsorize" ->
+      """WITH cuts AS (
+        |  SELECT quantile_cont(value, 0.05) AS lo,
+        |         quantile_cont(value, 0.95) AS hi
+        |  FROM events)
+        |SELECT event_id, value,
+        |       round(least(greatest(value, (SELECT lo FROM cuts)),
+        |         (SELECT hi FROM cuts)), 4) AS value_w
+        |FROM events""".stripMargin,
+
+    "diff1_table_diff" ->
+      """SELECT c_custkey, 'removed' AS change_type, '' AS changed_cols
+        |FROM customer WHERE c_custkey % 13 = 0
+        |UNION ALL
+        |SELECT c_custkey, 'changed', 'c_acctbal'
+        |FROM customer
+        |WHERE c_custkey % 7 = 0 AND c_custkey % 13 <> 0
+        |  AND round(c_acctbal + 10, 2) IS DISTINCT FROM c_acctbal
+        |UNION ALL
+        |SELECT c_custkey + 10000000, 'added', ''
+        |FROM customer WHERE c_custkey % 17 = 0""".stripMargin,
+
+    "mix2_nucleus_select" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         coalesce(sum(n_chars) OVER (PARTITION BY lang
+        |           ORDER BY n_chars DESC, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS before_w,
+        |         sum(n_chars) OVER (PARTITION BY lang) AS total_w
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars FROM t
+        |WHERE before_w < total_w * 0.5""".stripMargin,
 
     "sft1_chat_spans" ->
       """WITH turns AS (

@@ -94,6 +94,71 @@ object DataQuality {
       .drop(groupCols.map(c => s"__g_$c") ++ Seq("__lo", "__hi"): _*)
   }
 
+  /** Winsorize: clamp `valueCol` to its [loP, hiP] exact percentiles
+    * — the robust-stats tamer for heavy-tailed metrics (a handful of
+    * pathological rows otherwise own every mean and every z-score).
+    * ONE percentile aggregate; the two cutoffs ride back as a
+    * broadcast 1-row frame; the clamp is a row-local projection.
+    * Exact percentiles so the cutoffs are engine-verifiable (dq3);
+    * swap approx_percentile into the same shape for monitoring-grade
+    * use at 100 TB. */
+  def winsorize(df: DataFrame, valueCol: String, loP: Double = 0.05,
+      hiP: Double = 0.95, outCol: String = ""): DataFrame = {
+    require(loP >= 0 && hiP <= 1 && loP < hiP, s"bad percentiles [$loP, $hiP]")
+    val out = if (outCol.nonEmpty) outCol else valueCol + "_w"
+    val v = col(valueCol)
+    val cuts = df.agg(percentile(v, lit(loP)).as("__lo"),
+      percentile(v, lit(hiP)).as("__hi"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn(out, round(least(greatest(v, col("__lo")), col("__hi")), 4))
+      .drop("__lo", "__hi")
+  }
+
+  /** Table diff — what changed between two versions of a keyed table
+    * (the data-audit primitive behind every "why did the metric
+    * move" investigation and every cautious backfill). Emits ONLY
+    * differing rows: change_type added/removed/changed plus
+    * `changed_cols`, the comma-joined names of the value columns
+    * that differ (null-safe compare, so NULL→value and value→NULL
+    * both count). Unchanged rows — the overwhelming majority at
+    * scale — never leave the join.
+    *
+    * Scale shape: one full outer join hash-partitioned on the key;
+    * the per-column compares are row-local projections inside it.
+    * Both sides must share the schema (audit the same table across
+    * versions; project first if they drifted — or let [[diff]]'s
+    * failure on mismatched columns tell you they did). */
+  def diff(before: DataFrame, after: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "diff needs key columns")
+    require(before.columns.sorted.sameElements(after.columns.sorted),
+      s"schema drift between sides: ${before.columns.sorted.mkString(",")} vs " +
+        after.columns.sorted.mkString(","))
+    val valueCols = before.columns.filterNot(keys.contains).toSeq
+    val b = before.select(before.columns.map(c => col(c).as(s"__b_$c")) :+
+      lit(1).as("__b_present"): _*)
+    val a = after.select(after.columns.map(c => col(c).as(s"__a_$c")) :+
+      lit(1).as("__a_present"): _*)
+    val cond = keys.map(k => col(s"__b_$k") <=> col(s"__a_$k")).reduce(_ && _)
+    // presence markers, not key nullability: a legitimately null key
+    // must not read as an absent row
+    val inB = col("__b_present").isNotNull
+    val inA = col("__a_present").isNotNull
+    val changedCols = concat_ws(",", valueCols.sorted.map(c =>
+      when(col(s"__b_$c") <=> col(s"__a_$c"), lit(null: String))
+        .otherwise(lit(c))): _*)
+    b.join(a, cond, "full_outer")
+      .withColumn("change_type",
+        when(!inB, lit("added"))
+          .when(!inA, lit("removed"))
+          .otherwise(lit("changed")))
+      .withColumn("changed_cols",
+        when(col("change_type") === "changed", changedCols).otherwise(lit("")))
+      .filter(col("change_type") =!= "changed" || col("changed_cols") =!= "")
+      .select(keys.map(k => coalesce(col(s"__b_$k"), col(s"__a_$k")).as(k)) ++
+        Seq(col("change_type"), col("changed_cols")): _*)
+  }
+
   // ---- fused single-pass form --------------------------------------
 
   /** Violation predicates for [[rowChecks]] — same contracts as the

@@ -125,6 +125,35 @@ object Sampling {
       .select(col("epoch"), col("shard"), col("position"), col(idCol))
   }
 
+  /** Per-group nucleus (top-p) selection: within each group, rank
+    * rows by `weightCol` descending (ties broken by `idCol` so the
+    * boundary is engine-stable) and keep rows until the kept weight
+    * reaches fraction `p` of the group total — i.e. keep every row
+    * whose EXCLUSIVE running weight is still below p·total, so the
+    * row that crosses the threshold is included (the top-p
+    * convention: the nucleus always covers ≥ p mass, and at least
+    * one row survives per group). The quality-mass curation rule:
+    * "keep the best documents covering 90% of the score mass per
+    * domain" instead of a fixed count or a fixed cutoff.
+    *
+    * Scale shape: one window partitioned by the group does both the
+    * running sum and (via the same partitioning) the group total —
+    * a single hash-partition pass, parallel in groups. */
+  def nucleusByGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
+      weightCol: String, p: Double): DataFrame = {
+    require(p > 0 && p <= 1, s"p must be in (0,1], got $p")
+    require(groupCols.nonEmpty, "nucleusByGroup needs group columns")
+    val ordered = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(weightCol).desc, col(idCol).asc)
+    val whole = Window.partitionBy(groupCols.map(col): _*)
+    df.withColumn("__before",
+        coalesce(sum(col(weightCol))
+          .over(ordered.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+      .withColumn("__total", sum(col(weightCol)).over(whole))
+      .filter(col("__before") < col("__total") * p)
+      .drop("__before", "__total")
+  }
+
   /** Split into train/validation/test by id-hash range — stable
     * across runs and immune to upstream reordering. Returns the
     * subset named by `split` given cumulative fractions. */

@@ -116,3 +116,64 @@ class DataQualitySpec extends SparkTestBase {
     assert(got.size == 5)
   }
 }
+
+class DiffWinsorizeSpec extends SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("diff: added/removed/changed with null-safe value compare and null keys") {
+    val before = Seq(
+      (Option(1L), Option("a"), Option(10.0)),
+      (Option(2L), Option("b"), Option.empty[Double]),   // null -> value = changed
+      (Option(3L), Option("c"), Option(30.0)),           // removed
+      (Option.empty[Long], Option("nk"), Option(1.0)))   // null key, unchanged
+      .toDF("k", "name", "bal")
+    val after = Seq(
+      (Option(1L), Option("a"), Option(10.0)),           // unchanged -> absent
+      (Option(2L), Option("b"), Option(2.5)),
+      (Option(4L), Option("d"), Option(40.0)),           // added
+      (Option.empty[Long], Option("nk"), Option(1.0)))
+      .toDF("k", "name", "bal")
+    val out = DataQuality.diff(before, after, Seq("k"))
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getString(1), r.getString(2))).toSet
+    assert(out == Set((2L, "changed", "bal"), (3L, "removed", ""),
+      (4L, "added", "")))
+    // schema drift fails loudly instead of diffing garbage
+    intercept[IllegalArgumentException] {
+      DataQuality.diff(before, after.withColumnRenamed("bal", "balance"), Seq("k"))
+    }
+  }
+
+  test("diff: multi-column changes list every differing column, sorted") {
+    val b = Seq((1L, "x", 1.0)).toDF("k", "name", "bal")
+    val a = Seq((1L, "y", 2.0)).toDF("k", "name", "bal")
+    val r = DataQuality.diff(b, a, Seq("k")).first()
+    assert(r.getString(1) == "changed" && r.getString(2) == "bal,name")
+  }
+
+  test("winsorize clamps to exact percentiles, leaves the middle alone") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val out = DataQuality.winsorize(df, "v", 0.05, 0.95)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // exact percentiles of 1..100: p5 = 5.95, p95 = 95.05
+    assert(out(1.0) == 5.95 && out(100.0) == 95.05)
+    assert(out(50.0) == 50.0)
+    assert(out(6.0) == 6.0 && out(95.0) == 95.0)
+  }
+
+  test("nucleusByGroup includes the crossing row and never empties a group") {
+    val df = Seq(
+      ("a", 1L, 50L), ("a", 2L, 30L), ("a", 3L, 15L), ("a", 4L, 5L),
+      ("b", 5L, 100L)).toDF("g", "id", "w")
+    val kept = Sampling.nucleusByGroup(df, Seq("g"), "id", "w", 0.6)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // group a total 100: row 50 (before=0) kept; row 30 (before=50 < 60)
+    // kept — crossing row included; row 15 (before=80) dropped
+    assert(kept == Set(1L, 2L, 5L))
+    // p tiny: the top row still survives (before=0 < anything positive)
+    val one = Sampling.nucleusByGroup(df, Seq("g"), "id", "w", 0.01)
+      .filter(col("g") === "a").count()
+    assert(one == 1L)
+  }
+}
