@@ -1082,6 +1082,18 @@ object SparkEntry {
       Skew.saltedCountDistinct(t(s, dir, "orders"),
         Seq("o_orderpriority"), "o_custkey")),
 
+    // ordered conversion funnel: view -> click (after) -> purchase
+    // (after that); out-of-order conversions must NOT count, which
+    // the strictly-after join predicates enforce
+    "fun1_funnel" -> ((s, dir) =>
+      Funnel.funnel(events(s, dir), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))),
+
+    // cohort retention triangle: users grouped by first-activity
+    // week, counted in each week they return
+    "coh1_retention" -> ((s, dir) =>
+      Funnel.retention(events(s, dir), "user_id", "ts")),
+
     // winsorize the heavy-tailed event values at exact [p5, p95]:
     // one percentile aggregate, cutoffs broadcast, row-local clamp
     "dq3_winsorize" -> ((s, dir) =>
@@ -3051,6 +3063,44 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
 
     "z1_zorder_key" -> z1OracleSql(16),
+
+    "fun1_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view'
+        |           THEN CAST(ts AS TIMESTAMP) END) AS t1
+        |  FROM events GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |   AND e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t1
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |   AND e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t2
+        |  GROUP BY 1)
+        |SELECT 'view' AS stage, CAST(1 AS BIGINT) AS stage_idx,
+        |       count(t1) AS n_entities FROM s1
+        |UNION ALL
+        |SELECT 'click', 2, count(*) FROM s2
+        |UNION ALL
+        |SELECT 'purchase', 3, count(*) FROM s3""".stripMargin,
+
+    "coh1_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |firstw AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM e GROUP BY 1),
+        |act AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM e)
+        |SELECT f.cohort_week,
+        |       CAST(datediff('day', f.cohort_week, a.w) // 7 AS BIGINT)
+        |         AS weeks_since,
+        |       count(*) AS n_users
+        |FROM act a JOIN firstw f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "dq3_winsorize" ->
       """WITH cuts AS (

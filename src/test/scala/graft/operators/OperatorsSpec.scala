@@ -950,3 +950,55 @@ class ChatFormatSpec extends SparkTestBase {
     assert(r.getLong(2) == 1L)
   }
 }
+
+class FunnelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+
+  test("funnel counts only in-order conversions, strictly after") {
+    val ev = Seq(
+      // u1: full ordered funnel
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 11:00:00")),
+      (1L, "purchase", ts("2024-01-01 12:00:00")),
+      // u2: purchase BEFORE click -> reaches stage 2 only
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "purchase", ts("2024-01-01 10:30:00")),
+      (2L, "click", ts("2024-01-01 11:00:00")),
+      // u3: click with NO prior view -> stage 1 not even reached
+      (3L, "click", ts("2024-01-01 09:00:00")),
+      // u4: click at the SAME instant as view -> strictly-after fails
+      (4L, "view", ts("2024-01-01 08:00:00")),
+      (4L, "click", ts("2024-01-01 08:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val out = Funnel.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out == Map("view" -> 3L, "click" -> 2L, "purchase" -> 1L))
+    // per-entity times: u2 has t_2 (the 11:00 click counts, it IS
+    // after the view) but no t_3 (no purchase after 11:00)
+    val times = Funnel.funnelTimes(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .filter($"user_id" === 2L).first()
+    assert(!times.isNullAt(2) && times.isNullAt(3))
+  }
+
+  test("retention triangle: cohorts by first week, week-0 row always full") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-08 10:00:00")),
+      (1L, ts("2024-01-22 10:00:00")),
+      (2L, ts("2024-01-01 12:00:00")),
+      (3L, ts("2024-01-10 12:00:00")), (3L, ts("2024-01-15 12:00:00")))
+      .toDF("user_id", "ts")
+    val out = Funnel.retention(ev, "user_id", "ts")
+      .collect().map(r => (r.getTimestamp(0).toString.take(10),
+        r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(
+      ("2024-01-01", 0L, 2L), // u1+u2 cohort week 0
+      ("2024-01-01", 1L, 1L), // u1 back week 1
+      ("2024-01-01", 3L, 1L), // u1 back week 3
+      ("2024-01-08", 0L, 1L), // u3 cohort (Jan 10 -> week of Jan 8)
+      ("2024-01-08", 1L, 1L)))
+  }
+}
