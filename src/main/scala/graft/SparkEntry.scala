@@ -296,6 +296,25 @@ object SparkEntry {
       s.read.parquet(sink)
     }),
 
+    // schema evolution across file epochs: epoch1 carries
+    // c_mktsegment, epoch2 drops it and adds c_tier — the unified
+    // read must null-fill both directions (mergeSchema on footers,
+    // no rewrite of either epoch)
+    "sc1_schema_evolution" -> ((s, dir) => {
+      val base = tmpDir("graft_drift")
+      val c = t(s, dir, "customer")
+      c.filter(col("c_custkey") % 2 === 0)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .write.mode("overwrite").parquet(base + "/epoch1")
+      c.filter(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .withColumn("c_tier", lit("basic"))
+        .write.mode("overwrite").parquet(base + "/epoch2")
+      graft.sources.FileConnector.readUnified(s,
+          Seq(base + "/epoch1", base + "/epoch2"))
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment", "c_tier")
+    }),
+
     // CDC change-feed apply: a deterministic feed with superseded
     // changes per key (stale update under a delete, stale delete under
     // an update) — latest-wins per key, deletes remove, inserts add
@@ -2180,6 +2199,14 @@ object SparkEntry {
 
     "m6_compaction" ->
       "SELECT * FROM customer",
+
+    "sc1_schema_evolution" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+        |       CAST(NULL AS VARCHAR) AS c_tier
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal, NULL, 'basic'
+        |FROM customer WHERE c_custkey % 2 = 1""".stripMargin,
 
     "m7_cdc_apply" ->
       """WITH chg AS (

@@ -137,3 +137,30 @@ class LayoutSpec extends SparkTestBase {
     assert(perFile.map(_.getLong(3)).sum == 64L * 64L)
   }
 }
+
+class ReadUnifiedSpec extends SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("readUnified null-fills dropped and added columns across epochs") {
+    val base = java.nio.file.Files.createTempDirectory("drift").toString
+    Seq((1L, "a", 1.0)).toDF("k", "name", "bal")
+      .write.parquet(base + "/e1")
+    Seq((2L, "b", "gold")).toDF("k", "name", "tier")
+      .write.parquet(base + "/e2")
+    val out = FileConnector.readUnified(spark, Seq(base + "/e1", base + "/e2"))
+    assert(out.columns.toSet == Set("k", "name", "bal", "tier"))
+    val rows = out.orderBy("k").collect()
+    assert(rows(0).getAs[Any]("tier") == null && rows(0).getAs[Double]("bal") == 1.0)
+    assert(rows(1).getAs[Any]("bal") == null && rows(1).getAs[String]("tier") == "gold")
+  }
+
+  test("incompatible type drift fails loudly, not by silent coercion") {
+    val base = java.nio.file.Files.createTempDirectory("drift2").toString
+    Seq((1L, 10)).toDF("k", "v").write.parquet(base + "/e1")
+    Seq((2L, "ten")).toDF("k", "v").write.parquet(base + "/e2")
+    intercept[Exception] {
+      FileConnector.readUnified(spark, Seq(base + "/e1", base + "/e2")).collect()
+    }
+  }
+}
