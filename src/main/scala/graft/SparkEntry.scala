@@ -820,6 +820,22 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank")
     }),
 
+    // contrastive hard negatives: per query, the 5 most-similar
+    // vectors with a DIFFERENT label — label exclusion before
+    // ranking, so heavily same-label neighborhoods still yield k
+    // true negatives
+    "sim7_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.hardNegatives(e.filter("vec_id < 10"), e,
+        "vec_id", "embedding", "label", 5)
+        .select("query_id", "neighbor_id", "n_label", "rank")
+    }),
+
+    // per-label centroid via element-wise mean pooling (chunk->doc /
+    // member->class aggregation), one map-combined pass
+    "emb1_label_centroids" -> ((s, dir) =>
+      Similarity.meanPool(t(s, dir, "embeddings"), "label", "embedding")),
+
     "sim2_ivf_topk" -> ((s, dir) => {
       // full-probe IVF == exhaustive: verifiable against the
       // brute-force oracle while exercising the IVF plan
@@ -2850,6 +2866,31 @@ object SparkEntry {
         |                         ORDER BY d.n_chars DESC, lab.id ASC) AS rn
         |      FROM lab JOIN documents d ON d.doc_id = lab.id)
         |SELECT cluster, id AS survivor, n_chars AS score FROM j WHERE rn = 1""".stripMargin,
+
+    "sim7_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding,
+        |         sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i] * embedding[i]))) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         c.label AS n_label,
+        |         list_sum(list_transform(range(1, 65), i -> q.embedding[i] * c.embedding[i]))
+        |           / (q.nrm * c.nrm) AS cosine
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND q.label <> c.label
+        |  WHERE q.nrm > 0 AND c.nrm > 0),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, n_label,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, n_label, rank
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "emb1_label_centroids" ->
+      """SELECT label, t.i - 1 AS pos, round(avg(embedding[t.i]), 4) AS mean_val
+        |FROM embeddings, unnest(range(1, 65)) AS t(i)
+        |GROUP BY 1, 2""".stripMargin,
 
     "sim1_bruteforce_topk" ->
       """WITH e AS (

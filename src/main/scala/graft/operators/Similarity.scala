@@ -267,4 +267,45 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
+
+  /** Hard-negative mining for contrastive/embedding training: per
+    * query, the k most-similar corpus vectors with a DIFFERENT
+    * label — the near-misses that actually move a metric-learning
+    * loss (random negatives are trivially separated after epoch
+    * one). Exhaustive scoring with the label exclusion applied
+    * before ranking, so a query whose entire neighborhood shares
+    * its label still gets k true negatives rather than an empty
+    * set. This is the exact/yardstick form (like
+    * [[bruteForceTopK]]); at corpus scale swap the candidate stage
+    * for [[ivfTopK]]'s probe join with `nProbe` raised enough to
+    * survive the label filter, same downstream shape. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("q_label"), l2norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(labelCol).as("n_label"), l2norm(col(vecCol)).as("cn"))
+    val scored = q.crossJoin(c)
+      .filter(col("q_label") =!= col("n_label"))
+      .filter(col("qn") > 0 && col("cn") > 0)
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "n_label", "rank")
+  }
+
+  /** Element-wise mean pooling per group — chunk embeddings back to
+    * a document vector, member embeddings to a class centroid.
+    * Output is (group, pos, mean_val) rows: posexplode turns each
+    * vector into (position, value) pairs and ONE map-combined
+    * aggregate averages them — group count is unbounded, no row ever
+    * holds a whole group (the collect_list-then-fold alternative
+    * does, and dies on the one viral group). Rounded to keep the
+    * float-sum engine-comparable. */
+  def meanPool(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col(groupCol), col("pos").cast("long").as("pos"))
+      .agg(round(avg("v"), 4).as("mean_val"))
 }

@@ -1002,3 +1002,36 @@ class FunnelSpec extends SparkTestBase {
       ("2024-01-08", 1L, 1L)))
   }
 }
+
+class HardNegativeSpec extends SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  // axis-aligned clusters: label 1 near +x, label 2 near +y, label 3 at -x
+  private val vecs = Seq(
+    (1L, Array(1.0f, 0.0f), 1), (2L, Array(0.9f, 0.1f), 1),
+    (3L, Array(0.8f, 0.2f), 1),
+    (10L, Array(0.0f, 1.0f), 2), (11L, Array(0.1f, 0.9f), 2),
+    (20L, Array(-1.0f, 0.0f), 3))
+    .toDF("vec_id", "embedding", "label")
+
+  test("hard negatives exclude same-label neighbors, rank by similarity") {
+    val out = Similarity.hardNegatives(
+        vecs.filter($"vec_id" === 1L), vecs, "vec_id", "embedding", "label", 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getInt(3)))
+    // nearest same-label vecs 2,3 are EXCLUDED; closest true negatives
+    // are the label-2 cluster (cos > 0), then label 3 would rank last
+    assert(out.toSeq == Seq((11L, 2, 1), (10L, 2, 2)))
+    // every emitted negative has a different label than the query
+    assert(out.forall(_._2 != 1))
+  }
+
+  test("meanPool: per-group element-wise means, every position present") {
+    val out = Similarity.meanPool(vecs, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1, 0L)) == 0.9 && out((1, 1L)) == 0.1)
+    assert(out((3, 0L)) == -1.0 && out((3, 1L)) == 0.0)
+    assert(out.size == 6) // 3 labels x 2 positions
+  }
+}
