@@ -42,20 +42,15 @@ object ChatFormat {
       roleCol: String, textCol: String,
       userTag: String = "<|user|>\n", asstTag: String = "<|assistant|>\n",
       turnSep: String = "\n"): DataFrame = {
-    val tag: Column = when(col(roleCol) === "assistant", lit(asstTag))
-      .otherwise(lit(userTag))
-    val seg = concat(tag, col(textCol), lit(turnSep))
     val w = Window.partitionBy(convCol).orderBy(orderCol)
     val segged = turns
-      .withColumn("__seg", seg)
+      .withColumn("__seg", segCol(roleCol, textCol, userTag, asstTag, turnSep))
       .withColumn("turn_rank", row_number().over(w).cast("long"))
       .withColumn("__start",
         coalesce(sum(length(col("__seg")))
           .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
     val rendered = segged.groupBy(col(convCol))
-      .agg(concat_ws("", transform(
-        array_sort(collect_list(struct(col(orderCol).as("o"), col("__seg").as("s")))),
-        x => x("s"))).as("__full"))
+      .agg(orderedConcat(orderCol).as("__full"))
     segged.filter(col(roleCol) === "assistant")
       .select(col(convCol), col("turn_rank"),
         (col("__start") + lit(tagLen(asstTag))).as("start_char"),
@@ -71,16 +66,28 @@ object ChatFormat {
       roleCol: String, textCol: String,
       userTag: String = "<|user|>\n", asstTag: String = "<|assistant|>\n",
       turnSep: String = "\n"): DataFrame = {
-    val tag: Column = when(col(roleCol) === "assistant", lit(asstTag))
-      .otherwise(lit(userTag))
-    val seg = concat(tag, col(textCol), lit(turnSep))
-    turns.withColumn("__seg", seg)
+    turns.withColumn("__seg", segCol(roleCol, textCol, userTag, asstTag, turnSep))
       .groupBy(col(convCol))
-      .agg(concat_ws("", transform(
-        array_sort(collect_list(struct(col(orderCol).as("o"), col("__seg").as("s")))),
-        x => x("s"))).as("text"),
+      .agg(orderedConcat(orderCol).as("text"),
         count(lit(1)).as("n_turns"))
   }
 
-  private def tagLen(tag: String): Long = tag.length.toLong
+  // Codepoints, not UTF-16 units: offsets/substring are codepoint-based,
+  // so a non-BMP char in the tag must count as 1 here too.
+  private def tagLen(tag: String): Long = tag.codePointCount(0, tag.length).toLong
+
+  // one tag+text+separator segment per turn — the single source of the
+  // rendering layout for both render() and assistantSpans()
+  private def segCol(roleCol: String, textCol: String, userTag: String,
+      asstTag: String, turnSep: String): Column = {
+    val tag = when(col(roleCol) === "assistant", lit(asstTag))
+      .otherwise(lit(userTag))
+    concat(tag, col(textCol), lit(turnSep))
+  }
+
+  // __seg segments concatenated in orderCol order within the group
+  private def orderedConcat(orderCol: String): Column =
+    concat_ws("", transform(
+      array_sort(collect_list(struct(col(orderCol).as("o"), col("__seg").as("s")))),
+      x => x("s")))
 }

@@ -109,8 +109,11 @@ object DataQuality {
     val v = col(valueCol)
     val cuts = df.agg(percentile(v, lit(loP)).as("__lo"),
       percentile(v, lit(hiP)).as("__hi"))
+    // greatest/least skip nulls, which would rewrite a missing value to
+    // the low cutoff — keep null in, null out
     df.crossJoin(broadcast(cuts))
-      .withColumn(out, round(least(greatest(v, col("__lo")), col("__hi")), 4))
+      .withColumn(out, when(v.isNotNull,
+        round(least(greatest(v, col("__lo")), col("__hi")), 4)))
       .drop("__lo", "__hi")
   }
 

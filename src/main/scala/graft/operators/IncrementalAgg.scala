@@ -33,6 +33,10 @@ object IncrementalAgg {
   def state(df: DataFrame, groupCols: Seq[String],
       valueCol: String): DataFrame = {
     require(groupCols.nonEmpty, "state needs group columns")
+    val clash = groupCols.filter(pieces.contains)
+    require(clash.isEmpty,
+      s"group column(s) ${clash.mkString(", ")} collide with reserved state " +
+        s"piece names (${pieces.mkString(", ")}); rename them before state()")
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
         count(valueCol).as("n_v"),
@@ -46,6 +50,9 @@ object IncrementalAgg {
     * the data that produced them. */
   def merge(states: DataFrame*): DataFrame = {
     require(states.nonEmpty, "merge needs at least one state frame")
+    val missing = pieces.filterNot(states.head.columns.contains)
+    require(missing.isEmpty,
+      s"not a state frame: missing piece column(s) ${missing.mkString(", ")}")
     val groupCols = states.head.columns.filterNot(pieces.contains).toSeq
     states.reduce(_ unionByName _)
       .groupBy(groupCols.map(col): _*)

@@ -198,16 +198,6 @@ object Profiling {
       when(col(valueCol).isNull, lit(null)).otherwise(bin).as("bin"))
   }
 
-  /** Dense equi-width histogram: `nBuckets` buckets over [lo, hi)
-    * plus an underflow (-1) and an overflow (`nBuckets`) bucket,
-    * EVERY bucket present in the output (empty ones with n = 0 — a
-    * dashboard histogram with silently missing bars misreads as a
-    * different distribution). Output: (bucket, lo_bound, hi_bound, n)
-    * with null bounds on the two out-of-range buckets.
-    *
-    * One map-side-combined aggregate over at most nBuckets+2 keys,
-    * then a broadcast join against the tiny bucket spine — the data
-    * pass is a single scan regardless of corpus size. */
   /** EXACT heavy hitters — every value occurring in more than
     * `support` fraction of rows, with its exact count — found
     * without ever shuffling the long tail. Two phases:
@@ -248,30 +238,46 @@ object Profiling {
         c.filterInPlace((_, n) => n > cut)
         c.mapValuesInPlace((_, n) => n - cut)
       }
+    // the row total rides along the MG pass (null rows count toward
+    // the total but never enter the summary) — no separate count scan
     val summaries = df.select(col(valueCol).cast("string"))
-      .na.drop.rdd.mapPartitions { it =>
+      .rdd.mapPartitions { it =>
         val c = scala.collection.mutable.HashMap.empty[String, Long]
+        var rows = 0L
         it.foreach { r =>
-          c.updateWith(r.getString(0)) {
-            case Some(n) => Some(n + 1); case None => Some(1L) }
-          if (c.size > m) shrink(c)
+          rows += 1
+          if (!r.isNullAt(0)) {
+            c.updateWith(r.getString(0)) {
+              case Some(n) => Some(n + 1); case None => Some(1L) }
+            if (c.size > m) shrink(c)
+          }
         }
-        Iterator.single(c)
+        Iterator.single((c, rows))
       }
-    val candidates = summaries.treeReduce { (a, b) =>
+    val (candMap, total) = summaries.treeReduce { case ((a, na), (b, nb)) =>
       b.foreach { case (v, n) =>
         a.updateWith(v) { case Some(x) => Some(x + n); case None => Some(n) } }
-      shrink(a); a
-    }.keys.toSeq
-    val nTotal = df.agg(count(lit(1)).as("n_total"))
+      shrink(a); (a, na + nb)
+    }
+    val candidates = candMap.keys.toSeq
     val candidateRows = if (candidates.isEmpty) df.filter(lit(false))
       else df.filter(col(valueCol).isin(candidates: _*))
     candidateRows
       .groupBy(col(valueCol)).agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(nTotal))
+      .withColumn("n_total", lit(total))
       .filter(col("n") > col("n_total") * support)
   }
 
+  /** Dense equi-width histogram: `nBuckets` buckets over [lo, hi)
+    * plus an underflow (-1) and an overflow (`nBuckets`) bucket,
+    * EVERY bucket present in the output (empty ones with n = 0 — a
+    * dashboard histogram with silently missing bars misreads as a
+    * different distribution). Output: (bucket, lo_bound, hi_bound, n)
+    * with null bounds on the two out-of-range buckets.
+    *
+    * One map-side-combined aggregate over at most nBuckets+2 keys,
+    * then a broadcast join against the tiny bucket spine — the data
+    * pass is a single scan regardless of corpus size. */
   def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
       nBuckets: Int): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")

@@ -115,6 +115,22 @@ object FileConnector {
       .save(stripScheme(path))
   }
 
+  /** Schema-evolution read: one DataFrame over parquet directories
+    * written at different schema epochs. `mergeSchema` unions the
+    * parquet footers — a column absent from an epoch reads as null
+    * there, a column added later appears corpus-wide — so ingestion
+    * survives the schema drifting underneath it without a rewrite.
+    * Incompatible type changes (int→string) still fail loudly at
+    * merge time, which is the correct failure: silent coercion is
+    * how a warehouse corrupts. Footer merging is a metadata
+    * operation (driver reads footers, optionally parallelized by
+    * Spark); row data is untouched until the scan. */
+  def readUnified(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "readUnified needs at least one path")
+    spark.read.option("mergeSchema", "true")
+      .parquet(paths.map(stripScheme): _*)
+  }
+
   /** complete-atomic for file sinks: readers of the sink path always
     * observe a complete table — old or new, never partial, never
     * absent (the reference's staging+swap contract,
@@ -135,22 +151,6 @@ object FileConnector {
     * recursive delete, with rollback of the old directory if the
     * second rename fails.
     */
-  /** Schema-evolution read: one DataFrame over parquet directories
-    * written at different schema epochs. `mergeSchema` unions the
-    * parquet footers — a column absent from an epoch reads as null
-    * there, a column added later appears corpus-wide — so ingestion
-    * survives the schema drifting underneath it without a rewrite.
-    * Incompatible type changes (int→string) still fail loudly at
-    * merge time, which is the correct failure: silent coercion is
-    * how a warehouse corrupts. Footer merging is a metadata
-    * operation (driver reads footers, optionally parallelized by
-    * Spark); row data is untouched until the scan. */
-  def readUnified(spark: SparkSession, paths: Seq[String]): DataFrame = {
-    require(paths.nonEmpty, "readUnified needs at least one path")
-    spark.read.option("mergeSchema", "true")
-      .parquet(paths.map(stripScheme): _*)
-  }
-
   def writeAtomic(df: DataFrame, path: String, fmt: String,
       options: Map[String, String]): Unit = {
     val target = stripScheme(path)

@@ -346,10 +346,6 @@ object Probe {
       graft.operators.Sampling.temperatureWeights(docs, "source", 0.5).count())
   }
 
-  /** Round-5 operators at the 10× union (≈sf1): paragraph dedup over
-    * 150K paragraphs with 10× planted cross-copy duplication, the
-    * edit-distance verify at 40K candidate pairs, and a real
-    * small-file compaction of a 256-file fragment. */
   /** 10× pricing for the second half of round 5: PageRank, heavy
     * hitters, HTML extraction, chat spans, z-order, salted join. */
   def r5bprobe(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
@@ -415,6 +411,10 @@ object Probe {
     })
   }
 
+  /** Round-5 operators at the 10× union (≈sf1): paragraph dedup over
+    * 150K paragraphs with 10× planted cross-copy duplication, the
+    * edit-distance verify at 40K candidate pairs, and a real
+    * small-file compaction of a 256-file fragment. */
   def r5probe(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     import org.apache.spark.sql.DataFrame
     def x10(name: String, idCols: Seq[String]): DataFrame = {

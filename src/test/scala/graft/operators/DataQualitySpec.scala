@@ -162,6 +162,14 @@ class DiffWinsorizeSpec extends SparkTestBase {
     assert(out(6.0) == 6.0 && out(95.0) == 95.0)
   }
 
+  test("winsorize keeps null in, null out — no fabricated cutoff values") {
+    val df = Seq(Some(1.0), None, Some(100.0), Some(50.0)).toDF("v")
+    val out = DataQuality.winsorize(df, "v", 0.25, 0.75)
+    assert(out.filter($"v".isNull).count() == 1)
+    assert(out.filter($"v".isNull && $"v_w".isNotNull).count() == 0)
+    assert(out.filter($"v" === 50.0).first().getDouble(1) == 50.0)
+  }
+
   test("nucleusByGroup includes the crossing row and never empties a group") {
     val df = Seq(
       ("a", 1L, 50L), ("a", 2L, 30L), ("a", 3L, 15L), ("a", 4L, 5L),

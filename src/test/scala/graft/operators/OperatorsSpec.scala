@@ -585,22 +585,6 @@ class ModesSpec extends SparkTestBase {
     assert(!out.filter(_._1 == 2).exists(_._5))
   }
 
-  test("resampleHourly: dense spine, zero-count gaps, forward-filled sums") {
-    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
-    val rows = Seq(
-      (ts("2024-03-01 10:15:00"), 1.0), (ts("2024-03-01 10:45:00"), 2.0),
-      // 11:00 and 12:00 empty
-      (ts("2024-03-01 13:05:00"), 7.0))
-      .toDF("ts", "value")
-    val out = TimeSeries.resampleHourly(rows, "ts", "value")
-      .orderBy("h").collect()
-    assert(out.length == 4) // 10,11,12,13 — gaps present
-    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 0L, 0L, 1L))
-    // sum_value null on gaps, ffill carries 3.0 across them
-    assert(out(0).getDouble(2) == 3.0 && out(1).isNullAt(2))
-    assert(out.map(_.getDouble(3)).toSeq == Seq(3.0, 3.0, 3.0, 7.0))
-  }
-
   test("applyChanges: full ties resolve stably across runs (content-hash break)") {
     val target = Seq((1, "a")).toDF("k", "v")
     val changes = Seq((1, "X", "U", 1L), (1, "Y", "U", 1L)).toDF("k", "v", "op", "seq")
@@ -860,6 +844,14 @@ class LinkGraphSpec extends SparkTestBase {
 class IncrementalAggSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("state rejects group columns that collide with reserved piece names") {
+    val df = Seq((1L, "a")).toDF("n", "g")
+    val e = intercept[IllegalArgumentException] {
+      IncrementalAgg.state(df, Seq("n"), "g")
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
   private val data = Seq(
     (1L, "a", "x", Option(1.0)), (2L, "a", "x", Option.empty[Double]),
     (3L, "a", "y", Option(5.0)), (4L, "b", "x", Option(2.0)),
@@ -898,20 +890,6 @@ class IncrementalAggSpec extends SparkTestBase {
     assert(avg == 3.0) // (1 + 5) / 2 non-null, NOT / 3 rows
   }
 
-  test("rollingStats: gaps stay in the frame, counted out by mov_n") {
-    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
-    val grid = TimeSeries.resampleHourly(Seq(
-      (ts("2024-03-01 10:00:00"), 2.0), (ts("2024-03-01 13:30:00"), 8.0))
-      .toDF("ts", "value"), "ts", "value").drop("sum_value_ffill")
-    val out = TimeSeries.rollingStats(grid, "h", "sum_value", trailing = 3)
-      .orderBy("h").collect()
-    assert(out.length == 4)
-    // last row's frame spans all four grid hours: two non-empty
-    assert(out(3).getLong(3) == 2L)                 // mov_n
-    assert(out(3).getDouble(4) == 5.0)              // mov_avg = (2+8)/2
-    assert(out(1).getLong(3) == 1L)                 // gap row: frame has 10h only
-    assert(out(1).getDouble(5) == 2.0 && out(1).getDouble(6) == 2.0)
-  }
 }
 
 class ChatFormatSpec extends SparkTestBase {
@@ -941,6 +919,17 @@ class ChatFormatSpec extends SparkTestBase {
     assert(rendered.substring(s2, e2) == "yes I did")
     // span 1 coordinates too
     assert(rendered.substring(out(0)._3.toInt, out(0)._4.toInt) == "hi, how can I help?")
+  }
+
+  test("non-BMP characters in tags keep codepoint offsets exact") {
+    // the robot emoji is 2 UTF-16 units but 1 codepoint; tag length
+    // must count codepoints to match Spark's substring semantics
+    val out = ChatFormat.assistantSpans(turns, "conv_id", "ord", "role",
+        "turn_text", userTag = "\uD83D\uDC64u:", asstTag = "\uD83E\uDD16a:",
+        turnSep = "\n")
+      .orderBy("conv_id", "turn_rank")
+      .collect().map(r => r.getString(4))
+    assert(out.toSeq == Seq("hi, how can I help?", "yes I did"))
   }
 
   test("render assembles turns in order with tags and separators") {
@@ -1033,5 +1022,40 @@ class HardNegativeSpec extends SparkTestBase {
     assert(out((1, 0L)) == 0.9 && out((1, 1L)) == 0.1)
     assert(out((3, 0L)) == -1.0 && out((3, 1L)) == 0.0)
     assert(out.size == 6) // 3 labels x 2 positions
+  }
+}
+
+class TimeSeriesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("resampleHourly: dense spine, zero-count gaps, forward-filled sums") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (ts("2024-03-01 10:15:00"), 1.0), (ts("2024-03-01 10:45:00"), 2.0),
+      // 11:00 and 12:00 empty
+      (ts("2024-03-01 13:05:00"), 7.0))
+      .toDF("ts", "value")
+    val out = TimeSeries.resampleHourly(rows, "ts", "value")
+      .orderBy("h").collect()
+    assert(out.length == 4) // 10,11,12,13 — gaps present
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 0L, 0L, 1L))
+    // sum_value null on gaps, ffill carries 3.0 across them
+    assert(out(0).getDouble(2) == 3.0 && out(1).isNullAt(2))
+    assert(out.map(_.getDouble(3)).toSeq == Seq(3.0, 3.0, 3.0, 7.0))
+  }
+
+  test("rollingStats: gaps stay in the frame, counted out by mov_n") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val grid = TimeSeries.resampleHourly(Seq(
+      (ts("2024-03-01 10:00:00"), 2.0), (ts("2024-03-01 13:30:00"), 8.0))
+      .toDF("ts", "value"), "ts", "value").drop("sum_value_ffill")
+    val out = TimeSeries.rollingStats(grid, "h", "sum_value", trailing = 3)
+      .orderBy("h").collect()
+    assert(out.length == 4)
+    // last row's frame spans all four grid hours: two non-empty
+    assert(out(3).getLong(3) == 2L)                 // mov_n
+    assert(out(3).getDouble(4) == 5.0)              // mov_avg = (2+8)/2
+    assert(out(1).getLong(3) == 1L)                 // gap row: frame has 10h only
+    assert(out(1).getDouble(5) == 2.0 && out(1).getDouble(6) == 2.0)
   }
 }
