@@ -1825,6 +1825,32 @@ object SparkEntry {
 
     // nearest as-of: whichever purchase is temporally closest, ties
     // resolved backward
+    // point-in-time join: orders (fact time t = o_orderkey % 4) pick
+    // up the customer-balance VERSION valid at t from the same
+    // CDC-style history scd1 builds; facts before the first version
+    // or inside the gap the seq-2 delete opened stay NULL. The range
+    // predicate never reaches the planner — asofBackward's union +
+    // one-exchange carry plus a row-local expiry check
+    "j6_temporal_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val k = col("c_custkey")
+      def v(df: DataFrame, op: String, seq: Long): DataFrame =
+        df.withColumn("op", lit(op)).withColumn("seq", lit(seq))
+      val base = c.select(col("c_custkey"), col("c_acctbal"))
+      val feed =
+        v(base.filter(k % 10 <= 2), "I", 0L)
+          .unionByName(v(base.filter(k % 10 <= 2)
+            .withColumn("c_acctbal", round(col("c_acctbal") + 100, 2)), "U", 1L))
+          .unionByName(v(base.filter(k % 10 === 0), "D", 2L))
+      val hist = Modes.scdHistory(feed, Seq("c_custkey"), "op", "seq")
+        .select("c_custkey", "c_acctbal", "valid_from", "valid_to")
+      val facts = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey").as("c_custkey"),
+        (col("o_orderkey") % 4).as("t"))
+      AsOfJoin.pointInTime(facts, hist, Seq("c_custkey"), "t",
+        Seq("c_acctbal"))
+    }),
+
     "j5_asof_nearest" -> ((s, dir) => {
       val ev = events(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -1915,6 +1941,27 @@ object SparkEntry {
         TimeSeries.resampleHourly(events(s, dir), "ts", "value")
           .drop("sum_value_ffill"),
         "h", "sum_value", trailing = 3)),
+
+    // rolling-z-score anomalies over the hourly grid: baseline is the
+    // 6 hours strictly BEFORE each row (the tested point never sits
+    // in its own baseline); undefined/zero-std baselines never flag
+    "ts3_anomalies" -> ((s, dir) =>
+      TimeSeries.anomalies(
+        TimeSeries.resampleHourly(events(s, dir), "ts", "value")
+          .drop("sum_value_ffill"),
+        "h", "sum_value", trailing = 6, k = 2.0)),
+
+    // distributed sweep-line: max simultaneously-open intervals per
+    // day (each event opens a deterministic 1..36-hour interval, so
+    // intervals cross day boundaries and the carry-in path is live);
+    // the global running sum decomposes into per-day windows + a
+    // one-row-per-day prefix pass
+    "iv1_concurrency" -> ((s, dir) => {
+      val iv = events(s, dir).select(
+        col("ts").cast("timestamp").as("s"),
+        expr("timestampadd(HOUR, CAST(event_id % 36 + 1 AS INT), CAST(ts AS TIMESTAMP))").as("e"))
+      TimeSeries.maxConcurrencyByDay(iv, "s", "e")
+    }),
 
     // incremental aggregate maintenance: state built on 2/3 of
     // lineitem, the remaining third folded in as an arrival batch,
@@ -2418,6 +2465,71 @@ object SparkEntry {
         | AND l.l_shipdate < o.o_orderdate + INTERVAL 3 DAY
         |WHERE o.o_orderpriority = '1-URGENT' AND l.l_quantity >= 45
         |GROUP BY 1""".stripMargin,
+
+    "j6_temporal_join" ->
+      """WITH f AS (
+        |  SELECT c_custkey, c_acctbal, 'I' AS op, CAST(0 AS BIGINT) AS seq
+        |  FROM customer WHERE c_custkey % 10 <= 2
+        |  UNION ALL
+        |  SELECT c_custkey, round(c_acctbal + 100, 2), 'U', 1
+        |  FROM customer WHERE c_custkey % 10 <= 2
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal, 'D', 2
+        |  FROM customer WHERE c_custkey % 10 = 0),
+        |h AS (
+        |  SELECT c_custkey, c_acctbal, op, seq AS valid_from,
+        |         lead(seq) OVER (PARTITION BY c_custkey ORDER BY seq) AS valid_to
+        |  FROM f),
+        |hist AS (SELECT * FROM h WHERE op <> 'D'),
+        |facts AS (
+        |  SELECT o_orderkey, o_custkey AS c_custkey, o_orderkey % 4 AS t
+        |  FROM orders)
+        |SELECT facts.c_custkey, facts.t, facts.o_orderkey, hist.c_acctbal
+        |FROM facts LEFT JOIN hist
+        |  ON facts.c_custkey = hist.c_custkey
+        | AND facts.t >= hist.valid_from
+        | AND (hist.valid_to IS NULL OR facts.t < hist.valid_to)""".stripMargin,
+
+    "ts3_anomalies" ->
+      """WITH e AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, value
+        |  FROM events),
+        |agg AS (
+        |  SELECT h, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |  FROM e GROUP BY h),
+        |b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
+        |g AS (
+        |  SELECT s.h, coalesce(a.n_events, 0) AS n_events, a.sum_value
+        |  FROM spine s LEFT JOIN agg a USING (h)),
+        |w AS (
+        |  SELECT h, n_events, sum_value,
+        |         count(sum_value) OVER win AS base_n,
+        |         avg(sum_value) OVER win AS base_avg,
+        |         stddev_samp(sum_value) OVER win AS base_std
+        |  FROM g WINDOW win AS (ORDER BY h ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+        |SELECT h, n_events, sum_value, base_n,
+        |       round(base_avg, 4) AS base_avg, round(base_std, 4) AS base_std
+        |FROM w
+        |WHERE sum_value IS NOT NULL AND base_n >= 2 AND base_std > 0
+        |  AND abs(sum_value - base_avg) > base_std * 2.0""".stripMargin,
+
+    "iv1_concurrency" ->
+      """WITH iv AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS s,
+        |         CAST(ts AS TIMESTAMP) + to_hours(event_id % 36 + 1) AS e
+        |  FROM events),
+        |b AS (
+        |  SELECT s AS t, 1 AS d FROM iv
+        |  UNION ALL
+        |  SELECT e, -1 FROM iv),
+        |r AS (
+        |  SELECT CAST(t AS DATE) AS "day",
+        |         sum(d) OVER (ORDER BY t, d
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM b)
+        |SELECT "day", CAST(max(run) AS BIGINT) AS max_concurrent
+        |FROM r GROUP BY "day"""".stripMargin,
 
     "j2_asof_join" ->
       """WITH e AS (

@@ -47,6 +47,39 @@ object AsOfJoin {
       valueCols: Seq[String]): DataFrame =
     asofDirectional(left, right, keys, leftTs, rightTs, valueCols, forward = true)
 
+  /** Point-in-time join against an SCD-style dimension HISTORY (the
+    * [[Modes.scdHistory]] layout: versions with `valid_from` /
+    * `valid_to`, half-open, null `valid_to` = current): each fact row
+    * gets the dimension values that were valid AT its own
+    * `factTs` — the only correct way to join facts to a mutable
+    * dimension (joining the current version backdates every late
+    * fact). Facts before the key's first version, or inside a gap a
+    * delete opened, keep NULL dimension values.
+    *
+    * Composition, not new machinery: the valid version is the latest
+    * `valid_from <= factTs` — exactly [[asofBackward]] (one union +
+    * one exchange, no range join) — followed by a row-local
+    * expiry check against the carried `valid_to`. */
+  def pointInTime(
+      facts: DataFrame,
+      dimHistory: DataFrame,
+      keys: Seq[String],
+      factTs: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(dimHistory.columns.contains("valid_from") &&
+      dimHistory.columns.contains("valid_to"),
+      "dimHistory must carry valid_from/valid_to (see Modes.scdHistory)")
+    require(!valueCols.contains("valid_to"), "valid_to is carried internally")
+    val joined = asofBackward(facts, dimHistory, keys, factTs,
+      "valid_from", valueCols :+ "valid_to")
+    // version closed before the fact: a delete (or a successor the
+    // as-of already preferred) ended it — dimension values are gone
+    val expired = col("valid_to").isNotNull && col(factTs) >= col("valid_to")
+    valueCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, when(expired, lit(null)).otherwise(col(c)))
+    }.drop("valid_to")
+  }
+
   private def asofDirectional(
       left: DataFrame,
       right: DataFrame,

@@ -62,4 +62,69 @@ object TimeSeries {
       .withColumn("mov_min", min(col(valueCol)).over(w))
       .withColumn("mov_max", max(col(valueCol)).over(w))
   }
+
+  /** Rolling-z-score anomaly detection over an ordered grid: flag
+    * rows whose value deviates from the TRAILING baseline (the
+    * `trailing` rows strictly BEFORE the current one — the tested
+    * point never contaminates its own baseline, the standard
+    * monitoring rule) by more than `k` sample standard deviations.
+    * Emits only the anomalous rows, with the baseline mean/std they
+    * were judged against. Rows whose baseline has fewer than 2
+    * non-null values (no defined std) or zero std are never flagged
+    * — a verdict from no evidence is noise, not detection.
+    *
+    * Same scale argument as [[rollingStats]]: the window is ordered
+    * by the grid column and bounded by grid size, never event
+    * count. */
+  def anomalies(grid: DataFrame, orderCol: String, valueCol: String,
+      trailing: Int = 6, k: Double = 3.0): DataFrame = {
+    require(trailing >= 2, "anomaly baseline needs >= 2 trailing rows")
+    require(k > 0, s"threshold k must be positive: $k")
+    val w = Window.orderBy(orderCol).rowsBetween(-trailing, -1)
+    val v = col(valueCol)
+    grid
+      .withColumn("base_n", count(v).over(w))
+      .withColumn("base_avg", avg(v).over(w))
+      .withColumn("base_std", stddev_samp(v).over(w))
+      .filter(v.isNotNull && col("base_n") >= 2 && col("base_std") > 0 &&
+        abs(v - col("base_avg")) > col("base_std") * k)
+      .withColumn("base_avg", round(col("base_avg"), 4))
+      .withColumn("base_std", round(col("base_std"), 4))
+  }
+
+  /** Distributed sweep-line concurrency: given intervals
+    * [`startCol`, `endCol`) — sessions, jobs, connections — the
+    * maximum number simultaneously open within each day. The classic
+    * single-machine sweep (sort all boundaries, running ±1 sum) has
+    * a global order in it; this is its two-level distributed form:
+    *
+    *  1. boundaries → ±1 deltas, hash-partitioned BY DAY; the
+    *     running sum windows within each day independently.
+    *  2. each day's net delta (one row per day) rolls into a
+    *     carry-in offset via a second running sum over DAY rows —
+    *     the same distributed-prefix-sum shape as
+    *     [[Packing.packByBudget]]: the global pass touches one row
+    *     per day, never the data.
+    *
+    * Ties resolve end-before-start (half-open intervals: an interval
+    * ending at t and one starting at t never overlap). Output:
+    * (day, max_concurrent) for days with at least one boundary. */
+  def maxConcurrencyByDay(df: DataFrame, startCol: String,
+      endCol: String): DataFrame = {
+    val deltas = df.select(col(startCol).as("t"), lit(1).as("d"))
+      .unionAll(df.select(col(endCol).as("t"), lit(-1).as("d")))
+      .withColumn("day", to_date(col("t")))
+    // ends sort before starts at the same instant: d ascending
+    val inDay = Window.partitionBy("day").orderBy(col("t"), col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = deltas.withColumn("run", sum("d").over(inDay))
+    val perDay = run.groupBy("day")
+      .agg(max("run").as("day_max"), sum("d").as("day_net"))
+    val acrossDays = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perDay
+      .withColumn("carry", coalesce(sum("day_net").over(acrossDays), lit(0L)))
+      .select(col("day"),
+        (col("carry") + col("day_max")).as("max_concurrent"))
+  }
 }

@@ -158,4 +158,25 @@ class AsOfJoinSpec extends SparkTestBase {
       .select("ptag", "itag").as[(String, String)].collect().sorted
     assert(out.toSeq == Seq(("p1", "iv_a"), ("p2", "iv_a")))
   }
+
+  test("pointInTime: version valid at fact time; delete gap and pre-history stay null") {
+    // key 1: I at 0 (bal 10), U at 1 (bal 20), D at 2 -> gap from 2 on
+    // key 2: I at 0 (bal 50), current forever
+    val changes = Seq(
+      (1L, 10.0, "I", 0L), (1L, 20.0, "U", 1L), (1L, 0.0, "D", 2L),
+      (2L, 50.0, "I", 0L))
+      .toDF("k", "bal", "op", "seq")
+    val hist = Modes.scdHistory(changes, Seq("k"), "op", "seq")
+      .select("k", "bal", "valid_from", "valid_to")
+    val facts = Seq(
+      (100L, 1L, 0L), (101L, 1L, 1L), (102L, 1L, 3L), // at, within, after-delete
+      (103L, 2L, 7L),                                 // current version
+      (104L, 3L, 1L))                                 // key with no history
+      .toDF("fact_id", "k", "t")
+    val out = AsOfJoin.pointInTime(facts, hist, Seq("k"), "t", Seq("bal"))
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(out == Map(100L -> 10.0, 101L -> 20.0, 102L -> null,
+      103L -> 50.0, 104L -> null))
+  }
 }

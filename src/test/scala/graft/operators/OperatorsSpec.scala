@@ -1028,6 +1028,41 @@ class HardNegativeSpec extends SparkTestBase {
 class TimeSeriesSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("anomalies: spike flagged against trailing baseline that excludes it") {
+    // 8 calm hours at ~10, then a spike at 100, then calm again
+    val ts = (i: Int) => java.sql.Timestamp.valueOf(f"2024-03-01 ${i}%02d:00:00")
+    val grid = ((0 to 7).map(i => (ts(i), 10.0 + (i % 2))) :+
+      ((ts(8), 100.0)) :+ ((ts(9), 10.0)))
+      .toDF("h", "sum_value")
+    val out = TimeSeries.anomalies(grid, "h", "sum_value", trailing = 6, k = 3.0)
+      .collect()
+    assert(out.map(_.getTimestamp(0)).toSeq == Seq(ts(8)))
+    // baseline of the spike row is the calm hours, not the spike
+    assert(out.head.getDouble(4) < 12.0) // base_avg
+    // hour 9 is NOT flagged backwards: its baseline absorbs the spike
+    // via a larger std, and |10 - avg| < 3 std there
+  }
+
+  test("maxConcurrencyByDay: cross-midnight carry-in and end-before-start ties") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val iv = Seq(
+      // two long intervals spanning into day 2
+      (ts("2024-03-01 20:00:00"), ts("2024-03-02 04:00:00")),
+      (ts("2024-03-01 22:00:00"), ts("2024-03-02 02:00:00")),
+      // day-2 interval starting exactly when one ends: no overlap
+      (ts("2024-03-02 02:00:00"), ts("2024-03-02 03:00:00")),
+      // lone day-3 interval
+      (ts("2024-03-03 10:00:00"), ts("2024-03-03 11:00:00")))
+      .toDF("s", "e")
+    val out = TimeSeries.maxConcurrencyByDay(iv, "s", "e")
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // day 1: both long intervals open -> 2
+    // day 2: starts with 2 carried in; the 02:00 end closes BEFORE the
+    // 02:00 start opens, so max stays 2 (not 3)
+    assert(out == Map("2024-03-01" -> 2L, "2024-03-02" -> 2L,
+      "2024-03-03" -> 1L))
+  }
+
   test("resampleHourly: dense spine, zero-count gaps, forward-filled sums") {
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
     val rows = Seq(
