@@ -1306,6 +1306,25 @@ object SparkEntry {
     "tf1_top_terms" -> ((s, dir) =>
       Scoring.topTerms(t(s, dir, "documents"), "doc_id", "text", 3)),
 
+    // inverted index: exact df/total_tf per token, postings CAPPED at
+    // 20 doc ids inside the same token partitioning the aggregate
+    // uses — no agg buffer ever exceeds the cap
+    "ir1_inverted_index" -> ((s, dir) =>
+      Retrieval.invertedIndex(t(s, dir, "documents"), "doc_id", "text",
+        maxPostings = 20)),
+
+    // BM25 against a 3-term topic probe; doc lengths one aggregate,
+    // term stats broadcast, the tail never enters the df aggregation
+    "ir2_bm25" -> ((s, dir) =>
+      Retrieval.bm25(t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("join", "vector", "spark"))),
+
+    // windowed PMI collocations: pair generation row-local inside
+    // codegen (no positions self-join), totals broadcast
+    "pmi1_cooccurrence" -> ((s, dir) =>
+      Retrieval.pmiPairs(t(s, dir, "documents"), "text",
+        window = 2, minCount = 5)),
+
     "ta4_unigram_logprob" -> ((s, dir) =>
       Scoring.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
 
@@ -3450,6 +3469,63 @@ object SparkEntry {
         |       round(any_value(n_distinct_words) * 1.0 / greatest(any_value(n_words), 1), 4)
         |         AS distinct_word_frac
         |FROM ranked GROUP BY doc_id""".stripMargin,
+
+    "ir1_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id AS doc, t.token
+        |  FROM documents, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0)) AS t(token)),
+        |td AS (SELECT token, doc, count(*) AS tf FROM tok GROUP BY 1, 2)
+        |SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+        |       array_to_string(list_sort(list(doc))[1:20], ',') AS postings
+        |FROM td GROUP BY token""".stripMargin,
+
+    "ir2_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id AS doc, t.token
+        |  FROM documents, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0)) AS t(token)),
+        |dl AS (SELECT doc, count(*) AS dl FROM tok GROUP BY doc),
+        |stats AS (SELECT count(*) AS n_docs,
+        |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |q AS (SELECT * FROM tok WHERE token IN ('join', 'vector', 'spark')),
+        |dfT AS (SELECT token, count(DISTINCT doc) AS df FROM q GROUP BY token),
+        |tf AS (SELECT doc, token, count(*) AS tf FROM q GROUP BY 1, 2)
+        |SELECT tf.doc,
+        |       round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+        |         * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4)
+        |         AS bm25,
+        |       count(*) AS n_terms
+        |FROM tf JOIN dfT USING (token) JOIN dl USING (doc) CROSS JOIN stats
+        |GROUP BY tf.doc""".stripMargin,
+
+    "pmi1_cooccurrence" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             x -> length(x) > 0) AS l
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest([{'p': i, 'tok': l[i]}
+        |                         for i in range(1, len(l) + 1)],
+        |                        recursive := true)
+        |  FROM tok),
+        |pr AS (
+        |  SELECT x.tok AS a, y.tok AS b
+        |  FROM pos x JOIN pos y
+        |    ON x.doc_id = y.doc_id AND y.p > x.p AND y.p <= x.p + 2),
+        |pc AS (SELECT a, b, count(*) AS n_ab FROM pr GROUP BY 1, 2),
+        |uni AS (SELECT tok, count(*) AS n_t FROM pos GROUP BY tok),
+        |tot AS (SELECT (SELECT CAST(sum(n_ab) AS BIGINT) FROM pc) AS n_pairs,
+        |               (SELECT CAST(sum(n_t) AS BIGINT) FROM uni) AS n_tok)
+        |SELECT a, b, n_ab,
+        |       round(ln((CAST(n_ab AS DOUBLE) * n_tok * n_tok)
+        |         / (CAST(n_pairs AS DOUBLE) * ua.n_t * ub.n_t)), 4) AS pmi
+        |FROM pc JOIN uni ua ON pc.a = ua.tok
+        |        JOIN uni ub ON pc.b = ub.tok
+        |        CROSS JOIN tot
+        |WHERE n_ab >= 5""".stripMargin,
 
     "tf1_top_terms" ->
       """WITH toks AS (

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval primitives over a document corpus (beyond-parity):
+  * inverted index construction, BM25 scoring, and windowed PMI
+  * co-occurrence. These are curation tools, not a search engine:
+  * the index surfaces candidate sets and term statistics for dedup
+  * and quality mining, BM25 ranks documents against topic probes
+  * (domain selection's lexical cousin — see `Sampling.dsir*` for the
+  * importance-weighted form), and PMI finds the collocations a
+  * tokenizer or a phrase-mining pass should treat as units.
+  *
+  * Tokenization matches the engine's text surface everywhere else
+  * (`hh1`, `pf2`): lowercase, whitespace split, empty tokens out.
+  */
+object Retrieval {
+
+  private def tokens(textCol: Column): Column =
+    filter(split(lower(trim(textCol)), "\\s+"), t => length(t) > 0)
+
+  /** Inverted index: per token, its document frequency, total
+    * occurrence count, and the posting list CAPPED at `maxPostings`
+    * doc ids (the smallest ids — deterministic). The cap is the
+    * scale contract: a stopword's posting list at corpus scale is
+    * the corpus, and no aggregation buffer here ever holds more than
+    * `maxPostings` entries — the row_number cap runs INSIDE the same
+    * token partitioning the final aggregate uses (one exchange
+    * total; the same pre-agg-truncation shape as
+    * [[Sequences.ordered]]'s cap). `df`/`total_tf` stay EXACT — only
+    * the materialized postings are capped, and `df` tells the reader
+    * when they were. Postings emit as a comma-joined string (the
+    * engine's array-output convention). */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+      maxPostings: Int = 20): DataFrame = {
+    require(maxPostings >= 1, s"maxPostings must be >= 1: $maxPostings")
+    val td = docs
+      .select(col(idCol).as("doc"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("token", "doc").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("token").orderBy("doc")
+    td.withColumn("__rn", row_number().over(w))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        sum("tf").as("total_tf"),
+        concat_ws(",", transform(
+          array_sort(collect_list(when(col("__rn") <= maxPostings, col("doc")))),
+          d => d.cast("string"))).as("postings"))
+  }
+
+  /** BM25 document scores for a bag of query `terms` (k1/b are the
+    * standard Robertson defaults; idf is the +1 form, never
+    * negative). Emits every document containing at least one term:
+    * (doc, bm25) with the score summed over matched terms.
+    *
+    * Scale shape: doc lengths are ONE map-combined aggregate; term
+    * document-frequencies aggregate over the term-filtered scan only
+    * (the filter lands on the scan, the long tail never enters);
+    * N/avgdl ride in as a broadcast 1-row frame, per-term df as a
+    * broadcast |terms|-row frame. The only exchange over data is the
+    * (doc, term) aggregation — no sort, no window. avgdl derives as
+    * exact-integer sum/count, so the score is engine-reproducible. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    require(terms == terms.map(_.toLowerCase.trim),
+      s"terms must be lowercase/trimmed to match tokenization: $terms")
+    val tok = docs.select(col(idCol).as("doc"),
+      explode(tokens(col(textCol))).as("token"))
+    val dl = tok.groupBy("doc").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val qtok = tok.filter(col("token").isin(terms: _*))
+    val dfT = qtok.groupBy("token").agg(count_distinct(col("doc")).as("df"))
+    val tf = qtok.groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+    val idf = log(((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) + 1)
+    val norm = col("tf") * (k1 + 1) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfT), "token")
+      .join(dl, "doc")
+      .crossJoin(broadcast(stats))
+      .withColumn("__s", idf * norm)
+      .groupBy("doc")
+      .agg(round(sum("__s"), 4).as("bm25"), count(lit(1)).as("n_terms"))
+  }
+
+  /** Windowed PMI co-occurrence: for every DIRECTED token pair (a
+    * before b, at most `window` positions apart) occurring at least
+    * `minCount` times, the pointwise mutual information
+    * `ln(P(a,b) / (P(a) P(b)))` with pair probabilities over emitted
+    * pairs and unigram probabilities over tokens. High-PMI pairs are
+    * collocations ("new york"); low ones co-occur by chance.
+    *
+    * Pair generation is ROW-LOCAL (nested transform over the token
+    * array inside codegen — no positions self-join, no shuffle
+    * before the pair aggregate) and linear in tokens × window. The
+    * three totals ride in as one broadcast 1-row frame. The PMI
+    * arithmetic casts to double BEFORE multiplying — the integer
+    * product `n_ab · n_tok²` overflows long on a real corpus — with
+    * a fixed parenthesization both engines evaluate identically. */
+  def pmiPairs(docs: DataFrame, textCol: String, window: Int = 2,
+      minCount: Long = 5): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val arr = docs.select(tokens(col(textCol)).as("ts"))
+    val pairs = arr.select(explode(flatten(transform(col("ts"), (x, i) =>
+      transform(slice(col("ts"), i + lit(2), lit(window)),
+        y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val pairCounts = pairs.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    val uni = arr.select(explode(col("ts")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n_t"))
+    val totals = pairCounts.agg(sum("n_ab").as("n_pairs"))
+      .crossJoin(uni.agg(sum("n_t").as("n_tok")))
+    val pmi = log(
+      (col("n_ab").cast("double") * col("n_tok") * col("n_tok")) /
+        (col("n_pairs").cast("double") * col("n_a") * col("n_b")))
+    pairCounts.filter(col("n_ab") >= minCount)
+      .join(uni.select(col("t").as("a"), col("n_t").as("n_a")), "a")
+      .join(uni.select(col("t").as("b"), col("n_t").as("n_b")), "b")
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("n_ab"), round(pmi, 4).as("pmi"))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class RetrievalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "apple cherry cherry date"),
+    (4L, "banana banana banana"))
+    .toDF("doc_id", "text")
+
+  test("invertedIndex: exact df/total_tf, postings capped at the smallest ids") {
+    val idx = Retrieval.invertedIndex(docs, "doc_id", "text", maxPostings = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(idx("apple") == ((2L, 3L, "1,3")))
+    assert(idx("banana") == ((3L, 5L, "1,2"))) // df=3 but postings capped to 2
+    assert(idx("cherry") == ((2L, 3L, "2,3")))
+    assert(idx("date") == ((1L, 1L, "3")))
+  }
+
+  test("bm25: rare terms outrank common ones; term-free docs absent") {
+    // 'date' is rare (df=1), 'banana' common (df=3)
+    val out = Retrieval.bm25(docs, "doc_id", "text", Seq("date", "banana"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L)) // every doc has a term here
+    // doc 3 holds the rare term once; doc 2 the common term once, and
+    // doc 2 is SHORTER — rarity must still dominate the length boost
+    assert(out(3L)._1 > out(2L)._1)
+    assert(out(3L)._2 == 1L && out(4L)._2 == 1L)
+    val none = Retrieval.bm25(docs.filter($"doc_id" === 2L), "doc_id", "text",
+      Seq("date"))
+    assert(none.count() == 0)
+  }
+
+  test("bm25 rejects un-normalized query terms") {
+    intercept[IllegalArgumentException] {
+      Retrieval.bm25(docs, "doc_id", "text", Seq("Apple "))
+    }
+  }
+
+  test("pmiPairs: collocation scores above independent pair; window honored") {
+    // "new york" always adjacent; "the" twice as frequent as either, so
+    // (york, the) co-occurs just as often but with half the PMI
+    val corpus = Seq.tabulate(20)(i =>
+      (i.toLong, s"new york the p$i q$i the"))
+      .toDF("id", "text")
+    val out = Retrieval.pmiPairs(corpus, "text", window = 2, minCount = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("new", "york"))._1 == 20L)
+    assert(!out.contains(("the", "the"))) // 3 positions apart, window 2
+    assert(!out.contains(("york", "new"))) // directed: a strictly before b
+    // perfect collocation beats the common-word pair: exact PMIs are
+    // ln 4 vs ln 2 (n_tok=120, n_pairs=180, n_the = 2 * n_york)
+    assert(out(("new", "york"))._2 > out(("york", "the"))._2)
+    assert(math.abs(out(("new", "york"))._2 - math.log(4)) < 1e-3)
+    assert(math.abs(out(("york", "the"))._2 - math.log(2)) < 1e-3)
+  }
+}
