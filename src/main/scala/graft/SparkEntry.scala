@@ -1019,6 +1019,20 @@ object SparkEntry {
       Sampling.temperatureWeights(t(s, dir, "documents"), "source",
         alpha = 0.5)),
 
+    // per-source TOKEN budgets (Pile/Dolma corpus construction):
+    // hash-priority order, exclusive-running-sum cutoff; exercises a
+    // mid-source cutoff (src0/src1), budget-exceeds-supply (src2),
+    // and an explicit zero budget (src3); the per-source prefix sum
+    // runs bucketed, never one task per source
+    "mix3_token_budget" -> ((s, dir) =>
+      Sampling.tokenBudgetMixture(
+        t(s, dir, "documents").withColumn("n_tokens",
+          TextAnalysis.tokenCount(col("text")).cast("long")),
+        "doc_id", "source", "n_tokens",
+        Map("src0" -> 800L, "src1" -> 400L, "src2" -> 1000000L,
+          "src3" -> 0L))
+        .select("doc_id", "source", "n_tokens", "cum_tokens")),
+
     "tn1_normalize" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -1327,6 +1341,11 @@ object SparkEntry {
 
     "ta4_unigram_logprob" -> ((s, dir) =>
       Scoring.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
+
+    // CCNet perplexity bands: head/middle/tail at the 0.3/0.7 exact
+    // score quantiles, cutoffs broadcast back as a 1-row frame
+    "qf4_ppl_band" -> ((s, dir) =>
+      Scoring.perplexityBands(t(s, dir, "documents"), "doc_id", "text")),
 
     "ta5_bigram_logprob" -> ((s, dir) =>
       Scoring.ngramLogProb(t(s, dir, "documents"), "doc_id", "text", n = 2)),
@@ -3561,6 +3580,28 @@ object SparkEntry {
         |FROM tc JOIN model USING (term), tot
         |GROUP BY doc_id""".stripMargin,
 
+    "qf4_ppl_band" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tc AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks
+        |  WHERE term <> '' GROUP BY doc_id, term),
+        |model AS (SELECT term, sum(tf) AS mc FROM tc GROUP BY term),
+        |tot AS (SELECT sum(mc) AS total FROM model),
+        |scored AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |         round(sum(tf * ln(mc * 1.0 / total)) / sum(tf), 4) AS avg_logprob
+        |  FROM tc JOIN model USING (term), tot
+        |  GROUP BY doc_id),
+        |cuts AS (SELECT round(quantile_cont(avg_logprob, 0.3), 4) AS lo,
+        |                round(quantile_cont(avg_logprob, 0.7), 4) AS hi FROM scored)
+        |SELECT doc_id, n_tokens, avg_logprob,
+        |       CASE WHEN avg_logprob < lo THEN 'tail'
+        |            WHEN avg_logprob >= hi THEN 'head'
+        |            ELSE 'middle' END AS band
+        |FROM scored, cuts""".stripMargin,
+
     "dsir1_importance_weights" -> dsirOracle(""),
 
     "dsir2_domain_select" -> dsirOracle(
@@ -4144,6 +4185,27 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs,
         |       round(pow(count(*), 0.5) / sum(pow(count(*), 0.5)) OVER (), 6) AS weight
         |FROM documents GROUP BY source""".stripMargin,
+
+    "mix3_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |           AS n_tokens,
+        |         (doc_id * 2654435761) % 4294967296 AS h
+        |  FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+        |r AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         CAST(COALESCE(sum(n_tokens) OVER (
+        |           PARTITION BY source ORDER BY h, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS before
+        |  FROM d)
+        |SELECT doc_id, source, n_tokens, before + n_tokens AS cum_tokens
+        |FROM r
+        |WHERE before < CASE source WHEN 'src0' THEN 800
+        |                           WHEN 'src1' THEN 400
+        |                           WHEN 'src2' THEN 1000000 ELSE 0 END""".stripMargin,
 
     "pf4_column_profile" ->
       """WITH s AS (SELECT count(*) AS n,

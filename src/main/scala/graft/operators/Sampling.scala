@@ -154,6 +154,72 @@ object Sampling {
       .drop("__before", "__total")
   }
 
+  /** Per-source TOKEN-budget selection — the corpus-construction
+    * rule behind Pile/Dolma-style mixes: "take (an unbiased,
+    * reproducible sample of) source s up to B_s tokens". Docs are
+    * ordered within each source by id-hash (a deterministic
+    * pseudo-random priority, so the kept set is an unbiased sample
+    * and stable across runs/reorderings) and kept while the
+    * EXCLUSIVE running token count is below the source's budget —
+    * the doc that crosses the budget is included (every source with
+    * a positive budget keeps >= 1 doc; a zero budget keeps none).
+    * Unlisted sources drop. Output: input columns + `cum_tokens`
+    * (the inclusive per-source running total, an audit column).
+    *
+    * Scale shape: the per-source prefix sum is DISTRIBUTED — a bare
+    * `Window.partitionBy(source)` would funnel each source (billions
+    * of rows, #sources small) through one task. Instead the id-hash
+    * order key is already uniform in [0, 2^32), so STATIC equal-width
+    * hash ranges bucket each source with no quantile probe; local
+    * cumsum per (source, bucket), per-bucket totals -> driver (<=
+    * #sources x `buckets` rows — bounded), exclusive prefix within
+    * each source, broadcast back. One data shuffle, parallelism =
+    * #sources x buckets. Same exactness argument as
+    * [[Packing.cumulative]]: bucket boundaries only shape the
+    * distribution, never the result. */
+  def tokenBudgetMixture(df: DataFrame, idCol: String, sourceCol: String,
+      tokensCol: String, budgets: Map[String, Long],
+      buckets: Int = 64): DataFrame = {
+    require(budgets.nonEmpty, "tokenBudgetMixture needs at least one budget")
+    require(budgets.values.forall(_ >= 0), s"budgets must be >= 0: $budgets")
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val spark = df.sparkSession
+    val m = 4294967296L
+    val listed = df.filter(col(sourceCol).isin(budgets.keys.toSeq: _*))
+      .withColumn("__h", idHash(col(idCol)))
+      // h < 2^32 and buckets bounded, so h * buckets stays far from
+      // long overflow; floor division gives exact equal-width ranges
+      .withColumn("__b", (col("__h") * buckets / m).cast("int"))
+    val w = Window.partitionBy(col(sourceCol), col("__b"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = listed.withColumn("__cl",
+      sum(col(tokensCol).cast("long")).over(w))
+    // per-(source, bucket) totals: bounded by #sources x buckets
+    val totals = listed.groupBy(col(sourceCol), col("__b"))
+      .agg(sum(col(tokensCol).cast("long")).as("__t"))
+      .collect()
+    val offsets = totals
+      .groupBy(_.getString(0)).toSeq
+      .flatMap { case (src, rows) =>
+        var acc = 0L
+        rows.sortBy(_.getInt(1)).map { r =>
+          val o = (src, r.getInt(1), acc) // offset BEFORE this bucket
+          acc += r.getLong(2)
+          o
+        }
+      }
+    val offsetDf = spark.createDataFrame(offsets)
+      .toDF(sourceCol, "__b", "__off")
+    val budgetCol = budgets.foldLeft(lit(-1L)) { case (acc, (src, b)) =>
+      when(col(sourceCol) === src, lit(b)).otherwise(acc)
+    }
+    local.join(broadcast(offsetDf), Seq(sourceCol, "__b"))
+      .withColumn("cum_tokens", col("__cl") + col("__off"))
+      .filter(col("cum_tokens") - col(tokensCol).cast("long") < budgetCol)
+      .drop("__h", "__b", "__cl", "__off")
+  }
+
   /** Split into train/validation/test by id-hash range — stable
     * across runs and immune to upstream reordering. Returns the
     * subset named by `split` given cumulative fractions. */

@@ -119,6 +119,45 @@ object Scoring {
         round(col("avg_logprob"), 4).as("avg_logprob"))
   }
 
+  /** CCNet-style perplexity banding (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data" — public paper): score every doc by [[unigramLogProb]]
+    * (the LM-perplexity proxy), cut the corpus at the `lo`/`hi`
+    * score quantiles, and label each doc `head` (most typical —
+    * lowest perplexity), `middle`, or `tail`. CCNet trains on
+    * head+middle and drops the tail; emitting the LABEL (not a
+    * filtered frame) keeps that policy a trivial downstream filter
+    * and the whole corpus auditable.
+    *
+    * Band rule: tail < q(lo) <= middle < q(hi) <= head, evaluated on
+    * the ROUNDED score both engines agree on bit-for-bit. The
+    * cutoffs themselves are rounded onto the scores' own 4-decimal
+    * grid: interpolated quantiles differ across engines in the last
+    * float bits EVEN BETWEEN EQUAL neighbors ((1-t)a + tb vs
+    * a + t(b-a)), and an epsilon above a populated grid value would
+    * flip every doc sitting exactly on it.
+    *
+    * Scale shape: the tokenize pass is [[ngramLogProb]]'s
+    * (checkpointed once); the cutoffs are ONE exact-percentile
+    * aggregate over per-doc scores riding back as a broadcast 1-row
+    * frame (the [[DataQuality.winsorize]] convention — swap
+    * approx_percentile in at corpus scale, where a 1e-4 quantile
+    * error moves the boundary by a handful of docs). */
+  def perplexityBands(df: DataFrame, idCol: String, textCol: String,
+      lo: Double = 0.3, hi: Double = 0.7): DataFrame = {
+    require(0 < lo && lo < hi && hi < 1, s"need 0 < lo < hi < 1: $lo, $hi")
+    val scored = unigramLogProb(df, idCol, textCol)
+    val cuts = scored.agg(
+      round(expr(s"percentile(avg_logprob, $lo)"), 4).as("__lo"),
+      round(expr(s"percentile(avg_logprob, $hi)"), 4).as("__hi"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("band",
+        when(col("avg_logprob") < col("__lo"), "tail")
+          .when(col("avg_logprob") >= col("__hi"), "head")
+          .otherwise("middle"))
+      .drop("__lo", "__hi")
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling" — public paper):
     * score every corpus document by how much more likely its tokens

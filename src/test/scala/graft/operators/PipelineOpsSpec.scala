@@ -214,6 +214,27 @@ class ScoringSpec extends SparkTestBase {
     assert(w.values.forall(v => !v.isNaN && !v.isInfinite))
   }
 
+  test("perplexity bands: typical docs head, anomalous tail, every doc labeled") {
+    // 8 template-y docs share a vocabulary; 2 outliers use words seen
+    // nowhere else (low unigram prob -> highest perplexity -> tail)
+    val corpus = (
+      (1 to 8).map(i => (i.toLong, "the quick brown fox jumps " + (
+        if (i % 2 == 0) "over the lazy dog" else "over the quick dog"))) ++
+        Seq((9L, "zyx wvu tsr qpo nml"), (10L, "abc def ghi jkl mno")))
+      .toDF("doc_id", "text")
+    val out = Scoring.perplexityBands(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out.size == 10) // labeled, not filtered
+    assert(out(9L) == "tail" && out(10L) == "tail")
+    assert(Set("head", "middle", "tail") == out.values.toSet)
+    // band boundaries partition: heads outscore middles outscore tails
+    val scores = Scoring.perplexityBands(corpus, "doc_id", "text")
+      .collect().map(r => r.getString(3) -> r.getDouble(2))
+    def band(b: String) = scores.collect { case (`b`, s) => s }
+    assert(band("head").min >= band("middle").max)
+    assert(band("middle").min >= band("tail").max)
+  }
+
   test("topTerms ranks per doc with deterministic tie-break") {
     val rows = Seq(
       (1L, "zz aa zz aa bb"),

@@ -67,6 +67,39 @@ class SamplingSpec extends SparkTestBase {
     assert(math.abs(smoothed("big")._2 - math.sqrt(80) / denom) < 1e-5)
   }
 
+  test("token budgets: exclusive cutoff, supply cap, zero budget, bucket invariance") {
+    // 10 docs x 10 tokens per source; text of i repeated tokens
+    val corpus = (for {
+      src <- Seq("A", "B", "C", "D"); i <- 1 to 10
+    } yield (src.hashCode.toLong * 100 + i, src, 10L))
+      .toDF("doc_id", "source", "n_tokens")
+    def run(buckets: Int) = Sampling.tokenBudgetMixture(corpus, "doc_id",
+      "source", "n_tokens", Map("A" -> 35L, "B" -> 9999L, "C" -> 0L),
+      buckets = buckets)
+    val out = run(buckets = 7)
+    val bySrc = out.groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_tokens").as("tok"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // budget 35 with 10-token docs: exclusive cums 0,10,20,30 pass ->
+    // 4 docs / 40 tokens (the crossing doc is included)
+    assert(bySrc("A") == ((4L, 40L)))
+    assert(bySrc("B") == ((10L, 100L))) // budget exceeds supply: all kept
+    assert(!bySrc.contains("C")) // zero budget keeps nothing
+    assert(!bySrc.contains("D")) // unlisted source drops
+    // bucketing never changes the result (exactness is boundary-free)
+    assert(out.select("doc_id", "cum_tokens").collect().toSet ==
+      run(buckets = 1).select("doc_id", "cum_tokens").collect().toSet)
+    // kept set is the hash-order prefix: the kept A-docs are exactly
+    // the 4 smallest by (idHash, id)
+    val keptA = out.filter($"source" === "A").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val orderedA = corpus.filter($"source" === "A")
+      .withColumn("__h", Sampling.idHash($"doc_id"))
+      .orderBy($"__h", $"doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).take(4).toSet
+    assert(keptA == orderedA)
+  }
+
   test("holdout splits partition the corpus without overlap") {
     val train = Sampling.holdout(docs, "doc_id", "train", 0.8, 0.1).select("doc_id").collect().toSet
     val valid = Sampling.holdout(docs, "doc_id", "valid", 0.8, 0.1).select("doc_id").collect().toSet
