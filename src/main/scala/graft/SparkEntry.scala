@@ -1446,6 +1446,21 @@ object SparkEntry {
         .select(col("media_id"), col("meta.format").as("format"),
           col("meta.n_bytes").as("n_bytes"), col("meta.source").as("source"))),
 
+    // perceptual dHash over the REAL decoder: horizontally-uniform
+    // two-band fixtures pin dhash_h = 0 exactly, and the oracle
+    // replays dhash_v's integer block arithmetic analytically
+    "mm6_image_dhash" -> ((s, dir) => {
+      val d = col("doc_id")
+      def pack(r: Column, g: Column, b: Column): Column =
+        shiftleft(r, 16).bitwiseOR(shiftleft(g, 8)).bitwiseOR(b)
+      val media = Multimodal.synthesizePngTable(
+        t(s, dir, "documents").select("doc_id"), "doc_id",
+        width = d % 40 + 16, height = d % 23 + 16,
+        topRgb = pack(d % 256, (d * 7) % 256, (d * 13) % 256),
+        bottomRgb = pack((d * 3) % 256, (d * 11) % 256, (d * 17) % 256))
+      Multimodal.imageDHash(media)
+    }),
+
     "mm2_media_features" -> ((s, dir) => {
       // REAL codec round-trip: deterministic two-band PNGs (dims and
       // colors are arithmetic in doc_id) encoded AND decoded with
@@ -3985,6 +4000,50 @@ object SparkEntry {
     // channel means: (top * floor(h/2) + bottom * (h - floor(h/2)))/h
     // — integer numerators, so both engines' IEEE division and
     // round(.,4) agree bit-for-bit
+    // replay of imageDHash's integer block arithmetic: vertical grid
+    // block k spans pixel rows [ceil(k*h/9), ceil((k+1)*h/9)); the
+    // fixture's top band is rows [0, h//2). Horizontal rows are
+    // uniform, so dhash_h is exactly 0; dhash_v's bit y repeats
+    // across all 8 x positions -> byte weight 255*256^y, folded in
+    // HUGEINT and mapped to signed 64-bit like ta3's fingerprint
+    "mm6_image_dhash" ->
+      """WITH p AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(doc_id % 40 + 16 AS INT) AS width,
+        |         CAST(doc_id % 23 + 16 AS INT) AS height,
+        |         (doc_id % 256) + ((doc_id * 7) % 256) + ((doc_id * 13) % 256) AS ts,
+        |         ((doc_id * 3) % 256) + ((doc_id * 11) % 256) + ((doc_id * 17) % 256) AS bs
+        |  FROM documents),
+        |g AS (
+        |  SELECT media_id, width, height, ts, bs, yy.y AS y,
+        |         ((yy.y + 1) * height + 8) // 9 - (yy.y * height + 8) // 9 AS len0,
+        |         GREATEST(0, LEAST(((yy.y + 1) * height + 8) // 9, height // 2)
+        |                    - (yy.y * height + 8) // 9) AS nt0,
+        |         ((yy.y + 2) * height + 8) // 9 - ((yy.y + 1) * height + 8) // 9 AS len1,
+        |         GREATEST(0, LEAST(((yy.y + 2) * height + 8) // 9, height // 2)
+        |                    - ((yy.y + 1) * height + 8) // 9) AS nt1
+        |  FROM p CROSS JOIN (SELECT unnest(range(0, 8)) AS y) yy),
+        |b AS (
+        |  SELECT media_id, width, height, y,
+        |         CASE WHEN (nt1 * ts + (len1 - nt1) * bs) * len0 >
+        |                   (nt0 * ts + (len0 - nt0) * bs) * len1
+        |              THEN 1 ELSE 0 END AS bit
+        |  FROM g),
+        |hv AS (
+        |  SELECT media_id, width, height,
+        |         sum(CAST(bit AS HUGEINT) * 255 *
+        |             (CASE y WHEN 0 THEN 1 WHEN 1 THEN 256 WHEN 2 THEN 65536
+        |                     WHEN 3 THEN 16777216 WHEN 4 THEN 4294967296
+        |                     WHEN 5 THEN 1099511627776
+        |                     WHEN 6 THEN 281474976710656
+        |                     ELSE 72057594037927936 END)) AS raw
+        |  FROM b GROUP BY media_id, width, height)
+        |SELECT media_id, width, height, CAST(0 AS BIGINT) AS dhash_h,
+        |       CAST(CASE WHEN raw >= CAST('9223372036854775808' AS HUGEINT)
+        |                 THEN raw - CAST('18446744073709551616' AS HUGEINT)
+        |                 ELSE raw END AS BIGINT) AS dhash_v
+        |FROM hv""".stripMargin,
+
     "mm2_media_features" ->
       """WITH p AS (
         |  SELECT doc_id AS media_id,

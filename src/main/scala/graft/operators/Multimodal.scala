@@ -161,6 +161,97 @@ object Multimodal {
     }(enc)
   }
 
+  val dhashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("dhash_h", LongType, nullable = true),
+    StructField("dhash_v", LongType, nullable = true)))
+
+  /** Difference-hash (dHash) perceptual image fingerprints — the
+    * image-modality near-dup key (near-identical images differ in a
+    * few bits; pair via XOR+popcount or the simhash band-bucket
+    * join, [[Dedup.simhashNearDup]]'s layout). Two 64-bit hashes per
+    * image: `dhash_h` compares horizontally adjacent blocks on a 9x8
+    * brightness grid (bit y*8+x = block(x+1,y) brighter than
+    * block(x,y)), `dhash_v` vertically adjacent blocks on 8x9
+    * (bit y*8+x = block(x,y+1) brighter than block(x,y)).
+    *
+    * The downsample is exact integer arithmetic, not a platform
+    * scaler: pixel i maps to block `i*grid/size` (floor) — so block
+    * k spans `[ceil(k*size/grid), ceil((k+1)*size/grid))` — block
+    * brightness is the summed r+g+b, and comparisons
+    * cross-multiply sums against pixel counts — so the hash is
+    * reproducible bit-for-bit by any engine from the decoded pixels
+    * (no interpolation, no float rounding, no AWT rescale variance).
+    * Undecodable payloads and rasters smaller than the 9-block grid
+    * emit NULL hashes (never fabricated bits). */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(dhashSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+
+      // brightness sums + pixel counts on a gw x gh grid
+      def blocks(px: Array[Int], w: Int, h: Int, gw: Int, gh: Int)
+          : (Array[Long], Array[Long]) = {
+        val sums = new Array[Long](gw * gh)
+        val cnts = new Array[Long](gw * gh)
+        var y = 0
+        while (y < h) {
+          val gy = ((y.toLong * gh) / h).toInt
+          var x = 0
+          while (x < w) {
+            val gx = ((x.toLong * gw) / w).toInt
+            val p = px(y * w + x)
+            sums(gy * gw + gx) +=
+              ((p >>> 16) & 0xff) + ((p >>> 8) & 0xff) + (p & 0xff)
+            cnts(gy * gw + gx) += 1
+            x += 1
+          }
+          y += 1
+        }
+        (sums, cnts)
+      }
+
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val img =
+          if (payload == null || payload.length < 8) null
+          else try {
+            javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          } catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) Row(id, 0, 0, null, null)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          if (w < 9 || h < 9) Row(id, w, h, null, null)
+          else {
+            val px = img.getRGB(0, 0, w, h, null, 0, w)
+            val (hs, hc) = blocks(px, w, h, 9, 8)
+            val (vs, vc) = blocks(px, w, h, 8, 9)
+            var dh = 0L; var dv = 0L
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                // brighter-than = mean compare via cross-multiply
+                if (hs(y * 9 + x + 1) * hc(y * 9 + x) >
+                    hs(y * 9 + x) * hc(y * 9 + x + 1))
+                  dh |= 1L << (y * 8 + x)
+                if (vs((y + 1) * 8 + x) * vc(y * 8 + x) >
+                    vs(y * 8 + x) * vc((y + 1) * 8 + x))
+                  dv |= 1L << (y * 8 + x)
+                x += 1
+              }
+              y += 1
+            }
+            Row(id, w, h, dh, dv)
+          }
+        }
+      }
+    }(enc)
+  }
+
   val audioFeatureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("sample_rate", IntegerType),

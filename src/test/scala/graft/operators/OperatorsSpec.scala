@@ -749,6 +749,43 @@ class MultimodalSpec extends SparkTestBase {
     assert(math.abs(feats(2) - 255.0 * 3 / 5) < 1e-12)
   }
 
+  test("dhash: exact bits on bands and gradients; near-identical images collide") {
+    // two-band 16x18 (divisible by 9: block rows are exact pixel
+    // pairs, boundary row 8/9 splits block y=4): dark-over-bright
+    // sets exactly bits y=3,y=4 across all 8 columns
+    val bands = Multimodal.synthesizePngTable(
+      Seq((1L, 0), (2L, 0), (3L, 0)).toDF("id", "pad"), "id",
+      width = lit(16), height = lit(18),
+      topRgb = when(col("id") === 1, lit(0x0A0A0A))
+        .when(col("id") === 2, lit(0x0C0B09)) // near-dup of id 1
+        .otherwise(lit(0xC8C8C8)),            // id 3: inverted bands
+      bottomRgb = when(col("id") === 3, lit(0x0A0A0A)).otherwise(lit(0xC8C8C8)))
+    val out = Multimodal.imageDHash(bands).orderBy("media_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    val expectedV = 255L * (16777216L + 4294967296L) // bits of bytes 3 and 4
+    assert(out(1L) == ((0L, expectedV)))
+    assert(out(2L) == ((0L, expectedV))) // perceptual collision
+    assert(out(3L) == ((0L, 0L))) // bright-over-dark: no brighter-below bits
+    // horizontal gradient: every block column strictly brighter than
+    // the previous -> all 64 horizontal bits; vertically uniform
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val g = x * 16
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val grad = Multimodal.toMediaTable(
+      Seq((9L, bos.toByteArray, "s")).toDF("id", "c", "src"),
+      "id", "c", "image/png", "src")
+    val g9 = Multimodal.imageDHash(grad).head()
+    assert(g9.getLong(3) == -1L && g9.getLong(4) == 0L)
+    // undecodable payloads: null hashes, never fabricated bits
+    val junk = Multimodal.imageDHash(media).orderBy("media_id").collect()
+    assert(junk.forall(r => r.isNullAt(3) && r.isNullAt(4)))
+  }
+
   test("frame sampling splits payloads and keeps every stride-th frame") {
     val payload = ("x" * 1000)
     val m = Multimodal.toMediaTable(
