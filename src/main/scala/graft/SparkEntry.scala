@@ -1461,6 +1461,25 @@ object SparkEntry {
       Multimodal.imageDHash(media)
     }),
 
+    // image near-dup pairs end-to-end: real decode -> dHash ->
+    // chunk-blocked hamming join (never all-pairs). The fixture's
+    // dhash_v bits repeat per byte row, so differences are
+    // byte-aligned and <= 1 differing byte (hamming 8) leaves 3 of 4
+    // blocking chunks equal — recall is exact, and the oracle can
+    // verify against the analytic all-pairs answer
+    "mm7_image_neardup" -> ((s, dir) => {
+      val d = col("doc_id")
+      def pack(r: Column, g: Column, b: Column): Column =
+        shiftleft(r, 16).bitwiseOR(shiftleft(g, 8)).bitwiseOR(b)
+      val media = Multimodal.synthesizePngTable(
+        t(s, dir, "documents").select("doc_id"), "doc_id",
+        width = d % 40 + 16, height = d % 23 + 16,
+        topRgb = pack(d % 256, (d * 7) % 256, (d * 13) % 256),
+        bottomRgb = pack((d * 3) % 256, (d * 11) % 256, (d * 17) % 256))
+      Dedup.hammingPairs(Multimodal.imageDHash(media),
+        "media_id", "dhash_v", maxHamming = 8)
+    }),
+
     "mm2_media_features" -> ((s, dir) => {
       // REAL codec round-trip: deterministic two-band PNGs (dims and
       // colors are arithmetic in doc_id) encoded AND decoded with
@@ -4043,6 +4062,51 @@ object SparkEntry {
         |                 THEN raw - CAST('18446744073709551616' AS HUGEINT)
         |                 ELSE raw END AS BIGINT) AS dhash_v
         |FROM hv""".stripMargin,
+
+    // all-pairs replay over the analytic dhash_v (mm6's CTE):
+    // byte-aligned differences make chunk-blocked recall exact at
+    // hamming <= 8, so blocked pairs == the full quadratic answer
+    "mm7_image_neardup" ->
+      """WITH p AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(doc_id % 23 + 16 AS INT) AS height,
+        |         (doc_id % 256) + ((doc_id * 7) % 256) + ((doc_id * 13) % 256) AS ts,
+        |         ((doc_id * 3) % 256) + ((doc_id * 11) % 256) + ((doc_id * 17) % 256) AS bs
+        |  FROM documents),
+        |g AS (
+        |  SELECT media_id, ts, bs, yy.y AS y,
+        |         ((yy.y + 1) * height + 8) // 9 - (yy.y * height + 8) // 9 AS len0,
+        |         GREATEST(0, LEAST(((yy.y + 1) * height + 8) // 9, height // 2)
+        |                    - (yy.y * height + 8) // 9) AS nt0,
+        |         ((yy.y + 2) * height + 8) // 9 - ((yy.y + 1) * height + 8) // 9 AS len1,
+        |         GREATEST(0, LEAST(((yy.y + 2) * height + 8) // 9, height // 2)
+        |                    - ((yy.y + 1) * height + 8) // 9) AS nt1
+        |  FROM p CROSS JOIN (SELECT unnest(range(0, 8)) AS y) yy),
+        |b AS (
+        |  SELECT media_id, y,
+        |         CASE WHEN (nt1 * ts + (len1 - nt1) * bs) * len0 >
+        |                   (nt0 * ts + (len0 - nt0) * bs) * len1
+        |              THEN 1 ELSE 0 END AS bit
+        |  FROM g),
+        |hv AS (
+        |  SELECT media_id,
+        |         sum(CAST(bit AS HUGEINT) * 255 *
+        |             (CASE y WHEN 0 THEN 1 WHEN 1 THEN 256 WHEN 2 THEN 65536
+        |                     WHEN 3 THEN 16777216 WHEN 4 THEN 4294967296
+        |                     WHEN 5 THEN 1099511627776
+        |                     WHEN 6 THEN 281474976710656
+        |                     ELSE 72057594037927936 END)) AS raw
+        |  FROM b GROUP BY media_id),
+        |sig AS (
+        |  SELECT media_id,
+        |         CAST(CASE WHEN raw >= CAST('9223372036854775808' AS HUGEINT)
+        |                   THEN raw - CAST('18446744073709551616' AS HUGEINT)
+        |                   ELSE raw END AS BIGINT) AS v
+        |  FROM hv)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |       bit_count(xor(a.v, b.v)) AS hamming
+        |FROM sig a JOIN sig b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.v, b.v)) <= 8""".stripMargin,
 
     "mm2_media_features" ->
       """WITH p AS (

@@ -269,7 +269,26 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucketSize: Int = 10000): DataFrame = {
     val sig = TextExpressions.simhash64(TextAnalysis.tokens(lower(col(textCol))))
-    val withSig = spread(df).select(col(idCol).as("id"), sig.as("sig"))
+    hammingPairs(spread(df).select(col(idCol).as("id"), sig.as("sig")),
+      "id", "sig", maxHamming, maxBucketSize)
+  }
+
+  /** Near-dup pairs among ANY 64-bit signatures by Hamming distance —
+    * the chunk-blocked core of [[simhashPairs]], reusable for other
+    * signature modalities (e.g. [[Multimodal.imageDHash]] perceptual
+    * image hashes). Blocking: 4 x 16-bit signature chunks; two
+    * signatures within Hamming distance 3 share at least one chunk
+    * exactly (pigeonhole), so recall is guaranteed at `maxHamming`
+    * <= 3 and remains guaranteed whenever the differing bits touch
+    * at most 3 chunks; oversized buckets degrade to a linear star
+    * expansion (best-effort recall, documented below). */
+  def hammingPairs(
+      sigs: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val withSig = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"))
     // carry (id, sig) — 16 bytes — through the chunk explode
     val chunked = withSig.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(ci =>

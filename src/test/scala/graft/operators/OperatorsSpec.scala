@@ -63,6 +63,25 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("hammingPairs blocks any 64-bit signature, recall exact within 3 bits") {
+    // planted signatures: 1/2 differ by 2 bits, 3 by one flipped
+    // 16-bit chunk (hamming 16 but 3 chunks shared), 4 is far
+    val sigs = Seq(
+      (1L, 0x0123456789ABCDEFL),
+      (2L, 0x0123456789ABCDECL), // low 2 bits flipped vs 1
+      (3L, 0x0123456789ABFFFFL), // low chunk replaced vs 1
+      (4L, 0x7EDCBA9876543210L))
+      .toDF("id", "sig")
+    val close = Dedup.hammingPairs(sigs, "id", "sig", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(close.keySet == Set((1L, 2L)))
+    assert(close((1L, 2L)) == 2)
+    val wide = Dedup.hammingPairs(sigs, "id", "sig", maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide.contains((1L, 3L)) && wide.contains((1L, 2L)))
+    assert(!wide.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("ngram jaccard with blocking computes exact similarity") {
     val blocked = docs.withColumn("blk", lit(1))
     val out = Dedup.ngramJaccardPairs(blocked, "doc_id", "text",
