@@ -1385,6 +1385,12 @@ object SparkEntry {
       Chunking.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
         maxTokens = 32, overlap = 8)),
 
+    // sentence-boundary chunking (RAG granularity): chunks never
+    // split a sentence; first-token rule on a per-doc window
+    "ch3_sentence_chunks" -> ((s, dir) =>
+      Chunking.chunkBySentences(t(s, dir, "documents"), "doc_id", "text",
+        maxTokens = 40)),
+
     // corpus-trained subword tokenizer: frequency-ranked vocab (all
     // chars + top substrings), greedy longest-match in codegen; the
     // oracle re-learns the same vocab in SQL and replays the greedy
@@ -4303,6 +4309,30 @@ object SparkEntry {
         |       array_to_string(l[start + 1 : start + 32], ' ') AS chunk_text,
         |       CAST(least(start + 32, n) - start AS BIGINT) AS n_tokens
         |FROM c""".stripMargin,
+
+    "ch3_sentence_chunks" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |         regexp_extract_all(text, '[^.!?]*[.!?]+|[^.!?]+$') AS l
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, unnest([{'si': i, 'sent': trim(l[i])}
+        |                         for i in range(1, len(l) + 1)],
+        |                        recursive := true)
+        |  FROM raw),
+        |t AS (
+        |  SELECT doc_id, si, sent,
+        |         CAST(len(string_split_regex(trim(sent), '\s+')) AS BIGINT) AS n_tok
+        |  FROM s),
+        |c AS (
+        |  SELECT doc_id, si, sent, n_tok,
+        |         CAST(sum(n_tok) OVER (PARTITION BY doc_id ORDER BY si)
+        |              AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT doc_id, (cum - n_tok) // 40 AS chunk_idx,
+        |       count(*) AS n_sentences, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |       string_agg(sent, ' ' ORDER BY si) AS chunk_text
+        |FROM c GROUP BY doc_id, (cum - n_tok) // 40""".stripMargin,
 
     "mix1_temperature_weights" ->
       """SELECT source, count(*) AS n_docs,

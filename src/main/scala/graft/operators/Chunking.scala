@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextExpressions
@@ -35,4 +36,49 @@ object Chunking {
         col("chunk_idx").cast("long").as("chunk_idx"),
         col("c.chunk_text").as("chunk_text"),
         col("c.n_tokens").cast("long").as("n_tokens"))
+
+  /** Maximal sentence runs: each match either ends in a terminator
+    * run (`[.!?]+`, greedy — "Hi!!" is one sentence) or is the
+    * terminator-less tail of the document. Deliberately
+    * lookaround-free and backreference-free so ANY regex engine
+    * (including RE2, which lacks lookbehind) replays it identically. */
+  private val SentencePattern = "[^.!?]*[.!?]+|[^.!?]+$"
+
+  /** RAG-style SENTENCE-boundary chunking: split each doc into
+    * sentences, then assign consecutive sentences to chunks of
+    * `maxTokens` whitespace tokens by the first-token rule
+    * ([[Packing.assignShards]]'s convention: a sentence lands in the
+    * chunk containing its first token, so chunks never split a
+    * sentence and may spill past the budget by at most one
+    * sentence). Output: (idCol, chunk_idx, n_sentences, n_tokens,
+    * chunk_text) with sentences joined by a single space
+    * (inter-sentence whitespace is normalized, sentence-internal
+    * whitespace preserved). Empty documents emit no chunks.
+    *
+    * Scale shape: sentence extraction is row-local regex; the only
+    * shuffle is the per-DOC window + the (doc, chunk) aggregate on
+    * the same key — parallelism = documents, partition size = one
+    * document's sentences (bounded by doc length). */
+  def chunkBySentences(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1: $maxTokens")
+    val sents = df.select(col(idCol).as("__id"),
+        posexplode(regexp_extract_all(col(textCol),
+          lit(SentencePattern), lit(0))).as(Seq("__si", "__raw")))
+      .select(col("__id"), col("__si"), trim(col("__raw")).as("__sent"))
+      .withColumn("__n", TextAnalysis.tokenCount(col("__sent")).cast("long"))
+    val w = Window.partitionBy("__id").orderBy("__si")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sents.withColumn("__cum", sum("__n").over(w))
+      .withColumn("chunk_idx",
+        floor((col("__cum") - col("__n")) / maxTokens).cast("long"))
+      .groupBy(col("__id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum("__n").as("n_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__si"), col("__sent").as("s")))),
+          s => s.getField("s"))).as("chunk_text"))
+      .select(col("__id").as(idCol), col("chunk_idx"),
+        col("n_sentences"), col("n_tokens"), col("chunk_text"))
+  }
 }

@@ -367,4 +367,23 @@ class ChunkingSpec extends SparkTestBase {
         n + overlap.toLong * (got.size - 1), s"token accounting n=$n")
     }
   }
+
+  test("sentence chunks never split a sentence; first-token rule spills") {
+    // sentences of 3/3/3/4 tokens, budget 5: cums 3,6,9,13 ->
+    // exclusive starts 0,3,6,9 -> chunks 0,0,1,1
+    val doc = "One two three. Four five six! Seven eight nine? Ten el tw th"
+    val out = Chunking.chunkBySentences(
+      Seq((1L, doc), (2L, "")).toDF("doc_id", "text"), "doc_id", "text", 5)
+      .orderBy("doc_id", "chunk_idx").collect()
+    assert(out.forall(_.getLong(0) == 1L)) // empty doc: no chunks
+    assert(out.map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getString(4))).toSeq == Seq(
+      (0L, 2L, 6L, "One two three. Four five six!"),
+      (1L, 2L, 7L, "Seven eight nine? Ten el tw th")))
+    // terminator-less text is one sentence; "Hi!!" keeps its run
+    val tail = Chunking.chunkBySentences(
+      Seq((3L, "Hi!! no terminator tail")).toDF("doc_id", "text"),
+      "doc_id", "text", 50).head()
+    assert(tail.getLong(2) == 2L && tail.getString(4) == "Hi!! no terminator tail")
+  }
 }
