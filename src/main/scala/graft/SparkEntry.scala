@@ -743,6 +743,25 @@ object SparkEntry {
         numBands = 16, threshold = 0.8)
     }),
 
+    // blocked fuzzy entity linkage: deterministic name fixture
+    // (8-name pool, per-group typo variants: char dropped / char
+    // appended), token blocking with a size gate, exact Levenshtein
+    // verify — never all-pairs
+    "link1_fuzzy_match" -> ((s, dir) => {
+      val named = t(s, dir, "documents").selectExpr("doc_id",
+        """CASE (doc_id DIV 3) % 8
+             WHEN 0 THEN 'john' WHEN 1 THEN 'jane' WHEN 2 THEN 'alice'
+             WHEN 3 THEN 'robert' WHEN 4 THEN 'maria' WHEN 5 THEN 'david'
+             WHEN 6 THEN 'susan' ELSE 'peter' END AS fn""",
+        "doc_id % 3 AS r", "doc_id DIV 3 AS g")
+        .selectExpr("doc_id",
+          """concat(CASE r WHEN 1 THEN substring(fn, 1, length(fn) - 1)
+                           WHEN 2 THEN concat(fn, 'e') ELSE fn END,
+                    ' fam', CAST(g AS STRING)) AS name""")
+      Dedup.blockedFuzzyPairs(named, "doc_id", "name",
+        maxDistance = 2, maxBlockSize = 500)
+    }),
+
     // character-level verify: every non-leader doc paired with its
     // 5-group leader, edit distance + similarity over capped texts
     "ed1_edit_distance" -> ((s, dir) => {
@@ -2930,6 +2949,35 @@ object SparkEntry {
         |FROM g n JOIN g c ON n.doc_id > 400 AND c.doc_id <= 400
         |WHERE len(list_intersect(n.w, c.w))::DOUBLE /
         |      (len(n.w) + len(c.w) - len(list_intersect(n.w, c.w))) >= 0.8""".stripMargin,
+
+    "link1_fuzzy_match" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |         CASE (doc_id // 3) % 8
+        |           WHEN 0 THEN 'john' WHEN 1 THEN 'jane' WHEN 2 THEN 'alice'
+        |           WHEN 3 THEN 'robert' WHEN 4 THEN 'maria' WHEN 5 THEN 'david'
+        |           WHEN 6 THEN 'susan' ELSE 'peter' END AS fn,
+        |         doc_id % 3 AS r, doc_id // 3 AS g
+        |  FROM documents),
+        |nm AS (
+        |  SELECT doc_id,
+        |         (CASE r WHEN 1 THEN substr(fn, 1, length(fn) - 1)
+        |                 WHEN 2 THEN fn || 'e' ELSE fn END)
+        |           || ' fam' || CAST(g AS VARCHAR) AS name
+        |  FROM n),
+        |tok AS (
+        |  SELECT DISTINCT doc_id, lower(trim(name)) AS name, t.token
+        |  FROM nm, unnest(list_filter(
+        |    string_split_regex(lower(trim(name)), '\s+'),
+        |    x -> length(x) > 0)) AS t(token)),
+        |sz AS (SELECT token, count(*) AS bn FROM tok GROUP BY token),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         a.name AS na, b.name AS nb
+        |  FROM tok a JOIN tok b USING (token) JOIN sz USING (token)
+        |  WHERE a.doc_id < b.doc_id AND sz.bn BETWEEN 2 AND 500)
+        |SELECT id_a, id_b, CAST(levenshtein(na, nb) AS BIGINT) AS edit_distance
+        |FROM cand WHERE levenshtein(na, nb) <= 2""".stripMargin,
 
     "ed1_edit_distance" ->
       """WITH c AS (

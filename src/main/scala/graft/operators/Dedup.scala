@@ -1149,6 +1149,50 @@ object Dedup {
             .cast("double"), 4).as("similarity"))
   }
 
+  /** Blocked fuzzy record linkage — [[editDistancePairs]] with its
+    * BLOCKING stage attached, the entity-resolution shape: two
+    * records become candidates when they share at least one
+    * whitespace token of the lowercased name (multi-key token
+    * blocking — a typo that corrupts one token still collides on the
+    * others), then every candidate pair is verified by exact
+    * Levenshtein distance over the full normalized names. Output:
+    * (id_a, id_b, edit_distance) with id_a < id_b, distance <=
+    * `maxDistance`.
+    *
+    * Scale shape: NEVER all-pairs — candidates come from a
+    * token-keyed self-join, and blocks larger than `maxBlockSize`
+    * are DROPPED ("john" is not evidence two people are the same;
+    * an oversized block is a non-discriminative key, the standard
+    * blocking rule) — so the join is bounded by
+    * `maxBlockSize` per key and linear in qualifying pairs. The
+    * size gate rides the same token partitioning as the join key.
+    * Recall contract: a pair is found iff SOME shared token sits in
+    * a small-enough block; callers needing typo-robust blocking on
+    * single-token names should block on n-grams instead. */
+  def blockedFuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
+      maxDistance: Int = 2, maxBlockSize: Int = 1000): DataFrame = {
+    require(maxDistance >= 0, s"maxDistance must be >= 0: $maxDistance")
+    require(maxBlockSize >= 2, s"maxBlockSize must be >= 2: $maxBlockSize")
+    val recs = df.select(col(idCol).cast("long").as("id"),
+      lower(trim(col(nameCol))).as("name"))
+    val toks = recs.select(col("id"), col("name"),
+        explode(split(col("name"), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .dropDuplicates("id", "token")
+    val sizes = toks.groupBy("token").agg(count(lit(1)).as("__n"))
+    val blocked = toks.join(sizes, "token")
+      .filter(col("__n").between(2, maxBlockSize))
+    blocked.select(col("token"), col("id").as("id_a"), col("name").as("__na"))
+      .join(blocked.select(col("token"), col("id").as("id_b"),
+        col("name").as("__nb")), Seq("token"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("edit_distance",
+        levenshtein(col("__na"), col("__nb")).cast("long"))
+      .filter(col("edit_distance") <= maxDistance)
+      .select("id_a", "id_b", "edit_distance")
+  }
+
   /** Paragraph-level exact dedup with document reassembly (the
     * C4/RefinedWeb line-dedup step): split each document on `sep`,
     * keep only the corpus-wide FIRST occurrence of every distinct

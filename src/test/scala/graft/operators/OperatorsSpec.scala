@@ -63,6 +63,25 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("blockedFuzzyPairs links typo variants through shared tokens, gates big blocks") {
+    val recs = Seq(
+      (1L, "John Smith"), (2L, "Jon Smith"),    // shared 'smith', dist 1
+      (3L, "John Smyth"),                       // shared 'john' w/ 1, dist 1
+      (4L, "Mary Jones"), (5L, "Mary Johnson"), // shared 'mary', dist 3 -> out
+      (6L, "Zed Qux"))                          // no shared token
+      .toDF("id", "name")
+    val out = Dedup.blockedFuzzyPairs(recs, "id", "name", maxDistance = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // (2,3) share NO token ("jon smith" vs "john smyth") — the recall
+    // contract: only same-block pairs are candidates
+    assert(out == Map((1L, 2L) -> 1L, (1L, 3L) -> 1L))
+    // an oversized block is a non-discriminative key: gate at 3 drops
+    // the 4-member 'dupe' block entirely
+    val big = (1L to 4L).map(i => (i, s"dupe n$i")).toDF("id", "name")
+    assert(Dedup.blockedFuzzyPairs(big, "id", "name",
+      maxDistance = 2, maxBlockSize = 3).count() == 0)
+  }
+
   test("hammingPairs blocks any 64-bit signature, recall exact within 3 bits") {
     // planted signatures: 1/2 differ by 2 bits, 3 by one flipped
     // 16-bit chunk (hamming 16 but 3 chunks shared), 4 is far
