@@ -1032,6 +1032,19 @@ object SparkEntry {
         Map("src0" -> 1.0, "src1" -> 0.5))
         .select("doc_id", "source")),
 
+    // leakage-safe splits: every member of a near-dup cluster (dd6's
+    // deterministic pair set) gets its component root's split; docs
+    // outside any cluster key on their own id
+    "sp3_leakage_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(
+        docs.filter(col("doc_id") <= 100), "doc_id", "text",
+        blockCols = Seq("lang"), shingleSize = 1, threshold = 0.5)
+      Sampling.leakageSafeSplits(docs, "doc_id",
+        pairs.select("id_a", "id_b"), trainFrac = 0.8, validFrac = 0.1)
+        .select("doc_id", "split")
+    }),
+
     // alpha-smoothed (temperature) mixture weights per source — the
     // multilingual/multi-source rebalancing primitive
     "mix1_temperature_weights" -> ((s, dir) =>
@@ -3244,6 +3257,33 @@ object SparkEntry {
         |WHERE (doc_id * 2654435761) % 4294967296 <
         |      CASE source WHEN 'src0' THEN 4294967296
         |                  WHEN 'src1' THEN 2147483648 ELSE -1 END""".stripMargin,
+
+    // dd6's recursive-CTE component labels + the idHash split rule on
+    // coalesce(cluster, doc_id); cuts are floor(frac * 2^32)
+    "sp3_leakage_safe_split" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents WHERE doc_id <= 100),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.w, b.w))::DOUBLE /
+        |        (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.5),
+        |e AS (SELECT id_a AS s, id_b AS d FROM p
+        |      UNION SELECT id_b AS s, id_a AS d FROM p),
+        |reach AS (
+        |  SELECT s AS id, s AS label FROM e
+        |  UNION
+        |  SELECT e.s AS id, r.label AS label FROM e JOIN reach r ON e.d = r.id),
+        |cl AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id)
+        |SELECT d.doc_id,
+        |       CASE WHEN (COALESCE(cl.cluster, d.doc_id) * 2654435761)
+        |                 % 4294967296 < 3435973836 THEN 'train'
+        |            WHEN (COALESCE(cl.cluster, d.doc_id) * 2654435761)
+        |                 % 4294967296 < 3865470566 THEN 'valid'
+        |            ELSE 'test' END AS split
+        |FROM documents d LEFT JOIN cl ON d.doc_id = cl.id""".stripMargin,
 
     // replay idHash(doc_id * epochs + epoch) and the (epoch, shard)
     // deal; ids here stay far below the 16-bit-limb overflow guard

@@ -220,6 +220,37 @@ object Sampling {
       .drop("__h", "__b", "__cl", "__off")
   }
 
+  /** Leakage-safe train/valid/test assignment: split by NEAR-DUP
+    * CLUSTER, not by document — a near-duplicate of a training doc
+    * in the test set is evaluation leakage, and a plain id-hash
+    * split plants exactly that. `pairs` is any near-dup pair frame
+    * (`Dedup.ngramJaccardPairs`, `minhashLshPairs`, ...); every doc
+    * gets the split of its connected-component root (unpaired docs
+    * key on their own id, so with no pairs this degrades to
+    * [[holdout]]'s assignment exactly). Returns df + a `split`
+    * label column ("train" / "valid" / "test") — label, not filter,
+    * so one pass audits the whole corpus.
+    *
+    * Scale shape: [[Dedup.clusters]] handles the component labeling
+    * (contraction above the driver bound); the label join is
+    * id-keyed; the split decision is row-local hash arithmetic. */
+  def leakageSafeSplits(df: DataFrame, idCol: String, pairs: DataFrame,
+      trainFrac: Double = 0.98, validFrac: Double = 0.01): DataFrame = {
+    require(trainFrac >= 0 && validFrac >= 0 && trainFrac + validFrac <= 1,
+      s"invalid split fractions: train=$trainFrac valid=$validFrac")
+    val roots = Dedup.clusters(pairs)
+      .select(col("id").as("__rid"), col("cluster").as("__cluster"))
+    val trainCut = (trainFrac * 4294967296.0).toLong
+    val validCut = ((trainFrac + validFrac) * 4294967296.0).toLong
+    val h = idHash(coalesce(col("__cluster"), col(idCol)))
+    df.join(roots, df(idCol) === col("__rid"), "left")
+      .withColumn("split",
+        when(h < trainCut, "train")
+          .when(h < validCut, "valid")
+          .otherwise("test"))
+      .drop("__rid", "__cluster")
+  }
+
   /** Split into train/validation/test by id-hash range — stable
     * across runs and immune to upstream reordering. Returns the
     * subset named by `split` given cumulative fractions. */

@@ -100,6 +100,26 @@ class SamplingSpec extends SparkTestBase {
     assert(keptA == orderedA)
   }
 
+  test("leakage-safe splits keep every near-dup cluster on one side") {
+    val corpus = (1L to 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // components {1,2,3} and {40,41}; everything else unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (40L, 41L)).toDF("id_a", "id_b")
+    val out = Sampling.leakageSafeSplits(corpus, "doc_id", pairs, 0.5, 0.25)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 100)
+    assert(Set(out(1L), out(2L), out(3L)).size == 1) // one side, whole cluster
+    assert(out(40L) == out(41L))
+    // unpaired docs follow the plain holdout assignment exactly
+    val train = Sampling.holdout(corpus, "doc_id", "train", 0.5, 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val unpaired = out.keySet -- Set(1L, 2L, 3L, 40L, 41L)
+    unpaired.foreach { id =>
+      assert((out(id) == "train") == train.contains(id), s"id=$id") }
+    // cluster members take the ROOT's split: root 1 drives 2 and 3
+    assert(out(2L) == out(1L) && out(3L) == out(1L))
+  }
+
   test("holdout splits partition the corpus without overlap") {
     val train = Sampling.holdout(docs, "doc_id", "train", 0.8, 0.1).select("doc_id").collect().toSet
     val valid = Sampling.holdout(docs, "doc_id", "valid", 0.8, 0.1).select("doc_id").collect().toSet
