@@ -833,6 +833,15 @@ object SparkEntry {
     }),
 
     // ---- beyond-parity: similarity search -------------------------
+    // late-interaction retrieval: vectors grouped into pseudo-docs of
+    // 10 chunks; doc score = max chunk cosine, winning chunk emitted
+    "sim8_maxsim_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.maxSimTopK(e.filter("vec_id < 5"),
+        e.withColumn("doc_id", expr("vec_id DIV 10")),
+        "vec_id", "embedding", "doc_id", 5)
+    }),
+
     "sim1_bruteforce_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(e.filter("vec_id < 10"), e, "vec_id", "embedding", 5)
@@ -3142,6 +3151,33 @@ object SparkEntry {
       """SELECT label, t.i - 1 AS pos, round(avg(embedding[t.i]), 4) AS mean_val
         |FROM embeddings, unnest(range(1, 65)) AS t(i)
         |GROUP BY 1, 2""".stripMargin,
+
+    "sim8_maxsim_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i] * embedding[i]))) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id // 10 AS doc_id,
+        |         c.vec_id AS chunk_id,
+        |         list_sum(list_transform(range(1, 65), i -> q.embedding[i] * c.embedding[i]))
+        |           / (q.nrm * c.nrm) AS cosine
+        |  FROM e q JOIN e c ON q.vec_id < 5),
+        |agg AS (
+        |  SELECT query_id, doc_id, max(cosine) AS mc FROM scored GROUP BY 1, 2),
+        |best AS (
+        |  SELECT s.query_id, s.doc_id, a.mc, min(s.chunk_id) AS best_chunk
+        |  FROM scored s JOIN agg a
+        |    ON s.query_id = a.query_id AND s.doc_id = a.doc_id
+        |   AND s.cosine = a.mc
+        |  GROUP BY s.query_id, s.doc_id, a.mc),
+        |ranked AS (
+        |  SELECT query_id, doc_id, best_chunk,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY mc DESC, doc_id ASC) AS rank
+        |  FROM best)
+        |SELECT query_id, doc_id, best_chunk, rank FROM ranked
+        |WHERE rank <= 5""".stripMargin,
 
     "sim1_bruteforce_topk" ->
       """WITH e AS (

@@ -97,6 +97,47 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Late-interaction (MaxSim) chunk retrieval — the RAG ranking
+    * rule for chunked corpora: a document's score for a query is the
+    * MAX cosine over that document's chunk vectors (one good passage
+    * makes the doc relevant; pooling to a doc centroid would dilute
+    * it — the single-query-vector form of ColBERT's MaxSim). Emits
+    * per query the top-`k` documents with the winning chunk:
+    * (query_id, doc_id, best_chunk, rank). Ties: equal max scores
+    * rank by doc id; equal-scoring chunks elect the smallest id.
+    *
+    * This is the EXACT form (queries x chunks, same contract as
+    * [[bruteForceTopK]] — the yardstick): at corpus scale generate
+    * the candidate chunk set with [[ivfTopK]]'s centroid probe
+    * first, then apply the same groupBy-max ranking to candidates.
+    * The doc aggregation is one map-combined partial agg; no chunk
+    * text or vector survives past its cosine. */
+  def maxSimTopK(queries: DataFrame, chunks: DataFrame, idCol: String,
+      vecCol: String, docIdCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2norm(col(vecCol)).as("qn"))
+    val c = chunks.select(col(docIdCol).as("doc_id"),
+      col(idCol).as("chunk_id"), col(vecCol).as("cv"),
+      l2norm(col(vecCol)).as("cn"))
+    val scored = q.crossJoin(c)
+      .filter(col("qn") > 0 && col("cn") > 0)
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    // argmax chunk per (query, doc): max on (cosine, -chunk_id) keeps
+    // the smallest chunk id among equal scores — one aggregate, no
+    // self-join back
+    val perDoc = scored.groupBy("query_id", "doc_id")
+      .agg(max(struct(col("cosine").as("c"),
+        (-col("chunk_id")).as("nc"))).as("m"))
+      .select(col("query_id"), col("doc_id"),
+        col("m.c").as("max_cos"), (-col("m.nc")).as("best_chunk"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("max_cos").desc, col("doc_id").asc)
+    perDoc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "best_chunk", "rank")
+  }
+
   /** LSH-bucketed approximate top-k: compare within the query's
     * hyperplane bucket, plus (multi-probe) every bucket at Hamming
     * distance 1 — flipping each plane bit. Probing 1+planes buckets

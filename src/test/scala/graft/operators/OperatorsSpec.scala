@@ -425,6 +425,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.head.getDouble(3) > 0.99)
   }
 
+  test("maxsim ranks docs by their best chunk, tie elects smallest chunk id") {
+    val chunks = Seq(
+      (0L, 0L, Seq(1f, 0f, 0f)),     // doc 0: perfect chunk
+      (1L, 0L, Seq(0.9f, 0.1f, 0f)),
+      (10L, 1L, Seq(0f, 1f, 0f)),    // doc 1: orthogonal...
+      (11L, 1L, Seq(0.6f, 0.8f, 0f)), // ...and two tied 0.6 chunks
+      (12L, 1L, Seq(0.6f, -0.8f, 0f)),
+      (20L, 2L, Seq(-1f, 0f, 0f)))   // doc 2: anti-aligned only
+      .toDF("id", "doc", "v")
+    val q = Seq((100L, Seq(1f, 0f, 0f))).toDF("id", "v")
+    val out = Similarity.maxSimTopK(q, chunks, "id", "v", "doc", 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    // doc 0 wins on its perfect chunk; doc 1's best is the 0.6 tie,
+    // won by the smaller chunk id; doc 2 falls outside k=2
+    assert(out.toSeq == Seq((0L, 0L, 1), (1L, 11L, 2)))
+  }
+
   test("full-probe IVF equals brute force") {
     val bf = Similarity.bruteForceTopK(vecs.filter("id < 2"), vecs, "id", "v", 3)
       .select("query_id", "neighbor_id", "rank").collect().toSet
