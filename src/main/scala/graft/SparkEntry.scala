@@ -2190,6 +2190,12 @@ object SparkEntry {
       Sequences.orderedJoined(events(s, dir), Seq("user_id"),
         Seq("ts", "event_id"), "event_type")),
 
+    // regex over the chronological event-type symbols per user:
+    // "view converting to purchase with no second view between"
+    "seq4_event_pattern" -> ((s, dir) =>
+      Sequences.matchPattern(events(s, dir), Seq("user_id"),
+        Seq("ts", "event_id"), "event_type", "v[^vp]*p")),
+
     // the TRUNCATING form of seq1: maxLen below the busiest key's
     // event count, so the pre-aggregation row_number cap (the scale
     // contract — no agg buffer ever holds more than maxLen elements)
@@ -4338,6 +4344,16 @@ object SparkEntry {
         |       string_agg(event_type, '>'
         |         ORDER BY CAST(ts AS TIMESTAMP), event_id) AS seq
         |FROM events GROUP BY user_id""".stripMargin,
+
+    "seq4_event_pattern" ->
+      """WITH h AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |         string_agg(substr(event_type, 1, 1), ''
+        |           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS history
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events, history,
+        |       regexp_extract(history, 'v[^vp]*p') AS match_text
+        |FROM h""".stripMargin,
 
     // truncation: seq keeps only the first 5 events per key (sliced
     // ordered string_agg), n_events stays the TRUE count

@@ -54,4 +54,29 @@ object Sequences {
       maxLen: Int = 1 << 16): DataFrame =
     ordered(df, keyCols, orderCols, valueCol, maxLen)
       .withColumn("seq", array_join(col("seq"), sep))
+
+  /** MATCH_RECOGNIZE-lite: regex over each entity's chronological
+    * event-TYPE string. Every event becomes one symbol (the first
+    * character of `typeCol` — callers map types to distinct symbols),
+    * the per-entity history is assembled by [[ordered]]'s
+    * single-exchange shape, and `pattern` runs ONCE per entity as a
+    * row-local regex. Output: keyCols + n_events + `history` +
+    * `match_text` (the leftmost match, '' when none). Keep the
+    * pattern lookaround- and backreference-free and it replays
+    * identically on any regex engine (incl. RE2) — same contract as
+    * [[Chunking.chunkBySentences]].
+    *
+    * This trades MATCH_RECOGNIZE's streaming row semantics for a
+    * symbol string — exactly right for funnel/journey shapes
+    * ("a view converting to purchase with no second view between":
+    * `v[^vp]*p`), where the alternative is a self-join chain per
+    * pattern step. */
+  def matchPattern(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String], typeCol: String, pattern: String,
+      maxLen: Int = 1 << 16): DataFrame =
+    orderedJoined(
+      df.withColumn("__sym", substring(col(typeCol), 1, 1)),
+      keyCols, orderCols, "__sym", sep = "", maxLen = maxLen)
+      .withColumnRenamed("seq", "history")
+      .withColumn("match_text", regexp_extract(col("history"), pattern, 0))
 }
