@@ -1337,6 +1337,40 @@ object SparkEntry {
         .select("doc_id", "n_words", "mean_word_len", "max_word_len",
           "symbol_ratio", "stopword_hits", "keep")),
 
+    // curation-funnel observability: per-source counts through
+    // gate -> exact dedup -> decontamination. Train side carries 50
+    // PLANTED duplicates (copied ids +10000) so the dedup stage has
+    // real work; decon drops docs sharing >= 20 eval 3-grams (the
+    // dd8 exact-overlap machinery). Every stage is deterministic, so
+    // the whole funnel is one MATCH row per source.
+    "pipe2_curation_funnel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalDocs = docs.filter(col("doc_id") <= 250)
+      val planted = docs.filter(col("doc_id") > 250 && col("doc_id") <= 300)
+        .withColumn("doc_id", col("doc_id") + 10000)
+      val train = docs.filter(col("doc_id") > 250).unionByName(planted)
+        .select("doc_id", "source", "text")
+      val gated = QualityFilters.gate(train, "text")
+        .filter(col("keep")).select("doc_id", "source", "text")
+      val deduped = Dedup.exactSurvivors(gated, "doc_id", Seq("text"))
+      val contaminated = Decontaminate.bloomContaminatedDocs(
+        deduped, evalDocs, "doc_id", "text", gramSize = 3,
+        expectedEvalGrams = 1 << 16)
+        .filter(col("n_shared_grams") >= 20)
+        .select("doc_id")
+      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      def cnt(df: DataFrame, name: String) =
+        df.groupBy("source").agg(count(lit(1)).as(name))
+      cnt(train, "n_input")
+        .join(cnt(gated, "n_gated"), Seq("source"), "left")
+        .join(cnt(deduped, "n_deduped"), Seq("source"), "left")
+        .join(cnt(clean, "n_clean"), Seq("source"), "left")
+        .select(col("source"), col("n_input"),
+          coalesce(col("n_gated"), lit(0L)).as("n_gated"),
+          coalesce(col("n_deduped"), lit(0L)).as("n_deduped"),
+          coalesce(col("n_clean"), lit(0L)).as("n_clean"))
+    }),
+
     // URL fixture shared by url1/qf3: two deterministic URLs per doc
     // (one mixed-case host, one with a port + query) appended to the
     // text — the extraction and the gate must find and normalize both
@@ -3603,6 +3637,8 @@ object SparkEntry {
 
     "qf1_quality_gate" -> qualityGateOracle,
 
+    "pipe2_curation_funnel" -> pipe2Oracle,
+
     "url1_extract" ->
       """WITH fx AS (
         |  SELECT doc_id,
@@ -4656,6 +4692,68 @@ object SparkEntry {
        |        AND symbol_ratio <= ${th.maxSymbolRatio}
        |        AND stopword_hits >= ${th.minStopwordHits}) AS keep
        |FROM s""".stripMargin
+  }
+
+  /** pipe2 oracle: the whole funnel replayed stage by stage — qf1's
+    * gate signals, dedup as row_number-over-text, dd8's exact gram
+    * overlap with the >= 20 threshold — per-source counts left-joined
+    * onto the input tally. */
+  private def pipe2Oracle: String = {
+    val stop = "\\b(" + QualityFilters.stopwords.mkString("|") + ")\\b"
+    val th = QualityFilters.Thresholds()
+    raw"""WITH tr AS (
+       |  SELECT doc_id, source, text FROM documents WHERE doc_id > 250
+       |  UNION ALL
+       |  SELECT doc_id + 10000, source, text FROM documents
+       |  WHERE doc_id > 250 AND doc_id <= 300),
+       |sig AS (
+       |  SELECT doc_id, source, text,
+       |    len(string_split_regex(trim(text), '\s+')) AS n_words,
+       |    round(length(regexp_replace(text, '\s', '', 'g')) * 1.0 /
+       |      greatest(len(string_split_regex(trim(text), '\s+')), 1), 4) AS mwl,
+       |    round(len(regexp_extract_all(text, '[#@{}<>\\|~^]')) * 1.0 /
+       |      greatest(length(text), 1), 4) AS sr,
+       |    len(regexp_extract_all(lower(text), '$stop')) AS sh
+       |  FROM tr),
+       |gated AS (
+       |  SELECT doc_id, source, text FROM sig
+       |  WHERE n_words BETWEEN ${th.minWords} AND ${th.maxWords}
+       |    AND mwl BETWEEN ${th.minMeanWordLen} AND ${th.maxMeanWordLen}
+       |    AND sr <= ${th.maxSymbolRatio} AND sh >= ${th.minStopwordHits}),
+       |ded AS (
+       |  SELECT doc_id, source, text FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       |    FROM gated) WHERE rn = 1),
+       |dg AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    CASE WHEN len(l) <= 3 THEN [array_to_string(l, ' ')]
+       |         ELSE [array_to_string(l[i:i+2], ' ') for i in range(1, len(l) - 1)] END
+       |  )) AS gram
+       |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+       |        FROM ded)),
+       |ev AS (
+       |  SELECT DISTINCT unnest(list_distinct(
+       |    CASE WHEN len(l) <= 3 THEN [array_to_string(l, ' ')]
+       |         ELSE [array_to_string(l[i:i+2], ' ') for i in range(1, len(l) - 1)] END
+       |  )) AS gram
+       |  FROM (SELECT string_split_regex(lower(trim(text)), '\s+') AS l
+       |        FROM documents WHERE doc_id <= 250)),
+       |cont AS (
+       |  SELECT dg.doc_id FROM dg JOIN ev USING (gram)
+       |  GROUP BY dg.doc_id HAVING count(*) >= 20),
+       |clean AS (
+       |  SELECT * FROM ded WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+       |SELECT t.source, t.n_input,
+       |       COALESCE(g1.n, 0) AS n_gated,
+       |       COALESCE(d1.n, 0) AS n_deduped,
+       |       COALESCE(c1.n, 0) AS n_clean
+       |FROM (SELECT source, count(*) AS n_input FROM tr GROUP BY source) t
+       |LEFT JOIN (SELECT source, count(*) AS n FROM gated GROUP BY source) g1
+       |  USING (source)
+       |LEFT JOIN (SELECT source, count(*) AS n FROM ded GROUP BY source) d1
+       |  USING (source)
+       |LEFT JOIN (SELECT source, count(*) AS n FROM clean GROUP BY source) c1
+       |  USING (source)""".stripMargin
   }
 
   /** dsir1/dsir2 oracle: replays the importance-weight formula — the

