@@ -1166,6 +1166,18 @@ object SparkEntry {
         events(s, dir).select("event_id", "event_type", "value"),
         Seq("event_type"), "value")),
 
+    // PSI drift: reference = 2/3 of orders, current = the last third
+    // with high prices truncated away (planted upper-tail drain); the
+    // per-bucket terms expose exactly where the distribution moved
+    "dq4_psi_drift" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      DataQuality.psiDrift(
+        o.filter(col("o_orderkey") % 3 < 2),
+        o.filter(col("o_orderkey") % 3 === 2 &&
+          col("o_totalprice") < 300000),
+        "o_totalprice", lo = 0.0, hi = 500000.0, nBuckets = 10)
+    }),
+
     "sk1_salted_distinct" -> ((s, dir) =>
       // two-stage salted distinct: exact result, hot keys spread over
       // 32 reducers instead of one
@@ -4579,6 +4591,37 @@ object SparkEntry {
         |       count(*) FILTER (o_totalprice IS NOT NULL
         |                        AND (o_totalprice < 0 OR o_totalprice > 200000))
         |FROM orders""".stripMargin,
+
+    "dq4_psi_drift" ->
+      """WITH ref AS (
+        |  SELECT CASE WHEN o_totalprice < 0 THEN -1
+        |              WHEN o_totalprice >= 500000 THEN 10
+        |              ELSE CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT)
+        |              END AS bucket
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_orderkey % 3 < 2),
+        |cur AS (
+        |  SELECT CASE WHEN o_totalprice < 0 THEN -1
+        |              WHEN o_totalprice >= 500000 THEN 10
+        |              ELSE CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT)
+        |              END AS bucket
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_orderkey % 3 = 2
+        |    AND o_totalprice < 300000),
+        |spine AS (SELECT unnest(range(-1, 11)) AS bucket),
+        |rc AS (SELECT s.bucket, COALESCE(r.n, 0) AS n_ref, COALESCE(c.n, 0) AS n_cur
+        |       FROM spine s
+        |       LEFT JOIN (SELECT bucket, count(*) AS n FROM ref GROUP BY 1) r
+        |         USING (bucket)
+        |       LEFT JOIN (SELECT bucket, count(*) AS n FROM cur GROUP BY 1) c
+        |         USING (bucket)),
+        |tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+        |               CAST(sum(n_cur) AS BIGINT) AS tc FROM rc)
+        |SELECT bucket, n_ref, n_cur,
+        |       round(((n_cur + 1) * 1.0 / (tc + 12) - (n_ref + 1) * 1.0 / (tr + 12))
+        |             * ln(((n_cur + 1) * 1.0 / (tc + 12))
+        |                  / ((n_ref + 1) * 1.0 / (tr + 12))), 6) AS psi_term
+        |FROM rc, tot""".stripMargin,
 
     "dq2_outliers" ->
       """WITH f AS (

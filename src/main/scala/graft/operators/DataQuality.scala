@@ -228,6 +228,36 @@ object DataQuality {
     * checks ([[unique]]) and cross-table checks ([[referential]])
     * need their own shuffle/join and stay standalone.
     */
+  /** Population-stability-index (PSI) distribution drift between two
+    * versions of a numeric column — the monitoring rule behind "did
+    * this week's data shift against the reference?": both frames
+    * histogram onto the SAME fixed bin edges ([[Profiling.histogram]]
+    * — under/overflow buckets included, so tail drift is never
+    * silent), proportions are add-one smoothed over nBuckets + 2
+    * cells (an empty bucket must not produce ln 0), and each bucket
+    * reports its term `(p - q) ln(p / q)`; total PSI = sum of terms
+    * (conventional alarms: > 0.1 moderate, > 0.25 major).
+    *
+    * Scale shape: two single-pass histogram aggregates; everything
+    * after operates on the (nBuckets + 2)-row frames — the totals
+    * window runs over bucket rows, never data. */
+  def psiDrift(reference: DataFrame, current: DataFrame, valueCol: String,
+      lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+    val r = Profiling.histogram(reference, valueCol, lo, hi, nBuckets)
+      .select(col("bucket"), col("n").as("n_ref"))
+    val c = Profiling.histogram(current, valueCol, lo, hi, nBuckets)
+      .select(col("bucket"), col("n").as("n_cur"))
+    val cells = nBuckets + 2
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val withTot = r.join(c, "bucket")
+      .withColumn("__tr", sum("n_ref").over(w))
+      .withColumn("__tc", sum("n_cur").over(w))
+    val p = (col("n_cur") + 1).cast("double") / (col("__tc") + cells)
+    val q = (col("n_ref") + 1).cast("double") / (col("__tr") + cells)
+    withTot.withColumn("psi_term", round((p - q) * log(p / q), 6))
+      .select("bucket", "n_ref", "n_cur", "psi_term")
+  }
+
   def rowChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty)
     val aggs = checks.zipWithIndex.map { case ((_, pred), i) =>

@@ -184,4 +184,31 @@ class DiffWinsorizeSpec extends SparkTestBase {
       .filter(col("g") === "a").count()
     assert(one == 1L)
   }
+
+  test("psi drift: identical frames score ~0, drained bucket dominates, all finite") {
+    val ref = (0 until 100).map(i => Tuple1((i % 10).toDouble * 10 + 5)).toDF("v")
+    // current: bucket 9 (90..100) drained into bucket 0
+    val cur = (0 until 100).map { i =>
+      val b = i % 10; Tuple1((if (b == 9) 0 else b).toDouble * 10 + 5) }.toDF("v")
+    def psi(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      DataQuality.psiDrift(a, b, "v", 0.0, 100.0, 10)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val same = psi(ref, ref)
+    assert(same.size == 12) // 10 interior + under/overflow
+    assert(same.values.forall(_ == 0.0)) // p == q exactly -> term 0
+    val moved = psi(ref, cur)
+    assert(moved.values.forall(v => !v.isNaN && !v.isInfinite)) // smoothing
+    // exact terms: bucket 9 went 10 -> 0, bucket 0 went 10 -> 20,
+    // totals 100 each, 12 smoothing cells
+    def term(nRef: Long, nCur: Long) = {
+      val p = (nCur + 1.0) / 112; val q = (nRef + 1.0) / 112
+      BigDecimal((p - q) * math.log(p / q))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(moved(9L) == term(10, 0))
+    assert(moved(0L) == term(10, 20))
+    assert(moved(5L) == 0.0)
+    // the drained and doubled buckets dominate the total
+    assert(moved(9L) + moved(0L) > 0.8 * moved.values.sum)
+  }
 }
