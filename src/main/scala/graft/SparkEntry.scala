@@ -703,6 +703,13 @@ object SparkEntry {
       Decontaminate.hotSpanDocs(t(s, dir, "documents"), "doc_id", "text",
         gramSize = 3, minDocs = 5)),
 
+    // the removal rule dd9 only detects: duplicated spans excised from
+    // every doc EXCEPT the min-id first occurrence — the cleaned
+    // corpus with audit columns (C4's "remove repeated spans" step)
+    "dd18_hot_span_excision" -> ((s, dir) =>
+      Decontaminate.hotSpanExcision(t(s, dir, "documents"), "doc_id", "text",
+        gramSize = 3, minDocs = 5)),
+
     // span-level decontamination: WHERE the contamination sits in each
     // train doc (maximal runs of consecutive matching 3-gram
     // positions), so pipelines can excise spans instead of dropping
@@ -2983,6 +2990,70 @@ object SparkEntry {
         |       CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans
         |FROM tok t LEFT JOIN stitched st ON st.train_id = t.doc_id
         |WHERE t.doc_id > 250""".stripMargin,
+
+    // dd18: hot grams (df >= 5 distinct docs) keep their min-id owner
+    // untouched; every other doc's hot-position islands merge and cut
+    // via the same substring-stitch machinery as dd13
+    "dd18_hot_span_excision" ->
+      """WITH tok AS (SELECT doc_id,
+        |                    string_split_regex(lower(trim(text)), '\s+') AS l,
+        |                    string_split_regex(trim(text), '\s+') AS lr
+        |             FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(l) <= 3 THEN [{'pos': 0, 'gram': array_to_string(l, ' ')}]
+        |         ELSE [{'pos': i - 1, 'gram': array_to_string(l[i:i+2], ' ')}
+        |               for i in range(1, len(l) - 1)] END,
+        |    recursive := true)
+        |  FROM tok),
+        |hotg AS (SELECT gram, min(doc_id) AS owner FROM g
+        |         GROUP BY gram HAVING count(DISTINCT doc_id) >= 5),
+        |m AS (SELECT g.doc_id AS train_id, g.pos
+        |      FROM g JOIN hotg USING (gram) WHERE g.doc_id <> hotg.owner),
+        |isl AS (SELECT train_id, pos,
+        |        pos - row_number() OVER (PARTITION BY train_id ORDER BY pos) AS grp
+        |        FROM m),
+        |sp AS (SELECT train_id, min(pos) AS s, min(pos) + count(*) + 2 AS e
+        |       FROM isl GROUP BY train_id, grp),
+        |tisl AS (SELECT train_id, s, e,
+        |         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY train_id ORDER BY s, e
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |              THEN 1 ELSE 0 END AS brk
+        |         FROM sp),
+        |tm AS (SELECT train_id, min(s) AS s, max(e) AS e
+        |       FROM (SELECT *, sum(brk) OVER (PARTITION BY train_id ORDER BY s, e) AS grp
+        |             FROM tisl)
+        |       GROUP BY train_id, grp),
+        |reg AS (SELECT tm.train_id,
+        |        CASE WHEN tm.e >= len(t.l) AND tm.s > 0
+        |             THEN len(array_to_string(t.lr[1:CAST(tm.s AS INT)], ' '))
+        |             WHEN tm.s = 0 THEN 0
+        |             ELSE len(array_to_string(t.lr[1:CAST(tm.s AS INT)], ' ')) + 1 END AS a,
+        |        CASE WHEN tm.e >= len(t.l) THEN len(array_to_string(t.lr, ' '))
+        |             ELSE len(array_to_string(t.lr[1:CAST(tm.e AS INT)], ' ')) + 1 END AS b
+        |        FROM tm JOIN tok t ON t.doc_id = tm.train_id),
+        |seg AS (
+        |  SELECT train_id,
+        |         coalesce(lag(b) OVER (PARTITION BY train_id ORDER BY a), 0) AS p,
+        |         a AS q
+        |  FROM reg
+        |  UNION ALL
+        |  SELECT train_id, max(b) AS p, NULL AS q FROM reg GROUP BY train_id),
+        |stitched AS (
+        |  SELECT s.train_id,
+        |         string_agg(substr(array_to_string(t.lr, ' '), CAST(s.p AS INT) + 1,
+        |           CAST(coalesce(s.q, len(array_to_string(t.lr, ' '))) - s.p AS INT)),
+        |           '' ORDER BY s.p) AS cleaned,
+        |         count(*) - 1 AS n_spans
+        |  FROM seg s JOIN tok t ON t.doc_id = s.train_id
+        |  GROUP BY s.train_id)
+        |SELECT t.doc_id,
+        |       coalesce(st.cleaned, array_to_string(t.lr, ' ')) AS clean_text,
+        |       CAST(len(array_to_string(t.lr, ' ')) -
+        |            len(coalesce(st.cleaned, array_to_string(t.lr, ' '))) AS BIGINT)
+        |         AS removed_chars,
+        |       CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans
+        |FROM tok t LEFT JOIN stitched st ON st.train_id = t.doc_id""".stripMargin,
 
     // positional grams (struct comprehension keeps pos), gram join,
     // then gaps-and-islands: consecutive positions share pos - row_number

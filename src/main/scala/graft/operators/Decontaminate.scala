@@ -282,4 +282,58 @@ object Decontaminate {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_hot_spans"))
   }
+
+  /** The removal rule [[hotSpanDocs]] only detects: C4-style
+    * corpus-internal duplicated-span EXCISION. Word k-grams occurring
+    * in ≥ `minDocs` distinct documents are "hot"; the doc with the
+    * MINIMUM id keeps its text untouched (the canonical first
+    * occurrence), every other doc has its maximal runs of consecutive
+    * hot-gram positions cut out. Returns the [[excise]] shape — one
+    * row per doc: (idCol, clean_text, removed_chars, n_spans) on the
+    * whitespace-normalized text.
+    *
+    * Hot-gram identity is 64-bit gram-hash equality (the corpus-wide
+    * convention — see `Dedup.exact`); a cross-doc hash collision
+    * would excise a non-duplicated span.
+    *
+    * Scale shape: only 8-byte (id, pos, gram-hash) triples shuffle to
+    * count doc-frequency; the hot set is tiny by construction (df ≥
+    * minDocs survivors of a HAVING), so the join back is
+    * gram-colocated on the same exchange, the islands window
+    * partitions per doc over MATCHED positions only (sized by
+    * duplication, not doc length), and [[excise]] aggregates spans to
+    * one interval-array row per affected doc — corpus text never
+    * shuffles, clean docs never join anything.
+    */
+  def hotSpanExcision(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramSize: Int = 3,
+      minDocs: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(col(idCol).as("train_id"),
+      posexplode(
+        TextExpressions.positional_shingle_hashes(col(textCol), gramSize))
+        .as(Seq("pos", "gram")))
+    // positional grams repeat within a doc; df is distinct-doc count
+    val hot = grams.groupBy("gram")
+      .agg(countDistinct(col("train_id")).as("df"),
+        min(col("train_id")).as("owner"))
+      .filter(col("df") >= minDocs)
+      .select("gram", "owner")
+    val matched = grams.join(hot, "gram")
+      .filter(col("train_id") =!= col("owner"))
+      .select("train_id", "pos")
+    // gaps-and-islands per doc: consecutive hot positions merge into
+    // one span (same shape as contaminatedSpans, keyed by doc alone)
+    val w = Window.partitionBy("train_id").orderBy("pos")
+    val spans = matched
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("train_id", "grp")
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (count(lit(1)) + lit(gramSize - 1)).as("span_words"))
+      .drop("grp")
+    excise(docs, spans, idCol, textCol)
+  }
 }

@@ -186,6 +186,45 @@ class DecontaminateSpec extends SparkTestBase {
     assert(r.getLong(2) == "a b c d e f g h".length - "a h".length)
   }
 
+  test("hot-span excision keeps the min-id owner, cuts every other copy") {
+    // the 3-gram "x y z" appears in docs 1,2,3 (minDocs=3 -> hot);
+    // doc 1 is the owner and keeps it; docs 2 and 3 lose the run.
+    // "p q r" appears only twice -> below threshold, never cut.
+    val docs = Seq(
+      (1L, "x y z alpha beta"),
+      (2L, "gamma x y z delta"),
+      (3L, "x y z p q r"),
+      (4L, "p q r epsilon zeta"),
+      (5L, "nothing shared here at all")).toDF("doc_id", "text")
+    val out = Decontaminate.hotSpanExcision(docs, "doc_id", "text",
+      gramSize = 3, minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("x y z alpha beta", 0L, 0L)), "owner untouched")
+    assert(out(2L) == (("gamma delta", "x y z ".length.toLong, 1L)))
+    assert(out(3L) == (("p q r", "x y z ".length.toLong, 1L)))
+    assert(out(4L) == (("p q r epsilon zeta", 0L, 0L)),
+      "below-threshold gram never cut")
+    assert(out(5L) == (("nothing shared here at all", 0L, 0L)))
+  }
+
+  test("hot-span excision merges runs of consecutive hot grams") {
+    // docs 1..3 share the 5-token run "a b c d e": grams [a b c],
+    // [b c d], [c d e] are all hot; in non-owner docs the three
+    // consecutive positions merge into ONE five-word span
+    val docs = Seq(
+      (10L, "a b c d e tail1 tail2"),
+      (11L, "head1 a b c d e tail3"),
+      (12L, "head2 head3 a b c d e")).toDF("doc_id", "text")
+    val out = Decontaminate.hotSpanExcision(docs, "doc_id", "text",
+      gramSize = 3, minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(10L) == (("a b c d e tail1 tail2", 0L, 0L)))
+    assert(out(11L) == (("head1 tail3", "a b c d e ".length.toLong, 1L)))
+    assert(out(12L) == (("head2 head3", " a b c d e".length.toLong, 1L)))
+  }
+
   test("bloom clean gate: conservative, and identical on batch and stream") {
     // batch: doc 102 is the only one sharing no gram with eval
     val kept = Decontaminate.bloomCleanDocs(trainDocs, evalDocs, "text",
