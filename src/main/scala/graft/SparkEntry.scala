@@ -1017,6 +1017,14 @@ object SparkEntry {
         col("doc_id"), col("lang"),
         TextAnalysis.langId(col("text")).as("lang_guess"))),
 
+    // MOSS winnowing: every 4-gram-window's minimum word 3-gram,
+    // deduped — the recall-complete substring-blocking key set at
+    // ~2/(w+1) the full gram density (selection replayable in SQL:
+    // lexicographic order, not hash order)
+    "ta6_winnow_fingerprints" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprints(t(s, dir, "documents"),
+        "doc_id", "text", gramSize = 3, window = 4)),
+
     "ta3_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -3403,6 +3411,26 @@ object SparkEntry {
     "ta2_lang_id" -> langIdOracle,
 
     "ta3_fingerprint" -> ta3Oracle,
+
+    // winnowing replay: positional grams as {'g','p'} structs (field
+    // order IS the selection order: gram text then position),
+    // list_sort(...)[1] per 4-window = the lexicographic minimum,
+    // DISTINCT = the fused kernel's consecutive-dup removal
+    "ta6_winnow_fingerprints" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+        |             FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(l) <= 3 THEN [{'g': array_to_string(l, ' '), 'p': 0}]
+        |             ELSE [{'g': array_to_string(l[i:i+2], ' '), 'p': i - 1}
+        |                   for i in range(1, len(l) - 1)] END AS gl
+        |      FROM tok),
+        |sel AS (SELECT doc_id,
+        |          CASE WHEN len(gl) <= 4 THEN [list_sort(gl)[1]]
+        |               ELSE [list_sort(gl[i+1:i+4])[1]
+        |                     for i in range(0, len(gl) - 3)] END AS s
+        |        FROM g)
+        |SELECT DISTINCT doc_id, CAST(fp.p AS INT) AS pos, fp.g AS gram
+        |FROM (SELECT doc_id, unnest(s) AS fp FROM sel)""".stripMargin,
 
     "sp1_stratified_sample" ->
       """SELECT doc_id, lang FROM (

@@ -777,6 +777,109 @@ object TextExpressions {
     new GenericArrayData(out)
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): over the doc's word k-gram sequence, every window of
+    * `w` consecutive grams selects its minimum, and the distinct
+    * selections are the doc's fingerprints. Guarantee: any two docs
+    * sharing a run of `w + k - 1` tokens share at least one
+    * fingerprint — so fingerprint equality is a RECALL-complete
+    * blocking key for long shared substrings, at ~2/(w+1) the density
+    * of the full gram set.
+    *
+    * The selection order is (gram text, position) — lexicographic by
+    * UTF-8 byte order, earliest occurrence winning ties — rather than
+    * classic hash order, so an external SQL engine can replay the
+    * selection exactly (document-identical in DuckDB's default binary
+    * collation). Tokenization matches the hashing kernels
+    * (lowercased whitespace split); a doc with <= k words yields its
+    * whole text as the single gram, and fewer grams than `w` winnow
+    * to the single global minimum. Selected positions are
+    * non-decreasing across windows, so consecutive-duplicate removal
+    * in the fused loop is a full dedup. Row-local, full codegen.
+    * Returns array<struct<pos: int, gram: string>>.
+    */
+  case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+      extends UnaryExpression {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got ($k, $w)")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("gram", StringType, nullable = false))), containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "winnow_fingerprints"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"winnow_fingerprints requires a string column, got ${other.catalogString}")
+      }
+
+    override protected def nullSafeEval(input: Any): Any =
+      winnowFingerprintsKernel(input.asInstanceOf[UTF8String], k, w)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExpressions.winnowFingerprintsKernel($c, $k, $w);")
+
+    override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+      copy(child = newChild)
+  }
+
+  /** Kernel of [[WinnowFingerprints]]. O(m·w) compares with small
+    * constant (w is single-digit in practice); the min candidate is
+    * re-scanned only when it falls out of the window. */
+  def winnowFingerprintsKernel(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val toks = text.trim().toLowerCase().toString.split("\\s+", -1)
+    val grams: Array[UTF8String] =
+      if (toks.length <= k)
+        Array(UTF8String.fromString(toks.mkString(" ")))
+      else {
+        val m = toks.length - k + 1
+        val out = new Array[UTF8String](m)
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i < m) {
+          sb.setLength(0)
+          var j = 0
+          while (j < k) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          out(i) = UTF8String.fromString(sb.toString)
+          i += 1
+        }
+        out
+      }
+    val m = grams.length
+    val nWin = math.max(m - w + 1, 1)
+    val sel = new java.util.ArrayList[Any](nWin)
+    var minPos = -1
+    var lastSel = -1
+    var i = 0
+    while (i < nWin) {
+      val end = math.min(i + w, m)
+      if (minPos < i) {
+        // previous minimum left the window: full re-scan
+        minPos = i
+        var p = i + 1
+        while (p < end) {
+          if (grams(p).compareTo(grams(minPos)) < 0) minPos = p
+          p += 1
+        }
+      } else {
+        // only the incoming gram can displace the current minimum
+        val in = end - 1
+        if (in > minPos && grams(in).compareTo(grams(minPos)) < 0) minPos = in
+      }
+      if (minPos != lastSel) {
+        sel.add(new GenericInternalRow(Array[Any](minPos, grams(minPos))))
+        lastSel = minPos
+      }
+      i += 1
+    }
+    new GenericArrayData(sel.toArray)
+  }
+
   /** DEFLATE compression ratio of the UTF-8 text:
     * compressed_size / raw_size, the classic redundancy signal for
     * boilerplate/template detection (highly repetitive text
@@ -959,6 +1062,9 @@ object TextExpressions {
 
   def deflate_ratio(c: Column, level: Int = 6): Column =
     ExpressionUtils.column(DeflateRatio(ExpressionUtils.expression(c), level))
+
+  def winnow_fingerprints(c: Column, k: Int, w: Int): Column =
+    ExpressionUtils.column(WinnowFingerprints(ExpressionUtils.expression(c), k, w))
 
   /** Register the SQL forms (`rolling_hash`, `simhash64`,
     * `minhash_signature`) in a session's function registry. */

@@ -96,6 +96,29 @@ object TextAnalysis {
   def compressionRatio(text: Column, level: Int = 6): Column =
     TextExpressions.deflate_ratio(text, level)
 
+  /** Winnowing fingerprints (MOSS): one row per selected fingerprint
+    * — (idCol, pos, gram), the lexicographic-minimum word k-gram of
+    * every w-gram window, deduped. Any two docs sharing a run of
+    * w + k - 1 tokens share a fingerprint (recall-complete blocking
+    * for long shared substrings at ~2/(w+1) the full gram density);
+    * see [[TextExpressions.WinnowFingerprints]] for the selection
+    * contract. The kernel is row-local full codegen; only the
+    * selected ~m·2/(w+1) fingerprints ever leave the scan, which is
+    * what makes winnowing the 100 TB substring-blocking tool — the
+    * downstream join carries a fraction of the gram traffic dd4-style
+    * full-gram blocking would.
+    */
+  def winnowFingerprints(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramSize: Int = 3,
+      window: Int = 4): DataFrame =
+    docs.select(col(idCol),
+      explode(TextExpressions.winnow_fingerprints(col(textCol), gramSize, window))
+        .as("fp"))
+      .select(col(idCol), col("fp.pos").as("pos"), col("fp.gram").as("gram"))
+
   /** One-stop annotation: append the standard stats columns. */
   def annotate(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

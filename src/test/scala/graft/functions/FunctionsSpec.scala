@@ -59,6 +59,70 @@ class TextExpressionsSpec extends SparkTestBase {
     assert(interpreted == viaDf)
   }
 
+  test("winnow_fingerprints selects the per-window lexicographic min gram") {
+    // tokens: m z a q b -> 3-grams: ["m z a"@0, "z a q"@1, "a q b"@2];
+    // w=2 windows {0,1} and {1,2}: "a q b" < "m z a" < "z a q"
+    // -> window0 selects pos 0, window1 selects pos 2
+    val out = Seq("m z a q b").toDF("s")
+      .select(explode(winnow_fingerprints(col("s"), 3, 2)).as("fp"))
+      .select("fp.pos", "fp.gram").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(out == Seq((0, "m z a"), (2, "a q b")))
+  }
+
+  test("winnow_fingerprints: short docs yield the whole-text gram; few grams the global min") {
+    val short = Seq("Only two").toDF("s")
+      .select(explode(winnow_fingerprints(col("s"), 3, 4)).as("fp"))
+      .select("fp.pos", "fp.gram").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(short == Seq((0, "only two")))
+    // 4 tokens -> 2 grams < w=4 -> single global minimum
+    val few = Seq("d c b a").toDF("s")
+      .select(explode(winnow_fingerprints(col("s"), 3, 4)).as("fp"))
+      .select("fp.pos", "fp.gram").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(few == Seq((1, "c b a")))
+  }
+
+  test("winnowing guarantee: docs sharing w+k-1 tokens share a fingerprint") {
+    // property over a word-salad corpus: any shared run of w+k-1 = 6
+    // tokens must produce at least one common (pos-independent) gram
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val shared = Vector.fill(6)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docs = (0 until 20).map { i =>
+      val pre = Vector.fill(rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val post = Vector.fill(rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (i.toLong, s"$pre $shared $post".trim)
+    }
+    val fps = docs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(winnow_fingerprints(col("text"), 3, 4)).as("fp"))
+      .select(col("doc_id"), col("fp.gram").as("gram"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getString(1)).toSet }
+    val common = fps.values.reduce(_ intersect _)
+    assert(common.nonEmpty,
+      "every doc embeds the same 6-token run; winnowing must select a shared gram")
+  }
+
+  test("winnow_fingerprints interpreted eval equals the codegen result") {
+    val text = "the quick brown fox jumps over the lazy dog the quick brown fox"
+    val e = WinnowFingerprints(
+      org.apache.spark.sql.catalyst.expressions.Literal(text), 3, 4)
+    val interpreted = e.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val viaDf = Seq(text).toDF("s")
+      .select(explode(winnow_fingerprints(col("s"), 3, 4)).as("fp"))
+      .select("fp.pos", "fp.gram").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq
+    val interpSeq = (0 until interpreted.numElements()).map { i =>
+      val row = interpreted.getStruct(i, 2)
+      (row.getInt(0), row.getUTF8String(1).toString)
+    }
+    assert(interpSeq == viaDf)
+  }
+
   test("simhash64: identical token sets collide, disjoint sets differ") {
     val df = Seq(
       ("a", Seq("x", "y", "z", "w")),
