@@ -1193,6 +1193,14 @@ object SparkEntry {
         "o_totalprice", lo = 0.0, hi = 500000.0, nBuckets = 10)
     }),
 
+    // token-distribution drift: KL(source || corpus) per source with
+    // add-one smoothing over the corpus vocab — the text counterpart
+    // of dq4's numeric PSI. Absent-term mass folds to closed form
+    // (no source x vocab expansion); the algebra is spec-pinned
+    // against the naive sum, the engine replay here is MATCH
+    "dq5_token_kl" -> ((s, dir) =>
+      Scoring.klDrift(t(s, dir, "documents"), "source", "text")),
+
     "sk1_salted_distinct" -> ((s, dir) =>
       // two-stage salted distinct: exact result, hot keys spread over
       // 32 reducers instead of one
@@ -4721,6 +4729,37 @@ object SparkEntry {
         |             * ln(((n_cur + 1) * 1.0 / (tc + 12))
         |                  / ((n_ref + 1) * 1.0 / (tr + 12))), 6) AS psi_term
         |FROM rc, tot""".stripMargin,
+
+    // the same decomposed form as the operator (absent-term mass in
+    // closed form): per-term arithmetic is expression-identical, so
+    // the engines agree to well past round(4)
+    "dq5_token_kl" ->
+      """WITH cst AS (
+        |  SELECT source AS grp, t, count(*) AS c_st
+        |  FROM (SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+        |        FROM documents)
+        |  WHERE t <> '' GROUP BY 1, 2),
+        |ct AS (SELECT t, sum(c_st) AS c_t FROM cst GROUP BY 1),
+        |nv AS (SELECT count(*) AS v, sum(c_t) AS n FROM ct),
+        |cts AS (SELECT t, ln((c_t + 1.0) / (n + v)) AS ln_q FROM ct CROSS JOIN nv),
+        |lall AS (SELECT sum(ln_q) AS l_all FROM cts),
+        |ns AS (SELECT grp, sum(c_st) AS n_s, count(*) AS v_s FROM cst GROUP BY 1),
+        |direct AS (
+        |  SELECT cst.grp,
+        |         sum(((cst.c_st + 1.0) / (ns.n_s + nv.v)) *
+        |             (ln((cst.c_st + 1.0) / (ns.n_s + nv.v)) - cts.ln_q)) AS direct,
+        |         sum(cts.ln_q) AS l_s
+        |  FROM cst JOIN cts USING (t) JOIN ns USING (grp) CROSS JOIN nv
+        |  GROUP BY 1),
+        |out AS (
+        |  SELECT ns.grp AS source,
+        |         CAST(ns.n_s AS BIGINT) AS n_tokens,
+        |         CAST(ns.v_s AS BIGINT) AS vocab_seen,
+        |         round(direct.direct +
+        |               (nv.v - ns.v_s) * (1.0 / (ns.n_s + nv.v)) * ln(1.0 / (ns.n_s + nv.v)) -
+        |               (1.0 / (ns.n_s + nv.v)) * (lall.l_all - direct.l_s), 4) AS kl_vs_corpus
+        |  FROM ns JOIN direct USING (grp) CROSS JOIN nv CROSS JOIN lall)
+        |SELECT * FROM out""".stripMargin,
 
     "dq2_outliers" ->
       """WITH f AS (

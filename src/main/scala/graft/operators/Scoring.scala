@@ -221,4 +221,60 @@ object Scoring {
       .orderBy(col("avg_log_ratio").desc, col(idCol).asc)
       .limit(topN)
   }
+
+  /** Per-group token-distribution drift vs the whole corpus:
+    * KL(P_g || Q) with add-one smoothing over the corpus vocabulary,
+    * where P_g is group g's unigram distribution and Q the corpus's —
+    * the text counterpart of `DataQuality.psiDrift`'s numeric-column
+    * monitoring (which source's language shifted, is a new snapshot's
+    * mix drifting). Returns (groupCol, n_tokens, vocab_seen,
+    * kl_vs_corpus).
+    *
+    * The sum over vocabulary terms ABSENT from a group is never
+    * expanded: for those terms p is the constant 1/(N_g+V), so their
+    * contribution folds to (V-V_g)·p₀·ln p₀ − p₀·(L − L_g) with
+    * L = Σ_V ln q a corpus scalar and L_g the group's seen-term
+    * partial — algebra pinned against the naive expansion in
+    * ScoringSpec. So the plan touches only SEEN (group, term) rows:
+    * one corpus-wide tokenize shuffle to count them, vocab-sized
+    * re-aggregations, broadcast 1-row scalar frames, and a
+    * group-keyed join of two tiny aggregates. At 1000 sources × 10M
+    * vocab the expanded form is 10B rows; this is bounded by the
+    * nonzero count matrix — the same reason sparse representations
+    * exist.
+    */
+  def klDrift(docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val cst = docs
+      .select(col(groupCol).as("grp"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("grp", "t").agg(count(lit(1)).as("c_st"))
+      .localCheckpoint()
+    val ct = cst.groupBy("t").agg(sum("c_st").as("c_t"))
+    val nv = ct.agg(count(lit(1)).as("v"), sum("c_t").as("n"))
+    val ctS = ct.crossJoin(broadcast(nv))
+      .withColumn("ln_q",
+        log((col("c_t") + lit(1.0)) / (col("n") + col("v"))))
+      .localCheckpoint()
+    val lAll = ctS.agg(sum("ln_q").as("l_all"))
+    val nsF = cst.groupBy("grp")
+      .agg(sum("c_st").as("n_s"), count(lit(1)).as("v_s"))
+    val p = (col("c_st") + lit(1.0)) / (col("n_s") + col("v"))
+    val direct = cst
+      .join(ctS.select("t", "ln_q", "v"), "t")
+      .join(broadcast(nsF.select("grp", "n_s")), "grp")
+      .withColumn("term", p * (log(p) - col("ln_q")))
+      .groupBy("grp")
+      .agg(sum("term").as("direct"), sum("ln_q").as("l_s"))
+    val p0 = lit(1.0) / (col("n_s") + col("v"))
+    nsF.join(direct, "grp")
+      .crossJoin(broadcast(lAll))
+      .crossJoin(broadcast(nv))
+      .select(col("grp").as(groupCol),
+        col("n_s").as("n_tokens"),
+        col("v_s").as("vocab_seen"),
+        round(col("direct") +
+          (col("v") - col("v_s")) * p0 * log(p0) -
+          p0 * (col("l_all") - col("l_s")), 4).as("kl_vs_corpus"))
+  }
 }

@@ -214,6 +214,45 @@ class ScoringSpec extends SparkTestBase {
     assert(w.values.forall(v => !v.isNaN && !v.isInfinite))
   }
 
+  test("klDrift: closed-form absent-term mass equals the naive full-vocab sum") {
+    val docs = Seq(
+      (1L, "a", "the cat sat on the mat"),
+      (2L, "a", "the dog and the cat"),
+      (3L, "b", "lorem ipsum dolor sit amet"),
+      (4L, "b", "ipsum lorem the"),
+      (5L, "c", "the the the the")).toDF("doc_id", "src", "text")
+    val out = Scoring.klDrift(docs, "src", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // naive reference: expand every (group, vocab-term) pair
+    val toks = Seq(
+      "a" -> "the cat sat on the mat the dog and the cat",
+      "b" -> "lorem ipsum dolor sit amet ipsum lorem the",
+      "c" -> "the the the the").map { case (g, t) => g -> t.split(" ").toSeq }
+    val vocab = toks.flatMap(_._2).distinct
+    val v = vocab.size
+    val corpusCounts = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val n = corpusCounts.values.sum
+    toks.foreach { case (g, ts) =>
+      val c = ts.groupBy(identity).view.mapValues(_.size).toMap
+      val ns = ts.size
+      val naive = vocab.map { t =>
+        val p = (c.getOrElse(t, 0) + 1.0) / (ns + v)
+        val q = (corpusCounts(t) + 1.0) / (n + v)
+        p * math.log(p / q)
+      }.sum
+      val (nTok, vSeen, kl) = out(g)
+      assert(nTok == ns && vSeen == c.size)
+      assert(math.abs(kl - naive) < 5e-5,
+        s"group $g: decomposed $kl vs naive $naive")
+    }
+    // the off-vocabulary group (latin) diverges more than the
+    // corpus-typical one; the 4-token group c is NOT asserted against
+    // — add-one smoothing flattens tiny groups toward uniform, which
+    // is the correct regularized behavior, not a drift signal
+    assert(out("b")._3 > out("a")._3)
+  }
+
   test("perplexity bands: typical docs head, anomalous tail, every doc labeled") {
     // 8 template-y docs share a vocabulary; 2 outliers use words seen
     // nowhere else (low unigram prob -> highest perplexity -> tail)
