@@ -1025,6 +1025,13 @@ object SparkEntry {
       TextAnalysis.winnowFingerprints(t(s, dir, "documents"),
         "doc_id", "text", gramSize = 3, window = 4)),
 
+    // the blocking stage winnowing exists for: candidate pairs by
+    // fingerprint collision with the shared count; hot fingerprints
+    // (df > cap) dropped deterministically as boilerplate
+    "dd19_winnow_pairs" -> ((s, dir) =>
+      TextAnalysis.winnowCandidatePairs(t(s, dir, "documents"),
+        "doc_id", "text", gramSize = 3, window = 4, maxBucketSize = 1000)),
+
     "ta3_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
@@ -3439,6 +3446,28 @@ object SparkEntry {
         |        FROM g)
         |SELECT DISTINCT doc_id, CAST(fp.p AS INT) AS pos, fp.g AS gram
         |FROM (SELECT doc_id, unnest(s) AS fp FROM sel)""".stripMargin,
+
+    // ta6's fingerprint sets joined on collision, df-capped at 1000
+    "dd19_winnow_pairs" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+        |             FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(l) <= 3 THEN [{'g': array_to_string(l, ' '), 'p': 0}]
+        |             ELSE [{'g': array_to_string(l[i:i+2], ' '), 'p': i - 1}
+        |                   for i in range(1, len(l) - 1)] END AS gl
+        |      FROM tok),
+        |sel AS (SELECT doc_id,
+        |          CASE WHEN len(gl) <= 4 THEN [list_sort(gl)[1]]
+        |               ELSE [list_sort(gl[i+1:i+4])[1]
+        |                     for i in range(0, len(gl) - 3)] END AS s
+        |        FROM g),
+        |fp AS (SELECT DISTINCT doc_id, f.g AS gram
+        |       FROM (SELECT doc_id, unnest(s) AS f FROM sel)),
+        |keep AS (SELECT gram FROM fp GROUP BY gram HAVING count(*) <= 1000)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_fps
+        |FROM fp a JOIN keep USING (gram) JOIN fp b USING (gram)
+        |WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
 
     "sp1_stratified_sample" ->
       """SELECT doc_id, lang FROM (

@@ -119,6 +119,38 @@ object TextAnalysis {
         .as("fp"))
       .select(col(idCol), col("fp.pos").as("pos"), col("fp.gram").as("gram"))
 
+  /** Candidate near-dup pairs by winnowing-fingerprint collision:
+    * docs sharing ≥1 selected fingerprint, with the shared count —
+    * the blocking stage a substring-level dedup verifies afterwards
+    * (recall-complete for runs of window+gramSize-1 tokens, per the
+    * winnowing guarantee). Fingerprints occurring in more than
+    * `maxBucketSize` docs are dropped before pair generation: a hot
+    * fingerprint is corpus boilerplate (the dd9/dd18 signal), and its
+    * m² pairs are the blowup the cap bounds — the df filter is
+    * deterministic, so the cap is part of the operator's contract,
+    * not a silent truncation. One fingerprint-keyed shuffle sized by
+    * the winnowed density (~2/(window+1) of the gram stream), then a
+    * bucket-keyed self-join that streams pairs through codegen.
+    */
+  def winnowCandidatePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      gramSize: Int = 3,
+      window: Int = 4,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val fps = winnowFingerprints(docs, idCol, textCol, gramSize, window)
+      .select(col(idCol).as("id"), col("gram")).distinct()
+    val sized = fps.join(
+      fps.groupBy("gram").agg(count(lit(1)).as("__df")), "gram")
+    val small = sized.filter(col("__df") <= maxBucketSize)
+    small.select(col("gram"), col("id").as("id_a"))
+      .join(small.select(col("gram"), col("id").as("id_b")), Seq("gram"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared_fps"))
+  }
+
   /** One-stop annotation: append the standard stats columns. */
   def annotate(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -106,6 +106,25 @@ class TextExpressionsSpec extends SparkTestBase {
       "every doc embeds the same 6-token run; winnowing must select a shared gram")
   }
 
+  test("winnow candidate pairs: sharing docs pair up, hot fingerprints capped out") {
+    // docs 1 and 2 share a 6-token run (w+k-1) -> must pair; doc 3 is
+    // disjoint vocabulary -> never pairs
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff gg hh"),
+      (2L, "xx yy aa bb cc dd ee ff zz"),
+      (3L, "qq rr ss tt uu vv ww")).toDF("doc_id", "text")
+    val pairs = graft.operators.TextAnalysis.winnowCandidatePairs(
+      docs, "doc_id", "text", gramSize = 3, window = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    // cap: with maxBucketSize = 1 every fingerprint shared by both
+    // docs is boilerplate-dropped -> no pairs survive
+    val capped = graft.operators.TextAnalysis.winnowCandidatePairs(
+      docs, "doc_id", "text", gramSize = 3, window = 4, maxBucketSize = 1)
+      .count()
+    assert(capped == 0L)
+  }
+
   test("winnow_fingerprints interpreted eval equals the codegen result") {
     val text = "the quick brown fox jumps over the lazy dog the quick brown fox"
     val e = WinnowFingerprints(
