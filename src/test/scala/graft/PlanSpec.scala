@@ -352,4 +352,34 @@ class PlanSpec extends SparkTestBase {
       l.contains("hashpartitioning") && l.contains("_w")))
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
   }
+
+  test("ta6 winnowing is a shuffle-free codegen generate over the scan") {
+    val df = SparkEntry.queries("ta6_winnow_fingerprints")(spark, sf())
+    df.collect() // force codegen compilation
+    val p = df.queryExecution.executedPlan.toString
+    // fingerprint selection happens in the fused kernel at the scan:
+    // no exchange, no join, no window — at 100 TB only the selected
+    // ~2/(w+1) density ever leaves the stage
+    assert(!p.contains("Exchange"), s"winnowing must not shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"))
+    assert(p.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("winnow_fingerprints")))
+    assert(!p.contains("CodegenFallback"))
+  }
+
+  test("dd18 hot-span excision windows per doc and never shuffles text") {
+    val df = SparkEntry.queries("dd18_hot_span_excision")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    // the islands window partitions by train_id over MATCHED positions
+    assert(p.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("train_id")))
+    assert(!p.contains("SinglePartition"), s"global window:\n$p")
+    // gram traffic is 8-byte hashes: no exchange row carries the text
+    // column (text appears only in scan/project/local nodes)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty &&
+      exchanges.forall(l => !l.contains("text#")),
+      s"text must never shuffle:\n${exchanges.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
