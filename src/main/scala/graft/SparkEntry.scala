@@ -1200,6 +1200,18 @@ object SparkEntry {
         "o_totalprice", lo = 0.0, hi = 500000.0, nBuckets = 10)
     }),
 
+    // unbinned drift: two-sample KS statistic over the same split as
+    // dq4's PSI — sup |ECDF_ref - ECDF_cur| with the value where it
+    // occurs, via the distributed two-counter prefix sum
+    "dq6_ks_drift" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      DataQuality.ksDrift(
+        o.filter(col("o_orderkey") % 3 < 2),
+        o.filter(col("o_orderkey") % 3 === 2 &&
+          col("o_totalprice") < 300000),
+        "o_totalprice")
+    }),
+
     // token-distribution drift: KL(source || corpus) per source with
     // add-one smoothing over the corpus vocab — the text counterpart
     // of dq4's numeric PSI. Absent-term mass folds to closed form
@@ -4758,6 +4770,32 @@ object SparkEntry {
         |             * ln(((n_cur + 1) * 1.0 / (tc + 12))
         |                  / ((n_ref + 1) * 1.0 / (tr + 12))), 6) AS psi_term
         |FROM rc, tot""".stripMargin,
+
+    // integer counts + one IEEE division per ECDF point + a max:
+    // bit-identical across engines; the struct max ties toward the
+    // larger value in both
+    "dq6_ks_drift" ->
+      """WITH av AS (SELECT o_totalprice AS v FROM orders
+        |            WHERE o_orderkey % 3 < 2 AND o_totalprice IS NOT NULL),
+        |bv AS (SELECT o_totalprice AS v FROM orders
+        |       WHERE o_orderkey % 3 = 2 AND o_totalprice < 300000
+        |         AND o_totalprice IS NOT NULL),
+        |m AS (SELECT v, sum(ca) AS ca, sum(cb) AS cb FROM (
+        |        SELECT v, count(*) AS ca, 0 AS cb FROM av GROUP BY 1
+        |        UNION ALL
+        |        SELECT v, 0 AS ca, count(*) AS cb FROM bv GROUP BY 1)
+        |      GROUP BY 1),
+        |c AS (SELECT v,
+        |        sum(ca) OVER (ORDER BY v) AS cca,
+        |        sum(cb) OVER (ORDER BY v) AS ccb FROM m),
+        |tot AS (SELECT (SELECT count(*) FROM av) AS na,
+        |               (SELECT count(*) FROM bv) AS nb),
+        |d AS (SELECT v, abs(CAST(cca AS DOUBLE) / na - CAST(ccb AS DOUBLE) / nb) AS diff
+        |      FROM c CROSS JOIN tot),
+        |best AS (SELECT max({'d': diff, 'v': v}) AS s FROM d)
+        |SELECT round(best.s.d, 6) AS ks_stat, best.s.v AS at_value,
+        |       CAST(tot.na AS BIGINT) AS n_ref, CAST(tot.nb AS BIGINT) AS n_cur
+        |FROM best CROSS JOIN tot""".stripMargin,
 
     // the same decomposed form as the operator (absent-term mass in
     // closed form): per-term arithmetic is expression-identical, so

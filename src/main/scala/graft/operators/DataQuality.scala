@@ -258,6 +258,46 @@ object DataQuality {
       .select("bucket", "n_ref", "n_cur", "psi_term")
   }
 
+  /** Two-sample Kolmogorov-Smirnov drift test: the supremum distance
+    * between the samples' empirical CDFs, with the value where it
+    * occurs — the UNBINNED companion to [[psiDrift]] (no lo/hi/bucket
+    * choices to tune, and sensitive to shifts PSI's coarse bins
+    * smear). Returns ONE row (ks_stat, at_value, n_ref, n_cur).
+    *
+    * Exactness: counts are integers, each ECDF value is one IEEE
+    * division, the statistic is a max — no floating sums anywhere, so
+    * an independent engine reproduces it bit-for-bit (tie on the max
+    * resolved toward the larger value by the struct ordering).
+    *
+    * Scale shape: per-value counts for BOTH sides in one shuffle,
+    * then the global running ECDF via [[Packing.cumulativeMulti]] —
+    * the range-bucketed distributed prefix sum (one window pass for
+    * both counters, never a SinglePartition sort), totals as a
+    * broadcast 1-row frame, one final max aggregate. Cost is
+    * O(distinct values) after the first aggregate.
+    */
+  def ksDrift(reference: DataFrame, current: DataFrame,
+      valueCol: String, buckets: Int = 64): DataFrame = {
+    def counts(df: DataFrame, mine: String, other: String) = df
+      .select(col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as(mine))
+      .withColumn(other, lit(0L))
+    val merged = counts(reference, "ca", "cb")
+      .unionByName(counts(current, "cb", "ca"))
+      .groupBy("v").agg(sum("ca").as("ca"), sum("cb").as("cb"))
+    val totals = merged.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    val cum = Packing.cumulativeMulti(merged, "v", Seq("ca", "cb"), buckets)
+    cum.crossJoin(broadcast(totals))
+      .withColumn("__diff", abs(
+        col("cum_ca").cast("double") / col("na") -
+          col("cum_cb").cast("double") / col("nb")))
+      .agg(max(struct(col("__diff").as("d"), col("v").as("v"))).as("s"),
+        first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .select(round(col("s.d"), 6).as("ks_stat"), col("s.v").as("at_value"),
+        col("na").cast("long").as("n_ref"), col("nb").cast("long").as("n_cur"))
+  }
+
   def rowChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty)
     val aggs = checks.zipWithIndex.map { case ((_, pred), i) =>

@@ -36,8 +36,19 @@ object Packing {
     * `orderCol` order. `orderCol` must be numeric-castable and unique
     * (document ids); `valueCol` must be non-negative. */
   def cumulative(df: DataFrame, orderCol: String, valueCol: String,
-      buckets: Int = 64): DataFrame = {
+      buckets: Int = 64): DataFrame =
+    cumulativeMulti(df, orderCol, Seq(valueCol), buckets)
+      .withColumnRenamed(s"cum_$valueCol", "cum")
+
+  /** [[cumulative]] for several value columns sharing ONE bucket
+    * assignment, window pass, and offsets collect — prefix sums that
+    * must line up row-for-row (e.g. two samples' ECDF counts in a KS
+    * test) pay one shuffle instead of one per column. Appends
+    * `cum_<col>` per input column. */
+  def cumulativeMulti(df: DataFrame, orderCol: String,
+      valueCols: Seq[String], buckets: Int = 64): DataFrame = {
     require(buckets >= 1, "need at least one bucket")
+    require(valueCols.nonEmpty, "need at least one value column")
     val spark = df.sparkSession
     // range boundaries over the order key; exactness does not depend
     // on them (they only balance the buckets)
@@ -52,24 +63,35 @@ object Packing {
     val local = df.withColumn("__bucket", bucket)
     val w = Window.partitionBy("__bucket").orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withLocal = local.withColumn("__cum_local",
-      sum(col(valueCol).cast("long")).over(w))
+    val withLocal = valueCols.foldLeft(local) { (acc, c) =>
+      acc.withColumn(s"__cl_$c", sum(col(c).cast("long")).over(w))
+    }
     // per-bucket totals: tiny by construction (<= `buckets` rows)
+    val totalAggs = valueCols.map(c => sum(col(c).cast("long")).as(s"__t_$c"))
     val totals = local.groupBy("__bucket")
-      .agg(sum(col(valueCol).cast("long")).as("__total"))
+      .agg(totalAggs.head, totalAggs.tail: _*)
       .orderBy("__bucket")
       .collect()
-    var acc = 0L
-    val offsets = totals.map { row =>
-      val pair = (row.getInt(0), acc) // exclusive prefix: offset BEFORE this bucket
-      acc += row.getLong(1)
-      pair
+    val accs = Array.fill(valueCols.size)(0L)
+    val offsetRows = totals.map { row =>
+      // exclusive prefix: offset BEFORE this bucket, per column
+      val r = org.apache.spark.sql.Row.fromSeq(
+        row.getInt(0) +: accs.toSeq)
+      valueCols.indices.foreach(i => accs(i) += row.getLong(i + 1))
+      r
     }.toSeq
-    val offsetDf = spark.createDataFrame(offsets)
-      .toDF("__bucket", "__offset")
-    withLocal.join(broadcast(offsetDf), "__bucket")
-      .withColumn("cum", col("__cum_local") + col("__offset"))
-      .drop("__bucket", "__cum_local", "__offset")
+    val offsetSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__bucket",
+        org.apache.spark.sql.types.IntegerType, nullable = false) +:
+        valueCols.map(c => org.apache.spark.sql.types.StructField(
+          s"__off_$c", org.apache.spark.sql.types.LongType, nullable = false)))
+    val offsetDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsetRows, 1), offsetSchema)
+    val joined = withLocal.join(broadcast(offsetDf), "__bucket")
+    valueCols.foldLeft(joined) { (acc, c) =>
+      acc.withColumn(s"cum_$c", col(s"__cl_$c") + col(s"__off_$c"))
+        .drop(s"__cl_$c", s"__off_$c")
+    }.drop("__bucket")
   }
 
   /** Shard assignment under `budget` tokens per shard: a document

@@ -185,6 +185,28 @@ class DiffWinsorizeSpec extends SparkTestBase {
     assert(one == 1L)
   }
 
+  test("ks drift equals the all-values reference model and locates the sup") {
+    val aVals = (1 to 100).map(_.toDouble)
+    val bVals = (41 to 140).map(_.toDouble) // shifted by 40
+    val ref = aVals.toDF("x")
+    val cur = bVals.toDF("x")
+    val r = DataQuality.ksDrift(ref, cur, "x", buckets = 8).collect().head
+    // naive reference: evaluate |Fa - Fb| at every observed value
+    val all = (aVals ++ bVals).distinct.sorted
+    val naive = all.map { v =>
+      val fa = aVals.count(_ <= v).toDouble / aVals.size
+      val fb = bVals.count(_ <= v).toDouble / bVals.size
+      (math.abs(fa - fb), v)
+    }.max // (diff, value) max == the operator's struct ordering
+    assert(math.abs(r.getDouble(0) - naive._1) < 1e-9,
+      s"ks ${r.getDouble(0)} vs naive ${naive._1}")
+    assert(r.getDouble(1) == naive._2)
+    assert(r.getLong(2) == 100L && r.getLong(3) == 100L)
+    // identical samples: zero drift
+    val same = DataQuality.ksDrift(ref, aVals.toDF("x"), "x").collect().head
+    assert(same.getDouble(0) == 0.0)
+  }
+
   test("psi drift: identical frames score ~0, drained bucket dominates, all finite") {
     val ref = (0 until 100).map(i => Tuple1((i % 10).toDouble * 10 + 5)).toDF("v")
     // current: bucket 9 (90..100) drained into bucket 0
