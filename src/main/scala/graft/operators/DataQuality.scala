@@ -283,9 +283,14 @@ object DataQuality {
       .filter(col("v").isNotNull)
       .groupBy("v").agg(count(lit(1)).as(mine))
       .withColumn(other, lit(0L))
+    // distinct-value-sized (bounded); materialized once — four
+    // consumers otherwise replay the two input scans each (the
+    // quantile probe, the bucket-totals collect, the broadcast
+    // totals, and the final pass)
     val merged = counts(reference, "ca", "cb")
       .unionByName(counts(current, "cb", "ca"))
       .groupBy("v").agg(sum("ca").as("ca"), sum("cb").as("cb"))
+      .localCheckpoint()
     val totals = merged.agg(sum("ca").as("na"), sum("cb").as("nb"))
     val cum = Packing.cumulativeMulti(merged, "v", Seq("ca", "cb"), buckets)
     cum.crossJoin(broadcast(totals))

@@ -13,6 +13,7 @@ object Probe {
     if (args.headOption.contains("r4probe")) { r4probe(spark, dir); spark.stop(); return }
     if (args.headOption.contains("r5probe")) { r5probe(spark, dir); spark.stop(); return }
     if (args.headOption.contains("r5bprobe")) { r5bprobe(spark, dir); spark.stop(); return }
+    if (args.headOption.contains("r5cprobe")) { r5cprobe(spark, dir); spark.stop(); return }
     if (args.headOption.contains("jdbcYardstick")) { jdbcYardstick(spark, dir); spark.stop(); return }
     if (args.headOption.contains("dd4")) { dd4(spark, dir); spark.stop(); return }
     if (args.headOption.contains("dotKernel")) { dotKernel(spark, dir); spark.stop(); return }
@@ -348,6 +349,44 @@ object Probe {
 
   /** 10× pricing for the second half of round 5: PageRank, heavy
     * hitters, HTML extraction, chat spans, z-order, salted join. */
+  /** 10x probe for the round-5c operators: hot-span excision,
+    * winnowing (fingerprints + pairs), token-KL drift, KS drift. */
+  def r5cprobe(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.DataFrame
+    def x10(name: String, idCols: Seq[String]): DataFrame = {
+      val base = spark.read.parquet(s"$dir/$name.parquet")
+      (0 until 10).map { i =>
+        idCols.foldLeft(base)((df, c) =>
+          df.withColumn(c, col(c) + lit(i.toLong * 100000000L)))
+      }.reduce(_.unionAll(_))
+    }
+    def timed(label: String)(f: => Long): Unit = {
+      val t = System.nanoTime(); val n = f
+      println(f"=== r5cprobe $label: ${(System.nanoTime() - t) / 1e9}%.1fs ($n%,d rows)")
+    }
+    spark.read.parquet(s"$dir/region.parquet").count() // warm
+    val docs = x10("documents", Seq("doc_id"))
+    val orders = x10("orders", Seq("o_orderkey"))
+    // 10 id-shifted copies make every hot gram 10x hotter AND give
+    // every doc 9 non-owner copies: worst-case excision density
+    timed("dd18 hot-span excision 50K docs")(
+      graft.operators.Decontaminate.hotSpanExcision(
+        docs, "doc_id", "text", gramSize = 3, minDocs = 50).count())
+    timed("ta6 winnow fingerprints 50K docs")(
+      graft.operators.TextAnalysis.winnowFingerprints(
+        docs, "doc_id", "text", 3, 4).count())
+    timed("dd19 winnow pairs 50K docs (pair count is the cost)")(
+      graft.operators.TextAnalysis.winnowCandidatePairs(
+        docs, "doc_id", "text", 3, 4, maxBucketSize = 1000).count())
+    timed("dq5 token KL 20 sources x 500K tokens")(
+      graft.operators.Scoring.klDrift(docs, "source", "text").count())
+    timed("dq6 KS drift 150K vs 50K values")(
+      graft.operators.DataQuality.ksDrift(
+        orders.filter(col("o_orderkey") % 3 < 2),
+        orders.filter(col("o_orderkey") % 3 === 2),
+        "o_totalprice").count())
+  }
+
   def r5bprobe(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     import org.apache.spark.sql.DataFrame
     def x10(name: String, idCols: Seq[String]): DataFrame = {
