@@ -1200,6 +1200,25 @@ object SparkEntry {
         "o_totalprice", lo = 0.0, hi = 500000.0, nBuckets = 10)
     }),
 
+    // replication validation: chunk-level MD5-XOR digests of lineitem
+    // vs a deliberately perturbed copy (chunk 1 mutated, chunk 5
+    // missing rows) — only digests cross the wire, mismatched chunks
+    // localize the damage
+    "dq7_replication_checksum" -> ((s, dir) => {
+      val cols = Seq("l_orderkey", "l_linenumber", "l_quantity",
+        "l_returnflag", "l_linestatus")
+      val src = DataQuality.tableChecksum(
+        t(s, dir, "lineitem"), "l_orderkey", 1000L, cols)
+      val perturbed = t(s, dir, "lineitem")
+        .withColumn("l_quantity",
+          when(col("l_orderkey").between(1000, 1999), col("l_quantity") + 1.0)
+            .otherwise(col("l_quantity")))
+        .filter(!(col("l_orderkey").between(5000, 5999) &&
+          col("l_linenumber") === 1))
+      val dst = DataQuality.tableChecksum(perturbed, "l_orderkey", 1000L, cols)
+      DataQuality.checksumCompare(src, dst)
+    }),
+
     // unbinned drift: two-sample KS statistic over the same split as
     // dq4's PSI — sup |ECDF_ref - ECDF_cur| with the value where it
     // occurs, via the distributed two-counter prefix sum
@@ -4770,6 +4789,49 @@ object SparkEntry {
         |             * ln(((n_cur + 1) * 1.0 / (tc + 12))
         |                  / ((n_ref + 1) * 1.0 / (tr + 12))), 6) AS psi_term
         |FROM rc, tot""".stripMargin,
+
+    // the digest is engine-portable by construction: MD5 of the
+    // 0x1f-joined canonical string, first 15 hex chars as a 60-bit
+    // int, XOR-aggregated — DuckDB computes the identical digests
+    "dq7_replication_checksum" ->
+      """WITH canon AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus,
+        |         CAST(floor(l_orderkey / 1000) AS BIGINT) AS chunk
+        |  FROM lineitem),
+        |src AS (
+        |  SELECT chunk, count(*) AS n_src,
+        |         bit_xor(CAST(concat('0x', substr(md5(concat_ws(chr(31),
+        |           coalesce(CAST(l_orderkey AS VARCHAR), chr(1)),
+        |           coalesce(CAST(l_linenumber AS VARCHAR), chr(1)),
+        |           coalesce(CAST(l_quantity AS VARCHAR), chr(1)),
+        |           coalesce(CAST(l_returnflag AS VARCHAR), chr(1)),
+        |           coalesce(CAST(l_linestatus AS VARCHAR), chr(1)))), 1, 15))
+        |           AS BIGINT)) AS digest_src
+        |  FROM canon GROUP BY 1),
+        |pert AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CASE WHEN l_orderkey BETWEEN 1000 AND 1999
+        |              THEN l_quantity + 1 ELSE l_quantity END AS l_quantity,
+        |         l_returnflag, l_linestatus,
+        |         CAST(floor(l_orderkey / 1000) AS BIGINT) AS chunk
+        |  FROM lineitem
+        |  WHERE NOT (l_orderkey BETWEEN 5000 AND 5999 AND l_linenumber = 1)),
+        |dst AS (
+        |  SELECT chunk, count(*) AS n_dst,
+        |         bit_xor(CAST(concat('0x', substr(md5(concat_ws(chr(31),
+        |           coalesce(CAST(l_orderkey AS VARCHAR), chr(1)),
+        |           coalesce(CAST(l_linenumber AS VARCHAR), chr(1)),
+        |           coalesce(CAST(l_quantity AS VARCHAR), chr(1)),
+        |           coalesce(CAST(l_returnflag AS VARCHAR), chr(1)),
+        |           coalesce(CAST(l_linestatus AS VARCHAR), chr(1)))), 1, 15))
+        |           AS BIGINT)) AS digest_dst
+        |  FROM pert GROUP BY 1)
+        |SELECT chunk,
+        |       coalesce(s.n_src, 0) AS n_src,
+        |       coalesce(d.n_dst, 0) AS n_dst,
+        |       (coalesce(s.n_src, 0) = coalesce(d.n_dst, 0) AND
+        |        s.digest_src IS NOT DISTINCT FROM d.digest_dst) AS chunk_ok
+        |FROM src s FULL OUTER JOIN dst d USING (chunk)""".stripMargin,
 
     // integer counts + one IEEE division per ECDF point + a max:
     // bit-identical across engines; the struct max ties toward the

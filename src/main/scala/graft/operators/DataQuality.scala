@@ -303,6 +303,53 @@ object DataQuality {
         col("na").cast("long").as("n_ref"), col("nb").cast("long").as("n_cur"))
   }
 
+  /** Chunk-level table checksum (pt-table-checksum shape): rows hash
+    * row-locally into a 60-bit MD5-derived digest, chunks (pk ranges)
+    * XOR them order-independently — so validating a replicated table
+    * moves ONE digest row per chunk across the wire, never data. The
+    * digest is engine-portable by construction (MD5 of a canonical
+    * 0x01-for-NULL, 0x1f-separated string; XOR has no overflow and no
+    * ordering), which is the whole point: the sink database computes
+    * the same digests in its own SQL dialect and only mismatched
+    * chunks are re-replicated or row-diffed (see [[diff]] for the
+    * co-located row-level form).
+    *
+    * `cols` should render identically via CAST-to-string in every
+    * engine involved (integers, strings, fixed-decimal doubles);
+    * include the PK so duplicate rows cannot XOR-cancel.
+    * Returns (chunk, n_rows, digest).
+    */
+  def tableChecksum(df: DataFrame, chunkCol: String, chunkSize: Long,
+      cols: Seq[String]): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize=$chunkSize")
+    require(cols.nonEmpty, "need at least one column to checksum")
+    val canon = concat_ws("\u001f",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0001"))): _*)
+    val rowHash = conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
+    df.select(floor(col(chunkCol) / chunkSize).cast("long").as("chunk"),
+        rowHash.as("__h"))
+      .groupBy("chunk")
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(__h)").as("digest"))
+  }
+
+  /** Compare two [[tableChecksum]] outputs: one row per chunk present
+    * on either side, with count and digest verdicts — the replication
+    * validation report. Missing chunks report zero rows and a null
+    * digest; `chunk_ok` is true only when counts AND digests agree.
+    */
+  def checksumCompare(src: DataFrame, dst: DataFrame): DataFrame = {
+    val s = src.select(col("chunk"), col("n_rows").as("n_src"),
+      col("digest").as("digest_src"))
+    val d = dst.select(col("chunk"), col("n_rows").as("n_dst"),
+      col("digest").as("digest_dst"))
+    s.join(d, Seq("chunk"), "full_outer")
+      .select(col("chunk"),
+        coalesce(col("n_src"), lit(0L)).as("n_src"),
+        coalesce(col("n_dst"), lit(0L)).as("n_dst"),
+        (coalesce(col("n_src"), lit(0L)) === coalesce(col("n_dst"), lit(0L)) &&
+          col("digest_src") <=> col("digest_dst")).as("chunk_ok"))
+  }
+
   def rowChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty)
     val aggs = checks.zipWithIndex.map { case ((_, pred), i) =>

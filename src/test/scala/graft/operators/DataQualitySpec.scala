@@ -103,6 +103,36 @@ class DataQualitySpec extends SparkTestBase {
     assert(out.toSeq == Seq((None, 1000.0)))
   }
 
+  test("table checksum localizes planted corruption to exactly its chunks") {
+    import org.apache.spark.sql.functions._
+    val cols = Seq("id", "v")
+    val src = (0 until 100).map(i =>
+      (i.toLong, if (i == 90) null else s"val_$i")).toDF("id", "v")
+    val dst = src
+      .withColumn("v", when(col("id") === 25, lit("tampered")).otherwise(col("v")))
+      .filter(col("id") =!= 47)
+    val report = DataQuality.checksumCompare(
+      DataQuality.tableChecksum(src, "id", 10L, cols),
+      DataQuality.tableChecksum(dst, "id", 10L, cols))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(report.size == 10)
+    assert(report(2L) == ((10L, 10L, false)), "mutated value: digest mismatch")
+    assert(report(4L) == ((10L, 9L, false)), "deleted row: count mismatch")
+    // every other chunk — including the one with the NULL row — agrees
+    (0L until 10L).filterNot(Set(2L, 4L)).foreach { c =>
+      assert(report(c) == ((10L, 10L, true)), s"chunk $c must match")
+    }
+    // identical tables: every chunk ok
+    val clean = DataQuality.checksumCompare(
+      DataQuality.tableChecksum(src, "id", 10L, cols),
+      DataQuality.tableChecksum(
+        (0 until 100).map(i => (i.toLong, if (i == 90) null else s"val_$i"))
+          .toDF("id", "v"), "id", 10L, cols))
+      .collect()
+    assert(clean.forall(_.getBoolean(3)))
+  }
+
   test("a clean table reports zero violations on every check") {
     val clean = Seq((1L, "A", 1.0), (2L, "B", 2.0)).toDF("id", "status", "amount")
     val got = DataQuality.report(
