@@ -1200,6 +1200,23 @@ object SparkEntry {
         "o_totalprice", lo = 0.0, hi = 500000.0, nBuckets = 10)
     }),
 
+    // the repair step dq7's validation exists for: keep agreeing
+    // chunks from the sink, re-replicate only the damaged ones —
+    // after repair the sink must equal the source EXACTLY, which is
+    // the whole oracle
+    "m8_checksum_repair" -> ((s, dir) => {
+      val cols = Seq("l_orderkey", "l_linenumber", "l_quantity",
+        "l_returnflag", "l_linestatus")
+      val corrupted = t(s, dir, "lineitem")
+        .withColumn("l_quantity",
+          when(col("l_orderkey").between(1000, 1999), col("l_quantity") + 1.0)
+            .otherwise(col("l_quantity")))
+        .filter(!(col("l_orderkey").between(5000, 5999) &&
+          col("l_linenumber") === 1))
+      Modes.checksumRepair(t(s, dir, "lineitem"), corrupted,
+        "l_orderkey", 1000L, cols)
+    }),
+
     // replication validation: chunk-level MD5-XOR digests of lineitem
     // vs a deliberately perturbed copy (chunk 1 mutated, chunk 5
     // missing rows) — only digests cross the wire, mismatched chunks
@@ -4789,6 +4806,9 @@ object SparkEntry {
         |             * ln(((n_cur + 1) * 1.0 / (tc + 12))
         |                  / ((n_ref + 1) * 1.0 / (tr + 12))), 6) AS psi_term
         |FROM rc, tot""".stripMargin,
+
+    // repaired sink == the source, full stop
+    "m8_checksum_repair" -> "SELECT * FROM lineitem",
 
     // the digest is engine-portable by construction: MD5 of the
     // 0x1f-joined canonical string, first 15 hex chars as a 60-bit

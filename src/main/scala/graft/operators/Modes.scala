@@ -102,4 +102,37 @@ object Modes {
       .filter(col(opCol) =!= "D")
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Checksum-driven repair — the step [[DataQuality.tableChecksum]]
+    * validation exists for: keep the sink's rows where the chunk
+    * digests agree, re-replicate from the source ONLY the chunks that
+    * don't. After repair the sink equals the source exactly (modulo
+    * the 60-bit digest collision odds), which is precisely what the
+    * oracle checks.
+    *
+    * Scale shape: the mismatched-chunk set is a broadcast frame
+    * (bounded by table/chunkSize rows, and by damage in practice), so
+    * the sink pass is an anti join against it and the source pass a
+    * semi join — only damaged chunks' rows ever move, the
+    * re-replication analogue of dd14's "never rescan the corpus".
+    * `cols` must cover every column the repair should guarantee
+    * (an uncovered column can differ without tripping a digest).
+    */
+  def checksumRepair(src: DataFrame, dst: DataFrame, chunkCol: String,
+      chunkSize: Long, cols: Seq[String]): DataFrame = {
+    val bad = DataQuality.checksumCompare(
+        DataQuality.tableChecksum(src, chunkCol, chunkSize, cols),
+        DataQuality.tableChecksum(dst, chunkCol, chunkSize, cols))
+      .filter(!col("chunk_ok"))
+      .select(col("chunk").as("__bad_chunk"))
+    def chunked(df: DataFrame) = df.withColumn("__chunk",
+      org.apache.spark.sql.functions.floor(col(chunkCol) / chunkSize)
+        .cast("long"))
+    chunked(dst)
+      .join(broadcast(bad), col("__chunk") === col("__bad_chunk"), "left_anti")
+      .unionByName(chunked(src)
+        .join(broadcast(bad), col("__chunk") === col("__bad_chunk"),
+          "left_semi"))
+      .drop("__chunk")
+  }
 }

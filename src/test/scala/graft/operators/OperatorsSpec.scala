@@ -635,6 +635,24 @@ class ModesSpec extends SparkTestBase {
     assert(out.count() == 2)
   }
 
+  test("checksumRepair restores the source exactly, touching only bad chunks") {
+    import org.apache.spark.sql.functions._
+    val src = (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val dst = src
+      .withColumn("v", when(col("id") === 33, lit("corrupt")).otherwise(col("v")))
+      .filter(col("id") =!= 77)
+    val repaired = Modes.checksumRepair(src, dst, "id", 10L, Seq("id", "v"))
+    assert(repaired.columns.toSeq == dst.columns.toSeq)
+    val got = repaired.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = (0 until 100).map(i => i.toLong -> s"v$i").toMap
+    assert(got == want, "repair must equal the source")
+    // an identical sink passes through untouched (no chunk qualifies)
+    val noop = Modes.checksumRepair(src,
+      (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "v"),
+      "id", 10L, Seq("id", "v"))
+    assert(noop.count() == 100)
+  }
+
   test("applyChanges: latest-wins per key, deletes remove, inserts add") {
     val target = Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("k", "v")
     val changes = Seq(
