@@ -1151,6 +1151,23 @@ object SparkEntry {
         iterations = 5)
     }),
 
+    // degree-oriented triangle enumeration on a deterministic
+    // ring+chord graph (u—u+1, u—u+2): every consecutive id triple
+    // closes, so the fixture pins both the wedge build and the
+    // close check; input edges arrive duplicated and reversed to
+    // exercise canonicalization
+    "pr2_triangles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mxF = docs.agg(max("doc_id").as("mx"))
+      val base = docs.select(col("doc_id").as("s")).crossJoin(broadcast(mxF))
+      def chord(k: Int) = base
+        .select(col("s"), (col("s") + k).as("t"), col("mx"))
+        .filter(col("t") <= col("mx")).select("s", "t")
+      val edges = chord(1).unionByName(chord(2))
+        .unionByName(chord(1).select(col("t").as("s"), col("s").as("t")))
+      LinkGraph.triangles(edges, "s", "t")
+    }),
+
     // mergeable-sketch vocabulary: per-lang HLL estimates + an ALL row
     // built by UNIONING the sketches (rows-only: Datasketches HLL is
     // engine-specific; ProfilingSpec bounds error vs exact)
@@ -3670,6 +3687,22 @@ object SparkEntry {
         |FROM e""".stripMargin,
 
     "pr1_pagerank" -> pr1OracleSql(5),
+
+    // canonical 3-way join with a < b < c counts each triangle once;
+    // the reversed duplicate edges in the fixture collapse in the
+    // UNION's set semantics like the operator's distinct
+    "pr2_triangles" ->
+      """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+        |e AS (
+        |  SELECT doc_id AS u, doc_id + 1 AS v FROM documents CROSS JOIN mx
+        |  WHERE doc_id + 1 <= m
+        |  UNION
+        |  SELECT doc_id, doc_id + 2 FROM documents CROSS JOIN mx
+        |  WHERE doc_id + 2 <= m)
+        |SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |FROM e e1
+        |JOIN e e2 ON e2.u = e1.v
+        |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
 
     "sk1_salted_distinct" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_distinct_o_custkey

@@ -91,4 +91,53 @@ object LinkGraph {
     }
     rank
   }
+
+  /** Triangle enumeration by DEGREE ORIENTATION (the MapReduce
+    * triangle-counting standard): undirected edges orient from the
+    * lower-(degree, id) endpoint to the higher, wedges form only
+    * between a vertex's ORIENTED out-neighbors, and a wedge closes
+    * when its own oriented edge exists. Out-degree under this
+    * orientation is O(√m) for any graph, so wedge count is bounded by
+    * Σ d_out² ≤ m^1.5 — the reason a star hub (every link-graph's
+    * reality) does not explode into d² wedges the way a naive two-hop
+    * self-join would. Returns one row per triangle, vertex ids sorted
+    * (a < b < c); duplicate, reversed, and self-loop input edges are
+    * canonicalized away first. Ids must be numeric.
+    *
+    * Scale shape: one distinct on canonical edges, one degree
+    * aggregate joined back edge-colocated, then two equi-joins (wedge
+    * build + close check) — no cartesian stage, no driver state.
+    */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val canon = edges
+      .filter(col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct()
+    val deg = canon.select(explode(array(col("u"), col("v"))).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val e = canon
+      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
+    val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    // a -> b with rank(a) < rank(b); carry b's rank for wedge ordering
+    val oriented = e.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("a"),
+      when(uFirst, col("v")).otherwise(col("u")).as("b"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("db"))
+      .localCheckpoint() // three consumers below; build the orientation once
+    val w1 = oriented.select(col("a"), col("b").as("x"), col("db").as("dx"))
+    val w2 = oriented.select(col("a"), col("b").as("y"), col("db").as("dy"))
+    val wedges = w1.join(w2, "a")
+      .filter(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
+    // rank(x) < rank(y) means an {x, y} edge is oriented x -> y
+    val closed = wedges.join(
+      oriented.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"),
+      "left_semi")
+    closed
+      .select(array_sort(array(col("a"), col("x"), col("y"))).as("t"))
+      .select(element_at(col("t"), 1).as("a"),
+        element_at(col("t"), 2).as("b"),
+        element_at(col("t"), 3).as("c"))
+  }
 }

@@ -966,6 +966,29 @@ class LinkGraphSpec extends SparkTestBase {
     assert(out.maxBy(_._2)._1 == 2L)
   }
 
+  test("triangles: brute-force parity on a mixed graph, canonicalized input") {
+    // K4 on {0,1,2,3} (4 triangles) + pendant 4 + isolated path 5-6;
+    // edges arrive duplicated, reversed, and with a self-loop
+    val edges = Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (1L, 0L), (2L, 0L), // reversed duplicates
+      (0L, 1L),           // exact duplicate
+      (3L, 3L),           // self-loop
+      (3L, 4L), (5L, 6L)).toDF("s", "d")
+    val out = LinkGraph.triangles(edges, "s", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((0L, 1L, 2L), (0L, 1L, 3L), (0L, 2L, 3L), (1L, 2L, 3L)))
+  }
+
+  test("triangles: star hub alone closes nothing; one cross edge closes one") {
+    val star = (1L to 20L).map(i => (0L, i))
+    val none = LinkGraph.triangles(star.toDF("s", "d"), "s", "d").count()
+    assert(none == 0L, "a pure star has no triangles")
+    val one = LinkGraph.triangles((star :+ ((7L, 13L))).toDF("s", "d"), "s", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(one == Seq((0L, 7L, 13L)))
+  }
+
   test("pageRank keeps a symmetric ring uniform") {
     val nodes = (0L until 5L).toSeq
     val ring = nodes.map(v => v -> ((v + 1L) % 5L))
