@@ -385,6 +385,30 @@ object Probe {
         orders.filter(col("o_orderkey") % 3 < 2),
         orders.filter(col("o_orderkey") % 3 === 2),
         "o_totalprice").count())
+    val li = x10("lineitem", Seq("l_orderkey"))
+    val ckCols = Seq("l_orderkey", "l_linenumber", "l_quantity",
+      "l_returnflag", "l_linestatus")
+    timed("dq7 checksum 6M rows x 2 sides, 1K-row chunks")({
+      val corrupted = li.filter(col("l_orderkey") % 997 =!= 0)
+      graft.operators.DataQuality.checksumCompare(
+        graft.operators.DataQuality.tableChecksum(li, "l_orderkey", 1000L, ckCols),
+        graft.operators.DataQuality.tableChecksum(corrupted, "l_orderkey", 1000L, ckCols))
+        .filter(!col("chunk_ok")).count()
+    })
+    timed("m8 repair 6M rows, ~0.1% damage")({
+      val corrupted = li.filter(col("l_orderkey") % 997 =!= 0)
+      graft.operators.Modes.checksumRepair(li, corrupted,
+        "l_orderkey", 1000L, ckCols).count()
+    })
+    timed("pr2 triangles, 50K-node ring+chords (100K edges)")({
+      val mxF = docs.agg(max("doc_id").as("mx"))
+      val base = docs.select(col("doc_id").as("s")).crossJoin(broadcast(mxF))
+      def chord(k: Int) = base
+        .select(col("s"), (col("s") + k).as("t"), col("mx"))
+        .filter(col("t") <= col("mx")).select("s", "t")
+      graft.operators.LinkGraph.triangles(
+        chord(1).unionByName(chord(2)), "s", "t").count()
+    })
   }
 
   def r5bprobe(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
