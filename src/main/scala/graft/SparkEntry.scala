@@ -1217,6 +1217,15 @@ object SparkEntry {
         "o_totalprice", lo = 0.0, hi = 500000.0, nBuckets = 10)
     }),
 
+    // weight-proportional sample without replacement (A-ES order
+    // statistics over the portable md5 uniform): longer docs more
+    // likely, yet the draw is a pure function of (seed, id) — the
+    // oracle redraws it exactly
+    "sp4_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", col("n_chars"), k = 100)),
+
     // the repair step dq7's validation exists for: keep agreeing
     // chunks from the sink, re-replicate only the damaged ones —
     // after repair the sink must equal the source EXACTLY, which is
@@ -4842,6 +4851,18 @@ object SparkEntry {
 
     // repaired sink == the source, full stop
     "m8_checksum_repair" -> "SELECT * FROM lineitem",
+
+    // the A-ES redraw: identical md5 uniform, identical priority
+    "sp4_weighted_sample" ->
+      """WITH p AS (
+        |  SELECT doc_id, n_chars,
+        |         ln((CAST(CAST(concat('0x', substr(md5(
+        |             concat('graft', ':', CAST(doc_id AS VARCHAR))), 1, 15))
+        |             AS BIGINT) AS DOUBLE) + 0.5) / 1.152921504606847e18)
+        |           / CAST(n_chars AS DOUBLE) AS pr
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, n_chars, round(pr, 6) AS priority
+        |FROM p ORDER BY pr DESC, doc_id ASC LIMIT 100""".stripMargin,
 
     // the digest is engine-portable by construction: MD5 of the
     // 0x1f-joined canonical string, first 15 hex chars as a 60-bit

@@ -269,4 +269,40 @@ object Sampling {
       case other => throw new IllegalArgumentException(s"unknown split: $other")
     }
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * A-ES): each row draws a deterministic uniform u from the MD5 of
+    * (seed, id) — the dq7-proven engine-portable digest — and takes
+    * priority ln(u)/w; the k LARGEST priorities are the sample.
+    * Inclusion probability is weight-proportional (exactly the
+    * w_i^(1/u) order statistic construction), yet the draw is a pure
+    * function of (seed, id): rerunning — or re-verifying in another
+    * engine — selects the same rows, which is what makes a training
+    * mixture auditable. Rows with weight <= 0 or null never qualify.
+    *
+    * Scale shape: priority is a row-local codegen projection; the
+    * top-k executes as a distributed TakeOrdered (per-partition heaps
+    * + one k-row merge), never a global sort. Ties (impossible in
+    * practice — 60-bit digests) break toward the smaller id.
+    * Returns the sampled rows + `priority` (rounded, for audit).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+      k: Int, seed: String = "graft"): DataFrame = {
+    require(k > 0, s"k=$k")
+    val h = conv(substring(md5(
+      concat(lit(seed), lit(":"), col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    // (h + 0.5) / 2^60: strictly inside (0, 1) so ln never hits 0/-inf
+    val u = (h.cast("double") + 0.5) / 1.152921504606847e18
+    val w = weightCol.cast("double")
+    // filter BEFORE the division: ANSI mode faults a zero divisor
+    // even on rows the filter would drop from the same projection
+    df.filter(w > 0.0)
+      .withColumn("__priority", log(u) / w)
+      .filter(col("__priority").isNotNull)
+      .orderBy(col("__priority").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("priority", round(col("__priority"), 6))
+      .drop("__priority")
+  }
 }

@@ -120,6 +120,31 @@ class SamplingSpec extends SparkTestBase {
     assert(out(2L) == out(1L) && out(3L) == out(1L))
   }
 
+  test("weighted sample equals the A-ES reference model; zero weights excluded") {
+    import java.security.MessageDigest
+    val rows = (1 to 200).map(i => (i.toLong, if (i % 50 == 0) 0L else i.toLong))
+    val df = rows.toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", col("w"), k = 20)
+      .collect().map(_.getLong(0)).toSeq
+    // reference: same md5 draw, same priority, top 20
+    def priority(id: Long, w: Long): Double = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(s"graft:$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 1.152921504606847e18
+      math.log(u) / w
+    }
+    val want = rows.filter(_._2 > 0)
+      .map { case (id, w) => (priority(id, w), id) }
+      .sortBy { case (p, id) => (-p, id) }.take(20).map(_._2)
+    assert(got == want)
+    assert(!got.exists(_ % 50 == 0), "zero-weight rows can never be drawn")
+    // determinism under repartition
+    val again = Sampling.weightedSample(df.repartition(7), "id", col("w"), 20)
+      .collect().map(_.getLong(0)).toSeq
+    assert(again == got)
+  }
+
   test("holdout splits partition the corpus without overlap") {
     val train = Sampling.holdout(docs, "doc_id", "train", 0.8, 0.1).select("doc_id").collect().toSet
     val valid = Sampling.holdout(docs, "doc_id", "valid", 0.8, 0.1).select("doc_id").collect().toSet
