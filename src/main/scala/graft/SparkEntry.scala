@@ -2151,6 +2151,53 @@ object SparkEntry {
           round(sum("l_quantity"), 2).as("sum_qty"))
     }),
 
+    // two-sided keyless interval overlap: both sides explode to time
+    // bins, the pair is emitted once from the bin that contains the
+    // overlap's first instant — no nested loop, no dedup pass
+    "j7_interval_overlap" -> ((s, dir) => {
+      // shipping window per item: [shipdate, shipdate + 1..25 days)
+      // derived from the keys (the testdata has no receiptdate), so
+      // both engines rebuild identical intervals
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+        .select(col("l_shipdate"), col("l_quantity"),
+          expr("l_shipdate + make_dt_interval(CAST(l_quantity AS INT) % 25 + 1)")
+            .as("l_shipend"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 400000)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          (col("o_orderdate") + expr("INTERVAL 5 DAYS")).as("o_end"))
+      Joins.intervalOverlapJoin(li, ord,
+          "l_shipdate", "l_shipend", "o_orderdate", "o_end",
+          binWidth = "25 days")
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_overlaps"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+    }),
+
+    // semi-join reduction: the selective dim's KEY SET rides to the
+    // fact scan as a Bloom filter probed in codegen BEFORE the
+    // shuffle — the exact join then makes the result identical to the
+    // plain join (false positives only ever add candidates)
+    "j8_bloom_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 250000)
+        .select("o_orderkey", "o_orderdate")
+      Joins.bloomPrefilteredJoin(li, ord, "l_orderkey", "o_orderkey",
+          expectedDimKeys = 200000)
+        .groupBy("o_orderkey")
+        // revenue summed in exact integer 1/10000ths: the per-row
+        // product is deterministic IEEE, the integer sum is
+        // order-independent — so small per-order groups can't flip a
+        // half-cent boundary between engines
+        .agg(round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * 10000).cast("long")) / 10000.0, 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     "agg4_cube" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
@@ -2739,6 +2786,26 @@ object SparkEntry {
         |  ON l.l_shipdate >= o.o_orderdate
         | AND l.l_shipdate < o.o_orderdate + INTERVAL 3 DAY
         |WHERE o.o_orderpriority = '1-URGENT' AND l.l_quantity >= 45
+        |GROUP BY 1""".stripMargin,
+
+    "j7_interval_overlap" ->
+      """SELECT o.o_orderkey, count(*) AS n_overlaps,
+        |       round(sum(l.l_quantity), 2) AS sum_qty
+        |FROM orders o JOIN lineitem l
+        |  ON l.l_shipdate < o.o_orderdate + INTERVAL 5 DAY
+        | AND o.o_orderdate < l.l_shipdate
+        |       + (CAST(l.l_quantity AS INT) % 25 + 1) * INTERVAL 1 DAY
+        |WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 400000
+        |  AND l.l_quantity >= 49
+        |GROUP BY 1""".stripMargin,
+
+    "j8_bloom_join" ->
+      """SELECT o.o_orderkey,
+        |       round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+        |                            * 10000) AS BIGINT)) / 10000.0, 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 250000
         |GROUP BY 1""".stripMargin,
 
     "j6_temporal_join" ->

@@ -98,6 +98,25 @@ object QualityFilters {
     df.join(bad, Seq(idCol), "left_anti")
   }
 
+  /** Blocklist / keyword-taxonomy scan: one Aho–Corasick pass over
+    * each document matches EVERY pattern simultaneously
+    * ([[graft.functions.MultiPattern]]) — O(|text| + matches) per row
+    * instead of O(|patterns|·|text|) per-keyword `contains` columns.
+    * Output per doc: total occurrence count (per-pattern leftmost
+    * non-overlapping — the `replace`-trick-replayable definition),
+    * the distinct matched patterns sorted, and the keep verdict
+    * (`n_matches == 0`). Row-local codegen projection: fuses into the
+    * scan, nothing shuffles. */
+  def blocklist(df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String]): DataFrame = {
+    val mp = graft.functions.MultiPattern.multi_pattern_scan(patterns, col(textCol))
+    df.select(col(idCol), mp.as("__mp"))
+      .select(col(idCol),
+        col("__mp.n_matches").as("n_matches"),
+        col("__mp.matched").as("matched"),
+        (col("__mp.n_matches") === 0).as("keep"))
+  }
+
   /** Word n-grams of the lowercased whitespace tokens as space-joined
     * strings ("the quick", "quick fox", ...) — the fused codegen
     * expression; FunctionsSpec pins it value-identical to the HOF

@@ -224,6 +224,40 @@ class PlanSpec extends SparkTestBase {
     assert(p.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("l_quantity")))
   }
 
+  test("j7 two-sided overlap join is an equi-join on bins, never a nested loop") {
+    val p = planOf("j7_interval_overlap")
+    assert(p.contains("__lbin") || p.contains("__rbin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("l_quantity")))
+  }
+
+  test("j8 bloom probe prefilters the fact side in codegen before its exchange") {
+    // with broadcast off, the join must shuffle — and the bloom probe
+    // must sit on the fact scan side, not after the exchange
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      val df = SparkEntry.queries("j8_bloom_join")(spark, sf())
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.linesIterator.exists(l =>
+        l.contains("*(") && l.contains("bloom_might_contain_long")), p)
+      assert(!p.contains("CodegenFallback"))
+      // the probe sits BELOW a shuffle: in the textual plan tree the
+      // filter line appears under an Exchange printed above it
+      val lines = p.linesIterator.toVector
+      val bloomIdx = lines.indexWhere(_.contains("bloom_might_contain_long"))
+      val exchangeAbove = lines.take(bloomIdx).exists(_.contains("Exchange"))
+      assert(exchangeAbove, s"bloom probe must feed an exchange above it:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q3 six-way join broadcasts the dimensions; q4 EXISTS plans as a semi join") {
     val q3 = planOf("q3_local_supplier_volume")
     assert(q3.contains("BroadcastHashJoin") || q3.contains("BroadcastExchange"), q3)
