@@ -1453,6 +1453,31 @@ object SparkEntry {
         .select("doc_id", "n_words", "mean_word_len", "max_word_len",
           "symbol_ratio", "stopword_hits", "keep")),
 
+    // trained NB log-odds quality classifier: train on 2/3 of the
+    // corpus (label = lang=='en'), score the held-out 1/3. Unseen
+    // terms ride on the token count (decomposed smoothing), so the
+    // model join touches seen terms only
+    "qf6_nb_classifier" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 3 =!= 0)
+        .withColumn("is_en", col("lang") === "en")
+      val held = docs.filter(col("doc_id") % 3 === 0)
+      Scoring.nbLogOdds(train, held, "doc_id", "text", "is_en")
+    }),
+
+    // blocklist scan: ONE Aho-Corasick pass matches every pattern
+    // simultaneously (O(text+matches), not O(patterns*text));
+    // counting is per-pattern leftmost non-overlapping so the oracle
+    // replays it with the replace-length trick. Patterns include a
+    // substring pair ("merge" vs "merge data") and a self-overlapping
+    // bigram ("batch batch") to pin the semantics.
+    "qf5_blocklist" -> ((s, dir) => {
+      val pats = Seq("merge", "merge data", "batch batch", "slow", "vector")
+      QualityFilters.blocklist(t(s, dir, "documents"), "doc_id", "text", pats)
+        .select(col("doc_id"), col("n_matches"),
+          array_join(col("matched"), ",").as("matched"), col("keep"))
+    }),
+
     // curation-funnel observability: per-source counts through
     // gate -> exact dedup -> decontamination. Train side carries 50
     // PLANTED duplicates (copied ids +10000) so the dedup stage has
@@ -3941,6 +3966,55 @@ object SparkEntry {
         |LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
 
     "qf1_quality_gate" -> qualityGateOracle,
+
+    "qf6_nb_classifier" ->
+      """WITH train AS (
+        |  SELECT doc_id, text, lang = 'en' AS is_en
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |held AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        |ttoks AS (
+        |  SELECT is_en, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM train),
+        |model AS (
+        |  SELECT term,
+        |         sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS np,
+        |         sum(CASE WHEN NOT is_en THEN 1 ELSE 0 END) AS nn
+        |  FROM ttoks WHERE term <> '' GROUP BY term),
+        |tot AS (SELECT sum(np) AS p_tot, sum(nn) AS n_tot, count(*) AS v FROM model),
+        |pri AS (SELECT sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS dp,
+        |               sum(CASE WHEN NOT is_en THEN 1 ELSE 0 END) AS dn
+        |        FROM train),
+        |stoks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM held),
+        |stc AS (SELECT doc_id, term, count(*) AS tf FROM stoks
+        |        WHERE term <> '' GROUP BY 1, 2),
+        |dt AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens FROM stc GROUP BY 1),
+        |seen AS (
+        |  SELECT s.doc_id, sum(s.tf * (ln(m.np + 1) - ln(m.nn + 1))) AS ss
+        |  FROM stc s JOIN model m USING (term) GROUP BY 1)
+        |SELECT dt.doc_id, dt.n_tokens,
+        |       round(ln(dp * 1.0 / dn)
+        |             + dt.n_tokens * (ln(n_tot + v) - ln(p_tot + v))
+        |             + coalesce(ss, 0), 4) AS log_odds,
+        |       round(ln(dp * 1.0 / dn)
+        |             + dt.n_tokens * (ln(n_tot + v) - ln(p_tot + v))
+        |             + coalesce(ss, 0), 4) > 0 AS predicted
+        |FROM dt LEFT JOIN seen USING (doc_id), tot, pri""".stripMargin,
+
+    "qf5_blocklist" ->
+      """WITH kw(k) AS (
+        |  SELECT unnest(['merge', 'merge data', 'batch batch', 'slow', 'vector'])),
+        |hits AS (
+        |  SELECT d.doc_id, kw.k,
+        |         CAST((length(d.text) - length(replace(d.text, kw.k, '')))
+        |              / length(kw.k) AS BIGINT) AS n
+        |  FROM documents d CROSS JOIN kw)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_matches,
+        |       coalesce(string_agg(CASE WHEN n > 0 THEN k END, ',' ORDER BY k),
+        |                '') AS matched,
+        |       sum(n) = 0 AS keep
+        |FROM hits GROUP BY 1""".stripMargin,
 
     "pipe2_curation_funnel" -> pipe2Oracle,
 

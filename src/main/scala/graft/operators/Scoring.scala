@@ -119,6 +119,72 @@ object Scoring {
         round(col("avg_logprob"), 4).as("avg_logprob"))
   }
 
+  /** Trained quality classifier, Naive-Bayes log-odds form (the
+    * fastText-tier "cheap linear classifier" of data-curation
+    * pipelines — e.g. the GPT-3/CCNet quality filters score web docs
+    * against a curated-positive vs crawl-negative seed set; public
+    * papers: Brown et al. 2020 §A, Wenzek et al. 2020).
+    *
+    * Train = two aggregation passes over the labeled seed set:
+    * per-term occurrence counts by class (multinomial NB) and the
+    * class totals. Score = add-one-smoothed log odds
+    * `ln P(doc|pos)/P(doc|neg) + ln P(pos)/P(neg)`, decomposed so
+    * UNSEEN terms cost nothing: with add-one smoothing a term's
+    * weight is `[ln(np+1) − ln(nn+1)] + [ln(N+V) − ln(P+V)]`, and
+    * the second bracket is term-independent — it rides on the
+    * document's token COUNT, so the model join touches only
+    * model-seen terms (the klDrift trick). No vocab-sized expansion
+    * per doc, no driver action; the model is vocab-sized (broadcast
+    * or term-colocated join), totals/priors are broadcast 1-row
+    * frames.
+    *
+    * Output: (idCol, n_tokens, log_odds, predicted) for every doc
+    * with ≥1 token; `predicted` compares the ROUNDED score to 0 so
+    * the verdict is engine-portable. Both classes must be non-empty
+    * in `train` (a one-class prior is ±∞).
+    */
+  def nbLogOdds(train: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, labelCol: String): DataFrame = {
+    val pos = col(labelCol)
+    val trainToks = train
+      .select(pos.as("__y"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+    // model feeds the score join AND the totals: one materialization
+    val model = trainToks.groupBy("term")
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("nn"))
+      .localCheckpoint()
+    val totals = model.agg(sum("np").as("p_tot"), sum("nn").as("n_tot"),
+      count(lit(1)).as("v"))
+    val priors = train.agg(
+      sum(when(pos, 1L).otherwise(0L)).as("dp"),
+      sum(when(!pos, 1L).otherwise(0L)).as("dn"))
+    val tc = docs
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val docTotals = tc.groupBy("id").agg(sum("tf").as("n_tokens"))
+    val seen = tc.join(model, "term")
+      .groupBy("id")
+      .agg(sum(col("tf").cast("double") *
+        (log(col("np").cast("double") + 1) - log(col("nn").cast("double") + 1)))
+        .as("__seen"))
+    val score = round(
+      log(col("dp").cast("double") / col("dn")) +
+        col("n_tokens").cast("double") *
+          (log((col("n_tot") + col("v")).cast("double")) -
+            log((col("p_tot") + col("v")).cast("double"))) +
+        coalesce(col("__seen"), lit(0.0)), 4)
+    docTotals.join(seen, Seq("id"), "left")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(priors))
+      .select(col("id").as(idCol), col("n_tokens"),
+        score.as("log_odds"), (score > 0).as("predicted"))
+  }
+
   /** CCNet-style perplexity banding (Wenzek et al. 2020, "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl
     * Data" — public paper): score every doc by [[unigramLogProb]]

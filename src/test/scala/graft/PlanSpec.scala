@@ -224,6 +224,16 @@ class PlanSpec extends SparkTestBase {
     assert(p.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("l_quantity")))
   }
 
+  test("qf5 blocklist scan is a shuffle-free codegen projection") {
+    val df = SparkEntry.queries("qf5_blocklist")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"qf5 must not shuffle:\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("multi_pattern_scan")), p)
+    assert(!p.contains("CodegenFallback"))
+  }
+
   test("j7 two-sided overlap join is an equi-join on bins, never a nested loop") {
     val p = planOf("j7_interval_overlap")
     assert(p.contains("__lbin") || p.contains("__rbin"), p)

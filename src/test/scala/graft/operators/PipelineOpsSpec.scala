@@ -287,6 +287,45 @@ class ScoringSpec extends SparkTestBase {
     assert(out(2).getString(2) == "cc")
     assert(out.length == 4)
   }
+
+  test("nbLogOdds matches a hand-computed reference model and separates classes") {
+    val train = Seq(
+      (1L, "good clean prose text", true),
+      (2L, "good text well written", true),
+      (3L, "spam spam buy now", false),
+      (4L, "buy spam click now", false)).toDF("doc_id", "text", "y")
+    val held = Seq(
+      (10L, "clean prose text"),       // positive-looking
+      (11L, "spam buy now"),           // negative-looking
+      (12L, "unseen words only zzz")   // all-unseen -> prior + count term
+    ).toDF("doc_id", "text")
+    val out = Scoring.nbLogOdds(train, held, "doc_id", "text", "y")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+
+    // reference model, computed independently
+    val posToks = "good clean prose text good text well written".split(" ")
+    val negToks = "spam spam buy now buy spam click now".split(" ")
+    val np = posToks.groupBy(identity).view.mapValues(_.length).toMap
+    val nn = negToks.groupBy(identity).view.mapValues(_.length).toMap
+    val vocab = (np.keySet ++ nn.keySet)
+    val (p, n, v) = (posToks.length, negToks.length, vocab.size)
+    def score(text: String): Double = {
+      val toks = text.split(" ")
+      val seen = toks.filter(vocab).map(tk =>
+        math.log(np.getOrElse(tk, 0) + 1.0) - math.log(nn.getOrElse(tk, 0) + 1.0)).sum
+      val raw = math.log(2.0 / 2.0) +
+        toks.length * (math.log(n + v.toDouble) - math.log(p + v.toDouble)) + seen
+      math.rint(raw * 10000) / 10000
+    }
+    assert(out(10L)._1 == 3 && math.abs(out(10L)._2 - score("clean prose text")) < 1e-9)
+    assert(out(11L)._1 == 3 && math.abs(out(11L)._2 - score("spam buy now")) < 1e-9)
+    assert(out(12L)._1 == 4 && math.abs(out(12L)._2 - score("unseen words only zzz")) < 1e-9)
+    // classifier verdicts
+    assert(out(10L)._3 && !out(11L)._3)
+    // all-unseen doc: the smoothing term decides, never NaN/Inf
+    assert(!out(12L)._2.isNaN && !out(12L)._2.isInfinite)
+  }
 }
 
 class PackingSpec extends SparkTestBase {
