@@ -95,6 +95,48 @@ object SparkEntry {
       s"\nSELECT node, rank_fp FROM r$iters"
   }
 
+  /** Unrolled-CTE replay of [[graft.operators.LinkGraph.labelPropagation]]
+    * for pr3's decade-star fixture: one (votes, labels) CTE pair per
+    * sweep, integer-only — neighbor votes UNION ALL the self vote,
+    * plurality by (count DESC, label ASC). */
+  private def pr3OracleSql(iters: Int): String = {
+    val head =
+      """WITH e0 AS (
+        |  SELECT doc_id AS s, doc_id - doc_id % 10 AS t
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 1 FROM documents
+        |  WHERE doc_id % 10 < 9
+        |    AND doc_id + 1 <= (SELECT max(doc_id) FROM documents)
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 10 FROM documents
+        |  WHERE doc_id % 100 = 0
+        |    AND doc_id + 10 <= (SELECT max(doc_id) FROM documents)),
+        |e AS (
+        |  SELECT DISTINCT s, t FROM (
+        |    SELECT s, t FROM e0 WHERE s <> t
+        |    UNION ALL
+        |    SELECT t, s FROM e0 WHERE s <> t)),
+        |l0 AS (SELECT DISTINCT s AS node, s AS lbl FROM e)""".stripMargin
+    val sweeps = (1 to iters).map { k =>
+      s"""v$k AS (
+         |  SELECT node, lbl, count(*) AS c FROM (
+         |    SELECT e.t AS node, l.lbl FROM e JOIN l${k - 1} l ON l.node = e.s
+         |    UNION ALL
+         |    SELECT node, lbl FROM l${k - 1})
+         |  GROUP BY 1, 2),
+         |l$k AS (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |           row_number() OVER (PARTITION BY node
+         |                              ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM v$k)
+         |  WHERE rn = 1)""".stripMargin
+    }
+    (head +: sweeps).mkString(",\n") +
+      s"\nSELECT node, lbl FROM l$iters"
+  }
+
   /** Bit-for-bit SQL replay of [[graft.sources.Layout.interleaveBits]]
     * for z1: one fully-parenthesized (mask, shift, or) term per bit
     * position, BIGINT throughout. */
@@ -1166,6 +1208,30 @@ object SparkEntry {
       val edges = chord(1).unionByName(chord(2))
         .unionByName(chord(1).select(col("t").as("s"), col("s").as("t")))
       LinkGraph.triangles(edges, "s", "t")
+    }),
+
+    // deterministic synchronous label propagation on decade
+    // communities: star-to-hub edges PLUS an intra-decade chain (the
+    // chain gives each decade internal plurality, so the chord edges
+    // between hubs cannot merge communities — every node converges to
+    // its decade hub's label)
+    "pr3_communities" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mxF = docs.agg(max("doc_id").as("mx"))
+      val stars = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("s"),
+          (col("doc_id") - col("doc_id") % 10).as("t"))
+      val chains = docs.filter(col("doc_id") % 10 < 9)
+        .crossJoin(broadcast(mxF))
+        .select(col("doc_id").as("s"), (col("doc_id") + 1).as("t"), col("mx"))
+        .filter(col("t") <= col("mx")).select("s", "t")
+      val chords = docs.filter(col("doc_id") % 100 === 0)
+        .crossJoin(broadcast(mxF))
+        .select(col("doc_id").as("s"), (col("doc_id") + 10).as("t"), col("mx"))
+        .filter(col("t") <= col("mx")).select("s", "t")
+      LinkGraph.labelPropagation(
+        stars.unionByName(chains).unionByName(chords), "s", "t",
+        iterations = 4)
     }),
 
     // mergeable-sketch vocabulary: per-lang HLL estimates + an ALL row
@@ -2322,6 +2388,25 @@ object SparkEntry {
         .select(col("l_returnflag"), col("n"), col("n_v"),
           round(col("sum_v"), 2).as("sum_v"),
           col("min_v"), col("max_v"), col("avg_v"))
+    }),
+
+    // incremental JOIN-view maintenance: the maintained view advances
+    // by the delta-join identity dA⋈(B∪dB) ∪ A⋈dB — the bases never
+    // re-join; the oracle recomputes the full join from scratch, so
+    // MATCH proves view ∪ delta == join of the advanced bases
+    "inc2_join_view_delta" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val (baseO, dO) = (o.filter(col("o_orderkey") % 10 =!= 0),
+        o.filter(col("o_orderkey") % 10 === 0))
+      val (baseC, dC) = (c.filter(col("c_custkey") % 7 =!= 0),
+        c.filter(col("c_custkey") % 7 === 0))
+      val view0 = baseO.join(baseC, baseO("o_custkey") === baseC("c_custkey"))
+      val maintained = view0.unionByName(IncrementalAgg.joinDelta(
+        baseO, dO, baseC, dC, Seq("o_custkey"), Seq("c_custkey")))
+      maintained.groupBy("c_mktsegment", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
     }),
 
     // SCD2 dimension history: each change opens a version, the next
@@ -3805,6 +3890,8 @@ object SparkEntry {
         |JOIN e e2 ON e2.u = e1.v
         |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
 
+    "pr3_communities" -> pr3OracleSql(4),
+
     "sk1_salted_distinct" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_distinct_o_custkey
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
@@ -4721,6 +4808,13 @@ object SparkEntry {
         |       max(l_quantity) AS max_v,
         |       round(sum(l_quantity) / count(l_quantity), 4) AS avg_v
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "inc2_join_view_delta" ->
+      """SELECT c_mktsegment, o_orderpriority,
+        |       count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
 
     "scd1_dimension_history" ->
       """WITH f AS (

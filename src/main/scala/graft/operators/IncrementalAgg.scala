@@ -74,4 +74,42 @@ object IncrementalAgg {
   def withAvg(state: DataFrame, decimals: Int = 4): DataFrame =
     state.withColumn("avg_v",
       round(col("sum_v") / col("n_v"), decimals))
+
+  /** Incremental JOIN-view maintenance: the delta of `A ⋈ B` when
+    * arrival batches `dA`/`dB` append to the bases, from the standard
+    * delta-join identity
+    *
+    *   Δ(A ⋈ B) = (dA ⋈ B) ∪ (A ⋈ dB) ∪ (dA ⋈ dB)
+    *
+    * so the maintained view advances by `view ∪ joinDelta(...)`
+    * WITHOUT re-joining the bases — the dominant cost is each delta
+    * joined against the opposite base on the equi key (broadcast the
+    * delta when it is small, which arrival batches are; the base side
+    * never self-joins). This is how a CDC pipeline keeps a denormalized
+    * downstream table current: `Modes.applyChanges` maintains the base
+    * replicas, this maintains the join of them. Append-only deltas
+    * (inserts); updates/deletes route through applyChanges first and
+    * re-emit as retract+insert pairs upstream of this.
+    *
+    * `leftKeys`/`rightKeys` pair positionally. Column names of A and B
+    * must be disjoint (alias first), so the output is the plain join
+    * schema.
+    */
+  def joinDelta(
+      baseA: DataFrame, dA: DataFrame,
+      baseB: DataFrame, dB: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String]): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
+      "leftKeys and rightKeys must pair positionally")
+    def cond(l: DataFrame, r: DataFrame) =
+      leftKeys.zip(rightKeys).map { case (lk, rk) => l(lk) === r(rk) }
+        .reduce(_ && _)
+    // dA sees the FULL new right side (B ∪ dB); A-only sees dB: the
+    // union of the three classic terms regrouped into two joins —
+    // (dA ⋈ B) ∪ (dA ⋈ dB) = dA ⋈ (B ∪ dB) — one fewer delta scan
+    val newB = baseB.unionByName(dB)
+    val dAFull = dA.join(newB, cond(dA, newB), "inner")
+    val aDb = baseA.join(dB, cond(baseA, dB), "inner")
+    dAFull.unionByName(aDb)
+  }
 }

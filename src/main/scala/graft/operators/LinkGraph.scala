@@ -92,6 +92,62 @@ object LinkGraph {
     rank
   }
 
+  /** Community detection by synchronous label propagation (Raghavan
+    * et al. 2007, "Near linear time algorithm to detect community
+    * structures in large-scale networks" — public paper): every node
+    * starts labeled with its own id; each sweep every node adopts the
+    * most frequent label among its neighbors AND itself, ties broken
+    * by the smallest label. The classic algorithm visits nodes in
+    * random order — here sweeps are synchronous and the tie-break is
+    * integer-only, so the result is DETERMINISTIC and any engine
+    * replays it bit-for-bit; the self-vote damps the two-coloring
+    * oscillation synchronous LPA is known for (a converged community
+    * is a fixed point: every member's plurality is its own label).
+    * Caveat inherited from deterministic tie-breaking: structures
+    * whose sweep-1 votes are ALL ties (a pure star bridged to a
+    * smaller-id neighbor) can be absorbed across the bridge; density
+    * — internal plurality — is what makes a community resist, which
+    * matches LPA's behavior on real graphs.
+    *
+    * Input edges are undirected (canonicalized: both directions
+    * added, self-loops dropped, duplicates collapsed); the node set
+    * is the edge endpoints. Fixed `iterations` bounds cost — LPA
+    * converges in a handful of sweeps on real graphs.
+    *
+    * Scale shape per sweep: one edge⋈label join (label frame keyed by
+    * node, edge-colocated), one (node, label) count aggregate, one
+    * struct-max argmax (no window, no collect), |V|-row
+    * localCheckpoint (the Pregel norm). Returns (node, lbl).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 4): DataFrame = {
+    require(iterations >= 1, "labelPropagation needs at least one sweep")
+    val und = edges.filter(col(srcCol) =!= col(dstCol))
+      .select(col(srcCol).as("s"), col(dstCol).as("t"))
+    val e = und.unionByName(und.select(col("t").as("s"), col("s").as("t")))
+      .distinct()
+      .localCheckpoint() // rescanned every sweep
+    var labels = e.select(col("s").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    for (i <- 1 to iterations) {
+      labels = {
+        val neighborVotes = e
+          .join(labels.select(col("node").as("s"), col("lbl")), "s")
+          .select(col("t").as("node"), col("lbl"))
+        val allVotes = neighborVotes.unionByName(labels)
+          .groupBy("node", "lbl").agg(count(lit(1)).as("c"))
+        // argmax by (count desc, label asc) without a window: max of
+        // (c, -lbl) ranks equal counts by SMALLEST label
+        allVotes.groupBy("node")
+          .agg(max(struct(col("c"), (-col("lbl")).as("negl"), col("lbl")))
+            .getField("lbl").as("lbl"))
+      }
+      if (i < iterations) labels = labels.localCheckpoint()
+    }
+    labels
+  }
+
   /** Triangle enumeration by DEGREE ORIENTATION (the MapReduce
     * triangle-counting standard): undirected edges orient from the
     * lower-(degree, id) endpoint to the higher, wedges form only

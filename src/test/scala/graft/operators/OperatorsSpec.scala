@@ -997,6 +997,45 @@ class LinkGraphSpec extends SparkTestBase {
       .collect().map(_.getLong(1)).distinct
     assert(out.length == 1) // perfectly uniform, iteration after iteration
   }
+
+  private def lpa(edges: Seq[(Long, Long)], iters: Int = 4): Map[Long, Long] =
+    LinkGraph.labelPropagation(edges.toDF("s", "d"), "s", "d", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("labelPropagation: a star converges to the hub label in one sweep and stays") {
+    val star = (1L to 9L).map(v => 0L -> v)
+    assert(lpa(star, 1) == (0L to 9L).map(_ -> 0L).toMap)
+    assert(lpa(star, 4) == (0L to 9L).map(_ -> 0L).toMap) // fixed point
+  }
+
+  test("labelPropagation: two bridged cliques keep separate communities") {
+    // dense communities have internal PLURALITY, so a bridge cannot
+    // flip them (a bridged pure star CAN merge at sweep-1 tie time —
+    // the known label-imperialism of deterministic-tie LPA; density
+    // is what resists it)
+    def k4(base: Long) = (for {
+      i <- 0 to 3; j <- i + 1 to 3
+    } yield (base + i) -> (base + j)).toSeq
+    val out = lpa(k4(0L) ++ k4(10L) :+ (3L -> 13L))
+    assert((0L to 3L).forall(v => out(v) == 0L), out)
+    assert((10L to 13L).forall(v => out(v) == 10L), out)
+  }
+
+  test("labelPropagation: self-loops and duplicate/reversed edges canonicalize away") {
+    val messy = Seq((0L, 1L), (1L, 0L), (0L, 1L), (2L, 2L), (1L, 2L))
+    val out = lpa(messy)
+    // path 0-1-2 (the 2-2 self-loop is dropped): min label wins
+    assert(out.keySet == Set(0L, 1L, 2L))
+    assert(out.values.toSet == Set(0L))
+  }
+
+  test("labelPropagation is invariant to input partitioning") {
+    val edges = (1L to 40L).map(v => (v % 7) -> (v + 6))
+    val viaDf = LinkGraph.labelPropagation(
+      edges.toDF("s", "d").repartition(13), "s", "d", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDf == lpa(edges, 3))
+  }
 }
 
 class IncrementalAggSpec extends SparkTestBase {
@@ -1032,6 +1071,29 @@ class IncrementalAggSpec extends SparkTestBase {
     // the null value counted in n but not n_v
     val ax = merged.filter($"g1" === "a" && $"g2" === "x").first()
     assert(ax.getLong(2) == 2L && ax.getLong(3) == 1L)
+  }
+
+  test("joinDelta: view plus delta equals the from-scratch join, delta has no base-base pairs") {
+    val a = Seq((1L, "a1"), (2L, "a2"), (3L, "a3"), (9L, "a9")).toDF("ak", "av")
+    val da = Seq((2L, "a2new"), (4L, "a4")).toDF("ak", "av")
+    val b = Seq((1L, "b1"), (2L, "b2"), (4L, "b4")).toDF("bk", "bv")
+    val db = Seq((3L, "b3"), (4L, "b4new")).toDF("bk", "bv")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("av", "bv").as[(String, String)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+    val view0 = a.join(b, a("ak") === b("bk"))
+    val delta = IncrementalAgg.joinDelta(a, da, b, db, Seq("ak"), Seq("bk"))
+    val maintained = pairs(view0.unionByName(delta))
+    val scratch = pairs(a.unionByName(da).join(b.unionByName(db),
+      col("ak") === col("bk")))
+    assert(maintained == scratch)
+    // the delta itself contains no base-base pair (those are in view0)
+    val d = pairs(delta)
+    assert(!d.contains(("a1", "b1")) && !d.contains(("a2", "b2")))
+    // and covers all three delta terms: dA⋈B, A⋈dB, dA⋈dB
+    assert(d.contains(("a2new", "b2")))   // dA ⋈ B
+    assert(d.contains(("a3", "b3")))      // A ⋈ dB
+    assert(d.contains(("a4", "b4new")))   // dA ⋈ dB
   }
 
   test("rollup answers the coarser grouping from state alone") {
