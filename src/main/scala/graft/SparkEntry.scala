@@ -156,6 +156,22 @@ object SparkEntry {
        |FROM m""".stripMargin
   }
 
+  /** Deterministic person-name fixture for link1/link2: 8 first
+    * names cycled per 3-record family group, with per-record typo
+    * variants (truncated / extra letter) so fuzzy matching has real
+    * work and the family suffix blocks candidates. */
+  private def namedFixture(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id",
+      """CASE (doc_id DIV 3) % 8
+           WHEN 0 THEN 'john' WHEN 1 THEN 'jane' WHEN 2 THEN 'alice'
+           WHEN 3 THEN 'robert' WHEN 4 THEN 'maria' WHEN 5 THEN 'david'
+           WHEN 6 THEN 'susan' ELSE 'peter' END AS fn""",
+      "doc_id % 3 AS r", "doc_id DIV 3 AS g")
+      .selectExpr("doc_id",
+        """concat(CASE r WHEN 1 THEN substring(fn, 1, length(fn) - 1)
+                         WHEN 2 THEN concat(fn, 'e') ELSE fn END,
+                  ' fam', CAST(g AS STRING)) AS name""")
+
   /** Deterministic URL fixture for url1/qf3: the corpus has no URLs,
     * so append two per document — a mixed-case host (normalization
     * must lowercase it) and a host with port + query (the domain
@@ -796,19 +812,18 @@ object SparkEntry {
     // (8-name pool, per-group typo variants: char dropped / char
     // appended), token blocking with a size gate, exact Levenshtein
     // verify — never all-pairs
-    "link1_fuzzy_match" -> ((s, dir) => {
-      val named = t(s, dir, "documents").selectExpr("doc_id",
-        """CASE (doc_id DIV 3) % 8
-             WHEN 0 THEN 'john' WHEN 1 THEN 'jane' WHEN 2 THEN 'alice'
-             WHEN 3 THEN 'robert' WHEN 4 THEN 'maria' WHEN 5 THEN 'david'
-             WHEN 6 THEN 'susan' ELSE 'peter' END AS fn""",
-        "doc_id % 3 AS r", "doc_id DIV 3 AS g")
-        .selectExpr("doc_id",
-          """concat(CASE r WHEN 1 THEN substring(fn, 1, length(fn) - 1)
-                           WHEN 2 THEN concat(fn, 'e') ELSE fn END,
-                    ' fam', CAST(g AS STRING)) AS name""")
-      Dedup.blockedFuzzyPairs(named, "doc_id", "name",
+    "link1_fuzzy_match" -> ((s, dir) =>
+      Dedup.blockedFuzzyPairs(namedFixture(t(s, dir, "documents")),
+        "doc_id", "name", maxDistance = 2, maxBlockSize = 500)),
+
+    // entity resolution end-to-end: fuzzy pairs -> transitive closure
+    // -> one golden record per entity (shortest-name election);
+    // unmatched records survive as singleton entities
+    "link2_golden_record" -> ((s, dir) => {
+      val named = namedFixture(t(s, dir, "documents"))
+      val pairs = Dedup.blockedFuzzyPairs(named, "doc_id", "name",
         maxDistance = 2, maxBlockSize = 500)
+      Dedup.goldenRecords(named, "doc_id", "name", pairs)
     }),
 
     // character-level verify: every non-leader doc paired with its
@@ -3397,6 +3412,53 @@ object SparkEntry {
         |  WHERE a.doc_id < b.doc_id AND sz.bn BETWEEN 2 AND 500)
         |SELECT id_a, id_b, CAST(levenshtein(na, nb) AS BIGINT) AS edit_distance
         |FROM cand WHERE levenshtein(na, nb) <= 2""".stripMargin,
+
+    "link2_golden_record" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT doc_id,
+        |         CASE (doc_id // 3) % 8
+        |           WHEN 0 THEN 'john' WHEN 1 THEN 'jane' WHEN 2 THEN 'alice'
+        |           WHEN 3 THEN 'robert' WHEN 4 THEN 'maria' WHEN 5 THEN 'david'
+        |           WHEN 6 THEN 'susan' ELSE 'peter' END AS fn,
+        |         doc_id % 3 AS r, doc_id // 3 AS g
+        |  FROM documents),
+        |nm AS (
+        |  SELECT doc_id,
+        |         (CASE r WHEN 1 THEN substr(fn, 1, length(fn) - 1)
+        |                 WHEN 2 THEN fn || 'e' ELSE fn END)
+        |           || ' fam' || CAST(g AS VARCHAR) AS name
+        |  FROM n),
+        |tok AS (
+        |  SELECT DISTINCT doc_id, lower(trim(name)) AS name, t.token
+        |  FROM nm, unnest(list_filter(
+        |    string_split_regex(lower(trim(name)), '\s+'),
+        |    x -> length(x) > 0)) AS t(token)),
+        |sz AS (SELECT token, count(*) AS bn FROM tok GROUP BY token),
+        |p AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM tok a JOIN tok b USING (token) JOIN sz USING (token)
+        |  WHERE a.doc_id < b.doc_id AND sz.bn BETWEEN 2 AND 500
+        |    AND levenshtein(a.name, b.name) <= 2),
+        |e AS (SELECT id_a AS s, id_b AS d FROM p
+        |      UNION SELECT id_b AS s, id_a AS d FROM p),
+        |reach AS (
+        |  SELECT s AS id, s AS label FROM e
+        |  UNION
+        |  SELECT e.s AS id, r.label AS label FROM e JOIN reach r ON e.d = r.id),
+        |cl AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id),
+        |lab AS (
+        |  SELECT nm.doc_id AS id, nm.name,
+        |         coalesce(cl.cluster, nm.doc_id) AS cluster
+        |  FROM nm LEFT JOIN cl ON cl.id = nm.doc_id),
+        |rk AS (
+        |  SELECT cluster, id, name,
+        |         row_number() OVER (PARTITION BY cluster
+        |                            ORDER BY length(name), name, id) AS rn,
+        |         count(*) OVER (PARTITION BY cluster) AS n_members
+        |  FROM lab)
+        |SELECT cluster, id AS golden_id, name AS golden_name,
+        |       n_members
+        |FROM rk WHERE rn = 1""".stripMargin,
 
     "ed1_edit_distance" ->
       """WITH c AS (

@@ -1220,6 +1220,38 @@ object Dedup {
       .select("id_a", "id_b", "edit_distance")
   }
 
+  /** Golden-record election (the survivorship step of MDM-style
+    * entity resolution): match pairs → transitive closure → ONE
+    * canonical record per entity. `pairs` is any (id_a, id_b) match
+    * set — typically [[blockedFuzzyPairs]] — closed into components
+    * by [[clusters]]; every unmatched record survives as its own
+    * singleton entity (left join + coalesce to own id). The canonical
+    * record per entity is elected by a deterministic, SQL-replayable
+    * rule: smallest (length(name), name, id) — the shortest name is
+    * the least-decorated variant, ties break on the text then the id.
+    * Swap the struct for a quality score to elect "best" instead of
+    * "shortest" (that is [[clustersKeepBest]]'s rule).
+    *
+    * Output: one row per entity — (cluster, golden_id, golden_name,
+    * n_members). Scale shape: the records frame joins the (tiny)
+    * cluster labels once, then ONE struct-min aggregate per entity —
+    * no window, no per-cluster sort.
+    */
+  def goldenRecords(records: DataFrame, idCol: String, nameCol: String,
+      pairs: DataFrame): DataFrame = {
+    val cl = clusters(pairs)
+    val labeled = records
+      .select(col(idCol).cast("long").as("id"), col(nameCol).as("name"))
+      .join(cl, Seq("id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("id")))
+    labeled.groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        min(struct(length(col("name")).as("len"), col("name").as("name"),
+          col("id").as("id"))).as("__g"))
+      .select(col("cluster"), col("__g.id").as("golden_id"),
+        col("__g.name").as("golden_name"), col("n_members"))
+  }
+
   /** Paragraph-level exact dedup with document reassembly (the
     * C4/RefinedWeb line-dedup step): split each document on `sep`,
     * keep only the corpus-wide FIRST occurrence of every distinct

@@ -82,6 +82,26 @@ class DedupSpec extends SparkTestBase {
       maxDistance = 2, maxBlockSize = 3).count() == 0)
   }
 
+  test("goldenRecords: transitive closure, shortest-name election, singleton survival") {
+    val recs = Seq(
+      (1L, "John Smith"), (2L, "Jon Smith"), (3L, "John Smyth"), // one entity
+      (4L, "Mary Jones"), (5L, "Mary Johnson"),                  // two (dist 3)
+      (6L, "Zed Qux"))                                           // singleton
+      .toDF("id", "name")
+    val pairs = Dedup.blockedFuzzyPairs(recs, "id", "name", maxDistance = 2)
+    val out = Dedup.goldenRecords(recs, "id", "name", pairs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    // {1,2,3} close transitively through 1 even though (2,3) never paired;
+    // "Jon Smith" (9 chars) beats the two 10-char variants
+    assert(out(1L) == ((2L, "Jon Smith", 3L)))
+    // unmatched records each survive as their own entity
+    assert(out(4L) == ((4L, "Mary Jones", 1L)))
+    assert(out(5L) == ((5L, "Mary Johnson", 1L)))
+    assert(out(6L) == ((6L, "Zed Qux", 1L)))
+    assert(out.size == 4)
+  }
+
   test("hammingPairs blocks any 64-bit signature, recall exact within 3 bits") {
     // planted signatures: 1/2 differ by 2 bits, 3 by one flipped
     // 16-bit chunk (hamming 16 but 3 chunks shared), 4 is far
