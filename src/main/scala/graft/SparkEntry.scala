@@ -2467,6 +2467,47 @@ object SparkEntry {
       s.read.parquet(s"$base/out")
     }),
 
+    // streaming trending top-k e2e: tumbling-hour counts per event
+    // type in APPEND mode over a real multi-micro-batch run. Append
+    // only emits windows the watermark has passed, so two far-future
+    // sentinel files close every real window at end-of-stream (the
+    // first advances the watermark, the second's batch flushes) —
+    // the sentinel's own window is never finalized and never appears.
+    // Ranking is a batch post-step over the emitted counts; the
+    // oracle replays hour-truncated counts + top-3 from the table.
+    "st11_trending" -> ((s, dir) => {
+      val ev = events(s, dir).select("event_id", "ts", "event_type")
+      val base = tmpDir("graft_st11")
+      val in = s"$base/in"
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+      ev.filter(col("ts") < cut).coalesce(1).write.mode("append").parquet(in)
+      ev.filter(col("ts") >= cut).coalesce(1).write.mode("append").parquet(in)
+      val sentinel = ev.limit(1).select(lit(-1L).as("event_id"),
+        lit("2030-01-01 00:00:00").cast("timestamp_ntz").as("ts"),
+        lit("zz_sentinel").as("event_type"))
+      sentinel.coalesce(1).write.mode("append").parquet(in)
+      sentinel.coalesce(1).write.mode("append").parquet(in)
+      val schema = s.read.parquet(in).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val counts = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("n"))
+      val q = graft.streaming.EventStream.writeFileStream(
+        counts, s"$base/out", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      val emitted = s.read.parquet(s"$base/out")
+      val w = Window.partitionBy("window_start")
+        .orderBy(col("n").desc, col("event_type").asc)
+      emitted.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("window_start", "rank", "event_type", "n")
+    }),
+
     // streaming incremental replication e2e: a chronological file
     // stream of events runs through Structured Streaming into a JDBC
     // sink via foreachBatch (per-batch latest-per-key reduce + staged
@@ -4113,6 +4154,18 @@ object SparkEntry {
         |       e.event_type, e.value, c.c_mktsegment
         |FROM events e
         |LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+
+    "st11_trending" ->
+      """WITH c AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |         event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT window_start, event_type, n,
+        |         row_number() OVER (PARTITION BY window_start
+        |                            ORDER BY n DESC, event_type ASC) AS rank
+        |  FROM c)
+        |SELECT window_start, rank, event_type, n FROM r WHERE rank <= 3""".stripMargin,
 
     "qf1_quality_gate" -> qualityGateOracle,
 
