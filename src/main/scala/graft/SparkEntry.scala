@@ -1435,6 +1435,43 @@ object SparkEntry {
         graft.sources.Layout.interleaveBits(
           col("l_partkey"), col("l_suppkey"), 16).as("zkey"))),
 
+    // hive-partitioned layout + STATIC partition pruning: lineitem
+    // written partitioned by ship month, the 1995 predicate prunes
+    // whole directories at planning time (PartitionFilters plan-pinned)
+    "pp1_partition_prune" -> ((s, dir) => {
+      val path = tmpDir("graft_pp1") + "/li"
+      graft.sources.Layout.writeHivePartitioned(
+        t(s, dir, "lineitem").withColumn("l_month",
+          (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("int")),
+        path, "l_month")
+      s.read.parquet(path)
+        .filter(col("l_month").between(199501, 199512))
+        .groupBy("l_month")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+    }),
+
+    // DYNAMIC partition pruning: the fact's partition column is joined
+    // against a filtered month dimension — Spark broadcasts the dim's
+    // key set and injects a dynamicpruningexpression into the fact
+    // scan, so only the joined month directories are listed
+    "pp2_dynamic_prune" -> ((s, dir) => {
+      val path = tmpDir("graft_pp2") + "/li"
+      graft.sources.Layout.writeHivePartitioned(
+        t(s, dir, "lineitem").withColumn("l_month",
+          (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("int")),
+        path, "l_month")
+      val months = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          year(col("o_orderdate")) === 1994)
+        .select((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("int").as("d_month"))
+        .distinct()
+      s.read.parquet(path)
+        .join(months, col("l_month") === col("d_month"))
+        .groupBy("l_month")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+    }),
+
     // manual skew join: fact salted on a non-key column, dim
     // replicated 8x, join runs on (partkey, salt) so a hot part's
     // rows land on 8 reducers — result == the plain join, which is
@@ -4005,6 +4042,26 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
 
     "z1_zorder_key" -> z1OracleSql(16),
+
+    "pp1_partition_prune" ->
+      """SELECT (year(l_shipdate) * 100 + month(l_shipdate)) AS l_month,
+        |       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE (year(l_shipdate) * 100 + month(l_shipdate))
+        |      BETWEEN 199501 AND 199512
+        |GROUP BY 1""".stripMargin,
+
+    "pp2_dynamic_prune" ->
+      """WITH m AS (
+        |  SELECT DISTINCT (year(o_orderdate) * 100 + month(o_orderdate))
+        |           AS d_month
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1994)
+        |SELECT (year(l_shipdate) * 100 + month(l_shipdate)) AS l_month,
+        |       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN m
+        |  ON (year(l_shipdate) * 100 + month(l_shipdate)) = m.d_month
+        |GROUP BY 1""".stripMargin,
 
     "fun1_funnel" ->
       """WITH s1 AS (

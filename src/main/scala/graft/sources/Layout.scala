@@ -70,4 +70,31 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Hive-style directory partitioning — the FIRST-order data-skipping
+    * mechanism of every warehouse layout, ahead of bucketing (join
+    * co-location) and z-order (multi-dim footer stats): a predicate on
+    * the partition column prunes whole DIRECTORIES from the listing,
+    * before any file footer is even opened. Two pruning paths, both
+    * free once the layout exists:
+    *  - static: a literal predicate on the partition column resolves
+    *    at planning time (`PartitionFilters` on the scan);
+    *  - dynamic (DPP): a JOIN on the partition column against a
+    *    filtered dimension prunes at runtime — Spark broadcasts the
+    *    dim's key set and injects a `dynamicpruningexpression` into
+    *    the fact scan, so only the joined partitions are listed.
+    *
+    * `repartition` on the partition column first: without it every
+    * upstream task writes a file into EVERY partition directory
+    * (tasks × partitions small files); with it each partition's rows
+    * land in one task → one file per directory. Pick the partition
+    * column so directories stay in the hundreds-to-thousands and each
+    * holds ≥ one parquet row group; day/month grains, not user ids.
+    */
+  def writeHivePartitioned(df: DataFrame, path: String,
+      partitionCol: String): Unit =
+    df.repartition(col(partitionCol))
+      .write.mode("overwrite")
+      .partitionBy(partitionCol)
+      .parquet(path)
 }

@@ -224,6 +224,17 @@ class PlanSpec extends SparkTestBase {
     assert(p.linesIterator.exists(l => l.contains("PushedFilters") && l.contains("l_quantity")))
   }
 
+  test("pp1 prunes partitions statically; pp2 prunes them dynamically via the dim join") {
+    val p1 = planOf("pp1_partition_prune")
+    assert(p1.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("l_month")), p1)
+    val df2 = SparkEntry.queries("pp2_dynamic_prune")(spark, sf())
+    df2.collect()
+    val p2 = df2.queryExecution.executedPlan.toString
+    assert(p2.toLowerCase.contains("dynamicpruning"),
+      s"pp2 must inject a runtime partition filter:\n$p2")
+  }
+
   test("qf5 blocklist scan is a shuffle-free codegen projection") {
     val df = SparkEntry.queries("qf5_blocklist")(spark, sf())
     df.collect()
