@@ -1074,6 +1074,23 @@ object SparkEntry {
         col("doc_id"), col("lang"),
         TextAnalysis.langId(col("text")).as("lang_guess"))),
 
+    // paragraph-level language routing on a mixed-language fixture:
+    // two own-text paragraphs + one foreign-marker paragraph + one
+    // marker-free ('und') paragraph per doc; the majority election
+    // and minority flags are the excision coordinates
+    "ta7_paragraph_lang" -> ((s, dir) => {
+      val own = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val fx = own.select(col("doc_id"), concat_ws("\n\n",
+        array_join(slice(col("w"), 1, 6), " "),
+        array_join(slice(col("w"), 7, 6), " "),
+        when(col("doc_id") % 3 === 1, lit("der und ist nicht das ein zu"))
+          .when(col("doc_id") % 3 === 2, lit("le la est dans les et un une"))
+          .otherwise(lit("the and of to is in")),
+        lit("zzz qqq xxx")).as("text"))
+      TextAnalysis.paragraphLangRoute(fx, "doc_id", "text")
+    }),
+
     // MOSS winnowing: every 4-gram-window's minimum word 3-gram,
     // deduped — the recall-complete substring-blocking key set at
     // ~2/(w+1) the full gram density (selection replayable in SQL:
@@ -3816,6 +3833,8 @@ object SparkEntry {
 
     "ta2_lang_id" -> langIdOracle,
 
+    "ta7_paragraph_lang" -> ta7OracleSql,
+
     "ta3_fingerprint" -> ta3Oracle,
 
     // winnowing replay: positional grams as {'g','p'} structs (field
@@ -5695,6 +5714,60 @@ object SparkEntry {
   /** ta2 oracle: must mirror TextAnalysis.langId exactly — per-lang
     * marker-hit counts, winner = first lang (sorted code order)
     * reaching the max; zh markers match without word boundaries. */
+  /** ta7's oracle: replays the paragraph fixture, the per-paragraph
+    * marker scoring (same pattern builder as [[langIdOracle]]), the
+    * majority election, and the minority flags. */
+  private def ta7OracleSql: String = {
+    val langs = graft.operators.TextAnalysis.langMarkers.toSeq.sortBy(_._1)
+    val hitExprs = langs.map { case (lang, words) =>
+      val pattern =
+        if (lang == "zh") "(" + words.mkString("|") + ")"
+        else "\\b(" + words.mkString("|") + ")\\b"
+      s"len(regexp_extract_all(lower(para), '$pattern')) AS ${lang}_hits"
+    }.mkString(",\n         ")
+    val greatest = "greatest(" + langs.map(_._1 + "_hits").mkString(", ") + ")"
+    val cases = langs.map { case (lang, _) =>
+      s"WHEN ${lang}_hits = mx THEN '$lang'"
+    }.mkString(" ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |fx AS (
+       |  SELECT doc_id,
+       |         array_to_string(w[1:6], ' ') || E'\\n\\n' ||
+       |         array_to_string(w[7:12], ' ') || E'\\n\\n' ||
+       |         (CASE WHEN doc_id % 3 = 1 THEN 'der und ist nicht das ein zu'
+       |               WHEN doc_id % 3 = 2 THEN 'le la est dans les et un une'
+       |               ELSE 'the and of to is in' END) || E'\\n\\n' ||
+       |         'zzz qqq xxx' AS text
+       |  FROM w),
+       |p0 AS (
+       |  SELECT doc_id,
+       |         unnest(string_split(text, E'\\n\\n')) AS para,
+       |         generate_subscripts(string_split(text, E'\\n\\n'), 1) AS pos1
+       |  FROM fx),
+       |p AS (SELECT doc_id, CAST(pos1 - 1 AS INT) AS pos, para
+       |      FROM p0 WHERE length(trim(para)) > 0),
+       |h AS (
+       |  SELECT doc_id, pos,
+       |         $hitExprs
+       |  FROM p),
+       |g AS (SELECT *, $greatest AS mx FROM h),
+       |pl AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN mx = 0 THEN 'und' $cases END AS para_lang
+       |  FROM g),
+       |c AS (SELECT doc_id, para_lang, count(*) AS cnt FROM pl GROUP BY 1, 2),
+       |dl AS (
+       |  SELECT doc_id, para_lang AS doc_lang FROM (
+       |    SELECT doc_id, para_lang,
+       |           row_number() OVER (PARTITION BY doc_id
+       |                              ORDER BY cnt DESC, para_lang ASC) AS rn
+       |    FROM c)
+       |  WHERE rn = 1)
+       |SELECT pl.doc_id, pl.pos, pl.para_lang, dl.doc_lang,
+       |       pl.para_lang <> dl.doc_lang AS is_minority
+       |FROM pl JOIN dl USING (doc_id)""".stripMargin
+  }
+
   private def langIdOracle: String = {
     val langs = TextAnalysis.langMarkers.toSeq.sortBy(_._1)
     val hitExprs = langs.map { case (lang, words) =>

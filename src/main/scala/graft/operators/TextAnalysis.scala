@@ -96,6 +96,41 @@ object TextAnalysis {
   def compressionRatio(text: Column, level: Int = 6): Column =
     TextExpressions.deflate_ratio(text, level)
 
+  /** Paragraph-level language routing (the CCNet/mC4 shape: web
+    * documents are routinely mixed-language, and language filters
+    * that score the WHOLE document either drop good majority content
+    * or keep foreign boilerplate). Splits each doc on `sep`, language-
+    * IDs every paragraph with the [[langId]] marker heuristic, elects
+    * the document's majority language (ties → smallest language code,
+    * same order as langId's own tie-break), and flags minority
+    * paragraphs — the excision/routing coordinates.
+    *
+    * Output: one row per non-empty paragraph — (idCol, pos,
+    * para_lang, doc_lang, is_minority). Scale shape: the split +
+    * per-paragraph scoring is a row-local codegen generate; only the
+    * (doc, lang) counts aggregate (bounded by docs × languages), and
+    * the majority label joins back on the doc key. Paragraph text
+    * never shuffles.
+    */
+  def paragraphLangRoute(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val paras = df
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "para")))
+      .filter(length(trim(col("para"))) > 0)
+      .withColumn("para_lang", langId(col("para")))
+    val counts = paras.groupBy(col(idCol), col("para_lang"))
+      .agg(count(lit(1)).as("cnt"))
+    // argmax (cnt desc, lang asc) via struct-min on (-cnt, lang)
+    val docLang = counts.groupBy(col(idCol))
+      .agg(min(struct((-col("cnt")).as("nc"), col("para_lang").as("l")))
+        .getField("l").as("doc_lang"))
+    paras.join(docLang, idCol)
+      .select(col(idCol), col("pos"), col("para_lang"), col("doc_lang"),
+        (col("para_lang") =!= col("doc_lang")).as("is_minority"))
+  }
+
   /** Winnowing fingerprints (MOSS): one row per selected fingerprint
     * — (idCol, pos, gram), the lexicographic-minimum word k-gram of
     * every w-gram window, deduped. Any two docs sharing a run of

@@ -621,6 +621,33 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out.toSeq == Seq("en", "de", "fr", "und"))
   }
 
+  test("paragraphLangRoute: majority election, minority flags, empty paragraphs dropped") {
+    val docs = Seq(
+      (1L, "the cat and the dog\n\nthe house is the best\n\nder hund und die katze\n\n\n\nxyzzy plugh"),
+      (2L, "le chat est dans la maison")).toDF("id", "text")
+    val out = TextAnalysis.paragraphLangRoute(docs, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getString(2), r.getString(3), r.getBoolean(4)))).toMap
+    // doc 1: en x2, de x1, und x1 -> majority en; empty para (pos 3) dropped
+    assert(out((1L, 0)) == (("en", "en", false)))
+    assert(out((1L, 1)) == (("en", "en", false)))
+    assert(out((1L, 2)) == (("de", "en", true)))
+    assert(!out.contains((1L, 3)))
+    assert(out((1L, 4)) == (("und", "en", true)))
+    // doc 2: single paragraph is its own majority
+    assert(out((2L, 0)) == (("fr", "fr", false)))
+    assert(out.size == 5)
+  }
+
+  test("paragraphLangRoute breaks majority ties by the smallest language code") {
+    // one 'en' paragraph, one 'de' paragraph -> tie -> 'de' < 'en'
+    val docs = Seq((1L, "the cat and the dog\n\nder hund und die katze"))
+      .toDF("id", "text")
+    val out = TextAnalysis.paragraphLangRoute(docs, "id", "text")
+      .collect().map(r => r.getInt(1) -> r.getString(3)).toMap
+    assert(out.values.toSet == Set("de"))
+  }
+
   test("quality score penalizes degenerate text") {
     val out = Seq(
       "This is a reasonable sentence with the usual words and structure.",
