@@ -2719,7 +2719,42 @@ object SparkEntry {
         .select(col("user_id"),
           col("sw.start").as("session_start"),
           col("sw.end").as("session_end"),
-          col("n_events"))))
+          col("n_events"))),
+
+    // ---- experiment statistics (beyond-parity) --------------------
+    // Welch t-test per metric slice: arms by user-id parity, the
+    // metric scaled to exact cents so both engines aggregate exact
+    // integers and replay identical double algebra (Stats scaladoc)
+    "ab1_welch_ttest" -> ((s, dir) =>
+      Stats.welchTTest(
+        events(s, dir).select(col("event_type"), col("user_id"),
+          round(col("value") * 100).cast("long").as("v_cents")),
+        Seq("event_type"), col("user_id") % 2, col("v_cents"),
+        scale = 100.0)),
+
+    // 2x2 independence: does the arm change the share of HEAVY
+    // purchasers? outcome collapsed per user first (the unit of
+    // randomization; "ever purchased" is degenerate on this data —
+    // every user has), then one counter row per arm x outcome
+    "ab2_conversion_chisq" -> ((s, dir) => {
+      val perUser = events(s, dir)
+        .groupBy("user_id")
+        .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          >= 14L).cast("int").as("converted"))
+      Stats.chiSquare2x2(perUser, Seq.empty,
+        col("user_id") % 2, col("converted"))
+    }),
+
+    // closed-form OLS of price on quantity per return flag; quantity
+    // is integral and price rounds to whole units, so every sum is an
+    // exact integer (Σy² ~ 2e15 « 2^63) -> engine-reproducible
+    // slope/intercept/r2
+    "reg1_ols" -> ((s, dir) =>
+      Stats.olsFit(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          round(col("l_quantity")).cast("long").as("qty"),
+          round(col("l_extendedprice")).cast("long").as("price_units")),
+        Seq("l_returnflag"), col("qty"), col("price_units"))))
 
   /** DuckDB-runnable oracles. Omitted keys (LSH/simhash candidate
     * generation, engine-specific JSON/fingerprint/decode-stub) get the
@@ -5137,6 +5172,105 @@ object SparkEntry {
         |SELECT user_id, min(ts) AS session_start,
         |       max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    // exact-integer cent sums, then the identical double expression
+    // tree as Stats.welchTTest (squares via explicit multiply — no
+    // libm pow); the replay is bit-reproducible, round(6) is a guard
+    "ab1_welch_ttest" ->
+      """WITH base AS (
+        |  SELECT event_type, user_id % 2 AS arm,
+        |         CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |agg AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN arm = 0 THEN v ELSE 0 END) AS BIGINT) AS s0,
+        |    CAST(sum(CASE WHEN arm <> 0 THEN v ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(sum(CASE WHEN arm = 0 THEN v * v ELSE 0 END) AS BIGINT) AS q0,
+        |    CAST(sum(CASE WHEN arm <> 0 THEN v * v ELSE 0 END) AS BIGINT) AS q1
+        |  FROM base GROUP BY 1),
+        |d AS (
+        |  SELECT event_type, n0, n1,
+        |         CAST(n0 AS DOUBLE) AS n0d, CAST(n1 AS DOUBLE) AS n1d,
+        |         CAST(s0 AS DOUBLE) AS s0d, CAST(s1 AS DOUBLE) AS s1d,
+        |         CAST(q0 AS DOUBLE) AS q0d, CAST(q1 AS DOUBLE) AS q1d
+        |  FROM agg),
+        |st AS (
+        |  SELECT event_type, n0, n1,
+        |         s0d / n0d / 100.0 AS m0, s1d / n1d / 100.0 AS m1,
+        |         (q0d - s0d * s0d / n0d) / (n0d - 1.0) / (100.0 * 100.0) / n0d AS se0,
+        |         (q1d - s1d * s1d / n1d) / (n1d - 1.0) / (100.0 * 100.0) / n1d AS se1,
+        |         n0d, n1d
+        |  FROM d)
+        |SELECT event_type, n0 AS n_a, n1 AS n_b,
+        |       round(m0, 6) AS mean_a, round(m1, 6) AS mean_b,
+        |       round((m0 - m1) / sqrt(se0 + se1), 6) AS t_stat,
+        |       round((se0 + se1) * (se0 + se1) /
+        |             (se0 * se0 / (n0d - 1.0) + se1 * se1 / (n1d - 1.0)), 6)
+        |         AS df_welch
+        |FROM st""".stripMargin,
+
+    // unit of randomization = user: collapse to per-user conversion
+    // first, then the four exact cell counts and the 2x2 chi-square
+    "ab2_conversion_chisq" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+        |              THEN 1 ELSE 0 END AS converted
+        |  FROM events GROUP BY 1),
+        |agg AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 AND converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 0 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 0 AND converted = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM pu),
+        |dd AS (SELECT a, b, c, d,
+        |              CAST(a AS DOUBLE) AS ad, CAST(b AS DOUBLE) AS bd,
+        |              CAST(c AS DOUBLE) AS cd, CAST(d AS DOUBLE) AS dd_
+        |       FROM agg)
+        |SELECT a AS conv_a, b AS noconv_a, c AS conv_b, d AS noconv_b,
+        |       round((ad + bd + cd + dd_) * (ad * dd_ - bd * cd)
+        |               * (ad * dd_ - bd * cd) /
+        |             ((ad + bd) * (cd + dd_) * (ad + cd) * (bd + dd_)), 6)
+        |         AS chi2
+        |FROM dd""".stripMargin,
+
+    // exact-integer moment sums (quantity integral, price rounded to
+    // whole units), centered-moment algebra on the exact scalars —
+    // the same tree as Stats.olsFit
+    "reg1_ols" ->
+      """WITH base AS (
+        |  SELECT l_returnflag,
+        |         CAST(round(l_quantity) AS BIGINT) AS x,
+        |         CAST(round(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem),
+        |agg AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(y * y) AS BIGINT) AS syy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM base GROUP BY 1),
+        |d AS (
+        |  SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+        |         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |         CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+        |         CAST(sxy AS DOUBLE) AS sxyd
+        |  FROM agg),
+        |c AS (
+        |  SELECT l_returnflag, n, nd, sxd, syd,
+        |         sxxd - sxd * sxd / nd AS cxx,
+        |         syyd - syd * syd / nd AS cyy,
+        |         sxyd - sxd * syd / nd AS cxy
+        |  FROM d)
+        |SELECT l_returnflag, n,
+        |       round(cxy / cxx * (1.0 / 1.0), 6) AS slope,
+        |       round(syd / nd / 1.0 - (cxy / cxx * (1.0 / 1.0)) * (sxd / nd / 1.0), 6)
+        |         AS intercept,
+        |       round(cxy * cxy / (cxx * cyy), 6) AS r2
+        |FROM c""".stripMargin,
 
     // positional chunk enumeration mirrors the kernel: starts at
     // multiples of stride below max(len - overlap, 1)

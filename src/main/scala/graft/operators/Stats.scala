@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Experiment statistics (beyond-parity): the A/B-test readouts every
+  * product-analytics stack computes over its event store — Welch's
+  * unequal-variance t-test per metric slice, the 2×2 chi-square test
+  * of independence for conversion, and closed-form OLS regression per
+  * group. The reference engine has no statistics surface; these are
+  * the standard companions to its aggregation queries.
+  *
+  * Exactness contract (what makes these oracle-MATCHable): callers
+  * pass INTEGER-valued metric columns (scale fixed-decimal inputs,
+  * e.g. `round(value * 100)`). Every aggregation is then an exact
+  * LongType sum — no float summation-order drift — and the final
+  * statistics are computed from those exact per-group scalars with a
+  * fixed double-precision expression tree, so any engine replaying
+  * the same algebra reproduces them bit-for-bit (outputs still
+  * rounded to 6 places as a guard).
+  *
+  * Scale shape: one map-side-combined aggregate per call — conditional
+  * sums collapse each group to a single row of counters (no pivot, no
+  * second pass, no driver math). Groups ≪ rows, so the shuffle carries
+  * counter rows only.
+  */
+object Stats {
+
+  /** Welch's two-sample t-test of `valueCol` between `armCol` = 0 and
+    * `armCol` = 1, per `groupCols` slice: arm sizes and means, the t
+    * statistic, and the Welch–Satterthwaite degrees of freedom.
+    * `valueCol` must be integral (see exactness contract); `scale` is
+    * the fixed-point divisor that converts sums back to metric units
+    * (e.g. 100.0 for a cents-scaled metric).
+    */
+  def welchTTest(df: DataFrame, groupCols: Seq[String], armCol: Column,
+      valueCol: Column, scale: Double = 1.0): DataFrame = {
+    val v = valueCol.cast("long")
+    val arm0 = armCol === 0
+    val agg = df.groupBy(groupCols.map(col): _*).agg(
+      sum(when(arm0, lit(1L)).otherwise(0L)).as("__n0"),
+      sum(when(!arm0, lit(1L)).otherwise(0L)).as("__n1"),
+      sum(when(arm0, v).otherwise(0L)).as("__s0"),
+      sum(when(!arm0, v).otherwise(0L)).as("__s1"),
+      sum(when(arm0, v * v).otherwise(0L)).as("__q0"),
+      sum(when(!arm0, v * v).otherwise(0L)).as("__q1"))
+    // All doubles below derive from exact integer scalars through one
+    // fixed expression tree — engine-reproducible (see scaladoc).
+    val n0 = col("__n0").cast("double"); val n1 = col("__n1").cast("double")
+    val s0 = col("__s0").cast("double"); val s1 = col("__s1").cast("double")
+    val q0 = col("__q0").cast("double"); val q1 = col("__q1").cast("double")
+    val m0 = s0 / n0 / scale
+    val m1 = s1 / n1 / scale
+    // var_samp in metric units: (Σv² − (Σv)²/n) / (n−1) / scale²
+    val v0 = (q0 - s0 * s0 / n0) / (n0 - 1.0) / (scale * scale)
+    val v1 = (q1 - s1 * s1 / n1) / (n1 - 1.0) / (scale * scale)
+    val se0 = v0 / n0
+    val se1 = v1 / n1
+    // squares via explicit multiply, not pow(): IEEE *, / and sqrt are
+    // correctly rounded everywhere; libm pow() is not
+    val tStat = (m0 - m1) / sqrt(se0 + se1)
+    val dfW = (se0 + se1) * (se0 + se1) /
+      (se0 * se0 / (n0 - 1.0) + se1 * se1 / (n1 - 1.0))
+    agg.select(
+      groupCols.map(col) ++ Seq(
+        col("__n0").as("n_a"), col("__n1").as("n_b"),
+        round(m0, 6).as("mean_a"), round(m1, 6).as("mean_b"),
+        round(tStat, 6).as("t_stat"), round(dfW, 6).as("df_welch")): _*)
+  }
+
+  /** 2×2 chi-square test of independence between a binary `armCol`
+    * (0/1) and a binary `outcomeCol` (0/1), per `groupCols` slice
+    * (global when empty): the four cell counts and the chi-square
+    * statistic N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)), 1 df. Cell
+    * products stay inside exact-integer double range for any
+    * realistic slice (cells < 2^26). */
+  def chiSquare2x2(df: DataFrame, groupCols: Seq[String], armCol: Column,
+      outcomeCol: Column): DataFrame = {
+    val cell = (a: Int, o: Int) =>
+      sum(when(armCol === a && outcomeCol === o, 1L).otherwise(0L))
+    val agg = df.groupBy(groupCols.map(col): _*).agg(
+      cell(0, 1).as("__a"), cell(0, 0).as("__b"),
+      cell(1, 1).as("__c"), cell(1, 0).as("__d"))
+    val a = col("__a").cast("double"); val b = col("__b").cast("double")
+    val c = col("__c").cast("double"); val d = col("__d").cast("double")
+    val n = a + b + c + d
+    val det = a * d - b * c
+    val denom = (a + b) * (c + d) * (a + c) * (b + d)
+    // a zero marginal makes the statistic undefined (and would raise
+    // under ANSI division) — emit NULL, the conventional readout
+    val chi2 = when(denom === 0.0, lit(null).cast("double"))
+      .otherwise(n * det * det / denom)
+    agg.select(
+      groupCols.map(col) ++ Seq(
+        col("__a").as("conv_a"), col("__b").as("noconv_a"),
+        col("__c").as("conv_b"), col("__d").as("noconv_b"),
+        round(chi2, 6).as("chi2")): _*)
+  }
+
+  /** Closed-form simple OLS of `yCol` on `xCol` per `groupCols`:
+    * slope, intercept, and r² from centered second moments. Inputs
+    * must be integral (exactness contract); `xScale`/`yScale` convert
+    * the fixed-point sums back to metric units. Centered form (two
+    * exact sums + means, then Σ(x−x̄)(y−ȳ) algebra on exact scalars)
+    * avoids the catastrophic cancellation of n·Σxy − Σx·Σy at scale.
+    * One aggregate pass: the raw sums are exact integers, and the
+    * centering happens in the final scalar algebra, not per row. */
+  def olsFit(df: DataFrame, groupCols: Seq[String], xCol: Column,
+      yCol: Column, xScale: Double = 1.0, yScale: Double = 1.0): DataFrame = {
+    val x = xCol.cast("long"); val y = yCol.cast("long")
+    val agg = df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("__n"),
+      sum(x).as("__sx"), sum(y).as("__sy"),
+      sum(x * x).as("__sxx"), sum(y * y).as("__syy"),
+      sum(x * y).as("__sxy"))
+    val n = col("__n").cast("double")
+    val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
+    val sxx = col("__sxx").cast("double"); val syy = col("__syy").cast("double")
+    val sxy = col("__sxy").cast("double")
+    // Centered moments from exact sums: Sxx_c = Σx² − (Σx)²/n etc.
+    val cxx = sxx - sx * sx / n
+    val cyy = syy - sy * sy / n
+    val cxy = sxy - sx * sy / n
+    val slope = cxy / cxx * (xScale / yScale)
+    val meanX = sx / n / xScale
+    val meanY = sy / n / yScale
+    val intercept = meanY - slope * meanX
+    val r2 = cxy * cxy / (cxx * cyy)
+    agg.select(
+      groupCols.map(col) ++ Seq(
+        col("__n").as("n"),
+        round(slope, 6).as("slope"),
+        round(intercept, 6).as("intercept"),
+        round(r2, 6).as("r2")): _*)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class StatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("welchTTest matches the hand-computed statistic on a tiny fixture") {
+    // arm0 = [1,2,3] (mean 2, var 1), arm1 = [2,4,6,8] (mean 5, var 20/3)
+    val df = Seq((0, 1L), (0, 2L), (0, 3L), (1, 2L), (1, 4L), (1, 6L), (1, 8L))
+      .toDF("arm", "v").withColumn("g", lit("m"))
+    val r = Stats.welchTTest(df, Seq("g"), col("arm"), col("v")).collect()(0)
+    assert(r.getAs[Long]("n_a") === 3L && r.getAs[Long]("n_b") === 4L)
+    assert(r.getAs[Double]("mean_a") === 2.0)
+    assert(r.getAs[Double]("mean_b") === 5.0)
+    // t = (2-5)/sqrt(1/3 + (20/3)/4) = -3/sqrt(2)
+    assert(math.abs(r.getAs[Double]("t_stat") - (-3.0 / math.sqrt(2.0))) < 1e-6)
+    // Welch–Satterthwaite: 2^2 / ((1/3)^2/2 + (5/3)^2/3) = 4.075471...
+    assert(math.abs(r.getAs[Double]("df_welch") - 4.075472) < 1e-6)
+  }
+
+  test("welchTTest scale divides sums back to metric units") {
+    val df = Seq((0, 100L), (0, 300L), (1, 200L), (1, 600L))
+      .toDF("arm", "v").withColumn("g", lit("m"))
+    val r = Stats.welchTTest(df, Seq("g"), col("arm"), col("v"),
+      scale = 100.0).collect()(0)
+    assert(r.getAs[Double]("mean_a") === 2.0 && r.getAs[Double]("mean_b") === 4.0)
+  }
+
+  test("chiSquare2x2 matches the closed form and counts cells correctly") {
+    // a=10 (arm0 conv), b=20, c=20, d=10 -> chi2 = 60*300^2/30^4 = 20/3
+    val rows = Seq.fill(10)((0, 1)) ++ Seq.fill(20)((0, 0)) ++
+      Seq.fill(20)((1, 1)) ++ Seq.fill(10)((1, 0))
+    val r = Stats.chiSquare2x2(rows.toDF("arm", "out"), Seq.empty,
+      col("arm"), col("out")).collect()(0)
+    assert(r.getAs[Long]("conv_a") === 10L && r.getAs[Long]("noconv_a") === 20L)
+    assert(r.getAs[Long]("conv_b") === 20L && r.getAs[Long]("noconv_b") === 10L)
+    assert(math.abs(r.getAs[Double]("chi2") - 20.0 / 3.0) < 1e-6)
+  }
+
+  test("chiSquare2x2 emits NULL on a zero marginal instead of raising") {
+    val rows = Seq.fill(5)((0, 1)) ++ Seq.fill(5)((1, 1)) // nobody unconverted
+    val r = Stats.chiSquare2x2(rows.toDF("arm", "out"), Seq.empty,
+      col("arm"), col("out")).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("chi2")))
+  }
+
+  test("olsFit recovers an exact linear relationship") {
+    val df = (1L to 50L).map(x => ("g", x, 2 * x + 1)).toDF("g", "x", "y")
+    val r = Stats.olsFit(df, Seq("g"), col("x"), col("y")).collect()(0)
+    assert(r.getAs[Double]("slope") === 2.0)
+    assert(r.getAs[Double]("intercept") === 1.0)
+    assert(r.getAs[Double]("r2") === 1.0)
+  }
+
+  test("olsFit scales fixed-point inputs back to metric units") {
+    // y stored in cents of 2x+1 -> slope/intercept in units after yScale
+    val df = (1L to 50L).map(x => ("g", x, (2 * x + 1) * 100))
+      .toDF("g", "x", "y")
+    val r = Stats.olsFit(df, Seq("g"), col("x"), col("y"),
+      yScale = 100.0).collect()(0)
+    assert(r.getAs[Double]("slope") === 2.0)
+    assert(r.getAs[Double]("intercept") === 1.0)
+  }
+}
