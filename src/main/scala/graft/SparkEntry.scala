@@ -2745,6 +2745,15 @@ object SparkEntry {
         col("user_id") % 2, col("converted"))
     }),
 
+    // market-basket rules over orders: items = part-key buckets, all
+    // counts exact integers, margins/total broadcast — the ratios
+    // replay exactly in any engine
+    "mb1_association_rules" -> ((s, dir) =>
+      Basket.associationRules(
+        t(s, dir, "lineitem").select(col("l_orderkey").as("basket"),
+          (col("l_partkey") % 50).as("item")),
+        "basket", "item", minSupport = 30L)),
+
     // closed-form OLS of price on quantity per return flag; quantity
     // is integral and price rounds to whole units, so every sum is an
     // exact integer (Σy² ~ 2e15 « 2^63) -> engine-reproducible
@@ -5236,6 +5245,29 @@ object SparkEntry {
         |             ((ad + bd) * (cd + dd_) * (ad + cd) * (bd + dd_)), 6)
         |         AS chi2
         |FROM dd""".stripMargin,
+
+    // presence-distinct items, size-capped baskets (never hit at this
+    // basket width), exact counts, mirrored ratio algebra
+    "mb1_association_rules" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey % 50 AS i
+        |            FROM lineitem),
+        |sz AS (SELECT b FROM it GROUP BY b HAVING count(*) <= 1024),
+        |kept AS (SELECT it.b, it.i FROM it JOIN sz USING (b)),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM kept),
+        |m AS (SELECT i, CAST(count(*) AS BIGINT) AS c FROM kept GROUP BY 1),
+        |p AS (SELECT l.i AS item_a, r.i AS item_b,
+        |             CAST(count(*) AS BIGINT) AS n_pair
+        |      FROM kept l JOIN kept r ON l.b = r.b AND l.i < r.i
+        |      GROUP BY 1, 2 HAVING count(*) >= 30)
+        |SELECT item_a, item_b, n_pair, ma.c AS n_a, mb_.c AS n_b,
+        |       round(CAST(n_pair AS DOUBLE) / CAST(nb.n AS DOUBLE), 6) AS support,
+        |       round(CAST(n_pair AS DOUBLE) / CAST(ma.c AS DOUBLE), 6) AS conf_a_b,
+        |       round(CAST(n_pair AS DOUBLE) / CAST(mb_.c AS DOUBLE), 6) AS conf_b_a,
+        |       round(CAST(nb.n AS DOUBLE) * CAST(n_pair AS DOUBLE)
+        |             / (CAST(ma.c AS DOUBLE) * CAST(mb_.c AS DOUBLE)), 6) AS lift
+        |FROM p JOIN m ma ON p.item_a = ma.i
+        |       JOIN m mb_ ON p.item_b = mb_.i
+        |       CROSS JOIN nb""".stripMargin,
 
     // exact-integer moment sums (quantity integral, price rounded to
     // whole units), centered-moment algebra on the exact scalars —
