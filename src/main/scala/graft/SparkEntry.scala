@@ -2745,6 +2745,18 @@ object SparkEntry {
         col("user_id") % 2, col("converted"))
     }),
 
+    // DPO pair construction: 4 candidate "responses" per prompt
+    // group, reward = vocabulary richness (distinct-word count — an
+    // integer both engines compute identically); strict-margin pairs
+    // only, deterministic tiebreaks
+    "sft2_preference_pairs" -> ((s, dir) =>
+      ChatFormat.preferencePairs(
+        t(s, dir, "documents").select(col("doc_id"),
+          expr("doc_id div 4").as("prompt_id"),
+          size(array_distinct(split(lower(trim(col("text"))), "\\s+")))
+            .cast("long").as("score")),
+        "prompt_id", "doc_id", col("score"))),
+
     // market-basket rules over orders: items = part-key buckets, all
     // counts exact integers, margins/total broadcast — the ratios
     // replay exactly in any engine
@@ -5245,6 +5257,28 @@ object SparkEntry {
         |             ((ad + bd) * (cd + dd_) * (ad + cd) * (bd + dd_)), 6)
         |         AS chi2
         |FROM dd""".stripMargin,
+
+    // window replay of the max_by/min_by tiebreaks: chosen = score
+    // DESC id ASC, rejected = score ASC id DESC; margin-0 groups out
+    "sft2_preference_pairs" ->
+      """WITH c AS (
+        |  SELECT doc_id, doc_id // 4 AS prompt_id,
+        |         CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\s+')))
+        |              AS BIGINT) AS score
+        |  FROM documents),
+        |best AS (SELECT prompt_id, doc_id, score,
+        |                row_number() OVER (PARTITION BY prompt_id
+        |                                   ORDER BY score DESC, doc_id ASC) AS rn
+        |         FROM c),
+        |worst AS (SELECT prompt_id, doc_id, score,
+        |                 row_number() OVER (PARTITION BY prompt_id
+        |                                    ORDER BY score ASC, doc_id DESC) AS rn
+        |          FROM c)
+        |SELECT b.prompt_id, b.doc_id AS chosen_id, b.score AS chosen_score,
+        |       w.doc_id AS rejected_id, w.score AS rejected_score,
+        |       b.score - w.score AS margin
+        |FROM best b JOIN worst w USING (prompt_id)
+        |WHERE b.rn = 1 AND w.rn = 1 AND b.score > w.score""".stripMargin,
 
     // presence-distinct items, size-capped baskets (never hit at this
     // basket width), exact counts, mirrored ratio algebra

@@ -61,6 +61,31 @@ object ChatFormat {
       .drop("__full")
   }
 
+  /** DPO-style preference pairs: per `promptCol` group of candidate
+    * responses, emit the best- and worst-scored candidate with a
+    * strict margin. Tiebreaks are deterministic — equal scores break
+    * to the SMALLER id for chosen and the LARGER id for rejected —
+    * and groups without a strict preference (margin 0, or a single
+    * candidate) are dropped: a DPO pair with equal reward carries no
+    * training signal.
+    *
+    * Scale shape: ONE map-side-combinable aggregate (max_by/min_by
+    * over an ordering struct) — no window, no per-group sort; the
+    * shuffle carries one pair of (id, score) structs per prompt. */
+  def preferencePairs(cands: DataFrame, promptCol: String, idCol: String,
+      scoreCol: Column): DataFrame = {
+    val payload = struct(col(idCol).as("id"), scoreCol.as("s"))
+    val ord = struct(scoreCol, negate(col(idCol)))
+    cands.groupBy(col(promptCol)).agg(
+      max_by(payload, ord).as("__c"),
+      min_by(payload, ord).as("__r"))
+      .select(col(promptCol),
+        col("__c.id").as("chosen_id"), col("__c.s").as("chosen_score"),
+        col("__r.id").as("rejected_id"), col("__r.s").as("rejected_score"),
+        (col("__c.s") - col("__r.s")).as("margin"))
+      .filter(col("margin") > 0)
+  }
+
   /** Rendered conversation per group — the training string itself. */
   def render(turns: DataFrame, convCol: String, orderCol: String,
       roleCol: String, textCol: String,

@@ -1205,6 +1205,27 @@ class ChatFormatSpec extends SparkTestBase {
     assert(r.getString(1) == "<|user|>\nsolo question\n")
     assert(r.getLong(2) == 1L)
   }
+
+  test("preferencePairs picks strict-margin extremes with deterministic ties") {
+    val cands = Seq(
+      // prompt 1: clear winner 11 (score 9), loser 13 (score 2)
+      (1L, 11L, 9L), (1L, 12L, 5L), (1L, 13L, 2L),
+      // prompt 2: tied top (21, 22 both 7) -> chosen = smaller id;
+      // tied bottom (23, 24 both 3) -> rejected = larger id
+      (2L, 21L, 7L), (2L, 22L, 7L), (2L, 23L, 3L), (2L, 24L, 3L),
+      // prompt 3: all equal -> margin 0, dropped
+      (3L, 31L, 4L), (3L, 32L, 4L),
+      // prompt 4: single candidate -> dropped
+      (4L, 41L, 8L))
+      .toDF("prompt_id", "doc_id", "score")
+    val out = ChatFormat.preferencePairs(cands, "prompt_id", "doc_id",
+      $"score").orderBy("prompt_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(1) == 11L && out(0).getLong(3) == 13L
+      && out(0).getLong(5) == 7L)
+    assert(out(1).getLong(1) == 21L && out(1).getLong(3) == 24L
+      && out(1).getLong(5) == 4L)
+  }
 }
 
 class FunnelSpec extends SparkTestBase {
