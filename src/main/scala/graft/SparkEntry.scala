@@ -2745,6 +2745,16 @@ object SparkEntry {
         col("user_id") % 2, col("converted"))
     }),
 
+    // intra-document repetition hygiene: cut every repeat of a token
+    // after its first occurrence — one O(n) row-local codegen kernel,
+    // no shuffle (the HOF array_position form is O(n²) + fallback)
+    "rep2_intra_doc_dedup" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextExpressions.dedup_tokens_in_doc(col("text")).as("d"))
+        .select(col("doc_id"), col("d.clean_text").as("clean_text"),
+          col("d.n_tokens").as("n_tokens"),
+          col("d.n_removed").as("n_removed"))),
+
     // DPO pair construction: 4 candidate "responses" per prompt
     // group, reward = vocabulary richness (distinct-word count — an
     // integer both engines compute identically); strict-margin pairs
@@ -5257,6 +5267,22 @@ object SparkEntry {
         |             ((ad + bd) * (cd + dd_) * (ad + cd) * (bd + dd_)), 6)
         |         AS chi2
         |FROM dd""".stripMargin,
+
+    // first-occurrence replay: min position per token, reassembled in
+    // that order — the kernel's LinkedHashSet semantics in SQL
+    "rep2_intra_doc_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |           FROM documents),
+        |pos AS (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i FROM d),
+        |tk AS (SELECT doc_id, i, l[CAST(i AS INT)] AS w FROM pos),
+        |firsts AS (SELECT doc_id, w, min(i) AS fi FROM tk GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY fi) AS clean_text,
+        |               CAST(count(*) AS BIGINT) AS n_kept
+        |        FROM firsts GROUP BY 1)
+        |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |       CAST(len(d.l) AS BIGINT) AS n_tokens,
+        |       CAST(len(d.l) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     // window replay of the max_by/min_by tiebreaks: chosen = score
     // DESC id ASC, rejected = score ASC id DESC; margin-0 groups out

@@ -1017,7 +1017,63 @@ object TextExpressions {
       UTF8String.fromString(topGram), topCount))
   }
 
+  /** Intra-document repeated-token removal (Gopher-style repetition
+    * hygiene at token granularity): keep the FIRST occurrence of each
+    * exact whitespace token, in order, and report how many were cut.
+    * Row-local single pass over an insertion-ordered hash set — O(n)
+    * per document (the higher-order-function formulation with
+    * array_position is O(n²) and falls out of whole-stage codegen);
+    * no shuffle, streams as-is.
+    */
+  case class DedupTokensInDoc(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("clean_text", StringType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("n_removed", LongType, nullable = false)))
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "dedup_tokens_in_doc"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dedup_tokens_in_doc requires a string column, got ${other.catalogString}")
+      }
+
+    override protected def nullSafeEval(input: Any): Any =
+      dedupTokensKernel(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = graft.functions.TextExpressions.dedupTokensKernel($c);""")
+
+    override protected def withNewChildInternal(newChild: Expression): DedupTokensInDoc =
+      copy(child = newChild)
+  }
+
+  /** Per-row kernel of [[DedupTokensInDoc]]: tokenization matches
+    * `split(trim(text), "\\s+")` (case-preserving — dedup identity is
+    * the exact token), reassembly single-spaced. */
+  def dedupTokensKernel(text: UTF8String): InternalRow = {
+    val toks = text.trim().toString.split("\\s+", -1)
+    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    var i = 0
+    while (i < toks.length) { seen.add(toks(i)); i += 1 }
+    val sb = new java.lang.StringBuilder
+    val it = seen.iterator()
+    var first = true
+    while (it.hasNext) {
+      if (!first) sb.append(' ')
+      sb.append(it.next()); first = false
+    }
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(sb.toString),
+      toks.length.toLong, (toks.length - seen.size).toLong))
+  }
+
   // ---- Column-level API ----
+
+  def dedup_tokens_in_doc(c: Column): Column =
+    ExpressionUtils.column(DedupTokensInDoc(ExpressionUtils.expression(c)))
 
   def rolling_hash(c: Column): Column =
     ExpressionUtils.column(RollingHash(ExpressionUtils.expression(c)))

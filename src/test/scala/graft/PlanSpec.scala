@@ -57,6 +57,16 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CodegenFallback"))
   }
 
+  test("rep2 token dedup kernel runs inside whole-stage codegen, no shuffle") {
+    val df = SparkEntry.queries("rep2_intra_doc_dedup")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l => l.contains("*(")
+      && l.contains("dedup_tokens_in_doc")))
+    assert(!p.contains("CodegenFallback"))
+    assert(!p.contains("Exchange")) // row-local: scan -> project, nothing else
+  }
+
   test("dd4 auto-dispatch picks the bitset path on the closed-vocab corpus") {
     // the sample gate detects the synthetic corpus's ~30-word
     // vocabulary and routes to the salted popcount path (measured 10x

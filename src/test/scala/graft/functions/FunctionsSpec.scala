@@ -315,3 +315,38 @@ class VectorExpressionsSpec extends SparkTestBase {
     }
   }
 }
+
+class DedupTokensSpec extends SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("dedup_tokens_in_doc keeps first occurrences in order") {
+    val out = Seq("a b a c b a", "x", "", "  pad  pad x ", "A a A")
+      .toDF("text")
+      .select(TextExpressions.dedup_tokens_in_doc(col("text")).as("d"))
+      .select($"d.clean_text", $"d.n_tokens", $"d.n_removed")
+      .collect()
+    assert(out(0).getString(0) == "a b c" && out(0).getLong(1) == 6L
+      && out(0).getLong(2) == 3L)
+    assert(out(1).getString(0) == "x" && out(1).getLong(2) == 0L)
+    // empty text tokenizes to one empty token, nothing removed
+    assert(out(2).getString(0) == "" && out(2).getLong(1) == 1L
+      && out(2).getLong(2) == 0L)
+    // inner runs of whitespace collapse; dedup identity is the exact
+    // (case-sensitive) token
+    assert(out(3).getString(0) == "pad x" && out(3).getLong(2) == 1L)
+    assert(out(4).getString(0) == "A a" && out(4).getLong(2) == 1L)
+  }
+
+  test("dedup_tokens_in_doc is null-intolerant and idempotent") {
+    val df = Seq(Some("b b a b"), None).toDF("text")
+      .select(TextExpressions.dedup_tokens_in_doc(col("text")).as("d"))
+    val rows = df.collect()
+    assert(rows(1).isNullAt(0))
+    val once = rows(0).getStruct(0).getString(0)
+    val twice = Seq(once).toDF("text")
+      .select(TextExpressions.dedup_tokens_in_doc(col("text")).as("d"))
+      .select($"d.clean_text").as[String].collect()(0)
+    assert(once == "b a" && twice == once)
+  }
+}
