@@ -2745,6 +2745,16 @@ object SparkEntry {
         col("user_id") % 2, col("converted"))
     }),
 
+    // EWMA (alpha = 1/2) over each user's last 16 events: integer
+    // cents + dyadic weights make the running-sum unrolling exact, so
+    // the smoother is hash-MATCHable, not approximately-equal
+    "ts4_ewma" -> ((s, dir) =>
+      TimeSeries.ewmaHalf(
+        events(s, dir).select(col("user_id"), col("event_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("v_cents")),
+        Seq("user_id"), Seq("ts", "event_id"), col("v_cents"),
+        lastN = 16, scale = 100.0)),
+
     // intra-document repetition hygiene: cut every repeat of a token
     // after its first occurrence — one O(n) row-local codegen kernel,
     // no shuffle (the HOF array_position form is O(n²) + fallback)
@@ -5267,6 +5277,31 @@ object SparkEntry {
         |             ((ad + bd) * (cd + dd_) * (ad + cd) * (bd + dd_)), 6)
         |         AS chi2
         |FROM dd""".stripMargin,
+
+    // the dyadic running-sum unrolling replayed with << weights; the
+    // HUGEINT window sum casts to DOUBLE on the same exact integers
+    "ts4_ewma" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |rdesc AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |                      ORDER BY ts DESC, event_id DESC) AS rd FROM e),
+        |r AS (SELECT user_id, event_id, ts, v,
+        |             row_number() OVER (PARTITION BY user_id
+        |               ORDER BY ts ASC, event_id ASC) AS n
+        |      FROM rdesc WHERE rd <= 16),
+        |wx AS (SELECT *, CASE WHEN n = 1 THEN v * 4
+        |                      ELSE v * (CAST(1 AS BIGINT) << n) END AS w
+        |       FROM r),
+        |s AS (SELECT *, sum(w) OVER (PARTITION BY user_id ORDER BY n
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sw
+        |      FROM wx)
+        |SELECT user_id, event_id, ts, CAST(n AS INT) AS n,
+        |       CAST(sw AS DOUBLE)
+        |         / CAST(CAST(1 AS BIGINT) << (n + 1) AS DOUBLE)
+        |         / 100.0 AS ewma
+        |FROM s""".stripMargin,
 
     // first-occurrence replay: min position per token, reassembled in
     // that order — the kernel's LinkedHashSet semantics in SQL

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -126,5 +126,55 @@ object TimeSeries {
       .withColumn("carry", coalesce(sum("day_net").over(acrossDays), lit(0L)))
       .select(col("day"),
         (col("carry") + col("day_max")).as("max_concurrent"))
+  }
+
+  /** Exponentially-weighted moving average with α = 1/2 over each
+    * key's most recent `lastN` observations: eₙ = xₙ/2 + eₙ₋₁/2,
+    * e₁ = x₁ — the standard recency smoother for rates and gauges.
+    *
+    * The recurrence unrolls to a RUNNING SUM: with integer inputs and
+    * dyadic weights (w₁ = 4, wᵢ = 2ⁱ), eₙ = Σwᵢxᵢ / 2ⁿ⁺¹ — every
+    * intermediate is an exact integer and the final division is by a
+    * power of two, so the result is bit-reproducible across engines
+    * (why α = 1/2 and why `valueCol` must be integral; `scale`
+    * converts fixed-point units back at the end). `lastN` ≤ 36 keeps
+    * 2ⁿ·x inside exact-double range — it is the overflow bound, not a
+    * tuning knob; longer horizons re-anchor (a 2⁻³⁶ weight is zero
+    * signal anyway).
+    *
+    * Scale shape: per-key windows only — one shuffle on the key, the
+    * two window passes (recency cut, running sum) share it. No global
+    * window, no driver state. */
+  def ewmaHalf(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      valueCol: Column, lastN: Int = 16, scale: Double = 1.0): DataFrame = {
+    require(lastN >= 1 && lastN <= 36,
+      s"lastN must be in [1, 36] (2^n exactness bound): $lastN")
+    val keys = keyCols.map(col)
+    val asc = orderCols.map(col(_).asc)
+    val desc = orderCols.map(col(_).desc)
+    val recent = df
+      .withColumn("__rd",
+        row_number().over(Window.partitionBy(keys: _*).orderBy(desc: _*)))
+      .filter(col("__rd") <= lastN)
+    val w = Window.partitionBy(keys: _*).orderBy(asc: _*)
+    val n = row_number().over(w)
+    val weighted = recent
+      .withColumn("__n", n)
+      .withColumn("__wx",
+        when(col("__n") === 1, valueCol.cast("long") * 4L)
+          .otherwise(valueCol.cast("long") *
+            expr("shiftleft(CAST(1 AS BIGINT), __n)")))
+    val run = sum(col("__wx")).over(
+      w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    // NOT rounded: Σwx is an exact integer, /2ⁿ⁺¹ is exact dyadic,
+    // /scale is one correctly-rounded IEEE op — every engine computes
+    // the identical bits, while round(·, 6) would REINTRODUCE
+    // disagreement at half-boundaries (dyadic values land on them)
+    weighted
+      .withColumn("__s", run)
+      .select(keys ++ orderCols.map(col) ++ Seq(col("__n").as("n"),
+        (col("__s").cast("double") /
+          expr("CAST(shiftleft(CAST(1 AS BIGINT), __n + 1) AS DOUBLE)") /
+          scale).as("ewma")): _*)
   }
 }

@@ -1367,6 +1367,35 @@ class TimeSeriesSpec extends SparkTestBase {
     assert(out.map(_.getDouble(3)).toSeq == Seq(3.0, 3.0, 3.0, 7.0))
   }
 
+  test("ewmaHalf equals the direct recurrence and cuts to the last N") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val xs = Seq(100L, 300L, 500L, 200L, 400L)
+    val df = xs.zipWithIndex.map { case (v, i) =>
+      (7L, i.toLong, ts(f"2024-03-01 10:0$i:00"), v)
+    }.toDF("k", "id", "ts", "v")
+    // full history: e1=100, e2=200, e3=350, e4=275, e5=337.5
+    val full = TimeSeries.ewmaHalf(df, Seq("k"), Seq("ts", "id"), $"v",
+      lastN = 16).orderBy("n").collect().map(_.getAs[Double]("ewma"))
+    val expected = xs.tail.scanLeft(xs.head.toDouble)((e, x) => (x + e) / 2.0)
+    assert(full.toSeq == expected)
+    // lastN = 3 re-anchors on the 3rd-from-last observation
+    val cut = TimeSeries.ewmaHalf(df, Seq("k"), Seq("ts", "id"), $"v",
+      lastN = 3).orderBy("n").collect()
+    assert(cut.length == 3)
+    assert(cut.map(_.getAs[Double]("ewma")).toSeq == Seq(500.0, 350.0, 375.0))
+  }
+
+  test("ewmaHalf scale converts fixed-point units; bound is enforced") {
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 10:00:00")
+    val df = Seq((1L, 1L, ts, 250L)).toDF("k", "id", "ts", "v")
+    val r = TimeSeries.ewmaHalf(df, Seq("k"), Seq("ts", "id"), $"v",
+      scale = 100.0).collect()(0)
+    assert(r.getAs[Double]("ewma") == 2.5)
+    intercept[IllegalArgumentException] {
+      TimeSeries.ewmaHalf(df, Seq("k"), Seq("ts", "id"), $"v", lastN = 37)
+    }
+  }
+
   test("rollingStats: gaps stay in the frame, counted out by mov_n") {
     val ts = (s: String) => java.sql.Timestamp.valueOf(s)
     val grid = TimeSeries.resampleHourly(Seq(
