@@ -137,6 +137,34 @@ object SparkEntry {
       s"\nSELECT node, lbl FROM l$iters"
   }
 
+  /** Unrolled-CTE replay of [[graft.operators.LinkGraph.kCore]] on the
+    * pr2/pr4 chain+chord fixture: one (deg, alive) CTE pair per
+    * sweep — degree counted over edges with BOTH endpoints alive,
+    * shell below k dropped. */
+  private def pr4OracleSql(k: Int, sweeps: Int): String = {
+    val head =
+      """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+        |e0 AS (
+        |  SELECT doc_id AS s, doc_id + 1 AS t FROM documents, mx
+        |  WHERE doc_id + 1 <= m
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 2 FROM documents, mx
+        |  WHERE doc_id + 2 <= m),
+        |e AS (SELECT DISTINCT s, t FROM (
+        |  SELECT s, t FROM e0 WHERE s <> t
+        |  UNION ALL SELECT t, s FROM e0 WHERE s <> t)),
+        |a0 AS (SELECT DISTINCT s AS node FROM e)""".stripMargin
+    val iter = (1 to sweeps).map { i =>
+      s"""d$i AS (
+         |  SELECT e.s AS node, CAST(count(*) AS BIGINT) AS deg
+         |  FROM e JOIN a${i - 1} x ON e.s = x.node
+         |         JOIN a${i - 1} y ON e.t = y.node
+         |  GROUP BY 1 HAVING count(*) >= $k),
+         |a$i AS (SELECT node FROM d$i)""".stripMargin
+    }
+    (head +: iter).mkString(",\n") + s"\nSELECT node, deg FROM d$sweeps"
+  }
+
   /** Bit-for-bit SQL replay of [[graft.sources.Layout.interleaveBits]]
     * for z1: one fully-parenthesized (mask, shift, or) term per bit
     * position, BIGINT throughout. */
@@ -1240,6 +1268,20 @@ object SparkEntry {
       val edges = chord(1).unionByName(chord(2))
         .unionByName(chord(1).select(col("t").as("s"), col("s").as("t")))
       LinkGraph.triangles(edges, "s", "t")
+    }),
+
+    // sweep-bounded k-core peeling on the chain+chord fixture: both
+    // chain ends sit below k=4, so every sweep peels the exposed
+    // shell — three sweeps of deterministic cascade, oracle-unrolled
+    "pr4_kcore" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mxF = docs.agg(max("doc_id").as("mx"))
+      val base = docs.select(col("doc_id").as("s")).crossJoin(broadcast(mxF))
+      def chord(k: Int) = base
+        .select(col("s"), (col("s") + k).as("t"), col("mx"))
+        .filter(col("t") <= col("mx")).select("s", "t")
+      LinkGraph.kCore(chord(1).unionByName(chord(2)), "s", "t",
+        k = 4, sweeps = 3)
     }),
 
     // deterministic synchronous label propagation on decade
@@ -4126,6 +4168,8 @@ object SparkEntry {
         |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
 
     "pr3_communities" -> pr3OracleSql(4),
+
+    "pr4_kcore" -> pr4OracleSql(4, 3),
 
     "sk1_salted_distinct" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_distinct_o_custkey

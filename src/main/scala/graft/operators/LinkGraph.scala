@@ -196,4 +196,42 @@ object LinkGraph {
         element_at(col("t"), 2).as("b"),
         element_at(col("t"), 3).as("c"))
   }
+
+  /** Sweep-bounded k-core peeling: repeatedly drop nodes whose degree
+    * in the SURVIVING subgraph is < k. Each sweep removes the current
+    * shell; after `sweeps` sweeps the result is the exact k-core
+    * whenever peeling has converged by then, and a deterministic
+    * over-approximation otherwise (the standard bounded-iteration
+    * form — an oracle replays the same sweep count exactly). Returns
+    * surviving (node, deg) with deg measured in the last sweep.
+    *
+    * Scale shape: per sweep, two semi-joins restrict edges to live
+    * endpoints and one count aggregates degrees — all shuffles are on
+    * node/edge keys; the live set is checkpointed per sweep so the
+    * lineage stays flat (same discipline as [[labelPropagation]]).
+    * Input edges are canonicalized (self-loops out, symmetrized,
+    * deduplicated) first.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, sweeps: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(sweeps >= 1, s"kCore needs at least one sweep: $sweeps")
+    val und = edges.filter(col(srcCol) =!= col(dstCol))
+      .select(col(srcCol).as("s"), col(dstCol).as("t"))
+    val e = und.unionByName(und.select(col("t").as("s"), col("s").as("t")))
+      .distinct()
+      .localCheckpoint() // rescanned every sweep
+    var alive = e.select(col("s").as("node")).distinct().localCheckpoint()
+    var deg: DataFrame = null
+    for (i <- 1 to sweeps) {
+      deg = e
+        .join(alive.select(col("node").as("s")), "s", "left_semi")
+        .join(alive.select(col("node").as("t")), "t", "left_semi")
+        .groupBy(col("s").as("node")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+      alive = deg.select("node")
+      if (i < sweeps) alive = alive.localCheckpoint()
+    }
+    deg
+  }
 }

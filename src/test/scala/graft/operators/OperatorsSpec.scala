@@ -1083,6 +1083,25 @@ class LinkGraphSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaDf == lpa(edges, 3))
   }
+
+  test("kCore keeps a clique intact and peels a pendant tail in one sweep") {
+    // K4 (all deg 3) + pendant path 4—5—6; duplicated/reversed edges
+    val k4 = for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L), (6L, 5L), (1L, 2L)))
+      .toDF("s", "t")
+    val out = LinkGraph.kCore(edges, "s", "t", k = 3, sweeps = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore peeling cascades one shell per sweep on a chain") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "t")
+    val after2 = LinkGraph.kCore(chain, "s", "t", k = 2, sweeps = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after2 == Map(3L -> 2L)) // sweep1 cuts {1,5}, sweep2 cuts {2,4}
+    val after3 = LinkGraph.kCore(chain, "s", "t", k = 2, sweeps = 3)
+    assert(after3.count() == 0L) // a chain has no 2-core
+  }
 }
 
 class IncrementalAggSpec extends SparkTestBase {
