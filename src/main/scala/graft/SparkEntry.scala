@@ -2787,6 +2787,13 @@ object SparkEntry {
         col("user_id") % 2, col("converted"))
     }),
 
+    // curriculum training order: 4 length-difficulty bands walked
+    // easiest-first, Knuth-hash shuffled within band, GLOBAL rank via
+    // the bucketed prefix sum (no single-partition window anywhere)
+    "mix4_curriculum" -> ((s, dir) =>
+      Sampling.curriculumOrder(t(s, dir, "documents"),
+        "doc_id", least(expr("n_chars div 150"), lit(3)))),
+
     // EWMA (alpha = 1/2) over each user's last 16 events: integer
     // cents + dyadic weights make the running-sum unrolling exact, so
     // the smoother is hash-MATCHable, not approximately-equal
@@ -5321,6 +5328,25 @@ object SparkEntry {
         |             ((ad + bd) * (cd + dd_) * (ad + cd) * (bd + dd_)), 6)
         |         AS chi2
         |FROM dd""".stripMargin,
+
+    // the composite key replayed (idHash limb arithmetic included),
+    // rank as one global row_number over it
+    "mix4_curriculum" ->
+      """WITH b AS (
+        |  SELECT doc_id, least(n_chars // 150, 3) AS band FROM documents),
+        |h AS (
+        |  SELECT doc_id, band,
+        |         ((doc_id % 4294967296) // 65536 * 2654435761 % 4294967296
+        |          * 65536 + (doc_id % 65536) * 2654435761) % 4294967296 AS hh
+        |  FROM b),
+        |k AS (
+        |  SELECT doc_id, band,
+        |         band * 4503599627370496 + (hh % 67108864) * 67108864
+        |           + doc_id AS key
+        |  FROM h)
+        |SELECT doc_id, CAST(band AS BIGINT) AS band,
+        |       CAST(row_number() OVER (ORDER BY key) AS BIGINT) AS rank
+        |FROM k""".stripMargin,
 
     // the dyadic running-sum unrolling replayed with << weights; the
     // HUGEINT window sum casts to DOUBLE on the same exact integers

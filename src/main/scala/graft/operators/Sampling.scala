@@ -125,6 +125,39 @@ object Sampling {
       .select(col("epoch"), col("shard"), col("position"), col(idCol))
   }
 
+  /** Curriculum ordering: a single global training order that walks
+    * difficulty bands easiest-first while SHUFFLING deterministically
+    * within each band — sort key (band, idHash(id), id). The rank is
+    * global (epoch position over the whole corpus), produced WITHOUT
+    * a global window: the composite key feeds
+    * [[Packing.cumulative]]'s bucketed prefix sum, whose only global
+    * pass touches ≤ `buckets` total rows.
+    *
+    * Key packing bounds (loud, not silent): band < 64, id < 2²⁶ —
+    * the three fields pack into one ordered BIGINT (band·2⁵²
+    * + h₂₆·2²⁶ + id), unique because the id occupies the low bits.
+    * Larger id spaces re-pack with fewer shuffle bits. Output:
+    * (idCol, band, rank) with rank 1..N in curriculum order. */
+  def curriculumOrder(df: DataFrame, idCol: String, bandCol: Column,
+      buckets: Int = 64): DataFrame = {
+    val guarded = df.select(col(idCol), bandCol.cast("long").as("band"))
+      .withColumn("band",
+        when(col("band") >= 0 && col("band") < 64, col("band"))
+          .otherwise(raise_error(concat(lit("curriculumOrder: band out of [0,64): "),
+            col("band").cast("string")))))
+      .withColumn("__id",
+        when(col(idCol) >= 0 && col(idCol) < (1L << 26), col(idCol).cast("long"))
+          .otherwise(raise_error(concat(lit("curriculumOrder: id out of [0,2^26): "),
+            col(idCol).cast("string")))))
+    val h26 = pmod(idHash(col("__id")), lit(1L << 26))
+    val keyed = guarded
+      .withColumn("__key",
+        col("band") * (1L << 52) + h26 * (1L << 26) + col("__id"))
+      .withColumn("__one", lit(1L))
+    Packing.cumulative(keyed, "__key", "__one", buckets)
+      .select(col(idCol), col("band"), col("cum").as("rank"))
+  }
+
   /** Per-group nucleus (top-p) selection: within each group, rank
     * rows by `weightCol` descending (ties broken by `idCol` so the
     * boundary is engine-stable) and keep rows until the kept weight

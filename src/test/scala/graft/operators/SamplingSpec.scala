@@ -153,6 +153,34 @@ class SamplingSpec extends SparkTestBase {
     assert(train.size + valid.size + test0.size == docs.count())
     assertThrows[IllegalArgumentException](Sampling.holdout(docs, "doc_id", "dev"))
   }
+
+  test("curriculumOrder: bands are contiguous easiest-first, ranks are a permutation") {
+    val df = (0L until 200L).map(i => (i, (i % 4) * 100 + 50)).toDF("doc_id", "n_chars")
+    val out = Sampling.curriculumOrder(df, "doc_id",
+      org.apache.spark.sql.functions.expr("n_chars div 100"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._3).sorted.toSeq == (1L to 200L))
+    // band blocks: all band-0 ranks precede all band-1 ranks, etc.
+    val byBand = out.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+    for (b <- 0L to 2L)
+      assert(byBand(b).max < byBand(b + 1).min, s"band $b not before ${b + 1}")
+    // within a band the order is the id-hash shuffle, not id order
+    val b0ByRank = out.filter(_._2 == 0L).sortBy(_._3).map(_._1).toSeq
+    assert(b0ByRank != b0ByRank.sorted)
+  }
+
+  test("curriculumOrder rejects out-of-range bands and ids loudly") {
+    val bad = Seq((1L, 999L)).toDF("doc_id", "band")
+    intercept[Exception] {
+      Sampling.curriculumOrder(bad, "doc_id",
+        org.apache.spark.sql.functions.col("band")).collect()
+    }
+    val badId = Seq(((1L << 26) + 5L, 1L)).toDF("doc_id", "band")
+    intercept[Exception] {
+      Sampling.curriculumOrder(badId, "doc_id",
+        org.apache.spark.sql.functions.col("band")).collect()
+    }
+  }
 }
 
 class EpochShuffleSpec extends SparkTestBase {
