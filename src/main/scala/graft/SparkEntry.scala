@@ -2826,6 +2826,26 @@ object SparkEntry {
             .cast("long").as("score")),
         "prompt_id", "doc_id", col("score"))),
 
+    // k-anonymity release gate on customers: quasi-identifiers
+    // (nation, segment, balance band) NULLed wherever the exact
+    // combination isolates fewer than 3 customers
+    "pii3_k_anonymity" -> ((s, dir) =>
+      Privacy.kAnonymize(
+        t(s, dir, "customer").select(col("c_custkey"),
+          col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 2000).cast("long").as("bal_band")),
+        Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 3)),
+
+    // one-pass correlation matrix over four lineitem measures (all
+    // fixed-point-exact): k(k+3)/2 counters in a single aggregate
+    // row, 6 pair correlations derived from the scalars
+    "reg2_corr_matrix" -> ((s, dir) =>
+      Stats.corrMatrix(t(s, dir, "lineitem"), Seq(
+        "qty" -> round(col("l_quantity")),
+        "price" -> round(col("l_extendedprice")),
+        "disc" -> round(col("l_discount") * 100),
+        "tax" -> round(col("l_tax") * 100)))),
+
     // market-basket rules over orders: items = part-key buckets, all
     // counts exact integers, margins/total broadcast — the ratios
     // replay exactly in any engine
@@ -5410,6 +5430,52 @@ object SparkEntry {
         |       b.score - w.score AS margin
         |FROM best b JOIN worst w USING (prompt_id)
         |WHERE b.rn = 1 AND w.rn = 1 AND b.score > w.score""".stripMargin,
+
+    // class sizes via a count window over the same quasi columns,
+    // NULL masking below k
+    "pii3_k_anonymity" ->
+      """WITH q AS (
+        |  SELECT c_custkey, c_nationkey, c_mktsegment,
+        |         CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band
+        |  FROM customer),
+        |sz AS (
+        |  SELECT *, count(*) OVER (PARTITION BY c_nationkey, c_mktsegment,
+        |                           bal_band) AS class_size
+        |  FROM q)
+        |SELECT c_custkey,
+        |       CASE WHEN class_size >= 3 THEN c_nationkey END AS c_nationkey,
+        |       CASE WHEN class_size >= 3 THEN c_mktsegment END AS c_mktsegment,
+        |       CASE WHEN class_size >= 3 THEN bal_band END AS bal_band,
+        |       CAST(class_size AS BIGINT) AS class_size,
+        |       class_size < 3 AS suppressed
+        |FROM sz""".stripMargin,
+
+    // the same 11 exact counters, the same centered-moment tree, six
+    // UNION ALL pair rows
+    "reg2_corr_matrix" -> {
+      val cols = Seq("qty" -> "CAST(round(l_quantity) AS BIGINT)",
+        "price" -> "CAST(round(l_extendedprice) AS BIGINT)",
+        "disc" -> "CAST(round(l_discount * 100) AS BIGINT)",
+        "tax" -> "CAST(round(l_tax * 100) AS BIGINT)")
+      val baseSel = cols.map { case (n, e) => s"$e AS $n" }.mkString(", ")
+      val sums = cols.map { case (n, _) => s"CAST(sum($n) AS BIGINT) AS s_$n" }
+      val crosses = for {
+        i <- cols.indices; j <- i until cols.length
+      } yield s"CAST(sum(${cols(i)._1} * ${cols(j)._1}) AS BIGINT) AS p_${cols(i)._1}_${cols(j)._1}"
+      def cm(a: String, b: String) =
+        s"(CAST(p_${a}_$b AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE) / CAST(n AS DOUBLE))"
+      val rows = for {
+        i <- cols.indices; j <- (i + 1) until cols.length
+        a = cols(i)._1; b = cols(j)._1
+      } yield s"""SELECT '$a' AS col_x, '$b' AS col_y, n,
+                 |  round(${cm(a, b)} / sqrt(${cm(a, a)} * ${cm(b, b)}), 6) AS corr
+                 |FROM agg""".stripMargin
+      s"""WITH base AS (SELECT $baseSel FROM lineitem),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  ${(sums ++ crosses).mkString(",\n  ")}
+         |  FROM base)
+         |${rows.mkString("\nUNION ALL\n")}""".stripMargin
+    },
 
     // presence-distinct items, size-capped baskets (never hit at this
     // basket width), exact counts, mirrored ratio algebra

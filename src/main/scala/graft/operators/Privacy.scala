@@ -79,4 +79,32 @@ object Privacy {
         detect(t).map(_._2.cast("long")).reduce(_ + _))
       .withColumn("text_redacted", redact(t))
   }
+
+  /** k-anonymity by suppression: every row whose quasi-identifier
+    * equivalence class (the exact combination of `quasiCols` values)
+    * has fewer than k members gets those columns NULLed — the
+    * release-gate guarantee that no quasi-identifier combination
+    * isolates fewer than k people. Appends `class_size` (pre-
+    * suppression, the audit number) and `suppressed`.
+    *
+    * Scale shape: one window partitioned by the quasi columns — the
+    * same hash partitioning a groupBy would use, parallel in classes;
+    * no global pass, no driver state. Suppression keeps the row
+    * (counts, joins on non-quasi keys survive); drop
+    * `suppressed = true` rows afterwards for the stricter variant. */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(k >= 2, s"k-anonymity needs k >= 2: $k")
+    require(quasiCols.nonEmpty, "kAnonymize needs quasi-identifier columns")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasiCols.map(col): _*)
+    val sized = df.withColumn("class_size", count(lit(1)).over(w))
+      .withColumn("suppressed", col("class_size") < k)
+    val masked = df.schema.fields.map { f =>
+      if (quasiCols.contains(f.name))
+        when(!col("suppressed"), col(f.name)).as(f.name)
+      else col(f.name)
+    }
+    sized.select(masked.toIndexedSeq
+      :+ col("class_size") :+ col("suppressed"): _*)
+  }
 }

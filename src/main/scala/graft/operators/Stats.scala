@@ -97,6 +97,41 @@ object Stats {
         round(chi2, 6).as("chi2")): _*)
   }
 
+  /** Pairwise Pearson correlation matrix over `inputs` (name →
+    * integral column), upper triangle only: ONE aggregate pass
+    * collects every sum / square / cross product (k columns → k(k+3)/2
+    * exact-integer counters in a single 1-row frame), then each
+    * pair's correlation derives from those scalars — never k² passes
+    * over the data, no driver math. Correlation is scale-invariant,
+    * so fixed-point inputs change nothing mathematically while
+    * keeping the sums exact (see the class exactness contract). */
+  def corrMatrix(df: DataFrame, inputs: Seq[(String, Column)]): DataFrame = {
+    require(inputs.size >= 2, "corrMatrix needs at least two columns")
+    val names = inputs.map(_._1)
+    require(names.distinct.size == names.size, "duplicate input names")
+    val vs = inputs.map { case (n, c) => n -> c.cast("long") }.toMap
+    val sumAggs = names.map(n => sum(vs(n)).as(s"__s_$n"))
+    val crossAggs = for {
+      i <- names.indices; j <- i until names.length
+    } yield sum(vs(names(i)) * vs(names(j))).as(s"__p_${names(i)}_${names(j)}")
+    val agg = df.agg(count(lit(1)).as("__n"),
+      (sumAggs ++ crossAggs): _*)
+    val n = col("__n").cast("double")
+    def s(a: String) = col(s"__s_$a").cast("double")
+    def p(a: String, b: String) = col(s"__p_${a}_$b").cast("double")
+    def cmoment(a: String, b: String) = p(a, b) - s(a) * s(b) / n
+    val pairs = for {
+      i <- names.indices; j <- (i + 1) until names.length
+    } yield struct(
+      lit(names(i)).as("col_x"), lit(names(j)).as("col_y"),
+      round(cmoment(names(i), names(j)) /
+        sqrt(cmoment(names(i), names(i)) * cmoment(names(j), names(j))), 6)
+        .as("corr"))
+    agg.select(col("__n").as("n"), explode(array(pairs: _*)).as("pr"))
+      .select(col("pr.col_x").as("col_x"), col("pr.col_y").as("col_y"),
+        col("n"), col("pr.corr").as("corr"))
+  }
+
   /** Closed-form simple OLS of `yCol` on `xCol` per `groupCols`:
     * slope, intercept, and r² from centered second moments. Inputs
     * must be integral (exactness contract); `xScale`/`yScale` convert

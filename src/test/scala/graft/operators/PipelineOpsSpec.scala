@@ -41,6 +41,22 @@ class PrivacySpec extends SparkTestBase {
       .head()
     assert(out.getAs[String]("text_redacted") == "id <SSN> end")
   }
+
+  test("kAnonymize suppresses quasi-identifiers only below k, keeps rows") {
+    val df = Seq(
+      (1L, "US", 30), (2L, "US", 30), (3L, "US", 30), // class of 3: kept
+      (4L, "DE", 30), (5L, "DE", 40))                 // two singletons
+      .toDF("id", "country", "age")
+    val out = Privacy.kAnonymize(df, Seq("country", "age"), k = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 5) // suppression never drops rows
+    assert(out(1L).getString(1) == "US" && !out(1L).getAs[Boolean]("suppressed"))
+    assert(out(1L).getAs[Long]("class_size") == 3L)
+    assert(out(4L).isNullAt(1) && out(4L).isNullAt(2))
+    assert(out(4L).getAs[Boolean]("suppressed")
+      && out(4L).getAs[Long]("class_size") == 1L)
+    intercept[IllegalArgumentException](Privacy.kAnonymize(df, Seq("age"), 1))
+  }
 }
 
 class QualityFiltersSpec extends SparkTestBase {

@@ -46,6 +46,21 @@ class StatsSpec extends SparkTestBase {
     assert(r.isNullAt(r.fieldIndex("chi2")))
   }
 
+  test("corrMatrix: one pass, exact ±1 on linear columns") {
+    val df = (1L to 10L).map(x => (x, 2 * x, 11 - x, x * x))
+      .toDF("x", "y", "z", "q")
+    val out = Stats.corrMatrix(df, Seq(
+      "x" -> col("x"), "y" -> col("y"), "z" -> col("z"), "q" -> col("q")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("corr"))
+      .toMap
+    assert(out.size === 6)
+    assert(out(("x", "y")) === 1.0)   // y = 2x
+    assert(out(("x", "z")) === -1.0)  // z = 11 - x
+    assert(out(("y", "z")) === -1.0)
+    // x vs x² on 1..10: strong but not perfect
+    assert(out(("x", "q")) > 0.9 && out(("x", "q")) < 1.0)
+  }
+
   test("olsFit recovers an exact linear relationship") {
     val df = (1L to 50L).map(x => ("g", x, 2 * x + 1)).toDF("g", "x", "y")
     val r = Stats.olsFit(df, Seq("g"), col("x"), col("y")).collect()(0)
