@@ -2826,6 +2826,26 @@ object SparkEntry {
             .cast("long").as("score")),
         "prompt_id", "doc_id", col("score"))),
 
+    // U-shaped multi-touch attribution: views/clicks credit the next
+    // purchase 40/20/40 in exact basis points (largest-remainder
+    // middles) — credits per conversion sum to exactly 10000
+    "att1_position_credit" -> ((s, dir) =>
+      Funnel.positionCredit(
+        events(s, dir).filter(
+          col("event_type").isin("view", "click", "purchase")),
+        "user_id", "ts", "event_id",
+        isTouch = col("event_type").isin("view", "click"),
+        isConv = col("event_type") === "purchase")),
+
+    // count-min sketch priced against truth: 2000 part buckets into a
+    // 4x256 counter array — collisions overestimate, and because the
+    // salted Knuth hash replays in SQL, the ESTIMATES are oracle-
+    // verifiable, not merely error-bounded
+    "hh2_countmin" -> ((s, dir) =>
+      Profiling.countMinEstimates(
+        t(s, dir, "lineitem").select((col("l_partkey") % 2000).as("it")),
+        col("it"), depth = 4, width = 256)),
+
     // k-anonymity release gate on customers: quasi-identifiers
     // (nation, segment, balance band) NULLed wherever the exact
     // combination isolates fewer than 3 customers
@@ -5430,6 +5450,60 @@ object SparkEntry {
         |       b.score - w.score AS margin
         |FROM best b JOIN worst w USING (prompt_id)
         |WHERE b.rn = 1 AND w.rn = 1 AND b.score > w.score""".stripMargin,
+
+    // conversion indexing by the backwards running conversion count,
+    // U-split with // and % largest-remainder middles
+    "att1_position_credit" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         event_type IN ('view', 'click') AS is_touch,
+        |         event_type = 'purchase' AS is_conv
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |k AS (SELECT *, sum(CASE WHEN is_conv THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS kk
+        |      FROM e),
+        |convs AS (SELECT user_id, kk, event_id AS conv_id, ts AS conv_ts
+        |          FROM k WHERE is_conv),
+        |t AS (SELECT user_id, kk, event_id AS touch_id, ts AS touch_ts
+        |      FROM k WHERE is_touch AND kk > 0),
+        |posd AS (SELECT *,
+        |           CAST(row_number() OVER (PARTITION BY user_id, kk
+        |                ORDER BY touch_ts, touch_id) AS BIGINT) AS position,
+        |           CAST(count(*) OVER (PARTITION BY user_id, kk) AS BIGINT)
+        |             AS n_touches
+        |         FROM t)
+        |SELECT p.user_id, c.conv_id, c.conv_ts, p.touch_id, p.touch_ts,
+        |       p.n_touches, p.position,
+        |       CASE WHEN p.n_touches = 1 THEN 10000
+        |            WHEN p.n_touches = 2 THEN 5000
+        |            WHEN p.position = 1 OR p.position = p.n_touches THEN 4000
+        |            ELSE 2000 // (p.n_touches - 2)
+        |                 + CASE WHEN p.position - 1 <= 2000 % (p.n_touches - 2)
+        |                        THEN 1 ELSE 0 END
+        |       END AS credit_bp
+        |FROM posd p JOIN convs c USING (user_id, kk)""".stripMargin,
+
+    // the sketch replayed: exact per-item counts, salted limb-hash
+    // buckets, counter sums, min over depth
+    "hh2_countmin" ->
+      """WITH it AS (SELECT l_partkey % 2000 AS item FROM lineitem),
+        |ex AS (SELECT item, CAST(count(*) AS BIGINT) AS n_true
+        |       FROM it GROUP BY 1),
+        |expl AS (SELECT item, n_true, unnest(range(0, 4)) AS d FROM ex),
+        |hx AS (SELECT item, n_true, d,
+        |              (item + d * 1000003) % 4294967296 AS lo FROM expl),
+        |hh AS (SELECT item, n_true, d,
+        |        (lo // 65536 * 2654435761 % 4294967296 * 65536
+        |         + lo % 65536 * 2654435761) % 4294967296 % 256 AS bucket
+        |       FROM hx),
+        |ctr AS (SELECT d, bucket, CAST(sum(n_true) AS BIGINT) AS c
+        |        FROM hh GROUP BY 1, 2),
+        |est AS (SELECT h.item, h.n_true, min(c) AS cms_est
+        |        FROM hh h JOIN ctr USING (d, bucket)
+        |        GROUP BY h.item, h.n_true)
+        |SELECT item, n_true, cms_est, cms_est - n_true AS overcount
+        |FROM est""".stripMargin,
 
     // class sizes via a count window over the same quasi columns,
     // NULL masking below k

@@ -305,4 +305,42 @@ object Profiling {
           round((col("bucket") + 1) * width + lo, 4)).as("hi_bound"),
         coalesce(col("n"), lit(0L)).as("n"))
   }
+
+  /** Count-min sketch over integer items, with per-item estimates
+    * AND true counts side by side — the sketch-vs-exact readout that
+    * shows where width collisions overestimate. The hash family is
+    * the portable salted Knuth hash ([[Sampling.idHash]]), so bucket
+    * assignment — and therefore every estimate — replays exactly in
+    * any engine: the sketch itself is oracle-verifiable, not just
+    * bounded.
+    *
+    * Scale shape: items collapse to exact (item, n) counts first (one
+    * map-side-combined aggregate — the counters are identical whether
+    * rows or per-item totals fold in, by sum associativity); the
+    * depth-explode and the d·width counter table are DISTINCT-ITEM
+    * sized, and estimates join items to the broadcast counter table.
+    * A streaming ingest would fold rows straight into the same d·w
+    * counters; this batch form prices its accuracy. */
+  def countMinEstimates(df: DataFrame, itemCol: Column,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth in [1,16]: $depth")
+    require(width >= 2, s"width >= 2: $width")
+    val exact = df.select(itemCol.cast("long").as("item"))
+      .groupBy("item").agg(count(lit(1)).as("n_true"))
+      .localCheckpoint() // feeds both the counters and the probes
+    def bucketOf(item: Column, d: Column): Column =
+      pmod(Sampling.idHash(item + d * 1000003L), lit(width.toLong))
+    val exploded = exact
+      .select(col("item"), col("n_true"),
+        explode(sequence(lit(0L), lit(depth - 1L))).as("d"))
+      .withColumn("bucket", bucketOf(col("item"), col("d")))
+    val counters = exploded.groupBy("d", "bucket")
+      .agg(sum("n_true").as("c"))
+    exploded
+      .join(broadcast(counters), Seq("d", "bucket"))
+      .groupBy("item", "n_true")
+      .agg(min("c").as("cms_est"))
+      .select(col("item"), col("n_true"), col("cms_est"),
+        (col("cms_est") - col("n_true")).as("overcount"))
+  }
 }

@@ -1297,6 +1297,43 @@ class FunnelSpec extends SparkTestBase {
       ("2024-01-08", 0L, 1L), // u3 cohort (Jan 10 -> week of Jan 8)
       ("2024-01-08", 1L, 1L)))
   }
+
+  test("positionCredit: U-split sums to exactly 10000 bp per conversion") {
+    import org.apache.spark.sql.functions.col
+    val ev = Seq(
+      // u1: 5 touches then a purchase -> 4000 | 666+667+667 | 4000
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, 2L, ts("2024-01-01 10:01:00"), "click"),
+      (1L, 3L, ts("2024-01-01 10:02:00"), "view"),
+      (1L, 4L, ts("2024-01-01 10:03:00"), "view"),
+      (1L, 5L, ts("2024-01-01 10:04:00"), "click"),
+      (1L, 6L, ts("2024-01-01 11:00:00"), "purchase"),
+      // second conversion with ONE touch after the first purchase
+      (1L, 7L, ts("2024-01-01 12:00:00"), "view"),
+      (1L, 8L, ts("2024-01-01 13:00:00"), "purchase"),
+      // trailing touch with no conversion after it: dropped
+      (1L, 9L, ts("2024-01-01 14:00:00"), "view"),
+      // u2: two touches -> 5000/5000
+      (2L, 21L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, 22L, ts("2024-01-01 10:30:00"), "click"),
+      (2L, 23L, ts("2024-01-01 11:00:00"), "purchase"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = Funnel.positionCredit(ev, "user_id", "ts", "event_id",
+      isTouch = col("event_type").isin("view", "click"),
+      isConv = col("event_type") === "purchase")
+    val rows = out.collect()
+    assert(rows.length == 8) // 5 + 1 + 2; trailing touch dropped
+    val byConv = rows.groupBy(r => r.getAs[Long]("conv_id"))
+      .view.mapValues(_.map(_.getAs[Long]("credit_bp")).sorted.toSeq).toMap
+    assert(byConv(6L) == Seq(666L, 667L, 667L, 4000L, 4000L))
+    assert(byConv(8L) == Seq(10000L))
+    assert(byConv(23L) == Seq(5000L, 5000L))
+    assert(byConv.values.forall(_.sum == 10000L))
+    // middle largest-remainder goes to the EARLIEST middles
+    val mid = rows.filter(r => r.getAs[Long]("conv_id") == 6L)
+      .sortBy(_.getAs[Long]("position")).map(_.getAs[Long]("credit_bp")).toSeq
+    assert(mid == Seq(4000L, 667L, 667L, 666L, 4000L))
+  }
 }
 
 class HardNegativeSpec extends SparkTestBase {

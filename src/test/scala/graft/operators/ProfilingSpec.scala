@@ -155,4 +155,21 @@ class ProfilingSpec extends SparkTestBase {
     assert(out(0) == ((1L, 2L, 3L, 0.5714))) // 1 - 3/7 rounded to 4
     assert(out(1) == ((1L, 3L, 0L, 1.0)))
   }
+
+  test("countMin estimates never undercount and are exact without collisions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val items = (Seq.fill(10)(1L) ++ Seq.fill(5)(2L) ++ Seq(3L)).toDF("it")
+    // 3 items into a wide sketch: no collisions, estimates exact
+    val wide = Profiling.countMinEstimates(items, col("it"),
+      depth = 4, width = 1024).collect()
+    assert(wide.forall(r => r.getAs[Long]("cms_est") == r.getAs[Long]("n_true")))
+    assert(wide.forall(r => r.getAs[Long]("overcount") == 0L))
+    // width 2 forces collisions: never undercounts, min bounds by the
+    // total stream weight
+    val tight = Profiling.countMinEstimates(items, col("it"),
+      depth = 2, width = 2).collect()
+    assert(tight.forall(r => r.getAs[Long]("cms_est") >= r.getAs[Long]("n_true")))
+    assert(tight.forall(r => r.getAs[Long]("cms_est") <= 16L))
+  }
 }
