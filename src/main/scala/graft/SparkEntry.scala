@@ -722,6 +722,11 @@ object SparkEntry {
     "dd1_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", Seq("text"))),
 
+    // bag-of-words dedup: word-order shuffles collapse (the word-salad
+    // corpus makes this bite hard — far fewer bags than texts)
+    "dd20_token_sort_dedup" -> ((s, dir) =>
+      Dedup.tokenSortDedup(t(s, dir, "documents"), "doc_id", "text")),
+
     "dd2_dedup_minhash_lsh" -> ((s, dir) =>
       // LSH candidate generation is probabilistic -> rows-only oracle
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -2826,6 +2831,31 @@ object SparkEntry {
             .cast("long").as("score")),
         "prompt_id", "doc_id", col("score"))),
 
+    // linear gap-fill over a sparse hourly grid (high-value events
+    // only, so real gaps exist): interior nulls interpolate between
+    // nearest non-null hours, edges stay null
+    "ts5_interpolate" -> ((s, dir) =>
+      TimeSeries.interpolateLinear(
+        TimeSeries.resampleHourly(
+          events(s, dir).filter(col("value") >= 300),
+          "ts", "value").drop("sum_value_ffill"),
+        "h", "sum_value")),
+
+    // CUPED: per-user pre-period spend (first half of January) as the
+    // covariate for post-period spend — the variance-reduced A/B
+    // readout, exact to the bit via integer-cent sums
+    "ab3_cuped" -> ((s, dir) => {
+      val perUser = events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("ts") < lit("2024-01-16").cast("timestamp_ntz"),
+            round(col("value") * 100).cast("long")).otherwise(0L)).as("x"),
+          sum(when(col("ts") >= lit("2024-01-16").cast("timestamp_ntz"),
+            round(col("value") * 100).cast("long")).otherwise(0L)).as("y"))
+      Stats.cuped(perUser, col("user_id") % 2, col("x"), col("y"),
+        scale = 100.0)
+    }),
+
     // U-shaped multi-touch attribution: views/clicks credit the next
     // purchase 40/20/40 in exact basis points (largest-remainder
     // middles) — credits per conversion sum to exactly 10000
@@ -3379,6 +3409,15 @@ object SparkEntry {
 
     "dd1_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",
+
+    "dd20_token_sort_dedup" ->
+      """WITH s AS (
+        |  SELECT doc_id, array_to_string(
+        |           list_sort(string_split_regex(lower(trim(text)), '\s+')), ' ')
+        |           AS sig
+        |  FROM documents)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM s GROUP BY sig""".stripMargin,
 
     "dd4_ngram_jaccard" ->
       """WITH t AS (
@@ -5450,6 +5489,83 @@ object SparkEntry {
         |       b.score - w.score AS margin
         |FROM best b JOIN worst w USING (prompt_id)
         |WHERE b.rn = 1 AND w.rn = 1 AND b.score > w.score""".stripMargin,
+
+    // neighbor carry via IGNORE NULLS windows, micros ratio, raw
+    // doubles (identical inputs -> identical bits; see ts4)
+    "ts5_interpolate" ->
+      """WITH e AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, value
+        |  FROM events WHERE value >= 300),
+        |agg AS (
+        |  SELECT h, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |  FROM e GROUP BY h),
+        |b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        |          FROM b),
+        |g AS (SELECT s.h, coalesce(a.n_events, 0) AS n_events, a.sum_value
+        |      FROM spine s LEFT JOIN agg a USING (h)),
+        |n AS (SELECT h, n_events, sum_value,
+        |  last_value(sum_value IGNORE NULLS) OVER (ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        |  last_value(CASE WHEN sum_value IS NOT NULL THEN h END IGNORE NULLS)
+        |    OVER (ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+        |  first_value(sum_value IGNORE NULLS) OVER (ORDER BY h
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+        |  first_value(CASE WHEN sum_value IS NOT NULL THEN h END IGNORE NULLS)
+        |    OVER (ORDER BY h
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM g)
+        |SELECT h, n_events, sum_value,
+        |       CASE WHEN sum_value IS NOT NULL THEN sum_value
+        |            ELSE pv + (nv - pv)
+        |                 * (CAST(epoch_us(h) - epoch_us(pt) AS DOUBLE)
+        |                    / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE))
+        |       END AS sum_value_interp
+        |FROM n""".stripMargin,
+
+    // the pooled moments and per-arm sums replayed on the same exact
+    // integers, same adjustment tree
+    "ab3_cuped" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM pu),
+        |a AS (
+        |  SELECT user_id % 2 AS arm, CAST(count(*) AS BIGINT) AS na,
+        |         CAST(sum(x) AS BIGINT) AS sxa, CAST(sum(y) AS BIGINT) AS sya
+        |  FROM pu GROUP BY 1),
+        |d AS (
+        |  SELECT arm, na, CAST(na AS DOUBLE) AS nad,
+        |         CAST(sxa AS DOUBLE) AS sxad, CAST(sya AS DOUBLE) AS syad,
+        |         CAST(n AS DOUBLE) AS nd,
+        |         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |         CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd,
+        |         CAST(syy AS DOUBLE) AS syyd
+        |  FROM a CROSS JOIN g),
+        |c AS (
+        |  SELECT arm, na, nad, sxad, syad, nd, sxd,
+        |         sxxd - sxd * sxd / nd AS cxx,
+        |         sxyd - sxd * syd / nd AS cxy,
+        |         syyd - syd * syd / nd AS cyy
+        |  FROM d)
+        |SELECT arm, na AS n,
+        |       round(syad / nad / 100.0, 6) AS mean_y,
+        |       round((syad / nad - (cxy / cxx)
+        |              * (sxad / nad - sxd / nd)) / 100.0, 6) AS mean_y_adj,
+        |       round(cxy / cxx, 6) AS theta,
+        |       round(cxy * cxy / (cxx * cyy), 6) AS rho2
+        |FROM c""".stripMargin,
 
     // conversion indexing by the backwards running conversion count,
     // U-split with // and % largest-remainder middles

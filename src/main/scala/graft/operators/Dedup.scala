@@ -65,6 +65,21 @@ object Dedup {
       .drop("__h", "__h2")
   }
 
+  /** Bag-of-words dedup: [[exact]] on the SORTED-token signature, so
+    * documents that differ only in word order (template re-orderings,
+    * shuffled boilerplate — invisible to exact dedup, expensive for
+    * near-dup) collapse into one group. The signature is built
+    * row-locally (lower → split → sort → join) and only its 96-bit
+    * hash shuffles — content never leaves the scan, same discipline
+    * (and the same hash-equality caveat) as [[exact]]. Returns
+    * (keep_id = min id, n_copies) per bag. */
+  def tokenSortDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    exact(
+      df.select(col(idCol),
+        concat_ws(" ",
+          array_sort(split(lower(trim(col(textCol))), "\\s+"))).as("__sig")),
+      idCol, Seq("__sig"))
+
   /** Exact-dedup survivors: the full rows that remain. */
   def exactSurvivors(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame = {
     val keep = exact(df, idCol, contentCols).select(col("keep_id").as(idCol))

@@ -97,6 +97,53 @@ object Stats {
         round(chi2, 6).as("chi2")): _*)
   }
 
+  /** CUPED variance reduction (controlled-experiment using
+    * pre-experiment data): adjust each arm's post-period mean by the
+    * pooled regression of post metric `yCol` on pre-period covariate
+    * `xCol` — ȳ'ₐ = ȳₐ − θ(x̄ₐ − x̄), θ = cov(x,y)/var(x). Randomized
+    * arms have equal x̄ in expectation, so the adjustment removes
+    * pre-existing-behavior variance (a fraction ρ² of it, reported)
+    * without biasing the contrast. Input is one row per experiment
+    * UNIT (already collapsed to its pre/post totals — the caller owns
+    * the unit-of-randomization aggregation); x and y must be integral
+    * (class exactness contract), `scale` converts back to metric
+    * units.
+    *
+    * Scale shape: one pooled-moment aggregate (1 row, broadcast) +
+    * one per-arm aggregate — two map-side-combined passes over unit
+    * rows, no joins on data, no driver math. */
+  def cuped(df: DataFrame, armCol: Column, xCol: Column, yCol: Column,
+      scale: Double = 1.0): DataFrame = {
+    val x = xCol.cast("long"); val y = yCol.cast("long")
+    val pooled = broadcast(df.agg(
+      count(lit(1)).as("__n"),
+      sum(x).as("__sx"), sum(y).as("__sy"),
+      sum(x * x).as("__sxx"), sum(x * y).as("__sxy"),
+      sum(y * y).as("__syy")))
+    val perArm = df.groupBy(armCol.as("arm")).agg(
+      count(lit(1)).as("__na"),
+      sum(x).as("__sxa"), sum(y).as("__sya"))
+    val n = col("__n").cast("double")
+    val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
+    val sxx = col("__sxx").cast("double"); val sxy = col("__sxy").cast("double")
+    val syy = col("__syy").cast("double")
+    val cxx = sxx - sx * sx / n
+    val cxy = sxy - sx * sy / n
+    val cyy = syy - sy * sy / n
+    val theta = cxy / cxx
+    val rho2 = cxy * cxy / (cxx * cyy)
+    val na = col("__na").cast("double")
+    val meanY = col("__sya").cast("double") / na / scale
+    val meanYAdj = (col("__sya").cast("double") / na -
+      theta * (col("__sxa").cast("double") / na - sx / n)) / scale
+    perArm.crossJoin(pooled).select(
+      col("arm"), col("__na").as("n"),
+      round(meanY, 6).as("mean_y"),
+      round(meanYAdj, 6).as("mean_y_adj"),
+      round(theta, 6).as("theta"),
+      round(rho2, 6).as("rho2"))
+  }
+
   /** Pairwise Pearson correlation matrix over `inputs` (name →
     * integral column), upper triangle only: ONE aggregate pass
     * collects every sum / square / cross product (k columns → k(k+3)/2

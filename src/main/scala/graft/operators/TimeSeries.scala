@@ -128,6 +128,36 @@ object TimeSeries {
         (col("carry") + col("day_max")).as("max_concurrent"))
   }
 
+  /** Linear interpolation across grid gaps: null `valueCol` rows get
+    * v_prev + (v_next − v_prev)·(t − t_prev)/(t_next − t_prev) from
+    * the nearest non-null neighbors; leading/trailing nulls (no
+    * neighbor on one side) stay null. The standard gap-fill when a
+    * rate series feeds a model that can't see NULLs and a step
+    * function (ffill) would bias it.
+    *
+    * NOT rounded: the neighbor values and the time ratio are
+    * identical in any engine replaying the grid, so the interpolated
+    * doubles match bit-for-bit; rounding would reintroduce
+    * half-boundary disagreement. Same global-grid window argument as
+    * [[resampleHourly]]'s ffill: ordered by the GRID column, bounded
+    * by grid size, never by event count. */
+  def interpolateLinear(grid: DataFrame, orderCol: String,
+      valueCol: String): DataFrame = {
+    val t = col(orderCol); val v = col(valueCol)
+    val wPrev = Window.orderBy(t)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.orderBy(t).rowsBetween(1, Window.unboundedFollowing)
+    val pv = last(when(v.isNotNull, v), ignoreNulls = true).over(wPrev)
+    val pt = last(when(v.isNotNull, t), ignoreNulls = true).over(wPrev)
+    val nv = first(when(v.isNotNull, v), ignoreNulls = true).over(wNext)
+    val nt = first(when(v.isNotNull, t), ignoreNulls = true).over(wNext)
+    val ratio = (unix_micros(t) - unix_micros(pt)).cast("double") /
+      (unix_micros(nt) - unix_micros(pt)).cast("double")
+    grid.withColumn(s"${valueCol}_interp",
+      when(v.isNotNull, v)
+        .otherwise(pv + (nv - pv) * ratio))
+  }
+
   /** Exponentially-weighted moving average with α = 1/2 over each
     * key's most recent `lastN` observations: eₙ = xₙ/2 + eₙ₋₁/2,
     * e₁ = x₁ — the standard recency smoother for rates and gauges.

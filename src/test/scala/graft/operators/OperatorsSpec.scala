@@ -40,6 +40,19 @@ class DedupSpec extends SparkTestBase {
     assert(survivors == Set(1L, 3L, 4L, 5L))
   }
 
+  test("tokenSortDedup collapses word-order shuffles, not word changes") {
+    val df = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "fox brown the quick"),     // reorder of 1 -> same bag
+      (3L, "The  QUICK brown fox"),    // case/whitespace noise -> same bag
+      (4L, "the quick brown wolf"),    // different word -> own bag
+      (5L, "the the quick brown fox")) // different multiset -> own bag
+      .toDF("doc_id", "text")
+    val out = Dedup.tokenSortDedup(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 4L -> 1L, 5L -> 1L))
+  }
+
   test("minhash LSH finds the planted near-duplicate pair and the exact pair") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
       shingleSize = 2, numHashes = 32, numBands = 16, threshold = 0.5)
@@ -1421,6 +1434,25 @@ class TimeSeriesSpec extends SparkTestBase {
     // sum_value null on gaps, ffill carries 3.0 across them
     assert(out(0).getDouble(2) == 3.0 && out(1).isNullAt(2))
     assert(out.map(_.getDouble(3)).toSeq == Seq(3.0, 3.0, 3.0, 7.0))
+  }
+
+  test("interpolateLinear fills interior gaps proportionally, leaves edges") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // grid 10:00 null(edge), 11:00=3.0, 12:00 null, 13:00 null, 14:00=9.0
+    val grid = Seq(
+      (ts("2024-03-01 10:00:00"), None: Option[Double]),
+      (ts("2024-03-01 11:00:00"), Some(3.0)),
+      (ts("2024-03-01 12:00:00"), None),
+      (ts("2024-03-01 13:00:00"), None),
+      (ts("2024-03-01 14:00:00"), Some(9.0)))
+      .toDF("h", "v")
+    val out = TimeSeries.interpolateLinear(grid, "h", "v")
+      .orderBy("h").collect()
+    assert(out(0).isNullAt(2))              // leading edge: no left neighbor
+    assert(out(1).getDouble(2) == 3.0)      // non-null passes through
+    assert(out(2).getDouble(2) == 5.0)      // 3 + 6 * 1/3
+    assert(out(3).getDouble(2) == 7.0)      // 3 + 6 * 2/3
+    assert(out(4).getDouble(2) == 9.0)
   }
 
   test("ewmaHalf equals the direct recurrence and cuts to the last N") {

@@ -46,6 +46,34 @@ class StatsSpec extends SparkTestBase {
     assert(r.isNullAt(r.fieldIndex("chi2")))
   }
 
+  test("cuped: theta recovers the pooled slope; balanced arms unadjusted") {
+    // y = 2x + 10 + 10*arm, identical x across arms -> theta = 2 and
+    // the adjustment is a no-op (x̄ₐ == x̄), raw contrast preserved
+    val units = (1L to 5L).flatMap(x =>
+      Seq((0L, x, 2 * x + 10), (1L, x, 2 * x + 20))).toDF("arm", "x", "y")
+    val out = Stats.cuped(units, col("arm"), col("x"), col("y"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Double]("theta") === 2.0)
+    assert(out(0L).getAs[Double]("mean_y") === 16.0)
+    assert(out(0L).getAs[Double]("mean_y_adj") === 16.0)
+    assert(out(1L).getAs[Double]("mean_y_adj") === 26.0)
+  }
+
+  test("cuped removes a pure pre-period imbalance entirely") {
+    // y == x (no treatment effect) but arm 1 starts with bigger x:
+    // raw means differ by 3, adjusted means are both x̄ exactly
+    val units = ((1L to 5L).map(x => (0L, x, x)) ++
+      (4L to 8L).map(x => (1L, x, x))).toDF("arm", "x", "y")
+    val out = Stats.cuped(units, col("arm"), col("x"), col("y"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Double]("theta") === 1.0)
+    assert(out(0L).getAs[Double]("rho2") === 1.0)
+    assert(out(0L).getAs[Double]("mean_y") === 3.0)
+    assert(out(1L).getAs[Double]("mean_y") === 6.0)
+    assert(out(0L).getAs[Double]("mean_y_adj") === 4.5) // pooled x̄
+    assert(out(1L).getAs[Double]("mean_y_adj") === 4.5)
+  }
+
   test("corrMatrix: one pass, exact ±1 on linear columns") {
     val df = (1L to 10L).map(x => (x, 2 * x, 11 - x, x * x))
       .toDF("x", "y", "z", "q")
