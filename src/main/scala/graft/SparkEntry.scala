@@ -2831,6 +2831,15 @@ object SparkEntry {
             .cast("long").as("score")),
         "prompt_id", "doc_id", col("score"))),
 
+    // PCA to 2-D over the embedding corpus: exact integer moment
+    // sums (one treeAggregate into d(d+3)/2+1 counters), driver
+    // eigensolve on the 64x64 covariance, codegen dot projection.
+    // Eigensolve isn't SQL-replayable -> rows-only; PCA properties
+    // (variance ordering, orthonormality, invariance) are spec-pinned
+    "emb2_pca_project" -> ((s, dir) =>
+      Similarity.pcaProject(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 2)),
+
     // linear gap-fill over a sparse hourly grid (high-value events
     // only, so real gaps exist): interior nulls interpolate between
     // nearest non-null hours, edges stay null

@@ -349,4 +349,118 @@ object Similarity {
     df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
       .groupBy(col(groupCol), col("pos").cast("long").as("pos"))
       .agg(round(avg("v"), 4).as("mean_val"))
+
+  /** PCA projection of an embedding column onto its top-`k` principal
+    * components — the dimensionality reduction SemDeDup-style
+    * pipelines run before clustering, and the 2-D map every embedding
+    * dashboard draws.
+    *
+    * Scale shape, stage by stage:
+    *  1. second moments: vectors quantize to integers (`quantScale`)
+    *     and one `treeAggregate` folds (n, Σq, Σqqᵀ upper triangle)
+    *     into a single fixed-size Long array — exact integer sums,
+    *     order-independent, d(d+3)/2 + 1 counters regardless of row
+    *     count (d ≤ 512 enforced: the accumulator is d², the reason
+    *     for the bound).
+    *  2. eigensolve: deflated power iteration on the d×d covariance,
+    *     ON THE DRIVER — the matrix is d², data-size-independent, the
+    *     same bounded-driver-state rule as the ≤`buckets` collects
+    *     elsewhere. Deterministic: fixed uniform init, fixed iteration
+    *     count, sign fixed by the largest-|loading| entry.
+    *  3. projection: components broadcast as literals, each output
+    *     coordinate is one codegen `DotProduct` minus the precomputed
+    *     mean offset — row-local, shuffle-free.
+    *
+    * Returns (idCol, pc1..pck) in ORIGINAL units (quantization only
+    * disciplines the sums; means/covariance are rescaled back).
+    * Probabilistic-free but not SQL-replayable (the eigensolve) →
+    * rows-only oracle; the spec pins variance/orthonormality
+    * properties instead. */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String, k: Int = 2,
+      quantScale: Double = 1024.0, powerIters: Int = 200): DataFrame = {
+    val (mean, comps, _) = pcaModel(df, vecCol, k, quantScale, powerIters)
+    val dim = mean.length
+    val projCols = (0 until k).map { c =>
+      val comp = typedLit(comps(c).toSeq)
+      val meanDot = (0 until dim).map(i => mean(i) * comps(c)(i)).sum
+      (graft.functions.VectorExpressions.dot_product(col(vecCol), comp)
+        - lit(meanDot)).as(s"pc${c + 1}")
+    }
+    df.select(col(idCol) +: projCols: _*)
+  }
+
+  /** The fitted model behind [[pcaProject]]: (mean, components,
+    * eigenvalues) — exposed for composition and spec-level variance
+    * accounting. */
+  private[graft] def pcaModel(df: DataFrame, vecCol: String, k: Int,
+      quantScale: Double = 1024.0, powerIters: Int = 200)
+      : (Array[Double], Array[Array[Double]], Array[Double]) = {
+    val dim = firstVectorDim(df, vecCol)
+    require(dim >= 1 && dim <= 512, s"pcaProject supports dim <= 512: $dim")
+    require(k >= 1 && k <= dim, s"k must be in [1, $dim]: $k")
+    val nPairs = dim * (dim + 1) / 2
+    val qdf = df.select(
+      transform(col(vecCol), x => round(x * quantScale).cast("long")).as("q"))
+    // [n, s_0..s_{d-1}, upper-triangle products row-major]
+    val zero = new Array[Long](1 + dim + nPairs)
+    val acc = qdf.rdd.treeAggregate(zero)(
+      seqOp = (a, row) => {
+        val q = row.getSeq[Long](0)
+        a(0) += 1L
+        var i = 0; var off = 1 + dim
+        while (i < dim) {
+          val qi = q(i)
+          a(1 + i) += qi
+          var j = i
+          while (j < dim) { a(off) += qi * q(j); off += 1; j += 1 }
+          i += 1
+        }
+        a
+      },
+      combOp = (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+    val n = acc(0).toDouble
+    require(n >= 2, "pcaProject needs at least two vectors")
+    val s2 = quantScale * quantScale
+    val mean = Array.tabulate(dim)(i => acc(1 + i) / n / quantScale)
+    val cov = Array.ofDim[Double](dim, dim)
+    var off = 1 + dim
+    for (i <- 0 until dim; j <- i until dim) {
+      val c = (acc(off) - acc(1 + i).toDouble * acc(1 + j) / n) / n / s2
+      cov(i)(j) = c; cov(j)(i) = c; off += 1
+    }
+    // deflated power iteration, deterministic
+    def eig(m: Array[Array[Double]]): (Double, Array[Double]) = {
+      // deterministic PSEUDO-RANDOM init (Knuth LCG), not uniform: a
+      // symmetric/uniform start can be exactly orthogonal to an
+      // eigenvector, and power iteration never recovers a component
+      // it starts with zero overlap on
+      var v = Array.tabulate(dim)(i =>
+        ((i + 1) * 2654435761L % 4294967296L) / 4294967296.0 - 0.5)
+      val n0 = math.sqrt(v.map(x => x * x).sum)
+      v = v.map(_ / n0)
+      for (_ <- 1 to powerIters) {
+        val w = Array.tabulate(dim)(i => {
+          var s = 0.0; var j = 0
+          while (j < dim) { s += m(i)(j) * v(j); j += 1 }; s
+        })
+        val nrm = math.sqrt(w.map(x => x * x).sum)
+        if (nrm > 0) v = w.map(_ / nrm)
+      }
+      val lambda = (0 until dim).map(i =>
+        v(i) * (0 until dim).map(j => m(i)(j) * v(j)).sum).sum
+      // sign convention: the largest-|loading| coordinate is positive
+      val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      val sgn = if (v(pivot) < 0) -1.0 else 1.0
+      (lambda, v.map(_ * sgn))
+    }
+    val comps = new Array[Array[Double]](k)
+    val lambdas = new Array[Double](k)
+    var m = cov.map(_.clone())
+    for (c <- 0 until k) {
+      val (l, v) = eig(m)
+      comps(c) = v; lambdas(c) = l
+      m = Array.tabulate(dim, dim)((i, j) => m(i)(j) - l * v(i) * v(j))
+    }
+    (mean, comps, lambdas)
+  }
 }

@@ -1349,6 +1349,57 @@ class FunnelSpec extends SparkTestBase {
   }
 }
 
+class PcaSpec extends SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  // 2-D structure embedded in 4-D: dominant spread along (1,1,0,0)/√2,
+  // secondary along (0,0,1,-1)/√2, nothing elsewhere
+  private def vecs = (1 to 40).map { i =>
+    val a = (i % 5).toFloat - 2f   // main axis amplitude, var = 2
+    val b = (i % 2).toFloat * 0.5f // secondary amplitude
+    (i.toLong, Array(a, a, b, -b))
+  }.toDF("vec_id", "embedding")
+
+  test("pcaModel recovers planted axes: variance order, orthonormal, signs") {
+    val (mean, comps, lambdas) = Similarity.pcaModel(vecs, "embedding", 2)
+    assert(lambdas(0) > lambdas(1) && lambdas(1) > 1e-6)
+    for (c <- comps) {
+      val nrm = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(nrm - 1.0) < 1e-9)
+    }
+    val dot01 = comps(0).zip(comps(1)).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot01) < 1e-9)
+    // axis recovery: pc1 ∝ (1,1,0,0)/√2 with positive pivot sign
+    val r2 = 1 / math.sqrt(2)
+    assert(comps(0).zip(Array(r2, r2, 0.0, 0.0))
+      .forall { case (a, b) => math.abs(a - b) < 1e-6 })
+    assert(comps(1).zip(Array(0.0, 0.0, r2, -r2))
+      .forall { case (a, b) => math.abs(a - b) < 1e-6 })
+    assert(mean.length == 4)
+  }
+
+  test("pcaProject variance per component equals its eigenvalue") {
+    val (_, _, lambdas) = Similarity.pcaModel(vecs, "embedding", 2)
+    val proj = Similarity.pcaProject(vecs, "vec_id", "embedding", 2)
+    val vars = proj.agg(var_pop($"pc1"), var_pop($"pc2")).head()
+    assert(math.abs(vars.getDouble(0) - lambdas(0)) < 1e-3)
+    assert(math.abs(vars.getDouble(1) - lambdas(1)) < 1e-3)
+    // centered: projections average to ~0
+    val means = proj.agg(avg($"pc1"), avg($"pc2")).head()
+    assert(math.abs(means.getDouble(0)) < 1e-6)
+    assert(math.abs(means.getDouble(1)) < 1e-6)
+  }
+
+  test("pcaProject is partitioning-invariant (exact integer moments)") {
+    val a = Similarity.pcaProject(vecs, "vec_id", "embedding", 2)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val b = Similarity.pcaProject(vecs.repartition(7), "vec_id", "embedding", 2)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(a == b)
+  }
+}
+
 class HardNegativeSpec extends SparkTestBase {
   import spark.implicits._
   import org.apache.spark.sql.functions._
