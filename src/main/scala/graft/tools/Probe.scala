@@ -14,6 +14,7 @@ object Probe {
     if (args.headOption.contains("r5probe")) { r5probe(spark, dir); spark.stop(); return }
     if (args.headOption.contains("r5bprobe")) { r5bprobe(spark, dir); spark.stop(); return }
     if (args.headOption.contains("r5cprobe")) { r5cprobe(spark, dir); spark.stop(); return }
+    if (args.headOption.contains("r5dprobe")) { r5dprobe(spark, dir); spark.stop(); return }
     if (args.headOption.contains("jdbcYardstick")) { jdbcYardstick(spark, dir); spark.stop(); return }
     if (args.headOption.contains("dd4")) { dd4(spark, dir); spark.stop(); return }
     if (args.headOption.contains("dotKernel")) { dotKernel(spark, dir); spark.stop(); return }
@@ -351,6 +352,87 @@ object Probe {
     * hitters, HTML extraction, chat spans, z-order, salted join. */
   /** 10x probe for the round-5c operators: hot-span excision,
     * winnowing (fingerprints + pairs), token-KL drift, KS drift. */
+  /** 10x pricing for the round-5d operators (stats, basket, k-core,
+    * attribution, curriculum, CMS, PCA, token-sort dedup). */
+  def r5dprobe(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.DataFrame
+    def x10(name: String, idCols: Seq[String]): DataFrame = {
+      val base = spark.read.parquet(s"$dir/$name.parquet")
+      (0 until 10).map { i =>
+        idCols.foldLeft(base)((df, c) =>
+          df.withColumn(c, col(c) + lit(i.toLong * 100000000L)))
+      }.reduce(_.unionAll(_))
+    }
+    def timed(label: String)(f: => Long): Unit = {
+      val t = System.nanoTime(); val n = f
+      println(f"=== r5dprobe $label: ${(System.nanoTime() - t) / 1e9}%.1fs ($n%,d rows)")
+    }
+    spark.read.parquet(s"$dir/region.parquet").count() // warm
+    val li = x10("lineitem", Seq("l_orderkey"))
+    val ev = x10("events", Seq("event_id", "user_id"))
+    val evd = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => ev.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(expr("ts div 1000"))
+          .cast("timestamp_ntz"))
+      case _ => ev
+    }
+    val docs = x10("documents", Seq("doc_id"))
+    timed("ab1 welch t 1M events")(
+      graft.operators.Stats.welchTTest(
+        evd.select(col("event_type"), col("user_id"),
+          round(col("value") * 100).cast("long").as("v")),
+        Seq("event_type"), col("user_id") % 2, col("v"), 100.0).count())
+    timed("reg2 corr matrix 6M rows x 4 cols")(
+      graft.operators.Stats.corrMatrix(li, Seq(
+        "qty" -> round(col("l_quantity")),
+        "price" -> round(col("l_extendedprice")),
+        "disc" -> round(col("l_discount") * 100),
+        "tax" -> round(col("l_tax") * 100))).count())
+    timed("mb1 basket rules 6M lines / 150K baskets")(
+      graft.operators.Basket.associationRules(
+        li.select(col("l_orderkey").as("b"), (col("l_partkey") % 50).as("i")),
+        "b", "i", minSupport = 300L).count())
+    timed("hh2 count-min 6M rows / 20K items")(
+      graft.operators.Profiling.countMinEstimates(
+        li.select((col("l_partkey") % 20000).as("it")), col("it"),
+        depth = 4, width = 256).count())
+    timed("att1 attribution 1M events")(
+      graft.operators.Funnel.positionCredit(
+        evd.filter(col("event_type").isin("view", "click", "purchase")),
+        "user_id", "ts", "event_id",
+        col("event_type").isin("view", "click"),
+        col("event_type") === "purchase").count())
+    timed("ts4 ewma 1M events / 1.5K users")(
+      graft.operators.TimeSeries.ewmaHalf(
+        evd.select(col("user_id"), col("event_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("v")),
+        Seq("user_id"), Seq("ts", "event_id"), col("v"), 16, 100.0).count())
+    timed("mix4 curriculum rank 50K docs")(
+      // re-densify the copy-shifted ids into the packer's id range
+      graft.operators.Sampling.curriculumOrder(
+        docs.withColumn("doc_id",
+          col("doc_id") % 100000000L + expr("doc_id div 100000000") * 50000L),
+        "doc_id", least(expr("n_chars div 150"), lit(3))).count())
+    timed("rep2 token dedup 50K docs")(
+      docs.select(graft.functions.TextExpressions
+        .dedup_tokens_in_doc(col("text")).as("d")).count())
+    timed("dd20 token-sort dedup 50K docs")(
+      graft.operators.Dedup.tokenSortDedup(docs, "doc_id", "text").count())
+    timed("pr4 k-core 50K nodes / 100K edges x 3 sweeps")({
+      val mxF = docs.agg(max("doc_id").as("mx"))
+      val base = docs.select(col("doc_id").as("s")).crossJoin(broadcast(mxF))
+      def chord(k: Int) = base
+        .select(col("s"), (col("s") + k).as("t"), col("mx"))
+        .filter(col("t") <= col("mx")).select("s", "t")
+      graft.operators.LinkGraph.kCore(
+        chord(1).unionByName(chord(2)), "s", "t", 4, 3).count()
+    })
+    val emb = x10("embeddings", Seq("vec_id"))
+    timed("emb2 PCA 20K x 64-dim vectors")(
+      graft.operators.Similarity.pcaProject(emb, "vec_id", "embedding", 2)
+        .count())
+  }
+
   def r5cprobe(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     import org.apache.spark.sql.DataFrame
     def x10(name: String, idCols: Seq[String]): DataFrame = {
