@@ -2768,6 +2768,29 @@ object SparkEntry {
           col("sw.end").as("session_end"),
           col("n_events"))),
 
+    // REAL multi-micro-batch count-min: two file batches fold into
+    // the 4x64 counter table through a streaming aggregation; because
+    // increments are associative the drained counters equal the batch
+    // fold, so the STREAMING sketch's estimates oracle-MATCH
+    "st12_stream_countmin" -> ((s, dir) => {
+      val items = events(s, dir).select((col("event_id") % 500).as("it"))
+      val base = tmpDir("graft_st12")
+      val in = s"$base/in"
+      items.filter(col("it") % 2 === 0).coalesce(1)
+        .write.mode("append").parquet(in)
+      items.filter(col("it") % 2 =!= 0).coalesce(1)
+        .write.mode("append").parquet(in)
+      val name = s"st12ctr${System.nanoTime()}"
+      val stream = s.readStream.schema(items.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val q = graft.streaming.EventStream.streamingCountMin(
+        stream, col("it"), depth = 4, width = 64, name, s"$base/chk")
+      q.processAllAvailable(); q.stop()
+      val exact = items.groupBy(col("it").as("item"))
+        .agg(count(lit(1)).as("n_true"))
+      Profiling.cmsEstimates(exact, s.table(name), depth = 4, width = 64)
+    }),
+
     // ---- experiment statistics (beyond-parity) --------------------
     // Welch t-test per metric slice: arms by user-id parity, the
     // metric scaled to exact cents so both engines aggregate exact
@@ -5352,6 +5375,27 @@ object SparkEntry {
         |SELECT user_id, min(ts) AS session_start,
         |       max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    // the same replay as hh2 on the event-id items — the streaming
+    // fold must land on identical counters
+    "st12_stream_countmin" ->
+      """WITH it AS (SELECT event_id % 500 AS item FROM events),
+        |ex AS (SELECT item, CAST(count(*) AS BIGINT) AS n_true
+        |       FROM it GROUP BY 1),
+        |expl AS (SELECT item, n_true, unnest(range(0, 4)) AS d FROM ex),
+        |hx AS (SELECT item, n_true, d,
+        |              (item + d * 1000003) % 4294967296 AS lo FROM expl),
+        |hh AS (SELECT item, n_true, d,
+        |        (lo // 65536 * 2654435761 % 4294967296 * 65536
+        |         + lo % 65536 * 2654435761) % 4294967296 % 64 AS bucket
+        |       FROM hx),
+        |ctr AS (SELECT d, bucket, CAST(sum(n_true) AS BIGINT) AS c
+        |        FROM hh GROUP BY 1, 2),
+        |est AS (SELECT h.item, h.n_true, min(c) AS cms_est
+        |        FROM hh h JOIN ctr USING (d, bucket)
+        |        GROUP BY h.item, h.n_true)
+        |SELECT item, n_true, cms_est, cms_est - n_true AS overcount
+        |FROM est""".stripMargin,
 
     // exact-integer cent sums, then the identical double expression
     // tree as Stats.welchTTest (squares via explicit multiply — no

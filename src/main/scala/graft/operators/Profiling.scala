@@ -328,19 +328,34 @@ object Profiling {
     val exact = df.select(itemCol.cast("long").as("item"))
       .groupBy("item").agg(count(lit(1)).as("n_true"))
       .localCheckpoint() // feeds both the counters and the probes
-    def bucketOf(item: Column, d: Column): Column =
-      pmod(Sampling.idHash(item + d * 1000003L), lit(width.toLong))
     val exploded = exact
       .select(col("item"), col("n_true"),
         explode(sequence(lit(0L), lit(depth - 1L))).as("d"))
-      .withColumn("bucket", bucketOf(col("item"), col("d")))
+      .withColumn("bucket", cmsBucket(col("item"), col("d"), width))
     val counters = exploded.groupBy("d", "bucket")
       .agg(sum("n_true").as("c"))
-    exploded
+    cmsEstimates(exact, counters, depth, width)
+  }
+
+  /** The CMS hash family: salted portable Knuth hash → one of `width`
+    * buckets for hash row `d`. Shared by the batch fold above and the
+    * streaming fold ([[graft.streaming.EventStream.streamingCountMin]])
+    * so their counter tables are identical by construction. */
+  def cmsBucket(item: Column, d: Column, width: Int): Column =
+    pmod(Sampling.idHash(item + d * 1000003L), lit(width.toLong))
+
+  /** Estimates from a (d, bucket, c) counter table: each probe item
+    * hashes into its `depth` buckets and takes the min counter.
+    * `counters` is ≤ depth·width rows — broadcast. */
+  def cmsEstimates(exact: DataFrame, counters: DataFrame,
+      depth: Int, width: Int): DataFrame =
+    exact
+      .select(col("item"), col("n_true"),
+        explode(sequence(lit(0L), lit(depth - 1L))).as("d"))
+      .withColumn("bucket", cmsBucket(col("item"), col("d"), width))
       .join(broadcast(counters), Seq("d", "bucket"))
       .groupBy("item", "n_true")
       .agg(min("c").as("cms_est"))
       .select(col("item"), col("n_true"), col("cms_est"),
         (col("cms_est") - col("n_true")).as("overcount"))
-  }
 }

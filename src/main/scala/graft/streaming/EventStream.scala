@@ -283,6 +283,34 @@ object EventStream {
       .drop(sig)
   }
 
+  /** Streaming count-min fold: micro-batches aggregate straight into
+    * the d×w counter table ([[graft.operators.Profiling.cmsBucket]]
+    * buckets, complete-mode memory sink named `queryName`). Counter
+    * increments are associative sums, so the table after N batches is
+    * IDENTICAL to the batch fold over the union — the mergeability
+    * that lets a sketch of an unbounded stream live in depth·width
+    * rows of state, ever. Read `spark.table(queryName)` after the
+    * stream drains and hand it to
+    * [[graft.operators.Profiling.cmsEstimates]]. */
+  def streamingCountMin(items: DataFrame, itemCol: org.apache.spark.sql.Column,
+      depth: Int, width: Int, queryName: String,
+      checkpoint: String): StreamingQuery = {
+    require(depth >= 1 && depth <= 16, s"depth in [1,16]: $depth")
+    items
+      .select(itemCol.cast("long").as("item"),
+        explode(sequence(lit(0L), lit(depth - 1L))).as("d"))
+      .withColumn("bucket",
+        graft.operators.Profiling.cmsBucket(col("item"), col("d"), width))
+      .groupBy("d", "bucket")
+      .agg(count(lit(1)).as("c"))
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", checkpoint)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+  }
+
   /** Stream -> JDBC incremental sink: each micro-batch is staged and
     * merged (exactly the engine's incremental mode) via foreachBatch —
     * idempotent upserts make the sink consistent under micro-batch

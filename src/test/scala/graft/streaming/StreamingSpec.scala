@@ -482,4 +482,33 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(out == Map(1L -> 5.0, 2L -> 4.0))
   }
+
+  test("streaming count-min counters equal the batch fold across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val mem = MemoryStream[Long]
+    val chk = java.nio.file.Files.createTempDirectory("graft_cms_chk").toString
+    val q = EventStream.streamingCountMin(mem.toDF().toDF("it"), col("it"),
+      depth = 3, width = 8, queryName = "cms_out", checkpoint = chk)
+    mem.addData(1L, 1L, 2L, 3L)
+    q.processAllAvailable()
+    mem.addData(2L, 9L, 9L, 9L, 1L)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cms_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // batch fold over the union must be identical (associative sums)
+    val all = Seq(1L, 1L, 2L, 3L, 2L, 9L, 9L, 9L, 1L).toDF("it")
+    val batch = graft.operators.Profiling.countMinEstimates(all, col("it"),
+      depth = 3, width = 8)
+    val est = graft.operators.Profiling.cmsEstimates(
+      all.groupBy(col("it").as("item"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_true")),
+      spark.table("cms_out"), depth = 3, width = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val batchEst = batch.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(est == batchEst)
+    assert(streamed.values.sum == 9L * 3) // every row lands in 3 counters
+  }
 }
