@@ -35,6 +35,9 @@ object Basket {
         org.apache.spark.sql.expressions.Window.partitionBy("__b")))
       .filter(col("__sz") <= maxBasketSize)
       .select("__b", "__i")
+      // four consumers (total, margins, both self-join sides): compute
+      // the distinct + size-cap subtree once, not per consumer
+      .localCheckpoint()
     val nBaskets = broadcast(
       kept.select("__b").distinct().agg(count(lit(1)).as("__n")))
     val margins = kept.groupBy(col("__i")).agg(count(lit(1)).as("__c"))

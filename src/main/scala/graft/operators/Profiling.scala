@@ -353,9 +353,12 @@ object Profiling {
       .select(col("item"), col("n_true"),
         explode(sequence(lit(0L), lit(depth - 1L))).as("d"))
       .withColumn("bucket", cmsBucket(col("item"), col("d"), width))
-      .join(broadcast(counters), Seq("d", "bucket"))
+      // LEFT join + 0: an empty bucket reads as count 0 — the CMS min
+      // must include it, or a never-seen probe item gets a nonzero
+      // estimate (and an all-empty item would vanish entirely)
+      .join(broadcast(counters), Seq("d", "bucket"), "left")
       .groupBy("item", "n_true")
-      .agg(min("c").as("cms_est"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
       .select(col("item"), col("n_true"), col("cms_est"),
         (col("cms_est") - col("n_true")).as("overcount"))
 }

@@ -406,6 +406,11 @@ object Similarity {
     val acc = qdf.rdd.treeAggregate(zero)(
       seqOp = (a, row) => {
         val q = row.getSeq[Long](0)
+        // loud validation: a null or ragged embedding would otherwise
+        // surface as a bare executor NPE/IndexOutOfBounds
+        require(q != null, "pcaProject: null embedding row")
+        require(q.length == dim,
+          s"pcaProject: ragged embedding (dim ${q.length}, expected $dim)")
         a(0) += 1L
         var i = 0; var off = 1 + dim
         while (i < dim) {

@@ -37,7 +37,11 @@ object Stats {
       valueCol: Column, scale: Double = 1.0): DataFrame = {
     val v = valueCol.cast("long")
     val arm0 = armCol === 0
-    val agg = df.groupBy(groupCols.map(col): _*).agg(
+    // two-arm contract, enforced not assumed: rows outside arms {0,1}
+    // drop (matching chiSquare2x2) instead of silently merging into
+    // arm B
+    val twoArm = df.filter(arm0 || armCol === 1)
+    val agg = twoArm.groupBy(groupCols.map(col): _*).agg(
       sum(when(arm0, lit(1L)).otherwise(0L)).as("__n0"),
       sum(when(!arm0, lit(1L)).otherwise(0L)).as("__n1"),
       sum(when(arm0, v).otherwise(0L)).as("__s0"),
@@ -57,15 +61,25 @@ object Stats {
     val se0 = v0 / n0
     val se1 = v1 / n1
     // squares via explicit multiply, not pow(): IEEE *, / and sqrt are
-    // correctly rounded everywhere; libm pow() is not
+    // correctly rounded everywhere; libm pow() is not.
+    // Degenerate slices (an arm below 2 observations, or both arms
+    // constant so the pooled standard error is 0) emit NULL — under
+    // ANSI mode the unguarded division would abort the whole query
+    val defined = col("__n0") >= 2 && col("__n1") >= 2
     val tStat = (m0 - m1) / sqrt(se0 + se1)
     val dfW = (se0 + se1) * (se0 + se1) /
       (se0 * se0 / (n0 - 1.0) + se1 * se1 / (n1 - 1.0))
+    // nested when, not a fused &&: the count check must decide BEFORE
+    // se0/se1 (which divide by n0/n1) are ever evaluated
+    def guard(c: Column): Column =
+      when(defined, when(se0 + se1 > 0.0, c)).cast("double")
     agg.select(
       groupCols.map(col) ++ Seq(
         col("__n0").as("n_a"), col("__n1").as("n_b"),
-        round(m0, 6).as("mean_a"), round(m1, 6).as("mean_b"),
-        round(tStat, 6).as("t_stat"), round(dfW, 6).as("df_welch")): _*)
+        round(when(col("__n0") >= 1, m0).cast("double"), 6).as("mean_a"),
+        round(when(col("__n1") >= 1, m1).cast("double"), 6).as("mean_b"),
+        round(guard(tStat), 6).as("t_stat"),
+        round(guard(dfW), 6).as("df_welch")): _*)
   }
 
   /** 2×2 chi-square test of independence between a binary `armCol`
@@ -130,8 +144,10 @@ object Stats {
     val cxx = sxx - sx * sx / n
     val cxy = sxy - sx * sy / n
     val cyy = syy - sy * sy / n
-    val theta = cxy / cxx
-    val rho2 = cxy * cxy / (cxx * cyy)
+    // constant covariate (cxx = 0) -> no adjustment is possible; emit
+    // the raw mean with NULL theta/rho2 instead of an ANSI divide error
+    val theta = when(cxx > 0.0, cxy / cxx)
+    val rho2 = when(cxx > 0.0 && cyy > 0.0, cxy * cxy / (cxx * cyy))
     val na = col("__na").cast("double")
     val meanY = col("__sya").cast("double") / na / scale
     val meanYAdj = (col("__sya").cast("double") / na -
@@ -139,9 +155,9 @@ object Stats {
     perArm.crossJoin(pooled).select(
       col("arm"), col("__na").as("n"),
       round(meanY, 6).as("mean_y"),
-      round(meanYAdj, 6).as("mean_y_adj"),
-      round(theta, 6).as("theta"),
-      round(rho2, 6).as("rho2"))
+      round(coalesce(meanYAdj, meanY), 6).as("mean_y_adj"),
+      round(theta, 6).cast("double").as("theta"),
+      round(rho2, 6).cast("double").as("rho2"))
   }
 
   /** Pairwise Pearson correlation matrix over `inputs` (name →
@@ -171,9 +187,13 @@ object Stats {
       i <- names.indices; j <- (i + 1) until names.length
     } yield struct(
       lit(names(i)).as("col_x"), lit(names(j)).as("col_y"),
-      round(cmoment(names(i), names(j)) /
-        sqrt(cmoment(names(i), names(i)) * cmoment(names(j), names(j))), 6)
-        .as("corr"))
+      // a constant column has zero variance: its correlations are
+      // undefined -> NULL, and must not ANSI-abort the other pairs
+      round(when(
+        cmoment(names(i), names(i)) > 0.0 && cmoment(names(j), names(j)) > 0.0,
+        cmoment(names(i), names(j)) /
+          sqrt(cmoment(names(i), names(i)) * cmoment(names(j), names(j)))), 6)
+        .cast("double").as("corr"))
     agg.select(col("__n").as("n"), explode(array(pairs: _*)).as("pr"))
       .select(col("pr.col_x").as("col_x"), col("pr.col_y").as("col_y"),
         col("n"), col("pr.corr").as("corr"))
@@ -203,16 +223,19 @@ object Stats {
     val cxx = sxx - sx * sx / n
     val cyy = syy - sy * sy / n
     val cxy = sxy - sx * sy / n
-    val slope = cxy / cxx * (xScale / yScale)
+    // constant x (cxx = 0): the line is vertical/undefined -> NULL
+    // row values rather than an ANSI divide error; constant y makes
+    // r2 undefined the same way
+    val slope = when(cxx > 0.0, cxy / cxx * (xScale / yScale))
     val meanX = sx / n / xScale
     val meanY = sy / n / yScale
     val intercept = meanY - slope * meanX
-    val r2 = cxy * cxy / (cxx * cyy)
+    val r2 = when(cxx > 0.0 && cyy > 0.0, cxy * cxy / (cxx * cyy))
     agg.select(
       groupCols.map(col) ++ Seq(
         col("__n").as("n"),
-        round(slope, 6).as("slope"),
-        round(intercept, 6).as("intercept"),
-        round(r2, 6).as("r2")): _*)
+        round(slope, 6).cast("double").as("slope"),
+        round(intercept, 6).cast("double").as("intercept"),
+        round(r2, 6).cast("double").as("r2")): _*)
   }
 }

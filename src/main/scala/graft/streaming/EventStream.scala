@@ -296,6 +296,7 @@ object EventStream {
       depth: Int, width: Int, queryName: String,
       checkpoint: String): StreamingQuery = {
     require(depth >= 1 && depth <= 16, s"depth in [1,16]: $depth")
+    require(width >= 2, s"width >= 2: $width")
     items
       .select(itemCol.cast("long").as("item"),
         explode(sequence(lit(0L), lit(depth - 1L))).as("d"))

@@ -172,4 +172,26 @@ class ProfilingSpec extends SparkTestBase {
     assert(tight.forall(r => r.getAs[Long]("cms_est") >= r.getAs[Long]("n_true")))
     assert(tight.forall(r => r.getAs[Long]("cms_est") <= 16L))
   }
+
+  test("cmsEstimates reads empty buckets as zero for unseen probe items") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val seen = Seq.fill(4)(1L).toDF("it")
+    val counters = seen
+      .select(col("it").cast("long").as("item"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.sequence(lit(0L), lit(3L))).as("d"))
+      .withColumn("bucket", Profiling.cmsBucket(col("item"), col("d"), 1024))
+      .groupBy("d", "bucket").agg(count(lit(1)).as("c"))
+    // probe an item the sketch never saw: wide sketch -> no collision
+    // -> at least one empty bucket -> estimate must be exactly 0
+    val probes = Seq((999L, 0L)).toDF("item", "n_true")
+    val est = Profiling.cmsEstimates(probes, counters, 4, 1024).collect()(0)
+    assert(est.getAs[Long]("cms_est") === 0L)
+    // and an EMPTY counter table (stream not started) gives all-zero
+    // estimates, not zero rows
+    val none = counters.filter(lit(false))
+    val est2 = Profiling.cmsEstimates(probes, none, 4, 1024).collect()
+    assert(est2.length === 1 && est2(0).getAs[Long]("cms_est") === 0L)
+  }
 }

@@ -46,6 +46,50 @@ class StatsSpec extends SparkTestBase {
     assert(r.isNullAt(r.fieldIndex("chi2")))
   }
 
+  test("welchTTest: degenerate slices emit NULL, off-arm rows drop") {
+    val df = Seq(
+      // group "solo": arm 1 has a single observation -> t/df undefined
+      ("solo", 0, 1L), ("solo", 0, 3L), ("solo", 1, 7L),
+      // group "const": both arms constant -> zero pooled SE
+      ("const", 0, 5L), ("const", 0, 5L), ("const", 1, 5L), ("const", 1, 5L),
+      // group "third": arm 2 must NOT merge into arm B
+      ("third", 0, 1L), ("third", 0, 2L), ("third", 1, 8L), ("third", 1, 9L),
+      ("third", 2, 1000L))
+      .toDF("g", "arm", "v")
+    val out = Stats.welchTTest(df, Seq("g"), col("arm"), col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("solo").isNullAt(out("solo").fieldIndex("t_stat")))
+    assert(out("solo").getAs[Double]("mean_b") === 7.0)
+    assert(out("const").isNullAt(out("const").fieldIndex("t_stat")))
+    assert(out("const").isNullAt(out("const").fieldIndex("df_welch")))
+    assert(out("third").getAs[Long]("n_b") === 2L) // arm 2 excluded
+    assert(out("third").getAs[Double]("mean_b") === 8.5)
+  }
+
+  test("corrMatrix/olsFit: constant columns yield NULL, not a query abort") {
+    val df = (1L to 10L).map(x => (x, 2 * x, 7L)).toDF("x", "y", "k")
+    val corr = Stats.corrMatrix(df, Seq(
+      "x" -> col("x"), "y" -> col("y"), "k" -> col("k")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(corr(("x", "y")).contains(1.0)) // healthy pair unaffected
+    assert(corr(("x", "k")).isEmpty && corr(("y", "k")).isEmpty)
+    val ols = Stats.olsFit(df.withColumn("g", lit("g")), Seq("g"),
+      col("k"), col("y")).collect()(0) // constant x
+    assert(ols.isNullAt(ols.fieldIndex("slope")))
+    assert(ols.isNullAt(ols.fieldIndex("r2")))
+  }
+
+  test("cuped: constant covariate falls back to the raw mean, NULL theta") {
+    val units = Seq((0L, 5L, 10L), (0L, 5L, 14L), (1L, 5L, 20L), (1L, 5L, 22L))
+      .toDF("arm", "x", "y")
+    val out = Stats.cuped(units, col("arm"), col("x"), col("y"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).isNullAt(out(0L).fieldIndex("theta")))
+    assert(out(0L).getAs[Double]("mean_y_adj") === 12.0)
+    assert(out(1L).getAs[Double]("mean_y_adj") === 21.0)
+  }
+
   test("cuped: theta recovers the pooled slope; balanced arms unadjusted") {
     // y = 2x + 10 + 10*arm, identical x across arms -> theta = 2 and
     // the adjustment is a no-op (x̄ₐ == x̄), raw contrast preserved
