@@ -2873,6 +2873,53 @@ object SparkEntry {
           "ts", "value").drop("sum_value_ffill"),
         "h", "sum_value")),
 
+    // ratio-to-report: each priority's revenue share within its order
+    // status — window partitioned by status (never global), exact
+    // cent sums, one division
+    "w6_share_of_total" -> ((s, dir) => {
+      val a = t(s, dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("revenue_cents"))
+      val w = Window.partitionBy("o_orderstatus")
+      a.withColumn("share",
+        round(col("revenue_cents").cast("double") /
+          sum("revenue_cents").over(w).cast("double"), 6))
+    }),
+
+    // long-form unpivot of the four lineitem measures (the melt every
+    // metric store ingests); values pass through untouched
+    "pv2_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 1000)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity").as("qty"),
+            col("l_extendedprice").as("price"),
+            col("l_discount").as("disc"), col("l_tax").as("tax")),
+          "measure", "value")),
+
+    // first-order Markov transitions between event types per user —
+    // the journey matrix; counts exact, P(to|from) one division
+    "seq5_transitions" -> ((s, dir) =>
+      Sequences.transitions(events(s, dir), "user_id",
+        Seq("ts", "event_id"), "event_type")),
+
+    // Benford first-digit screen on order totals: observed vs
+    // log10(1+1/d) with per-digit chi-square terms
+    "dq9_benford" -> ((s, dir) =>
+      DataQuality.benford(t(s, dir, "orders"), "o_totalprice")),
+
+    // per-source token entropy (nats) via the one-pass identity
+    // H = ln T - (sum n ln n)/T — the id-vs-category profiling signal
+    "pf8_entropy" -> ((s, dir) =>
+      Profiling.entropy(
+        t(s, dir, "documents").select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+          .filter(length(col("w")) > 0),
+        Seq("source"), "w")),
+
     // CUPED: per-user pre-period spend (first half of January) as the
     // covariate for post-period spend — the variance-reduced A/B
     // readout, exact to the bit via integer-cent sums
@@ -5542,6 +5589,82 @@ object SparkEntry {
         |       b.score - w.score AS margin
         |FROM best b JOIN worst w USING (prompt_id)
         |WHERE b.rn = 1 AND w.rn = 1 AND b.score > w.score""".stripMargin,
+
+    "w6_share_of_total" ->
+      """WITH a AS (
+        |  SELECT o_orderstatus, o_orderpriority,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |           AS revenue_cents
+        |  FROM orders GROUP BY 1, 2),
+        |t AS (SELECT o_orderstatus, CAST(sum(revenue_cents) AS BIGINT) AS tot
+        |      FROM a GROUP BY 1)
+        |SELECT a.o_orderstatus, a.o_orderpriority, a.revenue_cents,
+        |       round(CAST(a.revenue_cents AS DOUBLE) / CAST(t.tot AS DOUBLE), 6)
+        |         AS share
+        |FROM a JOIN t USING (o_orderstatus)""".stripMargin,
+
+    "pv2_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'qty' AS measure, l_quantity AS value
+        |FROM lineitem WHERE l_orderkey < 1000
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
+        |FROM lineitem WHERE l_orderkey < 1000
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'disc', l_discount
+        |FROM lineitem WHERE l_orderkey < 1000
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'tax', l_tax
+        |FROM lineitem WHERE l_orderkey < 1000""".stripMargin,
+
+    "seq5_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS mm FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |       round(CAST(c.n AS DOUBLE) / CAST(m.mm AS DOUBLE), 6) AS prob
+        |FROM c JOIN m USING (from_type)""".stripMargin,
+
+    "dq9_benford" ->
+      """WITH f AS (SELECT abs(o_totalprice) AS v FROM orders
+        |           WHERE abs(o_totalprice) >= 1),
+        |c AS (SELECT CAST(substring(CAST(CAST(floor(v) AS BIGINT) AS VARCHAR),
+        |                  1, 1) AS INT) AS digit,
+        |             CAST(count(*) AS BIGINT) AS n
+        |      FROM f GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM c),
+        |s AS (SELECT unnest(range(1, 10)) AS digit),
+        |j AS (SELECT CAST(s.digit AS INT) AS digit,
+        |             CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+        |             log10(1.0 + 1.0 / CAST(s.digit AS DOUBLE)) AS ex
+        |      FROM s LEFT JOIN c ON s.digit = c.digit)
+        |SELECT digit, n,
+        |       round(CAST(n AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS obs_share,
+        |       round(ex, 6) AS exp_share,
+        |       round((CAST(n AS DOUBLE) - ex * CAST(tt AS DOUBLE))
+        |             * (CAST(n AS DOUBLE) - ex * CAST(tt AS DOUBLE))
+        |             / (ex * CAST(tt AS DOUBLE)), 6) AS chi2_term
+        |FROM j, t""".stripMargin,
+
+    "pf8_entropy" ->
+      """WITH w AS (SELECT source,
+        |             unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |           FROM documents),
+        |f AS (SELECT source, w FROM w WHERE length(w) > 0),
+        |c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS n
+        |      FROM f GROUP BY 1, 2),
+        |g AS (SELECT source, CAST(sum(n) AS BIGINT) AS t,
+        |             CAST(count(*) AS BIGINT) AS n_distinct,
+        |             sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS snln
+        |      FROM c GROUP BY 1)
+        |SELECT source, t AS n_rows, n_distinct,
+        |       round(ln(CAST(t AS DOUBLE)) - snln / CAST(t AS DOUBLE), 6)
+        |         AS entropy_nats
+        |FROM g""".stripMargin,
 
     // neighbor carry via IGNORE NULLS windows, micros ratio, raw
     // doubles (identical inputs -> identical bits; see ts4)

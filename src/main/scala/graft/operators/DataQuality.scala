@@ -182,6 +182,41 @@ object DataQuality {
     * counts with [[MetricsListener]] (batch) or
     * `StreamingQueryProgress.observedMetrics` (streaming).
     */
+  /** Benford first-digit conformance — the classic fabricated-data
+    * screen for financial columns: observed share of each leading
+    * digit 1–9 vs the Benford expectation log₁₀(1 + 1/d), with the
+    * per-digit chi-square term (n·(obs − exp)²/exp; sum them for the
+    * 8-df statistic). Rows with |value| < 1 are excluded (no leading
+    * digit). One map-side-combined aggregate to 9 counter rows; the
+    * expected shares are compile-time literals, so the readout
+    * replays exactly in any engine.
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    // floor before stringifying: a rounding cast would turn 1.5's
+    // leading digit into 2
+    val digit = substring(floor(abs(col(valueCol))).cast("long")
+      .cast("string"), 1, 1).cast("int")
+    val counts = df.filter(abs(col(valueCol)) >= 1)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val spine = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"),
+        log10(lit(1.0) + lit(1.0) / col("id").cast("double")).as("__exp"))
+    val tot = broadcast(counts.agg(sum("n").as("__t")))
+    broadcast(spine).join(counts, Seq("digit"), "left")
+      .crossJoin(tot)
+      .select(col("digit"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        round(coalesce(col("n"), lit(0L)).cast("double") /
+          col("__t").cast("double"), 6).as("obs_share"),
+        round(col("__exp"), 6).as("exp_share"),
+        round({
+          val o = coalesce(col("n"), lit(0L)).cast("double")
+          val e = col("__exp") * col("__t").cast("double")
+          (o - e) * (o - e) / e
+        }, 6).as("chi2_term"))
+  }
+
   def observed(df: DataFrame, metricName: String,
       checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty)

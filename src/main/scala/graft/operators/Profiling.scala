@@ -306,6 +306,28 @@ object Profiling {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Shannon entropy (nats) of a column's value distribution per
+    * group, with cardinality context: high-entropy ≈ identifier-like,
+    * near-zero ≈ constant — the profiling signal schema-inference and
+    * feature-selection passes key on. Two map-side-combined
+    * aggregates (value counts → per-group fold); −Σ p ln p is summed
+    * over DISTINCT VALUES, not rows. Null values are excluded. */
+  def entropy(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val g = counts.groupBy(groupCols.map(col): _*)
+      .agg(sum("__n").as("__t"), count(lit(1)).as("n_distinct"),
+        sum(col("__n").cast("double") *
+          log(col("__n").cast("double"))).as("__snln"))
+    // H = ln(T) − (Σ n·ln n)/T: one pass, no second join for p = n/T
+    g.select(groupCols.map(col) ++ Seq(
+      col("__t").as("n_rows"), col("n_distinct"),
+      round(log(col("__t").cast("double")) -
+        col("__snln") / col("__t").cast("double"), 6).as("entropy_nats")): _*)
+  }
+
   /** Count-min sketch over integer items, with per-item estimates
     * AND true counts side by side — the sketch-vs-exact readout that
     * shows where width collisions overestimate. The hash family is

@@ -79,4 +79,31 @@ object Sequences {
       keyCols, orderCols, "__sym", sep = "", maxLen = maxLen)
       .withColumnRenamed("seq", "history")
       .withColumn("match_text", regexp_extract(col("history"), pattern, 0))
+
+  /** First-order transition matrix over each entity's chronological
+    * event types: for every consecutive (from → to) pair, the count
+    * and the row-normalized transition probability P(to | from) — the
+    * Markov-chain view of user journeys ("after a view, 40% click").
+    * Counts are exact integers; the probability is one division of
+    * exact scalars, so the matrix replays exactly in any engine.
+    *
+    * Scale shape: one per-entity window pass builds the lead pairs,
+    * one map-side-combined aggregate counts them, and the from-margin
+    * (|types| rows) joins back broadcast. */
+  def transitions(df: DataFrame, entityCol: String,
+      orderCols: Seq[String], typeCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(entityCol).orderBy(orderCols.map(col(_).asc): _*)
+    val pairs = df
+      .withColumn("__to", lead(col(typeCol), 1).over(w))
+      .filter(col("__to").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__to").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val margins = pairs.groupBy(col("from_type"))
+      .agg(sum("n").as("__m"))
+    pairs.join(broadcast(margins), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("__m").cast("double"), 6)
+          .as("prob"))
+  }
 }

@@ -3,6 +3,49 @@ package graft.operators
 import graft.SparkTestBase
 import org.apache.spark.sql.functions._
 
+class AnalyticsShapesSpec extends SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  test("transitions: exact counts and row-normalized probabilities") {
+    val ev = Seq(
+      (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"), (1L, 4L, "B"),
+      (2L, 1L, "A"), (2L, 2L, "B"))
+      .toDF("u", "ord", "t")
+    val out = Sequences.transitions(ev, "u", Seq("ord"), "t")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("A", "B")) == ((3L, 1.0)))   // A always goes to B
+    assert(out(("B", "A")) == ((1L, 1.0)))   // the only closed B pair
+    assert(out.size == 2)                    // trailing events pair with nothing
+  }
+
+  test("benford: digit extraction floors, excludes sub-1, fills empty digits") {
+    val df = Seq(1.5, 19.0, 100.0, 2.5, 0.5, -35.0).toDF("v")
+    val out = DataQuality.benford(df, "v")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out.size == 9)                     // full spine 1..9
+    assert(out(1).getAs[Long]("n") == 3L)     // 1.5, 19, 100
+    assert(out(2).getAs[Long]("n") == 1L)     // 2.5 floors to 2, not 3
+    assert(out(3).getAs[Long]("n") == 1L)     // |-35| = 35
+    assert(out(4).getAs[Long]("n") == 0L)
+    assert(out(1).getAs[Double]("obs_share") == 0.6)
+    assert(out(1).getAs[Double]("exp_share") == 0.30103)
+    // chi2 terms are non-negative and zero only when obs == exp
+    assert(out.values.forall(_.getAs[Double]("chi2_term") >= 0.0))
+  }
+
+  test("entropy: uniform hits ln k, constant hits zero") {
+    val df = (1 to 40).map(i => ("u", s"v${i % 4}")) ++
+      (1 to 10).map(_ => ("c", "only"))
+    val out = Profiling.entropy(df.toDF("g", "v"), Seq("g"), "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("u").getAs[Long]("n_distinct") == 4L)
+    assert(math.abs(out("u").getAs[Double]("entropy_nats") - math.log(4)) < 1e-6)
+    assert(out("c").getAs[Double]("entropy_nats") == 0.0)
+  }
+}
+
 class StatsSpec extends SparkTestBase {
   import spark.implicits._
 
