@@ -2873,6 +2873,36 @@ object SparkEntry {
           "ts", "value").drop("sum_value_ffill"),
         "h", "sum_value")),
 
+    // quantity-weighted median price per return flag: half the UNITS
+    // sold sit at or below this price (row median is wrong whenever
+    // weights vary); exact integer cumulative-weight comparison
+    "pct2_weighted_median" -> ((s, dir) =>
+      Stats.weightedMedian(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        "l_extendedprice", round(col("l_quantity")))),
+
+    // cohort LTV: cumulative cents per acquisition week x weeks-since
+    // (the revenue companion to coh1's retention triangle)
+    "coh2_ltv" -> ((s, dir) =>
+      Funnel.ltvCurve(events(s, dir), "user_id", "ts",
+        round(col("value") * 100))),
+
+    // right-to-be-forgotten: purge every 29th user from events; the
+    // query returns the MANIFEST (per-key purge counts incl. the
+    // planted never-present key = 0) — the auditable half; the purged
+    // frame itself is the m1-shape complement
+    "m9_forget" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val forget = ev.select(col("user_id")).distinct()
+        .filter(col("user_id") % 29 === 0)
+        .unionByName(s.range(1, 2) // planted never-present key -> 0
+          .select((col("id") + 900000000L).as("user_id")))
+      val (purged, manifest) = Modes.purgeKeys(ev, "user_id", forget)
+      // audit the erasure: manifest counts + survivor count must tile
+      // the table exactly (n_remaining rides in as a broadcast 1-row)
+      manifest.crossJoin(
+        broadcast(purged.agg(count(lit(1)).as("n_remaining"))))
+    }),
+
     // ratio-to-report: each priority's revenue share within its order
     // status — window partitioned by status (never global), exact
     // cent sums, one division
@@ -5589,6 +5619,58 @@ object SparkEntry {
         |       b.score - w.score AS margin
         |FROM best b JOIN worst w USING (prompt_id)
         |WHERE b.rn = 1 AND w.rn = 1 AND b.score > w.score""".stripMargin,
+
+    "pct2_weighted_median" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, l_extendedprice, w,
+        |         CAST(sum(w) OVER (PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS cum,
+        |         CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+        |  FROM a)
+        |SELECT l_returnflag, min(l_extendedprice) AS weighted_median,
+        |       max(tot) AS total_weight
+        |FROM c WHERE cum * 2 >= tot GROUP BY 1""".stripMargin,
+
+    "coh2_ltv" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |firstw AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM e GROUP BY 1),
+        |weekly AS (
+        |  SELECT f.cohort_week,
+        |         CAST(datediff('day', f.cohort_week,
+        |              date_trunc('week', e.ts)) // 7 AS BIGINT) AS weeks_since,
+        |         CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active,
+        |         CAST(sum(e.v) AS BIGINT) AS week_value
+        |  FROM e JOIN firstw f USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT cohort_week, weeks_since, n_active, week_value,
+        |       CAST(sum(week_value) OVER (PARTITION BY cohort_week
+        |         ORDER BY weeks_since
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS cum_value
+        |FROM weekly""".stripMargin,
+
+    "m9_forget" ->
+      """WITH forget AS (
+        |  SELECT DISTINCT user_id FROM events WHERE user_id % 29 = 0
+        |  UNION ALL SELECT 900000001),
+        |counts AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1),
+        |remaining AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_remaining FROM events
+        |  WHERE user_id NOT IN (SELECT user_id FROM forget))
+        |SELECT f.user_id, coalesce(c.n, 0) AS n_purged, r.n_remaining
+        |FROM forget f LEFT JOIN counts c USING (user_id)
+        |CROSS JOIN remaining r""".stripMargin,
 
     "w6_share_of_total" ->
       """WITH a AS (

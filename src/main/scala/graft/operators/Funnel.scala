@@ -76,6 +76,31 @@ object Funnel {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Cohort LTV curve: cumulative value per acquisition cohort by
+    * weeks since acquisition — the revenue companion to
+    * [[retention]]'s activity triangle ("how much has the January
+    * cohort spent by week 4?"). `valueCol` must be integral (pass
+    * cents) so the sums — and the running cumulative — are exact.
+    * Output: (cohort_week, weeks_since, n_active, week_value,
+    * cum_value); the cumulative window runs over WEEK rows per
+    * cohort, never events. */
+  def ltvCurve(df: DataFrame, entityCol: String, tsCol: String,
+      valueCol: Column): DataFrame = {
+    val e = df.select(col(entityCol).as("__e"), col(tsCol).as("__ts"),
+      valueCol.cast("long").as("__v"))
+    val firstw = e.groupBy("__e")
+      .agg(date_trunc("week", min("__ts")).as("cohort_week"))
+    val weekly = e.join(firstw, Seq("__e"))
+      .groupBy(col("cohort_week"),
+        expr("datediff(to_date(date_trunc('week', __ts)), to_date(cohort_week)) div 7")
+          .cast("long").as("weeks_since"))
+      .agg(count_distinct(col("__e")).as("n_active"),
+        sum("__v").as("week_value"))
+    val w = Window.partitionBy("cohort_week").orderBy("weeks_since")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weekly.withColumn("cum_value", sum("week_value").over(w))
+  }
+
   /** Position-based (U-shaped) multi-touch attribution in exact
     * integer basis points: every touch event attributes to the
     * earliest conversion at-or-after it in the same entity's

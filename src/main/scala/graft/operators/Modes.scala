@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{broadcast, col, lead, row_number}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lead, lit, row_number}
 
 /** Replication-mode dataflow as pure DataFrame algebra (SURVEY.md
   * §2.6). The connector layer (JdbcConnector/FileConnector) applies
@@ -134,5 +134,27 @@ object Modes {
         .join(broadcast(bad), col("__chunk") === col("__bad_chunk"),
           "left_semi"))
       .drop("__chunk")
+  }
+
+  /** Right-to-be-forgotten purge: drop every row whose `keyCol`
+    * appears in `forget` — one anti-join (broadcast when the forget
+    * list is small, hash otherwise; Spark picks by size) — plus a
+    * purge manifest row per key via a semi-joined count, so the
+    * erasure is AUDITABLE: the regulator question is "prove you
+    * removed them", not "show me the survivors". Returns (purged,
+    * manifest(key, n_purged)) — keys with no rows report n_purged =
+    * 0, distinguishing "erased" from "never present". */
+  def purgeKeys(df: DataFrame, keyCol: String,
+      forget: DataFrame): (DataFrame, DataFrame) = {
+    require(forget.columns.length == 1,
+      s"forget list must be a single key column, got ${forget.columns.length}")
+    val fkey = forget.columns.head
+    val purged = df.join(forget.withColumnRenamed(fkey, keyCol),
+      Seq(keyCol), "left_anti")
+    val manifest = forget.select(col(fkey).as(keyCol)).distinct()
+      .join(df.groupBy(keyCol).agg(count(lit(1)).as("__n")),
+        Seq(keyCol), "left")
+      .select(col(keyCol), coalesce(col("__n"), lit(0L)).as("n_purged"))
+    (purged, manifest)
   }
 }

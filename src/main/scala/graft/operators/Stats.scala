@@ -111,6 +111,33 @@ object Stats {
         round(chi2, 6).as("chi2")): _*)
   }
 
+  /** Exact lower weighted median per group: the smallest value v with
+    * cumulative weight(≤ v) ≥ half the total — "the price at which
+    * half the QUANTITY sold", which a plain median over rows gets
+    * wrong whenever weights vary. Values collapse to DISTINCT (group,
+    * value) weight sums first, so the per-group window walks distinct
+    * values (bounded by value cardinality, not row count) and ties
+    * need no tiebreak. `weightCol` must be integral (class exactness
+    * contract) — 2·cum ≥ total compares exact integers, no epsilon. */
+  def weightedMedian(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, weightCol: Column): DataFrame = {
+    val agg = df.groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(sum(weightCol.cast("long")).as("__w"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    agg
+      .withColumn("__cum", sum("__w").over(win))
+      .withColumn("__tot", sum("__w").over(tot))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(col(valueCol)).as("weighted_median"),
+        max(col("__tot")).as("total_weight"))
+  }
+
   /** CUPED variance reduction (controlled-experiment using
     * pre-experiment data): adjust each arm's post-period mean by the
     * pooled regression of post metric `yCol` on pre-period covariate

@@ -49,6 +49,27 @@ class AnalyticsShapesSpec extends SparkTestBase {
 class StatsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("weightedMedian follows the weight mass, lower-median on ties") {
+    val df = Seq(("g", 1.0, 1L), ("g", 2.0, 1L), ("g", 3.0, 10L),
+      ("h", 1.0, 1L), ("h", 2.0, 1L)).toDF("g", "v", "w")
+    val out = Stats.weightedMedian(df, Seq("g"), "v", col("w"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(out("g") == ((3.0, 12L))) // 10 of 12 units sit at 3.0
+    assert(out("h") == ((1.0, 2L)))  // lower median on the even split
+  }
+
+  test("purgeKeys erases, audits zero for never-present keys") {
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"))
+      .toDF("uid", "x")
+    val (purged, manifest) = Modes.purgeKeys(df, "uid",
+      Seq(1L, 9L).toDF("uid"))
+    assert(purged.select("uid").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    val m = manifest.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 2L, 9L -> 0L))
+    intercept[IllegalArgumentException](
+      Modes.purgeKeys(df, "uid", Seq((1L, 2L)).toDF("a", "b")))
+  }
+
   test("welchTTest matches the hand-computed statistic on a tiny fixture") {
     // arm0 = [1,2,3] (mean 2, var 1), arm1 = [2,4,6,8] (mean 5, var 20/3)
     val df = Seq((0, 1L), (0, 2L), (0, 3L), (1, 2L), (1, 4L), (1, 6L), (1, 8L))
