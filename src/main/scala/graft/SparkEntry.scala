@@ -1800,6 +1800,17 @@ object SparkEntry {
           .as("n_tokens"))
     }),
 
+    // the TRAINING step itself as a table: the learned vocabulary in
+    // rank order (alphabet first, then substrings by corpus score) —
+    // MATCHing the SQL re-learned vocab pins trainVocab end-to-end,
+    // not just the counts it produces
+    "tok2_vocab_table" -> ((s, dir) => {
+      import s.implicits._
+      trainedVocab(s, dir).zipWithIndex
+        .map { case (tk, i) => (tk, (i + 1).toLong) }.toSeq
+        .toDF("token", "rank")
+    }),
+
     // shard packing budgeted in TRAINED tokenizer units — the form a
     // production pipeline sizes shards in (pack1 words / pack2
     // regex-heuristic / pack3 trained subwords)
@@ -4851,6 +4862,18 @@ object SparkEntry {
     // matcher's contract
     "tok1_subword_tokens" ->
       (subwordCte + "\nSELECT doc_id, n_tokens FROM doctok"),
+
+    // trainVocab's array order replayed: alphabet sorted asc, then
+    // substrings by (score desc, tok asc) with offset ranks
+    "tok2_vocab_table" ->
+      (subwordCte + """,
+        |charrank AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok ASC)
+        |                   AS BIGINT) AS rank FROM chars),
+        |nch AS (SELECT count(*) AS n FROM chars)
+        |SELECT tok AS token, rank FROM charrank
+        |UNION ALL
+        |SELECT tok AS token, CAST(rn + (SELECT n FROM nch) AS BIGINT) AS rank
+        |FROM ranked WHERE rn <= 64 - (SELECT n FROM nch)""".stripMargin),
 
     "pack3_subword_shards" ->
       (subwordCte + """,

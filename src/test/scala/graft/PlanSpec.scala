@@ -67,6 +67,29 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange")) // row-local: scan -> project, nothing else
   }
 
+  test("mb1 pair join is basket-keyed: no cartesian, margins broadcast") {
+    val df = SparkEntry.queries("mb1_association_rules")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastExchange")) // margins + basket total
+  }
+
+  test("mix4 global rank never funnels through a single partition") {
+    val df = SparkEntry.queries("mix4_curriculum")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"), s"global window:\n$p")
+    assert(p.contains("hashpartitioning")) // bucketed prefix-sum window
+  }
+
+  test("hh2 counter table broadcasts; stats aggregates are map-side partial") {
+    val cms = SparkEntry.queries("hh2_countmin")(spark, sf())
+    assert(cms.queryExecution.executedPlan.toString
+      .contains("BroadcastExchange"))
+    // ab1's single aggregate carries partial_ conditional sums
+    val ab = SparkEntry.queries("ab1_welch_ttest")(spark, sf())
+    assert(ab.queryExecution.executedPlan.toString.contains("partial_"))
+  }
+
   test("dd4 auto-dispatch picks the bitset path on the closed-vocab corpus") {
     // the sample gate detects the synthetic corpus's ~30-word
     // vocabulary and routes to the salted popcount path (measured 10x
