@@ -2884,6 +2884,34 @@ object SparkEntry {
           "ts", "value").drop("sum_value_ffill"),
         "h", "sum_value")),
 
+    // lenient JSONL ingestion: two planted garbage lines quarantine
+    // as (is_corrupt, corrupt_raw) with NULL data columns while every
+    // good line parses — FAILFAST would abort the load, DROPMALFORMED
+    // would lie about volume
+    "c3_corrupt_records" -> ((s, dir) => {
+      val base = tmpDir("graft_c3") + "/in"
+      t(s, dir, "documents")
+        .select(to_json(struct(col("doc_id"), col("lang"), col("n_chars")))
+          .as("value"))
+        .unionByName(s.range(1, 2).select(lit("{\"oops").as("value")))
+        .unionByName(s.range(1, 2).select(lit("not json at all").as("value")))
+        .coalesce(1).write.mode("overwrite").text(base)
+      FileConnector.readJsonAudited(s, base,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_chars",
+            org.apache.spark.sql.types.LongType))))
+    }),
+
+    // Flesch reading ease from portable proxies (terminal-punct
+    // sentences, vowel-group syllables) — exact counts, one formula
+    "ta8_readability" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.readability(col("text")).as("flesch"))),
+
     // quantity-weighted median price per return flag: half the UNITS
     // sold sit at or below this price (row median is wrong whenever
     // weights vary); exact integer cumulative-weight comparison
@@ -5642,6 +5670,28 @@ object SparkEntry {
         |       b.score - w.score AS margin
         |FROM best b JOIN worst w USING (prompt_id)
         |WHERE b.rn = 1 AND w.rn = 1 AND b.score > w.score""".stripMargin,
+
+    // the good lines round-trip to the source rows; the two corrupt
+    // constants quarantine with NULL data
+    "c3_corrupt_records" ->
+      """SELECT doc_id, lang, n_chars, false AS is_corrupt,
+        |       CAST(NULL AS VARCHAR) AS corrupt_raw
+        |FROM documents
+        |UNION ALL
+        |SELECT CAST(NULL AS BIGINT), NULL, CAST(NULL AS BIGINT), true, '{"oops'
+        |UNION ALL
+        |SELECT CAST(NULL AS BIGINT), NULL, CAST(NULL AS BIGINT), true,
+        |       'not json at all'""".stripMargin,
+
+    "ta8_readability" ->
+      """SELECT doc_id,
+        |       round(206.835
+        |             - 1.015 * CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+        |               / CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE)
+        |             - 84.6 * CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+        |               / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE),
+        |             4) AS flesch
+        |FROM documents""".stripMargin,
 
     "pct2_weighted_median" ->
       """WITH a AS (

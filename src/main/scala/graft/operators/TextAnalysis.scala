@@ -198,4 +198,21 @@ object TextAnalysis {
       .withColumn("quality", qualityScore(t))
       .withColumn("fingerprint", fingerprint(t))
   }
+
+  /** Flesch reading-ease estimate from portable proxies: sentences =
+    * terminal-punctuation runs (min 1), syllables = vowel-group runs
+    * (the standard heuristic — no dictionary needed, and every term
+    * is a regexp count any engine reproduces). Exact integer counts
+    * feed one fixed double formula, rounded(4). Row-local. */
+  def readability(text: Column): Column = {
+    val words = tokenCount(text).cast("double")
+    val sentences = greatest(
+      size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1))
+      .cast("double")
+    val syllables =
+      size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+        .cast("double")
+    round(lit(206.835) - lit(1.015) * words / sentences
+      - lit(84.6) * syllables / words, 4)
+  }
 }

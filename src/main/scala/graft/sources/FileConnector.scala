@@ -208,4 +208,26 @@ object FileConnector {
 
   def stripScheme(connect: String): String =
     if (connect.startsWith("file://")) connect.stripPrefix("file://") else connect
+
+  /** Lenient JSONL ingestion with a corrupt-record AUDIT instead of a
+    * crash or a silent drop: PERMISSIVE parse against the declared
+    * schema, every unparseable line kept as (is_corrupt = true,
+    * corrupt_raw = the line) with NULL data columns. The ingestion
+    * contract a real feed needs — FAILFAST aborts a 100 TB load for
+    * one bad line, DROPMALFORMED lies about volume; this quarantines.
+    * Row-local parse, shuffle-free. */
+  def readJsonAudited(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val corruptCol = "__corrupt_raw"
+    val withAudit = StructType(schema.fields :+
+      StructField(corruptCol, org.apache.spark.sql.types.StringType, true))
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .schema(withAudit)
+      .json(path)
+      .withColumn("is_corrupt", col(corruptCol).isNotNull)
+      .withColumnRenamed(corruptCol, "corrupt_raw")
+  }
 }

@@ -136,6 +136,29 @@ class FileConnectorSpec extends SparkTestBase {
     assert(!sawAbsent)
     assert(spark.read.parquet(sink).as[Int].collect().toSeq == Seq(5))
   }
+
+  test("readJsonAudited quarantines bad lines, parses the rest") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/a.jsonl"),
+      """{"id": 1, "name": "ok"}
+        |{"id": 2,
+        |totally not json
+        |{"id": 3, "name": "fine"}
+        |""".stripMargin)
+    val out = FileConnector.readJsonAudited(spark, dir,
+      StructType(Seq(StructField("id", LongType),
+        StructField("name", StringType))))
+      .collect()
+    val good = out.filter(!_.getAs[Boolean]("is_corrupt"))
+    val bad = out.filter(_.getAs[Boolean]("is_corrupt"))
+    assert(good.map(r => (r.getLong(0), r.getString(1))).toSet
+      == Set((1L, "ok"), (3L, "fine")))
+    assert(bad.map(_.getAs[String]("corrupt_raw")).toSet
+      == Set("""{"id": 2,""", "totally not json"))
+    assert(bad.forall(_.isNullAt(0))) // data columns NULL on quarantine
+  }
 }
 
 class JdbcConnectorSpec extends SparkTestBase {
