@@ -727,6 +727,13 @@ object SparkEntry {
     "dd20_token_sort_dedup" -> ((s, dir) =>
       Dedup.tokenSortDedup(t(s, dir, "documents"), "doc_id", "text")),
 
+    // directed containment (|A∩B|/|A|): the small-doc-inside-big-doc
+    // case symmetric Jaccard misses; df-capped 2-gram join, both
+    // directions when both qualify
+    "dd21_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 2, threshold = 0.8, maxGramDf = 100)),
+
     "dd2_dedup_minhash_lsh" -> ((s, dir) =>
       // LSH candidate generation is probabilistic -> rows-only oracle
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -3557,6 +3564,31 @@ object SparkEntry {
 
     "dd1_dedup_exact" ->
       "SELECT min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY text",
+
+    // the same df cap and directed ratio on string grams
+    "dd21_containment_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(l) <= 2 THEN [array_to_string(l, ' ')]
+        |         ELSE [array_to_string(l[i:i+1], ' ')
+        |               for i in range(1, len(l))] END) AS gs
+        |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+        |        FROM documents)),
+        |g AS (SELECT doc_id AS id, unnest(gs) AS gram FROM t),
+        |dfc AS (SELECT gram, count(*) AS d FROM g GROUP BY 1),
+        |kept AS (SELECT g.id, g.gram FROM g JOIN dfc USING (gram)
+        |         WHERE d <= 100),
+        |sz AS (SELECT id, CAST(count(*) AS BIGINT) AS n_a FROM kept GROUP BY 1),
+        |sh AS (SELECT a.id AS id_a, b.id AS id_b,
+        |              CAST(count(*) AS BIGINT) AS n_shared
+        |       FROM kept a JOIN kept b ON a.gram = b.gram AND a.id <> b.id
+        |       GROUP BY 1, 2)
+        |SELECT sh.id_a, sh.id_b, sh.n_shared, sz.n_a,
+        |       round(CAST(sh.n_shared AS DOUBLE) / CAST(sz.n_a AS DOUBLE), 6)
+        |         AS containment
+        |FROM sh JOIN sz ON sz.id = sh.id_a
+        |WHERE CAST(sh.n_shared AS DOUBLE) >= 0.8 * CAST(sz.n_a AS DOUBLE)"""
+        .stripMargin,
 
     "dd20_token_sort_dedup" ->
       """WITH s AS (

@@ -80,6 +80,44 @@ object Dedup {
           array_sort(split(lower(trim(col(textCol))), "\\s+"))).as("__sig")),
       idCol, Seq("__sig"))
 
+  /** Directed containment pairs: |A∩B| / |A| ≥ threshold over word
+    * k-shingles — the asymmetric cousin of Jaccard that catches a
+    * SMALL document living inside a big one (wire story inside
+    * commentary, quote inside thread), which symmetric Jaccard scores
+    * near zero. Emits both directions when both qualify.
+    *
+    * Grams in more than `maxGramDf` documents are dropped from BOTH
+    * the numerator and the denominator before pairing — the dd19-style
+    * boilerplate cap, a deterministic contract (an oracle replays it)
+    * that also bounds the gram self-join at df² per gram. Only 8-byte
+    * gram hashes shuffle; text never leaves the scan. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 2, threshold: Double = 0.8,
+      maxGramDf: Int = 100): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    val gh = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), shingleSize)).as("gram"))
+      .select(col("id"), xxhash64(col("gram")).as("g"))
+    val dfc = gh.groupBy("g").agg(count(lit(1)).as("__d"))
+    val kept = gh
+      .join(dfc.filter(col("__d") <= maxGramDf), Seq("g"))
+      .select("id", "g")
+      .localCheckpoint() // sizes + both join sides
+    val sz = kept.groupBy("id").agg(count(lit(1)).as("n_a"))
+    val shared = kept.as("a")
+      .join(kept.as("b"), col("a.g") === col("b.g")
+        && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sz.withColumnRenamed("id", "id_a"), "id_a")
+      .filter(col("n_shared").cast("double") >=
+        lit(threshold) * col("n_a").cast("double"))
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("n_a"),
+        round(col("n_shared").cast("double") / col("n_a").cast("double"), 6)
+          .as("containment"))
+  }
+
   /** Exact-dedup survivors: the full rows that remain. */
   def exactSurvivors(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame = {
     val keep = exact(df, idCol, contentCols).select(col("keep_id").as(idCol))

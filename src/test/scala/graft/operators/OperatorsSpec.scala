@@ -53,6 +53,28 @@ class DedupSpec extends SparkTestBase {
     assert(out == Map(1L -> 3L, 4L -> 1L, 5L -> 1L))
   }
 
+  test("containmentPairs is directed: the small doc inside the big one") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),                       // A ⊂ B
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "totally unrelated words here now"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(df, "doc_id", "text",
+      shingleSize = 2, threshold = 0.8, maxGramDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getAs[Double]("containment")).toMap
+    // A's 3 bigrams all inside B -> containment 1.0; B in A only 3/7
+    assert(out == Map((1L, 2L) -> 1.0))
+  }
+
+  test("containmentPairs df cap drops boilerplate grams from both sides") {
+    // 'x y' appears in every doc: with cap 2 it can't pair anything
+    val df = Seq((1L, "x y"), (2L, "x y"), (3L, "x y")).toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(df, "doc_id", "text", 2, 0.5, 2).count() == 0)
+    // raise the cap and all pairs appear, both directions
+    assert(Dedup.containmentPairs(df, "doc_id", "text", 2, 0.5, 3).count() == 6)
+  }
+
   test("minhash LSH finds the planted near-duplicate pair and the exact pair") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
       shingleSize = 2, numHashes = 32, numBands = 16, threshold = 0.5)
