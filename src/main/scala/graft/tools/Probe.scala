@@ -431,6 +431,15 @@ object Probe {
     timed("emb2 PCA 20K x 64-dim vectors")(
       graft.operators.Similarity.pcaProject(emb, "vec_id", "embedding", 2)
         .count())
+    timed("dd21 containment 50K docs (df-capped gram join)")(
+      graft.operators.Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleSize = 2, threshold = 0.8, maxGramDf = 100).count())
+    timed("att1+seq5+coh2 event-window family 1M events")({
+      graft.operators.Sequences.transitions(evd, "user_id",
+        Seq("ts", "event_id"), "event_type").count() +
+      graft.operators.Funnel.ltvCurve(evd, "user_id", "ts",
+        round(col("value") * 100)).count()
+    })
   }
 
   def r5cprobe(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
