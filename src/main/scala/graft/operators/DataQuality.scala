@@ -172,16 +172,6 @@ object DataQuality {
   def rangeViolation(c: String, lo: Double, hi: Double): Column =
     col(c).isNotNull && (col(c) < lo || col(c) > hi)
 
-  /** Attach the row-local checks to a DataFrame as OBSERVED metrics
-    * (`Dataset.observe`): violation counts are accumulated DURING
-    * whatever action the caller runs next — zero extra scans, and the
-    * same call works on a streaming DataFrame (metrics per
-    * micro-batch via the progress/listener surfaces). The relational
-    * forms above are for when the report IS the output; this is for
-    * monitoring a pipeline you were going to run anyway. Read the
-    * counts with [[MetricsListener]] (batch) or
-    * `StreamingQueryProgress.observedMetrics` (streaming).
-    */
   /** Benford first-digit conformance — the classic fabricated-data
     * screen for financial columns: observed share of each leading
     * digit 1–9 vs the Benford expectation log₁₀(1 + 1/d), with the
@@ -203,7 +193,9 @@ object DataQuality {
       .select(col("id").cast("int").as("digit"),
         log10(lit(1.0) + lit(1.0) / col("id").cast("double")).as("__exp"))
     val tot = broadcast(counts.agg(sum("n").as("__t")))
-    broadcast(spine).join(counts, Seq("digit"), "left")
+    // broadcast the RIGHT side: a left-outer join cannot build on the
+    // preserved side, so a broadcast(spine) hint would be ignored
+    spine.join(broadcast(counts), Seq("digit"), "left")
       .crossJoin(tot)
       .select(col("digit"),
         coalesce(col("n"), lit(0L)).as("n"),
@@ -217,6 +209,16 @@ object DataQuality {
         }, 6).as("chi2_term"))
   }
 
+  /** Attach the row-local checks to a DataFrame as OBSERVED metrics
+    * (`Dataset.observe`): violation counts are accumulated DURING
+    * whatever action the caller runs next — zero extra scans, and the
+    * same call works on a streaming DataFrame (metrics per
+    * micro-batch via the progress/listener surfaces). The relational
+    * forms above are for when the report IS the output; this is for
+    * monitoring a pipeline you were going to run anyway. Read the
+    * counts with [[MetricsListener]] (batch) or
+    * `StreamingQueryProgress.observedMetrics` (streaming).
+    */
   def observed(df: DataFrame, metricName: String,
       checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty)

@@ -211,15 +211,22 @@ object FileConnector {
 
   /** Lenient JSONL ingestion with a corrupt-record AUDIT instead of a
     * crash or a silent drop: PERMISSIVE parse against the declared
-    * schema, every unparseable line kept as (is_corrupt = true,
-    * corrupt_raw = the line) with NULL data columns. The ingestion
-    * contract a real feed needs — FAILFAST aborts a 100 TB load for
-    * one bad line, DROPMALFORMED lies about volume; this quarantines.
+    * schema; a line that fails to parse AT ALL quarantines whole
+    * (is_corrupt = true, data columns NULL, corrupt_raw = the line),
+    * while a syntactically-valid line with a type-mismatched FIELD
+    * keeps its parseable fields and still flags is_corrupt with the
+    * raw line preserved (Spark PERMISSIVE semantics — the audit
+    * column, not column nullness, is the quarantine signal). The
+    * ingestion contract a real feed needs — FAILFAST aborts a 100 TB
+    * load for one bad line, DROPMALFORMED lies about volume.
     * Row-local parse, shuffle-free. */
   def readJsonAudited(spark: SparkSession, path: String,
       schema: StructType): DataFrame = {
     import org.apache.spark.sql.functions.col
     val corruptCol = "__corrupt_raw"
+    val reserved = Seq(corruptCol, "corrupt_raw", "is_corrupt")
+    require(!schema.fieldNames.exists(reserved.contains),
+      s"schema must not contain the audit columns ${reserved.mkString(", ")}")
     val withAudit = StructType(schema.fields :+
       StructField(corruptCol, org.apache.spark.sql.types.StringType, true))
     spark.read

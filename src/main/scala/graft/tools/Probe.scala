@@ -434,7 +434,7 @@ object Probe {
     timed("dd21 containment 50K docs (df-capped gram join)")(
       graft.operators.Dedup.containmentPairs(docs, "doc_id", "text",
         shingleSize = 2, threshold = 0.8, maxGramDf = 100).count())
-    timed("att1+seq5+coh2 event-window family 1M events")({
+    timed("seq5+coh2 event-window family 1M events")({
       graft.operators.Sequences.transitions(evd, "user_id",
         Seq("ts", "event_id"), "event_type").count() +
       graft.operators.Funnel.ltvCurve(evd, "user_id", "ts",
