@@ -2891,6 +2891,21 @@ object SparkEntry {
           "ts", "value").drop("sum_value_ffill"),
         "h", "sum_value")),
 
+    // embargoed temporal split: train < Jan 20, 2-day gap dropped,
+    // test >= Jan 22 — autocorrelation can't leak across the cutoff
+    "sp5_temporal_split" -> ((s, dir) =>
+      Sampling.temporalSplit(
+        events(s, dir).select("event_id", "user_id", "ts"),
+        "ts", lit("2024-01-20").cast("timestamp_ntz"),
+        expr("INTERVAL 2 DAYS"))),
+
+    // leave-last-out: each user's 2 most recent events are the test
+    // set — "predict what this user did NEXT"
+    "sp6_leave_last_out" -> ((s, dir) =>
+      Sampling.leaveLastOut(
+        events(s, dir).select("event_id", "user_id", "ts"),
+        Seq("user_id"), Seq("ts", "event_id"), lastN = 2)),
+
     // lenient JSONL ingestion: two planted garbage lines quarantine
     // as (is_corrupt, corrupt_raw) with NULL data columns while every
     // good line parses — FAILFAST would abort the load, DROPMALFORMED
@@ -5702,6 +5717,22 @@ object SparkEntry {
         |       b.score - w.score AS margin
         |FROM best b JOIN worst w USING (prompt_id)
         |WHERE b.rn = 1 AND w.rn = 1 AND b.score > w.score""".stripMargin,
+
+    "sp5_temporal_split" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |       CASE WHEN ts < TIMESTAMP '2024-01-20' THEN 'train'
+        |            ELSE 'test' END AS split
+        |FROM events
+        |WHERE ts < TIMESTAMP '2024-01-20'
+        |   OR ts >= TIMESTAMP '2024-01-22'""".stripMargin,
+
+    "sp6_leave_last_out" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |       CASE WHEN rn <= 2 THEN 'test' ELSE 'train' END AS split
+        |FROM (SELECT event_id, user_id, ts,
+        |             row_number() OVER (PARTITION BY user_id
+        |               ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)""".stripMargin,
 
     // the good lines round-trip to the source rows; the two corrupt
     // constants quarantine with NULL data

@@ -125,6 +125,37 @@ object Sampling {
       .select(col("epoch"), col("shard"), col("position"), col(idCol))
   }
 
+  /** Embargoed temporal split — the time-series cross-validation
+    * standard: train strictly before `trainEnd`, test at or after
+    * `trainEnd` + `embargo`, and the embargo gap DROPPED — with
+    * autocorrelated data, a test row seconds after the train cutoff
+    * leaks the train period into the eval. Row-local filter +
+    * label, shuffle-free; returns rows with a `split` column, embargo
+    * rows excluded. */
+  def temporalSplit(df: DataFrame, tsCol: String,
+      trainEnd: Column, embargo: Column): DataFrame = {
+    val ts = col(tsCol)
+    val testStart = trainEnd + embargo
+    df.filter(ts < trainEnd || ts >= testStart)
+      .withColumn("split", when(ts < trainEnd, "train").otherwise("test"))
+  }
+
+  /** Leave-last-out holdout — the recsys evaluation standard: each
+    * key's `lastN` most recent rows become test, everything earlier
+    * train, so evaluation asks "predict what this user did NEXT", not
+    * a random subset. Ties broken by the full orderCols list
+    * (pass the event id last). One per-key window. */
+  def leaveLastOut(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String], lastN: Int = 1): DataFrame = {
+    require(lastN >= 1, s"lastN must be >= 1: $lastN")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col(_).desc): _*)
+    df.withColumn("__r", row_number().over(w))
+      .withColumn("split", when(col("__r") <= lastN, "test")
+        .otherwise("train"))
+      .drop("__r")
+  }
+
   /** Curriculum ordering: a single global training order that walks
     * difficulty bands easiest-first while SHUFFLING deterministically
     * within each band — sort key (band, idHash(id), id). The rank is

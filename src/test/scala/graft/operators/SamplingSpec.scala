@@ -154,6 +154,31 @@ class SamplingSpec extends SparkTestBase {
     assertThrows[IllegalArgumentException](Sampling.holdout(docs, "doc_id", "dev"))
   }
 
+  test("temporalSplit drops the embargo window entirely") {
+    import org.apache.spark.sql.functions.{expr, lit}
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, ts("2024-01-10 00:00:00")), // train
+      (2L, ts("2024-01-20 00:00:00")), // embargo (at cutoff) -> dropped
+      (3L, ts("2024-01-21 23:59:59")), // embargo -> dropped
+      (4L, ts("2024-01-22 00:00:00"))) // test (gap boundary inclusive)
+      .toDF("id", "ts")
+    val out = Sampling.temporalSplit(df, "ts",
+      lit("2024-01-20").cast("timestamp"), expr("INTERVAL 2 DAYS"))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("split")).toMap
+    assert(out == Map(1L -> "train", 4L -> "test"))
+  }
+
+  test("leaveLastOut holds out each key's most recent rows") {
+    val df = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 9L))
+      .toDF("u", "ord")
+    val out = Sampling.leaveLastOut(df, Seq("u"), Seq("ord"), lastN = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(out((1L, 3L)) == "test" && out((1L, 1L)) == "train"
+      && out((1L, 2L)) == "train")
+    assert(out((2L, 9L)) == "test") // a 1-row key is all test at lastN=1
+  }
+
   test("curriculumOrder: bands are contiguous easiest-first, ranks are a permutation") {
     val df = (0L until 200L).map(i => (i, (i % 4) * 100 + 50)).toDF("doc_id", "n_chars")
     val out = Sampling.curriculumOrder(df, "doc_id",
