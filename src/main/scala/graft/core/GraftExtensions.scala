@@ -54,6 +54,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "sorted_intersect_count(array<bigint>, array<bigint>) - |A∩B| merge scan"),
       (exprs: Seq[Expression]) =>
         TextExpressions.SortedIntersectCount(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("unicode_normalize"),
+      info("unicode_normalize",
+        "unicode_normalize(str, form) - NFC/NFD/NFKC/NFKD normalization"),
+      (exprs: Seq[Expression]) => TextExpressions.UnicodeNormalize(exprs.head,
+        exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          .toString)))
+    ext.injectFunction((
+      FunctionIdentifier("dedup_tokens_in_doc"),
+      info("dedup_tokens_in_doc",
+        "dedup_tokens_in_doc(str) - keep first occurrence of each token: " +
+          "struct(clean_text, n_tokens, n_removed)"),
+      (exprs: Seq[Expression]) => TextExpressions.DedupTokensInDoc(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("repetition_stats"),
+      info("repetition_stats",
+        "repetition_stats(str, n) - n-gram repetition summary struct"),
+      (exprs: Seq[Expression]) => TextExpressions.RepetitionStats(exprs.head,
+        exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          .asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      info("dot_product",
+        "dot_product(array<numeric>, array<numeric>) - codegen dot product"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.VectorExpressions.DotProduct(exprs.head, exprs(1))))
     // size(array_intersect(array_sort(array_distinct(x)), ...)) →
     // allocation-free merge scan; see graft.plans.IntersectCountRewrite
     ext.injectOptimizerRule(_ => graft.plans.IntersectCountRewrite)

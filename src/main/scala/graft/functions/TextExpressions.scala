@@ -1142,5 +1142,20 @@ object TextExpressions {
       exprs => MinHashBandBuckets(exprs.head,
         exprs(1).eval(InternalRow.empty).asInstanceOf[Int],
         exprs(2).eval(InternalRow.empty).asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "unicode_normalize",
+      exprs => UnicodeNormalize(exprs.head,
+        exprs(1).eval(InternalRow.empty).toString), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "dedup_tokens_in_doc",
+      exprs => DedupTokensInDoc(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "repetition_stats",
+      exprs => RepetitionStats(exprs.head,
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "dot_product",
+      exprs => graft.functions.VectorExpressions.DotProduct(
+        exprs.head, exprs(1)), "scala_udf")
   }
 }

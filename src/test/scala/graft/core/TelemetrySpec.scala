@@ -37,4 +37,18 @@ class GraftExtensionsSpec extends SparkTestBase {
       .first().getInt(0)
     assert(out == 2)
   }
+
+  test("new injections resolve and evaluate through plain SQL") {
+    graft.functions.TextExpressions.registerAll(spark)
+    val row = spark.sql(
+      """SELECT dedup_tokens_in_doc('a b a').clean_text AS c,
+        |       unicode_normalize('é', 'NFC') AS n,
+        |       repetition_stats('x x x', 1).top_count AS t,
+        |       dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d
+        |""".stripMargin).first()
+    assert(row.getAs[String]("c") == "a b")
+    assert(row.getAs[String]("n") == "é")
+    assert(row.getAs[Long]("t") == 3L)
+    assert(row.getAs[Double]("d") == 11.0)
+  }
 }
