@@ -2991,6 +2991,45 @@ object SparkEntry {
             col("l_discount").as("disc"), col("l_tax").as("tax")),
           "measure", "value")),
 
+    // top user journeys: each user's first five event types as a
+    // path string, ranked by frequency (the Sankey feed) — ties
+    // broken by path text so the cut is engine-stable
+    "seq6_top_paths" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val paths = events(s, dir)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 5)
+        .groupBy("user_id")
+        .agg(concat_ws(">", array_sort(collect_list(
+          struct(col("__rn"), col("event_type")))).getField("event_type"))
+          .as("path"))
+      paths.groupBy("path").agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path").asc)
+        .limit(20)
+    }),
+
+    // Wilson 95% score interval on per-type heavy-purchaser rates —
+    // the CI an experimentation readout actually ships (normal
+    // approximation misbehaves near 0/1); exact counts, fixed tree
+    "ab4_wilson_interval" -> ((s, dir) => {
+      val perUser = events(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg((count(lit(1)) >= 14L).cast("int").as("hit"))
+      val agg = perUser.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("hit").as("k"))
+      val n = col("n").cast("double"); val k = col("k").cast("double")
+      val z = lit(1.96)
+      val p = k / n
+      val denom = lit(1.0) + z * z / n
+      val center = (p + z * z / (lit(2.0) * n)) / denom
+      val half = z * sqrt(p * (lit(1.0) - p) / n
+        + z * z / (lit(4.0) * n * n)) / denom
+      agg.select(col("event_type"), col("n"), col("k"),
+        round(p, 6).as("rate"),
+        round(center - half, 6).as("ci_lo"),
+        round(center + half, 6).as("ci_hi"))
+    }),
+
     // first-order Markov transitions between event types per user —
     // the journey matrix; counts exact, P(to|from) one division
     "seq5_transitions" -> ((s, dir) =>
@@ -5833,6 +5872,44 @@ object SparkEntry {
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'tax', l_tax
         |FROM lineitem WHERE l_orderkey < 1000""".stripMargin,
+
+    "seq6_top_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |      FROM r WHERE rn <= 5 GROUP BY 1),
+        |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        |      FROM p GROUP BY 1)
+        |SELECT path, n_users FROM c
+        |ORDER BY n_users DESC, path ASC LIMIT 20""".stripMargin,
+
+    "ab4_wilson_interval" ->
+      """WITH pu AS (
+        |  SELECT user_id, event_type,
+        |         CASE WHEN count(*) >= 14 THEN 1 ELSE 0 END AS hit
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(hit) AS BIGINT) AS k
+        |      FROM pu GROUP BY 1),
+        |d AS (SELECT event_type, n, k,
+        |             CAST(n AS DOUBLE) AS nd, CAST(k AS DOUBLE) AS kd
+        |      FROM a)
+        |SELECT event_type, n, k,
+        |       round(kd / nd, 6) AS rate,
+        |       round((kd / nd + 1.96 * 1.96 / (2.0 * nd))
+        |               / (1.0 + 1.96 * 1.96 / nd)
+        |             - 1.96 * sqrt((kd / nd) * (1.0 - kd / nd) / nd
+        |                           + 1.96 * 1.96 / (4.0 * nd * nd))
+        |               / (1.0 + 1.96 * 1.96 / nd), 6) AS ci_lo,
+        |       round((kd / nd + 1.96 * 1.96 / (2.0 * nd))
+        |               / (1.0 + 1.96 * 1.96 / nd)
+        |             + 1.96 * sqrt((kd / nd) * (1.0 - kd / nd) / nd
+        |                           + 1.96 * 1.96 / (4.0 * nd * nd))
+        |               / (1.0 + 1.96 * 1.96 / nd), 6) AS ci_hi
+        |FROM d""".stripMargin,
 
     "seq5_transitions" ->
       """WITH p AS (

@@ -35,6 +35,17 @@ class AnalyticsShapesSpec extends SparkTestBase {
     assert(out.values.forall(_.getAs[Double]("chi2_term") >= 0.0))
   }
 
+  test("wilson interval brackets the rate and shrinks with n") {
+    // direct formula check at n=100, k=50, z=1.96
+    val z = 1.96; val n = 100.0; val p = 0.5
+    val denom = 1.0 + z * z / n
+    val center = (p + z * z / (2 * n)) / denom
+    val half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+    assert(math.abs((center - half) - 0.40383) < 1e-4)
+    assert(math.abs((center + half) - 0.59617) < 1e-4)
+    assert(center - half > 0.0 && center + half < 1.0)
+  }
+
   test("entropy: uniform hits ln k, constant hits zero") {
     val df = (1 to 40).map(i => ("u", s"v${i % 4}")) ++
       (1 to 10).map(_ => ("c", "only"))
