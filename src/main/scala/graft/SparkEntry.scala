@@ -2991,6 +2991,16 @@ object SparkEntry {
             col("l_discount").as("disc"), col("l_tax").as("tax")),
           "measure", "value")),
 
+    // cross-source score calibration: per-source empirical-CDF rank
+    // replaces the raw score, so one threshold keeps the best 80% of
+    // EVERY source instead of silently emptying the weak ones
+    "qf7_calibrated_gate" -> ((s, dir) =>
+      QualityFilters.calibratedGate(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          size(array_distinct(split(lower(trim(col("text"))), "\\s+")))
+            .cast("long").as("score")),
+        "doc_id", "source", col("score"), keepFrac = 0.8)),
+
     // top user journeys: each user's first five event types as a
     // path string, ranked by frequency (the Sankey feed) — ties
     // broken by path text so the cut is engine-stable
@@ -5872,6 +5882,19 @@ object SparkEntry {
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'tax', l_tax
         |FROM lineitem WHERE l_orderkey < 1000""".stripMargin,
+
+    "qf7_calibrated_gate" ->
+      """WITH sc AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(list_distinct(string_split_regex(lower(trim(text)),
+        |              '\s+'))) AS BIGINT) AS score
+        |  FROM documents)
+        |SELECT doc_id, source, score,
+        |       round(percent_rank() OVER (PARTITION BY source
+        |             ORDER BY score ASC, doc_id ASC), 6) AS calibrated,
+        |       round(percent_rank() OVER (PARTITION BY source
+        |             ORDER BY score ASC, doc_id ASC), 6) >= 0.2 AS keep
+        |FROM sc""".stripMargin,
 
     "seq6_top_paths" ->
       """WITH r AS (

@@ -158,4 +158,22 @@ object QualityFilters {
         round(col("s.n_distinct_words").cast("double") /
           greatest(col("s.n_words"), lit(1L)), 4).as("distinct_word_frac"))
   }
+
+  /** Cross-source score calibration: replace each document's raw
+    * quality score with its empirical-CDF position WITHIN ITS SOURCE
+    * (percent_rank, ties share a rank, id tiebreak for engine-stable
+    * ordering), then gate on the calibrated score. Why: raw scores
+    * are not comparable across sources (a mid-tier web page outscores
+    * a top-tier forum post on absolute signals), so a single global
+    * threshold silently empties some sources and passes others whole —
+    * calibrating first keeps the best `keepFrac` of EVERY source.
+    * One window per source; score computation stays row-local. */
+  def calibratedGate(df: DataFrame, idCol: String, sourceCol: String,
+      scoreCol: Column, keepFrac: Double): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1, s"keepFrac in (0,1]: $keepFrac")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sourceCol).orderBy(scoreCol.asc, col(idCol).asc)
+    df.withColumn("calibrated", round(percent_rank().over(w), 6))
+      .withColumn("keep", col("calibrated") >= round(lit(1.0 - keepFrac), 6))
+  }
 }

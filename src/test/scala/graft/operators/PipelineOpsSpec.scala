@@ -183,6 +183,23 @@ class QualityFiltersSpec extends SparkTestBase {
         r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
     assert(key(fused) == key(reference))
   }
+
+  test("calibratedGate keeps the top fraction of EVERY source") {
+    import org.apache.spark.sql.functions.col
+    // source A scores 10x source B's: a raw global threshold would
+    // keep all of A and none of B; calibration keeps half of each
+    val df = ((1L to 10L).map(i => (i, "A", i * 100)) ++
+      (11L to 20L).map(i => (i, "B", i))).toDF("id", "src", "score")
+    val out = QualityFilters.calibratedGate(df, "id", "src",
+      col("score"), keepFrac = 0.5)
+    val kept = out.filter(col("keep")).groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept == Map("A" -> 5L, "B" -> 5L))
+    // calibrated is a within-source CDF: extremes at 0 and 1
+    val a = out.filter(col("src") === "A").orderBy("score")
+      .select("calibrated").collect().map(_.getDouble(0))
+    assert(a.head == 0.0 && a.last == 1.0)
+  }
 }
 
 class ScoringSpec extends SparkTestBase {
