@@ -18,7 +18,8 @@ class ContractSpec extends SparkTestBase {
       "k1_kafka_payload",
       "pipe1_training_pipeline", "pf3_approx_stats", "sim3_lsh_topk",
       "qf2_compression_signal", // DEFLATE has no SQL mirror
-      "pf5_sketch_union"),      // Datasketches HLL is engine-specific
+      "pf5_sketch_union",       // Datasketches HLL is engine-specific
+      "emb2_pca_project"),      // driver eigensolve isn't SQL-replayable
       s"unexpected rows-only set: $rowsOnly")
   }
 
