@@ -102,10 +102,17 @@ object Dedup {
     val kept = gh
       .join(dfc.filter(col("__d") <= maxGramDf), Seq("g"))
       .select("id", "g")
-      .localCheckpoint() // sizes + both join sides
-    val sz = kept.groupBy("id").agg(count(lit(1)).as("n_a"))
-    val shared = kept.as("a")
-      .join(kept.as("b"), col("a.g") === col("b.g")
+    // Count-join, MEASURED choice: a dd4-style prefix filter (index
+    // only A's smallest |A|−⌈t|A|⌉+1 grams, merge-scan verify per
+    // candidate) was tried and ran ~2x SLOWER at sf0.1 — on a
+    // duplicate-dense corpus candidates ≈ all co-bucketed pairs, so
+    // the prefix prunes nothing while the per-candidate array
+    // payloads dominate the shuffle. The count-join's cost is linear
+    // in shared-gram pair rows either way, which the df cap bounds.
+    val keptC = kept.localCheckpoint() // sizes + both join sides
+    val sz = keptC.groupBy("id").agg(count(lit(1)).as("n_a"))
+    val shared = keptC.as("a")
+      .join(keptC.as("b"), col("a.g") === col("b.g")
         && col("a.id") =!= col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
