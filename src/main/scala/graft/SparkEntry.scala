@@ -165,6 +165,31 @@ object SparkEntry {
     (head +: iter).mkString(",\n") + s"\nSELECT node, deg FROM d$sweeps"
   }
 
+  /** SQL replay of a count-min sketch over `itemsSql` (a SELECT
+    * yielding one `item` column): exact per-item counts, salted
+    * limb-hash buckets ([[graft.operators.Sampling.idHash]] algebra),
+    * counter sums, min over `depth` — shared by the batch (hh2) and
+    * streaming (st12) folds, whose counters are identical by
+    * construction. */
+  private def cmsOracleSql(itemsSql: String, depth: Int, width: Int): String =
+    s"""WITH it AS ($itemsSql),
+       |ex AS (SELECT item, CAST(count(*) AS BIGINT) AS n_true
+       |       FROM it GROUP BY 1),
+       |expl AS (SELECT item, n_true, unnest(range(0, $depth)) AS d FROM ex),
+       |hx AS (SELECT item, n_true, d,
+       |              (item + d * 1000003) % 4294967296 AS lo FROM expl),
+       |hh AS (SELECT item, n_true, d,
+       |        (lo // 65536 * 2654435761 % 4294967296 * 65536
+       |         + lo % 65536 * 2654435761) % 4294967296 % $width AS bucket
+       |       FROM hx),
+       |ctr AS (SELECT d, bucket, CAST(sum(n_true) AS BIGINT) AS c
+       |        FROM hh GROUP BY 1, 2),
+       |est AS (SELECT h.item, h.n_true, min(c) AS cms_est
+       |        FROM hh h JOIN ctr USING (d, bucket)
+       |        GROUP BY h.item, h.n_true)
+       |SELECT item, n_true, cms_est, cms_est - n_true AS overcount
+       |FROM est""".stripMargin
+
   /** Bit-for-bit SQL replay of [[graft.sources.Layout.interleaveBits]]
     * for z1: one fully-parenthesized (mask, shift, or) term per bit
     * position, BIGINT throughout. */
@@ -5603,23 +5628,8 @@ object SparkEntry {
     // the same replay as hh2 on the event-id items — the streaming
     // fold must land on identical counters
     "st12_stream_countmin" ->
-      """WITH it AS (SELECT event_id % 500 AS item FROM events),
-        |ex AS (SELECT item, CAST(count(*) AS BIGINT) AS n_true
-        |       FROM it GROUP BY 1),
-        |expl AS (SELECT item, n_true, unnest(range(0, 4)) AS d FROM ex),
-        |hx AS (SELECT item, n_true, d,
-        |              (item + d * 1000003) % 4294967296 AS lo FROM expl),
-        |hh AS (SELECT item, n_true, d,
-        |        (lo // 65536 * 2654435761 % 4294967296 * 65536
-        |         + lo % 65536 * 2654435761) % 4294967296 % 64 AS bucket
-        |       FROM hx),
-        |ctr AS (SELECT d, bucket, CAST(sum(n_true) AS BIGINT) AS c
-        |        FROM hh GROUP BY 1, 2),
-        |est AS (SELECT h.item, h.n_true, min(c) AS cms_est
-        |        FROM hh h JOIN ctr USING (d, bucket)
-        |        GROUP BY h.item, h.n_true)
-        |SELECT item, n_true, cms_est, cms_est - n_true AS overcount
-        |FROM est""".stripMargin,
+      cmsOracleSql("SELECT event_id % 500 AS item FROM events",
+        depth = 4, width = 64),
 
     // exact-integer cent sums, then the identical double expression
     // tree as Stats.welchTTest (squares via explicit multiply — no
@@ -6097,23 +6107,8 @@ object SparkEntry {
     // the sketch replayed: exact per-item counts, salted limb-hash
     // buckets, counter sums, min over depth
     "hh2_countmin" ->
-      """WITH it AS (SELECT l_partkey % 2000 AS item FROM lineitem),
-        |ex AS (SELECT item, CAST(count(*) AS BIGINT) AS n_true
-        |       FROM it GROUP BY 1),
-        |expl AS (SELECT item, n_true, unnest(range(0, 4)) AS d FROM ex),
-        |hx AS (SELECT item, n_true, d,
-        |              (item + d * 1000003) % 4294967296 AS lo FROM expl),
-        |hh AS (SELECT item, n_true, d,
-        |        (lo // 65536 * 2654435761 % 4294967296 * 65536
-        |         + lo % 65536 * 2654435761) % 4294967296 % 256 AS bucket
-        |       FROM hx),
-        |ctr AS (SELECT d, bucket, CAST(sum(n_true) AS BIGINT) AS c
-        |        FROM hh GROUP BY 1, 2),
-        |est AS (SELECT h.item, h.n_true, min(c) AS cms_est
-        |        FROM hh h JOIN ctr USING (d, bucket)
-        |        GROUP BY h.item, h.n_true)
-        |SELECT item, n_true, cms_est, cms_est - n_true AS overcount
-        |FROM est""".stripMargin,
+      cmsOracleSql("SELECT l_partkey % 2000 AS item FROM lineitem",
+        depth = 4, width = 256),
 
     // class sizes via a count window over the same quasi columns,
     // NULL masking below k

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Market-basket co-occurrence analysis (beyond-parity): pairwise
@@ -32,7 +33,7 @@ object Basket {
       .distinct()
     val kept = items
       .withColumn("__sz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("__b")))
+        Window.partitionBy("__b")))
       .filter(col("__sz") <= maxBasketSize)
       .select("__b", "__i")
       // four consumers (total, margins, both self-join sides): compute

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** PII detection and redaction for training-data pipelines
@@ -95,8 +96,7 @@ object Privacy {
   def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
     require(k >= 2, s"k-anonymity needs k >= 2: $k")
     require(quasiCols.nonEmpty, "kAnonymize needs quasi-identifier columns")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(quasiCols.map(col): _*)
+    val w = Window.partitionBy(quasiCols.map(col): _*)
     val sized = df.withColumn("class_size", count(lit(1)).over(w))
       .withColumn("suppressed", col("class_size") < k)
     val masked = df.schema.fields.map { f =>

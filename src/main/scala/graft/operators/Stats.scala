@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Experiment statistics (beyond-parity): the A/B-test readouts every
@@ -123,12 +124,11 @@ object Stats {
       valueCol: String, weightCol: Column): DataFrame = {
     val agg = df.groupBy((groupCols :+ valueCol).map(col): _*)
       .agg(sum(weightCol.cast("long")).as("__w"))
-    val win = org.apache.spark.sql.expressions.Window
+    val win = Window
       .partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val tot = org.apache.spark.sql.expressions.Window
-      .partitionBy(groupCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+    val tot = Window.partitionBy(groupCols.map(col): _*)
     agg
       .withColumn("__cum", sum("__w").over(win))
       .withColumn("__tot", sum("__w").over(tot))
