@@ -2811,6 +2811,41 @@ object SparkEntry {
           col("sw.end").as("session_end"),
           col("n_events"))),
 
+    // REAL multi-micro-batch stream-static TEMPORAL enrichment: each
+    // event joins the dimension VERSION valid at its event time
+    // (SCD-style [from, to) intervals; the static side broadcasts) —
+    // st9 enriches against current state, this against history
+    "st13_stream_temporal_enrich" -> ((s, dir) => {
+      val ev = events(s, dir).select("event_id", "user_id", "ts")
+      val cut = lit("2024-01-16").cast("timestamp_ntz")
+      val users = ev.select("user_id").distinct()
+      val dim = users
+        .select(col("user_id"), lit(null).cast("timestamp_ntz").as("valid_from"),
+          cut.as("valid_to"), (col("user_id") * 10).as("segment"))
+        .unionByName(users.select(col("user_id"), cut.as("valid_from"),
+          lit(null).cast("timestamp_ntz").as("valid_to"),
+          (col("user_id") * 10 + 1).as("segment")))
+      val base = tmpDir("graft_st13")
+      val in = s"$base/in"
+      ev.filter(col("event_id") % 2 === 0).coalesce(1)
+        .write.mode("append").parquet(in)
+      ev.filter(col("event_id") % 2 =!= 0).coalesce(1)
+        .write.mode("append").parquet(in)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val joined = stream.join(broadcast(dim),
+        stream("user_id") === dim("user_id") &&
+          (dim("valid_from").isNull || col("ts") >= dim("valid_from")) &&
+          (dim("valid_to").isNull || col("ts") < dim("valid_to")))
+        .select(col("event_id"), stream("user_id"), col("ts"), col("segment"))
+      val name = s"st13out${System.nanoTime()}"
+      val q = joined.writeStream.outputMode("append")
+        .option("checkpointLocation", s"$base/chk")
+        .format("memory").queryName(name).start()
+      q.processAllAvailable(); q.stop()
+      s.table(name)
+    }),
+
     // REAL multi-micro-batch count-min: two file batches fold into
     // the 4x64 counter table through a streaming aggregation; because
     // increments are associative the drained counters equal the batch
@@ -5630,6 +5665,14 @@ object SparkEntry {
     "st12_stream_countmin" ->
       cmsOracleSql("SELECT event_id % 500 AS item FROM events",
         depth = 4, width = 64),
+
+    // the validity-interval join replayed in batch: pre-cut events
+    // take version 0's segment, post-cut version 1's
+    "st13_stream_temporal_enrich" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |       CASE WHEN ts < TIMESTAMP '2024-01-16' THEN user_id * 10
+        |            ELSE user_id * 10 + 1 END AS segment
+        |FROM events""".stripMargin,
 
     // exact-integer cent sums, then the identical double expression
     // tree as Stats.welchTTest (squares via explicit multiply — no
