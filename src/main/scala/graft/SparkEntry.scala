@@ -426,6 +426,22 @@ object SparkEntry {
         .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment", "c_tier")
     }),
 
+    // schema-drift REPORT (the alerting companion to sc1's read-side
+    // merge): added/removed/type-changed columns from parquet footer
+    // metadata only — no data scanned at any scale
+    "sc2_schema_drift" -> ((s, dir) => {
+      val base = tmpDir("graft_drift2")
+      val c = t(s, dir, "customer")
+      c.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .write.mode("overwrite").parquet(base + "/v1")
+      c.select(col("c_custkey"), col("c_name"),
+          col("c_acctbal").cast("string").as("c_acctbal"))
+        .withColumn("c_tier", lit("basic"))
+        .write.mode("overwrite").parquet(base + "/v2")
+      graft.sources.FileConnector.schemaDriftReport(s,
+        base + "/v1", base + "/v2")
+    }),
+
     // CDC change-feed apply: a deterministic feed with superseded
     // changes per key (stale update under a delete, stale delete under
     // an update) — latest-wins per key, deletes remove, inserts add
@@ -3278,6 +3294,15 @@ object SparkEntry {
 
     "m6_compaction" ->
       "SELECT * FROM customer",
+
+    // the drift delta is fully determined by the two fixture schemas
+    "sc2_schema_drift" ->
+      """SELECT 'c_mktsegment' AS column, 'removed' AS change_type,
+        |       'string' AS type_before, CAST(NULL AS VARCHAR) AS type_after
+        |UNION ALL
+        |SELECT 'c_tier', 'added', CAST(NULL AS VARCHAR), 'string'
+        |UNION ALL
+        |SELECT 'c_acctbal', 'type_changed', 'double', 'string'""".stripMargin,
 
     "sc1_schema_evolution" ->
       """SELECT c_custkey, c_name, c_acctbal, c_mktsegment,

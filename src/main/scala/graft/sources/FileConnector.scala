@@ -209,6 +209,31 @@ object FileConnector {
   def stripScheme(connect: String): String =
     if (connect.startsWith("file://")) connect.stripPrefix("file://") else connect
 
+  /** Schema-drift report between two dataset versions: one row per
+    * column that was added, removed, or type-changed (unchanged
+    * columns omitted — the report is the delta an alerting pipeline
+    * pages on, not a catalog dump). Operates on footer METADATA only:
+    * no data is read, so it costs the same at 100 TB as at 100 rows.
+    * Pair with [[readUnified]] (null-filling union) for the read-side
+    * answer to the same drift. */
+  def schemaDriftReport(spark: SparkSession, beforePath: String,
+      afterPath: String): DataFrame = {
+    val before = spark.read.parquet(beforePath).schema
+    val after = spark.read.parquet(afterPath).schema
+    val b = before.fields.map(f => f.name -> f.dataType.catalogString).toMap
+    val a = after.fields.map(f => f.name -> f.dataType.catalogString).toMap
+    val rows =
+      (b.keySet -- a.keySet).toSeq.sorted.map(c =>
+        (c, "removed", b(c), null: String)) ++
+      (a.keySet -- b.keySet).toSeq.sorted.map(c =>
+        (c, "added", null: String, a(c))) ++
+      (b.keySet & a.keySet).toSeq.sorted.collect {
+        case c if b(c) != a(c) => (c, "type_changed", b(c), a(c))
+      }
+    import spark.implicits._
+    rows.toDF("column", "change_type", "type_before", "type_after")
+  }
+
   /** Lenient JSONL ingestion with a corrupt-record AUDIT instead of a
     * crash or a silent drop: PERMISSIVE parse against the declared
     * schema; a line that fails to parse AT ALL quarantines whole

@@ -137,6 +137,22 @@ class FileConnectorSpec extends SparkTestBase {
     assert(spark.read.parquet(sink).as[Int].collect().toSeq == Seq(5))
   }
 
+  test("schemaDriftReport emits only the delta, identical schemas none") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sdr").toString
+    Seq((1L, "a", 1.5)).toDF("id", "name", "score")
+      .write.parquet(s"$base/v1")
+    Seq((1L, "a", "high", true)).toDF("id", "name", "score", "flag")
+      .write.parquet(s"$base/v2")
+    val out = FileConnector.schemaDriftReport(spark, s"$base/v1", s"$base/v2")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getString(2), r.getString(3))).toMap
+    assert(out == Map(
+      "score" -> (("type_changed", "double", "string")),
+      "flag" -> (("added", null, "boolean"))))
+    assert(FileConnector.schemaDriftReport(spark, s"$base/v1", s"$base/v1")
+      .count() == 0L)
+  }
+
   test("readJsonAudited quarantines bad lines, parses the rest") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
