@@ -1076,6 +1076,12 @@ object SparkEntry {
       Clustering.kmeans(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 8, maxIter = 2)),
 
+    // cluster-quality readout over the kmeans1 fit: per-cluster mean
+    // silhouette — costs one assignment-shaped pass
+    "kmeans2_silhouette" -> ((s, dir) =>
+      Clustering.silhouette(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 8, maxIter = 2)),
+
     // cluster-stratified diversity sample: the 3 most central docs
     // per semantic cluster — "cover every topic, keep the most
     // representative" curation
@@ -4470,6 +4476,29 @@ object SparkEntry {
 
     "kmeans1_embedding_clusters" ->
       (kmeansOracleCtes(8, 2, 64) + "\nSELECT vec_id, cluster FROM af"),
+
+    // silhouette over the same replayed fit: af carries own-assignment
+    // and d_own; the runner-up distance re-ranks against the final
+    // centroid table
+    "kmeans2_silhouette" ->
+      (kmeansOracleCtes(8, 2, 64) + """,
+        |dall AS (
+        |  SELECT e.vec_id, c.cid,
+        |         list_distance(CAST(e.embedding AS DOUBLE[]), c.cv) AS d
+        |  FROM embeddings e CROSS JOIN c2 c),
+        |nxt AS (
+        |  SELECT d.vec_id, min(d.d) AS d_next
+        |  FROM dall d JOIN af a ON a.vec_id = d.vec_id AND d.cid <> a.cluster
+        |  GROUP BY 1),
+        |s AS (
+        |  SELECT a.cluster,
+        |         CASE WHEN greatest(a.dist, n.d_next) > 0
+        |              THEN (n.d_next - a.dist) / greatest(a.dist, n.d_next)
+        |              ELSE 0.0 END AS sil
+        |  FROM af a JOIN nxt n USING (vec_id))
+        |SELECT cluster, CAST(count(*) AS BIGINT) AS n_points,
+        |       round(avg(sil), 6) AS mean_silhouette
+        |FROM s GROUP BY 1""".stripMargin),
 
     // the stream must land exactly where the batch assignment does
     "st10_stream_cluster_assign" ->

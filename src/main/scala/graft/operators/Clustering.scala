@@ -114,6 +114,42 @@ object Clustering {
     assign(df, idCol, vecCol, cents)
   }
 
+  /** Per-cluster mean silhouette — the standard "are these clusters
+    * real" readout: s = (d_next − d_own) / max(d_own, d_next) per
+    * point, where d_own is the distance to the assigned centroid and
+    * d_next to the nearest OTHER centroid; ~1 = compact and
+    * separated, ~0 = boundary mush, negative = misassigned. Same
+    * one-dot-per-centroid projection as [[kmeans]] (sorting the
+    * (cost, cid) struct array yields own and runner-up in one pass),
+    * then one aggregate to k rows — the evaluation costs what an
+    * assignment pass costs. distSq clamps at 0: the |v|²−2v·c+|c|²
+    * form can go epsilon-negative under cancellation and sqrt(NaN)
+    * would poison the mean. */
+  def silhouette(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, maxIter: Int): DataFrame = {
+    require(k >= 2, s"silhouette needs k >= 2: $k")
+    val cents = kmeansCentroids(df, idCol, vecCol, k, maxIter)
+    val entries = cents.zipWithIndex.map { case (c, j) =>
+      val normSq = c.map(x => x * x).sum
+      struct(
+        (lit(normSq) - Similarity.dot(col(vecCol), centLit(c)) * 2.0).as("cost"),
+        lit(j).as("cid"))
+    }
+    val sorted = array_sort(array(entries.toIndexedSeq: _*))
+    val vv = Similarity.dot(col(vecCol), col(vecCol))
+    val dOwn = sqrt(greatest(vv + element_at(sorted, 1).getField("cost"),
+      lit(0.0)))
+    val dNext = sqrt(greatest(vv + element_at(sorted, 2).getField("cost"),
+      lit(0.0)))
+    val sil = when(greatest(dOwn, dNext) > 0.0,
+      (dNext - dOwn) / greatest(dOwn, dNext)).otherwise(lit(0.0))
+    df.select(element_at(sorted, 1).getField("cid").as("cluster"),
+      sil.as("__s"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_points"),
+        round(avg(col("__s")), 6).as("mean_silhouette"))
+  }
+
   /** SemDeDup-style semantic near-dup pairs: k-means clusters as the
     * BLOCKING stage, exact cosine only within clusters (Abbas et al.
     * 2023, "SemDeDup" — public paper). Cost falls from |corpus|² to

@@ -74,6 +74,24 @@ class ClusteringSpec extends SparkTestBase {
     assert(exact.nonEmpty)
   }
 
+  test("silhouette separates tight far blobs near 1, boundary mush near 0") {
+    // two tight blobs far apart -> silhouette ~1 per cluster
+    val far = Clustering.silhouette(blobs, "vec_id", "embedding",
+      k = 2, maxIter = 3).collect()
+    assert(far.length == 2)
+    assert(far.forall(_.getAs[Double]("mean_silhouette") > 0.8))
+    // one homogeneous cloud split into 2 -> silhouette collapses
+    import spark.implicits._
+    val cloud = (1 to 40).map(i =>
+      (i.toLong, Array((i % 7).toFloat / 100, (i % 5).toFloat / 100)))
+      .toDF("vec_id", "embedding")
+    val mush = Clustering.silhouette(cloud, "vec_id", "embedding",
+      k = 2, maxIter = 3).collect()
+    assert(mush.forall(_.getAs[Double]("mean_silhouette") < 0.8))
+    assertThrows[IllegalArgumentException](
+      Clustering.silhouette(blobs, "vec_id", "embedding", 1, 1))
+  }
+
   test("guards: k must be satisfiable and parameters positive") {
     assertThrows[IllegalArgumentException](
       Clustering.kmeans(blobs, "vec_id", "embedding", 0, 1))
