@@ -1076,6 +1076,26 @@ object SparkEntry {
       Clustering.kmeans(t(s, dir, "embeddings"), "vec_id", "embedding",
         k = 8, maxIter = 2)),
 
+    // haversine distance to a reference point over the deterministic
+    // coordinate fixture — lon stays off the antimeridian, matching the grid join's contract (stable-libm formula, rounded to meters)
+    "geo1_haversine" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"),
+        ((col("c_custkey") * 7) % 1200 / 10.0 - 60).as("lat"),
+        ((col("c_custkey") * 13) % 3400 / 10.0 - 170).as("lon"))
+        .select(col("c_custkey"), col("lat"), col("lon"),
+          round(Geo.haversineKm(col("lat"), col("lon"),
+            lit(0.0), lit(0.0)), 3).as("dist_km"))),
+
+    // spatial self-join: all customer pairs within 120 km via 2.5°
+    // grid cells + 3x3 neighborhood — equals the all-pairs answer the
+    // oracle computes the quadratic way, without the cross join
+    "geo2_pairs_within" -> ((s, dir) =>
+      Geo.pairsWithinKm(
+        t(s, dir, "customer").select(col("c_custkey").as("id"),
+          ((col("c_custkey") * 7) % 1200 / 10.0 - 60).as("lat"),
+          ((col("c_custkey") * 13) % 3400 / 10.0 - 170).as("lon")),
+        "id", "lat", "lon", radiusKm = 120.0, cellDeg = 2.5)),
+
     // cluster-quality readout over the kmeans1 fit: per-cluster mean
     // silhouette — costs one assignment-shaped pass
     "kmeans2_silhouette" -> ((s, dir) =>
@@ -3300,6 +3320,34 @@ object SparkEntry {
 
     "m6_compaction" ->
       "SELECT * FROM customer",
+
+    "geo1_haversine" ->
+      """WITH p AS (
+        |  SELECT c_custkey, (c_custkey * 7) % 1200 / 10.0 - 60 AS lat,
+        |         (c_custkey * 13) % 3400 / 10.0 - 170 AS lon
+        |  FROM customer)
+        |SELECT c_custkey, lat, lon,
+        |       round(2 * 6371.0088 * asin(sqrt(
+        |         sin(radians(0.0 - lat) / 2) * sin(radians(0.0 - lat) / 2)
+        |         + cos(radians(lat)) * cos(radians(0.0))
+        |           * sin(radians(0.0 - lon) / 2) * sin(radians(0.0 - lon) / 2))),
+        |         3) AS dist_km
+        |FROM p""".stripMargin,
+
+    "geo2_pairs_within" ->
+      """WITH p AS (
+        |  SELECT c_custkey AS id, (c_custkey * 7) % 1200 / 10.0 - 60 AS lat,
+        |         (c_custkey * 13) % 3400 / 10.0 - 170 AS lon
+        |  FROM customer),
+        |d AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |         round(2 * 6371.0088 * asin(sqrt(
+        |           sin(radians(b.lat - a.lat) / 2) * sin(radians(b.lat - a.lat) / 2)
+        |           + cos(radians(a.lat)) * cos(radians(b.lat))
+        |             * sin(radians(b.lon - a.lon) / 2)
+        |             * sin(radians(b.lon - a.lon) / 2))), 3) AS dist_km
+        |  FROM p a JOIN p b ON a.id < b.id)
+        |SELECT id_a, id_b, dist_km FROM d WHERE dist_km <= 120.0""".stripMargin,
 
     // the drift delta is fully determined by the two fixture schemas
     "sc2_schema_drift" ->
