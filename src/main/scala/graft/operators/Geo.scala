@@ -57,8 +57,9 @@ object Geo {
     val cellR = floor(col("lat") / cellDeg).cast("long")
     val cellC = floor(col("lon") / cellDeg).cast("long")
     // left side fans out to its 3x3 neighborhood; right side stays in
-    // its own cell -> every adjacent-cell pair meets exactly once per
-    // direction, and the id_a < id_b cut plus distinct dedupes
+    // its own cell -> a pair meets exactly once per direction (in the
+    // HOME cell of the right point), and the id_a < id_b cut keeps
+    // one direction — output is duplicate-free with no distinct
     val fan = guarded.select(col("id"), col("lat"), col("lon"),
       explode(array((for (dr <- -1 to 1; dc <- -1 to 1)
         yield struct((cellR + dr).as("r"), (cellC + dc).as("c"))): _*))
@@ -74,6 +75,5 @@ object Geo {
         round(haversineKm(col("lat"), col("lon"),
           col("lat_b"), col("lon_b")), 3).as("dist_km"))
       .filter(col("dist_km") <= radiusKm)
-      .distinct()
   }
 }
