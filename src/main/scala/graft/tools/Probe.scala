@@ -434,6 +434,16 @@ object Probe {
     timed("dd21 containment 50K docs (df-capped gram join)")(
       graft.operators.Dedup.containmentPairs(docs, "doc_id", "text",
         shingleSize = 2, threshold = 0.8, maxGramDf = 100).count())
+    timed("geo2 radius join 15K points / 120km")(
+      graft.operators.Geo.pairsWithinKm(
+        x10("customer", Seq("c_custkey")).select(
+          col("c_custkey").as("id"),
+          ((col("c_custkey") * 7) % 1200 / 10.0 - 60).as("lat"),
+          ((col("c_custkey") * 13) % 3400 / 10.0 - 170).as("lon")),
+        "id", "lat", "lon", 120.0, 2.5).count())
+    timed("kmeans2 silhouette 20K x 64-dim, k=8")(
+      graft.operators.Clustering.silhouette(emb, "vec_id", "embedding",
+        k = 8, maxIter = 2).count())
     timed("seq5+coh2 event-window family 1M events")({
       graft.operators.Sequences.transitions(evd, "user_id",
         Seq("ts", "event_id"), "event_type").count() +
