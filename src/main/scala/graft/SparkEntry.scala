@@ -3093,6 +3093,15 @@ object SparkEntry {
             col("l_discount").as("disc"), col("l_tax").as("tax")),
           "measure", "value")),
 
+    // quantile mapping: every source's length-score distribution
+    // rewritten onto src0's via rank lookup — the full-distribution
+    // harmonization qf7's single threshold is a special case of
+    "qf8_quantile_map" -> ((s, dir) =>
+      QualityFilters.quantileMap(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "doc_id", "source", col("n_chars"), referenceSource = "src0")),
+
     // cross-source score calibration: per-source empirical-CDF rank
     // replaces the raw score, so one threshold keeps the best 80% of
     // EVERY source instead of silently emptying the weak ones
@@ -6037,6 +6046,26 @@ object SparkEntry {
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'tax', l_tax
         |FROM lineitem WHERE l_orderkey < 1000""".stripMargin,
+
+    // same windows, same floor-index lookup against src0's sorted
+    // values
+    "qf8_quantile_map" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |         percent_rank() OVER (PARTITION BY source
+        |           ORDER BY n_chars ASC, doc_id ASC) AS pr
+        |  FROM documents),
+        |ref AS (
+        |  SELECT n_chars AS ref_score,
+        |         CAST(row_number() OVER (ORDER BY n_chars ASC, doc_id ASC)
+        |              AS BIGINT) AS idx
+        |  FROM documents WHERE source = 'src0'),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM ref)
+        |SELECT r.doc_id, r.source, r.n_chars AS score,
+        |       ref.ref_score AS mapped_score
+        |FROM r CROSS JOIN n
+        |JOIN ref ON ref.idx = CAST(floor(r.pr * CAST(n.nn - 1 AS DOUBLE))
+        |                           AS BIGINT) + 1""".stripMargin,
 
     "qf7_calibrated_gate" ->
       """WITH sc AS (

@@ -168,6 +168,39 @@ object QualityFilters {
     * threshold silently empties some sources and passes others whole —
     * calibrating first keeps the best `keepFrac` of EVERY source.
     * One window per source; score computation stays row-local. */
+  /** Quantile mapping (CDF matching): rewrite each row's score so its
+    * WITHIN-SOURCE rank lands on the reference source's value at the
+    * same rank — after mapping, every source's score distribution IS
+    * the reference's, so downstream thresholds and mixtures compare
+    * like with like (the cross-SCORER harmonization [[calibratedGate]]
+    * does for one threshold). Nearest-rank-DOWN lookup
+    * (floor(rank·(n_ref−1)) + 1): floor, not round — a .5 boundary
+    * rounds differently across engines, a floor never does.
+    *
+    * Scale shape: target ranks come from per-source windows (parallel
+    * in sources); the reference index is a window over the reference
+    * source's rows ONLY — a calibration reference is a bounded sample
+    * by design (same class of bounded global window as the resample
+    * grid), and the lookup is one join on the integer index. */
+  def quantileMap(df: DataFrame, idCol: String, sourceCol: String,
+      scoreCol: Column, referenceSource: String): DataFrame = {
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(sourceCol).orderBy(scoreCol.asc, col(idCol).asc)
+    val ranked = df.withColumn("__r", percent_rank().over(wSrc))
+    val ref = ranked.filter(col(sourceCol) === referenceSource)
+      .select(scoreCol.as("__ref_score"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1)).orderBy(scoreCol.asc, col(idCol).asc))
+          .cast("long").as("__idx"))
+    val nRef = broadcast(ref.agg(count(lit(1)).as("__n")))
+    ranked.crossJoin(nRef)
+      .withColumn("__idx",
+        floor(col("__r") * (col("__n") - 1L).cast("double")).cast("long") + 1L)
+      .join(broadcast(ref), Seq("__idx"))
+      .select(col(idCol), col(sourceCol), scoreCol.as("score"),
+        col("__ref_score").as("mapped_score"))
+  }
+
   def calibratedGate(df: DataFrame, idCol: String, sourceCol: String,
       scoreCol: Column, keepFrac: Double): DataFrame = {
     require(keepFrac > 0 && keepFrac <= 1, s"keepFrac in (0,1]: $keepFrac")

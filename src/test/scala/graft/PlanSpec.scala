@@ -90,6 +90,19 @@ class PlanSpec extends SparkTestBase {
     assert(ab.queryExecution.executedPlan.toString.contains("partial_"))
   }
 
+  test("geo2 radius join buckets on grid cells — no cartesian anywhere") {
+    val df = SparkEntry.queries("geo2_pairs_within")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("kmeans2 silhouette is projection + one aggregate, no join stage") {
+    val df = SparkEntry.queries("kmeans2_silhouette")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join")) // centroids are literals, not a frame
+  }
+
   test("dd4 auto-dispatch picks the bitset path on the closed-vocab corpus") {
     // the sample gate detects the synthetic corpus's ~30-word
     // vocabulary and routes to the salted popcount path (measured 10x

@@ -184,6 +184,25 @@ class QualityFiltersSpec extends SparkTestBase {
     assert(key(fused) == key(reference))
   }
 
+  test("quantileMap rewrites a shifted source onto the reference exactly") {
+    import org.apache.spark.sql.functions.col
+    val df = (Seq((1L, "ref", 10L), (2L, "ref", 20L), (3L, "ref", 30L),
+      (4L, "ref", 40L)) ++
+      // same shape, 100x scale: maps back onto ref value-for-value
+      Seq((11L, "big", 1000L), (12L, "big", 2000L), (13L, "big", 3000L),
+        (14L, "big", 4000L)) ++
+      // two rows: extremes land on ref's min and max
+      Seq((21L, "tiny", 7L), (22L, "tiny", 9L)))
+      .toDF("id", "src", "score")
+    val out = QualityFilters.quantileMap(df, "id", "src", col("score"), "ref")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(11L) == 10L && out(12L) == 20L
+      && out(13L) == 30L && out(14L) == 40L)
+    assert(out(21L) == 10L && out(22L) == 40L)
+    // the reference maps onto itself
+    assert(Seq(1L, 2L, 3L, 4L).forall(i => out(i) == (i * 10)))
+  }
+
   test("calibratedGate keeps the top fraction of EVERY source") {
     import org.apache.spark.sql.functions.col
     // source A scores 10x source B's: a raw global threshold would
