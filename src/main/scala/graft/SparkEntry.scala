@@ -3093,6 +3093,20 @@ object SparkEntry {
             col("l_discount").as("disc"), col("l_tax").as("tax")),
           "measure", "value")),
 
+    // canonical-URL dedup keys: lowercase host, tracking params out,
+    // default port and fragment stripped — the "same page?" identity
+    // raw strings lie about
+    "url2_canonical" -> ((s, dir) => {
+      val docs = urlFixture(t(s, dir, "documents"))
+        .select(col("doc_id"), concat(col("text"),
+          lit(" http://Track-d"), (col("doc_id") % 5).cast("string"),
+          lit(".Example:80/p/"), col("doc_id").cast("string"),
+          lit("?utm_source=feed&q="), col("doc_id").cast("string"),
+          lit("&fbclid=abc#frag")).as("text"))
+      QualityFilters.extractUrls(docs, "doc_id", "text")
+        .withColumn("canonical", QualityFilters.canonicalUrl(col("url")))
+    }),
+
     // quantile mapping: every source's length-score distribution
     // rewritten onto src0's via rank lookup — the full-distribution
     // harmonization qf7's single threshold is a special case of
@@ -6046,6 +6060,45 @@ object SparkEntry {
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'tax', l_tax
         |FROM lineitem WHERE l_orderkey < 1000""".stripMargin,
+
+    // the same regex chain (DuckDB needs explicit 'g' where Spark is
+    // global by default)
+    "url2_canonical" ->
+      """WITH fx AS (
+        |  SELECT doc_id,
+        |         text || ' http://d' || (doc_id % 7)::VARCHAR ||
+        |         '.example/p/' || doc_id::VARCHAR ||
+        |         ' https://CDN-d' || (doc_id % 4)::VARCHAR ||
+        |         '.Example:8443/x?q=' || doc_id::VARCHAR ||
+        |         ' http://Track-d' || (doc_id % 5)::VARCHAR ||
+        |         '.Example:80/p/' || doc_id::VARCHAR ||
+        |         '?utm_source=feed&q=' || doc_id::VARCHAR ||
+        |         '&fbclid=abc#frag' AS text
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id, regexp_replace(u, '[.,;:!?)\]''"]+$', '') AS url,
+        |         lower(regexp_extract(regexp_replace(u, '[.,;:!?)\]''"]+$', ''),
+        |                              '^https?://([^/:?#\s]+)', 1)) AS domain
+        |  FROM fx, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS t(u)),
+        |lo AS (
+        |  SELECT doc_id, url, domain,
+        |         lower(regexp_extract(url, '^[^/]*//[^/]*', 0))
+        |           || url[len(regexp_extract(url, '^[^/]*//[^/]*', 0)) + 1:]
+        |           AS c
+        |  FROM ex),
+        |steps AS (
+        |  SELECT doc_id, url, domain,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(
+        |        c, '#.*$', ''),
+        |        '&(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+        |        '\?(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&', '?'),
+        |        '\?(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*$', ''),
+        |        ':(80|443)(/|\?|$)', '\2'),
+        |        '[?&]$', ''),
+        |        '(//[^/]+/.*[^/])/$', '\1') AS canonical
+        |  FROM lo)
+        |SELECT doc_id, url, domain, canonical FROM steps""".stripMargin,
 
     // same windows, same floor-index lookup against src0's sorted
     // values

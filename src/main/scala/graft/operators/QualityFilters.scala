@@ -84,6 +84,34 @@ object QualityFilters {
       .withColumn("domain",
         lower(regexp_extract(col("url"), "^https?://([^/:?#\\s]+)", 1)))
 
+  /** Canonical URL: the dedup key for "is this the same page" — the
+    * raw string differs on case, tracking params, fragments, default
+    * ports, and trailing slashes while the resource doesn't. Steps
+    * (each one regex, row-local, portable constructs only):
+    * lowercase scheme+host, drop the fragment, strip utm_-prefixed /
+    * fbclid / gclid tracking params, strip default :80/:443 ports,
+    * drop a trailing `?` or `&`, and a trailing
+    * slash after a path. Semantic-equivalence judgment calls beyond
+    * these (param ORDER, %-encoding case) are deliberately out —
+    * reordering params can change dynamic pages. */
+  def canonicalUrl(url: Column): Column = {
+    // lowercase only scheme://host (path and query stay case-significant)
+    val head = regexp_extract(url, "^[^/]*//[^/]*", 0)
+    val lowered = concat(lower(head),
+      url.substr(length(head) + 1, length(url)))
+    val noFrag = regexp_replace(lowered, "#.*$", "")
+    // tracking params in three ordered, non-interacting passes:
+    // non-leading (&utm=...), leading-with-successor (?utm=...& -> ?),
+    // leading-and-only (?utm=... -> '')
+    val track = "(utm_[A-Za-z]+|fbclid|gclid)"
+    val p1 = regexp_replace(noFrag, s"&$track=[^&#]*", "")
+    val p2 = regexp_replace(p1, s"\\?$track=[^&#]*&", "?")
+    val p3 = regexp_replace(p2, s"\\?$track=[^&#]*$$", "")
+    val noPort = regexp_replace(p3, ":(80|443)(/|\\?|$)", "$2")
+    val noTail = regexp_replace(noPort, "[?&]$", "")
+    regexp_replace(noTail, "(//[^/]+/.*[^/])/$", "$1")
+  }
+
   /** Drop documents that cite any blocklisted domain (the C4
     * bad-domain gate). The blocklist is a DataFrame so a real
     * deployment can read it from a table; it broadcasts into a semi

@@ -184,6 +184,26 @@ class QualityFiltersSpec extends SparkTestBase {
     assert(key(fused) == key(reference))
   }
 
+  test("canonicalUrl: trackers, fragments, default ports, case, slashes") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      ("http://Track.Example:80/p/1?utm_source=a&q=5&fbclid=z#x",
+        "http://track.example/p/1?q=5"),
+      ("https://A.B:443/x/", "https://a.b/x"),          // default TLS port
+      ("https://a.b:8443/x?q=1", "https://a.b:8443/x?q=1"), // real port kept
+      ("http://a.b/?utm_source=only", "http://a.b/"),   // lone tracker; root
+      ("http://a.b/Path/MixedCase", "http://a.b/Path/MixedCase"), // path case
+      ("http://a.b/p?utm_a=1&utm_b=2&q=3", "http://a.b/p?q=3"))
+      .toDF("url", "expect")
+    val bad = cases
+      .withColumn("got", QualityFilters.canonicalUrl(col("url")))
+      .filter(col("got") =!= col("expect"))
+      .collect()
+    assert(bad.isEmpty, bad.map(r =>
+      s"${r.getString(0)} -> ${r.getString(2)} (want ${r.getString(1)})")
+      .mkString("; "))
+  }
+
   test("quantileMap rewrites a shifted source onto the reference exactly") {
     import org.apache.spark.sql.functions.col
     val df = (Seq((1L, "ref", 10L), (2L, "ref", 20L), (3L, "ref", 30L),
