@@ -3107,6 +3107,22 @@ object SparkEntry {
         .withColumn("canonical", QualityFilters.canonicalUrl(col("url")))
     }),
 
+    // the loop url2 exists for: dedup citations BY canonical URL —
+    // tracking-param and case variants collapse to one page
+    "dd22_url_dedup" -> ((s, dir) => {
+      val docs = urlFixture(t(s, dir, "documents"))
+        .select(col("doc_id"), concat(col("text"),
+          lit(" http://Track-d"), (col("doc_id") % 5).cast("string"),
+          lit(".Example:80/p/"), (col("doc_id") % 25).cast("string"),
+          lit("?utm_source=feed&fbclid=abc")).as("text"))
+      QualityFilters.extractUrls(docs, "doc_id", "text")
+        .withColumn("canonical", QualityFilters.canonicalUrl(col("url")))
+        .groupBy("canonical")
+        .agg(min("doc_id").as("first_doc"),
+          count(lit(1)).as("n_citations"),
+          count_distinct(col("url")).as("n_raw_variants"))
+    }),
+
     // quantile mapping: every source's length-score distribution
     // rewritten onto src0's via rank lookup — the full-distribution
     // harmonization qf7's single threshold is a special case of
@@ -6060,6 +6076,43 @@ object SparkEntry {
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'tax', l_tax
         |FROM lineitem WHERE l_orderkey < 1000""".stripMargin,
+
+    "dd22_url_dedup" ->
+      """WITH fx AS (
+        |  SELECT doc_id,
+        |         text || ' http://d' || (doc_id % 7)::VARCHAR ||
+        |         '.example/p/' || doc_id::VARCHAR ||
+        |         ' https://CDN-d' || (doc_id % 4)::VARCHAR ||
+        |         '.Example:8443/x?q=' || doc_id::VARCHAR ||
+        |         ' http://Track-d' || (doc_id % 5)::VARCHAR ||
+        |         '.Example:80/p/' || (doc_id % 25)::VARCHAR ||
+        |         '?utm_source=feed&fbclid=abc' AS text
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id, regexp_replace(u, '[.,;:!?)\]''"]+$', '') AS url
+        |  FROM fx, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS t(u)),
+        |lo AS (
+        |  SELECT doc_id, url,
+        |         lower(regexp_extract(url, '^[^/]*//[^/]*', 0))
+        |           || url[len(regexp_extract(url, '^[^/]*//[^/]*', 0)) + 1:]
+        |           AS c
+        |  FROM ex),
+        |canon AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(
+        |        c, '#.*$', ''),
+        |        '&(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+        |        '\?(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&', '?'),
+        |        '\?(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*$', ''),
+        |        ':(80|443)(/|\?|$)', '\2'),
+        |        '[?&]$', ''),
+        |        '(//[^/]+/.*[^/])/$', '\1') AS canonical
+        |  FROM lo)
+        |SELECT canonical, min(doc_id) AS first_doc,
+        |       CAST(count(*) AS BIGINT) AS n_citations,
+        |       CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants
+        |FROM canon GROUP BY 1""".stripMargin,
 
     // the same regex chain (DuckDB needs explicit 'g' where Spark is
     // global by default)
