@@ -3107,6 +3107,11 @@ object SparkEntry {
         .withColumn("canonical", QualityFilters.canonicalUrl(col("url")))
     }),
 
+    // source-pair vocabulary Jaccard: which sources mirror each
+    // other, answered before document-level dedup pays for it
+    "pf9_source_overlap" -> ((s, dir) =>
+      Profiling.sourceOverlap(t(s, dir, "documents"), "source", "text")),
+
     // the loop url2 exists for: dedup citations BY canonical URL —
     // tracking-param and case variants collapse to one page
     "dd22_url_dedup" -> ((s, dir) => {
@@ -6076,6 +6081,23 @@ object SparkEntry {
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'tax', l_tax
         |FROM lineitem WHERE l_orderkey < 1000""".stripMargin,
+
+    "pf9_source_overlap" ->
+      """WITH v AS (
+        |  SELECT DISTINCT source AS src,
+        |         unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        |f AS (SELECT src, w FROM v WHERE length(w) > 0),
+        |sz AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1),
+        |i AS (SELECT a.src AS src_a, b.src AS src_b,
+        |             CAST(count(*) AS BIGINT) AS n_shared
+        |      FROM f a JOIN f b ON a.w = b.w AND a.src < b.src
+        |      GROUP BY 1, 2)
+        |SELECT i.src_a, i.src_b, i.n_shared, sa.n AS n_a, sb.n AS n_b,
+        |       round(CAST(i.n_shared AS DOUBLE)
+        |             / CAST(sa.n + sb.n - i.n_shared AS DOUBLE), 6) AS jaccard
+        |FROM i JOIN sz sa ON sa.src = i.src_a
+        |       JOIN sz sb ON sb.src = i.src_b""".stripMargin,
 
     "dd22_url_dedup" ->
       """WITH fx AS (

@@ -328,6 +328,36 @@ object Profiling {
         col("__snln") / col("__t").cast("double"), 6).as("entropy_nats")): _*)
   }
 
+  /** Pairwise vocabulary overlap between sources: Jaccard of each
+    * source pair's distinct-token sets — the corpus-composition
+    * readout that finds mirror/scraper sources before document-level
+    * dedup pays to. Token sets collapse to (source, token-hash)
+    * distincts first; the self-join is keyed by token and fans at
+    * most |sources|² per token — sources are a bounded dimension, so
+    * the join is corpus-linear. */
+  def sourceOverlap(df: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val v = df.select(col(sourceCol).as("src"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("src"), xxhash64(col("w")).as("t"))
+      .distinct()
+      .localCheckpoint() // sizes + both join sides
+    val sz = v.groupBy("src").agg(count(lit(1)).as("n"))
+    val inter = v.as("a").join(v.as("b"),
+        col("a.t") === col("b.t") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sz.select(col("src").as("src_a"), col("n").as("n_a")), "src_a")
+      .join(sz.select(col("src").as("src_b"), col("n").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   /** Count-min sketch over integer items, with per-item estimates
     * AND true counts side by side — the sketch-vs-exact readout that
     * shows where width collisions overestimate. The hash family is

@@ -173,6 +173,18 @@ class ProfilingSpec extends SparkTestBase {
     assert(tight.forall(r => r.getAs[Long]("cms_est") <= 16L))
   }
 
+  test("sourceOverlap: identical sources hit 1, disjoint never appear") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("a", "x y z"), ("a", "x y"), ("b", "z x y"),
+      ("c", "p q r")).toDF("src", "text")
+    val out = Profiling.sourceOverlap(df, "src", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getAs[Double]("jaccard"))).toMap
+    assert(out(("a", "b")) == ((3L, 1.0))) // same vocab, different docs
+    assert(!out.contains(("a", "c")) && !out.contains(("b", "c")))
+  }
+
   test("cmsEstimates reads empty buckets as zero for unseen probe items") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, count, lit}
