@@ -3107,6 +3107,18 @@ object SparkEntry {
         .withColumn("canonical", QualityFilters.canonicalUrl(col("url")))
     }),
 
+    // exact largest-remainder allocation: every order's total cents
+    // split across its lines by quantity with zero residue — naive
+    // rounding leaves or mints cents
+    "fin1_allocate" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"), round(col("l_quantity")).cast("long").as("qty"))
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("total_cents"))
+      Stats.allocateProportional(li.join(o, "l_orderkey"),
+        Seq("l_orderkey"), "l_linenumber", col("qty"), col("total_cents"))
+    }),
+
     // source-pair vocabulary Jaccard: which sources mirror each
     // other, answered before document-level dedup pays for it
     "pf9_source_overlap" -> ((s, dir) =>
@@ -6081,6 +6093,27 @@ object SparkEntry {
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'tax', l_tax
         |FROM lineitem WHERE l_orderkey < 1000""".stripMargin,
+
+    "fin1_allocate" ->
+      """WITH j AS (
+        |  SELECT l.l_orderkey, l.l_linenumber,
+        |         CAST(round(l.l_quantity) AS BIGINT) AS w,
+        |         CAST(round(o.o_totalprice * 100) AS BIGINT) AS t
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        |s AS (SELECT *, CAST(sum(w) OVER (PARTITION BY l_orderkey) AS BIGINT)
+        |               AS sw,
+        |             t * w AS prod FROM j),
+        |b AS (SELECT *, prod // sw AS base, prod % sw AS rem FROM s),
+        |sh AS (SELECT *,
+        |         t - CAST(sum(base) OVER (PARTITION BY l_orderkey) AS BIGINT)
+        |           AS short,
+        |         row_number() OVER (PARTITION BY l_orderkey
+        |           ORDER BY rem DESC, l_linenumber ASC) AS rk
+        |       FROM b)
+        |SELECT l_orderkey, l_linenumber, w AS weight,
+        |       CAST(base + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT)
+        |         AS allocated
+        |FROM sh""".stripMargin,
 
     "pf9_source_overlap" ->
       """WITH v AS (

@@ -138,6 +138,42 @@ object Stats {
         max(col("__tot")).as("total_weight"))
   }
 
+  /** Exact proportional allocation by largest remainder (Hamilton
+    * method): split each group's integer `totalCol` across its rows
+    * in proportion to integer `weightCol`, with NO residue — floor
+    * shares first, then one extra unit to the rows with the largest
+    * fractional remainders (ties by id so the split is
+    * engine-stable). The invoice/budget/credit splitter: naive
+    * rounding leaves cents on the floor or mints them.
+    *
+    * Exactness: share = total·w (exact integer product) divided by
+    * the group weight — floor and remainder both integer ops;
+    * remainder ranking compares the exact integer `total·w mod W`,
+    * never a float. One per-group window pass. Products must stay
+    * inside int64: require total·max(w) < 2^63 (loud at runtime via
+    * ANSI overflow). */
+  def allocateProportional(df: DataFrame, groupCols: Seq[String],
+      idCol: String, weightCol: Column, totalCol: Column): DataFrame = {
+    val w = weightCol.cast("long"); val t = totalCol.cast("long")
+    val winG = Window.partitionBy(groupCols.map(col): _*)
+    // `div` (IntegralDivide), NOT `/`: long / long is a DOUBLE divide
+    // in Spark and silently loses exactness past 2^53
+    val staged = df
+      .withColumn("__w", w).withColumn("__t", t)
+      .withColumn("__sw", sum(col("__w")).over(winG))
+      .withColumn("__prod", col("__t") * col("__w"))
+      .withColumn("__base", expr("__prod div __sw"))
+      .withColumn("__rem", pmod(col("__prod"), col("__sw")))
+    val short = col("__t") - sum(col("__base")).over(winG)
+    val rk = row_number().over(
+      Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(col("__rem").desc, col(idCol).asc))
+    staged.select(groupCols.map(col) ++ Seq(col(idCol),
+      col("__w").as("weight"),
+      (col("__base") + when(rk <= short, 1L).otherwise(0L))
+        .as("allocated")): _*)
+  }
+
   /** CUPED variance reduction (controlled-experiment using
     * pre-experiment data): adjust each arm's post-period mean by the
     * pooled regression of post metric `yCol` on pre-period covariate

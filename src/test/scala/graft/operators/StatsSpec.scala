@@ -60,6 +60,23 @@ class AnalyticsShapesSpec extends SparkTestBase {
 class StatsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("allocateProportional: zero residue, largest remainders win") {
+    // 100 across weights 1/1/1: floors 33 each, 1 leftover -> all
+    // remainders tie at 1/3, smallest id gets the extra cent
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 1L),
+      ("h", 1L, 3L), ("h", 2L, 7L)) // 100 by 3:7 -> 30/70 exact
+      .toDF("grp", "id", "w").withColumn("total", lit(100L))
+    val out = Stats.allocateProportional(df, Seq("grp"), "id",
+      col("w"), col("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        r.getAs[Long]("allocated")).toMap
+    assert(out(("g", 1L)) == 34L && out(("g", 2L)) == 33L
+      && out(("g", 3L)) == 33L)
+    assert(out(("h", 1L)) == 30L && out(("h", 2L)) == 70L)
+    // invariant: allocations tile the total exactly for every group
+    assert(out.toSeq.groupBy(_._1._1).forall(_._2.map(_._2).sum == 100L))
+  }
+
   test("weightedMedian follows the weight mass, lower-median on ties") {
     val df = Seq(("g", 1.0, 1L), ("g", 2.0, 1L), ("g", 3.0, 10L),
       ("h", 1.0, 1L), ("h", 2.0, 1L)).toDF("g", "v", "w")
