@@ -3107,6 +3107,23 @@ object SparkEntry {
         .withColumn("canonical", QualityFilters.canonicalUrl(col("url")))
     }),
 
+    // period-over-period: weekly revenue with absolute and relative
+    // deltas vs the PREVIOUS OBSERVED week (lag over the week grid —
+    // bounded by calendar weeks, never by events); exact cent sums,
+    // pct change one division, NULL on the first week
+    "ts6_period_over_period" -> ((s, dir) => {
+      val weekly = events(s, dir)
+        .groupBy(date_trunc("week", col("ts")).as("week"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("rev_cents"))
+      val w = Window.orderBy("week")
+      weekly
+        .withColumn("prev_cents", lag("rev_cents", 1).over(w))
+        .withColumn("delta_cents", col("rev_cents") - col("prev_cents"))
+        .withColumn("pct_change",
+          round(col("delta_cents").cast("double") /
+            col("prev_cents").cast("double"), 6))
+    }),
+
     // exact largest-remainder allocation: every order's total cents
     // split across its lines by quantity with zero residue — naive
     // rounding leaves or mints cents
@@ -6093,6 +6110,21 @@ object SparkEntry {
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'tax', l_tax
         |FROM lineitem WHERE l_orderkey < 1000""".stripMargin,
+
+    "ts6_period_over_period" ->
+      """WITH w AS (
+        |  SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS week,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS rev_cents
+        |  FROM events GROUP BY 1)
+        |SELECT week, rev_cents,
+        |       lag(rev_cents) OVER (ORDER BY week) AS prev_cents,
+        |       rev_cents - lag(rev_cents) OVER (ORDER BY week) AS delta_cents,
+        |       round(CAST(rev_cents - lag(rev_cents) OVER (ORDER BY week)
+        |                  AS DOUBLE)
+        |             / CAST(lag(rev_cents) OVER (ORDER BY week) AS DOUBLE), 6)
+        |         AS pct_change
+        |FROM w""".stripMargin,
 
     "fin1_allocate" ->
       """WITH j AS (
