@@ -6192,7 +6192,7 @@ object SparkEntry {
         |        '&(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
         |        '\?(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&', '?'),
         |        '\?(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*$', ''),
-        |        ':(80|443)(/|\?|$)', '\2'),
+        |        '^(https?://[^/?#]*):(80|443)([/?]|$)', '\1\3'),
         |        '[?&]$', ''),
         |        '(//[^/]+/.*[^/])/$', '\1') AS canonical
         |  FROM lo)
@@ -6234,7 +6234,7 @@ object SparkEntry {
         |        '&(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
         |        '\?(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&', '?'),
         |        '\?(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*$', ''),
-        |        ':(80|443)(/|\?|$)', '\2'),
+        |        '^(https?://[^/?#]*):(80|443)([/?]|$)', '\1\3'),
         |        '[?&]$', ''),
         |        '(//[^/]+/.*[^/])/$', '\1') AS canonical
         |  FROM lo)
@@ -6352,10 +6352,14 @@ object SparkEntry {
         |f AS (SELECT source, w FROM w WHERE length(w) > 0),
         |c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS n
         |      FROM f GROUP BY 1, 2),
-        |g AS (SELECT source, CAST(sum(n) AS BIGINT) AS t,
-        |             CAST(count(*) AS BIGINT) AS n_distinct,
-        |             sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) AS snln
-        |      FROM c GROUP BY 1)
+        |cc AS (SELECT source, n, CAST(count(*) AS BIGINT) AS m
+        |       FROM c GROUP BY 1, 2),
+        |g AS (SELECT source, CAST(sum(n * m) AS BIGINT) AS t,
+        |             CAST(sum(m) AS BIGINT) AS n_distinct,
+        |             list_aggregate(
+        |               list(CAST(n * m AS DOUBLE) * ln(CAST(n AS DOUBLE))
+        |                    ORDER BY n), 'sum') AS snln
+        |      FROM cc GROUP BY 1)
         |SELECT source, t AS n_rows, n_distinct,
         |       round(ln(CAST(t AS DOUBLE)) - snln / CAST(t AS DOUBLE), 6)
         |         AS entropy_nats

@@ -35,8 +35,19 @@ object Dedup {
     * is a no-op (no shuffle inserted).
     */
   private def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    // estimate the scan width from OPTIMIZER STATS, not df.rdd (which
+    // would force a full RDD-lineage conversion just to ask a width
+    // question): a file scan splits into ~sizeInBytes/maxPartitionBytes
+    // tasks, so inputs past p*maxPartitionBytes already carry >= p
+    // partitions and the repartition is skipped — same decision as the
+    // old getNumPartitions probe on every call site (all parquet-backed),
+    // with zero planning side effects
+    val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
+    val widthEst = df.queryExecution.optimizedPlan.stats.sizeInBytes /
+      BigInt(math.max(maxPart, 1L))
+    if (widthEst < p) df.repartition(p) else df
   }
 
   /** Word k-shingles of normalized text, distinct. */

@@ -37,15 +37,17 @@ object Geo {
   /** All point pairs within `radiusKm`, by grid bucketing: one row
     * per (id_a < id_b) pair with the rounded distance. `cellDeg` must
     * make one cell at least `radiusKm` wide at the worst latitude —
-    * 1° of longitude is ~55.8 km at 60°, hence the guard — so a
-    * qualifying pair is never more than one cell apart on either
-    * axis. */
+    * 1° of longitude is ~55.597 km at 60° (R = 6371.0088), and the
+    * great-circle worst-case Δlon for a radius-r pair is slightly
+    * wider than r/cos(60°), so the guard uses 55.5 km/deg, rounded
+    * DOWN past both effects — a qualifying pair is then never more
+    * than one cell apart on either axis. */
   def pairsWithinKm(df: DataFrame, idCol: String, latCol: String,
       lonCol: String, radiusKm: Double, cellDeg: Double): DataFrame = {
     require(radiusKm > 0 && cellDeg > 0, s"radius=$radiusKm cell=$cellDeg")
-    require(cellDeg * 55.8 >= radiusKm,
+    require(cellDeg * 55.5 >= radiusKm,
       s"cellDeg $cellDeg too fine for radius $radiusKm km at |lat| <= 60 " +
-        s"(needs >= ${radiusKm / 55.8})")
+        s"(needs >= ${radiusKm / 55.5})")
     val guarded = df.select(col(idCol).as("id"),
       col(latCol).cast("double").as("lat"),
       col(lonCol).cast("double").as("lon"))

@@ -309,23 +309,40 @@ object Profiling {
   /** Shannon entropy (nats) of a column's value distribution per
     * group, with cardinality context: high-entropy ≈ identifier-like,
     * near-zero ≈ constant — the profiling signal schema-inference and
-    * feature-selection passes key on. Two map-side-combined
-    * aggregates (value counts → per-group fold); −Σ p ln p is summed
-    * over DISTINCT VALUES, not rows. Null values are excluded. */
+    * feature-selection passes key on. Three map-side-combined
+    * aggregates (value counts → count-of-counts → per-group fold);
+    * −Σ p ln p is summed over DISTINCT VALUES, not rows. Null values
+    * are excluded.
+    *
+    * Determinism: Σ n·ln n is NOT left to a float `sum` (partition
+    * merge order would make the low bits — and round(…,6) at a half
+    * boundary — run-dependent). Counts collapse to count-of-counts
+    * (n → multiplicity m, both exact integers), and the double fold
+    * Σ (m·n)·ln n runs over the SORTED bounded set in ascending n —
+    * a sequential left fold, the same order DuckDB's
+    * list_aggregate(list(… ORDER BY n), 'sum') uses, so the sum is
+    * bit-identical run-to-run and engine-to-engine. The collected
+    * set is count-of-counts, bounded by √(2T) entries per group
+    * (distinct count values n₁<n₂<… satisfy Σnᵢ ≤ T). */
   def entropy(df: DataFrame, groupCols: Seq[String],
       valueCol: String): DataFrame = {
     val counts = df.filter(col(valueCol).isNotNull)
       .groupBy((groupCols :+ valueCol).map(col): _*)
       .agg(count(lit(1)).as("__n"))
-    val g = counts.groupBy(groupCols.map(col): _*)
-      .agg(sum("__n").as("__t"), count(lit(1)).as("n_distinct"),
-        sum(col("__n").cast("double") *
-          log(col("__n").cast("double"))).as("__snln"))
+    val cc = counts.groupBy(groupCols.map(col) :+ col("__n"): _*)
+      .agg(count(lit(1)).as("__m"))
+    val g = cc.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__n") * col("__m")).as("__t"),
+        sum("__m").as("n_distinct"),
+        sort_array(collect_list(struct(col("__n"), col("__m")))).as("__cc"))
+    val snln = aggregate(col("__cc"), lit(0.0), (acc, s) =>
+      acc + (s.getField("__n") * s.getField("__m")).cast("double") *
+        log(s.getField("__n").cast("double")))
     // H = ln(T) − (Σ n·ln n)/T: one pass, no second join for p = n/T
     g.select(groupCols.map(col) ++ Seq(
       col("__t").as("n_rows"), col("n_distinct"),
       round(log(col("__t").cast("double")) -
-        col("__snln") / col("__t").cast("double"), 6).as("entropy_nats")): _*)
+        snln / col("__t").cast("double"), 6).as("entropy_nats")): _*)
   }
 
   /** Pairwise vocabulary overlap between sources: Jaccard of each

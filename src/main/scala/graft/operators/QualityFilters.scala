@@ -107,7 +107,11 @@ object QualityFilters {
     val p1 = regexp_replace(noFrag, s"&$track=[^&#]*", "")
     val p2 = regexp_replace(p1, s"\\?$track=[^&#]*&", "?")
     val p3 = regexp_replace(p2, s"\\?$track=[^&#]*$$", "")
-    val noPort = regexp_replace(p3, ":(80|443)(/|\\?|$)", "$2")
+    // default-port strip ANCHORED to the authority: an unanchored
+    // `:80/` would also fire inside a path or query value (e.g.
+    // ?next=host:80/x) and corrupt it
+    val noPort = regexp_replace(p3,
+      "^(https?://[^/?#]*):(80|443)([/?]|$)", "$1$3")
     val noTail = regexp_replace(noPort, "[?&]$", "")
     regexp_replace(noTail, "(//[^/]+/.*[^/])/$", "$1")
   }
@@ -187,15 +191,6 @@ object QualityFilters {
           greatest(col("s.n_words"), lit(1L)), 4).as("distinct_word_frac"))
   }
 
-  /** Cross-source score calibration: replace each document's raw
-    * quality score with its empirical-CDF position WITHIN ITS SOURCE
-    * (percent_rank, ties share a rank, id tiebreak for engine-stable
-    * ordering), then gate on the calibrated score. Why: raw scores
-    * are not comparable across sources (a mid-tier web page outscores
-    * a top-tier forum post on absolute signals), so a single global
-    * threshold silently empties some sources and passes others whole —
-    * calibrating first keeps the best `keepFrac` of EVERY source.
-    * One window per source; score computation stays row-local. */
   /** Quantile mapping (CDF matching): rewrite each row's score so its
     * WITHIN-SOURCE rank lands on the reference source's value at the
     * same rank — after mapping, every source's score distribution IS
@@ -220,7 +215,14 @@ object QualityFilters {
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(lit(1)).orderBy(scoreCol.asc, col(idCol).asc))
           .cast("long").as("__idx"))
-    val nRef = broadcast(ref.agg(count(lit(1)).as("__n")))
+    // fail LOUDLY if the reference source has no rows: with n_ref = 0
+    // every __idx would be non-matching and the inner join would
+    // silently collapse the whole output to zero rows
+    val nRef = broadcast(ref.agg(count(lit(1)).as("__n0"))
+      .select(when(col("__n0") > 0, col("__n0"))
+        .otherwise(raise_error(lit(
+          s"quantileMap: reference source '$referenceSource' has no rows")))
+        .as("__n")))
     ranked.crossJoin(nRef)
       .withColumn("__idx",
         floor(col("__r") * (col("__n") - 1L).cast("double")).cast("long") + 1L)
@@ -229,6 +231,15 @@ object QualityFilters {
         col("__ref_score").as("mapped_score"))
   }
 
+  /** Cross-source score calibration: replace each document's raw
+    * quality score with its empirical-CDF position WITHIN ITS SOURCE
+    * (percent_rank, ties share a rank, id tiebreak for engine-stable
+    * ordering), then gate on the calibrated score. Why: raw scores
+    * are not comparable across sources (a mid-tier web page outscores
+    * a top-tier forum post on absolute signals), so a single global
+    * threshold silently empties some sources and passes others whole —
+    * calibrating first keeps the best `keepFrac` of EVERY source.
+    * One window per source; score computation stays row-local. */
   def calibratedGate(df: DataFrame, idCol: String, sourceCol: String,
       scoreCol: Column, keepFrac: Double): DataFrame = {
     require(keepFrac > 0 && keepFrac <= 1, s"keepFrac in (0,1]: $keepFrac")

@@ -167,10 +167,20 @@ object TimeSeries {
     * intermediate is an exact integer and the final division is by a
     * power of two, so the result is bit-reproducible across engines
     * (why α = 1/2 and why `valueCol` must be integral; `scale`
-    * converts fixed-point units back at the end). `lastN` ≤ 36 keeps
-    * 2ⁿ·x inside exact-double range — it is the overflow bound, not a
-    * tuning knob; longer horizons re-anchor (a 2⁻³⁶ weight is zero
-    * signal anyway).
+    * converts fixed-point units back at the end).
+    *
+    * Exactness envelope — BOTH bounds are part of the contract:
+    * `lastN` ≤ 36 alone is not sufficient; the running Σwᵢxᵢ must
+    * stay below 2⁵³ for the final CAST to DOUBLE to be exact (and
+    * below 2⁶³ for the long sum not to overflow — loud only under
+    * ANSI). The weight alone reaches 2ⁿ⁺¹, and up to lastN terms
+    * telescope to < 2ⁿ⁺², so callers must keep
+    * |value| < 2^(53 − lastN − 2) in the SCALED integral unit
+    * (lastN = 16 → |value| < 2³⁵ ≈ 3.4e10; lastN = 36 → |value| <
+    * 2¹⁵ = 32768, i.e. ≤ $327 in cents). Outside that envelope the
+    * result silently loses bit-reproducibility (not correctness to
+    * ~1 ulp — reproducibility). Longer horizons re-anchor rather
+    * than raise `lastN` (a 2⁻³⁶ weight is zero signal anyway).
     *
     * Scale shape: per-key windows only — one shuffle on the key, the
     * two window passes (recency cut, running sum) share it. No global
