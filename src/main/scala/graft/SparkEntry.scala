@@ -280,6 +280,21 @@ object SparkEntry {
       Tokenizer.trainVocab(t(s, dir, "documents"), "text",
         vocabSize = 64, maxTokenLen = 8))
 
+  /** TRUE BPE merges for the tok3/tok4/pack3/ch2 family, memoized per
+    * sf dir (training is one corpus pass + `bpeMergeCount` bounded
+    * iterations on the checkpointed distinct-word table, one-row
+    * collect each). 24 merges on the synthetic corpus leaves frequent
+    * words as whole tokens and genuinely splits the rest — the
+    * regime where merge-order application and greedy longest-match
+    * demonstrably differ. */
+  private[graft] val bpeMergeCount = 24
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(String, String)]]()
+  private def trainedBpe(s: SparkSession, dir: String): Array[(String, String)] =
+    bpeCache.computeIfAbsent(dir, _ =>
+      Tokenizer.trainBpeMerges(t(s, dir, "documents"), "text",
+        numMerges = bpeMergeCount))
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("j1_join_agg")(spark, "/root/testdata/sf0.001")
@@ -1885,24 +1900,51 @@ object SparkEntry {
         .toDF("token", "rank")
     }),
 
-    // shard packing budgeted in TRAINED tokenizer units — the form a
+    // shard packing budgeted in MERGE-FAITHFUL BPE units — the form a
     // production pipeline sizes shards in (pack1 words / pack2
-    // regex-heuristic / pack3 trained subwords)
+    // regex-heuristic / pack3 BPE; re-based from greedy subwords in
+    // r6 — counts changed because the unit changed, the trajectory
+    // itself is pinned by tok3/tok4)
     "pack3_subword_shards" -> ((s, dir) => {
-      val vocab = trainedVocab(s, dir)
+      val merges = trainedBpe(s, dir).toSeq
       Packing.assignShards(t(s, dir, "documents"), "doc_id", "text",
           budget = 2000, buckets = 32,
-          tokenCounter = Tokenizer.subwordCount(vocab))
+          tokenCounter = Tokenizer.bpeCount(merges))
         .select("doc_id", "n_tokens", "cum", "shard")
     }),
 
-    // context windows budgeted in trained subword units at word
+    // context windows budgeted in merge-faithful BPE units at word
     // boundaries (ch1's trained-tokenizer sibling; same shuffle-free
-    // plan shape)
+    // plan shape; re-based from greedy subwords in r6)
     "ch2_subword_chunks" -> ((s, dir) => {
-      val vocab = trainedVocab(s, dir)
-      Tokenizer.chunkBySubwords(t(s, dir, "documents"), "doc_id",
-        "text", vocab, maxTokens = 64)
+      val merges = trainedBpe(s, dir).toSeq
+      Tokenizer.chunkByBpe(t(s, dir, "documents"), "doc_id",
+        "text", merges, maxTokens = 64)
+    }),
+
+    // TRUE BPE training (VERDICT r5 #1): the learned merges table in
+    // merge order — the oracle re-runs the identical pair-merge
+    // trajectory as an unrolled CTE chain (pair counts from wrapped
+    // segmentation strings, argmax with the same count-DESC/pair-ASC
+    // tie-break, non-overlapping delimited replace), so MATCHing this
+    // row pins the TRAINING LOOP itself, iteration by iteration
+    "tok3_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      trainedBpe(s, dir).zipWithIndex
+        .map { case ((l, r), i) => ((i + 1).toLong, l, r, l + r) }.toSeq
+        .toDF("rank", "lhs", "rhs", "merged")
+    }),
+
+    // BPE APPLICATION through the codegen kernel (merges applied in
+    // learned order per word): per-doc token counts in merge-faithful
+    // units; the oracle reads the unrolled chain's FINAL segmentation
+    // state — training is application, so kernel == final state pins
+    // the in-order walk
+    "tok4_bpe_token_counts" -> ((s, dir) => {
+      val merges = trainedBpe(s, dir).toSeq
+      t(s, dir, "documents").select(col("doc_id"),
+        Tokenizer.bpeCount(merges)(col("text")).cast("long")
+          .as("n_tokens"))
     }),
 
     "pf1_corpus_stats" -> ((s, dir) =>
@@ -3319,6 +3361,67 @@ object SparkEntry {
     * the greedy longest-match per distinct word with a recursive CTE,
     * ending in `doctok(doc_id, n_tokens)`. Deliberately NOT closed —
     * each oracle appends its own final select (and further CTEs). */
+  /** Unrolled-CTE replay of the BPE training trajectory (the kmeans1
+    * pattern): each word's segmentation is a wrapped string — every
+    * symbol delimited by chr(30) on BOTH sides, so two RS chars sit
+    * between adjacent symbols — and one merge iteration is (a) pair
+    * counts from the split symbols, (b) the argmax pair with the
+    * count-DESC/(l,r)-ASC tie-break, requiring count >= 2, (c) a
+    * plain `replace` of the delimited pair with the delimited merged
+    * symbol. Non-overlapping left-to-right `replace` on the wrapped
+    * form is exactly the BPE scan-and-skip walk (a match can only
+    * align at a symbol start: a symbol never contains chr(30)), which
+    * is exactly the Spark fold in `Tokenizer.applyMerge`. After the
+    * last iteration the final segmentations ARE the trained
+    * tokenizer's output per distinct word — application falls out of
+    * training. Exposes: `mg(rank, l, r)` the merges table, `sN` the
+    * final state, `wtok(w, n)` per-word token counts, `doctok` per-doc
+    * counts. */
+  private def bpeCte(numMerges: Int): String = {
+    val rs = "chr(30)"
+    val sep2 = s"$rs || $rs"
+    val sb = new StringBuilder
+    sb ++= s"""WITH wcnt AS (
+      |  SELECT w, count(*) AS f FROM (
+      |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      |    FROM documents) WHERE w <> '' GROUP BY w),
+      |s0 AS MATERIALIZED (SELECT w, f,
+      |         $rs || array_to_string([w[i:i] for i in range(1, len(w)+1)],
+      |                                $sep2) || $rs AS seg
+      |       FROM wcnt)""".stripMargin
+    for (k <- 1 to numMerges) {
+      val p = k - 1
+      sb ++= s""",
+        |p$k AS MATERIALIZED (SELECT sy[i] AS l, sy[i+1] AS r, sum(f) AS c
+        |       FROM (SELECT f, string_split(seg[2:len(seg)-1], $sep2) AS sy
+        |             FROM s$p),
+        |            unnest(generate_series(1, len(sy) - 1)) AS ix(i)
+        |       GROUP BY 1, 2),
+        |b$k AS MATERIALIZED (SELECT l, r FROM p$k WHERE c >= 2
+        |       ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+        |s$k AS MATERIALIZED (SELECT w, f, CASE WHEN b.l IS NULL THEN s.seg
+        |         ELSE replace(s.seg, $rs || b.l || $sep2 || b.r || $rs,
+        |                      $rs || b.l || b.r || $rs) END AS seg
+        |       FROM s$p s LEFT JOIN b$k b ON TRUE)""".stripMargin
+    }
+    val ranks = (1 to numMerges)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS rank, l, r FROM b$k")
+      .mkString("\n        UNION ALL ")
+    sb ++= s""",
+      |mg AS ($ranks),
+      |wtok AS (SELECT w,
+      |           len(string_split(seg[2:len(seg)-1], $sep2)) AS n
+      |         FROM s$numMerges),
+      |dw AS (SELECT doc_id,
+      |         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      |       FROM documents),
+      |cnt AS (SELECT doc_id, sum(n) AS n FROM dw JOIN wtok USING (w)
+      |        WHERE w <> '' GROUP BY doc_id),
+      |doctok AS (SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_tokens
+      |           FROM documents d LEFT JOIN cnt c USING (doc_id))""".stripMargin
+    sb.toString
+  }
+
   private val subwordCte: String =
     """WITH RECURSIVE wcnt AS (
       |  SELECT w, count(*) AS f FROM (
@@ -5222,6 +5325,16 @@ object SparkEntry {
     "tok1_subword_tokens" ->
       (subwordCte + "\nSELECT doc_id, n_tokens FROM doctok"),
 
+    // the BPE training trajectory replayed iteration-by-iteration as
+    // an unrolled CTE chain; the merges table is the output
+    "tok3_bpe_merges" ->
+      (bpeCte(bpeMergeCount) +
+        "\nSELECT rank, l AS lhs, r AS rhs, l || r AS merged FROM mg"),
+
+    // application == training's final segmentation state
+    "tok4_bpe_token_counts" ->
+      (bpeCte(bpeMergeCount) + "\nSELECT doc_id, n_tokens FROM doctok"),
+
     // trainVocab's array order replayed: alphabet sorted asc, then
     // substrings by (score desc, tok asc) with offset ranks
     "tok2_vocab_table" ->
@@ -5235,7 +5348,7 @@ object SparkEntry {
         |FROM ranked WHERE rn <= 64 - (SELECT n FROM nch)""".stripMargin),
 
     "pack3_subword_shards" ->
-      (subwordCte + """,
+      (bpeCte(bpeMergeCount) + """,
         |cc AS (SELECT doc_id, n_tokens,
         |       sum(n_tokens) OVER (ORDER BY doc_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
@@ -5245,7 +5358,7 @@ object SparkEntry {
         |FROM cc""".stripMargin),
 
     "ch2_subword_chunks" ->
-      (subwordCte + """,
+      (bpeCte(bpeMergeCount) + """,
         |pw AS (SELECT doc_id, unnest([{'pos': i, 'wr': lr[i]}
         |                              for i in range(1, len(lr)+1)],
         |                             recursive := true)

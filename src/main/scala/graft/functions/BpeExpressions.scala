@@ -1,0 +1,256 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.{Bridge => ExpressionUtils}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** True BPE tokenization (VERDICT r5 #1): merges learned by
+  * [[graft.operators.Tokenizer.trainBpeMerges]]' iterative pair-merge
+  * loop, applied IN MERGE ORDER inside whole-stage codegen. This is
+  * the application rule every production BPE tokenizer uses
+  * (Sennrich et al. 2016; HF tokenizers): a word starts as its
+  * code-point characters, then each learned merge (l, r) rewrites
+  * every non-overlapping adjacent occurrence left-to-right, in the
+  * order the merges were learned. Greedy longest-match over a flat
+  * vocabulary ([[SubwordExpressions]]) can tokenize the same word
+  * DIFFERENTLY from merge-order application — this kernel closes that
+  * fidelity gap, so shard budgets and context windows can be
+  * denominated in merge-faithful units.
+  *
+  * Application contract (mirrored exactly by the DuckDB oracles'
+  * unrolled replay): text is lowercased and whitespace-split; each
+  * word is split into code points (never UTF-16 units — a non-BMP
+  * character stays one symbol); for each merge in learned order, a
+  * single left-to-right pass replaces adjacent (l, r) with l+r,
+  * restarting the scan AFTER the merged symbol (non-overlapping, the
+  * semantics of string replace on a delimited form). Deterministic,
+  * stateless per row.
+  */
+object BpeExpressions {
+
+  /** Shared kernel: applies the merges in order to one word. A
+    * bounded per-instance memo (distinct words repeat heavily in a
+    * corpus; each task deserializes its own copy, but the map is
+    * concurrent in case a plan reference object is ever shared across
+    * local-mode task threads). */
+  final class BpeMatcher(merges: Seq[(String, String)]) extends Serializable {
+    private val ms: Array[(String, String)] = merges.toArray
+    @transient private lazy val memo =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+    private val memoCap = 1 << 16
+
+    /** Code-point split: an out-of-vocab non-BMP character must stay
+      * ONE symbol, never two unpaired-surrogate fragments. */
+    private def codePoints(w: String): Array[String] = {
+      val out = new java.util.ArrayList[String](w.length)
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        out.add(w.substring(i, i + n))
+        i += n
+      }
+      out.toArray(new Array[String](out.size))
+    }
+
+    /** Symbols of ONE already-lowercased word after all merges. */
+    def symbols(w: String): Array[String] = {
+      val hit = memo.get(w)
+      if (hit != null) return hit
+      var syms = codePoints(w)
+      var m = 0
+      while (m < ms.length && syms.length > 1) {
+        val l = ms(m)._1
+        val r = ms(m)._2
+        // left-to-right single pass; after a merge the scan continues
+        // AFTER the merged symbol (non-overlapping replace semantics)
+        var i = 0
+        var changed = false
+        val out = new java.util.ArrayList[String](syms.length)
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out.add(l + r); i += 2; changed = true
+          } else { out.add(syms(i)); i += 1 }
+        }
+        if (changed) syms = out.toArray(new Array[String](out.size))
+        m += 1
+      }
+      if (memo.size < memoCap) memo.put(w, syms)
+      syms
+    }
+
+    /** Token count / tokens of a word, SubwordExpressions.Matcher's
+      * interface shape so chunking shares one walker. */
+    def word(w: String, out: java.util.ArrayList[AnyRef]): Int = {
+      val syms = symbols(w)
+      if (out != null) {
+        var i = 0
+        while (i < syms.length) { out.add(UTF8String.fromString(syms(i))); i += 1 }
+      }
+      syms.length
+    }
+
+    def count(text: UTF8String): Int = {
+      val toks = text.trim().toLowerCase().toString.split("\\s+", -1)
+      var n = 0
+      var i = 0
+      while (i < toks.length) {
+        if (toks(i).nonEmpty) n += word(toks(i), null)
+        i += 1
+      }
+      n
+    }
+
+    def tokens(text: UTF8String): ArrayData = {
+      val toks = text.trim().toLowerCase().toString.split("\\s+", -1)
+      val out = new java.util.ArrayList[AnyRef]
+      var i = 0
+      while (i < toks.length) {
+        if (toks(i).nonEmpty) word(toks(i), out)
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+  }
+
+  private def requireString(dt: DataType, name: String): TypeCheckResult =
+    dt match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$name requires a string column, got ${other.catalogString}")
+    }
+
+  /** BPE tokens of the text, in order (array<string>). */
+  case class BpeTokens(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "bpe_tokens"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireString(child.dataType, prettyName)
+
+    @transient private lazy val matcher = new BpeMatcher(merges)
+
+    def kernel(text: UTF8String): ArrayData = matcher.tokens(text)
+
+    override protected def nullSafeEval(input: Any): Any =
+      kernel(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bpeTokens", this, classOf[BpeTokens].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): BpeTokens =
+      copy(child = newChild)
+  }
+
+  /** BPE token COUNT of the text (int) — the budget currency for
+    * merge-faithful packing/chunking; counts without materializing
+    * the token array. */
+  case class BpeCount(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "bpe_count"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireString(child.dataType, prettyName)
+
+    @transient private lazy val matcher = new BpeMatcher(merges)
+
+    def kernel(text: UTF8String): Int = matcher.count(text)
+
+    override protected def nullSafeEval(input: Any): Any =
+      kernel(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bpeCount", this, classOf[BpeCount].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): BpeCount =
+      copy(child = newChild)
+  }
+
+  /** Context-window chunking budgeted in BPE units at word
+    * boundaries — [[SubwordExpressions.SubwordChunks]]' merge-faithful
+    * sibling, same spill rule (a word lands in the chunk containing
+    * its FIRST token, `floor(cumBefore / maxTokens)`), same output
+    * shape array<struct<chunk_idx, chunk_text, n_tokens>>. */
+  case class BpeChunks(child: Expression, merges: Seq[(String, String)],
+      maxTokens: Int) extends UnaryExpression {
+    require(maxTokens >= 1, s"need maxTokens >= 1, got $maxTokens")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("chunk_idx", IntegerType, nullable = false),
+      StructField("chunk_text", StringType, nullable = false),
+      StructField("n_tokens", IntegerType, nullable = false))), containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "bpe_chunks"
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireString(child.dataType, prettyName)
+
+    @transient private lazy val matcher = new BpeMatcher(merges)
+
+    def kernel(text: UTF8String): ArrayData = {
+      val trimmed = text.trim()
+      val toks = trimmed.toString.split("\\s+", -1)
+      // lowercase ONCE per row; lowercasing never turns a non-space
+      // char into whitespace, so the two splits are index-aligned
+      val lowToks = trimmed.toLowerCase.toString.split("\\s+", -1)
+      val out = new java.util.ArrayList[AnyRef]
+      var sb: java.lang.StringBuilder = null
+      var curIdx = -1
+      var curTokens = 0
+      var cum = 0L
+      def flush(): Unit = if (curIdx >= 0) {
+        out.add(new GenericInternalRow(Array[Any](
+          curIdx, UTF8String.fromString(sb.toString), curTokens)))
+      }
+      var i = 0
+      while (i < toks.length) {
+        val w = toks(i)
+        if (w.nonEmpty) {
+          val cost = matcher.word(lowToks(i), null)
+          val idx = (cum / maxTokens).toInt
+          if (idx != curIdx) {
+            flush()
+            curIdx = idx
+            curTokens = 0
+            sb = new java.lang.StringBuilder
+          }
+          if (sb.length > 0) sb.append(' ')
+          sb.append(w)
+          curTokens += cost
+          cum += cost
+        }
+        i += 1
+      }
+      flush()
+      new GenericArrayData(out.toArray)
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      kernel(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bpeChunks", this, classOf[BpeChunks].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): BpeChunks =
+      copy(child = newChild)
+  }
+
+  def bpe_tokens(c: Column, merges: Seq[(String, String)]): Column =
+    ExpressionUtils.column(BpeTokens(ExpressionUtils.expression(c), merges))
+
+  def bpe_count(c: Column, merges: Seq[(String, String)]): Column =
+    ExpressionUtils.column(BpeCount(ExpressionUtils.expression(c), merges))
+
+  def bpe_chunks(c: Column, merges: Seq[(String, String)], maxTokens: Int): Column =
+    ExpressionUtils.column(BpeChunks(ExpressionUtils.expression(c), merges, maxTokens))
+}

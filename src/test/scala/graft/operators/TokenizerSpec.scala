@@ -124,4 +124,108 @@ class TokenizerSpec extends SparkTestBase {
       assert(n <= c, "a token is at least one char")
     }
   }
+
+  // ---- true BPE (pair-merge training + merge-order application) ----
+
+  test("BPE: hand-computed merge trajectory on a micro corpus") {
+    // words: aaab f=2, aab f=1
+    //   iter1: (a,a)=2*2+1=5  (a,b)=2+1=3            -> merge (a,a)
+    //   iter2: (aa,a)=2 (a,b)=2 (aa,b)=1; tie 2-2,
+    //          l ASC breaks: "a" < "aa"              -> merge (a,b)
+    //   iter3: (aa,ab)=2 (aa,b)=1                    -> merge (aa,ab)
+    //   iter4: best count 1 < 2                      -> stop early
+    val tiny = Seq((1L, "aaab aaab aab")).toDF("doc_id", "text")
+    val merges = Tokenizer.trainBpeMerges(tiny, "text", numMerges = 10)
+    assert(merges.toSeq == Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+    val counts = tiny.select(
+      Tokenizer.bpeCount(merges.toSeq)(col("text"))).as[Int].collect()
+    assert(counts.toSeq == Seq(1 + 1 + 2)) // [aaab][aaab][aa,b]
+  }
+
+  test("BPE: training is deterministic across runs") {
+    val m1 = Tokenizer.trainBpeMerges(docs, "text", numMerges = 12)
+    val m2 = Tokenizer.trainBpeMerges(docs, "text", numMerges = 12)
+    assert(m1.toSeq == m2.toSeq)
+    assert(m1.nonEmpty)
+    // every merged symbol is the concat of parts already derivable
+    // from earlier merges or single chars (well-formed order)
+    val known = scala.collection.mutable.Set[String]()
+    m1.foreach { case (l, r) =>
+      assert(l.length == 1 || known.contains(l), s"left '$l' unknown")
+      assert(r.length == 1 || known.contains(r), s"right '$r' unknown")
+      known += (l + r)
+    }
+  }
+
+  test("BPE: concatenated tokens reconstruct each word (round trip)") {
+    val merges = Tokenizer.trainBpeMerges(docs, "text", numMerges = 12).toSeq
+    val got = docs.select(
+        split(lower(trim(col("text"))), "\\s+").as("words"),
+        Tokenizer.bpeTokens(col("text"), merges).as("toks"))
+      .as[(Seq[String], Seq[String])].collect()
+    got.foreach { case (words, toks) =>
+      var rest = toks.toList
+      words.filter(_.nonEmpty).foreach { w =>
+        val acc = new StringBuilder
+        while (acc.length < w.length) {
+          assert(rest.nonEmpty, s"ran out of tokens rebuilding '$w'")
+          acc ++= rest.head
+          rest = rest.tail
+        }
+        assert(acc.toString == w, s"tokens do not reassemble '$w'")
+      }
+      assert(rest.isEmpty, "tokenizer emitted extra tokens")
+    }
+  }
+
+  test("BPE: merge-order application differs from greedy longest-match " +
+      "(the fidelity gap the kernel closes)") {
+    // corpus learns (b,c) BEFORE (a,b): bc f=3, ab f=2, abc f=1
+    //   iter1: (b,c)=3+1=4 > (a,b)=2+1=3 -> merge (b,c)
+    //   iter2: (a,b)=2 > (a,bc)=1        -> merge (a,b)
+    val corpus = Seq((1L, "bc bc bc ab ab abc")).toDF("doc_id", "text")
+    val merges = Tokenizer.trainBpeMerges(corpus, "text", numMerges = 10)
+    assert(merges.toSeq == Seq(("b", "c"), ("a", "b")))
+    val probe = Seq((1L, "abc")).toDF("doc_id", "text")
+    val bpe = probe.select(
+      Tokenizer.bpeTokens(col("text"), merges.toSeq)).as[Seq[String]].head()
+    // merge order: (b,c) fires first -> [a, bc]; (a,b) then has no site
+    assert(bpe == Seq("a", "bc"))
+    // greedy longest-match over the SAME final vocabulary takes the
+    // longest prefix instead -> [ab, c]: provably different tokens
+    val vocabFromMerges = Seq("a", "b", "c") ++ merges.map { case (l, r) => l + r }
+    val greedy = probe.select(
+      Tokenizer.subwordTokens(col("text"), vocabFromMerges)).as[Seq[String]].head()
+    assert(greedy == Seq("ab", "c"))
+    assert(bpe != greedy)
+  }
+
+  test("BPE: chunking by BPE units reconstructs the doc and respects " +
+      "the first-token spill rule") {
+    val merges = Tokenizer.trainBpeMerges(docs, "text", numMerges = 12).toSeq
+    val out = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().flatMap { case (id, _) => Seq(id) }
+    val chunks = Tokenizer.chunkByBpe(docs, "doc_id", "text", merges, maxTokens = 5)
+      .as[(Long, Long, String, Long)].collect()
+    assert(chunks.map(_._1).toSet == out.toSet)
+    val rebuilt = chunks.groupBy(_._1).view.mapValues(
+      _.sortBy(_._2).map(_._3).mkString(" ")).toMap
+    val expected = docs.select(col("doc_id"),
+        array_join(split(trim(col("text")), "\\s+"), " "))
+      .as[(Long, String)].collect().toMap
+    assert(rebuilt == expected)
+    chunks.groupBy(_._1).foreach { case (_, rows) =>
+      val idxs = rows.sortBy(_._2).map(_._2).toSeq
+      assert(idxs == idxs.distinct.sorted)
+      rows.foreach(r => assert(r._4 > 0))
+    }
+  }
+
+  test("BPE: non-BMP characters stay single symbols (no surrogate splits)") {
+    val emoji = Seq((1L, "ab 😀😀 ab")).toDF("doc_id", "text")
+    val merges = Seq(("a", "b")) // emoji never merged
+    val toks = emoji.select(
+      Tokenizer.bpeTokens(col("text"), merges)).as[Seq[String]].head()
+    assert(toks == Seq("ab", "😀", "😀", "ab"))
+  }
 }
