@@ -851,6 +851,21 @@ object SparkEntry {
       Decontaminate.excise(train, spans, "doc_id", "text")
     }),
 
+    // exact duplicate-substring dedup (suffix-array semantics via
+    // consecutive gram anchors): every maximal >= 8-word verbatim
+    // cross-doc run of >= 60 normalized chars excised everywhere but
+    // the min-id owner. The fixture plants a 19-word boilerplate
+    // suffix on every doc_id % 5 == 0 — the shape this operator
+    // exists for — on top of the corpus's organic near-dup clusters
+    "dd23_substring_excision" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" " + bpBoiler))).otherwise(col("text"))
+          .as("text"))
+      Decontaminate.duplicateSubstringExcision(docs, "doc_id", "text",
+        anchorWords = 8, minChars = 60)
+    }),
+
     // C4-style over-duplicated span detection: word 3-grams occurring
     // in >= 5 docs corpus-wide, counted per containing doc
     "dd9_hot_spans" -> ((s, dir) =>
@@ -3361,6 +3376,14 @@ object SparkEntry {
     * the greedy longest-match per distinct word with a recursive CTE,
     * ending in `doctok(doc_id, n_tokens)`. Deliberately NOT closed —
     * each oracle appends its own final select (and further CTEs). */
+  /** Planted boilerplate for dd23: long enough (19 words, ~120
+    * normalized chars) that its interior 8-gram anchors chain into
+    * one span comfortably past the 60-char excision floor. */
+  private val bpBoiler: String =
+    "this dataset is distributed under the standard open license " +
+      "terms and conditions described in the accompanying corpus " +
+      "governance file"
+
   /** Unrolled-CTE replay of the BPE training trajectory (the kmeans1
     * pattern): each word's segmentation is a wrapped string — every
     * symbol delimited by chr(30) on BOTH sides, so two RS chars sit
@@ -4137,6 +4160,82 @@ object SparkEntry {
         |       CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans
         |FROM tok t LEFT JOIN stitched st ON st.train_id = t.doc_id
         |WHERE t.doc_id > 250""".stripMargin,
+
+    // dd23: suffix-array-style exact substring dedup replay — 8-gram
+    // anchors with df >= 2, min-id owner immune, islands merged, the
+    // 60-char floor applied per merged region, then the dd13
+    // substring-stitch; fixture plants the 19-word boilerplate on
+    // doc_id % 5 == 0
+    "dd23_substring_excision" ->
+      (s"""WITH fx AS (SELECT doc_id,
+        |       CASE WHEN doc_id % 5 = 0 THEN text || ' $bpBoiler'
+        |            ELSE text END AS text
+        |     FROM documents),""".stripMargin + """
+        |tok AS (SELECT doc_id,
+        |               string_split_regex(lower(trim(text)), '\s+') AS l,
+        |               string_split_regex(trim(text), '\s+') AS lr
+        |        FROM fx),
+        |g AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(l) <= 8 THEN [{'pos': 0, 'gram': array_to_string(l, ' ')}]
+        |         ELSE [{'pos': i - 1, 'gram': array_to_string(l[i:i+7], ' ')}
+        |               for i in range(1, len(l) - 6)] END,
+        |    recursive := true)
+        |  FROM tok),
+        |dup AS (SELECT gram, min(doc_id) AS owner
+        |        FROM (SELECT DISTINCT doc_id, gram FROM g)
+        |        GROUP BY gram HAVING count(*) >= 2),
+        |mk AS (SELECT g.doc_id AS train_id, g.pos
+        |       FROM g JOIN dup USING (gram)
+        |       WHERE g.doc_id <> dup.owner),
+        |isl AS (SELECT train_id, pos,
+        |        pos - row_number() OVER (PARTITION BY train_id ORDER BY pos) AS grp
+        |        FROM mk),
+        |sp0 AS (SELECT train_id, min(pos) AS s, min(pos) + count(*) + 7 AS e
+        |        FROM isl GROUP BY train_id, grp),
+        |sp AS (SELECT sp0.train_id, sp0.s, sp0.e
+        |       FROM sp0 JOIN tok tt ON tt.doc_id = sp0.train_id
+        |       WHERE len(array_to_string(
+        |               tt.lr[CAST(sp0.s + 1 AS INT):CAST(sp0.e AS INT)], ' ')) >= 60),
+        |tisl AS (SELECT train_id, s, e,
+        |         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY train_id ORDER BY s, e
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |              THEN 1 ELSE 0 END AS brk
+        |         FROM sp),
+        |tm AS (SELECT train_id, min(s) AS s, max(e) AS e
+        |       FROM (SELECT *, sum(brk) OVER (PARTITION BY train_id ORDER BY s, e) AS grp
+        |             FROM tisl)
+        |       GROUP BY train_id, grp),
+        |reg AS (SELECT tm.train_id,
+        |        CASE WHEN tm.e >= len(t.l) AND tm.s > 0
+        |             THEN len(array_to_string(t.lr[1:CAST(tm.s AS INT)], ' '))
+        |             WHEN tm.s = 0 THEN 0
+        |             ELSE len(array_to_string(t.lr[1:CAST(tm.s AS INT)], ' ')) + 1 END AS a,
+        |        CASE WHEN tm.e >= len(t.l) THEN len(array_to_string(t.lr, ' '))
+        |             ELSE len(array_to_string(t.lr[1:CAST(tm.e AS INT)], ' ')) + 1 END AS b
+        |        FROM tm JOIN tok t ON t.doc_id = tm.train_id),
+        |seg AS (
+        |  SELECT train_id,
+        |         coalesce(lag(b) OVER (PARTITION BY train_id ORDER BY a), 0) AS p,
+        |         a AS q
+        |  FROM reg
+        |  UNION ALL
+        |  SELECT train_id, max(b) AS p, NULL AS q FROM reg GROUP BY train_id),
+        |stitched AS (
+        |  SELECT s.train_id,
+        |         string_agg(substr(array_to_string(t.lr, ' '), CAST(s.p AS INT) + 1,
+        |           CAST(coalesce(s.q, len(array_to_string(t.lr, ' '))) - s.p AS INT)),
+        |           '' ORDER BY s.p) AS cleaned,
+        |         count(*) - 1 AS n_spans
+        |  FROM seg s JOIN tok t ON t.doc_id = s.train_id
+        |  GROUP BY s.train_id)
+        |SELECT t.doc_id,
+        |       coalesce(st.cleaned, array_to_string(t.lr, ' ')) AS clean_text,
+        |       CAST(len(array_to_string(t.lr, ' ')) -
+        |            len(coalesce(st.cleaned, array_to_string(t.lr, ' '))) AS BIGINT)
+        |         AS removed_chars,
+        |       CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans
+        |FROM tok t LEFT JOIN stitched st ON st.train_id = t.doc_id""".stripMargin),
 
     // dd18: hot grams (df >= 5 distinct docs) keep their min-id owner
     // untouched; every other doc's hot-position islands merge and cut

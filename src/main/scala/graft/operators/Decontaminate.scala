@@ -305,6 +305,72 @@ object Decontaminate {
     * one interval-array row per affected doc — corpus text never
     * shuffles, clean docs never join anything.
     */
+  /** Exact duplicate-substring dedup (VERDICT r5 #2 — the
+    * deduplicate-text-datasets operator, suffix-array semantics
+    * re-expressed with gram anchors): every maximal run of ≥
+    * `anchorWords` consecutive words shared VERBATIM with at least
+    * one other document, whose normalized text is at least `minChars`
+    * characters long, is excised from every document except the
+    * min-id owner of each anchor gram. Where a suffix array finds
+    * "any duplicate substring ≥ L bytes" by sorting all suffixes,
+    * anchors find the same spans positionally: a duplicated region of
+    * w ≥ anchorWords words contains exactly w − anchorWords + 1
+    * duplicated anchor grams at CONSECUTIVE positions, so the
+    * gaps-and-islands merge reconstructs the maximal region without
+    * any pairwise extension step — extension is what consecutive
+    * anchors already encode. `minChars` is the L-chars floor applied
+    * to each merged region (measured on the whitespace-normalized
+    * text, the same ruler [[spanCharOffsets]] uses); regions below it
+    * are organic short overlaps, not boilerplate, and stay.
+    *
+    * Word resolution is deliberate: excision must not split a word,
+    * and the corpus convention normalizes whitespace anyway — a
+    * byte-exact tool dedups at byte resolution, this dedups at the
+    * resolution the corpus is actually compared at everywhere else
+    * (gram-hash identity, see [[hotSpanExcision]]'s collision note).
+    *
+    * Scale shape: one (id, pos, gram-hash) triple shuffles PER WORD —
+    * the same 8-bytes-per-unit budget a suffix array pays per byte,
+    * an order less. df/owner is one map-side-combined aggregation;
+    * the dup set joins back gram-colocated on the same exchange; the
+    * char gate joins span rows (contamination-sized) against doc
+    * tokens broadcast-free on the doc key; [[excise]] finishes
+    * row-local. Corpus text never shuffles.
+    */
+  def duplicateSubstringExcision(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      anchorWords: Int = 8,
+      minChars: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(anchorWords >= 2, s"anchorWords >= 2: $anchorWords")
+    require(minChars >= 1, s"minChars >= 1: $minChars")
+    val grams = docs.select(col(idCol).as("train_id"),
+      posexplode(
+        TextExpressions.positional_shingle_hashes(col(textCol), anchorWords))
+        .as(Seq("pos", "gram")))
+    val dup = grams.groupBy("gram")
+      .agg(countDistinct(col("train_id")).as("df"),
+        min(col("train_id")).as("owner"))
+      .filter(col("df") >= 2)
+      .select("gram", "owner")
+    val marked = grams.join(dup, "gram")
+      .filter(col("train_id") =!= col("owner"))
+      .select("train_id", "pos")
+    val w = Window.partitionBy("train_id").orderBy("pos")
+    val spans = marked
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("train_id", "grp")
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (count(lit(1)) + lit(anchorWords - 1)).as("span_words"))
+      .drop("grp")
+    val sized = spanCharOffsets(spans, docs, idCol, textCol)
+      .filter(col("char_len") >= minChars)
+      .select("train_id", "span_start", "span_words")
+    excise(docs, sized, idCol, textCol)
+  }
+
   def hotSpanExcision(
       docs: DataFrame,
       idCol: String,

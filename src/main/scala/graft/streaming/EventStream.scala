@@ -283,6 +283,115 @@ object EventStream {
       .drop(sig)
   }
 
+  case class LshDocRow(bucket: Long, id: Long, hs: Array[Long],
+      ts: java.sql.Timestamp, tsUs: Long)
+  case class NearDupHit(new_id: Long, dup_of: Long, jaccard: Double)
+
+  /** Stateful streaming banded-LSH near-dup gate (VERDICT r5 #3) —
+    * the in-flight form of [[graft.operators.Dedup.incrementalDedup]]
+    * with IDENTICAL semantics: same tokenization, same
+    * `minhash_band_buckets_text` band hashing, same
+    * `xxhash64(band, bucket)` key, same EXACT shingle-Jaccard verify —
+    * so the pairs a stream emits are the pairs the batch probe would
+    * have found, micro-batch by micro-batch.
+    *
+    * Keyed by band-bucket: each key's `ListState` holds the (id,
+    * sorted-distinct shingle hashes) of every doc that landed in the
+    * bucket inside the watermark. An incoming doc probes the stored
+    * list (exact merge-scan Jaccard, threshold gate), emits verified
+    * (new_id, dup_of, jaccard) hits against everything earlier —
+    * arrival order within a micro-batch is pinned to (ts, id) so the
+    * pair direction is deterministic and equals the id-ordered batch
+    * sweep — then appends itself to the bucket. Entries behind the
+    * current watermark evict lazily on access (the same
+    * watermark-bounded-state deal every gate in this file makes).
+    *
+    * A pair colliding in several bands is emitted once per colliding
+    * bucket (keys are independent); emissions are identical rows, so
+    * the caller's terminal `.distinct()` — a batch post-step over the
+    * emitted table, st11-style — restores set semantics. Verifying
+    * IN STATE is a deliberate trade: the shingle array rides to all
+    * `numBands` buckets (state and shuffle pay signature x bands),
+    * buying exact batch-equal verdicts in-flight; a candidates-only
+    * variant (ids in state, verify joined downstream) cuts that to
+    * 8 bytes x bands when estimated verdicts are enough.
+    */
+  class LshBucketProcessor(threshold: Double)
+      extends StatefulProcessor[Long, LshDocRow, NearDupHit] {
+    @transient private var docs: org.apache.spark.sql.streaming.ListState[LshDocRow] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      docs = getHandle.getListState[LshDocRow]("docs",
+        org.apache.spark.sql.Encoders.product[LshDocRow], TTLConfig.NONE)
+
+    /** Exact Jaccard of two sorted-distinct hash arrays, the same
+      * I/(A+B-I) double division the batch verify (and the DuckDB
+      * oracle) computes from the same exact integers. */
+    private def jaccard(a: Array[Long], b: Array[Long]): Double = {
+      var i = 0; var j = 0; var inter = 0
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1
+        else j += 1
+      }
+      inter.toDouble / (a.length + b.length - inter)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[LshDocRow],
+        timerValues: TimerValues): Iterator[NearDupHit] = {
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      val stored = scala.collection.mutable.ArrayBuffer.empty[LshDocRow]
+      docs.get().foreach(d => if (d.tsUs >= wmUs) stored += d)
+      val out = List.newBuilder[NearDupHit]
+      rows.toArray.sortBy(d => (d.tsUs, d.id)).foreach { r =>
+        var k = 0
+        while (k < stored.length) {
+          val s = stored(k)
+          if (s.id != r.id) {
+            val j = jaccard(r.hs, s.hs)
+            if (j >= threshold) out += NearDupHit(r.id, s.id, j)
+          }
+          k += 1
+        }
+        stored += r
+      }
+      docs.put(stored.toArray)
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[NearDupHit] =
+      Iterator.empty
+  }
+
+  /** See [[LshBucketProcessor]]; requires the RocksDB state store.
+    * Returns the verified near-dup pair stream; callers `.distinct()`
+    * the materialized output (multi-band emissions are identical
+    * rows). */
+  def streamingLshNearDup(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String = "ts", watermark: String = "30 days",
+      shingleSize: Int = 3, numHashes: Int = 64, numBands: Int = 16,
+      threshold: Double = 0.8): Dataset[NearDupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hs = graft.functions.TextExpressions
+      .sorted_shingle_hashes(col(textCol), shingleSize)
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol).cast("long").as("id"), hs.as("hs"),
+        col(tsCol).as("ts"),
+        posexplode(graft.functions.TextExpressions
+          .minhash_band_buckets_text(col(textCol), shingleSize,
+            numHashes, numBands)).as(Seq("band", "__bb")))
+      .select(xxhash64(col("band"), col("__bb")).as("bucket"),
+        col("id"), col("hs"), col("ts"),
+        unix_micros(col("ts")).as("tsUs"))
+      .as[LshDocRow]
+      .groupByKey(_.bucket)
+      .transformWithState(new LshBucketProcessor(threshold),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Streaming count-min fold: micro-batches aggregate straight into
     * the d×w counter table ([[graft.operators.Profiling.cmsBucket]]
     * buckets, complete-mode memory sink named `queryName`). Counter

@@ -15,6 +15,7 @@ object Probe {
     if (args.headOption.contains("r5bprobe")) { r5bprobe(spark, dir); spark.stop(); return }
     if (args.headOption.contains("r5cprobe")) { r5cprobe(spark, dir); spark.stop(); return }
     if (args.headOption.contains("r5dprobe")) { r5dprobe(spark, dir); spark.stop(); return }
+    if (args.headOption.contains("r6probe")) { r6probe(spark, dir); spark.stop(); return }
     if (args.headOption.contains("jdbcYardstick")) { jdbcYardstick(spark, dir); spark.stop(); return }
     if (args.headOption.contains("dd4")) { dd4(spark, dir); spark.stop(); return }
     if (args.headOption.contains("dotKernel")) { dotKernel(spark, dir); spark.stop(); return }
@@ -450,6 +451,100 @@ object Probe {
       graft.operators.Funnel.ltvCurve(evd, "user_id", "ts",
         round(col("value") * 100)).count()
     })
+  }
+
+  /** Round-6 probe (VERDICT r5 #4 + new-operator pricing).
+    *
+    * (a) Zipfian pair-bound fixture: the word-salad corpus's duplicate
+    * clusters are maximal by construction, so dd4/dd21 10x wall-times
+    * overstate production cost. This fixture is the realistic shape:
+    * 50K synthetic docs, cluster k sized ~128/k (one 128-doc cluster,
+    * a handful of mid clusters, everything else singleton — a Zipf
+    * tail), cluster members sharing a 30-word body with a per-doc
+    * suffix. Reported with PAIR counts so PERF.md can normalize to
+    * pairs/s on both fixtures.
+    *
+    * (b) dd23 duplicate-substring excision at 10x (10 id-shifted
+    * copies: every doc has 9 verbatim non-owner copies — worst-case
+    * excision density, same stress shape as r5cprobe's dd18 row).
+    *
+    * (c) BPE training at 10x corpus: the corpus pass scales with
+    * input; the 24 merge iterations run on the distinct-word table
+    * and should NOT scale with corpus size.
+    */
+  def r6probe(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.DataFrame
+    def x10(name: String, idCols: Seq[String]): DataFrame = {
+      val base = spark.read.parquet(s"$dir/$name.parquet")
+      (0 until 10).map { i =>
+        idCols.foldLeft(base)((df, c) =>
+          df.withColumn(c, col(c) + lit(i.toLong * 100000000L)))
+      }.reduce(_.unionAll(_))
+    }
+    def timed(label: String)(f: => Long): Unit = {
+      val t = System.nanoTime(); val n = f
+      println(f"=== r6probe $label: ${(System.nanoTime() - t) / 1e9}%.1fs ($n%,d rows)")
+    }
+    spark.read.parquet(s"$dir/region.parquet").count() // warm
+
+    // ---- (a) Zipfian fixture --------------------------------------
+    import spark.implicits._
+    val sizes = (1 to 64).map(k => math.max(2, 128 / k))
+    val cum = sizes.scanLeft(0L)(_ + _)
+    val boundsDf = sizes.indices
+      .map(k => (k.toLong, cum(k), cum(k) + sizes(k)))
+      .toDF("cl", "lo", "hi")
+    val firstNames = typedlit(Seq("john", "jane", "alice", "robert",
+      "maria", "david", "susan", "peter"))
+    val zipf = spark.range(50000L).select(col("id").as("doc_id"))
+      .join(broadcast(boundsDf),
+        col("doc_id") >= col("lo") && col("doc_id") < col("hi"), "left")
+      .withColumn("rep", coalesce(col("lo"), col("doc_id")))
+      .withColumn("lang", concat(lit("l"), pmod(col("rep"), lit(4))))
+      .withColumn("text",
+        concat(concat_ws(" ", transform(sequence(lit(1), lit(30)),
+          i => concat(lit("w"), pmod(xxhash64(col("rep"), i), lit(5000))))),
+          lit(" s"), pmod(col("doc_id"), lit(7))))
+      .withColumn("fn",
+        element_at(firstNames, (pmod(col("rep"), lit(8)) + 1).cast("int")))
+      .withColumn("name",
+        concat(
+          when(pmod(col("doc_id"), lit(3)) === 1,
+            col("fn").substr(lit(1), length(col("fn")) - 1))
+            .when(pmod(col("doc_id"), lit(3)) === 2, concat(col("fn"), lit("e")))
+            .otherwise(col("fn")),
+          lit(" fam"), col("rep")))
+      .select("doc_id", "lang", "text", "name")
+      .localCheckpoint()
+    val expectedPairs = sizes.map(s => s.toLong * (s - 1) / 2).sum
+    println(s"=== r6probe zipf fixture: 50,000 docs, ${sizes.length} " +
+      s"clusters, ~$expectedPairs intra-cluster pairs")
+    timed("dd4 ngram-jaccard ZIPF 50K docs (pairs)")(
+      graft.operators.Dedup.ngramJaccardPairs(zipf, "doc_id", "text",
+        blockCols = Seq("lang"), shingleSize = 1, threshold = 0.5).count())
+    timed("dd21 containment ZIPF 50K docs (pairs)")(
+      graft.operators.Dedup.containmentPairs(zipf, "doc_id", "text",
+        shingleSize = 2, threshold = 0.8, maxGramDf = 200).count())
+    timed("dd19 winnow pairs ZIPF 50K docs (pairs)")(
+      graft.operators.TextAnalysis.winnowCandidatePairs(zipf,
+        "doc_id", "text", 3, 4, maxBucketSize = 1000).count())
+    timed("link1 fuzzy pairs ZIPF 50K docs (pairs)")(
+      graft.operators.Dedup.blockedFuzzyPairs(zipf, "doc_id", "name",
+        maxDistance = 2, maxBlockSize = 500).count())
+
+    // ---- (b) dd23 at 10x ------------------------------------------
+    val docs = x10("documents", Seq("doc_id"))
+    timed("dd23 substring excision 50K docs (9 copies each)")(
+      graft.operators.Decontaminate.duplicateSubstringExcision(
+        docs, "doc_id", "text", anchorWords = 8, minChars = 60).count())
+    timed("dd23 substring excision ZIPF 50K docs")(
+      graft.operators.Decontaminate.duplicateSubstringExcision(
+        zipf, "doc_id", "text", anchorWords = 8, minChars = 60).count())
+
+    // ---- (c) BPE training at 10x ----------------------------------
+    timed("tok3 BPE training 50K docs, 24 merges")(
+      graft.operators.Tokenizer.trainBpeMerges(docs, "text",
+        numMerges = 24).length.toLong)
   }
 
   def r5cprobe(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {

@@ -255,4 +255,73 @@ class DecontaminateSpec extends SparkTestBase {
       gramSize = 3, minDocs = 3)
     assert(out.count() == 0)
   }
+
+  // ---- exact duplicate-substring dedup (dd23) ----------------------
+
+  private val boiler =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+  test("duplicateSubstringExcision cuts a long shared run everywhere " +
+      "but the min-id owner") {
+    val corpus = Seq(
+      (10L, s"unique opening words here $boiler and a unique ten tail"),
+      (11L, s"different lead in tokens $boiler plus another closing run"),
+      (12L, s"third document begins offbeat $boiler ends on its own")
+    ).toDF("doc_id", "text")
+    val out = Decontaminate.duplicateSubstringExcision(
+        corpus, "doc_id", "text", anchorWords = 4, minChars = 40)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // owner (min id 10) keeps its text whole
+    assert(out(10L)._3 == 0L && out(10L)._4 == 0L)
+    assert(out(10L)._2.contains(boiler))
+    // every other doc loses exactly the boilerplate span (plus its
+    // separator) and keeps its own head/tail words
+    Seq(11L, 12L).foreach { id =>
+      val (_, clean, removed, n) = out(id)
+      assert(n == 1L, s"doc $id spans: $n")
+      assert(!clean.contains("alpha"), s"doc $id kept boilerplate")
+      assert(removed == boiler.length + 1, s"doc $id removed $removed")
+    }
+    assert(out(11L)._2 == "different lead in tokens plus another closing run")
+    assert(out(12L)._2 == "third document begins offbeat ends on its own")
+  }
+
+  test("duplicateSubstringExcision leaves short overlaps and " +
+      "within-doc repeats alone") {
+    val corpus = Seq(
+      // docs 20/21 share only "over the lazy dog" (17 chars < 40)
+      (20L, "the quick brown fox jumps over the lazy dog in one corpus"),
+      (21L, "a cat stepped over the lazy dog while nobody was watching it"),
+      // doc 22 repeats its own long phrase — within-doc only, df = 1
+      (22L, s"$boiler then some middle padding words then $boiler again")
+    ).toDF("doc_id", "text")
+    val out = Decontaminate.duplicateSubstringExcision(
+        corpus, "doc_id", "text", anchorWords = 4, minChars = 40)
+      .as[(Long, String, Long, Long)].collect()
+    out.foreach { case (id, _, removed, n) =>
+      assert(removed == 0L && n == 0L, s"doc $id was cut: $removed chars")
+    }
+  }
+
+  test("duplicateSubstringExcision merges adjacent qualifying spans " +
+      "and counts them once") {
+    val b2 = "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = Seq(
+      (30L, s"owner doc one holds $boiler bridge $b2 closing words here"),
+      // same two long spans with the SAME one-word bridge: anchors
+      // chain straight through the bridge into ONE island
+      (31L, s"second doc leads with $boiler bridge $b2 then wraps up"),
+      (32L, s"owner of nothing at all with fully distinct text body")
+    ).toDF("doc_id", "text")
+    val out = Decontaminate.duplicateSubstringExcision(
+        corpus, "doc_id", "text", anchorWords = 4, minChars = 40)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(30L)._3 == 0L)
+    val (_, clean, removed, n) = out(31L)
+    assert(n == 1L, s"expected one merged span, got $n")
+    assert(removed == (boiler.length + "bridge".length + b2.length + 3))
+    assert(clean == "second doc leads with then wraps up")
+  }
 }
