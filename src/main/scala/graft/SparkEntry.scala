@@ -2914,6 +2914,49 @@ object SparkEntry {
     // event joins the dimension VERSION valid at its event time
     // (SCD-style [from, to) intervals; the static side broadcasts) —
     // st9 enriches against current state, this against history
+    // stateful streaming banded-LSH near-dup gate e2e (VERDICT r5
+    // #3): a REAL two-micro-batch run (corpus batch then new batch,
+    // dd14's split) through transformWithState on RocksDB — per-band
+    // bucket state, exact in-state Jaccard verify. The oracle is the
+    // planted ground truth: every ordered pair at exact 3-gram
+    // Jaccard >= 0.8 (recall 1 on this fixture, the dd14
+    // adjudication); stream == batch, in-flight
+    "st14_stream_neardup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"),
+        timestamp_seconds(lit(1704067200L) + col("doc_id")).as("ts"))
+      val base = tmpDir("graft_st14")
+      val in = s"$base/in"
+      docs.filter(col("doc_id") <= 400).coalesce(1)
+        .write.mode("append").parquet(in)
+      docs.filter(col("doc_id") > 400).coalesce(1)
+        .write.mode("append").parquet(in)
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val stream = s.readStream.schema(s.read.parquet(in).schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+        val hits = graft.streaming.EventStream.streamingLshNearDup(
+          stream, "doc_id", "text", tsCol = "ts", watermark = "30 days",
+          shingleSize = 3, numHashes = 64, numBands = 16, threshold = 0.8)
+        val name = s"st14out${System.nanoTime()}"
+        val q = hits.toDF().writeStream.outputMode("append")
+          .option("checkpointLocation", s"$base/chk")
+          .format("memory").queryName(name).start()
+        q.processAllAvailable(); q.stop()
+        // multi-band emissions are identical rows; distinct restores
+        // set semantics (batch post-step, st11-style)
+        s.table(name).distinct()
+      } finally {
+        prev match {
+          case Some(v) =>
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+          case None =>
+            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }),
+
     "st13_stream_temporal_enrich" -> ((s, dir) => {
       val ev = events(s, dir).select("event_id", "user_id", "ts")
       val cut = lit("2024-01-16").cast("timestamp_ntz")
@@ -4338,6 +4381,25 @@ object SparkEntry {
         |       len(list_intersect(n.w, c.w))::DOUBLE /
         |         (len(n.w) + len(c.w) - len(list_intersect(n.w, c.w))) AS jaccard
         |FROM g n JOIN g c ON n.doc_id > 400 AND c.doc_id <= 400
+        |WHERE len(list_intersect(n.w, c.w))::DOUBLE /
+        |      (len(n.w) + len(c.w) - len(list_intersect(n.w, c.w))) >= 0.8""".stripMargin,
+
+    // stream == batch: the in-flight LSH gate must emit exactly the
+    // ordered qualifying pairs (recall-1 fixture, dd14 adjudication);
+    // jaccard is the same I/(A+B-I) division of the same exact ints
+    "st14_stream_neardup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(l) <= 3 THEN [array_to_string(l, ' ')]
+        |         ELSE [array_to_string(l[i:i+2], ' ') for i in range(1, len(l) - 1)] END) AS w
+        |  FROM t)
+        |SELECT n.doc_id AS new_id, c.doc_id AS dup_of,
+        |       len(list_intersect(n.w, c.w))::DOUBLE /
+        |         (len(n.w) + len(c.w) - len(list_intersect(n.w, c.w))) AS jaccard
+        |FROM g n JOIN g c ON n.doc_id > c.doc_id
         |WHERE len(list_intersect(n.w, c.w))::DOUBLE /
         |      (len(n.w) + len(c.w) - len(list_intersect(n.w, c.w))) >= 0.8""".stripMargin,
 

@@ -326,6 +326,69 @@ class StreamingSpec extends SparkTestBase {
       (us("2024-01-01 12:00:00"), us("2024-01-01 12:00:00"), 1L)))
   }
 
+  test("streaming banded-LSH near-dup gate matches batch incrementalDedup " +
+      "across micro-batches (RocksDB state v2)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val body = "the quick brown fox jumps over the lazy dog while rain " +
+        "falls gently on the quiet village roofs tonight"
+      case class Doc(doc_id: Long, text: String, ts: Timestamp)
+      val b1 = Seq(
+        (1L, s"$body in winter"),
+        (2L, s"$body in summer"),   // near-dup of 1
+        (3L, "completely unrelated content about database replication " +
+          "engines and their bulk loading wire protocols"))
+      val b2 = Seq(
+        (4L, s"$body in autumn"),   // near-dup of 1 and 2 (cross-batch)
+        (5L, "another fully distinct document mentioning spark catalyst " +
+          "expressions and whole stage code generation"))
+      def withTs(rows: Seq[(Long, String)]) =
+        rows.map { case (id, tx) => (id, tx, ts(s"2024-01-01 00:0$id:00")) }
+      val mem = MemoryStream[(Long, String, Timestamp)]
+      val stream = mem.toDF().toDF("doc_id", "text", "ts")
+      val q = EventStream.streamingLshNearDup(stream, "doc_id", "text",
+          tsCol = "ts", watermark = "30 days", shingleSize = 3,
+          numHashes = 64, numBands = 16, threshold = 0.5)
+        .toDF().writeStream.format("memory").queryName("lsh_out")
+        .outputMode("append").start()
+      mem.addData(withTs(b1): _*)
+      q.processAllAvailable()
+      mem.addData(withTs(b2): _*)
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("lsh_out").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // within-batch pair (2,1); cross-batch pairs (4,1), (4,2); the
+      // distinct docs 3 and 5 pair with nothing
+      assert(got == Set((2L, 1L), (4L, 1L), (4L, 2L)))
+      // stream == batch: the cross-batch half must equal
+      // incrementalDedup probing batch1 as the persisted store
+      val store = b1.toDF("doc_id", "text")
+      val fresh = b2.toDF("doc_id", "text")
+      val (sb, ss) = graft.operators.Dedup.signatureStore(
+        store, "doc_id", "text", 3, 64, 16)
+      val batch = graft.operators.Dedup.incrementalDedup(
+          fresh, sb, ss, "doc_id", "text", 3, 64, 16, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.filter(_._1 > 3L) == batch)
+      // and the verified jaccard values are identical doubles
+      val streamJ = spark.table("lsh_out").distinct()
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      val batchJ = graft.operators.Dedup.incrementalDedup(
+          fresh, sb, ss, "doc_id", "text", 3, 64, 16, threshold = 0.5)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      batchJ.foreach { case (k, v) => assert(streamJ(k) == v, s"jaccard $k") }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState sessions (state v2 + RocksDB) match the v1 semantics") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
