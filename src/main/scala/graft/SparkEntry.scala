@@ -3077,8 +3077,12 @@ object SparkEntry {
     // PCA to 2-D over the embedding corpus: exact integer moment
     // sums (one treeAggregate into d(d+3)/2+1 counters), driver
     // eigensolve on the 64x64 covariance, codegen dot projection.
-    // Eigensolve isn't SQL-replayable -> rows-only; PCA properties
-    // (variance ordering, orthonormality, invariance) are spec-pinned
+    // r6: the eigensolve IS SQL-replayable after all (VERDICT r5 #7)
+    // — every driver loop is an ascending sequential fold, so a
+    // recursive CTE carrying (v, deflated m) through the same 200
+    // fixed iterations reproduces the projection BIT-EXACTLY; the
+    // PCA property specs (variance ordering, orthonormality,
+    // invariance) stay as defense in depth
     "emb2_pca_project" -> ((s, dir) =>
       Similarity.pcaProject(t(s, dir, "embeddings"), "vec_id",
         "embedding", k = 2)),
@@ -4624,6 +4628,91 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, neighbor_id, n_label, rank
         |FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // emb2: the FULL PCA pipeline replayed in SQL — exact integer
+    // moments, then a recursive CTE runs the driver's deflated power
+    // iteration verbatim (fixed LCG init, 200 iterations, ascending
+    // sequential folds everywhere the driver loops ascending, sign
+    // fixed at the first-largest-|loading| index, deflation between
+    // components), then the same dot-minus-meanDot projection.
+    // Bit-equal because both engines do the identical IEEE ops in the
+    // identical order; list_aggregate(..., 'sum') is a sequential
+    // in-order fold like the driver's while-loops
+    "emb2_pca_project" ->
+      """|WITH RECURSIVE
+        |q AS (SELECT list_transform(embedding,
+        |        x -> CAST(round(CAST(x AS DOUBLE) * 1024.0) AS BIGINT)) AS q
+        |      FROM embeddings),
+        |idx AS (SELECT unnest(range(1, 65)) AS i),
+        |nrow AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM q),
+        |s AS (SELECT i, CAST(sum(q[i]) AS BIGINT) AS si FROM q, idx GROUP BY i),
+        |p AS (SELECT ii.i AS i, jj.i AS j, CAST(sum(q.q[ii.i] * q.q[jj.i]) AS BIGINT) AS pij
+        |      FROM q, idx ii, idx jj GROUP BY 1, 2),
+        |cov AS (SELECT p.i, p.j,
+        |        (CAST(p.pij AS DOUBLE)
+        |         - (CAST(si.si AS DOUBLE) * CAST(sj.si AS DOUBLE)) / nr.n)
+        |          / nr.n / 1048576.0 AS c
+        |        FROM p JOIN s si ON si.i = p.i JOIN s sj ON sj.i = p.j, nrow nr),
+        |covrows AS (SELECT i, list(c ORDER BY j) AS mrow FROM cov GROUP BY i),
+        |covm AS (SELECT list(mrow ORDER BY i) AS m FROM covrows),
+        |v0 AS (SELECT list_transform(range(1, 65),
+        |         i -> CAST((i * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 - 0.5) AS v),
+        |v0n AS (SELECT list_transform(v, x -> x / n0) AS v
+        |        FROM (SELECT v, sqrt(list_aggregate(list_transform(v, y -> y * y), 'sum')) AS n0
+        |              FROM v0)),
+        |st AS (
+        |  SELECT 0 AS c, 0 AS it, (SELECT v FROM v0n) AS v, (SELECT m FROM covm) AS m,
+        |         CAST([] AS DOUBLE[][]) AS comps, CAST([] AS DOUBLE[]) AS lambdas
+        |  UNION ALL
+        |  SELECT
+        |    CASE WHEN it < 200 THEN c ELSE c + 1 END,
+        |    CASE WHEN it < 200 THEN it + 1 ELSE 0 END,
+        |    CASE WHEN it < 200 THEN
+        |        CASE WHEN nrm > 0 THEN list_transform(w, x -> x / nrm) ELSE v END
+        |      ELSE (SELECT v FROM v0n) END,
+        |    CASE WHEN it < 200 THEN m
+        |      ELSE [list_transform(range(1, 65), j -> m[i][j] - lam * vs[i] * vs[j])
+        |            for i in range(1, 65)] END,
+        |    CASE WHEN it < 200 THEN comps ELSE list_append(comps, vs) END,
+        |    CASE WHEN it < 200 THEN lambdas ELSE list_append(lambdas, lam) END
+        |  FROM (
+        |    SELECT s2.*,
+        |      CASE WHEN it < 200 THEN
+        |        sqrt(list_aggregate(list_transform(w, x -> x * x), 'sum')) END AS nrm,
+        |      CASE WHEN it >= 200 THEN
+        |        list_transform(v, x -> x * (CASE WHEN v[list_position(
+        |          list_transform(v, y -> abs(y)),
+        |          list_aggregate(list_transform(v, y -> abs(y)), 'max'))] < 0
+        |          THEN -1.0 ELSE 1.0 END)) END AS vs
+        |    FROM (
+        |      SELECT st.*,
+        |        CASE WHEN it < 200 THEN
+        |          list_transform(range(1, 65), i ->
+        |            list_aggregate(list_transform(range(1, 65), j -> m[i][j] * v[j]), 'sum'))
+        |        END AS w,
+        |        CASE WHEN it >= 200 THEN
+        |          list_aggregate(list_transform(range(1, 65), i ->
+        |            v[i] * list_aggregate(
+        |              list_transform(range(1, 65), j -> m[i][j] * v[j]), 'sum')), 'sum')
+        |        END AS lam
+        |      FROM st WHERE c < 2
+        |    ) s2
+        |  ) s3),
+        |fin AS (SELECT comps, lambdas FROM st WHERE c = 2),
+        |meanrow AS (SELECT list(CAST(si AS DOUBLE) / nr.n / 1024.0 ORDER BY i) AS mean
+        |            FROM s, nrow nr),
+        |md AS (SELECT
+        |    list_aggregate(list_transform(range(1, 65),
+        |      i -> mean[i] * f.comps[1][i]), 'sum') AS md1,
+        |    list_aggregate(list_transform(range(1, 65),
+        |      i -> mean[i] * f.comps[2][i]), 'sum') AS md2
+        |  FROM meanrow, fin f)
+        |SELECT e.vec_id,
+        |  list_aggregate(list_transform(range(1, 65),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * f.comps[1][i]), 'sum') - md.md1 AS pc1,
+        |  list_aggregate(list_transform(range(1, 65),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * f.comps[2][i]), 'sum') - md.md2 AS pc2
+        |FROM embeddings e, fin f, md""".stripMargin,
 
     "emb1_label_centroids" ->
       """SELECT label, t.i - 1 AS pos, round(avg(embedding[t.i]), 4) AS mean_val
