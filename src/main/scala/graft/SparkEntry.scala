@@ -295,6 +295,13 @@ object SparkEntry {
       Tokenizer.trainBpeMerges(t(s, dir, "documents"), "text",
         numMerges = bpeMergeCount))
 
+  private val bpeVocabCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]()
+  private def trainedBpeVocab(s: SparkSession, dir: String): Seq[(String, Long)] =
+    bpeVocabCache.computeIfAbsent(dir, _ =>
+      Tokenizer.bpeVocabTable(t(s, dir, "documents"), "text",
+        trainedBpe(s, dir).toSeq))
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("j1_join_agg")(spark, "/root/testdata/sf0.001")
@@ -1960,6 +1967,28 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         Tokenizer.bpeCount(merges)(col("text")).cast("long")
           .as("n_tokens"))
+    }),
+
+    // the BPE VOCABULARY table (chars sorted, then merged symbols in
+    // learned order; duplicate merged strings keep their first id,
+    // HF-style) — the id space tok5's encoding writes in
+    "tok6_bpe_vocab" -> ((s, dir) => {
+      import s.implicits._
+      trainedBpeVocab(s, dir).toDF("token", "id")
+    }),
+
+    // token-ID encoding, the form a training pipeline actually ships:
+    // per-doc BPE token ids (space-joined for the compare) via one
+    // codegen tokenize pass + a literal-map lookup — no join, no
+    // shuffle; the oracle re-derives ids from the unrolled trajectory's
+    // final segmentations joined to the replayed vocab
+    "tok5_bpe_token_ids" -> ((s, dir) => {
+      val merges = trainedBpe(s, dir).toSeq
+      val vocab = trainedBpeVocab(s, dir)
+      val ids = Tokenizer.bpeIds(col("text"), merges, vocab)
+      t(s, dir, "documents").select(col("doc_id"),
+        size(ids).cast("long").as("n_tokens"),
+        array_join(transform(ids, _.cast("string")), " ").as("ids"))
     }),
 
     "pf1_corpus_stats" -> ((s, dir) =>
@@ -5584,6 +5613,57 @@ object SparkEntry {
     // application == training's final segmentation state
     "tok4_bpe_token_counts" ->
       (bpeCte(bpeMergeCount) + "\nSELECT doc_id, n_tokens FROM doctok"),
+
+    // vocab replay: chars ranked ascending, merges offset by |chars|
+    // in learned order, duplicate strings keep their min (first) id
+    "tok6_bpe_vocab" ->
+      (bpeCte(bpeMergeCount) + """,
+        |cv AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok ASC)
+        |         AS BIGINT) AS id
+        |       FROM (SELECT DISTINCT unnest([w[i:i] for i in range(1, len(w)+1)]) AS tok
+        |             FROM wcnt)),
+        |nch AS (SELECT count(*) AS n FROM cv),
+        |mv AS (SELECT l || r AS tok,
+        |         CAST(rank + (SELECT n FROM nch) AS BIGINT) AS id FROM mg)
+        |SELECT tok AS token, min(id) AS id
+        |FROM (SELECT * FROM cv UNION ALL SELECT * FROM mv)
+        |GROUP BY tok""".stripMargin),
+
+    // id encoding replay: final segmentations split back to symbols
+    // with positions, joined to the replayed vocab, re-joined per doc
+    // in word order
+    "tok5_bpe_token_ids" ->
+      (bpeCte(bpeMergeCount) + s""",
+        |cv AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok ASC)
+        |         AS BIGINT) AS id
+        |       FROM (SELECT DISTINCT unnest([w[i:i] for i in range(1, len(w)+1)]) AS tok
+        |             FROM wcnt)),
+        |nch AS (SELECT count(*) AS n FROM cv),
+        |mv AS (SELECT l || r AS tok,
+        |         CAST(rank + (SELECT n FROM nch) AS BIGINT) AS id FROM mg),
+        |uni AS (SELECT tok, min(id) AS id
+        |        FROM (SELECT * FROM cv UNION ALL SELECT * FROM mv)
+        |        GROUP BY tok),
+        |wsym AS (SELECT w, string_split(seg[2:len(seg)-1], chr(30) || chr(30)) AS syms
+        |         FROM s$bpeMergeCount),
+        |wse AS (SELECT w, i, syms[i] AS tok
+        |        FROM wsym, unnest(generate_series(1, len(syms))) t(i)),
+        |wstr AS (SELECT w.w, string_agg(CAST(u.id AS VARCHAR), ' ' ORDER BY w.i) AS ids,
+        |                CAST(count(*) AS BIGINT) AS n
+        |         FROM wse w JOIN uni u USING (tok) GROUP BY w.w),
+        |pw AS (SELECT doc_id, unnest([{'pos': i, 'wr': lr[i]}
+        |                              for i in range(1, len(lr)+1)],
+        |                             recursive := true)
+        |       FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS lr
+        |             FROM documents)),
+        |pz AS (SELECT p.doc_id, p.pos, ws.ids, ws.n
+        |       FROM pw p JOIN wstr ws ON ws.w = lower(p.wr)),
+        |agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |               string_agg(ids, ' ' ORDER BY pos) AS ids
+        |        FROM pz GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+        |       coalesce(a.ids, '') AS ids
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin),
 
     // trainVocab's array order replayed: alphabet sorted asc, then
     // substrings by (score desc, tok asc) with offset ranks

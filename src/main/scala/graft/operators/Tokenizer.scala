@@ -96,10 +96,13 @@ object Tokenizer {
     * of the corpus|, not corpus size — and collects exactly one row.
     * numMerges iterations = numMerges small jobs; at production merge
     * counts (4-8K) batching symbol-disjoint winners per round cuts
-    * the job count ~10x without changing the result (pairs whose
-    * symbols don't intersect an earlier winner's keep their exact
-    * counts), left as a documented option because the oracle replay
-    * pins the one-merge-per-round trajectory.
+    * the job count ~10x — disjoint pairs DO keep their exact counts,
+    * but a pair CREATED by an accepted merge can out-count a later
+    * batch member that sequential training would then have deferred,
+    * so batching trades exact merge-order fidelity for speed (the
+    * same approximation every batched BPE trainer makes). Left as a
+    * documented option: the oracle replay pins the exact
+    * one-merge-per-round trajectory.
     *
     * Returns the merges IN LEARNED ORDER — the order
     * [[graft.functions.BpeExpressions]] must apply them in. */
@@ -176,6 +179,44 @@ object Tokenizer {
         col("c.chunk_idx").cast("long").as("chunk_idx"),
         col("c.chunk_text").as("chunk_text"),
         col("c.n_tokens").cast("long").as("n_tokens"))
+
+  /** The BPE vocabulary TABLE: (token, id), chars first (sorted
+    * ascending, ids 1..C) then merged symbols in LEARNED ORDER (ids
+    * C+1..). Two merges can produce the same string (e.g. (a,bc) and
+    * (ab,c)); the FIRST occurrence keeps the id and later duplicates
+    * are dropped (HF-style: a vocab maps each token string to exactly
+    * one id), so assigned ids may have gaps. One bounded collect (the
+    * corpus alphabet, same class as trainVocab's). */
+  def bpeVocabTable(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): Seq[(String, Long)] = {
+    val chars = docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .select(explode(transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1)))).as("c"))
+      .distinct().orderBy("c").collect().map(_.getString(0)).toSeq
+    val all = chars ++ merges.map { case (l, r) => l + r }
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    all.zipWithIndex.foreach { case (t, i) =>
+      if (!seen.contains(t)) seen(t) = i + 1L
+    }
+    seen.toSeq
+  }
+
+  /** Token-ID encoding — the form a training pipeline actually ships:
+    * BPE tokens mapped through the vocabulary to integer ids, as one
+    * codegen tokenize pass plus a literal-map lookup (no join, no
+    * shuffle; the map rides with the plan like the merges do). Every
+    * token the kernel can emit on the training corpus is in the vocab
+    * by construction (chars cover the alphabet, merges cover merged
+    * symbols); an out-of-corpus character in FRESH text maps to null
+    * — surface it or filter it, don't silently renumber. */
+  def bpeIds(text: Column, merges: Seq[(String, String)],
+      vocab: Seq[(String, Long)]): Column = {
+    val m = typedlit(vocab.toMap)
+    transform(graft.functions.BpeExpressions.bpe_tokens(text, merges),
+      t => element_at(m, t))
+  }
 
   /** Subword tokens of `text` (array<string>), greedy longest-match. */
   def subwordTokens(text: Column, vocab: Seq[String]): Column =

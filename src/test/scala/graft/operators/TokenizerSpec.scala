@@ -221,6 +221,39 @@ class TokenizerSpec extends SparkTestBase {
     }
   }
 
+  test("BPE: vocab table ids cover every emitted token; duplicate " +
+      "merged strings keep their first id") {
+    val merges = Tokenizer.trainBpeMerges(docs, "text", numMerges = 12).toSeq
+    val vocab = Tokenizer.bpeVocabTable(docs, "text", merges)
+    // one row per distinct token string
+    assert(vocab.map(_._1).distinct.length == vocab.length)
+    // ids strictly increasing in appearance order (gaps allowed)
+    assert(vocab.map(_._2) == vocab.map(_._2).sorted)
+    // duplicate-string policy: synthetic merges with a colliding
+    // product — ("a","bc") and ("ab","c") both make "abc"
+    val dupMerges = Seq(("b", "c"), ("a", "b"), ("a", "bc"), ("ab", "c"))
+    val v2 = Tokenizer.bpeVocabTable(
+      Seq((1L, "abc cab")).toDF("doc_id", "text"), "text", dupMerges)
+    val abcIds = v2.filter(_._1 == "abc")
+    assert(abcIds.length == 1, s"expected one 'abc' row: $v2")
+    // chars a,b,c take ids 1..3; merges bc=4, ab=5, abc(first)=6
+    assert(abcIds.head._2 == 6L)
+    // every token the kernel emits on the corpus has an id
+    val idMap = vocab.toMap
+    val toks = docs.select(Tokenizer.bpeTokens(col("text"), merges))
+      .as[Seq[String]].collect().flatten.toSet
+    toks.foreach(t => assert(idMap.contains(t), s"token '$t' has no id"))
+    // and the encoding round-trips: ids map back to the same tokens
+    val rev = vocab.map { case (t, i) => i -> t }.toMap
+    val enc = docs.select(col("doc_id"),
+        Tokenizer.bpeIds(col("text"), merges, vocab).as("ids"),
+        Tokenizer.bpeTokens(col("text"), merges).as("toks"))
+      .as[(Long, Seq[Long], Seq[String])].collect()
+    enc.foreach { case (_, ids, ts) =>
+      assert(ids.map(rev) == ts)
+    }
+  }
+
   test("BPE: non-BMP characters stay single symbols (no surrogate splits)") {
     val emoji = Seq((1L, "ab 😀😀 ab")).toDF("doc_id", "text")
     val merges = Seq(("a", "b")) // emoji never merged
