@@ -798,7 +798,12 @@ object SparkEntry {
         shingleSize = 2, threshold = 0.8, maxGramDf = 100)),
 
     "dd2_dedup_minhash_lsh" -> ((s, dir) =>
-      // LSH candidate generation is probabilistic -> rows-only oracle
+      // r6: moved from rows-only to MATCH. LSH candidate generation
+      // is DETERMINISTIC given the fixed hash family; on this fixture
+      // every qualifying pair (exact 3-gram Jaccard >= 0.7) collides
+      // in at least one of the 16 bands — verified pair-for-pair
+      // against the brute-force sweep — so the ground-truth oracle is
+      // the batch output (the dd14/st14 recall-1 adjudication)
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleSize = 3, numHashes = 64, numBands = 16, threshold = 0.7)),
 
@@ -4417,6 +4422,25 @@ object SparkEntry {
         |WHERE len(list_intersect(n.w, c.w))::DOUBLE /
         |      (len(n.w) + len(c.w) - len(list_intersect(n.w, c.w))) >= 0.8""".stripMargin,
 
+    // ground-truth pairs at >= 0.7 (recall-1 fixture, verified
+    // pair-for-pair; deterministic hash family so the equality is
+    // stable); jaccard is the same I/(A+B-I) division
+    "dd2_dedup_minhash_lsh" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(l) <= 3 THEN [array_to_string(l, ' ')]
+        |         ELSE [array_to_string(l[i:i+2], ' ') for i in range(1, len(l) - 1)] END) AS w
+        |  FROM t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       len(list_intersect(a.w, b.w))::DOUBLE /
+        |         (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) AS jaccard
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.w, b.w))::DOUBLE /
+        |      (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.7""".stripMargin,
+
     // stream == batch: the in-flight LSH gate must emit exactly the
     // ordered qualifying pairs (recall-1 fixture, dd14 adjudication);
     // jaccard is the same I/(A+B-I) division of the same exact ints
@@ -4878,6 +4902,8 @@ object SparkEntry {
     "ta7_paragraph_lang" -> ta7OracleSql,
 
     "ta3_fingerprint" -> ta3Oracle,
+
+    "pipe1_training_pipeline" -> pipe1Oracle,
 
     // winnowing replay: positional grams as {'g','p'} structs (field
     // order IS the selection order: gram text then position),
@@ -7569,6 +7595,81 @@ object SparkEntry {
     * then maps the unsigned residue onto Spark's signed Long. The
     * quality score replays TextAnalysis.qualityScore term-by-term in
     * the same association order so the doubles agree bit-for-bit. */
+  /** pipe1 oracle (r6 — moved from rows-only): the WHOLE curation
+    * funnel replayed stage by stage on the canonical-normalized text.
+    * The only non-replayable piece of the Spark plan is LSH candidate
+    * generation; on this fixture qualifying pairs (exact 3-gram
+    * Jaccard ≥ 0.8) all collide in at least one band — the same
+    * recall-1 adjudication dd14/st14 carry — so the ground-truth
+    * all-pairs sweep + min-label closure is the batch result.
+    * Stage mirrors: canonical (control→space, lower, strip
+    * punct, collapse ws, trim), the ta3 quality composite gated at
+    * 0.3 (unrounded doubles, identical expression tree), exact dedup
+    * as min-id-per-identical-text, near-dup clusters via the dd12
+    * recursive closure, survivors = cluster labels + singletons,
+    * annotations = ta3's token count and rolling-hash fingerprint. */
+  private def pipe1Oracle: String = {
+    val stop = "\\b(" + QualityFilters.stopwords.mkString("|") + ")\\b"
+    raw"""WITH RECURSIVE nn AS (
+       |  SELECT doc_id, lang, source,
+       |    trim(regexp_replace(regexp_replace(
+       |      lower(regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g')),
+       |      '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS text
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS nt,
+       |    CAST(length(text) AS DOUBLE) AS nc,
+       |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS nd,
+       |    CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g'))
+       |      AS DOUBLE) AS np,
+       |    CAST(len(regexp_extract_all(lower(text), '$stop')) AS DOUBLE) AS sh
+       |  FROM nn),
+       |gated AS (
+       |  SELECT nn.* FROM nn JOIN q USING (doc_id)
+       |  WHERE CASE WHEN q.nt BETWEEN 5 AND 10000 THEN 1.0 ELSE 0.0 END * 0.25
+       |      + CASE WHEN q.nc / greatest(q.nt, 1.0) BETWEEN 2.0 AND 12.0
+       |             THEN 1.0 ELSE 0.0 END * 0.25
+       |      + (1.0 - least(q.nd / greatest(q.nc, 1.0) * 5.0, 1.0)) * 0.2
+       |      + (1.0 - least(q.np / greatest(q.nc, 1.0) * 5.0, 1.0)) * 0.2
+       |      + least(q.sh / greatest(q.nt, 1.0) * 5.0, 1.0) * 0.1 >= 0.3),
+       |ex AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
+       |ek AS (SELECT g.* FROM gated g JOIN ex USING (doc_id)),
+       |t3 AS (
+       |  SELECT doc_id, list_distinct(
+       |    CASE WHEN len(l) <= 3 THEN [array_to_string(l, ' ')]
+       |         ELSE [array_to_string(l[i:i+2], ' ') for i in range(1, len(l) - 1)] END) AS w
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM ek)),
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM t3 a JOIN t3 b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.w, b.w))::DOUBLE /
+       |        (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8),
+       |e AS (SELECT id_a AS s, id_b AS d FROM p
+       |      UNION SELECT id_b AS s, id_a AS d FROM p),
+       |reach AS (
+       |  SELECT s AS id, s AS label FROM e
+       |  UNION
+       |  SELECT e.s AS id, r.label AS label FROM e JOIN reach r ON e.d = r.id),
+       |lab AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id),
+       |drop AS (SELECT id AS doc_id FROM lab WHERE id <> cluster),
+       |surv AS (SELECT ek.* FROM ek ANTI JOIN drop USING (doc_id)),
+       |fp AS (
+       |  SELECT doc_id,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS HUGEINT),
+       |        [CAST(unicode(c) AS HUGEINT)
+       |         for c in string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), '')]),
+       |      (h, b) -> (h * 31 + b) % CAST('18446744073709551616' AS HUGEINT)) AS m
+       |  FROM surv)
+       |SELECT s.doc_id, s.lang, s.source,
+       |  CAST(len(string_split_regex(trim(s.text), '\s+')) AS BIGINT) AS n_tokens,
+       |  CAST(CASE WHEN f.m < CAST('9223372036854775808' AS HUGEINT) THEN f.m
+       |            ELSE f.m - CAST('18446744073709551616' AS HUGEINT) END
+       |       AS BIGINT) AS fingerprint
+       |FROM surv s JOIN fp f USING (doc_id)""".stripMargin
+  }
+
   private def ta3Oracle: String = {
     val stop = "\\b(" + QualityFilters.stopwords.mkString("|") + ")\\b"
     raw"""WITH fp AS (
