@@ -13,13 +13,17 @@ class ContractSpec extends SparkTestBase {
 
   test("rows-only queries are the documented intentional set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // r6 pinned three former members: emb2 (bit-exact eigensolve
+    // replay), pipe1 (full-funnel replay over the ground-truth pair
+    // closure), dd2 (verified recall-1 adjudication)
     assert(rowsOnly == Set(
-      "dd2_dedup_minhash_lsh", "dd3_dedup_simhash", "dd5_embedding_neardup",
-      "k1_kafka_payload",
-      "pipe1_training_pipeline", "pf3_approx_stats", "sim3_lsh_topk",
+      "dd3_dedup_simhash",      // xxhash simhash signature has no SQL mirror
+      "dd5_embedding_neardup",  // hyperplane LSH, measured 15% recall by design
+      "k1_kafka_payload",       // JSON serialization is engine-specific
+      "pf3_approx_stats",       // approx_count_distinct HLL is engine-specific
+      "sim3_lsh_topk",          // approximate top-k differs from the exact sweep
       "qf2_compression_signal", // DEFLATE has no SQL mirror
-      "pf5_sketch_union",       // Datasketches HLL is engine-specific
-      "emb2_pca_project"),      // driver eigensolve isn't SQL-replayable
+      "pf5_sketch_union"),      // Datasketches HLL is engine-specific
       s"unexpected rows-only set: $rowsOnly")
   }
 

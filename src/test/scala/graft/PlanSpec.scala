@@ -354,11 +354,12 @@ class PlanSpec extends SparkTestBase {
     assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("subword_count")), p)
     assert(!p.contains("CodegenFallback"))
     // ch2: like ch1, chunking is a map-only generate over the scan
+    // (r6: re-based onto the merge-faithful BPE kernel)
     val ch = SparkEntry.queries("ch2_subword_chunks")(spark, sf())
     ch.collect()
     val cp = ch.queryExecution.executedPlan.toString
     assert(!cp.contains("Exchange"), s"ch2 must not shuffle:\n$cp")
-    assert(cp.contains("subword_chunks"))
+    assert(cp.contains("bpe_chunks"))
     assert(!cp.contains("CodegenFallback"))
   }
 
@@ -482,5 +483,30 @@ class PlanSpec extends SparkTestBase {
       exchanges.forall(l => !l.contains("text#")),
       s"text must never shuffle:\n${exchanges.mkString("\n")}")
     assert(!p.contains("CartesianProduct"))
+  }
+
+  test("dd23 duplicate-substring excision shuffles anchors, never text, " +
+      "never a nested loop") {
+    val df = SparkEntry.queries("dd23_substring_excision")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    // same contract as dd18: anchor traffic is (id, pos, hash)
+    // triples; the corpus text stays in scan/project/local nodes
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty &&
+      exchanges.forall(l => !l.contains("text#")),
+      s"text must never shuffle:\n${exchanges.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+    // the islands window is per-doc, never a global single partition
+    assert(!p.contains("SinglePartition"), s"global window:\n$p")
+  }
+
+  test("tok5 BPE id encoding is a shuffle-free codegen projection") {
+    val df = SparkEntry.queries("tok5_bpe_token_ids")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    // one tokenize pass + literal-map lookup: no exchange, no join
+    assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    assert(p.contains("bpe_tokens"))
   }
 }
