@@ -312,9 +312,10 @@ object EventStream {
     * emitted table, st11-style — restores set semantics. Verifying
     * IN STATE is a deliberate trade: the shingle array rides to all
     * `numBands` buckets (state and shuffle pay signature x bands),
-    * buying exact batch-equal verdicts in-flight; a candidates-only
-    * variant (ids in state, verify joined downstream) cuts that to
-    * 8 bytes x bands when estimated verdicts are enough.
+    * buying exact batch-equal verdicts in-flight;
+    * [[LshCandidateProcessor]] is the candidates-only variant (ids in
+    * state, verify joined downstream) that cuts state to 16 bytes x
+    * bands when in-flight verdicts aren't required.
     */
   class LshBucketProcessor(threshold: Double)
       extends StatefulProcessor[Long, LshDocRow, NearDupHit] {
@@ -389,6 +390,77 @@ object EventStream {
       .as[LshDocRow]
       .groupByKey(_.bucket)
       .transformWithState(new LshBucketProcessor(threshold),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  case class LshCandRow(bucket: Long, id: Long, ts: java.sql.Timestamp,
+      tsUs: Long)
+  case class CandidateHit(new_id: Long, dup_of: Long)
+
+  /** The candidates-only sibling of [[LshBucketProcessor]]: bucket
+    * state holds (id, ts) ONLY — 16 bytes per (doc, band) instead of
+    * the full shingle signature × bands — and the processor emits
+    * UNVERIFIED candidate id pairs. Callers run the exact-Jaccard
+    * verify downstream as a batch join against a signature store
+    * (exactly [[graft.operators.Dedup.incrementalDedup]]'s verify
+    * stage), trading in-flight verdicts for an order less state and
+    * shuffle. Candidate direction and arrival-order semantics are
+    * identical to the verifying processor, so
+    * candidates ⊇ its verified pairs on the same feed, always. */
+  class LshCandidateProcessor
+      extends StatefulProcessor[Long, LshCandRow, CandidateHit] {
+    @transient private var docs: org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      docs = getHandle.getListState[(Long, Long)]("ids",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[LshCandRow],
+        timerValues: TimerValues): Iterator[CandidateHit] = {
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      val stored = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      docs.get().foreach(d => if (d._2 >= wmUs) stored += d)
+      val out = List.newBuilder[CandidateHit]
+      rows.toArray.sortBy(d => (d.tsUs, d.id)).foreach { r =>
+        var k = 0
+        while (k < stored.length) {
+          if (stored(k)._1 != r.id) out += CandidateHit(r.id, stored(k)._1)
+          k += 1
+        }
+        stored += ((r.id, r.tsUs))
+      }
+      docs.put(stored.toArray)
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[CandidateHit] =
+      Iterator.empty
+  }
+
+  /** See [[LshCandidateProcessor]]; same band hashing as
+    * [[streamingLshNearDup]] and the batch signature store. Returns
+    * the candidate pair stream; callers `.distinct()` the
+    * materialized output and verify with exact Jaccard downstream. */
+  def streamingLshCandidates(docs: DataFrame, idCol: String,
+      textCol: String, tsCol: String = "ts", watermark: String = "30 days",
+      shingleSize: Int = 3, numHashes: Int = 64,
+      numBands: Int = 16): Dataset[CandidateHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
+        posexplode(graft.functions.TextExpressions
+          .minhash_band_buckets_text(col(textCol), shingleSize,
+            numHashes, numBands)).as(Seq("band", "__bb")))
+      .select(xxhash64(col("band"), col("__bb")).as("bucket"),
+        col("id"), col("ts"), unix_micros(col("ts")).as("tsUs"))
+      .as[LshCandRow]
+      .groupByKey(_.bucket)
+      .transformWithState(new LshCandidateProcessor(),
         TimeMode.EventTime(), OutputMode.Append())
   }
 

@@ -389,6 +389,94 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("candidates-only LSH stream is a superset of the verifying " +
+      "gate's pairs, with ids-only state") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val body = "the quick brown fox jumps over the lazy dog while rain " +
+        "falls gently on the quiet village roofs tonight"
+      val feed = Seq(
+        (1L, s"$body in winter", ts("2024-01-01 00:01:00")),
+        (2L, s"$body in summer", ts("2024-01-01 00:02:00")),
+        (3L, "completely unrelated content about database replication " +
+          "engines and their bulk loading wire protocols",
+          ts("2024-01-01 00:03:00")),
+        (4L, s"$body in autumn", ts("2024-01-01 00:04:00")))
+      def run(name: String, mk: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.Dataset[_]): Set[(Long, Long)] = {
+        val mem = MemoryStream[(Long, String, Timestamp)]
+        val q = mk(mem.toDF().toDF("doc_id", "text", "ts"))
+          .toDF().writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        mem.addData(feed.take(2): _*)
+        q.processAllAvailable()
+        mem.addData(feed.drop(2): _*)
+        q.processAllAvailable()
+        q.stop()
+        spark.table(name).distinct()
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      val cands = run("lsh_cand_out", df =>
+        EventStream.streamingLshCandidates(df, "doc_id", "text",
+          tsCol = "ts", watermark = "30 days"))
+      val verified = run("lsh_verif_out", df =>
+        EventStream.streamingLshNearDup(df, "doc_id", "text",
+          tsCol = "ts", watermark = "30 days", threshold = 0.5))
+      assert(verified.subsetOf(cands),
+        s"verified $verified not within candidates $cands")
+      assert(verified == Set((2L, 1L), (4L, 1L), (4L, 2L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streaming LSH gate evicts bucket state behind the watermark " +
+      "(boundedness contract)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val body = "the quick brown fox jumps over the lazy dog while rain " +
+        "falls gently on the quiet village roofs tonight"
+      val mem = MemoryStream[(Long, String, Timestamp)]
+      val stream = mem.toDF().toDF("doc_id", "text", "ts")
+      val q = EventStream.streamingLshNearDup(stream, "doc_id", "text",
+          tsCol = "ts", watermark = "10 minutes", shingleSize = 3,
+          numHashes = 64, numBands = 16, threshold = 0.5)
+        .toDF().writeStream.format("memory").queryName("lsh_evict_out")
+        .outputMode("append").start()
+      // batch 1: the original doc at 00:00
+      mem.addData((1L, s"$body in winter", ts("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      // batch 2: an unrelated doc three hours later — after this
+      // batch the watermark advances to ~02:50, far past doc 1
+      mem.addData((2L, "completely unrelated content about database " +
+        "replication engines and wire protocols", ts("2024-01-01 03:00:00")))
+      q.processAllAvailable()
+      // batch 3: a near-dup of doc 1 — its bucket entry is behind the
+      // watermark now, so the gate must NOT pair them
+      mem.addData((3L, s"$body in summer", ts("2024-01-01 03:01:00")))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("lsh_evict_out").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set.empty[(Long, Long)],
+        s"evicted doc must not pair: $got")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState sessions (state v2 + RocksDB) match the v1 semantics") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
