@@ -1996,6 +1996,20 @@ object SparkEntry {
         array_join(transform(ids, _.cast("string")), " ").as("ids"))
     }),
 
+    // the artifact a dataloader memmaps: BPE-budgeted shards with the
+    // concatenated token-ID payload per shard, docs in id order
+    "pack6_token_id_payload" -> ((s, dir) => {
+      val merges = trainedBpe(s, dir).toSeq
+      val vocab = trainedBpeVocab(s, dir)
+      val assigned = Packing.assignShards(t(s, dir, "documents"),
+          "doc_id", "text", budget = 2000, buckets = 32,
+          tokenCounter = Tokenizer.bpeCount(merges))
+        .withColumn("ids", array_join(transform(
+          Tokenizer.bpeIds(col("text"), merges, vocab),
+          _.cast("string")), " "))
+      Packing.packTokenIds(assigned, "doc_id", "ids")
+    }),
+
     "pf1_corpus_stats" -> ((s, dir) =>
       Profiling.corpusStats(t(s, dir, "documents"), Seq("lang"), "n_chars")),
 
@@ -5639,6 +5653,50 @@ object SparkEntry {
     // application == training's final segmentation state
     "tok4_bpe_token_counts" ->
       (bpeCte(bpeMergeCount) + "\nSELECT doc_id, n_tokens FROM doctok"),
+
+    // id payload replay: tok5's per-doc id strings, pack3's shard
+    // assignment over BPE counts, per-shard ordered string_agg
+    "pack6_token_id_payload" ->
+      (bpeCte(bpeMergeCount) + s""",
+        |cv AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok ASC)
+        |         AS BIGINT) AS id
+        |       FROM (SELECT DISTINCT unnest([w[i:i] for i in range(1, len(w)+1)]) AS tok
+        |             FROM wcnt)),
+        |nch AS (SELECT count(*) AS n FROM cv),
+        |mv AS (SELECT l || r AS tok,
+        |         CAST(rank + (SELECT n FROM nch) AS BIGINT) AS id FROM mg),
+        |uni AS (SELECT tok, min(id) AS id
+        |        FROM (SELECT * FROM cv UNION ALL SELECT * FROM mv)
+        |        GROUP BY tok),
+        |wsym AS (SELECT w, string_split(seg[2:len(seg)-1], chr(30) || chr(30)) AS syms
+        |         FROM s$bpeMergeCount),
+        |wse AS (SELECT w, i, syms[i] AS tok
+        |        FROM wsym, unnest(generate_series(1, len(syms))) t(i)),
+        |wstr AS (SELECT w.w, string_agg(CAST(u.id AS VARCHAR), ' ' ORDER BY w.i) AS ids,
+        |                CAST(count(*) AS BIGINT) AS n
+        |         FROM wse w JOIN uni u USING (tok) GROUP BY w.w),
+        |pw AS (SELECT doc_id, unnest([{'pos': i, 'wr': lr[i]}
+        |                              for i in range(1, len(lr)+1)],
+        |                             recursive := true)
+        |       FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS lr
+        |             FROM documents)),
+        |pz AS (SELECT p.doc_id, p.pos, ws.ids, ws.n
+        |       FROM pw p JOIN wstr ws ON ws.w = lower(p.wr)),
+        |dagg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |               string_agg(ids, ' ' ORDER BY pos) AS ids
+        |        FROM pz GROUP BY doc_id),
+        |docids AS (SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+        |                  coalesce(a.ids, '') AS ids
+        |           FROM documents d LEFT JOIN dagg a USING (doc_id)),
+        |cc AS (SELECT doc_id, n_tokens, ids,
+        |       sum(n_tokens) OVER (ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM docids)
+        |SELECT CAST(floor((cum - n_tokens) * 1.0 / 2000) AS BIGINT) AS shard,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |       string_agg(ids, ' ' ORDER BY doc_id) AS ids_payload
+        |FROM cc GROUP BY 1""".stripMargin),
 
     // vocab replay: chars ranked ascending, merges offset by |chars|
     // in learned order, duplicate strings keep their min (first) id

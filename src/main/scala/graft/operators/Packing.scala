@@ -169,4 +169,28 @@ object Packing {
             s => s.getField("t")),
           sep).as("packed_text"))
       .withColumn("packed_len", length(col("packed_text")).cast("long"))
+
+  /** The token-ID payload per shard — the artifact a training
+    * dataloader actually memmaps: each shard's documents' id streams
+    * concatenated in `orderCol` order, with the doc and token tallies
+    * a loader needs to size its reads. `assigned` is
+    * [[assignShards]]' output (token-budgeted, BPE-count-aware via
+    * its `tokenCounter`) carrying an `idsCol` string of
+    * space-separated token ids per document
+    * ([[Tokenizer.bpeIds]] joined to string).
+    *
+    * Same shape as [[packShards]]: one groupBy on the shard key, the
+    * in-shard ordering done by `array_sort` over collected (order,
+    * ids) structs — deterministic without a window, sized by the
+    * shard budget (a few thousand tokens), never by the corpus. */
+  def packTokenIds(assigned: DataFrame, orderCol: String,
+      idsCol: String): DataFrame =
+    assigned.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(orderCol), col(idsCol).as("t")))),
+            s => s.getField("t")),
+          " ").as("ids_payload"))
 }

@@ -476,6 +476,36 @@ class PackingSpec extends SparkTestBase {
     packed.foreach { case (shard, text) =>
       assert(text.codePointCount(0, text.length).toLong == lastEnd(shard)) }
   }
+
+  test("token-id payloads: counts reconcile and docs reassemble in order") {
+    val rows = Seq((1L, "cat cata cat"), (2L, "dog dodo"),
+      (3L, "cata cata dog cat"), (4L, "god dodo god"), (5L, "cat"))
+      .toDF("doc_id", "text")
+    val merges = Tokenizer.trainBpeMerges(rows, "text", numMerges = 6).toSeq
+    val vocab = Tokenizer.bpeVocabTable(rows, "text", merges)
+    val assigned = Packing.assignShards(rows, "doc_id", "text",
+        budget = 8L, tokenCounter = Tokenizer.bpeCount(merges))
+      .withColumn("ids", array_join(transform(
+        Tokenizer.bpeIds(col("text"), merges, vocab),
+        _.cast("string")), " "))
+    val packed = Packing.packTokenIds(assigned, "doc_id", "ids")
+      .collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val perDoc = assigned.select("doc_id", "shard", "ids", "n_tokens")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // payload token count == total_tokens == sum of member doc counts
+    packed.foreach { case (shard, (nDocs, total, payload)) =>
+      val members = perDoc.filter(_._2 == shard)
+      assert(members.length.toLong == nDocs)
+      assert(members.map(_._4).sum == total)
+      assert(payload.split(" ").length.toLong == total)
+      // and the payload IS the member id streams in doc_id order
+      assert(payload == members.sortBy(_._1).map(_._3).mkString(" "))
+    }
+    // every doc landed in exactly one shard
+    assert(perDoc.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L))
+  }
 }
 
 class ChunkingSpec extends SparkTestBase {
