@@ -545,6 +545,13 @@ object Probe {
     timed("tok3 BPE training 50K docs, 24 merges")(
       graft.operators.Tokenizer.trainBpeMerges(docs, "text",
         numMerges = 24).length.toLong)
+    // merge-count scaling on the ~5K-distinct-word zipf corpus: the
+    // claim under test is that per-iteration cost is CORPUS-SIZE
+    // independent (bounded word table + 1-row collect), so sec/merge
+    // should hold roughly constant from 24 to 96 merges
+    timed("BPE training ZIPF 50K docs, 96 merges (sec/merge claim)")(
+      graft.operators.Tokenizer.trainBpeMerges(zipf, "text",
+        numMerges = 96).length.toLong)
   }
 
   def r5cprobe(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {

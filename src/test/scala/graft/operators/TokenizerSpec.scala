@@ -254,6 +254,19 @@ class TokenizerSpec extends SparkTestBase {
     }
   }
 
+  test("BPE: out-of-corpus characters in fresh text map to null ids " +
+      "(loud, never renumbered)") {
+    val merges = Tokenizer.trainBpeMerges(docs, "text", numMerges = 6).toSeq
+    val vocab = Tokenizer.bpeVocabTable(docs, "text", merges)
+    val fresh = Seq((1L, "quick zebra £ fox")).toDF("doc_id", "text")
+    val ids = fresh.select(
+      Tokenizer.bpeIds(col("text"), merges, vocab)).as[Seq[Option[Long]]].head()
+    // '£' never appeared in the training corpus: its token has no id
+    assert(ids.contains(None), s"expected a null id for the OOV char: $ids")
+    // every other token still resolves
+    assert(ids.count(_.isEmpty) == 1)
+  }
+
   test("BPE: non-BMP characters stay single symbols (no surrogate splits)") {
     val emoji = Seq((1L, "ab 😀😀 ab")).toDF("doc_id", "text")
     val merges = Seq(("a", "b")) // emoji never merged
