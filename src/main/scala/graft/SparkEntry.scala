@@ -1029,6 +1029,16 @@ object SparkEntry {
         "vec_id", "embedding", "doc_id", 5)
     }),
 
+    // embedding-space decontamination: train vectors too close to ANY
+    // eval vector flagged with their best eval match — catches the
+    // paraphrased benchmark leakage gram overlap (dd8/dd10) misses
+    "dd24_semantic_decontamination" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.semanticDecontaminate(
+        e.filter(col("vec_id") >= 50), e.filter(col("vec_id") < 50),
+        "vec_id", "embedding", threshold = 0.35)
+    }),
+
     "sim1_bruteforce_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(e.filter("vec_id < 10"), e, "vec_id", "embedding", 5)
@@ -4675,6 +4685,28 @@ object SparkEntry {
         |                         ORDER BY d.n_chars DESC, lab.id ASC) AS rn
         |      FROM lab JOIN documents d ON d.doc_id = lab.id)
         |SELECT cluster, id AS survivor, n_chars AS score FROM j WHERE rn = 1""".stripMargin,
+
+    // the bipartite max-cosine sweep replayed exactly: same norm and
+    // dot folds as sim7, argmax by (cosine DESC, eval_id ASC)
+    "dd24_semantic_decontamination" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> embedding[i] * embedding[i]))) AS nrm
+        |  FROM embeddings),
+        |sc AS (
+        |  SELECT t.vec_id AS train_id, q.vec_id AS eval_id,
+        |         list_sum(list_transform(range(1, 65),
+        |           i -> t.embedding[i] * q.embedding[i]))
+        |           / (t.nrm * q.nrm) AS cosine
+        |  FROM e t JOIN e q ON t.vec_id >= 50 AND q.vec_id < 50
+        |  WHERE t.nrm > 0 AND q.nrm > 0),
+        |f AS (SELECT train_id, eval_id, cosine,
+        |             row_number() OVER (PARTITION BY train_id
+        |               ORDER BY cosine DESC, eval_id ASC) AS rn
+        |      FROM sc WHERE cosine >= 0.35)
+        |SELECT train_id, eval_id, round(cosine, 6) AS cosine
+        |FROM f WHERE rn = 1""".stripMargin,
 
     "sim7_hard_negatives" ->
       """WITH e AS (

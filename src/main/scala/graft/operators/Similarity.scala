@@ -138,6 +138,45 @@ object Similarity {
       .select("query_id", "doc_id", "best_chunk", "rank")
   }
 
+  /** Semantic decontamination — the embedding-space cousin of the
+    * gram-based [[Decontaminate]] family: flag every TRAIN vector
+    * whose cosine to ANY eval vector is at least `threshold`,
+    * reporting the best-matching eval id (ties → smallest id). Gram
+    * overlap misses paraphrased benchmark leakage; this catches it
+    * where the embedding does.
+    *
+    * Scale shape: an eval suite is SMALL BY DEFINITION, so the eval
+    * side broadcasts (the same bounded-side call the vocab/centroid
+    * collects make) and the bipartite sweep is a broadcast
+    * nested-loop the TRAIN side streams through row-locally — the
+    * corpus never shuffles its vectors; the only exchange carries
+    * (train_id, cosine, eval_id) for rows past the threshold, which
+    * is contamination-sized. For an eval side too big to broadcast,
+    * block both sides by shared k-means clusters
+    * ([[graft.operators.Clustering.semanticNearDupPairs]]'s shape)
+    * and sweep within clusters.
+    *
+    * Zero-norm vectors have no direction and are never flagged
+    * (filtered before the division — 0/0 throws under ANSI). */
+  def semanticDecontaminate(train: DataFrame, evalSet: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    val ev = broadcast(evalSet.select(col(idCol).as("eval_id"),
+      col(vecCol).as("ev"), l2norm(col(vecCol)).as("en"))
+      .filter(col("en") > 0))
+    val tr = train.select(col(idCol).as("train_id"), col(vecCol).as("tv"),
+      l2norm(col(vecCol)).as("tn"))
+      .filter(col("tn") > 0)
+    tr.crossJoin(ev)
+      .withColumn("cosine", dot(col("tv"), col("ev")) / (col("tn") * col("en")))
+      .filter(col("cosine") >= threshold)
+      .groupBy("train_id")
+      .agg(max(struct(col("cosine").as("c"), (-col("eval_id")).as("ne"))).as("m"))
+      .select(col("train_id"),
+        (-col("m.ne")).as("eval_id"),
+        round(col("m.c"), 6).as("cosine"))
+  }
+
   /** LSH-bucketed approximate top-k: compare within the query's
     * hyperplane bucket, plus (multi-probe) every bucket at Hamming
     * distance 1 — flipping each plane bit. Probing 1+planes buckets

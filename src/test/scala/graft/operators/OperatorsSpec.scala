@@ -627,6 +627,35 @@ class SimilaritySpec extends SparkTestBase {
     assert(r.getDouble(1) == 5.0)
     assert(math.abs(r.getDouble(2) - 0.96) < 1e-12)
   }
+
+  test("semantic decontamination flags exactly the over-threshold train " +
+      "rows with their best eval match; zero-norm rows immune") {
+    val evalSet = Seq(
+      (100L, Seq(1f, 0f, 0f)),
+      (101L, Seq(0f, 1f, 0f))).toDF("id", "v")
+    val train = Seq(
+      (0L, Seq(0.95f, 0.05f, 0f)),  // near eval 100
+      (1L, Seq(0.7f, 0.7f, 0f)),    // equidistant: cosine tie -> min id
+      (2L, Seq(0f, 0f, 1f)),        // orthogonal to both
+      (3L, Seq(0f, 0f, 0f)),        // zero norm: never flagged
+      (4L, Seq(-1f, 0f, 0f)))       // anti-aligned
+      .toDF("id", "v")
+    val out = Similarity.semanticDecontaminate(train, evalSet,
+        "id", "v", threshold = 0.7)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(0L, 1L))
+    assert(out(0L)._1 == 100L && out(0L)._2 > 0.99)
+    // exact tie between evals 100 and 101: smallest eval id wins
+    assert(out(1L)._1 == 100L)
+    // eval side is broadcast; the train vectors never shuffle
+    val p = Similarity.semanticDecontaminate(train, evalSet,
+      "id", "v", 0.7).queryExecution.executedPlan.toString
+    assert(p.contains("Broadcast"), p)
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).toSeq
+    assert(exchanges.forall(l => !l.contains("tv#")),
+      s"train vectors must not shuffle:\n${exchanges.mkString("\n")}")
+  }
 }
 
 class TextAnalysisSpec extends SparkTestBase {
