@@ -552,6 +552,49 @@ object Probe {
     timed("BPE training ZIPF 50K docs, 96 merges (sec/merge claim)")(
       graft.operators.Tokenizer.trainBpeMerges(zipf, "text",
         numMerges = 96).length.toLong)
+
+    // ---- (d) streaming LSH gate at 10x ----------------------------
+    // 50K docs through the in-flight verifying gate in two real
+    // micro-batches on RocksDB: prices the signature-x-bands state
+    // trade at 10x the bench fixture (the zipf corpus keeps duplicate
+    // clusters production-shaped, so emitted pairs stay bounded)
+    locally {
+      val spark2 = zipf.sparkSession
+      val prev = spark2.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      spark2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val base = s"/tmp/graft_probe_st14_${System.nanoTime()}"
+        val feed = zipf.withColumn("ts",
+          timestamp_seconds(lit(1704067200L) + col("doc_id")))
+        feed.filter(col("doc_id") < 25000).coalesce(1)
+          .write.mode("append").parquet(s"$base/in")
+        feed.filter(col("doc_id") >= 25000).coalesce(1)
+          .write.mode("append").parquet(s"$base/in")
+        timed("st14 streaming LSH gate ZIPF 50K docs, 2 micro-batches")({
+          val stream = spark2.readStream
+            .schema(spark2.read.parquet(s"$base/in").schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+          val hits = graft.streaming.EventStream.streamingLshNearDup(
+            stream, "doc_id", "text", tsCol = "ts", watermark = "30 days",
+            threshold = 0.8)
+          val name = s"probe_st14_${System.nanoTime()}"
+          val q = hits.toDF().writeStream.outputMode("append")
+            .option("checkpointLocation", s"$base/chk")
+            .format("memory").queryName(name).start()
+          try q.processAllAvailable() finally q.stop()
+          spark2.table(name).distinct().count()
+        })
+      } finally {
+        prev match {
+          case Some(v) => spark2.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", v)
+          case None => spark2.conf.unset(
+            "spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }
   }
 
   def r5cprobe(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
