@@ -193,7 +193,11 @@ class QualityFiltersSpec extends SparkTestBase {
       ("https://a.b:8443/x?q=1", "https://a.b:8443/x?q=1"), // real port kept
       ("http://a.b/?utm_source=only", "http://a.b/"),   // lone tracker; root
       ("http://a.b/Path/MixedCase", "http://a.b/Path/MixedCase"), // path case
-      ("http://a.b/p?utm_a=1&utm_b=2&q=3", "http://a.b/p?q=3"))
+      ("http://a.b/p?utm_a=1&utm_b=2&q=3", "http://a.b/p?q=3"),
+      // r6 advisory regression: a :80/ deep in a query value must NOT
+      // be stripped — only the authority's own default port is
+      ("http://a.b/r?next=host:80/x", "http://a.b/r?next=host:80/x"),
+      ("http://a.b:80/r?next=host:443/x", "http://a.b/r?next=host:443/x"))
       .toDF("url", "expect")
     val bad = cases
       .withColumn("got", QualityFilters.canonicalUrl(col("url")))
