@@ -295,6 +295,13 @@ object SparkEntry {
       Tokenizer.trainBpeMerges(t(s, dir, "documents"), "text",
         numMerges = bpeMergeCount))
 
+  private val byteBpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(String, String)]]()
+  private def trainedByteBpe(s: SparkSession, dir: String): Array[(String, String)] =
+    byteBpeCache.computeIfAbsent(dir, _ =>
+      Tokenizer.trainBpeBytes(t(s, dir, "documents"), "text",
+        numMerges = bpeMergeCount))
+
   private val bpeVocabCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]()
   private def trainedBpeVocab(s: SparkSession, dir: String): Seq[(String, Long)] =
@@ -1984,6 +1991,25 @@ object SparkEntry {
           .as("n_tokens"))
     }),
 
+    // BYTE-level BPE (GPT-2-class fidelity): symbols are UTF-8 bytes
+    // as hex pairs, so budgets are byte-faithful on multibyte text;
+    // the oracle replays the trajectory over hex(encode(w)) pairs
+    "tok7_byte_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      trainedByteBpe(s, dir).zipWithIndex
+        .map { case ((l, r), i) => ((i + 1).toLong, l, r, l + r) }.toSeq
+        .toDF("rank", "lhs", "rhs", "merged")
+    }),
+
+    // byte-level application through the codegen kernel: per-doc
+    // token counts in byte-BPE units (== final trajectory state)
+    "tok8_byte_token_counts" -> ((s, dir) => {
+      val merges = trainedByteBpe(s, dir).toSeq
+      t(s, dir, "documents").select(col("doc_id"),
+        Tokenizer.bpeByteCount(merges)(col("text")).cast("long")
+          .as("n_tokens"))
+    }),
+
     // the BPE VOCABULARY table (chars sorted, then merged symbols in
     // learned order; duplicate merged strings keep their first id,
     // HF-style) — the id space tok5's encoding writes in
@@ -3505,16 +3531,24 @@ object SparkEntry {
     * training. Exposes: `mg(rank, l, r)` the merges table, `sN` the
     * final state, `wtok(w, n)` per-word token counts, `doctok` per-doc
     * counts. */
-  private def bpeCte(numMerges: Int): String = {
+  private def bpeCte(numMerges: Int, byteLevel: Boolean = false): String = {
     val rs = "chr(30)"
     val sep2 = s"$rs || $rs"
+    // char mode: one symbol per code point; byte mode: one two-hex
+    // symbol per UTF-8 byte (hex(encode(w)) sliced in pairs) — the
+    // same representation the Spark trainer and kernel use
+    val initSyms =
+      if (byteLevel)
+        "[hex(encode(w))[2*i-1:2*i] for i in range(1, octet_length(encode(w))+1)]"
+      else
+        "[w[i:i] for i in range(1, len(w)+1)]"
     val sb = new StringBuilder
     sb ++= s"""WITH wcnt AS (
       |  SELECT w, count(*) AS f FROM (
       |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
       |    FROM documents) WHERE w <> '' GROUP BY w),
       |s0 AS MATERIALIZED (SELECT w, f,
-      |         $rs || array_to_string([w[i:i] for i in range(1, len(w)+1)],
+      |         $rs || array_to_string($initSyms,
       |                                $sep2) || $rs AS seg
       |       FROM wcnt)""".stripMargin
     for (k <- 1 to numMerges) {
@@ -5729,6 +5763,15 @@ object SparkEntry {
         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         |       string_agg(ids, ' ' ORDER BY doc_id) AS ids_payload
         |FROM cc GROUP BY 1""".stripMargin),
+
+    // byte-level trajectory replay: same chain over hex-pair symbols
+    "tok7_byte_bpe_merges" ->
+      (bpeCte(bpeMergeCount, byteLevel = true) +
+        "\nSELECT rank, l AS lhs, r AS rhs, l || r AS merged FROM mg"),
+
+    "tok8_byte_token_counts" ->
+      (bpeCte(bpeMergeCount, byteLevel = true) +
+        "\nSELECT doc_id, n_tokens FROM doctok"),
 
     // vocab replay: chars ranked ascending, merges offset by |chars|
     // in learned order, duplicate strings keep their min (first) id

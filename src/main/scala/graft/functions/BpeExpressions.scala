@@ -38,8 +38,10 @@ object BpeExpressions {
     * corpus; each task deserializes its own copy, but the map is
     * concurrent in case a plan reference object is ever shared across
     * local-mode task threads). */
-  final class BpeMatcher(merges: Seq[(String, String)]) extends Serializable {
+  final class BpeMatcher(merges: Seq[(String, String)],
+      byteLevel: Boolean = false) extends Serializable {
     private val ms: Array[(String, String)] = merges.toArray
+    private val HEX = "0123456789ABCDEF".toCharArray
     @transient private lazy val memo =
       new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
     private val memoCap = 1 << 16
@@ -57,11 +59,26 @@ object BpeExpressions {
       out.toArray(new Array[String](out.size))
     }
 
+    /** Byte split for the byte-level mode: UTF-8 bytes as two-digit
+      * uppercase hex symbols — same representation the trainer and
+      * the SQL replay (`hex(encode(w))`) use. */
+    private def byteSymbols(w: String): Array[String] = {
+      val bs = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val out = new Array[String](bs.length)
+      var i = 0
+      while (i < bs.length) {
+        val b = bs(i) & 0xff
+        out(i) = new String(Array(HEX(b >>> 4), HEX(b & 0xf)))
+        i += 1
+      }
+      out
+    }
+
     /** Symbols of ONE already-lowercased word after all merges. */
     def symbols(w: String): Array[String] = {
       val hit = memo.get(w)
       if (hit != null) return hit
-      var syms = codePoints(w)
+      var syms = if (byteLevel) byteSymbols(w) else codePoints(w)
       var m = 0
       while (m < ms.length && syms.length > 1) {
         val l = ms(m)._1
@@ -125,15 +142,15 @@ object BpeExpressions {
     }
 
   /** BPE tokens of the text, in order (array<string>). */
-  case class BpeTokens(child: Expression, merges: Seq[(String, String)])
-      extends UnaryExpression {
+  case class BpeTokens(child: Expression, merges: Seq[(String, String)],
+      byteLevel: Boolean = false) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullIntolerant: Boolean = true
     override def prettyName: String = "bpe_tokens"
     override def checkInputDataTypes(): TypeCheckResult =
       requireString(child.dataType, prettyName)
 
-    @transient private lazy val matcher = new BpeMatcher(merges)
+    @transient private lazy val matcher = new BpeMatcher(merges, byteLevel)
 
     def kernel(text: UTF8String): ArrayData = matcher.tokens(text)
 
@@ -152,15 +169,15 @@ object BpeExpressions {
   /** BPE token COUNT of the text (int) — the budget currency for
     * merge-faithful packing/chunking; counts without materializing
     * the token array. */
-  case class BpeCount(child: Expression, merges: Seq[(String, String)])
-      extends UnaryExpression {
+  case class BpeCount(child: Expression, merges: Seq[(String, String)],
+      byteLevel: Boolean = false) extends UnaryExpression {
     override def dataType: DataType = IntegerType
     override def nullIntolerant: Boolean = true
     override def prettyName: String = "bpe_count"
     override def checkInputDataTypes(): TypeCheckResult =
       requireString(child.dataType, prettyName)
 
-    @transient private lazy val matcher = new BpeMatcher(merges)
+    @transient private lazy val matcher = new BpeMatcher(merges, byteLevel)
 
     def kernel(text: UTF8String): Int = matcher.count(text)
 
@@ -250,6 +267,14 @@ object BpeExpressions {
 
   def bpe_count(c: Column, merges: Seq[(String, String)]): Column =
     ExpressionUtils.column(BpeCount(ExpressionUtils.expression(c), merges))
+
+  def bpe_byte_tokens(c: Column, merges: Seq[(String, String)]): Column =
+    ExpressionUtils.column(
+      BpeTokens(ExpressionUtils.expression(c), merges, byteLevel = true))
+
+  def bpe_byte_count(c: Column, merges: Seq[(String, String)]): Column =
+    ExpressionUtils.column(
+      BpeCount(ExpressionUtils.expression(c), merges, byteLevel = true))
 
   def bpe_chunks(c: Column, merges: Seq[(String, String)], maxTokens: Int): Column =
     ExpressionUtils.column(BpeChunks(ExpressionUtils.expression(c), merges, maxTokens))

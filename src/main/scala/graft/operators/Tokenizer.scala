@@ -107,15 +107,38 @@ object Tokenizer {
     * Returns the merges IN LEARNED ORDER — the order
     * [[graft.functions.BpeExpressions]] must apply them in. */
   def trainBpeMerges(docs: DataFrame, textCol: String,
-      numMerges: Int): Array[(String, String)] = {
+      numMerges: Int): Array[(String, String)] =
+    trainBpeMergesImpl(docs, textCol, numMerges, byteLevel = false)
+
+  /** BYTE-level BPE training (GPT-2-class fidelity): symbols are
+    * UTF-8 BYTES, not characters, so budgets and merges are faithful
+    * on multibyte text (a char-level trainer counts 'é' as one unit;
+    * a real byte-level tokenizer starts from its two bytes). Bytes
+    * ride as two-hex-digit symbol strings ("C3", "A9") — printable,
+    * order-preserving, and exactly replayable in SQL via
+    * `hex(encode(w))` — and merged symbols concatenate hex pairs, so
+    * `unhex` on a merged symbol recovers its byte run. Identical loop
+    * to [[trainBpeMerges]] otherwise; the byte alphabet is ≤ 256. */
+  def trainBpeBytes(docs: DataFrame, textCol: String,
+      numMerges: Int): Array[(String, String)] =
+    trainBpeMergesImpl(docs, textCol, numMerges, byteLevel = true)
+
+  private def trainBpeMergesImpl(docs: DataFrame, textCol: String,
+      numMerges: Int, byteLevel: Boolean): Array[(String, String)] = {
     require(numMerges >= 1, "numMerges must be positive")
     val words = docs
       .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("f"))
-    var segs = words.select(col("w"), col("f"),
-      transform(sequence(lit(1), length(col("w"))),
-        i => col("w").substr(i, lit(1))).as("segs"))
+    val initSegs =
+      if (byteLevel) {
+        val hx = hex(encode(col("w"), "UTF-8"))
+        transform(sequence(lit(1), (length(hx) / 2).cast("int")),
+          i => hx.substr(i * 2 - 1, lit(2)))
+      } else
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1)))
+    var segs = words.select(col("w"), col("f"), initSegs.as("segs"))
       .localCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var iter = 0
@@ -164,6 +187,17 @@ object Tokenizer {
     * currency for packing/chunking. */
   def bpeCount(merges: Seq[(String, String)])(text: Column): Column =
     graft.functions.BpeExpressions.bpe_count(text, merges)
+
+  /** Byte-level BPE token count (symbols are UTF-8 bytes as hex
+    * pairs — see [[trainBpeBytes]]): byte-faithful budgets on
+    * multibyte text. */
+  def bpeByteCount(merges: Seq[(String, String)])(text: Column): Column =
+    graft.functions.BpeExpressions.bpe_byte_count(text, merges)
+
+  /** Byte-level BPE tokens (hex-pair symbols; `unhex` a symbol to
+    * recover its byte run). */
+  def bpeByteTokens(text: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.BpeExpressions.bpe_byte_tokens(text, merges)
 
   /** BPE tokens of `text` (array<string>), merges applied in order. */
   def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =

@@ -267,6 +267,40 @@ class TokenizerSpec extends SparkTestBase {
     assert(ids.count(_.isEmpty) == 1)
   }
 
+  test("byte-level BPE: symbols are UTF-8 bytes, budgets diverge from " +
+      "char level exactly on multibyte text") {
+    // no merges: raw unit counts — char level sees code points, byte
+    // level sees UTF-8 bytes
+    val probe = Seq((1L, "café 😀 abc")).toDF("doc_id", "text")
+    val noMerges = Seq.empty[(String, String)]
+    val (charN, byteN) = probe.select(
+        Tokenizer.bpeCount(noMerges)(col("text")),
+        Tokenizer.bpeByteCount(noMerges)(col("text")))
+      .as[(Int, Int)].head()
+    assert(charN == 4 + 1 + 3)      // café=4 cps, emoji=1 cp, abc=3
+    assert(byteN == 5 + 4 + 3)      // café=5 bytes, emoji=4, abc=3
+    // byte tokens round-trip through unhex to the exact UTF-8 bytes
+    val toks = probe.select(
+      Tokenizer.bpeByteTokens(col("text"), noMerges)).as[Seq[String]].head()
+    assert(toks.mkString.grouped(2).map(Integer.parseInt(_, 16).toByte)
+      .toArray.sameElements("café😀abc".getBytes("UTF-8")))
+    // trained byte merges produce hex-pair-concatenated symbols whose
+    // unhex is a real substring of a corpus word
+    val merges = Tokenizer.trainBpeBytes(docs, "text", numMerges = 8)
+    assert(merges.nonEmpty)
+    merges.foreach { case (l, r) =>
+      assert((l + r).length % 2 == 0)
+      assert((l + r).forall(c => "0123456789ABCDEF".contains(c)))
+    }
+    val corpusText = docs.select(lower(trim(col("text"))))
+      .as[String].collect().mkString(" ")
+    merges.take(3).foreach { case (l, r) =>
+      val bytes = (l + r).grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      assert(corpusText.contains(s), s"merged '$s' not in corpus")
+    }
+  }
+
   test("BPE: non-BMP characters stay single symbols (no surrogate splits)") {
     val emoji = Seq((1L, "ab 😀😀 ab")).toDF("doc_id", "text")
     val merges = Seq(("a", "b")) // emoji never merged
