@@ -124,7 +124,18 @@ object Clustering {
     * then one aggregate to k rows — the evaluation costs what an
     * assignment pass costs. distSq clamps at 0: the |v|²−2v·c+|c|²
     * form can go epsilon-negative under cancellation and sqrt(NaN)
-    * would poison the mean. */
+    * would poison the mean.
+    *
+    * Determinism note (the one float caveat this file carries):
+    * avg(s) sums per-row doubles, so partition/merge order can move
+    * the sum's low bits run-to-run — round(…, 6) could in principle
+    * flap at an exact half-boundary against the kmeans2 oracle. The
+    * per-row silhouettes can't be integerized (a ratio of square
+    * roots), and sorting corpus-sized rows for a deterministic fold
+    * is not a bounded operation — unlike entropy's count-of-counts —
+    * so the risk is accepted and documented rather than hidden; if
+    * kmeans2 ever flaps, the rows-only fallback is the documented
+    * remedy. */
   def silhouette(df: DataFrame, idCol: String, vecCol: String,
       k: Int, maxIter: Int): DataFrame = {
     require(k >= 2, s"silhouette needs k >= 2: $k")
