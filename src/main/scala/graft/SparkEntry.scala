@@ -2010,6 +2010,18 @@ object SparkEntry {
           .as("n_tokens"))
     }),
 
+    // byte-level id encoding: TOTAL by construction (the 256-byte
+    // alphabet covers every input — byte-level BPE's defining
+    // property, no OOV possible)
+    "tok9_byte_token_ids" -> ((s, dir) => {
+      val merges = trainedByteBpe(s, dir).toSeq
+      val vocab = Tokenizer.bpeByteVocabTable(merges)
+      val ids = Tokenizer.bpeByteIds(col("text"), merges, vocab)
+      t(s, dir, "documents").select(col("doc_id"),
+        size(ids).cast("long").as("n_tokens"),
+        array_join(transform(ids, _.cast("string")), " ").as("ids"))
+    }),
+
     // the BPE VOCABULARY table (chars sorted, then merged symbols in
     // learned order; duplicate merged strings keep their first id,
     // HF-style) — the id space tok5's encoding writes in
@@ -5763,6 +5775,38 @@ object SparkEntry {
         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
         |       string_agg(ids, ' ' ORDER BY doc_id) AS ids_payload
         |FROM cc GROUP BY 1""".stripMargin),
+
+    // byte-id replay: the CLOSED 256-byte alphabet (ids 1..256 in
+    // byte order) + merges, final segmentations re-encoded per doc
+    "tok9_byte_token_ids" ->
+      (bpeCte(bpeMergeCount, byteLevel = true) + s""",
+        |cv AS (SELECT upper(lpad(to_hex(i), 2, '0')) AS tok,
+        |               CAST(i + 1 AS BIGINT) AS id
+        |       FROM (SELECT unnest(range(0, 256)) AS i)),
+        |mv AS (SELECT l || r AS tok, CAST(rank + 256 AS BIGINT) AS id FROM mg),
+        |uni AS (SELECT tok, min(id) AS id
+        |        FROM (SELECT * FROM cv UNION ALL SELECT * FROM mv)
+        |        GROUP BY tok),
+        |wsym AS (SELECT w, string_split(seg[2:len(seg)-1], chr(30) || chr(30)) AS syms
+        |         FROM s$bpeMergeCount),
+        |wse AS (SELECT w, i, syms[i] AS tok
+        |        FROM wsym, unnest(generate_series(1, len(syms))) t(i)),
+        |wstr AS (SELECT w.w, string_agg(CAST(u.id AS VARCHAR), ' ' ORDER BY w.i) AS ids,
+        |                CAST(count(*) AS BIGINT) AS n
+        |         FROM wse w JOIN uni u USING (tok) GROUP BY w.w),
+        |pw AS (SELECT doc_id, unnest([{'pos': i, 'wr': lr[i]}
+        |                              for i in range(1, len(lr)+1)],
+        |                             recursive := true)
+        |       FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS lr
+        |             FROM documents)),
+        |pz AS (SELECT p.doc_id, p.pos, ws.ids, ws.n
+        |       FROM pw p JOIN wstr ws ON ws.w = lower(p.wr)),
+        |agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |               string_agg(ids, ' ' ORDER BY pos) AS ids
+        |        FROM pz GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+        |       coalesce(a.ids, '') AS ids
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin),
 
     // byte-level trajectory replay: same chain over hex-pair symbols
     "tok7_byte_bpe_merges" ->

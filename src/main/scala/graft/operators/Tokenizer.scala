@@ -237,6 +237,32 @@ object Tokenizer {
     seen.toSeq
   }
 
+  /** BYTE-level vocabulary table: the FULL 256-byte alphabet (ids
+    * 1..256, hex-pair order = byte order) followed by the learned
+    * byte merges — the defining property of byte-level BPE falls out:
+    * EVERY possible input encodes, no out-of-vocab token can exist
+    * (contrast [[bpeVocabTable]]'s corpus-alphabet + null-OOV
+    * contract). No corpus scan needed: the alphabet is closed. */
+  def bpeByteVocabTable(
+      merges: Seq[(String, String)]): Seq[(String, Long)] = {
+    val alphabet = (0 until 256).map(b => f"$b%02X")
+    val all = alphabet ++ merges.map { case (l, r) => l + r }
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    all.zipWithIndex.foreach { case (t, i) =>
+      if (!seen.contains(t)) seen(t) = i + 1L
+    }
+    seen.toSeq
+  }
+
+  /** Byte-level token-ID encoding: total — never null — because the
+    * byte alphabet covers every input ([[bpeByteVocabTable]]). */
+  def bpeByteIds(text: Column, merges: Seq[(String, String)],
+      vocab: Seq[(String, Long)]): Column = {
+    val m = typedlit(vocab.toMap)
+    transform(graft.functions.BpeExpressions.bpe_byte_tokens(text, merges),
+      t => element_at(m, t))
+  }
+
   /** Token-ID encoding — the form a training pipeline actually ships:
     * BPE tokens mapped through the vocabulary to integer ids, as one
     * codegen tokenize pass plus a literal-map lookup (no join, no

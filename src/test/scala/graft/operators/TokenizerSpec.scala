@@ -301,6 +301,27 @@ class TokenizerSpec extends SparkTestBase {
     }
   }
 
+  test("byte-level ids are TOTAL: any input encodes, no OOV possible") {
+    val merges = Tokenizer.trainBpeBytes(docs, "text", numMerges = 8).toSeq
+    val vocab = Tokenizer.bpeByteVocabTable(merges)
+    assert(vocab.length >= 256)
+    assert(vocab.take(256).map(_._2) == (1L to 256L))
+    // text full of characters the corpus never saw — still encodes
+    // with zero nulls (contrast the char-level OOV-null contract)
+    val fresh = Seq((1L, "Ωμέγα 😀 § 中文 zebra £")).toDF("doc_id", "text")
+    val ids = fresh.select(
+      Tokenizer.bpeByteIds(col("text"), merges, vocab)).as[Seq[Long]].head()
+    assert(ids.nonEmpty && ids.forall(_ >= 1L))
+    // and round-trips: ids -> hex symbols -> bytes == the UTF-8 bytes
+    val rev = vocab.map { case (t, i) => i -> t }.toMap
+    val bytes = ids.map(rev).mkString.grouped(2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+    assert(bytes.sameElements(
+      "ωμέγα 😀 § 中文 zebra £".filter(_ != ' ').mkString
+        .getBytes("UTF-8")) ||
+      new String(bytes, "UTF-8") == "ωμέγα😀§中文zebra£")
+  }
+
   test("BPE: non-BMP characters stay single symbols (no surrogate splits)") {
     val emoji = Seq((1L, "ab 😀😀 ab")).toDF("doc_id", "text")
     val merges = Seq(("a", "b")) // emoji never merged
