@@ -55,7 +55,12 @@ object Bench {
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
       }
     }
-    val seed = sys.env.get("SPARK_GRAFT_BENCH_SEED").map(_.toLong).getOrElse(42L)
+    val seed = sys.env.get("SPARK_GRAFT_BENCH_SEED").flatMap { s =>
+      val p = scala.util.Try(s.toLong).toOption
+      if (p.isEmpty) System.err.println(
+        s"[bench] ignoring malformed SPARK_GRAFT_BENCH_SEED='$s', using 42")
+      p
+    }.getOrElse(42L)
     val base = selected.toSeq.sortBy(_._1)
     def pass(shuffleSeed: Long): Map[String, Either[String, Double]] = {
       val order = new scala.util.Random(shuffleSeed).shuffle(base)

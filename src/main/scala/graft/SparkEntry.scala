@@ -3039,7 +3039,7 @@ object SparkEntry {
         val q = hits.toDF().writeStream.outputMode("append")
           .option("checkpointLocation", s"$base/chk")
           .format("memory").queryName(name).start()
-        q.processAllAvailable(); q.stop()
+        try q.processAllAvailable() finally q.stop()
         // multi-band emissions are identical rows; distinct restores
         // set semantics (batch post-step, st11-style)
         s.table(name).distinct()
@@ -3595,6 +3595,62 @@ object SparkEntry {
       |           FROM documents d LEFT JOIN cnt c USING (doc_id))""".stripMargin
     sb.toString
   }
+
+  /** Shared vocab-replay suffix for the BPE id oracles: `alphabetCv`
+    * must define cv(tok, id); merges get ids offset by |alphabet|,
+    * duplicate token strings keep their min (first) id. Requires `mg`
+    * from [[bpeCte]]. */
+  private def bpeVocabCtes(alphabetCv: String): String =
+    s""",
+      |cv AS ($alphabetCv),
+      |nch AS (SELECT count(*) AS n FROM cv),
+      |mv AS (SELECT l || r AS tok,
+      |         CAST(rank + (SELECT n FROM nch) AS BIGINT) AS id FROM mg),
+      |uni AS (SELECT tok, min(id) AS id
+      |        FROM (SELECT * FROM cv UNION ALL SELECT * FROM mv)
+      |        GROUP BY tok)""".stripMargin
+
+  /** The corpus-alphabet cv (char-level: distinct corpus chars ranked
+    * ascending) for [[bpeVocabCtes]]. */
+  private val bpeCharAlphabetCv: String =
+    """SELECT tok, CAST(row_number() OVER (ORDER BY tok ASC)
+      |         AS BIGINT) AS id
+      |       FROM (SELECT DISTINCT unnest([w[i:i] for i in range(1, len(w)+1)]) AS tok
+      |             FROM wcnt)""".stripMargin
+
+  /** The CLOSED byte alphabet cv (ids 1..256 in byte order). */
+  private val bpeByteAlphabetCv: String =
+    """SELECT upper(lpad(to_hex(i), 2, '0')) AS tok,
+      |               CAST(i + 1 AS BIGINT) AS id
+      |       FROM (SELECT unnest(range(0, 256)) AS i)""".stripMargin
+
+  /** Shared id-encoding suffix: final segmentations re-split to
+    * symbols with positions, joined to `uni`, re-joined per doc in
+    * word order; `docids` covers every doc (empty docs get 0 tokens /
+    * empty ids). Requires [[bpeVocabCtes]] and the trajectory's final
+    * state `s<N>`. */
+  private def bpeEncodeCtes(finalState: String): String =
+    s""",
+      |wsym AS (SELECT w, string_split(seg[2:len(seg)-1], chr(30) || chr(30)) AS syms
+      |         FROM $finalState),
+      |wse AS (SELECT w, i, syms[i] AS tok
+      |        FROM wsym, unnest(generate_series(1, len(syms))) t(i)),
+      |wstr AS (SELECT w.w, string_agg(CAST(u.id AS VARCHAR), ' ' ORDER BY w.i) AS ids,
+      |                CAST(count(*) AS BIGINT) AS n
+      |         FROM wse w JOIN uni u USING (tok) GROUP BY w.w),
+      |pw AS (SELECT doc_id, unnest([{'pos': i, 'wr': lr[i]}
+      |                              for i in range(1, len(lr)+1)],
+      |                             recursive := true)
+      |       FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS lr
+      |             FROM documents)),
+      |pz AS (SELECT p.doc_id, p.pos, ws.ids, ws.n
+      |       FROM pw p JOIN wstr ws ON ws.w = lower(p.wr)),
+      |agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+      |               string_agg(ids, ' ' ORDER BY pos) AS ids
+      |        FROM pz GROUP BY doc_id),
+      |docids AS (SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+      |                  coalesce(a.ids, '') AS ids
+      |           FROM documents d LEFT JOIN agg a USING (doc_id))""".stripMargin
 
   private val subwordCte: String =
     """WITH RECURSIVE wcnt AS (
@@ -5735,37 +5791,8 @@ object SparkEntry {
     // id payload replay: tok5's per-doc id strings, pack3's shard
     // assignment over BPE counts, per-shard ordered string_agg
     "pack6_token_id_payload" ->
-      (bpeCte(bpeMergeCount) + s""",
-        |cv AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok ASC)
-        |         AS BIGINT) AS id
-        |       FROM (SELECT DISTINCT unnest([w[i:i] for i in range(1, len(w)+1)]) AS tok
-        |             FROM wcnt)),
-        |nch AS (SELECT count(*) AS n FROM cv),
-        |mv AS (SELECT l || r AS tok,
-        |         CAST(rank + (SELECT n FROM nch) AS BIGINT) AS id FROM mg),
-        |uni AS (SELECT tok, min(id) AS id
-        |        FROM (SELECT * FROM cv UNION ALL SELECT * FROM mv)
-        |        GROUP BY tok),
-        |wsym AS (SELECT w, string_split(seg[2:len(seg)-1], chr(30) || chr(30)) AS syms
-        |         FROM s$bpeMergeCount),
-        |wse AS (SELECT w, i, syms[i] AS tok
-        |        FROM wsym, unnest(generate_series(1, len(syms))) t(i)),
-        |wstr AS (SELECT w.w, string_agg(CAST(u.id AS VARCHAR), ' ' ORDER BY w.i) AS ids,
-        |                CAST(count(*) AS BIGINT) AS n
-        |         FROM wse w JOIN uni u USING (tok) GROUP BY w.w),
-        |pw AS (SELECT doc_id, unnest([{'pos': i, 'wr': lr[i]}
-        |                              for i in range(1, len(lr)+1)],
-        |                             recursive := true)
-        |       FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS lr
-        |             FROM documents)),
-        |pz AS (SELECT p.doc_id, p.pos, ws.ids, ws.n
-        |       FROM pw p JOIN wstr ws ON ws.w = lower(p.wr)),
-        |dagg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
-        |               string_agg(ids, ' ' ORDER BY pos) AS ids
-        |        FROM pz GROUP BY doc_id),
-        |docids AS (SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
-        |                  coalesce(a.ids, '') AS ids
-        |           FROM documents d LEFT JOIN dagg a USING (doc_id)),
+      (bpeCte(bpeMergeCount) + bpeVocabCtes(bpeCharAlphabetCv) +
+        bpeEncodeCtes(s"s$bpeMergeCount") + """,
         |cc AS (SELECT doc_id, n_tokens, ids,
         |       sum(n_tokens) OVER (ORDER BY doc_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
@@ -5779,34 +5806,10 @@ object SparkEntry {
     // byte-id replay: the CLOSED 256-byte alphabet (ids 1..256 in
     // byte order) + merges, final segmentations re-encoded per doc
     "tok9_byte_token_ids" ->
-      (bpeCte(bpeMergeCount, byteLevel = true) + s""",
-        |cv AS (SELECT upper(lpad(to_hex(i), 2, '0')) AS tok,
-        |               CAST(i + 1 AS BIGINT) AS id
-        |       FROM (SELECT unnest(range(0, 256)) AS i)),
-        |mv AS (SELECT l || r AS tok, CAST(rank + 256 AS BIGINT) AS id FROM mg),
-        |uni AS (SELECT tok, min(id) AS id
-        |        FROM (SELECT * FROM cv UNION ALL SELECT * FROM mv)
-        |        GROUP BY tok),
-        |wsym AS (SELECT w, string_split(seg[2:len(seg)-1], chr(30) || chr(30)) AS syms
-        |         FROM s$bpeMergeCount),
-        |wse AS (SELECT w, i, syms[i] AS tok
-        |        FROM wsym, unnest(generate_series(1, len(syms))) t(i)),
-        |wstr AS (SELECT w.w, string_agg(CAST(u.id AS VARCHAR), ' ' ORDER BY w.i) AS ids,
-        |                CAST(count(*) AS BIGINT) AS n
-        |         FROM wse w JOIN uni u USING (tok) GROUP BY w.w),
-        |pw AS (SELECT doc_id, unnest([{'pos': i, 'wr': lr[i]}
-        |                              for i in range(1, len(lr)+1)],
-        |                             recursive := true)
-        |       FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS lr
-        |             FROM documents)),
-        |pz AS (SELECT p.doc_id, p.pos, ws.ids, ws.n
-        |       FROM pw p JOIN wstr ws ON ws.w = lower(p.wr)),
-        |agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
-        |               string_agg(ids, ' ' ORDER BY pos) AS ids
-        |        FROM pz GROUP BY doc_id)
-        |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
-        |       coalesce(a.ids, '') AS ids
-        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin),
+      (bpeCte(bpeMergeCount, byteLevel = true) +
+        bpeVocabCtes(bpeByteAlphabetCv) +
+        bpeEncodeCtes(s"s$bpeMergeCount") +
+        "\nSELECT doc_id, n_tokens, ids FROM docids"),
 
     // byte-level trajectory replay: same chain over hex-pair symbols
     "tok7_byte_bpe_merges" ->
@@ -5820,53 +5823,16 @@ object SparkEntry {
     // vocab replay: chars ranked ascending, merges offset by |chars|
     // in learned order, duplicate strings keep their min (first) id
     "tok6_bpe_vocab" ->
-      (bpeCte(bpeMergeCount) + """,
-        |cv AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok ASC)
-        |         AS BIGINT) AS id
-        |       FROM (SELECT DISTINCT unnest([w[i:i] for i in range(1, len(w)+1)]) AS tok
-        |             FROM wcnt)),
-        |nch AS (SELECT count(*) AS n FROM cv),
-        |mv AS (SELECT l || r AS tok,
-        |         CAST(rank + (SELECT n FROM nch) AS BIGINT) AS id FROM mg)
-        |SELECT tok AS token, min(id) AS id
-        |FROM (SELECT * FROM cv UNION ALL SELECT * FROM mv)
-        |GROUP BY tok""".stripMargin),
+      (bpeCte(bpeMergeCount) + bpeVocabCtes(bpeCharAlphabetCv) +
+        "\nSELECT tok AS token, id FROM uni"),
 
     // id encoding replay: final segmentations split back to symbols
     // with positions, joined to the replayed vocab, re-joined per doc
     // in word order
     "tok5_bpe_token_ids" ->
-      (bpeCte(bpeMergeCount) + s""",
-        |cv AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok ASC)
-        |         AS BIGINT) AS id
-        |       FROM (SELECT DISTINCT unnest([w[i:i] for i in range(1, len(w)+1)]) AS tok
-        |             FROM wcnt)),
-        |nch AS (SELECT count(*) AS n FROM cv),
-        |mv AS (SELECT l || r AS tok,
-        |         CAST(rank + (SELECT n FROM nch) AS BIGINT) AS id FROM mg),
-        |uni AS (SELECT tok, min(id) AS id
-        |        FROM (SELECT * FROM cv UNION ALL SELECT * FROM mv)
-        |        GROUP BY tok),
-        |wsym AS (SELECT w, string_split(seg[2:len(seg)-1], chr(30) || chr(30)) AS syms
-        |         FROM s$bpeMergeCount),
-        |wse AS (SELECT w, i, syms[i] AS tok
-        |        FROM wsym, unnest(generate_series(1, len(syms))) t(i)),
-        |wstr AS (SELECT w.w, string_agg(CAST(u.id AS VARCHAR), ' ' ORDER BY w.i) AS ids,
-        |                CAST(count(*) AS BIGINT) AS n
-        |         FROM wse w JOIN uni u USING (tok) GROUP BY w.w),
-        |pw AS (SELECT doc_id, unnest([{'pos': i, 'wr': lr[i]}
-        |                              for i in range(1, len(lr)+1)],
-        |                             recursive := true)
-        |       FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS lr
-        |             FROM documents)),
-        |pz AS (SELECT p.doc_id, p.pos, ws.ids, ws.n
-        |       FROM pw p JOIN wstr ws ON ws.w = lower(p.wr)),
-        |agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
-        |               string_agg(ids, ' ' ORDER BY pos) AS ids
-        |        FROM pz GROUP BY doc_id)
-        |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
-        |       coalesce(a.ids, '') AS ids
-        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin),
+      (bpeCte(bpeMergeCount) + bpeVocabCtes(bpeCharAlphabetCv) +
+        bpeEncodeCtes(s"s$bpeMergeCount") +
+        "\nSELECT doc_id, n_tokens, ids FROM docids"),
 
     // trainVocab's array order replayed: alphabet sorted asc, then
     // substrings by (score desc, tok asc) with offset ranks
@@ -6833,12 +6799,13 @@ object SparkEntry {
         |canon AS (
         |  SELECT doc_id, url,
         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |      regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         |        c, '#.*$', ''),
         |        '&(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
         |        '\?(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&', '?'),
         |        '\?(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*$', ''),
-        |        '^(https?://[^/?#]*):(80|443)([/?]|$)', '\1\3'),
+        |        '^(http://[^/?#]*):80([/?]|$)', '\1\2'),
+        |        '^(https://[^/?#]*):443([/?]|$)', '\1\2'),
         |        '[?&]$', ''),
         |        '(//[^/]+/.*[^/])/$', '\1') AS canonical
         |  FROM lo)
@@ -6875,12 +6842,13 @@ object SparkEntry {
         |steps AS (
         |  SELECT doc_id, url, domain,
         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |      regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         |        c, '#.*$', ''),
         |        '&(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
         |        '\?(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&', '?'),
         |        '\?(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*$', ''),
-        |        '^(https?://[^/?#]*):(80|443)([/?]|$)', '\1\3'),
+        |        '^(http://[^/?#]*):80([/?]|$)', '\1\2'),
+        |        '^(https://[^/?#]*):443([/?]|$)', '\1\2'),
         |        '[?&]$', ''),
         |        '(//[^/]+/.*[^/])/$', '\1') AS canonical
         |  FROM lo)

@@ -319,9 +319,12 @@ object Decontaminate {
     * gaps-and-islands merge reconstructs the maximal region without
     * any pairwise extension step — extension is what consecutive
     * anchors already encode. `minChars` is the L-chars floor applied
-    * to each merged region (measured on the whitespace-normalized
-    * text, the same ruler [[spanCharOffsets]] uses); regions below it
-    * are organic short overlaps, not boilerplate, and stay.
+    * to each maximal consecutive-anchor run (PER ISLAND, BEFORE any
+    * overlapping islands merge inside [[excise]] — two sub-floor
+    * islands whose merged extent would pass the floor both stay;
+    * measured on the whitespace-normalized text, the same ruler
+    * [[spanCharOffsets]] uses); runs below it are organic short
+    * overlaps, not boilerplate, and stay.
     *
     * Word resolution is deliberate: excision must not split a word,
     * and the corpus convention normalizes whitespace anyway — a

@@ -37,17 +37,25 @@ object Dedup {
   private def spread(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val p = spark.sparkContext.defaultParallelism
-    // estimate the scan width from OPTIMIZER STATS, not df.rdd (which
-    // would force a full RDD-lineage conversion just to ask a width
-    // question): a file scan splits into ~sizeInBytes/maxPartitionBytes
-    // tasks, so inputs past p*maxPartitionBytes already carry >= p
-    // partitions and the repartition is skipped — same decision as the
-    // old getNumPartitions probe on every call site (all parquet-backed),
-    // with zero planning side effects
-    val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
-    val widthEst = df.queryExecution.optimizedPlan.stats.sizeInBytes /
-      BigInt(math.max(maxPart, 1L))
-    if (widthEst < p) df.repartition(p) else df
+    // estimate the scan width from OPTIMIZER STATS where they carry
+    // signal, not df.rdd (which would force a full RDD-lineage
+    // conversion just to ask a width question): a file scan splits
+    // into ~sizeInBytes/maxPartitionBytes tasks, so inputs past
+    // p*maxPartitionBytes already carry >= p partitions and the
+    // repartition is skipped — the same decision as a partition-count
+    // probe on every file-backed call site, with zero planning side
+    // effects. Sources WITHOUT real stats (JDBC and friends report
+    // defaultSizeInBytes, which would read as "huge" and wrongly skip
+    // the spread of a 1-partition scan) fall back to the RDD probe —
+    // they pay the conversion, file scans never do.
+    val stats = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (stats >= BigInt(spark.sessionState.conf.defaultSizeInBytes)) {
+      if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    } else {
+      val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
+      val widthEst = stats / BigInt(math.max(maxPart, 1L))
+      if (widthEst < p) df.repartition(p) else df
+    }
   }
 
   /** Word k-shingles of normalized text, distinct. */

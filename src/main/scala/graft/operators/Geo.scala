@@ -36,18 +36,26 @@ object Geo {
 
   /** All point pairs within `radiusKm`, by grid bucketing: one row
     * per (id_a < id_b) pair with the rounded distance. `cellDeg` must
-    * make one cell at least `radiusKm` wide at the worst latitude —
-    * 1° of longitude is ~55.597 km at 60° (R = 6371.0088), and the
-    * great-circle worst-case Δlon for a radius-r pair is slightly
-    * wider than r/cos(60°), so the guard uses 55.5 km/deg, rounded
-    * DOWN past both effects — a qualifying pair is then never more
-    * than one cell apart on either axis. */
+    * make one cell at least as wide as the WORST-CASE Δlon of a
+    * radius-r pair at |lat| ≤ 60 — computed EXACTLY as
+    * Δlon = degrees(2·asin(sin(r/2R)/cos 60°)) (both endpoints on the
+    * 60° parallel maximize the longitude gap; a linear km-per-degree
+    * constant understates this above ~800 km, which round-6 review
+    * caught) — so a qualifying pair is never more than one cell apart
+    * on either axis. Longitudes must also stay `cellDeg` away from
+    * the antimeridian (cells don't wrap at ±180; enforced loudly like
+    * the latitude contract). */
   def pairsWithinKm(df: DataFrame, idCol: String, latCol: String,
       lonCol: String, radiusKm: Double, cellDeg: Double): DataFrame = {
     require(radiusKm > 0 && cellDeg > 0, s"radius=$radiusKm cell=$cellDeg")
-    require(cellDeg * 55.5 >= radiusKm,
+    require(radiusKm <= math.Pi * earthRadiusKm,
+      s"radius $radiusKm exceeds half the great circle")
+    val worstDlonDeg = math.toDegrees(
+      2.0 * math.asin(math.min(1.0,
+        math.sin(radiusKm / (2.0 * earthRadiusKm)) / math.cos(math.toRadians(60.0)))))
+    require(cellDeg >= worstDlonDeg,
       s"cellDeg $cellDeg too fine for radius $radiusKm km at |lat| <= 60 " +
-        s"(needs >= ${radiusKm / 55.5})")
+        s"(worst-case delta-lon is $worstDlonDeg deg; needs >= that)")
     val guarded = df.select(col(idCol).as("id"),
       col(latCol).cast("double").as("lat"),
       col(lonCol).cast("double").as("lon"))
@@ -56,6 +64,15 @@ object Geo {
           .otherwise(raise_error(concat(
             lit("pairsWithinKm: |lat| <= 60 contract violated: "),
             col("lat").cast("string")))))
+      // cells don't wrap at the antimeridian: a pair straddling +/-180
+      // would land in non-adjacent columns and be silently missed —
+      // fail loudly instead (same contract style as the lat guard)
+      .withColumn("lon",
+        when(abs(col("lon")) <= 180.0 - cellDeg, col("lon"))
+          .otherwise(raise_error(concat(
+            lit(s"pairsWithinKm: |lon| <= ${180.0 - cellDeg} contract " +
+              "violated (antimeridian margin of one cell): "),
+            col("lon").cast("string")))))
     val cellR = floor(col("lat") / cellDeg).cast("long")
     val cellC = floor(col("lon") / cellDeg).cast("long")
     // left side fans out to its 3x3 neighborhood; right side stays in

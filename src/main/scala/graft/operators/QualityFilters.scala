@@ -107,11 +107,13 @@ object QualityFilters {
     val p1 = regexp_replace(noFrag, s"&$track=[^&#]*", "")
     val p2 = regexp_replace(p1, s"\\?$track=[^&#]*&", "?")
     val p3 = regexp_replace(p2, s"\\?$track=[^&#]*$$", "")
-    // default-port strip ANCHORED to the authority: an unanchored
-    // `:80/` would also fire inside a path or query value (e.g.
-    // ?next=host:80/x) and corrupt it
-    val noPort = regexp_replace(p3,
-      "^(https?://[^/?#]*):(80|443)([/?]|$)", "$1$3")
+    // default-port strip ANCHORED to the authority (an unanchored
+    // `:80/` would also fire inside a path or query value) and
+    // SCHEME-MATCHED (r6 review: :80 on https is a real non-default
+    // port — stripping it would merge distinct origins)
+    val noPort = regexp_replace(
+      regexp_replace(p3, "^(http://[^/?#]*):80([/?]|$)", "$1$2"),
+      "^(https://[^/?#]*):443([/?]|$)", "$1$2")
     val noTail = regexp_replace(noPort, "[?&]$", "")
     regexp_replace(noTail, "(//[^/]+/.*[^/])/$", "$1")
   }

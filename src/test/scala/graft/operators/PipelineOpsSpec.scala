@@ -197,7 +197,11 @@ class QualityFiltersSpec extends SparkTestBase {
       // r6 advisory regression: a :80/ deep in a query value must NOT
       // be stripped — only the authority's own default port is
       ("http://a.b/r?next=host:80/x", "http://a.b/r?next=host:80/x"),
-      ("http://a.b:80/r?next=host:443/x", "http://a.b/r?next=host:443/x"))
+      ("http://a.b:80/r?next=host:443/x", "http://a.b/r?next=host:443/x"),
+      // r6 review: the strip is SCHEME-MATCHED — :80 on https and
+      // :443 on http are real non-default ports, distinct origins
+      ("https://a.b:80/x", "https://a.b:80/x"),
+      ("http://a.b:443/x", "http://a.b:443/x"))
       .toDF("url", "expect")
     val bad = cases
       .withColumn("got", QualityFilters.canonicalUrl(col("url")))
