@@ -34,7 +34,7 @@ object Dedup {
     * real scale inputs already carry thousands of partitions and this
     * is a no-op (no shuffle inserted).
     */
-  private def spread(df: DataFrame): DataFrame = {
+  private[operators] def spread(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val p = spark.sparkContext.defaultParallelism
     // estimate the scan width from OPTIMIZER STATS where they carry
