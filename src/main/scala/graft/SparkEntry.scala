@@ -2878,8 +2878,7 @@ object SparkEntry {
         s"$base/chk",
         b => graft.streaming.EventStream.latestPerKey(
           b, Seq("USER_ID"), Seq("TS", "EVENT_ID")))
-      q.processAllAvailable()
-      q.stop()
+      try q.processAllAvailable() finally q.stop()
       val back = JdbcConnector.read(s, SourceConf(connect = url,
         table = Some("LATEST"), partitions = 1))
       ntz(back.toDF(back.columns.map(_.toLowerCase).toIndexedSeq: _*))
@@ -3080,7 +3079,7 @@ object SparkEntry {
       val q = joined.writeStream.outputMode("append")
         .option("checkpointLocation", s"$base/chk")
         .format("memory").queryName(name).start()
-      q.processAllAvailable(); q.stop()
+      try q.processAllAvailable() finally q.stop()
       s.table(name)
     }),
 
@@ -3101,7 +3100,7 @@ object SparkEntry {
         .option("maxFilesPerTrigger", 1).parquet(in)
       val q = graft.streaming.EventStream.streamingCountMin(
         stream, col("it"), depth = 4, width = 64, name, s"$base/chk")
-      q.processAllAvailable(); q.stop()
+      try q.processAllAvailable() finally q.stop()
       val exact = items.groupBy(col("it").as("item"))
         .agg(count(lit(1)).as("n_true"))
       Profiling.cmsEstimates(exact, s.table(name), depth = 4, width = 64)

@@ -42,19 +42,27 @@ object Dedup {
     // conversion just to ask a width question): a file scan splits
     // into ~sizeInBytes/maxPartitionBytes tasks, so inputs past
     // p*maxPartitionBytes already carry >= p partitions and the
-    // repartition is skipped — the same decision as a partition-count
-    // probe on every file-backed call site, with zero planning side
-    // effects. Sources WITHOUT real stats (JDBC and friends report
-    // defaultSizeInBytes, which would read as "huge" and wrongly skip
-    // the spread of a 1-partition scan) fall back to the RDD probe —
-    // they pay the conversion, file scans never do.
-    val stats = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (stats >= BigInt(spark.sessionState.conf.defaultSizeInBytes)) {
+    // repartition is skipped with zero planning side effects — the
+    // hot 100 TB case pays nothing. Stats are UNTRUSTED when any LEAF
+    // reports the unknown-size sentinel (JDBC and RDD relations; the
+    // leaf check matters because a Project above such a source SCALES
+    // the sentinel below the root-level threshold) — then the RDD
+    // probe decides, paying the conversion only off the file path.
+    // When trusted stats say "narrow", the probe CONFIRMS before
+    // repartitioning (narrow data makes the probe cheap, and it stops
+    // a small-bytes input that already carries >= p partitions from
+    // being shuffled back down to p).
+    val plan = df.queryExecution.optimizedPlan
+    val sentinel = BigInt(spark.sessionState.conf.defaultSizeInBytes)
+    val statsUnknown = plan.collectLeaves()
+      .exists(_.stats.sizeInBytes >= sentinel)
+    def probeSpread(): DataFrame =
       if (df.rdd.getNumPartitions < p) df.repartition(p) else df
-    } else {
+    if (statsUnknown) probeSpread()
+    else {
       val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
-      val widthEst = stats / BigInt(math.max(maxPart, 1L))
-      if (widthEst < p) df.repartition(p) else df
+      val widthEst = plan.stats.sizeInBytes / BigInt(math.max(maxPart, 1L))
+      if (widthEst < p) probeSpread() else df
     }
   }
 

@@ -50,17 +50,25 @@ object Geo {
     require(radiusKm > 0 && cellDeg > 0, s"radius=$radiusKm cell=$cellDeg")
     require(radiusKm <= math.Pi * earthRadiusKm,
       s"radius $radiusKm exceeds half the great circle")
+    // bound computed for radius + 1e-3 km (the round(dist,3) output
+    // window can admit pairs a half-millimeter-km past radiusKm) and
+    // required with 0.1% slack — equality with zero margin would let
+    // a boundary-straddling pair land two columns apart
     val worstDlonDeg = math.toDegrees(
       2.0 * math.asin(math.min(1.0,
-        math.sin(radiusKm / (2.0 * earthRadiusKm)) / math.cos(math.toRadians(60.0)))))
+        math.sin((radiusKm + 1e-3) / (2.0 * earthRadiusKm)) /
+          math.cos(math.toRadians(60.0))))) * 1.001
     require(cellDeg >= worstDlonDeg,
       s"cellDeg $cellDeg too fine for radius $radiusKm km at |lat| <= 60 " +
-        s"(worst-case delta-lon is $worstDlonDeg deg; needs >= that)")
+        s"(worst-case delta-lon with margin is $worstDlonDeg deg; needs >= that)")
     val guarded = df.select(col(idCol).as("id"),
       col(latCol).cast("double").as("lat"),
       col(lonCol).cast("double").as("lon"))
+      // NULL coordinates pass through (they never join — null grid
+      // keys match nothing — matching the operator's long-standing
+      // sparse-data behavior); non-null violations fail loudly
       .withColumn("lat",
-        when(abs(col("lat")) <= 60.0, col("lat"))
+        when(col("lat").isNull || abs(col("lat")) <= 60.0, col("lat"))
           .otherwise(raise_error(concat(
             lit("pairsWithinKm: |lat| <= 60 contract violated: "),
             col("lat").cast("string")))))
@@ -68,7 +76,8 @@ object Geo {
       // would land in non-adjacent columns and be silently missed —
       // fail loudly instead (same contract style as the lat guard)
       .withColumn("lon",
-        when(abs(col("lon")) <= 180.0 - cellDeg, col("lon"))
+        when(col("lon").isNull || abs(col("lon")) <= 180.0 - cellDeg,
+          col("lon"))
           .otherwise(raise_error(concat(
             lit(s"pairsWithinKm: |lon| <= ${180.0 - cellDeg} contract " +
               "violated (antimeridian margin of one cell): "),

@@ -325,40 +325,3 @@ class DecontaminateSpec extends SparkTestBase {
     assert(clean == "second doc leads with then wraps up")
   }
 }
-
-/** Pins Dedup.spread's two width sources: optimizer stats for
-  * file-backed scans (no RDD conversion), RDD probe fallback for
-  * sources whose stats are the unknown-size default. */
-class SpreadSpec extends graft.SparkTestBase {
-  import spark.implicits._
-
-  test("no-stats sources (RDD-backed) fall back to the partition probe " +
-      "and spread to default parallelism") {
-    val p = spark.sparkContext.defaultParallelism
-    val rddDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        Seq(org.apache.spark.sql.Row(1L, "alpha beta"),
-          org.apache.spark.sql.Row(2L, "gamma delta")), 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("text",
-          org.apache.spark.sql.types.StringType))))
-    // LogicalRDD reports the unknown-size default -> probe path
-    assert(rddDf.queryExecution.optimizedPlan.stats.sizeInBytes >=
-      BigInt(spark.sessionState.conf.defaultSizeInBytes))
-    assert(Dedup.spread(rddDf).rdd.getNumPartitions == p)
-  }
-
-  test("small local relations spread via the stats estimate; an input " +
-      "already wider than parallelism is left alone") {
-    val p = spark.sparkContext.defaultParallelism
-    val small = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
-    assert(Dedup.spread(small).rdd.getNumPartitions == p)
-    val wide = small.repartition(p * 2)
-    // post-shuffle stats are known and large enough per-partition
-    // logic aside, the contract that matters: spread never REDUCES
-    // parallelism
-    assert(Dedup.spread(wide).rdd.getNumPartitions >= p)
-  }
-}
