@@ -821,9 +821,22 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         blockCols = Seq("lang"), shingleSize = 1, threshold = 0.5)),
 
+    // r7: banded OR-amplified hyperplane LSH + exact cosine verify
+    // (precision exact by construction, recall probabilistic). The
+    // fixture's threshold (0.35) is far below a production near-dup
+    // bar, so the query pins an explicit wide banding (20 bands x 2
+    // planes; per-pair miss <= 0.62^20 ~ 8e-5 at the threshold) under
+    // which EVERY qualifying pair collides in at least one band —
+    // verified pair-for-pair against exactCosinePairs at sf0.01 AND
+    // sf0.1 (the dd2/dd14 recall-1 adjudication) — so the sim5
+    // brute-force SQL is the ground-truth oracle. Production calls at
+    // cosine ~0.95 use the auto-tuning (16 planes/band: selective
+    // buckets, see Similarity.lshParams).
     "dd5_embedding_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.35, planes = 4)),
+          threshold = 0.35, bands = 20, planesPerBand = 2)
+        .select(col("id_a"), col("id_b"),
+          round(col("cosine"), 6).as("cos_sim"))),
 
     // contamination detection: eval-split docs leaking into the
     // train-split, exact bipartite Jaccard (candidates only across
@@ -4219,6 +4232,24 @@ object SparkEntry {
         |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.w, b.w))::DOUBLE /
         |        (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.5""".stripMargin,
+
+    // same replay as sim5 (list_sum accumulates the cast-to-double
+    // products left-to-right like the codegen dot kernel); valid as
+    // dd5's oracle under the recall-1 adjudication — the banded LSH
+    // finds every qualifying pair on this fixture, verified
+    // pair-for-pair against exactCosinePairs
+    "dd5_embedding_neardup" ->
+      """WITH p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, 65),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, 65),
+        |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cos, 6) AS cos_sim FROM p
+        |WHERE cos >= 0.35 AND isfinite(cos)""".stripMargin,
 
     "dd7_contamination" ->
       """WITH t AS (

@@ -54,6 +54,56 @@ object Similarity {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** Per-band sign-pattern signatures as `array<long>` — the
+    * OR-amplified (banded) construction for random-hyperplane LSH:
+    * `bands` independent signatures of `planesPerBand` hyperplanes
+    * each, drawn from one seeded stream. Two vectors are LSH
+    * candidates when they collide in ANY band, so candidate recall is
+    * 1 - (1 - p^r)^b with p = 1 - angle/pi — tunable to any target,
+    * unlike the single-signature AND form whose recall decays as p^r.
+    * Same mechanics as MinHash banding in [[graft.operators.Dedup.minhashLshPairs]],
+    * applied to the embedding modality. All hyperplanes are literal
+    * array columns: broadcast by construction, full codegen, no
+    * shuffle to compute. */
+  def bandedHyperplaneSignatures(df: DataFrame, vecCol: String,
+      bands: Int, planesPerBand: Int, seed: Long): Column = {
+    require(bands >= 1 && planesPerBand >= 1 && planesPerBand <= 62,
+      s"need bands >= 1 and 1 <= planesPerBand <= 62: bands=$bands r=$planesPerBand")
+    val dim = firstVectorDim(df, vecCol)
+    val hps = hyperplanes(dim, bands * planesPerBand, seed)
+    array((0 until bands).map { b =>
+      (0 until planesPerBand).map { i =>
+        val hCol = array(hps(b * planesPerBand + i).map(lit): _*)
+        when(dot(col(vecCol), hCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    }: _*)
+  }
+
+  /** Pick (planesPerBand, bands) so a pair at EXACTLY `threshold`
+    * cosine is found with probability >= `targetRecall` (pairs above
+    * the threshold do strictly better). Per-hyperplane agreement
+    * p = 1 - acos(t)/pi; banded recall = 1 - (1 - p^r)^b. Prefers the
+    * LARGEST r whose band count fits the budget: more planes per band
+    * means exponentially more selective buckets (cheaper verify) at
+    * the cost of more bands (linear signature work). Falls back to
+    * (1, maxBands) when even r=1 cannot hit the target — recall is
+    * then best-effort, which only happens for thresholds near 0 where
+    * "near-duplicate" is not a meaningful contract anyway. */
+  private[operators] def lshParams(threshold: Double,
+      targetRecall: Double = 0.95, maxBands: Int = 16,
+      maxPlanes: Int = 16): (Int, Int) = {
+    val t = math.max(-1.0, math.min(1.0, threshold))
+    val p = 1.0 - math.acos(t) / math.Pi
+    (maxPlanes to 1 by -1).view.flatMap { r =>
+      val bandHit = math.pow(p, r)
+      if (bandHit >= 1.0) Some((r, 1))
+      else {
+        val b = math.ceil(math.log1p(-targetRecall) / math.log1p(-bandHit))
+        if (b <= maxBands) Some((r, b.toInt)) else None
+      }
+    }.headOption.getOrElse((1, maxBands))
+  }
+
   private def firstVectorDim(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).head().getInt(0)
 

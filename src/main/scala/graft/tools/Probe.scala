@@ -16,6 +16,7 @@ object Probe {
     if (args.headOption.contains("r5cprobe")) { r5cprobe(spark, dir); spark.stop(); return }
     if (args.headOption.contains("r5dprobe")) { r5dprobe(spark, dir); spark.stop(); return }
     if (args.headOption.contains("r6probe")) { r6probe(spark, dir); spark.stop(); return }
+    if (args.headOption.contains("r7probe")) { r7probe(spark, dir); spark.stop(); return }
     if (args.headOption.contains("jdbcYardstick")) { jdbcYardstick(spark, dir); spark.stop(); return }
     if (args.headOption.contains("dd4")) { dd4(spark, dir); spark.stop(); return }
     if (args.headOption.contains("dotKernel")) { dotKernel(spark, dir); spark.stop(); return }
@@ -235,6 +236,35 @@ object Probe {
     println(f"=== jdbcYardstick: $n%,d rows in $secs%.1fs = ${n / secs * 60}%,.0f rows/min")
   }
 
+  /** Round-7 probes: dd5 banded-LSH configurations at sf0.1 —
+    * wall-clock and recall vs the exact quadratic baseline, for
+    * picking the dd5 query's operating point (auto-tuned vs a
+    * recall-1 explicit banding) and re-pricing PERF.md. */
+  def r7probe(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    def timed[T](label: String)(f: => T): T = {
+      val t = System.nanoTime(); val r = f
+      println(f"=== r7probe $label: ${(System.nanoTime() - t) / 1e9}%.2fs"); r
+    }
+    val exact = timed("dd5 exact baseline (quadratic)")(
+      graft.operators.Dedup.exactCosinePairs(e, "vec_id", "embedding", 0.35)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    println(s"=== r7probe exact pairs at 0.35: ${exact.size}")
+    def lshRun(label: String, bands: Int, planes: Int): Unit = {
+      val got = timed(s"dd5 banded $label")(
+        graft.operators.Dedup.embeddingNearDupPairs(e, "vec_id", "embedding",
+          threshold = 0.35, bands = bands, planesPerBand = planes)
+          .select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet)
+      println(f"=== r7probe dd5 $label recall: ${got.intersect(exact).size.toDouble / exact.size}%.4f (${got.size} pairs)")
+    }
+    lshRun("auto r=3 b=12", 12, 3)
+    lshRun("r=2 b=20", 20, 2)
+    lshRun("r=2 b=24", 24, 2)
+    lshRun("r=3 b=24", 24, 3)
+  }
+
   def scale10x(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     import org.apache.spark.sql.DataFrame
     def x10(name: String, idCols: Seq[String]): DataFrame = {
@@ -278,10 +308,26 @@ object Probe {
         e.filter("vec_id < 10"), e, "vec_id", "embedding", 5,
         nCentroids = 16, nProbe = 4).count()
     })
-    timed("dd5 embedding near-dup 20K vecs")(
+    timed("dd5 banded embedding near-dup 20K vecs")(
       graft.operators.Dedup.embeddingNearDupPairs(
         x10("embeddings", Seq("vec_id")), "vec_id", "embedding",
-        threshold = 0.35, planes = 4).count())
+        threshold = 0.35).count())
+    // recall of the banded LSH vs the exact quadratic baseline at 10x
+    locally {
+      val e = x10("embeddings", Seq("vec_id"))
+      val t0 = System.nanoTime()
+      val exact = graft.operators.Dedup.exactCosinePairs(
+        e, "vec_id", "embedding", 0.35)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val tExact = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val lsh = graft.operators.Dedup.embeddingNearDupPairs(
+        e, "vec_id", "embedding", threshold = 0.35)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val tLsh = (System.nanoTime() - t1) / 1e9
+      println(f"=== scale10x dd5 recall 20K vecs: ${lsh.intersect(exact).size.toDouble / exact.size}%.4f" +
+        f" (${exact.size}%,d exact pairs, exact ${tExact}%.1fs, banded ${tLsh}%.1fs)")
+    }
     timed("dd7 contamination 2.5K x 47.5K docs")({
       // 50K rows > the size gate: auto routes the bipartite prefix
       // join (the open-vocab/large-corpus path) at this scale

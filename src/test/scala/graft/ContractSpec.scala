@@ -15,10 +15,11 @@ class ContractSpec extends SparkTestBase {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // r6 pinned three former members: emb2 (bit-exact eigensolve
     // replay), pipe1 (full-funnel replay over the ground-truth pair
-    // closure), dd2 (verified recall-1 adjudication)
+    // closure), dd2 (verified recall-1 adjudication). r7 pinned dd5
+    // (banded LSH recall-1 at the fixture's wide banding, oracled by
+    // the sim5 brute-force replay).
     assert(rowsOnly == Set(
       "dd3_dedup_simhash",      // xxhash simhash signature has no SQL mirror
-      "dd5_embedding_neardup",  // hyperplane LSH, measured 15% recall by design
       "k1_kafka_payload",       // JSON serialization is engine-specific
       "pf3_approx_stats",       // approx_count_distinct HLL is engine-specific
       "sim3_lsh_topk",          // approximate top-k differs from the exact sweep

@@ -454,7 +454,7 @@ class DedupSpec extends SparkTestBase {
     val e = Seq((1L, v.toSeq), (2L, v.toSeq), (3L, v.map(x => -x).toSeq))
       .toDF("vec_id", "embedding")
     val pairs = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding",
-      threshold = 0.99, planes = 4)
+      threshold = 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
@@ -474,15 +474,63 @@ class DedupSpec extends SparkTestBase {
     assert(out.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)))
     assert(out((1L, 2L)) == BigDecimal("1.0000"))
     assert(out((1L, 3L)) == BigDecimal("0.7071"))
-    // bucketed LSH can only MISS pairs relative to the exact baseline
+    // banded LSH verifies with exact cosine, so it can only MISS
+    // pairs relative to the exact baseline — and with the auto-tuned
+    // OR-amplification it must find >= 90% of them (the r6 verdict's
+    // production bar; the single-signature form measured ~15%)
     val embeddings = spark.read.parquet(sf() + "/embeddings.parquet")
     val exact = Dedup.exactCosinePairs(embeddings, "vec_id", "embedding", 0.35)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup.embeddingNearDupPairs(embeddings, "vec_id", "embedding",
-      threshold = 0.35, planes = 4)
+      threshold = 0.35)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(exact))
     assert(exact.nonEmpty)
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"banded LSH recall too low: $recall")
+  }
+
+  test("banded embedding LSH: recall >= 0.9 at cosine 0.95 on a planted fixture") {
+    // 60 base directions, each with a planted near-duplicate at
+    // cosine ~0.98 (small orthogonal-ish perturbation), plus noise
+    // vectors — the fixture the r6 verdict asks the recall bar to be
+    // measured on. Deterministic seed, dim 16.
+    val rnd = new scala.util.Random(7L)
+    def unit(): Array[Float] = {
+      val v = Array.fill(16)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val rows = (0 until 60).flatMap { i =>
+      val b = unit()
+      val eps = unit()
+      // v2 = normalize(b + 0.2 * eps): cosine(b, v2) >= ~0.95
+      val mix = b.zip(eps).map { case (x, e) => x + 0.2f * e }
+      val n = math.sqrt(mix.map(x => x.toDouble * x).sum)
+      Seq((i * 2L, b.toSeq), (i * 2L + 1L, mix.map(x => (x / n).toFloat).toSeq))
+    } ++ (0 until 80).map(i => (1000L + i, unit().toSeq))
+    val e = rows.toDF("vec_id", "embedding")
+    val exact = Dedup.exactCosinePairs(e, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 50, s"fixture should plant >= 50 pairs, got ${exact.size}")
+    val lsh = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", threshold = 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"banded LSH recall at cosine 0.95 too low: $recall")
+  }
+
+  test("banded embedding LSH: oversized buckets degrade to a hub star, not a clique") {
+    // 50 identical vectors collide in EVERY band; with maxBucketSize=10
+    // the bucket degrades to a star around the min id -> 49 pairs, all
+    // anchored at the hub, instead of 1225 clique pairs
+    val v = Seq(1f, 2f, 3f, 4f)
+    val e = (0 until 50).map(i => (i.toLong, v)).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding",
+      threshold = 0.99, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.size == 49, s"expected 49 star pairs, got ${pairs.size}")
+    assert(pairs.forall(_._1 == 0L))
   }
 }
 
