@@ -4220,6 +4220,16 @@ object SparkEntry {
         |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM s GROUP BY sig""".stripMargin,
 
+    // r7: the simhash token hash moved from xxhash64 to
+    // rolling-31 + Murmur3 fmix64 (TextExpressions.tokenHash64),
+    // every step of which replays exactly in HUGEINT arithmetic —
+    // the ta3 trick extended with split 32-bit multiplies for the
+    // finalizer — so dd3 graduates from rows-only to a full brute-
+    // force hamming-join oracle (valid because no signature bucket
+    // approaches maxBucketSize on this fixture: blocking recall is
+    // guaranteed by the 4x16-bit pigeonhole at hamming <= 3)
+    "dd3_dedup_simhash" -> dd3Oracle,
+
     "dd4_ngram_jaccard" ->
       """WITH t AS (
         |  SELECT doc_id, lang,
@@ -7875,6 +7885,55 @@ object SparkEntry {
        |      + (1.0 - least(q.np / greatest(q.nc, 1.0) * 5.0, 1.0)) * 0.2
        |      + least(q.sh / greatest(q.nt, 1.0) * 5.0, 1.0) * 0.1 AS quality
        |FROM fp f JOIN q USING (doc_id)""".stripMargin
+  }
+
+  /** dd3 oracle: exact replay of [[graft.functions.TextExpressions.tokenHash64]]
+    * (rolling-31 fold, then Murmur3 fmix64 as xor/shift plus split
+    * 32-bit multiplies — all mod-2^64 HUGEINT arithmetic), the
+    * per-bit simhash majority vote over token INSTANCES, and a
+    * brute-force hamming join at <= 3. Equivalent to
+    * `Dedup.simhashPairs` whenever no signature bucket exceeds
+    * `maxBucketSize` (pigeonhole recall is exact at hamming <= 3),
+    * which holds on the sf fixtures by orders of magnitude. */
+  private def dd3Oracle: String = {
+    val c1 = 0xff51afd7ed558ccdL
+    val c2 = 0xc4ceb9fe1a85ec53L
+    def hi(x: Long): Long = (x >>> 32) & 0xffffffffL
+    def lo(x: Long): Long = x & 0xffffffffL
+    val m64 = "18446744073709551616"
+    val m32 = "4294967296"
+    raw"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+       |  FROM documents),
+       |rh AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |      [CAST(unicode(c) AS HUGEINT) for c in string_split(w, '')]),
+       |      (h, b) -> (h * 31 + b) % $m64) AS h0
+       |  FROM tok),
+       |f1 AS (SELECT doc_id, xor(h0, h0 >> 33) AS h FROM rh),
+       |m1 AS (SELECT doc_id,
+       |         (h * ${lo(c1)} + ((h * ${hi(c1)}) % $m32) * $m32) % $m64 AS h
+       |       FROM f1),
+       |f2 AS (SELECT doc_id, xor(h, h >> 33) AS h FROM m1),
+       |m2 AS (SELECT doc_id,
+       |         (h * ${lo(c2)} + ((h * ${hi(c2)}) % $m32) * $m32) % $m64 AS h
+       |       FROM f2),
+       |hv AS (SELECT doc_id, xor(h, h >> 33) AS h FROM m2),
+       |votes AS (
+       |  SELECT doc_id, t.r AS bit,
+       |         sum(CASE WHEN (h >> t.r) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM hv CROSS JOIN range(64) t(r)
+       |  GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT doc_id,
+       |         sum(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << bit
+       |                  ELSE CAST(0 AS HUGEINT) END) AS sig
+       |  FROM votes GROUP BY 1)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin
   }
 
   /** ta2 oracle: must mirror TextAnalysis.langId exactly — per-lang

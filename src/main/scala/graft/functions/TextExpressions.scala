@@ -87,12 +87,34 @@ object TextExpressions {
       copy(child = newChild)
   }
 
-  /** 64-bit SimHash over an array of tokens. Each token is hashed with
-    * xxhash64(seed); per bit position the +1/-1 votes are summed and
-    * the sign becomes the output bit. Near-duplicate documents land
-    * within small Hamming distance. Single pass; full codegen.
+  /** Replayable 64-bit token hash for [[SimHash64]]: the rolling-31
+    * polynomial over UTF-8 bytes ([[RollingHash]]'s fold) finished
+    * with the Murmur3 fmix64 avalanche. Every step is 64-bit wrapping
+    * multiply / xor / logical shift, so an engine with 128-bit
+    * integers replays it exactly in SQL (the dd3 oracle unrolls the
+    * fold with a HUGEINT list_reduce and the finalizer with split
+    * 32-bit multiplies) — unlike xxhash64, whose striped internal
+    * state has no portable SQL form. fmix64 restores the bit
+    * uniformity the bare polynomial lacks: short ASCII tokens leave
+    * the high hash bits zero, which would freeze the upper simhash
+    * chunks and collapse the pigeonhole blocking. */
+  def tokenHash64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = h * 31L + (bytes(i) & 0xffL); i += 1 }
+    h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL
+    h ^= (h >>> 33); h *= 0xc4ceb9fe1a85ec53L
+    h ^ (h >>> 33)
+  }
+
+  /** 64-bit SimHash over an array of tokens. Each token is hashed
+    * with [[tokenHash64]] (SQL-replayable, see the dd3 oracle); per
+    * bit position the +1/-1 votes are summed and the sign becomes the
+    * output bit. Near-duplicate documents land within small Hamming
+    * distance. Single pass; full codegen.
     */
-  case class SimHash64(child: Expression, seed: Long = 42L) extends UnaryExpression {
+  case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
     override def prettyName: String = "simhash64"
@@ -110,7 +132,7 @@ object TextExpressions {
       var i = 0
       while (i < n) {
         if (!arr.isNullAt(i)) {
-          val h = XXH64.hashUTF8String(arr.getUTF8String(i), seed)
+          val h = tokenHash64(arr.getUTF8String(i))
           var b = 0
           while (b < 64) {
             if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -133,13 +155,12 @@ object TextExpressions {
         val h = ctx.freshName("h")
         val b = ctx.freshName("b")
         val out = ctx.freshName("out")
-        val xxh = classOf[XXH64].getName
         s"""
            |int[] $counts = new int[64];
            |int $n = $c.numElements();
            |for (int $i = 0; $i < $n; $i++) {
            |  if (!$c.isNullAt($i)) {
-           |    long $h = $xxh.hashUTF8String($c.getUTF8String($i), ${seed}L);
+           |    long $h = graft.functions.TextExpressions.tokenHash64($c.getUTF8String($i));
            |    for (int $b = 0; $b < 64; $b++) {
            |      $counts[$b] += ((($h >>> $b) & 1L) == 1L) ? 1 : -1;
            |    }
@@ -1081,8 +1102,8 @@ object TextExpressions {
   def unicode_normalize(c: Column, form: String = "NFC"): Column =
     ExpressionUtils.column(UnicodeNormalize(ExpressionUtils.expression(c), form))
 
-  def simhash64(c: Column, seed: Long = 42L): Column =
-    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c), seed))
+  def simhash64(c: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(c)))
 
   def minhash_signature(c: Column, numHashes: Int): Column =
     ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(c), numHashes))

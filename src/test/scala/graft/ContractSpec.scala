@@ -17,9 +17,9 @@ class ContractSpec extends SparkTestBase {
     // replay), pipe1 (full-funnel replay over the ground-truth pair
     // closure), dd2 (verified recall-1 adjudication). r7 pinned dd5
     // (banded LSH recall-1 at the fixture's wide banding, oracled by
-    // the sim5 brute-force replay).
+    // the sim5 brute-force replay) and dd3 (token hash moved to the
+    // SQL-replayable rolling-31+fmix64, brute-force hamming oracle).
     assert(rowsOnly == Set(
-      "dd3_dedup_simhash",      // xxhash simhash signature has no SQL mirror
       "k1_kafka_payload",       // JSON serialization is engine-specific
       "pf3_approx_stats",       // approx_count_distinct HLL is engine-specific
       "sim3_lsh_topk",          // approximate top-k differs from the exact sweep
