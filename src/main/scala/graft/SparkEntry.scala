@@ -776,8 +776,10 @@ object SparkEntry {
         Conversions.dateToEpochDay(col("l_shipdate").cast("date")).as("ship_epoch_day"))),
 
     "k1_kafka_payload" -> ((s, dir) =>
-      // Kafka sink payload: ISO-8601 dates + JSON body (W8); JSON
-      // formatting is engine-specific so the oracle is rows-only
+      // Kafka sink payload: ISO-8601 dates + JSON body (W8). r7:
+      // full MATCH — to_json's field-ordered whitespace-free output
+      // with shortest-round-trip doubles is byte-replayable by a
+      // DuckDB string concat on this schema (see the oracle note)
       graft.sources.KafkaSink.payload(
         t(s, dir, "orders"), keyColumn = Some("o_orderkey"))),
 
@@ -3912,6 +3914,25 @@ object SparkEntry {
         |(SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
         | EXCEPT
         | SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1994)""".stripMargin,
+
+    // r7: k1 graduated from rows-only to MATCH. Spark's to_json
+    // emits fields in struct order with no whitespace and renders
+    // doubles via Java's shortest-round-trip Double.toString; DuckDB
+    // VARCHAR casts use the same shortest-representation digits (the
+    // shortest form is unique), and the fixture's o_totalprice domain
+    // [1013.7, 499978.59] stays far inside both engines' fixed-
+    // notation windows (Java switches to E-notation at 1e7), so the
+    // concatenated replay is byte-identical. Strings in the fixture
+    // need no JSON escaping (single-char status, enum priorities).
+    "k1_kafka_payload" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS key,
+        |  '{"o_orderkey":' || o_orderkey ||
+        |  ',"o_custkey":' || o_custkey ||
+        |  ',"o_orderstatus":"' || o_orderstatus ||
+        |  '","o_totalprice":' || CAST(o_totalprice AS VARCHAR) ||
+        |  ',"o_orderdate":"' || strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%gZ') ||
+        |  '","o_orderpriority":"' || o_orderpriority || '"}' AS value
+        |FROM orders""".stripMargin,
 
     "k1b_kafka_typed_payload" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS key,

@@ -18,9 +18,10 @@ class ContractSpec extends SparkTestBase {
     // closure), dd2 (verified recall-1 adjudication). r7 pinned dd5
     // (banded LSH recall-1 at the fixture's wide banding, oracled by
     // the sim5 brute-force replay) and dd3 (token hash moved to the
-    // SQL-replayable rolling-31+fmix64, brute-force hamming oracle).
+    // SQL-replayable rolling-31+fmix64, brute-force hamming oracle)
+    // and k1 (to_json output is byte-replayable on this schema:
+    // field-ordered, whitespace-free, shortest-round-trip doubles).
     assert(rowsOnly == Set(
-      "k1_kafka_payload",       // JSON serialization is engine-specific
       "pf3_approx_stats",       // approx_count_distinct HLL is engine-specific
       "sim3_lsh_topk",          // approximate top-k differs from the exact sweep
       "qf2_compression_signal", // DEFLATE has no SQL mirror
