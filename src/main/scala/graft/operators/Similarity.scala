@@ -227,29 +227,47 @@ object Similarity {
         round(col("m.c"), 6).as("cosine"))
   }
 
-  /** LSH-bucketed approximate top-k: compare within the query's
-    * hyperplane bucket, plus (multi-probe) every bucket at Hamming
-    * distance 1 — flipping each plane bit. Probing 1+planes buckets
-    * instead of 1 recovers most of the recall single-probe loses at
-    * bucket boundaries, for planes× more candidates (still a vanishing
-    * fraction of the corpus). */
+  /** Banded (OR-amplified) LSH approximate top-k: the corpus is
+    * bucketed in `bands` independent sign-pattern signatures of
+    * `planes` hyperplanes each; a (query, neighbor) pair is a
+    * candidate when it collides in ANY band — plus (multi-probe)
+    * any bucket at Hamming distance 1 within a band, flipping each
+    * plane bit. Candidate recall is 1 - prod over bands of
+    * P(no collision), tunable via `bands` where the old
+    * single-signature form's recall decayed as p^planes; exact
+    * cosine then ranks the candidates, so precision of what IS
+    * returned is exact.
+    *
+    * Scale shape: the banded join carries only (band, sig, id) —
+    * corpus vectors join back by neighbor id AFTER the cross-band
+    * candidate dedup, so the b-fold signature fan-out never
+    * replicates vector payloads through a shuffle. */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       planes: Int = 8, seed: Long = 42L,
-      multiProbe: Boolean = true): DataFrame = {
-    val qSig = hyperplaneSignature(queries, vecCol, planes, seed)
-    val cSig = hyperplaneSignature(corpus, vecCol, planes, seed)
+      multiProbe: Boolean = true, bands: Int = 8): DataFrame = {
+    val cSigs = corpus.select(col(idCol).as("neighbor_id"),
+      posexplode(bandedHyperplaneSignatures(corpus, vecCol, bands, planes, seed))
+        .as(Seq("band", "sig")))
+    val qBase = queries.select(col(idCol).as("query_id"),
+      posexplode(bandedHyperplaneSignatures(queries, vecCol, bands, planes, seed))
+        .as(Seq("band", "sig")))
     val probes: Column =
       if (multiProbe)
-        array((qSig +: (0 until planes).map(b => qSig.bitwiseXOR(lit(1L << b)))): _*)
-      else array(qSig)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      l2norm(col(vecCol)).as("qn"), explode(probes).as("sig"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      l2norm(col(vecCol)).as("cn"), cSig.as("sig"))
-    val scored = q.join(c, "sig")
+        array((col("sig") +: (0 until planes).map(b =>
+          col("sig").bitwiseXOR(lit(1L << b)))): _*)
+      else array(col("sig"))
+    val qSigs = qBase.select(col("query_id"), col("band"),
+      explode(probes).as("sig"))
+    val cand = qSigs.join(cSigs, Seq("band", "sig"))
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
       .filter(col("query_id") =!= col("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      l2norm(col(vecCol)).as("cn"))
+    val scored = cand.join(q, "query_id").join(c, "neighbor_id")
       // zero-norm vectors have no direction: 0/0 throws under ANSI
       // mode (and would rank FIRST as NaN with ANSI off) — filter
       // BEFORE the division

@@ -635,7 +635,10 @@ class SimilaritySpec extends SparkTestBase {
     val single = recall(multiProbe = false)
     val multi = recall(multiProbe = true)
     assert(multi >= single)
-    assert(multi > 0.2, s"multi-probe recall too low: $multi")
+    // r7 production bar (was 0.2 pre-banding): the banded
+    // OR-construction must recover >= 80% of the true top-5
+    info(f"sim3 banded LSH recall: single-probe $single%.3f multi-probe $multi%.3f")
+    assert(multi >= 0.8, s"banded multi-probe recall too low: $multi")
   }
 
   test("kmeans-centroid IVF returns k ranked neighbors per query") {
