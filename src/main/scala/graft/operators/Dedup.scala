@@ -38,32 +38,22 @@ object Dedup {
     val spark = df.sparkSession
     val p = spark.sparkContext.defaultParallelism
     // estimate the scan width from OPTIMIZER STATS where they carry
-    // signal, not df.rdd (which would force a full RDD-lineage
-    // conversion just to ask a width question): a file scan splits
-    // into ~sizeInBytes/maxPartitionBytes tasks, so inputs past
-    // p*maxPartitionBytes already carry >= p partitions and the
-    // repartition is skipped with zero planning side effects — the
-    // hot 100 TB case pays nothing. Stats are UNTRUSTED when any LEAF
-    // reports the unknown-size sentinel (JDBC and RDD relations; the
-    // leaf check matters because a Project above such a source SCALES
-    // the sentinel below the root-level threshold) — then the RDD
-    // probe decides, paying the conversion only off the file path.
-    // When trusted stats say "narrow", the probe CONFIRMS before
-    // repartitioning (narrow data makes the probe cheap, and it stops
-    // a small-bytes input that already carries >= p partitions from
-    // being shuffled back down to p).
-    val plan = df.queryExecution.optimizedPlan
-    val sentinel = BigInt(spark.sessionState.conf.defaultSizeInBytes)
-    val statsUnknown = plan.collectLeaves()
-      .exists(_.stats.sizeInBytes >= sentinel)
-    def probeSpread(): DataFrame =
-      if (df.rdd.getNumPartitions < p) df.repartition(p) else df
-    if (statsUnknown) probeSpread()
-    else {
-      val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
-      val widthEst = plan.stats.sizeInBytes / BigInt(math.max(maxPart, 1L))
-      if (widthEst < p) probeSpread() else df
-    }
+    // signal ([[PlanWidth]]): SUM OF LEAF sizes over
+    // maxPartitionBytes — leaf sums, not root stats, because a
+    // post-join/aggregate root can grossly overestimate sizeInBytes
+    // and fake a wide plan (r6 advisory); the leaves are the scans
+    // whose width actually matters. Inputs past p*maxPartitionBytes
+    // already carry >= p scan tasks and the repartition is skipped
+    // with zero planning side effects — the hot 100 TB case pays
+    // nothing. When stats are untrusted (any leaf reporting the
+    // unknown-size sentinel: JDBC/RDD relations) or say "narrow",
+    // the exact physical partition count CONFIRMS before any
+    // repartition (toRdd: no Row-conversion lineage, no job) — it
+    // stops a small-bytes input that already carries >= p partitions
+    // from being shuffled back down to p.
+    if (PlanWidth.trustedWidthAtLeast(df, p)) df
+    else if (PlanWidth.exactNumPartitions(df) < p) df.repartition(p)
+    else df
   }
 
   /** Word k-shingles of normalized text, distinct. */

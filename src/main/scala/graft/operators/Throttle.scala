@@ -20,12 +20,29 @@ import org.apache.spark.sql.catalyst.encoders.RowEncoder
   */
 object Throttle {
 
+  /** Concurrency the cap must be divided by: at most
+    * `defaultParallelism` tasks ever run at once, so a plan whose
+    * scan stage is provably that wide (trusted leaf stats,
+    * [[PlanWidth]] — no RDD materialization) divides by exactly
+    * that; narrow-or-unknown plans ask the physical RDD for its
+    * exact partition count (`toRdd`: no Row-conversion lineage —
+    * the `df.rdd` probe this replaces rebuilt the frame as a
+    * deserialized Row RDD per call, r6 advisory). Dividing by the
+    * CONCURRENCY bound rather than the raw partition count also
+    * fixes over-throttling on many-partition frames: 64 partitions
+    * on 32 cores used to run at cap/64 each = half the configured
+    * rate; now 32 concurrent tasks at cap/32 hold the cap exactly. */
+  private def concurrency(df: DataFrame): Long = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (PlanWidth.trustedWidthAtLeast(df, p)) p.toLong
+    else math.max(1, math.min(p, PlanWidth.exactNumPartitions(df))).toLong
+  }
+
   /** Limit total throughput to ~rowsPerSecond across the whole
-    * DataFrame (divided evenly among partitions). */
+    * DataFrame (divided evenly among concurrent tasks). */
   def byRows(df: DataFrame, rowsPerSecond: Long): DataFrame = {
     require(rowsPerSecond > 0)
-    val parts = math.max(1, df.rdd.getNumPartitions)
-    val perPartition = math.max(1L, rowsPerSecond / parts)
+    val perPartition = math.max(1L, rowsPerSecond / concurrency(df))
     val enc = RowEncoder.encoderFor(df.schema)
     df.mapPartitions { rows =>
       new ThrottledIterator(rows, perPartition, _ => 1L)
@@ -37,8 +54,7 @@ object Throttle {
     * estimation is strictly better and still cheap). */
   def byBandwidth(df: DataFrame, kbPerSecond: Long): DataFrame = {
     require(kbPerSecond > 0)
-    val parts = math.max(1, df.rdd.getNumPartitions)
-    val perPartition = math.max(1024L, kbPerSecond * 1024L / parts)
+    val perPartition = math.max(1024L, kbPerSecond * 1024L / concurrency(df))
     val enc = RowEncoder.encoderFor(df.schema)
     df.mapPartitions { rows =>
       new ThrottledIterator(rows, perPartition, estimateRowBytes)

@@ -70,7 +70,8 @@ object Compaction {
     val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
     if (files.size <= n) return files.size
     val df = spark.read.parquet(FileConnector.stripScheme(path))
-    val scanParts = df.rdd.getNumPartitions
+    // exact physical width without the df.rdd Row-conversion lineage
+    val scanParts = graft.operators.PlanWidth.exactNumPartitions(df)
     val out = if (shuffle || scanParts < n) df.repartition(n) else df.coalesce(n)
     FileConnector.writeAtomic(out, path, "parquet", Map.empty)
     dataFiles(spark, path).size

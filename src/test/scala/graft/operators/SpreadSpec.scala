@@ -35,4 +35,22 @@ class SpreadSpec extends graft.SparkTestBase {
     val wide = small.repartition(p * 2)
     assert(Dedup.spread(wide).rdd.getNumPartitions == p * 2)
   }
+
+  test("width estimate sums LEAF sizes — an inflated post-join root " +
+      "cannot fake a wide plan") {
+    val p = spark.sparkContext.defaultParallelism
+    val a = (1L to 200L).map(i => (i, "x" * 200)).toDF("id", "pad_a")
+    val b = (1L to 200L).map(i => (i, "y" * 200)).toDF("id", "pad_b")
+    val joined = a.join(b, "id")
+    val rootStats = joined.queryExecution.optimizedPlan.stats.sizeInBytes
+    val leafSum = PlanWidth.trustedScanBytes(joined)
+    // the optimizer prices an inner join near the product of its
+    // inputs — far above the leaves it actually scans
+    assert(leafSum.isDefined)
+    assert(rootStats > leafSum.get,
+      s"fixture no longer inflates: root=$rootStats leaves=${leafSum.get}")
+    // leaf-sum width says narrow -> the exact-partition check decides
+    // (r6 advisory: root stats would have skipped both)
+    assert(!PlanWidth.trustedWidthAtLeast(joined, p))
+  }
 }
