@@ -575,7 +575,7 @@ object SparkEntry {
     // join, grouped revenue, top-10 — the full declare-and-let-
     // Catalyst-plan pipeline (pushdown + join order + partial agg +
     // WindowGroupLimit-free top-k via sort/limit)
-    "q2_shipping_priority" -> ((s, dir) => {
+    "q3_shipping_priority" -> ((s, dir) => {
       val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = t(s, dir, "orders")
         .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp_ntz"))
@@ -594,7 +594,7 @@ object SparkEntry {
     // orders->lineitem->supplier with the local-supplier predicate
     // (c_nationkey == s_nationkey); small dims broadcast, the fact
     // join shuffles once on orderkey
-    "q3_local_supplier_volume" -> ((s, dir) => {
+    "q5_local_supplier_volume" -> ((s, dir) => {
       val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
       val n = t(s, dir, "nation")
       val c = t(s, dir, "customer")
@@ -629,7 +629,7 @@ object SparkEntry {
 
     // NOT EXISTS as a left-anti join: segments' customers with no
     // order in the window
-    "q5_inactive_customers" -> ((s, dir) => {
+    "anti1_inactive_customers" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz"))
@@ -640,7 +640,7 @@ object SparkEntry {
 
     // TPC-H Q13 shape: left outer join preserving order-less customers,
     // then the distribution of per-customer order counts (double agg)
-    "q6_customer_distribution" -> ((s, dir) => {
+    "q13_customer_distribution" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
       c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
@@ -3954,7 +3954,7 @@ object SparkEntry {
         |       count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
-    "q2_shipping_priority" ->
+    "q3_shipping_priority" ->
       """SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
         |       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -4125,7 +4125,7 @@ object SparkEntry {
         |            ELSE bval END AS purchase_value
         |FROM b JOIN f USING (event_id)""".stripMargin,
 
-    "q3_local_supplier_volume" ->
+    "q5_local_supplier_volume" ->
       """SELECT n.n_name,
         |       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
         |FROM lineitem l
@@ -4140,7 +4140,7 @@ object SparkEntry {
         |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n.n_name""".stripMargin,
 
-    "q5_inactive_customers" ->
+    "anti1_inactive_customers" ->
       """SELECT c_mktsegment, count(*) AS n_inactive
         |FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
@@ -4148,7 +4148,7 @@ object SparkEntry {
         |                    AND o.o_orderdate >= TIMESTAMP '1996-01-01')
         |GROUP BY c_mktsegment""".stripMargin,
 
-    "q6_customer_distribution" ->
+    "q13_customer_distribution" ->
       """SELECT c_count, count(*) AS custdist
         |FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
         |      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey

@@ -326,7 +326,7 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("q3 six-way join broadcasts the dimensions; q4 EXISTS plans as a semi join") {
-    val q3 = planOf("q3_local_supplier_volume")
+    val q3 = planOf("q5_local_supplier_volume")
     assert(q3.contains("BroadcastHashJoin") || q3.contains("BroadcastExchange"), q3)
     assert(!q3.contains("CartesianProduct") && !q3.contains("BroadcastNestedLoopJoin"))
     // the date filter reaches the orders scan
