@@ -267,6 +267,11 @@ object SparkEntry {
   private def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  /** Data files of a parquet output dir (skips _SUCCESS / hidden). */
+  private def listDataFiles(dir: String): Array[java.io.File] =
+    new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+
   /** Corpus-trained subword vocabulary for the tok1/pack3/ch2 family,
     * memoized per sf dir (training is two aggregations + two bounded
     * collects; the tokenizer queries share one table). vocabSize 64
@@ -1700,7 +1705,10 @@ object SparkEntry {
     "pipe1_training_pipeline" -> ((s, dir) => {
       // end-to-end curation: normalize -> quality gate -> near-dup
       // removal -> annotate; the integration query for the whole
-      // training-data surface (LSH inside -> rows-only check)
+      // training-data surface. Full hash MATCH since r6: pipe1Oracle
+      // replays the entire funnel over the ground-truth pair closure
+      // (the recall-1 adjudication — LSH finds every qualifying pair
+      // on this fixture)
       val docs = t(s, dir, "documents")
         .withColumn("text", TextNormalize.canonical(col("text")))
         .filter(TextAnalysis.qualityScore(col("text")) >= 0.3)
@@ -3038,8 +3046,17 @@ object SparkEntry {
       val in = s"$base/in"
       docs.filter(col("doc_id") <= 400).coalesce(1)
         .write.mode("append").parquet(in)
+      val firstSplit = listDataFiles(in).map(_.getName).toSet
       docs.filter(col("doc_id") > 400).coalesce(1)
         .write.mode("append").parquet(in)
+      // pin micro-batch order explicitly: FileStreamSource sorts by
+      // millisecond modification time, so an mtime TIE between the
+      // two writes could process the doc_id>400 split first and flip
+      // cross-batch pair direction (r6 advisory) — stamp the splits
+      // 5 s apart
+      val t0 = System.currentTimeMillis() - 60000L
+      listDataFiles(in).foreach(f =>
+        f.setLastModified(if (firstSplit(f.getName)) t0 else t0 + 5000L))
       val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -3569,14 +3586,22 @@ object SparkEntry {
       else
         "[w[i:i] for i in range(1, len(w)+1)]"
     val sb = new StringBuilder
+    // the chr(30) wrapping is only unambiguous while no WORD contains
+    // U+001E (\s+ does not split on it, so it would survive into a
+    // symbol); fail LOUDLY instead of silently diverging from the
+    // Spark kernel if the fixture ever grows such a word (r6 advisory)
     sb ++= s"""WITH wcnt AS (
       |  SELECT w, count(*) AS f FROM (
       |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
       |    FROM documents) WHERE w <> '' GROUP BY w),
+      |rsguard AS (SELECT CASE WHEN count(*) > 0
+      |         THEN error('corpus word contains U+001E: bpeCte delimiting invalid')
+      |         ELSE 0 END AS ok
+      |       FROM wcnt WHERE contains(w, $rs)),
       |s0 AS MATERIALIZED (SELECT w, f,
       |         $rs || array_to_string($initSyms,
       |                                $sep2) || $rs AS seg
-      |       FROM wcnt)""".stripMargin
+      |       FROM wcnt CROSS JOIN rsguard)""".stripMargin
     for (k <- 1 to numMerges) {
       val p = k - 1
       sb ++= s""",

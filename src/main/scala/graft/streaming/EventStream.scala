@@ -303,8 +303,11 @@ object EventStream {
     * arrival order within a micro-batch is pinned to (ts, id) so the
     * pair direction is deterministic and equals the id-ordered batch
     * sweep — then appends itself to the bucket. Entries behind the
-    * current watermark evict lazily on access (the same
-    * watermark-bounded-state deal every gate in this file makes).
+    * current watermark evict lazily on access, AND an event-time
+    * timer registered at (newest entry + watermark delay) sweeps the
+    * key when it goes idle (r6 advisory: without the timer, a bucket
+    * that stops receiving rows would retain its expired
+    * signature-list state forever).
     *
     * A pair colliding in several bands is emitted once per colliding
     * bucket (keys are independent); emissions are identical rows, so
@@ -317,7 +320,7 @@ object EventStream {
     * state, verify joined downstream) that cuts state to 16 bytes x
     * bands when in-flight verdicts aren't required.
     */
-  class LshBucketProcessor(threshold: Double)
+  class LshBucketProcessor(threshold: Double, watermarkDelayMs: Long)
       extends StatefulProcessor[Long, LshDocRow, NearDupHit] {
     @transient private var docs: org.apache.spark.sql.streaming.ListState[LshDocRow] = _
 
@@ -357,12 +360,25 @@ object EventStream {
         stored += r
       }
       docs.put(stored.toArray)
+      // idle-key hygiene: one event-time timer at (newest entry +
+      // watermark delay); re-arming replaces any earlier timer so at
+      // most one is pending per key
+      val expiry = stored.map(_.tsUs).max / 1000L + watermarkDelayMs + 1L
+      getHandle.listTimers().foreach(t => if (t != expiry) getHandle.deleteTimer(t))
+      getHandle.registerTimer(expiry)
       out.result().iterator
     }
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
-        expiredTimerInfo: ExpiredTimerInfo): Iterator[NearDupHit] =
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[NearDupHit] = {
+      // the timer fires once the watermark passes every entry that
+      // was present when it was armed; anything still live has since
+      // re-armed a later timer, so usually this clears the key
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      val live = docs.get().filter(_.tsUs >= wmUs).toArray
+      if (live.isEmpty) docs.clear() else docs.put(live)
       Iterator.empty
+    }
   }
 
   /** See [[LshBucketProcessor]]; requires the RocksDB state store.
@@ -389,8 +405,17 @@ object EventStream {
         unix_micros(col("ts")).as("tsUs"))
       .as[LshDocRow]
       .groupByKey(_.bucket)
-      .transformWithState(new LshBucketProcessor(threshold),
+      .transformWithState(new LshBucketProcessor(threshold, intervalMs(watermark)),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Millisecond upper bound of a watermark interval string (months
+    * priced at 31 days — timers must fire AT or AFTER full expiry,
+    * never early). */
+  private def intervalMs(s: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    iv.months * 31L * 86400000L + iv.days * 86400000L + iv.microseconds / 1000L
   }
 
   case class LshCandRow(bucket: Long, id: Long, ts: java.sql.Timestamp,
@@ -407,7 +432,7 @@ object EventStream {
     * shuffle. Candidate direction and arrival-order semantics are
     * identical to the verifying processor, so
     * candidates ⊇ its verified pairs on the same feed, always. */
-  class LshCandidateProcessor
+  class LshCandidateProcessor(watermarkDelayMs: Long)
       extends StatefulProcessor[Long, LshCandRow, CandidateHit] {
     @transient private var docs: org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
 
@@ -432,12 +457,20 @@ object EventStream {
         stored += ((r.id, r.tsUs))
       }
       docs.put(stored.toArray)
+      // idle-key hygiene — see LshBucketProcessor
+      val expiry = stored.map(_._2).max / 1000L + watermarkDelayMs + 1L
+      getHandle.listTimers().foreach(t => if (t != expiry) getHandle.deleteTimer(t))
+      getHandle.registerTimer(expiry)
       out.result().iterator
     }
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
-        expiredTimerInfo: ExpiredTimerInfo): Iterator[CandidateHit] =
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[CandidateHit] = {
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      val live = docs.get().filter(_._2 >= wmUs).toArray
+      if (live.isEmpty) docs.clear() else docs.put(live)
       Iterator.empty
+    }
   }
 
   /** See [[LshCandidateProcessor]]; same band hashing as
@@ -460,7 +493,7 @@ object EventStream {
         col("id"), col("ts"), unix_micros(col("ts")).as("tsUs"))
       .as[LshCandRow]
       .groupByKey(_.bucket)
-      .transformWithState(new LshCandidateProcessor(),
+      .transformWithState(new LshCandidateProcessor(intervalMs(watermark)),
         TimeMode.EventTime(), OutputMode.Append())
   }
 

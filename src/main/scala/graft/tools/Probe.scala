@@ -616,8 +616,15 @@ object Probe {
           timestamp_seconds(lit(1704067200L) + col("doc_id")))
         feed.filter(col("doc_id") < 25000).coalesce(1)
           .write.mode("append").parquet(s"$base/in")
+        def dataFiles = new java.io.File(s"$base/in").listFiles()
+          .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        val firstSplit = dataFiles.map(_.getName).toSet
         feed.filter(col("doc_id") >= 25000).coalesce(1)
           .write.mode("append").parquet(s"$base/in")
+        // pin micro-batch order against mtime ties (see st14 query)
+        val t0 = System.currentTimeMillis() - 60000L
+        dataFiles.foreach(f =>
+          f.setLastModified(if (firstSplit(f.getName)) t0 else t0 + 5000L))
         timed("st14 streaming LSH gate ZIPF 50K docs, 2 micro-batches")({
           val stream = spark2.readStream
             .schema(spark2.read.parquet(s"$base/in").schema)
