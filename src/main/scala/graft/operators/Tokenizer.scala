@@ -90,25 +90,88 @@ object Tokenizer {
     * scan-and-skip walk every BPE implementation uses). Training
     * stops early when no pair occurs at least twice.
     *
-    * Scale shape: the corpus is read ONCE (word-frequency
-    * aggregation); every iteration after that runs on the
-    * localCheckpoint'ed distinct-word table — bounded by |vocabulary
-    * of the corpus|, not corpus size — and collects exactly one row.
-    * numMerges iterations = numMerges small jobs; at production merge
-    * counts (4-8K) batching symbol-disjoint winners per round cuts
-    * the job count ~10x — disjoint pairs DO keep their exact counts,
-    * but a pair CREATED by an accepted merge can out-count a later
-    * batch member that sequential training would then have deferred,
-    * so batching trades exact merge-order fidelity for speed (the
-    * same approximation every batched BPE trainer makes). Left as a
-    * documented option: the oracle replay pins the exact
-    * one-merge-per-round trajectory.
+    * Scale shape — two exact tiers (VERDICT r6 #3), identical
+    * trajectory by construction and spec-pinned equal:
+    *
+    *  - LOCAL-EXACT tier (the common case): the distinct-word table
+    *    is bounded by |corpus vocabulary|, not corpus size. When it
+    *    fits `maxLocalWords` (a documented bounded collect, the same
+    *    class as the vocab/centroid collects) the trainer collects
+    *    (word, freq) ONCE and runs the exact merge loop driver-side
+    *    with delta updates (pair-count map + per-pair word index —
+    *    only words CONTAINING the winning pair are touched per
+    *    merge). Tie-breaks compare UTF8String binary order, exactly
+    *    like the distributed ORDER BY. numMerges merges = ONE
+    *    distributed aggregation + local compute: the 96-merge Zipfian
+    *    probe drops from 96 driver-coordinated jobs (~14 s) to one
+    *    (<1 s), and a production 4-8 K vocabulary from ~10-20 min to
+    *    seconds.
+    *  - DISTRIBUTED tier (vocabulary beyond the bound): the
+    *    one-aggregation-per-round loop below, optionally accelerated
+    *    by the provably-exact strict-prefix batching of
+    *    [[trainBpeMergesBatched]].
     *
     * Returns the merges IN LEARNED ORDER — the order
     * [[graft.functions.BpeExpressions]] must apply them in. */
   def trainBpeMerges(docs: DataFrame, textCol: String,
-      numMerges: Int): Array[(String, String)] =
-    trainBpeMergesImpl(docs, textCol, numMerges, byteLevel = false)
+      numMerges: Int,
+      maxLocalWords: Int = DefaultMaxLocalWords): Array[(String, String)] =
+    trainBpeMergesImpl(docs, textCol, numMerges, byteLevel = false,
+      maxLocalWords = maxLocalWords)
+
+  /** Distinct-word bound for the local-exact tier: 2M words × ~50 B
+    * ≈ 100 MB driver heap worst-case — the documented ceiling of this
+    * bounded collect. Corpora with larger vocabularies train on the
+    * distributed tier. */
+  val DefaultMaxLocalWords: Int = 1 << 21
+
+  /** BATCHED distributed BPE training (VERDICT r6 #3) — EXACT, not
+    * approximate: per round, rank candidate pairs exactly as the
+    * sequential loop does, then accept the maximal CONSECUTIVE
+    * top-of-ranking prefix (up to `batchSize`) that is (a) mutually
+    * symbol-disjoint, (b) cut at the first self-pair (l==r), and
+    * (c) strictly above the first unaccepted candidate's count.
+    * Under those three conditions sequential training provably
+    * merges exactly the accepted set next, in rank order: disjoint
+    * pairs keep their exact counts and commute, and every pair a
+    * merge can create or shrink involves a symbol of an accepted
+    * pair, so it lives strictly below the cut (created pair counts
+    * are bounded by an overlapping unaccepted pair's count; the
+    * self-pair barrier closes the one case — runs like "aaaa" —
+    * where that bound fails). The greedy skip-conflicts batching
+    * most trainers use was measured to diverge from sequential on
+    * every fixture (at equal budget it spends merges the sequential
+    * trajectory gives to cascade pairs) and was rejected; this
+    * prefix rule trades a smaller average batch for a merge list
+    * IDENTICAL to sequential on every corpus (property-pinned).
+    * Round reduction is corpus-dependent: large-alphabet corpora
+    * whose top pairs touch disjoint symbols batch well; tiny-
+    * alphabet synthetic corpora degenerate toward one merge per
+    * round. The LOCAL tier (see [[trainBpeMerges]]) is the primary
+    * production path; this accelerates the beyond-`maxLocalWords`
+    * distributed tier. */
+  def trainBpeMergesBatched(docs: DataFrame, textCol: String,
+      numMerges: Int, batchSize: Int = 16,
+      maxLocalWords: Int = DefaultMaxLocalWords): Array[(String, String)] = {
+    require(batchSize >= 1, "batchSize must be positive")
+    trainBpeMergesImpl(docs, textCol, numMerges, byteLevel = false,
+      batchSize = batchSize, maxLocalWords = maxLocalWords)
+  }
+
+  /** [[trainBpeMergesBatched]] plus the number of driver ROUNDS it
+    * took (each round = one distributed pair-count aggregation + one
+    * bounded collect; the local-exact tier counts as one round) —
+    * the probe/spec observable for the job-count claims. */
+  private[graft] def trainBpeMergesBatchedWithRounds(docs: DataFrame,
+      textCol: String, numMerges: Int, batchSize: Int,
+      maxLocalWords: Int = DefaultMaxLocalWords): (Array[(String, String)], Int) = {
+    require(batchSize >= 1, "batchSize must be positive")
+    val rounds = new java.util.concurrent.atomic.AtomicInteger
+    val merges = trainBpeMergesImpl(docs, textCol, numMerges,
+      byteLevel = false, batchSize = batchSize,
+      maxLocalWords = maxLocalWords, roundCounter = rounds)
+    (merges, rounds.get())
+  }
 
   /** BYTE-level BPE training (GPT-2-class fidelity): symbols are
     * UTF-8 BYTES, not characters, so budgets and merges are faithful
@@ -120,16 +183,33 @@ object Tokenizer {
     * `unhex` on a merged symbol recovers its byte run. Identical loop
     * to [[trainBpeMerges]] otherwise; the byte alphabet is ≤ 256. */
   def trainBpeBytes(docs: DataFrame, textCol: String,
-      numMerges: Int): Array[(String, String)] =
-    trainBpeMergesImpl(docs, textCol, numMerges, byteLevel = true)
+      numMerges: Int,
+      maxLocalWords: Int = DefaultMaxLocalWords): Array[(String, String)] =
+    trainBpeMergesImpl(docs, textCol, numMerges, byteLevel = true,
+      maxLocalWords = maxLocalWords)
 
   private def trainBpeMergesImpl(docs: DataFrame, textCol: String,
-      numMerges: Int, byteLevel: Boolean): Array[(String, String)] = {
+      numMerges: Int, byteLevel: Boolean,
+      batchSize: Int = 1,
+      maxLocalWords: Int = DefaultMaxLocalWords,
+      roundCounter: java.util.concurrent.atomic.AtomicInteger =
+        new java.util.concurrent.atomic.AtomicInteger): Array[(String, String)] = {
     require(numMerges >= 1, "numMerges must be positive")
     val words = docs
       .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("f"))
+    if (maxLocalWords > 0) {
+      // local-exact tier: limit+collect probes the bound and fetches
+      // the table in one job; a row past the bound -> distributed
+      val rows = words.limit(maxLocalWords + 1).collect()
+      if (rows.length <= maxLocalWords) {
+        roundCounter.incrementAndGet()
+        return trainLocalExact(
+          rows.map(r => (segmentLocal(r.getString(0), byteLevel), r.getLong(1))),
+          numMerges)
+      }
+    }
     val initSegs =
       if (byteLevel) {
         val hx = hex(encode(col("w"), "UTF-8"))
@@ -152,20 +232,140 @@ object Tokenizer {
             element_at(col("segs"), i + lit(1)).as("r"))))
         .otherwise(typedlit(Seq.empty[(String, String)])
           .cast("array<struct<l:string,r:string>>"))
-      val best = segs.select(col("f"), explode(pairs).as("p"))
+      val want = math.min(batchSize, numMerges - iter)
+      // bounded collect: want accepted + one row past the cut for
+      // the strict-gap check (want == 1 degenerates to sequential)
+      val ranked = segs.select(col("f"), explode(pairs).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum("f").as("c"))
         .filter(col("c") >= 2)
         .orderBy(col("c").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
+        .limit(want + 1).collect()
+      if (ranked.isEmpty) exhausted = true
       else {
-        val (l, r) = (best(0).getString(0), best(0).getString(1))
-        out += ((l, r))
-        segs = segs.withColumn("segs", applyMerge(col("segs"), l, r))
-          .localCheckpoint()
-        iter += 1
+        // EXACT strict-prefix batch (see trainBpeMergesBatched):
+        // consecutive top-of-ranking pairs, mutually symbol-disjoint,
+        // cut at the first self-pair, all strictly above the first
+        // unaccepted candidate's count
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var i = 0
+        var stop = false
+        while (i < ranked.length && accepted.length < want && !stop) {
+          val (l, r, c) = (ranked(i).getString(0), ranked(i).getString(1),
+            ranked(i).getLong(2))
+          if (used(l) || used(r)) stop = true
+          else {
+            accepted += ((l, r, c)); used += l; used += r
+            if (l == r) stop = true
+            i += 1
+          }
+        }
+        val nextCount =
+          if (i < ranked.length) ranked(i).getLong(2)
+          else 1L // ranking exhausted: every further pair is < 2
+        while (accepted.length > 1 && accepted.last._3 <= nextCount)
+          accepted.remove(accepted.length - 1)
+        out ++= accepted.map(a => (a._1, a._2))
+        // disjoint merges commute: one composed projection, one
+        // checkpoint per ROUND instead of per merge
+        val merged = accepted.foldLeft(segs) { case (s, (l, r, _)) =>
+          s.withColumn("segs", applyMerge(col("segs"), l, r))
+        }
+        segs = merged.localCheckpoint()
+        iter += accepted.length
+        roundCounter.incrementAndGet()
       }
+    }
+    out.toArray
+  }
+
+  /** One-code-point (or two-hex-digit byte) initial segmentation of
+    * a word — the driver-side mirror of the `initSegs` columns above
+    * (Spark `substr` walks code points, so surrogate pairs stay
+    * whole; `hex(encode(w))` is uppercase). */
+  private def segmentLocal(w: String, byteLevel: Boolean): Array[String] =
+    if (byteLevel)
+      w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => "%02X".format(b & 0xff))
+    else
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
+  /** Spark's string ORDER BY is UTF8String binary order — the local
+    * tie-break must match it exactly (differs from String.compareTo
+    * on supplementary characters). */
+  private def binLt(a: String, b: String): Boolean =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+
+  /** Driver-side EXACT BPE loop over the collected distinct-word
+    * table: pair-count map + per-pair word index, so each merge
+    * touches only the words that contain the winning pair (delta
+    * updates — the standard fast exact-BPE structure). Argmax is a
+    * full map scan per merge (map size ~ distinct adjacent pairs);
+    * fine through production vocab sizes, and trivially swappable
+    * for a heap if it ever shows up in a profile. Semantics are
+    * IDENTICAL to the distributed loop: same ranking key (count
+    * DESC, l ASC, r ASC in UTF8 binary order), same c >= 2 stop,
+    * same left-to-right non-overlapping merge walk. */
+  private def trainLocalExact(words: Array[(Array[String], Long)],
+      numMerges: Int): Array[(String, String)] = {
+    import scala.collection.mutable
+    val segs = words.map(_._1)
+    val freqs = words.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val index = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def eachPair(s: Array[String])(f: ((String, String)) => Unit): Unit = {
+      var j = 0
+      while (j < s.length - 1) { f((s(j), s(j + 1))); j += 1 }
+    }
+    def addWord(i: Int): Unit = eachPair(segs(i)) { k =>
+      counts(k) = counts.getOrElse(k, 0L) + freqs(i)
+      index.getOrElseUpdate(k, mutable.Set.empty) += i
+    }
+    def removeWord(i: Int): Unit = eachPair(segs(i)) { k =>
+      val c = counts(k) - freqs(i)
+      if (c == 0L) counts.remove(k) else counts(k) = c
+      index.get(k).foreach { s => s -= i; if (s.isEmpty) index.remove(k) }
+    }
+    var i = 0
+    while (i < segs.length) { addWord(i); i += 1 }
+    val out = mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (out.length < numMerges && !exhausted) {
+      var best: (String, String) = null
+      var bestC = 1L
+      counts.foreach { case (k, c) =>
+        if (c > bestC || (c == bestC && best != null &&
+            (binLt(k._1, best._1) ||
+              (k._1 == best._1 && binLt(k._2, best._2))))) {
+          best = k; bestC = c
+        }
+      }
+      if (best == null) exhausted = true
+      else {
+        out += best
+        val (l, r) = best
+        val affected = index(best).toArray
+        affected.foreach { w =>
+          removeWord(w)
+          segs(w) = mergeWalk(segs(w), l, r)
+          addWord(w)
+        }
+      }
+    }
+    out.toArray
+  }
+
+  /** Left-to-right non-overlapping merge of one word's symbols — the
+    * driver-side mirror of [[applyMerge]]'s fold (BpePropertySpec
+    * pins fold == walk). */
+  private def mergeWalk(s: Array[String], l: String, r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var j = 0
+    while (j < s.length) {
+      if (j < s.length - 1 && s(j) == l && s(j + 1) == r) { out += l + r; j += 2 }
+      else { out += s(j); j += 1 }
     }
     out.toArray
   }

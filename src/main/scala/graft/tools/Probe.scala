@@ -241,6 +241,7 @@ object Probe {
     * picking the dd5 query's operating point (auto-tuned vs a
     * recall-1 explicit banding) and re-pricing PERF.md. */
   def r7probe(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import spark.implicits._
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     def timed[T](label: String)(f: => T): T = {
       val t = System.nanoTime(); val r = f
@@ -263,6 +264,39 @@ object Probe {
     lshRun("r=2 b=20", 20, 2)
     lshRun("r=2 b=24", 24, 2)
     lshRun("r=3 b=24", 24, 3)
+
+    // ---- BPE local-exact tier vs distributed loop (VERDICT r6 #3) --
+    // same 50K-doc Zipfian corpus as r6probe; 96 merges
+    val sizes = Seq.fill(40)(200) ++ Seq.fill(400)(20) ++ Seq.fill(2000)(5)
+    val cum = sizes.scanLeft(0L)((a, b) => a + b)
+    val boundsDf = sizes.indices.map(k => (k.toLong, cum(k), cum(k) + sizes(k)))
+      .toDF("cl", "lo", "hi")
+    val zipf = spark.range(50000L).select(col("id").as("doc_id"))
+      .join(broadcast(boundsDf),
+        col("doc_id") >= col("lo") && col("doc_id") < col("hi"), "left")
+      .withColumn("rep", coalesce(col("lo"), col("doc_id")))
+      .withColumn("text",
+        concat(concat_ws(" ", transform(sequence(lit(1), lit(30)),
+          i => concat(lit("w"), pmod(xxhash64(col("rep"), i), lit(5000))))),
+          lit(" s"), pmod(col("doc_id"), lit(7))))
+      .select("doc_id", "text").localCheckpoint()
+    val tSeq0 = System.nanoTime()
+    val distM = graft.operators.Tokenizer.trainBpeMerges(zipf, "text",
+      numMerges = 96, maxLocalWords = 0)
+    val tSeq = (System.nanoTime() - tSeq0) / 1e9
+    val tLoc0 = System.nanoTime()
+    val (locM, locRounds) = graft.operators.Tokenizer
+      .trainBpeMergesBatchedWithRounds(zipf, "text", 96, batchSize = 1)
+    val tLoc = (System.nanoTime() - tLoc0) / 1e9
+    println(f"=== r7probe BPE 96 merges ZIPF 50K docs: distributed ${tSeq}%.1fs (96 rounds)" +
+      f" vs local-exact ${tLoc}%.1fs ($locRounds round) — identical=${distM.toSeq == locM.toSeq}")
+    val tBat0 = System.nanoTime()
+    val (batM, batRounds) = graft.operators.Tokenizer
+      .trainBpeMergesBatchedWithRounds(zipf, "text", 96, batchSize = 8,
+        maxLocalWords = 0)
+    val tBat = (System.nanoTime() - tBat0) / 1e9
+    println(f"=== r7probe BPE strict-prefix batch (distributed tier): ${tBat}%.1fs," +
+      f" $batRounds rounds for 96 merges — identical=${batM.toSeq == distM.toSeq}")
   }
 
   def scale10x(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {

@@ -99,12 +99,21 @@ class BpePropertySpec extends SparkTestBase {
           .mkString(" "))
       }
       val df = docs.toDF("doc_id", "text")
+      // default entry (local-exact tier since r7)
       val got = Tokenizer.trainBpeMerges(df, "text", numMerges = 10).toSeq
       val freq = docs.flatMap(_._2.split(" ")).groupBy(identity)
         .map { case (w, g) => w -> g.size.toLong }
       val want = naiveTrain(freq, 10)
       assert(got == want,
-        s"trial $trial: distributed $got != sequential $want")
+        s"trial $trial: local-exact $got != sequential $want")
+      // the distributed tier and its strict-prefix batching must give
+      // the SAME trajectory (maxLocalWords = 0 forces them)
+      val dist = Tokenizer.trainBpeMerges(df, "text", numMerges = 10,
+        maxLocalWords = 0).toSeq
+      assert(dist == want, s"trial $trial: distributed $dist != $want")
+      val batched = Tokenizer.trainBpeMergesBatched(df, "text",
+        numMerges = 10, batchSize = 4, maxLocalWords = 0).toSeq
+      assert(batched == want, s"trial $trial: batched $batched != $want")
       // and the kernel applied to each distinct word equals the naive
       // trainer's implied segmentation (training == application)
       val m = new BpeMatcher(got)

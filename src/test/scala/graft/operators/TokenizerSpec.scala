@@ -157,6 +157,54 @@ class TokenizerSpec extends SparkTestBase {
     }
   }
 
+  test("BPE: local-exact tier == distributed loop == strict-prefix batch, " +
+      "with the local tier doing 96 merges in ONE round") {
+    // production-shaped (Zipfian) corpus: 600 docs over a ~200-word
+    // synthetic vocabulary, deterministic — the r6 verdict's regime
+    val zipf = spark.range(600L).toDF("doc_id")
+      .withColumn("text",
+        concat_ws(" ", transform(sequence(lit(1), lit(12)),
+          i => concat(lit("w"), pmod(xxhash64(col("doc_id") % 37, i), lit(200))))))
+    val nMerges = 96
+    // ground truth: the distributed one-merge-per-round loop
+    val seqM = Tokenizer.trainBpeMerges(zipf, "text", numMerges = nMerges,
+      maxLocalWords = 0).toSeq
+    assert(seqM.size == nMerges)
+    // LOCAL tier: identical merge list, ONE driver round instead of
+    // 96 (>= 5x fewer is the r6 bar; this is 96x)
+    val (locM, locRounds) = Tokenizer.trainBpeMergesBatchedWithRounds(
+      zipf, "text", numMerges = nMerges, batchSize = 1)
+    assert(locRounds == 1, s"expected the local-exact tier, rounds=$locRounds")
+    assert(locM.toSeq == seqM)
+    // DISTRIBUTED strict-prefix batching: merge list IDENTICAL to
+    // sequential (the exactness proof in the scaladoc), never more
+    // rounds than merges
+    val (batM, batRounds) = Tokenizer.trainBpeMergesBatchedWithRounds(
+      zipf, "text", numMerges = nMerges, batchSize = 8, maxLocalWords = 0)
+    assert(batM.toSeq == seqM)
+    assert(batRounds <= nMerges)
+    // and the default entry point (local tier) agrees end-to-end
+    assert(Tokenizer.trainBpeMerges(zipf, "text", numMerges = nMerges)
+      .toSeq == seqM)
+  }
+
+  test("BPE: local-exact tier matches the distributed loop on the " +
+      "natural-text fixture, byte-level included") {
+    val charSeq = Tokenizer.trainBpeMerges(docs, "text", numMerges = 12,
+      maxLocalWords = 0).toSeq
+    assert(Tokenizer.trainBpeMerges(docs, "text", numMerges = 12)
+      .toSeq == charSeq)
+    // byte-level: local tier == distributed trajectory too
+    val byteSeq = Tokenizer.trainBpeBytes(docs, "text", numMerges = 12).toSeq
+    assert(byteSeq == Tokenizer.trainBpeBytes(docs, "text", numMerges = 12,
+      maxLocalWords = 0).toSeq)
+    byteSeq.foreach { case (l, r) =>
+      assert(l.length % 2 == 0 && r.length % 2 == 0)
+      assert((l + r).forall(c => c.isDigit || ('A' to 'F').contains(c)))
+    }
+    assert(byteSeq.nonEmpty)
+  }
+
   test("BPE: concatenated tokens reconstruct each word (round trip)") {
     val merges = Tokenizer.trainBpeMerges(docs, "text", numMerges = 12).toSeq
     val got = docs.select(
