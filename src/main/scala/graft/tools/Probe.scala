@@ -17,6 +17,7 @@ object Probe {
     if (args.headOption.contains("r5dprobe")) { r5dprobe(spark, dir); spark.stop(); return }
     if (args.headOption.contains("r6probe")) { r6probe(spark, dir); spark.stop(); return }
     if (args.headOption.contains("r7probe")) { r7probe(spark, dir); spark.stop(); return }
+    if (args.headOption.contains("r7pipe")) { r7pipe(spark, dir); spark.stop(); return }
     if (args.headOption.contains("jdbcYardstick")) { jdbcYardstick(spark, dir); spark.stop(); return }
     if (args.headOption.contains("dd4")) { dd4(spark, dir); spark.stop(); return }
     if (args.headOption.contains("dotKernel")) { dotKernel(spark, dir); spark.stop(); return }
@@ -297,6 +298,107 @@ object Probe {
     val tBat = (System.nanoTime() - tBat0) / 1e9
     println(f"=== r7probe BPE strict-prefix batch (distributed tier): ${tBat}%.1fs," +
       f" $batRounds rounds for 96 merges — identical=${batM.toSeq == distM.toSeq}")
+  }
+
+  /** Round-7 pipeline probe (VERDICT r6 #7): the full pipe1/pipe2
+    * curation funnels on the 50 K-doc Zipfian corpus, stage by stage
+    * (each stage standalone from a checkpointed input) and composed
+    * end-to-end, so any composition overhead >2x a stage's
+    * standalone cost is visible. */
+  def r7pipe(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    import graft.operators._
+    val sizes = Seq.fill(40)(200) ++ Seq.fill(400)(20) ++ Seq.fill(2000)(5)
+    val cum = sizes.scanLeft(0L)((a, b) => a + b)
+    val boundsDf = sizes.indices.map(k => (k.toLong, cum(k), cum(k) + sizes(k)))
+      .toDF("cl", "lo", "hi")
+    val docs = spark.range(50000L).select(col("id").as("doc_id"))
+      .join(broadcast(boundsDf),
+        col("doc_id") >= col("lo") && col("doc_id") < col("hi"), "left")
+      .withColumn("rep", coalesce(col("lo"), col("doc_id")))
+      .withColumn("lang", concat(lit("l"), pmod(col("rep"), lit(4))))
+      .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(3))))
+      .withColumn("text",
+        concat(concat_ws(" ", transform(sequence(lit(1), lit(30)),
+          i => concat(lit("w"), pmod(xxhash64(col("rep"), i), lit(5000))))),
+          lit(" s"), pmod(col("doc_id"), lit(7))))
+      .select("doc_id", "lang", "source", "text").localCheckpoint()
+    def timed(label: String)(f: => Long): Long = {
+      val t = System.nanoTime(); val n = f
+      println(f"=== r7pipe $label: ${(System.nanoTime() - t) / 1e9}%.2fs ($n%,d rows)")
+      n
+    }
+    // ---- pipe1 stages ---------------------------------------------
+    var stage = docs
+    val norm = docs.withColumn("text", TextNormalize.canonical(col("text")))
+    timed("pipe1 s1 normalize (standalone)")(norm.count())
+    stage = norm.localCheckpoint()
+    val gated = stage.filter(TextAnalysis.qualityScore(col("text")) >= 0.3)
+    timed("pipe1 s2 quality filter (standalone)")(gated.count())
+    stage = gated.localCheckpoint()
+    timed("pipe1 s3 dedupCorpus (standalone)")(
+      Dedup.dedupCorpus(stage, "doc_id", "text", threshold = 0.8).count())
+    val surv = Dedup.dedupCorpus(stage, "doc_id", "text", threshold = 0.8)
+      .localCheckpoint()
+    timed("pipe1 s4 annotate (standalone)")(
+      surv.select(col("doc_id"), col("lang"), col("source"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint")).count())
+    timed("pipe1 COMPOSED end-to-end")({
+      val d2 = docs.withColumn("text", TextNormalize.canonical(col("text")))
+        .filter(TextAnalysis.qualityScore(col("text")) >= 0.3)
+      Dedup.dedupCorpus(d2, "doc_id", "text", threshold = 0.8)
+        .select(col("doc_id"), col("lang"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint")).count()
+    })
+    // ---- pipe2 stages ---------------------------------------------
+    val evalDocs = docs.filter(pmod(col("doc_id"), lit(20)) === 0).localCheckpoint()
+    val train = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0).localCheckpoint()
+    // the gate keeps 0 of these synthetic word-id docs (no stopwords,
+    // no sentences) — its COST is the row-local scoring scan, which
+    // is what we time; downstream stages are priced on the full
+    // train set so they see realistic volumes
+    timed("pipe2 s1 quality gate (standalone; rejects all synthetic docs)")(
+      QualityFilters.gate(train, "text")
+        .filter(col("keep")).select("doc_id", "source", "text").count())
+    val g2 = QualityFilters.gate(train, "text")
+      .select("doc_id", "source", "text").localCheckpoint()
+    val deduped2 = Dedup.exactSurvivors(g2, "doc_id", Seq("text"))
+    timed("pipe2 s2 exact survivors (standalone)")(deduped2.count())
+    val d2c = deduped2.localCheckpoint()
+    val contaminated = Decontaminate.bloomContaminatedDocs(
+      d2c, evalDocs, "doc_id", "text", gramSize = 3,
+      expectedEvalGrams = 1 << 18)
+      .filter(col("n_shared_grams") >= 20).select("doc_id")
+    timed("pipe2 s3 bloom decontaminate (standalone)")(contaminated.count())
+    val cont2 = contaminated.localCheckpoint()
+    timed("pipe2 s4 anti join + per-source counts (standalone)")({
+      val clean = d2c.join(cont2, Seq("doc_id"), "left_anti")
+      def cnt(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.groupBy("source").agg(count(lit(1)).as(name))
+      cnt(train, "n_input")
+        .join(cnt(g2, "n_gated"), Seq("source"), "left")
+        .join(cnt(d2c, "n_deduped"), Seq("source"), "left")
+        .join(cnt(clean, "n_clean"), Seq("source"), "left").count()
+    })
+    timed("pipe2 COMPOSED end-to-end")({
+      // gate compute included, filter bypassed (see s1 note)
+      val gted = QualityFilters.gate(train, "text")
+        .select("doc_id", "source", "text")
+      val ddp = Dedup.exactSurvivors(gted, "doc_id", Seq("text"))
+      val cont = Decontaminate.bloomContaminatedDocs(
+        ddp, evalDocs, "doc_id", "text", gramSize = 3,
+        expectedEvalGrams = 1 << 18)
+        .filter(col("n_shared_grams") >= 20).select("doc_id")
+      val clean = ddp.join(cont, Seq("doc_id"), "left_anti")
+      def cnt(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.groupBy("source").agg(count(lit(1)).as(name))
+      cnt(train, "n_input")
+        .join(cnt(gted, "n_gated"), Seq("source"), "left")
+        .join(cnt(ddp, "n_deduped"), Seq("source"), "left")
+        .join(cnt(clean, "n_clean"), Seq("source"), "left").count()
+    })
   }
 
   def scale10x(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
