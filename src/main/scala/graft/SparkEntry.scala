@@ -1136,6 +1136,35 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank")
     }),
 
+    // r7: product quantization — the 32x-compressed ANN payload tier.
+    // Deterministic fused Lloyd's per subspace (kmeans1's contract:
+    // smallest-id init, (cost, cid) tie-break, empty clusters keep
+    // their centroid); codes are INTEGRAL so the full training replay
+    // hash-matches despite engine-specific avg ulps in the centroid
+    // doubles (the kmeans1 adjudication)
+    "sim9_pq_codes" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val books = Similarity.pqTrain(e, "vec_id", "embedding",
+        m = 8, k = 16, maxIter = 2)
+      Similarity.pqEncode(e, "vec_id", "embedding", books)
+        .select(col("id").as("vec_id"),
+          posexplode(col("codes")).as(Seq("sub", "code")))
+    }),
+
+    // ADC top-k over the PQ codes: per-neighbor distance is m literal
+    // codebook lookups — corpus floats never touched after encoding.
+    // Brute-force ADC (the verification shape, like sim1); the scale
+    // path probes IVF lists first. Both engines train their own
+    // codebooks and sum the per-subspace terms in the same order, so
+    // ranks hash-match on this fixture
+    "sim10_pq_adc_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val books = Similarity.pqTrain(e, "vec_id", "embedding",
+        m = 8, k = 16, maxIter = 2)
+      Similarity.pqAdcTopK(e.filter("vec_id < 10"), e,
+        "vec_id", "embedding", books, 5)
+    }),
+
     // exact cosine pair enumeration (the brute-force baseline dd5's
     // LSH recall is measured against) — oracle-checkable because the
     // codegen dot product accumulates double left-to-right, exactly
@@ -7550,6 +7579,12 @@ object SparkEntry {
         |WHERE e.value < f.q1 - (f.q3 - f.q1) * 1.5
         |   OR e.value > f.q3 + (f.q3 - f.q1) * 1.5""".stripMargin,
 
+    // full PQ training replay (fused Lloyd's, 2 iterations) — codes
+    // are integral, the kmeans1 ulp adjudication
+    "sim9_pq_codes" -> sim9Oracle,
+
+    "sim10_pq_adc_topk" -> sim10Oracle,
+
     // double-identical to the Spark plan: the codegen dot product
     // accumulates CAST-to-double products left-to-right, as does
     // list_sum over the transformed list
@@ -7932,6 +7967,101 @@ object SparkEntry {
        |      + least(q.sh / greatest(q.nt, 1.0) * 5.0, 1.0) * 0.1 AS quality
        |FROM fp f JOIN q USING (doc_id)""".stripMargin
   }
+
+  /** PQ oracle CTE chain: replays [[graft.operators.Similarity.pqTrain]]'s
+    * deterministic fused Lloyd's (m=8 subspaces, k=16, 2 iterations)
+    * generically over tables — subvectors via list slices, assignment
+    * cost in the EXACT double form the Spark plan computes
+    * (|c|² left-to-right, minus 2·dot accumulated left-to-right),
+    * (cost, cid) tie-break via row_number, per-dim avg update with
+    * empty clusters keeping their previous centroid. Exposes `c2`
+    * (final codebooks) and `a3` (final per-subspace assignments =
+    * the PQ codes). Centroid doubles carry engine-specific avg
+    * summation ulps — the kmeans1 adjudication: outputs built on the
+    * codes stay integral/robust. */
+  private def pqCte: String =
+    raw"""WITH v AS (
+       |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS e
+       |  FROM embeddings),
+       |subs AS (SELECT CAST(t.range AS INT) AS s FROM range(8) t),
+       |vs AS (SELECT vec_id, s, e[s*8+1 : s*8+8] AS sv FROM v, subs),
+       |init AS (SELECT e, row_number() OVER (ORDER BY vec_id ASC) - 1 AS cid
+       |         FROM (SELECT * FROM v ORDER BY vec_id ASC LIMIT 16)),
+       |c0 AS (SELECT s, cid, e[s*8+1 : s*8+8] AS cent FROM init, subs),
+       |a1 AS (SELECT vec_id, s, cid FROM (
+       |    SELECT vs.vec_id, vs.s, c.cid,
+       |      row_number() OVER (PARTITION BY vs.vec_id, vs.s ORDER BY
+       |        list_sum(list_transform(range(1, 9), i -> c.cent[i] * c.cent[i]))
+       |        - list_sum(list_transform(range(1, 9), i -> vs.sv[i] * c.cent[i])) * 2 ASC,
+       |        c.cid ASC) AS rn
+       |    FROM vs JOIN c0 c ON vs.s = c.s)
+       |  WHERE rn = 1),
+       |u1 AS (SELECT a.s, a.cid, dd.i AS d, avg(vs.sv[dd.i]) AS mv
+       |       FROM a1 a JOIN vs ON a.vec_id = vs.vec_id AND a.s = vs.s,
+       |            range(1, 9) dd(i)
+       |       GROUP BY 1, 2, 3),
+       |c1 AS (SELECT c.s, c.cid, coalesce(u.cent, c.cent) AS cent
+       |       FROM c0 c LEFT JOIN (
+       |         SELECT s, cid, list(mv ORDER BY d) AS cent FROM u1 GROUP BY s, cid) u
+       |       ON c.s = u.s AND c.cid = u.cid),
+       |a2 AS (SELECT vec_id, s, cid FROM (
+       |    SELECT vs.vec_id, vs.s, c.cid,
+       |      row_number() OVER (PARTITION BY vs.vec_id, vs.s ORDER BY
+       |        list_sum(list_transform(range(1, 9), i -> c.cent[i] * c.cent[i]))
+       |        - list_sum(list_transform(range(1, 9), i -> vs.sv[i] * c.cent[i])) * 2 ASC,
+       |        c.cid ASC) AS rn
+       |    FROM vs JOIN c1 c ON vs.s = c.s)
+       |  WHERE rn = 1),
+       |u2 AS (SELECT a.s, a.cid, dd.i AS d, avg(vs.sv[dd.i]) AS mv
+       |       FROM a2 a JOIN vs ON a.vec_id = vs.vec_id AND a.s = vs.s,
+       |            range(1, 9) dd(i)
+       |       GROUP BY 1, 2, 3),
+       |c2 AS (SELECT c.s, c.cid, coalesce(u.cent, c.cent) AS cent
+       |       FROM c1 c LEFT JOIN (
+       |         SELECT s, cid, list(mv ORDER BY d) AS cent FROM u2 GROUP BY s, cid) u
+       |       ON c.s = u.s AND c.cid = u.cid),
+       |a3 AS (SELECT vec_id, s, cid FROM (
+       |    SELECT vs.vec_id, vs.s, c.cid,
+       |      row_number() OVER (PARTITION BY vs.vec_id, vs.s ORDER BY
+       |        list_sum(list_transform(range(1, 9), i -> c.cent[i] * c.cent[i]))
+       |        - list_sum(list_transform(range(1, 9), i -> vs.sv[i] * c.cent[i])) * 2 ASC,
+       |        c.cid ASC) AS rn
+       |    FROM vs JOIN c2 c ON vs.s = c.s)
+       |  WHERE rn = 1)""".stripMargin
+
+  private def sim9Oracle: String =
+    s"""$pqCte
+       |SELECT vec_id, CAST(s AS INT) AS sub, CAST(cid AS INT) AS code
+       |FROM a3""".stripMargin
+
+  /** sim10: ADC distance replay — per-subspace term in the Spark
+    * plan's exact double form, terms summed in ascending-subspace
+    * order (list_sum over an ORDER BY s list = the Scala reduce's
+    * left fold), plus |q|² accumulated left-to-right. */
+  private def sim10Oracle: String =
+    s"""$pqCte,
+       |codes AS (SELECT vec_id AS neighbor_id, s, cid FROM a3),
+       |qv AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 10),
+       |terms AS (
+       |  SELECT q.query_id, c.neighbor_id, c.s,
+       |    list_sum(list_transform(range(1, 9), i -> ct.cent[i] * ct.cent[i]))
+       |    - list_sum(list_transform(range(1, 9), i -> q.qv[c.s*8+i] * ct.cent[i])) * 2 AS term
+       |  FROM qv q CROSS JOIN codes c
+       |  JOIN c2 ct ON ct.s = c.s AND ct.cid = c.cid
+       |  WHERE c.neighbor_id <> q.query_id),
+       |acc AS (SELECT query_id, neighbor_id,
+       |          list_sum(list(term ORDER BY s)) AS dsum
+       |        FROM terms GROUP BY 1, 2),
+       |q2 AS (SELECT query_id,
+       |         list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])) AS qq
+       |       FROM qv),
+       |scored AS (SELECT a.query_id, a.neighbor_id, a.dsum + q2.qq AS adc,
+       |             row_number() OVER (PARTITION BY a.query_id
+       |               ORDER BY a.dsum + q2.qq ASC, a.neighbor_id ASC) AS rk
+       |           FROM acc a JOIN q2 USING (query_id))
+       |SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank,
+       |       round(adc, 6) AS adc_dist
+       |FROM scored WHERE rk <= 5""".stripMargin
 
   /** dd3 oracle: exact replay of [[graft.functions.TextExpressions.tokenHash64]]
     * (rolling-31 fold, then Murmur3 fmix64 as xor/shift plus split

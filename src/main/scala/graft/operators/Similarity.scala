@@ -322,6 +322,124 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  // ---- Product Quantization (PQ) ----------------------------------
+
+  /** Train `m` per-subspace codebooks of `k` centroids each —
+    * product quantization (Jégou et al. 2011), the memory tier BELOW
+    * int8: a dim-64 float vector (256 B) compresses to m=8 code
+    * bytes (32×), and query-time distances come from per-subspace
+    * table lookups instead of full dot products.
+    *
+    * Training is deterministic Lloyd's per subspace with the same
+    * contract as [[Clustering.kmeansCentroids]] (init = the k
+    * smallest-id vectors' subvectors, argmin tie-break by centroid
+    * id, empty clusters keep their previous centroid) — but FUSED:
+    * each iteration computes all m subspace assignments in one
+    * projection, explodes to (subspace, centroid, subvector), and
+    * aggregates every codebook in ONE map-combined shuffle to m·k
+    * rows. Driver state: m·k·(dim/m) = k·dim doubles. At 100 TB:
+    * train on a sample, encode the corpus in one projection pass.
+    *
+    * Returns codebooks(sub)(centroid)(dim/m). */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, maxIter: Int): Array[Array[Array[Double]]] = {
+    require(m >= 1 && k >= 1 && maxIter >= 0, s"m=$m k=$k maxIter=$maxIter")
+    val dim = firstVectorDim(corpus, vecCol)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val initRows = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(initRows.length == k, s"need >= $k vectors, got ${initRows.length}")
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => initRows.map(_.slice(s * dsub, (s + 1) * dsub)))
+    var it = 0
+    while (it < maxIter) {
+      val subEntries = (0 until m).map { s =>
+        val sv = slice(col(vecCol).cast("array<double>"), s * dsub + 1, dsub)
+        struct(lit(s).as("sub"), pqArgmin(sv, books(s)).as("cid"), sv.as("sv"))
+      }
+      val exploded = corpus.select(explode(array(subEntries: _*)).as("e"))
+        .select(col("e.sub").as("sub"), col("e.cid").as("cid"), col("e.sv").as("sv"))
+      val aggs = (0 until dsub).map(i => avg(col("sv").getItem(i)).as(s"m$i"))
+      val rows = exploded.groupBy("sub", "cid")
+        .agg(aggs.head, aggs.tail: _*).collect()
+      val next = books.map(_.map(_.clone()))
+      rows.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          Array.tabulate(dsub)(i => r.getDouble(i + 2))
+      }
+      books = next
+      it += 1
+    }
+    books
+  }
+
+  /** argmin-cost codebook entry for a subvector column: cost_j =
+    * |c_j|² − 2·sv·c_j (distance² minus the shared |sv|² term),
+    * struct array_min for the (cost, cid) deterministic tie-break —
+    * the same form as Clustering's assignment, per subspace. */
+  private def pqArgmin(sv: Column, cents: Array[Array[Double]]): Column = {
+    val entries = cents.zipWithIndex.map { case (c, j) =>
+      val normSq = c.map(x => x * x).sum
+      struct((lit(normSq) - dot(sv, array(c.map(lit): _*)) * 2.0).as("cost"),
+        lit(j).as("cid"))
+    }
+    array_min(array(entries.toIndexedSeq: _*)).getField("cid")
+  }
+
+  /** PQ-encode: each vector becomes `m` small-int codes (argmin
+    * codebook entry per subspace) — one projection, codebooks ride
+    * as literals, integral output. This array<int> IS the 32×-
+    * compressed index payload a 100 TB ANN corpus stores/shuffles. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    df.select(col(idCol).as("id"),
+      array((0 until m).map { s =>
+        pqArgmin(slice(col(vecCol).cast("array<double>"), s * dsub + 1, dsub),
+          books(s))
+      }: _*).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: the corpus side
+    * carries ONLY its m code ints; per (query, neighbor) the
+    * distance² is Σ_s (|c_{code_s}|² − 2·q_s·c_{code_s}) + |q|² —
+    * every centroid lookup is an `element_at` into a literal
+    * codebook array, fully codegen, no corpus floats touched. This
+    * is the brute-force ADC baseline (queries × codes — the same
+    * verification role [[bruteForceTopK]] plays); the scale path
+    * routes candidates through [[ivfTopK]]'s centroid lists first
+    * and ADC-scores only the probed fraction. Approximate by
+    * construction: ranking error is the PQ reconstruction error. */
+  def pqAdcTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      books: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    val enc = pqEncode(corpus, idCol, vecCol, books)
+      .select(col("id").as("neighbor_id"), col("codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val dist = (0 until m).map { s =>
+      val cents = array(books(s).map(c => array(c.map(lit): _*)): _*)
+      val normSqs = array(books(s).map(c => lit(c.map(x => x * x).sum)): _*)
+      val code = col("codes").getItem(s)
+      val sv = slice(col("qv"), s * dsub + 1, dsub)
+      element_at(normSqs, code + 1) - dot(sv, element_at(cents, code + 1)) * 2.0
+    }.reduce(_ + _) + dot(col("qv"), col("qv"))
+    val scored = q.crossJoin(enc)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", dist)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("adc_dist"), 6).as("adc_dist"))
+  }
+
   /** IVF over int8-quantized vectors — [[ivfTopK]]'s centroid probe
     * composed with [[quantize]]'s payload: the memory-bound form a
     * 100 TB ANN index actually ships (4× smaller corpus partitions,

@@ -613,6 +613,61 @@ class SimilaritySpec extends SparkTestBase {
     assert(nd.contains((0L, 1L)))
   }
 
+  test("PQ: codes are m ints in [0, k), deterministic, equal for equal vectors") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val books = Similarity.pqTrain(e, "vec_id", "embedding", m = 8, k = 16,
+      maxIter = 2)
+    assert(books.length == 8 && books.forall(_.length == 16) &&
+      books.forall(_.forall(_.length == 8)))
+    val codes = Similarity.pqEncode(e, "vec_id", "embedding", books)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    // deterministic across runs
+    val books2 = Similarity.pqTrain(e, "vec_id", "embedding", 8, 16, 2)
+    assert(books.flatten.flatten.toSeq == books2.flatten.flatten.toSeq)
+    // a duplicated vector encodes identically
+    import spark.implicits._
+    val twin = e.limit(1).select(lit(999999L).as("vec_id"), col("embedding"))
+    val withTwin = e.select("vec_id", "embedding").unionByName(twin)
+    val tc = Similarity.pqEncode(withTwin, "vec_id", "embedding", books)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val origId = e.limit(1).select("vec_id").as[Long].head()
+    assert(tc(999999L) == tc(origId))
+  }
+
+  test("PQ: ADC finds planted near neighbors (strong-margin ranking survives " +
+      "quantization)") {
+    // PQ's contract is reconstruction-BOUNDED ranking: it preserves
+    // neighbor relations whose distance margin exceeds quantization
+    // noise. Random same-distribution vectors have NO such margin
+    // (distances concentrate in high dim), so the meaningful spec is
+    // a planted fixture: each base vector gets a close twin; the
+    // twin must surface in the base's ADC top-5.
+    import spark.implicits._
+    val rnd = new scala.util.Random(13L)
+    def unit(): Array[Float] = {
+      val v = Array.fill(16)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val rows = (0 until 50).flatMap { i =>
+      val b = unit()
+      val eps = unit()
+      val mix = b.zip(eps).map { case (x, e) => x + 0.15f * e }
+      val n = math.sqrt(mix.map(x => x.toDouble * x).sum)
+      Seq((i * 2L, b.toSeq), (i * 2L + 1L, mix.map(x => (x / n).toFloat).toSeq))
+    } ++ (0 until 100).map(i => (1000L + i, unit().toSeq))
+    val e = rows.toDF("vec_id", "embedding")
+    val books = Similarity.pqTrain(e, "vec_id", "embedding", m = 4, k = 16,
+      maxIter = 3)
+    val queries = e.filter(col("vec_id") < 100 && col("vec_id") % 2 === 0)
+    val got = Similarity.pqAdcTopK(queries, e, "vec_id", "embedding", books, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0 until 50).count(i => got((i * 2L, i * 2L + 1L)))
+    assert(found >= 45, s"planted twin found for only $found/50 queries")
+  }
+
   test("lsh top-k returns only same-bucket neighbors, never the query itself") {
     val out = Similarity.lshTopK(vecs, vecs, "id", "v", 4, planes = 2)
       .collect()
