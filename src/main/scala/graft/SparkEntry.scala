@@ -1165,6 +1165,17 @@ object SparkEntry {
         "vec_id", "embedding", books, 5)
     }),
 
+    // IVF-PQ composition at FULL PROBE (nProbe == nCentroids): the
+    // candidate set is the whole corpus, so ranks equal brute-force
+    // ADC — sim6's full-probe oracle pattern, sharing sim10's replay
+    "sim11_ivfpq_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val books = Similarity.pqTrain(e, "vec_id", "embedding",
+        m = 8, k = 16, maxIter = 2)
+      Similarity.pqIvfTopK(e.filter("vec_id < 10"), e,
+        "vec_id", "embedding", books, 5, nCentroids = 16, nProbe = 16)
+    }),
+
     // exact cosine pair enumeration (the brute-force baseline dd5's
     // LSH recall is measured against) — oracle-checkable because the
     // codegen dot product accumulates double left-to-right, exactly
@@ -7584,6 +7595,9 @@ object SparkEntry {
     "sim9_pq_codes" -> sim9Oracle,
 
     "sim10_pq_adc_topk" -> sim10Oracle,
+
+    // full probe == brute ADC (zero-norm-free fixture), same replay
+    "sim11_ivfpq_topk" -> sim10Oracle,
 
     // double-identical to the Spark plan: the codegen dot product
     // accumulates CAST-to-double products left-to-right, as does

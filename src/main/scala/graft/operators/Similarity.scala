@@ -393,14 +393,18 @@ object Similarity {
     * as literals, integral output. This array<int> IS the 32×-
     * compressed index payload a 100 TB ANN corpus stores/shuffles. */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
-      books: Array[Array[Array[Double]]]): DataFrame = {
+      books: Array[Array[Array[Double]]]): DataFrame =
+    df.select(col(idCol).as("id"), pqCodes(col(vecCol), books).as("codes"))
+
+  /** The m-code array for a vector column — [[pqEncode]]'s kernel as
+    * a reusable Column (everything literal; pure projection). */
+  private def pqCodes(v: Column,
+      books: Array[Array[Array[Double]]]): Column = {
     val m = books.length
     val dsub = books(0)(0).length
-    df.select(col(idCol).as("id"),
-      array((0 until m).map { s =>
-        pqArgmin(slice(col(vecCol).cast("array<double>"), s * dsub + 1, dsub),
-          books(s))
-      }: _*).as("codes"))
+    array((0 until m).map { s =>
+      pqArgmin(slice(v.cast("array<double>"), s * dsub + 1, dsub), books(s))
+    }: _*)
   }
 
   /** Asymmetric-distance (ADC) top-k over PQ codes: the corpus side
@@ -416,22 +420,76 @@ object Similarity {
   def pqAdcTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String,
       books: Array[Array[Array[Double]]], k: Int): DataFrame = {
-    val m = books.length
-    val dsub = books(0)(0).length
     val enc = pqEncode(corpus, idCol, vecCol, books)
       .select(col("id").as("neighbor_id"), col("codes"))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
-    val dist = (0 until m).map { s =>
-      val cents = array(books(s).map(c => array(c.map(lit): _*)): _*)
-      val normSqs = array(books(s).map(c => lit(c.map(x => x * x).sum)): _*)
-      val code = col("codes").getItem(s)
-      val sv = slice(col("qv"), s * dsub + 1, dsub)
-      element_at(normSqs, code + 1) - dot(sv, element_at(cents, code + 1)) * 2.0
-    }.reduce(_ + _) + dot(col("qv"), col("qv"))
     val scored = q.crossJoin(enc)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc_dist", dist)
+      .withColumn("adc_dist", adcDist(col("qv"), col("codes"), books))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("adc_dist"), 6).as("adc_dist"))
+  }
+
+  /** ADC distance² of a (double) query vector to a PQ code array:
+    * Σ_s (|c_{code_s}|² − 2·q_s·c_{code_s}) + |q|², every centroid a
+    * literal-array `element_at` — fully codegen. */
+  private def adcDist(qv: Column, codes: Column,
+      books: Array[Array[Array[Double]]]): Column = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    (0 until m).map { s =>
+      val cents = array(books(s).map(c => array(c.map(lit): _*)): _*)
+      val normSqs = array(books(s).map(c => lit(c.map(x => x * x).sum)): _*)
+      val code = codes.getItem(s)
+      val sv = slice(qv, s * dsub + 1, dsub)
+      element_at(normSqs, code + 1) - dot(sv, element_at(cents, code + 1)) * 2.0
+    }.reduce(_ + _) + dot(qv, qv)
+  }
+
+  /** IVF-PQ — the composition a billion-vector index actually ships:
+    * [[ivfTopK]]'s coarse centroid probe prunes the candidate lists,
+    * then [[pqAdcTopK]]'s asymmetric distance scores ONLY the probed
+    * fraction, reading m code ints per candidate instead of its
+    * floats. The corpus-side index is (cent_id, neighbor_id, codes):
+    * one projection pass to build, 32× smaller than the float corpus,
+    * shuffled on cent_id only. With `nProbe == nCentroids` the
+    * candidate set is the whole (nonzero-norm) corpus and the ranking
+    * is identical to brute-force ADC — the oracle-verified
+    * configuration (sim6's full-probe pattern). */
+  def pqIvfTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      books: Array[Array[Array[Double]]], k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cent = corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"),
+        l2norm(col(vecCol)).as("cent_n"))
+    def coarse(df: DataFrame, topN: Int): DataFrame = {
+      val scored = df.withColumn("__n", l2norm(col(vecCol)))
+        .filter(col("__n") > 0)
+        .crossJoin(broadcast(cent))
+        .filter(col("cent_n") > 0)
+        .withColumn("sim",
+          dot(col(vecCol), col("cent_v")) / (col("__n") * col("cent_n")))
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("sim").desc, col("cent_id").asc)
+      scored.withColumn("r", row_number().over(w)).filter(col("r") <= topN)
+    }
+    // one projection pass builds the whole index row: codes + coarse
+    // assignment, no re-join for the floats
+    val index = coarse(corpus.withColumn("codes",
+        pqCodes(col(vecCol), books)), 1)
+      .select(col(idCol).as("neighbor_id"), col("cent_id"), col("codes"))
+    val probes = coarse(queries, nProbe)
+      .select(col(idCol).as("query_id"), col("cent_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+    val scored = probes.join(index, "cent_id")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", adcDist(col("qv"), col("codes"), books))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -668,6 +668,31 @@ class SimilaritySpec extends SparkTestBase {
     assert(found >= 45, s"planted twin found for only $found/50 queries")
   }
 
+  test("PQ: full-probe IVF-PQ equals brute-force ADC; partial probe never " +
+      "beats the full probe's best distance") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = e.filter("vec_id < 10")
+    val books = Similarity.pqTrain(e, "vec_id", "embedding", 8, 16, 2)
+    val brute = Similarity.pqAdcTopK(q, e, "vec_id", "embedding", books, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = Similarity.pqIvfTopK(q, e, "vec_id", "embedding", books, 5,
+      nCentroids = 16, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == brute)
+    // a partial probe ranks over FEWER candidates, so its best
+    // distance per query can never beat the full probe's best
+    def best(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val fullBest = best(Similarity.pqIvfTopK(q, e, "vec_id", "embedding",
+      books, 5, nCentroids = 16, nProbe = 16))
+    val partBest = best(Similarity.pqIvfTopK(q, e, "vec_id", "embedding",
+      books, 5, nCentroids = 16, nProbe = 4))
+    partBest.foreach { case (qid, d) =>
+      assert(d >= fullBest(qid) - 1e-9, s"query $qid: partial beat full")
+    }
+  }
+
   test("lsh top-k returns only same-bucket neighbors, never the query itself") {
     val out = Similarity.lshTopK(vecs, vecs, "id", "v", 4, planes = 2)
       .collect()
