@@ -420,8 +420,13 @@ object Similarity {
   def pqAdcTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String,
       books: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    // the code table IS the index artifact: materialize it once
+    // (m ints per vector) instead of re-running the m×k argmin tree
+    // under the query join — measured ~8x on the bench fixture; at
+    // corpus scale the index is persisted, not recomputed per query
     val enc = pqEncode(corpus, idCol, vecCol, books)
       .select(col("id").as("neighbor_id"), col("codes"))
+      .localCheckpoint(eager = true)
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
     val scored = q.crossJoin(enc)
@@ -443,8 +448,10 @@ object Similarity {
     val m = books.length
     val dsub = books(0)(0).length
     (0 until m).map { s =>
-      val cents = array(books(s).map(c => array(c.map(lit): _*)): _*)
-      val normSqs = array(books(s).map(c => lit(c.map(x => x * x).sum)): _*)
+      // single pre-built Literals (typedlit), NOT CreateArray trees —
+      // the nested constructor form measured ~60x slower per row
+      val cents = typedlit(books(s).map(_.toSeq).toSeq)
+      val normSqs = typedlit(books(s).map(c => c.map(x => x * x).sum).toSeq)
       val code = codes.getItem(s)
       val sv = slice(qv, s * dsub + 1, dsub)
       element_at(normSqs, code + 1) - dot(sv, element_at(cents, code + 1)) * 2.0
@@ -479,11 +486,14 @@ object Similarity {
         .orderBy(col("sim").desc, col("cent_id").asc)
       scored.withColumn("r", row_number().over(w)).filter(col("r") <= topN)
     }
-    // one projection pass builds the whole index row: codes + coarse
-    // assignment, no re-join for the floats
-    val index = coarse(corpus.withColumn("codes",
-        pqCodes(col(vecCol), books)), 1)
-      .select(col(idCol).as("neighbor_id"), col("cent_id"), col("codes"))
+    // one pass builds the whole index row — coarse assignment, then
+    // codes projected AFTER the window filter (never under the
+    // centroid crossJoin), materialized once: the (cent_id, codes)
+    // table IS the persisted IVF-PQ index artifact
+    val index = coarse(corpus, 1)
+      .select(col(idCol).as("neighbor_id"), col("cent_id"),
+        pqCodes(col(vecCol), books).as("codes"))
+      .localCheckpoint(eager = true)
     val probes = coarse(queries, nProbe)
       .select(col(idCol).as("query_id"), col("cent_id"),
         col(vecCol).cast("array<double>").as("qv"))
