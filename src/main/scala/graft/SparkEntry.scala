@@ -267,8 +267,10 @@ object SparkEntry {
   private def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
-  /** Data files of a parquet output dir (skips _SUCCESS / hidden). */
-  private def listDataFiles(dir: String): Array[java.io.File] =
+  /** Data files of a parquet output dir (skips _SUCCESS / hidden) —
+    * shared with the probes (one definition of "data file" for the
+    * mtime-pinning sites). */
+  private[graft] def listDataFiles(dir: String): Array[java.io.File] =
     new java.io.File(dir).listFiles()
       .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
 
@@ -7945,8 +7947,7 @@ object SparkEntry {
        |  SELECT doc_id,
        |    list_reduce(
        |      list_prepend(CAST(0 AS HUGEINT),
-       |        [CAST(unicode(c) AS HUGEINT)
-       |         for c in string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), '')]),
+       |        ${byteFoldList(raw"regexp_replace(trim(text), '\s+', ' ', 'g')")}),
        |      (h, b) -> (h * 31 + b) % CAST('18446744073709551616' AS HUGEINT)) AS m
        |  FROM surv)
        |SELECT s.doc_id, s.lang, s.source,
@@ -7963,8 +7964,7 @@ object SparkEntry {
        |  SELECT doc_id,
        |    list_reduce(
        |      list_prepend(CAST(0 AS HUGEINT),
-       |        [CAST(unicode(c) AS HUGEINT)
-       |         for c in string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), '')]),
+       |        ${byteFoldList(raw"regexp_replace(trim(text), '\s+', ' ', 'g')")}),
        |      (h, b) -> (h * 31 + b) % CAST('18446744073709551616' AS HUGEINT)) AS m
        |  FROM documents),
        |q AS (
@@ -8084,6 +8084,17 @@ object SparkEntry {
        |       round(adc, 6) AS adc_dist
        |FROM scored WHERE rk <= 5""".stripMargin
 
+  /** UTF-8 BYTE list of a string expression as HUGEINTs — the exact
+    * quantity the Spark rolling hashes fold ([[graft.functions.TextExpressions.RollingHash]]
+    * and `tokenHash64` iterate `getBytes`, NOT code points). Decodes
+    * `hex(encode(s))` pairs positionally, so the replay is
+    * byte-exact on any input, ASCII or not (r7 review: the earlier
+    * `unicode(c)` form silently diverged on multibyte text). */
+  private def byteFoldList(expr: String): String =
+    s"""[CAST((strpos('0123456789ABCDEF', hex(encode($expr))[2*i-1:2*i-1]) - 1) * 16
+       |        + (strpos('0123456789ABCDEF', hex(encode($expr))[2*i:2*i]) - 1) AS HUGEINT)
+       |       for i in range(1, octet_length(encode($expr)) + 1)]""".stripMargin
+
   /** dd3 oracle: exact replay of [[graft.functions.TextExpressions.tokenHash64]]
     * (rolling-31 fold, then Murmur3 fmix64 as xor/shift plus split
     * 32-bit multiplies — all mod-2^64 HUGEINT arithmetic), the
@@ -8104,8 +8115,7 @@ object SparkEntry {
        |  FROM documents),
        |rh AS (
        |  SELECT doc_id,
-       |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
-       |      [CAST(unicode(c) AS HUGEINT) for c in string_split(w, '')]),
+       |    list_reduce(list_prepend(CAST(0 AS HUGEINT), ${byteFoldList("w")}),
        |      (h, b) -> (h * 31 + b) % $m64) AS h0
        |  FROM tok),
        |f1 AS (SELECT doc_id, xor(h0, h0 >> 33) AS h FROM rh),

@@ -303,15 +303,26 @@ object Dedup {
       .select("new_id", "dup_of", "jaccard")
   }
 
+  /** Algorithm tag of the simhash signature family. BUMP THIS when
+    * the token hash changes: r7 moved it from xxhash64 to
+    * rolling-31 + fmix64 (the SQL-replayable form), which made every
+    * pre-r7 signature value unrelated to the post-r7 one — a
+    * version-blind gate would compare them and silently pass every
+    * duplicate. Stores carry the tag; the gate refuses stores
+    * without it or with a different one. */
+  val SimHashAlgo = "simhash64/rolling31-fmix64/v2"
+
   /** One 64-bit simhash per doc — the signature frame
-    * [[incrementalDedupGate]] probes. Same tokenization and signature
-    * as `EventStream.streamingNearDedup`, so the within-stream gate
+    * [[incrementalDedupGate]] probes — tagged with [[SimHashAlgo]].
+    * Same tokenization and signature as
+    * `EventStream.streamingNearDedup`, so the within-stream gate
     * and the cross-run gate agree on what "same doc shape" means.
     * Persist with `Bucketing.writeBucketed(_, table, Seq("sig"), n)`
     * for an exchange-free probe. */
   def simhashStore(docs: DataFrame, textCol: String): DataFrame =
     spread(docs).select(TextExpressions.simhash64(
-      split(lower(trim(col(textCol))), "\\s+")).as("sig")).distinct()
+        split(lower(trim(col(textCol))), "\\s+")).as("sig")).distinct()
+      .withColumn("sig_algo", lit(SimHashAlgo))
 
   /** Ingestion-time signature gate against a PERSISTENT store — the
     * cross-run form of `EventStream.streamingNearDedup`: drop any
@@ -324,9 +335,22 @@ object Dedup {
     * boilerplate/near-identical; an (astronomically rare) unrelated
     * collision costs one doc. For exact Jaccard-thresholded
     * accounting run the batch [[incrementalDedup]].
+    *
+    * Refuses a store whose signatures were hashed by a different
+    * algorithm generation (one bounded limit-1 probe): signatures
+    * across generations are unrelated 64-bit values, so a
+    * version-blind anti-join would silently pass every duplicate —
+    * rebuild the store with [[simhashStore]] instead.
     */
   def incrementalDedupGate(newDocs: DataFrame, storeSigs: DataFrame,
       textCol: String): DataFrame = {
+    require(storeSigs.columns.contains("sig_algo"),
+      s"signature store has no sig_algo column — it predates $SimHashAlgo " +
+        "and its signatures are unrelated to current ones; rebuild with simhashStore")
+    val algo = storeSigs.select("sig_algo").limit(1).collect()
+    require(algo.isEmpty || algo(0).getString(0) == SimHashAlgo,
+      s"signature store was built with '${algo(0).getString(0)}' but this build " +
+        s"hashes with '$SimHashAlgo'; rebuild with simhashStore")
     var sig = "__sig"
     while (newDocs.columns.contains(sig)) sig += "_"
     newDocs.withColumn(sig, TextExpressions.simhash64(
@@ -976,8 +1000,14 @@ object Dedup {
       planesPerBand: Int = 0,
       seed: Long = 42L,
       maxBucketSize: Int = 10000): DataFrame = {
+    // half-specified banding is almost certainly a caller still
+    // passing the r6 positional `planes` argument — fail loudly
+    // instead of silently auto-tuning
+    require((bands > 0) == (planesPerBand > 0),
+      s"bands and planesPerBand must be set together (0,0 = auto): " +
+        s"bands=$bands planesPerBand=$planesPerBand")
     val (r, b) =
-      if (bands > 0 && planesPerBand > 0) (planesPerBand, bands)
+      if (bands > 0) (planesPerBand, bands)
       else Similarity.lshParams(threshold)
     val base = spread(df)
       .withColumn("__norm", Similarity.l2norm(col(vecCol)))

@@ -20,23 +20,22 @@ import org.apache.spark.sql.catalyst.encoders.RowEncoder
   */
 object Throttle {
 
-  /** Concurrency the cap must be divided by: at most
-    * `defaultParallelism` tasks ever run at once, so a plan whose
-    * scan stage is provably that wide (trusted leaf stats,
-    * [[PlanWidth]] — no RDD materialization) divides by exactly
-    * that; narrow-or-unknown plans ask the physical RDD for its
-    * exact partition count (`toRdd`: no Row-conversion lineage —
-    * the `df.rdd` probe this replaces rebuilt the frame as a
-    * deserialized Row RDD per call, r6 advisory). Dividing by the
-    * CONCURRENCY bound rather than the raw partition count also
-    * fixes over-throttling on many-partition frames: 64 partitions
-    * on 32 cores used to run at cap/64 each = half the configured
-    * rate; now 32 concurrent tasks at cap/32 hold the cap exactly. */
-  private def concurrency(df: DataFrame): Long = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (PlanWidth.trustedWidthAtLeast(df, p)) p.toLong
-    else math.max(1, math.min(p, PlanWidth.exactNumPartitions(df))).toLong
-  }
+  /** Divisor for the cap: the frame's EXACT physical partition count
+    * (`PlanWidth.exactNumPartitions` — `toRdd`, no Row-conversion
+    * lineage; the `df.rdd` probe this replaces rebuilt the frame as
+    * a deserialized Row RDD per call, r6 advisory). Partition count,
+    * NOT a parallelism snapshot: at most numPartitions tasks can
+    * ever run concurrently regardless of how many cores dynamic
+    * allocation later adds, so cap/numPartitions per task bounds
+    * aggregate throughput by the cap UNCONDITIONALLY — a
+    * defaultParallelism divisor measured at plan time does not (the
+    * cluster can grow past the snapshot and overshoot the cap, the
+    * one guarantee a sink-protection operator must keep). The cost
+    * is the old conservatism: more partitions than cores runs below
+    * the cap — the same trade the reference's per-thread semaphores
+    * make. */
+  private def concurrency(df: DataFrame): Long =
+    math.max(1, PlanWidth.exactNumPartitions(df)).toLong
 
   /** Limit total throughput to ~rowsPerSecond across the whole
     * DataFrame (divided evenly among concurrent tasks). */

@@ -320,7 +320,7 @@ object EventStream {
     * state, verify joined downstream) that cuts state to 16 bytes x
     * bands when in-flight verdicts aren't required.
     */
-  class LshBucketProcessor(threshold: Double, watermarkDelayMs: Long)
+  class LshBucketProcessor(threshold: Double)
       extends StatefulProcessor[Long, LshDocRow, NearDupHit] {
     @transient private var docs: org.apache.spark.sql.streaming.ListState[LshDocRow] = _
 
@@ -360,23 +360,30 @@ object EventStream {
         stored += r
       }
       docs.put(stored.toArray)
-      // idle-key hygiene: one event-time timer at (newest entry +
-      // watermark delay); re-arming replaces any earlier timer so at
-      // most one is pending per key
-      val expiry = stored.map(_.tsUs).max / 1000L + watermarkDelayMs + 1L
+      // idle-key hygiene: one event-time timer just past the newest
+      // entry — the WATERMARK already encodes the delay (wm =
+      // max event time - delay), so once it passes the newest entry
+      // every entry is expired; re-arming replaces any earlier timer
+      armSweep(stored.map(_.tsUs).max)
+      out.result().iterator
+    }
+
+    private def armSweep(newestTsUs: Long): Unit = {
+      val expiry = newestTsUs / 1000L + 1L
       getHandle.listTimers().foreach(t => if (t != expiry) getHandle.deleteTimer(t))
       getHandle.registerTimer(expiry)
-      out.result().iterator
     }
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[NearDupHit] = {
-      // the timer fires once the watermark passes every entry that
-      // was present when it was armed; anything still live has since
-      // re-armed a later timer, so usually this clears the key
+      // normally clears the key outright; if anything is still live
+      // (e.g. a stale timer restored from a checkpoint), RE-ARM so
+      // the survivors always have a pending sweep — never a silent
+      // return to unbounded retention
       val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
       val live = docs.get().filter(_.tsUs >= wmUs).toArray
-      if (live.isEmpty) docs.clear() else docs.put(live)
+      if (live.isEmpty) docs.clear()
+      else { docs.put(live); armSweep(live.map(_.tsUs).max) }
       Iterator.empty
     }
   }
@@ -405,17 +412,8 @@ object EventStream {
         unix_micros(col("ts")).as("tsUs"))
       .as[LshDocRow]
       .groupByKey(_.bucket)
-      .transformWithState(new LshBucketProcessor(threshold, intervalMs(watermark)),
+      .transformWithState(new LshBucketProcessor(threshold),
         TimeMode.EventTime(), OutputMode.Append())
-  }
-
-  /** Millisecond upper bound of a watermark interval string (months
-    * priced at 31 days — timers must fire AT or AFTER full expiry,
-    * never early). */
-  private def intervalMs(s: String): Long = {
-    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
-      org.apache.spark.unsafe.types.UTF8String.fromString(s))
-    iv.months * 31L * 86400000L + iv.days * 86400000L + iv.microseconds / 1000L
   }
 
   case class LshCandRow(bucket: Long, id: Long, ts: java.sql.Timestamp,
@@ -432,7 +430,7 @@ object EventStream {
     * shuffle. Candidate direction and arrival-order semantics are
     * identical to the verifying processor, so
     * candidates ⊇ its verified pairs on the same feed, always. */
-  class LshCandidateProcessor(watermarkDelayMs: Long)
+  class LshCandidateProcessor
       extends StatefulProcessor[Long, LshCandRow, CandidateHit] {
     @transient private var docs: org.apache.spark.sql.streaming.ListState[(Long, Long)] = _
 
@@ -458,17 +456,22 @@ object EventStream {
       }
       docs.put(stored.toArray)
       // idle-key hygiene — see LshBucketProcessor
-      val expiry = stored.map(_._2).max / 1000L + watermarkDelayMs + 1L
+      armSweep(stored.map(_._2).max)
+      out.result().iterator
+    }
+
+    private def armSweep(newestTsUs: Long): Unit = {
+      val expiry = newestTsUs / 1000L + 1L
       getHandle.listTimers().foreach(t => if (t != expiry) getHandle.deleteTimer(t))
       getHandle.registerTimer(expiry)
-      out.result().iterator
     }
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[CandidateHit] = {
       val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
       val live = docs.get().filter(_._2 >= wmUs).toArray
-      if (live.isEmpty) docs.clear() else docs.put(live)
+      if (live.isEmpty) docs.clear()
+      else { docs.put(live); armSweep(live.map(_._2).max) }
       Iterator.empty
     }
   }
@@ -493,7 +496,7 @@ object EventStream {
         col("id"), col("ts"), unix_micros(col("ts")).as("tsUs"))
       .as[LshCandRow]
       .groupByKey(_.bucket)
-      .transformWithState(new LshCandidateProcessor(intervalMs(watermark)),
+      .transformWithState(new LshCandidateProcessor(),
         TimeMode.EventTime(), OutputMode.Append())
   }
 

@@ -752,8 +752,7 @@ object Probe {
           timestamp_seconds(lit(1704067200L) + col("doc_id")))
         feed.filter(col("doc_id") < 25000).coalesce(1)
           .write.mode("append").parquet(s"$base/in")
-        def dataFiles = new java.io.File(s"$base/in").listFiles()
-          .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        def dataFiles = graft.SparkEntry.listDataFiles(s"$base/in")
         val firstSplit = dataFiles.map(_.getName).toSet
         feed.filter(col("doc_id") >= 25000).coalesce(1)
           .write.mode("append").parquet(s"$base/in")

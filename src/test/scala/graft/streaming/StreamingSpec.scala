@@ -209,6 +209,21 @@ class StreamingSpec extends SparkTestBase {
         .toDF("doc_id", "text"), sigs, "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(batchKept == Set(2L))
+    // version guard (r7: the token hash changed generations — a
+    // version-blind gate would compare unrelated signatures and
+    // silently pass every duplicate): stores without the algo tag or
+    // with a different one are refused loudly
+    val fresh = Seq((1L, "x")).toDF("doc_id", "text")
+    val untagged = sigs.drop("sig_algo")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.incrementalDedupGate(fresh, untagged, "text")
+    }
+    assert(e1.getMessage.contains("sig_algo"))
+    val wrongAlgo = sigs.withColumn("sig_algo", lit("simhash64/xxhash64/v1"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.incrementalDedupGate(fresh, wrongAlgo, "text")
+    }
+    assert(e2.getMessage.contains("rebuild"))
   }
 
   test("closed sessions: in-batch close on gap, timeout close on watermark") {
@@ -469,6 +484,52 @@ class StreamingSpec extends SparkTestBase {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == Set.empty[(Long, Long)],
         s"evicted doc must not pair: $got")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("idle LSH bucket state is SWEPT by the event-time timer, not just " +
+      "masked on access (r7 review)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, String, Timestamp)]
+      val stream = mem.toDF().toDF("doc_id", "text", "ts")
+      val q = EventStream.streamingLshNearDup(stream, "doc_id", "text",
+          tsCol = "ts", watermark = "10 minutes", shingleSize = 3,
+          numHashes = 64, numBands = 16, threshold = 0.5)
+        .toDF().writeStream.format("memory").queryName("lsh_sweep_out")
+        .outputMode("append").start()
+      def stateRows: Long =
+        Option(q.lastProgress).toSeq.flatMap(_.stateOperators.map(_.numRowsTotal))
+          .headOption.getOrElse(0L)
+      // batch 1: five distinct docs at 00:00 fan out to many band
+      // buckets whose keys will never be touched again
+      mem.addData((1L to 5L).map(i => (i,
+        s"unique payload number $i with entirely distinct words " +
+          s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i",
+        ts("2024-01-01 00:00:00"))): _*)
+      q.processAllAvailable()
+      val peak = stateRows // 5 docs x 16 band buckets
+      // batch 2: one late doc pushes the watermark far past batch 1;
+      // processAllAvailable includes the watermark-advancing empty
+      // batch in which batch 1's sweep timers fire — its buckets are
+      // CLEARED here even though no row ever touches those keys again
+      mem.addData((10L, "later arrival content one", ts("2024-01-01 03:00:00")))
+      q.processAllAvailable()
+      val after = stateRows
+      q.stop()
+      assert(peak >= 5 * 16, s"batch 1 should fan out state, saw $peak")
+      assert(after < peak,
+        s"idle buckets not swept: state rows $peak -> $after")
+      // what remains is just the late doc's own buckets (+ its timers)
+      assert(after <= 2 * 16, s"sweep left too much state: $after")
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
