@@ -1175,6 +1175,18 @@ object SparkEntry {
         "vec_id", "embedding", trainedPq(s, dir), 5)
     }),
 
+    // r7: margin-based bitext mining — mutual-best cross-side pairs
+    // scored by ratio margin over k-NN neighborhood means (the
+    // parallel-corpus extraction rule). label parity splits the
+    // fixture into the two "languages"; the ordered-fold k-NN means
+    // make every double SQL-replayable
+    "mine1_bitext_margin" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bitextMarginPairs(
+        e.filter(col("label") % 2 === 0), e.filter(col("label") % 2 === 1),
+        "vec_id", "embedding", k = 4, marginThreshold = 1.0)
+    }),
+
     // IVF-PQ composition at FULL PROBE (nProbe == nCentroids): the
     // candidate set is the whole corpus, so ranks equal brute-force
     // ADC — sim6's full-probe oracle pattern, sharing sim10's replay
@@ -7598,6 +7610,43 @@ object SparkEntry {
         |FROM events e JOIN f USING (event_type)
         |WHERE e.value < f.q1 - (f.q3 - f.q1) * 1.5
         |   OR e.value > f.q3 + (f.q3 - f.q1) * 1.5""".stripMargin,
+
+    // same double trees as the Spark plan: sim5's cosine form, k-NN
+    // means as rank-ordered list_sum folds divided by list length,
+    // ratio margin mirrored multiply-then-divide
+    "mine1_bitext_margin" ->
+      """WITH s AS (SELECT vec_id AS src_id, embedding AS sv
+        |           FROM embeddings WHERE label % 2 = 0),
+        |t AS (SELECT vec_id AS tgt_id, embedding AS tv
+        |      FROM embeddings WHERE label % 2 = 1),
+        |sc AS (
+        |  SELECT s.src_id, t.tgt_id,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(sv[i] AS DOUBLE) * CAST(tv[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(range(1, 65),
+        |        i -> CAST(sv[i] AS DOUBLE) * CAST(sv[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, 65),
+        |        i -> CAST(tv[i] AS DOUBLE) * CAST(tv[i] AS DOUBLE))))) AS cos
+        |  FROM s CROSS JOIN t
+        |  WHERE sqrt(list_sum(list_transform(range(1, 65),
+        |          i -> CAST(sv[i] AS DOUBLE) * CAST(sv[i] AS DOUBLE)))) > 0
+        |    AND sqrt(list_sum(list_transform(range(1, 65),
+        |          i -> CAST(tv[i] AS DOUBLE) * CAST(tv[i] AS DOUBLE)))) > 0),
+        |rk AS (SELECT src_id, tgt_id, cos,
+        |         row_number() OVER (PARTITION BY src_id
+        |           ORDER BY cos DESC, tgt_id ASC) AS rf,
+        |         row_number() OVER (PARTITION BY tgt_id
+        |           ORDER BY cos DESC, src_id ASC) AS rb
+        |       FROM sc),
+        |ks AS (SELECT src_id, list_sum(list(cos ORDER BY rf)) / count(*) AS ka
+        |       FROM rk WHERE rf <= 4 GROUP BY src_id),
+        |kt AS (SELECT tgt_id, list_sum(list(cos ORDER BY rb)) / count(*) AS kb
+        |       FROM rk WHERE rb <= 4 GROUP BY tgt_id)
+        |SELECT r.src_id, r.tgt_id, round(r.cos, 6) AS cosine,
+        |       round(r.cos * 2 / (ks.ka + kt.kb), 6) AS margin
+        |FROM rk r JOIN ks USING (src_id) JOIN kt USING (tgt_id)
+        |WHERE r.rf = 1 AND r.rb = 1
+        |  AND r.cos * 2 / (ks.ka + kt.kb) >= 1.0""".stripMargin,
 
     // full PQ training replay (fused Lloyd's, 2 iterations) — codes
     // are integral, the kmeans1 ulp adjudication

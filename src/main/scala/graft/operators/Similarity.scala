@@ -602,6 +602,65 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Margin-based bitext mining (the ratio-margin rule of
+    * Artetxe & Schwenk 2019) — the operator that extracts parallel
+    * translation pairs from two monolingual embedding spaces, the
+    * data source behind large multilingual training corpora. Raw
+    * cosine is a poor mining signal (hubness: some vectors are close
+    * to everything), so each candidate is scored by its cosine
+    * RELATIVE to both endpoints' neighborhoods:
+    *
+    *   margin(x, y) = 2·cos(x, y) / (kavg(x) + kavg(y))
+    *
+    * with kavg = mean cosine of the endpoint's k nearest cross-side
+    * neighbors. Emitted pairs are MUTUAL best matches (y is x's
+    * best target and x is y's best source — the deterministic
+    * argmax, ties by id) with margin >= `marginThreshold`.
+    *
+    * This is the exact/yardstick form (full cross scoring, like
+    * [[bruteForceTopK]]); at corpus scale generate candidates with
+    * [[ivfTopK]]'s centroid probe per side and apply the same
+    * margin/mutual logic to the probed pairs. The k-NN means fold
+    * rank-ordered cosine lists (sort_array of (rank, cos) structs),
+    * so the double tree is reproducible and SQL-mirrorable — the
+    * same ordered-fold discipline the entropy/PCA oracles use. */
+  def bitextMarginPairs(src: DataFrame, tgt: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4,
+      marginThreshold: Double = 1.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val s = src.select(col(idCol).as("src_id"), col(vecCol).as("sv"),
+      l2norm(col(vecCol)).as("sn")).filter(col("sn") > 0)
+    val t = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("tv"),
+      l2norm(col(vecCol)).as("tn")).filter(col("tn") > 0)
+    val scored = s.crossJoin(t)
+      .withColumn("cos", dot(col("sv"), col("tv")) / (col("sn") * col("tn")))
+      .select("src_id", "tgt_id", "cos")
+    val wf = Window.partitionBy("src_id").orderBy(col("cos").desc, col("tgt_id").asc)
+    val wb = Window.partitionBy("tgt_id").orderBy(col("cos").desc, col("src_id").asc)
+    val ranked = scored
+      .withColumn("rf", row_number().over(wf))
+      .withColumn("rb", row_number().over(wb))
+    // rank-ordered fold: sum the top-k cosines smallest-rank-first,
+    // so the accumulation order is pinned on both engines
+    def kavg(keyCol: String, rankCol: String) = ranked
+      .filter(col(rankCol) <= k)
+      .groupBy(keyCol)
+      .agg(sort_array(collect_list(struct(col(rankCol).as("r"), col("cos").as("c"))))
+        .as("top"))
+      .select(col(keyCol),
+        (aggregate(col("top"), lit(0.0), (a, x) => a + x.getField("c"))
+          / size(col("top"))).as(s"kavg_$keyCol"))
+    val mutualBest = ranked.filter(col("rf") === 1 && col("rb") === 1)
+    mutualBest
+      .join(kavg("src_id", "rf"), "src_id")
+      .join(kavg("tgt_id", "rb"), "tgt_id")
+      .withColumn("margin",
+        col("cos") * 2.0 / (col("kavg_src_id") + col("kavg_tgt_id")))
+      .filter(col("margin") >= marginThreshold)
+      .select(col("src_id"), col("tgt_id"),
+        round(col("cos"), 6).as("cosine"), round(col("margin"), 6).as("margin"))
+  }
+
   /** Hard-negative mining for contrastive/embedding training: per
     * query, the k most-similar corpus vectors with a DIFFERENT
     * label — the near-misses that actually move a metric-learning

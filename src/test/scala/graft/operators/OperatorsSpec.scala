@@ -693,6 +693,44 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("bitext margin mining recovers a planted cross-side alignment") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29L)
+    def unit(): Array[Float] = {
+      val v = Array.fill(16)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    // 40 "source-language" vectors; each planted "translation" is a
+    // small perturbation on the target side; plus unaligned noise on
+    // both sides that must NOT pair
+    val bases = (0 until 40).map(_ => unit())
+    val src = bases.zipWithIndex.map { case (b, i) => (i.toLong, b.toSeq) } ++
+      (0 until 20).map(i => (100L + i, unit().toSeq))
+    val tgt = bases.zipWithIndex.map { case (b, i) =>
+      val eps = unit()
+      val mix = b.zip(eps).map { case (x, e) => x + 0.15f * e }
+      val n = math.sqrt(mix.map(x => x.toDouble * x).sum)
+      (1000L + i, mix.map(x => (x / n).toFloat).toSeq)
+    } ++ (0 until 20).map(i => (2000L + i, unit().toSeq))
+    val sDf = src.toDF("vec_id", "embedding")
+    val tDf = tgt.toDF("vec_id", "embedding")
+    val mined = Similarity.bitextMarginPairs(sDf, tDf, "vec_id", "embedding",
+      k = 4, marginThreshold = 1.05)
+      .select("src_id", "tgt_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 40).map(i => (i.toLong, 1000L + i)).toSet
+    val recovered = mined.intersect(planted).size
+    assert(recovered >= 36, s"recovered only $recovered/40 planted pairs")
+    // precision: mutual-best + margin keeps noise out — at most a
+    // couple of coincidental noise alignments survive
+    assert(mined.diff(planted).size <= 2,
+      s"spurious pairs mined: ${mined.diff(planted)}")
+    // mutual-best means each endpoint appears at most once
+    assert(mined.map(_._1).size == mined.size)
+    assert(mined.map(_._2).size == mined.size)
+  }
+
   test("lsh top-k returns only same-bucket neighbors, never the query itself") {
     val out = Similarity.lshTopK(vecs, vecs, "id", "v", 4, planes = 2)
       .collect()
