@@ -855,7 +855,7 @@ object SparkEntry {
     // buckets, see Similarity.lshParams).
     "dd5_embedding_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-          threshold = 0.35, bands = 20, planesPerBand = 2)
+          threshold = 0.35, bands = Some(20), planesPerBand = Some(2))
         .select(col("id_a"), col("id_b"),
           round(col("cosine"), 6).as("cos_sim"))),
 
@@ -3662,7 +3662,8 @@ object SparkEntry {
       |s0 AS MATERIALIZED (SELECT w, f,
       |         $rs || array_to_string($initSyms,
       |                                $sep2) || $rs AS seg
-      |       FROM wcnt CROSS JOIN rsguard)""".stripMargin
+      |       FROM wcnt CROSS JOIN rsguard
+      |       WHERE rsguard.ok = 0)""".stripMargin
     for (k <- 1 to numMerges) {
       val p = k - 1
       sb ++= s""",

@@ -336,21 +336,25 @@ object Dedup {
     * collision costs one doc. For exact Jaccard-thresholded
     * accounting run the batch [[incrementalDedup]].
     *
-    * Refuses a store whose signatures were hashed by a different
-    * algorithm generation (one bounded limit-1 probe): signatures
-    * across generations are unrelated 64-bit values, so a
-    * version-blind anti-join would silently pass every duplicate —
-    * rebuild the store with [[simhashStore]] instead.
+    * Refuses a store containing signatures of a different algorithm
+    * generation (one bounded distinct-aggregation probe — the domain
+    * is generation tags, a handful of values; a limit-1 sample would
+    * miss MIXED stores, e.g. a v2 append onto an untagged store whose
+    * old rows read back as null): signatures across generations are
+    * unrelated 64-bit values, so a version-blind anti-join would
+    * silently pass every duplicate — rebuild with [[simhashStore]].
     */
   def incrementalDedupGate(newDocs: DataFrame, storeSigs: DataFrame,
       textCol: String): DataFrame = {
     require(storeSigs.columns.contains("sig_algo"),
       s"signature store has no sig_algo column — it predates $SimHashAlgo " +
         "and its signatures are unrelated to current ones; rebuild with simhashStore")
-    val algo = storeSigs.select("sig_algo").limit(1).collect()
-    require(algo.isEmpty || algo(0).getString(0) == SimHashAlgo,
-      s"signature store was built with '${algo(0).getString(0)}' but this build " +
-        s"hashes with '$SimHashAlgo'; rebuild with simhashStore")
+    val algos = storeSigs.select("sig_algo").distinct().collect()
+      .map(r => Option(r.getString(0)).getOrElse("<null>"))
+    val foreign = algos.filterNot(_ == SimHashAlgo)
+    require(foreign.isEmpty,
+      s"signature store contains generation(s) ${foreign.mkString(", ")} but this " +
+        s"build hashes with '$SimHashAlgo'; rebuild those rows with simhashStore")
     var sig = "__sig"
     while (newDocs.columns.contains(sig)) sig += "_"
     newDocs.withColumn(sig, TextExpressions.simhash64(
@@ -988,27 +992,29 @@ object Dedup {
     * embedding (boilerplate page re-encoded millions of times) caps
     * at m star edges per band instead of m²/2 clique edges.
     *
-    * Pass `bands`/`planesPerBand` explicitly to override the
-    * threshold-derived auto-tuning (0 = auto).
+    * Pass `bands`/`planesPerBand` explicitly (both, as `Some`) to
+    * override the threshold-derived auto-tuning. Option-typed on
+    * purpose: the r6 signature had positional `planes`/`seed` Ints
+    * here, and a plain-Int parameter would let a stale positional
+    * caller compile into a silently different LSH configuration —
+    * Option makes that a compile error.
     */
   def embeddingNearDupPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double = 0.95,
-      bands: Int = 0,
-      planesPerBand: Int = 0,
+      bands: Option[Int] = None,
+      planesPerBand: Option[Int] = None,
       seed: Long = 42L,
       maxBucketSize: Int = 10000): DataFrame = {
-    // half-specified banding is almost certainly a caller still
-    // passing the r6 positional `planes` argument — fail loudly
-    // instead of silently auto-tuning
-    require((bands > 0) == (planesPerBand > 0),
-      s"bands and planesPerBand must be set together (0,0 = auto): " +
+    require(bands.isDefined == planesPerBand.isDefined,
+      s"bands and planesPerBand must be set together (None, None = auto): " +
         s"bands=$bands planesPerBand=$planesPerBand")
-    val (r, b) =
-      if (bands > 0) (planesPerBand, bands)
-      else Similarity.lshParams(threshold)
+    val (r, b) = (bands, planesPerBand) match {
+      case (Some(bb), Some(rr)) => (rr, bb)
+      case _ => Similarity.lshParams(threshold)
+    }
     val base = spread(df)
       .withColumn("__norm", Similarity.l2norm(col(vecCol)))
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("__norm").as("n"))

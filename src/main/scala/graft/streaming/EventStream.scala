@@ -269,6 +269,15 @@ object EventStream {
     * and an (astronomically rare) unrelated collision costs one doc.
     * State = one signature per distinct doc shape within the
     * watermark, evicted with it.
+    *
+    * The dedup key includes [[graft.operators.Dedup.SimHashAlgo]]:
+    * the state-key schema changes whenever the signature algorithm
+    * generation does, so restarting from a checkpoint written by a
+    * previous generation FAILS LOUDLY (state schema incompatibility)
+    * instead of silently comparing unrelated signature values and
+    * passing every pre-restart duplicate for a watermark window —
+    * the streaming counterpart of the batch store's sig_algo guard.
+    * Upgrading across a generation requires a fresh checkpoint.
     */
   def streamingNearDedup(docs: DataFrame, textCol: String,
       tsCol: String = "ts", watermark: String = "1 hour"): DataFrame = {
@@ -278,9 +287,34 @@ object EventStream {
       .withColumn(sig, graft.functions.TextExpressions.simhash64(
         org.apache.spark.sql.functions.split(
           lower(trim(col(textCol))), "\\s+")))
+      .withColumn(s"${sig}_algo", lit(graft.operators.Dedup.SimHashAlgo))
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark(sig)
-      .drop(sig)
+      .dropDuplicatesWithinWatermark(sig, s"${sig}_algo")
+      .drop(sig, s"${sig}_algo")
+  }
+
+  /** Shared idle-key sweep mechanics for the LSH processors: one
+    * event-time timer just past the newest entry (the watermark
+    * already encodes the delay), re-armed on every update and on any
+    * firing that finds live entries — a key with state always has a
+    * pending sweep. */
+  private def armSweep(
+      handle: org.apache.spark.sql.streaming.StatefulProcessorHandle,
+      newestTsUs: Long): Unit = {
+    val expiry = newestTsUs / 1000L + 1L
+    handle.listTimers().foreach(t => if (t != expiry) handle.deleteTimer(t))
+    handle.registerTimer(expiry)
+  }
+
+  /** Evict entries behind the watermark; clear the key when nothing
+    * survives, otherwise re-arm the sweep for the survivors. */
+  private def sweepOrClear[T: scala.reflect.ClassTag](
+      state: org.apache.spark.sql.streaming.ListState[T], tsOf: T => Long,
+      wmUs: Long,
+      handle: org.apache.spark.sql.streaming.StatefulProcessorHandle): Unit = {
+    val live = state.get().filter(t => tsOf(t) >= wmUs).toArray
+    if (live.isEmpty) state.clear()
+    else { state.put(live); armSweep(handle, live.map(tsOf).max) }
   }
 
   case class LshDocRow(bucket: Long, id: Long, hs: Array[Long],
@@ -360,30 +394,18 @@ object EventStream {
         stored += r
       }
       docs.put(stored.toArray)
-      // idle-key hygiene: one event-time timer just past the newest
-      // entry — the WATERMARK already encodes the delay (wm =
-      // max event time - delay), so once it passes the newest entry
-      // every entry is expired; re-arming replaces any earlier timer
-      armSweep(stored.map(_.tsUs).max)
+      // idle-key hygiene: see armSweep
+      armSweep(getHandle, stored.map(_.tsUs).max)
       out.result().iterator
-    }
-
-    private def armSweep(newestTsUs: Long): Unit = {
-      val expiry = newestTsUs / 1000L + 1L
-      getHandle.listTimers().foreach(t => if (t != expiry) getHandle.deleteTimer(t))
-      getHandle.registerTimer(expiry)
     }
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[NearDupHit] = {
       // normally clears the key outright; if anything is still live
-      // (e.g. a stale timer restored from a checkpoint), RE-ARM so
-      // the survivors always have a pending sweep — never a silent
-      // return to unbounded retention
-      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
-      val live = docs.get().filter(_.tsUs >= wmUs).toArray
-      if (live.isEmpty) docs.clear()
-      else { docs.put(live); armSweep(live.map(_.tsUs).max) }
+      // (e.g. a stale timer restored from a checkpoint), sweepOrClear
+      // re-arms — never a silent return to unbounded retention
+      sweepOrClear[LshDocRow](docs, _.tsUs,
+        timerValues.getCurrentWatermarkInMs() * 1000L, getHandle)
       Iterator.empty
     }
   }
@@ -455,23 +477,15 @@ object EventStream {
         stored += ((r.id, r.tsUs))
       }
       docs.put(stored.toArray)
-      // idle-key hygiene — see LshBucketProcessor
-      armSweep(stored.map(_._2).max)
+      // idle-key hygiene — see armSweep
+      armSweep(getHandle, stored.map(_._2).max)
       out.result().iterator
-    }
-
-    private def armSweep(newestTsUs: Long): Unit = {
-      val expiry = newestTsUs / 1000L + 1L
-      getHandle.listTimers().foreach(t => if (t != expiry) getHandle.deleteTimer(t))
-      getHandle.registerTimer(expiry)
     }
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[CandidateHit] = {
-      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
-      val live = docs.get().filter(_._2 >= wmUs).toArray
-      if (live.isEmpty) docs.clear()
-      else { docs.put(live); armSweep(live.map(_._2).max) }
+      sweepOrClear[(Long, Long)](docs, _._2,
+        timerValues.getCurrentWatermarkInMs() * 1000L, getHandle)
       Iterator.empty
     }
   }

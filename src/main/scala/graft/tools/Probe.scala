@@ -237,6 +237,31 @@ object Probe {
     println(f"=== jdbcYardstick: $n%,d rows in $secs%.1fs = ${n / secs * 60}%,.0f rows/min")
   }
 
+  /** The 50 K-doc production-shaped (Zipfian cluster sizes) synthetic
+    * corpus shared by the r7 probes — ONE recipe so cross-probe
+    * timing comparisons (BPE rounds vs pipeline stages) price the
+    * same data. 40x200 + 400x20 + 2000x5 duplicate clusters, 30
+    * words/doc from a 5000-word id vocabulary, plus lang/source
+    * columns for blocked/funnel operators. */
+  private def zipfCorpus(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val sizes = Seq.fill(40)(200) ++ Seq.fill(400)(20) ++ Seq.fill(2000)(5)
+    val cum = sizes.scanLeft(0L)((a, b) => a + b)
+    val boundsDf = sizes.indices.map(k => (k.toLong, cum(k), cum(k) + sizes(k)))
+      .toDF("cl", "lo", "hi")
+    spark.range(50000L).select(col("id").as("doc_id"))
+      .join(broadcast(boundsDf),
+        col("doc_id") >= col("lo") && col("doc_id") < col("hi"), "left")
+      .withColumn("rep", coalesce(col("lo"), col("doc_id")))
+      .withColumn("lang", concat(lit("l"), pmod(col("rep"), lit(4))))
+      .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(3))))
+      .withColumn("text",
+        concat(concat_ws(" ", transform(sequence(lit(1), lit(30)),
+          i => concat(lit("w"), pmod(xxhash64(col("rep"), i), lit(5000))))),
+          lit(" s"), pmod(col("doc_id"), lit(7))))
+      .select("doc_id", "lang", "source", "text").localCheckpoint()
+  }
+
   /** Round-7 probes: dd5 banded-LSH configurations at sf0.1 —
     * wall-clock and recall vs the exact quadratic baseline, for
     * picking the dd5 query's operating point (auto-tuned vs a
@@ -256,7 +281,7 @@ object Probe {
     def lshRun(label: String, bands: Int, planes: Int): Unit = {
       val got = timed(s"dd5 banded $label")(
         graft.operators.Dedup.embeddingNearDupPairs(e, "vec_id", "embedding",
-          threshold = 0.35, bands = bands, planesPerBand = planes)
+          threshold = 0.35, bands = Some(bands), planesPerBand = Some(planes))
           .select("id_a", "id_b").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet)
       println(f"=== r7probe dd5 $label recall: ${got.intersect(exact).size.toDouble / exact.size}%.4f (${got.size} pairs)")
@@ -267,20 +292,8 @@ object Probe {
     lshRun("r=3 b=24", 24, 3)
 
     // ---- BPE local-exact tier vs distributed loop (VERDICT r6 #3) --
-    // same 50K-doc Zipfian corpus as r6probe; 96 merges
-    val sizes = Seq.fill(40)(200) ++ Seq.fill(400)(20) ++ Seq.fill(2000)(5)
-    val cum = sizes.scanLeft(0L)((a, b) => a + b)
-    val boundsDf = sizes.indices.map(k => (k.toLong, cum(k), cum(k) + sizes(k)))
-      .toDF("cl", "lo", "hi")
-    val zipf = spark.range(50000L).select(col("id").as("doc_id"))
-      .join(broadcast(boundsDf),
-        col("doc_id") >= col("lo") && col("doc_id") < col("hi"), "left")
-      .withColumn("rep", coalesce(col("lo"), col("doc_id")))
-      .withColumn("text",
-        concat(concat_ws(" ", transform(sequence(lit(1), lit(30)),
-          i => concat(lit("w"), pmod(xxhash64(col("rep"), i), lit(5000))))),
-          lit(" s"), pmod(col("doc_id"), lit(7))))
-      .select("doc_id", "text").localCheckpoint()
+    // same 50K-doc Zipfian corpus as r6probe/r7pipe; 96 merges
+    val zipf = zipfCorpus(spark)
     val tSeq0 = System.nanoTime()
     val distM = graft.operators.Tokenizer.trainBpeMerges(zipf, "text",
       numMerges = 96, maxLocalWords = 0)
@@ -308,21 +321,7 @@ object Probe {
   def r7pipe(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     import spark.implicits._
     import graft.operators._
-    val sizes = Seq.fill(40)(200) ++ Seq.fill(400)(20) ++ Seq.fill(2000)(5)
-    val cum = sizes.scanLeft(0L)((a, b) => a + b)
-    val boundsDf = sizes.indices.map(k => (k.toLong, cum(k), cum(k) + sizes(k)))
-      .toDF("cl", "lo", "hi")
-    val docs = spark.range(50000L).select(col("id").as("doc_id"))
-      .join(broadcast(boundsDf),
-        col("doc_id") >= col("lo") && col("doc_id") < col("hi"), "left")
-      .withColumn("rep", coalesce(col("lo"), col("doc_id")))
-      .withColumn("lang", concat(lit("l"), pmod(col("rep"), lit(4))))
-      .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(3))))
-      .withColumn("text",
-        concat(concat_ws(" ", transform(sequence(lit(1), lit(30)),
-          i => concat(lit("w"), pmod(xxhash64(col("rep"), i), lit(5000))))),
-          lit(" s"), pmod(col("doc_id"), lit(7))))
-      .select("doc_id", "lang", "source", "text").localCheckpoint()
+    val docs = zipfCorpus(spark)
     def timed(label: String)(f: => Long): Long = {
       val t = System.nanoTime(); val n = f
       println(f"=== r7pipe $label: ${(System.nanoTime() - t) / 1e9}%.2fs ($n%,d rows)")
