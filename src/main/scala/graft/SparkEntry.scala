@@ -1832,6 +1832,32 @@ object SparkEntry {
       s.read.parquet(s"$base/out")
     }),
 
+    // train-offline / encode-online for the PQ index: codebooks fit
+    // in batch, then a REAL two-micro-batch stream encodes each
+    // vector with the stateless m×k argmin projection — the
+    // ingestion-time form of sim9 (vectors get their 32× code
+    // payload before landing); must equal the batch codes, so it
+    // shares sim9's full-training-replay oracle. Micro-batch order
+    // is irrelevant: the encode is stateless, no mtime pinning needed
+    "st15_stream_pq_codes" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val books = trainedPq(s, dir)
+      val base = tmpDir("graft_st15")
+      val in = s"$base/in"
+      e.filter(col("vec_id") % 2 === 0).coalesce(1).write.mode("append").parquet(in)
+      e.filter(col("vec_id") % 2 === 1).coalesce(1).write.mode("append").parquet(in)
+      val schema = s.read.parquet(in).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val codes = Similarity.pqEncode(stream, "vec_id", "embedding", books)
+      val q = graft.streaming.EventStream.writeFileStream(
+        codes, s"$base/out", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out")
+        .select(col("id").as("vec_id"),
+          posexplode(col("codes")).as(Seq("sub", "code")))
+    }),
+
     "pii1_redact" -> ((s, dir) => {
       // the corpus itself is synthetic word salad, so deterministic
       // PII is injected per row — the oracle builds the identical
@@ -5328,6 +5354,9 @@ object SparkEntry {
     // the stream must land exactly where the batch assignment does
     "st10_stream_cluster_assign" ->
       (kmeansOracleCtes(8, 2, 64) + "\nSELECT vec_id, cluster FROM af"),
+
+    // streaming encode == batch codes (sim9's training replay)
+    "st15_stream_pq_codes" -> sim9Oracle,
 
     "div1_diversity_sample" ->
       (kmeansOracleCtes(8, 2, 64) + """

@@ -181,6 +181,30 @@ class StreamingSpec extends SparkTestBase {
     assert(kept == Set(1L, 3L))
   }
 
+  test("streaming PQ encode equals the batch codes (stateless projection)") {
+    implicit val sqlCtx = spark.sqlContext
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val books = graft.operators.Similarity.pqTrain(
+      e, "vec_id", "embedding", m = 8, k = 16, maxIter = 2)
+    val batch = graft.operators.Similarity.pqEncode(e, "vec_id", "embedding", books)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = graft.operators.Similarity.pqEncode(
+        mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", books)
+      .writeStream.format("memory").queryName("pq_stream_out")
+      .outputMode("append").start()
+    val rows = e.select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    mem.addData(rows.take(rows.length / 2): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(rows.length / 2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("pq_stream_out")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(streamed == batch)
+  }
+
   test("cross-run signature gate drops stored-corpus dups from a stream") {
     // the persistent-store form of streamingNearDedup: the store
     // remembers LAST run's corpus, the stream is THIS run's intake;
