@@ -328,6 +328,28 @@ object SparkEntry {
       Similarity.pqTrain(t(s, dir, "embeddings"), "vec_id", "embedding",
         m = 8, k = 16, maxIter = 2))
 
+  /** qf9 training fixture: every 5th doc gets deterministic junk
+    * appended (digit/punct spam — shifts the density features) and
+    * label 1; the classifier must learn to separate them. The junk
+    * string is shared verbatim with the oracle SQL. */
+  private val qf9Junk =
+    " 0123456789 0123456789 !!!??!! 0123456789 ,,;;::!! 0123456789"
+  private def qf9Frame(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, concat(col("text"), lit(qf9Junk)))
+        .otherwise(col("text")).as("text"),
+      when(col("doc_id") % 5 === 0, lit(1.0)).otherwise(lit(0.0)).as("y"))
+
+  /** qf9 features: dyadic scalings of EXACT integer counts (token /
+    * digit / punct / char counts over the proven TextAnalysis
+    * regex classes) — identical doubles in any engine. */
+  private def qf9Features(text: Column): Seq[Column] = Seq(
+    lit(1.0),
+    TextAnalysis.tokenCount(text) / lit(64.0),
+    TextAnalysis.digitCount(text) / lit(256.0),
+    TextAnalysis.punctCount(text) / lit(256.0),
+    TextAnalysis.charCount(text) / lit(1024.0))
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("j1_join_agg")(spark, "/root/testdata/sf0.001")
@@ -1372,6 +1394,22 @@ object SparkEntry {
         .select(col("doc_id"),
           round(col("r"), 4).as("deflate_ratio"),
           (col("r") < 0.35).as("highly_repetitive"))),
+
+    // r7: IN-ENGINE trained quality classifier — full-batch GD with
+    // integer-quantized gradients and a rational squash, so the
+    // trained weights are bit-reproducible and the oracle replays the
+    // ENTIRE 16-iteration trajectory (planted junk docs = labels;
+    // features are dyadic scalings of exact integer counts)
+    "qf9_trained_quality_gate" -> ((s, dir) => {
+      val aug = qf9Frame(t(s, dir, "documents"))
+      val feats = qf9Features(col("text"))
+      val w = QualityFilters.trainQualityClassifier(aug, feats, col("y"),
+        iters = 16)
+      aug.select(col("doc_id"),
+        round(QualityFilters.classifierScore(feats, w), 6).as("score"),
+        (QualityFilters.classifierScore(feats, w) >= 0.5).as("flagged"),
+        (col("doc_id") % 5 === 0).as("is_junk"))
+    }),
 
     "sp1_stratified_sample" -> ((s, dir) =>
       // deterministic exact-count stratified sample (training mix)
@@ -5663,6 +5701,10 @@ object SparkEntry {
 
     "qf1_quality_gate" -> qualityGateOracle,
 
+    // full 16-iteration GD trajectory replay — weights bit-identical
+    // by construction (quantized integer gradients, rational squash)
+    "qf9_trained_quality_gate" -> qf9Oracle,
+
     "qf6_nb_classifier" ->
       """WITH train AS (
         |  SELECT doc_id, text, lang = 'en' AS is_en
@@ -8173,6 +8215,58 @@ object SparkEntry {
     s"""[CAST((strpos('0123456789ABCDEF', hex(encode($expr))[2*i-1:2*i-1]) - 1) * 16
        |        + (strpos('0123456789ABCDEF', hex(encode($expr))[2*i:2*i]) - 1) AS HUGEINT)
        |       for i in range(1, octet_length(encode($expr)) + 1)]""".stripMargin
+
+  /** qf9 oracle: replays the FULL classifier training trajectory —
+    * 16 unrolled (gradient, weight-update) CTE pairs over the
+    * augmented fixture. Every double mirrors the Spark trainer's
+    * tree: left-folded dot product, rational squash
+    * `0.5 + (z/(1+abs(z)))*0.5`, per-row gradient terms quantized to
+    * exact BIGINTs via `floor(term*2^20 + 0.5)` (so the sums are
+    * order-free), update `w - 0.5*g/(2^20*n)`. Weights are therefore
+    * bit-identical, and so are the scores. */
+  private def qf9Oracle: String = {
+    val punct = raw"""[^.,;:!?''"()\[\]{}-]"""
+    val dims = 0 until 5
+    val sb = new StringBuilder
+    sb ++= raw"""WITH aug AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN text || '$qf9Junk' ELSE text END AS text,
+      |    CASE WHEN doc_id % 5 = 0 THEN 1.0 ELSE 0.0 END AS y
+      |  FROM documents),
+      |x AS MATERIALIZED (
+      |  SELECT doc_id, y,
+      |    1.0 AS x0,
+      |    len(string_split_regex(trim(text), '\s+')) / 64.0 AS x1,
+      |    length(regexp_replace(text, '[^0-9]', '', 'g')) / 256.0 AS x2,
+      |    length(regexp_replace(text, '$punct', '', 'g')) / 256.0 AS x3,
+      |    length(text) / 1024.0 AS x4
+      |  FROM aug),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM x),
+      |w0 AS (SELECT ${dims.map(d => s"0.0 AS w$d").mkString(", ")})""".stripMargin
+    val zExpr = dims.map(d => s"x.x$d * w.w$d").mkString(" + ")
+    for (k <- 1 to 16) {
+      val p = k - 1
+      val gs = dims.map(d =>
+        s"CAST(sum(CAST(floor((p - y) * x$d * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS g$d")
+        .mkString(",\n        |    ").stripMargin
+      val ws = dims.map(d =>
+        s"w.w$d - 0.5 * g.g$d / (1048576.0 * nn.n) AS w$d").mkString(", ")
+      sb ++= s""",
+        |g$k AS MATERIALIZED (
+        |  SELECT $gs
+        |  FROM (SELECT x.*, 0.5 + (z / (1 + abs(z))) * 0.5 AS p
+        |        FROM (SELECT x.*, $zExpr AS z
+        |              FROM x CROSS JOIN w$p w) x)),
+        |w$k AS MATERIALIZED (SELECT $ws FROM w$p w CROSS JOIN g$k g CROSS JOIN nn)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT x.doc_id,
+      |       round(0.5 + (($zExpr) / (1 + abs($zExpr))) * 0.5, 6) AS score,
+      |       (0.5 + (($zExpr) / (1 + abs($zExpr))) * 0.5) >= 0.5 AS flagged,
+      |       x.doc_id % 5 = 0 AS is_junk
+      |FROM x CROSS JOIN w16 w""".stripMargin
+    sb.toString
+  }
 
   /** dd3 oracle: exact replay of [[graft.functions.TextExpressions.tokenHash64]]
     * (rolling-31 fold, then Murmur3 fmix64 as xor/shift plus split

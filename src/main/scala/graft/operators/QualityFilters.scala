@@ -193,6 +193,66 @@ object QualityFilters {
           greatest(col("s.n_words"), lit(1L)), 4).as("distinct_word_frac"))
   }
 
+  /** IN-ENGINE trained quality classifier — the learned counterpart
+    * of the heuristic [[gate]]: a linear model trained by FULL-BATCH
+    * gradient descent where each iteration is ONE map-combined
+    * aggregation to `dim` values and the weights live on the driver
+    * (`dim` doubles) — the same bounded-iteration shape as the
+    * k-means/BPE trainers, linear in corpus size per iteration at
+    * any scale.
+    *
+    * Two deliberate exactness choices make the TRAINED WEIGHTS
+    * bit-reproducible across engines and partitionings (so the
+    * qf9 oracle can replay the whole trajectory):
+    *  - a RATIONAL squashing function `0.5 + 0.5·z/(1+|z|)` (the
+    *    "fast sigmoid") instead of the logistic — division/abs are
+    *    correctly-rounded IEEE ops, libm `exp` is not;
+    *  - INTEGER-QUANTIZED gradients: each row contributes
+    *    `floor(term·2^20 + 0.5)` as a LONG, so the per-dimension
+    *    gradient is an EXACT integer sum — invariant to partial-
+    *    aggregation order, where a raw double sum is not (the same
+    *    trick as gradient quantization in distributed training,
+    *    applied here for determinism rather than bandwidth).
+    *
+    * Caller supplies feature columns (make them exact — dyadic
+    * scalings of integer counts survive any engine) and a 0/1 label
+    * column. Returns the learned weights, one per feature. */
+  def trainQualityClassifier(docs: DataFrame, features: Seq[Column],
+      label: Column, iters: Int = 16, lr: Double = 0.5,
+      quant: Long = 1L << 20,
+      sampleWeight: Column = lit(1.0)): Array[Double] = {
+    require(features.nonEmpty && iters >= 1)
+    val n = docs.count()
+    require(n > 0, "empty training frame")
+    var w = Array.fill(features.size)(0.0)
+    var it = 0
+    while (it < iters) {
+      val z = features.zip(w).map { case (f, wi) => f * wi }.reduce(_ + _)
+      val p = lit(0.5) + (z / (lit(1.0) + abs(z))) * 0.5
+      // class weighting (e.g. minority junk upweighted) folds into
+      // the per-row error before quantization
+      val err = (p - label) * sampleWeight
+      val gs = features.zipWithIndex.map { case (f, d) =>
+        sum(floor(err * f * quant.toDouble + 0.5).cast("long")).as(s"g$d")
+      }
+      val row = docs.agg(gs.head, gs.tail: _*).collect()(0)
+      w = w.zipWithIndex.map { case (wi, d) =>
+        wi - lr * row.getLong(d) / (quant.toDouble * n)
+      }
+      it += 1
+    }
+    w
+  }
+
+  /** Score a frame with [[trainQualityClassifier]] weights: the same
+    * rational squash of the same left-folded dot product — a pure
+    * projection (train offline, score at ingestion, batch or
+    * streaming). */
+  def classifierScore(features: Seq[Column], w: Array[Double]): Column = {
+    val z = features.zip(w).map { case (f, wi) => f * wi }.reduce(_ + _)
+    lit(0.5) + (z / (lit(1.0) + abs(z))) * 0.5
+  }
+
   /** Quantile mapping (CDF matching): rewrite each row's score so its
     * WITHIN-SOURCE rank lands on the reference source's value at the
     * same rank — after mapping, every source's score distribution IS

@@ -62,6 +62,37 @@ class PrivacySpec extends SparkTestBase {
 class QualityFiltersSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("trained quality classifier separates planted junk and is " +
+      "bit-deterministic across runs") {
+    import org.apache.spark.sql.functions.{abs => _, _}
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val junk = " 0123456789 0123456789 !!!??!! 0123456789 ,,;;::!! 0123456789"
+    val aug = docs.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, concat(col("text"), lit(junk)))
+        .otherwise(col("text")).as("text"),
+      when(col("doc_id") % 5 === 0, lit(1.0)).otherwise(lit(0.0)).as("y"))
+    val feats = Seq(
+      lit(1.0),
+      TextAnalysis.tokenCount(col("text")) / lit(64.0),
+      TextAnalysis.digitCount(col("text")) / lit(256.0),
+      TextAnalysis.punctCount(col("text")) / lit(256.0),
+      TextAnalysis.charCount(col("text")) / lit(1024.0))
+    val w1 = QualityFilters.trainQualityClassifier(aug, feats, col("y"), iters = 16)
+    val w2 = QualityFilters.trainQualityClassifier(aug, feats, col("y"), iters = 16)
+    // quantized integer gradients make training bit-deterministic
+    // regardless of partial-aggregation order
+    assert(w1.toSeq == w2.toSeq)
+    // the model must actually separate the planted junk
+    val scored = aug.select(col("y"),
+      (QualityFilters.classifierScore(feats, w1) >= 0.5).as("flagged"))
+      .collect().map(r => (r.getDouble(0) == 1.0, r.getBoolean(1)))
+    val acc = scored.count { case (y, f) => y == f }.toDouble / scored.length
+    assert(acc >= 0.95, s"classifier accuracy too low: $acc")
+    // more iterations only refines — weights are finite and nonzero
+    assert(w1.exists(_ != 0.0))
+    assert(w1.forall(x => !x.isNaN && !x.isInfinite))
+  }
+
   test("gate computes Gopher-style signals and the keep verdict") {
     val rows = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again"), // keeps
