@@ -350,6 +350,17 @@ object SparkEntry {
     TextAnalysis.punctCount(text) / lit(256.0),
     TextAnalysis.charCount(text) / lit(1024.0))
 
+  /** qf9 converged training config (r7 hyperparameter grid: every
+    * config with iters >= 48, lr 2.0, junk-class weight 4.0 reaches
+    * accuracy 1.0 on the planted-junk fixture; the r7 default
+    * 16/0.5/unweighted under-trained at 0.8). The 4x minority
+    * upweight folds into the per-row error BEFORE quantization, so
+    * the trajectory stays bit-reproducible and oracle-replayable. */
+  private[graft] val qf9Iters = 64
+  private[graft] val qf9Lr = 2.0
+  private def qf9Weight: Column =
+    when(col("y") === 1.0, lit(4.0)).otherwise(lit(1.0))
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("j1_join_agg")(spark, "/root/testdata/sf0.001")
@@ -1395,16 +1406,18 @@ object SparkEntry {
           round(col("r"), 4).as("deflate_ratio"),
           (col("r") < 0.35).as("highly_repetitive"))),
 
-    // r7: IN-ENGINE trained quality classifier — full-batch GD with
+    // r7/r8: IN-ENGINE trained quality classifier — full-batch GD with
     // integer-quantized gradients and a rational squash, so the
     // trained weights are bit-reproducible and the oracle replays the
-    // ENTIRE 16-iteration trajectory (planted junk docs = labels;
-    // features are dyadic scalings of exact integer counts)
+    // ENTIRE 64-iteration trajectory (planted junk docs = labels;
+    // features are dyadic scalings of exact integer counts; the
+    // minority junk class is upweighted 4x — converged config from
+    // the r7 hyperparameter grid, accuracy 1.0 on the fixture)
     "qf9_trained_quality_gate" -> ((s, dir) => {
       val aug = qf9Frame(t(s, dir, "documents"))
       val feats = qf9Features(col("text"))
       val w = QualityFilters.trainQualityClassifier(aug, feats, col("y"),
-        iters = 16)
+        iters = qf9Iters, lr = qf9Lr, sampleWeight = qf9Weight)
       aug.select(col("doc_id"),
         round(QualityFilters.classifierScore(feats, w), 6).as("score"),
         (QualityFilters.classifierScore(feats, w) >= 0.5).as("flagged"),
@@ -8217,13 +8230,14 @@ object SparkEntry {
        |       for i in range(1, octet_length(encode($expr)) + 1)]""".stripMargin
 
   /** qf9 oracle: replays the FULL classifier training trajectory —
-    * 16 unrolled (gradient, weight-update) CTE pairs over the
-    * augmented fixture. Every double mirrors the Spark trainer's
+    * [[qf9Iters]] unrolled (gradient, weight-update) CTE pairs over
+    * the augmented fixture. Every double mirrors the Spark trainer's
     * tree: left-folded dot product, rational squash
-    * `0.5 + (z/(1+abs(z)))*0.5`, per-row gradient terms quantized to
-    * exact BIGINTs via `floor(term*2^20 + 0.5)` (so the sums are
-    * order-free), update `w - 0.5*g/(2^20*n)`. Weights are therefore
-    * bit-identical, and so are the scores. */
+    * `0.5 + (z/(1+abs(z)))*0.5`, per-row error upweighted 4x on the
+    * junk class, gradient terms quantized to exact BIGINTs via
+    * `floor(term*2^20 + 0.5)` (so the sums are order-free), update
+    * `w - lr*g/(2^20*n)`. Weights are therefore bit-identical, and
+    * so are the scores. */
   private def qf9Oracle: String = {
     val punct = raw"""[^.,;:!?''"()\[\]{}-]"""
     val dims = 0 until 5
@@ -8244,13 +8258,14 @@ object SparkEntry {
       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM x),
       |w0 AS (SELECT ${dims.map(d => s"0.0 AS w$d").mkString(", ")})""".stripMargin
     val zExpr = dims.map(d => s"x.x$d * w.w$d").mkString(" + ")
-    for (k <- 1 to 16) {
+    val wgt = "CASE WHEN y = 1.0 THEN 4.0 ELSE 1.0 END"
+    for (k <- 1 to qf9Iters) {
       val p = k - 1
       val gs = dims.map(d =>
-        s"CAST(sum(CAST(floor((p - y) * x$d * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS g$d")
+        s"CAST(sum(CAST(floor((p - y) * ($wgt) * x$d * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS g$d")
         .mkString(",\n        |    ").stripMargin
       val ws = dims.map(d =>
-        s"w.w$d - 0.5 * g.g$d / (1048576.0 * nn.n) AS w$d").mkString(", ")
+        s"w.w$d - $qf9Lr * g.g$d / (1048576.0 * nn.n) AS w$d").mkString(", ")
       sb ++= s""",
         |g$k AS MATERIALIZED (
         |  SELECT $gs
@@ -8264,7 +8279,7 @@ object SparkEntry {
       |       round(0.5 + (($zExpr) / (1 + abs($zExpr))) * 0.5, 6) AS score,
       |       (0.5 + (($zExpr) / (1 + abs($zExpr))) * 0.5) >= 0.5 AS flagged,
       |       x.doc_id % 5 = 0 AS is_junk
-      |FROM x CROSS JOIN w16 w""".stripMargin
+      |FROM x CROSS JOIN w$qf9Iters w""".stripMargin
     sb.toString
   }
 

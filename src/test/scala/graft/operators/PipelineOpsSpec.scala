@@ -77,8 +77,12 @@ class QualityFiltersSpec extends SparkTestBase {
       TextAnalysis.digitCount(col("text")) / lit(256.0),
       TextAnalysis.punctCount(col("text")) / lit(256.0),
       TextAnalysis.charCount(col("text")) / lit(1024.0))
-    val w1 = QualityFilters.trainQualityClassifier(aug, feats, col("y"), iters = 16)
-    val w2 = QualityFilters.trainQualityClassifier(aug, feats, col("y"), iters = 16)
+    // converged config (r7 grid): 64 iters, lr 2.0, 4x junk upweight
+    val wgt = when(col("y") === 1.0, lit(4.0)).otherwise(lit(1.0))
+    val w1 = QualityFilters.trainQualityClassifier(aug, feats, col("y"),
+      iters = 64, lr = 2.0, sampleWeight = wgt)
+    val w2 = QualityFilters.trainQualityClassifier(aug, feats, col("y"),
+      iters = 64, lr = 2.0, sampleWeight = wgt)
     // quantized integer gradients make training bit-deterministic
     // regardless of partial-aggregation order
     assert(w1.toSeq == w2.toSeq)
