@@ -1230,6 +1230,31 @@ object SparkEntry {
         nCentroids = 16, nProbe = 16)
     }),
 
+    // r8: the composed candidate-probed mining operators, verified at
+    // FULL PROBE against their exact yardsticks' oracles (the sim11
+    // pattern) — reduced-probe recall is priced in PERF.md
+    "mine2_bitext_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bitextMarginPairsIvf(
+        e.filter(col("label") % 2 === 0), e.filter(col("label") % 2 === 1),
+        "vec_id", "embedding", k = 4, marginThreshold = 1.0,
+        nCentroids = 16, nProbe = 16)
+    }),
+
+    "sim12_hard_negatives_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.hardNegativesIvf(e.filter("vec_id < 10"), e,
+        "vec_id", "embedding", "label", 5, nCentroids = 8, nProbe = 8)
+        .select("query_id", "neighbor_id", "n_label", "rank")
+    }),
+
+    "sim13_maxsim_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.maxSimTopKIvf(e.filter("vec_id < 5"),
+        e.withColumn("doc_id", expr("vec_id DIV 10")),
+        "vec_id", "embedding", "doc_id", 5, nCentroids = 8, nProbe = 8)
+    }),
+
     // exact cosine pair enumeration (the brute-force baseline dd5's
     // LSH recall is measured against) — oracle-checkable because the
     // codegen dot product accumulates double left-to-right, exactly
@@ -3864,7 +3889,7 @@ object SparkEntry {
       |doctok AS (SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_tokens
       |           FROM documents d LEFT JOIN cnt c USING (doc_id))""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "s1_scan_project" ->
       "SELECT l_orderkey, l_extendedprice, l_shipdate FROM lineitem",
 
@@ -7786,6 +7811,17 @@ object SparkEntry {
         |  FROM events)
         |SELECT user_id, count(*) AS n_events, CAST(sum(new_session) AS BIGINT) AS n_sessions
         |FROM flagged GROUP BY user_id""".stripMargin)
+
+  /** The driver's oracle map. The composed IVF mining queries (r8)
+    * reuse their exact yardsticks' SQL verbatim: at full probe
+    * (nProbe == nCentroids) the candidate set is the whole bipartite
+    * product and the downstream stages are the SAME code, so the
+    * exhaustive oracle re-verifies the composition — the sim11/sim10
+    * pattern applied to mining. */
+  def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    "mine2_bitext_ivf" -> oracleSqlBase("mine1_bitext_margin"),
+    "sim12_hard_negatives_ivf" -> oracleSqlBase("sim7_hard_negatives"),
+    "sim13_maxsim_ivf" -> oracleSqlBase("sim8_maxsim_topk"))
 
   /** pii1 oracle: built from Privacy.categories so both engines run
     * THE SAME patterns (regexes restricted to constructs Java and RE2

@@ -173,9 +173,15 @@ object Similarity {
     val scored = q.crossJoin(c)
       .filter(col("qn") > 0 && col("cn") > 0)
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    // argmax chunk per (query, doc): max on (cosine, -chunk_id) keeps
-    // the smallest chunk id among equal scores — one aggregate, no
-    // self-join back
+    maxSimRank(scored, k)
+  }
+
+  /** MaxSim aggregation/rank stage shared by [[maxSimTopK]] and
+    * [[maxSimTopKIvf]]. Input: (query_id, doc_id, chunk_id, cosine).
+    * Argmax chunk per (query, doc): max on (cosine, -chunk_id) keeps
+    * the smallest chunk id among equal scores — one aggregate, no
+    * self-join back. */
+  private def maxSimRank(scored: DataFrame, k: Int): DataFrame = {
     val perDoc = scored.groupBy("query_id", "doc_id")
       .agg(max(struct(col("cosine").as("c"),
         (-col("chunk_id")).as("nc"))).as("m"))
@@ -186,6 +192,26 @@ object Similarity {
     perDoc.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "doc_id", "best_chunk", "rank")
+  }
+
+  /** Candidate-probed late-interaction retrieval — [[maxSimTopK]]
+    * with the queries×chunks cross product replaced by
+    * [[ivfCandidatePairs]] over the CHUNK vectors (the doc id rides
+    * along as a passthrough column). A doc's MaxSim score at reduced
+    * probe is the max over its PROBED chunks — one strong chunk in a
+    * probed list is enough to surface the doc, which is the
+    * late-interaction contract. At `nProbe == nCentroids` output is
+    * bit-identical to the exact yardstick (sim8's oracle re-verifies
+    * it). Scale shape: broadcast assigns + one cent_id-shuffled
+    * join, then the same map-combined per-doc partial agg. */
+  def maxSimTopKIvf(queries: DataFrame, chunks: DataFrame, idCol: String,
+      vecCol: String, docIdCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val cand = ivfCandidatePairs(queries, chunks, idCol, vecCol,
+        nCentroids, nProbe, corpusCols = Seq(docIdCol -> "doc_id"), seed = seed)
+      .withColumnRenamed("neighbor_id", "chunk_id")
+    maxSimRank(cand, k)
   }
 
   /** Semantic decontamination — the embedding-space cousin of the
@@ -546,60 +572,108 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4,
       kmeansCentroids: Boolean = false, seed: Long = 42L): DataFrame = {
-    val spark = corpus.sparkSession
-    val cent =
-      if (kmeansCentroids) {
-        import org.apache.spark.ml.clustering.KMeans
-        import org.apache.spark.ml.functions.array_to_vector
-        val train = corpus.select(array_to_vector(
-          col(vecCol).cast("array<double>")).as("features"))
-        val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(10)
-          .fit(train)
-        import scala.jdk.CollectionConverters._
-        val rows = model.clusterCenters.zipWithIndex.map { case (v, i) =>
-          org.apache.spark.sql.Row(i.toLong, v.toArray.toSeq)
-        }.toSeq
-        spark.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("cent_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("cent_v",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.DoubleType)))))
-          .withColumn("cent_n", l2norm(col("cent_v")))
-      } else {
-        corpus.orderBy(col(idCol)).limit(nCentroids)
-          .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"),
-            l2norm(col(vecCol)).as("cent_n"))
-      }
-
-    def assign(df: DataFrame, id: String, v: String, topN: Int): DataFrame = {
-      val scored = df.select(col(id), col(v), l2norm(col(v)).as("n"))
-        .filter(col("n") > 0)
-        .crossJoin(broadcast(cent))
-        .filter(col("cent_n") > 0)
-        .withColumn("sim", dot(col(v), col("cent_v")) / (col("n") * col("cent_n")))
-      val w = Window.partitionBy(col(id)).orderBy(col("sim").desc, col("cent_id").asc)
-      scored.withColumn("r", row_number().over(w)).filter(col("r") <= topN)
-        .select(col(id), col(v), col("n"), col("cent_id"))
-    }
-
-    val corpusAssigned = assign(corpus, idCol, vecCol, 1)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("n").as("cn"), col("cent_id"))
-    val queryProbes = assign(queries, idCol, vecCol, nProbe)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("n").as("qn"), col("cent_id"))
-
-    val scored = queryProbes.join(corpusAssigned, "cent_id")
+    val scored = ivfCandidatePairs(queries, corpus, idCol, vecCol,
+        nCentroids, nProbe, kmeansCentroids = kmeansCentroids, seed = seed)
       .filter(col("query_id") =!= col("neighbor_id"))
-      // zero-norm vectors have no direction: 0/0 throws under ANSI
-      // mode (and would rank FIRST as NaN with ANSI off) — filter
-      // BEFORE the division
-      .filter(col("qn") > 0 && col("cn") > 0)
-      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** The IVF coarse index: `nCentroids` rows (cent_id, cent_v,
+    * cent_n), either the deterministic smallest-id corpus sample or
+    * k-means centers — tiny by construction, always broadcast. */
+  private def ivfCentroidFrame(corpus: DataFrame, idCol: String,
+      vecCol: String, nCentroids: Int, kmeansCentroids: Boolean,
+      seed: Long): DataFrame = {
+    val spark = corpus.sparkSession
+    if (kmeansCentroids) {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val train = corpus.select(array_to_vector(
+        col(vecCol).cast("array<double>")).as("features"))
+      val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(10)
+        .fit(train)
+      import scala.jdk.CollectionConverters._
+      val rows = model.clusterCenters.zipWithIndex.map { case (v, i) =>
+        org.apache.spark.sql.Row(i.toLong, v.toArray.toSeq)
+      }.toSeq
+      spark.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cent_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cent_v",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+        .withColumn("cent_n", l2norm(col("cent_v")))
+    } else {
+      corpus.orderBy(col(idCol)).limit(nCentroids)
+        .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"),
+          l2norm(col(vecCol)).as("cent_n"))
+    }
+  }
+
+  /** IVF candidate generation — [[ivfTopK]]'s probe stage factored
+    * into the reusable candidate generator the mining operators
+    * compose with ([[bitextMarginPairsIvf]], [[hardNegativesIvf]],
+    * [[maxSimTopKIvf]]). Corpus vectors are assigned to their nearest
+    * centroid (broadcast join — centroids are tiny); each query
+    * probes its `nProbe` nearest centroid lists; the probe join
+    * shuffles on cent_id only. Emits one row per candidate pair:
+    * (query_id, neighbor_id, cosine) plus any passthrough columns
+    * requested via `queryCols` / `corpusCols` (source-name →
+    * output-name, so both sides can carry a same-named column).
+    *
+    * Pairs are unique without a dedup pass: a corpus vector lives in
+    * exactly ONE centroid list, so even an `nProbe`-way query fan-out
+    * never produces the same (query, neighbor) twice. Zero-norm
+    * vectors are dropped before any division (0/0 throws under ANSI
+    * mode and would rank FIRST as NaN with ANSI off). Self-pairs are
+    * NOT excluded here — exclusion policy belongs to the consumer
+    * (top-k drops self-id, hard negatives drops same-label, bitext
+    * keeps everything).
+    *
+    * At `nProbe == nCentroids` the candidate set is the full
+    * bipartite product of nonzero-norm rows — each composed operator
+    * at full probe is bit-identical to its exact yardstick (the sim2/
+    * sim6/sim11 verification pattern); reduced probe is the scale
+    * path, recall priced in PERF.md. */
+  def ivfCandidatePairs(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      queryCols: Seq[(String, String)] = Nil,
+      corpusCols: Seq[(String, String)] = Nil,
+      kmeansCentroids: Boolean = false, seed: Long = 42L): DataFrame = {
+    require(nCentroids >= 1 && nProbe >= 1 && nProbe <= nCentroids,
+      s"need 1 <= nProbe <= nCentroids: nProbe=$nProbe nCentroids=$nCentroids")
+    val cent = ivfCentroidFrame(corpus, idCol, vecCol, nCentroids,
+      kmeansCentroids, seed)
+
+    def assign(df: DataFrame, topN: Int,
+        extra: Seq[(String, String)]): DataFrame = {
+      val keep = Seq(col(idCol), col(vecCol)) ++ extra.map(e => col(e._1))
+      val scored = df.select(keep: _*)
+        .withColumn("n", l2norm(col(vecCol)))
+        .filter(col("n") > 0)
+        .crossJoin(broadcast(cent))
+        .filter(col("cent_n") > 0)
+        .withColumn("sim", dot(col(vecCol), col("cent_v")) / (col("n") * col("cent_n")))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("cent_id").asc)
+      scored.withColumn("r", row_number().over(w)).filter(col("r") <= topN)
+        .select(Seq(col(idCol), col(vecCol), col("n"), col("cent_id")) ++
+          extra.map { case (src, out) => col(src).as(out) }: _*)
+    }
+
+    val corpusAssigned = assign(corpus, 1, corpusCols)
+      .withColumnsRenamed(Map(idCol -> "neighbor_id", vecCol -> "cv", "n" -> "cn"))
+    val queryProbes = assign(queries, nProbe, queryCols)
+      .withColumnsRenamed(Map(idCol -> "query_id", vecCol -> "qv", "n" -> "qn"))
+
+    queryProbes.join(corpusAssigned, "cent_id")
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .select(Seq(col("query_id"), col("neighbor_id"), col("cosine")) ++
+        queryCols.map(e => col(e._2)) ++ corpusCols.map(e => col(e._2)): _*)
   }
 
   /** Margin-based bitext mining (the ratio-margin rule of
@@ -635,6 +709,15 @@ object Similarity {
     val scored = s.crossJoin(t)
       .withColumn("cos", dot(col("sv"), col("tv")) / (col("sn") * col("tn")))
       .select("src_id", "tgt_id", "cos")
+    marginMutualBest(scored, k, marginThreshold)
+  }
+
+  /** The margin/mutual-best stage shared by [[bitextMarginPairs]]
+    * (exact pair set) and [[bitextMarginPairsIvf]] (probed pair set):
+    * bidirectional ranks, rank-ordered-fold k-NN means, ratio margin
+    * on mutual argmax pairs. Input: (src_id, tgt_id, cos). */
+  private def marginMutualBest(scored: DataFrame, k: Int,
+      marginThreshold: Double): DataFrame = {
     val wf = Window.partitionBy("src_id").orderBy(col("cos").desc, col("tgt_id").asc)
     val wb = Window.partitionBy("tgt_id").orderBy(col("cos").desc, col("src_id").asc)
     val ranked = scored
@@ -661,6 +744,39 @@ object Similarity {
         round(col("cos"), 6).as("cosine"), round(col("margin"), 6).as("margin"))
   }
 
+  /** Candidate-probed bitext mining — [[bitextMarginPairs]] with the
+    * full cross scoring replaced by [[ivfCandidatePairs]] probes run
+    * in BOTH directions (src queries tgt's centroid lists AND tgt
+    * queries src's — the backward probe is what gives tgt-side ranks
+    * and k-NN means their own neighborhoods at reduced probe, exactly
+    * as Artetxe & Schwenk mine over approximate bidirectional k-NN).
+    * The union is deduped with a per-pair max — the two directions
+    * compute bit-identical cosines (the dot kernel folds positions in
+    * array order and IEEE multiplication commutes), so max is just
+    * dedup, not a choice. Downstream margin/mutual-best logic is the
+    * shared [[marginMutualBest]], so at `nProbe == nCentroids` the
+    * output is bit-identical to the exact yardstick (mine1's oracle
+    * re-verifies it); at reduced probe only candidate generation —
+    * two broadcast assigns + two cent_id-shuffled joins, never a
+    * cross product — touches the corpora. This is the 100 TB mining
+    * path. */
+  def bitextMarginPairsIvf(src: DataFrame, tgt: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4, marginThreshold: Double = 1.0,
+      nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val fwd = ivfCandidatePairs(src, tgt, idCol, vecCol, nCentroids, nProbe,
+        seed = seed)
+      .select(col("query_id").as("src_id"), col("neighbor_id").as("tgt_id"),
+        col("cosine").as("cos"))
+    val bwd = ivfCandidatePairs(tgt, src, idCol, vecCol, nCentroids, nProbe,
+        seed = seed)
+      .select(col("neighbor_id").as("src_id"), col("query_id").as("tgt_id"),
+        col("cosine").as("cos"))
+    val cand = fwd.unionByName(bwd)
+      .groupBy("src_id", "tgt_id").agg(max(col("cos")).as("cos"))
+    marginMutualBest(cand, k, marginThreshold)
+  }
+
   /** Hard-negative mining for contrastive/embedding training: per
     * query, the k most-similar corpus vectors with a DIFFERENT
     * label — the near-misses that actually move a metric-learning
@@ -682,11 +798,39 @@ object Similarity {
       .filter(col("q_label") =!= col("n_label"))
       .filter(col("qn") > 0 && col("cn") > 0)
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    hardNegativeRank(scored, k)
+  }
+
+  /** Rank stage shared by [[hardNegatives]] and [[hardNegativesIvf]]:
+    * per-query top-k by cosine over already-label-filtered pairs.
+    * Input: (query_id, neighbor_id, n_label, cosine). */
+  private def hardNegativeRank(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "n_label", "rank")
+  }
+
+  /** Candidate-probed hard-negative mining — [[hardNegatives]] with
+    * the exhaustive scoring replaced by [[ivfCandidatePairs]]; the
+    * label exclusion applies to the PROBED pairs before ranking.
+    * At `nProbe == nCentroids` output is bit-identical to the exact
+    * yardstick (sim7's oracle re-verifies it). At reduced probe,
+    * raise `nProbe` enough to survive the label filter: a query
+    * whose probed centroid lists are label-homogeneous yields fewer
+    * than k negatives where the exact form would fill from farther
+    * lists — recall vs probe fraction is priced in PERF.md. This is
+    * the corpus-scale mining path: two broadcast assigns plus one
+    * cent_id-shuffled join, no cross product. */
+  def hardNegativesIvf(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    val cand = ivfCandidatePairs(queries, corpus, idCol, vecCol,
+      nCentroids, nProbe,
+      queryCols = Seq(labelCol -> "q_label"),
+      corpusCols = Seq(labelCol -> "n_label"), seed = seed)
+    hardNegativeRank(cand.filter(col("q_label") =!= col("n_label")), k)
   }
 
   /** Element-wise mean pooling per group — chunk embeddings back to

@@ -731,6 +731,99 @@ class SimilaritySpec extends SparkTestBase {
     assert(mined.map(_._2).size == mined.size)
   }
 
+  test("composed IVF mining at full probe is identical to the exact yardsticks") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    // bitext: probed candidates + shared margin stage == cross scoring
+    val exactB = Similarity.bitextMarginPairs(
+        e.filter(col("label") % 2 === 0), e.filter(col("label") % 2 === 1),
+        "vec_id", "embedding", k = 4, marginThreshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    val ivfB = Similarity.bitextMarginPairsIvf(
+        e.filter(col("label") % 2 === 0), e.filter(col("label") % 2 === 1),
+        "vec_id", "embedding", k = 4, marginThreshold = 1.0,
+        nCentroids = 16, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(ivfB == exactB)
+    // hard negatives
+    val exactH = Similarity.hardNegatives(e.filter("vec_id < 10"), e,
+        "vec_id", "embedding", "label", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val ivfH = Similarity.hardNegativesIvf(e.filter("vec_id < 10"), e,
+        "vec_id", "embedding", "label", 5, nCentroids = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(ivfH == exactH)
+    // maxsim over derived chunk docs
+    val chunks = e.withColumn("doc_id", expr("vec_id DIV 10"))
+    val exactM = Similarity.maxSimTopK(e.filter("vec_id < 5"), chunks,
+        "vec_id", "embedding", "doc_id", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val ivfM = Similarity.maxSimTopKIvf(e.filter("vec_id < 5"), chunks,
+        "vec_id", "embedding", "doc_id", 5, nCentroids = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(ivfM == exactM)
+  }
+
+  test("reduced-probe IVF bitext mining still recovers the planted alignment") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31L)
+    def unit(): Array[Float] = {
+      val v = Array.fill(16)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val bases = (0 until 40).map(_ => unit())
+    val src = bases.zipWithIndex.map { case (b, i) => (i.toLong, b.toSeq) } ++
+      (0 until 20).map(i => (100L + i, unit().toSeq))
+    val tgt = bases.zipWithIndex.map { case (b, i) =>
+      val eps = unit()
+      val mix = b.zip(eps).map { case (x, e) => x + 0.15f * e }
+      val n = math.sqrt(mix.map(x => x.toDouble * x).sum)
+      (1000L + i, mix.map(x => (x / n).toFloat).toSeq)
+    } ++ (0 until 20).map(i => (2000L + i, unit().toSeq))
+    val sDf = src.toDF("vec_id", "embedding")
+    val tDf = tgt.toDF("vec_id", "embedding")
+    val planted = (0 until 40).map(i => (i.toLong, 1000L + i)).toSet
+    // quarter probe: a planted pair collides when the perturbed
+    // translation lands in a probed centroid list in EITHER direction.
+    // Probing shrinks the candidate k-NN means, so margins inflate
+    // slightly — the production precision knob is the margin
+    // threshold, nudged up at reduced probe (1.05 -> 1.4)
+    val mined = Similarity.bitextMarginPairsIvf(sDf, tDf, "vec_id", "embedding",
+        k = 4, marginThreshold = 1.4, nCentroids = 8, nProbe = 2)
+      .select("src_id", "tgt_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recovered = mined.intersect(planted).size
+    info(s"reduced-probe (2/8) bitext recall: $recovered/40, " +
+      s"spurious: ${mined.diff(planted).size}")
+    assert(recovered >= 30, s"recovered only $recovered/40 planted pairs")
+    // precision survives probing: mutual-best + margin still rejects noise
+    assert(mined.diff(planted).size <= 3,
+      s"spurious pairs mined: ${mined.diff(planted)}")
+  }
+
+  test("reduced-probe hard negatives and maxsim keep useful recall vs exact") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val exactH = Similarity.hardNegatives(e.filter("vec_id < 20"), e,
+        "vec_id", "embedding", "label", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfH = Similarity.hardNegativesIvf(e.filter("vec_id < 20"), e,
+        "vec_id", "embedding", "label", 5, nCentroids = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallH = ivfH.intersect(exactH).size.toDouble / exactH.size
+    info(f"hardNegativesIvf quarter-probe recall: $recallH%.3f")
+    assert(recallH >= 0.5, s"hard-negative probe recall too low: $recallH")
+    val chunks = e.withColumn("doc_id", expr("vec_id DIV 10"))
+    val exactM = Similarity.maxSimTopK(e.filter("vec_id < 20"), chunks,
+        "vec_id", "embedding", "doc_id", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfM = Similarity.maxSimTopKIvf(e.filter("vec_id < 20"), chunks,
+        "vec_id", "embedding", "doc_id", 5, nCentroids = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallM = ivfM.intersect(exactM).size.toDouble / exactM.size
+    info(f"maxSimTopKIvf quarter-probe recall: $recallM%.3f")
+    assert(recallM >= 0.5, s"maxsim probe recall too low: $recallM")
+  }
+
   test("lsh top-k returns only same-bucket neighbors, never the query itself") {
     val out = Similarity.lshTopK(vecs, vecs, "id", "v", 4, planes = 2)
       .collect()
