@@ -255,10 +255,61 @@ object Dedup {
         col(textCol), shingleSize, numHashes, numBands))
         .as(Seq("band", "__bb")))
       .select(xxhash64(col("band"), col("__bb")).as("bucket"), col("id"))
+      .withColumn("sig_algo",
+        lit(minhashBandAlgo(shingleSize, numHashes, numBands)))
     val hs = TextExpressions.sorted_shingle_hashes(col(textCol), shingleSize)
     val shingles = spread(docs)
       .select(col(idCol).as("id"), hs.as("hs"), size(hs).as("n"))
+      .withColumn("sig_algo", lit(minhashShingleAlgo(shingleSize)))
     (bands, shingles)
+  }
+
+  /** Generation+parameter tag of a MinHash band store. BUMP the
+    * version segment when the shingle hash, the MinHash family, or
+    * the fused bucket key changes — signatures across generations
+    * are unrelated 64-bit values, and a version-blind probe would
+    * silently miss every stored duplicate (the failure the simhash
+    * [[SimHashAlgo]] guard closes). The PARAMETERS are part of the
+    * tag too: a store built with different (shingleSize, numHashes,
+    * numBands) produces disjoint buckets, which a tag-blind probe
+    * would treat as "no duplicates" rather than an error. */
+  def minhashBandAlgo(shingleSize: Int, numHashes: Int, numBands: Int): String =
+    s"minhash-bands/xxh64-fused/v1/s$shingleSize-h$numHashes-b$numBands"
+
+  /** Generation+parameter tag of the companion shingle store (exact
+    * verify side): depends only on the shingle hash and size. */
+  def minhashShingleAlgo(shingleSize: Int): String =
+    s"minhash-shingles/rolling31-v1/s$shingleSize"
+
+  /** Require every row of a persisted signature store to carry the
+    * expected generation tag — the stale/mixed-store guard shared by
+    * [[incrementalDedup]] (band + shingle stores) and
+    * [[incrementalDedupGate]] (simhash store). ONE bounded
+    * aggregation: min/max over the tag column plus total and
+    * non-null counts (min/max alone skip nulls, so an untagged
+    * append onto a tagged store — the mixed-store hazard — would
+    * slip through without the count pair). All four aggregates
+    * reduce map-side over a dictionary/RLE-encoded constant column
+    * and ship one row — no distinct shuffle, no full-store
+    * materialization (the r7 ADVICE item); with parquet aggregate
+    * pushdown enabled they come straight from footer stats. An
+    * EMPTY store passes: no rows, no stale signatures. */
+  private def requireSigAlgo(store: DataFrame, expected: String,
+      what: String, rebuildHint: String): Unit = {
+    require(store.columns.contains("sig_algo"),
+      s"$what store has no sig_algo column — it predates '$expected' and " +
+        s"its signatures are unrelated to current ones; $rebuildHint")
+    val r = store.agg(min(col("sig_algo")), max(col("sig_algo")),
+      count(lit(1)), count(col("sig_algo"))).collect()(0)
+    if (r.getLong(2) == 0L) return
+    require(r.getLong(2) == r.getLong(3),
+      s"$what store contains ${r.getLong(2) - r.getLong(3)} untagged " +
+        s"(null sig_algo) rows alongside tagged ones — a mixed-generation " +
+        s"append; $rebuildHint")
+    val (lo, hi) = (r.getString(0), r.getString(1))
+    require(lo == expected && hi == expected,
+      s"$what store carries generation(s) [$lo${if (lo == hi) "" else s" .. $hi"}] " +
+        s"but this build expects '$expected'; $rebuildHint")
   }
 
   /** New-vs-corpus near-duplicates WITHOUT rescanning the corpus: the
@@ -280,6 +331,15 @@ object Dedup {
       storeShingles: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, numBands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
+    // refuse stores of another signature generation OR built with
+    // different parameters: cross-generation buckets are unrelated
+    // values, so a tag-blind probe reports "no duplicates" instead
+    // of failing (the simhash-gate hazard, closed for bands in r8)
+    requireSigAlgo(storeBands,
+      minhashBandAlgo(shingleSize, numHashes, numBands),
+      "MinHash band", "rebuild with signatureStore")
+    requireSigAlgo(storeShingles, minhashShingleAlgo(shingleSize),
+      "shingle", "rebuild with signatureStore")
     // the probe side is, definitionally, a signature store for the
     // new batch — ONE construction of the fused key / shingle frames
     // keeps store and probe colliding by design
@@ -337,24 +397,17 @@ object Dedup {
     * accounting run the batch [[incrementalDedup]].
     *
     * Refuses a store containing signatures of a different algorithm
-    * generation (one bounded distinct-aggregation probe — the domain
-    * is generation tags, a handful of values; a limit-1 sample would
-    * miss MIXED stores, e.g. a v2 append onto an untagged store whose
-    * old rows read back as null): signatures across generations are
-    * unrelated 64-bit values, so a version-blind anti-join would
-    * silently pass every duplicate — rebuild with [[simhashStore]].
+    * generation (one bounded min/max/count aggregation — see
+    * [[requireSigAlgo]]; the count pair catches MIXED stores, e.g. a
+    * v2 append onto an untagged store whose old rows read back as
+    * null): signatures across generations are unrelated 64-bit
+    * values, so a version-blind anti-join would silently pass every
+    * duplicate — rebuild with [[simhashStore]].
     */
   def incrementalDedupGate(newDocs: DataFrame, storeSigs: DataFrame,
       textCol: String): DataFrame = {
-    require(storeSigs.columns.contains("sig_algo"),
-      s"signature store has no sig_algo column — it predates $SimHashAlgo " +
-        "and its signatures are unrelated to current ones; rebuild with simhashStore")
-    val algos = storeSigs.select("sig_algo").distinct().collect()
-      .map(r => Option(r.getString(0)).getOrElse("<null>"))
-    val foreign = algos.filterNot(_ == SimHashAlgo)
-    require(foreign.isEmpty,
-      s"signature store contains generation(s) ${foreign.mkString(", ")} but this " +
-        s"build hashes with '$SimHashAlgo'; rebuild those rows with simhashStore")
+    requireSigAlgo(storeSigs, SimHashAlgo, "simhash signature",
+      "rebuild with simhashStore")
     var sig = "__sig"
     while (newDocs.columns.contains(sig)) sig += "_"
     newDocs.withColumn(sig, TextExpressions.simhash64(

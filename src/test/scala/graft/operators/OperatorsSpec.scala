@@ -91,6 +91,48 @@ class DedupSpec extends SparkTestBase {
     assert(j == 1.0)
   }
 
+  test("band store version guard: untagged, mixed, and mismatched-param " +
+      "stores are refused; matching store still probes") {
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "an entirely different document body here"))
+      .toDF("doc_id", "text")
+    val probe = Seq((9L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val (bands, shingles) = Dedup.signatureStore(docs, "doc_id", "text")
+    // the happy path: current-generation store probes fine
+    val dup = Dedup.incrementalDedup(probe, bands, shingles,
+      "doc_id", "text").collect()
+    assert(dup.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((9L, 1L)))
+    // pre-tag store (no sig_algo column at all)
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.incrementalDedup(probe, bands.drop("sig_algo"), shingles,
+        "doc_id", "text").collect()
+    }
+    assert(e1.getMessage.contains("sig_algo"))
+    // parameter mismatch: a store built under different banding is
+    // NOT "no duplicates found", it's an error
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.incrementalDedup(probe, bands, shingles,
+        "doc_id", "text", numBands = 8).collect()
+    }
+    assert(e2.getMessage.contains("rebuild"))
+    // mixed store: an untagged append alongside tagged rows (nulls
+    // would slip past min/max alone — the count pair catches them)
+    val mixed = bands.unionByName(
+      bands.limit(1).withColumn("sig_algo", lit(null: String)))
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.incrementalDedup(probe, mixed, shingles, "doc_id", "text").collect()
+    }
+    assert(e3.getMessage.contains("untagged"))
+    // stale shingle store is guarded independently of the band store
+    val e4 = intercept[IllegalArgumentException] {
+      Dedup.incrementalDedup(probe, bands,
+        shingles.withColumn("sig_algo", lit("minhash-shingles/xxh64-v0/s3")),
+        "doc_id", "text").collect()
+    }
+    assert(e4.getMessage.contains("rebuild"))
+  }
+
   test("simhash pairs catch exact and near duplicates, not strangers") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
