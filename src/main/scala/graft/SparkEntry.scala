@@ -1934,6 +1934,31 @@ object SparkEntry {
           posexplode(col("codes")).as(Seq("sub", "code")))
     }),
 
+    // r8: codebook drift guard for st15's train-offline/encode-online
+    // split — per-micro-batch mean PQ reconstruction residual vs the
+    // training-time baseline; residuals are integer-quantized so the
+    // per-batch sums are exact/order-free/mergeable and the oracle
+    // replays the whole statistic. The fixture's two parity batches
+    // share the training distribution, so both flags stay down;
+    // StreamingSpec plants a drifted batch and watches the flag flip
+    "st16_stream_pq_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val books = trainedPq(s, dir)
+      val (baseSq, baseN) = Similarity.pqResidualBaseline(e, "embedding", books)
+      val base = tmpDir("graft_st16")
+      val in = s"$base/in"
+      e.filter(col("vec_id") % 2 === 0).coalesce(1).write.mode("append").parquet(in)
+      e.filter(col("vec_id") % 2 === 1).coalesce(1).write.mode("append").parquet(in)
+      val schema = s.read.parquet(in).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val q = graft.streaming.EventStream.pqDriftMonitor(stream, "embedding",
+        books, col("vec_id") % 2, baseSq, baseN, tolerance = 1.5,
+        s"$base/out", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out")
+    }),
+
     "pii1_redact" -> ((s, dir) => {
       // the corpus itself is synthetic word salad, so deterministic
       // PII is injected per row — the oracle builds the identical
@@ -5434,6 +5459,11 @@ object SparkEntry {
     // streaming encode == batch codes (sim9's training replay)
     "st15_stream_pq_codes" -> sim9Oracle,
 
+    // drift monitor replay: same codebook/assignment replay as sim9,
+    // then the exact ADC own-code residual doubles, quantized to
+    // BIGINTs (order-free sums), grouped by the parity batch key
+    "st16_stream_pq_drift" -> st16Oracle,
+
     "div1_diversity_sample" ->
       (kmeansOracleCtes(8, 2, 64) + """
         |SELECT cluster, vec_id, rank FROM (
@@ -8253,6 +8283,37 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank,
        |       round(adc, 6) AS adc_dist
        |FROM scored WHERE rk <= 5""".stripMargin
+
+  /** st16 oracle: the PQ training replay (c2/a3), then each vector's
+    * ADC residual against its OWN codes in the Spark plan's exact
+    * double form (per-subspace terms summed ascending-s, plus |v|²),
+    * quantized `floor(r²·2^20 + 0.5)` to BIGINT so the per-batch-key
+    * sums are exact integers; mean and flag mirror
+    * [[graft.operators.Similarity.pqDriftStats]]'s double trees
+    * (divide-divide for the mean, cross-multiplied integer sums cast
+    * to double for the flag — no division in the comparison). */
+  private def st16Oracle: String =
+    s"""$pqCte,
+       |rterm AS (
+       |  SELECT a.vec_id, a.s,
+       |    list_sum(list_transform(range(1, 9), i -> ct.cent[i] * ct.cent[i]))
+       |    - list_sum(list_transform(range(1, 9), i -> vs.sv[i] * ct.cent[i])) * 2 AS term
+       |  FROM a3 a JOIN c2 ct ON ct.s = a.s AND ct.cid = a.cid
+       |  JOIN vs ON vs.vec_id = a.vec_id AND vs.s = a.s),
+       |racc AS (SELECT vec_id, list_sum(list(term ORDER BY s)) AS dsum
+       |         FROM rterm GROUP BY 1),
+       |vv AS (SELECT vec_id,
+       |         list_sum(list_transform(range(1, 65), i -> e[i] * e[i])) AS qq
+       |       FROM v),
+       |rq AS (SELECT r.vec_id,
+       |         CAST(floor((r.dsum + vv.qq) * 1048576.0 + 0.5) AS BIGINT) AS q
+       |       FROM racc r JOIN vv USING (vec_id)),
+       |base AS (SELECT CAST(sum(q) AS BIGINT) AS bsq, count(*) AS bn FROM rq)
+       |SELECT vec_id % 2 AS batch_key, count(*) AS n_vectors,
+       |       round(CAST(sum(q) AS DOUBLE) / count(*) / 1048576.0, 6) AS mean_resid_sq,
+       |       CAST(sum(q) AS DOUBLE) * base.bn
+       |         > 1.5 * CAST(base.bsq AS DOUBLE) * count(*) AS retrain_flag
+       |FROM rq CROSS JOIN base GROUP BY vec_id % 2, base.bn, base.bsq""".stripMargin
 
   /** UTF-8 BYTE list of a string expression as HUGEINTs — the exact
     * quantity the Spark rolling hashes fold ([[graft.functions.TextExpressions.RollingHash]]

@@ -484,6 +484,66 @@ object Similarity {
     }.reduce(_ + _) + dot(qv, qv)
   }
 
+  /** Per-vector PQ reconstruction residual² against the codebooks —
+    * encode + asymmetric distance of the vector to its OWN codes,
+    * one pure codegen projection (no joins, no state). This is THE
+    * drift signal for a PQ index: codebooks trained on yesterday's
+    * distribution reconstruct today's vectors worse, and the mean
+    * residual rises before ANN recall visibly decays. */
+  def pqResidualSq(v: Column,
+      books: Array[Array[Array[Double]]]): Column = {
+    val dv = v.cast("array<double>")
+    adcDist(dv, pqCodes(v, books), books)
+  }
+
+  /** Integer-quantized residual — `floor(r²·2^20 + 0.5)` as LONG:
+    * per-group sums become EXACT integer sums, invariant to
+    * partial-aggregation order and mergeable across partitions and
+    * micro-batches (the qf9 gradient-quantization trick applied to
+    * monitoring), so every drift statistic is bit-reproducible. */
+  def pqResidualQ(v: Column, books: Array[Array[Array[Double]]]): Column =
+    floor(pqResidualSq(v, books) * 1048576.0 + 0.5).cast("long")
+
+  /** Training-time residual baseline: (Σ quantized residual², n)
+    * over the training corpus — one bounded 1-row collect, the same
+    * class as codebook training itself. Persist alongside the
+    * codebooks; [[pqDriftStats]] compares every future batch to it. */
+  def pqResidualBaseline(corpus: DataFrame, vecCol: String,
+      books: Array[Array[Array[Double]]]): (Long, Long) = {
+    val r = corpus.agg(
+      sum(pqResidualQ(col(vecCol), books)).as("sq"),
+      count(lit(1)).as("n")).collect()(0)
+    require(r.getLong(1) > 0, "empty baseline corpus")
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Mergeable codebook-drift statistics: one row per `batchKey`
+    * group — (batch_key, n_vectors, mean_resid_sq, retrain_flag),
+    * where the flag fires when the group's mean quantized residual
+    * exceeds `tolerance` × the training-time baseline mean. The
+    * comparison multiplies integer sums cast to double (one IEEE
+    * multiply each side — engine-reproducible), never divides, so
+    * the flag is exactly replayable. Works identically on a batch
+    * frame and inside [[graft.streaming.EventStream.pqDriftMonitor]]'s
+    * per-micro-batch fold — the map-combined (sum, count) partials
+    * are the only state, so a 100 TB day of ingestion folds in one
+    * pass with no extra shuffle beyond the tiny per-key aggregate. */
+  def pqDriftStats(df: DataFrame, vecCol: String,
+      books: Array[Array[Array[Double]]], batchKey: Column,
+      baselineSumQ: Long, baselineN: Long,
+      tolerance: Double = 1.5): DataFrame = {
+    require(baselineN > 0, "baseline count must be positive")
+    df.groupBy(batchKey.as("batch_key"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(pqResidualQ(col(vecCol), books)).as("__sq"))
+      .select(col("batch_key"), col("n_vectors"),
+        round(col("__sq").cast("double") / col("n_vectors") / 1048576.0, 6)
+          .as("mean_resid_sq"),
+        (col("__sq").cast("double") * baselineN >
+          lit(tolerance) * baselineSumQ.toDouble * col("n_vectors"))
+          .as("retrain_flag"))
+  }
+
   /** IVF-PQ — the composition a billion-vector index actually ships:
     * [[ivfTopK]]'s coarse centroid probe prunes the candidate lists,
     * then [[pqAdcTopK]]'s asymmetric distance scores ONLY the probed

@@ -613,6 +613,39 @@ object EventStream {
     keys.foldLeft(l.join(r, cond, joinType))((df, k) => df.drop(col(s"r.$k")))
   }
 
+  /** Streaming PQ codebook drift guard — the monitor st15's
+    * train-offline/encode-online split needs: nothing in the encode
+    * path notices when the incoming distribution has drifted away
+    * from the codebooks' training distribution, so stale codebooks
+    * silently degrade every downstream ADC ranking. Each micro-batch
+    * folds its vectors' quantized reconstruction residuals
+    * ([[graft.operators.Similarity.pqResidualQ]] — exact integer
+    * sums, order-free and mergeable) into one row per `batchKey`
+    * group and appends (batch_key, n_vectors, mean_resid_sq,
+    * retrain_flag) to `path`; the flag fires when the batch's mean
+    * residual exceeds `tolerance` × the training-time baseline
+    * ([[graft.operators.Similarity.pqResidualBaseline]], persisted
+    * with the codebooks). Flag up ⇒ re-train and re-encode.
+    *
+    * foreachBatch (not a stateful agg): the statistic is
+    * batch-local by design — drift is a property of "this
+    * ingestion slice vs training time", so no cross-batch state,
+    * no watermark, and micro-batch retries just overwrite the same
+    * appended rows idempotently at the sink's exactly-once level. */
+  def pqDriftMonitor(stream: DataFrame, vecCol: String,
+      books: Array[Array[Array[Double]]], batchKey: org.apache.spark.sql.Column,
+      baselineSumQ: Long, baselineN: Long, tolerance: Double,
+      path: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Similarity.pqDriftStats(batch.toDF(), vecCol, books,
+            batchKey, baselineSumQ, baselineN, tolerance)
+          .write.mode("append").parquet(path)
+      }
+      .start()
+
   /** Stream -> files under the engine's file-sink path semantics. */
   def writeFileStream(stream: DataFrame, path: String, checkpoint: String,
       format: String = "parquet"): StreamingQuery =

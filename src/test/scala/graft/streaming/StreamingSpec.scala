@@ -365,6 +365,46 @@ class StreamingSpec extends SparkTestBase {
       (us("2024-01-01 12:00:00"), us("2024-01-01 12:00:00"), 1L)))
   }
 
+  test("PQ drift monitor: in-distribution batch stays quiet, planted " +
+      "drifted batch flips the retrain flag; streaming == batch stats") {
+    import graft.operators.Similarity
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+    val books = Similarity.pqTrain(e, "vec_id", "embedding", m = 8, k = 16,
+      maxIter = 2)
+    val (baseSq, baseN) = Similarity.pqResidualBaseline(e, "embedding", books)
+    // batch 0: the training distribution itself; batch 1: drifted —
+    // scaled + shifted vectors the codebooks never saw
+    val drifted = e.select((col("vec_id") + 10000).as("vec_id"),
+      transform(col("embedding"), x => x * lit(4.0f) + lit(1.0f)).as("embedding"))
+    val base = java.nio.file.Files.createTempDirectory("graft_pq_drift")
+    val in = base.resolve("in").toString
+    val out = base.resolve("out").toString
+    val chk = base.resolve("chk").toString
+    e.select("vec_id", "embedding").coalesce(1).write.mode("append").parquet(in)
+    drifted.coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val key = (col("vec_id") >= 10000).cast("int")
+    val q = EventStream.pqDriftMonitor(stream, "embedding", books, key,
+      baseSq, baseN, tolerance = 1.5, out, chk)
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getInt(0), r.getBoolean(3))).toMap
+    assert(got == Map(0 -> false, 1 -> true), s"flags: $got")
+    // the monitor's per-batch fold is the batch operator verbatim:
+    // integer-quantized sums make streaming and batch bit-equal
+    val batchStats = Similarity.pqDriftStats(
+        e.select("vec_id", "embedding").unionByName(drifted), "embedding",
+        books, key, baseSq, baseN, tolerance = 1.5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSet
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSet
+    assert(streamed == batchStats)
+  }
+
   test("streaming banded-LSH near-dup gate matches batch incrementalDedup " +
       "across micro-batches (RocksDB state v2)") {
     implicit val sqlCtx = spark.sqlContext
