@@ -269,10 +269,14 @@ object SparkEntry {
 
   /** Data files of a parquet output dir (skips _SUCCESS / hidden) —
     * shared with the probes (one definition of "data file" for the
-    * mtime-pinning sites). */
-  private[graft] def listDataFiles(dir: String): Array[java.io.File] =
-    new java.io.File(dir).listFiles()
+    * mtime-pinning sites). Fails with a clear message (not an NPE)
+    * when the path is missing or not a directory. */
+  private[graft] def listDataFiles(dir: String): Array[java.io.File] = {
+    val files = Option(new java.io.File(dir).listFiles())
+    require(files.isDefined, s"not a listable directory: $dir")
+    files.get
       .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+  }
 
   /** Corpus-trained subword vocabulary for the tok1/pack3/ch2 family,
     * memoized per sf dir (training is two aggregations + two bounded
@@ -1204,8 +1208,14 @@ object SparkEntry {
     // ranks hash-match on this fixture
     "sim10_pq_adc_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
+      // rank-only output (sim6's pattern — r7 advisory): adc_dist is
+      // a double built directly on engine-averaged centroid values,
+      // so a 6-dp rounding of it is the one place an engine ulp
+      // could flip a hash; the RANKS built on the integral codes are
+      // the robust contract
       Similarity.pqAdcTopK(e.filter("vec_id < 10"), e,
         "vec_id", "embedding", trainedPq(s, dir), 5)
+        .select("query_id", "neighbor_id", "rank")
     }),
 
     // r7: margin-based bitext mining — mutual-best cross-side pairs
@@ -1225,9 +1235,11 @@ object SparkEntry {
     // ADC — sim6's full-probe oracle pattern, sharing sim10's replay
     "sim11_ivfpq_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
+      // rank-only like sim10 (same advisory, same shared oracle)
       Similarity.pqIvfTopK(e.filter("vec_id < 10"), e,
         "vec_id", "embedding", trainedPq(s, dir), 5,
         nCentroids = 16, nProbe = 16)
+        .select("query_id", "neighbor_id", "rank")
     }),
 
     // r8: the composed candidate-probed mining operators, verified at
@@ -8258,7 +8270,10 @@ object SparkEntry {
   /** sim10: ADC distance replay — per-subspace term in the Spark
     * plan's exact double form, terms summed in ascending-subspace
     * order (list_sum over an ORDER BY s list = the Scala reduce's
-    * left fold), plus |q|² accumulated left-to-right. */
+    * left fold), plus |q|² accumulated left-to-right. Rank-only
+    * output (r7 advisory): the adc doubles ORDER the rows on both
+    * engines, but a 6-dp rounding of them would expose centroid-avg
+    * ulps to the hash — ranks, built on the integral codes, do not. */
   private def sim10Oracle: String =
     s"""$pqCte,
        |codes AS (SELECT vec_id AS neighbor_id, s, cid FROM a3),
@@ -8280,8 +8295,7 @@ object SparkEntry {
        |             row_number() OVER (PARTITION BY a.query_id
        |               ORDER BY a.dsum + q2.qq ASC, a.neighbor_id ASC) AS rk
        |           FROM acc a JOIN q2 USING (query_id))
-       |SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank,
-       |       round(adc, 6) AS adc_dist
+       |SELECT query_id, neighbor_id, CAST(rk AS INT) AS rank
        |FROM scored WHERE rk <= 5""".stripMargin
 
   /** st16 oracle: the PQ training replay (c2/a3), then each vector's

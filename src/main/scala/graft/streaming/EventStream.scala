@@ -338,10 +338,13 @@ object EventStream {
     * pair direction is deterministic and equals the id-ordered batch
     * sweep — then appends itself to the bucket. Entries behind the
     * current watermark evict lazily on access, AND an event-time
-    * timer registered at (newest entry + watermark delay) sweeps the
-    * key when it goes idle (r6 advisory: without the timer, a bucket
-    * that stops receiving rows would retain its expired
-    * signature-list state forever).
+    * timer registered at (newest entry + 1ms) sweeps the key when it
+    * goes idle — event-time timers fire only once the WATERMARK
+    * passes them, and the watermark itself trails max-event-time by
+    * the configured delay, so the delay is encoded in when the timer
+    * fires, not in where it is registered (see [[armSweep]]). r6
+    * advisory: without the timer, a bucket that stops receiving rows
+    * would retain its expired signature-list state forever.
     *
     * A pair colliding in several bands is emitted once per colliding
     * bucket (keys are independent); emissions are identical rows, so
