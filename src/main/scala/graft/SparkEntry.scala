@@ -835,15 +835,13 @@ object SparkEntry {
       // Kafka sink payload: ISO-8601 dates + JSON body (W8). r7:
       // full MATCH — to_json's field-ordered whitespace-free output
       // with shortest-round-trip doubles is byte-replayable by a
-      // DuckDB string concat on this schema (see the oracle note)
+      // DuckDB string concat on this schema (see the oracle note).
+      // r8: the k1b typed-column sibling is folded away — it existed
+      // as the hash-checkable proxy while k1 was rows-only; now that
+      // the full serialization MATCHes, the typed projection is
+      // strictly weaker coverage (KafkaSink.typedPayload keeps its
+      // unit spec in ConnectorsSpec)
       graft.sources.KafkaSink.payload(
-        t(s, dir, "orders"), keyColumn = Some("o_orderkey"))),
-
-    "k1b_kafka_typed_payload" -> ((s, dir) =>
-      // the same payload with fields as typed columns: everything the
-      // sink serializes EXCEPT the engine-specific JSON concatenation
-      // hash-checks against the oracle
-      graft.sources.KafkaSink.typedPayload(
         t(s, dir, "orders"), keyColumn = Some("o_orderkey"))),
 
     // ---- beyond-parity: dedup -------------------------------------
@@ -4158,13 +4156,6 @@ object SparkEntry {
         |  '","o_totalprice":' || CAST(o_totalprice AS VARCHAR) ||
         |  ',"o_orderdate":"' || strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%gZ') ||
         |  '","o_orderpriority":"' || o_orderpriority || '"}' AS value
-        |FROM orders""".stripMargin,
-
-    "k1b_kafka_typed_payload" ->
-      """SELECT CAST(o_orderkey AS VARCHAR) AS key,
-        |       o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-        |       strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S.%gZ') AS o_orderdate,
-        |       o_orderpriority
         |FROM orders""".stripMargin,
 
     "t1_conversions" ->

@@ -206,10 +206,12 @@ object Similarity {
     * join, then the same map-combined per-doc partial agg. */
   def maxSimTopKIvf(queries: DataFrame, chunks: DataFrame, idCol: String,
       vecCol: String, docIdCol: String, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+      nCentroids: Int = 16, nProbe: Int = 4,
+      kmeansCentroids: Boolean = false, seed: Long = 42L): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     val cand = ivfCandidatePairs(queries, chunks, idCol, vecCol,
-        nCentroids, nProbe, corpusCols = Seq(docIdCol -> "doc_id"), seed = seed)
+        nCentroids, nProbe, corpusCols = Seq(docIdCol -> "doc_id"),
+        kmeansCentroids = kmeansCentroids, seed = seed)
       .withColumnRenamed("neighbor_id", "chunk_id")
     maxSimRank(cand, k)
   }
@@ -822,14 +824,15 @@ object Similarity {
     * path. */
   def bitextMarginPairsIvf(src: DataFrame, tgt: DataFrame, idCol: String,
       vecCol: String, k: Int = 4, marginThreshold: Double = 1.0,
-      nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+      nCentroids: Int = 16, nProbe: Int = 4,
+      kmeansCentroids: Boolean = false, seed: Long = 42L): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     val fwd = ivfCandidatePairs(src, tgt, idCol, vecCol, nCentroids, nProbe,
-        seed = seed)
+        kmeansCentroids = kmeansCentroids, seed = seed)
       .select(col("query_id").as("src_id"), col("neighbor_id").as("tgt_id"),
         col("cosine").as("cos"))
     val bwd = ivfCandidatePairs(tgt, src, idCol, vecCol, nCentroids, nProbe,
-        seed = seed)
+        kmeansCentroids = kmeansCentroids, seed = seed)
       .select(col("neighbor_id").as("src_id"), col("query_id").as("tgt_id"),
         col("cosine").as("cos"))
     val cand = fwd.unionByName(bwd)
@@ -885,11 +888,13 @@ object Similarity {
     * cent_id-shuffled join, no cross product. */
   def hardNegativesIvf(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, labelCol: String, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+      nCentroids: Int = 16, nProbe: Int = 4,
+      kmeansCentroids: Boolean = false, seed: Long = 42L): DataFrame = {
     val cand = ivfCandidatePairs(queries, corpus, idCol, vecCol,
       nCentroids, nProbe,
       queryCols = Seq(labelCol -> "q_label"),
-      corpusCols = Seq(labelCol -> "n_label"), seed = seed)
+      corpusCols = Seq(labelCol -> "n_label"),
+      kmeansCentroids = kmeansCentroids, seed = seed)
     hardNegativeRank(cand.filter(col("q_label") =!= col("n_label")), k)
   }
 

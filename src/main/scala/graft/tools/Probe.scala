@@ -17,6 +17,7 @@ object Probe {
     if (args.headOption.contains("r5dprobe")) { r5dprobe(spark, dir); spark.stop(); return }
     if (args.headOption.contains("r6probe")) { r6probe(spark, dir); spark.stop(); return }
     if (args.headOption.contains("r7probe")) { r7probe(spark, dir); spark.stop(); return }
+    if (args.headOption.contains("r8probe")) { r8probe(spark, dir); spark.stop(); return }
     if (args.headOption.contains("r7pipe")) { r7pipe(spark, dir); spark.stop(); return }
     if (args.headOption.contains("jdbcYardstick")) { jdbcYardstick(spark, dir); spark.stop(); return }
     if (args.headOption.contains("dd4")) { dd4(spark, dir); spark.stop(); return }
@@ -653,6 +654,115 @@ object Probe {
     * input; the 24 merge iterations run on the distinct-word table
     * and should NOT scale with corpus size.
     */
+  /** Normalized deterministic pseudo-random unit vector column (dim
+    * `d`) seeded by an expression — xxhash64 uniforms per dimension,
+    * divided by the l2 norm; everything codegen, no driver RNG. */
+  private def hashUnitVec(seed: org.apache.spark.sql.Column, d: Int,
+      stream: Long): org.apache.spark.sql.Column = {
+    val raw = transform(sequence(lit(1), lit(d)),
+      i => pmod(xxhash64(seed, i, lit(stream)), lit(20001)).cast("double")
+        / 10000.0 - 1.0)
+    val n = sqrt(aggregate(raw, lit(0.0), (a, x) => a + x * x))
+    transform(raw, x => x / n)
+  }
+
+  /** Round-8 probe (VERDICT r7 #2/#6): the composed IVF mining
+    * operators priced at production shape — probe fraction vs recall
+    * vs wall, recorded in PERF.md next to the dd5 table.
+    *
+    *  - hard negatives: 50 K Zipfian-clustered vectors (dim 32, the
+    *    r6/r7 cluster recipe: 40×200 + 400×20 + 2000×5 + 20 K
+    *    singletons; label = cluster mod 4), 500 queries. Exact
+    *    yardstick vs [[graft.operators.Similarity.hardNegativesIvf]]
+    *    at descending probe fractions.
+    *  - bitext: 10 K src × 10 K tgt with 2 000 planted translations
+    *    (perturbed copies) among noise; exact yardstick at 5 K×5 K
+    *    (the dd5-class quadratic budget), probed mining at 10 K with
+    *    descending probe fractions, recall/precision vs planted. */
+  def r8probe(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    import graft.operators.Similarity
+    def timed[T](label: String)(f: => T): T = {
+      val t = System.nanoTime(); val r = f
+      println(f"=== r8probe $label: ${(System.nanoTime() - t) / 1e9}%.2fs"); r
+    }
+
+    // ---- Zipfian clustered vectors for hard-negative mining -------
+    val sizes = Seq.fill(40)(200) ++ Seq.fill(400)(20) ++ Seq.fill(2000)(5)
+    val cum = sizes.scanLeft(0L)((a, b) => a + b)
+    val boundsDf = sizes.indices.map(k => (k.toLong, cum(k), cum(k) + sizes(k)))
+      .toDF("cl", "lo", "hi")
+    val vecs = spark.range(50000L).select(col("id").as("vec_id"))
+      .join(broadcast(boundsDf),
+        col("vec_id") >= col("lo") && col("vec_id") < col("hi"), "left")
+      .withColumn("rep", coalesce(col("lo"), col("vec_id")))
+      .withColumn("label", pmod(col("rep"), lit(4)).cast("int"))
+      // cluster base + 0.2 member noise: members of a cluster are
+      // mutual near-neighbors, singletons are their own base
+      .withColumn("embedding",
+        zip_with(hashUnitVec(col("rep"), 32, 1L),
+          hashUnitVec(col("vec_id"), 32, 2L), (b, n) => b + n * 0.2))
+      .select("vec_id", "label", "embedding")
+      .localCheckpoint()
+    val q500 = vecs.filter(col("vec_id") < 500)
+    val exactHn = timed("hardNegatives EXACT 500q x 50K")(
+      Similarity.hardNegatives(q500, vecs, "vec_id", "embedding", "label", 10)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    for (km <- Seq(false, true); nProbe <- Seq(16, 8, 4, 2)) {
+      val cl = if (km) "kmeans" else "smallest-id"
+      val got = timed(s"hardNegativesIvf 64 $cl centroids, nProbe=$nProbe")(
+        Similarity.hardNegativesIvf(q500, vecs, "vec_id", "embedding",
+          "label", 10, nCentroids = 64, nProbe = nProbe,
+          kmeansCentroids = km, seed = 7L)
+          .select("query_id", "neighbor_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet)
+      println(f"=== r8probe hn $cl probe=$nProbe/64 recall: " +
+        f"${got.intersect(exactHn).size.toDouble / exactHn.size}%.4f")
+    }
+
+    // ---- bitext: planted translations among noise -----------------
+    def bitextSides(n: Long, planted: Long) = {
+      val src = spark.range(n).select(col("id").as("vec_id"),
+        hashUnitVec(col("id"), 32, 10L).as("embedding"))
+      val tgt = spark.range(n).select((col("id") + 1000000L).as("vec_id"),
+        when(col("id") < planted,
+          zip_with(hashUnitVec(col("id"), 32, 10L),
+            hashUnitVec(col("id"), 32, 11L), (b, e) => b + e * 0.3))
+          .otherwise(hashUnitVec(col("id"), 32, 12L)).as("embedding"))
+      (src.localCheckpoint(), tgt.localCheckpoint())
+    }
+    val (s5, t5) = bitextSides(5000L, 1000L)
+    val exactPairs = timed("bitext EXACT 5K x 5K (quadratic yardstick)")(
+      Similarity.bitextMarginPairs(s5, t5, "vec_id", "embedding",
+        k = 4, marginThreshold = 1.1)
+        .select("src_id", "tgt_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val planted5 = (0L until 1000L).map(i => (i, i + 1000000L)).toSet
+    println(f"=== r8probe bitext exact@5K recall vs planted: " +
+      f"${exactPairs.intersect(planted5).size.toDouble / planted5.size}%.4f " +
+      s"(${exactPairs.size} mined)")
+    val (s10, t10) = bitextSides(10000L, 2000L)
+    val planted10 = (0L until 2000L).map(i => (i, i + 1000000L)).toSet
+    // marginThreshold 1.0 = mutual-best only: decouples CANDIDATE
+    // recall (what probing costs) from the margin threshold (whose
+    // operating point shifts with probe depth — kavg over a thinner
+    // candidate pool runs lower, inflating margins)
+    for (km <- Seq(false, true); nProbe <- Seq(8, 4, 2)) {
+      val cl = if (km) "kmeans" else "smallest-id"
+      val got = timed(s"bitextMarginPairsIvf 10K x 10K, 64 $cl cent, nProbe=$nProbe")(
+        Similarity.bitextMarginPairsIvf(s10, t10, "vec_id", "embedding",
+          k = 4, marginThreshold = 1.0, nCentroids = 64, nProbe = nProbe,
+          kmeansCentroids = km, seed = 7L)
+          .select("src_id", "tgt_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet)
+      val rec = got.intersect(planted10).size.toDouble / planted10.size
+      val spurious = got.diff(planted10).size
+      println(f"=== r8probe bitext $cl probe=$nProbe/64 mutual-best recall: " +
+        f"$rec%.4f (${got.size} mined, $spurious spurious)")
+    }
+  }
+
   def r6probe(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     import org.apache.spark.sql.DataFrame
     def x10(name: String, idCols: Seq[String]): DataFrame = {
