@@ -1240,6 +1240,20 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank")
     }),
 
+    // r8: two-stage retrieval — IVF-PQ ADC candidates, then a
+    // full-precision cosine re-rank of just those candidates (the
+    // production serving pattern). Verified config: full probe +
+    // depth >= corpus makes it bit-identical to brute force, so
+    // sim1's oracle re-verifies the whole composition; production
+    // recall at reduced probe/depth is priced in SimilaritySpec
+    "sim14_ivfpq_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.pqIvfRerankTopK(e.filter("vec_id < 10"), e,
+        "vec_id", "embedding", trainedPq(s, dir), 5,
+        rerankDepth = 1000000, nCentroids = 16, nProbe = 16)
+        .select("query_id", "neighbor_id", "rank")
+    }),
+
     // r8: the composed candidate-probed mining operators, verified at
     // FULL PROBE against their exact yardsticks' oracles (the sim11
     // pattern) — reduced-probe recall is priced in PERF.md
@@ -7854,7 +7868,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
     "mine2_bitext_ivf" -> oracleSqlBase("mine1_bitext_margin"),
     "sim12_hard_negatives_ivf" -> oracleSqlBase("sim7_hard_negatives"),
-    "sim13_maxsim_ivf" -> oracleSqlBase("sim8_maxsim_topk"))
+    "sim13_maxsim_ivf" -> oracleSqlBase("sim8_maxsim_topk"),
+    // full probe + depth >= corpus: the re-ranked output IS brute force
+    "sim14_ivfpq_rerank" -> oracleSqlBase("sim1_bruteforce_topk"))
 
   /** pii1 oracle: built from Privacy.categories so both engines run
     * THE SAME patterns (regexes restricted to constructs Java and RE2

@@ -486,6 +486,47 @@ object Similarity {
     }.reduce(_ + _) + dot(qv, qv)
   }
 
+  /** Two-stage retrieval — the serving pattern a production ANN
+    * stack actually runs: a cheap approximate FIRST stage
+    * ([[pqIvfTopK]]'s ADC over probed centroid lists, reading m code
+    * ints per candidate) surfaces `rerankDepth` candidates per
+    * query, then a full-precision cosine re-rank of JUST those
+    * candidates fixes the final top-`k` order. PQ reconstruction
+    * error now affects only WHICH candidates surface, not how the
+    * survivors are ordered — recall@k converges to exact as
+    * `rerankDepth` grows while the float vectors are touched for
+    * only |Q|·rerankDepth rows instead of |Q|·|C|.
+    *
+    * Scale shape: stage 1 is pqIvfTopK's plan (broadcast coarse
+    * assign, cent_id-shuffled code join); stage 2 joins the
+    * candidate ids back to the corpus floats — candidate-sized, one
+    * hash join on id — and re-scores row-locally. At `nProbe ==
+    * nCentroids` and `rerankDepth >= |corpus|` the result is
+    * bit-identical to [[bruteForceTopK]] (the oracle-verified
+    * configuration, sim1's oracle re-verifies it); production runs
+    * reduced probe + shallow depth, recall priced in the spec. */
+  def pqIvfRerankTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      books: Array[Array[Array[Double]]], k: Int, rerankDepth: Int,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    require(rerankDepth >= k, s"rerankDepth must be >= k: $rerankDepth < $k")
+    val cand = pqIvfTopK(queries, corpus, idCol, vecCol, books,
+        k = rerankDepth, nCentroids = nCentroids, nProbe = nProbe)
+      .select("query_id", "neighbor_id")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      l2norm(col(vecCol)).as("cn"))
+    val scored = cand.join(c, "neighbor_id").join(q, "query_id")
+      .filter(col("qn") > 0 && col("cn") > 0)
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
   /** Per-vector PQ reconstruction residual² against the codebooks —
     * encode + asymmetric distance of the vector to its OWN codes,
     * one pure codegen projection (no joins, no state). This is THE

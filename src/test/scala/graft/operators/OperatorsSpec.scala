@@ -805,6 +805,49 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivfM == exactM)
   }
 
+  test("two-stage rerank: full config equals brute force; shallow rerank " +
+      "recovers what raw ADC ranks miss") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val books = Similarity.pqTrain(e, "vec_id", "embedding", m = 8, k = 16,
+      maxIter = 2)
+    val q = e.filter("vec_id < 20")
+    val truth = Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // verified configuration: full probe + depth >= corpus == exact
+    val full = Similarity.pqIvfRerankTopK(q, e, "vec_id", "embedding",
+        books, 5, rerankDepth = 1000000, nCentroids = 16, nProbe = 16)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(full == truth)
+    // production configuration: the float re-rank of ADC's top-25
+    // must dominate raw ADC's top-5 (PQ error only picks candidates,
+    // it no longer orders the survivors)
+    def pairs(s: Set[(Long, Long, Int)]) = s.map(t => (t._1, t._2))
+    val adc = Similarity.pqAdcTopK(q, e, "vec_id", "embedding", books, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def rrRecall(depth: Int): Double = {
+      val rr = Similarity.pqIvfRerankTopK(q, e, "vec_id", "embedding",
+          books, 5, rerankDepth = depth, nCentroids = 16, nProbe = 16)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      rr.intersect(pairs(truth)).size.toDouble / truth.size
+    }
+    val adcRecall = adc.intersect(pairs(truth)).size.toDouble / truth.size
+    val r25 = rrRecall(25)
+    val r100 = rrRecall(100)
+    info(f"ADC@5 recall $adcRecall%.3f; rerank@5 depth 25: $r25%.3f, " +
+      f"depth 100: $r100%.3f")
+    // this fixture is PQ's worst case (iid random vectors, near-flat
+    // cosine spectrum), so absolute recall bars stay modest — the
+    // CONTRACT is that re-ranking strictly repairs ADC misordering
+    // and deepening the candidate pool monotonically recovers truth
+    assert(r25 >= adcRecall)
+    assert(r100 >= r25)
+    assert(r100 >= 0.8, s"depth-100 rerank recall too low: $r100")
+  }
+
   test("reduced-probe IVF bitext mining still recovers the planted alignment") {
     import spark.implicits._
     val rnd = new scala.util.Random(31L)
