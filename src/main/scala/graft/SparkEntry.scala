@@ -1240,6 +1240,29 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank")
     }),
 
+    // r8: the IVF-PQ index made durable — build the (cent_id, codes)
+    // store once (bucketed on cent_id: every probe reads it
+    // exchange-free, the dd14 pattern for vectors), persist the
+    // coarse centroids beside it, probe through the codebook-
+    // generation guard. Full probe == the inline sim11 plan, so
+    // sim10's oracle re-verifies the whole store round-trip
+    "sim15_ivfpq_index_store" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val books = trainedPq(s, dir)
+      val suffix = java.lang.Integer.toHexString(dir.hashCode)
+      val idxTable = s"sim15_idx_$suffix"
+      val (index, cents) = Similarity.pqIndexStore(e, "vec_id", "embedding",
+        books, nCentroids = 16)
+      graft.sources.Bucketing.writeBucketed(index, idxTable, Seq("cent_id"), 4)
+      val centPath = tmpDir("graft_sim15") + "/cents"
+      cents.write.mode("overwrite").parquet(centPath)
+      Similarity.pqIvfProbeIndex(e.filter("vec_id < 10"),
+        graft.sources.Bucketing.readBucketed(s, idxTable),
+        s.read.parquet(centPath),
+        "vec_id", "embedding", books, 5, nProbe = 16)
+        .select("query_id", "neighbor_id", "rank")
+    }),
+
     // r8: two-stage retrieval — IVF-PQ ADC candidates, then a
     // full-precision cosine re-rank of just those candidates (the
     // production serving pattern). Verified config: full probe +
@@ -7870,7 +7893,9 @@ object SparkEntry {
     "sim12_hard_negatives_ivf" -> oracleSqlBase("sim7_hard_negatives"),
     "sim13_maxsim_ivf" -> oracleSqlBase("sim8_maxsim_topk"),
     // full probe + depth >= corpus: the re-ranked output IS brute force
-    "sim14_ivfpq_rerank" -> oracleSqlBase("sim1_bruteforce_topk"))
+    "sim14_ivfpq_rerank" -> oracleSqlBase("sim1_bruteforce_topk"),
+    // store round-trip at full probe == the inline IVF-PQ plan
+    "sim15_ivfpq_index_store" -> oracleSqlBase("sim11_ivfpq_topk"))
 
   /** pii1 oracle: built from Privacy.categories so both engines run
     * THE SAME patterns (regexes restricted to constructs Java and RE2

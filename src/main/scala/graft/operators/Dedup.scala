@@ -294,7 +294,7 @@ object Dedup {
     * materialization (the r7 ADVICE item); with parquet aggregate
     * pushdown enabled they come straight from footer stats. An
     * EMPTY store passes: no rows, no stale signatures. */
-  private def requireSigAlgo(store: DataFrame, expected: String,
+  private[operators] def requireSigAlgo(store: DataFrame, expected: String,
       what: String, rebuildHint: String): Unit = {
     require(store.columns.contains("sig_algo"),
       s"$what store has no sig_algo column — it predates '$expected' and " +

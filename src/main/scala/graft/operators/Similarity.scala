@@ -601,32 +601,53 @@ object Similarity {
       idCol: String, vecCol: String,
       books: Array[Array[Array[Double]]], k: Int,
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cent = corpus.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"),
-        l2norm(col(vecCol)).as("cent_n"))
-    def coarse(df: DataFrame, topN: Int): DataFrame = {
-      val scored = df.withColumn("__n", l2norm(col(vecCol)))
-        .filter(col("__n") > 0)
-        .crossJoin(broadcast(cent))
-        .filter(col("cent_n") > 0)
-        .withColumn("sim",
-          dot(col(vecCol), col("cent_v")) / (col("__n") * col("cent_n")))
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("sim").desc, col("cent_id").asc)
-      scored.withColumn("r", row_number().over(w)).filter(col("r") <= topN)
-    }
+    val cent = pqCoarseCentroids(corpus, idCol, vecCol, nCentroids)
     // one pass builds the whole index row — coarse assignment, then
     // codes projected AFTER the window filter (never under the
     // centroid crossJoin), materialized once: the (cent_id, codes)
-    // table IS the persisted IVF-PQ index artifact
-    val index = coarse(corpus, 1)
+    // table IS the persisted IVF-PQ index artifact ([[pqIndexStore]]
+    // is this construction made durable)
+    val index = pqCoarseAssign(corpus, idCol, vecCol, cent, 1)
       .select(col(idCol).as("neighbor_id"), col("cent_id"),
         pqCodes(col(vecCol), books).as("codes"))
       .localCheckpoint(eager = true)
-    val probes = coarse(queries, nProbe)
+    pqProbeRank(queries, index, cent, idCol, vecCol, books, k, nProbe)
+  }
+
+  /** The deterministic coarse-quantizer frame: `nCentroids`
+    * smallest-id corpus vectors as (cent_id, cent_v, cent_n). */
+  private def pqCoarseCentroids(corpus: DataFrame, idCol: String,
+      vecCol: String, nCentroids: Int): DataFrame =
+    corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"),
+        l2norm(col(vecCol)).as("cent_n"))
+
+  /** Coarse assignment against a broadcast centroid frame: keeps the
+    * input row's columns plus cent_id, top-`topN` lists per row. */
+  private def pqCoarseAssign(df: DataFrame, idCol: String, vecCol: String,
+      cent: DataFrame, topN: Int): DataFrame = {
+    val scored = df.withColumn("__n", l2norm(col(vecCol)))
+      .filter(col("__n") > 0)
+      .crossJoin(broadcast(cent))
+      .filter(col("cent_n") > 0)
+      .withColumn("sim",
+        dot(col(vecCol), col("cent_v")) / (col("__n") * col("cent_n")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("sim").desc, col("cent_id").asc)
+    scored.withColumn("r", row_number().over(w)).filter(col("r") <= topN)
+  }
+
+  /** The probe/ADC/rank stage shared by [[pqIvfTopK]] (inline index)
+    * and [[pqIvfProbeIndex]] (persisted store): queries coarse-route
+    * to `nProbe` lists, join the (cent_id, neighbor_id, codes) index,
+    * ADC-score, top-k. */
+  private def pqProbeRank(queries: DataFrame, index: DataFrame,
+      cent: DataFrame, idCol: String, vecCol: String,
+      books: Array[Array[Array[Double]]], k: Int, nProbe: Int): DataFrame = {
+    val probes = pqCoarseAssign(queries, idCol, vecCol, cent, nProbe)
       .select(col(idCol).as("query_id"), col("cent_id"),
         col(vecCol).cast("array<double>").as("qv"))
-    val scored = probes.join(index, "cent_id")
+    val scored = probes.join(index.select("cent_id", "neighbor_id", "codes"), "cent_id")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_dist", adcDist(col("qv"), col("codes"), books))
     val w = Window.partitionBy("query_id")
@@ -635,6 +656,66 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("adc_dist"), 6).as("adc_dist"))
+  }
+
+  /** Generation tag of a persisted IVF-PQ index: a content hash of
+    * the codebook doubles (raw IEEE bits, FNV-1a folded in
+    * subspace/centroid/dimension order) plus the (m, k) shape. Codes
+    * are MEANINGLESS under any other codebooks — after a re-train
+    * (e.g. when [[pqDriftStats]] raises its flag), the tag changes
+    * and a version-blind probe of the old store is refused instead
+    * of silently mis-ranking everything (the same failure mode the
+    * Dedup `sig_algo` guards close for text signatures). */
+  def pqIndexAlgo(books: Array[Array[Array[Double]]]): String = {
+    var h = 0xcbf29ce484222325L
+    def mix(x: Long): Unit = { h ^= x; h *= 0x100000001b3L }
+    for (sub <- books; c <- sub; x <- c) mix(java.lang.Double.doubleToLongBits(x))
+    f"ivfpq/v1/m${books.length}-k${books(0).length}/$h%016x"
+  }
+
+  /** Persisted IVF-PQ index — the durable form of [[pqIvfTopK]]'s
+    * inline index, the vector-modality analogue of
+    * [[graft.operators.Dedup.signatureStore]]: build ONCE, probe on
+    * every future query batch without touching corpus floats.
+    * Returns (index, centroids):
+    *  - index: (cent_id, neighbor_id, codes, sig_algo) — persist
+    *    with `Bucketing.writeBucketed(_, table, Seq("cent_id"), n)`
+    *    so every probe join reads it EXCHANGE-FREE;
+    *  - centroids: (cent_id, cent_v, cent_n, sig_algo) — the coarse
+    *    router queries must use (tiny; persists alongside).
+    * Both frames carry [[pqIndexAlgo]]'s codebook-generation tag;
+    * [[pqIvfProbeIndex]] refuses stale or mixed stores. */
+  def pqIndexStore(corpus: DataFrame, idCol: String, vecCol: String,
+      books: Array[Array[Array[Double]]],
+      nCentroids: Int = 16): (DataFrame, DataFrame) = {
+    val tag = pqIndexAlgo(books)
+    val cent = pqCoarseCentroids(corpus, idCol, vecCol, nCentroids)
+    val index = pqCoarseAssign(corpus, idCol, vecCol, cent, 1)
+      .select(col(idCol).as("neighbor_id"), col("cent_id"),
+        pqCodes(col(vecCol), books).as("codes"))
+      .withColumn("sig_algo", lit(tag))
+    (index, cent.withColumn("sig_algo", lit(tag)))
+  }
+
+  /** Probe a persisted [[pqIndexStore]]: verifies both frames carry
+    * the probing codebooks' generation tag (one bounded min/max/count
+    * aggregation each — [[graft.operators.Dedup.requireSigAlgo]]),
+    * then runs the shared probe/ADC/rank stage. With the store built
+    * from the same corpus/books/nCentroids and `nProbe ==
+    * nCentroids`, output is bit-identical to [[pqIvfTopK]] (sim10's
+    * oracle re-verifies it through sim15). */
+  def pqIvfProbeIndex(queries: DataFrame, index: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String,
+      books: Array[Array[Array[Double]]], k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val tag = pqIndexAlgo(books)
+    Dedup.requireSigAlgo(index, tag, "IVF-PQ index",
+      "re-encode with pqIndexStore under the current codebooks")
+    Dedup.requireSigAlgo(centroids, tag, "IVF-PQ centroid",
+      "re-encode with pqIndexStore under the current codebooks")
+    pqProbeRank(queries, index,
+      centroids.select("cent_id", "cent_v", "cent_n"),
+      idCol, vecCol, books, k, nProbe)
   }
 
   /** IVF over int8-quantized vectors — [[ivfTopK]]'s centroid probe

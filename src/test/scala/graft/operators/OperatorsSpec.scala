@@ -848,6 +848,48 @@ class SimilaritySpec extends SparkTestBase {
     assert(r100 >= 0.8, s"depth-100 rerank recall too low: $r100")
   }
 
+  test("persisted IVF-PQ index: store round-trip equals inline plan; " +
+      "stale/mixed codebook generations are refused") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val books = Similarity.pqTrain(e, "vec_id", "embedding", m = 8, k = 16,
+      maxIter = 2)
+    val q = e.filter("vec_id < 10")
+    val (index, cents) = Similarity.pqIndexStore(e, "vec_id", "embedding",
+      books, nCentroids = 16)
+    val inline = Similarity.pqIvfTopK(q, e, "vec_id", "embedding", books, 5,
+        nCentroids = 16, nProbe = 16)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val stored = Similarity.pqIvfProbeIndex(q, index, cents,
+        "vec_id", "embedding", books, 5, nProbe = 16)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(stored == inline)
+    // a re-train (different iteration budget -> different codebook
+    // doubles -> different content hash) must refuse the old store
+    val retrained = Similarity.pqTrain(e, "vec_id", "embedding", m = 8,
+      k = 16, maxIter = 1)
+    assert(Similarity.pqIndexAlgo(retrained) != Similarity.pqIndexAlgo(books))
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.pqIvfProbeIndex(q, index, cents,
+        "vec_id", "embedding", retrained, 5, nProbe = 16).collect()
+    }
+    assert(e1.getMessage.contains("re-encode"))
+    // untagged index (pre-guard store) and mixed generations refused
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.pqIvfProbeIndex(q, index.drop("sig_algo"), cents,
+        "vec_id", "embedding", books, 5, nProbe = 16).collect()
+    }
+    assert(e2.getMessage.contains("sig_algo"))
+    val mixed = index.unionByName(
+      index.limit(1).withColumn("sig_algo", lit(null: String)))
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.pqIvfProbeIndex(q, mixed, cents,
+        "vec_id", "embedding", books, 5, nProbe = 16).collect()
+    }
+    assert(e3.getMessage.contains("untagged"))
+  }
+
   test("reduced-probe IVF bitext mining still recovers the planted alignment") {
     import spark.implicits._
     val rnd = new scala.util.Random(31L)
