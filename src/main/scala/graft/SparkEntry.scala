@@ -1263,6 +1263,57 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank")
     }),
 
+    // r8: ONLINE index maintenance — the ingestion half of sim16 as
+    // a real two-micro-batch stream: each arriving vector gets its
+    // full index row (coarse cent_id via the literal-centroid argmax
+    // + PQ codes) before landing, the streaming completion of the
+    // st15 encode / st16 drift / sim15 store lifecycle. The oracle
+    // replays both the codebook training (codes) and the cosine
+    // coarse assignment on raw vectors (exact IEEE trees)
+    "st17_stream_index_append" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val books = trainedPq(s, dir)
+      val (_, cents) = Similarity.pqIndexStore(
+        e.filter(col("vec_id") <= 250), "vec_id", "embedding",
+        books, nCentroids = 16)
+      val base = tmpDir("graft_st17")
+      val in = s"$base/in"
+      e.filter(col("vec_id") > 250 && col("vec_id") % 2 === 0)
+        .coalesce(1).write.mode("append").parquet(in)
+      e.filter(col("vec_id") > 250 && col("vec_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(in)
+      val schema = s.read.parquet(in).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val rows = Similarity.pqIndexAppendOnline(stream, cents,
+        "vec_id", "embedding", books)
+      val q = graft.streaming.EventStream.writeFileStream(
+        rows, s"$base/out", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out")
+        .select(col("neighbor_id").as("vec_id"), col("cent_id"),
+          posexplode(col("codes")).as(Seq("sub", "code")))
+    }),
+
+    // r8: incremental index maintenance — the second half of the
+    // corpus is encoded AGAINST THE STORE'S centroids and appended;
+    // union(store, appended) == a full rebuild (the dd14 incremental
+    // contract for vectors), so the full-probe result again MATCHes
+    // the inline IVF-PQ oracle
+    "sim16_ivfpq_index_append" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val books = trainedPq(s, dir)
+      val (index0, cents) = Similarity.pqIndexStore(
+        e.filter(col("vec_id") <= 250), "vec_id", "embedding",
+        books, nCentroids = 16)
+      val appended = Similarity.pqIndexAppend(
+        e.filter(col("vec_id") > 250), cents, "vec_id", "embedding", books)
+      Similarity.pqIvfProbeIndex(e.filter("vec_id < 10"),
+        index0.unionByName(appended), cents,
+        "vec_id", "embedding", books, 5, nProbe = 16)
+        .select("query_id", "neighbor_id", "rank")
+    }),
+
     // r8: two-stage retrieval — IVF-PQ ADC candidates, then a
     // full-precision cosine re-rank of just those candidates (the
     // production serving pattern). Verified config: full probe +
@@ -7895,7 +7946,10 @@ object SparkEntry {
     // full probe + depth >= corpus: the re-ranked output IS brute force
     "sim14_ivfpq_rerank" -> oracleSqlBase("sim1_bruteforce_topk"),
     // store round-trip at full probe == the inline IVF-PQ plan
-    "sim15_ivfpq_index_store" -> oracleSqlBase("sim11_ivfpq_topk"))
+    "sim15_ivfpq_index_store" -> oracleSqlBase("sim11_ivfpq_topk"),
+    // split-build + append == full rebuild (same coarse centroids)
+    "sim16_ivfpq_index_append" -> oracleSqlBase("sim11_ivfpq_topk"),
+    "st17_stream_index_append" -> st17Oracle)
 
   /** pii1 oracle: built from Privacy.categories so both engines run
     * THE SAME patterns (regexes restricted to constructs Java and RE2
@@ -8360,6 +8414,35 @@ object SparkEntry {
        |       CAST(sum(q) AS DOUBLE) * base.bn
        |         > 1.5 * CAST(base.bsq AS DOUBLE) * count(*) AS retrain_flag
        |FROM rq CROSS JOIN base GROUP BY vec_id % 2, base.bn, base.bsq""".stripMargin
+
+  /** st17 oracle: codes from the full PQ training replay (a3, as
+    * sim9), coarse cent_id from a cosine argmax over the store's 16
+    * smallest-id centroids — all on RAW vectors (exact IEEE trees on
+    * both engines, no trained doubles in the assignment), ties to
+    * the smallest cent_id like the batch window and the online
+    * argmax struct. Only vec_id > 250 rows stream. */
+  private def st17Oracle: String =
+    s"""$pqCte,
+       |cset AS (SELECT vec_id AS cent_id, e AS ce
+       |         FROM v WHERE vec_id <= 250 ORDER BY vec_id LIMIT 16),
+       |cn AS (SELECT cent_id, ce,
+       |         sqrt(list_sum(list_transform(range(1, 65), i -> ce[i] * ce[i]))) AS cn
+       |       FROM cset),
+       |newv AS (SELECT vec_id, e,
+       |           sqrt(list_sum(list_transform(range(1, 65), i -> e[i] * e[i]))) AS vn
+       |         FROM v WHERE vec_id > 250),
+       |cass AS (SELECT vec_id, cent_id FROM (
+       |    SELECT nv.vec_id, c.cent_id,
+       |      row_number() OVER (PARTITION BY nv.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, 65), i -> nv.e[i] * c.ce[i]))
+       |          / (nv.vn * c.cn) DESC,
+       |        c.cent_id ASC) AS rn
+       |    FROM newv nv CROSS JOIN cn c
+       |    WHERE nv.vn > 0 AND c.cn > 0)
+       |  WHERE rn = 1)
+       |SELECT a.vec_id, ca.cent_id, CAST(a.s AS INT) AS sub,
+       |       CAST(a.cid AS INT) AS code
+       |FROM a3 a JOIN cass ca USING (vec_id)""".stripMargin
 
   /** UTF-8 BYTE list of a string expression as HUGEINTs — the exact
     * quantity the Spark rolling hashes fold ([[graft.functions.TextExpressions.RollingHash]]

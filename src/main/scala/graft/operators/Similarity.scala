@@ -697,6 +697,74 @@ object Similarity {
     (index, cent.withColumn("sig_algo", lit(tag)))
   }
 
+  /** Incremental maintenance of a persisted [[pqIndexStore]]: encode
+    * an ingestion batch into index rows AGAINST THE STORE'S OWN
+    * coarse centroids (re-deriving centroids from the batch would
+    * silently split the index into incompatible routing spaces —
+    * exactly the stale-generation failure, so the centroid frame's
+    * tag is verified first) and append the result to the bucketed
+    * index table. Union(store, appended) is bit-identical to a full
+    * rebuild over the union corpus whenever the coarse centroids are
+    * unchanged — the dd14 incremental contract for vectors. One
+    * broadcast assign + one projection per batch: batch-sized cost,
+    * corpus never rescanned; the same call runs unchanged on a
+    * STREAMING frame (stateless projection + broadcast join), which
+    * is where a production pipeline encodes at ingestion. */
+  def pqIndexAppend(newVecs: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val tag = pqIndexAlgo(books)
+    Dedup.requireSigAlgo(centroids, tag, "IVF-PQ centroid",
+      "re-encode with pqIndexStore under the current codebooks")
+    pqCoarseAssign(newVecs, idCol, vecCol,
+        centroids.select("cent_id", "cent_v", "cent_n"), 1)
+      .select(col(idCol).as("neighbor_id"), col("cent_id"),
+        pqCodes(col(vecCol), books).as("codes"))
+      .withColumn("sig_algo", lit(tag))
+  }
+
+  /** Streaming-safe [[pqIndexAppend]]: the store's coarse centroids
+    * are collected into LITERAL arrays (bounded by construction —
+    * the same collect class as the codebooks themselves), so the
+    * top-1 assignment becomes a pure row-local argmax expression
+    * (array_max over (sim, −cent_id) structs — max sim, ties to the
+    * smallest cent_id, exactly the batch window's order) instead of
+    * a window — no shuffle, no state, and the SAME call runs
+    * unchanged on a streaming ingestion frame (st17). Batch-equal by
+    * construction: the sim tree is the batch form dot/(|v|·cent_n)
+    * with cent_n read from the store, and zero-norm vectors are
+    * dropped before the division exactly as the batch assign does. */
+  def pqIndexAppendOnline(newVecs: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val tag = pqIndexAlgo(books)
+    Dedup.requireSigAlgo(centroids, tag, "IVF-PQ centroid",
+      "re-encode with pqIndexStore under the current codebooks")
+    val cents = centroids.select("cent_id", "cent_v", "cent_n").collect()
+      .map(r => (r.getLong(0),
+        // exact widening only — a toString round-trip would re-parse
+        // the float's shortest decimal as a DIFFERENT double
+        r.getSeq[Any](1).map {
+          case f: java.lang.Float => f.toDouble
+          case d: java.lang.Double => d.doubleValue()
+          case x: java.lang.Number => x.doubleValue()
+        }.toArray,
+        r.getDouble(2)))
+      .filter(_._3 > 0)
+    require(cents.nonEmpty, "centroid store has no nonzero-norm rows")
+    val v = col(vecCol)
+    val n = l2norm(v)
+    val entries = cents.map { case (cid, cv, cn) =>
+      struct((dot(v, array(cv.map(lit).toIndexedSeq: _*)) / (n * lit(cn)))
+        .as("sim"), lit(-cid).as("nc"))
+    }
+    val centId = -array_max(array(entries.toIndexedSeq: _*)).getField("nc")
+    newVecs.filter(n > 0)
+      .select(col(idCol).as("neighbor_id"), centId.as("cent_id"),
+        pqCodes(v, books).as("codes"))
+      .withColumn("sig_algo", lit(tag))
+  }
+
   /** Probe a persisted [[pqIndexStore]]: verifies both frames carry
     * the probing codebooks' generation tag (one bounded min/max/count
     * aggregation each — [[graft.operators.Dedup.requireSigAlgo]]),

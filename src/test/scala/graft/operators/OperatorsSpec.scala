@@ -890,6 +890,36 @@ class SimilaritySpec extends SparkTestBase {
     assert(e3.getMessage.contains("untagged"))
   }
 
+  test("IVF-PQ index append: split-build + append rows equal a full " +
+      "rebuild; append against foreign codebooks refused") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val books = Similarity.pqTrain(e, "vec_id", "embedding", m = 8, k = 16,
+      maxIter = 2)
+    val (fullIdx, _) = Similarity.pqIndexStore(e, "vec_id", "embedding",
+      books, nCentroids = 16)
+    val (halfIdx, cents) = Similarity.pqIndexStore(
+      e.filter(col("vec_id") <= 100), "vec_id", "embedding", books,
+      nCentroids = 16)
+    val appended = Similarity.pqIndexAppend(e.filter(col("vec_id") > 100),
+      cents, "vec_id", "embedding", books)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("neighbor_id", "cent_id", "codes").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toList)).toSet
+    assert(rows(halfIdx.unionByName(appended)) == rows(fullIdx))
+    val retrained = Similarity.pqTrain(e, "vec_id", "embedding", m = 8,
+      k = 16, maxIter = 1)
+    val err = intercept[IllegalArgumentException] {
+      Similarity.pqIndexAppend(e.filter(col("vec_id") > 100), cents,
+        "vec_id", "embedding", retrained).collect()
+    }
+    assert(err.getMessage.contains("re-encode"))
+    // the streaming-safe literal-centroid argmax is the batch window
+    // assignment verbatim (same sim tree, same tie-break)
+    val online = Similarity.pqIndexAppendOnline(
+      e.filter(col("vec_id") > 100), cents, "vec_id", "embedding", books)
+    assert(rows(online) == rows(appended))
+  }
+
   test("reduced-probe IVF bitext mining still recovers the planted alignment") {
     import spark.implicits._
     val rnd = new scala.util.Random(31L)
