@@ -1263,6 +1263,21 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank")
     }),
 
+    // r8: reciprocal-rank fusion — the hybrid-retrieval combiner,
+    // fusing the full-precision dense ranking with the 32x-compressed
+    // ADC ranking over the same queries (rank positions, not raw
+    // scores, so the heterogeneous scorers need no calibration)
+    "fuse1_rrf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val dense = Similarity.bruteForceTopK(
+        e.filter("vec_id < 10"), e, "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id", "rank")
+      val adc = Similarity.pqAdcTopK(e.filter("vec_id < 10"), e,
+        "vec_id", "embedding", trainedPq(s, dir), 10)
+        .select("query_id", "neighbor_id", "rank")
+      Retrieval.rrfFuse(Seq(dense, adc), k0 = 60, topK = 5)
+    }),
+
     // r8: ONLINE index maintenance — the ingestion half of sim16 as
     // a real two-micro-batch stream: each arriving vector gets its
     // full index row (coarse cent_id via the literal-centroid argmax
@@ -7949,7 +7964,8 @@ object SparkEntry {
     "sim15_ivfpq_index_store" -> oracleSqlBase("sim11_ivfpq_topk"),
     // split-build + append == full rebuild (same coarse centroids)
     "sim16_ivfpq_index_append" -> oracleSqlBase("sim11_ivfpq_topk"),
-    "st17_stream_index_append" -> st17Oracle)
+    "st17_stream_index_append" -> st17Oracle,
+    "fuse1_rrf" -> fuse1Oracle)
 
   /** pii1 oracle: built from Privacy.categories so both engines run
     * THE SAME patterns (regexes restricted to constructs Java and RE2
@@ -8443,6 +8459,58 @@ object SparkEntry {
        |SELECT a.vec_id, ca.cent_id, CAST(a.s AS INT) AS sub,
        |       CAST(a.cid AS INT) AS code
        |FROM a3 a JOIN cass ca USING (vec_id)""".stripMargin
+
+  /** fuse1 oracle: both rankings replayed at k=10 — brute-force
+    * cosine (sim1's tree over the double-cast vectors) and ADC
+    * (sim10's tree over the replayed codebooks) — then the fusion
+    * itself: per-pair `1.0/(rank + 60)` terms folded in
+    * retriever-index order (list_sum over ORDER BY ridx = the Spark
+    * ordered-struct fold), final rank by (score DESC, id ASC). */
+  private def fuse1Oracle: String =
+    s"""$pqCte,
+       |codes AS (SELECT vec_id AS neighbor_id, s, cid FROM a3),
+       |qv AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 10),
+       |terms AS (
+       |  SELECT q.query_id, c.neighbor_id, c.s,
+       |    list_sum(list_transform(range(1, 9), i -> ct.cent[i] * ct.cent[i]))
+       |    - list_sum(list_transform(range(1, 9), i -> q.qv[c.s*8+i] * ct.cent[i])) * 2 AS term
+       |  FROM qv q CROSS JOIN codes c
+       |  JOIN c2 ct ON ct.s = c.s AND ct.cid = c.cid
+       |  WHERE c.neighbor_id <> q.query_id),
+       |acc AS (SELECT query_id, neighbor_id,
+       |          list_sum(list(term ORDER BY s)) AS dsum
+       |        FROM terms GROUP BY 1, 2),
+       |qq2 AS (SELECT query_id,
+       |          list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])) AS qq
+       |        FROM qv),
+       |adc AS (SELECT query_id, neighbor_id, rk AS rank FROM (
+       |          SELECT a.query_id, a.neighbor_id,
+       |            row_number() OVER (PARTITION BY a.query_id
+       |              ORDER BY a.dsum + q.qq ASC, a.neighbor_id ASC) AS rk
+       |          FROM acc a JOIN qq2 q USING (query_id))
+       |        WHERE rk <= 10),
+       |en AS (SELECT vec_id, e,
+       |         sqrt(list_sum(list_transform(range(1, 65), i -> e[i] * e[i]))) AS nrm
+       |       FROM v),
+       |bf AS (SELECT query_id, neighbor_id, rank FROM (
+       |         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY list_sum(list_transform(range(1, 65), i -> q.e[i] * c.e[i]))
+       |               / (q.nrm * c.nrm) DESC, c.vec_id ASC) AS rank
+       |         FROM en q JOIN en c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+       |       WHERE rank <= 10),
+       |u AS (SELECT query_id, neighbor_id, rank, 0 AS ridx FROM bf
+       |      UNION ALL SELECT query_id, neighbor_id, rank, 1 AS ridx FROM adc),
+       |sc AS (SELECT query_id, neighbor_id,
+       |         list_sum(list(1.0 / (rank + 60) ORDER BY ridx)) AS score
+       |       FROM u GROUP BY 1, 2),
+       |fin AS (SELECT query_id, neighbor_id, score,
+       |          row_number() OVER (PARTITION BY query_id
+       |            ORDER BY score DESC, neighbor_id ASC) AS rank
+       |        FROM sc)
+       |SELECT query_id, neighbor_id, round(score, 6) AS rrf_score,
+       |       CAST(rank AS INT) AS rank
+       |FROM fin WHERE rank <= 5""".stripMargin
 
   /** UTF-8 BYTE list of a string expression as HUGEINTs — the exact
     * quantity the Spark rolling hashes fold ([[graft.functions.TextExpressions.RollingHash]]

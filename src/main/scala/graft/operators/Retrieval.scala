@@ -121,4 +121,42 @@ object Retrieval {
       .crossJoin(broadcast(totals))
       .select(col("a"), col("b"), col("n_ab"), round(pmi, 4).as("pmi"))
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) — the
+    * standard hybrid-retrieval combiner: each input ranking
+    * contributes `1/(k0 + rank)` per (query, doc) it surfaced, the
+    * fused score is the sum, ties break to the smaller doc id. Rank
+    * positions — not raw scores — are fused, so heterogeneous
+    * retrievers (BM25 text scores, cosine, ADC distances) combine
+    * without calibration; `k0` (conventionally 60) damps the head so
+    * one retriever's #1 can't drown broad agreement lower down.
+    *
+    * Each input frame: (query_id, neighbor_id, rank). Determinism:
+    * the per-pair contributions fold in RETRIEVER-INDEX order via a
+    * sorted (index, term) struct list — a pair appears in at most
+    * `rankings.size` lists, so the collected list is bounded by the
+    * retriever count, never by data. Scale shape: one union, one
+    * shuffle on (query, doc), one window per query — all downstream
+    * frames are top-k-sized (|Q|·k·retrievers), corpus-free. */
+  def rrfFuse(rankings: Seq[DataFrame], k0: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking to fuse")
+    require(k0 >= 1 && topK >= 1, s"k0 and topK must be >= 1: $k0, $topK")
+    val tagged = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("int").as("rank"), lit(i).as("__ridx"))
+    }.reduce(_.unionByName(_))
+    val scored = tagged.groupBy("query_id", "neighbor_id")
+      .agg(sort_array(collect_list(struct(col("__ridx").as("i"),
+        (lit(1.0) / (col("rank") + lit(k0))).as("t")))).as("ts"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(col("ts"), lit(0.0), (a, x) => a + x.getField("t"))
+          .as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("score"), 6).as("rrf_score"), col("rank"))
+  }
 }

@@ -60,4 +60,27 @@ class RetrievalSpec extends SparkTestBase {
     assert(math.abs(out(("new", "york"))._2 - math.log(4)) < 1e-3)
     assert(math.abs(out(("york", "the"))._2 - math.log(2)) < 1e-3)
   }
+
+  test("rrfFuse: agreement across retrievers beats a single #1; " +
+      "singleton lists fuse; ties break by doc id") {
+    // retriever A: doc 10 first, doc 20 second, doc 30 third
+    val a = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    // retriever B: doc 20 first, doc 30 second; never saw doc 10
+    val b = Seq((1L, 20L, 1), (1L, 30L, 2))
+      .toDF("query_id", "neighbor_id", "rank")
+    val fused = Retrieval.rrfFuse(Seq(a, b), k0 = 60, topK = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // doc 20: 1/62 + 1/61 beats doc 10's lone 1/61; doc 30: 1/63 + 1/62
+    assert(fused.map(_._1).toSeq == Seq(20L, 30L, 10L))
+    assert(math.abs(fused(0)._2 - (1.0 / 62 + 1.0 / 61)) < 1e-6)
+    assert(math.abs(fused(2)._2 - 1.0 / 61) < 1e-6)
+    // exact tie (same ranks from both retrievers) -> smaller doc id
+    val c = Seq((7L, 5L, 1), (7L, 3L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val d = Seq((7L, 3L, 1), (7L, 5L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val tied = Retrieval.rrfFuse(Seq(c, d), k0 = 60, topK = 2)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(tied == Seq(3L, 5L))
+  }
 }
