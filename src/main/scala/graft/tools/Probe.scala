@@ -761,6 +761,26 @@ object Probe {
       println(f"=== r8probe bitext $cl probe=$nProbe/64 mutual-best recall: " +
         f"$rec%.4f (${got.size} mined, $spurious spurious)")
     }
+
+    // ---- maxsim over the clustered corpus as chunked docs ---------
+    // 50 K chunk vectors -> 5 K docs of 10 chunks, 200 queries
+    val chunks = vecs.withColumn("doc_id", expr("vec_id DIV 10"))
+    val qm = vecs.filter(col("vec_id") < 200)
+    val exactMs = timed("maxSim EXACT 200q x 50K chunks")(
+      graft.operators.Similarity.maxSimTopK(qm, chunks, "vec_id",
+        "embedding", "doc_id", 10)
+        .select("query_id", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    for (nProbe <- Seq(8, 4, 2)) {
+      val got = timed(s"maxSimTopKIvf 64 kmeans cent, nProbe=$nProbe")(
+        Similarity.maxSimTopKIvf(qm, chunks, "vec_id", "embedding",
+          "doc_id", 10, nCentroids = 64, nProbe = nProbe,
+          kmeansCentroids = true, seed = 7L)
+          .select("query_id", "doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet)
+      println(f"=== r8probe maxsim kmeans probe=$nProbe/64 recall: " +
+        f"${got.intersect(exactMs).size.toDouble / exactMs.size}%.4f")
+    }
   }
 
   def r6probe(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
