@@ -2072,6 +2072,14 @@ object SparkEntry {
       s.read.parquet(s"$base/out")
     }),
 
+    // r8: ε-DP released corpus-composition counts — seeded portable
+    // geometric noise walked down driver-precomputed CDF literals
+    // (no libm in either engine's plan; the oracle replays hash,
+    // literals, and walk). Only the noisy counts leave the mechanism
+    "priv1_dp_counts" -> ((s, dir) =>
+      Privacy.dpCounts(t(s, dir, "documents"), "lang",
+        epsilon = 0.5, seed = 42L, noiseBound = 64)),
+
     "pii1_redact" -> ((s, dir) => {
       // the corpus itself is synthetic word salad, so deterministic
       // PII is injected per row — the oracle builds the identical
@@ -5847,6 +5855,7 @@ object SparkEntry {
         |HAVING count(*) > (SELECT n_total FROM tot) * 0.02""".stripMargin,
 
     "pii1_redact" -> piiOracle,
+    "priv1_dp_counts" -> priv1Oracle,
 
     "pii2_pseudonymize" ->
       """SELECT c_custkey,
@@ -8459,6 +8468,43 @@ object SparkEntry {
        |SELECT a.vec_id, ca.cent_id, CAST(a.s AS INT) AS sub,
        |       CAST(a.cid AS INT) AS code
        |FROM a3 a JOIN cass ca USING (vec_id)""".stripMargin
+
+  /** priv1 oracle: the DP count release replayed — rolling-31 hash
+    * of "lang:seed" (HUGEINT fold, byte-exact), 53-bit uniform
+    * (2^53 divides 2^64 so the signed/unsigned residue agrees), the
+    * SAME driver-computed CDF doubles as SQL literals (shortest
+    * round-trip formatting parses back bit-exactly), count-below
+    * walk, 0-clamp. */
+  private def priv1Oracle: String = {
+    val lits = Privacy.geometricCdf(0.5, 64).map(_.toString).mkString(", ")
+    val m64 = "18446744073709551616"
+    val m32 = "4294967296"
+    val c1 = 0xff51afd7ed558ccdL
+    val c2 = 0xc4ceb9fe1a85ec53L
+    def hi(x: Long): Long = (x >>> 32) & 0xffffffffL
+    def lo(x: Long): Long = x & 0xffffffffL
+    s"""WITH g AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+       |h0 AS (SELECT lang, n,
+       |        list_reduce(list_prepend(CAST(0 AS HUGEINT), ${byteFoldList("lang || ':42'")}),
+       |          (h, b) -> (h * 31 + b) % $m64) AS h
+       |      FROM g),
+       |f1 AS (SELECT lang, n, xor(h, h >> 33) AS h FROM h0),
+       |m1 AS (SELECT lang, n,
+       |         (h * ${lo(c1)} + ((h * ${hi(c1)}) % $m32) * $m32) % $m64 AS h
+       |       FROM f1),
+       |f2 AS (SELECT lang, n, xor(h, h >> 33) AS h FROM m1),
+       |m2 AS (SELECT lang, n,
+       |         (h * ${lo(c2)} + ((h * ${hi(c2)}) % $m32) * $m32) % $m64 AS h
+       |       FROM f2),
+       |hv AS (SELECT lang, n, xor(h, h >> 33) AS h FROM m2),
+       |uu AS (SELECT lang, n,
+       |         CAST(h % 9007199254740992 AS DOUBLE) / 9007199254740992.0 AS u
+       |       FROM hv),
+       |z AS (SELECT lang, n,
+       |        len(list_filter([$lits], c -> c <= u)) - 64 AS noise
+       |      FROM uu)
+       |SELECT lang, greatest(n + noise, 0) AS n_noisy FROM z""".stripMargin
+  }
 
   /** fuse1 oracle: both rankings replayed at k=10 — brute-force
     * cosine (sim1's tree over the double-cast vectors) and ADC

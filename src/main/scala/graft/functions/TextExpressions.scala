@@ -57,6 +57,27 @@ object TextExpressions {
       copy(child = newChild)
   }
 
+  /** [[tokenHash64]] (rolling-31 + fmix64 avalanche) as a standalone
+    * expression — the portable SEEDABLE hash for anything that needs
+    * uniform 64-bit values from short strings (the bare polynomial
+    * leaves high bits zero on short input; see [[tokenHash64]]'s
+    * scaladoc for why xxhash64 has no SQL replay). Full codegen. */
+  case class TokenHash64Expr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "token_hash64"
+
+    override protected def nullSafeEval(input: Any): Any =
+      tokenHash64(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextExpressions.tokenHash64($c);")
+
+    override protected def withNewChildInternal(newChild: Expression): TokenHash64Expr =
+      copy(child = newChild)
+  }
+
   /** Unicode normalization (NFC/NFD/NFKC/NFKD) via `java.text
     * .Normalizer`, as a codegen expression: the canonicalization
     * every dedup/fingerprint pass should run first, since visually
@@ -1098,6 +1119,9 @@ object TextExpressions {
 
   def rolling_hash(c: Column): Column =
     ExpressionUtils.column(RollingHash(ExpressionUtils.expression(c)))
+
+  def token_hash64(c: Column): Column =
+    ExpressionUtils.column(TokenHash64Expr(ExpressionUtils.expression(c)))
 
   def unicode_normalize(c: Column, form: String = "NFC"): Column =
     ExpressionUtils.column(UnicodeNormalize(ExpressionUtils.expression(c), form))

@@ -107,4 +107,59 @@ object Privacy {
     sized.select(masked.toIndexedSeq
       :+ col("class_size") :+ col("suppressed"): _*)
   }
+
+  /** CDF of the ±`bound`-truncated two-sided geometric (discrete
+    * Laplace) distribution, P(k) ∝ e^{-ε|k|} — precomputed ON THE
+    * DRIVER so the distributed plan (and the SQL oracle, which
+    * receives these exact doubles as literals) never calls libm.
+    * Entry j is P(noise ≤ j − bound) after renormalization. */
+  def geometricCdf(epsilon: Double, bound: Int): IndexedSeq[Double] = {
+    require(epsilon > 0, s"epsilon must be > 0: $epsilon")
+    require(bound >= 1, s"noise bound must be >= 1: $bound")
+    val p = math.exp(-epsilon)
+    val weights = (-bound to bound).map(k => math.pow(p, math.abs(k)))
+    val total = weights.sum
+    weights.scanLeft(0.0)(_ + _).tail.map(_ / total).toIndexedSeq
+  }
+
+  /** ε-differentially-private group counts — the two-sided geometric
+    * (discrete Laplace) mechanism at sensitivity 1, the release gate
+    * for publishing corpus composition stats (per-language counts,
+    * per-source counts) without letting any single document's
+    * presence be inferred. Noise is truncated at ±`noiseBound`
+    * (choose it so the tail is negligible: at ε = 0.5, B = 64 leaves
+    * < 1e-13 mass — the standard bounded-geometric deployment, with
+    * the truncation accounted as the mechanism's δ).
+    *
+    * The noise is SEEDED and portable: u = the rolling-31 hash of
+    * "group:seed" at 53-bit resolution, walked down the
+    * driver-precomputed [[geometricCdf]] literals — bit-reproducible
+    * on any engine, which is an AUDIT feature (re-running a release
+    * reproduces it exactly). A new release must use a fresh seed:
+    * re-using one across releases lets averaging strip the noise,
+    * and publishing the seed voids the guarantee entirely.
+    *
+    * Output carries ONLY (group, n_noisy) — the true count never
+    * leaves the mechanism, and the 0-clamp is post-processing, which
+    * preserves DP. One aggregation, one row per group; the noise walk
+    * is a row-local fold over 2·bound+1 literals. */
+  def dpCounts(df: DataFrame, groupCol: String, epsilon: Double,
+      seed: Long, noiseBound: Int = 64): DataFrame = {
+    val bound = noiseBound
+    val cdf = geometricCdf(epsilon, bound)
+    val cdfArr = array(cdf.map(lit): _*)
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    // token_hash64 (rolling-31 + fmix64), not the bare polynomial:
+    // short group keys leave the polynomial's high bits zero, which
+    // would pin u near 0 and slam every count to the -bound tail.
+    // 2^53 divides 2^64, so the unsigned residue mod 2^53 is
+    // independent of the hash's signed reinterpretation — the SQL
+    // replay needs no sign fix-up
+    val u = pmod(graft.functions.TextExpressions.token_hash64(
+        concat(col(groupCol).cast("string"), lit(":" + seed))),
+      lit(1L << 53)).cast("double") / (1L << 53).toDouble
+    val noise = size(filter(cdfArr, c => c <= u)) - lit(bound)
+    counts.select(col(groupCol),
+      greatest(col("__n") + noise, lit(0L)).as("n_noisy"))
+  }
 }

@@ -57,6 +57,34 @@ class PrivacySpec extends SparkTestBase {
       && out(4L).getAs[Long]("class_size") == 1L)
     intercept[IllegalArgumentException](Privacy.kAnonymize(df, Seq("age"), 1))
   }
+
+  test("dpCounts: seeded noise is reproducible, seed-sensitive, clamped " +
+      "at zero, and calibrated to epsilon") {
+    import org.apache.spark.sql.functions._
+    // 200 groups of 10 rows each: enough groups to see the noise
+    // distribution, a true count small enough to exercise the clamp
+    val df = spark.range(2000L)
+      .select((col("id") % 200).cast("string").as("grp"))
+    def run(eps: Double, seed: Long) =
+      Privacy.dpCounts(df, "grp", eps, seed)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = run(0.5, 42L)
+    assert(a == run(0.5, 42L))       // bit-reproducible release
+    assert(a != run(0.5, 43L))       // a fresh seed re-draws the noise
+    assert(a.values.forall(_ >= 0L)) // post-processing clamp
+    // noise actually perturbs: most groups differ from the true 10
+    val moved = a.values.count(_ != 10L)
+    assert(moved > 100, s"only $moved/200 groups perturbed at eps=0.5")
+    // mean |noise| for the two-sided geometric is 2p/(1-p^2) ~ 1.54
+    // at eps=0.5; allow generous slack for the 200-draw sample
+    val meanAbs = a.values.map(v => math.abs(v - 10L)).sum.toDouble / 200
+    assert(meanAbs > 0.8 && meanAbs < 3.0, s"mean |noise| $meanAbs")
+    // near-zero privacy budget spent the other way: eps = 20 makes
+    // P(noise = 0) ~ 1 - 4e-9 — every count comes back exact
+    val tight = run(20.0, 42L)
+    assert(tight.values.forall(_ == 10L))
+    intercept[IllegalArgumentException](Privacy.geometricCdf(0.0, 8))
+  }
 }
 
 class QualityFiltersSpec extends SparkTestBase {
