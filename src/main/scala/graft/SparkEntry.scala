@@ -306,6 +306,16 @@ object SparkEntry {
       Tokenizer.trainBpeMerges(t(s, dir, "documents"), "text",
         numMerges = bpeMergeCount))
 
+  /** Unigram-LM tokenizer (piece, count, qscore) rows, memoized per
+    * sf dir — training is one distributed word-count aggregation
+    * plus bounded driver EM (see Tokenizer.trainUnigramLm). */
+  private val unigramCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(String, Long, Long)]]()
+  private def trainedUnigram(s: SparkSession, dir: String): Array[(String, Long, Long)] =
+    unigramCache.computeIfAbsent(dir, _ =>
+      Tokenizer.trainUnigramLm(t(s, dir, "documents"), "text",
+        vocabSize = 48, seedSize = 96, maxPieceLen = 6))
+
   private val byteBpeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(String, String)]]()
   private def trainedByteBpe(s: SparkSession, dir: String): Array[(String, String)] =
@@ -2352,6 +2362,32 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         size(ids).cast("long").as("n_tokens"),
         array_join(transform(ids, _.cast("string")), " ").as("ids"))
+    }),
+
+    // r8: unigram-LM (SentencePiece-style) tokenizer — the
+    // probabilistic family beside greedy WordPiece (tok1) and BPE
+    // (tok3+): substring seeding, one hard-EM round, prune. Integer
+    // fixed-point log2 scores make the whole training trajectory and
+    // the Viterbi argmax engine-reproducible; the oracle replays
+    // seeding, E-step (by exhaustive segmentation enumeration —
+    // equal to the DP), M-step, prune, and final scores
+    "tok10_unigram_vocab" -> ((s, dir) => {
+      import s.implicits._
+      trainedUnigram(s, dir).toSeq.toDF("piece", "piece_count", "qscore")
+    }),
+
+    // encode under the trained unigram vocab: Viterbi-best pieces
+    // per distinct corpus word (the row-local codegen expression a
+    // 100 TB encode pass maps over documents)
+    "tok11_unigram_encode" -> ((s, dir) => {
+      val vocab = trainedUnigram(s, dir).map(v => (v._1, v._3)).toSeq
+      val words = t(s, dir, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+        .filter(col("word") =!= "").distinct()
+      val pieces = Tokenizer.unigramTokens(col("word"), vocab)
+      words.select(col("word"),
+        array_join(pieces, " ").as("pieces"),
+        size(pieces).cast("long").as("n_pieces"))
     }),
 
     // the BPE VOCABULARY table (chars sorted, then merged symbols in
@@ -5856,6 +5892,8 @@ object SparkEntry {
 
     "pii1_redact" -> piiOracle,
     "priv1_dp_counts" -> priv1Oracle,
+    "tok10_unigram_vocab" -> tok10Oracle,
+    "tok11_unigram_encode" -> tok11Oracle,
 
     "pii2_pseudonymize" ->
       """SELECT c_custkey,
@@ -8468,6 +8506,101 @@ object SparkEntry {
        |SELECT a.vec_id, ca.cent_id, CAST(a.s AS INT) AS sub,
        |       CAST(a.cid AS INT) AS code
        |FROM a3 a JOIN cass ca USING (vec_id)""".stripMargin
+
+  /** Fixed-point log2 as a SQL macro — the same integer ops as
+    * `Tokenizer.qlog2` with the SAME driver-computed 128-entry
+    * fraction table inlined as a literal list (1-based indexing:
+    * the mantissa index lands in [128, 256), so subtracting 127
+    * yields the list position). */
+  private def qlogSql(x: String): String = {
+    val tab = graft.operators.Tokenizer.qlog2Frac.mkString(", ")
+    s"(1024 * (length(format('{:b}', $x)) - 1) + " +
+      s"([$tab])[((($x) * 128 // (1::BIGINT << (length(format('{:b}', $x)) - 1))) - 127)])"
+  }
+
+  /** Unigram-LM training replay — the shared CTE chain for tok10
+    * (vocab) and tok11 (encode): word counts, substring seeding
+    * (top-96 by (count DESC, piece ASC) plus all chars), smoothed
+    * integer log2 seed scores, E-step by BRUTE-FORCE segmentation
+    * enumeration (a recursive CTE over (word, pos) — exponential in
+    * word length, fine for the fixture's short words, and equal to
+    * the Spark Viterbi DP's (score DESC, path ASC) argmax by the
+    * exchange argument in UnigramExpressions' scaladoc), M-step
+    * counts, prune to 48 keeping all chars, final scores. Exposes
+    * `fs` (piece, c, len, q) and `wf` (word, f). */
+  private def unigramCte: String = {
+    val sep = "chr(31)"
+    s"""WITH RECURSIVE wf AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+       |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |    FROM documents) WHERE w <> '' GROUP BY w),
+       |subpos AS (
+       |  SELECT wf.w, wf.f, substr(wf.w, CAST(t.i AS INT), CAST(u.l AS INT)) AS p
+       |  FROM wf, range(1, 65) t(i), range(1, 7) u(l)
+       |  WHERE t.i + u.l - 1 <= length(wf.w)),
+       |subcnt AS (SELECT p, CAST(sum(f) AS BIGINT) AS c FROM subpos GROUP BY p),
+       |chars AS (SELECT DISTINCT p FROM subpos WHERE length(p) = 1),
+       |topseed AS (SELECT p FROM subcnt ORDER BY c DESC, p ASC LIMIT 96),
+       |seedp AS (SELECT p FROM topseed UNION SELECT p FROM chars),
+       |seed AS (SELECT s.p, sc.c FROM seedp s JOIN subcnt sc USING (p)),
+       |stot AS (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS m FROM seed),
+       |ss AS (SELECT p, length(p) AS len,
+       |         ${qlogSql("c + 1")} - ${qlogSql("st.t + st.m")} AS q
+       |       FROM seed CROSS JOIN stot st),
+       |walk1 AS (
+       |  SELECT w, f, CAST(0 AS BIGINT) AS done, CAST(0 AS BIGINT) AS sc,
+       |         '' AS path
+       |  FROM wf
+       |  UNION ALL
+       |  SELECT r.w, r.f, r.done + s.len, r.sc + s.q, r.path || s.p || $sep
+       |  FROM walk1 r JOIN ss s
+       |    ON r.done + s.len <= length(r.w)
+       |   AND substr(r.w, CAST(r.done + 1 AS INT), CAST(s.len AS INT)) = s.p),
+       |best1 AS (SELECT w, f, path FROM (
+       |    SELECT w, f, path, row_number() OVER (PARTITION BY w
+       |      ORDER BY sc DESC, path ASC) AS rn
+       |    FROM walk1 WHERE done = length(w)) WHERE rn = 1),
+       |p1 AS (SELECT f, unnest(string_split(rtrim(path, $sep), $sep)) AS p
+       |       FROM best1),
+       |c1 AS (SELECT p, CAST(sum(f) AS BIGINT) AS c FROM p1 GROUP BY p),
+       |nch AS (SELECT count(*) AS n FROM chars),
+       |keptm AS (SELECT p, c FROM (
+       |    SELECT p, c, row_number() OVER (ORDER BY c DESC, p ASC) AS rn
+       |    FROM c1 WHERE length(p) > 1) CROSS JOIN nch
+       |  WHERE rn <= 48 - nch.n),
+       |kept AS (SELECT ch.p, coalesce(c1.c, CAST(0 AS BIGINT)) AS c
+       |         FROM chars ch LEFT JOIN c1 ON c1.p = ch.p
+       |         UNION ALL SELECT p, c FROM keptm),
+       |ftot AS (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS m FROM kept),
+       |fs AS (SELECT p, c, length(p) AS len,
+       |         ${qlogSql("c + 1")} - ${qlogSql("ft.t + ft.m")} AS q
+       |       FROM kept CROSS JOIN ftot ft)""".stripMargin
+  }
+
+  private def tok10Oracle: String =
+    s"""$unigramCte
+       |SELECT p AS piece, c AS piece_count, q AS qscore FROM fs""".stripMargin
+
+  private def tok11Oracle: String =
+    s"""$unigramCte,
+       |walk2 AS (
+       |  SELECT w, CAST(0 AS BIGINT) AS done, CAST(0 AS BIGINT) AS sc,
+       |         '' AS path
+       |  FROM wf
+       |  UNION ALL
+       |  SELECT r.w, r.done + s.len, r.sc + s.q, r.path || s.p || chr(31)
+       |  FROM walk2 r JOIN fs s
+       |    ON r.done + s.len <= length(r.w)
+       |   AND substr(r.w, CAST(r.done + 1 AS INT), CAST(s.len AS INT)) = s.p),
+       |best2 AS (SELECT w, path FROM (
+       |    SELECT w, path, row_number() OVER (PARTITION BY w
+       |      ORDER BY sc DESC, path ASC) AS rn
+       |    FROM walk2 WHERE done = length(w)) WHERE rn = 1)
+       |SELECT w AS word,
+       |       replace(rtrim(path, chr(31)), chr(31), ' ') AS pieces,
+       |       CAST(len(string_split(rtrim(path, chr(31)), chr(31))) AS BIGINT)
+       |         AS n_pieces
+       |FROM best2""".stripMargin
 
   /** priv1 oracle: the DP count release replayed — rolling-31 hash
     * of "lang:seed" (HUGEINT fold, byte-exact), 53-bit uniform

@@ -500,4 +500,127 @@ object Tokenizer {
         col("c.chunk_idx").cast("long").as("chunk_idx"),
         col("c.chunk_text").as("chunk_text"),
         col("c.n_tokens").cast("long").as("n_tokens"))
+
+  // ---- Unigram LM (SentencePiece-style) tokenizer ----------------
+
+  /** Fraction table of the fixed-point base-2 logarithm:
+    * round(1024·log2(1 + i/128)) for i in 0..127. Driver-computed
+    * constants, shared VERBATIM with the SQL oracle as literals — so
+    * neither engine's distributed plan ever calls libm. */
+  private[graft] val qlog2Frac: IndexedSeq[Long] =
+    (0 until 128).map(i =>
+      math.round(1024.0 * math.log(1.0 + i / 128.0) / math.log(2.0)))
+
+  /** Integer fixed-point log2 (~1/1024 resolution): 1024·(bitlen−1)
+    * plus a 128-entry fraction lookup on the top mantissa bits. Pure
+    * integer ops — any engine replays it bit-exactly (the SQL form
+    * derives bitlen from the binary text of x). Resolution 1/1024 is
+    * far finer than unigram-LM training needs: the approximation only
+    * perturbs WHICH segmentation wins near exact ties, and the
+    * replay uses the same approximation on both sides. */
+  private[graft] def qlog2(x: Long): Long = {
+    require(x >= 1, s"qlog2 domain is x >= 1: $x")
+    val bl = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val idx = (((x * 128) >> (bl - 1)) - 128).toInt
+    1024L * (bl - 1) + qlog2Frac(idx)
+  }
+
+  /** Smoothed piece score: qlog2(count+1) − qlog2(total+vocabSize) —
+    * an integer log-probability, negative, exact. */
+  private[graft] def qScore(count: Long, total: Long, m: Long): Long =
+    qlog2(count + 1) - qlog2(total + m)
+
+  /** Train a unigram-LM (SentencePiece-style) tokenizer: seed a
+    * substring candidate vocabulary, run one hard-EM round (Viterbi
+    * E-step over the distinct-word table, count M-step), prune to
+    * `vocabSize` keeping every corpus character. Returns
+    * (piece, count, qscore) rows — count is the E-step piece count,
+    * qscore the final integer log2 probability [[qScore]].
+    *
+    * Determinism end to end: word/substring counts are exact
+    * integer aggregations; scores are [[qlog2]] integers; the
+    * Viterbi argmax tie-breaks to the lexicographically smallest
+    * separator-joined path (see
+    * [[graft.functions.UnigramExpressions]]); seeding and pruning
+    * rank by (count DESC, piece ASC). The DuckDB oracle replays the
+    * whole trajectory — seeding, E-step (by brute-force segmentation
+    * enumeration, equal to the DP by the exchange argument), M-step,
+    * prune, final scores.
+    *
+    * Scale shape: the corpus-sized work is ONE distributed
+    * word-count aggregation; everything after runs on the bounded
+    * distinct-word table on the driver (the [[trainBpeMerges]]
+    * local-exact tier's discipline — `maxLocalWords` guards the
+    * bound, and a natural-language vocabulary saturates in the
+    * single-digit millions of distinct words regardless of corpus
+    * size). Encoding at scale is [[unigramTokens]] — row-local
+    * codegen, embarrassingly parallel. */
+  def trainUnigramLm(docs: DataFrame, textCol: String,
+      vocabSize: Int = 48, seedSize: Int = 96, maxPieceLen: Int = 6,
+      maxLocalWords: Int = 2000000): Array[(String, Long, Long)] = {
+    require(vocabSize >= 2 && seedSize >= vocabSize && maxPieceLen >= 2,
+      s"need vocabSize >= 2, seedSize >= vocabSize, maxPieceLen >= 2: " +
+        s"$vocabSize/$seedSize/$maxPieceLen")
+    val words = docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(words.length <= maxLocalWords,
+      s"${words.length} distinct words exceed the local-exact bound " +
+        s"$maxLocalWords; raise it or pre-truncate the corpus")
+    require(words.nonEmpty, "empty corpus")
+
+    // substring candidate counts (weighted by word frequency) + chars
+    val subCnt = new java.util.HashMap[String, Long]()
+    val chars = scala.collection.mutable.SortedSet[String]()
+    for ((w, f) <- words; i <- 0 until w.length) {
+      chars += w.substring(i, i + 1)
+      var l = 1
+      while (l <= math.min(maxPieceLen, w.length - i)) {
+        val s = w.substring(i, i + l)
+        subCnt.merge(s, f, java.lang.Long.sum(_, _))
+        l += 1
+      }
+    }
+    require(vocabSize > chars.size,
+      s"vocabSize $vocabSize must exceed the corpus alphabet (${chars.size})")
+    import scala.jdk.CollectionConverters._
+    val ranked = subCnt.entrySet().asScala.toSeq
+      .map(e => (e.getKey, e.getValue.longValue()))
+      .sortBy { case (p, c) => (-c, p) }
+    val seed = (ranked.take(seedSize).map(_._1) ++ chars).distinct
+      .map(p => (p, subCnt.get(p).longValue()))
+    val seedTotal = seed.map(_._2).sum
+    val seedScores = seed.map { case (p, c) =>
+      (p, qScore(c, seedTotal, seed.size)) }
+
+    // E-step: Viterbi under seed scores; M-step: weighted piece counts
+    val seg = new graft.functions.UnigramExpressions.Segmenter(seedScores)
+    val c1 = new java.util.HashMap[String, Long]()
+    for ((w, f) <- words; p <- seg.segment(w))
+      c1.merge(p, f, java.lang.Long.sum(_, _))
+
+    // prune: all chars + top multi-char pieces by (count DESC, piece ASC)
+    val keptMulti = c1.entrySet().asScala.toSeq
+      .map(e => (e.getKey, e.getValue.longValue()))
+      .filter(_._1.length > 1)
+      .sortBy { case (p, c) => (-c, p) }
+      .take(vocabSize - chars.size)
+    val kept = chars.toSeq.map(p => (p, c1.getOrDefault(p, 0L))) ++ keptMulti
+    val t1 = kept.map(_._2).sum
+    kept.sortBy(_._1)
+      .map { case (p, c) => (p, c, qScore(c, t1, kept.size)) }
+      .toArray
+  }
+
+  /** Viterbi unigram tokens of `text` (array<string>) under a
+    * trained (piece, qscore) vocabulary — row-local codegen. */
+  def unigramTokens(text: Column, vocab: Seq[(String, Long)]): Column =
+    graft.functions.UnigramExpressions.unigram_tokens(text, vocab)
+
+  /** Unigram token count — the packing/chunking budget currency in
+    * unigram units (`Packing.assignShards(tokenCounter = ...)`). */
+  def unigramCount(vocab: Seq[(String, Long)])(text: Column): Column =
+    graft.functions.UnigramExpressions.unigram_count(text, vocab)
 }

@@ -377,4 +377,83 @@ class TokenizerSpec extends SparkTestBase {
       Tokenizer.bpeTokens(col("text"), merges)).as[Seq[String]].head()
     assert(toks == Seq("ab", "😀", "😀", "ab"))
   }
+
+  test("unigram Viterbi equals brute-force (score DESC, path ASC) argmax, " +
+      "including exact-tie and OOV-fallback cases") {
+    import graft.functions.UnigramExpressions.Segmenter
+    // brute-force reference: enumerate every segmentation
+    def brute(w: String, vocab: Map[String, Long]): Option[Seq[String]] = {
+      val maxLen = if (vocab.isEmpty) 1 else vocab.keys.map(_.length).max
+      def all(pos: Int): Seq[List[String]] =
+        if (pos == w.length) Seq(Nil)
+        else (1 to math.min(maxLen, w.length - pos)).flatMap { l =>
+          val p = w.substring(pos, pos + l)
+          if (vocab.contains(p)) all(pos + l).map(p :: _) else Nil
+        }
+      val segs = all(0)
+      if (segs.isEmpty) None
+      else Some(segs.map(s => (s.map(vocab).sum, s.mkString("\u001f") + "\u001f", s))
+        .minBy { case (sc, path, _) => (-sc, path) }._3.toSeq)
+    }
+    // exact tie: ["a","b"] and ["ab"] both score -10; path ASC picks
+    // the separator-earlier split
+    val tieVocab = Map("ab" -> -10L, "a" -> -5L, "b" -> -5L, "c" -> -3L)
+    val segTie = new Segmenter(tieVocab.toSeq)
+    assert(segTie.segment("ab").toSeq == Seq("a", "b"))
+    assert(brute("ab", tieVocab).get == Seq("a", "b"))
+    // preference flips when the fused piece scores strictly better
+    val segBig = new Segmenter((tieVocab + ("ab" -> -9L)).toSeq)
+    assert(segBig.segment("ab").toSeq == Seq("ab"))
+    // randomized cross-check on a fixed-seed word set
+    val rnd = new scala.util.Random(17L)
+    val alphabet = "abc"
+    val pieces = (for (l <- 1 to 3; s <- Seq.fill(6)(
+      (0 until l).map(_ => alphabet(rnd.nextInt(3))).mkString)) yield s).distinct
+    val vocab = (pieces.map(p => p -> (-(rnd.nextInt(8) + 1).toLong * p.length)) ++
+      alphabet.map(c => c.toString -> -9L)).toMap
+    val seg = new Segmenter(vocab.toSeq)
+    for (_ <- 1 to 200) {
+      val w = (0 until (1 + rnd.nextInt(8)))
+        .map(_ => alphabet(rnd.nextInt(3))).mkString
+      assert(seg.segment(w).toSeq == brute(w, vocab).get,
+        s"word $w: DP ${seg.segment(w).toSeq} != brute ${brute(w, vocab).get}")
+    }
+    // OOV char -> per-code-point fallback for that word
+    val out = new java.util.ArrayList[AnyRef]
+    assert(segTie.segment("axb") == null)
+    assert(segTie.word("axb", out) == 3)
+  }
+
+  test("trainUnigramLm: chars always kept, vocab bounded, multi-char " +
+      "pieces compress the corpus, encode count matches tokens") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val vocab = Tokenizer.trainUnigramLm(docs, "text",
+      vocabSize = 48, seedSize = 96, maxPieceLen = 6)
+    assert(vocab.length <= 48)
+    val pieces = vocab.map(_._1).toSet
+    val corpusChars = docs
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "").distinct()
+      .collect().flatMap(_.getString(0).toSeq).map(_.toString).toSet
+    assert(corpusChars.subsetOf(pieces))
+    assert(vocab.exists(_._1.length > 1), "no multi-char piece learned")
+    assert(vocab.forall(_._3 < 0), "scores are log-probs, must be negative")
+    val scored = vocab.map(v => (v._1, v._3)).toSeq
+    // Viterbi encode beats char-split: strictly fewer pieces than chars
+    val stats = docs.select(
+      Tokenizer.unigramCount(scored)(col("text")).cast("long").as("n"),
+      size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("nw"),
+      length(regexp_replace(lower(trim(col("text"))), "\\s+", "")).cast("long").as("nc"))
+      .agg(sum("n"), sum("nw"), sum("nc")).head()
+    assert(stats.getLong(0) < stats.getLong(2),
+      s"unigram pieces ${stats.getLong(0)} not compressing chars ${stats.getLong(2)}")
+    assert(stats.getLong(0) >= stats.getLong(1),
+      "cannot have fewer pieces than words")
+    // count agrees with the materialized tokens
+    val agree = docs.select(
+      (Tokenizer.unigramCount(scored)(col("text")) ===
+        size(Tokenizer.unigramTokens(col("text"), scored))).as("ok"))
+      .agg(min("ok")).head().getBoolean(0)
+    assert(agree)
+  }
 }
