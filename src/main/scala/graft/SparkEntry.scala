@@ -2079,7 +2079,10 @@ object SparkEntry {
         books, col("vec_id") % 2, baseSq, baseN, tolerance = 1.5,
         s"$base/out", s"$base/ckpt")
       try q.processAllAvailable() finally q.stop()
+      // drop the batch-id partition column: it keys the idempotent
+      // retry overwrite, not the released statistic
       s.read.parquet(s"$base/out")
+        .select("batch_key", "n_vectors", "mean_resid_sq", "retrain_flag")
     }),
 
     // r8: ε-DP released corpus-composition counts — seeded portable
@@ -8514,8 +8517,11 @@ object SparkEntry {
     * yields the list position). */
   private def qlogSql(x: String): String = {
     val tab = graft.operators.Tokenizer.qlog2Frac.mkString(", ")
+    // HUGEINT widening mirrors the Scala side's shift-down overflow
+    // guard: BIGINT * 128 would overflow past 2^56
     s"(1024 * (length(format('{:b}', $x)) - 1) + " +
-      s"([$tab])[((($x) * 128 // (1::BIGINT << (length(format('{:b}', $x)) - 1))) - 127)])"
+      s"([$tab])[CAST((CAST(($x) AS HUGEINT) * 128 // " +
+      s"(CAST(1 AS HUGEINT) << (length(format('{:b}', $x)) - 1))) - 127 AS INT)])"
   }
 
   /** Unigram-LM training replay — the shared CTE chain for tok10
@@ -8536,7 +8542,7 @@ object SparkEntry {
        |    FROM documents) WHERE w <> '' GROUP BY w),
        |subpos AS (
        |  SELECT wf.w, wf.f, substr(wf.w, CAST(t.i AS INT), CAST(u.l AS INT)) AS p
-       |  FROM wf, range(1, 65) t(i), range(1, 7) u(l)
+       |  FROM wf, range(1, 257) t(i), range(1, 7) u(l)
        |  WHERE t.i + u.l - 1 <= length(wf.w)),
        |subcnt AS (SELECT p, CAST(sum(f) AS BIGINT) AS c FROM subpos GROUP BY p),
        |chars AS (SELECT DISTINCT p FROM subpos WHERE length(p) = 1),
@@ -8618,7 +8624,7 @@ object SparkEntry {
     def lo(x: Long): Long = x & 0xffffffffL
     s"""WITH g AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
        |h0 AS (SELECT lang, n,
-       |        list_reduce(list_prepend(CAST(0 AS HUGEINT), ${byteFoldList("lang || ':42'")}),
+       |        list_reduce(list_prepend(CAST(0 AS HUGEINT), ${byteFoldList("coalesce(lang, chr(0)) || ':42'")}),
        |          (h, b) -> (h * 31 + b) % $m64) AS h
        |      FROM g),
        |f1 AS (SELECT lang, n, xor(h, h >> 33) AS h FROM h0),

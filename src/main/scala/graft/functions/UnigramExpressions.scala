@@ -38,6 +38,24 @@ object UnigramExpressions {
 
   private val Sep = '\u001f'
 
+  /** Code-point lexicographic comparison — the order SQL engines use
+    * for UTF-8 strings. Java's String.compareTo orders by UTF-16
+    * code UNIT, which ranks supplementary characters (surrogates,
+    * 0xD800+) BELOW U+E000..U+FFFF; comparing by code point keeps the
+    * tie-break identical to the oracle's `path ASC` on any text. */
+  private[graft] def codePointLt(a: String, b: String): Boolean = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    a.length - i < b.length - j
+  }
+
   /** Viterbi segmenter over a scored piece vocabulary — one DP pass
     * per word, O(len · maxPieceLen) probes. */
   final class Segmenter(vocab: Seq[(String, Long)]) extends Serializable {
@@ -50,8 +68,13 @@ object UnigramExpressions {
       if (vocab.isEmpty) 1 else vocab.iterator.map(_._1.length).max
 
     /** Best segmentation of one already-lowercased word, or null when
-      * some character is out-of-vocab (caller falls back). */
+      * some character is out-of-vocab (caller falls back). The 0x1F
+      * separator is RESERVED: a word containing it would corrupt the
+      * path encoding (its piece would merge with the separators), so
+      * such words take the fallback too — binary-contaminated tokens
+      * are not meaningful unigram units anyway. */
     def segment(w: String): Array[String] = {
+      if (w.indexOf(Sep.toInt) >= 0) return null
       val n = w.length
       val best = new Array[Long](n + 1)
       val bestPath = new Array[String](n + 1)
@@ -73,7 +96,7 @@ object UnigramExpressions {
                 bestPath(i) = bestPath(j) + w.substring(j, i) + Sep
               } else if (cand == best(i)) {
                 val candPath = bestPath(j) + w.substring(j, i) + Sep
-                if (candPath.compareTo(bestPath(i)) < 0) bestPath(i) = candPath
+                if (codePointLt(candPath, bestPath(i))) bestPath(i) = candPath
               }
             }
           }

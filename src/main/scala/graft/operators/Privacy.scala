@@ -154,9 +154,13 @@ object Privacy {
     // would pin u near 0 and slam every count to the -bound tail.
     // 2^53 divides 2^64, so the unsigned residue mod 2^53 is
     // independent of the hash's signed reinterpretation — the SQL
-    // replay needs no sign fix-up
+    // replay needs no sign fix-up. The NULL group hashes through a
+    // NUL sentinel (a null-intolerant hash would null u, empty
+    // the CDF walk, and pin that group's noise at -bound on every
+    // seed — a deterministic release, i.e. no privacy at all).
     val u = pmod(graft.functions.TextExpressions.token_hash64(
-        concat(col(groupCol).cast("string"), lit(":" + seed))),
+        concat(coalesce(col(groupCol).cast("string"), lit("\u0000")),
+          lit(":" + seed))),
       lit(1L << 53)).cast("double") / (1L << 53).toDouble
     val noise = size(filter(cdfArr, c => c <= u)) - lit(bound)
     counts.select(col(groupCol),

@@ -615,11 +615,13 @@ object Similarity {
   }
 
   /** The deterministic coarse-quantizer frame: `nCentroids`
-    * smallest-id corpus vectors as (cent_id, cent_v, cent_n). */
+    * smallest-id corpus vectors as (cent_id, cent_v, cent_n).
+    * cent_id is normalized to LONG so the persisted store schema and
+    * the online append's driver collect are id-type-agnostic. */
   private def pqCoarseCentroids(corpus: DataFrame, idCol: String,
       vecCol: String, nCentroids: Int): DataFrame =
     corpus.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"),
+      .select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("cent_v"),
         l2norm(col(vecCol)).as("cent_n"))
 
   /** Coarse assignment against a broadcast centroid frame: keeps the
@@ -860,9 +862,10 @@ object Similarity {
             org.apache.spark.sql.types.DoubleType)))))
         .withColumn("cent_n", l2norm(col("cent_v")))
     } else {
-      corpus.orderBy(col(idCol)).limit(nCentroids)
-        .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"),
-          l2norm(col(vecCol)).as("cent_n"))
+      // the PQ family's coarse frame is the same construction — one
+      // definition keeps the "same coarse quantizer" equivalence
+      // arguments between the IVF and PQ operators honest
+      pqCoarseCentroids(corpus, idCol, vecCol, nCentroids)
     }
   }
 

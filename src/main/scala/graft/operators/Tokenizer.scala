@@ -521,7 +521,13 @@ object Tokenizer {
   private[graft] def qlog2(x: Long): Long = {
     require(x >= 1, s"qlog2 domain is x >= 1: $x")
     val bl = 64 - java.lang.Long.numberOfLeadingZeros(x)
-    val idx = (((x * 128) >> (bl - 1)) - 128).toInt
+    // shift DOWN for wide values — x * 128 would wrap past 2^56 and
+    // corrupt (or crash) the index; for bl >= 8 the two forms are the
+    // same floor(x / 2^(bl-8)). The SQL macro widens to HUGEINT for
+    // the same reason.
+    val idx =
+      if (bl < 8) (((x << 7) >> (bl - 1)) - 128).toInt
+      else ((x >> (bl - 8)) - 128).toInt
     1024L * (bl - 1) + qlog2Frac(idx)
   }
 
@@ -570,6 +576,13 @@ object Tokenizer {
       s"${words.length} distinct words exceed the local-exact bound " +
         s"$maxLocalWords; raise it or pre-truncate the corpus")
     require(words.nonEmpty, "empty corpus")
+    // the SQL replay enumerates substring positions up to a fixed
+    // bound; a silent cap would make the engines diverge on a long
+    // whitespace-free token (URL, hash blob) — fail loudly instead
+    val tooLong = words.filter(_._1.length > 256)
+    require(tooLong.isEmpty,
+      s"${tooLong.length} distinct word(s) exceed 256 chars (e.g. " +
+        s"'${tooLong.head._1.take(40)}...'); split or drop them upstream")
 
     // substring candidate counts (weighted by word frequency) + chars
     val subCnt = new java.util.HashMap[String, Long]()
@@ -586,30 +599,55 @@ object Tokenizer {
     require(vocabSize > chars.size,
       s"vocabSize $vocabSize must exceed the corpus alphabet (${chars.size})")
     import scala.jdk.CollectionConverters._
+    // code-point string order everywhere a rank can tie — Java's
+    // default UTF-16 order diverges from the oracle's UTF-8 byte
+    // order on supplementary characters
+    val cpOrd: Ordering[String] =
+      (a, b) => if (a == b) 0
+        else if (graft.functions.UnigramExpressions.codePointLt(a, b)) -1
+        else 1
     val ranked = subCnt.entrySet().asScala.toSeq
       .map(e => (e.getKey, e.getValue.longValue()))
-      .sortBy { case (p, c) => (-c, p) }
+      .sortBy { case (p, c) => (-c, p) }(Ordering.Tuple2(Ordering.Long, cpOrd))
     val seed = (ranked.take(seedSize).map(_._1) ++ chars).distinct
       .map(p => (p, subCnt.get(p).longValue()))
     val seedTotal = seed.map(_._2).sum
     val seedScores = seed.map { case (p, c) =>
       (p, qScore(c, seedTotal, seed.size)) }
 
-    // E-step: Viterbi under seed scores; M-step: weighted piece counts
+    // E-step: Viterbi under seed scores; M-step: weighted piece
+    // counts. segment() only returns null for a word containing the
+    // reserved 0x1F path separator — such binary-contaminated tokens
+    // contribute their chars (the encode-side fallback), keeping
+    // training and encoding consistent
     val seg = new graft.functions.UnigramExpressions.Segmenter(seedScores)
     val c1 = new java.util.HashMap[String, Long]()
-    for ((w, f) <- words; p <- seg.segment(w))
-      c1.merge(p, f, java.lang.Long.sum(_, _))
+    for ((w, f) <- words) {
+      val sg = seg.segment(w)
+      val pieces = if (sg != null) sg
+        else {
+          // per-code-point fallback, matching the encode side
+          val b = scala.collection.mutable.ArrayBuffer[String]()
+          var pos = 0
+          while (pos < w.length) {
+            val l = Character.charCount(w.codePointAt(pos))
+            b += w.substring(pos, pos + l)
+            pos += l
+          }
+          b.toArray
+        }
+      pieces.foreach(p => c1.merge(p, f, java.lang.Long.sum(_, _)))
+    }
 
     // prune: all chars + top multi-char pieces by (count DESC, piece ASC)
     val keptMulti = c1.entrySet().asScala.toSeq
       .map(e => (e.getKey, e.getValue.longValue()))
       .filter(_._1.length > 1)
-      .sortBy { case (p, c) => (-c, p) }
+      .sortBy { case (p, c) => (-c, p) }(Ordering.Tuple2(Ordering.Long, cpOrd))
       .take(vocabSize - chars.size)
     val kept = chars.toSeq.map(p => (p, c1.getOrDefault(p, 0L))) ++ keptMulti
     val t1 = kept.map(_._2).sum
-    kept.sortBy(_._1)
+    kept.sortBy(_._1)(cpOrd)
       .map { case (p, c) => (p, c, qScore(c, t1, kept.size)) }
       .toArray
   }

@@ -632,9 +632,11 @@ object EventStream {
     *
     * foreachBatch (not a stateful agg): the statistic is
     * batch-local by design — drift is a property of "this
-    * ingestion slice vs training time", so no cross-batch state,
-    * no watermark, and micro-batch retries just overwrite the same
-    * appended rows idempotently at the sink's exactly-once level. */
+    * ingestion slice vs training time", so no cross-batch state and
+    * no watermark. foreachBatch is at-least-once, so each batch
+    * OVERWRITES its own batch-id-keyed subdirectory — a retried
+    * micro-batch replaces its previous rows instead of appending
+    * duplicates, making the sink idempotent. */
   def pqDriftMonitor(stream: DataFrame, vecCol: String,
       books: Array[Array[Array[Double]]], batchKey: org.apache.spark.sql.Column,
       baselineSumQ: Long, baselineN: Long, tolerance: Double,
@@ -642,10 +644,10 @@ object EventStream {
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.operators.Similarity.pqDriftStats(batch.toDF(), vecCol, books,
             batchKey, baselineSumQ, baselineN, tolerance)
-          .write.mode("append").parquet(path)
+          .write.mode("overwrite").parquet(s"$path/batch=$batchId")
       }
       .start()
 

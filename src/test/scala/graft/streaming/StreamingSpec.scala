@@ -389,7 +389,8 @@ class StreamingSpec extends SparkTestBase {
     val q = EventStream.pqDriftMonitor(stream, "embedding", books, key,
       baseSq, baseN, tolerance = 1.5, out, chk)
     try q.processAllAvailable() finally q.stop()
-    val got = spark.read.parquet(out)
+    val outCols = Seq("batch_key", "n_vectors", "mean_resid_sq", "retrain_flag")
+    val got = spark.read.parquet(out).select(outCols.map(col): _*)
       .collect().map(r => (r.getInt(0), r.getBoolean(3))).toMap
     assert(got == Map(0 -> false, 1 -> true), s"flags: $got")
     // the monitor's per-batch fold is the batch operator verbatim:
@@ -399,10 +400,16 @@ class StreamingSpec extends SparkTestBase {
         books, key, baseSq, baseN, tolerance = 1.5)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
         r.getBoolean(3))).toSet
-    val streamed = spark.read.parquet(out)
+    val streamed = spark.read.parquet(out).select(outCols.map(col): _*)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
         r.getBoolean(3))).toSet
     assert(streamed == batchStats)
+    // idempotence of the batch-id-keyed overwrite: re-writing batch 0
+    // replaces its rows instead of appending duplicates
+    Similarity.pqDriftStats(e.select("vec_id", "embedding"), "embedding",
+        books, key, baseSq, baseN, tolerance = 1.5)
+      .write.mode("overwrite").parquet(s"$out/batch=0")
+    assert(spark.read.parquet(out).count() == 2)
   }
 
   test("streaming banded-LSH near-dup gate matches batch incrementalDedup " +
