@@ -2090,8 +2090,12 @@ object SparkEntry {
     // (no libm in either engine's plan; the oracle replays hash,
     // literals, and walk). Only the noisy counts leave the mechanism
     "priv1_dp_counts" -> ((s, dir) =>
+      // the PUBLIC group domain (a language-code registry) includes
+      // a code absent from the corpus: its row releases noise-only
+      // (clamped), so the row SET reveals nothing about presence
       Privacy.dpCounts(t(s, dir, "documents"), "lang",
-        epsilon = 0.5, seed = 42L, noiseBound = 64)),
+        epsilon = 0.5, seed = 42L, noiseBound = 64,
+        domain = Some(Seq("de", "en", "es", "fr", "ja", "zh")))),
 
     "pii1_redact" -> ((s, dir) => {
       // the corpus itself is synthetic word salad, so deterministic
@@ -8622,7 +8626,11 @@ object SparkEntry {
     val c2 = 0xc4ceb9fe1a85ec53L
     def hi(x: Long): Long = (x >>> 32) & 0xffffffffL
     def lo(x: Long): Long = x & 0xffffffffL
-    s"""WITH g AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    s"""WITH dom AS (SELECT * FROM (VALUES ('de'), ('en'), ('es'), ('fr'),
+       |                                   ('ja'), ('zh')) d(lang)),
+       |gg AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+       |g AS (SELECT dom.lang, CAST(coalesce(gg.n, 0) AS BIGINT) AS n
+       |      FROM dom LEFT JOIN gg USING (lang)),
        |h0 AS (SELECT lang, n,
        |        list_reduce(list_prepend(CAST(0 AS HUGEINT), ${byteFoldList("coalesce(lang, chr(0)) || ':42'")}),
        |          (h, b) -> (h * 31 + b) % $m64) AS h

@@ -75,6 +75,12 @@ object UnigramExpressions {
       * are not meaningful unigram units anyway. */
     def segment(w: String): Array[String] = {
       if (w.indexOf(Sep.toInt) >= 0) return null
+      // pathological unsplit blobs (base64, mega-URLs) would pay the
+      // DP's O(len²) path building on one row — cap at the training
+      // bound (256 code points ≤ 512 UTF-16 units) and fall back;
+      // trainUnigramLm rejects such corpora loudly, so in-corpus
+      // words never hit this
+      if (w.length > 512) return null
       val n = w.length
       val best = new Array[Long](n + 1)
       val bestPath = new Array[String](n + 1)

@@ -302,6 +302,10 @@ object Dedup {
     val r = store.agg(min(col("sig_algo")), max(col("sig_algo")),
       count(lit(1)), count(col("sig_algo"))).collect()(0)
     if (r.getLong(2) == 0L) return
+    require(r.getLong(3) > 0L,
+      s"$what store is entirely untagged (every sig_algo is null) — " +
+        s"written before the generation guard or by an external tool; " +
+        s"$rebuildHint")
     require(r.getLong(2) == r.getLong(3),
       s"$what store contains ${r.getLong(2) - r.getLong(3)} untagged " +
         s"(null sig_algo) rows alongside tagged ones — a mixed-generation " +

@@ -142,13 +142,39 @@ object Privacy {
     * Output carries ONLY (group, n_noisy) — the true count never
     * leaves the mechanism, and the 0-clamp is post-processing, which
     * preserves DP. One aggregation, one row per group; the noise walk
-    * is a row-local fold over 2·bound+1 literals. */
+    * is a row-local fold over 2·bound+1 literals.
+    *
+    * WHICH groups appear is itself a release: emitting only the
+    * groups present in the data reveals every rare group's presence
+    * exactly (a singleton group's row exists iff its one document
+    * does — unbounded privacy loss, no noise involved). Pass
+    * `domain` — the PUBLICLY-KNOWN group universe (language codes,
+    * source registry) — to release one noisy row per domain value,
+    * absent groups included (count 0 + noise, clamped) and
+    * out-of-domain data groups withheld; then the row set carries no
+    * information. Without a domain the count VALUES are still
+    * ε-DP, but the release is only safe when the group set is
+    * already public knowledge. */
   def dpCounts(df: DataFrame, groupCol: String, epsilon: Double,
-      seed: Long, noiseBound: Int = 64): DataFrame = {
+      seed: Long, noiseBound: Int = 64,
+      domain: Option[Seq[String]] = None): DataFrame = {
     val bound = noiseBound
     val cdf = geometricCdf(epsilon, bound)
     val cdfArr = array(cdf.map(lit): _*)
-    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val counts = domain match {
+      case Some(d) =>
+        require(d.nonEmpty, "empty group domain")
+        val spark = df.sparkSession
+        import spark.implicits._
+        val dataCounts = df
+          .groupBy(col(groupCol).cast("string").as(groupCol))
+          .agg(count(lit(1)).as("__n"))
+        d.distinct.toDF(groupCol)
+          .join(dataCounts, Seq(groupCol), "left")
+          .select(col(groupCol), coalesce(col("__n"), lit(0L)).as("__n"))
+      case None =>
+        df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    }
     // token_hash64 (rolling-31 + fmix64), not the bare polynomial:
     // short group keys leave the polynomial's high bits zero, which
     // would pin u near 0 and slam every count to the -bound tail.

@@ -615,13 +615,15 @@ object Similarity {
   }
 
   /** The deterministic coarse-quantizer frame: `nCentroids`
-    * smallest-id corpus vectors as (cent_id, cent_v, cent_n).
-    * cent_id is normalized to LONG so the persisted store schema and
-    * the online append's driver collect are id-type-agnostic. */
+    * smallest-id corpus vectors as (cent_id, cent_v, cent_n) — the
+    * id keeps its NATIVE type (a blanket long cast would break
+    * string-id corpora under ANSI, or null every centroid without
+    * it; only [[pqIndexAppendOnline]]'s driver collect needs numeric
+    * ids, and it enforces that itself). */
   private def pqCoarseCentroids(corpus: DataFrame, idCol: String,
       vecCol: String, nCentroids: Int): DataFrame =
     corpus.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("cent_v"),
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"),
         l2norm(col(vecCol)).as("cent_n"))
 
   /** Coarse assignment against a broadcast centroid frame: keeps the
@@ -669,6 +671,9 @@ object Similarity {
     * of silently mis-ranking everything (the same failure mode the
     * Dedup `sig_algo` guards close for text signatures). */
   def pqIndexAlgo(books: Array[Array[Array[Double]]]): String = {
+    require(books.nonEmpty && books(0).nonEmpty,
+      "empty PQ codebooks — train with pqTrain before building or " +
+        "probing an index store")
     var h = 0xcbf29ce484222325L
     def mix(x: Long): Unit = { h ^= x; h *= 0x100000001b3L }
     for (sub <- books; c <- sub; x <- c) mix(java.lang.Double.doubleToLongBits(x))
@@ -735,7 +740,9 @@ object Similarity {
     * unchanged on a streaming ingestion frame (st17). Batch-equal by
     * construction: the sim tree is the batch form dot/(|v|·cent_n)
     * with cent_n read from the store, and zero-norm vectors are
-    * dropped before the division exactly as the batch assign does. */
+    * dropped before the division exactly as the batch assign does.
+    * Numeric ids only (the argmax literal negates them); cent_id is
+    * emitted as LONG — unionByName with an int-id store widens. */
   def pqIndexAppendOnline(newVecs: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String,
       books: Array[Array[Array[Double]]]): DataFrame = {
@@ -743,15 +750,26 @@ object Similarity {
     Dedup.requireSigAlgo(centroids, tag, "IVF-PQ centroid",
       "re-encode with pqIndexStore under the current codebooks")
     val cents = centroids.select("cent_id", "cent_v", "cent_n").collect()
-      .map(r => (r.getLong(0),
-        // exact widening only — a toString round-trip would re-parse
-        // the float's shortest decimal as a DIFFERENT double
-        r.getSeq[Any](1).map {
-          case f: java.lang.Float => f.toDouble
-          case d: java.lang.Double => d.doubleValue()
-          case x: java.lang.Number => x.doubleValue()
-        }.toArray,
-        r.getDouble(2)))
+      .map { r =>
+        // the (sim, -cent_id) argmax literal needs a numeric id; the
+        // batch [[pqIndexAppend]] window path has no such constraint
+        val cid = r.get(0) match {
+          case n: java.lang.Number => n.longValue()
+          case other => throw new IllegalArgumentException(
+            s"pqIndexAppendOnline needs a numeric id column for its " +
+              s"literal argmax tie-break; got '$other' — use the batch " +
+              "pqIndexAppend for non-numeric ids")
+        }
+        (cid,
+          // exact widening only — a toString round-trip would re-parse
+          // the float's shortest decimal as a DIFFERENT double
+          r.getSeq[Any](1).map {
+            case f: java.lang.Float => f.toDouble
+            case d: java.lang.Double => d.doubleValue()
+            case x: java.lang.Number => x.doubleValue()
+          }.toArray,
+          r.getDouble(2))
+      }
       .filter(_._3 > 0)
     require(cents.nonEmpty, "centroid store has no nonzero-norm rows")
     val v = col(vecCol)

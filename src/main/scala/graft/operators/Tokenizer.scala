@@ -579,21 +579,39 @@ object Tokenizer {
     // the SQL replay enumerates substring positions up to a fixed
     // bound; a silent cap would make the engines diverge on a long
     // whitespace-free token (URL, hash blob) — fail loudly instead
-    val tooLong = words.filter(_._1.length > 256)
+    val tooLong = words.filter(w => w._1.codePointCount(0, w._1.length) > 256)
     require(tooLong.isEmpty,
-      s"${tooLong.length} distinct word(s) exceed 256 chars (e.g. " +
+      s"${tooLong.length} distinct word(s) exceed 256 code points (e.g. " +
         s"'${tooLong.head._1.take(40)}...'); split or drop them upstream")
+    // U+001F is the Viterbi path separator: the Scala side would take
+    // the per-code-point fallback for such words while the SQL replay
+    // walks them normally — refuse loudly instead of diverging
+    val reserved = words.filter(_._1.indexOf(0x1f) >= 0)
+    require(reserved.isEmpty,
+      s"${reserved.length} distinct word(s) contain the reserved " +
+        "separator U+001F; scrub control characters upstream")
 
-    // substring candidate counts (weighted by word frequency) + chars
+    // substring candidate counts (weighted by word frequency) + chars,
+    // in CODE-POINT units — the oracle's substr/length are code-point
+    // based, and a lone surrogate is not a valid piece
     val subCnt = new java.util.HashMap[String, Long]()
     val chars = scala.collection.mutable.SortedSet[String]()
-    for ((w, f) <- words; i <- 0 until w.length) {
-      chars += w.substring(i, i + 1)
-      var l = 1
-      while (l <= math.min(maxPieceLen, w.length - i)) {
-        val s = w.substring(i, i + l)
-        subCnt.merge(s, f, java.lang.Long.sum(_, _))
-        l += 1
+    for ((w, f) <- words) {
+      val bounds = {
+        val b = scala.collection.mutable.ArrayBuffer[Int](0)
+        var p = 0
+        while (p < w.length) { p += Character.charCount(w.codePointAt(p)); b += p }
+        b.toArray
+      }
+      val ncp = bounds.length - 1
+      for (i <- 0 until ncp) {
+        chars += w.substring(bounds(i), bounds(i + 1))
+        var l = 1
+        while (l <= math.min(maxPieceLen, ncp - i)) {
+          val s = w.substring(bounds(i), bounds(i + l))
+          subCnt.merge(s, f, java.lang.Long.sum(_, _))
+          l += 1
+        }
       }
     }
     require(vocabSize > chars.size,

@@ -84,6 +84,16 @@ class PrivacySpec extends SparkTestBase {
     val tight = run(20.0, 42L)
     assert(tight.values.forall(_ == 10L))
     intercept[IllegalArgumentException](Privacy.geometricCdf(0.0, 8))
+    // public group DOMAIN: one row per domain value — an absent group
+    // releases noise-only (clamped), an out-of-domain data group is
+    // withheld — so the row SET reveals nothing about presence
+    val small = spark.range(30L)
+      .select(concat(lit("g"), (col("id") % 3).cast("string")).as("grp"))
+    val dom = Privacy.dpCounts(small, "grp", 0.5, 42L,
+        domain = Some(Seq("g0", "g1", "g9")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dom.keySet == Set("g0", "g1", "g9")) // g2 withheld, g9 released
+    assert(dom("g9") >= 0L)                     // absent group: noise-only
   }
 }
 
