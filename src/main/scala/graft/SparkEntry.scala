@@ -2439,6 +2439,26 @@ object SparkEntry {
     "pf2_token_freq" -> ((s, dir) =>
       Profiling.tokenFrequencies(t(s, dir, "documents"), Seq("lang"), "text", 5)),
 
+    // KMV bottom-k distinct sketch: the deterministic, engine-
+    // portable sibling of pf5's HLL — bit-reproducible (full hash
+    // MATCH, not rows-only) and intersectable. At 100 TB the
+    // persisted groups×k sketch store answers every rollup/overlap
+    // question without rescanning the corpus
+    "pf10_kmv_vocab" -> ((s, dir) =>
+      Profiling.kmvEstimate(
+        Profiling.kmvSketch(kmvTokens(t(s, dir, "documents")),
+          "lang", col("token"), 128),
+        "lang", 128)),
+
+    // pairwise union / Jaccard / INTERSECTION estimates over the
+    // per-lang sketches — the overlap matrix HLL cannot produce;
+    // runs on sketch rows only (groups²·k), corpus-size-free
+    "pf11_kmv_setops" -> ((s, dir) =>
+      Profiling.kmvSetOps(
+        Profiling.kmvSketch(kmvTokens(t(s, dir, "documents")),
+          "lang", col("token"), 128),
+        "lang", 128)),
+
     // exact heavy hitters without shuffling the token tail:
     // Misra-Gries candidates (bounded per-partition maps, merged),
     // then exact counts for candidate rows only — output == the
@@ -5886,6 +5906,37 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rank
         |  FROM counts) WHERE rank <= 5""".stripMargin,
 
+    "pf10_kmv_vocab" ->
+      s"""$kmvSketchCte
+        |SELECT lang, CAST(count(*) AS INT) AS sketch_n, max(hs) AS kth_h,
+        |       ${kmvEstSql("count(*)", "max(hs)")} AS est_distinct
+        |FROM sk GROUP BY lang""".stripMargin,
+
+    "pf11_kmv_setops" ->
+      s"""$kmvSketchCte,
+        |gl AS (SELECT DISTINCT lang FROM sk),
+        |pr AS (SELECT a.lang AS group_a, b.lang AS group_b
+        |       FROM gl a JOIN gl b ON a.lang < b.lang),
+        |mem AS (SELECT pr.group_a, pr.group_b, s.hs,
+        |          max(CASE WHEN s.lang = pr.group_a THEN 1 ELSE 0 END) AS in_a,
+        |          max(CASE WHEN s.lang = pr.group_b THEN 1 ELSE 0 END) AS in_b
+        |        FROM pr JOIN sk s ON s.lang = pr.group_a OR s.lang = pr.group_b
+        |        GROUP BY 1, 2, 3),
+        |uu AS (SELECT * FROM (
+        |         SELECT mem.*,
+        |           row_number() OVER (PARTITION BY group_a, group_b ORDER BY hs) AS rk
+        |         FROM mem) WHERE rk <= 128),
+        |ag AS (SELECT group_a, group_b, CAST(count(*) AS INT) AS union_n,
+        |         max(hs) AS kth, sum(in_a * in_b) AS nboth
+        |       FROM uu GROUP BY 1, 2),
+        |fin AS (SELECT group_a, group_b, union_n,
+        |          ${kmvEstSql("union_n", "kth")} AS est_union,
+        |          CAST(nboth AS DOUBLE) / CAST(union_n AS DOUBLE) AS jaccard
+        |        FROM ag)
+        |SELECT group_a, group_b, union_n, est_union, jaccard,
+        |       jaccard * est_union AS est_intersect
+        |FROM fin""".stripMargin,
+
     "hh1_heavy_hitters" ->
       """WITH toks AS (
         |  SELECT t.token
@@ -8704,6 +8755,64 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, round(score, 6) AS rrf_score,
        |       CAST(rank AS INT) AS rank
        |FROM fin WHERE rank <= 5""".stripMargin
+
+  /** Token frame for the KMV vocabulary sketches (pf10/pf11/st18):
+    * (lang, token), the same whitespace tokenization [[Profiling.vocabulary]]
+    * uses. */
+  private def kmvTokens(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+
+  /** Shared CTE chain for the KMV oracles: replays [[kmvTokens]],
+    * `token_hash64` (rolling-31 + fmix64, the dd3 replay), the
+    * signed reinterpretation (KMV orders by the SIGNED hash — the
+    * unsigned uniform XOR 2^63, still uniform), distinct, and the
+    * per-lang bottom-128 rank. Ends with `sk(lang, rank, hs)`. */
+  private def kmvSketchCte: String = {
+    val m64 = "18446744073709551616"
+    val m32 = "4294967296"
+    val c1 = 0xff51afd7ed558ccdL
+    val c2 = 0xc4ceb9fe1a85ec53L
+    def hi(x: Long): Long = (x >>> 32) & 0xffffffffL
+    def lo(x: Long): Long = x & 0xffffffffL
+    raw"""WITH tok AS (
+       |  SELECT DISTINCT lang, w FROM (
+       |    SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+       |    FROM documents)
+       |  WHERE length(w) > 0),
+       |rh AS (SELECT lang,
+       |         list_reduce(list_prepend(CAST(0 AS HUGEINT), ${byteFoldList("w")}),
+       |           (h, b) -> (h * 31 + b) % $m64) AS h
+       |       FROM tok),
+       |f1 AS (SELECT lang, xor(h, h >> 33) AS h FROM rh),
+       |m1 AS (SELECT lang,
+       |         (h * ${lo(c1)} + ((h * ${hi(c1)}) % $m32) * $m32) % $m64 AS h
+       |       FROM f1),
+       |f2 AS (SELECT lang, xor(h, h >> 33) AS h FROM m1),
+       |m2 AS (SELECT lang,
+       |         (h * ${lo(c2)} + ((h * ${hi(c2)}) % $m32) * $m32) % $m64 AS h
+       |       FROM f2),
+       |hv AS (SELECT lang, xor(h, h >> 33) AS h FROM m2),
+       |hd AS (SELECT DISTINCT lang,
+       |         CAST(CASE WHEN h >= 9223372036854775808 THEN h - $m64 ELSE h END
+       |              AS BIGINT) AS hs
+       |       FROM hv),
+       |sk AS (SELECT lang, CAST(rk AS INT) AS rank, hs FROM (
+       |         SELECT lang, hs,
+       |           row_number() OVER (PARTITION BY lang ORDER BY hs) AS rk
+       |         FROM hd) WHERE rk <= 128)""".stripMargin
+  }
+
+  /** KMV estimator as SQL, mirroring [[Profiling.kmvEstimate]]'s
+    * expression tree step for step (long→double cast, one add, one
+    * divide — every op IEEE on exact inputs, so the doubles hash-
+    * match unrounded). `n`/`kth` are SQL expressions. */
+  private def kmvEstSql(n: String, kth: String): String =
+    s"""CASE WHEN $n < 128 THEN CAST($n AS DOUBLE)
+       |     WHEN $kth = (-9223372036854775807 - 1) THEN NULL
+       |     ELSE 127.0 * 18446744073709551616.0
+       |          / (CAST($kth AS DOUBLE) + 9223372036854775808.0) END""".stripMargin
 
   /** UTF-8 BYTE list of a string expression as HUGEINTs — the exact
     * quantity the Spark rolling hashes fold ([[graft.functions.TextExpressions.RollingHash]]

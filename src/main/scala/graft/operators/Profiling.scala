@@ -430,4 +430,123 @@ object Profiling {
       .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
       .select(col("item"), col("n_true"), col("cms_est"),
         (col("cms_est") - col("n_true")).as("overcount"))
+
+  // ------------------------------------------------------------ KMV
+
+  /** 2^64 / 2^63 as exact doubles (powers of two, representable
+    * bit-for-bit) — the KMV estimator's scaling constants, written
+    * once so the Spark tree and the SQL oracle combine the SAME
+    * values. */
+  private[graft] val Two64: Double = 18446744073709551616.0
+  private[graft] val Two63: Double = 9223372036854775808.0
+
+  /** k-minimum-values (bottom-k) distinct sketch: the k smallest
+    * DISTINCT `token_hash64` values per group, as (group, rank, h)
+    * rows. The deterministic, engine-portable complement to
+    * [[vocabularySketched]]'s HLL: same mergeable-rollup use (persist
+    * per-group sketches, answer coarser groupings by
+    * [[kmvMerge]] without rescanning the corpus) but bit-reproducible
+    * on any engine — and, unlike HLL, it supports INTERSECTION
+    * estimates ([[kmvSetOps]]), because the sketch is a uniform
+    * sample of the element space, not a register array.
+    *
+    * The hash is signed; ordering by the signed value is ordering by
+    * `u XOR 2^63` of the unsigned uniform u — also uniform — so the
+    * estimator just reads order statistics at the shifted position
+    * (see [[kmvEstimate]]).
+    *
+    * Scale shape: only (group, hash) pairs shuffle, partial-
+    * aggregated by the distinct; the rank≤k filter is pushed into
+    * the sort as a per-partition group limit (Spark's
+    * WindowGroupLimit — plan-pinned), so every map task forwards at
+    * most k rows per group and no full per-group sort materializes.
+    * State after the sketch is groups×k rows, corpus-size-free. */
+  def kmvSketch(df: DataFrame, groupCol: String, valueCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 16, s"KMV needs k >= 16 for a usable estimator: $k")
+    val hashed = df.select(col(groupCol),
+        graft.functions.TextExpressions.token_hash64(valueCol.cast("string"))
+          .as("h"))
+      .distinct()
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("h").asc)
+    hashed.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col("rank").cast("int").as("rank"), col("h"))
+  }
+
+  /** Distinct-count estimates from a KMV sketch: with u_k the kth
+    * smallest hash at its unsigned-uniform position (signed + 2^63),
+    * D ≈ (k−1)·2^64/u_k; a group holding fewer than k distinct
+    * values reports its EXACT count (the sketch saw everything).
+    * Every arithmetic step is a mirrored IEEE op on exact inputs
+    * (long→double, one add, one divide), so estimates are
+    * bit-reproducible across engines. The Long.MinValue kth hash
+    * (u_k = 0, probability 2^-64) reports null rather than divide. */
+  def kmvEstimate(sketch: DataFrame, groupCol: String, k: Int): DataFrame =
+    sketch.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("int").as("sketch_n"), max(col("h")).as("kth_h"))
+      .select(col(groupCol), col("sketch_n"), col("kth_h"),
+        when(col("sketch_n") < k, col("sketch_n").cast("double"))
+          .when(col("kth_h") === Long.MinValue, lit(null).cast("double"))
+          .otherwise(lit((k - 1).toDouble * Two64) /
+            (col("kth_h").cast("double") + lit(Two63)))
+          .as("est_distinct"))
+
+  /** Merge sketch ROW SETS over the same group space back into a
+    * valid k-min sketch: distinct union of hashes, re-ranked, k
+    * smallest. The KMV merge is associative, commutative, and
+    * IDEMPOTENT (re-merging the same rows is a no-op) — what makes
+    * the streaming fold retry-safe under at-least-once micro-batch
+    * delivery and lets persisted per-partition sketches roll up to
+    * any coarser grouping without touching the corpus again. */
+  def kmvMerge(a: DataFrame, b: DataFrame, groupCol: String,
+      k: Int): DataFrame = {
+    val all = a.select(col(groupCol), col("h"))
+      .unionByName(b.select(col(groupCol), col("h"))).distinct()
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("h").asc)
+    all.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col(groupCol), col("rank").cast("int").as("rank"), col("h"))
+  }
+
+  /** Pairwise set-operation estimates over the groups of one KMV
+    * sketch — the audience-overlap / cross-corpus-overlap query HLL
+    * cannot answer. For each group pair a<b: U = the k smallest
+    * hashes of the merged sketches (a valid sketch of the UNION, by
+    * the k-min recursion), est_union from U's kth value, Jaccard
+    * ρ̂ = |U ∩ Kₐ ∩ K_b|/|U| (U is a uniform sample of A∪B, so
+    * membership in both sketches estimates the overlap fraction),
+    * est_intersect = ρ̂·est_union.
+    *
+    * Everything runs on sketch rows only — O(groups²·k), independent
+    * of corpus size; the pair frame is a broadcast of the distinct
+    * group list. Exactness below k: pairs whose union has fewer than
+    * k distinct hashes report exact union counts and exact Jaccard. */
+  def kmvSetOps(sketch: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val groups = sketch.select(col(groupCol)).distinct()
+    val pairs = groups.select(col(groupCol).as("group_a"))
+      .join(groups.select(col(groupCol).as("group_b")),
+        col("group_a") < col("group_b"))
+    val members = pairs.select(col("group_a"), col("group_b"),
+      explode(array(col("group_a"), col("group_b"))).as("__g"))
+    val rows = members
+      .join(sketch.select(col(groupCol).as("__g"), col("h")), Seq("__g"))
+      .groupBy("group_a", "group_b", "h")
+      .agg(max(when(col("__g") === col("group_a"), 1).otherwise(0)).as("in_a"),
+        max(when(col("__g") === col("group_b"), 1).otherwise(0)).as("in_b"))
+    val w = Window.partitionBy("group_a", "group_b").orderBy(col("h").asc)
+    val u = rows.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    u.groupBy("group_a", "group_b")
+      .agg(count(lit(1)).cast("int").as("union_n"), max("h").as("kth"),
+        sum(col("in_a") * col("in_b")).as("__both"))
+      .select(col("group_a"), col("group_b"), col("union_n"),
+        when(col("union_n") < k, col("union_n").cast("double"))
+          .when(col("kth") === Long.MinValue, lit(null).cast("double"))
+          .otherwise(lit((k - 1).toDouble * Two64) /
+            (col("kth").cast("double") + lit(Two63)))
+          .as("est_union"),
+        (col("__both").cast("double") / col("union_n").cast("double"))
+          .as("jaccard"))
+      .withColumn("est_intersect", col("jaccard") * col("est_union"))
+  }
 }

@@ -501,6 +501,21 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SinglePartition"), s"global window:\n$p")
   }
 
+  test("pf10 KMV rank filter pushes down as a per-partition group limit") {
+    val df = SparkEntry.queries("pf10_kmv_vocab")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    // the rank<=k filter must become WindowGroupLimit (present on both
+    // sides of the exchange in Spark's Partial/Final pair) so map
+    // tasks forward at most k rows per group — without it every
+    // distinct hash sorts through the window at 100 TB
+    assert(p.contains("WindowGroupLimit"), s"no group-limit pushdown:\n$p")
+    // hash traffic only: no exchange row carries the text column
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(l => !l.contains("text#")),
+      s"text must never shuffle:\n${exchanges.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("tok5 BPE id encoding is a shuffle-free codegen projection") {
     val df = SparkEntry.queries("tok5_bpe_token_ids")(spark, sf())
     val p = df.queryExecution.executedPlan.toString

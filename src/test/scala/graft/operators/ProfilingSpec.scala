@@ -206,4 +206,56 @@ class ProfilingSpec extends SparkTestBase {
     val est2 = Profiling.cmsEstimates(probes, none, 4, 1024).collect()
     assert(est2.length === 1 && est2(0).getAs[Long]("cms_est") === 0L)
   }
+
+  test("KMV: exact below k, estimator in bound, merge == direct, idempotent") {
+    import spark.implicits._
+    val k = 128
+    val df = ((0 until 50).map(i => ("small", s"s$i")) ++
+        (0 until 5000).map(i => ("big", s"b$i"))).toDF("g", "v")
+    val sk = Profiling.kmvSketch(df, "g", col("v"), k)
+    val est = Profiling.kmvEstimate(sk, "g", k).collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getDouble(3))).toMap
+    assert(est("small") == ((50, 50.0))) // saw everything: exact
+    val (bn, bEst) = est("big")
+    assert(bn == k)
+    // ~3 sigma at k=128 (stderr ≈ 1/sqrt(k-2) ≈ 8.9%)
+    assert(math.abs(bEst - 5000.0) / 5000.0 < 0.35, s"est $bEst")
+    // merge of half-sketches == sketch of the whole (associative
+    // bottom-k recursion), and re-merging a sketch is a no-op
+    val half1 = df.filter(length(col("v")) % 2 === 0)
+    val half2 = df.filter(length(col("v")) % 2 === 1)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val merged = Profiling.kmvMerge(
+      Profiling.kmvSketch(half1, "g", col("v"), k),
+      Profiling.kmvSketch(half2, "g", col("v"), k), "g", k)
+    assert(rows(merged) == rows(sk))
+    assert(rows(Profiling.kmvMerge(sk, sk, "g", k)) == rows(sk))
+  }
+
+  test("KMV set ops: known overlap recovered within sketch error") {
+    import spark.implicits._
+    val k = 128
+    // X = {0..999}, Y = {500..1499}: union 1500, intersection 500,
+    // Jaccard 1/3
+    val df = ((0 until 1000).map(i => ("x", s"e$i")) ++
+        (500 until 1500).map(i => ("y", s"e$i"))).toDF("g", "v")
+    val sk = Profiling.kmvSketch(df, "g", col("v"), k)
+    val out = Profiling.kmvSetOps(sk, "g", k).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getString(0) == "x" && r.getString(1) == "y")
+    assert(r.getInt(2) == k)
+    val estU = r.getDouble(3); val jac = r.getDouble(4); val estI = r.getDouble(5)
+    assert(math.abs(estU - 1500.0) / 1500.0 < 0.35, s"union $estU")
+    // rho-hat stderr ≈ sqrt(rho(1-rho)/k) ≈ 0.042; 3 sigma + slack
+    assert(math.abs(jac - 1.0 / 3.0) < 0.15, s"jaccard $jac")
+    assert(estI == jac * estU) // exact identity by construction
+    // disjoint pair: zero overlap estimated as exactly zero
+    val dj = ((0 until 300).map(i => ("p", s"p$i")) ++
+        (0 until 300).map(i => ("q", s"q$i"))).toDF("g", "v")
+    val o2 = Profiling.kmvSetOps(
+      Profiling.kmvSketch(dj, "g", col("v"), k), "g", k).collect()(0)
+    assert(o2.getDouble(4) == 0.0 && o2.getDouble(5) == 0.0)
+  }
 }
