@@ -2097,6 +2097,24 @@ object SparkEntry {
         epsilon = 0.5, seed = 42L, noiseBound = 64,
         domain = Some(Seq("de", "en", "es", "fr", "ja", "zh")))),
 
+    // user-level DP sums: per-customer spend clipped to $4M, rounded
+    // to 16 levels, per-nation step sums + geometric noise at
+    // sensitivity 16 (eps/16 per step). Nation dim = public domain
+    "priv2_dp_sums" -> ((s, dir) =>
+      Privacy.dpSum(privSpendFrame(s, dir), "cust", "n_name",
+        col("cents"), clipCents = 400000000L, steps = 16,
+        epsilon = 0.5, seed = 42L, noiseBound = 512,
+        domain = Some(t(s, dir, "nation").select(col("n_name"))))),
+
+    // composable DP mean: (noisy unit count, noisy sum, quotient);
+    // total budget eps_sum + eps_cnt = 1.0 by sequential composition
+    "priv3_dp_mean" -> ((s, dir) =>
+      Privacy.dpMean(privSpendFrame(s, dir), "cust", "n_name",
+        col("cents"), clipCents = 400000000L, steps = 16,
+        epsSum = 0.5, epsCnt = 0.5, seed = 42L, noiseBound = 512,
+        cntBound = 64,
+        domain = Some(t(s, dir, "nation").select(col("n_name"))))),
+
     "pii1_redact" -> ((s, dir) => {
       // the corpus itself is synthetic word salad, so deterministic
       // PII is injected per row — the oracle builds the identical
@@ -5950,6 +5968,8 @@ object SparkEntry {
 
     "pii1_redact" -> piiOracle,
     "priv1_dp_counts" -> priv1Oracle,
+    "priv2_dp_sums" -> priv2Oracle,
+    "priv3_dp_mean" -> priv3Oracle,
     "tok10_unigram_vocab" -> tok10Oracle,
     "tok11_unigram_encode" -> tok11Oracle,
 
@@ -8663,6 +8683,93 @@ object SparkEntry {
        |         AS n_pieces
        |FROM best2""".stripMargin
 
+  /** Suffix-named fmix64 noise-walk CTE chain for the DP oracles:
+    * hashes `keyExpr` (a string SQL expression over CTE `src`,
+    * carrying `carry` columns through), walks the `cdf` literals,
+    * ends with CTE `n{sfx}(carry, noise{sfx})`. Two differently-
+    * suffixed walks coexist in one query (priv3's sum + count). */
+  private def noiseWalkCtes(src: String, carry: String, keyExpr: String,
+      cdf: IndexedSeq[Double], bound: Int, sfx: String): String = {
+    val lits = cdf.map(_.toString).mkString(", ")
+    val m64 = "18446744073709551616"
+    val m32 = "4294967296"
+    val c1 = 0xff51afd7ed558ccdL
+    val c2 = 0xc4ceb9fe1a85ec53L
+    def hi(x: Long): Long = (x >>> 32) & 0xffffffffL
+    def lo(x: Long): Long = x & 0xffffffffL
+    s"""h0$sfx AS (SELECT $carry,
+       |    list_reduce(list_prepend(CAST(0 AS HUGEINT), ${byteFoldList(keyExpr)}),
+       |      (h, b) -> (h * 31 + b) % $m64) AS h
+       |  FROM $src),
+       |f1$sfx AS (SELECT $carry, xor(h, h >> 33) AS h FROM h0$sfx),
+       |m1$sfx AS (SELECT $carry,
+       |    (h * ${lo(c1)} + ((h * ${hi(c1)}) % $m32) * $m32) % $m64 AS h
+       |  FROM f1$sfx),
+       |f2$sfx AS (SELECT $carry, xor(h, h >> 33) AS h FROM m1$sfx),
+       |m2$sfx AS (SELECT $carry,
+       |    (h * ${lo(c2)} + ((h * ${hi(c2)}) % $m32) * $m32) % $m64 AS h
+       |  FROM f2$sfx),
+       |hv$sfx AS (SELECT $carry, xor(h, h >> 33) AS h FROM m2$sfx),
+       |n$sfx AS (SELECT $carry,
+       |    len(list_filter([$lits],
+       |      c -> c <= CAST(h % 9007199254740992 AS DOUBLE) / 9007199254740992.0))
+       |      - $bound AS noise$sfx
+       |  FROM hv$sfx)""".stripMargin
+  }
+
+  /** Shared base CTEs for the DP sum/mean oracles: the spend frame
+    * (orders ⋈ customer ⋈ nation, exact integer cents), per-customer
+    * totals, clip to 400M cents, midpoint-round to 16 steps of 25M,
+    * per-nation step sums + unit counts, nation-domain left join.
+    * Ends with `g(n_name, steps, units)`. */
+  private def privStepCtes: String =
+    """WITH sp AS (
+      |  SELECT o.o_custkey AS cust, n.n_name,
+      |         CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+      |pu AS (SELECT cust, n_name, CAST(sum(cents) AS BIGINT) AS s
+      |       FROM sp GROUP BY 1, 2),
+      |qz AS (SELECT n_name,
+      |         CAST(floor((least(greatest(s, 0), 400000000) + 12500000)
+      |                    / 25000000.0) AS BIGINT) AS q
+      |       FROM pu),
+      |gs AS (SELECT n_name, CAST(sum(q) AS BIGINT) AS steps,
+      |         count(*) AS units
+      |       FROM qz GROUP BY 1),
+      |dom AS (SELECT DISTINCT n_name FROM nation),
+      |g AS (SELECT dom.n_name, coalesce(gs.steps, 0) AS steps,
+      |             coalesce(gs.units, 0) AS units
+      |      FROM dom LEFT JOIN gs USING (n_name))""".stripMargin
+
+  private def priv2Oracle: String =
+    s"""$privStepCtes,
+       |${noiseWalkCtes("g", "n_name, steps",
+            "coalesce(n_name, chr(0)) || ':sum:42'",
+            Privacy.geometricCdf(0.5 / 16, 512), 512, "s")}
+       |SELECT n_name,
+       |       greatest(steps + noises, 0) * 25000000 AS sum_noisy_cents
+       |FROM ns""".stripMargin
+
+  private def priv3Oracle: String =
+    s"""$privStepCtes,
+       |${noiseWalkCtes("g", "n_name, steps, units",
+            "coalesce(n_name, chr(0)) || ':sum:42'",
+            Privacy.geometricCdf(0.5 / 16, 512), 512, "s")},
+       |${noiseWalkCtes("g", "n_name",
+            "coalesce(n_name, chr(0)) || ':cnt:42'",
+            Privacy.geometricCdf(0.5, 64), 64, "c")},
+       |fin AS (
+       |  SELECT s.n_name,
+       |         greatest(s.units + c.noisec, 0) AS n_noisy,
+       |         greatest(s.steps + s.noises, 0) * 25000000 AS sum_noisy_cents
+       |  FROM ns s JOIN nc c USING (n_name))
+       |SELECT n_name, n_noisy, sum_noisy_cents,
+       |       CAST(sum_noisy_cents AS DOUBLE)
+       |         / CAST(greatest(n_noisy, 1) AS DOUBLE) AS mean_noisy
+       |FROM fin""".stripMargin
+
   /** priv1 oracle: the DP count release replayed — rolling-31 hash
     * of "lang:seed" (HUGEINT fold, byte-exact), 53-bit uniform
     * (2^53 divides 2^64 so the signed/unsigned residue agrees), the
@@ -8755,6 +8862,19 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, round(score, 6) AS rrf_score,
        |       CAST(rank AS INT) AS rank
        |FROM fin WHERE rank <= 5""".stripMargin
+
+  /** (cust, n_name, cents) spend frame for the DP sum/mean releases
+    * (priv2/priv3): orders joined to their customer's nation, price
+    * in exact integer cents via the mirrored floor(p*100 + 0.5). The
+    * privacy UNIT is the customer; nation is an attribute of the
+    * unit, so groups are disjoint (the sensitivity precondition
+    * dpSum checks). */
+  private def privSpendFrame(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("o_custkey").as("cust"), col("n_name"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).as("cents"))
 
   /** Token frame for the KMV vocabulary sketches (pf10/pf11/st18):
     * (lang, token), the same whitespace tokenization [[Profiling.vocabulary]]

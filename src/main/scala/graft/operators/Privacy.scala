@@ -192,4 +192,146 @@ object Privacy {
     counts.select(col(groupCol),
       greatest(col("__n") + noise, lit(0L)).as("n_noisy"))
   }
+
+  /** Seeded portable geometric noise for `keyCol`, walked down a
+    * driver-precomputed CDF exactly as [[dpCounts]] does — with a
+    * mechanism `tag` mixed into the hash key so composed releases
+    * over the same groups and seed (a sum AND a count, priv3) draw
+    * INDEPENDENT noise: without the tag both mechanisms would walk
+    * the same uniform and the composition accounting would be void. */
+  private def taggedNoise(keyCol: Column, tag: String, seed: Long,
+      cdf: IndexedSeq[Double], bound: Int): Column = {
+    val u = pmod(graft.functions.TextExpressions.token_hash64(
+        concat(coalesce(keyCol.cast("string"), lit("\u0000")),
+          lit(":" + tag + ":" + seed))),
+      lit(1L << 53)).cast("double") / (1L << 53).toDouble
+    size(filter(array(cdf.map(lit): _*), c => c <= u)) - lit(bound)
+  }
+
+  /** Per-unit clipped, quantized per-group step sums — the bounded-
+    * sensitivity integer statistic under both [[dpSum]] and
+    * [[dpMean]]. Each unit's total is clamped to [0, clipCents] and
+    * deterministically rounded to one of `steps`+1 levels (grain
+    * g = clipCents/steps), so adding or removing a unit moves a
+    * group's step sum by at most `steps` — the sensitivity the noise
+    * is calibrated to. Returns (group, __steps, __units). */
+  private def clippedStepSums(df: DataFrame, unitCol: String,
+      groupCol: String, valueCents: Column, clipCents: Long,
+      steps: Int, checkDisjoint: Boolean): DataFrame = {
+    require(clipCents > 0, s"clip bound must be positive: $clipCents")
+    require(steps >= 1 && clipCents % steps == 0,
+      s"steps must divide clipCents evenly: $clipCents / $steps")
+    val g = clipCents / steps
+    val perUnit = df
+      .groupBy(col(unitCol).as("__unit"),
+        col(groupCol).cast("string").as(groupCol))
+      .agg(sum(valueCents).as("__s"))
+    if (checkDisjoint) {
+      // the sensitivity argument needs each unit in exactly ONE group
+      // (group = an attribute of the unit); a unit spread over m
+      // groups would cost m*epsilon, silently. One bounded
+      // aggregation pass, loud failure.
+      val chk = perUnit.agg(count(lit(1)),
+        countDistinct(col("__unit"))).collect()(0)
+      require(chk.getLong(0) == chk.getLong(1),
+        s"${chk.getLong(0) - chk.getLong(1)} unit(s) contribute to " +
+          "more than one group — the per-group epsilon accounting " +
+          "assumes disjoint groups; pre-assign each unit a single " +
+          "group or pass checkDisjoint = false after re-budgeting")
+    }
+    // deterministic midpoint rounding in exact integer+IEEE steps
+    // (values <= clip + g/2 << 2^53, so the double math is exact and
+    // SQL-replayable)
+    val q = floor((least(greatest(col("__s"), lit(0L)), lit(clipCents))
+        + lit(g / 2)).cast("double") / lit(g.toDouble)).cast("long")
+    perUnit.select(col(groupCol), q.as("__q"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__q")).as("__steps"), count(lit(1)).as("__units"))
+  }
+
+  /** ε-DP group SUMS under bounded per-unit contribution — the
+    * release gate for publishing per-source totals (spend, tokens,
+    * bytes) where one UNIT (customer, author) owns many rows. The
+    * pipeline: per-unit totals → clamp to [0, clipCents] → midpoint-
+    * round to `steps` levels of grain g = clipCents/steps → group
+    * step sums → two-sided geometric noise at sensitivity `steps`
+    * (CDF of [[geometricCdf]](ε/steps, noiseBound), same truncation-
+    * as-δ accounting as [[dpCounts]]) → 0-clamp → rescale by g.
+    *
+    * The quantization is what keeps the mechanism's noise walk
+    * bounded (2·noiseBound+1 literals) AND engine-replayable; its
+    * utility cost is nil — the geometric noise at sensitivity
+    * `steps` dwarfs the ±g/2 rounding, exactly as Laplace(clip/ε)
+    * noise dwarfs cents. In production swap the walk for inverse-CDF
+    * sampling if auditability is not required; the semantics here
+    * are the audited-release ones.
+    *
+    * `domain` (a 1-column frame of the PUBLIC group universe, e.g.
+    * the nation dimension) plays priv1's role: one noisy row per
+    * domain value, so the row set reveals no presence. Scale shape:
+    * two aggregations (per-unit, per-group) + a row-local noise
+    * projection; only (unit, group, cents) triples ever shuffle. */
+  def dpSum(df: DataFrame, unitCol: String, groupCol: String,
+      valueCents: Column, clipCents: Long, steps: Int, epsilon: Double,
+      seed: Long, noiseBound: Int = 512,
+      domain: Option[DataFrame] = None,
+      checkDisjoint: Boolean = true): DataFrame = {
+    val g = clipCents / steps
+    val cdf = geometricCdf(epsilon / steps, noiseBound)
+    val grp = clippedStepSums(df, unitCol, groupCol, valueCents,
+      clipCents, steps, checkDisjoint)
+    val based = withDomain(grp, groupCol, domain)
+    based.select(col(groupCol),
+      (greatest(col("__steps")
+          + taggedNoise(col(groupCol), "sum", seed, cdf, noiseBound),
+        lit(0L)) * lit(g)).as("sum_noisy_cents"))
+  }
+
+  /** ε-DP group MEANS released the composable way: the noisy sum
+    * (mechanism of [[dpSum]], budget εSum) alongside a noisy UNIT
+    * count (sensitivity-1 geometric, budget εCnt, independent noise
+    * via the mechanism tag) and their quotient — total privacy cost
+    * εSum + εCnt by sequential composition. Publishing the pair
+    * rather than only the quotient is deliberate: consumers can
+    * re-derive the mean, reweight, or aggregate further, all as
+    * post-processing. */
+  def dpMean(df: DataFrame, unitCol: String, groupCol: String,
+      valueCents: Column, clipCents: Long, steps: Int,
+      epsSum: Double, epsCnt: Double, seed: Long,
+      noiseBound: Int = 512, cntBound: Int = 64,
+      domain: Option[DataFrame] = None,
+      checkDisjoint: Boolean = true): DataFrame = {
+    val g = clipCents / steps
+    val sumCdf = geometricCdf(epsSum / steps, noiseBound)
+    val cntCdf = geometricCdf(epsCnt, cntBound)
+    val grp = clippedStepSums(df, unitCol, groupCol, valueCents,
+      clipCents, steps, checkDisjoint)
+    val based = withDomain(grp, groupCol, domain)
+    based.select(col(groupCol),
+        greatest(col("__units")
+            + taggedNoise(col(groupCol), "cnt", seed, cntCdf, cntBound),
+          lit(0L)).as("n_noisy"),
+        (greatest(col("__steps")
+            + taggedNoise(col(groupCol), "sum", seed, sumCdf, noiseBound),
+          lit(0L)) * lit(g)).as("sum_noisy_cents"))
+      .withColumn("mean_noisy",
+        col("sum_noisy_cents").cast("double")
+          / greatest(col("n_noisy"), lit(1L)).cast("double"))
+  }
+
+  /** Left-join a (group, __steps, __units) frame onto the public
+    * `domain` universe: absent groups release noise-only rows,
+    * out-of-domain data groups are withheld (the priv1 contract). */
+  private def withDomain(grp: DataFrame, groupCol: String,
+      domain: Option[DataFrame]): DataFrame = domain match {
+    case Some(d) =>
+      require(d.columns.length == 1,
+        s"domain frame must have exactly one column: ${d.columns.mkString(",")}")
+      d.select(col(d.columns(0)).cast("string").as(groupCol)).distinct()
+        .join(grp, Seq(groupCol), "left")
+        .select(col(groupCol),
+          coalesce(col("__steps"), lit(0L)).as("__steps"),
+          coalesce(col("__units"), lit(0L)).as("__units"))
+    case None => grp
+  }
 }

@@ -95,6 +95,61 @@ class PrivacySpec extends SparkTestBase {
     assert(dom.keySet == Set("g0", "g1", "g9")) // g2 withheld, g9 released
     assert(dom("g9") >= 0L)                     // absent group: noise-only
   }
+
+  test("dpSum: clipping bounds any unit's influence; tight budget recovers " +
+      "quantized truth; disjointness guard fires") {
+    import org.apache.spark.sql.functions._
+    // two groups, 8 units each, every unit contributes 2 rows of 300
+    // cents (clip 800, steps 8, grain 100 -> 6 steps per unit)
+    def mk(whale: Long) = (
+      (0 until 8).flatMap(u => Seq(("a", s"au$u", 300L), ("a", s"au$u", 300L))) ++
+      (0 until 7).flatMap(u => Seq(("b", s"bu$u", 300L), ("b", s"bu$u", 300L))) :+
+      (("b", "bu7", whale))).toDF("g", "unit", "cents")
+    def run(df: org.apache.spark.sql.DataFrame, eps: Double, seed: Long) =
+      Privacy.dpSum(df, "unit", "g", col("cents"), clipCents = 800L,
+          steps = 8, epsilon = eps, seed = seed, noiseBound = 64)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a whale at 10^9 cents and one at exactly the clip release
+    // IDENTICALLY — the whale's influence is bounded by construction
+    assert(run(mk(1000000000L), 0.5, 42L) == run(mk(800L), 0.5, 42L))
+    // huge budget -> zero noise: exact clipped+quantized truth
+    // (a: 8 units * 6 steps * 100 = 4800; b: 7*600 + clip 800 = 5000)
+    val tight = run(mk(1000000000L), 320.0, 42L)
+    assert(tight == Map("a" -> 4800L, "b" -> 5000L), tight.toString)
+    // reproducible, seed-sensitive, non-negative
+    val a = run(mk(400L), 0.5, 42L)
+    assert(a == run(mk(400L), 0.5, 42L) && a != run(mk(400L), 0.5, 43L))
+    assert(a.values.forall(_ >= 0L))
+    // a unit spread over two groups breaks the epsilon accounting: loud
+    val leaky = Seq(("a", "u0", 100L), ("b", "u0", 100L)).toDF("g", "unit", "cents")
+    intercept[IllegalArgumentException](run(leaky, 0.5, 42L))
+  }
+
+  test("dpMean releases a composable (count, sum, quotient) triple with " +
+      "independent noise draws") {
+    import org.apache.spark.sql.functions._
+    val df = (0 until 40).map(u => ("a", s"u$u", 500L)).toDF("g", "unit", "cents")
+    val out = Privacy.dpMean(df, "unit", "g", col("cents"),
+        clipCents = 800L, steps = 8, epsSum = 0.5, epsCnt = 0.5,
+        seed = 42L, noiseBound = 64).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    val (n, s, m) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(n >= 0L && s >= 0L)
+    assert(m == s.toDouble / math.max(n, 1L).toDouble) // quotient is derived
+    // the sum and count mechanisms must walk INDEPENDENT uniforms:
+    // with a shared key their noises would be a deterministic pair;
+    // across seeds the (sum-noise, count-noise) offsets decorrelate
+    val draws = (0 until 24).map { sd =>
+      val rr = Privacy.dpMean(df, "unit", "g", col("cents"), 800L, 8,
+        0.5, 0.5, sd.toLong, 64).collect()(0)
+      (rr.getLong(1) - 40L, rr.getLong(2) / 100L - 240L)
+    }
+    assert(draws.map(_._1).distinct.size > 3)
+    assert(draws.map(_._2).distinct.size > 3)
+    assert(draws.distinct.size > draws.map(_._1).distinct.size,
+      "sum noise must not be a function of count noise")
+  }
 }
 
 class QualityFiltersSpec extends SparkTestBase {
