@@ -1320,6 +1320,28 @@ object SparkEntry {
           posexplode(col("codes")).as(Seq("sub", "code")))
     }),
 
+    // r8: streaming KMV — the distinct-vocabulary sketch maintained
+    // at ingestion, two real micro-batches folding into a persisted
+    // groups×k store; the final store must equal the batch sketch of
+    // the whole corpus (pf10's oracle re-verifies the fold)
+    "st18_stream_kmv" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = tmpDir("graft_st18")
+      val in = s"$base/in"
+      docs.filter(col("doc_id") % 2 === 0)
+        .coalesce(1).write.mode("append").parquet(in)
+      docs.filter(col("doc_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(in)
+      val schema = s.read.parquet(in).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val q = graft.streaming.EventStream.streamingKmv(
+        kmvTokens(stream), "lang", col("token"), 128,
+        s"$base/store", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/store")
+    }),
+
     // r8: incremental index maintenance — the second half of the
     // corpus is encoded AGAINST THE STORE'S centroids and appended;
     // union(store, appended) == a full rebuild (the dd14 incremental
@@ -5929,6 +5951,10 @@ object SparkEntry {
         |SELECT lang, CAST(count(*) AS INT) AS sketch_n, max(hs) AS kth_h,
         |       ${kmvEstSql("count(*)", "max(hs)")} AS est_distinct
         |FROM sk GROUP BY lang""".stripMargin,
+
+    "st18_stream_kmv" ->
+      s"""$kmvSketchCte
+        |SELECT lang, rank, hs AS h FROM sk""".stripMargin,
 
     "pf11_kmv_setops" ->
       s"""$kmvSketchCte,

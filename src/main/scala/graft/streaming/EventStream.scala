@@ -546,6 +546,45 @@ object EventStream {
       .start()
   }
 
+  /** Streaming KMV distinct-sketch maintenance: each micro-batch's
+    * (group, value) rows fold into a persisted (group, rank, h)
+    * bottom-k sketch store at `path` — batch sketch via
+    * [[graft.operators.Profiling.kmvSketch]], merged with the store
+    * through [[graft.operators.Profiling.kmvMerge]] (distinct union,
+    * re-rank, k smallest), full overwrite per batch. The store after
+    * any prefix of batches IS the batch sketch of their union, so an
+    * unbounded stream's distinct-cardinality state lives in
+    * groups×k rows, ever — and any moment's store answers
+    * [[graft.operators.Profiling.kmvEstimate]]/[[graft.operators.Profiling.kmvSetOps]]
+    * directly.
+    *
+    * foreachBatch is at-least-once; safe here because the KMV merge
+    * is IDEMPOTENT — a retried micro-batch re-merges the same hashes
+    * into the same sketch (unlike a counter fold, no overcount). The
+    * merged frame is localCheckpoint-materialized before the
+    * overwrite so the store path is never read and clobbered in the
+    * same job. */
+  def streamingKmv(stream: DataFrame, groupCol: String,
+      valueCol: org.apache.spark.sql.Column, k: Int, path: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val batchSk = graft.operators.Profiling.kmvSketch(
+          batch.toDF(), groupCol, valueCol, k)
+        val dir = new java.io.File(path)
+        val merged =
+          if (dir.isDirectory && dir.listFiles().exists(f =>
+              f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")))
+            graft.operators.Profiling.kmvMerge(
+              spark.read.parquet(path), batchSk, groupCol, k)
+          else batchSk
+        merged.localCheckpoint(true).write.mode("overwrite").parquet(path)
+      }
+      .start()
+
   /** Stream -> JDBC incremental sink: each micro-batch is staged and
     * merged (exactly the engine's incremental mode) via foreachBatch —
     * idempotent upserts make the sink consistent under micro-batch

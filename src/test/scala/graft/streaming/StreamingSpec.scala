@@ -794,4 +794,36 @@ class StreamingSpec extends SparkTestBase {
     assert(est == batchEst)
     assert(streamed.values.sum == 9L * 3) // every row lands in 3 counters
   }
+
+  test("streaming KMV store equals the batch sketch; replaying the stream " +
+      "is a no-op (idempotent merge)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val base = java.nio.file.Files.createTempDirectory("graft_kmv_st").toString
+    val store = s"$base/store"
+    val q = EventStream.streamingKmv(mem.toDF().toDF("g", "v"), "g",
+      col("v"), k = 32, store, s"$base/ckpt1")
+    val b1 = (0 until 60).map(i => ("x", s"a$i"))
+    val b2 = (30 until 90).map(i => ("x", s"a$i")) ++
+      (0 until 10).map(i => ("y", s"b$i"))
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val streamed = rows(spark.read.parquet(store))
+    val batch = rows(graft.operators.Profiling.kmvSketch(
+      (b1 ++ b2).toDF("g", "v"), "g", col("v"), 32))
+    assert(streamed == batch) // fold across batches == one-shot sketch
+    // "y" saw < k distinct values: the sketch holds all 10 exactly
+    assert(streamed.count(_._1 == "y") == 10)
+    // at-least-once retry: replay the SAME data over the existing
+    // store (fresh checkpoint) — the merge must change nothing
+    val mem2 = MemoryStream[(String, String)]
+    val q2 = EventStream.streamingKmv(mem2.toDF().toDF("g", "v"), "g",
+      col("v"), k = 32, store, s"$base/ckpt2")
+    mem2.addData(b1: _*); q2.processAllAvailable()
+    q2.stop()
+    assert(rows(spark.read.parquet(store)) == batch)
+  }
 }
