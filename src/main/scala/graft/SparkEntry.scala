@@ -1361,6 +1361,22 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank")
     }),
 
+    // r8: index deletion — RTBF purge of the odd back-half ids, then
+    // a full probe of the purged store; must equal brute ADC over
+    // exactly the survivors (per-vector-independent index rows)
+    "sim17_ivfpq_index_delete" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val books = trainedPq(s, dir)
+      val (index, cents) = Similarity.pqIndexStore(e, "vec_id",
+        "embedding", books, nCentroids = 16)
+      val purged = Similarity.pqIndexDelete(index,
+        e.filter(col("vec_id") > 250 && col("vec_id") % 2 === 1)
+          .select("vec_id"))
+      Similarity.pqIvfProbeIndex(e.filter("vec_id < 10"), purged, cents,
+        "vec_id", "embedding", books, 5, nProbe = 16)
+        .select("query_id", "neighbor_id", "rank")
+    }),
+
     // r8: two-stage retrieval — IVF-PQ ADC candidates, then a
     // full-precision cosine re-rank of just those candidates (the
     // production serving pattern). Verified config: full probe +
@@ -8113,6 +8129,8 @@ object SparkEntry {
     "sim14_ivfpq_rerank" -> oracleSqlBase("sim1_bruteforce_topk"),
     // store round-trip at full probe == the inline IVF-PQ plan
     "sim15_ivfpq_index_store" -> oracleSqlBase("sim11_ivfpq_topk"),
+    "sim17_ivfpq_index_delete" ->
+      sim10OracleOver("NOT (vec_id > 250 AND vec_id % 2 = 1)"),
     // split-build + append == full rebuild (same coarse centroids)
     "sim16_ivfpq_index_append" -> oracleSqlBase("sim11_ivfpq_topk"),
     "st17_stream_index_append" -> st17Oracle,
@@ -8527,9 +8545,16 @@ object SparkEntry {
     * output (r7 advisory): the adc doubles ORDER the rows on both
     * engines, but a 6-dp rounding of them would expose centroid-avg
     * ulps to the hash — ranks, built on the integral codes, do not. */
-  private def sim10Oracle: String =
+  private def sim10Oracle: String = sim10OracleOver("TRUE")
+
+  /** sim10's replay restricted to the neighbor rows satisfying
+    * `candPred` — the purge oracle (sim17): a full probe of a
+    * partially-deleted index is brute ADC over exactly the
+    * surviving candidates. */
+  private def sim10OracleOver(candPred: String): String =
     s"""$pqCte,
-       |codes AS (SELECT vec_id AS neighbor_id, s, cid FROM a3),
+       |codes AS (SELECT vec_id AS neighbor_id, s, cid FROM a3
+       |          WHERE $candPred),
        |qv AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 10),
        |terms AS (
        |  SELECT q.query_id, c.neighbor_id, c.s,

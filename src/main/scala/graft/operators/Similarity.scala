@@ -730,6 +730,26 @@ object Similarity {
       .withColumn("sig_algo", lit(tag))
   }
 
+  /** RTBF purge for a persisted IVF-PQ index — the deletion half of
+    * the [[pqIndexStore]]/[[pqIndexAppend]] lifecycle (the m9 purge
+    * applied to vector stores): drop `deletedIds`'s rows via a
+    * broadcast anti join. Index rows are per-vector independent
+    * (assignment and codes depend only on the vector and the frozen
+    * centroids/codebooks), so purge-then-probe equals a rebuild over
+    * the survivors — sim17 verifies the identity against the
+    * brute-ADC oracle. Deletion lists (takedowns, GDPR requests) are
+    * small by nature, hence the broadcast hint; only the purged
+    * code rows rewrite, never a re-encode. */
+  def pqIndexDelete(index: DataFrame, deletedIds: DataFrame): DataFrame = {
+    require(deletedIds.columns.length == 1,
+      s"deletedIds must be a single-id-column frame: " +
+        deletedIds.columns.mkString(","))
+    index.join(
+      broadcast(deletedIds
+        .select(col(deletedIds.columns(0)).as("neighbor_id")).distinct()),
+      Seq("neighbor_id"), "left_anti")
+  }
+
   /** Streaming-safe [[pqIndexAppend]]: the store's coarse centroids
     * are collected into LITERAL arrays (bounded by construction —
     * the same collect class as the codebooks themselves), so the

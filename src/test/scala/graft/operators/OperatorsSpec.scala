@@ -920,6 +920,37 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows(online) == rows(appended))
   }
 
+  test("IVF-PQ index delete: purge-then-probe equals a rebuild over the " +
+      "survivors; purged ids are unreachable") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val books = Similarity.pqTrain(e, "vec_id", "embedding", m = 8, k = 16,
+      maxIter = 2)
+    val q = e.filter("vec_id < 10")
+    val (index, cents) = Similarity.pqIndexStore(e, "vec_id", "embedding",
+      books, nCentroids = 16)
+    val dels = e.filter(col("vec_id") % 3 === 1 && col("vec_id") >= 10)
+      .select("vec_id")
+    val purged = Similarity.pqIndexDelete(index, dels)
+    // identity: probing the purged store == probing an index BUILT on
+    // the survivors (with the same frozen centroid frame)
+    val survivors = Similarity.pqIndexAppend(
+      e.join(dels, Seq("vec_id"), "left_anti"), cents,
+      "vec_id", "embedding", books)
+    def top(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaPurge = top(Similarity.pqIvfProbeIndex(q, purged, cents,
+      "vec_id", "embedding", books, 5, nProbe = 16))
+    assert(viaPurge == top(Similarity.pqIvfProbeIndex(q, survivors, cents,
+      "vec_id", "embedding", books, 5, nProbe = 16)))
+    // no purged id can ever be returned
+    val deleted = dels.collect().map(_.getLong(0)).toSet
+    assert(viaPurge.forall(t => !deleted.contains(t._2)))
+    // guard: a multi-column delete frame is refused loudly
+    intercept[IllegalArgumentException](
+      Similarity.pqIndexDelete(index, e.select("vec_id", "label")))
+  }
+
   test("reduced-probe IVF bitext mining still recovers the planted alignment") {
     import spark.implicits._
     val rnd = new scala.util.Random(31L)
