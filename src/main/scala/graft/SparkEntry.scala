@@ -2442,6 +2442,13 @@ object SparkEntry {
     // encode under the trained unigram vocab: Viterbi-best pieces
     // per distinct corpus word (the row-local codegen expression a
     // 100 TB encode pass maps over documents)
+    // the tok10 LM closing the loop into quality filtering: per-doc
+    // mean piece log2-prob gate, all-integer (exact) scoring
+    "qf10_unigram_lm_gate" -> ((s, dir) =>
+      QualityFilters.unigramLmGate(t(s, dir, "documents"), "doc_id",
+        "text", trainedUnigram(s, dir).map(v => (v._1, v._3)).toSeq,
+        oovQ = -20000L, meanThresholdQ = -5250L)),
+
     "tok11_unigram_encode" -> ((s, dir) => {
       val vocab = trainedUnigram(s, dir).map(v => (v._1, v._3)).toSeq
       val words = t(s, dir, "documents")
@@ -6014,6 +6021,7 @@ object SparkEntry {
     "priv3_dp_mean" -> priv3Oracle,
     "tok10_unigram_vocab" -> tok10Oracle,
     "tok11_unigram_encode" -> tok11Oracle,
+    "qf10_unigram_lm_gate" -> qf10Oracle,
 
     "pii2_pseudonymize" ->
       """SELECT c_custkey,
@@ -8712,6 +8720,53 @@ object SparkEntry {
   private def tok10Oracle: String =
     s"""$unigramCte
        |SELECT p AS piece, c AS piece_count, q AS qscore FROM fs""".stripMargin
+
+  /** qf10 oracle: tok11's Viterbi replay extended to the document
+    * gate — per-word best pieces (OOV words fall back to code-point
+    * pieces, mirroring the segmenter), per-piece quantized scores
+    * from `fs` with the −20000 OOV penalty, exact integer doc sums
+    * over word INSTANCES, and the division-free cross-multiplied
+    * flag. */
+  private def qf10Oracle: String =
+    s"""$unigramCte,
+       |walk2 AS (
+       |  SELECT w, CAST(0 AS BIGINT) AS done, CAST(0 AS BIGINT) AS sc,
+       |         '' AS path
+       |  FROM wf
+       |  UNION ALL
+       |  SELECT r.w, r.done + s.len, r.sc + s.q, r.path || s.p || chr(31)
+       |  FROM walk2 r JOIN fs s
+       |    ON r.done + s.len <= length(r.w)
+       |   AND substr(r.w, CAST(r.done + 1 AS INT), CAST(s.len AS INT)) = s.p),
+       |best2 AS (SELECT w, path FROM (
+       |    SELECT w, path, row_number() OVER (PARTITION BY w
+       |      ORDER BY sc DESC, path ASC) AS rn
+       |    FROM walk2 WHERE done = length(w)) WHERE rn = 1),
+       |wpieces AS (
+       |  SELECT w, unnest(string_split(rtrim(path, chr(31)), chr(31))) AS p
+       |  FROM best2
+       |  UNION ALL
+       |  SELECT wf.w, substr(wf.w, CAST(t.i AS INT), 1) AS p
+       |  FROM wf, range(1, 513) t(i)
+       |  WHERE t.i <= length(wf.w)
+       |    AND wf.w NOT IN (SELECT w FROM best2)),
+       |wsc AS (SELECT a.w, CAST(count(*) AS BIGINT) AS nw,
+       |          CAST(sum(coalesce(fs.q, -20000)) AS BIGINT) AS qw
+       |        FROM wpieces a LEFT JOIN fs ON fs.p = a.p GROUP BY a.w),
+       |dtok AS (SELECT doc_id, w FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+       |    FROM documents) WHERE w <> ''),
+       |doc AS (SELECT dd.doc_id,
+       |          CAST(coalesce(sum(ws.nw), 0) AS BIGINT) AS n_pieces,
+       |          CAST(coalesce(sum(ws.qw), 0) AS BIGINT) AS q_logprob
+       |        FROM documents dd
+       |        LEFT JOIN dtok d ON d.doc_id = dd.doc_id
+       |        LEFT JOIN wsc ws ON ws.w = d.w
+       |        GROUP BY 1)
+       |SELECT doc_id, n_pieces, q_logprob,
+       |       q_logprob < -5250 * n_pieces AS flagged
+       |FROM doc""".stripMargin
 
   private def tok11Oracle: String =
     s"""$unigramCte,

@@ -310,4 +310,38 @@ object QualityFilters {
     df.withColumn("calibrated", round(percent_rank().over(w), 6))
       .withColumn("keep", col("calibrated") >= round(lit(1.0 - keepFrac), 6))
   }
+
+  /** Perplexity-style quality gate from the ENGINE-TRAINED unigram
+    * LM (tok10): each document's Viterbi piece sequence is scored by
+    * the vocabulary's quantized log₂-probs (units of 1/1024 bit —
+    * the trainer's integer quantization, so every sum is exact and
+    * engine-replayable); OOV pieces (the segmenter's code-point
+    * fallback outside the vocab) pay the `oovQ` penalty. A document
+    * is flagged when its MEAN piece score falls below
+    * `meanThresholdQ` — compared in the cross-multiplied integer
+    * form `q_logprob < thr·n_pieces`, so the gate involves no
+    * division and no floats at all. This is the qf3-style
+    * perplexity filter with the LM trained in-engine rather than
+    * imported.
+    *
+    * Scale shape: segmentation and scoring are one codegen'd
+    * row-local projection over the scan (the vocab rides in as
+    * literals); no shuffle, no join, no state. */
+  def unigramLmGate(df: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[(String, Long)], oovQ: Long,
+      meanThresholdQ: Long): DataFrame = {
+    require(vocab.nonEmpty, "empty unigram vocabulary")
+    val vmap = map(vocab.flatMap { case (p, q) =>
+      Seq(lit(p), lit(q)) }: _*)
+    df.select(col(idCol),
+        graft.operators.Tokenizer.unigramTokens(col(textCol), vocab)
+          .as("__pieces"))
+      .select(col(idCol),
+        size(col("__pieces")).cast("long").as("n_pieces"),
+        aggregate(transform(col("__pieces"),
+            p => coalesce(element_at(vmap, p), lit(oovQ))),
+          lit(0L), (acc, s) => acc + s).as("q_logprob"))
+      .withColumn("flagged",
+        col("q_logprob") < lit(meanThresholdQ) * col("n_pieces"))
+  }
 }

@@ -501,6 +501,16 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SinglePartition"), s"global window:\n$p")
   }
 
+  test("qf10 unigram-LM gate is a shuffle-free codegen projection") {
+    val df = SparkEntry.queries("qf10_unigram_lm_gate")(spark, sf())
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"qf10 must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"qf10 must not join:\n$p")
+    assert(p.contains("unigram_tokens"))
+    assert(!p.contains("CodegenFallback"))
+  }
+
   test("pf10 KMV rank filter pushes down as a per-partition group limit") {
     val df = SparkEntry.queries("pf10_kmv_vocab")(spark, sf())
     val p = df.queryExecution.executedPlan.toString

@@ -155,6 +155,30 @@ class PrivacySpec extends SparkTestBase {
 class QualityFiltersSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("unigram LM gate: exact Viterbi piece scores, OOV penalty, " +
+      "division-free flag") {
+    import org.apache.spark.sql.functions.col
+    // hand-built scored vocab: "ab" beats the a+b split (-100 vs
+    // -900); z is out-of-vocab entirely
+    val vocab = Seq("ab" -> -100L, "a" -> -500L, "b" -> -400L, "c" -> -50L)
+    val docs = Seq(
+      (1L, "ab c"),   // pieces [ab, c]        -> q = -150, n = 2
+      (2L, "a b"),    // pieces [a, b]         -> q = -900, n = 2
+      (3L, "az ab"),  // az is OOV -> fallback [a, z] + [ab]
+      (4L, " ")       // no words -> 0 pieces, unflagged
+    ).toDF("doc_id", "text")
+    val out = QualityFilters.unigramLmGate(docs, "doc_id", "text",
+        vocab, oovQ = -2000L, meanThresholdQ = -300L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((2L, -150L, false)))  // mean -75 >= -300
+    // mean -450 < -300: flagged
+    assert(out(2L) == ((2L, -900L, true)))
+    // fallback pieces score a=-500, z=oovQ=-2000, plus ab=-100
+    assert(out(3L) == ((3L, -2600L, true)))
+    assert(out(4L) == ((0L, 0L, false)))     // empty: never flagged
+  }
+
   test("trained quality classifier separates planted junk and is " +
       "bit-deterministic across runs") {
     import org.apache.spark.sql.functions.{abs => _, _}
