@@ -781,6 +781,41 @@ object Probe {
       println(f"=== r8probe maxsim kmeans probe=$nProbe/64 recall: " +
         f"${got.intersect(exactMs).size.toDouble / exactMs.size}%.4f")
     }
+
+    // ---- KMV distinct sketches at production shape: 20M rows, ----
+    // 8 groups with 0.25M..2M distinct values. Group k's value space
+    // is [0, 250K*(k+1)) so every pairwise truth is analytic:
+    // |A∩B| = min(|A|,|B|), jaccard = min/max.
+    import graft.operators.Profiling
+    val kmvDf = spark.range(20000000L)
+      .select((col("id") % 8).cast("string").as("g"),
+        // id DIV 8, not id/8: long division keeps the value STRINGS
+        // shared across groups (the overlap being measured)
+        expr("(id DIV 8) % ((id % 8 + 1) * 250000)")
+          .cast("string").as("v"))
+    val exactD = timed("KMV baseline: exact countDistinct 20M rows")(
+      kmvDf.groupBy("g").agg(countDistinct(col("v")).as("d")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    val sk = timed("kmvSketch k=256 build (20M rows)")(
+      Profiling.kmvSketch(kmvDf, "g", col("v"), 256).localCheckpoint())
+    val est = Profiling.kmvEstimate(sk, "g", 256).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    for (g <- exactD.keys.toSeq.sorted)
+      println(f"=== r8probe KMV g=$g exact=${exactD(g)}%,d est=${est(g)}%.0f " +
+        f"relerr=${math.abs(est(g) - exactD(g)) / exactD(g)}%.4f")
+    val ops = timed("kmvSetOps: all 28 pair estimates from sketch rows")(
+      Profiling.kmvSetOps(sk, "g", 256).collect())
+    for (r <- ops.sortBy(r => (r.getString(0), r.getString(1))).take(4)) {
+      val (a, b) = (r.getString(0), r.getString(1))
+      val trueJ = math.min(exactD(a), exactD(b)).toDouble /
+        math.max(exactD(a), exactD(b))
+      println(f"=== r8probe KMV jacc($a,$b) est=${r.getDouble(4)}%.4f " +
+        f"true=$trueJ%.4f")
+    }
+    timed("EXACT one-pair intersection (g=0 vs g=7, full rescan)")(
+      kmvDf.filter(col("g") === "0").select("v").distinct()
+        .intersect(kmvDf.filter(col("g") === "7").select("v").distinct())
+        .count())
   }
 
   def r6probe(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
