@@ -1391,6 +1391,19 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank")
     }),
 
+    // r8: binary (sign-bit) quantization ANN — Hamming prefilter over
+    // 16-byte packed signatures, exact-cosine rerank of the top-64
+    // candidates. Unlike PQ/hyperplane paths the signature has zero
+    // arithmetic (one float-vs-zero comparison per bit), so the
+    // ORACLE REPLAYS THE WHOLE TWO-STAGE PIPELINE bit-for-bit —
+    // candidate truncation included — not just a full-probe
+    // degenerate form
+    "sim18_binary_hamming" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.binarySignTopK(e.filter("vec_id < 10"), e,
+        "vec_id", "embedding", k = 5, candidates = 64)
+    }),
+
     // r8: the composed candidate-probed mining operators, verified at
     // FULL PROBE against their exact yardsticks' oracles (the sim11
     // pattern) — reduced-probe recall is priced in PERF.md
@@ -8142,7 +8155,46 @@ object SparkEntry {
     // split-build + append == full rebuild (same coarse centroids)
     "sim16_ivfpq_index_append" -> oracleSqlBase("sim11_ivfpq_topk"),
     "st17_stream_index_append" -> st17Oracle,
-    "fuse1_rrf" -> fuse1Oracle)
+    "fuse1_rrf" -> fuse1Oracle,
+    // sign-bit quantization has NO arithmetic (one float-vs-zero
+    // comparison per bit), so this oracle replays the full two-stage
+    // pipeline — packed words, Hamming prefilter WITH its candidate
+    // truncation, exact rerank — not a degenerate full-probe form
+    "sim18_binary_hamming" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i] * embedding[i]))) AS nrm,
+        |    CAST(list_sum([CASE WHEN embedding[i] > 0
+        |                        THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END
+        |                   for i in range(1, 33)]) AS BIGINT) AS w0,
+        |    CAST(list_sum([CASE WHEN embedding[i] > 0
+        |                        THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END
+        |                   for i in range(33, 65)]) AS BIGINT) AS w1
+        |  FROM embeddings),
+        |cand AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         bit_count(xor(q.w0, c.w0)) + bit_count(xor(q.w1, c.w1)) AS hamming
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |topc AS (
+        |  SELECT query_id, neighbor_id, hamming,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY hamming ASC, neighbor_id ASC) AS h_rank
+        |  FROM cand),
+        |rr AS (
+        |  SELECT t.query_id, t.neighbor_id, t.hamming,
+        |         list_sum(list_transform(range(1, 65), i -> q.embedding[i] * c.embedding[i]))
+        |           / (q.nrm * c.nrm) AS cosine
+        |  FROM topc t
+        |  JOIN e q ON q.vec_id = t.query_id
+        |  JOIN e c ON c.vec_id = t.neighbor_id
+        |  WHERE t.h_rank <= 64 AND q.nrm > 0 AND c.nrm > 0),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, hamming,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM rr)
+        |SELECT query_id, neighbor_id, CAST(hamming AS INT) AS hamming, rank
+        |FROM ranked WHERE rank <= 5""".stripMargin)
 
   /** pii1 oracle: built from Privacy.categories so both engines run
     * THE SAME patterns (regexes restricted to constructs Java and RE2

@@ -467,6 +467,9 @@ object Profiling {
     val hashed = df.select(col(groupCol),
         graft.functions.TextExpressions.token_hash64(valueCol.cast("string"))
           .as("h"))
+      // a NULL is not a value: its null hash would sort FIRST under
+      // ascending null ordering and squat on rank 1 forever
+      .filter(col("h").isNotNull)
       .distinct()
     val w = Window.partitionBy(col(groupCol)).orderBy(col("h").asc)
     hashed.withColumn("rank", row_number().over(w))
@@ -498,7 +501,12 @@ object Profiling {
     * IDEMPOTENT (re-merging the same rows is a no-op) — what makes
     * the streaming fold retry-safe under at-least-once micro-batch
     * delivery and lets persisted per-partition sketches roll up to
-    * any coarser grouping without touching the corpus again. */
+    * any coarser grouping without touching the corpus again.
+    *
+    * Contract (here and in [[kmvEstimate]]/[[kmvSetOps]]): `k` must
+    * not exceed the k the input sketches were BUILT with — a sketch
+    * only knows its bottom-k, so asking a larger k would fabricate
+    * rank positions whose true occupants were never kept. */
   def kmvMerge(a: DataFrame, b: DataFrame, groupCol: String,
       k: Int): DataFrame = {
     val all = a.select(col(groupCol), col("h"))

@@ -1260,4 +1260,86 @@ object Similarity {
     }
     (mean, comps, lambdas)
   }
+
+  // ------------------------------------------------ binary (sign) quantization
+
+  /** Sign-bit binary quantization of a vector column: bit `j` of
+    * word `w` is set iff coordinate `32*w + j` is strictly positive,
+    * packed into `ceil(dim/32)` longs (32 bits per word keeps every
+    * word non-negative — no two's-complement edge to reason about on
+    * any engine). A 64-dim float vector (256 bytes) compresses to 2
+    * longs (16 bytes): 16x less scan and shuffle for the filter
+    * stage of [[binarySignTopK]].
+    *
+    * Unlike the hyperplane signatures ([[bandedHyperplaneSignatures]])
+    * there is NO arithmetic here — each bit is one float comparison
+    * against zero — so the packed words are bit-reproducible on any
+    * engine that reads the same floats, and distances computed from
+    * them are exactly verifiable (the dd3 simhash property, applied
+    * to embeddings). The price is fixed directions: sign-of-coordinate
+    * is the standard "binary quantization" of vector stores, good when
+    * coordinates are roughly centered; hyperplanes adapt to any
+    * distribution but cost a replayable-in-SQL guarantee. */
+  def binarySign(vec: Column, dim: Int): Column = {
+    require(dim >= 1, s"need dim >= 1: $dim")
+    array((0 until (dim + 31) / 32).map { w =>
+      (0 until math.min(32, dim - w * 32)).map { j =>
+        when(element_at(vec, w * 32 + j + 1) > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    }: _*)
+  }
+
+  /** Hamming distance between two packed sign-bit signatures
+    * (`array<long>` of equal length): sum of `bit_count(xor)` per
+    * word. Pure integer codegen. */
+  def packedHamming(a: Column, b: Column, words: Int): Column =
+    (0 until words).map(i =>
+      bit_count(element_at(a, i + 1).bitwiseXOR(element_at(b, i + 1))))
+      .reduce(_ + _)
+
+  /** Two-stage ANN with binary prefilter: Hamming top-`candidates`
+    * over sign-bit signatures, then exact-cosine rerank to top-`k` —
+    * (query_id, neighbor_id, hamming, rank). Ties break by neighbor
+    * id at both stages; zero-norm corpus rows are droppable only at
+    * rerank (a signature always exists), mirroring [[bruteForceTopK]]'s
+    * ANSI-safe guard.
+    *
+    * Scale shape: stage 1 touches ONLY the 16-byte signature
+    * projection of the corpus — the float vectors never scan, never
+    * shuffle — against a broadcast of the query signatures; Spark
+    * ranks it with a per-partition group limit (WindowGroupLimit), so
+    * each map task forwards at most `candidates` rows per query.
+    * Stage 2 rejoins the |Q| x `candidates` survivors (corpus-size-
+    * free) to their full vectors for the exact rerank. At 100 TB the
+    * corpus pass is the 16x-smaller signature scan; everything
+    * downstream is proportional to the candidate set. */
+  def binarySignTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, candidates: Int): DataFrame = {
+    require(candidates >= k, s"need candidates >= k: $candidates < $k")
+    val dim = firstVectorDim(corpus, vecCol)
+    val words = (dim + 31) / 32
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      l2norm(col(vecCol)).as("qn"), binarySign(col(vecCol), dim).as("qsig"))
+    val csig = corpus.select(col(idCol).as("neighbor_id"),
+      binarySign(col(vecCol), dim).as("csig"))
+    val wH = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    val cand = broadcast(q.select("query_id", "qsig")).crossJoin(csig)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", packedHamming(col("qsig"), col("csig"), words))
+      .withColumn("h_rank", row_number().over(wH))
+      .filter(col("h_rank") <= candidates)
+      .select("query_id", "neighbor_id", "hamming")
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      l2norm(col(vecCol)).as("cn"))
+    val wC = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cand.join(cv, Seq("neighbor_id"))
+      .join(broadcast(q.select("query_id", "qv", "qn")), Seq("query_id"))
+      .filter(col("qn") > 0 && col("cn") > 0)
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wC))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "hamming", "rank")
+  }
 }

@@ -639,6 +639,54 @@ class SimilaritySpec extends SparkTestBase {
     assert(got.intersect(bf).size.toDouble / bf.size >= 0.8)
   }
 
+  test("binarySign packs strictly-positive coordinates into 32-bit words") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (0L, Seq.tabulate(34)(i => if (i == 0 || i == 33) 1f else if (i == 1) -1f else 0f)),
+      (1L, Seq.tabulate(34)(i => if (i <= 1) 0.5f else 0f)))
+      .toDF("id", "v")
+    val out = df.select(col("id"), Similarity.binarySign(col("v"), 34).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toMap
+    // id 0: bit 0 of word 0, bit 1 of word 1 (coord 33); zeros and
+    // negatives contribute nothing
+    assert(out(0L) == Seq(1L, 2L))
+    assert(out(1L) == Seq(3L, 0L))
+    val words = df.select(Similarity.packedHamming(
+      Similarity.binarySign(col("v"), 34),
+      org.apache.spark.sql.functions.array(
+        org.apache.spark.sql.functions.lit(0L),
+        org.apache.spark.sql.functions.lit(0L)), 2).as("h"))
+      .collect().map(_.getInt(0)).toSeq
+    // hamming vs the zero signature == popcount of the signature
+    assert(words == Seq(2, 2))
+  }
+
+  test("binary-sign top-k with full candidate set equals brute force") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .withColumnRenamed("vec_id", "id").withColumnRenamed("embedding", "v")
+    val q = e.filter("id < 10")
+    val bf = Similarity.bruteForceTopK(q, e, "id", "v", 5)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    val full = Similarity.binarySignTopK(q, e, "id", "v", 5,
+      candidates = 1000000)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    assert(full == bf, "rerank over ALL candidates must reproduce brute force")
+  }
+
+  test("binary-sign prefilter at 64 candidates keeps usable recall") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .withColumnRenamed("vec_id", "id").withColumnRenamed("embedding", "v")
+    val q = e.filter("id < 10")
+    val bf = Similarity.bruteForceTopK(q, e, "id", "v", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.binarySignTopK(q, e, "id", "v", 5, candidates = 64)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.6, s"64-candidate sign-bit recall too low: $recall")
+  }
+
   test("zero-norm vectors never rank (NaN cosine would sort first)") {
     val withZero = vecs.unionAll(Seq((9L, Seq(0f, 0f, 0f))).toDF("id", "v"))
     val out = Similarity.bruteForceTopK(
