@@ -278,6 +278,27 @@ object SparkEntry {
       .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
   }
 
+  /** Stage each frame in `batches` as ONE parquet file under `path`
+    * with strictly ascending mtimes — FileStreamSource discovers by
+    * modification time, so with maxFilesPerTrigger=1 each element
+    * becomes exactly one micro-batch, in sequence order (st14's
+    * pinning, factored for the multi-batch stream-stream queries).
+    * Returns the directory opened as that stream. */
+  private def stagedMicroBatches(s: SparkSession, path: String,
+      batches: Seq[DataFrame]): DataFrame = {
+    val t0 = System.currentTimeMillis() - 600000L
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val before =
+        if (i == 0) Set.empty[String]
+        else listDataFiles(path).map(_.getName).toSet
+      b.coalesce(1).write.mode("append").parquet(path)
+      listDataFiles(path).filterNot(f => before(f.getName))
+        .foreach(_.setLastModified(t0 + i * 5000L))
+    }
+    s.readStream.schema(s.read.parquet(path).schema)
+      .option("maxFilesPerTrigger", 1).parquet(path)
+  }
+
   /** Corpus-trained subword vocabulary for the tok1/pack3/ch2 family,
     * memoized per sf dir (training is two aggregations + two bounded
     * collects; the tokenizer queries share one table). vocabSize 64
@@ -2106,6 +2127,79 @@ object SparkEntry {
       s.read.parquet(s"$base/out")
         .select(col("id").as("vec_id"),
           posexplode(col("codes")).as(Seq("sub", "code")))
+    }),
+
+    // r8: st4's attribution interval join run as a REAL stream-stream
+    // join — two file streams (views, purchases), each delivered as
+    // two time-split micro-batches, joined with watermark-bounded
+    // state (2 h watermark over a 1 h window: state for a view is
+    // safely retained until no in-window purchase can still arrive,
+    // even across the batch-1/batch-2 time cut). Inner stream-stream
+    // join with all data eventually arriving == the batch interval
+    // join, so it shares st4's oracle
+    "st19_stream_stream_join" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("ts", col("ts").cast("timestamp"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("value"))
+      val base = tmpDir("graft_st19")
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      val vs = stagedMicroBatches(s, s"$base/v", Seq(
+        views.filter(col("view_ts") < cut), views.filter(col("view_ts") >= cut)))
+      val ps = stagedMicroBatches(s, s"$base/p", Seq(
+        purchases.filter(col("p_ts") < cut), purchases.filter(col("p_ts") >= cut)))
+      val joined = graft.streaming.EventStream.intervalJoin(
+        vs, ps, Seq("user_id"), "view_ts", "p_ts", "1 hour",
+        watermark = "2 hours")
+      val q = graft.streaming.EventStream.writeFileStream(
+        joined, s"$base/out", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_attributed"),
+          round(sum("value"), 2).as("attributed_value"))
+    }),
+
+    // r8: the LEFT OUTER stream-stream join e2e (st5's "which views
+    // never converted") — an outer row may only emit once the
+    // watermark PROVES no in-window purchase can still arrive, so
+    // after the two real batches each side gets two far-future
+    // sentinel micro-batches (user_id -1, filtered out below): the
+    // first pushes both watermarks past every real view's match
+    // deadline, and the rows evict/emit during the batch that
+    // processes the second (the watermark moves at batch boundaries
+    // — the StreamingSpec two-round dance, made deterministic here).
+    // With every real row flushed, stream == batch: st5's oracle
+    "st20_stream_outer_join" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("ts", col("ts").cast("timestamp"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("value"))
+      def sentV(ts: String) = s.range(1).select(lit(-1L).as("user_id"),
+        lit(ts).cast("timestamp").as("view_ts"))
+      def sentP(ts: String) = s.range(1).select(lit(-1L).as("user_id"),
+        lit(ts).cast("timestamp").as("p_ts"), lit(0.0).as("value"))
+      val base = tmpDir("graft_st20")
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      val vs = stagedMicroBatches(s, s"$base/v", Seq(
+        views.filter(col("view_ts") < cut), views.filter(col("view_ts") >= cut),
+        sentV("2024-03-01 00:00:00"), sentV("2024-03-10 00:00:00")))
+      val ps = stagedMicroBatches(s, s"$base/p", Seq(
+        purchases.filter(col("p_ts") < cut), purchases.filter(col("p_ts") >= cut),
+        sentP("2024-03-01 00:00:00"), sentP("2024-03-10 00:00:00")))
+      val joined = graft.streaming.EventStream.intervalJoin(
+        vs, ps, Seq("user_id"), "view_ts", "p_ts", "1 hour",
+        watermark = "2 hours", joinType = "left_outer")
+      val q = graft.streaming.EventStream.writeFileStream(
+        joined, s"$base/out", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out")
+        .filter(col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("p_ts").isNull, 1)).as("n_unattributed"))
     }),
 
     // r8: codebook drift guard for st15's train-offline/encode-online
@@ -8144,6 +8238,11 @@ object SparkEntry {
     * pattern applied to mining. */
   def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
     "mine2_bitext_ivf" -> oracleSqlBase("mine1_bitext_margin"),
+    // real stream-stream runs of the batch interval join: with every
+    // row delivered (and, for the outer form, every outer row flushed
+    // by the sentinel watermark push) stream == batch
+    "st19_stream_stream_join" -> oracleSqlBase("st4_attribution_join"),
+    "st20_stream_outer_join" -> oracleSqlBase("st5_unattributed_views"),
     "sim12_hard_negatives_ivf" -> oracleSqlBase("sim7_hard_negatives"),
     "sim13_maxsim_ivf" -> oracleSqlBase("sim8_maxsim_topk"),
     // full probe + depth >= corpus: the re-ranked output IS brute force
