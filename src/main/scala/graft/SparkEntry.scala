@@ -1056,6 +1056,14 @@ object SparkEntry {
       Dedup.goldenRecords(named, "doc_id", "name", pairs)
     }),
 
+    // SymSpell deletion-neighborhood join over the typo'd name
+    // vocabulary: guaranteed-recall blocking (shared <=1-deletion
+    // key), exact levenshtein verify — hash-matches the full
+    // quadratic oracle without ever running it
+    "ed2_deletion_join" -> ((s, dir) =>
+      Dedup.deletionNeighborhoodPairs(
+        namedFixture(t(s, dir, "documents")), "name", maxDistance = 1)),
+
     // character-level verify: every non-leader doc paired with its
     // 5-group leader, edit distance + similarity over capped texts
     "ed1_edit_distance" -> ((s, dir) => {
@@ -1727,6 +1735,21 @@ object SparkEntry {
         .withColumn("n_chars_extracted", length(col("extracted")))
     }),
 
+    // outlink extraction: four planted anchor kinds per doc incl. an
+    // uppercase HREF and a single-quoted value — one codegen
+    // regexp_extract_all, row-local classify, document order kept
+    "html2_extract_links" -> ((s, dir) => {
+      val d = col("doc_id").cast("string")
+      val html = concat(
+        lit("<body><a href=\"http://d"), (col("doc_id") % 7).cast("string"),
+        lit(".example/p/"), d, lit("\">x</a> <A HREF='/rel/"), d,
+        lit("'>y</a> <a class=\"z\" href=\"#sec-"), d,
+        lit("\">z</a><a href=\"//cdn.example/lib.js\">w</a></body>"))
+      TextNormalize.extractLinks(
+        t(s, dir, "documents").select(col("doc_id"), html.as("html")),
+        "doc_id", "html")
+    }),
+
     // link-graph PageRank in exact fixed-point: the corpus has no
     // links, so derive a deterministic graph (out-degree doc_id % 4,
     // targets hashed mod |docs| — includes dangling nodes and
@@ -2375,6 +2398,13 @@ object SparkEntry {
     "ir2_bm25" -> ((s, dir) =>
       Retrieval.bm25(t(s, dir, "documents"), "doc_id", "text",
         terms = Seq("join", "vector", "spark"))),
+
+    // exact phrase query "stream table hash": the positional-index
+    // lookup collapsed to a row-local codegen conjunction — no
+    // explode, no join, the filter rides the scan
+    "ir3_phrase_match" -> ((s, dir) =>
+      Retrieval.phraseMatch(t(s, dir, "documents"), "doc_id", "text",
+        Seq("stream", "table", "hash"))),
 
     // windowed PMI collocations: pair generation row-local inside
     // codegen (no positions self-join), totals broadcast
@@ -3756,6 +3786,14 @@ object SparkEntry {
       Similarity.pcaProject(t(s, dir, "embeddings"), "vec_id",
         "embedding", k = 2)),
 
+    // Johnson–Lindenstrauss ±1 projection 64 -> 16: md5-seeded
+    // literal sign matrix, quantized exact integer sums, one final
+    // divide — the oracle regenerates the signs and replays the
+    // arithmetic bit-for-bit
+    "emb3_jl_project" -> ((s, dir) =>
+      Similarity.jlProject(t(s, dir, "embeddings"), "vec_id",
+        "embedding", inDim = 64, outDim = 16)),
+
     // linear gap-fill over a sparse hourly grid (high-value events
     // only, so real gaps exist): interior nulls interpolate between
     // nearest non-null hours, edges stay null
@@ -3994,10 +4032,35 @@ object SparkEntry {
       Sequences.transitions(events(s, dir), "user_id",
         Seq("ts", "event_id"), "event_type")),
 
+    // Gopher line-level repetition: 4-line fixture with the third
+    // line duplicating the first on every doc_id % 3 == 0 — both the
+    // line fraction and the char-weighted fraction are row-local
+    // array algebra, no explode
+    "rep3_line_repetition" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val fixture = docs.select(col("doc_id"), concat_ws("\n",
+        array_join(slice(col("w"), 1, 3), " "),
+        array_join(slice(col("w"), 4, 3), " "),
+        when(col("doc_id") % 3 === 0, array_join(slice(col("w"), 1, 3), " "))
+          .otherwise(array_join(slice(col("w"), 7, 3), " ")),
+        array_join(slice(col("w"), 10, 3), " ")).as("text"))
+      QualityFilters.gopherRepetition(fixture, "doc_id", "text")
+    }),
+
     // Benford first-digit screen on order totals: observed vs
     // log10(1+1/d) with per-digit chi-square terms
     "dq9_benford" -> ((s, dir) =>
       DataQuality.benford(t(s, dir, "orders"), "o_totalprice")),
+
+    // approximate-FD profiling (g3 measure): a unique key that holds,
+    // two real-world soft dependencies that don't — counts are exact
+    // integer sums, the rate is one final divide
+    "dq10_fd_profile" -> ((s, dir) =>
+      DataQuality.fdProfile(t(s, dir, "orders"),
+        Seq(("o_orderkey", "o_orderstatus"),
+          ("o_custkey", "o_orderpriority"),
+          ("o_orderpriority", "o_orderstatus")))),
 
     // per-source token entropy (nats) via the one-pass identity
     // H = ln T - (sum n ln n)/T — the id-vs-category profiling signal
@@ -4081,7 +4144,17 @@ object SparkEntry {
         t(s, dir, "lineitem").select(col("l_returnflag"),
           round(col("l_quantity")).cast("long").as("qty"),
           round(col("l_extendedprice")).cast("long").as("price_units")),
-        Seq("l_returnflag"), col("qty"), col("price_units"))))
+        Seq("l_returnflag"), col("qty"), col("price_units"))),
+
+    // 2-D Pareto frontier of parts: maximize size, MINIMIZE price
+    // (negated into the maximize-both operator) — the
+    // efficient-frontier shape without a global sort; the oracle is
+    // the quadratic NOT EXISTS dominance definition
+    "sky1_pareto_front" -> ((s, dir) =>
+      Stats.paretoFront(
+        t(s, dir, "part").withColumn("__negprice", -col("p_retailprice")),
+        "p_size", "__negprice")
+        .select(col("p_partkey"), col("p_size"), col("p_retailprice"))))
 
   /** DuckDB-runnable oracles. Omitted keys (LSH/simhash candidate
     * generation, engine-specific JSON/fingerprint/decode-stub) get the
@@ -5284,6 +5357,31 @@ object SparkEntry {
         |       n_members
         |FROM rk WHERE rn = 1""".stripMargin,
 
+    // the oracle IS the quadratic scan the operator avoids — the
+    // blocked result must hash-equal it (recall proof, not estimate)
+    "ed2_deletion_join" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |         CASE (doc_id // 3) % 8
+        |           WHEN 0 THEN 'john' WHEN 1 THEN 'jane' WHEN 2 THEN 'alice'
+        |           WHEN 3 THEN 'robert' WHEN 4 THEN 'maria' WHEN 5 THEN 'david'
+        |           WHEN 6 THEN 'susan' ELSE 'peter' END AS fn,
+        |         doc_id % 3 AS r, doc_id // 3 AS g
+        |  FROM documents),
+        |nm AS (
+        |  SELECT doc_id,
+        |         (CASE r WHEN 1 THEN substr(fn, 1, length(fn) - 1)
+        |                 WHEN 2 THEN fn || 'e' ELSE fn END)
+        |           || ' fam' || CAST(g AS VARCHAR) AS name
+        |  FROM n),
+        |w AS (SELECT DISTINCT lower(trim(name)) AS w FROM nm
+        |      WHERE length(lower(trim(name))) > 0)
+        |SELECT a.w AS word_a, b.w AS word_b,
+        |       CAST(levenshtein(a.w, b.w) AS BIGINT) AS edit_distance
+        |FROM w a JOIN w b ON a.w < b.w
+        |WHERE abs(length(a.w) - length(b.w)) <= 1
+        |  AND levenshtein(a.w, b.w) <= 1""".stripMargin,
+
     "ed1_edit_distance" ->
       """WITH c AS (
         |  SELECT doc_id AS id_a, doc_id - doc_id % 5 AS id_b
@@ -5461,6 +5559,30 @@ object SparkEntry {
     // Bit-equal because both engines do the identical IEEE ops in the
     // identical order; list_aggregate(..., 'sum') is a sequential
     // in-order fold like the driver's while-loops
+    // sign(j,i) = parity of md5("graft:j:i")'s first hex char — the
+    // driver-side matrix regenerated in SQL; quantized sums are exact
+    // integers so only the final divide + round are float ops
+    "emb3_jl_project" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |idx AS (SELECT unnest(range(1, 65)) AS i),
+        |e AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS i0, q[i] AS qv
+        |      FROM q, idx),
+        |d AS (SELECT unnest(range(0, 16)) AS j),
+        |ii AS (SELECT unnest(range(0, 64)) AS i0),
+        |s AS (SELECT d.j, ii.i0,
+        |         CASE WHEN CAST(concat('0x', substr(md5(
+        |                'graft:' || d.j || ':' || ii.i0), 1, 1)) AS INTEGER) % 2 = 0
+        |              THEN 1 ELSE -1 END AS sg
+        |      FROM d, ii)
+        |SELECT e.vec_id, CAST(s.j AS INTEGER) AS dim,
+        |       round(CAST(sum(e.qv * s.sg) AS DOUBLE)
+        |             / (10000.0 * sqrt(CAST(16 AS DOUBLE))), 6) AS value
+        |FROM e JOIN s ON e.i0 = s.i0
+        |GROUP BY 1, 2""".stripMargin,
+
     "emb2_pca_project" ->
       """|WITH RECURSIVE
         |q AS (SELECT list_transform(embedding,
@@ -5900,6 +6022,33 @@ object SparkEntry {
         |SELECT doc_id, extracted, length(extracted) AS n_chars_extracted
         |FROM e""".stripMargin,
 
+    // identical fixture assembly, regexp_extract_all with the 'i'
+    // option, LIKE-based kind classification
+    "html2_extract_links" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         '<body><a href="http://d' || CAST(doc_id % 7 AS VARCHAR)
+        |         || '.example/p/' || CAST(doc_id AS VARCHAR)
+        |         || '">x</a> <A HREF=''/rel/' || CAST(doc_id AS VARCHAR)
+        |         || '''>y</a> <a class="z" href="#sec-' || CAST(doc_id AS VARCHAR)
+        |         || '">z</a><a href="//cdn.example/lib.js">w</a></body>' AS html
+        |  FROM documents),
+        |u0 AS (
+        |  SELECT doc_id, regexp_extract_all(html,
+        |           'href\s*=\s*["'']([^"'']*)["'']', 1, 'i') AS us
+        |  FROM h),
+        |idx AS (SELECT unnest(range(1, 9)) AS p),
+        |u AS (
+        |  SELECT doc_id, p, us[p] AS u
+        |  FROM u0, idx WHERE p <= len(us))
+        |SELECT doc_id AS doc, CAST(p AS BIGINT) AS link_pos, u AS url,
+        |       CASE WHEN lower(u) LIKE 'http://%' OR lower(u) LIKE 'https://%'
+        |              THEN 'absolute'
+        |            WHEN u LIKE '//%' THEN 'protocol-relative'
+        |            WHEN u LIKE '#%' THEN 'fragment'
+        |            ELSE 'relative' END AS kind
+        |FROM u""".stripMargin,
+
     "pr1_pagerank" -> pr1OracleSql(5),
 
     // canonical 3-way join with a < b < c counts each triangle once;
@@ -6298,6 +6447,22 @@ object SparkEntry {
         |       count(*) AS n_terms
         |FROM tf JOIN dfT USING (token) JOIN dl USING (doc) CROSS JOIN stats
         |GROUP BY tf.doc""".stripMargin,
+
+    "ir3_phrase_match" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |                             x -> length(x) > 0) AS l
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(l) >= 3 THEN
+        |           list_filter(range(1, len(l) - 1),
+        |             i -> l[i] = 'stream' AND l[i+1] = 'table' AND l[i+2] = 'hash')
+        |         ELSE [] END AS ps
+        |  FROM tok)
+        |SELECT doc_id AS doc, CAST(len(ps) AS BIGINT) AS n_matches,
+        |       CAST(ps[1] AS BIGINT) AS first_pos
+        |FROM m WHERE len(ps) > 0""".stripMargin,
 
     "pmi1_cooccurrence" ->
       """WITH tok AS (
@@ -7613,6 +7778,78 @@ object SparkEntry {
         |       round(CAST(c.n AS DOUBLE) / CAST(m.mm AS DOUBLE), 6) AS prob
         |FROM c JOIN m USING (from_type)""".stripMargin,
 
+    // identical line fixture; list_distinct + two length folds —
+    // fractions are single integer divides
+    "rep3_line_repetition" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |fx AS (SELECT doc_id,
+        |         array_to_string(w[1:3], ' ') || chr(10) ||
+        |         array_to_string(w[4:6], ' ') || chr(10) ||
+        |         (CASE WHEN doc_id % 3 = 0 THEN array_to_string(w[1:3], ' ')
+        |               ELSE array_to_string(w[7:9], ' ') END) || chr(10) ||
+        |         array_to_string(w[10:12], ' ') AS text
+        |       FROM base),
+        |l AS (SELECT doc_id,
+        |        list_filter(list_transform(string_split(text, chr(10)),
+        |          x -> trim(x)), x -> length(x) > 0) AS ls
+        |      FROM fx),
+        |m AS (SELECT doc_id, len(ls) AS nl, len(list_distinct(ls)) AS nd,
+        |        list_aggregate(list_transform(ls, x -> length(x)), 'sum') AS ch,
+        |        list_aggregate(list_transform(list_distinct(ls),
+        |          x -> length(x)), 'sum') AS dch
+        |      FROM l)
+        |SELECT doc_id, CAST(nl AS BIGINT) AS n_lines,
+        |       CASE WHEN nl > 0 THEN round(CAST(nl - nd AS DOUBLE) / nl, 6)
+        |            ELSE 0.0 END AS dup_line_frac,
+        |       CASE WHEN ch > 0 THEN round(CAST(ch - dch AS DOUBLE) / ch, 6)
+        |            ELSE 0.0 END AS dup_line_char_frac
+        |FROM m""".stripMargin,
+
+    // per-FD: distinct (det, dep) pairs -> per-det majority; the g3
+    // violation count is gn - max(n), tie-break-free
+    "dq10_fd_profile" ->
+      """WITH p1 AS (SELECT CAST(o_orderkey AS VARCHAR) AS det,
+        |                   CAST(o_orderstatus AS VARCHAR) AS dep, count(*) AS n
+        |            FROM orders GROUP BY 1, 2),
+        |g1 AS (SELECT det, sum(n) AS gn, count(*) AS vals, max(n) AS mx
+        |       FROM p1 GROUP BY det),
+        |p2 AS (SELECT CAST(o_custkey AS VARCHAR) AS det,
+        |              CAST(o_orderpriority AS VARCHAR) AS dep, count(*) AS n
+        |       FROM orders GROUP BY 1, 2),
+        |g2 AS (SELECT det, sum(n) AS gn, count(*) AS vals, max(n) AS mx
+        |       FROM p2 GROUP BY det),
+        |p3 AS (SELECT CAST(o_orderpriority AS VARCHAR) AS det,
+        |              CAST(o_orderstatus AS VARCHAR) AS dep, count(*) AS n
+        |       FROM orders GROUP BY 1, 2),
+        |g3 AS (SELECT det, sum(n) AS gn, count(*) AS vals, max(n) AS mx
+        |       FROM p3 GROUP BY det)
+        |SELECT 'o_orderkey' AS determinant, 'o_orderstatus' AS dependent,
+        |       CAST(sum(gn) AS BIGINT) AS n_rows,
+        |       CAST(count(*) AS BIGINT) AS n_groups,
+        |       CAST(sum(CASE WHEN vals > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS violating_groups,
+        |       CAST(sum(gn - mx) AS BIGINT) AS violating_rows,
+        |       round(CAST(sum(gn - mx) AS DOUBLE) / CAST(sum(gn) AS DOUBLE), 6)
+        |         AS violation_rate,
+        |       sum(gn - mx) = 0 AS holds
+        |FROM g1
+        |UNION ALL
+        |SELECT 'o_custkey', 'o_orderpriority',
+        |       CAST(sum(gn) AS BIGINT), CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN vals > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(sum(gn - mx) AS BIGINT),
+        |       round(CAST(sum(gn - mx) AS DOUBLE) / CAST(sum(gn) AS DOUBLE), 6),
+        |       sum(gn - mx) = 0
+        |FROM g2
+        |UNION ALL
+        |SELECT 'o_orderpriority', 'o_orderstatus',
+        |       CAST(sum(gn) AS BIGINT), CAST(count(*) AS BIGINT),
+        |       CAST(sum(CASE WHEN vals > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(sum(gn - mx) AS BIGINT),
+        |       round(CAST(sum(gn - mx) AS DOUBLE) / CAST(sum(gn) AS DOUBLE), 6),
+        |       sum(gn - mx) = 0
+        |FROM g3""".stripMargin,
+
     "dq9_benford" ->
       """WITH f AS (SELECT abs(o_totalprice) AS v FROM orders
         |           WHERE abs(o_totalprice) >= 1),
@@ -7838,6 +8075,18 @@ object SparkEntry {
         |FROM p JOIN m ma ON p.item_a = ma.i
         |       JOIN m mb_ ON p.item_b = mb_.i
         |       CROSS JOIN nb""".stripMargin,
+
+    // the semantic definition, quadratic: a part is on the frontier
+    // iff NO other part is >= on both axes with one strict
+    "sky1_pareto_front" ->
+      """SELECT p.p_partkey, p.p_size, p.p_retailprice
+        |FROM part p
+        |WHERE p.p_size IS NOT NULL AND p.p_retailprice IS NOT NULL
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM part q
+        |    WHERE q.p_size IS NOT NULL AND q.p_retailprice IS NOT NULL
+        |      AND q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+        |      AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))""".stripMargin,
 
     // exact-integer moment sums (quantity integral, price rounded to
     // whole units), centered-moment algebra on the exact scalars —

@@ -398,4 +398,54 @@ object DataQuality {
     }
     one.select(explode(array(stacked: _*)).as("c")).select("c.*")
   }
+
+  /** Approximate functional-dependency profiling: for each candidate
+    * FD det → dep, how far the data is from satisfying it. A
+    * determinant group VIOLATES when it maps to more than one
+    * dependent value; the violation count is the g3 measure — the
+    * minimum number of rows to delete so the FD holds exactly
+    * (rows − Σ per-group majority count). NULLs count as a value
+    * (SQL grouping semantics, both engines agree).
+    *
+    * The majority dependent per group is elected deterministically:
+    * largest count, ties broken by smallest dependent value — a
+    * min(struct(-cnt, dep)) aggregate, no window.
+    *
+    * Scale shape, per candidate FD: groupBy(det, dep) collapses the
+    * table to its distinct mapping pairs (map-side combined), then
+    * groupBy(det) reduces those to one counter row per determinant —
+    * two partial-agg shuffles over DISTINCT-pair cardinality, never
+    * the raw table twice. Candidates run independently and union.
+    *
+    * Output: one row per FD — (determinant, dependent, n_rows,
+    * n_groups, violating_groups, violating_rows, violation_rate
+    * rounded to 6; holds = violating_rows == 0). */
+  def fdProfile(df: DataFrame, fds: Seq[(String, String)]): DataFrame = {
+    require(fds.nonEmpty, "need at least one candidate FD")
+    val results = fds.map { case (det, dep) =>
+      val pairs = df.groupBy(
+          col(det).cast("string").as("__det"),
+          col(dep).cast("string").as("__dep"))
+        .agg(count(lit(1)).as("__n"))
+      val groups = pairs.groupBy("__det")
+        .agg(sum("__n").as("__gn"),
+          count(lit(1)).as("__vals"),
+          min(struct((-col("__n")).as("negn"), col("__dep").as("dep")))
+            .as("__maj"))
+        .select(col("__gn"), col("__vals"),
+          (col("__gn") + col("__maj.negn")).as("__viol"))
+      groups.agg(
+          sum("__gn").as("n_rows"),
+          count(lit(1)).as("n_groups"),
+          sum(when(col("__vals") > 1, 1L).otherwise(0L)).as("violating_groups"),
+          sum("__viol").as("violating_rows"))
+        .select(lit(det).as("determinant"), lit(dep).as("dependent"),
+          col("n_rows"), col("n_groups"), col("violating_groups"),
+          col("violating_rows"),
+          round(col("violating_rows").cast("double") /
+            col("n_rows").cast("double"), 6).as("violation_rate"),
+          (col("violating_rows") === 0L).as("holds"))
+    }
+    results.reduce(_.union(_))
+  }
 }

@@ -1422,6 +1422,62 @@ object Dedup {
       .select("id_a", "id_b", "edit_distance")
   }
 
+  /** Deletion-neighborhood similarity join (the SymSpell blocking
+    * scheme): ALL distinct string pairs within Levenshtein distance
+    * `maxDistance` (1 or 2), found WITHOUT the quadratic all-pairs
+    * scan and WITHOUT recall loss — unlike token blocking
+    * ([[blockedFuzzyPairs]]), which misses typos on single-token
+    * strings, the deletion key set carries a proof: if
+    * lev(a, b) <= k then some string reachable by <= k character
+    * deletions from a equals one reachable by <= k deletions from b
+    * (delete the edited positions on both sides), so a and b always
+    * collide on at least one key in {s} ∪ del_1(s) [∪ del_2(s)].
+    * Candidates are verified by exact `levenshtein`, so the output
+    * is EXACTLY the distance-threshold pairs — the sf fixture
+    * hash-matches a full quadratic oracle.
+    *
+    * Scale shape: a string of length L contributes 1 + L keys
+    * (k = 1) or O(L²) keys (k = 2) — linear/quadratic in STRING
+    * length, never in vocabulary size; the self-join shuffles only
+    * (key, word) pairs and candidate multiplicity is bounded by the
+    * deletion-bucket sizes, so cost is linear in true near-pairs.
+    * A 10M-word vocabulary is ~100M keys at k = 1 vs 10¹⁴ quadratic
+    * comparisons. Intended for BOUNDED strings (words, names, codes);
+    * cap long inputs upstream — deletion neighborhoods of documents
+    * are the wrong tool (use [[ngramJaccardPairs]]).
+    *
+    * Output: (word_a, word_b, edit_distance) with word_a < word_b,
+    * lowercased/trimmed, distance <= `maxDistance`. */
+  def deletionNeighborhoodPairs(df: DataFrame, wordCol: String,
+      maxDistance: Int = 1): DataFrame = {
+    require(maxDistance == 1 || maxDistance == 2,
+      s"maxDistance must be 1 or 2: $maxDistance")
+    val words = df.select(lower(trim(col(wordCol))).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+    // all single-character deletions of c — empty-safe (deleting the
+    // only char of a 1-char string yields "", a legitimate shared key
+    // for 1-char-vs-empty-adjacent pairs)
+    def del1(c: Column): Column =
+      when(length(c) > 0,
+        transform(sequence(lit(1), length(c)), i =>
+          concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c) - i))))
+        .otherwise(array().cast("array<string>"))
+    val base = concat(array(col("w")), del1(col("w")))
+    val keysArr =
+      if (maxDistance == 1) base
+      else concat(base, flatten(transform(del1(col("w")), d => del1(d))))
+    val keyed = Dedup.spread(words)
+      .select(col("w"), explode(array_distinct(keysArr)).as("__key"))
+    keyed.select(col("__key"), col("w").as("word_a"))
+      .join(keyed.select(col("__key"), col("w").as("word_b")), Seq("__key"))
+      .filter(col("word_a") < col("word_b"))
+      .dropDuplicates("word_a", "word_b")
+      .withColumn("edit_distance",
+        levenshtein(col("word_a"), col("word_b")).cast("long"))
+      .filter(col("edit_distance") <= maxDistance)
+      .select("word_a", "word_b", "edit_distance")
+  }
+
   /** Golden-record election (the survivorship step of MDM-style
     * entity resolution): match pairs → transitive closure → ONE
     * canonical record per entity. `pairs` is any (id_a, id_b) match

@@ -193,6 +193,42 @@ object QualityFilters {
           greatest(col("s.n_words"), lit(1L)), 4).as("distinct_word_frac"))
   }
 
+  /** Gopher's LINE-level repetition signals — the companions of
+    * [[repetitionSignals]]'s n-gram fractions (Rae et al. 2021,
+    * Table A1 measures both families): per document,
+    *  - `dup_line_frac`: fraction of non-empty lines that are
+    *    repeats of an earlier line = (lines − distinct lines)/lines;
+    *  - `dup_line_char_frac`: fraction of characters sitting in
+    *    those repeated occurrences = (Σ chars − Σ distinct-line
+    *    chars)/Σ chars — the weighted form that catches a doc whose
+    *    one duplicated line is half its content.
+    * Lines split on `sep` (literal, not regex), trimmed; empty lines
+    * never count. Docs with zero non-empty lines emit zero fractions.
+    *
+    * Shape: entirely ROW-LOCAL array algebra (split → trim/filter →
+    * array_distinct + two in-row length folds) — no explode, no
+    * shuffle, the fractions are one integer divide each. */
+  def gopherRepetition(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = filter(
+      transform(split(col(textCol), java.util.regex.Pattern.quote(sep)),
+        l => trim(l)),
+      l => length(l) > 0)
+    val nLines = size(col("__lines")).cast("long")
+    val nDistinct = size(array_distinct(col("__lines"))).cast("long")
+    val chars = aggregate(col("__lines"), lit(0L),
+      (acc, x) => acc + length(x))
+    val distinctChars = aggregate(array_distinct(col("__lines")), lit(0L),
+      (acc, x) => acc + length(x))
+    df.select(col(idCol), lines.as("__lines"))
+      .select(col(idCol),
+        nLines.as("n_lines"),
+        when(nLines > 0, round((nLines - nDistinct).cast("double") /
+          nLines.cast("double"), 6)).otherwise(0.0).as("dup_line_frac"),
+        when(chars > 0, round((chars - distinctChars).cast("double") /
+          chars.cast("double"), 6)).otherwise(0.0).as("dup_line_char_frac"))
+  }
+
   /** IN-ENGINE trained quality classifier — the learned counterpart
     * of the heuristic [[gate]]: a linear model trained by FULL-BATCH
     * gradient descent where each iteration is ONE map-combined

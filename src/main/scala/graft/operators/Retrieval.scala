@@ -85,6 +85,40 @@ object Retrieval {
       .agg(round(sum("__s"), 4).as("bm25"), count(lit(1)).as("n_terms"))
   }
 
+  /** Exact phrase search: documents containing the token sequence
+    * `phrase` CONSECUTIVELY (the positional-index query, "stream
+    * table hash" ≠ those words anywhere). Output per matching doc:
+    * (doc, n_matches, first_pos) with 1-based token positions.
+    *
+    * Scale shape: entirely ROW-LOCAL — the phrase is a literal, so
+    * the k-way positional join a server-side inverted index would do
+    * collapses into an unrolled conjunction over the doc's own token
+    * array inside whole-stage codegen (O(tokens · k) per row, no
+    * explode, no shuffle, no index build). Matching docs only are
+    * emitted, so the filter rides the scan. Use the positional-join
+    * form only when amortizing MANY queries over one prebuilt index;
+    * for a curation pass with a handful of probes this plan is
+    * strictly better. */
+  def phraseMatch(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    require(phrase == phrase.map(_.toLowerCase.trim),
+      s"phrase tokens must be lowercase/trimmed to match tokenization: $phrase")
+    require(phrase.forall(_.nonEmpty), s"empty phrase token: $phrase")
+    val k = phrase.length
+    val ts = tokens(col(textCol))
+    val positions = when(size(ts) >= k,
+      filter(sequence(lit(1), size(ts) - (k - 1)), i =>
+        phrase.zipWithIndex.map { case (w, j) =>
+          element_at(ts, i + lit(j)) === lit(w)
+        }.reduce(_ && _)))
+      .otherwise(array().cast("array<int>"))
+    docs.select(col(idCol).as("doc"), positions.as("__ps"))
+      .filter(size(col("__ps")) > 0)
+      .select(col("doc"), size(col("__ps")).cast("long").as("n_matches"),
+        element_at(col("__ps"), 1).cast("long").as("first_pos"))
+  }
+
   /** Windowed PMI co-occurrence: for every DIRECTED token pair (a
     * before b, at most `window` positions apart) occurring at least
     * `minCount` times, the pointwise mutual information

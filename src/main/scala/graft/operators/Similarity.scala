@@ -1342,4 +1342,49 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "hamming", "rank")
   }
+
+  /** Johnson–Lindenstrauss sign-random projection `inDim` → `outDim`
+    * (Achlioptas ±1 variant): out_j = Σ_i sign(j,i)·v_i / √outDim,
+    * the standard dimensionality-reduction pre-stage for ANN — JL
+    * guarantees pairwise distances distort by at most (1 ± ε) for
+    * outDim = O(ln n / ε²), independent of inDim.
+    *
+    * Determinism/portability contract: the sign matrix is a pure
+    * function of (seed, j, i) — parity of the first hex char of
+    * md5("seed:j:i") — computed ON THE DRIVER (it is data-independent)
+    * and embedded as literal arrays, so any engine can regenerate it;
+    * inputs are quantized to integers (round(v · quantScale)), each
+    * out_j is then an EXACT integer sum (order-independent), and the
+    * only float ops are the final divide by quantScale·√outDim and a
+    * round(,6) — both fixed single IEEE ops, so the sf oracle replays
+    * the projection bit-for-bit.
+    *
+    * Scale shape: one shuffle-free codegen projection — outDim native
+    * [[graft.functions.VectorExpressions.DotProduct]] kernels against
+    * broadcast-free literal sign rows; O(inDim · outDim) work per row,
+    * no row blowup (the (row × i × j) explode formulation would
+    * multiply the corpus 1024×).
+    *
+    * Output: (idCol, dim, value) long-format — one row per projected
+    * coordinate. */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String, inDim: Int,
+      outDim: Int = 16, seed: String = "graft",
+      quantScale: Long = 10000L): DataFrame = {
+    require(inDim >= 1 && outDim >= 1, s"dims: $inDim -> $outDim")
+    require(quantScale >= 1, s"quantScale: $quantScale")
+    val signs: Array[Array[Double]] = Array.tabulate(outDim, inDim) { (j, i) =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$j:$i".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
+    }
+    val q = transform(col(vecCol), v =>
+      round(v.cast("double") * quantScale))
+    val divisor = quantScale.toDouble * math.sqrt(outDim.toDouble)
+    val proj = signs.map { row =>
+      graft.functions.VectorExpressions.dot_product(q, typedlit(row.toSeq))
+    }
+    df.select(col(idCol), posexplode(array(proj.toIndexedSeq: _*)))
+      .select(col(idCol), col("pos").as("dim"),
+        round(col("col") / divisor, 6).as("value"))
+  }
 }

@@ -301,4 +301,75 @@ object Stats {
         round(intercept, 6).cast("double").as("intercept"),
         round(r2, 6).cast("double").as("r2")): _*)
   }
+
+  /** 2-D Pareto frontier (skyline): every input row not dominated in
+    * the MAXIMIZE-both sense — no other row has xCol >= x AND
+    * yCol >= y with at least one strict. Minimize a dimension by
+    * negating it at the call site. Exact duplicates of a frontier
+    * point are all on the frontier (neither strictly beats the
+    * other), matching the NOT EXISTS dominance definition the sf
+    * oracle replays quadratically.
+    *
+    * The classic answer is a single global sort with a running max —
+    * a SinglePartition bottleneck at scale. This runs DISTRIBUTED:
+    * (1) one groupBy on x collapses the data to T(x) = max y per
+    * distinct x; (2) that table is range-bucketed on x
+    * (approxQuantile boundaries balance it; exactness never depends
+    * on them) and a per-bucket DESC window computes the
+    * within-bucket exclusive running max; (3) per-bucket maxima —
+    * <= `buckets` rows — collect to the driver, turn into exclusive
+    * cross-bucket prefix maxima, and broadcast back, giving
+    * M(x) = max{T(x') : x' > x} with no global sort; (4) a row is on
+    * the frontier iff y = T(x) and y > M(x). Shuffles: the groupBy,
+    * the bucket window, one broadcast join back to the input — all
+    * on the distinct-x table, never a cartesian.
+    */
+  def paretoFront(df: DataFrame, xCol: String, yCol: String,
+      buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, "need at least one bucket")
+    val spark = df.sparkSession
+    val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val top = pts.groupBy(x.as("__x")).agg(max(y).as("__ty"))
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val boundaries =
+      if (probs.isEmpty) Array.empty[Double]
+      else top.stat.approxQuantile("__x", probs, 0.001)
+    val bucket: Column = boundaries.distinct.foldLeft(lit(0)) {
+      case (acc, b) => acc + when(col("__x") > b, 1).otherwise(0)
+    }
+    val local = top.withColumn("__bucket", bucket)
+    val w = Window.partitionBy("__bucket").orderBy(col("__x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = local.withColumn("__ml",
+      coalesce(max(col("__ty")).over(w), lit(Double.NegativeInfinity)))
+    // per-bucket maxima: <= `buckets` rows by construction
+    val bucketMax = local.groupBy("__bucket").agg(max("__ty").as("__bm"))
+      .orderBy(col("__bucket").desc).collect()
+    var acc = Double.NegativeInfinity
+    val offsetRows = bucketMax.map { r =>
+      // exclusive prefix from HIGHER buckets (x sorts ascending into
+      // buckets, dominance comes from larger x)
+      val row = org.apache.spark.sql.Row(r.getInt(0), acc)
+      acc = math.max(acc, r.getDouble(1))
+      row
+    }.toSeq
+    val offSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__bucket",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("__off",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val offsets = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsetRows, 1), offSchema)
+    val frontier = withLocal.join(broadcast(offsets), "__bucket")
+      .withColumn("__my", greatest(col("__ml"), col("__off")))
+      .filter(col("__ty") > col("__my"))
+      .select(col("__x"), col("__ty"))
+    // equi-join back on (x, y); the frontier is typically tiny (AQE
+    // broadcasts it) but CAN be O(distinct x) adversarially, so the
+    // broadcast is not forced
+    pts.join(frontier, x === col("__x") && y === col("__ty"))
+      .drop("__x", "__ty")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text normalization for dedup/tokenization pipelines
@@ -67,6 +67,31 @@ object TextNormalize {
       .foldLeft(noTags) { case (col0, (from, to)) =>
         replace(col0, lit(from), lit(to)) }
     collapseWhitespace(ent)
+  }
+
+  /** Outlink extraction from raw HTML — the web-graph half of the
+    * crawl-extraction step ([[extractText]] is the text half): every
+    * `href` target in document order with its 1-based position and a
+    * kind tag (absolute / protocol-relative / fragment / relative)
+    * the URL frontier routes on. Same contract as extractText:
+    * regex-composable (RE2-class, no lookaround) so the whole thing
+    * is ONE codegen `regexp_extract_all` + a row-local classify —
+    * shuffle-free, and exactly replayable in SQL. Quote handling is
+    * the pragmatic crawl rule: double- or single-quoted values,
+    * mismatched quotes truncate at the first closing quote of either
+    * kind. */
+  def extractLinks(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val urls = regexp_extract_all(col(htmlCol),
+      lit("(?i)href\\s*=\\s*[\"']([^\"']*)[\"']"), lit(1))
+    val url = col("url")
+    val kind = when(lower(url).startsWith("http://") ||
+        lower(url).startsWith("https://"), "absolute")
+      .when(url.startsWith("//"), "protocol-relative")
+      .when(url.startsWith("#"), "fragment")
+      .otherwise("relative")
+    df.select(col(idCol).as("doc"), posexplode(urls).as(Seq("__p", "url")))
+      .select(col("doc"), (col("__p") + 1).cast("long").as("link_pos"),
+        url, kind.as("kind"))
   }
 
   /** Truncate to at most `n` characters without splitting a word:

@@ -263,4 +263,29 @@ class DiffWinsorizeSpec extends SparkTestBase {
     // the drained and doubled buckets dominate the total
     assert(moved(9L) + moved(0L) > 0.8 * moved.values.sum)
   }
+
+  test("fdProfile: g3 violations, holding key, null-as-value semantics") {
+    val df = Seq(
+      (1L, "a", "x"), (1L, "a", "x"), (1L, "a", "y"),  // k=1 -> always 'a'
+      (2L, "b", "x"), (2L, "b", "x"),                  // k=2 -> always 'b'
+      (3L, null, "z"))                                 // null dep is a value
+      .toDF("k", "dep", "other")
+    val out = DataQuality.fdProfile(df, Seq(("k", "dep"), ("other", "dep")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val kd = out(("k", "dep"))
+    assert(kd.getAs[Long]("n_rows") == 6L)
+    assert(kd.getAs[Long]("n_groups") == 3L)
+    assert(kd.getAs[Long]("violating_groups") == 0L)   // one dep per k
+    assert(kd.getAs[Long]("violating_rows") == 0L)
+    assert(kd.getAs[Boolean]("holds"))
+    val od = out(("other", "dep"))
+    assert(!od.getAs[Boolean]("holds"))
+    // g3 = rows - sum(majority): x -> {a:2, b:2} maj 2, y -> {a:1},
+    // z -> {null:1}  =>  6 - (2 + 1 + 1) = 2
+    assert(od.getAs[Long]("violating_rows") == 2L)
+    assert(od.getAs[Long]("violating_groups") == 1L)
+    assert(od.getAs[Double]("violation_rate") ==
+      BigDecimal(2.0 / 6.0).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+  }
 }

@@ -159,6 +159,39 @@ class DedupSpec extends SparkTestBase {
       maxDistance = 2, maxBlockSize = 3).count() == 0)
   }
 
+  test("deletionNeighborhoodPairs == brute-force levenshtein at k=1 and k=2") {
+    // single-token strings: token blocking has NO shared-token signal
+    // here — the deletion keys are the only recall path
+    val words = Seq("cat", "car", "cart", "act", "dog", "dogs", "dg",
+      "xylophone", "a", "ab").map(Tuple1(_)).toDF("word")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val vocab = words.collect().map(_.getString(0)).toSeq
+    def brute(k: Int) = (for {
+      a <- vocab; b <- vocab if a < b && lev(a, b) <= k
+    } yield (a, b, lev(a, b).toLong)).toSet
+    for (k <- Seq(1, 2)) {
+      val got = Dedup.deletionNeighborhoodPairs(words, "word", maxDistance = k)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == brute(k), s"k=$k")
+    }
+  }
+
+  test("deletionNeighborhoodPairs normalizes case/whitespace and dedups variants") {
+    val words = Seq(" Cat ", "cat", "CAT", "bat").map(Tuple1(_)).toDF("word")
+    val got = Dedup.deletionNeighborhoodPairs(words, "word")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // the three cat spellings collapse to ONE vocab entry — no self
+    // pair, one (bat, cat) pair
+    assert(got == Set(("bat", "cat", 1L)))
+  }
+
   test("goldenRecords: transitive closure, shortest-name election, singleton survival") {
     val recs = Seq(
       (1L, "John Smith"), (2L, "Jon Smith"), (3L, "John Smyth"), // one entity
@@ -1945,6 +1978,68 @@ class PcaSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val b = Similarity.pcaProject(vecs.repartition(7), "vec_id", "embedding", 2)
       .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(a == b)
+  }
+}
+
+class JlProjectSpec extends SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def sign(seed: String, j: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$j:$i".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 0xf) % 2 == 0) 1.0 else -1.0
+  }
+
+  private def vecs = (1 to 30).map { n =>
+    (n.toLong, Array.tabulate(8)(i => ((n * 31 + i * 17) % 19 - 9) / 4.5f))
+  }
+  private def df = vecs.toDF("vec_id", "embedding")
+
+  test("jlProject equals the driver-side reference bit-for-bit") {
+    val out = Similarity.jlProject(df, "vec_id", "embedding",
+      inDim = 8, outDim = 4, seed = "graft")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val div = 10000.0 * math.sqrt(4.0)
+    for ((id, v) <- vecs; j <- 0 until 4) {
+      val s = (0 until 8).map(i =>
+        BigDecimal(v(i).toDouble * 10000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+          * sign("graft", j, i)).sum
+      val expect = BigDecimal(s / div)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out((id, j)) == expect, s"id=$id dim=$j")
+    }
+  }
+
+  test("jlProject preserves pairwise distances within JL distortion") {
+    // 64 -> 16 on spread-out deterministic vectors; squared-distance
+    // ratios should sit well inside a loose (1 ± 0.75) band — this is
+    // a sanity floor, not the JL bound itself
+    val wide = (1 to 12).map { n =>
+      (n.toLong, Array.tabulate(64)(i => ((n * 37 + i * 13) % 23 - 11) / 11.0f))
+    }
+    val proj = Similarity.jlProject(wide.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", inDim = 64, outDim = 16)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)) }
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    for (a <- 1 to 12; b <- (a + 1) to 12) {
+      val orig = d2(wide(a - 1)._2.map(_.toDouble).toSeq,
+        wide(b - 1)._2.map(_.toDouble).toSeq)
+      val got = d2(proj(a.toLong).toSeq, proj(b.toLong).toSeq)
+      assert(got > orig * 0.25 && got < orig * 1.75, s"pair ($a,$b)")
+    }
+  }
+
+  test("jlProject is partitioning-invariant (exact integer sums)") {
+    val a = Similarity.jlProject(df, "vec_id", "embedding", 8, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val b = Similarity.jlProject(df.repartition(7), "vec_id", "embedding", 8, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
     assert(a == b)
   }
 }

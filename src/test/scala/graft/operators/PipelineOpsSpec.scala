@@ -272,6 +272,26 @@ class QualityFiltersSpec extends SparkTestBase {
     assert(out(1).getAs[Double]("distinct_word_frac") == 1.0)
   }
 
+  test("gopherRepetition: line + char-weighted fractions, blank lines out") {
+    val rows = Seq(
+      (1L, "aa\naa\nbb"),            // one repeat: 1/3 lines, 2/6 chars
+      (2L, "aa\n   \naa"),           // whitespace-only line never counts
+      (3L, "x\nyy\nzzz"),            // all distinct
+      (4L, "longline\nlongline\nz"), // char fraction >> line fraction
+      (5L, ""))                      // no non-empty lines
+      .toDF("doc_id", "text")
+    val out = QualityFilters.gopherRepetition(rows, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0) == ((3L, r6(1.0 / 3), r6(2.0 / 6))))
+    assert(out(1) == ((2L, 0.5, 0.5)))
+    assert(out(2) == ((3L, 0.0, 0.0)))
+    assert(out(3) == ((3L, r6(1.0 / 3), r6(8.0 / 17))))
+    assert(out(4) == ((0L, 0.0, 0.0)))
+  }
+
   test("single-word and empty documents yield no repetition rows") {
     val rows = Seq((1L, "lonely"), (2L, ""), (3L, "a b")).toDF("doc_id", "text")
     val out = QualityFilters.repetitionSignals(rows, "doc_id", "text", n = 2)

@@ -83,4 +83,27 @@ class RetrievalSpec extends SparkTestBase {
       .orderBy("rank").collect().map(_.getLong(1)).toSeq
     assert(tied == Seq(3L, 5L))
   }
+
+  test("phraseMatch: consecutive only, overlaps counted, short docs safe") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),          // one match at pos 2
+      (2L, "cat on sat"),                      // words present, NOT consecutive
+      (3L, "a cat sat then cat sat again"),    // two matches, first at 2
+      (4L, "cat sat"),                         // exact-length doc
+      (5L, "x x x CAT  SAT x"),                // case + multi-space normalize
+      (6L, "cat"),                             // shorter than the phrase
+      (7L, ""))                                // empty
+      .toDF("doc_id", "text")
+    val out = Retrieval.phraseMatch(docs, "doc_id", "text", Seq("cat", "sat"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(1L -> ((1L, 2L)), 3L -> ((2L, 2L)),
+      4L -> ((1L, 1L)), 5L -> ((1L, 4L))))
+    // self-overlapping phrase: "a a a" has "a a" at 1 and 2
+    val ov = Retrieval.phraseMatch(Seq((9L, "a a a")).toDF("doc_id", "text"),
+      "doc_id", "text", Seq("a", "a")).collect()(0)
+    assert(ov.getLong(1) == 2L && ov.getLong(2) == 1L)
+    intercept[IllegalArgumentException] {
+      Retrieval.phraseMatch(docs, "doc_id", "text", Seq("Cat"))
+    }
+  }
 }

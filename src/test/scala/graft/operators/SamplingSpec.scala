@@ -299,6 +299,22 @@ class TextNormalizeSpec extends SparkTestBase {
       .select(TextNormalize.extractText(col("t"))).first().isNullAt(0))
   }
 
+  test("extractLinks: order, quote styles, case-blind attr, kind classes") {
+    val html = "<a href=\"https://Ex.com/A\">1</a><A HREF='/rel/b'>2</A>" +
+      "<a title=\"x\" href=\"#frag\">3</a><a href=\"//cdn.ex/l.js\">4</a>" +
+      "<a href=\"mailto:x@y.z\">5</a><p>no links here</p>"
+    val out = TextNormalize.extractLinks(
+      Seq((7L, html), (8L, "<p>none</p>")).toDF("id", "h"), "id", "h")
+      .orderBy("doc", "link_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (7L, 1L, "https://Ex.com/A", "absolute"),
+      (7L, 2L, "/rel/b", "relative"),
+      (7L, 3L, "#frag", "fragment"),
+      (7L, 4L, "//cdn.ex/l.js", "protocol-relative"),
+      (7L, 5L, "mailto:x@y.z", "relative")))   // no-links doc absent
+  }
+
   test("word-boundary truncation never splits words") {
     val df = Seq("the quick brown fox", "supercalifragilistic", "short")
       .toDF("t").select(TextNormalize.truncateAtWord(col("t"), 12).as("o"))

@@ -242,4 +242,38 @@ class StatsSpec extends SparkTestBase {
     assert(r.getAs[Double]("slope") === 2.0)
     assert(r.getAs[Double]("intercept") === 1.0)
   }
+
+  test("paretoFront == quadratic dominance on a planted set, any bucket count") {
+    // deterministic pseudo-random points plus planted structure:
+    // duplicates of a frontier point, a same-x dominated point, nulls
+    val pts = (1L to 200L).map { i =>
+      val x = (i * 37 % 101).toDouble
+      val y = (i * 53 % 97).toDouble
+      (i, x, y)
+    } ++ Seq((201L, 100.0, 96.0), (202L, 100.0, 96.0), // frontier twins
+      (203L, 100.0, 1.0),                              // same-x dominated
+      (204L, Double.MaxValue, -1.0))                   // extreme corner
+    val df = pts.toDF("id", "x", "y")
+    val brute = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, qx, qy) =>
+        qx >= x && qy >= y && (qx > x || qy > y) }
+    }.map(_._1).toSet
+    for (b <- Seq(1, 4, 64)) {
+      val got = Stats.paretoFront(df, "x", "y", buckets = b)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == brute, s"buckets=$b")
+    }
+    // both duplicate frontier rows survive; the dominated same-x row dies
+    assert(brute.contains(201L) && brute.contains(202L) && !brute.contains(203L))
+  }
+
+  test("paretoFront drops null coordinates, keeps original columns") {
+    val df = Seq((1L, Some(1.0), Some(1.0), "keep"),
+      (2L, None, Some(9.0), "nullx"),
+      (3L, Some(9.0), None, "nully"))
+      .toDF("id", "x", "y", "tag")
+    val out = Stats.paretoFront(df, "x", "y").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(out(0).getAs[String]("tag") == "keep")
+  }
 }
