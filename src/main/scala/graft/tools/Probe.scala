@@ -18,6 +18,7 @@ object Probe {
     if (args.headOption.contains("r6probe")) { r6probe(spark, dir); spark.stop(); return }
     if (args.headOption.contains("r7probe")) { r7probe(spark, dir); spark.stop(); return }
     if (args.headOption.contains("r8probe")) { r8probe(spark, dir); spark.stop(); return }
+    if (args.headOption.contains("r8probe2")) { r8probe2(spark, dir); spark.stop(); return }
     if (args.headOption.contains("r7pipe")) { r7pipe(spark, dir); spark.stop(); return }
     if (args.headOption.contains("jdbcYardstick")) { jdbcYardstick(spark, dir); spark.stop(); return }
     if (args.headOption.contains("dd4")) { dd4(spark, dir); spark.stop(); return }
@@ -816,6 +817,52 @@ object Probe {
       kmvDf.filter(col("g") === "0").select("v").distinct()
         .intersect(kmvDf.filter(col("g") === "7").select("v").distinct())
         .count())
+  }
+
+  def r8probe2(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    def timed[T](label: String)(f: => T): T = {
+      val t = System.nanoTime(); val r = f
+      println(f"=== r8probe $label: ${(System.nanoTime() - t) / 1e9}%.2fs"); r
+    }
+
+    // ---- ed2: deletion-neighborhood join vs the quadratic scan ----
+    // typo'd vocabulary: 16,667 8-char hex bases x 3 variants
+    // (identity / drop-last / append) ~= 50K distinct words; every
+    // group plants two lev<=1 pairs
+    def typoVocab(nBases: Long) = spark.range(nBases)
+      .select(concat(lit("w"),
+        substring(md5(col("id").cast("string")), 1, 7)).as("base"))
+      .select(explode(array(col("base"),
+        expr("substring(base, 1, length(base) - 1)"),
+        concat(col("base"), lit("x")))).as("word"))
+      .localCheckpoint()
+    val v50 = typoVocab(16667L)
+    val nDel = timed("ed2 deletion join, 50K-word vocab")(
+      graft.operators.Dedup.deletionNeighborhoodPairs(v50, "word").count())
+    println(s"=== r8probe ed2 pairs@50K: $nDel (2/group planted)")
+    val v5 = typoVocab(1667L)
+    val nDel5 = timed("ed2 deletion join, 5K-word vocab")(
+      graft.operators.Dedup.deletionNeighborhoodPairs(v5, "word").count())
+    val w5 = v5.select(lower(trim(col("word"))).as("w"))
+      .filter(length(col("w")) > 0).distinct().localCheckpoint()
+    val nQuad = timed("ed2 QUADRATIC levenshtein, 5K-word vocab")(
+      w5.select(col("w").as("word_a"))
+        .crossJoin(w5.select(col("w").as("word_b")))
+        .filter(col("word_a") < col("word_b") &&
+          abs(length(col("word_a")) - length(col("word_b"))) <= 1 &&
+          levenshtein(col("word_a"), col("word_b")) <= 1)
+        .count())
+    println(s"=== r8probe ed2 recall check @5K: deletion=$nDel5 quad=$nQuad " +
+      s"equal=${nDel5 == nQuad} (quadratic at 50K would be 100x this scan)")
+
+    // ---- sky1: distributed Pareto frontier at 20M rows ----
+    val sky = spark.range(20000000L).select(col("id"),
+      pmod(xxhash64(col("id")), lit(1000000L)).cast("double").as("x"),
+      pmod(xxhash64(col("id"), lit(1)), lit(1000000L)).cast("double").as("y"))
+    val nSky = timed("sky1 paretoFront, 20M uniform points")(
+      graft.operators.Stats.paretoFront(sky, "x", "y").count())
+    println(s"=== r8probe sky1 frontier size @20M: $nSky")
   }
 
   def r6probe(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
