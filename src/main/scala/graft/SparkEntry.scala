@@ -1224,6 +1224,19 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank")
     }),
 
+    // recall@5 of the int8-quantized ranking vs full-precision brute
+    // force — the ANN evaluation harness as a first-class operator;
+    // the oracle replays BOTH ranking pipelines and the join
+    "eval1_ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val exact = Similarity.bruteForceTopK(
+        e.filter("vec_id < 10"), e, "vec_id", "embedding", 5)
+      val approx = Similarity.ivfTopKQuantized(
+        e.filter("vec_id < 10"), e, "vec_id", "embedding", 5,
+        nCentroids = 8, nProbe = 8)
+      Similarity.annRecall(approx, exact, k = 5)
+    }),
+
     // r7: product quantization — the 32x-compressed ANN payload tier.
     // Deterministic fused Lloyd's per subspace (kmeans1's contract:
     // smallest-id init, (cost, cid) tie-break, empty clusters keep
@@ -2414,6 +2427,12 @@ object SparkEntry {
 
     "ta4_unigram_logprob" -> ((s, dir) =>
       Scoring.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Kneser-Ney smoothed bigram scorer (the CCNet/KenLM smoothing):
+    // absolute discount 0.75 + continuation-probability backoff, all
+    // exact count ratios in a fixed double tree
+    "ta9_kn_bigram_logprob" -> ((s, dir) =>
+      Scoring.knBigramLogProb(t(s, dir, "documents"), "doc_id", "text")),
 
     // CCNet perplexity bands: head/middle/tail at the 0.3/0.7 exact
     // score quantiles, cutoffs broadcast back as a 1-row frame
@@ -4116,6 +4135,17 @@ object SparkEntry {
           floor(col("c_acctbal") / 2000).cast("long").as("bal_band")),
         Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 3)),
 
+    // l-diversity release gate on customers: a (nation, segment)
+    // class whose members all sit in fewer than 3 distinct balance
+    // bands gets the quasi pair NULLed — the homogeneity attack the
+    // pii3 k-size gate misses
+    "priv4_l_diversity" -> ((s, dir) =>
+      Privacy.lDiversify(
+        t(s, dir, "customer").select(col("c_custkey"),
+          col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 2000).cast("long").as("bal_band")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 3)),
+
     // one-pass correlation matrix over four lineitem measures (all
     // fixed-point-exact): k(k+3)/2 counters in a single aggregate
     // row, 6 pair correlations derived from the scalars
@@ -5781,6 +5811,58 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""".stripMargin,
 
+    // sim1's exact CTEs + sim6's quantized CTEs, then the recall
+    // join: per query, hits over the exact top-5
+    "eval1_ann_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i] * embedding[i]))) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_sum(list_transform(range(1, 65), i -> q.embedding[i] * c.embedding[i]))
+        |           / (q.nrm * c.nrm) AS cosine
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |exact AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |    FROM scored) WHERE rank <= 5),
+        |s AS (
+        |  SELECT vec_id, embedding,
+        |         greatest(list_max(list_transform(embedding, x -> abs(x))),
+        |                  CAST(1e-30 AS FLOAT)) / 127.0 AS scale
+        |  FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(round(x / scale) AS TINYINT)) AS qv
+        |  FROM s),
+        |eq AS (
+        |  SELECT vec_id, qv,
+        |         sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(qv[i] AS DOUBLE) * qv[i]))) AS nrm
+        |  FROM qz),
+        |qscored AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |         list_sum(list_transform(range(1, 65),
+        |           i -> CAST(a.qv[i] AS DOUBLE) * b.qv[i])) / (a.nrm * b.nrm) AS cosine
+        |  FROM eq a JOIN eq b ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+        |  WHERE a.nrm > 0 AND b.nrm > 0),
+        |approx AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |                              ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |    FROM qscored) WHERE rank <= 5)
+        |SELECT x.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+        |       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_hit,
+        |       round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |                  AS DOUBLE) / count(*), 6) AS recall
+        |FROM exact x LEFT JOIN approx a USING (query_id, neighbor_id)
+        |GROUP BY x.query_id""".stripMargin,
+
     "ta1_text_stats" ->
       """SELECT doc_id,
         |       length(text) AS n_chars_calc,
@@ -6567,6 +6649,40 @@ object SparkEntry {
         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
         |       round(sum(tf * ln(mc * 1.0 / total)) / sum(tf), 4) AS avg_logprob
         |FROM tc JOIN model USING (term), tot
+        |GROUP BY doc_id""".stripMargin,
+
+    // same bigram CTEs as ta5, then the KN decomposition: history
+    // totals + forward/backward continuation counts over MODEL rows
+    "ta9_kn_bigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+        |           i -> w[i] || ' ' || w[i + 1])) AS bg
+        |  FROM toks WHERE len(w) >= 2),
+        |tc AS (
+        |  SELECT doc_id, bg, count(*) AS tf FROM g
+        |  WHERE bg <> '' GROUP BY doc_id, bg),
+        |m0 AS (
+        |  SELECT bg, sum(tf) AS c12,
+        |         split_part(bg, ' ', 1) AS w1,
+        |         split_part(bg, ' ', 2) AS w2
+        |  FROM tc GROUP BY bg),
+        |hist AS (SELECT w1, sum(c12) AS c1, count(*) AS n1p_fwd
+        |         FROM m0 GROUP BY w1),
+        |cont AS (SELECT w2, count(*) AS n1p_bwd FROM m0 GROUP BY w2),
+        |ty AS (SELECT count(*) AS n_types FROM m0),
+        |model AS (
+        |  SELECT bg,
+        |         greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0)
+        |           / CAST(c1 AS DOUBLE)
+        |         + 0.75 * CAST(n1p_fwd AS DOUBLE) / CAST(c1 AS DOUBLE)
+        |           * (CAST(n1p_bwd AS DOUBLE) / CAST(n_types AS DOUBLE)) AS p
+        |  FROM m0 JOIN hist USING (w1) JOIN cont USING (w2), ty)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |       round(sum(tf * ln(p)) / sum(tf), 4) AS avg_logprob
+        |FROM tc JOIN model USING (bg)
         |GROUP BY doc_id""".stripMargin,
 
     "pack1_shards" ->
@@ -8025,6 +8141,23 @@ object SparkEntry {
         |       CAST(class_size AS BIGINT) AS class_size,
         |       class_size < 3 AS suppressed
         |FROM sz""".stripMargin,
+
+    "priv4_l_diversity" ->
+      """WITH q AS (
+        |  SELECT c_custkey, c_nationkey, c_mktsegment,
+        |         CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band
+        |  FROM customer),
+        |d AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         count(DISTINCT bal_band) AS ds
+        |  FROM q GROUP BY 1, 2)
+        |SELECT c_custkey,
+        |       CASE WHEN ds >= 3 THEN q.c_nationkey END AS c_nationkey,
+        |       CASE WHEN ds >= 3 THEN q.c_mktsegment END AS c_mktsegment,
+        |       bal_band,
+        |       CAST(ds AS BIGINT) AS distinct_sensitive,
+        |       ds < 3 AS suppressed
+        |FROM q JOIN d USING (c_nationkey, c_mktsegment)""".stripMargin,
 
     // the same 11 exact counters, the same centered-moment tree, six
     // UNION ALL pair rows

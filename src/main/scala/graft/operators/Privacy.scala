@@ -108,6 +108,44 @@ object Privacy {
       :+ col("class_size") :+ col("suppressed"): _*)
   }
 
+  /** l-diversity suppression — the follow-up k-anonymity needs
+    * (Machanavajjhala et al. 2007): a class can be k-large yet still
+    * leak when every member SHARES the sensitive value (the
+    * homogeneity attack). Each quasi-identifier class must carry at
+    * least `l` distinct sensitive values; failing classes get their
+    * quasi columns NULLed — [[kAnonymize]]'s suppression contract,
+    * applied to diversity instead of size. Appends
+    * `distinct_sensitive` (pre-suppression audit) and `suppressed`.
+    * NULL sensitive values don't count toward diversity (both
+    * engines' count-distinct semantics).
+    *
+    * Scale shape: one groupBy over the quasi columns collapses the
+    * table to its class-diversity counters (map-side combined, no
+    * per-class set buffer in a window), then one equi-join back on
+    * the same keys — null-safe (`<=>`), since a NULL quasi value is
+    * itself a class. */
+  def lDiversify(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Int): DataFrame = {
+    require(l >= 2, s"l-diversity needs l >= 2: $l")
+    require(quasiCols.nonEmpty, "lDiversify needs quasi-identifier columns")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot be a quasi identifier")
+    val div = df.groupBy(quasiCols.map(col): _*)
+      .agg(countDistinct(col(sensitiveCol)).as("distinct_sensitive"))
+      .select(quasiCols.map(c => col(c).as(s"__q_$c"))
+        :+ col("distinct_sensitive"): _*)
+    val cond = quasiCols.map(c => col(c) <=> col(s"__q_$c")).reduce(_ && _)
+    val joined = df.join(div, cond)
+      .withColumn("suppressed", col("distinct_sensitive") < l)
+    val masked = df.schema.fields.map { f =>
+      if (quasiCols.contains(f.name))
+        when(!col("suppressed"), col(f.name)).as(f.name)
+      else col(f.name)
+    }
+    joined.select(masked.toIndexedSeq
+      :+ col("distinct_sensitive") :+ col("suppressed"): _*)
+  }
+
   /** CDF of the ±`bound`-truncated two-sided geometric (discrete
     * Laplace) distribution, P(k) ∝ e^{-ε|k|} — precomputed ON THE
     * DRIVER so the distributed plan (and the SQL oracle, which

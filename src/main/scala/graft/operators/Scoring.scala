@@ -119,6 +119,65 @@ object Scoring {
         round(col("avg_logprob"), 4).as("avg_logprob"))
   }
 
+  /** Interpolated Kneser–Ney bigram log-probability per document —
+    * the smoothing the production perplexity filters actually use
+    * (CCNet/KenLM are KN-smoothed; [[ngramLogProb]]'s unsmoothed MLE
+    * is the yardstick, this is the literature-faithful scorer):
+    *
+    *   P_KN(w2|w1) = max(c(w1w2) − d, 0)/c(w1·)
+    *               + d · N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+    *
+    * with the standard d = 0.75: absolute discounting backed off to
+    * the CONTINUATION probability (how many distinct histories w2
+    * follows — "francisco" is frequent but only ever follows "san",
+    * so its continuation mass is tiny; raw-frequency backoff gets
+    * this wrong, the whole point of KN). The model is trained on the
+    * scored corpus itself, like ta4/ta5.
+    *
+    * Every model quantity is an exact integer count; P_KN is a fixed
+    * double expression over them (two divides, one multiply chain)
+    * and the per-doc score the same tf-weighted mean as
+    * [[ngramLogProb]] — engine-replayable throughout.
+    *
+    * Scale shape: the distinct-bigram model table feeds three
+    * map-combined aggregates (history totals, continuation counts,
+    * type count — each over MODEL rows, not corpus rows) and joins
+    * back term-colocated; the corpus shuffles once into (id, bg, tf).
+    */
+  def knBigramLogProb(df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, s"discount in (0,1): $discount")
+    val termCounts = df
+      .select(col(idCol).as("id"),
+        explode(QualityFilters.wordNgrams(col(textCol), 2)).as("bg"))
+      .filter(col("bg") =!= "")
+      .groupBy("id", "bg").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val model0 = termCounts.groupBy("bg").agg(sum("tf").as("c12"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .localCheckpoint()
+    val hist = model0.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1p_fwd"))
+    val cont = model0.groupBy("w2").agg(count(lit(1)).as("n1p_bwd"))
+    val types = model0.agg(count(lit(1)).as("n_types"))
+    val p =
+      greatest(col("c12").cast("double") - discount, lit(0.0)) /
+        col("c1").cast("double") +
+      lit(discount) * col("n1p_fwd").cast("double") /
+        col("c1").cast("double") *
+        (col("n1p_bwd").cast("double") / col("n_types").cast("double"))
+    val model = model0.join(hist, "w1").join(cont, "w2")
+      .crossJoin(broadcast(types))
+      .select(col("bg"), p.as("p"))
+    termCounts.join(model, "bg")
+      .groupBy("id")
+      .agg(sum("tf").as("n_bigrams"),
+        (sum(col("tf") * log(col("p"))) / sum("tf")).as("avg_logprob"))
+      .select(col("id").as(idCol), col("n_bigrams"),
+        round(col("avg_logprob"), 4).as("avg_logprob"))
+  }
+
   /** Trained quality classifier, Naive-Bayes log-odds form (the
     * fastText-tier "cheap linear classifier" of data-curation
     * pipelines — e.g. the GPT-3/CCNet quality filters score web docs

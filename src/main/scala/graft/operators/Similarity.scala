@@ -1343,6 +1343,34 @@ object Similarity {
       .select("query_id", "neighbor_id", "hamming", "rank")
   }
 
+  /** Recall@k evaluation of an approximate neighbor frame against an
+    * exact one — the harness every ANN probe in PERF.md computes ad
+    * hoc, as a first-class operator. Both inputs are the
+    * (query_id, neighbor_id, rank) shape every top-k operator here
+    * emits; per query: |approx ∩ exact| over the two rank ≤ k
+    * prefixes, divided by |exact| (the denominator an approximate
+    * index must recover). Queries the approx frame missed entirely
+    * score 0 — the left join keeps them; queries absent from EXACT
+    * are undefined and absent.
+    *
+    * Scale shape: two rank filters, one (query, neighbor)-keyed
+    * equi-join, one groupBy — all over RESULT frames (|Q|·k rows),
+    * never the corpus. */
+  def annRecall(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val ex = exact.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val ap = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    ex.join(ap, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6)
+          .as("recall"))
+  }
+
   /** Johnson–Lindenstrauss sign-random projection `inDim` → `outDim`
     * (Achlioptas ±1 variant): out_j = Σ_i sign(j,i)·v_i / √outDim,
     * the standard dimensionality-reduction pre-stage for ANN — JL

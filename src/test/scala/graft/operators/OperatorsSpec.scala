@@ -1982,6 +1982,30 @@ class PcaSpec extends SparkTestBase {
   }
 }
 
+class AnnRecallSpec extends SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("annRecall: intersection over exact prefix, missed queries score 0, " +
+      "rank prefix enforced") {
+    val exact = Seq(
+      (1L, 11L, 1), (1L, 12L, 2), (1L, 13L, 3),
+      (2L, 21L, 1), (2L, 22L, 2), (2L, 23L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val approx = Seq(
+      (1L, 12L, 1), (1L, 99L, 2), (1L, 13L, 3),
+      (1L, 11L, 4),            // beyond k=3: must NOT count
+      (3L, 31L, 1))            // query not in exact: absent from output
+      .toDF("query_id", "neighbor_id", "rank")
+    val out = Similarity.annRecall(approx, exact, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((3L, 2L, 0.666667)))
+    assert(out(2L) == ((3L, 0L, 0.0)))     // approx missed q2 entirely
+    assert(out.size == 2)
+  }
+}
+
 class JlProjectSpec extends SparkTestBase {
   import spark.implicits._
   import org.apache.spark.sql.functions._

@@ -150,6 +150,27 @@ class PrivacySpec extends SparkTestBase {
     assert(draws.distinct.size > draws.map(_._1).distinct.size,
       "sum noise must not be a function of count noise")
   }
+
+  test("lDiversify: homogeneous class suppressed, null quasi is a class, " +
+      "null sensitive never counts") {
+    val df = Seq(
+      (1L, Some("a"), Some("s1")), (2L, Some("a"), Some("s2")),
+      (3L, Some("a"), Some("s1")),                   // 2 distinct: keep
+      (4L, Some("b"), Some("s1")), (5L, Some("b"), Some("s1")), // homogeneous
+      (6L, Option.empty[String], Some("s1")),
+      (7L, Option.empty[String], Some("s2")),        // NULL class, diverse
+      (8L, Some("c"), Option.empty[String]),
+      (9L, Some("c"), Some("s1")))                   // null s out: 1 distinct
+      .toDF("id", "q", "s")
+    val out = Privacy.lDiversify(df, Seq("q"), "s", l = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((Some("a"), 2L, false)))
+    assert(out(4L) == ((None, 1L, true)))            // quasi masked
+    assert(out(6L) == ((None, 2L, false)))           // kept, q was null
+    assert(out(8L) == ((None, 1L, true)))
+    assert(out.size == 9)                            // null-safe join kept all
+  }
 }
 
 class QualityFiltersSpec extends SparkTestBase {
@@ -538,6 +559,27 @@ class ScoringSpec extends SparkTestBase {
     assert(out(1).getString(2) == "zz" && out(1).getInt(1) == 2)
     assert(out(2).getString(2) == "cc")
     assert(out.length == 4)
+  }
+
+  test("knBigramLogProb matches the hand-computed KN model; per-history " +
+      "mass sums to 1") {
+    // corpus: [a b a b], [b c] -> model "a b":2, "b a":1, "b c":1
+    // c1(a)=2 N1+(a.)=1; c1(b)=2 N1+(b.)=2; N1+(.b)=N1+(.a)=N1+(.c)=1; T=3
+    val docs = Seq((1L, "a b a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = Scoring.knBigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val pAB = (2.0 - 0.75) / 2 + 0.75 * 1 / 2.0 * (1.0 / 3)  // 0.75
+    val pBA = (1.0 - 0.75) / 2 + 0.75 * 2 / 2.0 * (1.0 / 3)  // 0.375
+    val pBC = pBA
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((3L,
+      r4((2 * math.log(pAB) + math.log(pBA)) / 3))))
+    assert(out(2L) == ((1L, r4(math.log(pBC)))))
+    // interpolated KN is a proper distribution: seen mass for history
+    // 'b' (0.375 + 0.375) plus its unseen-continuation mass
+    // lambda(b) * Pcont(b) = 0.75 * (2/2) * (1/3) = 0.25 totals 1.0
+    assert(math.abs((pBA + pBC + 0.25) - 1.0) < 1e-12)
   }
 
   test("nbLogOdds matches a hand-computed reference model and separates classes") {
