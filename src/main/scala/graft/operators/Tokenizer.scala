@@ -679,4 +679,29 @@ object Tokenizer {
     * unigram units (`Packing.assignShards(tokenCounter = ...)`). */
   def unigramCount(vocab: Seq[(String, Long)])(text: Column): Column =
     graft.functions.UnigramExpressions.unigram_count(text, vocab)
+
+  /** Coverage / OOV diagnostics of a trained vocabulary against a
+    * (possibly drifted) corpus — the re-train trigger for tokenizer
+    * drift and the coverage report a vocabulary release ships with.
+    * Per doc: total greedy subword tokens, tokens OUTSIDE the
+    * vocabulary (the matcher's single-codepoint fallback on
+    * characters the training corpus never saw — an in-vocab unseen
+    * WORD is covered, only unseen CHARACTERS are OOV), and the rate.
+    *
+    * Scale shape: row-local codegen — the greedy kernel plus one
+    * array filter against the literal vocab; shuffle-free. */
+  def oovStats(df: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[String]): DataFrame = {
+    require(vocab.nonEmpty, "empty vocabulary")
+    df.select(col(idCol),
+        SubwordExpressions.subword_tokens(col(textCol), vocab).as("__t"))
+      .select(col(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        size(filter(col("__t"),
+          t => !array_contains(typedlit(vocab), t))).cast("long").as("n_oov"))
+      .withColumn("oov_rate",
+        when(col("n_tokens") > 0,
+          round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
+          .otherwise(0.0))
+  }
 }

@@ -456,4 +456,23 @@ class TokenizerSpec extends SparkTestBase {
       .agg(min("ok")).head().getBoolean(0)
     assert(agree)
   }
+
+  test("oovStats: unseen CHARS are OOV, unseen WORDS of known chars are covered") {
+    import spark.implicits._
+    val vocab = Seq("a", "b", "c", "ab")
+    val df = Seq((1L, "ab c"),   // fully covered
+      (2L, "abz"),               // [ab, z]: z outside the alphabet
+      (3L, ""),                  // empty -> zero tokens, rate 0
+      (4L, "xyz"),               // all three singles OOV
+      (5L, "ba cab"))            // unseen words, known chars: covered
+      .toDF("id", "text")
+    val out = Tokenizer.oovStats(df, "id", "text", vocab)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 0L, 0.0)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((0L, 0L, 0.0)))
+    assert(out(4L) == ((3L, 3L, 1.0)))
+    assert(out(5L) == ((4L, 0L, 0.0)))  // [b, a] + [c, ab], all in-vocab
+  }
 }
