@@ -225,6 +225,17 @@ object SparkEntry {
                          WHEN 2 THEN concat(fn, 'e') ELSE fn END,
                   ' fam', CAST(g AS STRING)) AS name""")
 
+  /** Deterministic 4-line fixture for rep3/st21: the third line
+    * duplicates the first on every doc_id % 3 == 0. */
+  private def linedFixture(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), concat_ws("\n",
+        array_join(slice(col("w"), 1, 3), " "),
+        array_join(slice(col("w"), 4, 3), " "),
+        when(col("doc_id") % 3 === 0, array_join(slice(col("w"), 1, 3), " "))
+          .otherwise(array_join(slice(col("w"), 7, 3), " ")),
+        array_join(slice(col("w"), 10, 3), " ")).as("text"))
+
   /** Deterministic URL fixture for url1/qf3: the corpus has no URLs,
     * so append two per document — a mixed-case host (normalization
     * must lowercase it) and a host with port + query (the domain
@@ -4068,16 +4079,29 @@ object SparkEntry {
     // line duplicating the first on every doc_id % 3 == 0 — both the
     // line fraction and the char-weighted fraction are row-local
     // array algebra, no explode
-    "rep3_line_repetition" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-      val fixture = docs.select(col("doc_id"), concat_ws("\n",
-        array_join(slice(col("w"), 1, 3), " "),
-        array_join(slice(col("w"), 4, 3), " "),
-        when(col("doc_id") % 3 === 0, array_join(slice(col("w"), 1, 3), " "))
-          .otherwise(array_join(slice(col("w"), 7, 3), " ")),
-        array_join(slice(col("w"), 10, 3), " ")).as("text"))
-      QualityFilters.gopherRepetition(fixture, "doc_id", "text")
+    "rep3_line_repetition" -> ((s, dir) =>
+      QualityFilters.gopherRepetition(
+        linedFixture(t(s, dir, "documents")), "doc_id", "text")),
+
+    // the same gate at INGESTION: rep3's row-local projection runs
+    // unchanged on a real two-micro-batch file stream (stateless, no
+    // watermark) — stream == batch, so it shares rep3's oracle
+    "st21_stream_line_repetition" -> ((s, dir) => {
+      val fixture = linedFixture(t(s, dir, "documents"))
+      val base = tmpDir("graft_st21")
+      val in = s"$base/in"
+      fixture.filter(col("doc_id") % 2 === 0)
+        .coalesce(1).write.mode("append").parquet(in)
+      fixture.filter(col("doc_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(in)
+      val schema = s.read.parquet(in).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val gated = QualityFilters.gopherRepetition(stream, "doc_id", "text")
+      val q = graft.streaming.EventStream.writeFileStream(
+        gated, s"$base/out", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out")
     }),
 
     // Benford first-digit screen on order totals: observed vs
@@ -4383,6 +4407,33 @@ object SparkEntry {
       |        WHERE w <> '' GROUP BY doc_id),
       |doctok AS (SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_tokens
       |           FROM documents d LEFT JOIN cnt c USING (doc_id))""".stripMargin
+
+  /** Shared by rep3 (batch) and st21 (the identical stateless
+    * projection on a two-micro-batch stream). */
+  private val rep3OracleSql: String =
+    """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |fx AS (SELECT doc_id,
+        |         array_to_string(w[1:3], ' ') || chr(10) ||
+        |         array_to_string(w[4:6], ' ') || chr(10) ||
+        |         (CASE WHEN doc_id % 3 = 0 THEN array_to_string(w[1:3], ' ')
+        |               ELSE array_to_string(w[7:9], ' ') END) || chr(10) ||
+        |         array_to_string(w[10:12], ' ') AS text
+        |       FROM base),
+        |l AS (SELECT doc_id,
+        |        list_filter(list_transform(string_split(text, chr(10)),
+        |          x -> trim(x)), x -> length(x) > 0) AS ls
+        |      FROM fx),
+        |m AS (SELECT doc_id, len(ls) AS nl, len(list_distinct(ls)) AS nd,
+        |        list_aggregate(list_transform(ls, x -> length(x)), 'sum') AS ch,
+        |        list_aggregate(list_transform(list_distinct(ls),
+        |          x -> length(x)), 'sum') AS dch
+        |      FROM l)
+        |SELECT doc_id, CAST(nl AS BIGINT) AS n_lines,
+        |       CASE WHEN nl > 0 THEN round(CAST(nl - nd AS DOUBLE) / nl, 6)
+        |            ELSE 0.0 END AS dup_line_frac,
+        |       CASE WHEN ch > 0 THEN round(CAST(ch - dch AS DOUBLE) / ch, 6)
+        |            ELSE 0.0 END AS dup_line_char_frac
+        |FROM m""".stripMargin
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "s1_scan_project" ->
@@ -7958,30 +8009,10 @@ object SparkEntry {
 
     // identical line fixture; list_distinct + two length folds —
     // fractions are single integer divides
-    "rep3_line_repetition" ->
-      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |fx AS (SELECT doc_id,
-        |         array_to_string(w[1:3], ' ') || chr(10) ||
-        |         array_to_string(w[4:6], ' ') || chr(10) ||
-        |         (CASE WHEN doc_id % 3 = 0 THEN array_to_string(w[1:3], ' ')
-        |               ELSE array_to_string(w[7:9], ' ') END) || chr(10) ||
-        |         array_to_string(w[10:12], ' ') AS text
-        |       FROM base),
-        |l AS (SELECT doc_id,
-        |        list_filter(list_transform(string_split(text, chr(10)),
-        |          x -> trim(x)), x -> length(x) > 0) AS ls
-        |      FROM fx),
-        |m AS (SELECT doc_id, len(ls) AS nl, len(list_distinct(ls)) AS nd,
-        |        list_aggregate(list_transform(ls, x -> length(x)), 'sum') AS ch,
-        |        list_aggregate(list_transform(list_distinct(ls),
-        |          x -> length(x)), 'sum') AS dch
-        |      FROM l)
-        |SELECT doc_id, CAST(nl AS BIGINT) AS n_lines,
-        |       CASE WHEN nl > 0 THEN round(CAST(nl - nd AS DOUBLE) / nl, 6)
-        |            ELSE 0.0 END AS dup_line_frac,
-        |       CASE WHEN ch > 0 THEN round(CAST(ch - dch AS DOUBLE) / ch, 6)
-        |            ELSE 0.0 END AS dup_line_char_frac
-        |FROM m""".stripMargin,
+    "rep3_line_repetition" -> rep3OracleSql,
+
+    // stream == batch for the stateless gate
+    "st21_stream_line_repetition" -> rep3OracleSql,
 
     // per-FD: distinct (det, dep) pairs -> per-det majority; the g3
     // violation count is gn - max(n), tie-break-free

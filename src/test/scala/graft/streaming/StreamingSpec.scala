@@ -205,6 +205,28 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("gopherRepetition gate: stream over two micro-batches == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq((1L, "aa\naa\nbb"), (2L, "x\ny"), (3L, "c\nc\nc\nd"))
+    val batch = graft.operators.QualityFilters.gopherRepetition(
+      rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSet
+    val mem = MemoryStream[(Long, String)]
+    val gated = graft.operators.QualityFilters.gopherRepetition(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = gated.writeStream.format("memory").queryName("rep_gate_out")
+      .outputMode("append").start()
+    mem.addData(rows.take(2): _*)
+    mem.addData(rows.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("rep_gate_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+  }
+
   test("cross-run signature gate drops stored-corpus dups from a stream") {
     // the persistent-store form of streamingNearDedup: the store
     // remembers LAST run's corpus, the stream is THIS run's intake;
