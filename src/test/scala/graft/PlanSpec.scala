@@ -534,4 +534,26 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Join"), s"unexpected join:\n$p")
     assert(p.contains("bpe_tokens"))
   }
+
+  test("row-local round-8 ops are exchange-free projections") {
+    // phrase search, line repetition, link extraction, JL projection,
+    // OOV stats: all row-local — any Exchange is a defect
+    for (q <- Seq("ir3_phrase_match", "rep3_line_repetition",
+        "html2_extract_links", "emb3_jl_project", "tok12_oov_rate")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q should be shuffle-free:\n$p")
+    }
+  }
+
+  test("ed2 deletion join is key-equi, sky1 window never single-partition") {
+    val ed2 = planOf("ed2_deletion_join")
+    assert(!ed2.contains("CartesianProduct") &&
+      !ed2.contains("BroadcastNestedLoopJoin"), s"ed2:\n$ed2")
+    val sky = planOf("sky1_pareto_front")
+    assert(!sky.contains("SinglePartition"), s"global window:\n$sky")
+    assert(!sky.contains("CartesianProduct"))
+    assert(sky.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("__bucket")),
+      s"bucketed running max missing:\n$sky")
+  }
 }
