@@ -1235,6 +1235,42 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank")
     }),
 
+    // Cohen's kappa between the lang column and a perturbed second
+    // rater (every 7th doc forced to 'en'): chance-corrected
+    // agreement from exact marginal counts
+    "ab5_cohens_kappa" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Stats.cohensKappa(d, col("lang"),
+        when(col("doc_id") % 7 === 0, lit("en")).otherwise(col("lang")))
+    }),
+
+    // per-cluster purity of the deterministic k-means assignment
+    // against the embeddings' true labels — the supervised clustering
+    // scorecard; the oracle replays the full k-means trajectory then
+    // the two count aggregates
+    "eval2_cluster_purity" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val assign = Clustering.kmeans(e, "vec_id", "embedding",
+        k = 8, maxIter = 2)
+      Clustering.clusterPurity(assign, e, "vec_id", "label")
+    }),
+
+    // MRR + nDCG@5 of the exact cosine ranking against same-label
+    // relevance — retrieval ORDER quality (eval1 measures overlap)
+    "eval3_ranking_metrics" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val ranking = Similarity.bruteForceTopK(
+        e.filter("vec_id < 10"), e, "vec_id", "embedding", 5)
+      val rel = e.filter("vec_id < 10")
+        .select(col("vec_id").as("query_id"), col("label").as("__ql"))
+        .join(e.select(col("vec_id").as("neighbor_id"),
+          col("label").as("__nl")),
+          col("__ql") === col("__nl") &&
+            col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+      Retrieval.rankingMetrics(ranking, rel, k = 5)
+    }),
+
     // recall@5 of the int8-quantized ranking vs full-precision brute
     // force — the ANN evaluation harness as a first-class operator;
     // the oracle replays BOTH ranking pipelines and the join
@@ -5875,6 +5911,73 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""".stripMargin,
 
+    // exact marginal counts, three divides, NULL kappa when pe = 1
+    "ab5_cohens_kappa" ->
+      """WITH b AS (
+        |  SELECT lang AS r1,
+        |         CASE WHEN doc_id % 7 = 0 THEN 'en' ELSE lang END AS r2
+        |  FROM documents WHERE lang IS NOT NULL),
+        |t AS (SELECT count(*) AS n,
+        |             sum(CASE WHEN r1 = r2 THEN 1 ELSE 0 END) AS n_agree
+        |      FROM b),
+        |m1 AS (SELECT r1 AS cat, count(*) AS n1 FROM b GROUP BY 1),
+        |m2 AS (SELECT r2 AS cat, count(*) AS n2 FROM b GROUP BY 1),
+        |p AS (SELECT coalesce(sum(n1 * n2), 0) AS pe_num
+        |      FROM m1 JOIN m2 USING (cat))
+        |SELECT CAST(n AS BIGINT) AS n, CAST(n_agree AS BIGINT) AS n_agree,
+        |       round(CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |         AS p_observed,
+        |       round(CAST(pe_num AS DOUBLE)
+        |             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS p_expected,
+        |       CASE WHEN CAST(pe_num AS DOUBLE)
+        |                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0
+        |            THEN round((CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE)
+        |                        - CAST(pe_num AS DOUBLE)
+        |                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |                       / (1.0 - CAST(pe_num AS DOUBLE)
+        |                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+        |       END AS kappa
+        |FROM t, p""".stripMargin,
+
+    // sim1's exact CTEs, same-label relevance, the identical log
+    // tree (ln(x)/ln(2)) and in-order ideal fold
+    "eval3_ranking_metrics" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i] * embedding[i]))) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_sum(list_transform(range(1, 65), i -> q.embedding[i] * c.embedding[i]))
+        |           / (q.nrm * c.nrm) AS cosine
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM scored),
+        |topk AS (SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5),
+        |rel AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        |        FROM embeddings a JOIN embeddings b
+        |          ON a.vec_id < 10 AND a.vec_id <> b.vec_id
+        |         AND a.label = b.label),
+        |nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY 1),
+        |h AS (SELECT t.query_id, t.rank,
+        |             CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |      FROM topk t LEFT JOIN rel r USING (query_id, neighbor_id)),
+        |m AS (SELECT query_id,
+        |             min(CASE WHEN hit = 1 THEN rank END) AS fr,
+        |             sum(CASE WHEN hit = 1 THEN 1.0 / (ln(rank + 1) / ln(2))
+        |                      ELSE 0.0 END) AS dcg
+        |      FROM h GROUP BY query_id)
+        |SELECT m.query_id, CAST(n.n_rel AS BIGINT) AS n_rel,
+        |       CAST(fr AS BIGINT) AS first_rel_rank,
+        |       round(coalesce(1.0 / fr, 0.0), 6) AS mrr,
+        |       round(dcg / list_aggregate(list_transform(
+        |               range(1, least(5, n.n_rel) + 1),
+        |               i -> 1.0 / (ln(i + 1) / ln(2))), 'sum'), 6) AS ndcg
+        |FROM m JOIN nrel n USING (query_id)""".stripMargin,
+
     // sim1's exact CTEs + sim6's quantized CTEs, then the recall
     // join: per query, hits over the exact top-5
     "eval1_ann_recall" ->
@@ -6043,6 +6146,17 @@ object SparkEntry {
 
     "kmeans1_embedding_clusters" ->
       (kmeansOracleCtes(8, 2, 64) + "\nSELECT vec_id, cluster FROM af"),
+
+    // the full k-means replay, then per-cluster majority-label counts
+    "eval2_cluster_purity" ->
+      (kmeansOracleCtes(8, 2, 64) + """,
+        |lab AS (SELECT af.cluster, CAST(e.label AS VARCHAR) AS l
+        |        FROM af JOIN embeddings e USING (vec_id)),
+        |cell AS (SELECT cluster, l, count(*) AS n FROM lab GROUP BY 1, 2),
+        |g AS (SELECT cluster, sum(n) AS n, max(n) AS maj FROM cell GROUP BY cluster)
+        |SELECT cluster, CAST(n AS BIGINT) AS n, CAST(maj AS BIGINT) AS majority_n,
+        |       round(CAST(maj AS DOUBLE) / CAST(n AS DOUBLE), 6) AS purity
+        |FROM g""".stripMargin),
 
     // silhouette over the same replayed fit: af carries own-assignment
     // and d_own; the runner-up distance re-ranks against the final

@@ -212,4 +212,28 @@ object Clustering {
       .filter(col("rank") <= perCluster)
       .select(col("cluster"), col(idCol), col("rank"))
   }
+
+  /** Cluster purity against external labels — the supervised
+    * companion of [[silhouette]]'s geometric score: per cluster, the
+    * fraction of members carrying the cluster's majority label
+    * (purity = majority_n / n; corpus purity is the n-weighted mean
+    * of these rows). `assignments` is any (idCol, cluster) frame —
+    * [[kmeans]]'s output — and `labels` any (idCol, labelCol) frame.
+    *
+    * Scale shape: one id-keyed join, then two count aggregates —
+    * (cluster, label) cells, then per-cluster max — both map-side
+    * combined over cell cardinality, no window. The majority COUNT
+    * needs no tie-break (ties share the max). */
+  def clusterPurity(assignments: DataFrame, labels: DataFrame,
+      idCol: String, labelCol: String): DataFrame = {
+    val cell = assignments
+      .join(labels.select(col(idCol),
+        col(labelCol).cast("string").as("__lbl")), idCol)
+      .groupBy("cluster", "__lbl").agg(count(lit(1)).as("__n"))
+    cell.groupBy("cluster")
+      .agg(sum("__n").as("n"), max("__n").as("majority_n"))
+      .select(col("cluster"), col("n"), col("majority_n"),
+        round(col("majority_n").cast("double") / col("n").cast("double"), 6)
+          .as("purity"))
+  }
 }

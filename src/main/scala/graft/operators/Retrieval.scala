@@ -119,6 +119,50 @@ object Retrieval {
         element_at(col("__ps"), 1).cast("long").as("first_pos"))
   }
 
+  /** MRR and nDCG@k of a ranking frame against a relevance set — the
+    * retrieval-quality half of the evaluation suite
+    * ([[graft.operators.Similarity.annRecall]] measures overlap;
+    * these measure ORDER). `ranking` is the
+    * (query_id, neighbor_id, rank) shape every top-k operator emits;
+    * `relevance` is the ground-truth (query_id, neighbor_id) pair
+    * set. Per query:
+    *  - first_rel_rank / MRR = 1/first relevant rank inside the top
+    *    k (0 when none);
+    *  - nDCG@k with binary gains: DCG = Σ_hits 1/log₂(rank+1),
+    *    ideal = the same sum over ranks 1..min(k, n_rel).
+    * Queries with no relevance rows are dropped (undefined metrics).
+    * The log tree (ln(x)/ln(2), one divide) and the in-order ideal
+    * fold are written identically in the SQL oracle.
+    *
+    * Scale shape: rank filter + one (query, neighbor) equi-join +
+    * one groupBy over RESULT frames; the ideal-DCG fold is a bounded
+    * in-row sequence, no join against an ideal ranking. */
+  def rankingMetrics(ranking: DataFrame, relevance: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val rel = relevance
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__rel"))
+    val nrel = relevance.groupBy("query_id")
+      .agg(count(lit(1)).as("n_rel"))
+    val log2 = (c: Column) => log(c) / log(lit(2.0))
+    val perQuery = ranking.filter(col("rank") <= k)
+      .join(rel, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        min(when(col("__rel") === 1, col("rank"))).as("first_rel_rank"),
+        sum(when(col("__rel") === 1,
+          lit(1.0) / log2(col("rank") + 1)).otherwise(0.0)).as("__dcg"))
+    val ideal = aggregate(
+      sequence(lit(1), least(lit(k), col("n_rel")).cast("int")),
+      lit(0.0), (acc, i) => acc + lit(1.0) / log2(i + 1))
+    perQuery.join(nrel, "query_id")
+      .select(col("query_id"), col("n_rel"),
+        col("first_rel_rank").cast("long").as("first_rel_rank"),
+        round(coalesce(lit(1.0) / col("first_rel_rank").cast("double"),
+          lit(0.0)), 6).as("mrr"),
+        round(col("__dcg") / ideal, 6).as("ndcg"))
+  }
+
   /** Windowed PMI co-occurrence: for every DIRECTED token pair (a
     * before b, at most `window` positions apart) occurring at least
     * `minCount` times, the pointwise mutual information

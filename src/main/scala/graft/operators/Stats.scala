@@ -302,6 +302,40 @@ object Stats {
         round(r2, 6).cast("double").as("r2")): _*)
   }
 
+  /** Cohen's kappa — chance-corrected agreement between two raters
+    * (label-quality QA for annotated training data):
+    * κ = (p_o − p_e)/(1 − p_e) with p_o the observed agreement rate
+    * and p_e = Σ_k (n_{1k}/n)(n_{2k}/n) the marginal chance
+    * agreement. Rows where either rating is NULL are excluded (the
+    * unrated case). Every count is an exact integer (p_e's numerator
+    * is Σ n1·n2, a long), so the three final divides are a fixed
+    * double tree. Constant-agreement degenerate case (p_e = 1) emits
+    * NULL κ rather than an ANSI fault.
+    *
+    * Scale shape: one row-level aggregate (n, agreements) + two
+    * marginal aggregates over CATEGORY cardinality + one category
+    * join — never a rater×rater matrix materialization. */
+  def cohensKappa(df: DataFrame, r1: Column, r2: Column): DataFrame = {
+    val base = df.select(r1.cast("string").as("__r1"),
+        r2.cast("string").as("__r2"))
+      .filter(col("__r1").isNotNull && col("__r2").isNotNull)
+      .localCheckpoint()
+    val tot = base.agg(count(lit(1)).as("n"),
+      sum(when(col("__r1") === col("__r2"), 1L).otherwise(0L)).as("n_agree"))
+    val m1 = base.groupBy(col("__r1").as("cat")).agg(count(lit(1)).as("__n1"))
+    val m2 = base.groupBy(col("__r2").as("cat")).agg(count(lit(1)).as("__n2"))
+    val peNum = m1.join(m2, "cat")
+      .agg(coalesce(sum(col("__n1") * col("__n2")), lit(0L)).as("__pe_num"))
+    val po = col("n_agree").cast("double") / col("n").cast("double")
+    val pe = col("__pe_num").cast("double") /
+      (col("n").cast("double") * col("n").cast("double"))
+    tot.crossJoin(broadcast(peNum))
+      .select(col("n"), col("n_agree"),
+        round(po, 6).as("p_observed"),
+        round(pe, 6).as("p_expected"),
+        when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
+
   /** 2-D Pareto frontier (skyline): every input row not dominated in
     * the MAXIMIZE-both sense — no other row has xCol >= x AND
     * yCol >= y with at least one strict. Minimize a dimension by

@@ -100,4 +100,18 @@ class ClusteringSpec extends SparkTestBase {
     assertThrows[IllegalArgumentException](
       Clustering.diversitySample(blobs, "vec_id", "embedding", 2, 1, 0))
   }
+
+  test("clusterPurity: majority fraction per cluster, ties share the max") {
+    import spark.implicits._
+    val assign = Seq((1L, 0), (2L, 0), (3L, 0), (4L, 1), (5L, 1), (6L, 1),
+      (7L, 1)).toDF("vec_id", "cluster")
+    val labels = Seq((1L, "x"), (2L, "x"), (3L, "y"),       // 2/3 pure
+      (4L, "x"), (5L, "x"), (6L, "y"), (7L, "y"))           // 2-2 tie
+      .toDF("vec_id", "label")
+    val out = Clustering.clusterPurity(assign, labels, "vec_id", "label")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0) == ((3L, 2L, 0.666667)))
+    assert(out(1) == ((4L, 2L, 0.5)))    // tie: the shared max, no break needed
+  }
 }

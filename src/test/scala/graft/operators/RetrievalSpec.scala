@@ -84,6 +84,34 @@ class RetrievalSpec extends SparkTestBase {
     assert(tied == Seq(3L, 5L))
   }
 
+  test("rankingMetrics: MRR from first hit, binary nDCG, zero-hit queries") {
+    val ranking = Seq(
+      (1L, 11L, 1), (1L, 12L, 2), (1L, 13L, 3), (1L, 14L, 4), (1L, 15L, 5),
+      (2L, 21L, 1), (2L, 22L, 2),
+      (3L, 31L, 1))
+      .toDF("query_id", "neighbor_id", "rank")
+    val rel = Seq(
+      (1L, 12L), (1L, 14L), (1L, 99L),   // hits at ranks 2 and 4; one outside
+      (2L, 77L))                          // q2: relevant exists, none retrieved
+      .toDF("query_id", "neighbor_id")   // q3: no relevance rows -> absent
+    val out = Retrieval.rankingMetrics(ranking, rel, k = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val q1 = out(1L)
+    assert(q1.getAs[Long]("n_rel") == 3L)
+    assert(q1.getAs[Long]("first_rel_rank") == 2L)
+    assert(q1.getAs[Double]("mrr") == 0.5)
+    val dcg = 1.0 / log2(3.0) + 1.0 / log2(5.0)
+    val idcg = 1.0 / log2(2.0) + 1.0 / log2(3.0) + 1.0 / log2(4.0)
+    assert(q1.getAs[Double]("ndcg") == r6(dcg / idcg))
+    val q2 = out(2L)
+    assert(q2.isNullAt(q2.fieldIndex("first_rel_rank")))
+    assert(q2.getAs[Double]("mrr") == 0.0 && q2.getAs[Double]("ndcg") == 0.0)
+    assert(!out.contains(3L))
+  }
+
   test("phraseMatch: consecutive only, overlaps counted, short docs safe") {
     val docs = Seq(
       (1L, "the cat sat on the mat"),          // one match at pos 2

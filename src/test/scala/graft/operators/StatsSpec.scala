@@ -243,6 +243,25 @@ class StatsSpec extends SparkTestBase {
     assert(r.getAs[Double]("intercept") === 1.0)
   }
 
+  test("cohensKappa: textbook table, null ratings out, degenerate pe=1") {
+    // cells: (a,a)x4 (a,b)x1 (b,b)x3 (b,a)x2 -> po=0.7,
+    // marginals m1(a)=5 m1(b)=5, m2(a)=6 m2(b)=4 -> pe=0.5, kappa=0.4
+    val rows = Seq.fill(4)(("a", "a")) ++ Seq(("a", "b")) ++
+      Seq.fill(3)(("b", "b")) ++ Seq.fill(2)(("b", "a")) ++
+      Seq((null, "a"), ("a", null))          // unrated rows excluded
+    val r = Stats.cohensKappa(rows.toDF("r1", "r2"), col("r1"), col("r2"))
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 10L && r.getAs[Long]("n_agree") == 7L)
+    assert(r.getAs[Double]("p_observed") == 0.7)
+    assert(r.getAs[Double]("p_expected") == 0.5)
+    assert(r.getAs[Double]("kappa") == 0.4)
+    // constant raters: pe = 1 -> NULL kappa, not a divide fault
+    val const = Stats.cohensKappa(
+      Seq(("x", "x"), ("x", "x")).toDF("r1", "r2"), col("r1"), col("r2"))
+      .collect()(0)
+    assert(const.isNullAt(const.fieldIndex("kappa")))
+  }
+
   test("paretoFront == quadratic dominance on a planted set, any bucket count") {
     // deterministic pseudo-random points plus planted structure:
     // duplicates of a frontier point, a same-x dominated point, nulls
