@@ -1123,6 +1123,15 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("cluster"))
     }),
 
+    // soft dedup: 1/|cluster| training weight per doc over dd6's
+    // components — reweighting instead of removal, singletons weight 1
+    "dd26_soft_dedup_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") <= 100)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        blockCols = Seq("lang"), shingleSize = 1, threshold = 0.5)
+      Dedup.softDedupWeights(docs, "doc_id", pairs.select("id_a", "id_b"))
+    }),
+
     // SAME pair set through the large-star/small-star contraction path
     // (driverCcMaxEdges = 0 disables the driver union-find shortcut):
     // the branch that actually runs at 100 TB edge counts, verified
@@ -4140,6 +4149,21 @@ object SparkEntry {
       s.read.parquet(s"$base/out")
     }),
 
+    // growth curve: first-seen day per user (one min aggregate),
+    // new-per-day counts, cumulative uniques via the range-bucketed
+    // prefix sum — never a per-day DISTINCT rescan
+    "growth1_cumulative_uniques" -> ((s, dir) =>
+      TimeSeries.cumulativeUniques(events(s, dir), "user_id", "ts")
+        .select(col("d").cast("timestamp_ntz").as("d"),
+          col("new_entities"), col("cum_entities"))),
+
+    // day-of-week seasonal index on cents-scaled event values: 7
+    // exact counter rows + a broadcast grand total; the weekday is
+    // epoch-day arithmetic, no locale-dependent weekday function
+    "ts7_seasonal_index" -> ((s, dir) =>
+      TimeSeries.seasonalIndex(events(s, dir), "ts",
+        round(col("value") * 100), scale = 100.0)),
+
     // Benford first-digit screen on order totals: observed vs
     // log10(1+1/d) with per-digit chi-square terms
     "dq9_benford" -> ((s, dir) =>
@@ -5593,6 +5617,34 @@ object SparkEntry {
         |  UNION
         |  SELECT e.s AS id, r.label AS label FROM e JOIN reach r ON e.d = r.id)
         |SELECT id AS doc_id, min(label) AS cluster FROM reach GROUP BY id""".stripMargin,
+
+    // dd6's components, then sizes and the inverse weight; unclustered
+    // docs are their own singletons
+    "dd26_soft_dedup_weights" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, lang,
+        |         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents WHERE doc_id <= 100),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.w, b.w))::DOUBLE /
+        |        (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.5),
+        |e AS (SELECT id_a AS s, id_b AS d FROM p
+        |      UNION SELECT id_b AS s, id_a AS d FROM p),
+        |reach AS (
+        |  SELECT s AS id, s AS label FROM e
+        |  UNION
+        |  SELECT e.s AS id, r.label AS label FROM e JOIN reach r ON e.d = r.id),
+        |cl AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id),
+        |lab AS (SELECT d.doc_id AS id, coalesce(cl.cluster, d.doc_id) AS cluster
+        |        FROM (SELECT doc_id FROM documents WHERE doc_id <= 100) d
+        |        LEFT JOIN cl ON cl.id = d.doc_id),
+        |sz AS (SELECT cluster, count(*) AS cluster_size FROM lab GROUP BY cluster)
+        |SELECT lab.id AS doc_id, lab.cluster,
+        |       CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+        |       round(1.0 / sz.cluster_size, 6) AS weight
+        |FROM lab JOIN sz USING (cluster)""".stripMargin,
 
     // identical oracle to dd6 — the contraction path must produce the
     // exact same min-label components as the driver union-find
@@ -8172,6 +8224,37 @@ object SparkEntry {
         |       round(CAST(sum(gn - mx) AS DOUBLE) / CAST(sum(gn) AS DOUBLE), 6),
         |       sum(gn - mx) = 0
         |FROM g3""".stripMargin,
+
+    // first-seen day per user, window prefix sum over DAY rows
+    "growth1_cumulative_uniques" ->
+      """WITH f AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS d FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY user_id),
+        |dly AS (SELECT d, count(*) AS new_entities FROM f GROUP BY d)
+        |SELECT CAST(d AS TIMESTAMP) AS d,
+        |       CAST(new_entities AS BIGINT) AS new_entities,
+        |       CAST(sum(new_entities) OVER (ORDER BY d
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS cum_entities
+        |FROM dly""".stripMargin,
+
+    // epoch-day weekday arithmetic, exact cent sums, the same
+    // four-divide tree
+    "ts7_seasonal_index" ->
+      """WITH b AS (
+        |  SELECT CAST((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4)
+        |              % 7 AS INTEGER) AS dow,
+        |         CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |g AS (SELECT dow, count(*) AS n, sum(v) AS s FROM b GROUP BY dow),
+        |t AS (SELECT sum(n) AS tn, sum(s) AS ts FROM g)
+        |SELECT dow, CAST(n AS BIGINT) AS n,
+        |       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6)
+        |         AS mean_value,
+        |       round((CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0)
+        |             / (CAST(t.ts AS DOUBLE) / CAST(t.tn AS DOUBLE) / 100.0), 6)
+        |         AS seasonal_index
+        |FROM g, t""".stripMargin,
 
     "dq9_benford" ->
       """WITH f AS (SELECT abs(o_totalprice) AS v FROM orders

@@ -1478,6 +1478,31 @@ object Dedup {
       .select("word_a", "word_b", "edit_distance")
   }
 
+  /** Soft deduplication — reweighting instead of removal: every
+    * document keeps weight 1/|its duplicate cluster| so a group of n
+    * near-copies contributes ONE document's worth of training mass
+    * while retaining all n surface forms (the alternative to
+    * [[clustersKeepBest]]'s hard drop; recent pretraining work
+    * samples by exactly this inverse-duplication weight). `pairs` is
+    * any (id_a, id_b) match set; unmatched docs form singleton
+    * clusters with weight 1.
+    *
+    * Scale shape: [[clusters]]' label propagation, one per-cluster
+    * count aggregate, two id/cluster-keyed joins — the corpus text
+    * never moves. Output: (idCol, cluster, cluster_size, weight). */
+  def softDedupWeights(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val cl = clusters(pairs)
+    val labeled = docs.select(col(idCol).cast("long").as("id"))
+      .join(cl, Seq("id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("id")))
+    val sizes = labeled.groupBy("cluster")
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster")
+      .select(col("id").as(idCol), col("cluster"), col("cluster_size"),
+        round(lit(1.0) / col("cluster_size").cast("double"), 6).as("weight"))
+  }
+
   /** Golden-record election (the survivorship step of MDM-style
     * entity resolution): match pairs → transitive closure → ONE
     * canonical record per entity. `pairs` is any (id_a, id_b) match

@@ -217,4 +217,57 @@ object TimeSeries {
           expr("CAST(shiftleft(CAST(1 AS BIGINT), __n + 1) AS DOUBLE)") /
           scale).as("ewma")): _*)
   }
+
+  /** Growth curve: per day, NEW entities (first ever seen that day)
+    * and the CUMULATIVE unique count — the DAU/total-registered
+    * readout. A naive count(DISTINCT) per day rescans all history
+    * per day; this is two aggregates + one distributed prefix sum:
+    * first-seen day per entity (one map-combined min), new-per-day
+    * counts, then [[Packing.cumulative]]'s range-bucketed scan (no
+    * SinglePartition window) over DAY rows — a decade is ~3.7 K rows
+    * regardless of event volume.
+    *
+    * Output: (d DATE, new_entities, cum_entities). */
+  def cumulativeUniques(df: DataFrame, entityCol: String,
+      tsCol: String): DataFrame = {
+    val first = df
+      .filter(col(entityCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(entityCol).as("__e"))
+      .agg(min(to_date(col(tsCol))).as("d"))
+    val daily = first.groupBy("d")
+      .agg(count(lit(1)).as("new_entities"))
+      // numeric, unique order key for the bucketed prefix sum
+      .withColumn("__day", datediff(col("d"), lit("1970-01-01")))
+    Packing.cumulative(daily, "__day", "new_entities")
+      .select(col("d"), col("new_entities"),
+        col("cum").as("cum_entities"))
+  }
+
+  /** Day-of-week seasonal index: per weekday bucket, mean metric
+    * over the bucket divided by the grand mean — the > 1 / < 1
+    * "which days run hot" readout. `valueCol` must be INTEGRAL
+    * (fixed-point-scale upstream, the Stats exactness contract), so
+    * both sums are exact and the index is a fixed four-divide double
+    * tree. The weekday bucket is epoch-day arithmetic
+    * ((days since 1970-01-01 + 4) % 7, 0 = Sunday) — identical
+    * integer math in any engine, no locale-dependent weekday
+    * function.
+    *
+    * Scale shape: ONE map-combined aggregate to 7 counter rows plus
+    * a broadcast 1-row grand total. */
+  def seasonalIndex(df: DataFrame, tsCol: String, valueCol: Column,
+      scale: Double = 1.0): DataFrame = {
+    val dow = pmod(datediff(to_date(col(tsCol)), lit("1970-01-01")) + 4, lit(7))
+    val base = df.filter(col(tsCol).isNotNull && valueCol.isNotNull)
+      .select(dow.cast("int").as("dow"), valueCol.cast("long").as("__v"))
+    val perDow = base.groupBy("dow")
+      .agg(count(lit(1)).as("n"), sum("__v").as("__s"))
+    val total = perDow.agg(sum("n").as("__tn"), sum("__s").as("__ts"))
+    val mean = col("__s").cast("double") / col("n").cast("double") / scale
+    val grand = col("__ts").cast("double") / col("__tn").cast("double") / scale
+    perDow.crossJoin(broadcast(total))
+      .select(col("dow"), col("n"),
+        round(mean, 6).as("mean_value"),
+        round(mean / grand, 6).as("seasonal_index"))
+  }
 }

@@ -159,6 +159,21 @@ class DedupSpec extends SparkTestBase {
       maxDistance = 2, maxBlockSize = 3).count() == 0)
   }
 
+  test("softDedupWeights: inverse cluster size, singletons weight 1") {
+    val allDocs = Seq(1L, 2L, 3L, 4L).map(Tuple1(_)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.softDedupWeights(allDocs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((1L, 3L, 0.333333)))
+    assert(out(2L) == ((1L, 3L, 0.333333)))  // transitive via 2
+    assert(out(3L) == ((1L, 3L, 0.333333)))
+    assert(out(4L) == ((4L, 1L, 1.0)))       // unmatched singleton
+    // total training mass = number of distinct contents (weights are
+    // rounded to 6 places, so the sum is off by up to cluster_size ulps)
+    assert(math.abs(out.values.map(_._3).sum - 2.0) < 1e-5)
+  }
+
   test("deletionNeighborhoodPairs == brute-force levenshtein at k=1 and k=2") {
     // single-token strings: token blocking has NO shared-token signal
     // here — the deletion keys are the only recall path
@@ -2201,6 +2216,35 @@ class TimeSeriesSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       TimeSeries.ewmaHalf(df, Seq("k"), Seq("ts", "id"), $"v", lastN = 37)
     }
+  }
+
+  test("cumulativeUniques: first-seen days only, exact running total") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-03-01 10:00:00")), (1L, ts("2024-03-03 09:00:00")),
+      (2L, ts("2024-03-01 23:59:59")), (3L, ts("2024-03-02 00:00:00")))
+      .toDF("user_id", "ts")
+    val out = TimeSeries.cumulativeUniques(ev, "user_id", "ts")
+      .orderBy("d").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    // u1's day-3 return creates no row: only FIRST-seen days appear
+    assert(out.toSeq == Seq(("2024-03-01", 2L, 2L), ("2024-03-02", 1L, 3L)))
+  }
+
+  test("seasonalIndex: epoch-day weekday buckets, exact index ratios") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // 2024-03-03 is a Sunday (dow 0), 2024-03-04 a Monday (dow 1)
+    val ev = Seq(
+      (ts("2024-03-03 10:00:00"), 3.0), (ts("2024-03-10 10:00:00"), 5.0),
+      (ts("2024-03-04 10:00:00"), 1.0))
+      .toDF("ts", "value")
+    val out = TimeSeries.seasonalIndex(ev, "ts",
+      round(col("value") * 100), scale = 100.0)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // sunday mean 4.0, monday mean 1.0, grand mean 3.0
+    assert(out(0) == ((2L, 4.0, 1.333333)))
+    assert(out(1) == ((1L, 1.0, 0.333333)))
   }
 
   test("rollingStats: gaps stay in the frame, counted out by mov_n") {
