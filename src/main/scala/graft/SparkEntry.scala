@@ -2076,6 +2076,16 @@ object SparkEntry {
         graft.sources.Layout.interleaveBits(
           col("l_partkey"), col("l_suppkey"), 16).as("zkey"))),
 
+    // Hilbert-curve layout key (z1's Morton sibling with seamless 2-D
+    // locality): the xy->d walk unrolled over 8 levels of integer
+    // columns; the oracle replays it as a recursive CTE
+    "z2_hilbert_key" -> ((s, dir) =>
+      graft.sources.Layout.hilbertKey(
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        "l_partkey", "l_suppkey", bits = 8)
+        .select("l_orderkey", "l_linenumber", "hkey")),
+
     // hive-partitioned layout + STATIC partition pruning: lineitem
     // written partitioned by ship month, the 1995 predicate prunes
     // whole directories at planning time (PartitionFilters plan-pinned)
@@ -6393,6 +6403,34 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
 
     "z1_zorder_key" -> z1OracleSql(16),
+
+    // the identical level walk, one recursion step per bit plane
+    "z2_hilbert_key" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CAST(l_partkey AS BIGINT) & 255 AS x0,
+        |         CAST(l_suppkey AS BIGINT) & 255 AS y0
+        |  FROM lineitem),
+        |h AS (
+        |  SELECT l_orderkey, l_linenumber, x0 AS x, y0 AS y,
+        |         CAST(0 AS BIGINT) AS d, 7 AS i
+        |  FROM base
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber,
+        |         CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN s - 1 - y ELSE y END
+        |              ELSE x END,
+        |         CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN s - 1 - x ELSE x END
+        |              ELSE y END,
+        |         d + s * s * xor(rx * 3, ry),
+        |         i - 1
+        |  FROM (SELECT l_orderkey, l_linenumber, x, y, d, i,
+        |               CAST(1 AS BIGINT) << i AS s,
+        |               CAST(CASE WHEN (x & (CAST(1 AS BIGINT) << i)) > 0
+        |                         THEN 1 ELSE 0 END AS BIGINT) AS rx,
+        |               CAST(CASE WHEN (y & (CAST(1 AS BIGINT) << i)) > 0
+        |                         THEN 1 ELSE 0 END AS BIGINT) AS ry
+        |        FROM h WHERE i >= 0) t)
+        |SELECT l_orderkey, l_linenumber, d AS hkey FROM h WHERE i = -1""".stripMargin,
 
     "pp1_partition_prune" ->
       """SELECT (year(l_shipdate) * 100 + month(l_shipdate)) AS l_month,

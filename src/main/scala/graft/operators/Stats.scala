@@ -314,7 +314,10 @@ object Stats {
     *
     * Scale shape: one row-level aggregate (n, agreements) + two
     * marginal aggregates over CATEGORY cardinality + one category
-    * join — never a rater×rater matrix materialization. */
+    * join — never a rater×rater matrix materialization. The exact
+    * p_e numerator Σ n1·n2 is bounded by n², so n must stay below
+    * ~3·10⁹ rated rows (annotation sets are); past that, scale the
+    * marginals to doubles and accept the ulp. */
   def cohensKappa(df: DataFrame, r1: Column, r2: Column): DataFrame = {
     val base = df.select(r1.cast("string").as("__r1"),
         r2.cast("string").as("__r2"))

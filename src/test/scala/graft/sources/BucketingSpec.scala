@@ -109,6 +109,26 @@ class LayoutSpec extends SparkTestBase {
     assert(out(3) == 7L)   // bit 16 of a masked off at bits=16
   }
 
+  test("hilbertKey: bijective over the grid, consecutive codes are neighbors") {
+    val n = 16 // bits = 4
+    val grid = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val cells = Layout.hilbertKey(grid, "x", "y", bits = 4)
+      .collect().map(r => r.getLong(2) -> ((r.getLong(0), r.getLong(1))))
+    // bijection: every code 0..255 exactly once
+    assert(cells.map(_._1).sorted.toSeq == (0L until 256L))
+    // THE Hilbert property (Morton lacks it): walking the codes in
+    // order moves exactly one grid step each time — no seams
+    val byCode = cells.sortBy(_._1).map(_._2)
+    for (i <- 1 until byCode.length) {
+      val ((ax, ay), (bx, by)) = (byCode(i - 1), byCode(i))
+      assert(math.abs(ax - bx) + math.abs(ay - by) == 1L,
+        s"jump at d=$i: ($ax,$ay) -> ($bx,$by)")
+    }
+    // first cell is the origin
+    assert(byCode.head == ((0L, 0L)))
+  }
+
   test("scaleToBits maps min->0, max->top, degenerate column to 0") {
     val out = Layout.scaleToBits(Seq(10.0, 20.0, 30.0).toDF("v"), "v", 4, "s")
       .orderBy("v").collect().map(_.getLong(1)).toSeq
