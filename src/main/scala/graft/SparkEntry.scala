@@ -225,6 +225,21 @@ object SparkEntry {
                          WHEN 2 THEN concat(fn, 'e') ELSE fn END,
                   ' fam', CAST(g AS STRING)) AS name""")
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set
+    * to `n`: a stream-stream join materializes one state-store
+    * instance per shuffle partition per micro-batch, so a
+    * fixture-sized stream pays a 32-instance setup floor unless the
+    * state partitioning is sized to the load — exactly what a
+    * production job does through its own conf. Join/aggregation
+    * results are partitioning-invariant; the previous value is
+    * restored in finally (the frames a builder RETURNS are planned
+    * after restoration and keep the session default). */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Deterministic 4-line fixture for rep3/st21: the third line
     * duplicates the first on every doc_id % 3 == 0. */
   private def linedFixture(docs: DataFrame): DataFrame =
@@ -2247,16 +2262,18 @@ object SparkEntry {
         .select(col("user_id"), col("ts").as("p_ts"), col("value"))
       val base = tmpDir("graft_st19")
       val cut = lit("2024-01-15 00:00:00").cast("timestamp")
-      val vs = stagedMicroBatches(s, s"$base/v", Seq(
-        views.filter(col("view_ts") < cut), views.filter(col("view_ts") >= cut)))
-      val ps = stagedMicroBatches(s, s"$base/p", Seq(
-        purchases.filter(col("p_ts") < cut), purchases.filter(col("p_ts") >= cut)))
-      val joined = graft.streaming.EventStream.intervalJoin(
-        vs, ps, Seq("user_id"), "view_ts", "p_ts", "1 hour",
-        watermark = "2 hours")
-      val q = graft.streaming.EventStream.writeFileStream(
-        joined, s"$base/out", s"$base/ckpt")
-      try q.processAllAvailable() finally q.stop()
+      withShufflePartitions(s, 8) {
+        val vs = stagedMicroBatches(s, s"$base/v", Seq(
+          views.filter(col("view_ts") < cut), views.filter(col("view_ts") >= cut)))
+        val ps = stagedMicroBatches(s, s"$base/p", Seq(
+          purchases.filter(col("p_ts") < cut), purchases.filter(col("p_ts") >= cut)))
+        val joined = graft.streaming.EventStream.intervalJoin(
+          vs, ps, Seq("user_id"), "view_ts", "p_ts", "1 hour",
+          watermark = "2 hours")
+        val q = graft.streaming.EventStream.writeFileStream(
+          joined, s"$base/out", s"$base/ckpt")
+        try q.processAllAvailable() finally q.stop()
+      }
       s.read.parquet(s"$base/out")
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_attributed"),
@@ -2285,18 +2302,20 @@ object SparkEntry {
         lit(ts).cast("timestamp").as("p_ts"), lit(0.0).as("value"))
       val base = tmpDir("graft_st20")
       val cut = lit("2024-01-15 00:00:00").cast("timestamp")
-      val vs = stagedMicroBatches(s, s"$base/v", Seq(
-        views.filter(col("view_ts") < cut), views.filter(col("view_ts") >= cut),
-        sentV("2024-03-01 00:00:00"), sentV("2024-03-10 00:00:00")))
-      val ps = stagedMicroBatches(s, s"$base/p", Seq(
-        purchases.filter(col("p_ts") < cut), purchases.filter(col("p_ts") >= cut),
-        sentP("2024-03-01 00:00:00"), sentP("2024-03-10 00:00:00")))
-      val joined = graft.streaming.EventStream.intervalJoin(
-        vs, ps, Seq("user_id"), "view_ts", "p_ts", "1 hour",
-        watermark = "2 hours", joinType = "left_outer")
-      val q = graft.streaming.EventStream.writeFileStream(
-        joined, s"$base/out", s"$base/ckpt")
-      try q.processAllAvailable() finally q.stop()
+      withShufflePartitions(s, 8) {
+        val vs = stagedMicroBatches(s, s"$base/v", Seq(
+          views.filter(col("view_ts") < cut), views.filter(col("view_ts") >= cut),
+          sentV("2024-03-01 00:00:00"), sentV("2024-03-10 00:00:00")))
+        val ps = stagedMicroBatches(s, s"$base/p", Seq(
+          purchases.filter(col("p_ts") < cut), purchases.filter(col("p_ts") >= cut),
+          sentP("2024-03-01 00:00:00"), sentP("2024-03-10 00:00:00")))
+        val joined = graft.streaming.EventStream.intervalJoin(
+          vs, ps, Seq("user_id"), "view_ts", "p_ts", "1 hour",
+          watermark = "2 hours", joinType = "left_outer")
+        val q = graft.streaming.EventStream.writeFileStream(
+          joined, s"$base/out", s"$base/ckpt")
+        try q.processAllAvailable() finally q.stop()
+      }
       s.read.parquet(s"$base/out")
         .filter(col("user_id") >= 0)
         .groupBy("user_id")
