@@ -3538,19 +3538,21 @@ object SparkEntry {
         lit("zz_sentinel").as("event_type"))
       sentinel.coalesce(1).write.mode("append").parquet(in)
       sentinel.coalesce(1).write.mode("append").parquet(in)
-      val schema = s.read.parquet(in).schema
-      val stream = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(in)
-        .withColumn("ts", col("ts").cast("timestamp"))
-      val counts = stream
-        .withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .select(col("window.start").cast("timestamp_ntz").as("window_start"),
-          col("event_type"), col("n"))
-      val q = graft.streaming.EventStream.writeFileStream(
-        counts, s"$base/out", s"$base/ckpt")
-      try q.processAllAvailable() finally q.stop()
+      withShufflePartitions(s, 8) {
+        val schema = s.read.parquet(in).schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(in)
+          .withColumn("ts", col("ts").cast("timestamp"))
+        val counts = stream
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+            col("event_type"), col("n"))
+        val q = graft.streaming.EventStream.writeFileStream(
+          counts, s"$base/out", s"$base/ckpt")
+        try q.processAllAvailable() finally q.stop()
+      }
       val emitted = s.read.parquet(s"$base/out")
       val w = Window.partitionBy("window_start")
         .orderBy(col("n").desc, col("event_type").asc)
@@ -3749,7 +3751,7 @@ object SparkEntry {
       val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
+      try withShufflePartitions(s, 8) {
         val stream = s.readStream.schema(s.read.parquet(in).schema)
           .option("maxFilesPerTrigger", 1).parquet(in)
         val hits = graft.streaming.EventStream.streamingLshNearDup(
