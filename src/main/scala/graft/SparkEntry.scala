@@ -2834,6 +2834,21 @@ object SparkEntry {
         "media_id", "dhash_v", maxHamming = 8)
     }),
 
+    // audio near-dup: groups of 5 docs share (n, halfPeriod) but
+    // differ in amplitude — the gain-invariant window-parity
+    // fingerprint (REAL javax.sound decode on executors) collides
+    // exactly within groups; the oracle computes every fingerprint
+    // analytically from the square-wave parameters
+    "mm8_audio_neardup" -> ((s, dir) => {
+      val media = Multimodal.synthesizeWavTable(
+        t(s, dir, "documents").select("doc_id"), "doc_id",
+        sampleRate = lit(8000),
+        nSamples = expr("(doc_id DIV 5) % 200 + 400"),
+        amp = expr("(doc_id % 5) * 500 + 1000"),
+        halfPeriod = expr("(doc_id DIV 5) % 9 + 1"))
+      Multimodal.audioNearDupPairs(media)
+    }),
+
     "mm2_media_features" -> ((s, dir) => {
       // REAL codec round-trip: deterministic two-band PNGs (dims and
       // colors are arithmetic in doc_id) encoded AND decoded with
@@ -7494,6 +7509,29 @@ object SparkEntry {
         |                 THEN raw - CAST('18446744073709551616' AS HUGEINT)
         |                 ELSE raw END AS BIGINT) AS dhash_v
         |FROM hv""".stripMargin,
+
+    // fingerprints analytically: a square wave flips sign exactly at
+    // the multiples of halfPeriod, so bit w is the parity of the
+    // multiples landing in window w; amplitude never enters
+    "mm8_audio_neardup" ->
+      """WITH prm AS (
+        |  SELECT doc_id, (doc_id // 5) % 200 + 400 AS n,
+        |         (doc_id // 5) % 9 + 1 AS hp
+        |  FROM documents),
+        |fl AS (SELECT doc_id, n, hp,
+        |              unnest(range(1, (n - 1) // hp + 1)) AS j
+        |       FROM prm),
+        |b AS (SELECT doc_id, CAST((j * hp * 64) // n AS INTEGER) AS w FROM fl),
+        |p AS (SELECT doc_id, w, count(*) % 2 AS bit FROM b GROUP BY 1, 2),
+        |fp AS (SELECT doc_id,
+        |              CAST(sum(bit * (CASE WHEN w = 63
+        |                     THEN CAST(-9223372036854775807 AS BIGINT) - 1
+        |                     ELSE CAST(1 AS BIGINT) << w END))
+        |                   AS BIGINT) AS fingerprint
+        |       FROM p GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b2.doc_id AS id_b, a.fingerprint
+        |FROM fp a JOIN fp b2
+        |  ON a.fingerprint = b2.fingerprint AND a.doc_id < b2.doc_id""".stripMargin,
 
     // all-pairs replay over the analytic dhash_v (mm6's CTE):
     // byte-aligned differences make chunk-blocked recall exact at

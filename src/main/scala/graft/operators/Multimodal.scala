@@ -323,6 +323,99 @@ object Multimodal {
     }(enc)
   }
 
+  private val audioFingerprintSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("fingerprint", LongType),
+    StructField("n_samples", LongType)))
+
+  /** Amplitude-invariant audio fingerprint: the decoded 16-bit PCM
+    * stream is cut into `windows` equal sample ranges (sample i →
+    * window i·W/n, integer division) and bit w is the PARITY of the
+    * sign-transition count inside window w — the same zero-skipping
+    * transition rule [[extractAudioFeatures]] counts globally. Gain
+    * changes, which scale every sample, cannot move a single bit
+    * (the audio analogue of [[imageDHash]]'s gradient-sign
+    * invariance); time edits flip only the bits of the windows they
+    * touch, so Hamming distance localizes the difference.
+    * Unrecognized/non-PCM payloads report fingerprint 0 with
+    * n_samples 0, never a fabricated waveform. */
+  def audioFingerprint(media: DataFrame, windows: Int = 64): DataFrame = {
+    require(windows >= 1 && windows <= 64, s"windows must be 1..64: $windows")
+    val enc = RowEncoder.encoderFor(audioFingerprintSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        decodePcm(payload) match {
+          case Some(samples) if samples.length > 0 =>
+            val n = samples.length
+            val bits = new Array[Int](windows)
+            var prevSign = 0
+            var i = 0
+            while (i < n) {
+              val sign = Integer.signum(samples(i))
+              if (sign != 0 && prevSign != 0 && sign != prevSign)
+                bits(((i.toLong * windows) / n).toInt) ^= 1
+              if (sign != 0) prevSign = sign
+              i += 1
+            }
+            var fp = 0L
+            var w = 0
+            while (w < windows) { fp |= bits(w).toLong << w; w += 1 }
+            Row(id, fp, n.toLong)
+          case _ => Row(id, 0L, 0L)
+        }
+      }
+    }(enc)
+  }
+
+  /** Raw 16-bit PCM samples of a recognized clip (channel-interleaved
+    * order, the order the transition counters walk). */
+  private def decodePcm(payload: Array[Byte]): Option[Array[Int]] = {
+    if (payload == null || payload.length < 12) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = ais.getFormat
+        if (f.getSampleSizeInBits != 16 ||
+            f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          return None
+        val bytes = ais.readAllBytes()
+        val big = f.isBigEndian
+        val n = bytes.length / 2
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val lo = bytes(2 * i + (if (big) 1 else 0)) & 0xff
+          val hi = bytes(2 * i + (if (big) 0 else 1)).toInt
+          out(i) = (hi << 8) | lo
+          i += 1
+        }
+        Some(out)
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Audio near-duplicate pairs: clips whose [[audioFingerprint]]s
+    * are IDENTICAL — same waveform shape at any gain (the mm7
+    * image-near-dup counterpart for audio; loudness-normalized
+    * re-encodes of one clip collide, different content does not).
+    * Exact-fingerprint blocking is one hash shuffle on an 8-byte
+    * key — the dd1 shape, payloads never move; relax to banded
+    * Hamming blocking ([[Dedup.hammingPairs]]) when robustness to
+    * small edits is needed. Undecodable clips (fingerprint 0 with
+    * n_samples 0) never pair. */
+  def audioNearDupPairs(media: DataFrame, windows: Int = 64): DataFrame = {
+    val fps = audioFingerprint(media, windows)
+      .filter(col("n_samples") > 0)
+    fps.select(col("fingerprint"), col("media_id").as("id_a"))
+      .join(fps.select(col("fingerprint"), col("media_id").as("id_b")),
+        Seq("fingerprint"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("fingerprint"))
+  }
+
   /** Deterministic WAV fixture table: one square-wave mono 16-bit PCM
     * clip per input row (amplitude `amp`, sign flipping every
     * `halfPeriod` samples), encoded by the REAL `javax.sound.sampled`

@@ -1354,6 +1354,36 @@ class ModesSpec extends SparkTestBase {
 class MultimodalSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("audioFingerprint: analytic parities, gain invariance, exact pairing") {
+    // expected fingerprint of a square wave: sign flips at the
+    // multiples of hp; bit w = parity of flips with (i*64)/n == w
+    def expect(n: Int, hp: Int): Long = {
+      val bits = new Array[Int](64)
+      var j = 1
+      while (j * hp <= n - 1) {
+        bits(((j.toLong * hp * 64) / n).toInt) ^= 1; j += 1
+      }
+      bits.zipWithIndex.map { case (b, w) => b.toLong << w }
+        .foldLeft(0L)(_ | _)
+    }
+    val media = graft.operators.Multimodal.synthesizeWavTable(
+      Seq((1L, 400, 1000, 3), (2L, 400, 30000, 3),  // same shape, 30x gain
+        (3L, 400, 1000, 4), (4L, 555, 1000, 3))     // different hp / length
+        .toDF("id", "n", "a", "hp"),
+      "id", lit(8000), col("n"), col("a"), col("hp"))
+    val fps = graft.operators.Multimodal.audioFingerprint(media)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(fps(1L) == ((expect(400, 3), 400L)))
+    assert(fps(2L)._1 == expect(400, 3))  // gain cannot move a bit
+    assert(fps(3L)._1 == expect(400, 4))
+    assert(fps(4L)._1 == expect(555, 3))
+    // the planted distinct shapes really are distinct fingerprints
+    assert(expect(400, 3) != expect(400, 4) && expect(400, 3) != expect(555, 3))
+    val pairs = graft.operators.Multimodal.audioNearDupPairs(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   private def media = Multimodal.toMediaTable(
     Seq((1L, "hello world", "s1"), (2L, "", "s2")).toDF("id", "content", "src"),
     "id", "content", "text/plain", "src")
