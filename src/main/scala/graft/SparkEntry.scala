@@ -2032,6 +2032,21 @@ object SparkEntry {
       Funnel.funnel(events(s, dir), "user_id", "event_type", "ts",
         Seq("view", "click", "purchase"))),
 
+    // per-transition conversion latency: exact microsecond gaps,
+    // interpolated percentiles, one divide to seconds — how LONG the
+    // funnel takes, not just how far
+    "fun2_step_latency" -> ((s, dir) =>
+      Funnel.stepLatency(events(s, dir), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))),
+
+    // uniqueness / candidate-key profiling: exact distinct-combination
+    // ratios over four candidate column sets (fdProfile's sibling)
+    "dq11_key_profile" -> ((s, dir) =>
+      DataQuality.keyProfile(t(s, dir, "orders"), Seq(
+        Seq("o_orderkey"), Seq("o_custkey"),
+        Seq("o_custkey", "o_orderdate"),
+        Seq("o_orderpriority", "o_orderstatus")))),
+
     // cohort retention triangle: users grouped by first-activity
     // week, counted in each week they return
     "coh1_retention" -> ((s, dir) =>
@@ -6510,6 +6525,79 @@ object SparkEntry {
         |SELECT 'click', 2, count(*) FROM s2
         |UNION ALL
         |SELECT 'purchase', 3, count(*) FROM s3""".stripMargin,
+
+    // fun1's ordered first-times, then per-transition epoch_us gaps
+    // with interpolated quantiles over the exact integers
+    "fun2_step_latency" ->
+      """WITH s1 AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view'
+        |           THEN CAST(ts AS TIMESTAMP) END) AS t1
+        |  FROM events GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |   AND e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t1
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |   AND e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t2
+        |  GROUP BY 1),
+        |g12 AS (SELECT epoch_us(t2) - epoch_us(t1) AS gap_us
+        |        FROM s2 JOIN s1 USING (user_id)),
+        |g23 AS (SELECT epoch_us(t3) - epoch_us(t2) AS gap_us
+        |        FROM s3 JOIN s2 USING (user_id))
+        |SELECT 'view' AS from_stage, 'click' AS to_stage,
+        |       CAST(count(*) AS BIGINT) AS n_converted,
+        |       round(quantile_cont(CAST(gap_us AS DOUBLE), 0.5) / 1000000.0, 4)
+        |         AS median_seconds,
+        |       round(quantile_cont(CAST(gap_us AS DOUBLE), 0.9) / 1000000.0, 4)
+        |         AS p90_seconds
+        |FROM g12
+        |UNION ALL
+        |SELECT 'click', 'purchase', CAST(count(*) AS BIGINT),
+        |       round(quantile_cont(CAST(gap_us AS DOUBLE), 0.5) / 1000000.0, 4),
+        |       round(quantile_cont(CAST(gap_us AS DOUBLE), 0.9) / 1000000.0, 4)
+        |FROM g23""".stripMargin,
+
+    // per-candidate groupBy replay; NULL combinations are values
+    "dq11_key_profile" ->
+      """WITH g1 AS (SELECT CAST(o_orderkey AS VARCHAR) AS k, count(*) AS n
+        |            FROM orders GROUP BY 1),
+        |r1 AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |              CAST(count(*) AS BIGINT) AS n_distinct FROM g1),
+        |g2 AS (SELECT CAST(o_custkey AS VARCHAR) AS k, count(*) AS n
+        |       FROM orders GROUP BY 1),
+        |r2 AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |              CAST(count(*) AS BIGINT) AS n_distinct FROM g2),
+        |g3 AS (SELECT CAST(o_custkey AS VARCHAR) AS k1,
+        |              CAST(o_orderdate AS VARCHAR) AS k2, count(*) AS n
+        |       FROM orders GROUP BY 1, 2),
+        |r3 AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |              CAST(count(*) AS BIGINT) AS n_distinct FROM g3),
+        |g4 AS (SELECT CAST(o_orderpriority AS VARCHAR) AS k1,
+        |              CAST(o_orderstatus AS VARCHAR) AS k2, count(*) AS n
+        |       FROM orders GROUP BY 1, 2),
+        |r4 AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |              CAST(count(*) AS BIGINT) AS n_distinct FROM g4)
+        |SELECT 'o_orderkey' AS columns, n_rows, n_distinct,
+        |       round(CAST(n_distinct AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+        |         AS uniqueness,
+        |       n_distinct = n_rows AS is_key
+        |FROM r1
+        |UNION ALL
+        |SELECT 'o_custkey', n_rows, n_distinct,
+        |       round(CAST(n_distinct AS DOUBLE) / CAST(n_rows AS DOUBLE), 6),
+        |       n_distinct = n_rows FROM r2
+        |UNION ALL
+        |SELECT 'o_custkey,o_orderdate', n_rows, n_distinct,
+        |       round(CAST(n_distinct AS DOUBLE) / CAST(n_rows AS DOUBLE), 6),
+        |       n_distinct = n_rows FROM r3
+        |UNION ALL
+        |SELECT 'o_orderpriority,o_orderstatus', n_rows, n_distinct,
+        |       round(CAST(n_distinct AS DOUBLE) / CAST(n_rows AS DOUBLE), 6),
+        |       n_distinct = n_rows FROM r4""".stripMargin,
 
     "coh1_retention" ->
       """WITH e AS (

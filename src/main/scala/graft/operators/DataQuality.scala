@@ -448,4 +448,33 @@ object DataQuality {
     }
     results.reduce(_.union(_))
   }
+
+  /** Candidate-key / uniqueness profiling — [[fdProfile]]'s sibling
+    * for the OTHER schema question ("which column sets identify a
+    * row?"): per candidate column set, the exact distinct-combination
+    * count, the uniqueness ratio, and the is_key verdict. NULL
+    * combinations count as values (grouping semantics, consistent
+    * with fdProfile), so a "key" with NULLs is only a key if the
+    * NULL row is unique too.
+    *
+    * Scale shape per candidate: one map-side-combined groupBy over
+    * the combination, one 1-row reduce — exact, never a sketch;
+    * swap in HLL ([[graft.operators.Profiling]]) for monitoring-grade
+    * cardinality at lower cost. */
+  def keyProfile(df: DataFrame, candidates: Seq[Seq[String]]): DataFrame = {
+    require(candidates.nonEmpty, "need at least one candidate column set")
+    val results = candidates.map { cols0 =>
+      require(cols0.nonEmpty, "empty candidate column set")
+      val grouped = df.groupBy(
+          cols0.map(c => col(c).cast("string").as(s"__k_$c")): _*)
+        .agg(count(lit(1)).as("__n"))
+      grouped.agg(sum("__n").as("n_rows"), count(lit(1)).as("n_distinct"))
+        .select(lit(cols0.mkString(",")).as("columns"),
+          col("n_rows"), col("n_distinct"),
+          round(col("n_distinct").cast("double") /
+            col("n_rows").cast("double"), 6).as("uniqueness"),
+          (col("n_distinct") === col("n_rows")).as("is_key"))
+    }
+    results.reduce(_.union(_))
+  }
 }

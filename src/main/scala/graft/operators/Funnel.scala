@@ -60,6 +60,40 @@ object Funnel {
     }: _*)).as("x")).select("x.*")
   }
 
+  /** Per-transition conversion latency — the "how LONG does the
+    * funnel take" companion of [[funnel]]'s "how far": for each
+    * consecutive stage pair, over the entities that completed both
+    * IN ORDER, the converter count and the median / p90 gap in
+    * seconds. Gaps are exact integer MICROSECONDS
+    * (`unix_micros`, no sub-second truncation); the percentile
+    * interpolates over those integers and one final divide converts
+    * to seconds — engine-replayable like pct1. Transitions nobody
+    * completed emit n_converted = 0 with null latencies.
+    *
+    * Scale shape: [[funnelTimes]]' joins + one 1-row aggregate per
+    * transition (k−1 tiny aggregates over the entity-times frame). */
+  def stepLatency(df: DataFrame, entityCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.length >= 2, "stepLatency needs at least two stages")
+    val times = funnelTimes(df, entityCol, typeCol, tsCol, stages)
+      .localCheckpoint()
+    val rows = (1 until stages.length).map { i =>
+      val gapUs = unix_micros(col(s"t_${i + 1}").cast("timestamp")) -
+        unix_micros(col(s"t_$i").cast("timestamp"))
+      times.filter(col(s"t_${i + 1}").isNotNull)
+        .select(gapUs.as("__gap_us"))
+        .agg(count(lit(1)).as("n_converted"),
+          round(expr("percentile(__gap_us, 0.5)") / 1000000.0, 4)
+            .as("median_seconds"),
+          round(expr("percentile(__gap_us, 0.9)") / 1000000.0, 4)
+            .as("p90_seconds"))
+        .select(lit(stages(i - 1)).as("from_stage"),
+          lit(stages(i)).as("to_stage"),
+          col("n_converted"), col("median_seconds"), col("p90_seconds"))
+    }
+    rows.reduce(_.union(_))
+  }
+
   /** Cohort retention: entities grouped by first-activity week,
     * counted in every subsequent week they were active. Output
     * (cohort_week, weeks_since, n_users) — the retention triangle. */

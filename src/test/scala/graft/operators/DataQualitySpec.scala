@@ -264,6 +264,21 @@ class DiffWinsorizeSpec extends SparkTestBase {
     assert(moved(9L) + moved(0L) > 0.8 * moved.values.sum)
   }
 
+  test("keyProfile: exact uniqueness, composite keys, null combos count") {
+    val df = Seq((1L, Some("a"), "x"), (2L, Some("a"), "y"),
+      (3L, None, "x"), (4L, None, "x"))
+      .toDF("id", "c1", "c2")
+    val out = DataQuality.keyProfile(df,
+      Seq(Seq("id"), Seq("c1"), Seq("c1", "c2")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out("id") == ((4L, 4L, 1.0, true)))
+    // c1 values: a, a, null, null -> 2 distinct incl. the null class
+    assert(out("c1") == ((4L, 2L, 0.5, false)))
+    // (c1,c2): (a,x) (a,y) (null,x) (null,x) -> 3 distinct
+    assert(out("c1,c2") == ((4L, 3L, 0.75, false)))
+  }
+
   test("fdProfile: g3 violations, holding key, null-as-value semantics") {
     val df = Seq(
       (1L, "a", "x"), (1L, "a", "x"), (1L, "a", "y"),  // k=1 -> always 'a'

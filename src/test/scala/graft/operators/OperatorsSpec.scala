@@ -1892,6 +1892,30 @@ class FunnelSpec extends SparkTestBase {
 
   private val ts = (s: String) => java.sql.Timestamp.valueOf(s)
 
+  test("stepLatency: interpolated gap percentiles, empty transition nulls") {
+    val ev = Seq(
+      (1L, "view", ts("2024-03-01 10:00:00")),
+      (1L, "click", ts("2024-03-01 10:00:10")),
+      (1L, "purchase", ts("2024-03-01 10:01:10")),
+      (2L, "view", ts("2024-03-01 11:00:00")),
+      (2L, "click", ts("2024-03-01 11:00:30")),
+      (3L, "click", ts("2024-03-01 12:00:00")))  // click w/o view: no funnel
+      .toDF("user_id", "event_type", "ts")
+    val out = Funnel.stepLatency(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // gaps {10s, 30s}: median 20, p90 = 10 + 0.9*(30-10) = 28
+    assert(out(("view", "click")) == ((2L, 20.0, 28.0)))
+    assert(out(("click", "purchase")) == ((1L, 60.0, 60.0)))
+    // nobody converts at all -> count 0, null latencies
+    val none = Funnel.stepLatency(ev.filter(col("event_type") =!= "purchase"),
+      "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val cp = none(("click", "purchase"))
+    assert(cp.getLong(2) == 0L && cp.isNullAt(3) && cp.isNullAt(4))
+  }
+
   test("funnel counts only in-order conversions, strictly after") {
     val ev = Seq(
       // u1: full ordered funnel
