@@ -2119,6 +2119,22 @@ object SparkEntry {
     // hive-partitioned layout + STATIC partition pruning: lineitem
     // written partitioned by ship month, the 1995 predicate prunes
     // whole directories at planning time (PartitionFilters plan-pinned)
+    // partition-grain replication: the correction batch (two 1994
+    // months, doubled quantity) REPLACES exactly its partitions via
+    // dynamic partition overwrite; every other month stays
+    // byte-untouched — verified by the per-month totals
+    "m10_partition_overwrite" -> ((s, dir) => {
+      val path = tmpDir("graft_m10") + "/li"
+      val li = t(s, dir, "lineitem").withColumn("l_month",
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("int"))
+      graft.sources.Layout.writeHivePartitioned(li, path, "l_month")
+      val batch = li.filter(col("l_month").isin(199401, 199402))
+        .withColumn("l_quantity", col("l_quantity") * 2)
+      graft.sources.Layout.overwritePartitions(batch, path, "l_month")
+      s.read.parquet(path).groupBy("l_month")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+    }),
+
     "pp1_partition_prune" -> ((s, dir) => {
       val path = tmpDir("graft_pp1") + "/li"
       graft.sources.Layout.writeHivePartitioned(
@@ -6482,6 +6498,20 @@ object SparkEntry {
         |                         THEN 1 ELSE 0 END AS BIGINT) AS ry
         |        FROM h WHERE i >= 0) t)
         |SELECT l_orderkey, l_linenumber, d AS hkey FROM h WHERE i = -1""".stripMargin,
+
+    // post-overwrite table == original months except the two
+    // corrected ones, whose quantities double (counts unchanged)
+    "m10_partition_overwrite" ->
+      """WITH li AS (
+        |  SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INTEGER)
+        |           AS l_month,
+        |         l_quantity
+        |  FROM lineitem)
+        |SELECT l_month, count(*) AS n,
+        |       round(sum(CASE WHEN l_month IN (199401, 199402)
+        |                      THEN l_quantity * 2 ELSE l_quantity END), 2)
+        |         AS sum_qty
+        |FROM li GROUP BY l_month""".stripMargin,
 
     "pp1_partition_prune" ->
       """SELECT (year(l_shipdate) * 100 + month(l_shipdate)) AS l_month,

@@ -143,4 +143,30 @@ object Layout {
       .write.mode("overwrite")
       .partitionBy(partitionCol)
       .parquet(path)
+
+  /** Dynamic partition overwrite — the partition-grain replication
+    * mode between complete (m1: replace the table) and incremental
+    * (m3/m4: merge rows): a batch REPLACES exactly the partitions it
+    * contains and leaves every other partition byte-untouched — the
+    * daily-reload contract ("re-ship yesterday and today, keep
+    * history"). Spark's `partitionOverwriteMode=dynamic` makes the
+    * swap per-partition atomic (write staged, then directory rename),
+    * and only the batch's partitions move — never a full-table
+    * rewrite. The session conf is scoped to this write and restored
+    * in finally. */
+  def overwritePartitions(df: DataFrame, path: String,
+      partitionCol: String): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.repartition(col(partitionCol))
+      .write.mode("overwrite")
+      .partitionBy(partitionCol)
+      .parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

@@ -1340,6 +1340,25 @@ class ModesSpec extends SparkTestBase {
     assert(!out.filter(_._1 == 2).exists(_._5))
   }
 
+  test("overwritePartitions replaces only the batch's partitions, adds new ones") {
+    val path = java.nio.file.Files.createTempDirectory("graft_m10spec")
+      .toString + "/t"
+    val base = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
+      .toDF("id", "p")
+    graft.sources.Layout.writeHivePartitioned(base, path, "p")
+    // batch: replaces b with ONE new row, introduces d; a and c absent
+    val batch = Seq((30L, "b"), (50L, "d")).toDF("id", "p")
+    graft.sources.Layout.overwritePartitions(batch, path, "p")
+    val out = spark.read.parquet(path)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "a"), (2L, "a"), (4L, "c"),  // untouched
+      (30L, "b"),                                        // replaced
+      (50L, "d")))                                       // added
+    // the conf is restored: a plain overwrite afterwards is full-table
+    assert(spark.conf.getOption(
+      "spark.sql.sources.partitionOverwriteMode").forall(_ != "dynamic"))
+  }
+
   test("applyChanges: full ties resolve stably across runs (content-hash break)") {
     val target = Seq((1, "a")).toDF("k", "v")
     val changes = Seq((1, "X", "U", 1L), (1, "Y", "U", 1L)).toDF("k", "v", "op", "seq")
