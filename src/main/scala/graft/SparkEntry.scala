@@ -3959,6 +3959,18 @@ object SparkEntry {
       Similarity.jlProject(t(s, dir, "embeddings"), "vec_id",
         "embedding", inDim = 64, outDim = 16)),
 
+    // per-dimension z-score standardization: exact quantized moments,
+    // fixed mean/variance tree, NULL for constant dimensions
+    "emb4_standardize" -> ((s, dir) =>
+      Similarity.standardize(t(s, dir, "embeddings"), "vec_id",
+        "embedding")),
+
+    // vocabulary-diversity quality signals: type-token ratio + hapax
+    // fraction per doc, the rep1 aggregation shape
+    "ta10_lexical_richness" -> ((s, dir) =>
+      TextAnalysis.lexicalRichness(t(s, dir, "documents"), "doc_id",
+        "text")),
+
     // linear gap-fill over a sparse hourly grid (high-value events
     // only, so real gaps exist): interior nulls interpolate between
     // nearest non-null hours, edges stay null
@@ -5841,6 +5853,42 @@ object SparkEntry {
         |             / (10000.0 * sqrt(CAST(16 AS DOUBLE))), 6) AS value
         |FROM e JOIN s ON e.i0 = s.i0
         |GROUP BY 1, 2""".stripMargin,
+
+    // the same quantized-moment replay: mean = s/n, variance =
+    // (ss - s*s/n)/n, z = (q - mean)/sqrt(variance)
+    "emb4_standardize" ->
+      """WITH qv AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |           x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |idx AS (SELECT unnest(range(1, 65)) AS i),
+        |e AS (SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim, q[i] AS qval
+        |      FROM qv, idx),
+        |st AS (SELECT dim, count(*) AS n, CAST(sum(qval) AS BIGINT) AS s,
+        |              CAST(sum(qval * qval) AS BIGINT) AS ss
+        |       FROM e GROUP BY dim),
+        |d AS (SELECT dim, CAST(n AS DOUBLE) AS nd, CAST(s AS DOUBLE) AS sd,
+        |             CAST(ss AS DOUBLE) AS ssd
+        |      FROM st)
+        |SELECT e.vec_id, e.dim,
+        |       CASE WHEN (ssd - sd * sd / nd) / nd > 0.0
+        |            THEN round((CAST(e.qval AS DOUBLE) - sd / nd)
+        |                       / sqrt((ssd - sd * sd / nd) / nd), 6)
+        |       END AS z
+        |FROM e JOIN d USING (dim)""".stripMargin,
+
+    // per-(doc, word) counts then one per-doc reduce
+    "ta10_lexical_richness" ->
+      """WITH tw AS (
+        |  SELECT doc_id, w, count(*) AS n FROM (
+        |    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |    FROM documents) WHERE w <> '' GROUP BY doc_id, w)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_types,
+        |       round(CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS ttr,
+        |       round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE), 6) AS hapax_frac
+        |FROM tw GROUP BY doc_id""".stripMargin,
 
     "emb2_pca_project" ->
       """|WITH RECURSIVE

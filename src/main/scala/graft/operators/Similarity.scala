@@ -1343,6 +1343,41 @@ object Similarity {
       .select("query_id", "neighbor_id", "hamming", "rank")
   }
 
+  /** Per-dimension z-score standardization of an embedding column —
+    * the feature-preprocessing step before distance-based ops when
+    * dimensions carry different scales. Inputs quantize to integers
+    * (round(v·quantScale)) so the per-dimension moment sums are
+    * EXACT longs (order-independent); mean and population std derive
+    * from those scalars in a fixed double tree and each output value
+    * is (q − mean)/std — engine-replayable like [[jlProject]].
+    * Constant dimensions (std = 0) emit NULL rather than an ANSI
+    * divide fault. Output long-format: (idCol, dim, z).
+    *
+    * Scale shape: one posexplode + ONE map-side-combined aggregate
+    * to `dim` counter rows, broadcast back over the exploded frame —
+    * no window, no driver math beyond none. */
+  def standardize(df: DataFrame, idCol: String, vecCol: String,
+      quantScale: Long = 10000L): DataFrame = {
+    require(quantScale >= 1, s"quantScale: $quantScale")
+    val q = df.select(col(idCol),
+      posexplode(transform(col(vecCol),
+        v => round(v.cast("double") * quantScale).cast("long")))
+        .as(Seq("dim", "__q")))
+    val stats = q.groupBy("dim").agg(
+      count(lit(1)).as("__n"),
+      sum("__q").as("__s"),
+      sum(col("__q") * col("__q")).as("__ss"))
+    val mean = col("__s").cast("double") / col("__n").cast("double")
+    val variance = (col("__ss").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double") /
+        col("__n").cast("double")) / col("__n").cast("double")
+    q.join(broadcast(stats), "dim")
+      .select(col(idCol), col("dim"),
+        when(variance > 0.0,
+          round((col("__q").cast("double") - mean) / sqrt(variance), 6))
+          .as("z"))
+  }
+
   /** Recall@k evaluation of an approximate neighbor frame against an
     * exact one — the harness every ANN probe in PERF.md computes ad
     * hoc, as a first-class operator. Both inputs are the

@@ -215,4 +215,31 @@ object TextAnalysis {
     round(lit(206.835) - lit(1.015) * words / sentences
       - lit(84.6) * syllables / words, 4)
   }
+
+  /** Lexical richness per document: token count, type (distinct
+    * lowercased word) count, type–token ratio, and the hapax
+    * fraction (types occurring exactly once / types) — the
+    * vocabulary-diversity quality signals (low TTR = templated or
+    * repetitive text; high hapax on long docs = OCR noise or
+    * gibberish). Documents with zero tokens emit no row.
+    *
+    * Scale shape: explode → (doc, word) counts → per-doc reduce, the
+    * [[QualityFilters.repetitionSignals]] aggregation shape — both
+    * aggregates map-side combined on the same doc keying. */
+  def lexicalRichness(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tw = df.select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__n"))
+    tw.groupBy(idCol)
+      .agg(sum("__n").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__n") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col(idCol), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") /
+          col("n_tokens").cast("double"), 6).as("ttr"),
+        round(col("n_hapax").cast("double") /
+          col("n_types").cast("double"), 6).as("hapax_frac"))
+  }
 }

@@ -1207,6 +1207,18 @@ class SimilaritySpec extends SparkTestBase {
 class TextAnalysisSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("lexicalRichness: TTR, hapax fraction, case-folded, empty doc absent") {
+    val docs = Seq((1L, "a A b"),       // types {a:2, b:1}
+      (2L, "x x x x"),                  // one type, no hapax
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.lexicalRichness(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((3L, 2L, 0.666667, 0.5)))
+    assert(out(2L) == ((4L, 1L, 0.25, 0.0)))
+    assert(!out.contains(3L))
+  }
+
   test("token/char/digit/punct counts") {
     val r = Seq("Hello, world 42! ").toDF("t").select(
       TextAnalysis.charCount(col("t")),
@@ -2091,6 +2103,26 @@ class AnnRecallSpec extends SparkTestBase {
     assert(out(1L) == ((3L, 2L, 0.666667)))
     assert(out(2L) == ((3L, 0L, 0.0)))     // approx missed q2 entirely
     assert(out.size == 2)
+  }
+}
+
+class StandardizeSpec extends SparkTestBase {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("standardize: exact z-scores, constant dimension nulls, invariance") {
+    // dim 0: values 1.0, 3.0 -> mean 2.0 std 1.0; dim 1: constant
+    val df = Seq((1L, Array(1.0f, 5.0f)), (2L, Array(3.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.standardize(df, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out((1L, 0)) == Some(-1.0) && out((2L, 0)) == Some(1.0))
+    assert(out((1L, 1)).isEmpty && out((2L, 1)).isEmpty) // std 0 -> null
+    val rep = Similarity.standardize(df.repartition(5), "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(rep == out)
   }
 }
 
