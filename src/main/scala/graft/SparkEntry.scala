@@ -2623,6 +2623,31 @@ object SparkEntry {
       Tokenizer.oovStats(drifted, "doc_id", "text", vocab.toIndexedSeq)
     }),
 
+    // the tokenizer-drift monitor at INGESTION: tok12's row-local
+    // coverage projection runs unchanged on a real two-micro-batch
+    // stream (the per-doc OOV rates a production monitor aggregates
+    // into its retrain flag) — stream == batch, tok12's oracle
+    "st22_stream_oov_gate" -> ((s, dir) => {
+      val vocab = trainedVocab(s, dir)
+      val drifted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" zq9x7 kafka")).as("text"))
+      val base = tmpDir("graft_st22")
+      val in = s"$base/in"
+      drifted.filter(col("doc_id") % 2 === 0)
+        .coalesce(1).write.mode("append").parquet(in)
+      drifted.filter(col("doc_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(in)
+      val schema = s.read.parquet(in).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val gated = Tokenizer.oovStats(stream, "doc_id", "text",
+        vocab.toIndexedSeq)
+      val q = graft.streaming.EventStream.writeFileStream(
+        gated, s"$base/out", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out")
+    }),
+
     // the TRAINING step itself as a table: the learned vocabulary in
     // rank order (alphabet first, then substrings by corpus score) —
     // MATCHing the SQL re-learned vocab pins trainVocab end-to-end,
@@ -4583,6 +4608,54 @@ object SparkEntry {
         |       CASE WHEN ch > 0 THEN round(CAST(ch - dch AS DOUBLE) / ch, 6)
         |            ELSE 0.0 END AS dup_line_char_frac
         |FROM m""".stripMargin
+
+  /** Shared by tok12 (batch) and st22 (the identical stateless
+    * coverage projection on a two-micro-batch stream). */
+  private val tok12OracleSql: String =
+    """WITH RECURSIVE wcnt AS (
+        |  SELECT w, count(*) AS f FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |    FROM documents) WHERE w <> '' GROUP BY w),
+        |chars AS (SELECT DISTINCT unnest([w[i:i] for i in range(1, len(w)+1)]) AS tok
+        |          FROM wcnt),
+        |subs AS (
+        |  SELECT unnest(flatten([[w[i:i+l-1] for l in range(2, least(8, len(w)-i+1)+1)]
+        |                         for i in range(1, len(w)+1)])) AS tok, f
+        |  FROM wcnt),
+        |score AS (SELECT tok, sum(f) AS s FROM subs GROUP BY tok),
+        |ranked AS (SELECT tok, row_number() OVER (ORDER BY s DESC, tok ASC) AS rn
+        |           FROM score),
+        |vocab AS (SELECT tok FROM chars
+        |          UNION ALL
+        |          SELECT tok FROM ranked
+        |          WHERE rn <= 64 - (SELECT count(*) FROM chars)),
+        |docs2 AS (SELECT doc_id, text || ' zq9x7 kafka' AS text FROM documents),
+        |w2 AS (SELECT DISTINCT w FROM (
+        |         SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |         FROM docs2) WHERE w <> ''),
+        |tk AS (
+        |  SELECT w, 1 AS pos, 0 AS n, 0 AS oov FROM w2
+        |  UNION ALL
+        |  SELECT w,
+        |         pos + coalesce((SELECT max(len(v.tok)) FROM vocab v
+        |                         WHERE v.tok = substr(tk.w, CAST(tk.pos AS INT),
+        |                                              len(v.tok))), 1),
+        |         n + 1,
+        |         oov + CASE WHEN (SELECT max(len(v.tok)) FROM vocab v
+        |                          WHERE v.tok = substr(tk.w, CAST(tk.pos AS INT),
+        |                                               len(v.tok))) IS NULL
+        |                    THEN 1 ELSE 0 END
+        |  FROM tk WHERE pos <= len(w)),
+        |wtok AS (SELECT w, n, oov FROM tk WHERE pos > len(w)),
+        |dw AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |       FROM docs2),
+        |cnt AS (SELECT doc_id, sum(n) AS n, sum(oov) AS o FROM dw JOIN wtok USING (w)
+        |        WHERE w <> '' GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(c.o, 0) AS BIGINT) AS n_oov,
+        |       CASE WHEN coalesce(c.n, 0) > 0
+        |            THEN round(CAST(c.o AS DOUBLE) / c.n, 6) ELSE 0.0 END AS oov_rate
+        |FROM documents d LEFT JOIN cnt c USING (doc_id)""".stripMargin
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "s1_scan_project" ->
@@ -7207,51 +7280,10 @@ object SparkEntry {
     // vocab re-learned from the ORIGINAL corpus, greedy walk replayed
     // over the DRIFTED words with an OOV counter: a step is OOV iff
     // not even the single character matches the vocab
-    "tok12_oov_rate" ->
-      """WITH RECURSIVE wcnt AS (
-        |  SELECT w, count(*) AS f FROM (
-        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
-        |    FROM documents) WHERE w <> '' GROUP BY w),
-        |chars AS (SELECT DISTINCT unnest([w[i:i] for i in range(1, len(w)+1)]) AS tok
-        |          FROM wcnt),
-        |subs AS (
-        |  SELECT unnest(flatten([[w[i:i+l-1] for l in range(2, least(8, len(w)-i+1)+1)]
-        |                         for i in range(1, len(w)+1)])) AS tok, f
-        |  FROM wcnt),
-        |score AS (SELECT tok, sum(f) AS s FROM subs GROUP BY tok),
-        |ranked AS (SELECT tok, row_number() OVER (ORDER BY s DESC, tok ASC) AS rn
-        |           FROM score),
-        |vocab AS (SELECT tok FROM chars
-        |          UNION ALL
-        |          SELECT tok FROM ranked
-        |          WHERE rn <= 64 - (SELECT count(*) FROM chars)),
-        |docs2 AS (SELECT doc_id, text || ' zq9x7 kafka' AS text FROM documents),
-        |w2 AS (SELECT DISTINCT w FROM (
-        |         SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
-        |         FROM docs2) WHERE w <> ''),
-        |tk AS (
-        |  SELECT w, 1 AS pos, 0 AS n, 0 AS oov FROM w2
-        |  UNION ALL
-        |  SELECT w,
-        |         pos + coalesce((SELECT max(len(v.tok)) FROM vocab v
-        |                         WHERE v.tok = substr(tk.w, CAST(tk.pos AS INT),
-        |                                              len(v.tok))), 1),
-        |         n + 1,
-        |         oov + CASE WHEN (SELECT max(len(v.tok)) FROM vocab v
-        |                          WHERE v.tok = substr(tk.w, CAST(tk.pos AS INT),
-        |                                               len(v.tok))) IS NULL
-        |                    THEN 1 ELSE 0 END
-        |  FROM tk WHERE pos <= len(w)),
-        |wtok AS (SELECT w, n, oov FROM tk WHERE pos > len(w)),
-        |dw AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
-        |       FROM docs2),
-        |cnt AS (SELECT doc_id, sum(n) AS n, sum(oov) AS o FROM dw JOIN wtok USING (w)
-        |        WHERE w <> '' GROUP BY doc_id)
-        |SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_tokens,
-        |       CAST(coalesce(c.o, 0) AS BIGINT) AS n_oov,
-        |       CASE WHEN coalesce(c.n, 0) > 0
-        |            THEN round(CAST(c.o AS DOUBLE) / c.n, 6) ELSE 0.0 END AS oov_rate
-        |FROM documents d LEFT JOIN cnt c USING (doc_id)""".stripMargin,
+    "tok12_oov_rate" -> tok12OracleSql,
+
+    // stream == batch for the stateless coverage gate
+    "st22_stream_oov_gate" -> tok12OracleSql,
 
     // the BPE training trajectory replayed iteration-by-iteration as
     // an unrolled CTE chain; the merges table is the output
