@@ -901,6 +901,16 @@ object SparkEntry {
       graft.sources.KafkaSink.payload(
         t(s, dir, "orders"), keyColumn = Some("o_orderkey"))),
 
+    // the CONSUMER direction: k1's serialized payloads parsed back
+    // against the source schema — payload -> parse is lossless, so
+    // the roundtrip hash-equals the source table itself
+    "k2_kafka_parse" -> ((s, dir) => {
+      val src = t(s, dir, "orders")
+      graft.sources.KafkaSink.parse(
+        graft.sources.KafkaSink.payload(src, keyColumn = Some("o_orderkey")),
+        src.schema)
+    }),
+
     // ---- beyond-parity: dedup -------------------------------------
     "dd1_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", Seq("text"))),
@@ -4691,6 +4701,10 @@ object SparkEntry {
 
     "m1_mode_complete" ->
       "SELECT * FROM lineitem",
+
+    // serialize -> parse roundtrip identity
+    "k2_kafka_parse" ->
+      "SELECT * FROM orders",
 
     "m2_mode_complete_atomic" ->
       "SELECT * FROM orders",

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DateType, TimestampType}
+import org.apache.spark.sql.types.{DateType, StringType, TimestampType}
 
 import graft.functions.Conversions
 
@@ -58,6 +58,41 @@ object KafkaSink {
     keyColumn match {
       case Some(k) => df.select(col(k).cast("string").as("key") +: fields: _*)
       case None => df.select(fields: _*)
+    }
+  }
+
+  /** Consumer-side parse — the inverse of [[payload]], the direction
+    * a downstream pipeline reads the topic: `from_json` against the
+    * target schema with temporal fields taken off the wire as
+    * STRINGS (their ISO-8601/date serialized form) and cast back, so
+    * payload → parse is LOSSLESS for every type the sink serializes
+    * (doubles survive via to_json's shortest-round-trip rendering;
+    * sub-millisecond timestamp precision is the documented wire
+    * truncation — the serializer emits milliseconds). Row-local
+    * codegen projection, shuffle-free. */
+  def parse(df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val wireSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.map { f =>
+        f.dataType match {
+          case TimestampType | _: org.apache.spark.sql.types.TimestampNTZType |
+               DateType => f.copy(dataType = StringType)
+          case _ => f
+        }
+      })
+    val parsed = df.select(from_json(col("value"), wireSchema).as("__r"))
+      .select(col("__r.*"))
+    schema.fields.foldLeft(parsed) { (acc, f) =>
+      f.dataType match {
+        case TimestampType => acc.withColumn(f.name,
+          to_timestamp(col(f.name), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          acc.withColumn(f.name,
+            to_timestamp(col(f.name), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+              .cast("timestamp_ntz"))
+        case DateType => acc.withColumn(f.name, to_date(col(f.name)))
+        case _ => acc
+      }
     }
   }
 

@@ -272,6 +272,23 @@ class KafkaSinkSpec extends SparkTestBase {
     assert(out.getString(0) == """{"a":1}""")
   }
 
+  test("parse inverts payload: typed roundtrip incl. nulls and doubles") {
+    val df = Seq((1L, Some("x"), Some(0.1), Some(true)),
+      (2L, None, Some(1.0 / 3.0), None),       // nulls + non-terminating double
+      (3L, Some("q\"uo\\te"), None, Some(false))) // JSON-escaped content
+      .toDF("id", "name", "score", "flag")
+      .withColumn("tsn",
+        lit("2024-01-01 00:00:00.123").cast("timestamp_ntz"))
+    val back = KafkaSink.parse(
+      KafkaSink.payload(df, keyColumn = Some("id")), df.schema)
+    // from_json fields are always nullable; names and types must match
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val a = df.collect().map(_.toSeq).toSet
+    val b = back.collect().map(_.toSeq).toSet
+    assert(a == b)  // lossless: shortest-round-trip doubles survive
+  }
+
   test("typedPayload keeps serialized fields as typed columns beside the key") {
     val df = Seq((1L, "x")).toDF("id", "name")
       .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00.123")))
