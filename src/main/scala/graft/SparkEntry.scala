@@ -2900,6 +2900,23 @@ object SparkEntry {
         "media_id", "dhash_v", maxHamming = 8)
     }),
 
+    // explicit block-mean RESIZE of the two-band PNGs to a 4x4 grid:
+    // real decode, exact block sums, one divide per cell — the
+    // oracle computes every cell's mean analytically from the band
+    // geometry (column-uniform colors: the mean depends only on gy,
+    // the pixel count on both axes)
+    "mm9_image_resize" -> ((s, dir) => {
+      val d = col("doc_id")
+      def pack(r: Column, g: Column, b: Column): Column =
+        shiftleft(r, 16).bitwiseOR(shiftleft(g, 8)).bitwiseOR(b)
+      val media = Multimodal.synthesizePngTable(
+        t(s, dir, "documents").select("doc_id"), "doc_id",
+        width = d % 40 + 16, height = d % 23 + 16,
+        topRgb = pack(d % 256, (d * 7) % 256, (d * 13) % 256),
+        bottomRgb = pack((d * 3) % 256, (d * 11) % 256, (d * 17) % 256))
+      Multimodal.resizeLuma(media, gw = 4, gh = 4)
+    }),
+
     // audio near-dup: groups of 5 docs share (n, halfPeriod) but
     // differ in amplitude — the gain-invariant window-parity
     // fingerprint (REAL javax.sound decode on executors) collides
@@ -7721,6 +7738,33 @@ object SparkEntry {
         |                 THEN raw - CAST('18446744073709551616' AS HUGEINT)
         |                 ELSE raw END AS BIGINT) AS dhash_v
         |FROM hv""".stripMargin,
+
+    // block boundaries are ceil(g*dim/4); the top band covers rows
+    // < height//2, so cell sums are closed-form in the band colors
+    "mm9_image_resize" ->
+      """WITH p AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(doc_id % 40 + 16 AS INT) AS width,
+        |         CAST(doc_id % 23 + 16 AS INT) AS height,
+        |         (doc_id % 256) + ((doc_id * 7) % 256) + ((doc_id * 13) % 256) AS ts,
+        |         ((doc_id * 3) % 256) + ((doc_id * 11) % 256) + ((doc_id * 17) % 256) AS bs
+        |  FROM documents),
+        |gys AS (SELECT unnest(range(0, 4)) AS gy),
+        |gxs AS (SELECT unnest(range(0, 4)) AS gx),
+        |c AS (
+        |  SELECT media_id, ts, bs, gys.gy, gxs.gx,
+        |         ((gys.gy + 1) * height + 3) // 4
+        |           - (gys.gy * height + 3) // 4 AS leny,
+        |         GREATEST(0, LEAST(((gys.gy + 1) * height + 3) // 4, height // 2)
+        |                    - (gys.gy * height + 3) // 4) AS nt,
+        |         ((gxs.gx + 1) * width + 3) // 4
+        |           - (gxs.gx * width + 3) // 4 AS lenx
+        |  FROM p CROSS JOIN gys CROSS JOIN gxs)
+        |SELECT media_id, CAST(gy AS INT) AS gy, CAST(gx AS INT) AS gx,
+        |       CAST(leny * lenx AS BIGINT) AS n_px,
+        |       round(CAST((nt * ts + (leny - nt) * bs) * lenx AS DOUBLE)
+        |             / (3.0 * CAST(leny * lenx AS DOUBLE)), 4) AS mean_luma
+        |FROM c""".stripMargin,
 
     // fingerprints analytically: a square wave flips sign exactly at
     // the multiples of halfPeriod, so bit w is the parity of the

@@ -186,32 +186,36 @@ object Multimodal {
     * (no interpolation, no float rounding, no AWT rescale variance).
     * Undecodable payloads and rasters smaller than the 9-block grid
     * emit NULL hashes (never fabricated bits). */
+  /** Brightness sums + pixel counts on a gw × gh grid — the
+    * block-mean resize kernel shared by [[imageDHash]] and
+    * [[resizeLuma]] (pixel (x, y) → block ((x·gw)/w, (y·gh)/h)). */
+  private def gridSums(px: Array[Int], w: Int, h: Int, gw: Int, gh: Int)
+      : (Array[Long], Array[Long]) = {
+    val sums = new Array[Long](gw * gh)
+    val cnts = new Array[Long](gw * gh)
+    var y = 0
+    while (y < h) {
+      val gy = ((y.toLong * gh) / h).toInt
+      var x = 0
+      while (x < w) {
+        val gx = ((x.toLong * gw) / w).toInt
+        val p = px(y * w + x)
+        sums(gy * gw + gx) +=
+          ((p >>> 16) & 0xff) + ((p >>> 8) & 0xff) + (p & 0xff)
+        cnts(gy * gw + gx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    (sums, cnts)
+  }
+
   def imageDHash(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(dhashSchema)
     media.select("media_id", "payload").mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
-
-      // brightness sums + pixel counts on a gw x gh grid
-      def blocks(px: Array[Int], w: Int, h: Int, gw: Int, gh: Int)
-          : (Array[Long], Array[Long]) = {
-        val sums = new Array[Long](gw * gh)
-        val cnts = new Array[Long](gw * gh)
-        var y = 0
-        while (y < h) {
-          val gy = ((y.toLong * gh) / h).toInt
-          var x = 0
-          while (x < w) {
-            val gx = ((x.toLong * gw) / w).toInt
-            val p = px(y * w + x)
-            sums(gy * gw + gx) +=
-              ((p >>> 16) & 0xff) + ((p >>> 8) & 0xff) + (p & 0xff)
-            cnts(gy * gw + gx) += 1
-            x += 1
-          }
-          y += 1
-        }
-        (sums, cnts)
-      }
+      def blocks(px: Array[Int], w: Int, h: Int, gw: Int, gh: Int) =
+        gridSums(px, w, h, gw, gh)
 
       rows.map { r =>
         val id = r.getLong(0)
@@ -248,6 +252,48 @@ object Multimodal {
             Row(id, w, h, dh, dv)
           }
         }
+      }
+    }(enc)
+  }
+
+  private val resizeSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("gy", IntegerType, nullable = false),
+    StructField("gx", IntegerType, nullable = false),
+    StructField("n_px", LongType, nullable = false),
+    StructField("mean_luma", DoubleType, nullable = false)))
+
+  /** Block-mean image RESIZE to a gw × gh grid — the multimodal
+    * downscale step, explicit (the kernel [[imageDHash]] uses
+    * internally, surfaced as data): each output cell is the exact
+    * mean brightness of its source block, emitted long-format as
+    * (media_id, gy, gx, n_px, mean_luma). Sums and counts are exact
+    * longs; the mean is one fixed divide (sum / (3·count)) rounded
+    * to 4 — oracle-replayable for any analytically-constructed
+    * fixture. Undecodable payloads and images smaller than the grid
+    * emit no rows. Row-local decode on executors, shuffle-free. */
+  def resizeLuma(media: DataFrame, gw: Int = 4, gh: Int = 4): DataFrame = {
+    require(gw >= 1 && gh >= 1, s"grid must be positive: ${gw}x$gh")
+    val enc = RowEncoder.encoderFor(resizeSchema)
+    media.select("media_id", "payload").flatMap { r =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val id = r.getLong(0)
+      val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+      val img =
+        if (payload == null || payload.length < 8) null
+        else try {
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        } catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null || img.getWidth < gw || img.getHeight < gh) Seq.empty
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        val (sums, cnts) = gridSums(px, w, h, gw, gh)
+        for (gy <- 0 until gh; gx <- 0 until gw) yield Row(
+          id, gy, gx, cnts(gy * gw + gx),
+          BigDecimal(sums(gy * gw + gx).toDouble /
+            (3.0 * cnts(gy * gw + gx).toDouble))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
     }(enc)
   }

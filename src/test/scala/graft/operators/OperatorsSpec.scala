@@ -1385,6 +1385,29 @@ class ModesSpec extends SparkTestBase {
 class MultimodalSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("resizeLuma: exact block means on a two-band image, tiny images skip") {
+    // 8x8, top 4 rows luma (30+60+90)/3 = 60, bottom (90+30+60)/3 = 60?
+    // use distinct bands: top (30,60,90) sum 180, bottom (0,0,60) sum 60
+    val media = graft.operators.Multimodal.synthesizePngTable(
+      Seq(1L, 2L).toDF("id"), "id",
+      width = when(col("id") === 1, 8).otherwise(2),
+      height = when(col("id") === 1, 8).otherwise(2),
+      topRgb = lit((30 << 16) | (60 << 8) | 90),
+      bottomRgb = lit(60))
+    val out = graft.operators.Multimodal.resizeLuma(media, 4, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) ->
+        ((r.getLong(3), r.getDouble(4)))).toMap
+    // image 1: 8x8 -> every block 2x2=4 px; gy 0,1 in the top band
+    // (rows 0..3): mean 180/3 = 60.0; gy 2,3 bottom: 60/3 = 20.0
+    assert(out((1L, 0, 0)) == ((4L, 60.0)))
+    assert(out((1L, 1, 3)) == ((4L, 60.0)))
+    assert(out((1L, 2, 0)) == ((4L, 20.0)))
+    assert(out((1L, 3, 3)) == ((4L, 20.0)))
+    assert(out.count(_._1._1 == 1L) == 16)
+    // image 2 is 2x2 < the 4x4 grid: no rows
+    assert(!out.exists(_._1._1 == 2L))
+  }
+
   test("audioFingerprint: analytic parities, gain invariance, exact pairing") {
     // expected fingerprint of a square wave: sign flips at the
     // multiples of hp; bit w = parity of flips with (i*64)/n == w
