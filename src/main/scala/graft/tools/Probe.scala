@@ -863,6 +863,16 @@ object Probe {
     val nSky = timed("sky1 paretoFront, 20M uniform points")(
       graft.operators.Stats.paretoFront(sky, "x", "y").count())
     println(s"=== r8probe sky1 frontier size @20M: $nSky")
+
+    // ---- ta9: Kneser-Ney bigram scorer at the 50K-doc Zipf corpus ----
+    // model cardinality is DISTINCT-bigram-bounded: the Zipf corpus
+    // has ~5K word types -> the m0/hist/cont aggregates run over the
+    // model table, not the corpus; the corpus pays one (id, bg, tf)
+    // shuffle + the scoring join
+    val zipf = zipfCorpus(spark)
+    val nScored = timed("ta9 KN bigram logprob, 50K Zipf docs")(
+      graft.operators.Scoring.knBigramLogProb(zipf, "doc_id", "text").count())
+    println(s"=== r8probe ta9 scored docs @50K: $nScored")
   }
 
   def r6probe(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
