@@ -643,6 +643,45 @@ object SparkEntry {
       ntz(back.toDF(back.columns.map(_.toLowerCase).toIndexedSeq: _*))
     }),
 
+    // the same staged incremental replication, but driven end-to-end
+    // through the CLI argument surface (graft.cli.Main.run — flag
+    // parsing, ${ENV}-free property mapping, credentials via
+    // --source/sink-user/-password, --source-query through the
+    // collision-safe t1 CTE bridge, --sink-staging-table-alias) —
+    // proves a reference CLI invocation maps 1:1 onto the engine
+    "m11_cli_incremental" -> ((s, dir) => {
+      val db = s"memory:graftcli${System.nanoTime()};create=true"
+      val url = s"jdbc:derby:$db"
+      JdbcConnector.withConnection(url, Map.empty) { c =>
+        val st = c.createStatement()
+        st.execute("CREATE TABLE orders_sink (o_orderkey BIGINT PRIMARY KEY, " +
+          "o_custkey BIGINT, o_orderstatus VARCHAR(10), o_totalprice DOUBLE, " +
+          "o_orderdate TIMESTAMP, o_orderpriority VARCHAR(20))")
+        st.close()
+      }
+      val cols = "o_orderkey AS O_ORDERKEY, o_custkey AS O_CUSTKEY, " +
+        "o_orderstatus AS O_ORDERSTATUS, %s AS O_TOTALPRICE, " +
+        "o_orderdate AS O_ORDERDATE, o_orderpriority AS O_ORDERPRIORITY"
+      def cli(mode: String, select: String, extra: String*): Unit =
+        graft.cli.Main.run(Array(
+          s"--source-connect=$dir/orders.parquet",
+          s"--source-query=$select",
+          "--source-user=app", "--source-password=secret",
+          s"--mode=$mode",
+          s"--sink-connect=$url",
+          "--sink-table=orders_sink",
+          "--sink-user=app", "--sink-password=secret") ++ extra)
+      cli("complete",
+        s"SELECT ${cols.format("o_totalprice")} FROM t1 WHERE o_orderkey % 3 != 0")
+      cli("incremental",
+        s"SELECT ${cols.format("o_totalprice + 1000.0")} FROM t1 WHERE o_orderkey % 2 = 0",
+        "--sink-key-columns=O_ORDERKEY", "--sink-staging-table-alias=ost")
+      val back = JdbcConnector.read(s, SourceConf(connect = url,
+        table = Some("orders_sink"), partitions = 4,
+        options = Map("partition.key" -> "O_ORDERKEY")))
+      ntz(back.toDF(back.columns.map(_.toLowerCase).toIndexedSeq: _*))
+    }),
+
     "m4_upsert_dataframe" -> ((s, dir) => {
       // the same upsert as pure DataFrame algebra (Modes.upsert)
       val orders = t(s, dir, "orders")
@@ -1230,12 +1269,22 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank")
     }),
 
-    // hyperplane-LSH bucketed top-k (multi-probe): candidate recall is
-    // probabilistic -> rows-only; SimilaritySpec bounds recall vs
-    // brute force
+    // hyperplane-LSH bucketed top-k (multi-probe). r9: moved from
+    // rows-only to MATCH the dd2/dd5 way — the query pins an explicit
+    // wide banding (16 bands x 2 planes, Hamming-1 multi-probe) under
+    // which a true neighbor at angle θ misses ALL bands with prob
+    // (θ/π)^32 (per band both planes must split the pair, miss
+    // (θ/π)^2, 16 independent bands): <= 3e-12 even at cosine 0.2,
+    // far below any fixture neighbor — so candidate recall is 1 and
+    // the exact-cosine rank stage makes the output identical to the
+    // brute-force sweep (oracle = sim1's SQL; verified pair-for-pair
+    // at sf0.01 AND sf0.1). Production banding (8x8) keeps its
+    // probabilistic recall spec in SimilaritySpec — this pin is the
+    // verification yardstick, the banding stays the scale knob.
     "sim3_lsh_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      Similarity.lshTopK(e.filter("vec_id < 10"), e, "vec_id", "embedding", 5)
+      Similarity.lshTopK(e.filter("vec_id < 10"), e, "vec_id", "embedding", 5,
+        planes = 2, bands = 16)
         .select("query_id", "neighbor_id", "rank")
     }),
 
@@ -4820,6 +4869,17 @@ object SparkEntry {
         |WHERE t.o_orderkey % 3 <> 0
         |  AND t.o_orderkey NOT IN (SELECT o_orderkey FROM staging)""".stripMargin,
 
+    "m11_cli_incremental" ->
+      """WITH staging AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT * FROM staging
+        |UNION ALL
+        |SELECT t.* FROM orders t
+        |WHERE t.o_orderkey % 3 <> 0
+        |  AND t.o_orderkey NOT IN (SELECT o_orderkey FROM staging)""".stripMargin,
+
     "m4_upsert_dataframe" ->
       """WITH staging AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
@@ -6103,6 +6163,27 @@ object SparkEntry {
         |WHERE rank <= 5""".stripMargin,
 
     "sim1_bruteforce_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i] * embedding[i]))) AS nrm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_sum(list_transform(range(1, 65), i -> q.embedding[i] * c.embedding[i]))
+        |           / (q.nrm * c.nrm) AS cosine
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // recall-1 adjudication at the pinned 16x2 multi-probe banding:
+    // candidate generation provably covers every true neighbor (miss
+    // <= (θ/π)^32), so the exact-cosine rank stage reproduces the
+    // brute-force sweep — the oracle IS sim1's exhaustive top-k
+    "sim3_lsh_topk" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,
         |         sqrt(list_sum(list_transform(range(1, 65), i -> embedding[i] * embedding[i]))) AS nrm

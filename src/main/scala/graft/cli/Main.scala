@@ -27,24 +27,40 @@ import graft.core.{Config, ReplicaEngine}
   */
 object Main {
 
+  /** Implementation version, reported by `--version` (reference
+    * `cli/ToolOptions.java:286-291` / `ReplicaDB.java:66-70`). */
+  val Version = "0.15.1-graft"
+
   /** CLI flag -> properties key (the reference uses the same dual
-    * naming: `--source-connect` flag vs `source.connect` property). */
+    * naming: `--source-connect` flag vs `source.connect` property;
+    * full longOpt list at `cli/ToolOptions.java:63-374`). */
   private val flagToKey: Map[String, String] = Map(
     "mode" -> "mode",
     "jobs" -> "jobs",
     "fetch-size" -> "fetch.size",
+    "bandwidth-throttling" -> "bandwidth.throttling",
+    "quoted-identifiers" -> "quoted.identifiers",
     "source-connect" -> "source.connect",
+    "source-user" -> "source.user",
+    "source-password" -> "source.password",
     "source-table" -> "source.table",
     "source-columns" -> "source.columns",
     "source-where" -> "source.where",
     "source-query" -> "source.query",
+    "source-file-format" -> "source.file.format",
     "source-columns-types" -> "source.columns.types",
     "source-columns-names" -> "source.columns.names",
     "sink-connect" -> "sink.connect",
+    "sink-user" -> "sink.user",
+    "sink-password" -> "sink.password",
     "sink-table" -> "sink.table",
     "sink-columns" -> "sink.columns",
+    "sink-file-format" -> "sink.file.format",
     "sink-staging-table" -> "sink.staging.table",
+    "sink-staging-schema" -> "sink.staging.schema",
+    "sink-staging-table-alias" -> "sink.staging.table.alias",
     "sink-disable-truncate" -> "sink.disable.truncate",
+    "sink-disable-escape" -> "sink.disable.escape",
     "sink-key-columns" -> "sink.key.columns")
 
   def parseArgs(args: Array[String]): Map[String, String] = {
@@ -74,7 +90,18 @@ object Main {
     fromFile ++ fromFlags // flags win
   }
 
+  /** `--help` text: every accepted flag, one per line (the reference
+    * prints the commons-cli formatter output, `ToolOptions.java:393-401`). */
+  def helpText: String =
+    "usage: graft [OPTIONS]\n" +
+      (flagToKey.keys.toSeq.sorted.map(f => s"  --$f") :+
+        "  --options-file" :+ "  --version" :+ "  --help").mkString("\n")
+
   def run(args: Array[String]): Unit = {
+    // --version / --help short-circuit before required-arg validation,
+    // exactly like the reference (`ToolOptions.java:322-329`)
+    if (args.contains("--version")) { println(s"graft $Version"); return }
+    if (args.contains("--help") || args.contains("-h")) { println(helpText); return }
     val conf = Config.fromProperties(parseArgs(args))
     val spark = GraftSession.getOrCreate("graft-replicate")
     ReplicaEngine.replicate(spark, conf)

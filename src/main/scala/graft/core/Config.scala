@@ -16,9 +16,24 @@ final case class SourceConf(
       * (reference `manager/file/CsvFileManager.java:215-219`). */
     columnTypes: Option[Seq[String]] = None,
     columnNames: Option[Seq[String]] = None,
+    /** JDBC credentials, kept out of the connect string
+      * (`--source-user`/`--source-password`,
+      * reference `cli/ToolOptions.java:80-97`). */
+    user: Option[String] = None,
+    password: Option[String] = None,
+    /** Explicit file format for file sources (`--source-file-format`,
+      * reference `cli/ToolOptions.java:134-142`); falls back to
+      * extension sniffing when absent. */
+    fileFormat: Option[String] = None,
     partitions: Int = 4,
     fetchSize: Int = 5000,
-    options: Map[String, String] = Map.empty)
+    options: Map[String, String] = Map.empty) {
+
+  /** Connection options with credentials merged in — what every JDBC
+    * touchpoint (Spark reader, driver-side connections) should use. */
+  def connOptions: Map[String, String] =
+    options ++ user.map("user" -> _) ++ password.map("password" -> _)
+}
 
 sealed trait ReplicationMode
 object ReplicationMode {
@@ -51,10 +66,42 @@ final case class SinkConf(
     /** Merge keys; discovered from JDBC metadata when empty
       * (reference `SqlManager.java:283-318`). */
     keyColumns: Seq[String] = Nil,
+    /** JDBC credentials (`--sink-user`/`--sink-password`,
+      * reference `cli/ToolOptions.java:154-171`). */
+    user: Option[String] = None,
+    password: Option[String] = None,
+    /** Explicit file format for file sinks (`--sink-file-format`). */
+    fileFormat: Option[String] = None,
+    /** Schema the auto-named staging table is created in
+      * (`--sink-staging-schema`, reference
+      * `manager/ConnManager.java:169-178`). */
+    stagingSchema: Option[String] = None,
+    /** Short alias used as the base of the random staging name when
+      * sink table name + random suffix would exceed the vendor's
+      * identifier limit (`--sink-staging-table-alias`, reference
+      * `manager/ConnManager.java:157-165`). */
+    stagingTableAlias: Option[String] = None,
+    /** Skip backslash-escaping of special chars on the bulk-load wire
+      * (`--sink-disable-escape`, reference
+      * `manager/MySQLManager.java:121-128`). */
+    disableEscape: Boolean = false,
+    /** Quote every emitted table identifier (`--quoted-identifiers`,
+      * reference `manager/ConnManager.java:200-206`). */
+    quotedIdentifiers: Boolean = false,
     batchSize: Int = 5000,
-    options: Map[String, String] = Map.empty)
+    options: Map[String, String] = Map.empty) {
 
-final case class ReplConf(source: SourceConf, sink: SinkConf)
+  def connOptions: Map[String, String] =
+    options ++ user.map("user" -> _) ++ password.map("password" -> _)
+}
+
+final case class ReplConf(
+    source: SourceConf,
+    sink: SinkConf,
+    /** Global replication cap in KB/s; 0 = unthrottled
+      * (`--bandwidth-throttling`, reference
+      * `manager/util/BandwidthThrottling.java:30-74`). */
+    bandwidthThrottling: Int = 0)
 
 object Config {
   private val EnvPattern = "\\$\\{([A-Za-z0-9_]+)\\}".r
@@ -84,6 +131,9 @@ object Config {
       query = get("source.query"),
       columnTypes = get("source.columns.types").map(_.split(",").map(_.trim).toSeq),
       columnNames = get("source.columns.names").map(_.split(",").map(_.trim).toSeq),
+      user = get("source.user"),
+      password = get("source.password"),
+      fileFormat = get("source.file.format"),
       partitions = get("jobs").map(_.toInt).getOrElse(4),
       fetchSize = get("fetch.size").map(_.toInt).getOrElse(5000),
       options = prefixed("source.connect.parameter."))
@@ -97,8 +147,16 @@ object Config {
       disableTruncate = get("sink.disable.truncate").exists(_.toBoolean),
       disableBulk = get("sink.disable.bulk").exists(_.toBoolean),
       keyColumns = get("sink.key.columns").map(_.split(",").map(_.trim).toSeq).getOrElse(Nil),
+      user = get("sink.user"),
+      password = get("sink.password"),
+      fileFormat = get("sink.file.format"),
+      stagingSchema = get("sink.staging.schema"),
+      stagingTableAlias = get("sink.staging.table.alias"),
+      disableEscape = get("sink.disable.escape").exists(_.toBoolean),
+      quotedIdentifiers = get("quoted.identifiers").exists(_.toBoolean),
       batchSize = get("fetch.size").map(_.toInt).getOrElse(5000),
       options = prefixed("sink.connect.parameter."))
-    ReplConf(source, sink)
+    ReplConf(source, sink,
+      bandwidthThrottling = get("bandwidth.throttling").map(_.toInt).getOrElse(0))
   }
 }

@@ -58,8 +58,21 @@ object ReplicaEngine {
     val filtered = conf.where.map(projected.filter).getOrElse(projected)
     conf.query match {
       case Some(q) if kindOf(conf.connect) != Jdbc =>
-        filtered.createOrReplaceTempView("t1")
-        spark.sql(q)
+        // The query's public table name is `t1`, but the catalog
+        // registration is a per-invocation unique view bridged in via
+        // a CTE — two concurrent replications on one session never
+        // collide on shared catalog state. If the user query already
+        // opens a WITH clause, splice `t1` in as its first CTE.
+        val uniq = s"graft_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        filtered.createOrReplaceTempView(uniq)
+        val trimmed = q.trim
+        val sql =
+          if (trimmed.take(5).equalsIgnoreCase("with "))
+            s"WITH t1 AS (SELECT * FROM $uniq), ${trimmed.drop(5)}"
+          else s"WITH t1 AS (SELECT * FROM $uniq) $trimmed"
+        val out = spark.sql(sql) // analysis resolves the view eagerly
+        spark.catalog.dropTempView(uniq)
+        out
       case _ => filtered
     }
   }
@@ -69,7 +82,8 @@ object ReplicaEngine {
     case Mongo => MongoConnector.write(df, conf)
     case File | S3 =>
       val path = conf.table.map(t => s"${conf.connect}/$t").getOrElse(conf.connect)
-      val fmt = FileConnector.format(FileConnector.stripScheme(path), conf.options.get("format"))
+      val fmt = FileConnector.format(FileConnector.stripScheme(path),
+        conf.fileFormat.orElse(conf.options.get("format")))
       val opts = conf.options - "format" - "singleFile"
       conf.mode match {
         case ReplicationMode.CompleteAtomic =>
@@ -86,9 +100,19 @@ object ReplicaEngine {
         conf.options.get("key.column"), conf.options - "key.column")
   }
 
-  /** Full replication: the reference's `processReplica`. */
+  /** Full replication: the reference's `processReplica`
+    * (`ReplicaDB.java:76-339`). A positive `bandwidthThrottling`
+    * (KB/s) rate-limits the source frame before it reaches the sink —
+    * the reference throttles inside every manager read loop
+    * (`manager/util/BandwidthThrottling.java:30-74`); here it is one
+    * `mapPartitions` pacing stage whose global cap is divided across
+    * the frame's physical partitions. */
   def replicate(spark: SparkSession, conf: ReplConf): Unit = {
     val df = transform(spark, read(spark, conf.source), conf.source)
-    write(df, conf.sink)
+    val paced =
+      if (conf.bandwidthThrottling > 0)
+        graft.operators.Throttle.byBandwidth(df, conf.bandwidthThrottling.toLong)
+      else df
+    write(paced, conf.sink)
   }
 }

@@ -168,24 +168,6 @@ object Multimodal {
     StructField("dhash_h", LongType, nullable = true),
     StructField("dhash_v", LongType, nullable = true)))
 
-  /** Difference-hash (dHash) perceptual image fingerprints — the
-    * image-modality near-dup key (near-identical images differ in a
-    * few bits; pair via XOR+popcount or the simhash band-bucket
-    * join, [[Dedup.simhashNearDup]]'s layout). Two 64-bit hashes per
-    * image: `dhash_h` compares horizontally adjacent blocks on a 9x8
-    * brightness grid (bit y*8+x = block(x+1,y) brighter than
-    * block(x,y)), `dhash_v` vertically adjacent blocks on 8x9
-    * (bit y*8+x = block(x,y+1) brighter than block(x,y)).
-    *
-    * The downsample is exact integer arithmetic, not a platform
-    * scaler: pixel i maps to block `i*grid/size` (floor) — so block
-    * k spans `[ceil(k*size/grid), ceil((k+1)*size/grid))` — block
-    * brightness is the summed r+g+b, and comparisons
-    * cross-multiply sums against pixel counts — so the hash is
-    * reproducible bit-for-bit by any engine from the decoded pixels
-    * (no interpolation, no float rounding, no AWT rescale variance).
-    * Undecodable payloads and rasters smaller than the 9-block grid
-    * emit NULL hashes (never fabricated bits). */
   /** Brightness sums + pixel counts on a gw × gh grid — the
     * block-mean resize kernel shared by [[imageDHash]] and
     * [[resizeLuma]] (pixel (x, y) → block ((x·gw)/w, (y·gh)/h)). */
@@ -210,6 +192,25 @@ object Multimodal {
     (sums, cnts)
   }
 
+  /** Difference-hash (dHash) perceptual image fingerprints — the
+    * image-modality near-dup key (near-identical images differ in a
+    * few bits; pair via XOR+popcount or the simhash band-bucket
+    * join, [[Dedup.simhashNearDup]]'s layout). Two 64-bit hashes per
+    * image: `dhash_h` compares horizontally adjacent blocks on a 9x8
+    * brightness grid (bit y*8+x = block(x+1,y) brighter than
+    * block(x,y)), `dhash_v` vertically adjacent blocks on 8x9
+    * (bit y*8+x = block(x,y+1) brighter than block(x,y)).
+    *
+    * The downsample is exact integer arithmetic, not a platform
+    * scaler ([[gridSums]]): pixel i maps to block `i*grid/size`
+    * (floor) — so block k spans
+    * `[ceil(k*size/grid), ceil((k+1)*size/grid))` — block brightness
+    * is the summed r+g+b, and comparisons cross-multiply sums
+    * against pixel counts — so the hash is reproducible bit-for-bit
+    * by any engine from the decoded pixels (no interpolation, no
+    * float rounding, no AWT rescale variance). Undecodable payloads
+    * and rasters smaller than the 9-block grid emit NULL hashes
+    * (never fabricated bits). */
   def imageDHash(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(dhashSchema)
     media.select("media_id", "payload").mapPartitions { rows =>
@@ -372,7 +373,8 @@ object Multimodal {
   private val audioFingerprintSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("fingerprint", LongType),
-    StructField("n_samples", LongType)))
+    StructField("n_samples", LongType),
+    StructField("n_transitions", LongType)))
 
   /** Amplitude-invariant audio fingerprint: the decoded 16-bit PCM
     * stream is cut into `windows` equal sample ranges (sample i →
@@ -384,7 +386,11 @@ object Multimodal {
     * invariance); time edits flip only the bits of the windows they
     * touch, so Hamming distance localizes the difference.
     * Unrecognized/non-PCM payloads report fingerprint 0 with
-    * n_samples 0, never a fabricated waveform. */
+    * n_samples 0, never a fabricated waveform. `n_transitions`
+    * carries the raw sign-transition count so downstream pairing can
+    * tell a genuinely featureless clip (decodable but constant-sign:
+    * silence, DC, sub-half-period) from real signal — both hash to
+    * 0L. */
   def audioFingerprint(media: DataFrame, windows: Int = 64): DataFrame = {
     require(windows >= 1 && windows <= 64, s"windows must be 1..64: $windows")
     val enc = RowEncoder.encoderFor(audioFingerprintSchema)
@@ -397,19 +403,22 @@ object Multimodal {
             val n = samples.length
             val bits = new Array[Int](windows)
             var prevSign = 0
+            var transitions = 0L
             var i = 0
             while (i < n) {
               val sign = Integer.signum(samples(i))
-              if (sign != 0 && prevSign != 0 && sign != prevSign)
+              if (sign != 0 && prevSign != 0 && sign != prevSign) {
                 bits(((i.toLong * windows) / n).toInt) ^= 1
+                transitions += 1
+              }
               if (sign != 0) prevSign = sign
               i += 1
             }
             var fp = 0L
             var w = 0
             while (w < windows) { fp |= bits(w).toLong << w; w += 1 }
-            Row(id, fp, n.toLong)
-          case _ => Row(id, 0L, 0L)
+            Row(id, fp, n.toLong, transitions)
+          case _ => Row(id, 0L, 0L, 0L)
         }
       }
     }(enc)
@@ -450,11 +459,15 @@ object Multimodal {
     * Exact-fingerprint blocking is one hash shuffle on an 8-byte
     * key — the dd1 shape, payloads never move; relax to banded
     * Hamming blocking ([[Dedup.hammingPairs]]) when robustness to
-    * small edits is needed. Undecodable clips (fingerprint 0 with
-    * n_samples 0) never pair. */
+    * small edits is needed. Clips with no sign transitions never
+    * pair: that excludes undecodable payloads AND decodable
+    * constant-sign clips (silence, DC offset, sub-half-period
+    * snippets), all of which share the degenerate fingerprint 0L and
+    * would otherwise form one quadratic all-pairs clique of
+    * unrelated clips. */
   def audioNearDupPairs(media: DataFrame, windows: Int = 64): DataFrame = {
     val fps = audioFingerprint(media, windows)
-      .filter(col("n_samples") > 0)
+      .filter(col("n_samples") > 0 && col("n_transitions") > 0)
     fps.select(col("fingerprint"), col("media_id").as("id_a"))
       .join(fps.select(col("fingerprint"), col("media_id").as("id_b")),
         Seq("fingerprint"))

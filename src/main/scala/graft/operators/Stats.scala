@@ -368,7 +368,10 @@ object Stats {
     val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
     val x = col(xCol).cast("double")
     val y = col(yCol).cast("double")
-    val top = pts.groupBy(x.as("__x")).agg(max(y).as("__ty"))
+    // the distinct-x aggregate feeds three consumers (quantile probe,
+    // bucket window, bucket-max collect) — checkpoint once so the
+    // groupBy over the full input runs once, not three times
+    val top = pts.groupBy(x.as("__x")).agg(max(y).as("__ty")).localCheckpoint()
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     val boundaries =
       if (probs.isEmpty) Array.empty[Double]

@@ -80,7 +80,7 @@ object FileConnector {
 
   def read(spark: SparkSession, conf: SourceConf): DataFrame = {
     val path = stripScheme(conf.connect)
-    val fmt = format(path, conf.options.get("format"))
+    val fmt = format(path, conf.fileFormat.orElse(conf.options.get("format")))
     var reader: DataFrameReader = spark.read.format(fmt)
     val dialectOpts = conf.options.get("dialect")
       .map(d => csvDialects.getOrElse(d.toUpperCase,

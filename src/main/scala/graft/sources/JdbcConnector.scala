@@ -41,7 +41,7 @@ object JdbcConnector {
       .orElse(conf.table)
       .getOrElse(throw new IllegalArgumentException("JDBC source needs table or query"))
     val props = new java.util.Properties()
-    conf.options.foreach { case (k, v) => props.setProperty(k, v) }
+    conf.connOptions.foreach { case (k, v) => props.setProperty(k, v) }
     props.setProperty("fetchsize", conf.fetchSize.toString)
 
     val df =
@@ -56,7 +56,7 @@ object JdbcConnector {
         // one index range scan, not a full scan per slice); discover
         // min/max with one cheap aggregate when not supplied
         val bounds = explicitBounds.orElse(key.flatMap(k =>
-          discoverKeyBounds(url, conf.options, table, k)))
+          discoverKeyBounds(url, conf.connOptions, table, k)))
         val preds = JdbcPartitioning.forUrl(url, conf.partitions, key, bounds)
         spark.read.jdbc(url, table, preds.toArray, props)
       }
@@ -72,9 +72,17 @@ object JdbcConnector {
     if (url.startsWith("jdbc:denodo") || url.startsWith("jdbc:vdb"))
       throw new UnsupportedOperationException(
         "Denodo is not supported for data insertion")
-    val table = conf.table.getOrElse(
+    val rawTable = conf.table.getOrElse(
       throw new IllegalArgumentException("JDBC sink needs a table"))
     val dialect = DialectMerge.fromUrl(url)
+    val opts = conf.connOptions
+    // --quoted-identifiers: quote each dot-segment of every emitted
+    // table identifier (reference `ConnManager.java:200-206`)
+    def qt(t: String): String =
+      if (conf.quotedIdentifiers)
+        t.split('.').map(DialectMerge.quote(_, dialect)).mkString(".")
+      else t
+    val table = qt(rawTable)
     val aligned = conf.columns.map(cs => df.select(cs.map(df.col): _*)).getOrElse(df)
 
     conf.mode match {
@@ -82,27 +90,27 @@ object JdbcConnector {
         if (!conf.disableBulk && BulkLoad.available(url)) {
           // vendor bulk path: truncate on one connection, then stream
           // every partition through COPY / LOAD DATA in parallel
-          if (!conf.disableTruncate) withConnection(url, conf.options) { c =>
+          if (!conf.disableTruncate) withConnection(url, opts) { c =>
             exec(c, DialectMerge.truncateSql(table, dialect))
           }
           BulkLoad.bulkAppend(aligned, url, table, conf.batchSize,
-            options = conf.options)
+            disableEscape = conf.disableEscape, options = opts)
         } else {
           val writer = aligned.write.mode(SaveMode.Overwrite)
             .option("truncate", (!conf.disableTruncate).toString)
             .option("batchsize", conf.batchSize.toString)
-          conf.options.foldLeft(writer) { case (w, (k, v)) => w.option(k, v) }
+          opts.foldLeft(writer) { case (w, (k, v)) => w.option(k, v) }
             .jdbc(url, table, new java.util.Properties())
         }
 
       case ReplicationMode.CompleteAtomic =>
-        val staging = stagingTableName(conf, table)
-        withConnection(url, conf.options) { c =>
+        val staging = qt(stagingTableName(conf, rawTable))
+        withConnection(url, opts) { c =>
           execIgnore(c, s"DROP TABLE $staging")
           exec(c, DialectMerge.createStagingSql(staging, table, dialect))
         }
         appendTo(aligned, url, staging, conf)
-        withConnection(url, conf.options) { c =>
+        withConnection(url, opts) { c =>
           c.setAutoCommit(false)
           try {
             exec(c, s"DELETE FROM $table")
@@ -117,17 +125,17 @@ object JdbcConnector {
         }
 
       case ReplicationMode.Incremental =>
-        val staging = stagingTableName(conf, table)
+        val staging = qt(stagingTableName(conf, rawTable))
         val keys =
           if (conf.keyColumns.nonEmpty) conf.keyColumns
-          else discoverPrimaryKeys(url, conf.options, table)
-        require(keys.nonEmpty, s"incremental mode needs key columns for $table")
-        withConnection(url, conf.options) { c =>
+          else discoverPrimaryKeys(url, opts, rawTable)
+        require(keys.nonEmpty, s"incremental mode needs key columns for $rawTable")
+        withConnection(url, opts) { c =>
           execIgnore(c, s"DROP TABLE $staging")
           exec(c, DialectMerge.createStagingSql(staging, table, dialect))
         }
         appendTo(aligned, url, staging, conf)
-        withConnection(url, conf.options) { c =>
+        withConnection(url, opts) { c =>
           c.setAutoCommit(false)
           try {
             exec(c, DialectMerge.mergeSql(table, staging, aligned.columns.toSeq, keys, dialect))
@@ -145,17 +153,26 @@ object JdbcConnector {
   private def appendTo(df: DataFrame, url: String, table: String, conf: SinkConf): Unit =
     if (!conf.disableBulk && BulkLoad.available(url)) {
       BulkLoad.bulkAppend(df, url, table, conf.batchSize,
-        options = conf.options)
+        disableEscape = conf.disableEscape, options = conf.connOptions)
     } else {
       val writer = df.write.mode(SaveMode.Append)
         .option("batchsize", conf.batchSize.toString)
-      conf.options.foldLeft(writer) { case (w, (k, v)) => w.option(k, v) }
+      conf.connOptions.foldLeft(writer) { case (w, (k, v)) => w.option(k, v) }
         .jdbc(url, table, new java.util.Properties())
     }
 
-  private def stagingTableName(conf: SinkConf, table: String): String =
-    conf.stagingTable.getOrElse(
-      DialectMerge.stagingName(table, scala.util.Random.nextInt()))
+  /** Staging table name resolution, reference
+    * `ConnManager.java:145-178`: an explicit `--sink-staging-table`
+    * wins verbatim; otherwise the random name is built from the
+    * unqualified sink table (or the `--sink-staging-table-alias` when
+    * the combined name would blow the vendor identifier limit) and
+    * placed in `--sink-staging-schema` when given. */
+  private[sources] def stagingTableName(conf: SinkConf, table: String): String =
+    conf.stagingTable.getOrElse {
+      val base = conf.stagingTableAlias.getOrElse(table.split('.').last)
+      val name = DialectMerge.stagingName(base, scala.util.Random.nextInt())
+      conf.stagingSchema.map(s => s"$s.$name").getOrElse(name)
+    }
 
   /** Min/max of a numeric partition key — the split-planning
     * aggregate (the Spark-native replacement for the reference's

@@ -84,8 +84,12 @@ object KafkaSink {
       .select(col("__r.*"))
     schema.fields.foldLeft(parsed) { (acc, f) =>
       f.dataType match {
+        // offset-aware pattern: the serializer emits via
+        // toIso8601Utc's "...SSSXXX", which renders 'Z' only in a UTC
+        // session — a literal-'Z' pattern would NULL every timestamp
+        // under any other session timezone (offsets like '+02:00')
         case TimestampType => acc.withColumn(f.name,
-          to_timestamp(col(f.name), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
+          to_timestamp(col(f.name), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"))
         case _: org.apache.spark.sql.types.TimestampNTZType =>
           acc.withColumn(f.name,
             to_timestamp(col(f.name), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")

@@ -178,4 +178,40 @@ object MongoShim {
     }
     if (selected.isEmpty) Seq("_id") else selected
   }
+
+  /** Sampled-union schema inference — the engine-side fix for the
+    * reference's lossy first-document rule
+    * (`rowset/MongoDBRowSetImpl.java:75-149`: metadata comes from doc
+    * #1 only, so any field absent there is silently DROPPED for the
+    * whole replication, and a null first value degrades to VARCHAR).
+    *
+    * Here the schema is the UNION of field sets across an `n`-document
+    * sample with type widening (long → double → string, struct/array
+    * recursion) — exactly Spark's distributed JSON inference, so the
+    * merge rules are the battle-tested ones, run scan-parallel, and a
+    * field only doc #500 carries still makes the schema. `overrides`
+    * wins over inference per field (the explicit escape hatch for a
+    * field the sample under-represents — e.g. always-null in the
+    * sample but DECIMAL in truth) and appends fields the sample never
+    * showed at all.
+    *
+    * Scale shape: inference cost is bounded by `n` documents
+    * regardless of collection size (sample first, infer after), and
+    * the result is a plain `StructType` to pass to the connector
+    * read — no second full scan. */
+  def inferSchema(sampleJson: org.apache.spark.sql.Dataset[String],
+      n: Int = 1000,
+      overrides: Map[String, org.apache.spark.sql.types.DataType] = Map.empty)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    require(n >= 1, s"sample size must be >= 1: $n")
+    val spark = sampleJson.sparkSession
+    val inferred = spark.read.json(sampleJson.limit(n)).schema
+    val patched = inferred.fields.map(f =>
+      overrides.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f))
+    val appended = overrides.view
+      .filterKeys(k => !inferred.fieldNames.contains(k))
+      .map { case (name, t) => StructField(name, t, nullable = true) }
+    StructType(patched ++ appended)
+  }
 }

@@ -21,9 +21,10 @@ class ContractSpec extends SparkTestBase {
     // SQL-replayable rolling-31+fmix64, brute-force hamming oracle)
     // and k1 (to_json output is byte-replayable on this schema:
     // field-ordered, whitespace-free, shortest-round-trip doubles).
+    // r9 pinned sim3 (16x2 multi-probe banding -> candidate recall 1,
+    // oracle = the sim1 brute-force sweep).
     assert(rowsOnly == Set(
       "pf3_approx_stats",       // approx_count_distinct HLL is engine-specific
-      "sim3_lsh_topk",          // approximate top-k differs from the exact sweep
       "qf2_compression_signal", // DEFLATE has no SQL mirror
       "pf5_sketch_union"),      // Datasketches HLL is engine-specific
       s"unexpected rows-only set: $rowsOnly")

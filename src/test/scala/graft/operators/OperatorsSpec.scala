@@ -642,6 +642,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.head.getDouble(3) > 0.99)
   }
 
+  test("lshTopK at the pinned 16x2 multi-probe banding equals brute force") {
+    // the sim3 recall-1 adjudication, replayed on the sf0.001
+    // embeddings: per-band miss (θ/π)^2 over 16 bands -> candidate
+    // coverage is certain at any fixture cosine, so the exact-cosine
+    // rank stage must reproduce the exhaustive sweep row-for-row
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = e.filter("vec_id < 10")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val lsh = key(Similarity.lshTopK(q, e, "vec_id", "embedding", 5,
+      planes = 2, bands = 16))
+    val bf = key(Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5))
+    assert(lsh == bf, s"pinned-banding LSH diverged: ${lsh.diff(bf)} / ${bf.diff(lsh)}")
+  }
+
   test("maxsim ranks docs by their best chunk, tie elects smallest chunk id") {
     val chunks = Seq(
       (0L, 0L, Seq(1f, 0f, 0f)),     // doc 0: perfect chunk
@@ -1422,7 +1438,10 @@ class MultimodalSpec extends SparkTestBase {
     }
     val media = graft.operators.Multimodal.synthesizeWavTable(
       Seq((1L, 400, 1000, 3), (2L, 400, 30000, 3),  // same shape, 30x gain
-        (3L, 400, 1000, 4), (4L, 555, 1000, 3))     // different hp / length
+        (3L, 400, 1000, 4), (4L, 555, 1000, 3),     // different hp / length
+        // constant-sign clips (hp >= n: no flip ever): decodable,
+        // fingerprint 0L — must never pair, with each other or anyone
+        (5L, 400, 1000, 400), (6L, 400, 7000, 500))
         .toDF("id", "n", "a", "hp"),
       "id", lit(8000), col("n"), col("a"), col("hp"))
     val fps = graft.operators.Multimodal.audioFingerprint(media)
@@ -1433,9 +1452,11 @@ class MultimodalSpec extends SparkTestBase {
     assert(fps(4L)._1 == expect(555, 3))
     // the planted distinct shapes really are distinct fingerprints
     assert(expect(400, 3) != expect(400, 4) && expect(400, 3) != expect(555, 3))
+    // degenerate clips decode (n_samples > 0) but carry zero signal
+    assert(fps(5L) == ((0L, 400L)) && fps(6L) == ((0L, 400L)))
     val pairs = graft.operators.Multimodal.audioNearDupPairs(media)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs == Set((1L, 2L)))
+    assert(pairs == Set((1L, 2L)))  // no (5,6) zero-transition clique
   }
 
   private def media = Multimodal.toMediaTable(

@@ -190,4 +190,20 @@ class JdbcPartitioningSpec extends AnyFunSuite {
       keyRange("id", 0, 9, 2))
     assert(forUrl("jdbc:postgresql://h/db", 4, None) == Seq("1 = 1"))
   }
+
+  test("staging name honors table alias, schema, and explicit override") {
+    import graft.core.SinkConf
+    def name(conf: SinkConf) = JdbcConnector.stagingTableName(conf, "sch.orders")
+    // explicit staging table wins verbatim (ConnManager.java:146-148)
+    assert(name(SinkConf("jdbc:x", stagingTable = Some("my_stage"))) == "my_stage")
+    // default: unqualified sink table + random repdbNNN suffix
+    val auto = name(SinkConf("jdbc:x"))
+    assert(auto.matches("orders_repdb\\d+"), auto)
+    // alias replaces the (possibly too-long) table base (ConnManager.java:157-165)
+    assert(name(SinkConf("jdbc:x", stagingTableAlias = Some("o")))
+      .matches("o_repdb\\d+"))
+    // staging schema qualifies the auto name (ConnManager.java:169-178)
+    assert(name(SinkConf("jdbc:x", stagingSchema = Some("stg")))
+      .matches("stg\\.orders_repdb\\d+"))
+  }
 }

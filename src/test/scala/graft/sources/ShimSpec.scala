@@ -86,6 +86,39 @@ class MongoShimSpec extends SparkTestBase {
     assert(MongoShim.mergeKeyFromIndexes(Seq("not json at all")) == Seq("_id"))
     assert(MongoShim.mergeKeyFromIndexes(Nil) == Seq("_id"))
   }
+
+  test("sampled-union schema inference recovers fields doc #1 lacks; override wins") {
+    import org.apache.spark.sql.types._
+    // the reference's first-document rule would lock the schema to
+    // {_id, name} and drop score/tags/nested for the whole replication
+    val docs = Seq(
+      """{"_id": 1, "name": "a"}""",
+      """{"_id": 2, "name": "b", "score": 3}""",
+      """{"_id": 3, "score": 2.5, "tags": ["x", "y"]}""",
+      """{"_id": 4, "nested": {"k": "v"}, "score": null}""").toDS()
+    val schema = MongoShim.inferSchema(docs)
+    def typeOf(f: String) = schema(f).dataType
+    assert(schema.fieldNames.toSet ==
+      Set("_id", "name", "score", "tags", "nested"))
+    assert(typeOf("_id") == LongType)
+    // widening: int 3 union double 2.5 union null -> double
+    assert(typeOf("score") == DoubleType)
+    assert(typeOf("tags") == ArrayType(StringType))
+    assert(typeOf("nested") == StructType(Seq(StructField("k", StringType))))
+
+    // override beats inference per field, and appends unseen fields
+    val forced = MongoShim.inferSchema(docs, overrides = Map(
+      "score" -> DecimalType(10, 2), "audit_ts" -> TimestampType))
+    assert(forced("score").dataType == DecimalType(10, 2))
+    assert(forced("audit_ts").dataType == TimestampType)
+    assert(forced("name").dataType == StringType) // untouched fields keep inference
+
+    // the sample bound is honored: n=1 degrades to the reference rule
+    val firstOnly = MongoShim.inferSchema(docs, n = 1)
+    assert(firstOnly.fieldNames.toSet == Set("_id", "name"))
+
+    assertThrows[IllegalArgumentException](MongoShim.inferSchema(docs, n = 0))
+  }
 }
 
 class ObjectPerRowSinkSpec extends SparkTestBase {
@@ -133,5 +166,33 @@ class ThrottleSpec extends SparkTestBase {
   test("row size estimation counts strings and binary payloads") {
     val r = org.apache.spark.sql.Row(1L, "abcd", Array[Byte](1, 2))
     assert(Throttle.estimateRowBytes(r) == 8 + 8 + 8 + 6)
+  }
+
+  test("ReplicaEngine.replicate honors bandwidthThrottling end-to-end") {
+    import graft.core.{ReplConf, ReplicationMode, SinkConf, SourceConf}
+    // ~112 bytes/row x 30 rows on ONE partition at 1 KB/s: the 1024-B
+    // burst bucket absorbs ~9 rows, the remaining ~2.3 KB must be
+    // paced at 1 KB/s -> the replication cannot finish in under ~1.5s
+    val src = java.nio.file.Files.createTempDirectory("graft_thr").toString
+    val sink = src + "/sink"
+    spark.range(30).coalesce(1)
+      .selectExpr("id", "repeat('x', 100) AS pad")
+      .write.parquet(src + "/src")
+    val conf = ReplConf(
+      SourceConf(connect = src + "/src"),
+      SinkConf(connect = sink, mode = ReplicationMode.Complete),
+      bandwidthThrottling = 1)
+    val t0 = System.nanoTime()
+    graft.core.ReplicaEngine.replicate(spark, conf)
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(spark.read.parquet(sink).count() == 30)
+    assert(elapsed > 1.5, s"throttled replicate finished in ${elapsed}s — cap not applied")
+    // and the same replicate unthrottled is fast: the pacing above is
+    // the throttle, not fixture overhead
+    val t1 = System.nanoTime()
+    graft.core.ReplicaEngine.replicate(spark,
+      conf.copy(bandwidthThrottling = 0,
+        sink = conf.sink.copy(connect = src + "/sink2")))
+    assert((System.nanoTime() - t1) / 1e9 < 1.5)
   }
 }
