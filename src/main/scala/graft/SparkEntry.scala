@@ -1549,6 +1549,33 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank")
     }),
 
+    // r9: list-occupancy skew monitor — the lifecycle signal sim16's
+    // appends and st16's codebook-drift guard both miss: appends that
+    // concentrate in a few coarse lists silently degrade probe recall
+    // with perfect codebooks. The fixture plants the skew (every
+    // appended id carries centroid 1's vector, so the whole batch
+    // routes to one list) and the report's max-share/Gini vs the
+    // training-time baseline must flip recluster_flag; the oracle
+    // replays coarse routing, occupancy (zero lists included), and
+    // both concentration stats in SQL
+    "sim19_ivf_list_skew" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val books = trainedPq(s, dir)
+      val (index0, cents) = Similarity.pqIndexStore(
+        e.filter(col("vec_id") <= 250), "vec_id", "embedding",
+        books, nCentroids = 16)
+      val planted = e.filter(col("vec_id") === 1)
+        .select(col("embedding").as("planted"))
+      val batch = e.filter(col("vec_id") > 250).select("vec_id")
+        .crossJoin(broadcast(planted))
+        .select(col("vec_id"), col("planted").as("embedding"))
+      val appended = Similarity.pqIndexAppend(
+        batch, cents, "vec_id", "embedding", books)
+      Similarity.ivfListSkewReport(
+        Similarity.ivfListOccupancy(index0.unionByName(appended), cents),
+        Similarity.ivfListOccupancy(index0, cents))
+    }),
+
     // r8: two-stage retrieval — IVF-PQ ADC candidates, then a
     // full-precision cosine re-rank of just those candidates (the
     // production serving pattern). Verified config: full probe +
@@ -9290,6 +9317,59 @@ object SparkEntry {
 
     // full probe == brute ADC (zero-norm-free fixture), same replay
     "sim11_ivfpq_topk" -> sim10Oracle,
+
+    // full replay of the skew monitor: coarse routing (argmax cosine
+    // to the 16 smallest-id centroids, ties to the smaller cent_id),
+    // per-list occupancy with empty lists kept as 0, max-share + Gini
+    // for the skew-planted current store and the training baseline
+    "sim19_ivf_list_skew" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum(list_transform(range(1, 65),
+        |           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cv, nrm AS cn
+        |  FROM e ORDER BY vec_id LIMIT 16),
+        |vin AS (
+        |  SELECT 'cur' AS src, vec_id, embedding, nrm FROM e WHERE vec_id <= 250
+        |  UNION ALL
+        |  SELECT 'cur', b.vec_id, p.embedding, p.nrm
+        |  FROM e b, (SELECT embedding, nrm FROM e WHERE vec_id = 1) p
+        |  WHERE b.vec_id > 250
+        |  UNION ALL
+        |  SELECT 'base', vec_id, embedding, nrm FROM e WHERE vec_id <= 250),
+        |assigned AS (
+        |  SELECT src, vec_id, cent_id FROM (
+        |    SELECT v.src, v.vec_id, c.cent_id,
+        |           row_number() OVER (PARTITION BY v.src, v.vec_id ORDER BY
+        |             list_sum(list_transform(range(1, 65),
+        |               i -> CAST(v.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)))
+        |               / (v.nrm * c.cn) DESC, c.cent_id ASC) AS r
+        |    FROM vin v CROSS JOIN cents c
+        |    WHERE v.nrm > 0 AND c.cn > 0)
+        |  WHERE r = 1),
+        |occ AS (
+        |  SELECT s.src, c.cent_id, count(a.vec_id) AS n
+        |  FROM (SELECT DISTINCT src FROM assigned) s
+        |  CROSS JOIN cents c
+        |  LEFT JOIN assigned a ON a.src = s.src AND a.cent_id = c.cent_id
+        |  GROUP BY 1, 2),
+        |sad AS (
+        |  SELECT o1.src, CAST(sum(abs(o1.n - o2.n)) AS BIGINT) AS sad
+        |  FROM occ o1 JOIN occ o2 ON o1.src = o2.src GROUP BY 1),
+        |st AS (
+        |  SELECT o.src, count(*) AS l, CAST(sum(o.n) AS BIGINT) AS nv,
+        |         max(o.n) AS mx, any_value(s.sad) AS sad
+        |  FROM occ o JOIN sad s ON o.src = s.src GROUP BY 1)
+        |SELECT c.l AS n_lists, c.nv AS n_vectors,
+        |       round(CAST(c.mx AS DOUBLE) / c.nv, 6) AS max_share,
+        |       round(CAST(c.sad AS DOUBLE) / (2.0 * c.l * c.nv), 6) AS gini,
+        |       round(CAST(b.mx AS DOUBLE) / b.nv, 6) AS baseline_max_share,
+        |       round(CAST(b.sad AS DOUBLE) / (2.0 * b.l * b.nv), 6) AS baseline_gini,
+        |       round(CAST(c.mx AS DOUBLE) / c.nv, 6)
+        |         > 2.0 * round(CAST(b.mx AS DOUBLE) / b.nv, 6) AS recluster_flag
+        |FROM st c JOIN st b ON c.src = 'cur' AND b.src = 'base'""".stripMargin,
 
     // double-identical to the Spark plan: the codegen dot product
     // accumulates CAST-to-double products left-to-right, as does

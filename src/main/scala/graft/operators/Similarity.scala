@@ -750,6 +750,63 @@ object Similarity {
       Seq("neighbor_id"), "left_anti")
   }
 
+  /** Per-list occupancy of a persisted IVF index — the MERGEABLE
+    * partial for skew monitoring: plain counts per cent_id, so
+    * per-batch occupancy frames fold across appends/micro-batches by
+    * summing. Joined against the centroid frame so lists that lost
+    * every member (or never gained one) report 0 instead of
+    * vanishing — an empty list is skew signal, not absence of data. */
+  def ivfListOccupancy(index: DataFrame, centroids: DataFrame): DataFrame =
+    centroids.select("cent_id")
+      .join(index.groupBy("cent_id").agg(count(lit(1)).as("n_vectors")),
+        Seq("cent_id"), "left")
+      .na.fill(0L, Seq("n_vectors"))
+
+  /** IVF list-skew report — the lifecycle monitor [[pqDriftStats]]
+    * does NOT cover: codebook drift is about reconstruction error,
+    * while appends that concentrate in a few coarse lists degrade
+    * probe recall silently even with perfect codebooks (a probed
+    * query reads nProbe lists; if 90% of the corpus sits in one
+    * list, every query that doesn't route there misses 90% of the
+    * candidates). One row: current vs training-baseline occupancy
+    * concentration — max list share and Gini coefficient — and a
+    * `recluster_flag` that fires when the max share exceeds
+    * `tolerance` × the baseline's (multiplication, never division,
+    * so the flag is exactly engine-replayable).
+    *
+    * Scale shape: both inputs are occupancy frames (≤ nCentroids
+    * rows, the [[ivfListOccupancy]] partials), so the Gini self-join
+    * is a bounded nCentroids² of LONGS — never touches index rows.
+    * Re-clustering itself is [[pqIndexStore]] over the live corpus;
+    * this monitor tells you WHEN that rebuild pays. */
+  def ivfListSkewReport(occupancy: DataFrame, baselineOccupancy: DataFrame,
+      tolerance: Double = 2.0): DataFrame = {
+    require(tolerance > 0, s"tolerance must be positive: $tolerance")
+    def stats(occ: DataFrame, msAs: String, giniAs: String): DataFrame = {
+      val scalars = occ.agg(
+        count(lit(1)).as("__l"),
+        sum(col("n_vectors")).as("__n"),
+        max(col("n_vectors")).as("__mx"))
+      val sad = occ.select(col("n_vectors").as("__na"))
+        .crossJoin(occ.select(col("n_vectors").as("__nb")))
+        .agg(sum(abs(col("__na") - col("__nb"))).as("__sad"))
+      scalars.crossJoin(sad).select(
+        col("__l"), col("__n"),
+        round(col("__mx").cast("double") / col("__n"), 6).as(msAs),
+        round(col("__sad").cast("double") /
+          (lit(2.0) * col("__l") * col("__n")), 6).as(giniAs))
+    }
+    val cur = stats(occupancy, "max_share", "gini")
+    val base = stats(baselineOccupancy, "baseline_max_share", "baseline_gini")
+      .select("baseline_max_share", "baseline_gini")
+    cur.crossJoin(base).select(
+      col("__l").as("n_lists"), col("__n").as("n_vectors"),
+      col("max_share"), col("gini"),
+      col("baseline_max_share"), col("baseline_gini"),
+      (col("max_share") > lit(tolerance) * col("baseline_max_share"))
+        .as("recluster_flag"))
+  }
+
   /** Streaming-safe [[pqIndexAppend]]: the store's coarse centroids
     * are collected into LITERAL arrays (bounded by construction —
     * the same collect class as the codebooks themselves), so the

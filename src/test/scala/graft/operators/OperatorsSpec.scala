@@ -642,6 +642,41 @@ class SimilaritySpec extends SparkTestBase {
     assert(out.head.getDouble(3) > 0.99)
   }
 
+  test("IVF list-skew monitor: planted concentration flips recluster_flag") {
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val books = Similarity.pqTrain(e, "vec_id", "embedding", m = 4, k = 4, maxIter = 2)
+    val (index0, cents) = Similarity.pqIndexStore(
+      e.filter("vec_id <= 100"), "vec_id", "embedding", books, nCentroids = 8)
+    val occ0 = Similarity.ivfListOccupancy(index0, cents)
+    assert(occ0.count() == 8) // every list reported, empty or not
+
+    // balanced append (the corpus's own tail) must NOT flip the flag
+    val fair = Similarity.pqIndexAppend(
+      e.filter("vec_id > 100"), cents, "vec_id", "embedding", books)
+    val fairReport = Similarity.ivfListSkewReport(
+      Similarity.ivfListOccupancy(index0.unionByName(fair), cents), occ0,
+      tolerance = 2.0).collect()(0)
+    assert(!fairReport.getBoolean(6),
+      s"balanced append flagged: $fairReport")
+
+    // skew-planted append: every new vector = centroid 1's vector ->
+    // one list swallows the whole batch; flag must fire and Gini rise
+    val planted = e.filter("vec_id = 1")
+      .select(org.apache.spark.sql.functions.col("embedding").as("planted"))
+    val batch = e.filter("vec_id > 100").select("vec_id")
+      .crossJoin(org.apache.spark.sql.functions.broadcast(planted))
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("planted").as("embedding"))
+    val skewed = Similarity.pqIndexAppend(
+      batch, cents, "vec_id", "embedding", books)
+    val report = Similarity.ivfListSkewReport(
+      Similarity.ivfListOccupancy(index0.unionByName(skewed), cents), occ0,
+      tolerance = 2.0).collect()(0)
+    assert(report.getBoolean(6), s"planted skew not flagged: $report")
+    assert(report.getDouble(2) > report.getDouble(4)) // max_share rose
+    assert(report.getDouble(3) > report.getDouble(5)) // gini rose
+  }
+
   test("lshTopK at the pinned 16x2 multi-probe banding equals brute force") {
     // the sim3 recall-1 adjudication, replayed on the sf0.001
     // embeddings: per-band miss (θ/π)^2 over 16 bands -> candidate
