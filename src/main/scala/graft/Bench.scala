@@ -71,21 +71,29 @@ object Bench {
     val results = base.map { case (name, _) =>
       (first(name), second(name)) match {
         case (Right(cold), Right(warm)) =>
-          (name, math.min(cold, warm), cold, None)
-        case (Left(err), _) => (name, Double.NaN, Double.NaN, Some(err))
-        case (_, Left(err)) => (name, Double.NaN, Double.NaN, Some(err))
+          (name, math.min(cold, warm), cold, warm, None)
+        case (Left(err), _) => (name, Double.NaN, Double.NaN, Double.NaN, Some(err))
+        case (_, Left(err)) => (name, Double.NaN, Double.NaN, Double.NaN, Some(err))
       }
     }
-    val ok = results.filter(_._4.isEmpty)
-    val failed = results.filter(_._4.nonEmpty)
-    val qs = ok.map { case (k, v, _, _) => jstr(k) + ":" + f"$v%.3f" }
+    val ok = results.filter(_._5.isEmpty)
+    val failed = results.filter(_._5.nonEmpty)
+    val qs = ok.map { case (k, v, _, _, _) => jstr(k) + ":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val cold = ok.map { case (k, _, c, _) => jstr(k) + ":" + f"$c%.3f" }
+    // BOTH raw passes are logged (the headline "queries" is their
+    // min): cross-round deltas are only interpretable when every
+    // record carries the same statistic plus the samples behind it —
+    // a round that quotes a single pass against another round's
+    // two-pass min manufactures a phantom regression (the r8/r7
+    // +16% episode)
+    val cold = ok.map { case (k, _, c, _, _) => jstr(k) + ":" + f"$c%.3f" }
       .mkString("{", ",", "}")
-    val errs = failed.map { case (k, _, _, e) => jstr(k) + ":" + jstr(e.get) }
+    val p2 = ok.map { case (k, _, _, w, _) => jstr(k) + ":" + f"$w%.3f" }
+      .mkString("{", ",", "}")
+    val errs = failed.map { case (k, _, _, _, e) => jstr(k) + ":" + jstr(e.get) }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cold":$cold,"failed":$errs,"n_ok":${ok.size},"n_failed":${failed.size},"sf":${jstr(sfDir)}}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"cold":$cold,"pass2":$p2,"failed":$errs,"n_ok":${ok.size},"n_failed":${failed.size},"seed":$seed,"sf":${jstr(sfDir)}}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -488,6 +488,20 @@ object SparkEntry {
         json.col(f.name).cast(f.dataType).as(f.name)): _*))
     }),
 
+    // avro roundtrip (S13's last unproven format): Spark 4 ships the
+    // avro source inside spark-sql itself, so the same engine write/
+    // read path ORC uses covers the reference's avro declaration
+    // (manager/file/FileFormats.java:3-15) with zero extra jars —
+    // write through the engine, read back through the registry route
+    "c4_avro_roundtrip" -> ((s, dir) => {
+      val base = tmpDir("graft_avro")
+      val src = t(s, dir, "supplier")
+      FileConnector.write(src, s"$base/sup.avro", "avro", Map.empty,
+        overwrite = true)
+      val back = FileConnector.read(s, SourceConf(connect = s"$base/sup.avro"))
+      back.select(src.columns.map(back.col).toIndexedSeq: _*)
+    }),
+
     "s9_mongo_filter" -> ((s, dir) => {
       // Mongo BSON filter + projection semantics (S9) over documents
       val filtered = t(s, dir, "documents").filter(MongoShim.filterToColumn(
@@ -4781,6 +4795,9 @@ object SparkEntry {
 
     "c2_orc_json_roundtrip" ->
       "SELECT * FROM supplier UNION ALL SELECT * FROM supplier",
+
+    "c4_avro_roundtrip" ->
+      "SELECT * FROM supplier",
 
     "s9_mongo_filter" ->
       "SELECT doc_id, lang, n_chars FROM documents WHERE lang IN ('en', 'de') AND n_chars > 200",

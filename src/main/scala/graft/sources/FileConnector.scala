@@ -68,8 +68,16 @@ object FileConnector {
     "RFC4180" -> Map("sep" -> ",", "quote" -> "\""),
     "TDF" -> Map("sep" -> "\t", "quote" -> "\"", "ignoreLeadingWhiteSpace" -> "true"))
 
-  def format(path: String, explicit: Option[String]): String =
-    explicit.getOrElse {
+  /** The avro implementation ships INSIDE spark-sql since Spark 4,
+    * but the short-name lookup still demands the external spark-avro
+    * module's ServiceLoader registration ("Avro is built-in but
+    * external data source module") — resolve the alias to the
+    * built-in class directly so `format=avro` works with the stock
+    * distribution and no extra jar. */
+  val AvroProvider = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  def format(path: String, explicit: Option[String]): String = {
+    val named = explicit.getOrElse {
       val p = path.toLowerCase.stripSuffix("/")
       if (p.endsWith(".csv") || p.endsWith(".csv.gz")) "csv"
       else if (p.endsWith(".orc")) "orc"
@@ -77,6 +85,8 @@ object FileConnector {
       else if (p.endsWith(".avro")) "avro"
       else "parquet"
     }
+    if (named == "avro") AvroProvider else named
+  }
 
   def read(spark: SparkSession, conf: SourceConf): DataFrame = {
     val path = stripScheme(conf.connect)
@@ -109,7 +119,7 @@ object FileConnector {
       options: Map[String, String], overwrite: Boolean,
       singleFile: Boolean = false): Unit = {
     val out = if (singleFile) df.coalesce(1) else df
-    out.write.format(fmt)
+    out.write.format(if (fmt == "avro") AvroProvider else fmt)
       .options(options)
       .mode(if (overwrite) "overwrite" else "append")
       .save(stripScheme(path))

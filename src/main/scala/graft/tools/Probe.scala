@@ -19,6 +19,7 @@ object Probe {
     if (args.headOption.contains("r7probe")) { r7probe(spark, dir); spark.stop(); return }
     if (args.headOption.contains("r8probe")) { r8probe(spark, dir); spark.stop(); return }
     if (args.headOption.contains("r8probe2")) { r8probe2(spark, dir); spark.stop(); return }
+    if (args.headOption.contains("r9probe")) { r9probe(spark, dir); spark.stop(); return }
     if (args.headOption.contains("r7pipe")) { r7pipe(spark, dir); spark.stop(); return }
     if (args.headOption.contains("jdbcYardstick")) { jdbcYardstick(spark, dir); spark.stop(); return }
     if (args.headOption.contains("dd4")) { dd4(spark, dir); spark.stop(); return }
@@ -873,6 +874,79 @@ object Probe {
     val nScored = timed("ta9 KN bigram logprob, 50K Zipf docs")(
       graft.operators.Scoring.knBigramLogProb(zipf, "doc_id", "text").count())
     println(s"=== r8probe ta9 scored docs @50K: $nScored")
+  }
+
+  /** Round-9 probes (VERDICT r8 #6): price the r8 newcomers that
+    * lacked wall/shape rows — ir3 phrase search at 10× docs, m10
+    * dynamic partition overwrite on a many-partition table (full
+    * rewrite vs 2-partition batch), and the new sim19 occupancy
+    * monitor at a 20 M-row index. */
+  def r9probe(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    def timed[T](label: String)(f: => T): T = {
+      val t = System.nanoTime(); val r = f
+      println(f"=== r9probe $label: ${(System.nanoTime() - t) / 1e9}%.2fs"); r
+    }
+    spark.read.parquet(s"$dir/region.parquet").count() // warm
+
+    // ---- ir3: phrase match at 50K Zipf docs ------------------------
+    // plant the phrase "w1 w2 w3" into every 50th doc so the filter
+    // has real hits; the operator is a row-local codegen conjunction
+    // (no explode, no positional-index join) — cost must be ONE scan
+    val zipf = zipfCorpus(spark)
+    val planted = zipf.withColumn("text",
+      when(pmod(col("doc_id"), lit(50)) === 0,
+        concat(col("text"), lit(" w1 w2 w3"))).otherwise(col("text")))
+      .localCheckpoint()
+    val nHits = timed("ir3 phraseMatch, 50K Zipf docs")(
+      graft.operators.Retrieval.phraseMatch(
+        planted, "doc_id", "text", Seq("w1", "w2", "w3")).count())
+    val nScan = timed("ir3 baseline: bare scan+count of the same frame")(
+      planted.count())
+    println(s"=== r9probe ir3 hits@50K: $nHits (phrase cost vs bare scan " +
+      s"is the codegen conjunction only; planted >= 1000)")
+    val _ = nScan
+
+    // ---- m10: dynamic overwrite on a many-partition table ----------
+    // lineitem at SPARK_GRAFT_SF_DIR hive-partitioned by month
+    // (~84 directories at sf0.1); the batch rewrites 2 months. The
+    // claim under test: overwrite cost ∝ batch partitions, NOT table
+    // partitions — dynamic mode must never rewrite the other 82.
+    val base = java.nio.file.Files.createTempDirectory("graft_r9m10").toString
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .withColumn("l_month",
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("int"))
+    timed("m10 full hive-partitioned write (~84 month partitions)")(
+      graft.sources.Layout.writeHivePartitioned(li, base + "/li", "l_month"))
+    val nParts = new java.io.File(base + "/li").listFiles()
+      .count(_.getName.startsWith("l_month="))
+    val twoMonths = li.select("l_month").distinct()
+      .orderBy("l_month").limit(2).collect().map(_.getInt(0))
+    val batch = li.filter(col("l_month").isin(twoMonths.map(Integer.valueOf): _*))
+      .withColumn("l_quantity", col("l_quantity") * 2)
+      .localCheckpoint()
+    println(s"=== r9probe m10 partitions on disk: $nParts, " +
+      s"batch months: ${twoMonths.mkString(",")}, batch rows: ${batch.count()}")
+    timed("m10 dynamic overwrite of 2 of ~84 partitions")(
+      graft.sources.Layout.overwritePartitions(batch, base + "/li", "l_month"))
+    val untouched = new java.io.File(base + "/li").listFiles()
+      .filter(f => f.getName.startsWith("l_month=") &&
+        !twoMonths.exists(m => f.getName.endsWith(m.toString)))
+    println(s"=== r9probe m10 untouched dirs: ${untouched.length} " +
+      s"(2 rewritten; a non-dynamic overwrite would have left ${nParts - 2} missing)")
+
+    // ---- sim19: occupancy monitor at a 20M-row index ----------------
+    // the monitor's cost is ONE count-per-list aggregate over index
+    // rows + nCentroids²-of-longs arithmetic; at 20 M rows / 1024
+    // lists it must price like a groupBy-count, nothing more
+    val bigIdx = spark.range(20000000L).select(
+      col("id").as("neighbor_id"),
+      pmod(xxhash64(col("id")), lit(1024L)).as("cent_id"))
+    val cents1k = spark.range(1024L).select(col("id").as("cent_id"))
+    val occBig = graft.operators.Similarity.ivfListOccupancy(bigIdx, cents1k)
+      .localCheckpoint()
+    val rep = timed("sim19 skew report, 20M-row index / 1024 lists")(
+      graft.operators.Similarity.ivfListSkewReport(occBig, occBig).collect()(0))
+    println(s"=== r9probe sim19 report@20M: $rep")
   }
 
   def r6probe(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {

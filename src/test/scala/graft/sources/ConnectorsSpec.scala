@@ -104,6 +104,27 @@ class FileConnectorSpec extends SparkTestBase {
     assert(FileConnector.format("/d/x.csv", Some("json")) == "json")
   }
 
+  test("avro roundtrip through the engine write/read path") {
+    // the reference declares avro (manager/file/FileFormats.java:3-15);
+    // Spark 4 ships the avro source inside spark-sql itself (class
+    // org.apache.spark.sql.avro.AvroFileFormat), so the registry route
+    // is fully exercisable here — write via the engine, read back via
+    // extension sniffing, values and schema must survive
+    assert(FileConnector.format("/d/x.avro", None) == FileConnector.AvroProvider)
+    assert(FileConnector.format("/d/x", Some("avro")) == FileConnector.AvroProvider)
+    val base = java.nio.file.Files.createTempDirectory("graft_avrospec").toString
+    val src = Seq((1L, "a", 1.5), (2L, null.asInstanceOf[String], -2.25))
+      .toDF("id", "name", "score")
+    FileConnector.write(src, s"$base/t.avro", "avro", Map.empty, overwrite = true)
+    val back = FileConnector.read(spark,
+      graft.core.SourceConf(connect = s"$base/t.avro"))
+    // names + types survive; nullability widens to true on read (the
+    // standard file-source relaxation, same as parquet)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      src.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy("id").collect().toSeq == src.orderBy("id").collect().toSeq)
+  }
+
   test("atomic swap replaces the sink only after a complete write") {
     val base = java.nio.file.Files.createTempDirectory("graft_atomicspec").toString
     val sink = base + "/t"
