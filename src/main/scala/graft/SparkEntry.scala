@@ -353,6 +353,19 @@ object SparkEntry {
       Tokenizer.trainBpeMerges(t(s, dir, "documents"), "text",
         numMerges = bpeMergeCount))
 
+  /** WordPiece merges for tok13/tok14, memoized per sf dir. 16
+    * merges: enough to diverge visibly from the BPE trajectory (the
+    * likelihood score promotes strongly-bound rare pairs over merely
+    * frequent ones) while keeping the per-merge unrolled oracle CTE
+    * chain tractable. */
+  private[graft] val wpMergeCount = 16
+  private val wpCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(String, String)]]()
+  private def trainedWordPiece(s: SparkSession, dir: String): Array[(String, String)] =
+    wpCache.computeIfAbsent(dir, _ =>
+      Tokenizer.trainWordPieceMerges(t(s, dir, "documents"), "text",
+        numMerges = wpMergeCount))
+
   /** Unigram-LM tokenizer (piece, count, qscore) rows, memoized per
     * sf dir — training is one distributed word-count aggregation
     * plus bounded driver EM (see Tokenizer.trainUnigramLm). */
@@ -2794,6 +2807,29 @@ object SparkEntry {
         .toDF("rank", "lhs", "rhs", "merged")
     }),
 
+    // WordPiece trajectory (the BERT trainer): same alphabet and
+    // merge walk as BPE but the pair picked each step maximizes
+    // count(l,r)/(count(l)·count(r)) — the oracle replays the full
+    // 16-step chain with per-step symbol counts joined into the
+    // ranking (see wordpieceCte)
+    "tok13_wordpiece_merges" -> ((s, dir) => {
+      import s.implicits._
+      trainedWordPiece(s, dir).zipWithIndex
+        .map { case ((l, r), i) => ((i + 1).toLong, l, r, l + r) }.toSeq
+        .toDF("rank", "lhs", "rhs", "merged")
+    }),
+
+    // WordPiece application: merge application is score-agnostic, so
+    // the BPE codegen kernel applies the WordPiece merge list
+    // unchanged; the oracle reads the chain's final segmentation
+    // state — training == in-order application, tok4's identity
+    "tok14_wordpiece_token_counts" -> ((s, dir) => {
+      val merges = trainedWordPiece(s, dir).toSeq
+      t(s, dir, "documents").select(col("doc_id"),
+        Tokenizer.bpeCount(merges)(col("text")).cast("long")
+          .as("n_tokens"))
+    }),
+
     // BPE APPLICATION through the codegen kernel (merges applied in
     // learned order per word): per-doc token counts in merge-faithful
     // units; the oracle reads the unrolled chain's FINAL segmentation
@@ -4586,6 +4622,69 @@ object SparkEntry {
         |       GROUP BY 1, 2),
         |b$k AS MATERIALIZED (SELECT l, r FROM p$k WHERE c >= 2
         |       ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+        |s$k AS MATERIALIZED (SELECT w, f, CASE WHEN b.l IS NULL THEN s.seg
+        |         ELSE replace(s.seg, $rs || b.l || $sep2 || b.r || $rs,
+        |                      $rs || b.l || b.r || $rs) END AS seg
+        |       FROM s$p s LEFT JOIN b$k b ON TRUE)""".stripMargin
+    }
+    val ranks = (1 to numMerges)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS rank, l, r FROM b$k")
+      .mkString("\n        UNION ALL ")
+    sb ++= s""",
+      |mg AS ($ranks),
+      |wtok AS (SELECT w,
+      |           len(string_split(seg[2:len(seg)-1], $sep2)) AS n
+      |         FROM s$numMerges),
+      |dw AS (SELECT doc_id,
+      |         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      |       FROM documents),
+      |cnt AS (SELECT doc_id, sum(n) AS n FROM dw JOIN wtok USING (w)
+      |        WHERE w <> '' GROUP BY doc_id),
+      |doctok AS (SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_tokens
+      |           FROM documents d LEFT JOIN cnt c USING (doc_id))""".stripMargin
+    sb.toString
+  }
+
+  /** WordPiece trajectory replay — [[bpeCte]] with the ranking key
+    * swapped: each step joins the pair counts against per-step SYMBOL
+    * counts (u$k) and picks max count(l,r)/(count(l)·count(r)), score
+    * computed as one exact-integer product cast to double and one
+    * IEEE division on both engines, ties l ASC then r ASC. Same
+    * chr(30)-delimited segmentation state, same replace-based merge
+    * application, same c >= 2 floor. */
+  private def wordpieceCte(numMerges: Int): String = {
+    val rs = "chr(30)"
+    val sep2 = s"$rs || $rs"
+    val sb = new StringBuilder
+    sb ++= s"""WITH wcnt AS (
+      |  SELECT w, count(*) AS f FROM (
+      |    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      |    FROM documents) WHERE w <> '' GROUP BY w),
+      |rsguard AS (SELECT CASE WHEN count(*) > 0
+      |         THEN error('corpus word contains U+001E: wordpieceCte delimiting invalid')
+      |         ELSE 0 END AS ok
+      |       FROM wcnt WHERE contains(w, $rs)),
+      |s0 AS MATERIALIZED (SELECT w, f,
+      |         $rs || array_to_string([w[i:i] for i in range(1, len(w)+1)],
+      |                                $sep2) || $rs AS seg
+      |       FROM wcnt CROSS JOIN rsguard
+      |       WHERE rsguard.ok = 0)""".stripMargin
+    for (k <- 1 to numMerges) {
+      val p = k - 1
+      sb ++= s""",
+        |x$k AS MATERIALIZED (SELECT f, string_split(seg[2:len(seg)-1], $sep2) AS sy
+        |       FROM s$p),
+        |p$k AS MATERIALIZED (SELECT sy[i] AS l, sy[i+1] AS r, sum(f) AS c
+        |       FROM x$k, unnest(generate_series(1, len(sy) - 1)) AS ix(i)
+        |       GROUP BY 1, 2),
+        |u$k AS MATERIALIZED (SELECT sy[i] AS s, sum(f) AS sc
+        |       FROM x$k, unnest(generate_series(1, len(sy))) AS ix(i)
+        |       GROUP BY 1),
+        |b$k AS MATERIALIZED (SELECT p.l, p.r FROM p$k p
+        |       JOIN u$k ul ON ul.s = p.l JOIN u$k ur ON ur.s = p.r
+        |       WHERE p.c >= 2
+        |       ORDER BY CAST(p.c AS DOUBLE) / CAST(ul.sc * ur.sc AS DOUBLE) DESC,
+        |                p.l ASC, p.r ASC LIMIT 1),
         |s$k AS MATERIALIZED (SELECT w, f, CASE WHEN b.l IS NULL THEN s.seg
         |         ELSE replace(s.seg, $rs || b.l || $sep2 || b.r || $rs,
         |                      $rs || b.l || b.r || $rs) END AS seg
@@ -7446,6 +7545,15 @@ object SparkEntry {
     "tok3_bpe_merges" ->
       (bpeCte(bpeMergeCount) +
         "\nSELECT rank, l AS lhs, r AS rhs, l || r AS merged FROM mg"),
+
+    // WordPiece trajectory: likelihood-score ranking replayed per
+    // step (pair counts ⋈ per-step symbol counts)
+    "tok13_wordpiece_merges" ->
+      (wordpieceCte(wpMergeCount) +
+        "\nSELECT rank, l AS lhs, r AS rhs, l || r AS merged FROM mg"),
+
+    "tok14_wordpiece_token_counts" ->
+      (wordpieceCte(wpMergeCount) + "\nSELECT doc_id, n_tokens FROM doctok"),
 
     // application == training's final segmentation state
     "tok4_bpe_token_counts" ->

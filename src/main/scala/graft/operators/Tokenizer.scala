@@ -360,6 +360,132 @@ object Tokenizer {
   /** Left-to-right non-overlapping merge of one word's symbols — the
     * driver-side mirror of [[applyMerge]]'s fold (BpePropertySpec
     * pins fold == walk). */
+  /** WordPiece merge training (Schuster & Nakajima 2012; the BERT
+    * tokenizer's trainer) — completes the subword trio next to BPE
+    * ([[trainBpeMerges]]) and unigram-LM: same alphabet, same
+    * left-to-right merge application, but the pair picked each step
+    * maximizes the LIKELIHOOD score count(l,r) / (count(l)·count(r))
+    * instead of the raw pair count — WordPiece merges the pair whose
+    * fusion most increases corpus likelihood under a unigram model,
+    * which prefers strongly-bound rare pairs over merely frequent
+    * ones. Ranking key: score DESC (exact integer counts, one IEEE
+    * division — engine-replayable), then l ASC, r ASC in UTF8 binary
+    * order; stop when no pair has count >= 2 (same floor as BPE).
+    *
+    * Because symbol counts shift globally after every merge, batching
+    * disjoint merges is NOT sound here (unlike BPE's count-only key),
+    * so training is one merge per round by construction. Local-exact
+    * tier under the same [[DefaultMaxLocalWords]] bounded collect as
+    * BPE (full pair/symbol recount per merge — O(merges × corpus
+    * symbols), fine for production merge counts; swap in delta
+    * updates if a profile ever demands it); distributed tier is the
+    * BPE loop with the score join added: pair counts ⋈ symbol counts
+    * on each side, both map-combined aggregates over the vocab-
+    * bounded distinct-word table, never the corpus.
+    *
+    * Merge application is score-agnostic, so [[bpeCount]]/[[bpeIds]]
+    * apply a WordPiece merge list unchanged (training state ==
+    * in-order application, the same identity tok4 pins for BPE). */
+  def trainWordPieceMerges(docs: DataFrame, textCol: String,
+      numMerges: Int,
+      maxLocalWords: Int = DefaultMaxLocalWords): Array[(String, String)] = {
+    require(numMerges >= 1, "numMerges must be positive")
+    val words = docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    if (maxLocalWords > 0) {
+      val rows = words.limit(maxLocalWords + 1).collect()
+      if (rows.length <= maxLocalWords)
+        return trainWordPieceLocal(
+          rows.map(r => (segmentLocal(r.getString(0), byteLevel = false),
+            r.getLong(1))), numMerges)
+    }
+    val initSegs = transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))
+    var segs = words.select(col("w"), col("f"), initSegs.as("segs"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (out.length < numMerges && !exhausted) {
+      val pairs = when(size(col("segs")) > 1,
+        transform(sequence(lit(1), size(col("segs")) - 1),
+          i => struct(element_at(col("segs"), i).as("l"),
+            element_at(col("segs"), i + lit(1)).as("r"))))
+        .otherwise(typedlit(Seq.empty[(String, String)])
+          .cast("array<struct<l:string,r:string>>"))
+      val pc = segs.select(col("f"), explode(pairs).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("f").as("c"))
+        .filter(col("c") >= 2)
+      val sc = segs.select(col("f"), explode(col("segs")).as("s"))
+        .groupBy("s").agg(sum("f").as("sc"))
+      val ranked = pc
+        .join(sc.select(col("s").as("l"), col("sc").as("lc")), "l")
+        .join(sc.select(col("s").as("r"), col("sc").as("rc")), "r")
+        .orderBy((col("c").cast("double") /
+          (col("lc") * col("rc")).cast("double")).desc,
+          col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (ranked.isEmpty) exhausted = true
+      else {
+        val l = ranked(0).getAs[String]("l")
+        val r = ranked(0).getAs[String]("r")
+        out += ((l, r))
+        segs = segs.withColumn("segs", applyMerge(col("segs"), l, r))
+          .localCheckpoint()
+      }
+    }
+    out.toArray
+  }
+
+  /** Driver-side exact WordPiece loop over the collected distinct-
+    * word table: full pair-count + symbol-count recount per merge
+    * (the score's denominators move under every merge, so the BPE
+    * delta structure does not transfer). Ranking key identical to
+    * the distributed loop. */
+  private def trainWordPieceLocal(words: Array[(Array[String], Long)],
+      numMerges: Int): Array[(String, String)] = {
+    var segs = words
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (out.length < numMerges && !exhausted) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      val sy = scala.collection.mutable.HashMap.empty[String, Long]
+      segs.foreach { case (s, f) =>
+        var i = 0
+        while (i < s.length) {
+          sy.update(s(i), sy.getOrElse(s(i), 0L) + f)
+          if (i < s.length - 1) {
+            val k = (s(i), s(i + 1))
+            pc.update(k, pc.getOrElse(k, 0L) + f)
+          }
+          i += 1
+        }
+      }
+      var best: Option[((String, String), Double)] = None
+      pc.foreach { case (k @ (l, r), c) =>
+        if (c >= 2) {
+          val score = c.toDouble / (sy(l) * sy(r)).toDouble
+          val better = best match {
+            case None => true
+            case Some((bk, bs)) =>
+              score > bs || (score == bs &&
+                (binLt(l, bk._1) || (l == bk._1 && binLt(r, bk._2))))
+          }
+          if (better) best = Some((k, score))
+        }
+      }
+      best match {
+        case None => exhausted = true
+        case Some(((l, r), _)) =>
+          out += ((l, r))
+          segs = segs.map { case (s, f) => (mergeWalk(s, l, r), f) }
+      }
+    }
+    out.toArray
+  }
+
   private def mergeWalk(s: Array[String], l: String, r: String): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var j = 0

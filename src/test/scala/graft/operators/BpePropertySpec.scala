@@ -123,4 +123,73 @@ class BpePropertySpec extends SparkTestBase {
       }
     }
   }
+
+  /** Naive sequential WordPiece reference: Sennrich's loop with the
+    * likelihood ranking count(l,r)/(count(l)·count(r)). */
+  private def naiveWordPiece(words: Map[String, Long],
+      numMerges: Int): Seq[(String, String)] = {
+    var segs: Map[List[String], Long] =
+      words.groupBy(w => w._1.map(_.toString).toList)
+        .map { case (k, g) => k -> g.values.sum }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (out.length < numMerges && !done) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      val sy = scala.collection.mutable.Map.empty[String, Long]
+      segs.foreach { case (s, f) =>
+        s.foreach(x => sy.update(x, sy.getOrElse(x, 0L) + f))
+        s.zip(s.drop(1)).foreach(p => pc.update(p, pc.getOrElse(p, 0L) + f))
+      }
+      val eligible = pc.filter(_._2 >= 2)
+      if (eligible.isEmpty) done = true
+      else {
+        // max score; among max-score pairs the (l, r)-ascending one
+        val maxScore = eligible.map { case ((a, b), c) =>
+          c.toDouble / (sy(a) * sy(b)) }.max
+        val (bl, br) = eligible.collect { case ((a, b), c)
+          if c.toDouble / (sy(a) * sy(b)) == maxScore => (a, b) }
+          .toSeq.min
+        out += ((bl, br))
+        segs = segs.groupBy { case (s, _) =>
+          val buf = scala.collection.mutable.ListBuffer.empty[String]
+          var j = 0
+          while (j < s.length) {
+            if (j < s.length - 1 && s(j) == bl && s(j + 1) == br) {
+              buf += bl + br; j += 2
+            } else { buf += s(j); j += 1 }
+          }
+          buf.toList
+        }.map { case (k, g) => k -> g.values.sum }
+      }
+    }
+    out.toSeq
+  }
+
+  test("WordPiece trainer == naive likelihood-ranked reference; local == distributed") {
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 5).foreach { trial =>
+      val lexicon = Vector("cat", "cata", "atac", "dog", "dodo", "god",
+        "catalog", "tac", "aa", "aaa", "abab", "zq", "zqzq")
+      val docs = (1 to 40).map { i =>
+        val n = 3 + rnd.nextInt(6)
+        (i.toLong, Seq.fill(n)(lexicon(rnd.nextInt(lexicon.length)))
+          .mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val freq = docs.flatMap(_._2.split(" ")).groupBy(identity)
+        .map { case (w, g) => w -> g.size.toLong }
+      val want = naiveWordPiece(freq, 8)
+      val local = Tokenizer.trainWordPieceMerges(df, "text", numMerges = 8).toSeq
+      assert(local == want, s"trial $trial: local $local != reference $want")
+      val dist = Tokenizer.trainWordPieceMerges(df, "text", numMerges = 8,
+        maxLocalWords = 0).toSeq
+      assert(dist == want, s"trial $trial: distributed $dist != $want")
+      // the likelihood ranking genuinely diverges from raw-count BPE
+      // on corpora with a strongly-bound rare pair ("zq" always
+      // co-occurs; frequent letters pair often but bind weakly)
+      val bpe = Tokenizer.trainBpeMerges(df, "text", numMerges = 8).toSeq
+      assert(bpe != want || trial > 1,
+        s"trial $trial: WordPiece never diverged from BPE — fixture too weak")
+    }
+  }
 }
