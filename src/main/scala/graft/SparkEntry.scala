@@ -1367,6 +1367,34 @@ object SparkEntry {
 
     // MRR + nDCG@5 of the exact cosine ranking against same-label
     // relevance — retrieval ORDER quality (eval1 measures overlap)
+    // generated-text eval metrics (r9): BLEU-4 over deterministic
+    // candidate/reference pairs — doc d vs doc d+100 (partial vocab
+    // overlap exercises clipping) plus 50 self-pairs (exact 1.0).
+    // The oracle replays the clipped n-gram counts, brevity penalty,
+    // and the ln/exp geometric mean (round-4, ta4's parity envelope)
+    "eval4_bleu" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val shifted = d.toDF("b_id", "cand_text")
+      val pairs = d.join(shifted, col("doc_id") + 100 === col("b_id"))
+        .select(col("doc_id").as("pair_id"),
+          col("cand_text").as("cand"), col("text").as("ref"))
+        .unionByName(d.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 100000).as("pair_id"),
+            col("text").as("cand"), col("text").as("ref")))
+      Scoring.bleuPairs(pairs, "pair_id", "cand", "ref")
+    }),
+
+    // ROUGE-1/2 over the same pairing: clipped-match recall/
+    // precision/F1, long-form per (pair, n) — all integer ratios
+    "eval5_rouge_n" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val shifted = d.toDF("b_id", "cand_text")
+      val pairs = d.join(shifted, col("doc_id") + 100 === col("b_id"))
+        .select(col("doc_id").as("pair_id"),
+          col("cand_text").as("cand"), col("text").as("ref"))
+      Scoring.rougeN(pairs, "pair_id", "cand", "ref", ns = Seq(1, 2))
+    }),
+
     "eval3_ranking_metrics" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val ranking = Similarity.bruteForceTopK(
@@ -7545,6 +7573,99 @@ object SparkEntry {
     "tok3_bpe_merges" ->
       (bpeCte(bpeMergeCount) +
         "\nSELECT rank, l AS lhs, r AS rhs, l || r AS merged FROM mg"),
+
+    // full BLEU replay: clipped n-gram counts via a per-gram
+    // full-outer count join, brevity penalty, ln/exp geometric mean
+    // at round-4 (ta4's log-parity envelope); zero when any pn is 0
+    "eval4_bleu" ->
+      """WITH pr AS (
+        |  SELECT a.doc_id AS pair_id, b.text AS cand, a.text AS ref
+        |  FROM documents a JOIN documents b ON a.doc_id + 100 = b.doc_id
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, text FROM documents WHERE doc_id < 50),
+        |tok AS (
+        |  SELECT pair_id,
+        |         list_filter(string_split_regex(lower(trim(cand)), '\s+'), x -> x <> '') AS ct,
+        |         list_filter(string_split_regex(lower(trim(ref)),  '\s+'), x -> x <> '') AS rt
+        |  FROM pr),
+        |cg AS (SELECT pair_id, n, array_to_string(ct[i:i+n-1], ' ') AS gram
+        |       FROM tok, unnest([1,2,3,4]) AS ns(n),
+        |            unnest(generate_series(1, len(ct) - n + 1)) AS ix(i)),
+        |rg AS (SELECT pair_id, n, array_to_string(rt[i:i+n-1], ' ') AS gram
+        |       FROM tok, unnest([1,2,3,4]) AS ns(n),
+        |            unnest(generate_series(1, len(rt) - n + 1)) AS ix(i)),
+        |ccnt AS (SELECT pair_id, n, gram, count(*) AS cc FROM cg GROUP BY 1, 2, 3),
+        |rcnt AS (SELECT pair_id, n, gram, count(*) AS rc FROM rg GROUP BY 1, 2, 3),
+        |j AS (SELECT pair_id, n,
+        |        sum(least(coalesce(cc, 0), coalesce(rc, 0))) AS m,
+        |        sum(coalesce(cc, 0)) AS tc, sum(coalesce(rc, 0)) AS tr
+        |      FROM ccnt FULL OUTER JOIN rcnt USING (pair_id, n, gram)
+        |      GROUP BY 1, 2),
+        |st AS (SELECT b.pair_id, b.n,
+        |         coalesce(m, 0) AS m, coalesce(tc, 0) AS tc, coalesce(tr, 0) AS tr
+        |       FROM (SELECT pair_id, n FROM pr, unnest([1,2,3,4]) AS ns(n)) b
+        |       LEFT JOIN j USING (pair_id, n)),
+        |wide AS (SELECT pair_id,
+        |    sum(CASE WHEN n = 1 THEN m END) AS m1, sum(CASE WHEN n = 1 THEN tc END) AS t1,
+        |    sum(CASE WHEN n = 2 THEN m END) AS m2, sum(CASE WHEN n = 2 THEN tc END) AS t2,
+        |    sum(CASE WHEN n = 3 THEN m END) AS m3, sum(CASE WHEN n = 3 THEN tc END) AS t3,
+        |    sum(CASE WHEN n = 4 THEN m END) AS m4, sum(CASE WHEN n = 4 THEN tc END) AS t4,
+        |    sum(CASE WHEN n = 1 THEN tc END) AS c_len,
+        |    sum(CASE WHEN n = 1 THEN tr END) AS r_len
+        |  FROM st GROUP BY 1)
+        |SELECT pair_id,
+        |  CAST(c_len AS BIGINT) AS c_len, CAST(r_len AS BIGINT) AS r_len,
+        |  CAST(m1 AS BIGINT) AS m1, CAST(m2 AS BIGINT) AS m2,
+        |  CAST(m3 AS BIGINT) AS m3, CAST(m4 AS BIGINT) AS m4,
+        |  CASE WHEN c_len = 0 OR m1 = 0 OR t1 = 0 OR m2 = 0 OR t2 = 0
+        |            OR m3 = 0 OR t3 = 0 OR m4 = 0 OR t4 = 0 THEN 0.0
+        |       ELSE round(
+        |         (CASE WHEN c_len >= r_len THEN 1.0
+        |               ELSE exp(1.0 - CAST(r_len AS DOUBLE) / c_len) END)
+        |         * exp((ln(CAST(m1 AS DOUBLE) / t1) + ln(CAST(m2 AS DOUBLE) / t2)
+        |              + ln(CAST(m3 AS DOUBLE) / t3) + ln(CAST(m4 AS DOUBLE) / t4)) / 4), 4)
+        |  END AS bleu
+        |FROM wide""".stripMargin,
+
+    "eval5_rouge_n" ->
+      """WITH pr AS (
+        |  SELECT a.doc_id AS pair_id, b.text AS cand, a.text AS ref
+        |  FROM documents a JOIN documents b ON a.doc_id + 100 = b.doc_id),
+        |tok AS (
+        |  SELECT pair_id,
+        |         list_filter(string_split_regex(lower(trim(cand)), '\s+'), x -> x <> '') AS ct,
+        |         list_filter(string_split_regex(lower(trim(ref)),  '\s+'), x -> x <> '') AS rt
+        |  FROM pr),
+        |cg AS (SELECT pair_id, n, array_to_string(ct[i:i+n-1], ' ') AS gram
+        |       FROM tok, unnest([1,2]) AS ns(n),
+        |            unnest(generate_series(1, len(ct) - n + 1)) AS ix(i)),
+        |rg AS (SELECT pair_id, n, array_to_string(rt[i:i+n-1], ' ') AS gram
+        |       FROM tok, unnest([1,2]) AS ns(n),
+        |            unnest(generate_series(1, len(rt) - n + 1)) AS ix(i)),
+        |ccnt AS (SELECT pair_id, n, gram, count(*) AS cc FROM cg GROUP BY 1, 2, 3),
+        |rcnt AS (SELECT pair_id, n, gram, count(*) AS rc FROM rg GROUP BY 1, 2, 3),
+        |j AS (SELECT pair_id, n,
+        |        sum(least(coalesce(cc, 0), coalesce(rc, 0))) AS m,
+        |        sum(coalesce(cc, 0)) AS tc, sum(coalesce(rc, 0)) AS tr
+        |      FROM ccnt FULL OUTER JOIN rcnt USING (pair_id, n, gram)
+        |      GROUP BY 1, 2),
+        |st AS (SELECT b.pair_id, b.n,
+        |         coalesce(m, 0) AS m, coalesce(tc, 0) AS tc, coalesce(tr, 0) AS tr
+        |       FROM (SELECT pair_id, n FROM pr, unnest([1,2]) AS ns(n)) b
+        |       LEFT JOIN j USING (pair_id, n))
+        |SELECT pair_id, n,
+        |  CAST(m AS BIGINT) AS matches,
+        |  CAST(tc AS BIGINT) AS cand_total, CAST(tr AS BIGINT) AS ref_total,
+        |  round(CASE WHEN tc > 0 THEN CAST(m AS DOUBLE) / tc ELSE 0.0 END, 6) AS precision,
+        |  round(CASE WHEN tr > 0 THEN CAST(m AS DOUBLE) / tr ELSE 0.0 END, 6) AS recall,
+        |  round(CASE WHEN (CASE WHEN tc > 0 THEN CAST(m AS DOUBLE) / tc ELSE 0.0 END)
+        |           + (CASE WHEN tr > 0 THEN CAST(m AS DOUBLE) / tr ELSE 0.0 END) > 0
+        |        THEN 2.0 * (CASE WHEN tc > 0 THEN CAST(m AS DOUBLE) / tc ELSE 0.0 END)
+        |             * (CASE WHEN tr > 0 THEN CAST(m AS DOUBLE) / tr ELSE 0.0 END)
+        |             / ((CASE WHEN tc > 0 THEN CAST(m AS DOUBLE) / tc ELSE 0.0 END)
+        |              + (CASE WHEN tr > 0 THEN CAST(m AS DOUBLE) / tr ELSE 0.0 END))
+        |        ELSE 0.0 END, 6) AS f1
+        |FROM st""".stripMargin,
 
     // WordPiece trajectory: likelihood-score ranking replayed per
     // step (pair counts ⋈ per-step symbol counts)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -401,5 +401,108 @@ object Scoring {
         round(col("direct") +
           (col("v") - col("v_s")) * p0 * log(p0) -
           p0 * (col("l_all") - col("l_s")), 4).as("kl_vs_corpus"))
+  }
+
+  /** Clipped n-gram overlap sufficient statistics between candidate
+    * and reference text pairs — the shared core of BLEU and ROUGE-N.
+    * One long-form row per (pair, n): `matches` = Σ_g min(count_cand,
+    * count_ref) (the CLIPPED match count both metrics define),
+    * `cand_total`/`ref_total` = n-gram counts. All integers — exactly
+    * engine-replayable.
+    *
+    * Scale shape: explode each side to (id, n, gram) and count —
+    * two map-combined shuffles keyed by (id, n, gram) — then one
+    * co-located full-outer join of the two count tables and a
+    * re-aggregate to (id, n). Cost is tokens-linear × |ns|; no
+    * driver state, no quadratic term (the per-gram join is keyed,
+    * never all-pairs). Pairs with an empty side still emit rows
+    * (zero totals) so downstream metrics see every pair. */
+  def ngramOverlapStats(pairs: DataFrame, idCol: String,
+      candCol: String, refCol: String,
+      ns: Seq[Int] = Seq(1, 2, 3, 4)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"invalid n list: $ns")
+    def toks(c: Column): Column =
+      filter(split(lower(trim(c)), "\\s+"), x => x =!= "")
+    // sequence(1, 0) runs DESCENDING in Spark (the BPE trainer's
+    // guard) — texts shorter than n emit an empty gram list explicitly
+    def gramsAllN(c: Column): Column = flatten(array(ns.map { n =>
+      when(size(toks(c)) >= n,
+        transform(sequence(lit(1), size(toks(c)) - (n - 1)),
+          i => struct(lit(n).as("n"),
+            concat_ws(" ", slice(toks(c), i, lit(n))).as("gram"))))
+        .otherwise(expr("array()").cast("array<struct<n:int,gram:string>>"))
+    }: _*))
+    def sideCounts(textCol2: Column, cntAs: String): DataFrame =
+      pairs.select(col(idCol), explode(gramsAllN(textCol2)).as("g"))
+        .groupBy(col(idCol), col("g.n").as("n"), col("g.gram").as("gram"))
+        .agg(count(lit(1)).as(cntAs))
+    val cc = sideCounts(col(candCol), "cc")
+    val rc = sideCounts(col(refCol), "rc")
+    val matched = cc.join(rc, Seq(idCol, "n", "gram"), "full_outer")
+      .groupBy(col(idCol), col("n"))
+      .agg(
+        sum(least(coalesce(col("cc"), lit(0L)), coalesce(col("rc"), lit(0L))))
+          .as("matches"),
+        sum(coalesce(col("cc"), lit(0L))).as("cand_total"),
+        sum(coalesce(col("rc"), lit(0L))).as("ref_total"))
+    // every (pair, n) emits a row even when both sides are too short
+    val base = pairs.select(col(idCol),
+      explode(array(ns.map(n => lit(n)): _*)).as("n"))
+    base.join(matched, Seq(idCol, "n"), "left")
+      .select(col(idCol), col("n"),
+        coalesce(col("matches"), lit(0L)).as("matches"),
+        coalesce(col("cand_total"), lit(0L)).as("cand_total"),
+        coalesce(col("ref_total"), lit(0L)).as("ref_total"))
+  }
+
+  /** Corpus-standard BLEU-4 per candidate/reference pair (Papineni
+    * et al. 2002, single reference): geometric mean of the clipped
+    * n-gram precisions p1..p4 times the brevity penalty
+    * exp(1 − r/c) when c < r. Zero when ANY pn is zero or the
+    * candidate is empty (the strict unsmoothed definition — the
+    * score everyone reports for corpus-level evaluation; smoothing
+    * variants change only this zero case). ln/exp on clean integer
+    * ratios, rounded to 4 — the ta4 log-parity envelope. */
+  def bleuPairs(pairs: DataFrame, idCol: String,
+      candCol: String, refCol: String): DataFrame = {
+    val stats = ngramOverlapStats(pairs, idCol, candCol, refCol, Seq(1, 2, 3, 4))
+    def mAt(n: Int) = sum(when(col("n") === n, col("matches"))).as(s"m$n")
+    def tAt(n: Int) = sum(when(col("n") === n, col("cand_total"))).as(s"t$n")
+    val wide = stats.groupBy(col(idCol))
+      .agg(mAt(1), tAt(1), mAt(2), tAt(2), mAt(3), tAt(3), mAt(4), tAt(4),
+        // unigram totals ARE the token lengths
+        sum(when(col("n") === 1, col("cand_total"))).as("c_len"),
+        sum(when(col("n") === 1, col("ref_total"))).as("r_len"))
+    val allPos = (1 to 4).map(n => col(s"m$n") > 0 && col(s"t$n") > 0)
+      .reduce(_ && _)
+    val logSum = (1 to 4).map(n =>
+      log(col(s"m$n").cast("double") / col(s"t$n"))).reduce(_ + _)
+    val bp = when(col("c_len") >= col("r_len"), lit(1.0))
+      .otherwise(exp(lit(1.0) - col("r_len").cast("double") / col("c_len")))
+    wide.select(col(idCol),
+      col("c_len"), col("r_len"),
+      col("m1"), col("m2"), col("m3"), col("m4"),
+      when(col("c_len") === 0 || !allPos, lit(0.0))
+        .otherwise(round(bp * exp(logSum / 4), 4)).as("bleu"))
+  }
+
+  /** ROUGE-N per pair (Lin 2004): recall = clipped matches /
+    * reference n-grams, precision = clipped matches / candidate
+    * n-grams, F1 = 2pr/(p+r) — zero where the denominator is zero.
+    * Pure integer ratios rounded to 6; long-form (one row per pair
+    * per n) so any n list rides one schema. */
+  def rougeN(pairs: DataFrame, idCol: String,
+      candCol: String, refCol: String,
+      ns: Seq[Int] = Seq(1, 2)): DataFrame = {
+    val stats = ngramOverlapStats(pairs, idCol, candCol, refCol, ns)
+    val m = col("matches").cast("double")
+    val p = when(col("cand_total") > 0, m / col("cand_total")).otherwise(lit(0.0))
+    val r = when(col("ref_total") > 0, m / col("ref_total")).otherwise(lit(0.0))
+    stats.select(col(idCol), col("n"),
+      col("matches"), col("cand_total"), col("ref_total"),
+      round(p, 6).as("precision"),
+      round(r, 6).as("recall"),
+      round(when(p + r > 0, lit(2.0) * p * r / (p + r)).otherwise(lit(0.0)), 6)
+        .as("f1"))
   }
 }

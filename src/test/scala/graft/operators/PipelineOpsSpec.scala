@@ -788,4 +788,39 @@ class ChunkingSpec extends SparkTestBase {
       "doc_id", "text", 50).head()
     assert(tail.getLong(2) == 2L && tail.getString(4) == "Hi!! no terminator tail")
   }
+
+  test("BLEU: hand-computed clipped precisions, brevity penalty, zero cases") {
+    val pairs = Seq(
+      // (5/6 * 3/5 * 2/4 * 1/3)^(1/4) = 0.0833..^0.25 ~= 0.5373, BP 1
+      (1L, "a b c d e f", "a b c d x f"),
+      (2L, "same text here ok more words", "same text here ok more words"), // 1.0
+      (3L, "the cat sat on the mat", "the cat is on the mat"), // no 4-gram: 0
+      (4L, "", "a b c d e"), // empty candidate: 0
+      // BP case: cand is a strict prefix (4 tokens) of a 6-token ref:
+      // all pn = 1, bleu = exp(1 - 6/4) ~= 0.6065
+      (5L, "a b c d", "a b c d e f"))
+      .toDF("pair_id", "cand", "ref")
+    val out = graft.operators.Scoring.bleuPairs(pairs, "pair_id", "cand", "ref")
+      .collect().map(r => r.getLong(0) -> r.getDouble(7)).toMap
+    assert(math.abs(out(1L) - 0.5373) < 1e-9, s"got ${out(1L)}")
+    assert(out(2L) == 1.0)
+    assert(out(3L) == 0.0)
+    assert(out(4L) == 0.0)
+    assert(math.abs(out(5L) - BigDecimal(math.exp(-0.5))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("ROUGE-N: clipped recall/precision/F1 with repeated grams") {
+    // cand repeats "the" 3x, ref has it 2x: clipped unigram match
+    // counts min(3, 2) = 2 for "the"
+    val pairs = Seq((1L, "the the the cat", "the cat the")).toDF("pair_id", "cand", "ref")
+    val out = graft.operators.Scoring.rougeN(pairs, "pair_id", "cand", "ref")
+      .collect().map(r => r.getInt(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))).toMap
+    // unigrams: the(min(3,2)=2) + cat(1) = 3 of cand 4 / ref 3
+    assert(out(1) == ((3L, 4L, 3L, 0.75, 1.0)))
+    // bigrams: cand {the the, the the, the cat}, ref {the cat, cat the}
+    // -> only "the cat" matches once: 1 of 3 / 2
+    assert(out(2)._1 == 1L && out(2)._2 == 3L && out(2)._3 == 2L)
+  }
 }
