@@ -787,8 +787,11 @@ object Similarity {
         count(lit(1)).as("__l"),
         sum(col("n_vectors")).as("__n"),
         max(col("n_vectors")).as("__mx"))
+      // both sides are ≤ nCentroids rows by construction — broadcast
+      // the right side explicitly so the pairwise |ni−nj| sweep plans
+      // as a bounded broadcast loop, never a shuffled CartesianProduct
       val sad = occ.select(col("n_vectors").as("__na"))
-        .crossJoin(occ.select(col("n_vectors").as("__nb")))
+        .crossJoin(broadcast(occ.select(col("n_vectors").as("__nb"))))
         .agg(sum(abs(col("__na") - col("__nb"))).as("__sad"))
       scalars.crossJoin(sad).select(
         col("__l"), col("__n"),

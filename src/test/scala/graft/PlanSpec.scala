@@ -556,4 +556,30 @@ class PlanSpec extends SparkTestBase {
       l.contains("hashpartitioning") && l.contains("__bucket")),
       s"bucketed running max missing:\n$sky")
   }
+
+  test("eval4/eval5 overlap stats are keyed joins — never a nested loop") {
+    // the clipped-match core's full-outer gram join and the pair join
+    // must both be hash/merge equi-joins; an all-pairs gram compare
+    // would be quadratic in corpus size
+    for (q <- Seq("eval4_bleu", "eval5_rouge_n")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      assert(!p.contains("SinglePartition"), s"$q global stage:\n$p")
+    }
+  }
+
+  test("sim19 skew report: bounded broadcast loops, no shuffled cartesian") {
+    // the monitor's only pass over index rows is ONE hashAggregate per
+    // occupancy frame; the Gini |ni−nj| sweep is a crossJoin of two
+    // ≤nCentroids frames and must plan as a BROADCAST nested loop
+    // (bounded side shipped), never a shuffled CartesianProduct.
+    // (SinglePartition DOES appear — the final step of the scalar
+    // count/sum/max aggregates over ≤nCentroids partials — and is the
+    // correct plan for a 1-row result; the index-sized input never
+    // crosses it.)
+    val p = planOf("sim19_ivf_list_skew")
+    assert(!p.contains("CartesianProduct"), s"sim19:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"bounded loop missing:\n$p")
+  }
 }
