@@ -1384,6 +1384,23 @@ object SparkEntry {
       Scoring.bleuPairs(pairs, "pair_id", "cand", "ref")
     }),
 
+    // word error rate over the same pairing: token-level edit
+    // distance built from char-level levenshtein via a per-pair
+    // token→CJK-codepoint encoding (both engines replay the identical
+    // encoding, so the integer distances hash-match); self-pairs pin
+    // the zero-distance row
+    "eval6_wer" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val shifted = d.toDF("b_id", "cand_text")
+      val pairs = d.join(shifted, col("doc_id") + 100 === col("b_id"))
+        .select(col("doc_id").as("pair_id"),
+          col("cand_text").as("cand"), col("text").as("ref"))
+        .unionByName(d.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 100000).as("pair_id"),
+            col("text").as("cand"), col("text").as("ref")))
+      Scoring.werPairs(pairs, "pair_id", "cand", "ref")
+    }),
+
     // ROUGE-1/2 over the same pairing: clipped-match recall/
     // precision/F1, long-form per (pair, n) — all integer ratios
     "eval5_rouge_n" -> ((s, dir) => {
@@ -7626,6 +7643,44 @@ object SparkEntry {
         |              + ln(CAST(m3 AS DOUBLE) / t3) + ln(CAST(m4 AS DOUBLE) / t4)) / 4), 4)
         |  END AS bleu
         |FROM wide""".stripMargin,
+
+    // token-level levenshtein replay. Levenshtein is invariant under
+    // any injective token relabeling, so the oracle uses its OWN
+    // single-byte ASCII labels (chr(32+pos)) — DuckDB's levenshtein
+    // counts BYTES, so the Spark side's CJK labels would triple
+    // insert/delete costs here; single-byte labels make byte == char.
+    // Valid while every pair's dictionary fits the 94 printable
+    // labels — guarded LOUDLY (error(), the bpeCte rsguard pattern;
+    // fixture max is 31), never silently divergent
+    "eval6_wer" ->
+      """WITH pr AS (
+        |  SELECT a.doc_id AS pair_id, b.text AS cand, a.text AS ref
+        |  FROM documents a JOIN documents b ON a.doc_id + 100 = b.doc_id
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, text FROM documents WHERE doc_id < 50),
+        |tok AS (
+        |  SELECT pair_id,
+        |         list_filter(string_split_regex(lower(trim(cand)), '\s+'), x -> x <> '') AS ct,
+        |         list_filter(string_split_regex(lower(trim(ref)),  '\s+'), x -> x <> '') AS rt
+        |  FROM pr),
+        |d AS (SELECT pair_id, ct, rt, list_distinct(list_concat(ct, rt)) AS dict
+        |      FROM tok),
+        |guard AS (SELECT CASE WHEN count(*) > 0
+        |         THEN error('pair dictionary exceeds 94 single-byte labels: oracle replay invalid')
+        |         ELSE 0 END AS ok
+        |       FROM d WHERE len(dict) > 94),
+        |e AS (SELECT pair_id, len(ct) AS cand_len, len(rt) AS ref_len,
+        |        levenshtein(
+        |          array_to_string(list_transform(ct, t -> chr(32 + list_position(dict, t))), ''),
+        |          array_to_string(list_transform(rt, t -> chr(32 + list_position(dict, t))), ''))
+        |          AS distance
+        |      FROM d CROSS JOIN guard WHERE guard.ok = 0)
+        |SELECT pair_id,
+        |  CAST(cand_len AS INT) AS cand_len, CAST(ref_len AS INT) AS ref_len,
+        |  CAST(distance AS INT) AS distance,
+        |  CASE WHEN ref_len > 0
+        |       THEN round(CAST(distance AS DOUBLE) / ref_len, 6) END AS wer
+        |FROM e""".stripMargin,
 
     "eval5_rouge_n" ->
       """WITH pr AS (

@@ -486,6 +486,47 @@ object Scoring {
         .otherwise(round(bp * exp(logSum / 4), 4)).as("bleu"))
   }
 
+  /** Word error rate per pair — the ASR/transcription eval metric:
+    * token-level Levenshtein distance (insert/delete/substitute at
+    * unit cost over WORDS) divided by the reference token count.
+    *
+    * No token-level edit-distance kernel exists in either engine, so
+    * the operator builds one out of the CHAR-level `levenshtein` both
+    * ship: the pair's distinct tokens become a per-row dictionary and
+    * each side is re-encoded as one CJK code point per token, indexed
+    * out of a constant 4096-char alphabet (base U+4E00; NOT Spark's
+    * `char(n)`, which wraps mod 256 and would collide). Pairs with
+    * more than 4096 distinct tokens emit NULL rather than a wrong
+    * distance. Char distance over the encodings IS the token
+    * distance — Levenshtein is invariant under any injective
+    * relabeling — computed row-locally in codegen with no shuffle,
+    * and the oracle replays an equivalent injective encoding, so the
+    * integer distances hash-match.
+    *
+    * `wer` is NULL when the reference is empty (0/0 is undefined;
+    * emitting 0 would grade an insertion-only hypothesis as perfect). */
+  def werPairs(pairs: DataFrame, idCol: String,
+      candCol: String, refCol: String): DataFrame = {
+    def toks(c: Column): Column =
+      filter(split(lower(trim(c)), "\\s+"), x => x =!= "")
+    val ct = toks(col(candCol))
+    val rt = toks(col(refCol))
+    val dict = array_distinct(concat(ct, rt))
+    // constant-foldable alphabet: split of a literal happens once at
+    // optimization, each row only indexes into it
+    val alphabet = (0x4E00 until 0x4E00 + 4096).map(_.toChar).mkString
+    val alphaArr = split(lit(alphabet), "")
+    def enc(a: Column): Column = concat_ws("",
+      transform(a, t =>
+        element_at(alphaArr, array_position(dict, t).cast("int"))))
+    val dist = when(size(dict) <= 4096, levenshtein(enc(ct), enc(rt)))
+    pairs.select(col(idCol),
+      size(ct).as("cand_len"), size(rt).as("ref_len"),
+      dist.as("distance"),
+      when(size(rt) > 0,
+        round(dist.cast("double") / size(rt), 6)).as("wer"))
+  }
+
   /** ROUGE-N per pair (Lin 2004): recall = clipped matches /
     * reference n-grams, precision = clipped matches / candidate
     * n-grams, F1 = 2pr/(p+r) — zero where the denominator is zero.

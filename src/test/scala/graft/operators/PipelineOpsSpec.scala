@@ -810,6 +810,25 @@ class ChunkingSpec extends SparkTestBase {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 
+  test("WER: token-level edit distance via injective char relabeling") {
+    val pairs = Seq(
+      (1L, "a b c d", "a x c d y"),       // 1 sub + 1 ins = 2 / 5 refs
+      (2L, "the cat sat", "the cat sat"), // identical: 0
+      (3L, "", "a b"),                    // empty cand: 2 deletions / 2
+      (4L, "a b", ""),                    // empty ref: wer NULL (0/0 class)
+      // repeated tokens must NOT collapse: "a a a" vs "a" is 2 edits
+      (5L, "a a a", "a"))
+      .toDF("pair_id", "cand", "ref")
+    val out = graft.operators.Scoring.werPairs(pairs, "pair_id", "cand", "ref")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(out(1L) == ((2, Some(0.4))))
+    assert(out(2L) == ((0, Some(0.0))))
+    assert(out(3L) == ((2, Some(1.0))))
+    assert(out(4L)._2.isEmpty)
+    assert(out(5L) == ((2, Some(2.0)))) // WER can exceed 1 on insertions
+  }
+
   test("ROUGE-N: clipped recall/precision/F1 with repeated grams") {
     // cand repeats "the" 3x, ref has it 2x: clipped unigram match
     // counts min(3, 2) = 2 for "the"
