@@ -1384,6 +1384,20 @@ object SparkEntry {
       Scoring.bleuPairs(pairs, "pair_id", "cand", "ref")
     }),
 
+    // chrF over the same pairing (+ self-pairs pinning 1.0): char
+    // 1..6-gram clipped overlap, effective-order P/R means, F-beta=2
+    "eval7_chrf" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val shifted = d.toDF("b_id", "cand_text")
+      val pairs = d.join(shifted, col("doc_id") + 100 === col("b_id"))
+        .select(col("doc_id").as("pair_id"),
+          col("cand_text").as("cand"), col("text").as("ref"))
+        .unionByName(d.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 100000).as("pair_id"),
+            col("text").as("cand"), col("text").as("ref")))
+      Scoring.chrF(pairs, "pair_id", "cand", "ref")
+    }),
+
     // word error rate over the same pairing: token-level edit
     // distance built from char-level levenshtein via a per-pair
     // token→CJK-codepoint encoding (both engines replay the identical
@@ -7642,6 +7656,49 @@ object SparkEntry {
         |         * exp((ln(CAST(m1 AS DOUBLE) / t1) + ln(CAST(m2 AS DOUBLE) / t2)
         |              + ln(CAST(m3 AS DOUBLE) / t3) + ln(CAST(m4 AS DOUBLE) / t4)) / 4), 4)
         |  END AS bleu
+        |FROM wide""".stripMargin,
+
+    // chrF replay: char 1..6-grams over whitespace-stripped text,
+    // clipped counts, effective-order averaged P/R, F-beta=2
+    "eval7_chrf" ->
+      """WITH pr AS (
+        |  SELECT a.doc_id AS pair_id, b.text AS cand, a.text AS ref
+        |  FROM documents a JOIN documents b ON a.doc_id + 100 = b.doc_id
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, text FROM documents WHERE doc_id < 50),
+        |tok AS (
+        |  SELECT pair_id,
+        |         string_split(regexp_replace(lower(cand), '\s+', '', 'g'), '') AS ct,
+        |         string_split(regexp_replace(lower(ref),  '\s+', '', 'g'), '') AS rt
+        |  FROM pr),
+        |cg AS (SELECT pair_id, n, array_to_string(ct[i:i+n-1], '') AS gram
+        |       FROM tok, unnest([1,2,3,4,5,6]) AS ns(n),
+        |            unnest(generate_series(1, len(ct) - n + 1)) AS ix(i)),
+        |rg AS (SELECT pair_id, n, array_to_string(rt[i:i+n-1], '') AS gram
+        |       FROM tok, unnest([1,2,3,4,5,6]) AS ns(n),
+        |            unnest(generate_series(1, len(rt) - n + 1)) AS ix(i)),
+        |ccnt AS (SELECT pair_id, n, gram, count(*) AS cc FROM cg GROUP BY 1, 2, 3),
+        |rcnt AS (SELECT pair_id, n, gram, count(*) AS rc FROM rg GROUP BY 1, 2, 3),
+        |j AS (SELECT pair_id, n,
+        |        sum(least(coalesce(cc, 0), coalesce(rc, 0))) AS m,
+        |        sum(coalesce(cc, 0)) AS tc, sum(coalesce(rc, 0)) AS tr
+        |      FROM ccnt FULL OUTER JOIN rcnt USING (pair_id, n, gram)
+        |      GROUP BY 1, 2),
+        |st AS (SELECT b.pair_id, b.n,
+        |         coalesce(m, 0) AS m, coalesce(tc, 0) AS tc, coalesce(tr, 0) AS tr
+        |       FROM (SELECT pair_id, n FROM pr, unnest([1,2,3,4,5,6]) AS ns(n)) b
+        |       LEFT JOIN j USING (pair_id, n)),
+        |wide AS (SELECT pair_id,
+        |    coalesce(avg(CASE WHEN tc > 0 THEN CAST(m AS DOUBLE) / tc END), 0.0) AS p,
+        |    coalesce(avg(CASE WHEN tr > 0 THEN CAST(m AS DOUBLE) / tr END), 0.0) AS r,
+        |    CAST(sum(m) AS BIGINT) AS total_matches,
+        |    CAST(sum(tc) AS BIGINT) AS cand_grams,
+        |    CAST(sum(tr) AS BIGINT) AS ref_grams
+        |  FROM st GROUP BY 1)
+        |SELECT pair_id, total_matches, cand_grams, ref_grams,
+        |  round(p, 6) AS chr_precision, round(r, 6) AS chr_recall,
+        |  round(CASE WHEN p + r > 0 THEN 5.0 * p * r / (4.0 * p + r)
+        |        ELSE 0.0 END, 6) AS chrf
         |FROM wide""".stripMargin,
 
     // token-level levenshtein replay. Levenshtein is invariant under

@@ -419,17 +419,32 @@ object Scoring {
     * (zero totals) so downstream metrics see every pair. */
   def ngramOverlapStats(pairs: DataFrame, idCol: String,
       candCol: String, refCol: String,
-      ns: Seq[Int] = Seq(1, 2, 3, 4)): DataFrame = {
+      ns: Seq[Int] = Seq(1, 2, 3, 4)): DataFrame =
+    overlapStatsCore(pairs, idCol, candCol, refCol, ns,
+      c => filter(split(lower(trim(c)), "\\s+"), x => x =!= ""), " ")
+
+  /** [[ngramOverlapStats]] over CHARACTER n-grams: the text is
+    * lowercased and whitespace is REMOVED entirely (the chrF
+    * convention — word boundaries carry no signal at char level),
+    * then n-grams slide over the remaining character sequence. */
+  def charNgramOverlapStats(pairs: DataFrame, idCol: String,
+      candCol: String, refCol: String,
+      ns: Seq[Int] = (1 to 6)): DataFrame =
+    overlapStatsCore(pairs, idCol, candCol, refCol, ns,
+      c => filter(split(regexp_replace(lower(c), "\\s+", ""), ""),
+        x => x =!= ""), "")
+
+  private def overlapStatsCore(pairs: DataFrame, idCol: String,
+      candCol: String, refCol: String, ns: Seq[Int],
+      toks: Column => Column, joiner: String): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"invalid n list: $ns")
-    def toks(c: Column): Column =
-      filter(split(lower(trim(c)), "\\s+"), x => x =!= "")
     // sequence(1, 0) runs DESCENDING in Spark (the BPE trainer's
     // guard) — texts shorter than n emit an empty gram list explicitly
     def gramsAllN(c: Column): Column = flatten(array(ns.map { n =>
       when(size(toks(c)) >= n,
         transform(sequence(lit(1), size(toks(c)) - (n - 1)),
           i => struct(lit(n).as("n"),
-            concat_ws(" ", slice(toks(c), i, lit(n))).as("gram"))))
+            array_join(slice(toks(c), i, lit(n)), joiner).as("gram"))))
         .otherwise(expr("array()").cast("array<struct<n:int,gram:string>>"))
     }: _*))
     def sideCounts(textCol2: Column, cntAs: String): DataFrame =
@@ -545,5 +560,39 @@ object Scoring {
       round(r, 6).as("recall"),
       round(when(p + r > 0, lit(2.0) * p * r / (p + r)).otherwise(lit(0.0)), 6)
         .as("f1"))
+  }
+
+  /** chrF per pair (Popović 2015; sacreBLEU's other default metric):
+    * character n-grams of order 1..`maxN` over whitespace-stripped
+    * lowercase text, clipped matches, per-pair precision/recall =
+    * the MEAN over orders of m_n/total_n — orders whose denominator
+    * is zero are skipped on that side (the "effective order" rule,
+    * so short references don't zero the score) — and
+    * chrF = (1+β²)·P·R / (β²·P + R) with the standard β = 2
+    * (recall-weighted). Zero when P+R is zero. Rides the same
+    * clipped-overlap core as BLEU/ROUGE: tokens-linear, keyed joins
+    * only. */
+  def chrF(pairs: DataFrame, idCol: String,
+      candCol: String, refCol: String,
+      maxN: Int = 6, beta: Double = 2.0): DataFrame = {
+    require(maxN >= 1 && beta > 0, s"invalid chrF params: $maxN, $beta")
+    val stats = charNgramOverlapStats(pairs, idCol, candCol, refCol, 1 to maxN)
+    val m = col("matches").cast("double")
+    val wide = stats.groupBy(col(idCol)).agg(
+      avg(when(col("cand_total") > 0, m / col("cand_total"))).as("__p"),
+      avg(when(col("ref_total") > 0, m / col("ref_total"))).as("__r"),
+      sum(col("matches")).as("total_matches"),
+      sum(col("cand_total")).as("cand_grams"),
+      sum(col("ref_total")).as("ref_grams"))
+    val p = coalesce(col("__p"), lit(0.0))
+    val r = coalesce(col("__r"), lit(0.0))
+    val b2 = beta * beta
+    wide.select(col(idCol),
+      col("total_matches"), col("cand_grams"), col("ref_grams"),
+      round(p, 6).as("chr_precision"),
+      round(r, 6).as("chr_recall"),
+      round(when(p + r > 0,
+        lit(1 + b2) * p * r / (lit(b2) * p + r)).otherwise(lit(0.0)), 6)
+        .as("chrf"))
   }
 }

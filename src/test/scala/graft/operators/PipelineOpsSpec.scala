@@ -810,6 +810,21 @@ class ChunkingSpec extends SparkTestBase {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 
+  test("chrF: effective-order means, beta=2, whitespace stripped") {
+    val pairs = Seq(
+      // "ab" vs "ba": 1-grams P=R=1; 2-grams no match P=R=0; orders
+      // 3..6 skipped (no grams either side) -> P=R=0.5, chrF=0.5
+      (1L, "a b", "ba"), // whitespace stripping makes cand "ab"
+      (2L, "same thing", "same thing"), // 1.0
+      (3L, "xyz", "abc")) // disjoint alphabets: 0
+      .toDF("pair_id", "cand", "ref")
+    val out = graft.operators.Scoring.chrF(pairs, "pair_id", "cand", "ref")
+      .collect().map(r => r.getLong(0) -> r.getDouble(6)).toMap
+    assert(out(1L) == 0.5, s"got ${out(1L)}")
+    assert(out(2L) == 1.0)
+    assert(out(3L) == 0.0)
+  }
+
   test("WER: token-level edit distance via injective char relabeling") {
     val pairs = Seq(
       (1L, "a b c d", "a x c d y"),       // 1 sub + 1 ins = 2 / 5 refs
