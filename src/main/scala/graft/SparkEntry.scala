@@ -1619,6 +1619,43 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank")
     }),
 
+    // r9: sim19's occupancy monitor AT INGESTION — the skew-planted
+    // append streamed in two real micro-batches, per-list counts
+    // folded into a persisted occupancy table (counts are the
+    // mergeable partial, so stream-fold == batch recount exactly and
+    // the report shares sim19's oracle)
+    "st23_stream_ivf_occupancy" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val books = trainedPq(s, dir)
+      val (index0, cents) = Similarity.pqIndexStore(
+        e.filter(col("vec_id") <= 250), "vec_id", "embedding",
+        books, nCentroids = 16)
+      val base = tmpDir("graft_st23")
+      val occPath = s"$base/occ"
+      val occ0 = Similarity.ivfListOccupancy(index0, cents)
+        .localCheckpoint(true)
+      occ0.write.mode("overwrite").parquet(occPath)
+      val planted = e.filter(col("vec_id") === 1)
+        .select(col("embedding").as("planted"))
+      val batch = e.filter(col("vec_id") > 250).select("vec_id")
+        .crossJoin(broadcast(planted))
+        .select(col("vec_id"), col("planted").as("embedding"))
+        .localCheckpoint(true)
+      val in = s"$base/in"
+      batch.filter(col("vec_id") % 2 === 0)
+        .coalesce(1).write.mode("append").parquet(in)
+      batch.filter(col("vec_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(in)
+      val schema = s.read.parquet(in).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val q = graft.streaming.EventStream.streamingIvfOccupancy(
+        stream, cents, "vec_id", "embedding", books,
+        occPath, s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      Similarity.ivfListSkewReport(s.read.parquet(occPath), occ0)
+    }),
+
     // r8: index deletion — RTBF purge of the odd back-half ids, then
     // a full probe of the purged store; must equal brute ADC over
     // exactly the survivors (per-vector-independent index rows)
@@ -9787,6 +9824,9 @@ object SparkEntry {
     // by the sentinel watermark push) stream == batch
     "st19_stream_stream_join" -> oracleSqlBase("st4_attribution_join"),
     "st20_stream_outer_join" -> oracleSqlBase("st5_unattributed_views"),
+    // occupancy counts fold exactly (integer partials), so the
+    // streamed skew report equals the batch monitor's replay
+    "st23_stream_ivf_occupancy" -> oracleSqlBase("sim19_ivf_list_skew"),
     "sim12_hard_negatives_ivf" -> oracleSqlBase("sim7_hard_negatives"),
     "sim13_maxsim_ivf" -> oracleSqlBase("sim8_maxsim_topk"),
     // full probe + depth >= corpus: the re-ranked output IS brute force

@@ -585,6 +585,42 @@ object EventStream {
       }
       .start()
 
+  /** Streaming IVF list-occupancy fold — [[graft.operators.Similarity
+    * .ivfListSkewReport]]'s mergeable-partial claim exercised at
+    * ingestion: each micro-batch of new vectors is coarse-routed
+    * against the store's OWN centroids (the streaming-safe
+    * [[graft.operators.Similarity.pqIndexAppendOnline]] argmax, no
+    * state, no shuffle) and its per-list counts fold into a persisted
+    * occupancy table by plain addition — counts are the partials, so
+    * stream-fold == batch recount exactly, and the skew report over
+    * the folded table equals the batch report (sim19's oracle). Seed
+    * `path` with the training-time occupancy before starting; zero
+    * lists persist through every fold. */
+  def streamingIvfOccupancy(stream: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String,
+      books: Array[Array[Array[Double]]],
+      path: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val enc = graft.operators.Similarity.pqIndexAppendOnline(
+          batch.toDF(), centroids, idCol, vecCol, books)
+        val bOcc = enc.groupBy("cent_id")
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("__b"))
+        val prev = spark.read.parquet(path)
+        val merged = prev.join(bOcc, Seq("cent_id"), "left")
+          .select(org.apache.spark.sql.functions.col("cent_id"),
+            (org.apache.spark.sql.functions.col("n_vectors") +
+              org.apache.spark.sql.functions.coalesce(
+                org.apache.spark.sql.functions.col("__b"),
+                org.apache.spark.sql.functions.lit(0L))).as("n_vectors"))
+        merged.localCheckpoint(true).write.mode("overwrite").parquet(path)
+      }
+      .start()
+
   /** Stream -> JDBC incremental sink: each micro-batch is staged and
     * merged (exactly the engine's incremental mode) via foreachBatch —
     * idempotent upserts make the sink consistent under micro-batch
