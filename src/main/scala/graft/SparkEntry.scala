@@ -1384,6 +1384,19 @@ object SparkEntry {
       Scoring.bleuPairs(pairs, "pair_id", "cand", "ref")
     }),
 
+    // unbiased pass@5 (the Codex estimator) over synthetic per-task
+    // sample outcomes (n = 10 + doc_id % 6 samples, c = doc_id % 11
+    // correct, capped at n) — exact integer telescoped binomial
+    // ratio, one division, bit-identical across engines; exercises
+    // the 1.0 short-circuit (n - c < k) and the k > n null
+    "eval8_pass_at_k" -> ((s, dir) => {
+      val tasks = t(s, dir, "documents").select(
+        col("doc_id").as("task_id"),
+        (lit(10) + col("doc_id") % 6).as("n"),
+        least(col("doc_id") % 11, lit(10) + col("doc_id") % 6).as("c"))
+      Scoring.passAtK(tasks, "task_id", "n", "c", k = 5)
+    }),
+
     // chrF over the same pairing (+ self-pairs pinning 1.0): char
     // 1..6-gram clipped overlap, effective-order P/R means, F-beta=2
     "eval7_chrf" -> ((s, dir) => {
@@ -7694,6 +7707,25 @@ object SparkEntry {
         |              + ln(CAST(m3 AS DOUBLE) / t3) + ln(CAST(m4 AS DOUBLE) / t4)) / 4), 4)
         |  END AS bleu
         |FROM wide""".stripMargin,
+
+    // exact-integer telescoped binomial ratio, one double division
+    "eval8_pass_at_k" ->
+      """WITH tasks AS (
+        |  SELECT doc_id AS task_id,
+        |         CAST(10 + doc_id % 6 AS BIGINT) AS n,
+        |         CAST(least(doc_id % 11, 10 + doc_id % 6) AS BIGINT) AS c
+        |  FROM documents),
+        |p AS (
+        |  SELECT task_id, n AS n_samples, c AS n_correct,
+        |         (n - c - 0) * (n - c - 1) * (n - c - 2) * (n - c - 3) * (n - c - 4) AS num,
+        |         (n - 0) * (n - 1) * (n - 2) * (n - 3) * (n - 4) AS den
+        |  FROM tasks)
+        |SELECT task_id, n_samples, n_correct,
+        |  CASE WHEN n_correct > n_samples OR n_samples < 5 THEN NULL
+        |       WHEN n_samples - n_correct < 5 THEN 1.0
+        |       ELSE round(1.0 - CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+        |  END AS pass_at_5
+        |FROM p""".stripMargin,
 
     // chrF replay: char 1..6-grams over whitespace-stripped text,
     // clipped counts, effective-order averaged P/R, F-beta=2

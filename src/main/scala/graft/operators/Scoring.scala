@@ -562,6 +562,33 @@ object Scoring {
         .as("f1"))
   }
 
+  /** Unbiased pass@k (Chen et al. 2021, the Codex estimator) per
+    * task: given `n` samples of which `c` passed,
+    * pass@k = 1 − C(n−c, k) / C(n, k) — the probability that at
+    * least one of k samples drawn WITHOUT replacement passes. The
+    * binomial ratio telescopes to Π_{i<k} (n−c−i)/(n−i); both
+    * products are computed as EXACT integER products first (n ≤ ~500
+    * keeps them inside a long) and divided once, so the estimate is
+    * bit-identical across engines. n−c < k short-circuits to 1.0
+    * (can't fill k samples with failures). Row-local codegen, no
+    * shuffle — the estimator a code-eval harness folds over millions
+    * of (task, sample) rows after one groupBy. */
+  def passAtK(tasks: DataFrame, idCol: String,
+      nCol: String, cCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    val n = col(nCol).cast("long")
+    val c = col(cCol).cast("long")
+    val idxs = sequence(lit(0L), lit(k - 1L))
+    def prodFrom(base: Column): Column =
+      aggregate(idxs, lit(1L), (acc, i) => acc * (base - i))
+    val ratio = prodFrom(n - c).cast("double") / prodFrom(n).cast("double")
+    tasks.select(col(idCol), n.as("n_samples"), c.as("n_correct"),
+      when(c > n || n < k, lit(null).cast("double")) // malformed / k > n
+        .when(n - c < k, lit(1.0))                   // failures can't fill k
+        .otherwise(round(lit(1.0) - ratio, 6))
+        .as(s"pass_at_$k"))
+  }
+
   /** chrF per pair (Popović 2015; sacreBLEU's other default metric):
     * character n-grams of order 1..`maxN` over whitespace-stripped
     * lowercase text, clipped matches, per-pair precision/recall =

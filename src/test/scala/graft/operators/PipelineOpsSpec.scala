@@ -810,6 +810,23 @@ class ChunkingSpec extends SparkTestBase {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 
+  test("pass@k: exact telescoped binomial, short-circuits, malformed rows") {
+    val tasks = Seq(
+      (1L, 10, 3),  // 1 - (7*6*5*4*3)/(10*9*8*7*6) = 1 - 1/12 = 0.916667
+      (2L, 10, 6),  // n-c = 4 < 5: certain pass -> 1.0
+      (3L, 10, 0),  // no correct samples -> 0.0
+      (4L, 3, 1),   // k > n: undefined -> null
+      (5L, 10, 11)) // c > n: malformed -> null
+      .toDF("task_id", "n", "c")
+    val out = graft.operators.Scoring.passAtK(tasks, "task_id", "n", "c", k = 5)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(1L) == Some(0.916667))
+    assert(out(2L) == Some(1.0))
+    assert(out(3L) == Some(0.0))
+    assert(out(4L).isEmpty && out(5L).isEmpty)
+  }
+
   test("chrF: effective-order means, beta=2, whitespace stripped") {
     val pairs = Seq(
       // "ab" vs "ba": 1-grams P=R=1; 2-grams no match P=R=0; orders
