@@ -1958,6 +1958,21 @@ object SparkEntry {
         (col("doc_id") % 5 === 0).as("is_junk"))
     }),
 
+    // calibration report over the trained gate's scores (r9): the
+    // reliability diagram + ECE terms that decide whether qf9's
+    // threshold can be trusted; the oracle wraps qf9's full training
+    // replay and re-bins its rounded scores
+    "eval9_calibration" -> ((s, dir) => {
+      val aug = qf9Frame(t(s, dir, "documents"))
+      val feats = qf9Features(col("text"))
+      val w = QualityFilters.trainQualityClassifier(aug, feats, col("y"),
+        iters = qf9Iters, lr = qf9Lr, sampleWeight = qf9Weight)
+      val scored = aug.select(col("doc_id"),
+        round(QualityFilters.classifierScore(feats, w), 6).as("score"),
+        (col("doc_id") % 5 === 0).as("is_junk"))
+      QualityFilters.calibrationReport(scored, "score", "is_junk")
+    }),
+
     "sp1_stratified_sample" -> ((s, dir) =>
       // deterministic exact-count stratified sample (training mix)
       Sampling.stratified(t(s, dir, "documents"), "doc_id", Seq("lang"), 10)
@@ -7298,6 +7313,21 @@ object SparkEntry {
     // full 16-iteration GD trajectory replay — weights bit-identical
     // by construction (quantized integer gradients, rational squash)
     "qf9_trained_quality_gate" -> qf9Oracle,
+
+    // re-bin qf9's replayed (rounded) scores into the reliability
+    // report; gaps/ECE terms from the rounded bucket means
+    "eval9_calibration" ->
+      s"""SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(avg(score), 6) AS avg_score,
+         |  round(avg(lab), 6) AS frac_pos,
+         |  round(abs(round(avg(score), 6) - round(avg(lab), 6)), 6) AS abs_gap,
+         |  round(count(*) * 1.0 / (SELECT count(*) FROM documents) *
+         |    round(abs(round(avg(score), 6) - round(avg(lab), 6)), 6), 6) AS ece_term
+         |FROM (
+         |  SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin, score,
+         |         CASE WHEN is_junk THEN 1.0 ELSE 0.0 END AS lab
+         |  FROM ($qf9Oracle) q)
+         |GROUP BY bin""".stripMargin,
 
     "qf6_nb_classifier" ->
       """WITH train AS (

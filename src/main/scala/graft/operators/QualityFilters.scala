@@ -398,4 +398,32 @@ object QualityFilters {
       .withColumn("flagged",
         col("q_logprob") < lit(meanThresholdQ) * col("n_pieces"))
   }
+
+  /** Reliability/calibration report for a probabilistic gate (the
+    * closing loop on [[trainQualityClassifier]]): scores bin into
+    * `bins` equal-width confidence buckets (the top bucket absorbs
+    * score == 1.0), and each bucket compares its mean predicted
+    * positive-class probability against its observed positive rate.
+    * `ece_term` = (bucket mass) x |gap| — summing the column gives
+    * the expected calibration error, the number that decides whether
+    * a gate\'s threshold can be trusted or the scores need
+    * recalibration (Platt/isotonic) before thresholding. Gap and ECE
+    * terms are computed from the ROUNDED bucket means, so the report
+    * is exactly engine-replayable. One groupBy over the scored
+    * frame + a broadcast 1-row total: profiling-aggregate cost. */
+  def calibrationReport(scored: DataFrame, scoreCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins: $bins")
+    val b = least(floor(col(scoreCol) * bins).cast("int"), lit(bins - 1))
+    val tot = scored.agg(count(lit(1)).as("__N"))
+    scored.groupBy(b.as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col(scoreCol)), 6).as("avg_score"),
+        round(avg(col(labelCol).cast("double")), 6).as("frac_pos"))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_docs"), col("avg_score"), col("frac_pos"),
+        round(abs(col("avg_score") - col("frac_pos")), 6).as("abs_gap"),
+        round(col("n_docs").cast("double") / col("__N") *
+          round(abs(col("avg_score") - col("frac_pos")), 6), 6).as("ece_term"))
+  }
 }

@@ -810,6 +810,27 @@ class ChunkingSpec extends SparkTestBase {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 
+  test("calibration report: bins, gaps, ECE terms on a planted mix") {
+    import org.apache.spark.sql.functions._
+    // bin 0: scores {0.0, 0.05}, labels {0,1} -> avg 0.025 vs 0.5, gap 0.475
+    // bin 9: scores {0.95, 1.0}, labels {1,1} -> avg 0.975 vs 1.0, gap 0.025
+    // (score 1.0 must land in the TOP bin, not a phantom bin 10)
+    val scored = Seq(
+      (1L, 0.0, false), (2L, 0.05, true),
+      (3L, 0.95, true), (4L, 1.0, true))
+      .toDF("id", "score", "label")
+    val out = graft.operators.QualityFilters
+      .calibrationReport(scored, "score", "label", bins = 10)
+      .orderBy("bin").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(0, 9))
+    val b0 = out(0); val b9 = out(1)
+    assert(b0.getLong(1) == 2 && b0.getDouble(2) == 0.025 &&
+      b0.getDouble(3) == 0.5 && b0.getDouble(4) == 0.475)
+    assert(b9.getLong(1) == 2 && b9.getDouble(4) == 0.025)
+    // ece = sum of terms = 0.5*0.475 + 0.5*0.025 = 0.25
+    assert(math.abs(out.map(_.getDouble(5)).sum - 0.25) < 1e-9)
+  }
+
   test("pass@k: exact telescoped binomial, short-circuits, malformed rows") {
     val tasks = Seq(
       (1L, 10, 3),  // 1 - (7*6*5*4*3)/(10*9*8*7*6) = 1 - 1/12 = 0.916667
