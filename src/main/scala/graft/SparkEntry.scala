@@ -1122,6 +1122,20 @@ object SparkEntry {
         "doc_id", "text", gramSize = 3, expectedEvalGrams = 1 << 16)
     }),
 
+    // memorization/novelty audit (r9): docs < 100 act as "model
+    // generations", the rest as the training corpus — per generation,
+    // the fraction of its word 3-grams already in the corpus and the
+    // longest contiguous memorized span (the planted near-dup pairs
+    // that cross the id-100 boundary surface as long runs); the
+    // oracle replays grams, the distinct-corpus join, and the
+    // gaps-and-islands runs
+    "mem1_novelty_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.memorizationAudit(
+        docs.filter(col("doc_id") < 100), docs.filter(col("doc_id") >= 100),
+        "doc_id", "text", gramSize = 3)
+    }),
+
     // cross-run incremental dedup: the corpus's LSH signatures persist
     // as bucketed store tables; the new batch probes them without
     // rescanning the corpus. Exact shingle-Jaccard verify on the
@@ -5888,6 +5902,38 @@ object SparkEntry {
 
     // positional grams (struct comprehension keeps pos), gram join,
     // then gaps-and-islands: consecutive positions share pos - row_number
+    // gram/positions replay (dd10's CTE), distinct-corpus join,
+    // gaps-and-islands runs, per-generation novelty + max span
+    "mem1_novelty_audit" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+        |             FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(l) <= 3 THEN [{'pos': 0, 'gram': array_to_string(l, ' ')}]
+        |         ELSE [{'pos': i - 1, 'gram': array_to_string(l[i:i+2], ' ')}
+        |               for i in range(1, len(l) - 1)] END,
+        |    recursive := true)
+        |  FROM tok),
+        |corpus AS (SELECT DISTINCT gram FROM g WHERE doc_id >= 100),
+        |geng AS (SELECT doc_id AS gen_id, pos, gram FROM g WHERE doc_id < 100),
+        |tot AS (SELECT doc_id AS gen_id,
+        |          CASE WHEN len(l) <= 3 THEN 1 ELSE len(l) - 2 END AS n_grams
+        |        FROM tok WHERE doc_id < 100),
+        |m AS (SELECT gen_id, pos FROM geng JOIN corpus USING (gram)),
+        |isl AS (SELECT gen_id, pos,
+        |          pos - row_number() OVER (PARTITION BY gen_id ORDER BY pos) AS grp
+        |        FROM m),
+        |runs AS (SELECT gen_id, grp, count(*) AS run FROM isl GROUP BY 1, 2),
+        |agg AS (SELECT gen_id, max(run) AS maxrun,
+        |          CAST(sum(run) AS BIGINT) AS nhit FROM runs GROUP BY 1)
+        |SELECT t.gen_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+        |  coalesce(a.nhit, 0) AS n_memorized_grams,
+        |  CASE WHEN t.n_grams > 0
+        |       THEN round(1.0 - coalesce(a.nhit, 0) * 1.0 / t.n_grams, 6) END AS novelty,
+        |  CAST(CASE WHEN coalesce(a.maxrun, 0) > 0 THEN a.maxrun + 2
+        |            ELSE 0 END AS BIGINT) AS max_memorized_words
+        |FROM tot t LEFT JOIN agg a USING (gen_id)""".stripMargin,
+
     "dd10_contaminated_spans" ->
       """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
         |             FROM documents),

@@ -133,6 +133,58 @@ object Decontaminate {
       .drop("grp")
   }
 
+  /** Memorization / novelty audit (the Carlini-style regurgitation
+    * check run over MODEL OUTPUTS): for each generated document,
+    * what fraction of its word k-grams already exists ANYWHERE in
+    * the training corpus, and how long is the longest contiguous
+    * memorized span? `novelty` = 1 − hit fraction; a low-novelty
+    * generation with a long `max_memorized_words` run is verbatim
+    * training data leaking through the model — the audit a
+    * responsible generation pipeline runs before shipping synthetic
+    * data back into training.
+    *
+    * Scale shape = [[contaminatedSpans]] with the roles flipped and
+    * the corpus side collapsed: the corpus contributes only its
+    * DISTINCT gram-hash set (one pass + a Bloom built by
+    * treeAggregate), the generation side streams through the Bloom
+    * prefilter in codegen and exact-verifies survivors against the
+    * distinct set via one keyed join — generations never shuffle
+    * their text, the corpus never re-scans. Runs (gaps-and-islands
+    * over hit positions) window per gen doc only. */
+  def memorizationAudit(gen: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, gramSize: Int = 8,
+      expectedCorpusGrams: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (corpusGrams, bloomBytes) = evalGramsAndBloom(
+      corpus, textCol, gramSize, expectedCorpusGrams, fpp, idCol = None)
+    val genG = gen.select(col(idCol).as("gen_id"),
+      posexplode(TextExpressions.positional_shingle_hashes(col(textCol), gramSize))
+        .as(Seq("pos", "gram")))
+    val hits = genG
+      .where(SketchExpressions.bloom_might_contain_long(bloomBytes, col("gram")))
+      .join(corpusGrams, "gram") // corpusGrams is distinct: semi semantics
+      .select("gen_id", "pos")
+    val w = Window.partitionBy("gen_id").orderBy("pos")
+    val runs = hits.withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("gen_id", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("gen_id")
+      .agg(max("run").as("__maxrun"), sum("run").as("__nhit"))
+    val totals = gen.select(col(idCol).as("gen_id"),
+      size(TextExpressions.positional_shingle_hashes(col(textCol), gramSize))
+        .cast("long").as("n_grams"))
+    totals.join(runs, Seq("gen_id"), "left")
+      .select(col("gen_id"), col("n_grams"),
+        coalesce(col("__nhit"), lit(0L)).as("n_memorized_grams"),
+        when(col("n_grams") > 0,
+          round(lit(1.0) -
+            coalesce(col("__nhit"), lit(0L)).cast("double") / col("n_grams"), 6))
+          .as("novelty"),
+        when(coalesce(col("__maxrun"), lit(0L)) > 0,
+          coalesce(col("__maxrun"), lit(0L)) + lit(gramSize - 1).cast("long"))
+          .otherwise(lit(0L)).as("max_memorized_words"))
+  }
+
   /** Character offsets for [[contaminatedSpans]] output — the form a
     * pipeline actually slices. Offsets are defined on the
     * WHITESPACE-NORMALIZED text (tokens joined by single spaces):

@@ -324,4 +324,26 @@ class DecontaminateSpec extends SparkTestBase {
     assert(removed == (boiler.length + "bridge".length + b2.length + 3))
     assert(clean == "second doc leads with then wraps up")
   }
+
+  test("memorizationAudit: planted verbatim span, fully novel doc, hit counts") {
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "one two three four five")).toDF("doc_id", "text")
+    val gen = Seq(
+      // 6 verbatim corpus words inside novel context: 3-grams at
+      // positions 2..5 hit -> run 4, span = 4 + 2 = 6 words
+      (1L, "novel words beta gamma delta epsilon zeta eta fresh tail"),
+      // nothing shared
+      (2L, "completely unseen vocabulary everywhere here"),
+      // the whole doc IS a corpus line: every gram hits, novelty 0
+      (3L, "one two three four five")).toDF("doc_id", "text")
+    val out = graft.operators.Decontaminate
+      .memorizationAudit(gen, corpus, "doc_id", "text", gramSize = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((8L, 4L, 0.5, 6L)), s"got ${out(1L)}")
+    assert(out(2L) == ((3L, 0L, 1.0, 0L)))
+    assert(out(3L) == ((3L, 3L, 0.0, 5L)))
+  }
 }
