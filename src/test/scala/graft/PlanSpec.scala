@@ -582,4 +582,14 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"sim19:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin"), s"bounded loop missing:\n$p")
   }
+
+  test("mem1 audit: bloom prefilter rides the gen scan before the gram join") {
+    // generations must stream through the codegen bloom_might_contain
+    // BEFORE any exchange (the corpus-side distinct set is the only
+    // join input), and nothing may plan as a nested loop
+    val p = planOf("mem1_novelty_audit")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"mem1:\n$p")
+    assert(p.contains("bloom_might_contain"), s"prefilter missing:\n$p")
+  }
 }
