@@ -435,16 +435,49 @@ object SparkEntry {
   private def qf9Weight: Column =
     when(col("y") === 1.0, lit(4.0)).otherwise(lit(1.0))
 
-  /** Trained qf9 weights, memoized per sf dir — qf9 (the gate) and
-    * eval9 (its calibration report) share one training run, exactly
-    * as a production pipeline scores and calibrates ONE model. */
+  /** qf9's feature-extractor identity — part of the persisted model's
+    * generation guard. BUMP when [[qf9Features]]/[[qf9Frame]] change:
+    * weights trained under other features must be rejected on load. */
+  private[graft] val qf9FeatureSpec =
+    "bias,tokens/64,digits/256,punct/256,chars/1024|junk%5,w4x|v1"
+
+  /** Training-data fingerprint: order-free XOR of per-row hashes over
+    * the raw corpus (the augmented frame/labels are deterministic
+    * functions of it, captured by [[qf9FeatureSpec]]). One
+    * map-combined aggregate — the cheap pass that lets a persisted
+    * model refuse to score data it was not trained on. */
+  private def qf9DataHash(s: SparkSession, dir: String): Long =
+    t(s, dir, "documents")
+      .agg(expr("bit_xor(xxhash64(doc_id, text))")).collect()(0).getLong(0)
+
+  /** Stable per-corpus store path for the persisted qf9 model — the
+    * artifact a production gate ships: train once ([[trainedQf9]]),
+    * score/calibrate in any later process. */
+  private[graft] def qf9ModelPath(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_qf9_model_${java.lang.Integer.toHexString(dir.hashCode)}"
+
+  /** Trained qf9 weights — store-backed (r10): load the persisted
+    * model when its generation guard passes (algo + feature spec +
+    * config + data fingerprint), else train once and persist. qf9
+    * (the gate), eval9 (its calibration report) and qf11 (the
+    * lifecycle query) all score ONE model, exactly as a production
+    * pipeline does; the in-process memo just skips re-reading the
+    * store within a session. */
   private val qf9WCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
   private def trainedQf9(s: SparkSession, dir: String): Array[Double] =
-    qf9WCache.computeIfAbsent(dir, _ =>
-      QualityFilters.trainQualityClassifier(
-        qf9Frame(t(s, dir, "documents")), qf9Features(col("text")),
-        col("y"), iters = qf9Iters, lr = qf9Lr, sampleWeight = qf9Weight))
+    qf9WCache.computeIfAbsent(dir, _ => {
+      val path = qf9ModelPath(dir)
+      val dh = qf9DataHash(s, dir)
+      ModelStore.loadIfValid(s, path, qf9FeatureSpec, qf9Iters, qf9Lr, dh)
+        .getOrElse {
+          val w = QualityFilters.trainQualityClassifier(
+            qf9Frame(t(s, dir, "documents")), qf9Features(col("text")),
+            col("y"), iters = qf9Iters, lr = qf9Lr, sampleWeight = qf9Weight)
+          ModelStore.save(s, path, w, qf9FeatureSpec, qf9Iters, qf9Lr, dh)
+          w
+        }
+    })
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1672,7 +1705,7 @@ object SparkEntry {
       val occPath = s"$base/occ"
       val occ0 = Similarity.ivfListOccupancy(index0, cents)
         .localCheckpoint(true)
-      occ0.write.mode("overwrite").parquet(occPath)
+      graft.streaming.EventStream.seedIvfOccupancy(occ0, occPath)
       val planted = e.filter(col("vec_id") === 1)
         .select(col("embedding").as("planted"))
       val batch = e.filter(col("vec_id") > 250).select("vec_id")
@@ -1691,7 +1724,8 @@ object SparkEntry {
         stream, cents, "vec_id", "embedding", books,
         occPath, s"$base/ckpt")
       try q.processAllAvailable() finally q.stop()
-      Similarity.ivfListSkewReport(s.read.parquet(occPath), occ0)
+      Similarity.ivfListSkewReport(
+        graft.streaming.EventStream.ivfOccupancyTable(s, occPath), occ0)
     }),
 
     // r8: index deletion — RTBF purge of the odd back-half ids, then
@@ -1976,6 +2010,36 @@ object SparkEntry {
       val aug = qf9Frame(t(s, dir, "documents"))
       val feats = qf9Features(col("text"))
       val w = trainedQf9(s, dir)
+      aug.select(col("doc_id"),
+        round(QualityFilters.classifierScore(feats, w), 6).as("score"),
+        (QualityFilters.classifierScore(feats, w) >= 0.5).as("flagged"),
+        (col("doc_id") % 5 === 0).as("is_junk"))
+    }),
+
+    // the TRAIN step of the persisted-model lifecycle (r10): ensure
+    // the store artifact exists (train once + persist, or validate
+    // the existing generation) and emit the weight vector itself —
+    // the oracle replays the full 64-iteration trajectory and must
+    // agree on every raw double (bit-reproducible trainer)
+    "qf9_train" -> ((s, dir) => {
+      val w = trainedQf9(s, dir) // loads, or trains + persists
+      s.createDataFrame(w.toIndexedSeq.zipWithIndex.map {
+        case (wt, d) => (d, wt)
+      }).toDF("dim", "weight")
+    }),
+
+    // the SCORE step against the PERSISTED artifact (r10): strict
+    // generation-guarded load (algo + feature spec + config + data
+    // fingerprint — a store trained under any other generation
+    // throws, spec'd in ModelStoreSpec), then the gate is a pure
+    // projection over the loaded weights. Same oracle as qf9: a
+    // persist/load roundtrip must not move a bit
+    "qf11_model_store" -> ((s, dir) => {
+      trainedQf9(s, dir) // ensure the artifact exists
+      val w = ModelStore.load(s, qf9ModelPath(dir), qf9FeatureSpec,
+        qf9Iters, qf9Lr, qf9DataHash(s, dir))
+      val aug = qf9Frame(t(s, dir, "documents"))
+      val feats = qf9Features(col("text"))
       aug.select(col("doc_id"),
         round(QualityFilters.classifierScore(feats, w), 6).as("score"),
         (QualityFilters.classifierScore(feats, w) >= 0.5).as("flagged"),
@@ -4830,7 +4894,8 @@ object SparkEntry {
         |b$k AS MATERIALIZED (SELECT p.l, p.r FROM p$k p
         |       JOIN u$k ul ON ul.s = p.l JOIN u$k ur ON ur.s = p.r
         |       WHERE p.c >= 2
-        |       ORDER BY CAST(p.c AS DOUBLE) / CAST(ul.sc * ur.sc AS DOUBLE) DESC,
+        |       ORDER BY CAST(p.c AS DOUBLE) /
+        |                (CAST(ul.sc AS DOUBLE) * CAST(ur.sc AS DOUBLE)) DESC,
         |                p.l ASC, p.r ASC LIMIT 1),
         |s$k AS MATERIALIZED (SELECT w, f, CASE WHEN b.l IS NULL THEN s.seg
         |         ELSE replace(s.seg, $rs || b.l || $sep2 || b.r || $rs,
@@ -7368,6 +7433,14 @@ object SparkEntry {
     // full 16-iteration GD trajectory replay — weights bit-identical
     // by construction (quantized integer gradients, rational squash)
     "qf9_trained_quality_gate" -> qf9Oracle,
+
+    // the persisted model's weight vector, raw doubles vs the full
+    // trajectory replay (the bit-reproducibility proof)
+    "qf9_train" -> qf9TrainOracle,
+
+    // persist/load roundtrip + generation-guarded load must score
+    // exactly like the in-process weights
+    "qf11_model_store" -> qf9Oracle,
 
     // re-bin qf9's replayed (rounded) scores into the reliability
     // report; gaps/ECE terms from the rounded bucket means
@@ -10911,10 +10984,13 @@ object SparkEntry {
     * junk class, gradient terms quantized to exact BIGINTs via
     * `floor(term*2^20 + 0.5)` (so the sums are order-free), update
     * `w - lr*g/(2^20*n)`. Weights are therefore bit-identical, and
-    * so are the scores. */
-  private def qf9Oracle: String = {
+    * so are the scores. The trajectory CTEs are shared between the
+    * score oracle ([[qf9Oracle]]) and the weight-vector oracle
+    * ([[qf9TrainOracle]]). */
+  private val qf9Dims = 0 until 5
+  private def qf9TrajectoryCtes: String = {
     val punct = raw"""[^.,;:!?''"()\[\]{}-]"""
-    val dims = 0 until 5
+    val dims = qf9Dims
     val sb = new StringBuilder
     sb ++= raw"""WITH aug AS (
       |  SELECT doc_id,
@@ -10948,13 +11024,30 @@ object SparkEntry {
         |              FROM x CROSS JOIN w$p w) x)),
         |w$k AS MATERIALIZED (SELECT $ws FROM w$p w CROSS JOIN g$k g CROSS JOIN nn)""".stripMargin
     }
-    sb ++= s"""
+    sb.toString
+  }
+
+  private def qf9Oracle: String = {
+    val zExpr = qf9Dims.map(d => s"x.x$d * w.w$d").mkString(" + ")
+    qf9TrajectoryCtes + s"""
       |SELECT x.doc_id,
       |       round(0.5 + (($zExpr) / (1 + abs($zExpr))) * 0.5, 6) AS score,
       |       (0.5 + (($zExpr) / (1 + abs($zExpr))) * 0.5) >= 0.5 AS flagged,
       |       x.doc_id % 5 = 0 AS is_junk
       |FROM x CROSS JOIN w$qf9Iters w""".stripMargin
-    sb.toString
+  }
+
+  /** The final weight vector, unpivoted to (dim, weight) — qf9_train's
+    * oracle. RAW doubles, deliberately unrounded (ta3 precedent): the
+    * trainer's trajectory is bit-reproducible by construction, and
+    * this oracle is the proof. */
+  private def qf9TrainOracle: String = {
+    val cases = qf9Dims.map(d => s"WHEN $d THEN w.w$d").mkString(" ")
+    qf9TrajectoryCtes + s"""
+      |SELECT CAST(d.dim AS INT) AS dim,
+      |       CASE d.dim $cases END AS weight
+      |FROM w$qf9Iters w
+      |CROSS JOIN (SELECT unnest(range(0, ${qf9Dims.length})) AS dim) d""".stripMargin
   }
 
   /** dd3 oracle: exact replay of [[graft.functions.TextExpressions.tokenHash64]]

@@ -63,6 +63,12 @@ object Main {
     "sink-disable-escape" -> "sink.disable.escape",
     "sink-key-columns" -> "sink.key.columns")
 
+  /** Flags the reference parses but never acts on — `sink-disable-index`
+    * and `sink-analyze` are declared (`cli/ToolOptions.java:196-216`)
+    * yet no manager reads them. A migrated ReplicaDB script using
+    * either must keep working here: accept, warn, ignore. */
+  private val deadFlags = Set("sink-disable-index", "sink-analyze")
+
   def parseArgs(args: Array[String]): Map[String, String] = {
     val parsed = args.map {
       case a if a.startsWith("--") && a.contains('=') =>
@@ -81,7 +87,11 @@ object Main {
       case None => Map.empty
     }
 
-    val fromFlags = (parsed - "options-file").map { case (flag, v) =>
+    deadFlags.intersect(parsed.keySet).foreach(f =>
+      Console.err.println(s"warning: --$f is accepted for ReplicaDB " +
+        "drop-in compatibility but has no effect (the reference parses " +
+        "and ignores it too)"))
+    val fromFlags = (parsed -- deadFlags - "options-file").map { case (flag, v) =>
       flagToKey.getOrElse(flag,
         // passthrough for source.connect.parameter.* style flags
         if (flag.contains('.')) flag
@@ -94,7 +104,7 @@ object Main {
     * prints the commons-cli formatter output, `ToolOptions.java:393-401`). */
   def helpText: String =
     "usage: graft [OPTIONS]\n" +
-      (flagToKey.keys.toSeq.sorted.map(f => s"  --$f") :+
+      ((flagToKey.keys ++ deadFlags).toSeq.sorted.map(f => s"  --$f") :+
         "  --options-file" :+ "  --version" :+ "  --help").mkString("\n")
 
   def run(args: Array[String]): Unit = {

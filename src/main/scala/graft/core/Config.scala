@@ -48,7 +48,11 @@ object ReplicationMode {
     case "complete" => Complete
     case "complete-atomic" => CompleteAtomic
     case "incremental" => Incremental
-    case other => throw new IllegalArgumentException(s"unknown mode: $other")
+    case other => throw new IllegalArgumentException(
+      // the reference's exact failure semantics for a bad mode string
+      // (`cli/ToolOptions.java:711-726`), including the CDC note
+      s"mode option must be complete, complete-atomic or incremental. " +
+        s"CDC mode is no longer supported. (got: $other)")
   }
 }
 
@@ -122,6 +126,28 @@ object Config {
     def prefixed(prefix: String): Map[String, String] =
       p.collect { case (k, v) if k.startsWith(prefix) =>
         k.stripPrefix(prefix) -> interpolateEnv(v) }
+    // fail fast with specific messages (reference: jobs/fetch-size
+    // NumberFormatException on <= 0, `cli/ToolOptions.java:664-676,
+    // 843-855`; throttling on < 0, `:900-912`)
+    def positiveInt(k: String): Option[Int] = get(k).map { v =>
+      val n = v.toInt
+      if (n <= 0) throw new IllegalArgumentException(s"$k must be a positive integer (got: $v)")
+      n
+    }
+    val throttle = get("bandwidth.throttling").map { v =>
+      val n = v.toInt
+      if (n < 0) throw new IllegalArgumentException(
+        s"bandwidth.throttling must be >= 0 KB/s (got: $v)")
+      n
+    }
+    // source.query replaces the generated SELECT wholesale; a script
+    // that also passes a projection or predicate is ambiguous — fail
+    // loudly rather than silently ignore half the request
+    if (p.contains("source.query") &&
+        (p.contains("source.columns") || p.contains("source.where")))
+      throw new IllegalArgumentException(
+        "source.query is exclusive of source.columns/source.where - " +
+          "fold the projection and predicate into the query")
     val source = SourceConf(
       connect = get("source.connect").getOrElse(
         throw new IllegalArgumentException("source.connect is required")),
@@ -134,8 +160,8 @@ object Config {
       user = get("source.user"),
       password = get("source.password"),
       fileFormat = get("source.file.format"),
-      partitions = get("jobs").map(_.toInt).getOrElse(4),
-      fetchSize = get("fetch.size").map(_.toInt).getOrElse(5000),
+      partitions = positiveInt("jobs").getOrElse(4),
+      fetchSize = positiveInt("fetch.size").getOrElse(5000),
       options = prefixed("source.connect.parameter."))
     val sink = SinkConf(
       connect = get("sink.connect").getOrElse(
@@ -154,9 +180,8 @@ object Config {
       stagingTableAlias = get("sink.staging.table.alias"),
       disableEscape = get("sink.disable.escape").exists(_.toBoolean),
       quotedIdentifiers = get("quoted.identifiers").exists(_.toBoolean),
-      batchSize = get("fetch.size").map(_.toInt).getOrElse(5000),
+      batchSize = positiveInt("fetch.size").getOrElse(5000),
       options = prefixed("sink.connect.parameter."))
-    ReplConf(source, sink,
-      bandwidthThrottling = get("bandwidth.throttling").map(_.toInt).getOrElse(0))
+    ReplConf(source, sink, bandwidthThrottling = throttle.getOrElse(0))
   }
 }

@@ -66,10 +66,24 @@ object ReplicaEngine {
         val uniq = s"graft_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
         filtered.createOrReplaceTempView(uniq)
         val trimmed = q.trim
-        val sql =
-          if (trimmed.take(5).equalsIgnoreCase("with "))
-            s"WITH t1 AS (SELECT * FROM $uniq), ${trimmed.drop(5)}"
-          else s"WITH t1 AS (SELECT * FROM $uniq) $trimmed"
+        // A user query that opens its own WITH clause (any casing,
+        // any whitespace after the keyword — "WITH\n x AS …" is
+        // valid SQL) gets t1 spliced in as the first CTE. A user CTE
+        // named t1 would silently shadow the engine's t1, so that is
+        // a loud error, not a guess; t1 as the name of a derived
+        // column/alias elsewhere is fine.
+        if ("(?is)^with\\b.*?\\bt1\\s*(\\([^)]*\\))?\\s+as\\s*\\(".r
+            .findFirstIn(trimmed).isDefined)
+          throw new IllegalArgumentException(
+            "source-query defines its own CTE named t1, which collides " +
+              "with the engine-provided t1 source view - rename the CTE")
+        val withClause = "(?is)^with\\s+(recursive\\b)?".r
+        val sql = withClause.findFirstMatchIn(trimmed) match {
+          case Some(m) =>
+            val kw = if (m.group(1) != null) "WITH RECURSIVE" else "WITH"
+            s"$kw t1 AS (SELECT * FROM $uniq), ${trimmed.substring(m.end).trim}"
+          case None => s"WITH t1 AS (SELECT * FROM $uniq) $trimmed"
+        }
         val out = spark.sql(sql) // analysis resolves the view eagerly
         spark.catalog.dropTempView(uniq)
         out

@@ -567,9 +567,10 @@ object Scoring {
     * pass@k = 1 − C(n−c, k) / C(n, k) — the probability that at
     * least one of k samples drawn WITHOUT replacement passes. The
     * binomial ratio telescopes to Π_{i<k} (n−c−i)/(n−i); both
-    * products are computed as EXACT integER products first (n ≤ ~500
-    * keeps them inside a long) and divided once, so the estimate is
-    * bit-identical across engines. n−c < k short-circuits to 1.0
+    * products are computed as EXACT integer products while n^k fits
+    * a long (n ≤ 2^(62/k), enforced per row) and divided once, so
+    * the estimate is bit-identical across engines; larger n degrades
+    * explicitly to double products. n−c < k short-circuits to 1.0
     * (can't fill k samples with failures). Row-local codegen, no
     * shuffle — the estimator a code-eval harness folds over millions
     * of (task, sample) rows after one groupBy. */
@@ -581,7 +582,19 @@ object Scoring {
     val idxs = sequence(lit(0L), lit(k - 1L))
     def prodFrom(base: Column): Column =
       aggregate(idxs, lit(1L), (acc, i) => acc * (base - i))
-    val ratio = prodFrom(n - c).cast("double") / prodFrom(n).cast("double")
+    // The exact-integer product Π(n−i) only fits a Long while
+    // n^k < 2^62; past that the Long multiply would WRAP silently
+    // and report a wrong estimate. Rows beyond the per-k bound
+    // degrade EXPLICITLY to an all-double telescoped product (IEEE
+    // rounding ~1 ulp per factor — invisible after round(.,6))
+    // instead of wrapping: a code-eval harness with n ~ 10^5 samples
+    // stays correct, it just loses bit-exactness it never needed.
+    val safeN = math.floor(math.pow(2.0, 62.0 / k)).toLong
+    def prodFromD(base: Column): Column =
+      aggregate(idxs, lit(1.0), (acc, i) => acc * (base - i).cast("double"))
+    val ratio = when(n <= safeN,
+      prodFrom(n - c).cast("double") / prodFrom(n).cast("double"))
+      .otherwise(prodFromD(n - c) / prodFromD(n))
     tasks.select(col(idCol), n.as("n_samples"), c.as("n_correct"),
       when(c > n || n < k, lit(null).cast("double")) // malformed / k > n
         .when(n - c < k, lit(1.0))                   // failures can't fill k

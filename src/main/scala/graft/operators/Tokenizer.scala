@@ -423,8 +423,13 @@ object Tokenizer {
       val ranked = pc
         .join(sc.select(col("s").as("l"), col("sc").as("lc")), "l")
         .join(sc.select(col("s").as("r"), col("sc").as("rc")), "r")
+        // each count casts to double BEFORE the multiply: lc*rc as
+        // Long silently wraps past 2^63 on a large corpus (picking a
+        // wrong merge), while the double product just rounds — and
+        // the oracle's replay (wordpieceCte) does the same
+        // double-multiply, so the ranking keys stay bit-identical
         .orderBy((col("c").cast("double") /
-          (col("lc") * col("rc")).cast("double")).desc,
+          (col("lc").cast("double") * col("rc").cast("double"))).desc,
           col("l").asc, col("r").asc)
         .limit(1).collect()
       if (ranked.isEmpty) exhausted = true
@@ -466,7 +471,7 @@ object Tokenizer {
       var best: Option[((String, String), Double)] = None
       pc.foreach { case (k @ (l, r), c) =>
         if (c >= 2) {
-          val score = c.toDouble / (sy(l) * sy(r)).toDouble
+          val score = c.toDouble / (sy(l).toDouble * sy(r).toDouble)
           val better = best match {
             case None => true
             case Some((bk, bs)) =>

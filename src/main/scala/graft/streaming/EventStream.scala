@@ -594,8 +594,20 @@ object EventStream {
     * occupancy table by plain addition — counts are the partials, so
     * stream-fold == batch recount exactly, and the skew report over
     * the folded table equals the batch report (sim19's oracle). Seed
-    * `path` with the training-time occupancy before starting; zero
-    * lists persist through every fold. */
+    * `path` with the training-time occupancy (written under
+    * `batch_id=-1`, see [[seedIvfOccupancy]]) before starting; zero
+    * lists persist through every fold.
+    *
+    * REPLAY-SAFE BY LAYOUT: foreachBatch is at-least-once, and a
+    * counter fold that read-modifies-overwrites one table would
+    * double-count a replayed micro-batch (crash after the write,
+    * before the offset commit) and could corrupt the store by
+    * clobbering the very files the fold is still reading. Instead
+    * each batch writes ONLY its own partial counts to the partition
+    * `path/batch_id=<id>` — a replay of batch B deterministically
+    * overwrites partition B with the same rows (idempotent), never
+    * touches other batches' partials, and never reads the store at
+    * all. [[ivfOccupancyTable]] folds the partials on read. */
   def streamingIvfOccupancy(stream: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String,
       books: Array[Array[Array[Double]]],
@@ -603,23 +615,32 @@ object EventStream {
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark = batch.sparkSession
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val enc = graft.operators.Similarity.pqIndexAppendOnline(
           batch.toDF(), centroids, idCol, vecCol, books)
-        val bOcc = enc.groupBy("cent_id")
+        enc.groupBy("cent_id")
           .agg(org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)).as("__b"))
-        val prev = spark.read.parquet(path)
-        val merged = prev.join(bOcc, Seq("cent_id"), "left")
-          .select(org.apache.spark.sql.functions.col("cent_id"),
-            (org.apache.spark.sql.functions.col("n_vectors") +
-              org.apache.spark.sql.functions.coalesce(
-                org.apache.spark.sql.functions.col("__b"),
-                org.apache.spark.sql.functions.lit(0L))).as("n_vectors"))
-        merged.localCheckpoint(true).write.mode("overwrite").parquet(path)
+            org.apache.spark.sql.functions.lit(1)).as("n_vectors"))
+          .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
       }
       .start()
+
+  /** Seed a [[streamingIvfOccupancy]] store with the training-time
+    * occupancy (so zero lists persist and the fold starts from the
+    * batch baseline): the seed is just the partial at `batch_id=-1`,
+    * below every micro-batch id. */
+  def seedIvfOccupancy(occupancy: DataFrame, path: String): Unit =
+    occupancy.write.mode("overwrite").parquet(s"$path/batch_id=-1")
+
+  /** The folded occupancy view over a [[streamingIvfOccupancy]]
+    * store: sum of the per-batch partials (counts are the mergeable
+    * partial, so this equals the batch recount after any prefix of
+    * batches — and equals it after a replayed batch too, because the
+    * replay overwrote its own partition rather than re-adding). */
+  def ivfOccupancyTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy("cent_id")
+      .agg(org.apache.spark.sql.functions.sum("n_vectors").as("n_vectors"))
 
   /** Stream -> JDBC incremental sink: each micro-batch is staged and
     * merged (exactly the engine's incremental mode) via foreachBatch —

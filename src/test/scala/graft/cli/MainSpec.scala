@@ -84,4 +84,61 @@ class MainSpec extends SparkTestBase {
     assert(back.count() == expected)
     assert(back.columns.toSeq == Seq("o_orderkey", "o_orderstatus", "o_totalprice"))
   }
+
+  test("dead reference options are accepted and ignored (drop-in parity)") {
+    // the reference parses --sink-disable-index / --sink-analyze but no
+    // manager acts on them (ToolOptions.java:196-216); a migrated script
+    // using either must complete a replication unchanged here
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_dead").toString + "/sink"
+    Main.run(Array(
+      s"--source-connect=${sf()}/region.parquet",
+      "--mode=complete",
+      "--sink-disable-index",
+      "--sink-analyze",
+      s"--sink-connect=$out",
+      "--sink.connect.parameter.format=csv"))
+    assert(spark.read.csv(out).count() ==
+      spark.read.parquet(s"${sf()}/region.parquet").count())
+    // they also appear in --help, like the reference's formatter output
+    assert(Main.helpText.contains("--sink-disable-index"))
+    assert(Main.helpText.contains("--sink-analyze"))
+  }
+
+  test("negative paths fail fast with the reference's failure semantics") {
+    import graft.core.Config
+    // missing required connects (ToolOptions.java:370-371)
+    val e1 = intercept[IllegalArgumentException](
+      Config.fromProperties(Map("sink.connect" -> "/out")))
+    assert(e1.getMessage.contains("source.connect"))
+    val e2 = intercept[IllegalArgumentException](
+      Config.fromProperties(Map("source.connect" -> "/in")))
+    assert(e2.getMessage.contains("sink.connect"))
+    // bad mode string, with the reference's message (ToolOptions.java:711-726)
+    val e3 = intercept[IllegalArgumentException](Config.fromProperties(
+      Map("source.connect" -> "/in", "sink.connect" -> "/out",
+        "mode" -> "cdc")))
+    assert(e3.getMessage.contains("complete, complete-atomic or incremental"))
+    // non-positive numerics (ToolOptions.java:664-676, 843-855, 900-912)
+    val e4 = intercept[IllegalArgumentException](Config.fromProperties(
+      Map("source.connect" -> "/in", "sink.connect" -> "/out",
+        "jobs" -> "0")))
+    assert(e4.getMessage.contains("jobs"))
+    val e5 = intercept[IllegalArgumentException](Config.fromProperties(
+      Map("source.connect" -> "/in", "sink.connect" -> "/out",
+        "fetch.size" -> "-5")))
+    assert(e5.getMessage.contains("fetch.size"))
+    val e6 = intercept[IllegalArgumentException](Config.fromProperties(
+      Map("source.connect" -> "/in", "sink.connect" -> "/out",
+        "bandwidth.throttling" -> "-1")))
+    assert(e6.getMessage.contains("bandwidth.throttling"))
+    // conflicting source-query + projection/predicate
+    val e7 = intercept[IllegalArgumentException](Config.fromProperties(
+      Map("source.connect" -> "/in", "sink.connect" -> "/out",
+        "source.query" -> "SELECT 1", "source.columns" -> "a,b")))
+    assert(e7.getMessage.contains("source.query"))
+    val e8 = intercept[IllegalArgumentException](Config.fromProperties(
+      Map("source.connect" -> "/in", "sink.connect" -> "/out",
+        "source.query" -> "SELECT 1", "source.where" -> "a > 1")))
+    assert(e8.getMessage.contains("source.query"))
+  }
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+class ModelStoreSpec extends SparkTestBase {
+
+  private val w = Array(0.25, -1.5, 3.0)
+  private val spec = "bias,f1,f2|v1"
+
+  private def freshPath(): String =
+    java.nio.file.Files.createTempDirectory("graft_model").toString + "/m"
+
+  test("save/load roundtrip returns the exact weights in dim order") {
+    val p = freshPath()
+    ModelStore.save(spark, p, w, spec, iters = 8, lr = 0.5, dataHash = 42L)
+    val back = ModelStore.load(spark, p, spec, iters = 8, lr = 0.5, dataHash = 42L)
+    assert(back.toSeq == w.toSeq) // bit-exact, not approx: doubles roundtrip parquet
+  }
+
+  test("generation guard rejects a store trained under a different feature spec") {
+    val p = freshPath()
+    ModelStore.save(spark, p, w, spec, 8, 0.5, 42L)
+    val e = intercept[IllegalArgumentException](
+      ModelStore.load(spark, p, "bias,f1,f2,f3|v2", 8, 0.5, 42L))
+    assert(e.getMessage.contains("feature spec"))
+    assert(e.getMessage.contains("retrain"))
+  }
+
+  test("generation guard rejects mismatched training config and data fingerprint") {
+    val p = freshPath()
+    ModelStore.save(spark, p, w, spec, 8, 0.5, 42L)
+    assert(intercept[IllegalArgumentException](
+      ModelStore.load(spark, p, spec, 16, 0.5, 42L))
+      .getMessage.contains("iters"))
+    assert(intercept[IllegalArgumentException](
+      ModelStore.load(spark, p, spec, 8, 2.0, 42L))
+      .getMessage.contains("lr"))
+    assert(intercept[IllegalArgumentException](
+      ModelStore.load(spark, p, spec, 8, 0.5, 43L))
+      .getMessage.contains("fingerprint"))
+  }
+
+  test("loadIfValid: None on absent store or any guard failure, Some on match") {
+    val p = freshPath()
+    assert(ModelStore.loadIfValid(spark, p, spec, 8, 0.5, 42L).isEmpty)
+    ModelStore.save(spark, p, w, spec, 8, 0.5, 42L)
+    assert(ModelStore.loadIfValid(spark, p, "other|v9", 8, 0.5, 42L).isEmpty)
+    assert(ModelStore.loadIfValid(spark, p, spec, 8, 0.5, 7L).isEmpty)
+    assert(ModelStore.loadIfValid(spark, p, spec, 8, 0.5, 42L)
+      .map(_.toSeq).contains(w.toSeq))
+  }
+
+  test("overwrite replaces the generation; a stale-generation scorer is rejected") {
+    val p = freshPath()
+    ModelStore.save(spark, p, w, spec, 8, 0.5, 42L)
+    // the corpus changed -> retrain under the new fingerprint
+    val w2 = Array(1.0, 2.0, 3.0, 4.0)
+    ModelStore.save(spark, p, w2, spec + "+f3", 8, 0.5, 99L)
+    // old-generation scorer now fails loudly instead of scoring wrong
+    assert(ModelStore.loadIfValid(spark, p, spec, 8, 0.5, 42L).isEmpty)
+    assert(ModelStore.load(spark, p, spec + "+f3", 8, 0.5, 99L).toSeq == w2.toSeq)
+  }
+
+  test("corrupt dim sets (missing/duplicate) are rejected") {
+    val p = freshPath()
+    import org.apache.spark.sql.functions._
+    spark.createDataFrame(Seq((0, 1.0), (2, 2.0))).toDF("dim", "weight")
+      .withColumn("sig_algo", lit(ModelStore.ClassifierAlgo))
+      .withColumn("feature_spec", lit(spec))
+      .withColumn("train_iters", lit(8))
+      .withColumn("train_lr", lit(0.5))
+      .withColumn("data_hash", lit(42L))
+      .write.mode("overwrite").parquet(p)
+    assert(intercept[IllegalArgumentException](
+      ModelStore.load(spark, p, spec, 8, 0.5, 42L))
+      .getMessage.contains("dims"))
+  }
+}

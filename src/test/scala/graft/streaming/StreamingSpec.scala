@@ -848,4 +848,50 @@ class StreamingSpec extends SparkTestBase {
     q2.stop()
     assert(rows(spark.read.parquet(store)) == batch)
   }
+
+  test("streaming IVF occupancy fold equals the batch recount and a " +
+      "replayed micro-batch cannot double-count (per-batch partials)") {
+    val sim = graft.operators.Similarity
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val books = sim.pqTrain(e, "vec_id", "embedding", m = 8, k = 16, maxIter = 2)
+    val (index0, cents) = sim.pqIndexStore(
+      e.filter(col("vec_id") <= 250), "vec_id", "embedding", books,
+      nCentroids = 8)
+    val base = java.nio.file.Files.createTempDirectory("graft_occ_st").toString
+    val occPath = s"$base/occ"
+    val occ0 = sim.ivfListOccupancy(index0, cents).localCheckpoint(true)
+    EventStream.seedIvfOccupancy(occ0, occPath)
+    // two real file-discovery micro-batches of appended vectors
+    val appended = e.filter(col("vec_id") > 250).localCheckpoint(true)
+    val in = s"$base/in"
+    appended.filter(col("vec_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(in)
+    appended.filter(col("vec_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def runFold(ckpt: String): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val q = EventStream.streamingIvfOccupancy(stream, cents, "vec_id",
+        "embedding", books, occPath, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runFold(s"$base/ckpt1")
+    def occMap(d: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      d.collect().map(r => r.get(0).toString -> r.get(1).toString.toLong).toMap
+    val folded = occMap(EventStream.ivfOccupancyTable(spark, occPath))
+    // fold == batch recount: seed occupancy + coarse-routed append counts
+    val appendedOcc = sim.pqIndexAppendOnline(
+        appended, cents, "vec_id", "embedding", books)
+      .groupBy("cent_id").agg(count(lit(1)).as("n2"))
+    val recount = occMap(occ0.join(appendedOcc, Seq("cent_id"), "left")
+      .select(col("cent_id"),
+        (col("n_vectors") + coalesce(col("n2"), lit(0L))).as("n")))
+    assert(folded == recount)
+    // at-least-once replay: re-run the SAME batches against the same
+    // store (fresh checkpoint => same batch ids) — each replay
+    // overwrites its own batch_id partition, so the fold is unchanged
+    runFold(s"$base/ckpt2")
+    assert(occMap(EventStream.ivfOccupancyTable(spark, occPath)) == recount)
+  }
 }
