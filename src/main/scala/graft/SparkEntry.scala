@@ -465,6 +465,10 @@ object SparkEntry {
     * store within a session. */
   private val qf9WCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+
+  /** Probe-only: drop the in-process weight memo so the next
+    * [[trainedQf9]] exercises the cross-process store-load path. */
+  private[graft] def resetQf9MemoForProbe(): Unit = qf9WCache.clear()
   private def trainedQf9(s: SparkSession, dir: String): Array[Double] =
     qf9WCache.computeIfAbsent(dir, _ => {
       val path = qf9ModelPath(dir)
@@ -1167,6 +1171,36 @@ object SparkEntry {
       Decontaminate.memorizationAudit(
         docs.filter(col("doc_id") < 100), docs.filter(col("doc_id") >= 100),
         "doc_id", "text", gramSize = 3)
+    }),
+
+    // edit-tolerant memorization audit (r10): mem1's verbatim k-gram
+    // runs miss paraphrase-level regurgitation, so this one audits
+    // winnowed fingerprints instead. Fixture plants both classes
+    // against the corpus (docs >= 100): gens 0-49 are NEAR-VERBATIM
+    // copies of corpus docs with every 20th word edited (the
+    // 1-edit-per-20-words paraphrase), gens 50-99 are NOVEL text over
+    // the same vocabulary (token order reversed). The former must
+    // flag near_verbatim, the latter must not; the oracle replays the
+    // fixture construction, both winnowing passes, and the join
+    "mem2_paraphrase_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") >= 100)
+      val toks = split(trim(col("text")), "\\s+")
+      val gen = docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+        .select((col("doc_id") - 100).as("gen_id"),
+          when(col("doc_id") < 150,
+            array_join(transform(toks,
+              (w, i) => when((i + 1) % 20 === 0, lit("zqz")).otherwise(w)),
+              " "))
+            .otherwise(array_join(reverse(toks), " "))
+            .as("text"))
+      // 5-grams, not 3: at trigram granularity a 60k-doc corpus
+      // contains most common-word triples somewhere, so even
+      // reversed text "matches" spuriously; 5-gram fingerprints keep
+      // the paraphrase class >= 0.7 memorized while novel text
+      // collapses toward 0
+      Decontaminate.paraphraseAudit(gen, corpus, "gen_id", "text",
+        gramSize = 5, window = 4)
     }),
 
     // cross-run incremental dedup: the corpus's LSH signatures persist
@@ -5998,6 +6032,55 @@ object SparkEntry {
         |  CAST(CASE WHEN coalesce(a.maxrun, 0) > 0 THEN a.maxrun + 2
         |            ELSE 0 END AS BIGINT) AS max_memorized_words
         |FROM tot t LEFT JOIN agg a USING (gen_id)""".stripMargin,
+
+    // replay the planted-paraphrase fixture (edit every 20th word /
+    // reverse tokens), both winnowing passes (dd19's selection CTEs:
+    // per-4-window lexicographic-min 3-gram), and the distinct join;
+    // the flag compares by integer cross-multiplication on both sides
+    "mem2_paraphrase_audit" ->
+      """WITH gensrc AS (
+        |  SELECT doc_id - 100 AS gen_id,
+        |    CASE WHEN doc_id < 150 THEN
+        |      array_to_string([CASE WHEN i % 20 = 0 THEN 'zqz' ELSE l[i] END
+        |                       for i in range(1, len(l) + 1)], ' ')
+        |    ELSE array_to_string(list_reverse(l), ' ') END AS text
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |        FROM documents WHERE doc_id >= 100 AND doc_id < 200)),
+        |gtok AS (SELECT gen_id, string_split_regex(lower(trim(text)), '\s+') AS l
+        |         FROM gensrc),
+        |gg AS (SELECT gen_id,
+        |         CASE WHEN len(l) <= 5 THEN [array_to_string(l, ' ')]
+        |              ELSE [array_to_string(l[i:i+4], ' ')
+        |                    for i in range(1, len(l) - 3)] END AS gl
+        |       FROM gtok),
+        |gsel AS (SELECT gen_id,
+        |           CASE WHEN len(gl) <= 4 THEN [list_sort(gl)[1]]
+        |                ELSE [list_sort(gl[i+1:i+4])[1]
+        |                      for i in range(0, len(gl) - 3)] END AS s
+        |         FROM gg),
+        |gfp AS (SELECT DISTINCT gen_id, g AS gram
+        |        FROM (SELECT gen_id, unnest(s) AS g FROM gsel)),
+        |ctok AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS l
+        |         FROM documents WHERE doc_id >= 100),
+        |cg AS (SELECT CASE WHEN len(l) <= 5 THEN [array_to_string(l, ' ')]
+        |              ELSE [array_to_string(l[i:i+4], ' ')
+        |                    for i in range(1, len(l) - 3)] END AS gl
+        |       FROM ctok),
+        |csel AS (SELECT CASE WHEN len(gl) <= 4 THEN [list_sort(gl)[1]]
+        |                ELSE [list_sort(gl[i+1:i+4])[1]
+        |                      for i in range(0, len(gl) - 3)] END AS s
+        |         FROM cg),
+        |cfp AS (SELECT DISTINCT g AS gram FROM (SELECT unnest(s) AS g FROM csel)),
+        |tot AS (SELECT gen_id, CAST(count(*) AS BIGINT) AS n_fingerprints
+        |        FROM gfp GROUP BY 1),
+        |hit AS (SELECT gen_id, CAST(count(*) AS BIGINT) AS n_matched
+        |        FROM gfp JOIN cfp USING (gram) GROUP BY 1)
+        |SELECT t.gen_id, t.n_fingerprints,
+        |       COALESCE(h.n_matched, 0) AS n_matched,
+        |       round(COALESCE(h.n_matched, 0) * 1.0 / t.n_fingerprints, 6)
+        |         AS memorized_frac,
+        |       COALESCE(h.n_matched, 0) * 2 >= t.n_fingerprints AS near_verbatim
+        |FROM tot t LEFT JOIN hit h USING (gen_id)""".stripMargin,
 
     "dd10_contaminated_spans" ->
       """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l

@@ -346,4 +346,34 @@ class DecontaminateSpec extends SparkTestBase {
     assert(out(2L) == ((3L, 0L, 1.0, 0L)))
     assert(out(3L) == ((3L, 3L, 0.0, 5L)))
   }
+
+  test("paraphraseAudit flags a 1-edit-per-20-words copy that the " +
+      "verbatim audit under-counts; novel text stays unflagged") {
+    import spark.implicits._
+    val words = (1 to 60).map(i => s"w$i")
+    val corpus = Seq((100L, words.mkString(" "))).toDF("doc_id", "text")
+    // near-verbatim: words 20, 40, 60 edited (1 edit per 20 words)
+    val edited = words.zipWithIndex.map { case (w, i) =>
+      if ((i + 1) % 20 == 0) "zzz" else w }.mkString(" ")
+    // novel: same vocabulary, order destroyed
+    val novel = words.reverse.mkString(" ")
+    val gen = Seq((1L, edited), (2L, novel)).toDF("doc_id", "text")
+    val out = Decontaminate
+      .paraphraseAudit(gen, corpus, "doc_id", "text", gramSize = 5, window = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    val (nFp, nHit, frac, flagged) = out(1L)
+    assert(flagged && frac >= 0.5 && nHit > 0 && nHit < nFp,
+      s"paraphrase should flag with partial overlap, got ${out(1L)}")
+    val (_, novHit, novFrac, novFlag) = out(2L)
+    assert(!novFlag && novHit == 0L && novFrac == 0.0, s"got ${out(2L)}")
+    // the contrast that motivates mem2: the VERBATIM audit sees only
+    // the between-edit runs (max 19-word span over 60 words), while
+    // the fingerprint audit attributes the doc as majority-memorized
+    val verbatim = Decontaminate
+      .memorizationAudit(gen, corpus, "doc_id", "text", gramSize = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(verbatim(1L) <= 19L,
+      s"verbatim max span should stop at the edits, got ${verbatim(1L)}")
+  }
 }

@@ -1,0 +1,203 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+
+import graft.SparkTestBase
+
+/** Vendor-wire verification against a REAL PostgreSQL server — the
+  * sandbox ships PostgreSQL 15 binaries (initdb/pg_ctl/psql) but no
+  * PG JDBC driver jar, so the reflective JDBC TRANSPORT stays
+  * spec-only while everything the engine EMITS onto the wire is
+  * driven end to end here against the real parser and executor:
+  *
+  *  - W1 COPY fast path: the exact wire text [[BulkLoad.encodeRow]]
+  *    streams and the exact command [[BulkLoad.pgCopyCommand]] issues,
+  *    piped into `COPY ... FROM STDIN`, every value read back and
+  *    compared (text hex-encoded outbound so newlines/CRs survive the
+  *    assertion transport). Covers the three hazard classes:
+  *    backslash/newline/CR escapes, the 0x1F delimiter escaped INSIDE
+  *    field data (the reference leaves it bare and shifts columns —
+  *    `PostgresqlManager.java:146-156`), and the double-escaped bytea
+  *    hex form (one level stripped by the COPY parser).
+  *  - The incremental-mode SQL sequence ([[DialectMerge]] Postgres
+  *    dialect): UNLOGGED staging DDL, COPY into staging, ON CONFLICT
+  *    merge (update + insert in one pass), TRUNCATE — the engine's
+  *    exact statement strings executed in the engine's exact order.
+  *
+  * A private server is initdb'd per suite in a temp dir on a unix
+  * socket (PG refuses root, so commands wrap through an unprivileged
+  * user when needed). Cancels (does not fail) when the server cannot
+  * be provisioned in this environment.
+  */
+class PgWireSpec extends SparkTestBase with BeforeAndAfterAll {
+
+  private val pgUser = "pgx"
+
+  private def which(bin: String): Option[String] =
+    Seq("/usr/local/bin", "/usr/bin", "/usr/lib/postgresql/15/bin")
+      .map(d => s"$d/$bin").find(p => Files.isExecutable(Paths.get(p)))
+
+  /** Run a command, return (exit, stdout+stderr). */
+  private def run(cmd: Seq[String], stdin: Option[Array[Byte]] = None): (Int, String) = {
+    val asUser =
+      if (System.getProperty("user.name") == "root")
+        Seq("runuser", "-u", pgUser, "--") ++ cmd
+      else cmd
+    val pb = new ProcessBuilder(asUser: _*)
+    pb.redirectErrorStream(true)
+    pb.directory(new java.io.File("/tmp"))
+    val p = pb.start()
+    stdin.foreach { b => p.getOutputStream.write(b); p.getOutputStream.close() }
+    if (stdin.isEmpty) p.getOutputStream.close()
+    val out = new String(p.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+    (p.waitFor(), out)
+  }
+
+  private def ensurePgUser(): Boolean =
+    if (System.getProperty("user.name") != "root") true
+    else {
+      val id = new ProcessBuilder("id", "-u", pgUser).start()
+      if (id.waitFor() == 0) true
+      else new ProcessBuilder("useradd", "-M", "-s", "/bin/sh", pgUser)
+        .start().waitFor() == 0
+    }
+
+  /** Booted once per suite; None when the environment can't host PG. */
+  private lazy val server: Option[(String, String)] = { // (dataDir, socketDir)
+    if (which("initdb").isEmpty || which("pg_ctl").isEmpty ||
+        which("psql").isEmpty || !ensurePgUser()) None
+    else {
+      val base = Files.createTempDirectory("graft_pgwire").toString
+      val (data, sock) = (s"$base/data", s"$base/sock")
+      Files.createDirectories(Paths.get(sock))
+      if (System.getProperty("user.name") == "root")
+        new ProcessBuilder("chown", "-R", pgUser, base).start().waitFor()
+      if (run(Seq(which("initdb").get, "-D", data, "-A", "trust"))._1 != 0) None
+      else if (run(Seq(which("pg_ctl").get, "-D", data, "-l", s"$base/log",
+        "-o", s"-k $sock -c listen_addresses=''", "start"))._1 != 0) None
+      else Some((data, sock))
+    }
+  }
+
+  override def afterAll(): Unit = {
+    server.foreach { case (data, _) =>
+      run(Seq(which("pg_ctl").get, "-D", data, "-m", "immediate", "stop"))
+    }
+    super.afterAll()
+  }
+
+  private def psql(sql: String, stdin: Option[Array[Byte]] = None): (Int, String) =
+    run(Seq(which("psql").get, "-h", server.get._2, "-d", "postgres",
+      "-v", "ON_ERROR_STOP=1", "-A", "-t", "-c", sql), stdin)
+
+  private def exec(sql: String): Unit = {
+    val (rc, out) = psql(sql)
+    assert(rc == 0, s"psql failed on: $sql\n$out")
+  }
+
+  test("W1: COPY wire text from encodeRow roundtrips through real PostgreSQL") {
+    assume(server.isDefined, "PostgreSQL not available in this environment")
+    exec("CREATE TABLE wiretest (id bigint, s text, b bytea, " +
+      "ts timestamp, f double precision, bo boolean)")
+
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType),
+      StructField("b", BinaryType), StructField("ts", TimestampType),
+      StructField("f", DoubleType), StructField("bo", BooleanType)))
+    val ts = java.sql.Timestamp.valueOf("2023-01-02 03:04:05.25")
+    val rows = Seq[org.apache.spark.sql.Row](
+      org.apache.spark.sql.Row(1L, "plain", Array[Byte](0xde.toByte, 0xad.toByte),
+        ts, 1.5, true),
+      org.apache.spark.sql.Row(2L, "back\\slash\nnewline\rcr\ttab", null,
+        null, -0.25, false),
+      org.apache.spark.sql.Row(3L, s"unit${BulkLoad.UnitSep}sep", Array[Byte](),
+        null, 1.0e-8, null),
+      org.apache.spark.sql.Row(4L, "héllo 世界", null, ts, null, true),
+      org.apache.spark.sql.Row(5L, null, null, null, null, null))
+    val wire = rows.map(r => BulkLoad.encodeRow(r, schema,
+      BulkLoad.bytesToPostgresHex) + "\n").mkString
+    // the EXACT production command string (PostgresqlManager.java:174-191)
+    val copy = BulkLoad.pgCopyCommand("wiretest", schema.fieldNames.toSeq)
+    val (copyRc, copyOut) = psql(copy, Some(wire.getBytes(StandardCharsets.UTF_8)))
+    assert(copyRc == 0 && copyOut.contains("COPY 5"),
+      s"COPY failed: $copyOut\nwire:\n$wire")
+
+    // read back hex-encoded (newline/CR-safe) and compare values
+    val (selRc, selOut) = psql(
+      "SELECT id, coalesce(encode(convert_to(s,'UTF8'),'hex'),'<null>'), " +
+        "coalesce(encode(b,'hex'),'<null>'), " +
+        "coalesce(ts::text,'<null>'), coalesce(f::text,'<null>'), " +
+        "coalesce(bo::text,'<null>') FROM wiretest ORDER BY id")
+    assert(selRc == 0, selOut)
+    def hex(s: String) = BulkLoad.bytesToHex(
+      s.getBytes(StandardCharsets.UTF_8)).toLowerCase
+    val got = selOut.trim.split("\n").map(_.split("\\|", -1).toSeq)
+    assert(got.length == 5, selOut)
+    assert(got(0) == Seq("1", hex("plain"), "dead",
+      "2023-01-02 03:04:05.25", "1.5", "true"))
+    assert(got(1) == Seq("2", hex("back\\slash\nnewline\rcr\ttab"),
+      "<null>", "<null>", "-0.25", "false"))
+    assert(got(2) == Seq("3", hex(s"unit${BulkLoad.UnitSep}sep"), "",
+      "<null>", "1e-08", "<null>"))
+    assert(got(3) == Seq("4", hex("héllo 世界"), "<null>",
+      "2023-01-02 03:04:05.25", "<null>", "true"))
+    assert(got(4) == Seq("5", "<null>", "<null>", "<null>", "<null>", "<null>"))
+  }
+
+  test("incremental mode: staging DDL + COPY + ON CONFLICT merge + TRUNCATE, " +
+      "the engine's exact SQL in the engine's exact order") {
+    assume(server.isDefined, "PostgreSQL not available in this environment")
+    import DialectMerge.{Postgres => PgD}
+    exec("CREATE TABLE msink (id bigint PRIMARY KEY, v text, n int)")
+    exec("INSERT INTO msink VALUES (1, 'old1', 10), (2, 'old2', 20)")
+
+    // 1. staging DDL (UNLOGGED LIKE ... — ConnManager.java:169-178 analog)
+    val staging = DialectMerge.stagingName("msink", seed = 12345)
+    exec(DialectMerge.createStagingSql(staging, "msink", PgD))
+    // the staging table must really be UNLOGGED (relpersistence 'u')
+    val (_, persist) = psql(
+      s"SELECT relpersistence FROM pg_class WHERE relname = '$staging'")
+    assert(persist.trim == "u", s"staging not UNLOGGED: $persist")
+
+    // 2. batch lands in staging via the COPY fast path
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType), StructField("n", IntegerType)))
+    val batch = Seq[org.apache.spark.sql.Row](
+      org.apache.spark.sql.Row(2L, "new2", 200), // update
+      org.apache.spark.sql.Row(3L, "new3", 300)) // insert
+    val wire = batch.map(r => BulkLoad.encodeRow(r, schema,
+      BulkLoad.bytesToPostgresHex) + "\n").mkString
+    val (rc, out) = psql(
+      BulkLoad.pgCopyCommand(staging, schema.fieldNames.toSeq),
+      Some(wire.getBytes(StandardCharsets.UTF_8)))
+    assert(rc == 0 && out.contains("COPY 2"), out)
+
+    // 3. the dialect merge (INSERT ... ON CONFLICT DO UPDATE)
+    exec(DialectMerge.mergeSql("msink", staging,
+      Seq("id", "v", "n"), Seq("id"), PgD))
+    val (_, merged) = psql("SELECT id, v, n FROM msink ORDER BY id")
+    assert(merged.trim.split("\n").toSeq ==
+      Seq("1|old1|10", "2|new2|200", "3|new3|300"), merged)
+
+    // 4. drop staging, truncate target (complete-mode prelude)
+    exec(s"DROP TABLE $staging")
+    exec(DialectMerge.truncateSql("msink", PgD))
+    val (_, n) = psql("SELECT count(*) FROM msink")
+    assert(n.trim == "0", n)
+
+    // quoted-identifier form parses too (--quoted-identifiers path)
+    exec("CREATE TABLE qsink (\"Id\" bigint PRIMARY KEY, \"Val\" text)")
+    exec("CREATE TABLE qstg (\"Id\" bigint, \"Val\" text)")
+    exec("INSERT INTO qstg VALUES (7, 'x')")
+    // mergeSql quotes every identifier itself — mixed-case columns
+    // survive only because that quoting reaches the real parser intact
+    exec(DialectMerge.mergeSql("qsink", "qstg",
+      Seq("Id", "Val"), Seq("Id"), PgD))
+    val (_, qn) = psql("SELECT count(*) FROM qsink")
+    assert(qn.trim == "1", qn)
+  }
+}
