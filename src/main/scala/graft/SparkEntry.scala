@@ -469,6 +469,23 @@ object SparkEntry {
   /** Probe-only: drop the in-process weight memo so the next
     * [[trainedQf9]] exercises the cross-process store-load path. */
   private[graft] def resetQf9MemoForProbe(): Unit = qf9WCache.clear()
+
+  /** mem2/mem3 planted-generation fixture over the corpus docs
+    * 100-199: gens 0-49 are near-verbatim copies with every 20th word
+    * edited (1-edit-per-20-words paraphrase), gens 50-99 are novel
+    * text over the same vocabulary (token order reversed). Shared
+    * verbatim with both oracles' `gensrc` CTE. */
+  private def mem2GenFixture(docs: DataFrame): DataFrame = {
+    val toks = split(trim(col("text")), "\\s+")
+    docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+      .select((col("doc_id") - 100).as("gen_id"),
+        when(col("doc_id") < 150,
+          array_join(transform(toks,
+            (w, i) => when((i + 1) % 20 === 0, lit("zqz")).otherwise(w)),
+            " "))
+          .otherwise(array_join(reverse(toks), " "))
+          .as("text"))
+  }
   private def trainedQf9(s: SparkSession, dir: String): Array[Double] =
     qf9WCache.computeIfAbsent(dir, _ => {
       val path = qf9ModelPath(dir)
@@ -1184,23 +1201,30 @@ object SparkEntry {
     // fixture construction, both winnowing passes, and the join
     "mem2_paraphrase_audit" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val corpus = docs.filter(col("doc_id") >= 100)
-      val toks = split(trim(col("text")), "\\s+")
-      val gen = docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
-        .select((col("doc_id") - 100).as("gen_id"),
-          when(col("doc_id") < 150,
-            array_join(transform(toks,
-              (w, i) => when((i + 1) % 20 === 0, lit("zqz")).otherwise(w)),
-              " "))
-            .otherwise(array_join(reverse(toks), " "))
-            .as("text"))
       // 5-grams, not 3: at trigram granularity a 60k-doc corpus
       // contains most common-word triples somewhere, so even
       // reversed text "matches" spuriously; 5-gram fingerprints keep
       // the paraphrase class >= 0.7 memorized while novel text
       // collapses toward 0
-      Decontaminate.paraphraseAudit(gen, corpus, "gen_id", "text",
+      Decontaminate.paraphraseAudit(mem2GenFixture(docs),
+        docs.filter(col("doc_id") >= 100), "gen_id", "text",
         gramSize = 5, window = 4)
+    }),
+
+    // r10: WHERE the lifted material sits — maximal matched-
+    // fingerprint runs with an edit-sized gap tolerance, so each
+    // near-verbatim generation reports its paraphrased region as ONE
+    // span (start/end in word coordinates) instead of fragmenting at
+    // every 20th-word edit; novel generations report nothing (the
+    // minFps support filter kills vocabulary-coincidence matches)
+    "mem3_paraphrase_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.paraphraseSpans(mem2GenFixture(docs),
+        docs.filter(col("doc_id") >= 100), "gen_id", "text",
+        gramSize = 5, window = 4)
+        .select(col("gen_id"), col("span_start").cast("long").as("span_start"),
+          col("span_end").cast("long").as("span_end"), col("n_fps"),
+          col("span_words").cast("long").as("span_words"))
     }),
 
     // cross-run incremental dedup: the corpus's LSH signatures persist
@@ -1760,6 +1784,35 @@ object SparkEntry {
       try q.processAllAvailable() finally q.stop()
       Similarity.ivfListSkewReport(
         graft.streaming.EventStream.ivfOccupancyTable(s, occPath), occ0)
+    }),
+
+    // r10: mem1's audit AT GENERATION-INGESTION TIME — the corpus
+    // reference (distinct gram set + Bloom) is built once, the
+    // generations arrive as two real micro-batches, each batch's
+    // audit rows land in a replay-safe batch_id partition; the union
+    // of the partials must equal the batch audit exactly (every audit
+    // column is per-generation-independent), so st24 shares mem1's
+    // oracle verbatim
+    "st24_stream_memorization" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (cg, bloom) = Decontaminate.corpusReference(
+        docs.filter(col("doc_id") >= 100), "text", gramSize = 3)
+      val gens = docs.filter(col("doc_id") < 100)
+        .select("doc_id", "text").localCheckpoint(true)
+      val base = tmpDir("graft_st24")
+      val in = s"$base/in"
+      gens.filter(col("doc_id") % 2 === 0)
+        .coalesce(1).write.mode("append").parquet(in)
+      gens.filter(col("doc_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(in)
+      val schema = s.read.parquet(in).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val q = graft.streaming.EventStream.streamingMemorizationAudit(
+        stream, "doc_id", "text", 3, cg, bloom, s"$base/out", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out").select("gen_id", "n_grams",
+        "n_memorized_grams", "novelty", "max_memorized_words")
     }),
 
     // r8: index deletion — RTBF purge of the odd back-half ids, then
@@ -6082,6 +6135,59 @@ object SparkEntry {
         |       COALESCE(h.n_matched, 0) * 2 >= t.n_fingerprints AS near_verbatim
         |FROM tot t LEFT JOIN hit h USING (gen_id)""".stripMargin,
 
+    // mem2's winnow replay carrying positions ({'g','p'} structs sort
+    // by gram then leftmost position, the kernel's tie rule), then
+    // lag/cumsum islands with the gramSize + 2*window = 13 gap
+    // tolerance and the n_fps >= 3 support filter
+    "mem3_paraphrase_spans" ->
+      """WITH gensrc AS (
+        |  SELECT doc_id - 100 AS gen_id,
+        |    CASE WHEN doc_id < 150 THEN
+        |      array_to_string([CASE WHEN i % 20 = 0 THEN 'zqz' ELSE l[i] END
+        |                       for i in range(1, len(l) + 1)], ' ')
+        |    ELSE array_to_string(list_reverse(l), ' ') END AS text
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |        FROM documents WHERE doc_id >= 100 AND doc_id < 200)),
+        |gtok AS (SELECT gen_id, string_split_regex(lower(trim(text)), '\s+') AS l
+        |         FROM gensrc),
+        |gg AS (SELECT gen_id,
+        |         CASE WHEN len(l) <= 5 THEN [{'g': array_to_string(l, ' '), 'p': 0}]
+        |              ELSE [{'g': array_to_string(l[i:i+4], ' '), 'p': i - 1}
+        |                    for i in range(1, len(l) - 3)] END AS gl
+        |       FROM gtok),
+        |gsel AS (SELECT gen_id,
+        |           CASE WHEN len(gl) <= 4 THEN [list_sort(gl)[1]]
+        |                ELSE [list_sort(gl[i+1:i+4])[1]
+        |                      for i in range(0, len(gl) - 3)] END AS s
+        |         FROM gg),
+        |gfp AS (SELECT DISTINCT gen_id, f.g AS gram, f.p AS pos
+        |        FROM (SELECT gen_id, unnest(s) AS f FROM gsel)),
+        |ctok AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS l
+        |         FROM documents WHERE doc_id >= 100),
+        |cg AS (SELECT CASE WHEN len(l) <= 5 THEN [array_to_string(l, ' ')]
+        |              ELSE [array_to_string(l[i:i+4], ' ')
+        |                    for i in range(1, len(l) - 3)] END AS gl
+        |       FROM ctok),
+        |csel AS (SELECT CASE WHEN len(gl) <= 4 THEN [list_sort(gl)[1]]
+        |                ELSE [list_sort(gl[i+1:i+4])[1]
+        |                      for i in range(0, len(gl) - 3)] END AS s
+        |         FROM cg),
+        |cfp AS (SELECT DISTINCT g AS gram FROM (SELECT unnest(s) AS g FROM csel)),
+        |m AS (SELECT gen_id, pos FROM gfp JOIN cfp USING (gram)),
+        |lg AS (SELECT gen_id, pos,
+        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY gen_id ORDER BY pos)
+        |              > 13 THEN 1 ELSE 0 END AS gap
+        |       FROM m),
+        |isl AS (SELECT gen_id, pos,
+        |          sum(gap) OVER (PARTITION BY gen_id ORDER BY pos) AS grp
+        |        FROM lg),
+        |sp AS (SELECT gen_id, min(pos) AS span_start, max(pos) AS span_end,
+        |         CAST(count(*) AS BIGINT) AS n_fps
+        |       FROM isl GROUP BY gen_id, grp)
+        |SELECT gen_id, span_start, span_end, n_fps,
+        |       span_end - span_start + 5 AS span_words
+        |FROM sp WHERE n_fps >= 3""".stripMargin,
+
     "dd10_contaminated_spans" ->
       """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
         |             FROM documents),
@@ -10100,6 +10206,8 @@ object SparkEntry {
     // occupancy counts fold exactly (integer partials), so the
     // streamed skew report equals the batch monitor's replay
     "st23_stream_ivf_occupancy" -> oracleSqlBase("sim19_ivf_list_skew"),
+    // per-batch ingestion audit folds to exactly the batch audit
+    "st24_stream_memorization" -> oracleSqlBase("mem1_novelty_audit"),
     "sim12_hard_negatives_ivf" -> oracleSqlBase("sim7_hard_negatives"),
     "sim13_maxsim_ivf" -> oracleSqlBase("sim8_maxsim_topk"),
     // full probe + depth >= corpus: the re-ranked output IS brute force

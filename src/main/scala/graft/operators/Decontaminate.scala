@@ -155,9 +155,33 @@ object Decontaminate {
       idCol: String, textCol: String, gramSize: Int = 8,
       expectedCorpusGrams: Long = 1L << 20,
       fpp: Double = 0.01): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (corpusGrams, bloomBytes) = evalGramsAndBloom(
       corpus, textCol, gramSize, expectedCorpusGrams, fpp, idCol = None)
+    memorizationAuditAgainst(gen, idCol, textCol, gramSize,
+      corpusGrams, bloomBytes)
+  }
+
+  /** Build the reusable corpus reference for
+    * [[memorizationAuditAgainst]]: the distinct gram-hash frame
+    * (materialized) and the Bloom built over it — one corpus pass,
+    * amortized across every later audit call or micro-batch. */
+  def corpusReference(corpus: DataFrame, textCol: String, gramSize: Int,
+      expectedCorpusGrams: Long = 1L << 20,
+      fpp: Double = 0.01): (DataFrame, Array[Byte]) =
+    evalGramsAndBloom(corpus, textCol, gramSize, expectedCorpusGrams,
+      fpp, idCol = None)
+
+  /** [[memorizationAudit]] against a PREBUILT corpus reference (the
+    * distinct gram frame + its Bloom): every audit column is a
+    * per-generation-independent function, so the same reference can
+    * score batch after batch — the form the streaming ingestion gate
+    * ([[graft.streaming.EventStream.streamingMemorizationAudit]])
+    * folds over micro-batches, paying the corpus pass ONCE per
+    * corpus generation instead of once per batch. */
+  def memorizationAuditAgainst(gen: DataFrame,
+      idCol: String, textCol: String, gramSize: Int,
+      corpusGrams: DataFrame, bloomBytes: Array[Byte]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val genG = gen.select(col(idCol).as("gen_id"),
       posexplode(TextExpressions.positional_shingle_hashes(col(textCol), gramSize))
         .as(Seq("pos", "gram")))
@@ -243,6 +267,64 @@ object Decontaminate {
           col("n_fingerprints"), 6).as("memorized_frac"),
         (coalesce(col("n_matched"), lit(0L)) * 2 >= col("n_fingerprints"))
           .as("near_verbatim"))
+  }
+
+  /** WHERE the near-verbatim material sits (mem3) — the span-level
+    * sibling of [[paraphraseAudit]], as [[contaminatedSpans]] is to
+    * [[bloomContaminatedDocs]]: per generation, maximal runs of
+    * corpus-matched winnow fingerprints in gram-position order,
+    * merged across holes of up to `gapTolerance` positions (an
+    * isolated edit kills the ~gramSize grams overlapping it plus up
+    * to a window's worth of selection drift, so tolerance defaults to
+    * gramSize + 2·window), and reported only when at least `minFps`
+    * fingerprints support the run (isolated single-fingerprint
+    * matches are vocabulary coincidence, not lifting). Output:
+    * (gen_id, span_start, span_end, n_fps, span_words) in word
+    * coordinates of the whitespace-normalized text — span_words spans
+    * first-matched-gram start to last-matched-gram end, the region an
+    * excision or attribution step would slice.
+    *
+    * Scale shape identical to [[paraphraseAudit]]: corpus → distinct
+    * fingerprint set + Bloom once; generations stream through the
+    * codegen prefilter; the only per-gen state is a window over that
+    * generation's MATCHED fingerprints (sparse: ~2/(w+1) of grams,
+    * then only corpus hits). */
+  def paraphraseSpans(gen: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      gramSize: Int = 5, window: Int = 4,
+      gapTolerance: Int = -1, minFps: Int = 3,
+      expectedCorpusFps: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tol = if (gapTolerance >= 0) gapTolerance else gramSize + 2 * window
+    val fpCol = explode(TextExpressions.winnow_fingerprints(
+      col(textCol), gramSize, window)).as("f")
+    val corpusFps = corpus.select(fpCol)
+      .select(col("f.gram").as("gram")).distinct().localCheckpoint()
+    val bloomBytes = SketchExpressions.buildLongBloom(
+      corpusFps.select(xxhash64(col("gram")).as("h")), "h",
+      expectedCorpusFps, fpp)
+    val genFps = gen.select(col(idCol).as("gen_id"), fpCol)
+      .select(col("gen_id"), col("f.pos").as("pos"), col("f.gram").as("gram"))
+      .distinct()
+    val matched = genFps
+      .where(SketchExpressions.bloom_might_contain_long(
+        bloomBytes, xxhash64(col("gram"))))
+      .join(corpusFps, "gram")
+      .select("gen_id", "pos")
+    val w = Window.partitionBy("gen_id").orderBy("pos")
+    matched
+      .withColumn("__gap",
+        when(col("pos") - lag("pos", 1).over(w) > tol, 1).otherwise(0))
+      .withColumn("__isl", sum("__gap").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("gen_id", "__isl")
+      .agg(min("pos").as("span_start"), max("pos").as("span_end"),
+        count(lit(1)).as("n_fps"))
+      .filter(col("n_fps") >= minFps)
+      .select(col("gen_id"), col("span_start"), col("span_end"),
+        col("n_fps"),
+        (col("span_end") - col("span_start") + gramSize).as("span_words"))
   }
 
   /** Character offsets for [[contaminatedSpans]] output — the form a

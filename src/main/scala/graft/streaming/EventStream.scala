@@ -625,6 +625,34 @@ object EventStream {
       }
       .start()
 
+  /** Memorization audit at generation-ingestion time (the st-form of
+    * mem1): each micro-batch of model generations is scored against a
+    * PREBUILT corpus reference ([[graft.operators.Decontaminate
+    * .memorizationAuditAgainst]] — distinct corpus gram frame + its
+    * Bloom, both built once before the stream starts) and the batch's
+    * audit rows land in the per-batch partition `path/batch_id=<id>`.
+    * Every audit column is per-generation-independent, so the union
+    * of the partials IS the batch audit of the union — and the
+    * partition layout makes an at-least-once replay overwrite its own
+    * partial instead of appending duplicates (same replay-safety
+    * argument as [[streamingIvfOccupancy]]). The synthetic-data loop
+    * this exists for: generations stream out of a sampler, and ones
+    * that regurgitate training text are flagged BEFORE they re-enter
+    * a training mix. */
+  def streamingMemorizationAudit(stream: DataFrame, idCol: String,
+      textCol: String, gramSize: Int, corpusGrams: DataFrame,
+      bloomBytes: Array[Byte], path: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Decontaminate.memorizationAuditAgainst(
+          batch.toDF(), idCol, textCol, gramSize, corpusGrams, bloomBytes)
+          .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+      }
+      .start()
+
   /** Seed a [[streamingIvfOccupancy]] store with the training-time
     * occupancy (so zero lists persist and the fold starts from the
     * batch baseline): the seed is just the partial at `batch_id=-1`,

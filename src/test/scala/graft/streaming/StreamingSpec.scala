@@ -894,4 +894,42 @@ class StreamingSpec extends SparkTestBase {
     runFold(s"$base/ckpt2")
     assert(occMap(EventStream.ivfOccupancyTable(spark, occPath)) == recount)
   }
+
+  test("streaming memorization audit: per-batch partials union to the " +
+      "batch audit; replay overwrites instead of duplicating") {
+    val dec = graft.operators.Decontaminate
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val corpus = docs.filter(col("doc_id") >= 100)
+    val gens = docs.filter(col("doc_id") < 40)
+      .select("doc_id", "text").localCheckpoint(true)
+    val (cg, bloom) = dec.corpusReference(corpus, "text", gramSize = 3)
+    val base = java.nio.file.Files.createTempDirectory("graft_memst").toString
+    val in = s"$base/in"
+    gens.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(in)
+    gens.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def runAudit(ckpt: String): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val q = EventStream.streamingMemorizationAudit(stream, "doc_id",
+        "text", 3, cg, bloom, s"$base/out", ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runAudit(s"$base/ckpt1")
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .select("gen_id", "n_grams", "n_memorized_grams", "novelty",
+        "max_memorized_words")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), r.getLong(4))).toSet
+    val streamed = rows(spark.read.parquet(s"$base/out"))
+    val batch = rows(dec.memorizationAudit(gens, corpus, "doc_id", "text",
+      gramSize = 3))
+    assert(streamed == batch) // union of per-batch audits == one-shot audit
+    // replay with a fresh checkpoint: same batch ids overwrite their
+    // own partitions — no duplicated audit rows
+    runAudit(s"$base/ckpt2")
+    assert(rows(spark.read.parquet(s"$base/out")) == batch)
+  }
 }
