@@ -376,4 +376,28 @@ class DecontaminateSpec extends SparkTestBase {
     assert(verbatim(1L) <= 19L,
       s"verbatim max span should stop at the edits, got ${verbatim(1L)}")
   }
+
+  test("paraphraseSpans merges across edit holes into one span; " +
+      "isolated matches die under the support filter") {
+    import spark.implicits._
+    val words = (1 to 60).map(i => s"w$i")
+    val corpus = Seq((100L, words.mkString(" "))).toDF("doc_id", "text")
+    val edited = words.zipWithIndex.map { case (w, i) =>
+      if ((i + 1) % 20 == 0) "zzz" else w }.mkString(" ")
+    // one corpus 5-gram planted inside otherwise-novel text: a single
+    // fingerprint's worth of support, below minFps
+    val isolated = "a1 b2 c3 " + words.slice(5, 10).mkString(" ") +
+      " d4 e5 f6 g7 h8 i9 j0 k1 l2 m3"
+    val gen = Seq((1L, edited), (2L, isolated)).toDF("doc_id", "text")
+    val spans = Decontaminate.paraphraseSpans(gen, corpus, "doc_id", "text",
+      gramSize = 5, window = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // the edits punch holes <= tolerance, so the paraphrase reports
+    // ONE span covering (nearly) the whole doc, not three fragments
+    val g1 = spans.filter(_._1 == 1L)
+    assert(g1.length == 1, s"expected one merged span, got ${g1.toSeq}")
+    assert(g1(0)._2 <= 5 && g1(0)._3 >= 45, s"span too narrow: ${g1(0)}")
+    // the isolated hit has < minFps fingerprints -> no span at all
+    assert(!spans.exists(_._1 == 2L), spans.toSeq.toString)
+  }
 }
