@@ -1227,6 +1227,77 @@ object SparkEntry {
           col("span_words").cast("long").as("span_words"))
     }),
 
+    // r10: cross-source gram-overlap matrix — the governance signal
+    // behind mixture design and dedup planning: per source pair,
+    // shared distinct 3-grams, Jaccard, and min-containment (the
+    // "small source is a subset" signal); one distinct set per
+    // source + one keyed self-join, never corpus x corpus
+    "ovl1_source_overlap" -> ((s, dir) =>
+      Profiling.sourceGramOverlap(t(s, dir, "documents"),
+        "source", "text", gramSize = 3)),
+
+    // r10: per-source duplicate-rate rollup — the governance view of
+    // dd1's exact-dup groups: per source, how many docs are copies of
+    // something (anywhere in the corpus) and how many are redundant
+    // (non-first members, dd1's keep rule) — the number a mixture
+    // designer discounts a source's token count by. Same 96-bit hash
+    // key as dd1, one groupBy + one keyed join back
+    "dq11_source_dup_rate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val h = docs.select(col("doc_id"), col("source"),
+        xxhash64(col("text")).as("__h"), hash(col("text")).as("__h2"))
+      val groups = h.groupBy("__h", "__h2")
+        .agg(count(lit(1)).as("__n"), min("doc_id").as("__first"))
+      h.join(groups, Seq("__h", "__h2"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("__n") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+          sum(when(col("doc_id") =!= col("__first"), 1L).otherwise(0L))
+            .as("n_redundant"),
+          round(sum(when(col("__n") > 1, 1L).otherwise(0L)).cast("double") /
+            count(lit(1)), 6).as("dup_rate"))
+    }),
+
+    // r10: Zipf rank-frequency slope over the top-1000 tokens — the
+    // corpus-health fingerprint (natural text sits near -1; template
+    // spam flattens, boilerplate steepens). Vocab-bounded global
+    // rank (the freq table, not the corpus, is what sorts — same
+    // bounded-global-window class as the percentile grid); OLS via
+    // regr_slope/intercept on (ln rank, ln freq), round(4) because
+    // double SUMS are aggregation-order-sensitive in the last ulp
+    "ta11_zipf_slope" -> ((s, dir) => {
+      val freq = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(lower(trim(col("text")))))
+          .as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("f"))
+      val top = freq.orderBy(col("f").desc, col("tok").asc).limit(1000)
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("f").desc, col("tok").asc)))
+      top.agg(count(lit(1)).as("n_top"),
+        round(expr("regr_slope(ln(f), ln(r))"), 4).as("zipf_slope"),
+        round(expr("regr_intercept(ln(f), ln(r))"), 4).as("zipf_intercept"))
+    }),
+
+    // r10: distinct-n diversity ACROSS the generation set (Li et al.
+    // 2016's distinct-1/2 — the standard mode-collapse signal): one
+    // row per n with pooled total vs distinct n-grams. Different
+    // axis from the per-doc repetition gates: a sampler can emit
+    // individually non-repetitive generations that are all alike
+    "eval10_distinct_n" -> ((s, dir) => {
+      val gens = t(s, dir, "documents").filter(col("doc_id") < 100)
+      (1 to 3).map { n =>
+        gens.select(explode(
+            TextExpressions.word_ngrams(col("text"), n)).as("gram"))
+          .groupBy(lit(n).as("n"))
+          .agg(count(lit(1)).as("total_grams"),
+            countDistinct(col("gram")).as("distinct_grams"))
+      }.reduce(_.unionByName(_))
+        .select(col("n"), col("total_grams"), col("distinct_grams"),
+          round(col("distinct_grams").cast("double") / col("total_grams"), 6)
+            .as("distinct_ratio"))
+    }),
+
     // cross-run incremental dedup: the corpus's LSH signatures persist
     // as bucketed store tables; the new batch probes them without
     // rescanning the corpus. Exact shingle-Jaccard verify on the
@@ -6187,6 +6258,76 @@ object SparkEntry {
         |SELECT gen_id, span_start, span_end, n_fps,
         |       span_end - span_start + 5 AS span_words
         |FROM sp WHERE n_fps >= 3""".stripMargin,
+
+    // distinct 3-gram sets per source (mem1's gram replay, keyed by
+    // source), one self-join on the gram, totals joined back; jaccard
+    // and containment rounded identically on both sides
+    "ovl1_source_overlap" ->
+      """WITH tok AS (SELECT source, string_split_regex(lower(trim(text)), '\s+') AS l
+        |             FROM documents),
+        |g AS (SELECT DISTINCT source AS src, gram FROM (
+        |        SELECT source, unnest(
+        |          CASE WHEN len(l) <= 3 THEN [array_to_string(l, ' ')]
+        |               ELSE [array_to_string(l[i:i+2], ' ')
+        |                     for i in range(1, len(l) - 1)] END) AS gram
+        |        FROM tok)),
+        |tot AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
+        |sh AS (SELECT a.src AS source_a, b.src AS source_b,
+        |         CAST(count(*) AS BIGINT) AS shared_grams
+        |       FROM g a JOIN g b USING (gram)
+        |       WHERE a.src < b.src
+        |       GROUP BY 1, 2)
+        |SELECT sh.source_a, sh.source_b, sh.shared_grams,
+        |       ta.n AS grams_a, tb.n AS grams_b,
+        |       round(sh.shared_grams * 1.0 /
+        |             (ta.n + tb.n - sh.shared_grams), 6) AS jaccard,
+        |       round(sh.shared_grams * 1.0 / least(ta.n, tb.n), 6)
+        |         AS containment
+        |FROM sh JOIN tot ta ON ta.src = sh.source_a
+        |        JOIN tot tb ON tb.src = sh.source_b""".stripMargin,
+
+    // exact-text groups (string equality == the 96-bit hash groups on
+    // any collision-free corpus, dd1's precedent), rolled up by source
+    "dq11_source_dup_rate" ->
+      """WITH g AS (SELECT text, count(*) AS n, min(doc_id) AS first_id
+        |           FROM documents GROUP BY text)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN g.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dup_docs,
+        |       CAST(sum(CASE WHEN d.doc_id <> g.first_id THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_redundant,
+        |       round(sum(CASE WHEN g.n > 1 THEN 1 ELSE 0 END) * 1.0
+        |             / count(*), 6) AS dup_rate
+        |FROM documents d JOIN g USING (text)
+        |GROUP BY d.source""".stripMargin,
+
+    // top-1000 token ranks (freq desc, token asc — deterministic),
+    // OLS over (ln r, ln f) via the same regr_ aggregates
+    "ta11_zipf_slope" ->
+      """WITH tk AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |            FROM documents),
+        |fr AS (SELECT tok, count(*) AS f FROM tk WHERE tok <> '' GROUP BY tok),
+        |top AS (SELECT f, row_number() OVER (ORDER BY f DESC, tok ASC) AS r
+        |        FROM fr ORDER BY f DESC, tok ASC LIMIT 1000)
+        |SELECT CAST(count(*) AS BIGINT) AS n_top,
+        |       round(regr_slope(ln(f), ln(r)), 4) AS zipf_slope,
+        |       round(regr_intercept(ln(f), ln(r)), 4) AS zipf_intercept
+        |FROM top""".stripMargin,
+
+    // pooled n-gram replay per n in 1..3 (range() goes empty when a
+    // doc has fewer than n tokens — same as the kernel's empty array)
+    "eval10_distinct_n" ->
+      """WITH tok AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS l
+        |             FROM documents WHERE doc_id < 100),
+        |g AS (
+        |  SELECT n, unnest([array_to_string(l[i:i+n-1], ' ')
+        |                    for i in range(1, greatest(len(l) - n + 2, 1))]) AS gram
+        |  FROM tok CROSS JOIN (SELECT unnest([1, 2, 3]) AS n))
+        |SELECT CAST(n AS INT) AS n,
+        |       CAST(count(*) AS BIGINT) AS total_grams,
+        |       CAST(count(DISTINCT gram) AS BIGINT) AS distinct_grams,
+        |       round(count(DISTINCT gram) * 1.0 / count(*), 6) AS distinct_ratio
+        |FROM g GROUP BY n""".stripMargin,
 
     "dd10_contaminated_spans" ->
       """WITH tok AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l

@@ -16,6 +16,48 @@ import org.apache.spark.sql.functions._
   */
 object Profiling {
 
+  /** Cross-source gram-overlap matrix — the corpus-governance signal
+    * behind mixture design and dedup planning: for every pair of
+    * sources, how much word-`gramSize`-gram content they share.
+    * Returns one row per source pair (source_a < source_b) with the
+    * shared distinct-gram count, both totals, Jaccard, and
+    * min-containment (shared / smaller side — the "is the small
+    * source just a subset" signal Jaccard dilutes).
+    *
+    * Scale shape: each source collapses to its DISTINCT gram-hash set
+    * (one pass through the codegen shingle kernel + one distinct),
+    * then ONE keyed self-join on the gram hash — no doc×doc or
+    * corpus×corpus shape anywhere. Per-gram fan-out is bounded by the
+    * number of sources carrying it (≤ S²/2 pair rows per gram, with
+    * governance-scale S in the dozens); the distinct set, not the
+    * corpus, is what shuffles. */
+  def sourceGramOverlap(docs: DataFrame, srcCol: String, textCol: String,
+      gramSize: Int = 3): DataFrame = {
+    val g = docs.select(col(srcCol).as("src"),
+        explode(graft.functions.TextExpressions.sorted_shingle_hashes(
+          col(textCol), gramSize)).as("gram"))
+      .distinct()
+      .localCheckpoint() // consumed twice: totals + both join sides
+    val totals = g.groupBy("src").agg(count(lit(1)).as("n"))
+    val shared = g.select(col("src").as("source_a"), col("gram"))
+      .join(g.select(col("src").as("source_b"), col("gram")), Seq("gram"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("shared_grams"))
+    shared
+      .join(totals.select(col("src").as("source_a"), col("n").as("grams_a")),
+        Seq("source_a"))
+      .join(totals.select(col("src").as("source_b"), col("n").as("grams_b")),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("shared_grams"),
+        col("grams_a"), col("grams_b"),
+        round(col("shared_grams").cast("double") /
+          (col("grams_a") + col("grams_b") - col("shared_grams")), 6)
+          .as("jaccard"),
+        round(col("shared_grams").cast("double") /
+          least(col("grams_a"), col("grams_b")), 6).as("containment"))
+  }
+
   /** Per-group length distribution: count, min/max, mean, exact
     * median (linear interpolation, matching SQL quantile_cont). */
   def corpusStats(df: DataFrame, groupCols: Seq[String], lenCol: String): DataFrame =

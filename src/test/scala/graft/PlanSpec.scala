@@ -592,4 +592,28 @@ class PlanSpec extends SparkTestBase {
       !p.contains("BroadcastNestedLoopJoin"), s"mem1:\n$p")
     assert(p.contains("bloom_might_contain"), s"prefilter missing:\n$p")
   }
+
+  test("mem2/mem3 paraphrase audits: bloom prefilter, keyed joins only") {
+    // same scale contract as mem1 for the winnowed-fingerprint forms:
+    // the generation side streams through the codegen Bloom before
+    // the exact-verify join on the fingerprint string; no pairwise
+    // doc x doc shape may ever plan
+    for (q <- Seq("mem2_paraphrase_audit", "mem3_paraphrase_spans")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      assert(p.contains("bloom_might_contain"), s"$q prefilter missing:\n$p")
+    }
+    // mem2 materializes its fingerprint frames (localCheckpoint: the
+    // winnow kernel runs ONCE, shared by totals and hits), so the
+    // kernel is absent from its final plan by design; mem3's gen side
+    // is single-consumer and must show the kernel inline in codegen
+    assert(planOf("mem3_paraphrase_spans").contains("winnow_fingerprints"),
+      s"mem3 kernel missing:\n${planOf("mem3_paraphrase_spans")}")
+    // mem3's island detection windows per generation — a global
+    // (single-partition) window would serialize the corpus
+    val p3 = planOf("mem3_paraphrase_spans")
+    assert(!p3.contains("Window [") ||
+      !p3.contains("SinglePartition"), s"mem3 global window:\n$p3")
+  }
 }

@@ -258,4 +258,30 @@ class ProfilingSpec extends SparkTestBase {
       Profiling.kmvSketch(dj, "g", col("v"), k), "g", k).collect()(0)
     assert(o2.getDouble(4) == 0.0 && o2.getDouble(5) == 0.0)
   }
+
+  test("sourceGramOverlap: shared grams, jaccard, and containment by hand") {
+    import spark.implicits._
+    // srcA: grams {a b c, b c d}; srcB: {b c d, c d e}; srcC disjoint.
+    // shared(A,B) = {b c d} -> jaccard 1/3, containment 1/2
+    val docs = Seq(
+      (1L, "A", "a b c d"),         // grams: "a b c", "b c d"
+      (2L, "B", "b c d e"),         // grams: "b c d", "c d e"
+      (3L, "C", "x y z w")).toDF("doc_id", "source", "text")
+    val out = Profiling.sourceGramOverlap(docs, "source", "text", gramSize = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    assert(out(("A", "B")) == ((1L, 2L, 2L, round6(1.0 / 3), 0.5)))
+    // disjoint pairs produce NO row (inner join on shared grams)
+    assert(!out.contains(("A", "C")) && !out.contains(("B", "C")))
+    // a duplicated doc adds no new distinct grams: totals unchanged
+    val out2 = Profiling.sourceGramOverlap(
+      docs.unionByName(Seq((4L, "B", "b c d e")).toDF("doc_id", "source", "text")),
+      "source", "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(4)))
+    assert(out2.toSeq == Seq(("A", 1L, 2L)))
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
