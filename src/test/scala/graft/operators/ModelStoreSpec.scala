@@ -61,6 +61,26 @@ class ModelStoreSpec extends SparkTestBase {
     assert(ModelStore.load(spark, p, spec + "+f3", 8, 0.5, 99L).toSeq == w2.toSeq)
   }
 
+  test("roundtrip is bit-exact for adversarial doubles (subnormals, " +
+      "extremes, negative zero)") {
+    // parquet stores raw IEEE bits; the lifecycle must not launder
+    // any value a trainer could emit (NaN/Inf excluded: the quantized
+    // trainer cannot produce them, and a store holding them should be
+    // caught by the trainer's own invariants, not silently persisted)
+    val nasty = Array(0.0, -0.0, Double.MinPositiveValue,
+      java.lang.Double.MIN_NORMAL, Double.MaxValue, -Double.MaxValue,
+      1.0 / 3.0, math.nextAfter(1.0, 2.0), -1e-300, 2.220446049250313e-16)
+    val p = freshPath()
+    ModelStore.save(spark, p, nasty, spec, 8, 0.5, 42L)
+    val back = ModelStore.load(spark, p, spec, 8, 0.5, 42L)
+    assert(back.length == nasty.length)
+    back.zip(nasty).zipWithIndex.foreach { case ((b, a), i) =>
+      assert(java.lang.Double.doubleToRawLongBits(b) ==
+        java.lang.Double.doubleToRawLongBits(a),
+        s"dim $i: $a -> $b (bits moved)")
+    }
+  }
+
   test("corrupt dim sets (missing/duplicate) are rejected") {
     val p = freshPath()
     import org.apache.spark.sql.functions._
