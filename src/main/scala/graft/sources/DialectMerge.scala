@@ -62,7 +62,13 @@ object DialectMerge {
         val conflict = keys.map(q).mkString(", ")
         val updates = nonKeys.map(c => s"${q(c)} = excluded.${q(c)}").mkString(", ")
         val action = if (nonKeys.isEmpty) "NOTHING" else s"UPDATE SET $updates"
-        s"INSERT INTO $sink ($colList) SELECT $colList FROM $staging " +
+        // SQLite's parser rejects upsert-from-SELECT without a WHERE
+        // clause (the documented ON CONFLICT/join ambiguity; the
+        // reference emits the same guard, SqliteManager.java:252-254).
+        // Verified against a real sqlite3 in SqliteWireSpec; Postgres
+        // parses the bare form (PgWireSpec) so it stays unchanged.
+        val guard = if (dialect == Sqlite) " WHERE true" else ""
+        s"INSERT INTO $sink ($colList) SELECT $colList FROM $staging$guard " +
           s"ON CONFLICT ($conflict) DO $action"
 
       case MySql =>

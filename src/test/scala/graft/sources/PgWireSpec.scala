@@ -200,4 +200,19 @@ class PgWireSpec extends SparkTestBase with BeforeAndAfterAll {
     val (_, qn) = psql("SELECT count(*) FROM qsink")
     assert(qn.trim == "1", qn)
   }
+
+  test("S2: partition predicates slice a real PostgreSQL table disjointly") {
+    assume(server.isDefined, "PostgreSQL not available in this environment")
+    exec("CREATE TABLE ptab (k bigint)")
+    exec("INSERT INTO ptab SELECT (i * 7) % 101 FROM generate_series(1, 97) i")
+    for (preds <- Seq(JdbcPartitioning.modKey("k", 4),
+        JdbcPartitioning.keyRange("k", 0, 100, 4))) {
+      val counts = preds.map { p =>
+        val (rc, out) = psql(s"SELECT count(*) FROM ptab WHERE $p")
+        assert(rc == 0, s"predicate rejected: $p\n$out")
+        out.trim.toLong
+      }
+      assert(counts.sum == 97, s"slices lose/duplicate rows: $counts")
+    }
+  }
 }
