@@ -1886,6 +1886,45 @@ object SparkEntry {
         "n_memorized_grams", "novelty", "max_memorized_words")
     }),
 
+    // r10: the PERSISTED model at stream-ingestion time — the quality
+    // gate a production pipeline runs on arriving docs: weights load
+    // once from the generation-guarded store (training never sits in
+    // the ingestion path), scoring is a stateless codegen projection
+    // per micro-batch, partials land replay-safe in batch_id
+    // partitions; the streamed gate must equal qf9's oracle exactly
+    "st25_stream_quality_gate" -> ((s, dir) => {
+      trainedQf9(s, dir) // ensure the artifact exists
+      val w = ModelStore.load(s, qf9ModelPath(dir), qf9FeatureSpec,
+        qf9Iters, qf9Lr, qf9DataHash(s, dir))
+      val aug = qf9Frame(t(s, dir, "documents")).localCheckpoint(true)
+      val base = tmpDir("graft_st25")
+      val in = s"$base/in"
+      aug.filter(col("doc_id") % 2 === 0)
+        .coalesce(1).write.mode("append").parquet(in)
+      aug.filter(col("doc_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(in)
+      val schema = s.read.parquet(in).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val feats = qf9Features(col("text"))
+      val scored = stream.select(col("doc_id"),
+        round(QualityFilters.classifierScore(feats, w), 6).as("score"),
+        (QualityFilters.classifierScore(feats, w) >= 0.5).as("flagged"),
+        (col("doc_id") % 5 === 0).as("is_junk"))
+      val q = scored.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           batchId: Long) =>
+            b.write.mode("overwrite").parquet(s"$base/out/batch_id=$batchId")
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out")
+        .select("doc_id", "score", "flagged", "is_junk")
+    }),
+
     // r8: index deletion — RTBF purge of the odd back-half ids, then
     // a full probe of the purged store; must equal brute ADC over
     // exactly the survivors (per-vector-independent index rows)
@@ -3292,6 +3331,27 @@ object SparkEntry {
       val merges = trainedBpe(s, dir).toSeq
       val vocab = trainedBpeVocab(s, dir)
       val ids = Tokenizer.bpeIds(col("text"), merges, vocab)
+      t(s, dir, "documents").select(col("doc_id"),
+        size(ids).cast("long").as("n_tokens"),
+        array_join(transform(ids, _.cast("string")), " ").as("ids"))
+    }),
+
+    // r10: the tokenizer as a PERSISTED artifact — the third
+    // production artifact class (IVF-PQ index store, classifier
+    // weights, now merges + vocab): train once, persist with the
+    // generation guard (algo tag + config + corpus fingerprint,
+    // contiguous-rank/distinct-id integrity), and encode with the
+    // LOADED tokenizer — ids must equal tok5's trajectory replay
+    // exactly, because merge ORDER is the model
+    "tok15_tokenizer_store" -> ((s, dir) => {
+      val cfg = s"bpe|merges=$bpeMergeCount|char-alphabet"
+      val dh = qf9DataHash(s, dir)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_bpe_store_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      ModelStore.saveTokenizer(s, path, trainedBpe(s, dir).toSeq,
+        trainedBpeVocab(s, dir), cfg, dh)
+      val (lm, lv) = ModelStore.loadTokenizer(s, path, cfg, dh)
+      val ids = Tokenizer.bpeIds(col("text"), lm.toSeq, lv.toSeq)
       t(s, dir, "documents").select(col("doc_id"),
         size(ids).cast("long").as("n_tokens"),
         array_join(transform(ids, _.cast("string")), " ").as("ids"))
@@ -10349,6 +10409,10 @@ object SparkEntry {
     "st23_stream_ivf_occupancy" -> oracleSqlBase("sim19_ivf_list_skew"),
     // per-batch ingestion audit folds to exactly the batch audit
     "st24_stream_memorization" -> oracleSqlBase("mem1_novelty_audit"),
+    // the persisted model scores a stream exactly as it scores a batch
+    "st25_stream_quality_gate" -> oracleSqlBase("qf9_trained_quality_gate"),
+    // encoding with the persisted tokenizer == the trajectory replay
+    "tok15_tokenizer_store" -> oracleSqlBase("tok5_bpe_token_ids"),
     "sim12_hard_negatives_ivf" -> oracleSqlBase("sim7_hard_negatives"),
     "sim13_maxsim_ivf" -> oracleSqlBase("sim8_maxsim_topk"),
     // full probe + depth >= corpus: the re-ranked output IS brute force

@@ -93,6 +93,77 @@ object ModelStore {
 
   private type Row = org.apache.spark.sql.Row
 
+  /** Algorithm tag of the BPE tokenizer artifact family (lowercased
+    * whitespace tokenization, in-order merge list + derived vocab).
+    * BUMP when the tokenization rule or merge-application order
+    * changes — ids encoded under the old rule are a different
+    * vocabulary. */
+  val BpeTokenizerAlgo = "bpe-tokenizer/lower-ws/merges+vocab/v1"
+
+  /** Persist a trained BPE tokenizer — the THIRD production artifact
+    * class after the IVF-PQ index store and the classifier weights:
+    * the in-order merge list and the derived (token, id) vocabulary,
+    * each row carrying the same provenance header (algo tag, training
+    * config, corpus fingerprint). Merge ORDER is the model — ranks
+    * are explicit and [[loadTokenizer]] verifies they are contiguous.
+    * Applying merges from a store trained on another corpus or under
+    * another config silently mis-tokenizes everything (ids shift),
+    * the same hazard class every guard here exists for. */
+  def saveTokenizer(spark: SparkSession, path: String,
+      merges: Seq[(String, String)], vocab: Seq[(String, Long)],
+      config: String, dataHash: Long): Unit = {
+    require(merges.nonEmpty && vocab.nonEmpty,
+      "cannot persist an empty tokenizer")
+    def stamp(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("sig_algo", lit(BpeTokenizerAlgo))
+      .withColumn("train_config", lit(config))
+      .withColumn("data_hash", lit(dataHash))
+      .coalesce(1)
+    stamp(spark.createDataFrame(merges.toIndexedSeq.zipWithIndex.map {
+        case ((l, r), rank) => (rank, l, r)
+      }).toDF("rank", "left", "right"))
+      .write.mode("overwrite").parquet(s"$path/merges")
+    stamp(spark.createDataFrame(vocab.toIndexedSeq).toDF("token", "id"))
+      .write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  /** Load a persisted tokenizer, verifying provenance on BOTH parts
+    * and structural integrity (contiguous merge ranks, distinct
+    * vocab ids). Returns (merges in application order, vocab). */
+  def loadTokenizer(spark: SparkSession, path: String, config: String,
+      dataHash: Long): (Array[(String, String)], Array[(String, Long)]) = {
+    def checkAll[T](rows: Array[Row], part: String, what: String,
+        actual: Row => T, expected: T): Unit = {
+      val got = rows.toSeq.map(actual).distinct
+      require(got.length == 1 && got.head == expected,
+        s"tokenizer store at $path/$part was built under a different $what " +
+          s"(stored: ${got.mkString(", ")}; expected: $expected) - " +
+          "ids encoded with it would shift silently; retrain and save " +
+          "under the current configuration")
+    }
+    def part(name: String, cols: Seq[String]): Array[Row] = {
+      val rows = spark.read.parquet(s"$path/$name")
+        .select((cols ++ Seq("sig_algo", "train_config", "data_hash"))
+          .map(org.apache.spark.sql.functions.col): _*)
+        .collect() // O(merges + vocab) rows by construction
+      require(rows.nonEmpty, s"tokenizer store at $path/$name is empty")
+      val n = cols.length
+      checkAll(rows, name, "algorithm", _.getString(n), BpeTokenizerAlgo)
+      checkAll(rows, name, "training config", _.getString(n + 1), config)
+      checkAll(rows, name, "corpus fingerprint", _.getLong(n + 2), dataHash)
+      rows
+    }
+    val m = part("merges", Seq("rank", "left", "right"))
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    require(m.map(_._1).sameElements(m.indices),
+      s"tokenizer store at $path/merges has missing/duplicate ranks")
+    val v = part("vocab", Seq("token", "id"))
+      .map(r => (r.getString(0), r.getLong(1)))
+    require(v.map(_._2).distinct.length == v.length,
+      s"tokenizer store at $path/vocab has duplicate ids")
+    (m.map(t => (t._2, t._3)), v.sortBy(_._2))
+  }
+
   /** Soft load: Some(weights) when the store exists and every guard
     * passes, None otherwise (absent, unreadable, or any generation
     * mismatch) — the "load or fall back to retraining" form. */

@@ -81,6 +81,33 @@ class ModelStoreSpec extends SparkTestBase {
     }
   }
 
+  test("tokenizer store: roundtrip keeps merge order; guards reject " +
+      "other configs/corpora; rank gaps are caught") {
+    val p = freshPath()
+    val merges = Seq(("a", "b"), ("ab", "c"), ("é", "漢")) // unicode survives
+    val vocab = Seq(("a", 1L), ("b", 2L), ("ab", 5L), ("abc", 9L))
+    ModelStore.saveTokenizer(spark, p, merges, vocab, "bpe|m=3", 77L)
+    val (m, v) = ModelStore.loadTokenizer(spark, p, "bpe|m=3", 77L)
+    assert(m.toSeq == merges && v.toSeq == vocab.sortBy(_._2))
+    assert(intercept[IllegalArgumentException](
+      ModelStore.loadTokenizer(spark, p, "bpe|m=4", 77L))
+      .getMessage.contains("config"))
+    assert(intercept[IllegalArgumentException](
+      ModelStore.loadTokenizer(spark, p, "bpe|m=3", 78L))
+      .getMessage.contains("fingerprint"))
+    // structural integrity: a rank gap (torn/partial write) is loud
+    import org.apache.spark.sql.functions._
+    spark.createDataFrame(Seq((0, "a", "b"), (2, "c", "d")))
+      .toDF("rank", "left", "right")
+      .withColumn("sig_algo", lit(ModelStore.BpeTokenizerAlgo))
+      .withColumn("train_config", lit("bpe|m=3"))
+      .withColumn("data_hash", lit(77L))
+      .write.mode("overwrite").parquet(s"$p/merges")
+    assert(intercept[IllegalArgumentException](
+      ModelStore.loadTokenizer(spark, p, "bpe|m=3", 77L))
+      .getMessage.contains("ranks"))
+  }
+
   test("corrupt dim sets (missing/duplicate) are rejected") {
     val p = freshPath()
     import org.apache.spark.sql.functions._
