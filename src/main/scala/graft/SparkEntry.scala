@@ -1236,6 +1236,13 @@ object SparkEntry {
       Profiling.sourceGramOverlap(t(s, dir, "documents"),
         "source", "text", gramSize = 3)),
 
+    // r10: fill-in-the-middle training triples — the infilling
+    // transform code models pretrain with: deterministic idHash cut
+    // points, (prefix, middle, suffix) + the PSM-ordered training
+    // string; short docs pass through as plain left-to-right examples
+    "fim1_fill_in_middle" -> ((s, dir) =>
+      Chunking.fimSplits(t(s, dir, "documents"), "doc_id", "text")),
+
     // r10: per-source duplicate-rate rollup — the governance view of
     // dd1's exact-dup groups: per source, how many docs are copies of
     // something (anywhere in the corpus) and how many are redundant
@@ -6345,6 +6352,38 @@ object SparkEntry {
         |         AS containment
         |FROM sh JOIN tot ta ON ta.src = sh.source_a
         |        JOIN tot tb ON tb.src = sh.source_b""".stripMargin,
+
+    // replay idHash cut points (ids stay far below the 16-bit-limb
+    // overflow guard, shuf1's precedent) and the three slices; CASE
+    // guards keep the n<3 modulus unevaluated on both engines
+    "fim1_fill_in_middle" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |             FROM documents),
+        |c AS (SELECT doc_id, l, len(l) AS n,
+        |        ((doc_id * 2) * 2654435761) % 4294967296 AS h1,
+        |        ((doc_id * 2 + 1) * 2654435761) % 4294967296 AS h2
+        |      FROM tok),
+        |s1 AS (SELECT doc_id, l, n, h2,
+        |         CASE WHEN n >= 3 THEN CAST(h1 % (n - 2) + 1 AS INT) END AS cut1
+        |       FROM c),
+        |s2 AS (SELECT doc_id, l, n, cut1,
+        |         CASE WHEN n >= 3
+        |              THEN CAST(cut1 + 1 + h2 % (n - cut1 - 1) AS INT) END AS cut2
+        |       FROM s1),
+        |parts AS (SELECT doc_id, n >= 3 AS fim_applied,
+        |            CAST(n AS BIGINT) AS n_tokens,
+        |            CASE WHEN n >= 3 THEN array_to_string(l[1:cut1], ' ')
+        |                 ELSE array_to_string(l, ' ') END AS prefix,
+        |            CASE WHEN n >= 3
+        |                 THEN array_to_string(l[cut1+1:cut2], ' ')
+        |                 ELSE '' END AS middle,
+        |            CASE WHEN n >= 3 THEN array_to_string(l[cut2+1:n], ' ')
+        |                 ELSE '' END AS suffix
+        |          FROM s2)
+        |SELECT doc_id, fim_applied, n_tokens, prefix, middle, suffix,
+        |       CASE WHEN fim_applied THEN '<PRE> ' || prefix || ' <SUF> ' ||
+        |            suffix || ' <MID> ' || middle END AS psm
+        |FROM parts""".stripMargin,
 
     // exact-text groups (string equality == the 96-bit hash groups on
     // any collision-free corpus, dd1's precedent), rolled up by source

@@ -61,7 +61,20 @@ object Main {
     "sink-staging-table-alias" -> "sink.staging.table.alias",
     "sink-disable-truncate" -> "sink.disable.truncate",
     "sink-disable-escape" -> "sink.disable.escape",
-    "sink-key-columns" -> "sink.key.columns")
+    "sink-key-columns" -> "sink.key.columns",
+    "verbose" -> "verbose")
+
+  /** The reference's `-v/--verbose` level rule
+    * (`cli/ToolOptions.java:376-391`): bare flag / "true" = DEBUG,
+    * a valid log4j level name = itself, anything else = INFO. */
+  private[cli] def verboseLevel(v: String): String = {
+    val levels = Set("ALL", "TRACE", "DEBUG", "INFO", "WARN", "ERROR",
+      "FATAL", "OFF")
+    if (v == null || v.isEmpty) "INFO"
+    else if (v.equalsIgnoreCase("true")) "DEBUG"
+    else if (levels(v.toUpperCase)) v.toUpperCase
+    else "INFO"
+  }
 
   /** Flags the reference parses but never acts on — `sink-disable-index`
     * and `sink-analyze` are declared (`cli/ToolOptions.java:196-216`)
@@ -112,8 +125,13 @@ object Main {
     // exactly like the reference (`ToolOptions.java:322-329`)
     if (args.contains("--version")) { println(s"graft $Version"); return }
     if (args.contains("--help") || args.contains("-h")) { println(helpText); return }
-    val conf = Config.fromProperties(parseArgs(args))
+    val props = parseArgs(args)
+    // `verbose` steers the log level only (reference
+    // `ToolOptions.java:339,376-391`) — strip it before config build
+    val conf = Config.fromProperties(props - "verbose")
     val spark = GraftSession.getOrCreate("graft-replicate")
+    props.get("verbose").foreach(v =>
+      spark.sparkContext.setLogLevel(verboseLevel(v)))
     ReplicaEngine.replicate(spark, conf)
   }
 

@@ -19,6 +19,43 @@ import graft.functions.TextExpressions
   */
 object Chunking {
 
+  /** Fill-in-the-middle training triples (Bavarian et al. 2022 — the
+    * infilling transform code models are pretrained with): each doc's
+    * token list splits at two cut points into (prefix, middle,
+    * suffix), emitted both as parts and as the PSM-ordered training
+    * string `<PRE> prefix <SUF> suffix <MID> middle` (the model learns
+    * to generate the middle conditioned on both sides). Cut points
+    * derive from [[Sampling.idHash]] of the doc id — deterministic
+    * and SQL-replayable, reproducible shard-by-shard like every
+    * sampling decision here, yet uniform across docs; both cuts are
+    * interior, so all three parts are nonempty. Docs under 3 tokens
+    * pass through unsplit (`fim_applied = false`, whole text in
+    * `prefix`) — a real pipeline mixes those in as plain
+    * left-to-right examples. Token = whitespace split of trim(text),
+    * case preserved (this output feeds the model, not a hash).
+    *
+    * Scale shape: pure row-local projection (split, two hashes,
+    * three slices) — map-only at any corpus size. */
+  def fimSplits(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val n = size(toks)
+    val cut1 = (Sampling.idHash(col(idCol) * 2) % (n - 2) + 1).cast("int")
+    val cut2 = (cut1 + 1 +
+      Sampling.idHash(col(idCol) * 2 + 1) % (n - cut1 - 1)).cast("int")
+    val applied = n >= 3
+    val prefix = when(applied, array_join(slice(toks, lit(1), cut1), " "))
+      .otherwise(array_join(toks, " "))
+    val middle = when(applied,
+      array_join(slice(toks, cut1 + 1, cut2 - cut1), " ")).otherwise(lit(""))
+    val suffix = when(applied,
+      array_join(slice(toks, cut2 + 1, n - cut2), " ")).otherwise(lit(""))
+    df.select(col(idCol), applied.as("fim_applied"),
+      n.cast("long").as("n_tokens"),
+      prefix.as("prefix"), middle.as("middle"), suffix.as("suffix"),
+      when(applied, concat(lit("<PRE> "), prefix, lit(" <SUF> "), suffix,
+        lit(" <MID> "), middle)).as("psm"))
+  }
+
   /** One row per (doc, chunk): (idCol, chunk_idx, chunk_text,
     * n_tokens). Chunk c starts at token c*(maxTokens-overlap);
     * consecutive chunks share `overlap` tokens; every token of the

@@ -616,4 +616,17 @@ class PlanSpec extends SparkTestBase {
     assert(!p3.contains("Window [") ||
       !p3.contains("SinglePartition"), s"mem3 global window:\n$p3")
   }
+
+  test("r10 governance/construction queries: keyed joins and map-only shapes") {
+    // ovl1/dq11: distinct-set self-joins stay keyed — the pairwise
+    // doc x doc / corpus x corpus shape must never plan
+    for (q <- Seq("ovl1_source_overlap", "dq11_source_dup_rate")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+    // fim1 is a pure row-local projection: no exchange anywhere
+    val pf = planOf("fim1_fill_in_middle")
+    assert(!pf.contains("Exchange"), s"fim1 shuffles:\n$pf")
+  }
 }

@@ -104,6 +104,20 @@ class MainSpec extends SparkTestBase {
     assert(Main.helpText.contains("--sink-analyze"))
   }
 
+  test("--verbose maps to the reference's level rule and rides a replication") {
+    assert(Main.verboseLevel("true") == "DEBUG")   // bare flag parses as true
+    assert(Main.verboseLevel("warn") == "WARN")
+    assert(Main.verboseLevel("bogus") == "INFO")   // unknown level -> INFO
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_v").toString + "/sink"
+    Main.run(Array(
+      s"--source-connect=${sf()}/region.parquet",
+      "--verbose=WARN",
+      s"--sink-connect=$out",
+      "--sink.connect.parameter.format=csv"))
+    assert(spark.read.csv(out).count() == 5)
+    spark.sparkContext.setLogLevel("ERROR") // restore the test default
+  }
+
   test("negative paths fail fast with the reference's failure semantics") {
     import graft.core.Config
     // missing required connects (ToolOptions.java:370-371)
