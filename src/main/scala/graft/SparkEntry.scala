@@ -6344,14 +6344,16 @@ object SparkEntry {
         |       FROM g a JOIN g b USING (gram)
         |       WHERE a.src < b.src
         |       GROUP BY 1, 2)
-        |SELECT sh.source_a, sh.source_b, sh.shared_grams,
+        |SELECT ta.src AS source_a, tb.src AS source_b,
+        |       COALESCE(sh.shared_grams, 0) AS shared_grams,
         |       ta.n AS grams_a, tb.n AS grams_b,
-        |       round(sh.shared_grams * 1.0 /
-        |             (ta.n + tb.n - sh.shared_grams), 6) AS jaccard,
-        |       round(sh.shared_grams * 1.0 / least(ta.n, tb.n), 6)
+        |       round(COALESCE(sh.shared_grams, 0) * 1.0 /
+        |             (ta.n + tb.n - COALESCE(sh.shared_grams, 0)), 6)
+        |         AS jaccard,
+        |       round(COALESCE(sh.shared_grams, 0) * 1.0 / least(ta.n, tb.n), 6)
         |         AS containment
-        |FROM sh JOIN tot ta ON ta.src = sh.source_a
-        |        JOIN tot tb ON tb.src = sh.source_b""".stripMargin,
+        |FROM tot ta JOIN tot tb ON ta.src < tb.src
+        |LEFT JOIN sh ON sh.source_a = ta.src AND sh.source_b = tb.src""".stripMargin,
 
     // replay idHash cut points (ids stay far below the 16-bit-limb
     // overflow guard, shuf1's precedent) and the three slices; CASE

@@ -68,15 +68,21 @@ object ReplicaEngine {
         val trimmed = q.trim
         // A user query that opens its own WITH clause (any casing,
         // any whitespace after the keyword — "WITH\n x AS …" is
-        // valid SQL) gets t1 spliced in as the first CTE. A user CTE
-        // named t1 would silently shadow the engine's t1, so that is
-        // a loud error, not a guess; t1 as the name of a derived
-        // column/alias elsewhere is fine.
-        if ("(?is)^with\\b.*?\\bt1\\s*(\\([^)]*\\))?\\s+as\\s*\\(".r
+        // valid SQL) gets t1 spliced in as the first CTE. A TOP-LEVEL
+        // user CTE named t1 would collide with the engine's t1: the
+        // anchored check below catches it in first position with a
+        // precise message, and any later position becomes a duplicate
+        // CTE name that Spark's analyzer rejects (re-thrown with the
+        // same message). ANCHORED on purpose — an unanchored scan
+        // would false-positive on string literals containing
+        // "t1 as (", named windows, and legitimately SHADOWED t1 CTEs
+        // inside subquery scopes, all of which are valid queries.
+        val collisionMsg =
+          "source-query defines its own CTE named t1, which collides " +
+            "with the engine-provided t1 source view - rename the CTE"
+        if ("(?is)^with\\s+(recursive\\s+)?t1\\s*(\\([^)]*\\))?\\s+as\\s*\\(".r
             .findFirstIn(trimmed).isDefined)
-          throw new IllegalArgumentException(
-            "source-query defines its own CTE named t1, which collides " +
-              "with the engine-provided t1 source view - rename the CTE")
+          throw new IllegalArgumentException(collisionMsg)
         val withClause = "(?is)^with\\s+(recursive\\b)?".r
         val sql = withClause.findFirstMatchIn(trimmed) match {
           case Some(m) =>
@@ -84,7 +90,14 @@ object ReplicaEngine {
             s"$kw t1 AS (SELECT * FROM $uniq), ${trimmed.substring(m.end).trim}"
           case None => s"WITH t1 AS (SELECT * FROM $uniq) $trimmed"
         }
-        val out = spark.sql(sql) // analysis resolves the view eagerly
+        val out =
+          try spark.sql(sql) // analysis resolves the view eagerly
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getMessage.toLowerCase.contains("duplicate") &&
+                  e.getMessage.contains("t1") =>
+              throw new IllegalArgumentException(collisionMsg, e)
+          }
         spark.catalog.dropTempView(uniq)
         out
       case _ => filtered

@@ -37,6 +37,14 @@ object Chunking {
     * Scale shape: pure row-local projection (split, two hashes,
     * three slices) — map-only at any corpus size. */
   def fimSplits(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // idHash is integer arithmetic: a non-numeric id would cast to
+    // null (or throw under ANSI) and silently corrupt every triple —
+    // fail at construction instead; hash string ids to a long first
+    require(df.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"fimSplits needs a numeric id column for its deterministic cut " +
+        s"points; '$idCol' is ${df.schema(idCol).dataType.catalogString} - " +
+        "derive one (e.g. xxhash64(id)) first")
     val toks = split(trim(col(textCol)), "\\s+")
     val n = size(toks)
     val cut1 = (Sampling.idHash(col(idCol) * 2) % (n - 2) + 1).cast("int")

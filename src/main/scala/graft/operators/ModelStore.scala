@@ -165,17 +165,16 @@ object ModelStore {
   }
 
   /** Soft load: Some(weights) when the store exists and every guard
-    * passes, None otherwise (absent, unreadable, or any generation
-    * mismatch) — the "load or fall back to retraining" form. */
+    * passes, None otherwise (absent, unreadable, schema-incompatible,
+    * or any generation mismatch) — the "load or fall back to
+    * retraining" form. No filesystem probe here: existence is
+    * whatever [[load]]'s reader says it is, which keeps the path
+    * scheme-agnostic (local, HDFS, s3a) instead of silently failing
+    * every non-local store through a java.io.File check. Retraining
+    * on ANY load failure is the correct degradation — a model that
+    * cannot be read must never be half-trusted. */
   def loadIfValid(spark: SparkSession, path: String, featureSpec: String,
-      iters: Int, lr: Double, dataHash: Long): Option[Array[Double]] = {
-    val dir = new java.io.File(path)
-    val hasData = dir.isDirectory && dir.listFiles() != null &&
-      dir.listFiles().exists(f => f.isFile &&
-        !f.getName.startsWith("_") && !f.getName.startsWith("."))
-    if (!hasData) None
-    else
-      try Some(load(spark, path, featureSpec, iters, lr, dataHash))
-      catch { case _: IllegalArgumentException => None }
-  }
+      iters: Int, lr: Double, dataHash: Long): Option[Array[Double]] =
+    try Some(load(spark, path, featureSpec, iters, lr, dataHash))
+    catch { case scala.util.control.NonFatal(_) => None }
 }

@@ -44,17 +44,22 @@ object Profiling {
       .filter(col("source_a") < col("source_b"))
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("shared_grams"))
-    shared
-      .join(totals.select(col("src").as("source_a"), col("n").as("grams_a")),
-        Seq("source_a"))
-      .join(totals.select(col("src").as("source_b"), col("n").as("grams_b")),
-        Seq("source_b"))
-      .select(col("source_a"), col("source_b"), col("shared_grams"),
+    // EVERY pair gets a row — a fully disjoint pair (shared 0,
+    // jaccard 0) is the governance signal most worth surfacing, so it
+    // must not vanish into a missing row. The pair spine is a
+    // broadcast loop over the S-row totals frame (bounded by the
+    // source count, the sim19 pattern), never over data.
+    val spine = totals.select(col("src").as("source_a"), col("n").as("grams_a"))
+      .crossJoin(broadcast(
+        totals.select(col("src").as("source_b"), col("n").as("grams_b"))))
+      .filter(col("source_a") < col("source_b"))
+    val sg = coalesce(col("shared_grams"), lit(0L))
+    spine.join(shared, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), sg.as("shared_grams"),
         col("grams_a"), col("grams_b"),
-        round(col("shared_grams").cast("double") /
-          (col("grams_a") + col("grams_b") - col("shared_grams")), 6)
-          .as("jaccard"),
-        round(col("shared_grams").cast("double") /
+        round(sg.cast("double") /
+          (col("grams_a") + col("grams_b") - sg), 6).as("jaccard"),
+        round(sg.cast("double") /
           least(col("grams_a"), col("grams_b")), 6).as("containment"))
   }
 

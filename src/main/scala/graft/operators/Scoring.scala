@@ -585,16 +585,20 @@ object Scoring {
     // The exact-integer product Π(n−i) only fits a Long while
     // n^k < 2^62; past that the Long multiply would WRAP silently
     // and report a wrong estimate. Rows beyond the per-k bound
-    // degrade EXPLICITLY to an all-double telescoped product (IEEE
-    // rounding ~1 ulp per factor — invisible after round(.,6))
-    // instead of wrapping: a code-eval harness with n ~ 10^5 samples
-    // stays correct, it just loses bit-exactness it never needed.
+    // degrade EXPLICITLY to the telescoped PER-FACTOR double ratio
+    // Π (n−c−i)/(n−i): every factor is in [0, 1], so the running
+    // product can neither overflow nor underflow to a wrong sign —
+    // unlike two separate double products, which hit Infinity/NaN
+    // near n^k > ~1e308 (IEEE rounding ~1 ulp per factor is
+    // invisible after round(.,6)). A code-eval harness with n ~ 10^5
+    // samples stays correct, it just loses bit-exactness it never
+    // needed.
     val safeN = math.floor(math.pow(2.0, 62.0 / k)).toLong
-    def prodFromD(base: Column): Column =
-      aggregate(idxs, lit(1.0), (acc, i) => acc * (base - i).cast("double"))
+    val ratioD = aggregate(idxs, lit(1.0), (acc, i) =>
+      acc * ((n - c - i).cast("double") / (n - i).cast("double")))
     val ratio = when(n <= safeN,
       prodFrom(n - c).cast("double") / prodFrom(n).cast("double"))
-      .otherwise(prodFromD(n - c) / prodFromD(n))
+      .otherwise(ratioD)
     tasks.select(col(idCol), n.as("n_samples"), c.as("n_correct"),
       when(c > n || n < k, lit(null).cast("double")) // malformed / k > n
         .when(n - c < k, lit(1.0))                   // failures can't fill k

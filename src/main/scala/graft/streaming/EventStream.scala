@@ -664,11 +664,22 @@ object EventStream {
     * store: sum of the per-batch partials (counts are the mergeable
     * partial, so this equals the batch recount after any prefix of
     * batches — and equals it after a replayed batch too, because the
-    * replay overwrote its own partition rather than re-adding). */
-  def ivfOccupancyTable(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
-      .groupBy("cent_id")
+    * replay overwrote its own partition rather than re-adding).
+    *
+    * Layout guard: a store written by the PRE-partial layout (one
+    * flat folded table at `path`) reads back under the identical
+    * (cent_id, n_vectors) schema but would silently double-count
+    * once partials land next to it — so a store with no `batch_id`
+    * partition column is rejected loudly with the migration step. */
+  def ivfOccupancyTable(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.parquet(path)
+    require(raw.columns.contains("batch_id"),
+      s"occupancy store at $path predates the per-batch partial layout " +
+        "(no batch_id partition) - re-seed it with seedIvfOccupancy " +
+        "before folding streams into it")
+    raw.groupBy("cent_id")
       .agg(org.apache.spark.sql.functions.sum("n_vectors").as("n_vectors"))
+  }
 
   /** Stream -> JDBC incremental sink: each micro-batch is staged and
     * merged (exactly the engine's incremental mode) via foreachBatch —

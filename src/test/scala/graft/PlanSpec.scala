@@ -618,13 +618,15 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("r10 governance/construction queries: keyed joins and map-only shapes") {
-    // ovl1/dq11: distinct-set self-joins stay keyed — the pairwise
-    // doc x doc / corpus x corpus shape must never plan
-    for (q <- Seq("ovl1_source_overlap", "dq11_source_dup_rate")) {
-      val p = planOf(q)
-      assert(!p.contains("CartesianProduct") &&
-        !p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
-    }
+    // ovl1: the gram self-join stays keyed (no shuffled cartesian);
+    // its only loop join is the broadcast pair SPINE over the S-row
+    // totals frame (bounded by source count — the sim19 class)
+    val po = planOf("ovl1_source_overlap")
+    assert(!po.contains("CartesianProduct"), s"ovl1:\n$po")
+    // dq11: strictly keyed, no loop join of any kind
+    val pd = planOf("dq11_source_dup_rate")
+    assert(!pd.contains("CartesianProduct") &&
+      !pd.contains("BroadcastNestedLoopJoin"), s"dq11:\n$pd")
     // fim1 is a pure row-local projection: no exchange anywhere
     val pf = planOf("fim1_fill_in_middle")
     assert(!pf.contains("Exchange"), s"fim1 shuffles:\n$pf")

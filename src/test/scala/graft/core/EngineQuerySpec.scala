@@ -32,9 +32,26 @@ class EngineQuerySpec extends SparkTestBase {
     val e = intercept[IllegalArgumentException](
       run("WITH t1 AS (SELECT 1 AS x) SELECT * FROM t1"))
     assert(e.getMessage.contains("t1"))
+    // in a LATER position it surfaces through the analyzer's
+    // duplicate-CTE rejection, rethrown with the same message
+    val e2 = intercept[IllegalArgumentException](
+      run("WITH a AS (SELECT * FROM t1), t1 AS (SELECT 1 AS x) " +
+        "SELECT * FROM a"))
+    assert(e2.getMessage.contains("t1"))
     // t1 as a plain subquery ALIAS is fine — only a CTE named t1 collides
     assert(run("WITH x AS (SELECT * FROM t1) " +
       "SELECT count(*) AS n FROM (SELECT * FROM x) t1")
+      .collect()(0).getLong(0) == 5)
+  }
+
+  test("the collision check is anchored: literals and scoped shadowing stay valid") {
+    // a string literal containing "t1 as (" must not trip the guard
+    assert(run("WITH a AS (SELECT r_regionkey FROM t1 " +
+      "WHERE r_name <> 'treat t1 as (x)') SELECT count(*) AS n FROM a")
+      .collect()(0).getLong(0) == 5)
+    // a t1 CTE inside a SUBQUERY scope is legal shadowing, not a collision
+    assert(run("WITH a AS (SELECT * FROM t1) SELECT count(*) AS n FROM " +
+      "(WITH t1 AS (SELECT 1 AS x) SELECT * FROM t1) s CROSS JOIN a")
       .collect()(0).getLong(0) == 5)
   }
 

@@ -43,6 +43,11 @@ class ModelStoreSpec extends SparkTestBase {
   test("loadIfValid: None on absent store or any guard failure, Some on match") {
     val p = freshPath()
     assert(ModelStore.loadIfValid(spark, p, spec, 8, 0.5, 42L).isEmpty)
+    // schema-incompatible store (an older artifact without the
+    // provenance columns) degrades to retrain, never crashes
+    spark.createDataFrame(Seq((0, 1.0))).toDF("dim", "weight")
+      .write.mode("overwrite").parquet(p)
+    assert(ModelStore.loadIfValid(spark, p, spec, 8, 0.5, 42L).isEmpty)
     ModelStore.save(spark, p, w, spec, 8, 0.5, 42L)
     assert(ModelStore.loadIfValid(spark, p, "other|v9", 8, 0.5, 42L).isEmpty)
     assert(ModelStore.loadIfValid(spark, p, spec, 8, 0.5, 7L).isEmpty)

@@ -848,6 +848,27 @@ class ChunkingSpec extends SparkTestBase {
     assert(out(4L).isEmpty && out(5L).isEmpty)
   }
 
+  test("pass@k: past the Long-safe bound the per-factor ratio stays finite " +
+      "and correct") {
+    // n = 10^6, k = 20: n^k ~ 10^120 — the old two-product double
+    // fallback hits Infinity/Infinity = NaN; the telescoped
+    // per-factor ratio multiplies 20 values in [0,1]
+    val n = 1000000
+    val c = 100000 // 10% pass rate
+    val out = graft.operators.Scoring.passAtK(
+      Seq((1L, n, c)).toDF("task_id", "n", "c"), "task_id", "n", "c", k = 20)
+      .collect()(0).getDouble(3)
+    // expected 1 - prod_{i<20} (n-c-i)/(n-i), computed independently
+    val expected = 1.0 - (0 until 20)
+      .map(i => (n - c - i).toDouble / (n - i)).product
+    assert(!out.isNaN && math.abs(out - expected) < 1e-6, s"got $out")
+    // and a 0%-pass task at huge n stays exactly 0, not NaN
+    val zero = graft.operators.Scoring.passAtK(
+      Seq((2L, n, 0)).toDF("task_id", "n", "c"), "task_id", "n", "c", k = 20)
+      .collect()(0).getDouble(3)
+    assert(zero == 0.0)
+  }
+
   test("chrF: effective-order means, beta=2, whitespace stripped") {
     val pairs = Seq(
       // "ab" vs "ba": 1-grams P=R=1; 2-grams no match P=R=0; orders

@@ -272,14 +272,18 @@ class ProfilingSpec extends SparkTestBase {
         ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
           r.getDouble(6)))).toMap
     assert(out(("A", "B")) == ((1L, 2L, 2L, round6(1.0 / 3), 0.5)))
-    // disjoint pairs produce NO row (inner join on shared grams)
-    assert(!out.contains(("A", "C")) && !out.contains(("B", "C")))
+    // DISJOINT pairs still get a row — zero overlap is the signal a
+    // mixture designer most wants surfaced, not a missing entry
+    assert(out(("A", "C")) == ((0L, 2L, 2L, 0.0, 0.0)))
+    assert(out(("B", "C")) == ((0L, 2L, 2L, 0.0, 0.0)))
+    assert(out.size == 3) // the full S-choose-2 matrix, exactly
     // a duplicated doc adds no new distinct grams: totals unchanged
     val out2 = Profiling.sourceGramOverlap(
       docs.unionByName(Seq((4L, "B", "b c d e")).toDF("doc_id", "source", "text")),
       "source", "text", 3)
-      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(4)))
-    assert(out2.toSeq == Seq(("A", 1L, 2L)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(4))).toSet
+    assert(out2.contains(("A", "B", 1L, 2L)))
   }
 
   private def round6(x: Double): Double =
