@@ -1243,6 +1243,14 @@ object SparkEntry {
     "fim1_fill_in_middle" -> ((s, dir) =>
       Chunking.fimSplits(t(s, dir, "documents"), "doc_id", "text")),
 
+    // r10: SFT prompt/completion pair construction — one
+    // deterministic boundary in the 20-80% band of each doc, with
+    // the loss boundary reported as a token index so packing can
+    // mask prompt tokens out of the loss; map-only like fim1
+    "inst1_prompt_completion" -> ((s, dir) =>
+      Chunking.promptCompletionPairs(t(s, dir, "documents"),
+        "doc_id", "text")),
+
     // r10: per-source duplicate-rate rollup — the governance view of
     // dd1's exact-dup groups: per source, how many docs are copies of
     // something (anywhere in the corpus) and how many are redundant
@@ -6386,6 +6394,31 @@ object SparkEntry {
         |       CASE WHEN fim_applied THEN '<PRE> ' || prefix || ' <SUF> ' ||
         |            suffix || ' <MID> ' || middle END AS psm
         |FROM parts""".stripMargin,
+
+    // replay the banded idHash boundary (floor/ceil on n*0.2 / n*0.8
+    // are IEEE-identical) and the two slices; short docs unsplit
+    "inst1_prompt_completion" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS l
+        |             FROM documents),
+        |c AS (SELECT doc_id, l, len(l) AS n,
+        |        (doc_id * 2654435761) % 4294967296 AS h
+        |      FROM tok),
+        |b AS (SELECT doc_id, l, n, h,
+        |        greatest(1, CAST(floor(n * 0.2) AS INT)) AS lo,
+        |        least(n - 1, CAST(ceil(n * 0.8) AS INT)) AS hi
+        |      FROM c),
+        |s AS (SELECT doc_id, l, n,
+        |        CASE WHEN n >= 2
+        |             THEN CAST(lo + h % (hi - lo + 1) AS INT) END AS cut
+        |      FROM b)
+        |SELECT doc_id, n >= 2 AS pair_applied, CAST(n AS BIGINT) AS n_tokens,
+        |       CASE WHEN n >= 2 THEN CAST(cut AS BIGINT)
+        |            ELSE CAST(n AS BIGINT) END AS boundary_tokens,
+        |       CASE WHEN n >= 2 THEN array_to_string(l[1:cut], ' ')
+        |            ELSE array_to_string(l, ' ') END AS prompt,
+        |       CASE WHEN n >= 2 THEN array_to_string(l[cut+1:n], ' ')
+        |            ELSE '' END AS completion
+        |FROM s""".stripMargin,
 
     // exact-text groups (string equality == the 96-bit hash groups on
     // any collision-free corpus, dd1's precedent), rolled up by source

@@ -64,6 +64,46 @@ object Chunking {
         lit(" <MID> "), middle)).as("psm"))
   }
 
+  /** Prompt/completion pair construction (the SFT-data shape): each
+    * doc's token list splits at ONE deterministic boundary into
+    * (prompt, completion), with the loss boundary reported as a token
+    * index so a packing stage can mask prompt tokens out of the loss.
+    * The boundary lands in the middle [lo, hi] fraction band of the
+    * doc (default 20–80%) at an [[Sampling.idHash]]-derived offset —
+    * reproducible, SQL-replayable, uniform across docs. Docs under 2
+    * tokens pass through whole-as-prompt (`pair_applied = false`,
+    * empty completion) — there is nothing to complete.
+    *
+    * Scale shape: pure row-local projection, map-only at any corpus
+    * size (fim1's class). */
+  def promptCompletionPairs(df: DataFrame, idCol: String, textCol: String,
+      loFrac: Double = 0.2, hiFrac: Double = 0.8): DataFrame = {
+    require(loFrac > 0 && hiFrac < 1 && loFrac <= hiFrac,
+      s"need 0 < loFrac <= hiFrac < 1, got ($loFrac, $hiFrac)")
+    require(df.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"promptCompletionPairs needs a numeric id column; '$idCol' is " +
+        s"${df.schema(idCol).dataType.catalogString} - derive one " +
+        "(e.g. xxhash64(id)) first")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val n = size(toks)
+    // integer band bounds: lo = max(1, floor(n*loFrac)),
+    // hi = min(n-1, ceil(n*hiFrac)) — both ends keep prompt and
+    // completion nonempty; floor/ceil on exact doubles replay in SQL
+    val lo = greatest(lit(1), floor(n * lit(loFrac)).cast("int"))
+    val hi = least(n - 1, ceil(n * lit(hiFrac)).cast("int"))
+    val cut = (lo + Sampling.idHash(col(idCol)) % (hi - lo + 1)).cast("int")
+    val applied = n >= 2
+    df.select(col(idCol), applied.as("pair_applied"),
+      n.cast("long").as("n_tokens"),
+      when(applied, cut.cast("long")).otherwise(n.cast("long"))
+        .as("boundary_tokens"),
+      when(applied, array_join(slice(toks, lit(1), cut), " "))
+        .otherwise(array_join(toks, " ")).as("prompt"),
+      when(applied, array_join(slice(toks, cut + 1, n - cut), " "))
+        .otherwise(lit("")).as("completion"))
+  }
+
   /** One row per (doc, chunk): (idCol, chunk_idx, chunk_text,
     * n_tokens). Chunk c starts at token c*(maxTokens-overlap);
     * consecutive chunks share `overlap` tokens; every token of the

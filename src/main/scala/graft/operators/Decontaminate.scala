@@ -221,8 +221,10 @@ object Decontaminate {
     * fingerprints with the source, while genuinely novel text over
     * the same vocabulary shares almost none. Per generation:
     * fingerprint count, corpus-matched count, memorized fraction,
-    * and a `near_verbatim` flag at the majority threshold (decided
-    * by integer cross-multiplication, never a double compare).
+    * and a `near_verbatim` flag at the `flagNum/flagDen` threshold
+    * (default the majority, 1/2) — decided by integer
+    * cross-multiplication, never a double compare, so any rational
+    * threshold stays engine-exact.
     *
     * Scale shape = [[memorizationAudit]]'s exactly, bucketed and
     * never all-pairs: the corpus collapses to its DISTINCT
@@ -238,8 +240,11 @@ object Decontaminate {
   def paraphraseAudit(gen: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String,
       gramSize: Int = 3, window: Int = 4,
+      flagNum: Int = 1, flagDen: Int = 2,
       expectedCorpusFps: Long = 1L << 20,
       fpp: Double = 0.01): DataFrame = {
+    require(flagNum >= 0 && flagDen > 0 && flagNum <= flagDen,
+      s"flag threshold must be a fraction in [0, 1]: $flagNum/$flagDen")
     def fps(df: DataFrame, keyCols: Seq[Column]): DataFrame = {
       val exploded = df.select(keyCols :+ explode(
         TextExpressions.winnow_fingerprints(
@@ -265,8 +270,8 @@ object Decontaminate {
         coalesce(col("n_matched"), lit(0L)).as("n_matched"),
         round(coalesce(col("n_matched"), lit(0L)).cast("double") /
           col("n_fingerprints"), 6).as("memorized_frac"),
-        (coalesce(col("n_matched"), lit(0L)) * 2 >= col("n_fingerprints"))
-          .as("near_verbatim"))
+        (coalesce(col("n_matched"), lit(0L)) * flagDen >=
+          col("n_fingerprints") * flagNum).as("near_verbatim"))
   }
 
   /** WHERE the near-verbatim material sits (mem3) — the span-level

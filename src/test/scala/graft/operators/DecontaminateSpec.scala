@@ -400,4 +400,42 @@ class DecontaminateSpec extends SparkTestBase {
     // the isolated hit has < minFps fingerprints -> no span at all
     assert(!spans.exists(_._1 == 2L), spans.toSeq.toString)
   }
+
+  test("paraphraseAudit flag threshold is a rational knob, compared in integers") {
+    import spark.implicits._
+    val words = (1 to 60).map(i => s"w$i")
+    val corpus = Seq((100L, words.mkString(" "))).toDF("doc_id", "text")
+    val edited = words.zipWithIndex.map { case (w, i) =>
+      if ((i + 1) % 20 == 0) "zzz" else w }.mkString(" ")
+    val gen = Seq((1L, edited)).toDF("doc_id", "text")
+    def flagged(num: Int, den: Int): Boolean =
+      Decontaminate.paraphraseAudit(gen, corpus, "doc_id", "text",
+        gramSize = 5, window = 4, flagNum = num, flagDen = den)
+        .collect()(0).getBoolean(4)
+    assert(flagged(1, 2))    // majority: the paraphrase flags
+    assert(!flagged(99, 100)) // near-exact bar: 3 edits keep it under 99%
+    assert(intercept[IllegalArgumentException](flagged(3, 2))
+      .getMessage.contains("threshold"))
+  }
+
+  test("promptCompletionPairs: banded deterministic boundary, lossless parts") {
+    import spark.implicits._
+    val doc = (1 to 10).map(i => s"t$i").mkString(" ")
+    val out = graft.operators.Chunking.promptCompletionPairs(
+      Seq((7L, doc), (8L, "solo")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getLong(3),
+          r.getString(4), r.getString(5)))).toMap
+    val (app, n, cut, prompt, completion) = out(7L)
+    assert(app && n == 10 && cut >= 2 && cut <= 8) // the 20-80% band
+    assert(prompt.split(" ").length.toLong == cut) // boundary == prompt tokens
+    assert(s"$prompt $completion" == doc)          // lossless split
+    val (app1, _, cut1, p1, c1) = out(8L)
+    assert(!app1 && cut1 == 1 && p1 == "solo" && c1.isEmpty)
+    // non-numeric id fails at construction, not with null rows
+    assert(intercept[IllegalArgumentException](
+      graft.operators.Chunking.promptCompletionPairs(
+        Seq(("u1", doc)).toDF("doc_id", "text"), "doc_id", "text"))
+      .getMessage.contains("numeric"))
+  }
 }
