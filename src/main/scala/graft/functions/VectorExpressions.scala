@@ -105,11 +105,120 @@ object VectorExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** argmin_j (|c_j|² − 2·sv·c_j) over a fixed codebook — the PQ
+    * encode kernel, one small-int code per subvector.
+    *
+    * The previous form spliced every centroid as an unrolled
+    * `array(lit,…)` CreateArray tree: m×k structs of dsub literal
+    * nodes each, whose generated `doConsume` exceeded janino's 64 KB
+    * method limit — the whole stage then SILENTLY fell back to
+    * interpreted execution (`ERROR CodeGenerator: … Code grows beyond
+    * 64 KB`) on every PQ-encode plan. Here the codebook rides as a
+    * compile-time reference object (`ctx.addReferenceObj`), so the
+    * generated code is two short loops whose size is independent of
+    * k and dsub. Arithmetic is bit-identical to the old tree: the
+    * dot accumulates in index order, cost = |c_j|² − 2·dot, strict
+    * `<` keeps the lowest j on ties (array_min's (cost, cid)
+    * struct order did the same).
+    *
+    * `cents` is a constructor param (not a child expression): the
+    * codebook is always a driver-side trained artifact, never data.
+    */
+  case class PqArgmin(child: Expression, cents: Seq[Seq[Double]])
+      extends UnaryExpression {
+    private val k = cents.length
+    private val dsub = cents.head.length
+    require(k > 0 && dsub > 0 && cents.forall(_.length == dsub),
+      s"codebook must be a non-empty rectangular k x dsub grid")
+    // flat row-major copy + per-centroid |c|² (same summation order
+    // as the literal form: left-to-right over the centroid)
+    @transient private lazy val flat: Array[Double] = {
+      val a = new Array[Double](k * dsub)
+      var j = 0
+      while (j < k) {
+        var i = 0
+        while (i < dsub) { a(j * dsub + i) = cents(j)(i); i += 1 }
+        j += 1
+      }
+      a
+    }
+    @transient private lazy val normSqs: Array[Double] =
+      cents.map(c => c.map(x => x * x).sum).toArray
+
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "pq_argmin"
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"pq_argmin requires array<double>, got ${other.catalogString}")
+      }
+
+    override protected def nullSafeEval(input: Any): Any = {
+      val sv = input.asInstanceOf[ArrayData]
+      val n = math.min(sv.numElements(), dsub)
+      var best = Double.PositiveInfinity
+      var bestId = -1
+      var j = 0
+      while (j < k) {
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          if (!sv.isNullAt(i)) dot += sv.getDouble(i) * flat(j * dsub + i)
+          i += 1
+        }
+        val cost = normSqs(j) - dot * 2.0
+        if (cost < best) { best = cost; bestId = j }
+        j += 1
+      }
+      bestId
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, sv => {
+        val flatRef = ctx.addReferenceObj("pqCents", flat, "double[]")
+        val normRef = ctx.addReferenceObj("pqNorms", normSqs, "double[]")
+        val n = ctx.freshName("n")
+        val j = ctx.freshName("j")
+        val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot")
+        val cost = ctx.freshName("cost")
+        val best = ctx.freshName("best")
+        val bestId = ctx.freshName("bestId")
+        s"""
+           |int $n = java.lang.Math.min($sv.numElements(), $dsub);
+           |double $best = Double.POSITIVE_INFINITY;
+           |int $bestId = -1;
+           |for (int $j = 0; $j < $k; $j++) {
+           |  double $dot = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if (!$sv.isNullAt($i)) {
+           |      $dot += $sv.getDouble($i) * $flatRef[$j * $dsub + $i];
+           |    }
+           |  }
+           |  double $cost = $normRef[$j] - $dot * 2.0;
+           |  if ($cost < $best) { $best = $cost; $bestId = $j; }
+           |}
+           |${ev.value} = $bestId;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): PqArgmin =
+      copy(child = newChild)
+  }
+
   // ---- Column-level API ----
 
   def dot_product(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def pq_argmin(sv: Column, cents: Array[Array[Double]]): Column =
+    ExpressionUtils.column(PqArgmin(
+      ExpressionUtils.expression(sv), cents.map(_.toSeq).toSeq))
 
   /** Register the SQL form in a session's function registry. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -405,16 +405,14 @@ object Similarity {
 
   /** argmin-cost codebook entry for a subvector column: cost_j =
     * |c_j|² − 2·sv·c_j (distance² minus the shared |sv|² term),
-    * struct array_min for the (cost, cid) deterministic tie-break —
-    * the same form as Clustering's assignment, per subspace. */
-  private def pqArgmin(sv: Column, cents: Array[Array[Double]]): Column = {
-    val entries = cents.zipWithIndex.map { case (c, j) =>
-      val normSq = c.map(x => x * x).sum
-      struct((lit(normSq) - dot(sv, array(c.map(lit): _*)) * 2.0).as("cost"),
-        lit(j).as("cid"))
-    }
-    array_min(array(entries.toIndexedSeq: _*)).getField("cid")
-  }
+    * lowest-cid tie-break. Delegates to the compact codegen kernel
+    * [[graft.functions.VectorExpressions.PqArgmin]] — the previous
+    * unrolled struct/array_min literal tree grew past janino's 64 KB
+    * method limit at real m×k and silently de-compiled the whole
+    * stage; the kernel's generated size is m/k-independent and the
+    * arithmetic (dot order, cost form, tie rule) is bit-identical. */
+  private def pqArgmin(sv: Column, cents: Array[Array[Double]]): Column =
+    graft.functions.VectorExpressions.pq_argmin(sv, cents)
 
   /** PQ-encode: each vector becomes `m` small-int codes (argmin
     * codebook entry per subspace) — one projection, codebooks ride

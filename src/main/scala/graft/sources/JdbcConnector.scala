@@ -72,6 +72,11 @@ object JdbcConnector {
     if (url.startsWith("jdbc:denodo") || url.startsWith("jdbc:vdb"))
       throw new UnsupportedOperationException(
         "Denodo is not supported for data insertion")
+    // explicit `pgwire` opt-in routes the whole sink flow (control SQL
+    // + parallel COPY) through the engine's own v3 wire transport —
+    // no PG JDBC jar required (PgWireTransport mirrors the modes below)
+    if (PgWireTransport.enabled(url, conf.connOptions))
+      return PgWireTransport.write(df, conf)
     val rawTable = conf.table.getOrElse(
       throw new IllegalArgumentException("JDBC sink needs a table"))
     val dialect = DialectMerge.fromUrl(url)

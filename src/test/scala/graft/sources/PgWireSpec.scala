@@ -201,6 +201,105 @@ class PgWireSpec extends SparkTestBase with BeforeAndAfterAll {
     assert(qn.trim == "1", qn)
   }
 
+  test("W1 transport: PgWireClient speaks v3 — startup, simple query, COPY-IN, errors") {
+    assume(server.isDefined, "PostgreSQL not available in this environment")
+    val cl = PgWireClient.connect(
+      PgWireClient.UnixSocket(server.get._2), pgUser, "postgres")
+    try {
+      cl.exec("CREATE TABLE wired (id bigint, s text, b bytea)")
+      cl.exec("INSERT INTO wired VALUES (0, 'seed', NULL)")
+
+      // COPY-IN through the client: the exact production wire text
+      val schema = StructType(Seq(StructField("id", LongType),
+        StructField("s", StringType), StructField("b", BinaryType)))
+      val rows = Seq[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row(1L, "back\\slash\nnl\rcr", null),
+        org.apache.spark.sql.Row(2L, s"unit${BulkLoad.UnitSep}sep",
+          Array[Byte](0xca.toByte, 0xfe.toByte)),
+        org.apache.spark.sql.Row(3L, null, Array[Byte]()))
+      val n = cl.copyIn(
+        BulkLoad.pgCopyCommand("wired", schema.fieldNames.toSeq),
+        rows.iterator.map(r => (BulkLoad.encodeRow(r, schema,
+          BulkLoad.bytesToPostgresHex) + "\n").getBytes(StandardCharsets.UTF_8)))
+      assert(n == 3)
+
+      // read back through the SAME client (text protocol DataRows)
+      val res = cl.exec("SELECT id, encode(convert_to(s,'UTF8'),'hex'), " +
+        "encode(b,'hex') FROM wired WHERE id > 0 ORDER BY id")
+      assert(res.columns == Seq("id", "encode", "encode"))
+      def hex(s: String) = BulkLoad.bytesToHex(
+        s.getBytes(StandardCharsets.UTF_8)).toLowerCase
+      assert(res.rows == Seq(
+        Seq("1", hex("back\\slash\nnl\rcr"), null),
+        Seq("2", hex(s"unit${BulkLoad.UnitSep}sep"), "cafe"),
+        Seq("3", null, "")))
+
+      // errors surface as SQLException WITH the server's message and
+      // SQLSTATE, and the connection survives (drained to ReadyForQuery)
+      val err = intercept[java.sql.SQLException] { cl.exec("SELECT nope()") }
+      assert(err.getMessage.contains("nope") && err.getSQLState == "42883")
+      val errCopy = intercept[java.sql.SQLException] {
+        cl.copyIn(BulkLoad.pgCopyCommand("no_such_table", Seq("x")),
+          Iterator.empty)
+      }
+      assert(errCopy.getSQLState == "42P01", errCopy.getMessage)
+      assert(cl.exec("SELECT count(*) FROM wired").single == "4")
+    } finally cl.close()
+  }
+
+  test("W1 transport: full engine replication (parquet -> COPY sink) through " +
+      "the engine's own wire client, complete + incremental") {
+    assume(server.isDefined, "PostgreSQL not available in this environment")
+    import graft.core._
+    val sock = server.get._2
+    val cl = PgWireClient.connect(PgWireClient.UnixSocket(sock), pgUser, "postgres")
+    try {
+      cl.exec("CREATE TABLE regions (r_regionkey bigint PRIMARY KEY, " +
+        "r_name text, r_comment text)")
+      cl.exec("INSERT INTO regions VALUES (99, 'stale', 'to-be-truncated')")
+
+      val sinkOpts = Map("pgwire.socket" -> sock, "user" -> pgUser)
+      def sink(mode: ReplicationMode) = SinkConf(
+        connect = "jdbc:postgresql://localhost/postgres",
+        table = Some("regions"), mode = mode, options = sinkOpts)
+      val source = SourceConf(connect = sf() + "/region.parquet")
+
+      // complete: truncate + parallel COPY through the wire transport
+      ReplicaEngine.replicate(spark, ReplConf(source, sink(ReplicationMode.Complete)))
+      val afterComplete = cl.exec(
+        "SELECT count(*), count(*) FILTER (WHERE r_regionkey = 99) FROM regions")
+      assert(afterComplete.rows.head == Seq("5", "0"), afterComplete)
+
+      // incremental: staging + COPY + ON CONFLICT merge, keys from
+      // pg_index discovery (none supplied)
+      cl.exec("UPDATE regions SET r_name = 'OLD' WHERE r_regionkey <= 1")
+      cl.exec("DELETE FROM regions WHERE r_regionkey = 4")
+      ReplicaEngine.replicate(spark,
+        ReplConf(source, sink(ReplicationMode.Incremental)))
+      val merged = cl.exec("SELECT count(*), " +
+        "count(*) FILTER (WHERE r_name = 'OLD') FROM regions")
+      assert(merged.rows.head == Seq("5", "0"), merged) // re-upserted + re-inserted
+      // no staging table left behind
+      assert(cl.exec("SELECT count(*) FROM pg_class " +
+        "WHERE relname LIKE 'regions\\_repdb%'").single == "0")
+
+      // complete-atomic: staging swap inside one transaction
+      cl.exec("INSERT INTO regions VALUES (98, 'stale2', 'x')")
+      ReplicaEngine.replicate(spark,
+        ReplConf(source, sink(ReplicationMode.CompleteAtomic)))
+      assert(cl.exec("SELECT count(*) FROM regions").single == "5")
+
+      // spark-side readback parity: what landed equals the source
+      val viaPg = cl.exec(
+        "SELECT r_regionkey, r_name FROM regions ORDER BY r_regionkey").rows
+      val viaSpark = spark.read.parquet(sf() + "/region.parquet")
+        .selectExpr("r_regionkey", "r_name").collect()
+        .map(r => Seq(String.valueOf(r.get(0)), r.getString(1))).toSeq
+        .sortBy(_.head.toLong)
+      assert(viaPg == viaSpark)
+    } finally cl.close()
+  }
+
   test("S2: partition predicates slice a real PostgreSQL table disjointly") {
     assume(server.isDefined, "PostgreSQL not available in this environment")
     exec("CREATE TABLE ptab (k bigint)")
