@@ -65,8 +65,13 @@ object Main {
     "verbose" -> "verbose")
 
   /** The reference's `-v/--verbose` level rule
-    * (`cli/ToolOptions.java:376-391`): bare flag / "true" = DEBUG,
-    * a valid log4j level name = itself, anything else = INFO. */
+    * (`cli/ToolOptions.java:376-391`): null/empty = INFO, "true" =
+    * DEBUG, a valid log4j level name = itself, anything else = INFO.
+    * The reference's -v option takes NO argument, so its bare flag is
+    * the null path (INFO); parseArgs maps a bare `--verbose` to ""
+    * for exactly that parity, while the value-taking branches cover
+    * this CLI's `--verbose=X` extension with the reference's own
+    * handler rules. */
   private[cli] def verboseLevel(v: String): String = {
     val levels = Set("ALL", "TRACE", "DEBUG", "INFO", "WARN", "ERROR",
       "FATAL", "OFF")
@@ -87,7 +92,12 @@ object Main {
       case a if a.startsWith("--") && a.contains('=') =>
         val Array(k, v) = a.stripPrefix("--").split("=", 2)
         k -> v
-      case a if a.startsWith("--") => a.stripPrefix("--") -> "true"
+      case a if a.startsWith("--") =>
+        val k = a.stripPrefix("--")
+        // bare --verbose carries no value: the reference's no-arg -v
+        // hits the null branch of handleVerboseLevelArgument -> INFO
+        // (ToolOptions.java:308,376-379); other bare flags read true
+        k -> (if (k == "verbose") "" else "true")
       case a => throw new IllegalArgumentException(s"unrecognized argument: $a")
     }.toMap
 

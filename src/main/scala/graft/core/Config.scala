@@ -140,20 +140,27 @@ object Config {
         s"bandwidth.throttling must be >= 0 KB/s (got: $v)")
       n
     }
-    // source.query replaces the generated SELECT wholesale; a script
-    // that also passes a projection or predicate is ambiguous — fail
-    // loudly rather than silently ignore half the request
+    // source.query replaces the generated SELECT wholesale; the
+    // reference parses source.columns/source.where alongside it and
+    // silently lets the query win (SqlManager.java:58-93 only reads
+    // the query when present) — a migrated script passing both must
+    // keep RUNNING here, so warn loudly (the dead-flag treatment)
+    // instead of failing, then ignore the projection/predicate
     if (p.contains("source.query") &&
         (p.contains("source.columns") || p.contains("source.where")))
-      throw new IllegalArgumentException(
-        "source.query is exclusive of source.columns/source.where - " +
-          "fold the projection and predicate into the query")
+      System.err.println(
+        "WARNING: source.query is set; ignoring source.columns/" +
+          "source.where (the query replaces the generated SELECT - " +
+          "fold the projection and predicate into it)")
     val source = SourceConf(
       connect = get("source.connect").getOrElse(
         throw new IllegalArgumentException("source.connect is required")),
       table = get("source.table"),
-      columns = get("source.columns").map(_.split(",").map(_.trim).toSeq),
-      where = get("source.where"),
+      // precedence, not mere tolerance: applying a projection ON TOP
+      // of the user query's output would fail on renamed columns
+      columns = if (p.contains("source.query")) None
+        else get("source.columns").map(_.split(",").map(_.trim).toSeq),
+      where = if (p.contains("source.query")) None else get("source.where"),
       query = get("source.query"),
       columnTypes = get("source.columns.types").map(_.split(",").map(_.trim).toSeq),
       columnNames = get("source.columns.names").map(_.split(",").map(_.trim).toSeq),

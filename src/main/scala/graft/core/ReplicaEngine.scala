@@ -64,7 +64,6 @@ object ReplicaEngine {
         // collide on shared catalog state. If the user query already
         // opens a WITH clause, splice `t1` in as its first CTE.
         val uniq = s"graft_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-        filtered.createOrReplaceTempView(uniq)
         val trimmed = q.trim
         // A user query that opens its own WITH clause (any casing,
         // any whitespace after the keyword — "WITH\n x AS …" is
@@ -90,16 +89,23 @@ object ReplicaEngine {
             s"$kw t1 AS (SELECT * FROM $uniq), ${trimmed.substring(m.end).trim}"
           case None => s"WITH t1 AS (SELECT * FROM $uniq) $trimmed"
         }
-        val out =
-          try spark.sql(sql) // analysis resolves the view eagerly
+        // register only after the collision pre-check, and drop on
+        // EVERY path (analyzer rethrow included) or failed queries
+        // leak catalog entries; analysis resolves the view eagerly,
+        // so dropping in finally is safe for the success path too
+        filtered.createOrReplaceTempView(uniq)
+        try {
+          try spark.sql(sql)
           catch {
+            // only a duplicate-CTE error naming exactly `t1` is the
+            // engine's collision (word-boundary: a user query with
+            // its own duplicate t1_stats CTE propagates unchanged)
             case e: org.apache.spark.sql.AnalysisException
                 if e.getMessage.toLowerCase.contains("duplicate") &&
-                  e.getMessage.contains("t1") =>
+                  "(?i)\\bt1\\b".r.findFirstIn(e.getMessage).isDefined =>
               throw new IllegalArgumentException(collisionMsg, e)
           }
-        spark.catalog.dropTempView(uniq)
-        out
+        } finally spark.catalog.dropTempView(uniq)
       case _ => filtered
     }
   }

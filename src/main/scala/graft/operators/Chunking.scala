@@ -47,9 +47,13 @@ object Chunking {
         "derive one (e.g. xxhash64(id)) first")
     val toks = split(trim(col(textCol)), "\\s+")
     val n = size(toks)
-    val cut1 = (Sampling.idHash(col(idCol) * 2) % (n - 2) + 1).cast("int")
+    // widen BEFORE the *2 (+1): an IntegerType id >= 2^30 would wrap
+    // in 32-bit first and diverge from the 64-bit arithmetic the fim1
+    // oracle replays
+    val id64 = col(idCol).cast("long")
+    val cut1 = (Sampling.idHash(id64 * 2) % (n - 2) + 1).cast("int")
     val cut2 = (cut1 + 1 +
-      Sampling.idHash(col(idCol) * 2 + 1) % (n - cut1 - 1)).cast("int")
+      Sampling.idHash(id64 * 2 + 1) % (n - cut1 - 1)).cast("int")
     val applied = n >= 3
     val prefix = when(applied, array_join(slice(toks, lit(1), cut1), " "))
       .otherwise(array_join(toks, " "))

@@ -36,7 +36,9 @@ object Decontaminate {
       // gaps-and-islands run detection downstream
       case Some(id) => eval.select(col(id).as("eval_id"), gramCol).distinct()
       case None => eval.select(gramCol).distinct()
-    }).localCheckpoint()
+      // corpus-sized pin: reliable-checkpoint knob applies
+      // (graft.core.Checkpoints — spark.graft.checkpointDir)
+    }).transform(graft.core.Checkpoints.corpus(_, eager = true))
     val bloom = SketchExpressions.buildLongBloom(
       (if (idCol.isDefined) grams.select("gram").distinct() else grams),
       "gram", expectedEvalGrams, fpp)
@@ -253,7 +255,9 @@ object Decontaminate {
         col("f.gram").as("gram"): _*)
         .distinct()
     }
-    val corpusFps = fps(corpus, Nil).localCheckpoint()
+    // the one corpus-sized pin in the audit: executor-loss semantics
+    // are the reliable-checkpoint knob's to decide (Checkpoints)
+    val corpusFps = graft.core.Checkpoints.corpus(fps(corpus, Nil))
     val bloomBytes = SketchExpressions.buildLongBloom(
       corpusFps.select(xxhash64(col("gram")).as("h")), "h",
       expectedCorpusFps, fpp)

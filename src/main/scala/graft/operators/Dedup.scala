@@ -1266,10 +1266,14 @@ object Dedup {
     // pairs before self-edges are dropped.
     val nodes = edgeSource.select(col("id_a").as("id"))
       .union(edgeSource.select(col("id_b").as("id"))).distinct()
-    var edges = edgeSource.filter(col("id_a") =!= col("id_b"))
-      .select(greatest(col("id_a"), col("id_b")).as("c"),
-        least(col("id_a"), col("id_b")).as("p"))
-      .distinct().localCheckpoint(eager = true)
+    // the frontier is corpus-edge-sized: the reliable-checkpoint knob
+    // (spark.graft.checkpointDir) decides executor-loss semantics —
+    // local pin (fast, job fails on loss) vs shared-store checkpoint
+    var edges = graft.core.Checkpoints.corpus(
+      edgeSource.filter(col("id_a") =!= col("id_b"))
+        .select(greatest(col("id_a"), col("id_b")).as("c"),
+          least(col("id_a"), col("id_b")).as("p"))
+        .distinct())
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -1288,7 +1292,7 @@ object Dedup {
       val small = smins.select(col("c"), col("m").as("p"))
         .union(large.join(smins, "c").filter(col("p") =!= col("m"))
           .select(col("p").as("c"), col("m").as("p")))
-      val next = small.distinct().localCheckpoint(eager = true)
+      val next = graft.core.Checkpoints.corpus(small.distinct())
       // exact fixpoint test: same edge set (stars are stable under
       // both operations, so an unchanged round means fully converged)
       converged = next.count() == edges.count() &&

@@ -32,12 +32,29 @@ object Profiling {
     * governance-scale S in the dozens); the distinct set, not the
     * corpus, is what shuffles. */
   def sourceGramOverlap(docs: DataFrame, srcCol: String, textCol: String,
-      gramSize: Int = 3): DataFrame = {
-    val g = docs.select(col(srcCol).as("src"),
+      gramSize: Int = 3, maxGramSources: Int = Int.MaxValue): DataFrame = {
+    val g0 = docs.select(col(srcCol).as("src"),
         explode(graft.functions.TextExpressions.sorted_shingle_hashes(
           col(textCol), gramSize)).as("gram"))
       .distinct()
       .localCheckpoint() // consumed twice: totals + both join sides
+    // ubiquitous-gram guard (dd21's df-cap shape): a gram present in
+    // more than `maxGramSources` sources is shared boilerplate — it
+    // inflates every pair's fan-out (S² pair rows per gram) while
+    // carrying no pairwise signal. Capped grams leave the join and
+    // surface as a count, so the cap is observable, never silent.
+    // The capped set is small by construction (boilerplate, bounded
+    // by distinct-grams/cap), so it broadcasts as a left-anti filter.
+    val (g, nUbiq) =
+      if (maxGramSources == Int.MaxValue) (g0, lit(0L))
+      else {
+        val dfreq = g0.groupBy("gram").agg(count(lit(1)).as("__df"))
+        val ubiq = dfreq.filter(col("__df") > maxGramSources).select("gram")
+        val kept = g0.join(broadcast(ubiq), Seq("gram"), "left_anti")
+          .localCheckpoint() // same 3-consumer role g0 plays uncapped
+        val n = ubiq.count() // bounded: the boilerplate set, not grams
+        (kept, lit(n))
+      }
     val totals = g.groupBy("src").agg(count(lit(1)).as("n"))
     val shared = g.select(col("src").as("source_a"), col("gram"))
       .join(g.select(col("src").as("source_b"), col("gram")), Seq("gram"))
@@ -60,7 +77,8 @@ object Profiling {
         round(sg.cast("double") /
           (col("grams_a") + col("grams_b") - sg), 6).as("jaccard"),
         round(sg.cast("double") /
-          least(col("grams_a"), col("grams_b")), 6).as("containment"))
+          least(col("grams_a"), col("grams_b")), 6).as("containment"),
+        nUbiq.as("ubiquitous_grams"))
   }
 
   /** Per-group length distribution: count, min/max, mean, exact

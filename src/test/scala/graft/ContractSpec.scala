@@ -22,12 +22,12 @@ class ContractSpec extends SparkTestBase {
     // and k1 (to_json output is byte-replayable on this schema:
     // field-ordered, whitespace-free, shortest-round-trip doubles).
     // r9 pinned sim3 (16x2 multi-probe banding -> candidate recall 1,
-    // oracle = the sim1 brute-force sweep).
-    assert(rowsOnly == Set(
-      "pf3_approx_stats",       // approx_count_distinct HLL is engine-specific
-      "qf2_compression_signal", // DEFLATE has no SQL mirror
-      "pf5_sketch_union"),      // Datasketches HLL is engine-specific
-      s"unexpected rows-only set: $rowsOnly")
+    // oracle = the sim1 brute-force sweep). r11 pinned the last three:
+    // pf3/pf5/qf2 now emit exact aggregates + bound-check booleans
+    // (HLL/percentile within 5%, DEFLATE inside its worst-case
+    // expansion + window-doubling bound), so the approximation
+    // CONTRACT is what DuckDB verifies. Every query is oracle-backed.
+    assert(rowsOnly.isEmpty, s"unexpected rows-only set: $rowsOnly")
   }
 
   test("flagship entry returns rows at sf0.001") {

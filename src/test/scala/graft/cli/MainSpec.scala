@@ -105,9 +105,15 @@ class MainSpec extends SparkTestBase {
   }
 
   test("--verbose maps to the reference's level rule and rides a replication") {
-    assert(Main.verboseLevel("true") == "DEBUG")   // bare flag parses as true
+    assert(Main.verboseLevel("") == "INFO")        // bare flag: the reference's
+    assert(Main.verboseLevel(null) == "INFO")      // no-arg -v null path
+    assert(Main.verboseLevel("true") == "DEBUG")   // explicit =true
     assert(Main.verboseLevel("warn") == "WARN")
     assert(Main.verboseLevel("bogus") == "INFO")   // unknown level -> INFO
+    // a bare --verbose parses to the empty value (-> INFO), not "true"
+    assert(Main.parseArgs(Array("--verbose",
+      "--sink-disable-truncate")) ==
+      Map("verbose" -> "", "sink.disable.truncate" -> "true"))
     val out = java.nio.file.Files.createTempDirectory("graft_cli_v").toString + "/sink"
     Main.run(Array(
       s"--source-connect=${sf()}/region.parquet",
@@ -145,14 +151,16 @@ class MainSpec extends SparkTestBase {
       Map("source.connect" -> "/in", "sink.connect" -> "/out",
         "bandwidth.throttling" -> "-1")))
     assert(e6.getMessage.contains("bandwidth.throttling"))
-    // conflicting source-query + projection/predicate
-    val e7 = intercept[IllegalArgumentException](Config.fromProperties(
+    // conflicting source-query + projection/predicate: drop-in parity
+    // with the reference, which parses all three and lets the query
+    // take precedence (SqlManager.java:58-93) — a migrated script
+    // passing both keeps running; we warn and IGNORE the others
+    val c7 = Config.fromProperties(
       Map("source.connect" -> "/in", "sink.connect" -> "/out",
-        "source.query" -> "SELECT 1", "source.columns" -> "a,b")))
-    assert(e7.getMessage.contains("source.query"))
-    val e8 = intercept[IllegalArgumentException](Config.fromProperties(
-      Map("source.connect" -> "/in", "sink.connect" -> "/out",
-        "source.query" -> "SELECT 1", "source.where" -> "a > 1")))
-    assert(e8.getMessage.contains("source.query"))
+        "source.query" -> "SELECT 1", "source.columns" -> "a,b",
+        "source.where" -> "a > 1"))
+    assert(c7.source.query.contains("SELECT 1"))
+    assert(c7.source.columns.isEmpty && c7.source.where.isEmpty,
+      "query must take precedence: projection/predicate ignored")
   }
 }
