@@ -22,6 +22,7 @@ object Probe {
     if (args.headOption.contains("r9probe")) { r9probe(spark, dir); spark.stop(); return }
     if (args.headOption.contains("r10state")) { r10state(spark, dir); spark.stop(); return }
     if (args.headOption.contains("r10price")) { r10price(spark, dir); spark.stop(); return }
+    if (args.headOption.contains("r11price")) { r11price(spark, dir); spark.stop(); return }
     if (args.headOption.contains("r7pipe")) { r7pipe(spark, dir); spark.stop(); return }
     if (args.headOption.contains("jdbcYardstick")) { jdbcYardstick(spark, dir); spark.stop(); return }
     if (args.headOption.contains("dd4")) { dd4(spark, dir); spark.stop(); return }
@@ -1405,5 +1406,83 @@ object Probe {
     // ---- mem2 (new this round) at the same scale for the record
     timed("mem2 paraphraseAudit (5-gram winnow, w=4)")(
       graft.SparkEntry.queries("mem2_paraphrase_audit")(spark, dir).count())
+  }
+
+  /** Round-11 pricing probes (VERDICT r10 #4) — r10 newcomers at 10×
+    * (run with SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1): mem2/mem3
+    * vs corpus size, st24/st25 ingestion-gate floor vs their batch
+    * siblings, ovl1 pair-fan-out vs source count S (the S² bound at
+    * S=50), tok15 store round-trip vs retrain, and the rewritten
+    * PQ-encode kernel's wall on the full embeddings table. */
+  def r11price(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    def timed(label: String)(f: => Long): Unit = {
+      val t = System.nanoTime(); val n = f
+      println(f"=== r11price $label: ${(System.nanoTime() - t) / 1e9}%.2fs ($n rows)")
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val nDocs = docs.count() // warm
+
+    // ---- mem2/mem3 vs corpus size: the corpus pass (winnow +
+    // distinct + Bloom) should dominate and scale ~linearly; the gen
+    // side is fixed. gen = 100 verbatim docs (cost probe, not recall).
+    val gen = docs.filter(col("doc_id") < 100)
+      .select(col("doc_id").as("gen_id"), col("text"))
+      .localCheckpoint(true)
+    for (frac <- Seq(4, 2, 1)) {
+      val corpus = docs.filter(col("doc_id") >= 100 &&
+        col("doc_id") % frac === 0).localCheckpoint(true)
+      val label = s"corpus=1/$frac (${nDocs / frac} docs)"
+      timed(s"mem2 paraphraseAudit $label")(
+        graft.operators.Decontaminate.paraphraseAudit(
+          gen, corpus, "gen_id", "text", gramSize = 5, window = 4).count())
+      timed(s"mem3 paraphraseSpans $label")(
+        graft.operators.Decontaminate.paraphraseSpans(
+          gen, corpus, "gen_id", "text", gramSize = 5, window = 4).count())
+    }
+
+    // ---- streaming-ingestion gates vs their batch siblings: the
+    // delta is the Structured Streaming floor (per-batch planning +
+    // commit) since the per-row kernels are identical
+    timed("st24 stream memorization gate (2 micro-batches)")(
+      graft.SparkEntry.queries("st24_stream_memorization")(spark, dir).count())
+    timed("mem1 batch sibling (same corpus reference shape)")(
+      graft.SparkEntry.queries("mem1_novelty_audit")(spark, dir).count())
+    timed("st25 stream quality gate (persisted weights, 2 batches)")(
+      graft.SparkEntry.queries("st25_stream_quality_gate")(spark, dir).count())
+    timed("qf9 batch sibling (store-backed scoring)")(
+      graft.SparkEntry.queries("qf9_trained_quality_gate")(spark, dir).count())
+
+    // ---- ovl1 fan-out vs source count: remap to S synthetic sources
+    // and verify wall tracks the S-row spine (S² pairs), not the
+    // corpus; plus the ovl2 df-cap's effect at the same S
+    for (s <- Seq(10, 20, 50)) {
+      val remapped = docs.withColumn("source",
+        concat(lit("src"), (col("doc_id") % s).cast("string")))
+      timed(s"ovl1 sourceGramOverlap S=$s (expect ${s * (s - 1) / 2} pairs)")(
+        graft.operators.Profiling.sourceGramOverlap(
+          remapped, "source", "text", gramSize = 3).count())
+    }
+    timed("ovl2 with df-cap 6 at S=50")(
+      graft.operators.Profiling.sourceGramOverlap(
+        docs.withColumn("source",
+          concat(lit("src"), (col("doc_id") % 50).cast("string"))),
+        "source", "text", gramSize = 3, maxGramSources = 6).count())
+
+    // ---- tok15: tokenizer store round-trip vs retraining the merges
+    timed("BPE retrain (24 merges) — the cost the store removes")(
+      graft.operators.Tokenizer.trainBpeMerges(
+        docs, "text", numMerges = 24).length.toLong)
+    timed("tok15 store-backed tokenization (load + bpeIds projection)")(
+      graft.SparkEntry.queries("tok15_tokenizer_store")(spark, dir).count())
+
+    // ---- the r11 PQ-encode kernel on the full embeddings table
+    // (pre-fix this plan failed 64 KB compile and ran interpreted)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    emb.count()
+    val books = graft.operators.Similarity.pqTrain(
+      emb, "vec_id", "embedding", m = 8, k = 16, maxIter = 2)
+    timed("pqEncode full corpus (compact codegen kernel)")(
+      graft.operators.Similarity.pqEncode(
+        emb, "vec_id", "embedding", books).count())
   }
 }
