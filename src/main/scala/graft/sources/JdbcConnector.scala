@@ -36,6 +36,12 @@ object JdbcConnector {
 
   def read(spark: SparkSession, conf: SourceConf): DataFrame = {
     val url = conf.connect
+    // explicit `pgwire` opt-in: partitioned cursor scan over the
+    // engine's own v3 wire client, no PG JDBC jar (PgWireSource
+    // applies the same subselect wrap / projection / predicate /
+    // partitioning contract as the JDBC path below)
+    if (PgWireTransport.enabled(url, conf.connOptions))
+      return PgWireSource.read(spark, conf)
     val table = conf.query
       .map(q => s"($q) T1") // reference subselect wrap, SqlManager.java:58-93
       .orElse(conf.table)

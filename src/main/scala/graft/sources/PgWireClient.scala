@@ -41,6 +41,7 @@ final class PgWireClient private (
   def exec(sql: String): PgResult = {
     sendQuery(sql)
     var cols: Seq[String] = Nil
+    var oids: Seq[Int] = Nil
     val rows = Vector.newBuilder[Seq[String]]
     val tags = Vector.newBuilder[String]
     var err: Option[java.sql.SQLException] = None
@@ -48,7 +49,9 @@ final class PgWireClient private (
     while (!done) {
       val (tpe, body) = readMessage()
       tpe match {
-        case 'T' => cols = parseRowDescription(body)
+        case 'T' =>
+          val parsed = parseRowDescriptionTyped(body)
+          cols = parsed.map(_._1); oids = parsed.map(_._2)
         case 'D' => rows += parseDataRow(body)
         case 'C' => tags += cString(body, 0)._1
         case 'I' => () // EmptyQueryResponse
@@ -66,7 +69,7 @@ final class PgWireClient private (
       }
     }
     err.foreach(throw _)
-    PgResult(cols, rows.result(), tags.result())
+    PgResult(cols, rows.result(), tags.result(), oids)
   }
 
   /** `COPY … FROM STDIN` — stream pre-encoded wire-text rows (each
@@ -193,9 +196,11 @@ final class PgWireClient private (
 
 object PgWireClient {
 
-  /** Text-format result of a simple query. */
+  /** Text-format result of a simple query. `typeOids` aligns with
+    * `columns` (pg_type OIDs from RowDescription — what a source scan
+    * maps to a Spark schema). */
   final case class PgResult(columns: Seq[String], rows: Seq[Seq[String]],
-      tags: Seq[String]) {
+      tags: Seq[String], typeOids: Seq[Int] = Nil) {
     def single: String = rows.head.head
   }
 
@@ -313,13 +318,19 @@ object PgWireClient {
     (new String(body, from, end - from, UTF_8), end + 1)
   }
 
-  private[sources] def parseRowDescription(body: Array[Byte]): Seq[String] = {
+  private[sources] def parseRowDescriptionTyped(
+      body: Array[Byte]): Seq[(String, Int)] = {
     val n = ((body(0) & 0xff) << 8) | (body(1) & 0xff)
     var pos = 2
     (0 until n).map { _ =>
       val (name, next) = cString(body, pos)
-      pos = next + 18 // tableOid(4) colno(2) typeOid(4) typelen(2) typmod(4) format(2)
-      name
+      // layout after the name: tableOid(4) colno(2) typeOid(4)
+      // typelen(2) typmod(4) format(2)
+      val o = next + 6
+      val oid = ((body(o) & 0xff) << 24) | ((body(o + 1) & 0xff) << 16) |
+        ((body(o + 2) & 0xff) << 8) | (body(o + 3) & 0xff)
+      pos = next + 18
+      (name, oid)
     }
   }
 
