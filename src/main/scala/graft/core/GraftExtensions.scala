@@ -80,6 +80,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "dot_product(array<numeric>, array<numeric>) - codegen dot product"),
       (exprs: Seq[Expression]) =>
         graft.functions.VectorExpressions.DotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("pq_argmin"),
+      info("pq_argmin",
+        "pq_argmin(array<double>, array<array<double>>) - nearest codebook " +
+          "centroid id (PQ encode kernel; codebook must be foldable)"),
+      (exprs: Seq[Expression]) => {
+        val folded = exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        val cents = folded.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toObjectArray(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))
+          .map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toDoubleArray().toSeq).toSeq
+        graft.functions.VectorExpressions.PqArgmin(exprs.head, cents)
+      }))
     // size(array_intersect(array_sort(array_distinct(x)), ...)) →
     // allocation-free merge scan; see graft.plans.IntersectCountRewrite
     ext.injectOptimizerRule(_ => graft.plans.IntersectCountRewrite)

@@ -225,5 +225,16 @@ object VectorExpressions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "pq_argmin", exprs => {
+        // the codebook argument must be foldable (a literal nested
+        // array): it is an artifact, not data
+        val folded = exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        val cents = folded.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toObjectArray(ArrayType(DoubleType))
+          .map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toDoubleArray().toSeq).toSeq
+        PqArgmin(exprs.head, cents)
+      }, "scala_udf")
   }
 }

@@ -51,4 +51,12 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(row.getAs[Long]("t") == 3L)
     assert(row.getAs[Double]("d") == 11.0)
   }
+
+  test("pq_argmin resolves through SQL with a literal codebook") {
+    graft.functions.VectorExpressions.registerAll(spark)
+    val code = spark.sql(
+      "SELECT pq_argmin(array(0.4D, 0.6D), " +
+        "array(array(1.0D, 0.0D), array(0.0D, 1.0D))) AS c").first().getInt(0)
+    assert(code == 1) // closer to (0,1)
+  }
 }
