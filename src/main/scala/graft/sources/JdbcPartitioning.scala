@@ -60,6 +60,32 @@ object JdbcPartitioning {
     }
   }
 
+  /** Postgres keyless slices over the physical row id: disjoint ctid
+    * page ranges from `pg_class.relpages`. This is the PRODUCTION
+    * keyless parallel scan (PG ≥14 plans each slice as a TID Range
+    * Scan — each task reads only its pages); the reference's keyless
+    * fallback is count-based LIMIT/OFFSET
+    * (`PostgresqlManager.java:310-354`), which re-scans the prefix on
+    * every task — O(N²) pages touched across N tasks. Last slice is
+    * open-ended so rows appended after planning still land somewhere.
+    * Only valid against a PLAIN table (ctid does not survive a
+    * subselect projection). */
+  def ctidRanges(relpages: Long, n: Int): Seq[String] = {
+    require(n > 0)
+    val pages = math.max(relpages, 1L)
+    if (n == 1) Seq("1 = 1")
+    else {
+      val stride = math.max(1L, (pages + n - 1) / n)
+      (0 until n).map { i =>
+        val lo = i * stride
+        val hi = (i + 1) * stride
+        if (i == 0) s"ctid < '($hi,0)'"
+        else if (i == n - 1) s"ctid >= '($lo,0)'"
+        else s"ctid >= '($lo,0)' AND ctid < '($hi,0)'"
+      }
+    }
+  }
+
   /** Legacy OFFSET/LIMIT chunks from a row count (reference behavior;
     * last chunk open-ended). Returns (offset, limitOpt) pairs. */
   def offsetChunks(totalRows: Long, n: Int): Seq[(Long, Option[Long])] = {

@@ -142,29 +142,45 @@ object PgWireSource {
       })
     } finally probe.close()
 
-    val preds: Seq[String] =
-      if (conf.partitions <= 1) Seq("true")
-      else {
-        val key = conf.options.get("partition.key")
-        val bounds = key.flatMap { k =>
-          val c = PgWireClient.connect(
-            endpoint.target, endpoint.user, endpoint.db, endpoint.password)
-          try {
-            val r = c.exec(s"SELECT MIN($k), MAX($k) FROM ($baseSelect) graft_s")
-            val row = r.rows.head
+    def onWire[T](f: PgWireClient => T): Option[T] = {
+      val c = PgWireClient.connect(
+        endpoint.target, endpoint.user, endpoint.db, endpoint.password)
+      try Some(f(c)) catch { case _: Exception => None } finally c.close()
+    }
+    val key = conf.options.get("partition.key")
+    val sliceSqls: Seq[String] =
+      if (conf.partitions <= 1) Seq(baseSelect)
+      else key match {
+        case Some(k) =>
+          val bounds = onWire { c =>
+            val row = c.exec(
+              s"SELECT MIN($k), MAX($k) FROM ($baseSelect) graft_s").rows.head
             if (row(0) == null || row(1) == null) None
             else Some((row(0).toLong, row(1).toLong))
-          } catch { case _: Exception => None } finally c.close()
-        }
-        JdbcPartitioning.forUrl(conf.connect, conf.partitions, key, bounds)
+          }.flatten
+          JdbcPartitioning.forUrl(conf.connect, conf.partitions, key, bounds)
+            .map(p => s"SELECT * FROM ($baseSelect) graft_s WHERE $p")
+        case None if conf.query.isEmpty =>
+          // keyless plain table: disjoint ctid page ranges (TID range
+          // scans — each task touches only its pages; the predicate
+          // must sit on the base table, ctid dies in a subselect)
+          onWire(_.exec("SELECT greatest(relpages, 1) FROM pg_class " +
+              s"WHERE oid = '$table'::regclass").single.toLong) match {
+            case Some(pages) =>
+              val cols = conf.columns.map(_.mkString(", ")).getOrElse("*")
+              val extra = conf.where.map(w => s" AND ($w)").getOrElse("")
+              JdbcPartitioning.ctidRanges(pages, conf.partitions)
+                .map(p => s"SELECT $cols FROM $table WHERE $p$extra")
+            case None => Seq(baseSelect) // e.g. a view: no relpages
+          }
+        case None => Seq(baseSelect) // keyless subselect: one slice
       }
 
     val fetchSize = math.max(1, conf.fetchSize)
     val rdd = spark.sparkContext
-      .parallelize(preds, preds.length)
-      .mapPartitions(_.flatMap(p =>
-        slice(endpoint, s"SELECT * FROM ($baseSelect) graft_s WHERE $p",
-          schema, fetchSize)))
+      .parallelize(sliceSqls, sliceSqls.length)
+      .mapPartitions(_.flatMap(sql =>
+        slice(endpoint, sql, schema, fetchSize)))
     spark.createDataFrame(rdd, schema)
   }
 }

@@ -171,6 +171,20 @@ class JdbcPartitioningSpec extends AnyFunSuite {
     assert(c == Seq((0L, Some(4L)), (4L, Some(4L)), (8L, None)))
   }
 
+  test("ctid page ranges: contiguous, first page included, last open-ended") {
+    val p = ctidRanges(100, 4)
+    assert(p == Seq(
+      "ctid < '(25,0)'",
+      "ctid >= '(25,0)' AND ctid < '(50,0)'",
+      "ctid >= '(50,0)' AND ctid < '(75,0)'",
+      "ctid >= '(75,0)'"))
+    // stale relpages (0/1) still yields complete disjoint coverage:
+    // slice 0 takes page 0, the open-ended tail takes any growth
+    val tiny = ctidRanges(1, 3)
+    assert(tiny.head == "ctid < '(1,0)'" && tiny.last == "ctid >= '(2,0)'")
+    assert(ctidRanges(100, 1) == Seq("1 = 1"))
+  }
+
   test("denodo sink fast-fails at plan time, before any connection") {
     // reference DenodoManager.java:33-45 throws on every sink op; the
     // guard must fire before the DataFrame or a connection is touched

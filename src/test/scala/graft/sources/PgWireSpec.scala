@@ -350,6 +350,15 @@ class PgWireSpec extends SparkTestBase with BeforeAndAfterAll {
       assert(df.rdd.getNumPartitions == 4)
       val r7 = df.filter(col("id") === 7).head()
       assert(r7.getDouble(1) == 0.875 && r7.getString(2).startsWith("row-7"))
+
+      // keyless partitioned scan: disjoint ctid page ranges (TID
+      // range scans), complete and non-overlapping without any key
+      val keyless = ReplicaEngine.read(spark,
+        source.copy(options = opts)) // no partition.key
+      assert(keyless.rdd.getNumPartitions == 4)
+      assert(keyless.count() == 98)
+      assert(keyless.select("id").distinct().count() == 98,
+        "ctid slices lost or duplicated rows")
     } finally cl.close()
   }
 
