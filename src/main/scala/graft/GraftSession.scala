@@ -21,6 +21,12 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // reliable checkpoints (graft.core.Checkpoints with
+      // spark.graft.checkpointDir set) are deleted by the
+      // ContextCleaner when their RDD is GC'd — without this, an
+      // iterated loop (connected components) leaves one full frontier
+      // copy on the shared store per iteration for the job's lifetime
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.compression.codec", "snappy")
       // read TIMESTAMP(NANOS) parquet (unsupported by Spark's

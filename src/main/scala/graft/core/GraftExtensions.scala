@@ -85,15 +85,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("pq_argmin",
         "pq_argmin(array<double>, array<array<double>>) - nearest codebook " +
           "centroid id (PQ encode kernel; codebook must be foldable)"),
-      (exprs: Seq[Expression]) => {
-        val folded = exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
-        val cents = folded.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toObjectArray(org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.DoubleType))
-          .map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-            .toDoubleArray().toSeq).toSeq
-        graft.functions.VectorExpressions.PqArgmin(exprs.head, cents)
-      }))
+      (exprs: Seq[Expression]) => graft.functions.VectorExpressions.PqArgmin(
+        exprs.head, graft.functions.VectorExpressions.foldCodebook(exprs(1)))))
     // size(array_intersect(array_sort(array_distinct(x)), ...)) →
     // allocation-free merge scan; see graft.plans.IntersectCountRewrite
     ext.injectOptimizerRule(_ => graft.plans.IntersectCountRewrite)

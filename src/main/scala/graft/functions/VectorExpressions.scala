@@ -210,6 +210,21 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Fold a FOLDABLE nested-array expression into the codebook grid
+    * for [[PqArgmin]] — shared by the SQL registration and the
+    * session-extensions injector. Casts to array<array<double>> first
+    * so plain SQL literals (which parse as decimals) work instead of
+    * dying in a ClassCastException. */
+  private[graft] def foldCodebook(e: Expression): Seq[Seq[Double]] = {
+    require(e.foldable, "pq_argmin codebook must be a literal (it is a " +
+      "trained artifact, not data)")
+    val folded = Cast(e, ArrayType(ArrayType(DoubleType)))
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    require(folded != null, "pq_argmin codebook must not be null")
+    folded.asInstanceOf[ArrayData].toObjectArray(ArrayType(DoubleType))
+      .map(_.asInstanceOf[ArrayData].toDoubleArray().toSeq).toSeq
+  }
+
   // ---- Column-level API ----
 
   def dot_product(a: Column, b: Column): Column =
@@ -226,15 +241,7 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
-      "pq_argmin", exprs => {
-        // the codebook argument must be foldable (a literal nested
-        // array): it is an artifact, not data
-        val folded = exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
-        val cents = folded.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toObjectArray(ArrayType(DoubleType))
-          .map(_.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-            .toDoubleArray().toSeq).toSeq
-        PqArgmin(exprs.head, cents)
-      }, "scala_udf")
+      "pq_argmin", exprs => PqArgmin(exprs.head, foldCodebook(exprs(1))),
+      "scala_udf")
   }
 }

@@ -43,16 +43,19 @@ object Profiling {
     // inflates every pair's fan-out (S² pair rows per gram) while
     // carrying no pairwise signal. Capped grams leave the join and
     // surface as a count, so the cap is observable, never silent.
-    // The capped set is small by construction (boilerplate, bounded
-    // by distinct-grams/cap), so it broadcasts as a left-anti filter.
+    // No broadcast hint on the anti-join: on boilerplate-heavy
+    // corpora the capped set can be a large FRACTION of all distinct
+    // grams (sf0.1 fixture: 22k of 27k at cap 5), so the planner/AQE
+    // must stay free to pick a shuffled anti-join when it is big.
     val (g, nUbiq) =
       if (maxGramSources == Int.MaxValue) (g0, lit(0L))
       else {
         val dfreq = g0.groupBy("gram").agg(count(lit(1)).as("__df"))
         val ubiq = dfreq.filter(col("__df") > maxGramSources).select("gram")
-        val kept = g0.join(broadcast(ubiq), Seq("gram"), "left_anti")
+          .localCheckpoint() // consumed twice: count + anti-join
+        val kept = g0.join(ubiq, Seq("gram"), "left_anti")
           .localCheckpoint() // same 3-consumer role g0 plays uncapped
-        val n = ubiq.count() // bounded: the boilerplate set, not grams
+        val n = ubiq.count()
         (kept, lit(n))
       }
     val totals = g.groupBy("src").agg(count(lit(1)).as("n"))

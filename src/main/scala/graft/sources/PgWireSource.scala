@@ -69,9 +69,19 @@ object PgWireSource {
         out
       case DateType => java.sql.Date.valueOf(text)
       case TimestampType =>
-        // with the session at UTC, timestamptz renders "… +00" —
-        // strip the zero offset and parse the naive form
-        java.sql.Timestamp.valueOf(text.stripSuffix("+00"))
+        if (text.endsWith("+00"))
+          // timestamptz: the session is pinned to UTC, so the wall
+          // clock before "+00" IS the instant — convert explicitly
+          // via UTC (Timestamp.valueOf would re-interpret it in the
+          // JVM default zone and shift every instant off-UTC JVMs)
+          java.sql.Timestamp.from(
+            java.time.LocalDateTime.parse(
+              text.stripSuffix("+00").replace(' ', 'T'))
+              .toInstant(java.time.ZoneOffset.UTC))
+        else
+          // timestamp (no tz): naive wall clock, same JVM-local
+          // interpretation as the JDBC reader's getTimestamp
+          java.sql.Timestamp.valueOf(text)
       case _ => text
     }
 
@@ -83,13 +93,18 @@ object PgWireSource {
       schema: StructType, fetchSize: Int): Iterator[Row] = {
     val cl = PgWireClient.connect(
       endpoint.target, endpoint.user, endpoint.db, endpoint.password)
-    cl.exec("SET TIME ZONE 'UTC'")
-    cl.exec("BEGIN")
-    cl.exec(s"DECLARE graft_c NO SCROLL CURSOR FOR $sql")
     var closed = false
     def closeOnce(): Unit = if (!closed) { closed = true; cl.close() }
+    // register cleanup BEFORE the setup statements: a bad predicate /
+    // where-clause throwing at DECLARE must not leak the socket and
+    // its server backend (one per task retry otherwise)
     Option(org.apache.spark.TaskContext.get()).foreach(
       _.addTaskCompletionListener[Unit](_ => closeOnce()))
+    try {
+      cl.exec("SET TIME ZONE 'UTC'")
+      cl.exec("BEGIN")
+      cl.exec(s"DECLARE graft_c NO SCROLL CURSOR FOR $sql")
+    } catch { case e: Throwable => closeOnce(); throw e }
     val types = schema.fields.map(_.dataType)
     new Iterator[Row] {
       private var batch: Iterator[Seq[String]] = Iterator.empty

@@ -51,8 +51,20 @@ object PgWireTransport {
       options.get("password"))
   }
 
+  /** Pin the session timezone to the JVM default — what the PG JDBC
+    * driver sends in its startup packet. [[BulkLoad.encodeRow]]
+    * renders timestamps as the JVM wall clock with no offset; without
+    * this a server whose default timezone differs would re-interpret
+    * every timestamptz COPY value and silently shift the instant.
+    * Best-effort: a zone id PG doesn't know leaves the server default
+    * (the pre-fix behavior), never fails the load. */
+  private[sources] def pinSessionTz(cl: PgWireClient): Unit =
+    try { cl.exec(s"SET TIME ZONE '${java.util.TimeZone.getDefault.getID}'"); () }
+    catch { case _: java.sql.SQLException => () }
+
   private def withClient[T](c: Endpoint)(f: PgWireClient => T): T = {
     val cl = PgWireClient.connect(c.target, c.user, c.db, c.password)
+    pinSessionTz(cl)
     try f(cl) finally cl.close()
   }
 
@@ -76,6 +88,7 @@ object PgWireTransport {
       if (rows.hasNext) {
         val cl = PgWireClient.connect(conn.target, conn.user, conn.db, conn.password)
         try {
+          pinSessionTz(cl)
           cl.copyIn(copySql, rows.map(r =>
             (BulkLoad.encodeRow(r, schema, BulkLoad.bytesToPostgresHex,
               disableEscape) + "\n").getBytes(UTF_8)))
@@ -86,14 +99,26 @@ object PgWireTransport {
   }
 
   /** Merge-key discovery from the catalog — what the PG JDBC driver's
-    * `getPrimaryKeys` runs under the hood. */
-  def discoverPrimaryKeys(cl: PgWireClient, table: String): Seq[String] =
-    cl.exec(
+    * `getPrimaryKeys` runs under the hood. Matches `relname` exactly,
+    * then retries upper/lower case — the reference's getPrimaryKeys
+    * retry (`SqlManager.java:283-318`); a bare `::regclass` cast
+    * would case-fold a mixed-case table name and miss it. */
+  def discoverPrimaryKeys(cl: PgWireClient, table: String): Seq[String] = {
+    val bare = table.split('.').last.replace("'", "''")
+    def pks(name: String): Seq[String] = cl.exec(
       s"""SELECT a.attname FROM pg_index i
+         |JOIN pg_class c ON c.oid = i.indrelid
          |JOIN pg_attribute a ON a.attrelid = i.indrelid AND a.attnum = ANY(i.indkey)
-         |WHERE i.indrelid = '$table'::regclass AND i.indisprimary
+         |WHERE c.relname = '$name' AND i.indisprimary
          |ORDER BY array_position(i.indkey, a.attnum)""".stripMargin)
       .rows.map(_.head)
+    val exact = pks(bare)
+    if (exact.nonEmpty) exact
+    else {
+      val upper = pks(bare.toUpperCase)
+      if (upper.nonEmpty) upper else pks(bare.toLowerCase)
+    }
+  }
 
   def write(df: DataFrame, conf: SinkConf): Unit = {
     val url = conf.connect

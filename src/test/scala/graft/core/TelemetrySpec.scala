@@ -58,5 +58,17 @@ class GraftExtensionsSpec extends SparkTestBase {
       "SELECT pq_argmin(array(0.4D, 0.6D), " +
         "array(array(1.0D, 0.0D), array(0.0D, 1.0D))) AS c").first().getInt(0)
     assert(code == 1) // closer to (0,1)
+    // plain SQL literals parse as DECIMAL — the codebook fold must
+    // cast, not ClassCastException
+    val dec = spark.sql(
+      "SELECT pq_argmin(cast(array(0.4, 0.6) AS array<double>), " +
+        "array(array(1.0, 0.0), array(0.0, 1.0))) AS c").first().getInt(0)
+    assert(dec == 1)
+    // a non-foldable codebook is rejected with the artifact message
+    val err = intercept[Exception] {
+      spark.range(1).selectExpr(
+        "pq_argmin(array(0.1D), array(array(cast(id AS double))))").collect()
+    }
+    assert(err.getMessage.contains("artifact"))
   }
 }

@@ -362,6 +362,27 @@ class PgWireSpec extends SparkTestBase with BeforeAndAfterAll {
     } finally cl.close()
   }
 
+  test("wire decode: timestamptz is instant-correct regardless of JVM timezone") {
+    // no server needed — pure decode-kernel check. The +00 wall clock
+    // IS the instant (slice() pins the session to UTC); decoding must
+    // not re-interpret it in the JVM default zone.
+    val prev = java.util.TimeZone.getDefault
+    try {
+      for (tz <- Seq("UTC", "America/New_York", "Asia/Tokyo")) {
+        java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone(tz))
+        val got = PgWireSource.decode("2024-01-01 00:00:00.25+00",
+          org.apache.spark.sql.types.TimestampType)
+          .asInstanceOf[java.sql.Timestamp]
+        assert(got.toInstant == java.time.Instant.parse("2024-01-01T00:00:00.25Z"),
+          s"shifted under JVM tz $tz: $got")
+      }
+    } finally java.util.TimeZone.setDefault(prev)
+    // naive timestamp (no offset) keeps JDBC's JVM-local semantics
+    assert(PgWireSource.decode("2024-01-01 03:04:05",
+      org.apache.spark.sql.types.TimestampType) ==
+      java.sql.Timestamp.valueOf("2024-01-01 03:04:05"))
+  }
+
   test("S2: partition predicates slice a real PostgreSQL table disjointly") {
     assume(server.isDefined, "PostgreSQL not available in this environment")
     exec("CREATE TABLE ptab (k bigint)")
