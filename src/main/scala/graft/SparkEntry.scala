@@ -1246,6 +1246,129 @@ object SparkEntry {
       Profiling.sourceGramOverlap(t(s, dir, "documents"),
         "source", "text", gramSize = 3, maxGramSources = 6)),
 
+    // r11: MMR diversity re-ranking between retrieval and consumption
+    // — candidates from the exact yardstick retriever, then the
+    // greedy lambda*rel - (1-lambda)*max-sim-to-picked chain (k
+    // distributed rounds over ALL queries at once, never per-query
+    // loops). The oracle replays the greedy chain unrolled. lambda =
+    // 0.5: both weights are EXACT in binary, so Spark's lit(1.0 -
+    // lambda) and the oracle's (1.0 - 0.5) are the same double and
+    // near-tie argmax decisions cannot diverge on literal rounding
+    "mmr1_diversified_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cand = Similarity.bruteForceTopK(e.filter("vec_id < 10"), e,
+        "vec_id", "embedding", 25)
+      Retrieval.mmrRerank(cand, e, "vec_id", "embedding", k = 5, lambda = 0.5)
+    }),
+
+    // r11: KLL quantile sketch — the FIRST-CLASS mergeable-percentile
+    // column (TypedImperativeAggregate): one map-combined pass builds
+    // O(k)-byte per-group sketches. Contract output (the pf3/pf10
+    // pattern): exact aggregates DuckDB can replay + booleans
+    // asserting the returned element's true rank sits within eps*n of
+    // the target — the estimate itself is merge-order-dependent, the
+    // BOUND is the tested contract
+    "qsk1_kll_quantiles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val K = graft.functions.KllExpressions
+      val sk = docs.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_len"), max("n_chars").as("max_len"),
+        K.kll_sketch(col("n_chars").cast("double"), 200).as("__sk"))
+        .select(col("lang"), col("n_docs"), col("min_len"), col("max_len"),
+          K.kll_quantile(col("__sk"), 0.5).as("__q50"),
+          K.kll_quantile(col("__sk"), 0.9).as("__q90"))
+      val ranks = docs.join(sk.select("lang", "__q50", "__q90"), "lang")
+        .groupBy("lang").agg(
+          count(when(col("n_chars") < col("__q50"), 1)).as("__lo50"),
+          count(when(col("n_chars") <= col("__q50"), 1)).as("__hi50"),
+          count(when(col("n_chars") < col("__q90"), 1)).as("__lo90"),
+          count(when(col("n_chars") <= col("__q90"), 1)).as("__hi90"))
+      def inBound(lo: Column, hi: Column, q: Double, n: Column): Column = {
+        val target = ceil(lit(q) * n)
+        target >= lo + 1 - lit(0.05) * n && target <= hi + lit(0.05) * n
+      }
+      sk.join(ranks, "lang").select(col("lang"), col("n_docs"),
+        col("min_len"), col("max_len"),
+        inBound(col("__lo50"), col("__hi50"), 0.5, col("n_docs"))
+          .as("q50_in_bound"),
+        inBound(col("__lo90"), col("__hi90"), 0.9, col("n_docs"))
+          .as("q90_in_bound"))
+    }),
+
+    // r11: the sketch ROLLUP path — per-(lang, source) sketches built
+    // once, coarser per-lang answers via kll_merge with NO corpus
+    // rescan (what approx_percentile cannot do: its sketch is not a
+    // value). count_preserved pins the losslessness of merge weights;
+    // the quantile bounds re-verify accuracy AFTER merging
+    "qsk2_kll_rollup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val K = graft.functions.KllExpressions
+      val parts = docs.groupBy("lang", "source").agg(
+        count(lit(1)).as("__n_part"),
+        K.kll_sketch(col("n_chars").cast("double"), 200).as("__sk"))
+      val rolled = parts.groupBy("lang").agg(
+        count(lit(1)).as("n_parts"),
+        sum("__n_part").as("n_docs"),
+        K.kll_merge(col("__sk")).as("__msk"))
+        .select(col("lang"), col("n_parts"), col("n_docs"),
+          K.kll_count(col("__msk")).as("__cnt"),
+          K.kll_quantile(col("__msk"), 0.5).as("__q50"),
+          K.kll_quantile(col("__msk"), 0.9).as("__q90"))
+      val ranks = docs.join(rolled.select("lang", "__q50", "__q90"), "lang")
+        .groupBy("lang").agg(
+          count(when(col("n_chars") < col("__q50"), 1)).as("__lo50"),
+          count(when(col("n_chars") <= col("__q50"), 1)).as("__hi50"),
+          count(when(col("n_chars") < col("__q90"), 1)).as("__lo90"),
+          count(when(col("n_chars") <= col("__q90"), 1)).as("__hi90"))
+      def inBound(lo: Column, hi: Column, q: Double, n: Column): Column = {
+        val target = ceil(lit(q) * n)
+        target >= lo + 1 - lit(0.05) * n && target <= hi + lit(0.05) * n
+      }
+      rolled.join(ranks, "lang").select(col("lang"), col("n_parts"),
+        col("n_docs"),
+        (col("__cnt") === col("n_docs")).as("count_preserved"),
+        inBound(col("__lo50"), col("__hi50"), 0.5, col("n_docs"))
+          .as("q50_in_bound"),
+        inBound(col("__lo90"), col("__hi90"), 0.9, col("n_docs"))
+          .as("q90_in_bound"))
+    }),
+
+    // r11: content-addressed shard manifest — the reproducibility
+    // record pinned next to a corpus generation: counts, char/token
+    // totals, id range, and an order-free md5-xor digest per shard
+    // (manifest diff localizes changed shards without reading data)
+    "man1_shard_manifest" -> ((s, dir) =>
+      Profiling.shardManifest(t(s, dir, "documents"), "doc_id", "text", 16)),
+
+    // r11: manifest DIFF between two corpus generations — gen B edits
+    // shard 3 (10 docs gain a suffix) and shrinks shard 7 (6 docs
+    // dropped); the diff must flag exactly those two shards, moving
+    // only 2x16 manifest rows, never documents
+    "man2_manifest_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gen2 = docs
+        .filter(!(pmod(col("doc_id"), lit(16)) === 7 && col("doc_id") < 100))
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(16)) === 3 && col("doc_id") < 160,
+            concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+      Profiling.manifestDiff(
+        Profiling.shardManifest(docs, "doc_id", "text", 16),
+        Profiling.shardManifest(gen2, "doc_id", "text", 16))
+    }),
+
+    // r11: MMR over IVF candidates — the production composition: the
+    // scale retriever feeds the diversity pass. Full probe makes the
+    // candidate pool bit-identical to brute force (sim2's verified
+    // configuration), so mmr1's greedy oracle re-verifies the whole
+    // chain; production runs reduced probe with the same plan
+    "mmr2_diversified_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cand = Similarity.ivfTopK(e.filter("vec_id < 10"), e,
+        "vec_id", "embedding", 25, nCentroids = 8, nProbe = 8)
+      Retrieval.mmrRerank(cand, e, "vec_id", "embedding", k = 5, lambda = 0.5)
+    }),
+
     // r10: fill-in-the-middle training triples — the infilling
     // transform code models pretrain with: deterministic idHash cut
     // points, (prefix, middle, suffix) + the PSM-ordered training
@@ -6493,6 +6616,82 @@ object SparkEntry {
         |       (SELECT ubiquitous_grams FROM nu) AS ubiquitous_grams
         |FROM tot ta JOIN tot tb ON ta.src < tb.src
         |LEFT JOIN sh ON sh.source_a = ta.src AND sh.source_b = tb.src""".stripMargin,
+
+    // r11: the MMR greedy chain replayed exactly — same candidate
+    // pool (top-25 cosine), same lambda-0.5 marginal score, the k=5
+    // selection rounds unrolled as CTE levels (arg_min on a
+    // [-score, id] key = score desc / id asc, Spark's tie rule)
+    "mmr1_diversified_topk" -> mmrGreedyOracle,
+
+    // full-probe IVF candidates == brute-force candidates (sim2's
+    // verified configuration), so the SAME greedy oracle adjudicates
+    // the composed retrieval->diversify chain
+    "mmr2_diversified_ivf" -> mmrGreedyOracle,
+
+    // r11: both generations' manifests replayed + the O(shards) diff
+    "man2_manifest_diff" ->
+      """WITH ra AS (
+        |  SELECT doc_id % 16 AS shard_id,
+        |         CAST(concat('0x', substr(md5(concat_ws(chr(31),
+        |           coalesce(CAST(doc_id AS VARCHAR), chr(1)),
+        |           coalesce(text, chr(1)))), 1, 15)) AS BIGINT) AS h
+        |  FROM documents),
+        |ma AS (SELECT shard_id, count(*) AS n, bit_xor(h) AS digest
+        |       FROM ra GROUP BY shard_id),
+        |gb AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 16 = 3 AND doc_id < 160
+        |              THEN text || ' [rev2]' ELSE text END AS text
+        |  FROM documents
+        |  WHERE NOT (doc_id % 16 = 7 AND doc_id < 100)),
+        |rb AS (
+        |  SELECT doc_id % 16 AS shard_id,
+        |         CAST(concat('0x', substr(md5(concat_ws(chr(31),
+        |           coalesce(CAST(doc_id AS VARCHAR), chr(1)),
+        |           coalesce(text, chr(1)))), 1, 15)) AS BIGINT) AS h
+        |  FROM gb),
+        |mb AS (SELECT shard_id, count(*) AS n, bit_xor(h) AS digest
+        |       FROM rb GROUP BY shard_id)
+        |SELECT shard_id,
+        |       coalesce(ma.n, 0) AS n_docs_a,
+        |       coalesce(mb.n, 0) AS n_docs_b,
+        |       coalesce(ma.n, 0) = coalesce(mb.n, 0) AS count_ok,
+        |       ma.digest IS NOT DISTINCT FROM mb.digest AS digest_ok
+        |FROM ma FULL OUTER JOIN mb USING (shard_id)""".stripMargin,
+
+    // r11: the KLL contracts — DuckDB computes the exact aggregates
+    // and literal trues; Spark computes the booleans FROM THE DATA
+    // (pf3's pattern), so a sketch outside its rank bound fails the
+    // gate
+    "qsk1_kll_quantiles" ->
+      """SELECT lang, count(*) AS n_docs, min(n_chars) AS min_len,
+        |       max(n_chars) AS max_len,
+        |       true AS q50_in_bound, true AS q90_in_bound
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "qsk2_kll_rollup" ->
+      """SELECT lang, count(DISTINCT source) AS n_parts, count(*) AS n_docs,
+        |       true AS count_preserved,
+        |       true AS q50_in_bound, true AS q90_in_bound
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    // r11: manifest digests replayed with the dq7 md5-xor convention
+    "man1_shard_manifest" ->
+      """WITH rows AS (
+        |  SELECT doc_id % 16 AS shard_id, doc_id,
+        |         length(text) AS nc,
+        |         len(list_filter(string_split_regex(trim(text), '\s+'),
+        |             t -> len(t) > 0)) AS nt,
+        |         CAST(concat('0x', substr(md5(concat_ws(chr(31),
+        |           coalesce(CAST(doc_id AS VARCHAR), chr(1)),
+        |           coalesce(text, chr(1)))), 1, 15)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT shard_id, count(*) AS n_docs,
+        |       CAST(sum(nc) AS BIGINT) AS n_chars,
+        |       CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |       bit_xor(h) AS digest
+        |FROM rows GROUP BY shard_id""".stripMargin,
 
     // replay idHash cut points (ids stay far below the 16-bit-limb
     // overflow guard, shuf1's precedent) and the three slices; CASE
@@ -11806,4 +12005,70 @@ object SparkEntry {
        |       CASE WHEN mx = 0 THEN 'und' $cases END AS lang_guess
        |FROM m""".stripMargin
   }
+
+  /** The MMR greedy chain replayed in SQL — shared by mmr1 (brute
+    * candidates) and mmr2 (full-probe IVF candidates, bit-identical
+    * pool): same lambda-0.5 marginal score, the k=5 selection rounds
+    * unrolled as CTE levels, ties score-desc / id-asc like the
+    * engine's windows. */
+  private def mmrGreedyOracle: String = {
+      val step = (i: Int) =>
+        s"""pick$i AS (
+           |  SELECT query_id, neighbor_id AS nid FROM (
+           |    SELECT c.query_id, c.neighbor_id,
+           |           row_number() OVER (PARTITION BY c.query_id
+           |             ORDER BY (0.5 * c.rel - (1.0 - 0.5) * m.ms) DESC,
+           |                      c.neighbor_id ASC) AS rn
+           |    FROM cand c
+           |    JOIN (SELECT p.query_id, p.i, max(p.s) AS ms
+           |          FROM pair p JOIN acc${i - 1} s
+           |            ON p.query_id = s.query_id AND p.j = s.nid
+           |          GROUP BY p.query_id, p.i) m
+           |      ON m.query_id = c.query_id AND m.i = c.neighbor_id
+           |    WHERE NOT EXISTS (SELECT 1 FROM acc${i - 1} s2
+           |                      WHERE s2.query_id = c.query_id
+           |                        AND s2.nid = c.neighbor_id))
+           |  WHERE rn = 1),
+           |acc$i AS (SELECT * FROM acc${i - 1}
+           |          UNION ALL SELECT query_id, nid, $i FROM pick$i),""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |         sqrt(list_sum(list_transform(range(1, 65),
+         |           i -> embedding[i] * embedding[i]))) AS nrm
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         list_sum(list_transform(range(1, 65),
+         |           i -> q.embedding[i] * c.embedding[i])) / (q.nrm * c.nrm) AS rel
+         |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+         |  WHERE q.nrm > 0 AND c.nrm > 0),
+         |cand AS (
+         |  SELECT query_id, neighbor_id, rel FROM (
+         |    SELECT query_id, neighbor_id, rel,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY rel DESC, neighbor_id ASC) AS rnk
+         |    FROM scored)
+         |  WHERE rnk <= 25),
+         |pair AS (
+         |  SELECT a.query_id, a.neighbor_id AS i, b.neighbor_id AS j,
+         |         list_sum(list_transform(range(1, 65),
+         |           x -> va.embedding[x] * vb.embedding[x])) / (va.nrm * vb.nrm) AS s
+         |  FROM cand a
+         |  JOIN cand b ON a.query_id = b.query_id
+         |             AND a.neighbor_id <> b.neighbor_id
+         |  JOIN e va ON va.vec_id = a.neighbor_id
+         |  JOIN e vb ON vb.vec_id = b.neighbor_id),
+         |sel1 AS (
+         |  SELECT query_id, neighbor_id AS nid FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY rel DESC, neighbor_id ASC) AS rn
+         |    FROM cand)
+         |  WHERE rn = 1),
+         |acc1 AS (SELECT query_id, nid, 1 AS mmr_rank FROM sel1),
+         |${(2 to 5).map(step).mkString("\n")}
+         |fin AS (SELECT 1)
+         |SELECT query_id, nid AS neighbor_id, mmr_rank FROM acc5""".stripMargin
+      }
+
 }

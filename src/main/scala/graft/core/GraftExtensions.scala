@@ -87,6 +87,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "centroid id (PQ encode kernel; codebook must be foldable)"),
       (exprs: Seq[Expression]) => graft.functions.VectorExpressions.PqArgmin(
         exprs.head, graft.functions.VectorExpressions.foldCodebook(exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("kll_sketch"),
+      info("kll_sketch",
+        "kll_sketch(x, k) - mergeable KLL quantile sketch (bytes)"),
+      (exprs: Seq[Expression]) => graft.functions.KllExpressions.KllSketchAgg(
+        org.apache.spark.sql.catalyst.expressions.Cast(exprs.head,
+          org.apache.spark.sql.types.DoubleType),
+        exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          .asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("kll_merge"),
+      info("kll_merge",
+        "kll_merge(sketch) - union KLL sketches (rollup without rescan)"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.KllExpressions.KllMergeAgg(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("kll_quantile"),
+      info("kll_quantile",
+        "kll_quantile(sketch, q) - quantile element from a KLL sketch"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.KllExpressions.KllQuantile(exprs.head,
+          org.apache.spark.sql.catalyst.expressions.Cast(exprs(1),
+            org.apache.spark.sql.types.DoubleType))))
+    ext.injectFunction((
+      FunctionIdentifier("kll_count"),
+      info("kll_count",
+        "kll_count(sketch) - exact item count a KLL sketch absorbed"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.KllExpressions.KllCount(exprs.head)))
     // size(array_intersect(array_sort(array_distinct(x)), ...)) →
     // allocation-free merge scan; see graft.plans.IntersectCountRewrite
     ext.injectOptimizerRule(_ => graft.plans.IntersectCountRewrite)

@@ -1,0 +1,357 @@
+package graft.functions
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.graftbridge.{Bridge => ExpressionUtils}
+import org.apache.spark.sql.types._
+
+/** Mergeable streaming quantile sketch (KLL, Karnin-Lang-Liberty 2016)
+  * as a native `TypedImperativeAggregate` — the percentile analog of
+  * the KMV distinct sketch in [[graft.operators.Profiling]]: build a
+  * tiny per-group (or per-shard) sketch in ONE map-combined pass,
+  * persist the bytes next to the shard manifest, and answer any
+  * later quantile question — including over COARSER groupings, via
+  * [[KllExpressions.kll_merge]] — without rescanning the corpus.
+  *
+  * Why not `approx_percentile`: Spark's built-in answers one query
+  * and throws the sketch away — there is no way to store it, ship it,
+  * or union two of them. At the 100 TB target the whole point of a
+  * sketch is that the expensive pass is paid once per shard
+  * generation and every later consumer pays O(k log n) bytes, so the
+  * sketch itself must be a first-class, mergeable column value.
+  *
+  * Algorithm: a stack of buffers ("compactors"); level `h` holds
+  * items of weight `2^h`. A full level sorts, keeps every other item
+  * (parity alternates deterministically via a compaction counter —
+  * no RNG, so a given input ORDER reproduces bit-identically), and
+  * promotes the survivors one level up; capacities shrink
+  * geometrically (ratio 2/3, floor 2) below the top so total state
+  * is O(k) with rank error ~1.65/k in expectation. Merging
+  * concatenates levels and re-compacts — associative up to the rank
+  * guarantee, which is what the qsk1/qsk2 oracle contracts verify
+  * empirically (the returned element's true rank must sit within
+  * eps*n of the target; the element itself is order-dependent, which
+  * is why the contract — not the estimate — is the tested output,
+  * same pattern as pf3/pf10).
+  *
+  * Scale shape: partial aggregation means every map task forwards one
+  * O(k)-byte state per group, the reduce side merges byte blobs, and
+  * nothing about the input size survives into the shuffle. Reference
+  * analog: none (the reference has no sketching); this is a
+  * beyond-parity primitive for the LLM-pipeline profiling surface.
+  */
+object KllSketch {
+
+  /** Mutable aggregation state. `k` is the top-level capacity knob. */
+  final class State(val k: Int) {
+    var count: Long = 0L
+    // deterministic compaction-parity counter (replaces the paper's
+    // coin flip; Date/random are unavailable and reproducibility is
+    // a house rule)
+    var parity: Long = 0L
+    val levels: ArrayBuffer[ArrayBuffer[Double]] = ArrayBuffer.empty
+  }
+
+  private def capacity(k: Int, nLevels: Int, h: Int): Int = {
+    // top level gets k, each level below shrinks by 2/3
+    val raw = k * math.pow(2.0 / 3.0, (nLevels - 1 - h).toDouble)
+    math.max(2, math.ceil(raw).toInt)
+  }
+
+  def update(s: State, v: Double): Unit = {
+    if (s.levels.isEmpty) s.levels += ArrayBuffer.empty[Double]
+    s.levels(0) += v
+    s.count += 1L
+    compress(s)
+  }
+
+  def merge(a: State, b: State): State = {
+    if (b.count == 0L) return a
+    if (a.count == 0L && a.levels.isEmpty && b.levels.nonEmpty) {
+      // adopt b wholesale into a fresh a (k must agree; enforced by
+      // the aggregate constructors)
+      b.levels.foreach(l => a.levels += l.clone())
+      a.count = b.count
+      a.parity = b.parity
+      return a
+    }
+    while (a.levels.size < b.levels.size) a.levels += ArrayBuffer.empty[Double]
+    var h = 0
+    while (h < b.levels.size) { a.levels(h) ++= b.levels(h); h += 1 }
+    a.count += b.count
+    a.parity += b.parity
+    compress(a)
+    a
+  }
+
+  private def compress(s: State): Unit = {
+    var again = true
+    while (again) {
+      again = false
+      var h = 0
+      while (h < s.levels.size) {
+        if (s.levels(h).size > capacity(s.k, s.levels.size, h)) {
+          compactLevel(s, h)
+          again = true
+        }
+        h += 1
+      }
+    }
+  }
+
+  private def compactLevel(s: State, h: Int): Unit = {
+    val buf = s.levels(h)
+    buf.sortInPlace()
+    val odd = buf.size % 2 == 1
+    val pairs = buf.size / 2
+    val off = (s.parity & 1L).toInt
+    s.parity += 1L
+    if (s.levels.size == h + 1) s.levels += ArrayBuffer.empty[Double]
+    val up = s.levels(h + 1)
+    var j = 0
+    while (j < pairs) { up += buf(2 * j + off); j += 1 }
+    // an odd leftover keeps its weight and stays behind
+    val leftover = if (odd) buf.last else 0.0
+    buf.clear()
+    if (odd) buf += leftover
+  }
+
+  /** Smallest retained item whose cumulative weight reaches
+    * `ceil(q*count)`. Returns NaN on an empty sketch. Every retained
+    * item is an ORIGINAL input (compaction keeps subsets), so the
+    * result is always an element of the aggregated stream. */
+  def quantile(s: State, q: Double): Double = {
+    if (s.count == 0L) return Double.NaN
+    val items = ArrayBuffer.empty[(Double, Long)]
+    var h = 0
+    while (h < s.levels.size) {
+      val w = 1L << h
+      s.levels(h).foreach(v => items += ((v, w)))
+      h += 1
+    }
+    val sorted = items.sortBy(_._1)
+    val target = math.max(1L, math.min(s.count, math.ceil(q * s.count).toLong))
+    var cum = 0L
+    var i = 0
+    while (i < sorted.size) {
+      cum += sorted(i)._2
+      if (cum >= target) return sorted(i)._1
+      i += 1
+    }
+    sorted.last._1
+  }
+
+  def serialize(s: State): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(s.k)
+    out.writeLong(s.count)
+    out.writeLong(s.parity)
+    out.writeInt(s.levels.size)
+    s.levels.foreach { l =>
+      out.writeInt(l.size)
+      l.foreach(out.writeDouble)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def deserialize(bytes: Array[Byte]): State = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val s = new State(in.readInt())
+    s.count = in.readLong()
+    s.parity = in.readLong()
+    val nLevels = in.readInt()
+    var h = 0
+    while (h < nLevels) {
+      val n = in.readInt()
+      val buf = new ArrayBuffer[Double](n)
+      var i = 0
+      while (i < n) { buf += in.readDouble(); i += 1 }
+      s.levels += buf
+      h += 1
+    }
+    s
+  }
+
+  // static entry points for generated code
+  def quantileBytes(bytes: Array[Byte], q: Double): Double =
+    quantile(deserialize(bytes), q)
+  def countBytes(bytes: Array[Byte]): Long = deserialize(bytes).count
+}
+
+object KllExpressions {
+
+  /** `kll_sketch(value, k)` — aggregate a double column into KLL
+    * sketch bytes. NULLs are skipped (a null is not a value). */
+  case class KllSketchAgg(child: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllSketch.State]
+    with UnaryLike[Expression] {
+    require(k >= 8, s"KLL needs k >= 8 for a usable estimator: $k")
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == DoubleType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"kll_sketch requires a double input, got ${child.dataType.catalogString}")
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    override def prettyName: String = "kll_sketch"
+
+    override def createAggregationBuffer(): KllSketch.State = new KllSketch.State(k)
+    override def update(buffer: KllSketch.State, input: InternalRow): KllSketch.State = {
+      val v = child.eval(input)
+      if (v != null) KllSketch.update(buffer, v.asInstanceOf[Double])
+      buffer
+    }
+    override def merge(buffer: KllSketch.State, other: KllSketch.State): KllSketch.State =
+      KllSketch.merge(buffer, other)
+    override def eval(buffer: KllSketch.State): Any = KllSketch.serialize(buffer)
+    override def serialize(buffer: KllSketch.State): Array[Byte] =
+      KllSketch.serialize(buffer)
+    override def deserialize(storageFormat: Array[Byte]): KllSketch.State =
+      KllSketch.deserialize(storageFormat)
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): KllSketchAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): KllSketchAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(newChild: Expression): KllSketchAgg =
+      copy(child = newChild)
+  }
+
+  /** `kll_merge(sketch_bytes)` — union previously built sketches
+    * (the rollup path: per-shard/per-source sketch rows -> coarser
+    * grouping with no corpus rescan). Sketches must share `k`. */
+  case class KllMergeAgg(child: Expression,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllSketch.State]
+    with UnaryLike[Expression] {
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == BinaryType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"kll_merge requires kll_sketch bytes, got ${child.dataType.catalogString}")
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    override def prettyName: String = "kll_merge"
+
+    // sentinel: k adopted from the first merged sketch
+    override def createAggregationBuffer(): KllSketch.State = new KllSketch.State(0)
+
+    private def adoptOrMerge(buffer: KllSketch.State,
+        other: KllSketch.State): KllSketch.State = {
+      if (other.count == 0L && other.levels.isEmpty) buffer
+      else if (buffer.k == 0) other
+      else {
+        require(buffer.k == other.k,
+          s"kll_merge: mixed sketch parameters k=${buffer.k} vs k=${other.k}")
+        KllSketch.merge(buffer, other)
+      }
+    }
+
+    override def update(buffer: KllSketch.State, input: InternalRow): KllSketch.State = {
+      val v = child.eval(input)
+      if (v == null) buffer
+      else adoptOrMerge(buffer, KllSketch.deserialize(v.asInstanceOf[Array[Byte]]))
+    }
+    override def merge(buffer: KllSketch.State, other: KllSketch.State): KllSketch.State =
+      adoptOrMerge(buffer, other)
+    override def eval(buffer: KllSketch.State): Any = KllSketch.serialize(buffer)
+    override def serialize(buffer: KllSketch.State): Array[Byte] =
+      KllSketch.serialize(buffer)
+    override def deserialize(storageFormat: Array[Byte]): KllSketch.State =
+      KllSketch.deserialize(storageFormat)
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): KllMergeAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): KllMergeAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildInternal(newChild: Expression): KllMergeAgg =
+      copy(child = newChild)
+  }
+
+  /** `kll_quantile(sketch_bytes, q)` — read one quantile (an actual
+    * stream element; NaN on an empty sketch). Runs per GROUP row, so
+    * the static-call codegen path is cold by construction. */
+  case class KllQuantile(left: Expression, right: Expression)
+    extends BinaryExpression {
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (left.dataType == BinaryType && right.dataType == DoubleType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"kll_quantile requires (binary, double), got " +
+          s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "kll_quantile"
+    override protected def nullSafeEval(sketch: Any, q: Any): Any =
+      KllSketch.quantileBytes(sketch.asInstanceOf[Array[Byte]],
+        q.asInstanceOf[Double])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (b, q) =>
+        s"graft.functions.KllSketch.quantileBytes($b, $q)")
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression): KllQuantile = copy(left = newLeft, right = newRight)
+  }
+
+  /** `kll_count(sketch_bytes)` — exact item count the sketch absorbed
+    * (compaction preserves total weight, so this is lossless; lets a
+    * rollup assert merged_n == sum of part counts). */
+  case class KllCount(child: Expression)
+    extends UnaryExpression {
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == BinaryType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"kll_count requires kll_sketch bytes, got ${child.dataType.catalogString}")
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "kll_count"
+    override protected def nullSafeEval(sketch: Any): Any =
+      KllSketch.countBytes(sketch.asInstanceOf[Array[Byte]])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, b => s"graft.functions.KllSketch.countBytes($b)")
+    override protected def withNewChildInternal(newChild: Expression): KllCount =
+      copy(child = newChild)
+  }
+
+  /** Runtime registration for an existing session (the
+    * `TextExpressions.registerAll` path; `GraftExtensions` covers
+    * build-time injection). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("kll_sketch",
+      exprs => KllSketchAgg(Cast(exprs.head, DoubleType),
+        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("kll_merge",
+      exprs => KllMergeAgg(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("kll_quantile",
+      exprs => KllQuantile(exprs.head, Cast(exprs(1), DoubleType)), "scala_udf")
+    reg.createOrReplaceTempFunction("kll_count",
+      exprs => KllCount(exprs.head), "scala_udf")
+  }
+
+  def kll_sketch(c: Column, k: Int): Column =
+    ExpressionUtils.column(
+      KllSketchAgg(ExpressionUtils.expression(c.cast("double")), k)
+        .toAggregateExpression())
+  def kll_merge(c: Column): Column =
+    ExpressionUtils.column(
+      KllMergeAgg(ExpressionUtils.expression(c)).toAggregateExpression())
+  def kll_quantile(sketch: Column, q: Double): Column =
+    ExpressionUtils.column(KllQuantile(ExpressionUtils.expression(sketch),
+      Literal(q, DoubleType)))
+  def kll_count(sketch: Column): Column =
+    ExpressionUtils.column(KllCount(ExpressionUtils.expression(sketch)))
+}

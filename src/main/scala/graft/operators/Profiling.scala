@@ -625,4 +625,59 @@ object Profiling {
           .as("jaccard"))
       .withColumn("est_intersect", col("jaccard") * col("est_union"))
   }
+
+  /** Content-addressed shard manifest — the reproducibility record a
+    * training run pins next to its data: one row per shard with
+    * counts, char/token totals, the id range, and an
+    * order-independent content digest (the [[DataQuality.tableChecksum]]
+    * md5-xor construction, engine-portable by design). Two corpus
+    * generations are byte-identical iff their manifests are equal —
+    * a manifest diff localizes WHICH shards changed without reading
+    * either corpus (pair with `dq7`'s checksumCompare for the
+    * verdict report).
+    *
+    * Sharding is `id % nShards` — deterministic and replayable by
+    * any engine; swap a hash in via a derived column when ids are
+    * not uniform. Scale shape: one map-combined aggregation, output
+    * is nShards rows; the digest XOR is order-free so no sort and no
+    * per-shard collection ever materializes. */
+  def shardManifest(df: DataFrame, idCol: String, textCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1: $nShards")
+    val canon = concat_ws("\u001f",
+      coalesce(col(idCol).cast("string"), lit("\u0001")),
+      coalesce(col(textCol), lit("\u0001")))
+    val rowHash = conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
+    df.select(pmod(col(idCol), lit(nShards)).cast("long").as("shard_id"),
+        col(idCol).as("__id"), length(col(textCol)).as("__nc"),
+        size(toks).as("__nt"), rowHash.as("__h"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__nc").as("n_chars"),
+        sum("__nt").as("n_tokens"),
+        min("__id").as("min_id"),
+        max("__id").as("max_id"),
+        expr("bit_xor(__h)").as("digest"))
+  }
+
+  /** Diff two [[shardManifest]]s (corpus generations A and B): one
+    * row per shard on either side, with both counts and the
+    * count/digest verdicts. The whole comparison moves 2×nShards
+    * manifest rows — never corpus data — which is what makes "did
+    * anything change, and where" an O(shards) question at 100 TB.
+    * A missing shard reports zero docs and a false digest_ok. */
+  def manifestDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val l = a.select(col("shard_id"), col("n_docs").as("n_docs_a"),
+      col("digest").as("digest_a"))
+    val r = b.select(col("shard_id"), col("n_docs").as("n_docs_b"),
+      col("digest").as("digest_b"))
+    l.join(r, Seq("shard_id"), "full_outer")
+      .select(col("shard_id"),
+        coalesce(col("n_docs_a"), lit(0L)).as("n_docs_a"),
+        coalesce(col("n_docs_b"), lit(0L)).as("n_docs_b"),
+        (coalesce(col("n_docs_a"), lit(0L)) ===
+          coalesce(col("n_docs_b"), lit(0L))).as("count_ok"),
+        (col("digest_a") <=> col("digest_b")).as("digest_ok"))
+  }
 }

@@ -237,4 +237,81 @@ object Retrieval {
       .select(col("query_id"), col("neighbor_id"),
         round(col("score"), 6).as("rrf_score"), col("rank"))
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell/Goldstein 1998)
+    * — the standard diversity pass between candidate retrieval and
+    * consumption: greedily pick `k` of each query's candidates,
+    * scoring every unpicked candidate `lambda*rel - (1-lambda)*
+    * max_sim_to_already_picked`, so near-duplicate candidates can't
+    * monopolize a result list (retrieval's cousin of SemDeDup — there
+    * the near-dups leave the corpus, here they leave the top-k).
+    *
+    * `candidates`: (query_id, neighbor_id, cosine) from ANY retriever
+    * — [[graft.operators.Similarity.bruteForceTopK]] as the exact
+    * yardstick, `ivfTopK` at scale. `corpus` supplies vectors for the
+    * candidate-vs-candidate similarity.
+    *
+    * Shape: the greedy chain is inherently sequential in k, but ONLY
+    * in k — each of the k-1 rounds is one distributed pass over all
+    * queries at once (anti-join picked, one keyed max over the
+    * candidate-pair frame, one per-query argmax window), so a million
+    * queries re-rank in the same k rounds as ten. The pairwise frame
+    * is |Q|*pool^2 rows — pool-bounded per query, never corpus-bounded
+    * — built once and reused by every round. Per-round frames are
+    * |Q|*k-sized; both ends of the loop pin with `localCheckpoint`
+    * (bounded class — see PERF.md materialization notes). Ties break
+    * to the smaller neighbor id everywhere, so the chain is
+    * deterministic end to end. */
+  def mmrRerank(candidates: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, lambda: Double = 0.7): DataFrame = {
+    require(k >= 1, s"mmrRerank needs k >= 1: $k")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"lambda must be in [0,1]: $lambda")
+    val cand = candidates.select(col("query_id"), col("neighbor_id"),
+      col("cosine").cast("double").as("rel")).localCheckpoint()
+    val cv = corpus.select(col(idCol).as("__vid"), col(vecCol).as("__vec"),
+      Similarity.l2norm(col(vecCol)).as("__nrm"))
+    val withVec = cand.join(cv, cand("neighbor_id") === cv("__vid"))
+      .select(col("query_id"), col("neighbor_id"), col("__vec"), col("__nrm"))
+    val a = withVec.select(col("query_id"), col("neighbor_id").as("i"),
+      col("__vec").as("va"), col("__nrm").as("na"))
+    val b = withVec.select(col("query_id"), col("neighbor_id").as("j"),
+      col("__vec").as("vb"), col("__nrm").as("nb"))
+    // candidate-vs-candidate cosine, |Q|*pool^2 rows, built ONCE
+    val pair = a.join(b, Seq("query_id"))
+      .filter(col("i") =!= col("j"))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .select(col("query_id"), col("i"), col("j"),
+        (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+          .as("s"))
+      .localCheckpoint()
+    val firstW = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("neighbor_id").asc)
+    var sel = cand.withColumn("__rn", row_number().over(firstW))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("mmr_rank"))
+      .localCheckpoint()
+    var i = 2
+    while (i <= k) {
+      val remaining = cand.join(sel.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val msim = pair.join(
+          sel.select(col("query_id"), col("neighbor_id").as("j")),
+          Seq("query_id", "j"))
+        .groupBy(col("query_id"), col("i"))
+        .agg(max(col("s")).as("msim"))
+        .withColumnRenamed("i", "neighbor_id")
+      val scored = remaining.join(msim, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("mmr", lit(lambda) * col("rel") -
+          lit(1.0 - lambda) * coalesce(col("msim"), lit(0.0)))
+      val pickW = Window.partitionBy("query_id")
+        .orderBy(col("mmr").desc, col("neighbor_id").asc)
+      val pick = scored.withColumn("__rn", row_number().over(pickW))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), lit(i).as("mmr_rank"))
+      sel = sel.unionByName(pick).localCheckpoint()
+      i += 1
+    }
+    sel
+  }
 }

@@ -23,6 +23,7 @@ object Probe {
     if (args.headOption.contains("r10state")) { r10state(spark, dir); spark.stop(); return }
     if (args.headOption.contains("r10price")) { r10price(spark, dir); spark.stop(); return }
     if (args.headOption.contains("r11price")) { r11price(spark, dir); spark.stop(); return }
+    if (args.headOption.contains("r11b")) { r11b(spark, dir); spark.stop(); return }
     if (args.headOption.contains("r7pipe")) { r7pipe(spark, dir); spark.stop(); return }
     if (args.headOption.contains("jdbcYardstick")) { jdbcYardstick(spark, dir); spark.stop(); return }
     if (args.headOption.contains("dd4")) { dd4(spark, dir); spark.stop(); return }
@@ -1484,5 +1485,59 @@ object Probe {
     timed("pqEncode full corpus (compact codegen kernel)")(
       graft.operators.Similarity.pqEncode(
         emb, "vec_id", "embedding", books).count())
+  }
+
+  /** Second r11 batch: price the round's NEW operators (KLL sketch,
+    * shard manifest, MMR) against their exact siblings and across
+    * their scale knobs. */
+  def r11b(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    def timed(label: String)(f: => Long): Unit = {
+      val t = System.nanoTime(); val n = f
+      println(f"=== r11b $label: ${(System.nanoTime() - t) / 1e9}%.2fs ($n rows)")
+    }
+    val K = graft.functions.KllExpressions
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.count() // warm
+
+    // ---- KLL sketch vs the exact percentile it replaces, same
+    // grouping, same pass count (both one partial-agg shuffle; exact
+    // holds every value per group in the agg buffer, the sketch O(k))
+    timed("exact percentile(q50,q90) per lang")(
+      docs.groupBy("lang").agg(
+        expr("percentile(n_chars, 0.5)"), expr("percentile(n_chars, 0.9)"))
+        .count())
+    timed("kll_sketch(k=200) + quantiles per lang")(
+      docs.groupBy("lang")
+        .agg(K.kll_sketch(col("n_chars").cast("double"), 200).as("sk"))
+        .select(K.kll_quantile(col("sk"), 0.5), K.kll_quantile(col("sk"), 0.9))
+        .count())
+    // the rollup: per-(lang,source) sketches once, per-lang via merge
+    val parts = docs.groupBy("lang", "source")
+      .agg(K.kll_sketch(col("n_chars").cast("double"), 200).as("sk"))
+      .localCheckpoint(true)
+    timed("kll_merge rollup from 100 persisted part sketches")(
+      parts.groupBy("lang").agg(K.kll_merge(col("sk")).as("m"))
+        .select(K.kll_quantile(col("m"), 0.5)).count())
+
+    // ---- manifest: one partial-agg corpus pass; diff moves 2×16 rows
+    timed("man1 shardManifest (16 shards, full corpus)")(
+      graft.operators.Profiling.shardManifest(docs, "doc_id", "text", 16)
+        .count())
+    timed("man2 manifestDiff (both generations + diff)")(
+      graft.SparkEntry.queries("man2_manifest_diff")(spark, dir).count())
+
+    // ---- MMR: wall must track |Q| x pool^2 (the pair frame), never
+    // the corpus — pool doubles ~ 4x pair rows
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    emb.count()
+    for (pool <- Seq(25, 50, 100)) {
+      val cand = graft.operators.Similarity.bruteForceTopK(
+        emb.filter("vec_id < 10"), emb, "vec_id", "embedding", pool)
+      timed(s"mmr k=5 pool=$pool (pair frame ${10 * pool * pool} rows)")(
+        graft.operators.Retrieval.mmrRerank(
+          cand, emb, "vec_id", "embedding", 5, 0.5).count())
+    }
+    timed("mmr2 over full-probe IVF candidates (pool=25)")(
+      graft.SparkEntry.queries("mmr2_diversified_ivf")(spark, dir).count())
   }
 }

@@ -631,4 +631,26 @@ class PlanSpec extends SparkTestBase {
     val pf = planOf("fim1_fill_in_middle")
     assert(!pf.contains("Exchange"), s"fim1 shuffles:\n$pf")
   }
+
+  test("r11 sketch/manifest/MMR queries: partial aggregation, keyed joins") {
+    // qsk1: the KLL TypedImperativeAggregate must aggregate PARTIALLY
+    // before the shuffle (ObjectHashAggregate partial + final) — the
+    // whole point of a mergeable sketch is that only O(k)-byte states
+    // cross the exchange, never values
+    val pq = planOf("qsk1_kll_quantiles")
+    assert("ObjectHashAggregate".r.findAllIn(pq).size >= 2, s"qsk1:\n$pq")
+    assert(pq.contains("partial_kll_sketch") || pq.contains("kll_sketch"),
+      s"qsk1 sketch agg missing:\n$pq")
+    // man1: one partial-agg pass over the corpus, no join anywhere
+    val pm = planOf("man1_shard_manifest")
+    assert("HashAggregate".r.findAllIn(pm).size >= 2, s"man1:\n$pm")
+    assert(!pm.contains("Join"), s"man1 joins:\n$pm")
+    // mmr1: candidate-pair frames are localCheckpoint-pinned, so the
+    // final plan must read scans/in-memory relations with keyed joins
+    // only — a cartesian or nested-loop would mean a pool^2 blowup
+    // re-derived per round instead of the pinned bounded frame
+    val px = planOf("mmr1_diversified_topk")
+    assert(!px.contains("CartesianProduct") &&
+      !px.contains("BroadcastNestedLoopJoin"), s"mmr1:\n$px")
+  }
 }

@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class KllSketchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // deterministic "shuffled" stream: multiplicative-hash ordering of
+  // 1..n (no RNG — house rule)
+  private def stream(n: Int): Seq[Double] =
+    (1 to n).sortBy(i => (i * 2654435761L) % 4294967296L).map(_.toDouble)
+
+  private def rankOf(est: Double, n: Int): Int = (1 to n).count(_ <= est)
+
+  test("rank error stays within eps*n across quantiles (10k stream, k=200)") {
+    val n = 10000
+    val s = new KllSketch.State(200)
+    stream(n).foreach(KllSketch.update(s, _))
+    assert(s.count == n)
+    for (q <- Seq(0.01, 0.25, 0.5, 0.75, 0.99)) {
+      val est = KllSketch.quantile(s, q)
+      assert(est == est.floor && est >= 1 && est <= n,
+        s"estimate must be a stream element: $est")
+      val err = math.abs(rankOf(est, n) - q * n)
+      assert(err <= 0.03 * n, s"q=$q est=$est rank err $err > ${0.03 * n}")
+    }
+  }
+
+  test("merge preserves count exactly and keeps the rank bound") {
+    val n = 9973 // prime: uneven chunking
+    val all = stream(n)
+    val chunks = all.grouped(1500).toSeq
+    val sketches = chunks.map { c =>
+      val s = new KllSketch.State(200)
+      c.foreach(KllSketch.update(s, _))
+      s
+    }
+    // fold in a scrambled order — merge must not care
+    val order = sketches.indices.sortBy(i => (i * 7 + 3) % sketches.size)
+    val merged = order.map(sketches).reduceLeft(KllSketch.merge)
+    assert(merged.count == n)
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val est = KllSketch.quantile(merged, q)
+      val err = math.abs(rankOf(est, n) - q * n)
+      assert(err <= 0.04 * n, s"merged q=$q est=$est rank err $err")
+    }
+  }
+
+  test("serialize/deserialize round-trips state and quantiles") {
+    val s = new KllSketch.State(64)
+    stream(5000).foreach(KllSketch.update(s, _))
+    val back = KllSketch.deserialize(KllSketch.serialize(s))
+    assert(back.count == s.count && back.k == s.k)
+    for (q <- Seq(0.2, 0.5, 0.8))
+      assert(KllSketch.quantile(back, q) == KllSketch.quantile(s, q))
+    assert(KllSketch.countBytes(KllSketch.serialize(s)) == 5000L)
+  }
+
+  test("empty and tiny sketches: NaN on empty, exact below capacity") {
+    val empty = new KllSketch.State(32)
+    assert(KllSketch.quantile(empty, 0.5).isNaN)
+    val tiny = new KllSketch.State(200)
+    Seq(5.0, 1.0, 3.0).foreach(KllSketch.update(tiny, _))
+    // everything fits level 0: quantiles are exact order statistics
+    assert(KllSketch.quantile(tiny, 0.0) == 1.0)
+    assert(KllSketch.quantile(tiny, 0.5) == 3.0)
+    assert(KllSketch.quantile(tiny, 1.0) == 5.0)
+  }
+
+  test("DataFrame aggregate: per-group sketch bounds hold, NULLs skipped") {
+    val df = (1 to 4000)
+      .map(i => (if (i % 2 == 0) "a" else "b", Option(i.toDouble)))
+      .toDF("g", "v")
+      .unionByName(Seq(("a", None: Option[Double])).toDF("g", "v"))
+    val K = KllExpressions
+    val sk = df.groupBy("g").agg(K.kll_sketch(col("v"), 200).as("sk"))
+      .select(col("g"), K.kll_count(col("sk")).as("n"),
+        K.kll_quantile(col("sk"), 0.5).as("q50"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(sk("a")._1 == 2000L && sk("b")._1 == 2000L) // null skipped
+    // group a = evens 2..4000, group b = odds 1..3999; median within 3%
+    assert(math.abs(sk("a")._2 - 2000.0) <= 0.03 * 4000)
+    assert(math.abs(sk("b")._2 - 2000.0) <= 0.03 * 4000)
+  }
+
+  test("kll_merge rollup equals one-shot sketch contract; mixed k rejected") {
+    val df = (1 to 6000).map(i => (s"p${i % 5}", i.toDouble)).toDF("p", "v")
+    val K = KllExpressions
+    val parts = df.groupBy("p").agg(K.kll_sketch(col("v"), 128).as("sk"))
+    val rolled = parts.agg(K.kll_merge(col("sk")).as("m"))
+      .select(K.kll_count(col("m")).as("n"),
+        K.kll_quantile(col("m"), 0.5).as("q50"))
+      .head()
+    assert(rolled.getLong(0) == 6000L)
+    assert(math.abs(rolled.getDouble(1) - 3000.0) <= 0.04 * 6000)
+    val bad = df.limit(100).agg(K.kll_sketch(col("v"), 128).as("a"))
+      .crossJoin(df.limit(100).agg(K.kll_sketch(col("v"), 64).as("b")))
+      .select(explode(array(col("a"), col("b"))).as("sk"))
+      .agg(K.kll_merge(col("sk")))
+    val err = intercept[Exception](bad.collect())
+    assert(err.getMessage != null)
+  }
+
+  test("SQL registration: kll_* usable from spark.sql") {
+    KllExpressions.registerAll(spark)
+    spark.range(1, 1001).selectExpr("CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("kll_probe")
+    val r = spark.sql(
+      """SELECT kll_count(sk) AS n, kll_quantile(sk, 0.5) AS q50
+        |FROM (SELECT kll_sketch(v, 200) AS sk FROM kll_probe)""".stripMargin)
+      .head()
+    assert(r.getLong(0) == 1000L)
+    assert(math.abs(r.getDouble(1) - 500.0) <= 40.0)
+    spark.catalog.dropTempView("kll_probe")
+  }
+}

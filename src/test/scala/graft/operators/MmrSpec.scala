@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class MmrSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("exact-duplicate candidate is demoted below a diverse one") {
+    // q points at c1; c2 IS c1 (cosine 1.0 to it); c3 is weaker but
+    // diverse. Plain top-3: c1, c2, c3. MMR(0.5): after picking c1,
+    // c2 scores 0.5*(rel-1.0) < c3's 0.5*(rel3-sim(c3,c1))
+    val vecs = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.95f, 0.312f, 0.0f)),
+      (2L, Array(0.95f, 0.312f, 0.0f)),
+      (3L, Array(0.8f, -0.192f, 0.5685f)))
+      .toDF("vec_id", "embedding")
+    val cand = Similarity.bruteForceTopK(
+      vecs.filter("vec_id = 100"), vecs, "vec_id", "embedding", 10)
+    val out = Retrieval.mmrRerank(cand, vecs, "vec_id", "embedding",
+        k = 3, lambda = 0.5)
+      .orderBy("mmr_rank").collect()
+      .map(r => (r.getLong(1), r.getInt(2)))
+    assert(out.head == ((1L, 1))) // highest rel, smaller id than its twin
+    assert(out(1) == ((3L, 2))) // diversity beats the duplicate
+    assert(out(2) == ((2L, 3)))
+  }
+
+  test("matches a local greedy reference on real embeddings") {
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+    val cand = Similarity.bruteForceTopK(
+      e.filter("vec_id < 5"), e, "vec_id", "embedding", 10)
+    val out = Retrieval.mmrRerank(cand, e, "vec_id", "embedding",
+        k = 4, lambda = 0.5)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+
+    val vecs = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val pool = cand.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .groupBy(_._1)
+    pool.foreach { case (q, rows) =>
+      val rel = rows.map(r => r._2 -> r._3).toMap
+      var selected = Vector.empty[Long]
+      (1 to 4).foreach { _ =>
+        val remaining = rel.keys.filterNot(selected.contains).toSeq
+        val pick = remaining.minBy { c =>
+          val msim = if (selected.isEmpty) 0.0
+            else selected.map(sid => cos(vecs(c), vecs(sid))).max
+          (-(0.5 * rel(c) - 0.5 * msim), c)
+        }
+        selected :+= pick
+      }
+      selected.zipWithIndex.foreach { case (nid, i) =>
+        assert(out((q, i + 1)) == nid,
+          s"query $q rank ${i + 1}: engine ${out((q, i + 1))} vs reference $nid")
+      }
+    }
+  }
+
+  test("rank 1 is the plain top-rel candidate; pool smaller than k") {
+    val vecs = Seq(
+      (50L, Array(0.0f, 1.0f)),
+      (7L, Array(0.1f, 0.9f)),
+      (8L, Array(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val cand = Similarity.bruteForceTopK(
+      vecs.filter("vec_id = 50"), vecs, "vec_id", "embedding", 10)
+    val out = Retrieval.mmrRerank(cand, vecs, "vec_id", "embedding",
+        k = 5, lambda = 0.5)
+      .orderBy("mmr_rank").collect()
+    assert(out.length == 2) // pool exhausts before k
+    assert(out.head.getLong(1) == 7L && out.head.getInt(2) == 1)
+    assert(out(1).getLong(1) == 8L)
+  }
+
+  test("lambda bounds and k validated") {
+    val vecs = Seq((1L, Array(1.0f))).toDF("vec_id", "embedding")
+    val cand = vecs.select(col("vec_id").as("query_id"),
+      col("vec_id").as("neighbor_id"), lit(1).as("rank"),
+      lit(1.0).as("cosine"))
+    intercept[IllegalArgumentException] {
+      Retrieval.mmrRerank(cand, vecs, "vec_id", "embedding", 0, 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.mmrRerank(cand, vecs, "vec_id", "embedding", 1, 1.5)
+    }
+  }
+}

@@ -286,6 +286,50 @@ class ProfilingSpec extends SparkTestBase {
     assert(out2.contains(("A", "B", 1L, 2L)))
   }
 
+  test("shardManifest: counts, ranges, token totals, and digest locality") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta"), (1L, "gamma"), (2L, "  delta   epsilon  zeta "),
+      (3L, "eta"), (4L, "theta iota"), (16L, "kappa"), (17L, null))
+      .toDF("doc_id", "text")
+    val m = Profiling.shardManifest(docs, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(m.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(m(0L)._1 == 2L && m(0L)._3 == 0L && m(0L)._4 == 16L) // ids 0 and 16
+    assert(m(1L)._1 == 2L) // ids 1 and 17 (null text)
+    assert(m(2L)._2 == 3L) // whitespace runs collapse: 3 tokens
+    // digest is local: perturbing one doc changes ONLY its shard
+    val docs2 = docs.withColumn("text",
+      when(col("doc_id") === 3L, lit("eta CHANGED")).otherwise(col("text")))
+    val m2 = Profiling.shardManifest(docs2, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(6)).toMap
+    assert(m2(3L) != m(3L)._5)
+    assert(Seq(0L, 1L, 2L, 4L).forall(sh => m2(sh) == m(sh)._5))
+    // digest is order-free: a reshuffled frame produces equal manifests
+    val m3 = Profiling.shardManifest(docs.orderBy(col("text").desc_nulls_last),
+      "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(6)).toMap
+    assert(m3 == m.map { case (k, v) => k -> v._5 })
+  }
+
+  test("manifestDiff: changed/shrunk/missing shards flagged, others ok") {
+    import spark.implicits._
+    val a = Seq((0L, "x"), (1L, "y"), (2L, "z"), (16L, "w"))
+      .toDF("doc_id", "text")
+    // gen B: shard 1 text changed, shard 2 dropped entirely
+    val b = Seq((0L, "x"), (1L, "Y2"), (16L, "w")).toDF("doc_id", "text")
+    val d = Profiling.manifestDiff(
+      Profiling.shardManifest(a, "doc_id", "text", 16),
+      Profiling.shardManifest(b, "doc_id", "text", 16))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3), r.getBoolean(4))).toMap
+    assert(d(0L) == ((2L, 2L, true, true))) // ids 0+16, untouched
+    assert(d(1L) == ((1L, 1L, true, false))) // same count, new content
+    assert(d(2L) == ((1L, 0L, false, false))) // shard gone from B
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
