@@ -504,6 +504,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("j1_join_agg")(spark, "/root/testdata/sf0.001")
 
+  /** KLL contract arm (qsk1/qsk2/st26): the returned element occupies
+    * ranks [lo+1, hi]; the estimate is in bound iff the target rank
+    * ceil(q*n) sits within eps*n of that interval. eps = 0.05 is 5x
+    * the k=200 sketch's expected rank error. */
+  private def kllRankBound(lo: Column, hi: Column, q: Double,
+      n: Column): Column = {
+    val target = ceil(lit(q) * n)
+    target >= lo + 1 - lit(0.05) * n && target <= hi + lit(0.05) * n
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.1 scans / sources -------------------------------------
     "s1_scan_project" -> ((s, dir) => {
@@ -1284,15 +1294,11 @@ object SparkEntry {
           count(when(col("n_chars") <= col("__q50"), 1)).as("__hi50"),
           count(when(col("n_chars") < col("__q90"), 1)).as("__lo90"),
           count(when(col("n_chars") <= col("__q90"), 1)).as("__hi90"))
-      def inBound(lo: Column, hi: Column, q: Double, n: Column): Column = {
-        val target = ceil(lit(q) * n)
-        target >= lo + 1 - lit(0.05) * n && target <= hi + lit(0.05) * n
-      }
       sk.join(ranks, "lang").select(col("lang"), col("n_docs"),
         col("min_len"), col("max_len"),
-        inBound(col("__lo50"), col("__hi50"), 0.5, col("n_docs"))
+        kllRankBound(col("__lo50"), col("__hi50"), 0.5, col("n_docs"))
           .as("q50_in_bound"),
-        inBound(col("__lo90"), col("__hi90"), 0.9, col("n_docs"))
+        kllRankBound(col("__lo90"), col("__hi90"), 0.9, col("n_docs"))
           .as("q90_in_bound"))
     }),
 
@@ -1321,16 +1327,52 @@ object SparkEntry {
           count(when(col("n_chars") <= col("__q50"), 1)).as("__hi50"),
           count(when(col("n_chars") < col("__q90"), 1)).as("__lo90"),
           count(when(col("n_chars") <= col("__q90"), 1)).as("__hi90"))
-      def inBound(lo: Column, hi: Column, q: Double, n: Column): Column = {
-        val target = ceil(lit(q) * n)
-        target >= lo + 1 - lit(0.05) * n && target <= hi + lit(0.05) * n
-      }
       rolled.join(ranks, "lang").select(col("lang"), col("n_parts"),
         col("n_docs"),
         (col("__cnt") === col("n_docs")).as("count_preserved"),
-        inBound(col("__lo50"), col("__hi50"), 0.5, col("n_docs"))
+        kllRankBound(col("__lo50"), col("__hi50"), 0.5, col("n_docs"))
           .as("q50_in_bound"),
-        inBound(col("__lo90"), col("__hi90"), 0.9, col("n_docs"))
+        kllRankBound(col("__lo90"), col("__hi90"), 0.9, col("n_docs"))
+          .as("q90_in_bound"))
+    }),
+
+    // r11: the KLL sketch maintained at INGESTION — two real
+    // micro-batches write replay-safe per-batch PART sketches
+    // (batch_id partitions: KLL merge is not retry-idempotent, so
+    // the layout, not the merge, carries exactly-once), the fold on
+    // read must satisfy the one-shot batch sketch's contract:
+    // lossless count, rank-bounded quantiles (qsk1's oracle shape)
+    "st26_stream_kll" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = tmpDir("graft_st26")
+      val in = s"$base/in"
+      docs.filter(col("doc_id") % 2 === 0)
+        .coalesce(1).write.mode("append").parquet(in)
+      docs.filter(col("doc_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(in)
+      val schema = s.read.parquet(in).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val q = graft.streaming.EventStream.streamingKllSketch(
+        stream, "lang", col("n_chars"), 200, s"$base/store", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      val K = graft.functions.KllExpressions
+      val folded = graft.streaming.EventStream
+        .kllSketchTable(s, s"$base/store", "lang")
+        .select(col("lang"),
+          K.kll_count(col("sk")).as("n_docs"),
+          K.kll_quantile(col("sk"), 0.5).as("__q50"),
+          K.kll_quantile(col("sk"), 0.9).as("__q90"))
+      val ranks = docs.join(folded.select("lang", "__q50", "__q90"), "lang")
+        .groupBy("lang").agg(
+          count(when(col("n_chars") < col("__q50"), 1)).as("__lo50"),
+          count(when(col("n_chars") <= col("__q50"), 1)).as("__hi50"),
+          count(when(col("n_chars") < col("__q90"), 1)).as("__lo90"),
+          count(when(col("n_chars") <= col("__q90"), 1)).as("__hi90"))
+      folded.join(ranks, "lang").select(col("lang"), col("n_docs"),
+        kllRankBound(col("__lo50"), col("__hi50"), 0.5, col("n_docs"))
+          .as("q50_in_bound"),
+        kllRankBound(col("__lo90"), col("__hi90"), 0.9, col("n_docs"))
           .as("q90_in_bound"))
     }),
 
@@ -6672,6 +6714,13 @@ object SparkEntry {
     "qsk2_kll_rollup" ->
       """SELECT lang, count(DISTINCT source) AS n_parts, count(*) AS n_docs,
         |       true AS count_preserved,
+        |       true AS q50_in_bound, true AS q90_in_bound
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    // the stream fold's contract equals the batch sketch's: the
+    // lossless count IS the exact per-lang count, the bounds hold
+    "st26_stream_kll" ->
+      """SELECT lang, count(*) AS n_docs,
         |       true AS q50_in_bound, true AS q90_in_bound
         |FROM documents GROUP BY lang""".stripMargin,
 

@@ -653,6 +653,55 @@ object EventStream {
       }
       .start()
 
+  /** Streaming KLL quantile-sketch maintenance: each micro-batch's
+    * (group, value) rows become a per-group PART sketch
+    * ([[graft.functions.KllExpressions.kll_sketch]]) written ONLY to
+    * the partition `path/batch_id=<id>`; [[kllSketchTable]] folds the
+    * parts with `kll_merge` on read. The folded store after any
+    * prefix of batches satisfies the same rank-error contract as the
+    * one-shot batch sketch of their union (merge is lossless in
+    * weight, bounded in rank error), so an unbounded stream's
+    * length-distribution state lives in batches×groups O(k)-byte
+    * rows.
+    *
+    * REPLAY-SAFE BY LAYOUT, and here it is load-bearing in a way the
+    * KMV fold is not: KMV re-merging a replayed batch is a no-op
+    * (distinct hashes), but KLL merge is NOT idempotent — re-merging
+    * the same part would double those items' weight and silently
+    * shift every quantile. The per-batch partition layout makes a
+    * replay overwrite its own part with identical bytes instead
+    * (the [[streamingIvfOccupancy]] argument), so the fold stays
+    * exactly-once without reading the store in the hot path. */
+  def streamingKllSketch(stream: DataFrame, groupCol: String,
+      valueCol: org.apache.spark.sql.Column, k: Int, path: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.toDF().groupBy(groupCol)
+          .agg(graft.functions.KllExpressions
+            .kll_sketch(valueCol.cast("double"), k).as("sk"))
+          .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+      }
+      .start()
+
+  /** The folded per-group sketch view over a [[streamingKllSketch]]
+    * store: `kll_merge` of the per-batch parts. Same layout guard as
+    * [[ivfOccupancyTable]] — a flat pre-partial store would fold
+    * wrong, so its absence of `batch_id` is rejected loudly. */
+  def kllSketchTable(spark: SparkSession, path: String,
+      groupCol: String): DataFrame = {
+    val raw = spark.read.parquet(path)
+    require(raw.columns.contains("batch_id"),
+      s"KLL sketch store at $path predates the per-batch partial " +
+        "layout (no batch_id partition) - rebuild it via " +
+        "streamingKllSketch before folding")
+    raw.groupBy(org.apache.spark.sql.functions.col(groupCol))
+      .agg(graft.functions.KllExpressions.kll_merge(
+        org.apache.spark.sql.functions.col("sk")).as("sk"))
+  }
+
   /** Seed a [[streamingIvfOccupancy]] store with the training-time
     * occupancy (so zero lists persist and the fold starts from the
     * batch baseline): the seed is just the partial at `batch_id=-1`,

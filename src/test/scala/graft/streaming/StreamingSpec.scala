@@ -932,4 +932,51 @@ class StreamingSpec extends SparkTestBase {
     runAudit(s"$base/ckpt2")
     assert(rows(spark.read.parquet(s"$base/out")) == batch)
   }
+
+  test("streaming KLL fold: lossless count, bounded quantiles, replay " +
+      "overwrites its own part instead of double-weighting") {
+    import spark.implicits._
+    val K = graft.functions.KllExpressions
+    val n = 4000
+    val rows = (1 to n).map(i => (if (i % 4 == 0) "a" else "b", i.toDouble))
+    val base = java.nio.file.Files.createTempDirectory("graft_kll_st").toString
+    val in = s"$base/in"
+    rows.filter(_._2 <= n / 2).toDF("g", "v").coalesce(1)
+      .write.mode("append").parquet(in)
+    rows.filter(_._2 > n / 2).toDF("g", "v").coalesce(1)
+      .write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def runFold(ckpt: String): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val q = EventStream.streamingKllSketch(stream, "g", col("v"), 200,
+        s"$base/store", ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runFold(s"$base/ckpt1")
+    def contract(): Map[String, (Long, Double)] =
+      EventStream.kllSketchTable(spark, s"$base/store", "g")
+        .select(col("g"), K.kll_count(col("sk")).as("n"),
+          K.kll_quantile(col("sk"), 0.5).as("q50"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2))).toMap
+    val c1 = contract()
+    assert(c1("a")._1 == n / 4L && c1("b")._1 == 3L * n / 4)
+    // group medians: a = multiples of 4 (median ~2000), b = the rest
+    assert(math.abs(c1("a")._2 - n / 2.0) <= 0.05 * n)
+    assert(math.abs(c1("b")._2 - n / 2.0) <= 0.05 * n)
+    // at-least-once replay, fresh checkpoint => same batch ids: each
+    // part OVERWRITES itself; a read-modify-write fold would have
+    // doubled every weight and the counts would read 2x
+    runFold(s"$base/ckpt2")
+    val c2 = contract()
+    assert(c2("a")._1 == n / 4L && c2("b")._1 == 3L * n / 4)
+    assert(math.abs(c2("b")._2 - n / 2.0) <= 0.05 * n)
+    // layout guard: a flat pre-partial store is rejected loudly
+    val flat = s"$base/flat"
+    Seq(("a", Array[Byte](1, 2))).toDF("g", "sk").write.parquet(flat)
+    val err = intercept[IllegalArgumentException](
+      EventStream.kllSketchTable(spark, flat, "g"))
+    assert(err.getMessage.contains("batch_id"))
+  }
 }
