@@ -6711,8 +6711,14 @@ object SparkEntry {
         |       true AS q50_in_bound, true AS q90_in_bound
         |FROM documents GROUP BY lang""".stripMargin,
 
+    // n_parts counts PART SKETCHES = groupBy(lang, source) groups; a
+    // NULL source is a group on the Spark side, so the oracle must
+    // count NULL as a distinct value too (chr(1) stand-in), not skip
+    // it the way bare count(DISTINCT) would
     "qsk2_kll_rollup" ->
-      """SELECT lang, count(DISTINCT source) AS n_parts, count(*) AS n_docs,
+      """SELECT lang,
+        |       count(DISTINCT coalesce(source, chr(1))) AS n_parts,
+        |       count(*) AS n_docs,
         |       true AS count_preserved,
         |       true AS q50_in_bound, true AS q90_in_bound
         |FROM documents GROUP BY lang""".stripMargin,

@@ -58,19 +58,26 @@ object KllSketch {
     // a house rule)
     var parity: Long = 0L
     val levels: ArrayBuffer[ArrayBuffer[Double]] = ArrayBuffer.empty
+    // per-level capacities, recomputed only when a level is added —
+    // the per-row hot path must not pay a math.pow per level
+    var caps: Array[Int] = Array.empty
   }
 
-  private def capacity(k: Int, nLevels: Int, h: Int): Int = {
-    // top level gets k, each level below shrinks by 2/3
-    val raw = k * math.pow(2.0 / 3.0, (nLevels - 1 - h).toDouble)
-    math.max(2, math.ceil(raw).toInt)
+  private def recomputeCaps(s: State): Unit = {
+    val n = s.levels.size
+    s.caps = Array.tabulate(n) { h =>
+      // top level gets k, each level below shrinks by 2/3
+      val raw = s.k * math.pow(2.0 / 3.0, (n - 1 - h).toDouble)
+      math.max(2, math.ceil(raw).toInt)
+    }
   }
 
   def update(s: State, v: Double): Unit = {
-    if (s.levels.isEmpty) s.levels += ArrayBuffer.empty[Double]
+    if (s.levels.isEmpty) { s.levels += ArrayBuffer.empty[Double]; recomputeCaps(s) }
     s.levels(0) += v
     s.count += 1L
-    compress(s)
+    // O(1) hot path: a lone append can only overfill level 0
+    if (s.levels(0).size > s.caps(0)) compress(s)
   }
 
   def merge(a: State, b: State): State = {
@@ -81,9 +88,13 @@ object KllSketch {
       b.levels.foreach(l => a.levels += l.clone())
       a.count = b.count
       a.parity = b.parity
+      recomputeCaps(a)
       return a
     }
-    while (a.levels.size < b.levels.size) a.levels += ArrayBuffer.empty[Double]
+    if (a.levels.size < b.levels.size) {
+      while (a.levels.size < b.levels.size) a.levels += ArrayBuffer.empty[Double]
+      recomputeCaps(a)
+    }
     var h = 0
     while (h < b.levels.size) { a.levels(h) ++= b.levels(h); h += 1 }
     a.count += b.count
@@ -98,7 +109,7 @@ object KllSketch {
       again = false
       var h = 0
       while (h < s.levels.size) {
-        if (s.levels(h).size > capacity(s.k, s.levels.size, h)) {
+        if (s.levels(h).size > s.caps(h)) {
           compactLevel(s, h)
           again = true
         }
@@ -114,7 +125,7 @@ object KllSketch {
     val pairs = buf.size / 2
     val off = (s.parity & 1L).toInt
     s.parity += 1L
-    if (s.levels.size == h + 1) s.levels += ArrayBuffer.empty[Double]
+    if (s.levels.size == h + 1) { s.levels += ArrayBuffer.empty[Double]; recomputeCaps(s) }
     val up = s.levels(h + 1)
     var j = 0
     while (j < pairs) { up += buf(2 * j + off); j += 1 }
@@ -179,6 +190,7 @@ object KllSketch {
       s.levels += buf
       h += 1
     }
+    recomputeCaps(s)
     s
   }
 

@@ -356,13 +356,21 @@ object DataQuality {
     * include the PK so duplicate rows cannot XOR-cancel.
     * Returns (chunk, n_rows, digest).
     */
+  /** The canonical engine-portable row digest (ONE definition, shared
+    * by [[tableChecksum]] and `Profiling.shardManifest` so dq7 and
+    * man1 digests can never drift apart): 0x1f-separated CAST-to-
+    * string rendering with 0x01 for NULL, 60 bits of MD5 as a long. */
+  private[operators] def rowDigest(cols: Seq[Column]): Column = {
+    val canon = concat_ws("\u001f",
+      cols.map(c => coalesce(c.cast("string"), lit("\u0001"))): _*)
+    conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
+  }
+
   def tableChecksum(df: DataFrame, chunkCol: String, chunkSize: Long,
       cols: Seq[String]): DataFrame = {
     require(chunkSize >= 1, s"chunkSize=$chunkSize")
     require(cols.nonEmpty, "need at least one column to checksum")
-    val canon = concat_ws("\u001f",
-      cols.map(c => coalesce(col(c).cast("string"), lit("\u0001"))): _*)
-    val rowHash = conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
+    val rowHash = rowDigest(cols.map(col))
     df.select(floor(col(chunkCol) / chunkSize).cast("long").as("chunk"),
         rowHash.as("__h"))
       .groupBy("chunk")

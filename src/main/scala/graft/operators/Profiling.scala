@@ -644,10 +644,9 @@ object Profiling {
   def shardManifest(df: DataFrame, idCol: String, textCol: String,
       nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1: $nShards")
-    val canon = concat_ws("\u001f",
-      coalesce(col(idCol).cast("string"), lit("\u0001")),
-      coalesce(col(textCol), lit("\u0001")))
-    val rowHash = conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
+    // ONE digest convention engine-wide: DataQuality.rowDigest is the
+    // same 0x1f/0x01 md5 fold dq7's checksums use
+    val rowHash = DataQuality.rowDigest(Seq(col(idCol), col(textCol)))
     val toks = filter(split(trim(col(textCol)), "\\s+"), t => length(t) > 0)
     df.select(pmod(col(idCol), lit(nShards)).cast("long").as("shard_id"),
         col(idCol).as("__id"), length(col(textCol)).as("__nc"),

@@ -269,22 +269,25 @@ object Retrieval {
       s"lambda must be in [0,1]: $lambda")
     val cand = candidates.select(col("query_id"), col("neighbor_id"),
       col("cosine").cast("double").as("rel")).localCheckpoint()
-    val cv = corpus.select(col(idCol).as("__vid"), col(vecCol).as("__vec"),
-      Similarity.l2norm(col(vecCol)).as("__nrm"))
-    val withVec = cand.join(cv, cand("neighbor_id") === cv("__vid"))
-      .select(col("query_id"), col("neighbor_id"), col("__vec"), col("__nrm"))
-    val a = withVec.select(col("query_id"), col("neighbor_id").as("i"),
-      col("__vec").as("va"), col("__nrm").as("na"))
-    val b = withVec.select(col("query_id"), col("neighbor_id").as("j"),
-      col("__vec").as("vb"), col("__nrm").as("nb"))
-    // candidate-vs-candidate cosine, |Q|*pool^2 rows, built ONCE
-    val pair = a.join(b, Seq("query_id"))
-      .filter(col("i") =!= col("j"))
-      .filter(col("na") > 0 && col("nb") > 0)
-      .select(col("query_id"), col("i"), col("j"),
-        (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
-          .as("s"))
-      .localCheckpoint()
+    // candidate-vs-candidate cosine, |Q|*pool^2 rows, built ONCE —
+    // and only if a second round will read it (k=1 never does)
+    lazy val pair = {
+      val cv = corpus.select(col(idCol).as("__vid"), col(vecCol).as("__vec"),
+        Similarity.l2norm(col(vecCol)).as("__nrm"))
+      val withVec = cand.join(cv, cand("neighbor_id") === cv("__vid"))
+        .select(col("query_id"), col("neighbor_id"), col("__vec"), col("__nrm"))
+      val a = withVec.select(col("query_id"), col("neighbor_id").as("i"),
+        col("__vec").as("va"), col("__nrm").as("na"))
+      val b = withVec.select(col("query_id"), col("neighbor_id").as("j"),
+        col("__vec").as("vb"), col("__nrm").as("nb"))
+      a.join(b, Seq("query_id"))
+        .filter(col("i") =!= col("j"))
+        .filter(col("na") > 0 && col("nb") > 0)
+        .select(col("query_id"), col("i"), col("j"),
+          (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+            .as("s"))
+        .localCheckpoint()
+    }
     val firstW = Window.partitionBy("query_id")
       .orderBy(col("rel").desc, col("neighbor_id").asc)
     var sel = cand.withColumn("__rn", row_number().over(firstW))
@@ -292,7 +295,8 @@ object Retrieval {
       .select(col("query_id"), col("neighbor_id"), lit(1).as("mmr_rank"))
       .localCheckpoint()
     var i = 2
-    while (i <= k) {
+    var exhausted = false
+    while (i <= k && !exhausted) {
       val remaining = cand.join(sel.select("query_id", "neighbor_id"),
         Seq("query_id", "neighbor_id"), "left_anti")
       val msim = pair.join(
@@ -309,7 +313,11 @@ object Retrieval {
       val pick = scored.withColumn("__rn", row_number().over(pickW))
         .filter(col("__rn") === 1)
         .select(col("query_id"), col("neighbor_id"), lit(i).as("mmr_rank"))
-      sel = sel.unionByName(pick).localCheckpoint()
+        .localCheckpoint()
+      // every pool exhausted -> the remaining rounds are all no-ops;
+      // the emptiness read is free on the just-materialized frame
+      if (pick.isEmpty) exhausted = true
+      else sel = sel.unionByName(pick).localCheckpoint()
       i += 1
     }
     sel
