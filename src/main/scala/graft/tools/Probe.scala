@@ -1539,5 +1539,13 @@ object Probe {
     }
     timed("mmr2 over full-probe IVF candidates (pool=25)")(
       graft.SparkEntry.queries("mmr2_diversified_ivf")(spark, dir).count())
+    // make the |Q|*pool^2 term visible: 100 queries x pool 100 =
+    // 1M pair rows — the frame should now cost real time while the
+    // k-round loop stays fixed
+    val candBig = graft.operators.Similarity.bruteForceTopK(
+      emb.filter("vec_id < 100"), emb, "vec_id", "embedding", 100)
+    timed("mmr k=5 |Q|=100 pool=100 (pair frame 1,000,000 rows)")(
+      graft.operators.Retrieval.mmrRerank(
+        candBig, emb, "vec_id", "embedding", 5, 0.5).count())
   }
 }

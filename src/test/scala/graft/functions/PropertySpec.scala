@@ -31,6 +31,44 @@ class PropertySpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("KLL rank bound holds for arbitrary streams and merge orders") {
+    // the qsk/st26 contract, property-checked off-Spark: for ANY
+    // value distribution (duplicates, constants, adversarial order)
+    // and ANY chunking/merge order, every quantile's true rank sits
+    // within eps*n of target, count is lossless, and serde is exact
+    val genVals = Gen.chooseNum(1, 4000).flatMap(n =>
+      Gen.containerOfN[List, Double](n, Gen.oneOf(
+        Gen.chooseNum(-1e6, 1e6),
+        Gen.chooseNum(-5.0, 5.0),
+        Gen.const(42.0)))) // heavy duplicate mass
+    val genChunk = Gen.chooseNum(1, 7)
+    val prop = Prop.forAll(genVals, genChunk) { (vs: List[Double], c: Int) =>
+      val chunks = vs.grouped(math.max(1, vs.size / c)).toVector
+      val parts = chunks.map { ch =>
+        val s = new KllSketch.State(128)
+        ch.foreach(KllSketch.update(s, _))
+        s
+      }
+      // deterministic scrambled fold order
+      val order = parts.indices.sortBy(i => (i * 131 + 17) % parts.size)
+      val merged0 = order.map(parts).reduceLeft(KllSketch.merge)
+      val merged = KllSketch.deserialize(KllSketch.serialize(merged0))
+      val n = vs.size
+      val sorted = vs.sorted
+      val eps = 0.05 // 128-capacity sketch: expected error ~0.013
+      merged.count == n.toLong && Seq(0.1, 0.5, 0.9).forall { q =>
+        val est = KllSketch.quantile(merged, q)
+        val lo = sorted.count(_ < est)
+        val hi = sorted.count(_ <= est)
+        val target = math.max(1L, math.ceil(q * n).toLong)
+        vs.contains(est) &&
+          target >= lo + 1 - eps * n && target <= hi + eps * n
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("positional and sorted shingle kernels agree for arbitrary text") {
     // the documented contract dd8/dd10 parity rests on: the sorted
     // kernel IS the positional kernel's output sorted + deduplicated,
