@@ -1376,6 +1376,28 @@ object SparkEntry {
           .as("q90_in_bound"))
     }),
 
+    // r11: the manifest maintained at INGESTION — per-batch manifest
+    // parts fold on read (sums add, digests XOR: a mergeable partial
+    // by design). The folded store must be BYTE-IDENTICAL to the
+    // one-shot batch manifest — man1's oracle re-verifies the fold,
+    // digest and all
+    "st27_stream_manifest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = tmpDir("graft_st27")
+      val in = s"$base/in"
+      docs.filter(col("doc_id") % 2 === 0)
+        .coalesce(1).write.mode("append").parquet(in)
+      docs.filter(col("doc_id") % 2 === 1)
+        .coalesce(1).write.mode("append").parquet(in)
+      val schema = s.read.parquet(in).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val q = graft.streaming.EventStream.streamingShardManifest(
+        stream, "doc_id", "text", 16, s"$base/store", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.EventStream.manifestTable(s, s"$base/store")
+    }),
+
     // r11: content-addressed shard manifest — the reproducibility
     // record pinned next to a corpus generation: counts, char/token
     // totals, id range, and an order-free md5-xor digest per shard
@@ -6731,22 +6753,11 @@ object SparkEntry {
         |FROM documents GROUP BY lang""".stripMargin,
 
     // r11: manifest digests replayed with the dq7 md5-xor convention
-    "man1_shard_manifest" ->
-      """WITH rows AS (
-        |  SELECT doc_id % 16 AS shard_id, doc_id,
-        |         length(text) AS nc,
-        |         len(list_filter(string_split_regex(trim(text), '\s+'),
-        |             t -> len(t) > 0)) AS nt,
-        |         CAST(concat('0x', substr(md5(concat_ws(chr(31),
-        |           coalesce(CAST(doc_id AS VARCHAR), chr(1)),
-        |           coalesce(text, chr(1)))), 1, 15)) AS BIGINT) AS h
-        |  FROM documents)
-        |SELECT shard_id, count(*) AS n_docs,
-        |       CAST(sum(nc) AS BIGINT) AS n_chars,
-        |       CAST(sum(nt) AS BIGINT) AS n_tokens,
-        |       min(doc_id) AS min_id, max(doc_id) AS max_id,
-        |       bit_xor(h) AS digest
-        |FROM rows GROUP BY shard_id""".stripMargin,
+    "man1_shard_manifest" -> manifestOracle,
+
+    // the streamed fold must equal the one-shot manifest BYTE-FOR-BYTE
+    // (digest included): same oracle
+    "st27_stream_manifest" -> manifestOracle,
 
     // replay idHash cut points (ids stay far below the 16-bit-limb
     // overflow guard, shuf1's precedent) and the three slices; CASE
@@ -12125,5 +12136,26 @@ object SparkEntry {
          |fin AS (SELECT 1)
          |SELECT query_id, nid AS neighbor_id, mmr_rank FROM acc5""".stripMargin
       }
+
+
+  /** man1/st27 shared oracle: manifest digests replayed with the dq7
+    * md5-xor convention — st27's streamed fold must reproduce the
+    * one-shot manifest exactly. */
+  private def manifestOracle: String =
+    """WITH rows AS (
+        |  SELECT doc_id % 16 AS shard_id, doc_id,
+        |         length(text) AS nc,
+        |         len(list_filter(string_split_regex(trim(text), '\s+'),
+        |             t -> len(t) > 0)) AS nt,
+        |         CAST(concat('0x', substr(md5(concat_ws(chr(31),
+        |           coalesce(CAST(doc_id AS VARCHAR), chr(1)),
+        |           coalesce(text, chr(1)))), 1, 15)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT shard_id, count(*) AS n_docs,
+        |       CAST(sum(nc) AS BIGINT) AS n_chars,
+        |       CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |       bit_xor(h) AS digest
+        |FROM rows GROUP BY shard_id""".stripMargin
 
 }

@@ -702,6 +702,56 @@ object EventStream {
         org.apache.spark.sql.functions.col("sk")).as("sk"))
   }
 
+  /** Streaming shard-manifest maintenance: each micro-batch's docs
+    * fold into the content-addressed manifest
+    * ([[graft.operators.Profiling.shardManifest]]) as a per-batch
+    * PART at `path/batch_id=<id>`; [[manifestTable]] folds parts on
+    * read (counts/sums/min/max add and fold trivially; the md5-xor
+    * digest is a mergeable partial BY DESIGN — XOR of the parts'
+    * digests equals the digest of the union). The folded manifest
+    * after any prefix of batches is byte-identical to the batch
+    * manifest of their union, so generation diffs
+    * ([[graft.operators.Profiling.manifestDiff]]) work against a
+    * LIVE ingesting corpus.
+    *
+    * Same replay-safety-by-layout argument as [[streamingKllSketch]],
+    * and XOR makes it load-bearing again: re-XORing a replayed
+    * batch's digests into a read-modify-write store would CANCEL
+    * them (XOR is self-inverse) — strictly worse than double-counting
+    * because the digest would read as "these rows were never there".
+    * The partition overwrite makes replay a byte-identical no-op. */
+  def streamingShardManifest(stream: DataFrame, idCol: String,
+      textCol: String, nShards: Int, path: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Profiling.shardManifest(
+            batch.toDF(), idCol, textCol, nShards)
+          .write.mode("overwrite").parquet(s"$path/batch_id=$batchId")
+      }
+      .start()
+
+  /** The folded manifest view over a [[streamingShardManifest]]
+    * store: every column folds by its own merge (sum / min / max /
+    * bit_xor). Layout guard as in [[kllSketchTable]]. */
+  def manifestTable(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.parquet(path)
+    require(raw.columns.contains("batch_id"),
+      s"manifest store at $path predates the per-batch partial layout " +
+        "(no batch_id partition) - rebuild it via streamingShardManifest " +
+        "before folding")
+    raw.groupBy("shard_id")
+      .agg(sum("n_docs").as("n_docs"),
+        sum("n_chars").as("n_chars"),
+        sum("n_tokens").as("n_tokens"),
+        min("min_id").as("min_id"),
+        max("max_id").as("max_id"),
+        expr("bit_xor(digest)").as("digest"))
+  }
+
   /** Seed a [[streamingIvfOccupancy]] store with the training-time
     * occupancy (so zero lists persist and the fold starts from the
     * batch baseline): the seed is just the partial at `batch_id=-1`,

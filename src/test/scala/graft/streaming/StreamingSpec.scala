@@ -979,4 +979,37 @@ class StreamingSpec extends SparkTestBase {
       EventStream.kllSketchTable(spark, flat, "g"))
     assert(err.getMessage.contains("batch_id"))
   }
+
+  test("streaming manifest fold equals the one-shot manifest; replay " +
+      "cannot XOR-cancel digests") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"doc $i body")).toDF("doc_id", "text")
+      .localCheckpoint(true)
+    val base = java.nio.file.Files.createTempDirectory("graft_man_st").toString
+    val in = s"$base/in"
+    docs.filter(col("doc_id") < 100).coalesce(1).write.mode("append").parquet(in)
+    docs.filter(col("doc_id") >= 100).coalesce(1).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def runFold(ckpt: String): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      val q = EventStream.streamingShardManifest(stream, "doc_id", "text", 8,
+        s"$base/store", ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runFold(s"$base/ckpt1")
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    val batch = rows(graft.operators.Profiling.shardManifest(
+      docs, "doc_id", "text", 8))
+    assert(rows(EventStream.manifestTable(spark, s"$base/store")) == batch)
+    // replay with a fresh checkpoint: the same batch ids OVERWRITE
+    // their own parts. A read-modify-write fold would have XOR'd the
+    // replayed digests a second time — self-inverse, so they would
+    // CANCEL and the digest would claim those rows never existed;
+    // the layout makes the replay a byte-identical no-op instead
+    runFold(s"$base/ckpt2")
+    assert(rows(EventStream.manifestTable(spark, s"$base/store")) == batch)
+  }
 }
