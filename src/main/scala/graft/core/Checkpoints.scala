@@ -28,21 +28,31 @@ object Checkpoints {
   val ConfKey = "spark.graft.checkpointDir"
 
   // setCheckpointDir mints a fresh UUID subdirectory on EVERY call,
-  // so bind it once per configured dir, not once per checkpoint
-  @volatile private var boundDir: String = null
+  // so rebind only when the CONTEXT's bound root diverges from this
+  // session's conf. The root is compared against the context's own
+  // checkpointDir (a UUID subdir of the configured root), not a
+  // process-global cache: two sessions sharing one SparkContext with
+  // DIFFERENT checkpointDir confs would race a global cache and a
+  // "reliable" checkpoint could land on the other session's store.
+  // (The context dir is still context-global — Spark's model — so the
+  // checkpoint call itself sits inside the same lock, keeping each
+  // frame's materialization on its own session's root.)
+  private val bindLock = new Object
 
   /** Materialize a corpus-sized frame under the session's policy. */
   def corpus(df: DataFrame, eager: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(ConfKey) match {
       case Some(dir) if dir.nonEmpty =>
-        if (boundDir != dir) synchronized {
-          if (boundDir != dir) {
-            spark.sparkContext.setCheckpointDir(dir)
-            boundDir = dir
-          }
+        bindLock.synchronized {
+          val current = spark.sparkContext.getCheckpointDir
+          val root = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+          val inRoot = current.exists(c =>
+            new org.apache.hadoop.fs.Path(c).toUri.getPath
+              .stripSuffix("/").startsWith(root.stripSuffix("/") + "/"))
+          if (!inRoot) spark.sparkContext.setCheckpointDir(dir)
+          df.checkpoint(eager)
         }
-        df.checkpoint(eager)
       case _ => df.localCheckpoint(eager)
     }
   }

@@ -127,7 +127,7 @@ object VectorExpressions {
   case class PqArgmin(child: Expression, cents: Seq[Seq[Double]])
       extends UnaryExpression {
     private val k = cents.length
-    private val dsub = cents.head.length
+    private val dsub = cents.headOption.map(_.length).getOrElse(0)
     require(k > 0 && dsub > 0 && cents.forall(_.length == dsub),
       s"codebook must be a non-empty rectangular k x dsub grid")
     // flat row-major copy + per-centroid |c|² (same summation order

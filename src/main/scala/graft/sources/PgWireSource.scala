@@ -128,14 +128,7 @@ object PgWireSource {
 
   def read(spark: SparkSession, conf: SourceConf): DataFrame = {
     val opts = conf.connOptions
-    val endpoint = {
-      val (target, db) = PgWireClient.targetFor(conf.connect, opts).getOrElse(
-        throw new IllegalArgumentException(
-          s"pgwire source cannot resolve a server address from ${conf.connect}"))
-      PgWireTransport.Endpoint(target, db,
-        opts.getOrElse("user", System.getProperty("user.name")),
-        opts.get("password"))
-    }
+    val endpoint = PgWireTransport.connFor(conf.connect, opts)
     // reference subselect wrap, SqlManager.java:58-93 — same as the
     // JDBC read path
     val table = conf.query.map(q => s"($q) T1").orElse(conf.table)
@@ -147,49 +140,62 @@ object PgWireSource {
       s"SELECT $cols FROM $table$where"
     }
 
-    // driver-side schema inference: one LIMIT 0 round-trip
-    val probe = PgWireClient.connect(
+    // ALL driver-side planning (schema probe + slice bounds) shares
+    // ONE connection — against a remote server every extra connect is
+    // an auth round-trip plus a forked backend
+    val planner = PgWireClient.connect(
       endpoint.target, endpoint.user, endpoint.db, endpoint.password)
-    val schema = try {
-      val r = probe.exec(s"SELECT * FROM ($baseSelect) graft_s LIMIT 0")
-      StructType(r.columns.zip(r.typeOids).map { case (n, o) =>
+    val (schema, sliceSqls) = try {
+      val r = planner.exec(s"SELECT * FROM ($baseSelect) graft_s LIMIT 0")
+      val schema = StructType(r.columns.zip(r.typeOids).map { case (n, o) =>
         StructField(n, sparkType(o))
       })
-    } finally probe.close()
-
-    def onWire[T](f: PgWireClient => T): Option[T] = {
-      val c = PgWireClient.connect(
-        endpoint.target, endpoint.user, endpoint.db, endpoint.password)
-      try Some(f(c)) catch { case _: Exception => None } finally c.close()
-    }
-    val key = conf.options.get("partition.key")
-    val sliceSqls: Seq[String] =
-      if (conf.partitions <= 1) Seq(baseSelect)
-      else key match {
-        case Some(k) =>
-          val bounds = onWire { c =>
-            val row = c.exec(
-              s"SELECT MIN($k), MAX($k) FROM ($baseSelect) graft_s").rows.head
-            if (row(0) == null || row(1) == null) None
-            else Some((row(0).toLong, row(1).toLong))
-          }.flatten
-          JdbcPartitioning.forUrl(conf.connect, conf.partitions, key, bounds)
-            .map(p => s"SELECT * FROM ($baseSelect) graft_s WHERE $p")
-        case None if conf.query.isEmpty =>
-          // keyless plain table: disjoint ctid page ranges (TID range
-          // scans — each task touches only its pages; the predicate
-          // must sit on the base table, ctid dies in a subselect)
-          onWire(_.exec("SELECT greatest(relpages, 1) FROM pg_class " +
-              s"WHERE oid = '$table'::regclass").single.toLong) match {
-            case Some(pages) =>
-              val cols = conf.columns.map(_.mkString(", ")).getOrElse("*")
-              val extra = conf.where.map(w => s" AND ($w)").getOrElse("")
-              JdbcPartitioning.ctidRanges(pages, conf.partitions)
-                .map(p => s"SELECT $cols FROM $table WHERE $p$extra")
-            case None => Seq(baseSelect) // e.g. a view: no relpages
-          }
-        case None => Seq(baseSelect) // keyless subselect: one slice
-      }
+      def attempt[T](f: => T): Option[T] =
+        try Some(f) catch { case _: Exception => None }
+      val key = conf.options.get("partition.key")
+      val slices: Seq[String] =
+        if (conf.partitions <= 1) Seq(baseSelect)
+        else key match {
+          case Some(k) =>
+            // explicit bounds first — the JDBC path's contract
+            // (JdbcConnector.read): a caller who supplies
+            // partition.lower/upper pays NO MIN/MAX scan
+            val explicit = for {
+              lo <- conf.options.get("partition.lower").map(_.toLong)
+              hi <- conf.options.get("partition.upper").map(_.toLong)
+            } yield (lo, hi)
+            val bounds = explicit.orElse(attempt {
+              val row = planner.exec(
+                s"SELECT MIN($k), MAX($k) FROM ($baseSelect) graft_s").rows.head
+              if (row(0) == null || row(1) == null) None
+              else Some((row(0).toLong, row(1).toLong))
+            }.flatten)
+            JdbcPartitioning.forUrl(conf.connect, conf.partitions, key, bounds)
+              .map(p => s"SELECT * FROM ($baseSelect) graft_s WHERE $p")
+          case None if conf.query.isEmpty =>
+            // keyless plain table: disjoint ctid page ranges (TID
+            // range scans — each task touches only its pages; the
+            // predicate must sit on the base table, ctid dies in a
+            // subselect). ctid exists only on real storage: gate on
+            // relkind (table/matview/toast) — a VIEW has a pg_class
+            // row too, so "the probe fails" is NOT the guard
+            attempt {
+              val row = planner.exec(
+                "SELECT c.relkind, greatest(c.relpages, 1) FROM pg_class c " +
+                  s"WHERE c.oid = '$table'::regclass").rows.head
+              (row(0), row(1).toLong)
+            } match {
+              case Some((kind, pages)) if Seq("r", "m", "t").contains(kind) =>
+                val cols = conf.columns.map(_.mkString(", ")).getOrElse("*")
+                val extra = conf.where.map(w => s" AND ($w)").getOrElse("")
+                JdbcPartitioning.ctidRanges(pages, conf.partitions)
+                  .map(p => s"SELECT $cols FROM $table WHERE $p$extra")
+              case _ => Seq(baseSelect) // view/foreign table: one slice
+            }
+          case None => Seq(baseSelect) // keyless subselect: one slice
+        }
+      (schema, slices)
+    } finally planner.close()
 
     val fetchSize = math.max(1, conf.fetchSize)
     val rdd = spark.sparkContext

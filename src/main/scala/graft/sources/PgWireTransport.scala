@@ -42,7 +42,7 @@ object PgWireTransport {
   final case class Endpoint(target: PgWireClient.Target, db: String,
       user: String, password: Option[String]) extends Serializable
 
-  private def connFor(url: String, options: Map[String, String]): Endpoint = {
+  private[sources] def connFor(url: String, options: Map[String, String]): Endpoint = {
     val (target, db) = PgWireClient.targetFor(url, options).getOrElse(
       throw new IllegalArgumentException(
         s"pgwire transport cannot resolve a server address from $url"))
@@ -104,19 +104,28 @@ object PgWireTransport {
     * retry (`SqlManager.java:283-318`); a bare `::regclass` cast
     * would case-fold a mixed-case table name and miss it. */
   def discoverPrimaryKeys(cl: PgWireClient, table: String): Seq[String] = {
-    val bare = table.split('.').last.replace("'", "''")
-    def pks(name: String): Seq[String] = cl.exec(
+    val parts = table.split('.')
+    val bare = parts.last.replace("'", "''")
+    // a schema-qualified sink must never adopt a same-named table's
+    // key from ANOTHER schema (app.users vs public.users) — filter on
+    // pg_namespace whenever the caller qualified the name
+    val nsp = if (parts.length > 1)
+      Some(parts(parts.length - 2).replace("'", "''")) else None
+    def pks(name: String, ns: Option[String]): Seq[String] = cl.exec(
       s"""SELECT a.attname FROM pg_index i
          |JOIN pg_class c ON c.oid = i.indrelid
+         |JOIN pg_namespace n ON n.oid = c.relnamespace
          |JOIN pg_attribute a ON a.attrelid = i.indrelid AND a.attnum = ANY(i.indkey)
-         |WHERE c.relname = '$name' AND i.indisprimary
+         |WHERE c.relname = '$name' AND i.indisprimary${
+           ns.map(x => s" AND n.nspname = '$x'").getOrElse("")}
          |ORDER BY array_position(i.indkey, a.attnum)""".stripMargin)
       .rows.map(_.head)
-    val exact = pks(bare)
+    val exact = pks(bare, nsp)
     if (exact.nonEmpty) exact
     else {
-      val upper = pks(bare.toUpperCase)
-      if (upper.nonEmpty) upper else pks(bare.toLowerCase)
+      val upper = pks(bare.toUpperCase, nsp.map(_.toUpperCase))
+      if (upper.nonEmpty) upper
+      else pks(bare.toLowerCase, nsp.map(_.toLowerCase))
     }
   }
 

@@ -359,6 +359,31 @@ class PgWireSpec extends SparkTestBase with BeforeAndAfterAll {
       assert(keyless.count() == 98)
       assert(keyless.select("id").distinct().count() == 98,
         "ctid slices lost or duplicated rows")
+
+      // keyless partitioned scan of a VIEW: a view has a pg_class row
+      // (relpages 0), so "the relpages probe fails" is NOT a usable
+      // guard — ctid predicates on a view error on every task. The
+      // relkind gate must route views to one full slice instead
+      cl.exec("CREATE VIEW src_v AS SELECT id, s FROM src_t")
+      val viewRead = ReplicaEngine.read(spark,
+        source.copy(table = Some("src_v"), options = opts))
+      assert(viewRead.count() == 98, "keyless view read lost rows")
+
+      // explicit partition.lower/upper: the caller's bounds are used
+      // verbatim (no MIN/MAX scan) and the read stays complete
+      val bounded = ReplicaEngine.read(spark, source.copy(options =
+        opts + ("partition.key" -> "id", "partition.lower" -> "0",
+          "partition.upper" -> "999")))
+      assert(bounded.count() == 98 &&
+        bounded.select("id").distinct().count() == 98)
+
+      // schema-qualified PK discovery never adopts another schema's
+      // same-named table key (app.users vs public.users)
+      cl.exec("CREATE SCHEMA app")
+      cl.exec("CREATE TABLE app.users (uid bigint PRIMARY KEY, v int)")
+      cl.exec("CREATE TABLE public.users (oid2 bigint PRIMARY KEY, v int)")
+      assert(PgWireTransport.discoverPrimaryKeys(cl, "app.users") == Seq("uid"))
+      assert(PgWireTransport.discoverPrimaryKeys(cl, "public.users") == Seq("oid2"))
     } finally cl.close()
   }
 
