@@ -1547,5 +1547,53 @@ object Probe {
     timed("mmr k=5 |Q|=100 pool=100 (pair frame 1,000,000 rows)")(
       graft.operators.Retrieval.mmrRerank(
         candBig, emb, "vec_id", "embedding", 5, 0.5).count())
+
+    // ---- MMR quality evidence: intra-list mean pairwise cosine of
+    // the plain top-5 vs the MMR top-5 (lower = more diverse), same
+    // relevance pool — the number the diversity pass exists to move
+    val cand25 = graft.operators.Similarity.bruteForceTopK(
+      emb.filter("vec_id < 100"), emb, "vec_id", "embedding", 25)
+      .localCheckpoint(true)
+    def intraListSim(sel: org.apache.spark.sql.DataFrame): Double = {
+      val v = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      val withV = sel.join(v, sel("neighbor_id") === v("nid"))
+        .select(col("query_id"), col("neighbor_id"), col("nv"))
+      val l = withV.select(col("query_id"), col("neighbor_id").as("i"),
+        col("nv").as("va"))
+      val r = withV.select(col("query_id"), col("neighbor_id").as("j"),
+        col("nv").as("vb"))
+      l.join(r, Seq("query_id")).filter(col("i") < col("j"))
+        .select((graft.operators.Similarity.dot(col("va"), col("vb")) /
+          (graft.operators.Similarity.l2norm(col("va")) *
+            graft.operators.Similarity.l2norm(col("vb")))).as("s"))
+        .agg(avg("s")).head().getDouble(0)
+    }
+    val plain5 = cand25.filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id")
+    val mmr5 = graft.operators.Retrieval.mmrRerank(
+      cand25, emb, "vec_id", "embedding", 5, 0.5)
+      .select("query_id", "neighbor_id")
+    println(f"=== r11b mmr diversity: intra-list mean cosine plain=" +
+      f"${intraListSim(plain5)}%.4f mmr=${intraListSim(mmr5)}%.4f " +
+      "(lower = more diverse, same pool)")
+
+    // ---- KLL honest-bounds curve: empirical max rank error across
+    // quantiles on a 1M-value adversarially-ordered stream, per k —
+    // driver-side kernel measurement, no Spark jobs
+    val n = 1000000
+    val order = (1 to n).sortBy(i => (i.toLong * 2654435761L) % 4294967296L)
+    for (k <- Seq(64, 128, 200, 512)) {
+      val st = new graft.functions.KllSketch.State(k)
+      val t0 = System.nanoTime()
+      order.foreach(i => graft.functions.KllSketch.update(st, i.toDouble))
+      val build = (System.nanoTime() - t0) / 1e9
+      val maxErr = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99).map { q =>
+        val est = graft.functions.KllSketch.quantile(st, q)
+        math.abs(est - math.ceil(q * n)) / n // values ARE ranks here
+      }.max
+      val bytes = graft.functions.KllSketch.serialize(st).length
+      println(f"=== r11b kll k=$k%d: 1M updates $build%.2fs, " +
+        f"max rank err ${maxErr * 100}%.3f%%, sketch $bytes%d bytes")
+    }
   }
 }
