@@ -102,6 +102,22 @@ class KllSketchSpec extends SparkTestBase {
     assert(err.getMessage != null)
   }
 
+  test("accuracy fence: <= 2% max rank error at k=200 on a structured " +
+      "100k permutation (the r11b probe's defect class)") {
+    // the global-alternation parity bug read 3.5-5.9% on exactly this
+    // order class; the per-level splitmix coin reads ~0.6%. This spec
+    // fails any future change that re-correlates compaction parity
+    // with structured input orders
+    val n = 100000
+    val s = new KllSketch.State(200)
+    (1 to n).sortBy(i => (i.toLong * 2654435761L) % 4294967296L)
+      .foreach(i => KllSketch.update(s, i.toDouble))
+    val maxErr = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99).map { q =>
+      math.abs(KllSketch.quantile(s, q) - math.ceil(q * n)) / n
+    }.max
+    assert(maxErr <= 0.02, f"max rank error ${maxErr * 100}%.2f%% > 2%%")
+  }
+
   test("SQL registration: kll_* usable from spark.sql") {
     KllExpressions.registerAll(spark)
     spark.range(1, 1001).selectExpr("CAST(id AS DOUBLE) AS v")

@@ -85,6 +85,53 @@ class MmrSpec extends SparkTestBase {
     assert(out(1).getLong(1) == 8L)
   }
 
+  test("matches the greedy reference on deterministic pseudo-random vectors") {
+    // broadens the real-embeddings equality to synthetic geometry:
+    // 6 queries x 12-candidate pools of hash-derived 4-dim vectors
+    // (clusters + near-dups planted by construction of the hash)
+    def vec(id: Long): Array[Float] = Array.tabulate(4) { d =>
+      val h = (id * 2654435761L + d * 40503L) % 1000L
+      (h.toFloat / 500f) - 1f
+    }
+    val ids = (100L until 118L)
+    val all = (ids.map(i => (i, vec(i))) ++ (0L until 6L).map(q => (q, vec(q * 37 + 3))))
+      .toDF("vec_id", "embedding")
+    val cand = Similarity.bruteForceTopK(
+      all.filter(col("vec_id") < 6), all, "vec_id", "embedding", 12)
+    val out = Retrieval.mmrRerank(cand, all, "vec_id", "embedding", 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val vecs = all.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble; i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    cand.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .groupBy(_._1).foreach { case (q, rows) =>
+        val rel = rows.map(r => r._2 -> r._3).toMap
+        var selected = Vector.empty[Long]
+        (1 to 4).foreach { _ =>
+          val remaining = rel.keys.filterNot(selected.contains).toSeq
+          if (remaining.nonEmpty) {
+            val pick = remaining.minBy { c =>
+              val ms = if (selected.isEmpty) 0.0
+                else selected.map(sid => cos(vecs(c), vecs(sid))).max
+              (-(0.5 * rel(c) - 0.5 * ms), c)
+            }
+            selected :+= pick
+          }
+        }
+        selected.zipWithIndex.foreach { case (nid, i) =>
+          assert(out((q, i + 1)) == nid, s"q=$q rank=${i + 1}")
+        }
+      }
+  }
+
   test("lambda bounds and k validated") {
     val vecs = Seq((1L, Array(1.0f))).toDF("vec_id", "embedding")
     val cand = vecs.select(col("vec_id").as("query_id"),
