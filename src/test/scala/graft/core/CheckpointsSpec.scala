@@ -43,6 +43,20 @@ class CheckpointsSpec extends SparkTestBase {
       // a second checkpoint reuses the bound dir (no rebind per call)
       val again = Checkpoints.corpus(df.filter(col("k") === 0))
       assert(again.count() == 143)
+
+      // a conf CHANGE rebinds: the next pin lands under the NEW root,
+      // never the stale one (the session-race class from review — a
+      // "reliable" checkpoint must not land on another root)
+      val dir2 = Files.createTempDirectory("graft_ckpt2").toString
+      spark.conf.set(Checkpoints.ConfKey, dir2)
+      val moved = Checkpoints.corpus(df.filter(col("k") === 1))
+      assert(moved.count() == 143)
+      assert(filesUnder(new java.io.File(dir2)) > 0,
+        s"checkpoint did not follow the conf change to $dir2")
+      assert(spark.sparkContext.getCheckpointDir.exists(_.contains(
+        new java.io.File(dir2).getName)),
+        s"context still bound to the stale root: " +
+          s"${spark.sparkContext.getCheckpointDir}")
     } finally {
       spark.conf.unset(Checkpoints.ConfKey)
     }
