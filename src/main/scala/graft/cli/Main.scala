@@ -39,6 +39,7 @@ object Main {
     "jobs" -> "jobs",
     "fetch-size" -> "fetch.size",
     "bandwidth-throttling" -> "bandwidth.throttling",
+    "checkpoint-dir" -> "checkpoint.dir",
     "quoted-identifiers" -> "quoted.identifiers",
     "source-connect" -> "source.connect",
     "source-user" -> "source.user",
@@ -142,6 +143,11 @@ object Main {
     val spark = GraftSession.getOrCreate("graft-replicate")
     props.get("verbose").foreach(v =>
       spark.sparkContext.setLogLevel(verboseLevel(v)))
+    // reliable-checkpoint root (verdict r11 #5): the CLI/properties
+    // surface reaches the same session knob operators consult via
+    // Checkpoints.corpus — no out-of-band Spark conf needed
+    conf.checkpointDir.foreach(d =>
+      spark.conf.set(graft.core.Checkpoints.ConfKey, d))
     ReplicaEngine.replicate(spark, conf)
   }
 

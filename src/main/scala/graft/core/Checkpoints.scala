@@ -1,5 +1,6 @@
 package graft.core
 
+import org.apache.spark.SparkContext
 import org.apache.spark.sql.DataFrame
 
 /** Corpus-sized materialization policy (verdict-r10 #2).
@@ -14,14 +15,15 @@ import org.apache.spark.sql.DataFrame
   * recomputing, because there is no lineage left to recompute from.
   *
   * This knob makes the trade explicit: set
-  * `spark.graft.checkpointDir` (session conf) to a reliable
-  * filesystem path (HDFS/S3/NFS) and every corpus-sized pin becomes a
-  * RELIABLE checkpoint — blocks land on the shared store, executor
-  * loss costs a re-read, not the job. Unset (the default, and the
-  * local/test configuration) it stays `localCheckpoint`, unchanged
-  * plan shape and speed. Small bounded pins (per-batch partials,
-  * S-row spines) stay localCheckpoint unconditionally — their loss
-  * is a cheap recompute and reliable I/O would dominate.
+  * `spark.graft.checkpointDir` (session conf, or `--checkpoint-dir`
+  * on the CLI) to a reliable filesystem path (HDFS/S3/NFS) and every
+  * corpus-sized pin becomes a RELIABLE checkpoint — blocks land on
+  * the shared store, executor loss costs a re-read, not the job.
+  * Unset (the default, and the local/test configuration) it stays
+  * `localCheckpoint`, unchanged plan shape and speed. Small bounded
+  * pins (per-batch partials, S-row spines) stay localCheckpoint
+  * unconditionally — their loss is a cheap recompute and reliable
+  * I/O would dominate.
   */
 object Checkpoints {
 
@@ -34,25 +36,62 @@ object Checkpoints {
   // process-global cache: two sessions sharing one SparkContext with
   // DIFFERENT checkpointDir confs would race a global cache and a
   // "reliable" checkpoint could land on the other session's store.
-  // (The context dir is still context-global — Spark's model — so the
-  // checkpoint call itself sits inside the same lock, keeping each
-  // frame's materialization on its own session's root.)
   private val bindLock = new Object
+
+  // every distinct root ever REQUESTED per context (review r11): when
+  // only one root has ever been asked of a context, no other session
+  // can rebind it mid-materialization, so the (possibly minutes-long)
+  // eager checkpoint job runs OUTSIDE the lock and concurrent pins
+  // don't serialize. Only genuinely divergent confs — or the one-time
+  // first bind — pay a lock held across materialization. (The very
+  // FIRST appearance of a second root can still steal one in-flight
+  // unlocked materialization started before it registered; every
+  // call after registration is race-free. Closing that one-time
+  // window would put every checkpoint job back under the lock —
+  // the r11 serialization defect — so it is documented, not paid.)
+  private val rootsSeen =
+    new java.util.concurrent.ConcurrentHashMap[SparkContext, java.util.Set[String]]()
+
+  /** Fully-qualified URI string for a configured or bound path —
+    * scheme + authority INCLUDED (review r11: comparing bare path
+    * components treats `hdfs://nn/ckpt` and `file:/ckpt` as the same
+    * root, and a relative conf root never matches, minting a fresh
+    * UUID dir on every call). */
+  private def qualified(sc: SparkContext, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(sc.hadoopConfiguration)
+    p.makeQualified(fs.getUri, fs.getWorkingDirectory).toUri.toString
+      .stripSuffix("/")
+  }
+
+  private def boundInRoot(sc: SparkContext, root: String): Boolean =
+    sc.getCheckpointDir.exists { c =>
+      qualified(sc, c).startsWith(root + "/")
+    }
 
   /** Materialize a corpus-sized frame under the session's policy. */
   def corpus(df: DataFrame, eager: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(ConfKey) match {
       case Some(dir) if dir.nonEmpty =>
-        bindLock.synchronized {
-          val current = spark.sparkContext.getCheckpointDir
-          val root = new org.apache.hadoop.fs.Path(dir).toUri.getPath
-          val inRoot = current.exists(c =>
-            new org.apache.hadoop.fs.Path(c).toUri.getPath
-              .stripSuffix("/").startsWith(root.stripSuffix("/") + "/"))
-          if (!inRoot) spark.sparkContext.setCheckpointDir(dir)
-          df.checkpoint(eager)
+        val sc = spark.sparkContext
+        val root = qualified(sc, dir)
+        val seen = rootsSeen.computeIfAbsent(sc,
+          _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+        seen.add(root)
+        val mustHoldAcrossJob = bindLock.synchronized {
+          val rebound = !boundInRoot(sc, root)
+          if (rebound) sc.setCheckpointDir(dir)
+          rebound || seen.size > 1
         }
+        if (mustHoldAcrossJob) bindLock.synchronized {
+          // divergent sessions (or a racing first bind) may have
+          // re-bound between the two blocks — re-verify, then keep the
+          // lock for the whole materialization so the blocks land on
+          // THIS session's root
+          if (!boundInRoot(sc, root)) sc.setCheckpointDir(dir)
+          df.checkpoint(eager)
+        } else df.checkpoint(eager)
       case _ => df.localCheckpoint(eager)
     }
   }

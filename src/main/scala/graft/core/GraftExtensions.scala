@@ -39,15 +39,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash_signature",
         "minhash_signature(array<string>, k) - k-wise MinHash signature"),
       (exprs: Seq[Expression]) => TextExpressions.MinHashSignature(exprs.head,
-        exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
-          .asInstanceOf[Int])))
+        graft.functions.FunctionArgs.constInt(
+          "minhash_signature", "k", exprs(1)))))
     ext.injectFunction((
       FunctionIdentifier("minhash_band_buckets"),
       info("minhash_band_buckets",
         "minhash_band_buckets(array<string>, k, bands) - LSH band bucket ids"),
       (exprs: Seq[Expression]) => TextExpressions.MinHashBandBuckets(exprs.head,
-        exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int],
-        exprs(2).eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Int])))
+        graft.functions.FunctionArgs.constInt(
+          "minhash_band_buckets", "k", exprs(1)),
+        graft.functions.FunctionArgs.constInt(
+          "minhash_band_buckets", "bands", exprs(2)))))
     ext.injectFunction((
       FunctionIdentifier("sorted_intersect_count"),
       info("sorted_intersect_count",
@@ -72,8 +74,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("repetition_stats",
         "repetition_stats(str, n) - n-gram repetition summary struct"),
       (exprs: Seq[Expression]) => TextExpressions.RepetitionStats(exprs.head,
-        exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
-          .asInstanceOf[Int])))
+        graft.functions.FunctionArgs.constInt(
+          "repetition_stats", "n", exprs(1)))))
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       info("dot_product",
@@ -94,8 +96,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => graft.functions.KllExpressions.KllSketchAgg(
         org.apache.spark.sql.catalyst.expressions.Cast(exprs.head,
           org.apache.spark.sql.types.DoubleType),
-        exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
-          .asInstanceOf[Int])))
+        graft.functions.FunctionArgs.constInt("kll_sketch", "k", exprs(1)))))
     ext.injectFunction((
       FunctionIdentifier("kll_merge"),
       info("kll_merge",

@@ -216,20 +216,50 @@ object KllSketch {
     bos.toByteArray
   }
 
+  // the bytes are a DURABLE artifact read back across sessions, so
+  // every length field is bounded against the bytes actually present
+  // BEFORE any allocation (review r11: trusting them turns a
+  // truncated/corrupt blob into a huge preallocation or an opaque
+  // EOF instead of a clear integrity failure)
+  private def integrity(ok: Boolean, detail: => String): Unit =
+    if (!ok) throw new IllegalArgumentException(
+      s"KLL sketch bytes are corrupt ($detail) - this sketch is not a " +
+        "valid engine artifact; rebuild it from the source data")
+
   def deserialize(bytes: Array[Byte]): State = {
+    integrity(bytes.length >= 1 + 4 + 8 + 4, s"only ${bytes.length} bytes")
+    try deserializeChecked(bytes)
+    catch {
+      // a length field can pass its own bound yet starve a LATER
+      // header read on a truncated blob — same integrity class
+      case _: java.io.EOFException =>
+        integrity(ok = false, "truncated payload"); null
+    }
+  }
+
+  private def deserializeChecked(bytes: Array[Byte]): State = {
     val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val ver = in.readByte()
     require(ver == FormatVersion,
       s"KLL sketch format version $ver != $FormatVersion - this sketch " +
         "was written by a different engine generation; rebuild it from " +
         "the source data")
-    val s = new State(in.readInt())
+    val k = in.readInt()
+    integrity(k >= 0, s"negative k=$k")
+    val s = new State(k)
     s.count = in.readLong()
+    integrity(s.count >= 0L, s"negative count=${s.count}")
     val nLevels = in.readInt()
+    // each level costs at least 12 header bytes (parity long + size
+    // int), so nLevels is bounded by the remaining payload
+    integrity(nLevels >= 0 && nLevels.toLong * 12L <= in.available(),
+      s"nLevels=$nLevels exceeds ${in.available()} remaining bytes")
     var h = 0
     while (h < nLevels) {
       s.parity += in.readLong()
       val n = in.readInt()
+      integrity(n >= 0 && n.toLong * 8L <= in.available(),
+        s"level $h size=$n exceeds ${in.available()} remaining bytes")
       val buf = new ArrayBuffer[Double](n)
       var i = 0
       while (i < n) { buf += in.readDouble(); i += 1 }
@@ -391,7 +421,7 @@ object KllExpressions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("kll_sketch",
       exprs => KllSketchAgg(Cast(exprs.head, DoubleType),
-        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "scala_udf")
+        FunctionArgs.constInt("kll_sketch", "k", exprs(1))), "scala_udf")
     reg.createOrReplaceTempFunction("kll_merge",
       exprs => KllMergeAgg(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("kll_quantile",

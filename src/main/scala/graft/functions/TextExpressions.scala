@@ -1181,12 +1181,12 @@ object TextExpressions {
     reg.createOrReplaceTempFunction(
       "minhash_signature",
       exprs => MinHashSignature(exprs.head,
-        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "scala_udf")
+        FunctionArgs.constInt("minhash_signature", "k", exprs(1))), "scala_udf")
     reg.createOrReplaceTempFunction(
       "minhash_band_buckets",
       exprs => MinHashBandBuckets(exprs.head,
-        exprs(1).eval(InternalRow.empty).asInstanceOf[Int],
-        exprs(2).eval(InternalRow.empty).asInstanceOf[Int]), "scala_udf")
+        FunctionArgs.constInt("minhash_band_buckets", "k", exprs(1)),
+        FunctionArgs.constInt("minhash_band_buckets", "bands", exprs(2))), "scala_udf")
     reg.createOrReplaceTempFunction(
       "unicode_normalize",
       exprs => UnicodeNormalize(exprs.head,
@@ -1197,7 +1197,7 @@ object TextExpressions {
     reg.createOrReplaceTempFunction(
       "repetition_stats",
       exprs => RepetitionStats(exprs.head,
-        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]), "scala_udf")
+        FunctionArgs.constInt("repetition_stats", "n", exprs(1))), "scala_udf")
     reg.createOrReplaceTempFunction(
       "dot_product",
       exprs => graft.functions.VectorExpressions.DotProduct(

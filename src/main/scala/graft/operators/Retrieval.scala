@@ -274,6 +274,21 @@ object Retrieval {
     lazy val pair = {
       val cv = corpus.select(col(idCol).as("__vid"), col(vecCol).as("__vec"),
         Similarity.l2norm(col(vecCol)).as("__nrm"))
+      // a candidate with no corpus vector (or a zero-norm one) would
+      // silently drop out of the pair frame and never receive a
+      // diversity penalty — its near-duplicates could all reach the
+      // top-k (review r11). Coverage is a CONTRACT, not a best-effort:
+      // fail with the count instead of treating the gap as orthogonal.
+      // One extra |Q|*pool-bounded aggregate, paid once per call.
+      val uncovered = cand
+        .join(cv, cand("neighbor_id") === cv("__vid"), "left")
+        .filter(col("__vid").isNull || !(col("__nrm") > 0))
+        .count()
+      require(uncovered == 0L,
+        s"mmrRerank: $uncovered candidate row(s) have no non-zero-norm " +
+          s"vector in corpus.$idCol/$vecCol - diversity scores would be " +
+          "silently wrong; fix the candidate/corpus join keys or filter " +
+          "degenerate vectors upstream")
       val withVec = cand.join(cv, cand("neighbor_id") === cv("__vid"))
         .select(col("query_id"), col("neighbor_id"), col("__vec"), col("__nrm"))
       val a = withVec.select(col("query_id"), col("neighbor_id").as("i"),

@@ -62,6 +62,41 @@ class CheckpointsSpec extends SparkTestBase {
     }
   }
 
+  test("root compare is URI-qualified: file:-form, bare, and relative " +
+      "spellings of one root share one binding (review r11)") {
+    val dir = Files.createTempDirectory("graft_ckpt_uri").toString
+    spark.conf.set(Checkpoints.ConfKey, dir)
+    try {
+      assert(Checkpoints.corpus(df).count() == 1000)
+      val bound = spark.sparkContext.getCheckpointDir.get
+      // the scheme-qualified spelling of the SAME root must not rebind
+      // (a bare-path compare would strip file:/ and still match here,
+      // but hdfs://nn/x vs file:/x is the hazard — assert the
+      // qualified compare by exercising the explicit-scheme spelling)
+      spark.conf.set(Checkpoints.ConfKey, "file:" + dir)
+      assert(Checkpoints.corpus(df.filter(col("k") === 2)).count() == 143)
+      assert(spark.sparkContext.getCheckpointDir.get == bound,
+        "file:-qualified same root must not rebind")
+      // a RELATIVE root qualifies against the fs working dir and stays
+      // bound: two pins -> one UUID subdir, not one per call
+      val relName = "graft_ckpt_rel_probe"
+      val relAbs = new java.io.File(relName).getAbsoluteFile
+      try {
+        spark.conf.set(Checkpoints.ConfKey, relName)
+        assert(Checkpoints.corpus(df.filter(col("k") === 3)).count() == 143)
+        assert(Checkpoints.corpus(df.filter(col("k") === 4)).count() == 143)
+        val uuidDirs = Option(relAbs.listFiles()).map(_.count(_.isDirectory))
+        assert(uuidDirs.contains(1),
+          s"relative root must bind once, found $uuidDirs UUID dirs")
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(relAbs)
+      }
+    } finally spark.conf.unset(Checkpoints.ConfKey)
+  }
+
   test("an operator that pins through the knob works both ways (CC frontier)") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 5L))

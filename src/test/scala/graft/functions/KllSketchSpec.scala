@@ -130,4 +130,59 @@ class KllSketchSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(1) - 500.0) <= 40.0)
     spark.catalog.dropTempView("kll_probe")
   }
+
+  test("corrupt persisted bytes fail with an integrity message, " +
+      "not a preallocation or EOF (review r11)") {
+    val st = new KllSketch.State(64)
+    (1 to 5000).foreach(i => KllSketch.update(st, i.toDouble))
+    val good = KllSketch.serialize(st)
+    // sanity: the untouched bytes round-trip
+    assert(KllSketch.deserialize(good).count == 5000L)
+    def expectCorrupt(bytes: Array[Byte], what: String): Unit = {
+      val e = intercept[IllegalArgumentException](KllSketch.deserialize(bytes))
+      assert(e.getMessage.contains("rebuild it from the source data"),
+        s"$what: got '${e.getMessage}'")
+    }
+    // truncated mid-payload: level sizes now exceed remaining bytes
+    expectCorrupt(good.take(good.length / 2), "truncated blob")
+    // level-count field inflated to a huge value (the preallocation
+    // hazard): bytes[13..16] is nLevels in the v2 layout
+    val bigLevels = good.clone()
+    bigLevels(13) = 0x7F.toByte
+    expectCorrupt(bigLevels, "inflated nLevels")
+    // first per-level size field inflated (offset 17 header + 8 parity)
+    val bigSize = good.clone()
+    bigSize(25) = 0x7F.toByte
+    expectCorrupt(bigSize, "inflated level size")
+    // too short to even hold the fixed header
+    expectCorrupt(Array[Byte](2, 0, 0), "header-short blob")
+    // version mismatch keeps its own distinct generation message
+    val wrongVer = good.clone(); wrongVer(0) = 9
+    val e = intercept[IllegalArgumentException](KllSketch.deserialize(wrongVer))
+    assert(e.getMessage.contains("different engine generation"))
+  }
+
+  test("k argument: any integral literal accepted, non-constant " +
+      "rejected with a named analysis error (review r11)") {
+    KllExpressions.registerAll(spark)
+    spark.range(1, 101).selectExpr("CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("kll_arg_probe")
+    // BIGINT and SMALLINT literals used to ClassCastException
+    for (lit <- Seq("200L", "CAST(200 AS SMALLINT)", "CAST(200 AS INT)")) {
+      val n = spark.sql(
+        s"SELECT kll_count(kll_sketch(v, $lit)) AS n FROM kll_arg_probe")
+        .head().getLong(0)
+      assert(n == 100L, s"k literal $lit")
+    }
+    // non-constant, NULL, and non-integral arguments name the function
+    for (bad <- Seq("v", "NULL", "'x'", "2.5")) {
+      val e = intercept[Exception](spark.sql(
+        s"SELECT kll_sketch(v, $bad) FROM kll_arg_probe").collect())
+      assert(e.getMessage.contains("kll_sketch"),
+        s"arg $bad: got '${e.getMessage}'")
+      assert(e.getMessage.contains("constant integer"),
+        s"arg $bad: got '${e.getMessage}'")
+    }
+    spark.catalog.dropTempView("kll_arg_probe")
+  }
 }

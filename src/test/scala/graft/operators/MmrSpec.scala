@@ -144,4 +144,24 @@ class MmrSpec extends SparkTestBase {
       Retrieval.mmrRerank(cand, vecs, "vec_id", "embedding", 1, 1.5)
     }
   }
+
+  test("a candidate missing from the corpus (or zero-norm) fails " +
+      "loudly instead of silently skipping its diversity penalty") {
+    val corpus = Seq(
+      (100L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 0.0f))) // zero-norm: cosine undefined
+      .toDF("vec_id", "embedding")
+    // candidate 7 has no corpus row at all; candidate 2 is zero-norm
+    val cand = Seq((100L, 1L, 0.9), (100L, 7L, 0.8), (100L, 2L, 0.7))
+      .toDF("query_id", "neighbor_id", "cosine")
+    val e = intercept[IllegalArgumentException](
+      Retrieval.mmrRerank(cand, corpus, "vec_id", "embedding",
+        k = 2, lambda = 0.5))
+    assert(e.getMessage.contains("2 candidate row(s)"), e.getMessage)
+    // k=1 never reads the pair frame, so coverage is not consulted
+    val r1 = Retrieval.mmrRerank(cand, corpus, "vec_id", "embedding",
+      k = 1, lambda = 0.5).collect()
+    assert(r1.length == 1 && r1.head.getLong(1) == 1L)
+  }
 }
