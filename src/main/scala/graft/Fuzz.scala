@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.fuzz.SqlFuzzer
+
+/** Differential-fuzz driver, Spark side (verdict r11 #1).
+  *
+  * Generates `n` seeded queries in the Spark∩DuckDB dialect subset
+  * ([[graft.fuzz.SqlFuzzer]]), runs each over the fixture tables, and
+  * dumps results as parquet plus `fuzz_sql.json` — the exact layout
+  * `tools/check_fuzz.py` consumes to run the SAME SQL through DuckDB
+  * and compare (float-tolerant, int-width-normalized).
+  *
+  * Usage: runMain graft.Fuzz <sfDir> <outDir> [n] [seed0]
+  *
+  * A Spark-side failure is recorded in `fuzz_errors.json` instead of
+  * aborting the sweep — zero entries there plus zero DIVERGE lines
+  * from the checker is the gate.
+  */
+object Fuzz {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val n = args.lift(2).map(_.toInt).getOrElse(500)
+    val seed0 = args.lift(3).map(_.toLong).getOrElse(20260816L)
+    val spark = GraftSession.builder("graft-fuzz")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    registerViews(spark, sfDir)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val sqls = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    (0 until n).foreach { i =>
+      val name = f"fz$i%04d"
+      val sql = SqlFuzzer.generate(seed0 + i)
+      sqls(name) = sql
+      try {
+        val out = spark.sql(sql)
+        val normalized = out.select(out.schema.fields.toIndexedSeq.map { f =>
+          if (f.dataType == org.apache.spark.sql.types.TimestampType)
+            org.apache.spark.sql.functions.col(f.name)
+              .cast("timestamp_ntz").as(f.name)
+          else org.apache.spark.sql.functions.col(f.name)
+        }: _*)
+        normalized.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[fuzz] $name failed: ${errors(name)}")
+        System.err.println(s"[fuzz]   sql: $sql")
+      }
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    def dump(path: String, m: collection.Map[String, String]): Unit =
+      Files.writeString(Paths.get(path),
+        m.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    dump(s"$outDir/fuzz_sql.json", sqls)
+    dump(s"$outDir/fuzz_errors.json", errors)
+    println(s"[fuzz] ${n - errors.size}/$n ran on Spark; " +
+      s"${errors.size} errors (fuzz_errors.json)")
+    spark.stop()
+  }
+
+  /** Fixture views by bare table name — the same names DuckDB's side
+    * binds, so one SQL text runs on both engines. */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    SqlFuzzer.tables.foreach { t =>
+      val raw = spark.read.parquet(s"$sfDir/${t.name}.parquet")
+      // events.parquet can carry TIMESTAMP(NANOS), which the session
+      // reads as a raw nano long (nanosAsLong=true); convert to micros
+      // exactly like SparkEntry.events so both engines see timestamps
+      val df =
+        if (t.name == "events" &&
+            raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", org.apache.spark.sql.functions
+            .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000"))
+            .cast("timestamp_ntz"))
+        else raw
+      df.createOrReplaceTempView(t.name)
+    }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.fuzz.SqlFuzzer
+
+/** CI half of the differential fuzz gate (verdict r11 #1). The full
+  * gate is `runMain graft.Fuzz <sf> <out> 500` + `tools/check_fuzz.py`
+  * (DuckDB lives outside the JVM); results are recorded per round in
+  * COVERAGE.md. This spec keeps the GENERATOR honest in-process:
+  * deterministic per seed, Spark-valid across a seed sweep, and
+  * emitting every template family it claims.
+  */
+class FuzzSpec extends SparkTestBase {
+
+  test("generation is a pure function of the seed") {
+    (0 until 50).foreach { i =>
+      assert(SqlFuzzer.generate(1000 + i) == SqlFuzzer.generate(1000 + i))
+    }
+    // distinct seeds produce a diverse corpus, not one query repeated
+    val qs = (0 until 200).map(i => SqlFuzzer.generate(i.toLong))
+    assert(qs.distinct.size > 150, s"only ${qs.distinct.size} distinct")
+  }
+
+  test("every emitted query parses, plans, and runs on Spark (seed sweep)") {
+    Fuzz.registerViews(spark, sf())
+    val failures = (0 until 80).flatMap { i =>
+      val sql = SqlFuzzer.generate(50000L + i)
+      try { spark.sql(sql).collect(); None }
+      catch { case e: Exception => Some(s"seed ${50000 + i}: " +
+        s"${e.getMessage.linesIterator.next()}\n  $sql") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("the sweep exercises every template family") {
+    val qs = (0 until 400).map(i => SqlFuzzer.generate(90000L + i))
+    def n(p: String) = qs.count(_.contains(p))
+    assert(n("GROUP BY") > 50, "aggregates missing")
+    assert(n("OVER (PARTITION BY") > 15, "windows missing")
+    assert(n("JOIN") > 50, "joins missing")
+    assert(Seq("UNION", "INTERSECT", "EXCEPT").map(n).sum > 20,
+      "set ops missing")
+    assert(n("EXISTS") + n(" IN (SELECT") > 10, "subqueries missing")
+    assert(n("ROLLUP") + n("CUBE") + n("GROUPING SETS") > 5,
+      "grouping analytics missing")
+    assert(n("LIMIT") > 20, "limits missing")
+    assert(n("NULLIF") > 60, "null injection missing")
+    // grammar v2 families
+    assert(n("GREATEST") + n("LEAST") > 5, "greatest/least missing")
+    assert(n("TRY_CAST") > 5, "try_cast injection missing")
+    assert(n("DISTINCT FROM") > 3, "null-safe compare missing")
+    assert(n("INTERVAL") > 3, "interval arithmetic missing")
+    // the BIT_COUNT width trap (fz0039): every emission carries the
+    // BIGINT cast that makes the engines agree
+    val bc = qs.flatMap(q => "BIT_COUNT\\(\\w*".r.findAllIn(q))
+    assert(bc.nonEmpty && bc.forall(_.startsWith("BIT_COUNT(CAST")),
+      s"uncast BIT_COUNT emitted: ${bc.filterNot(_.startsWith("BIT_COUNT(CAST")).take(3)}")
+  }
+}

@@ -1,0 +1,198 @@
+#!/usr/bin/env python3
+"""Differential-fuzz checker, DuckDB side (verdict r11 #1).
+
+Runs every query from <outDir>/fuzz_sql.json (written by `runMain
+graft.Fuzz`) through DuckDB over the same fixture parquet, and compares
+against the Spark parquet dumps:
+
+  - columns sorted by name, rows sorted by all columns (total compare,
+    order-insensitive — generated queries need no ORDER BY except
+    under LIMIT, where the generator pins a unique-key total order);
+  - integer widths normalized to int64 (DuckDB HUGEINT sums and
+    int32/int64 reads compare by value);
+  - floats compared with relative tolerance 1e-9 (double aggregation
+    order is partition-dependent in Spark; identical inputs can sum in
+    different orders) after sorting on the EXACT columns only;
+  - timestamps floored to microseconds (Spark writes micros).
+
+Exit status 1 if any DIVERGE / error; 0 when the sweep is clean.
+
+Usage: python3 tools/check_fuzz.py <sfDir> <fuzzOutDir>
+"""
+import sys, os, json, glob, math
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+REL_TOL = 1e-9
+ABS_TOL = 1e-9
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            s = pd.to_datetime(df[c])
+            if getattr(s.dt, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = s.dt.floor("us").astype("datetime64[us]")
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype("boolean")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif df[c].dtype == object:
+            # DuckDB HUGEINT / Decimal come back as objects; normalize
+            # numeric objects to int64/float64 by value
+            def norm(v):
+                if v is None:
+                    return None
+                if isinstance(v, bool):
+                    return v
+                if isinstance(v, int):
+                    return np.int64(v)
+                return v
+            df[c] = df[c].map(norm)
+            if df[c].map(lambda v: v is None or isinstance(v, np.int64)).all():
+                df[c] = df[c].astype("Int64")
+    return df
+
+
+def sort_rows(df: pd.DataFrame):
+    """Stable row order: exact (non-float) columns first, then floats
+    ROUNDED to 6dp as tie-breakers — rows tied on exact columns still
+    align across engines when their floats differ only below the
+    comparison tolerance. (A float pair straddling a rounding boundary
+    could in principle misalign; any resulting DIVERGE is adjudicated
+    by hand, and none has been a false positive so far.)"""
+    exact = [c for c in df.columns
+             if not pd.api.types.is_float_dtype(df[c])]
+    floats = [c for c in df.columns if c not in exact]
+    keyed = pd.DataFrame(index=df.index)
+    for c in exact:
+        keyed[c] = df[c].astype("string")  # NULL-safe total order
+    for c in floats:
+        keyed[c] = df[c].round(6)
+    keys = exact + floats
+    order = keyed.sort_values(by=keys, kind="mergesort",
+                              na_position="first").index if keys else df.index
+    return df.loc[order].reset_index(drop=True), exact
+
+
+def float_eq(a: pd.Series, b: pd.Series) -> bool:
+    an, bn = a.to_numpy(dtype="float64"), b.to_numpy(dtype="float64")
+    both_nan = np.isnan(an) & np.isnan(bn)
+    close = np.isclose(an, bn, rtol=REL_TOL, atol=ABS_TOL, equal_nan=False)
+    return bool(np.all(close | both_nan))
+
+
+GROUPING_RE = __import__("re").compile(r"ROLLUP|CUBE|GROUPING SETS", 2)
+
+
+def null_or_zero_row(df, i):
+    return all(pd.isna(v) or (isinstance(v, (int, float, np.integer))
+                              and not isinstance(v, bool) and v == 0)
+               for v in df.iloc[i])
+
+
+def compare(sdf: pd.DataFrame, odf: pd.DataFrame, sql: str = ""):
+    s, o = canon(sdf), canon(odf)
+    if list(s.columns) != list(o.columns):
+        return f"SCHEMA spark={list(s.columns)} duckdb={list(o.columns)}"
+    if len(s) != len(o):
+        # PINNED engine-semantics difference (found by this gate, fz0205):
+        # over an EMPTY input, the SQL standard gives ROLLUP/CUBE/
+        # GROUPING SETS one grand-total row for the () grouping set
+        # (all keys NULL, COUNTs 0, other aggs NULL) — DuckDB and
+        # Postgres do; Spark returns ZERO rows. Minimal repro:
+        #   SELECT max(n_regionkey) FROM nation WHERE n_name='zzz'
+        #   GROUP BY ROLLUP(n_name)        -- Spark: 0 rows, DuckDB: 1
+        # Classified (not hidden): only when the query uses a grouping
+        # construct, DuckDB has exactly one extra row, that row is all
+        # NULL/zero, and removing it makes the engines agree exactly.
+        if (GROUPING_RE.search(sql) and len(o) == len(s) + 1):
+            for i in range(len(o)):
+                if null_or_zero_row(o, i):
+                    trimmed = odf.drop(odf.index[i]).reset_index(drop=True)
+                    if compare(sdf, trimmed, "") is None:
+                        return ("KNOWN_DIFF empty-input grouping-sets "
+                                "grand-total row (Spark omits, standard "
+                                "keeps)")
+        return f"ROWCOUNT spark={len(s)} duckdb={len(o)}"
+    s, exact = sort_rows(s)
+    o, _ = sort_rows(o)
+    for c in exact:
+        sv = s[c].astype("string")
+        ov = o[c].astype("string")
+        neq = (sv != ov) & ~(sv.isna() & ov.isna())
+        # pandas <NA> != <NA> is <NA>; treat as equal
+        neq = neq.fillna(False)
+        if neq.any():
+            i = int(neq.idxmax())
+            return (f"VALUE[{c}] row{i}: spark={s[c][i]!r} "
+                    f"duckdb={o[c][i]!r} (n_diff={int(neq.sum())})")
+    for c in s.columns:
+        if c in exact:
+            continue
+        if not float_eq(s[c], o[c]):
+            diff = (s[c] - o[c]).abs()
+            i = int(diff.idxmax())
+            return (f"FLOAT[{c}] row{i}: spark={s[c][i]!r} "
+                    f"duckdb={o[c][i]!r}")
+    return None
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    sqls = json.load(open(f"{out_dir}/fuzz_sql.json"))
+    spark_errors = {}
+    ep = f"{out_dir}/fuzz_errors.json"
+    if os.path.exists(ep):
+        spark_errors = json.load(open(ep))
+    n_match = 0
+    n_known = 0
+    known = []
+    problems = []
+    for name, sql in sorted(sqls.items()):
+        if name in spark_errors:
+            problems.append((name, f"SPARK_ERROR {spark_errors[name]}"))
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            problems.append((name, "NO_SPARK_OUTPUT"))
+            continue
+        sdf = con.execute(
+            f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+        try:
+            odf = con.execute(sql).df()
+        except Exception as e:
+            problems.append((name, f"DUCKDB_ERROR {e}"))
+            continue
+        diff = compare(sdf, odf, sql)
+        if diff is None:
+            n_match += 1
+        elif diff.startswith("KNOWN_DIFF"):
+            n_known += 1
+            known.append((name, diff))
+        else:
+            problems.append((name, f"DIVERGE {diff}"))
+    for name, p in known:
+        print(f"kd  {name}: {p}")
+    for name, p in problems:
+        print(f"BAD {name}: {p}")
+        print(f"    sql: {sqls[name]}")
+    print(f"\n{n_match} MATCH, {n_known} known-diff, "
+          f"{len(problems)} problems / {len(sqls)} total")
+    return 1 if problems else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
