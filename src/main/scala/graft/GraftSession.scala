@@ -12,10 +12,19 @@ import org.apache.spark.sql.SparkSession
   * threshold left at default so small dims broadcast automatically.
   */
 object GraftSession {
-  def builder(appName: String = "graft", cores: Int = defaultCores): SparkSession.Builder =
+  /** `taskFailures` mirrors a real cluster's `spark.task.maxFailures`
+    * (default 4 there): local mode fails the job on the FIRST task
+    * failure unless the master string allows retries, so committer/
+    * fold retry-safety (ChaosRetrySpec) is untestable at the default.
+    * Production local runs keep 1 — a local failure is a bug to
+    * surface, not mask. */
+  def builder(appName: String = "graft", cores: Int = defaultCores,
+      taskFailures: Int = 1): SparkSession.Builder =
     SparkSession.builder()
       .appName(appName)
-      .master(s"local[$cores]")
+      .master(
+        if (taskFailures > 1) s"local[$cores,$taskFailures]"
+        else s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
