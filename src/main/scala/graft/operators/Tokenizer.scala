@@ -125,6 +125,43 @@ object Tokenizer {
     * distributed tier. */
   val DefaultMaxLocalWords: Int = 1 << 21
 
+  /** Deterministic corpus sample for tokenizer TRAINING (verdict r11
+    * #4). Training a production vocabulary (32k merges) over the full
+    * corpus is ~numMerges/16 sequential distributed rounds — correct
+    * but a wall at 100 TB — and standard practice (SentencePiece,
+    * GPT-2) learns the vocabulary on a corpus sample anyway: merge
+    * ranks are frequency statistics, and a few hundred MB of
+    * representative text pins the top merges. This knob is the
+    * engine's sanctioned way to do that:
+    *
+    * `trainBpeMerges(Tokenizer.sampleForTraining(docs, "text", 0.01),
+    * "text", 32000)` — the sample usually fits the LOCAL-exact tier
+    * (one distributed aggregation + driver compute), turning the
+    * round wall into a non-event.
+    *
+    * Selection is a seed-pinned HASH THRESHOLD on the text content
+    * (`xxhash64(text, seed) mod 2^30 < fraction·2^30`), not Spark's
+    * `sample()` and not a true reservoir: the chosen subset is a pure
+    * function of each row's bytes, so it is identical across
+    * partitionings, re-runs, retries, and cluster sizes (a reservoir
+    * needs global coordination and breaks that), and adding documents
+    * to the corpus never UN-selects a previously selected one —
+    * incremental re-training sees a superset, not churn.
+    * TokenizerSpec quantifies sample-vs-full agreement (top-N merge
+    * overlap + downstream token-count drift) on the fixture. */
+  def sampleForTraining(docs: DataFrame, textCol: String,
+      fraction: Double, seed: Long = 42L): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"sample fraction must be in (0, 1]: $fraction")
+    if (fraction >= 1.0) docs
+    else {
+      val denom = 1L << 30
+      val bound = math.max(1L, math.round(fraction * denom))
+      docs.filter(
+        pmod(xxhash64(col(textCol), lit(seed)), lit(denom)) < lit(bound))
+    }
+  }
+
   /** BATCHED distributed BPE training (VERDICT r6 #3) — EXACT, not
     * approximate: per round, rank candidate pairs exactly as the
     * sequential loop does, then accept the maximal CONSECUTIVE

@@ -475,4 +475,42 @@ class TokenizerSpec extends SparkTestBase {
     assert(out(4L) == ((3L, 3L, 1.0)))
     assert(out(5L) == ((4L, 0L, 0.0)))  // [b, a] + [c, ab], all in-vocab
   }
+
+  test("sampled-corpus training tracks full-corpus training: nested " +
+      "deterministic sample, top-N merge overlap, token drift (r11 #4)") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val total = docs.count()
+    // the sample is a pure function of (text, seed): identical across
+    // re-runs, and thresholds NEST — sample(0.2) is a strict subset of
+    // sample(0.5) under one seed, so growing the budget only ADDS text
+    val s50a = Tokenizer.sampleForTraining(docs, "text", 0.5)
+    val s50b = Tokenizer.sampleForTraining(docs, "text", 0.5)
+    val s20 = Tokenizer.sampleForTraining(docs, "text", 0.2)
+    assert(s50a.count() == s50b.count())
+    assert(s20.join(s50a, Seq("doc_id"), "left_anti").count() == 0,
+      "smaller fraction must select a subset of the larger one")
+    val frac = s50a.count().toDouble / total
+    assert(frac > 0.35 && frac < 0.65, s"0.5 sample selected $frac")
+    // a different seed picks a different subset (content-keyed, not
+    // row-position-keyed)
+    val other = Tokenizer.sampleForTraining(docs, "text", 0.5, seed = 7L)
+    assert(other.join(s50a, Seq("doc_id"), "left_anti").count() > 0)
+
+    // merge agreement: the sampled vocabulary must largely rediscover
+    // the full-corpus merges...
+    val N = 64
+    val full = Tokenizer.trainBpeMerges(docs, "text", numMerges = N).toSeq
+    val sampled = Tokenizer.trainBpeMerges(s50a, "text", numMerges = N).toSeq
+    val overlap = full.toSet.intersect(sampled.toSet).size.toDouble / N
+    assert(overlap >= 0.70, s"top-$N merge overlap $overlap < 0.70")
+    // ...and the tokenization it induces must hold the corpus-wide
+    // token count (the budget everything downstream is priced in)
+    val fullTok = docs.select(
+      sum(Tokenizer.bpeCount(full)(col("text")))).head.getLong(0)
+    val sampTok = docs.select(
+      sum(Tokenizer.bpeCount(sampled)(col("text")))).head.getLong(0)
+    val drift = math.abs(fullTok - sampTok).toDouble / fullTok
+    assert(drift <= 0.02, s"token-count drift $drift > 2% " +
+      s"(full=$fullTok sampled=$sampTok)")
+  }
 }
