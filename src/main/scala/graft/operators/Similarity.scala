@@ -918,6 +918,22 @@ object Similarity {
     * lists. This is the 100 TB layout: train centroids on a sample,
     * one broadcast-join assignment pass, shuffle-on-centroid probes.
     */
+  /** Recommended coarse-centroid count for an IVF stage over `n`
+    * vectors: ~sqrt(n), floored at 16 (the fixture default). The cost
+    * model that makes this load-bearing: a probe stage evaluates
+    * `nProbe * n / nCentroids` candidates PER QUERY, so a FIXED
+    * centroid count turns all-queries mining quadratic in corpus
+    * size — the r12 scale probe measured exactly that (mine2 at
+    * fixed c=16: fitted exponent 1.29 at 20k vectors and climbing
+    * toward 2). c ≈ sqrt(n) balances the assignment term (n·c
+    * distance evals) against the probe term (q·nProbe·n/c), the
+    * standard IVF sizing (the published FAISS guideline is
+    * sqrt(n)–4·sqrt(n)), and bounds all-pairs mining at ~n^1.5 total
+    * work — the accepted ANN trade. The remaining 100 TB lever is
+    * batching the query side; per-batch cost is then linear in n. */
+  def ivfCentroidsFor(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4,

@@ -24,6 +24,7 @@ object Probe {
     if (args.headOption.contains("r10price")) { r10price(spark, dir); spark.stop(); return }
     if (args.headOption.contains("r11price")) { r11price(spark, dir); spark.stop(); return }
     if (args.headOption.contains("r11b")) { r11b(spark, dir); spark.stop(); return }
+    if (args.headOption.contains("r12scale")) { r12scale(spark, dir); spark.stop(); return }
     if (args.headOption.contains("r7pipe")) { r7pipe(spark, dir); spark.stop(); return }
     if (args.headOption.contains("jdbcYardstick")) { jdbcYardstick(spark, dir); spark.stop(); return }
     if (args.headOption.contains("dd4")) { dd4(spark, dir); spark.stop(); return }
@@ -1490,6 +1491,164 @@ object Probe {
   /** Second r11 batch: price the round's NEW operators (KLL sketch,
     * shard manifest, MMR) against their exact siblings and across
     * their scale knobs. */
+  /** Round-12 scale-EXPONENT probe (VERDICT r11 #3): the heavy
+    * families at three scales — sf0.01, sf0.1, and a ~sf1 synthetic
+    * (10x id-shifted union of sf0.1) — with a least-squares exponent
+    * fit on (ln n, ln t). PERF.md records the table; anything
+    * super-linear beyond log factors gets a tracked fix. Exponents
+    * from wall-clock at small n are noisy (fixed per-job overhead
+    * deflates the fit at the low end), so the fit uses the TWO larger
+    * points and the small point is printed for context. */
+  def r12scale(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.DataFrame
+    def load(sf: String, name: String): DataFrame =
+      spark.read.parquet(s"/root/testdata/$sf/$name.parquet")
+    def x10(name: String, idCol: String): DataFrame = {
+      val base = load("sf0.1", name)
+      (0 until 10).map(i =>
+        base.withColumn(idCol, col(idCol) + lit(i.toLong * 100000000L)))
+        .reduce(_.unionAll(_))
+    }
+    def timed(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    def report(family: String, pts: Seq[(Long, Double)]): Unit = {
+      val fitPts = pts.takeRight(2)
+      val exp = math.log(fitPts(1)._2 / fitPts(0)._2) /
+        math.log(fitPts(1)._1.toDouble / fitPts(0)._1)
+      val detail = pts.map { case (n, t) => f"n=$n%,d ${t}%.1fs" }
+        .mkString("  ")
+      println(f"=== r12scale $family: exponent ${exp}%.2f  [$detail]")
+    }
+
+    // kll_sketch: events 10k -> 100k -> 1M rows, per-type sketches
+    locally {
+      val K = graft.functions.KllExpressions
+      def run(ev: DataFrame): Long =
+        ev.groupBy("event_type")
+          .agg(K.kll_sketch(col("value"), 200).as("sk"))
+          .select(K.kll_quantile(col("sk"), 0.5)).count()
+      val pts = Seq(load("sf0.01", "events"), load("sf0.1", "events"),
+        x10("events", "event_id")).map { ev =>
+        val n = ev.count(); val (t, _) = timed(run(ev)); (n, t)
+      }
+      report("kll_sketch per-type", pts)
+    }
+
+    // connected components, DISTRIBUTED contraction branch
+    // (driverCcMaxEdges=0): synthetic path+ring edge sets 10k/100k/1M
+    locally {
+      def edges(m: Long): DataFrame =
+        spark.range(0, m).select(col("id").as("id_a"),
+          when(col("id") % 100 === 99, col("id") - 99)
+            .otherwise(col("id") + 1).as("id_b"))
+      def run(m: Long): (Long, Double) = {
+        val e = edges(m).localCheckpoint()
+        val (t, n) = timed(
+          graft.operators.Dedup.clusters(e, driverCcMaxEdges = 0L)
+            .select(countDistinct("cluster")).head.getLong(0))
+        (m, t)
+      }
+      report("dd6b contraction CC", Seq(10000L, 100000L, 1000000L).map(run))
+    }
+
+    // dd14 incremental dedup: bucketed signature store of n docs,
+    // probe with n/10 new docs — the cross-run production shape
+    locally {
+      def run(docs: DataFrame, tag: String): (Long, Double) = {
+        val n = docs.count()
+        val store = docs.filter(col("doc_id") % 10 =!= 0)
+        val fresh = docs.filter(col("doc_id") % 10 === 0)
+        val (bands, shingles) = graft.operators.Dedup.signatureStore(
+          store, "doc_id", "text", 3, 64, 16)
+        graft.sources.Bucketing.writeBucketed(bands,
+          s"r12sc_bands_$tag", Seq("bucket"), 8)
+        graft.sources.Bucketing.writeBucketed(shingles,
+          s"r12sc_shingles_$tag", Seq("id"), 8)
+        val (t, _) = timed(graft.operators.Dedup.incrementalDedup(
+          fresh, graft.sources.Bucketing.readBucketed(spark, s"r12sc_bands_$tag"),
+          graft.sources.Bucketing.readBucketed(spark, s"r12sc_shingles_$tag"),
+          "doc_id", "text", 3, 64, 16, 0.8).count())
+        (n, t)
+      }
+      report("dd14 incremental probe", Seq(
+        run(load("sf0.01", "documents"), "a"),
+        run(load("sf0.1", "documents"), "b"),
+        run(x10("documents", "doc_id"), "c")))
+    }
+
+    // mem2 winnow+Bloom paraphrase audit: 2% of docs as "generations"
+    locally {
+      def run(docs: DataFrame): (Long, Double) = {
+        val n = docs.count()
+        val gen = docs.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("gen_id"), col("text"))
+        val (t, _) = timed(graft.operators.Decontaminate.paraphraseAudit(
+          gen, docs, "gen_id", "text", gramSize = 5, window = 4).count())
+        (n, t)
+      }
+      report("mem2 winnow+Bloom audit", Seq(
+        run(load("sf0.01", "documents")), run(load("sf0.1", "documents")),
+        run(x10("documents", "doc_id"))))
+    }
+
+    // mine2 IVF bitext mining (fixed config: 16 centroids, probe 4)
+    locally {
+      def run(e: DataFrame): (Long, Double) = {
+        val n = e.count()
+        val (t, _) = timed(graft.operators.Similarity.bitextMarginPairsIvf(
+          e.filter(col("label") % 2 === 0), e.filter(col("label") % 2 === 1),
+          "vec_id", "embedding", k = 4, marginThreshold = 1.0,
+          nCentroids = 16, nProbe = 4).count())
+        (n, t)
+      }
+      report("mine2 IVF bitext FIXED c=16", Seq(
+        run(load("sf0.01", "embeddings")), run(load("sf0.1", "embeddings")),
+        run(x10("embeddings", "vec_id"))))
+      // same family with the documented sizing rule (c ~ sqrt(n),
+      // nProbe = c/4): holding c fixed is the quadratic cliff the
+      // fixed-config fit above exposes; this is the config a 100 TB
+      // run would actually use
+      def runScaled(e: DataFrame): (Long, Double) = {
+        val n = e.count()
+        val c = graft.operators.Similarity.ivfCentroidsFor(n)
+        val (t, _) = timed(graft.operators.Similarity.bitextMarginPairsIvf(
+          e.filter(col("label") % 2 === 0), e.filter(col("label") % 2 === 1),
+          "vec_id", "embedding", k = 4, marginThreshold = 1.0,
+          nCentroids = c, nProbe = math.max(4, c / 4)).count())
+        (n, t)
+      }
+      report("mine2 IVF bitext c=sqrt(n)", Seq(
+        runScaled(load("sf0.01", "embeddings")),
+        runScaled(load("sf0.1", "embeddings")),
+        runScaled(x10("embeddings", "vec_id"))))
+    }
+
+    // IVF-PQ index BUILD: pqTrain (m=8,k=16,2 iters) + coarse assign +
+    // bucketed store — the one-time cost per corpus generation
+    locally {
+      def run(e: DataFrame, tag: String): (Long, Double) = {
+        val n = e.count()
+        val (t, _) = timed {
+          val books = graft.operators.Similarity.pqTrain(
+            e, "vec_id", "embedding", m = 8, k = 16, maxIter = 2)
+          val (index, cents) = graft.operators.Similarity.pqIndexStore(
+            e, "vec_id", "embedding", books, nCentroids = 16)
+          graft.sources.Bucketing.writeBucketed(index,
+            s"r12sc_pq_$tag", Seq("cent_id"), 4)
+          cents.count() +
+            graft.sources.Bucketing.readBucketed(spark, s"r12sc_pq_$tag").count()
+        }
+        (n, t)
+      }
+      report("ivfpq index build", Seq(
+        run(load("sf0.01", "embeddings"), "a"),
+        run(load("sf0.1", "embeddings"), "b"),
+        run(x10("embeddings", "vec_id"), "c")))
+    }
+  }
+
   def r11b(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     def timed(label: String)(f: => Long): Unit = {
       val t = System.nanoTime(); val n = f
