@@ -46,8 +46,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64")
         elif df[c].dtype == object:
-            # DuckDB HUGEINT / Decimal come back as objects; normalize
-            # numeric objects to int64/float64 by value
+            # DuckDB HUGEINT / Decimal come back as objects, and Spark
+            # DECIMAL outputs (a bare `1.0` literal types as decimal)
+            # arrive as decimal.Decimal objects while DuckDB may
+            # materialize the same value as float64 — normalize
+            # numeric objects by VALUE: ints to Int64, decimals to
+            # float64 (compared under the float tolerance; the
+            # generator's decimals are small literals, well inside
+            # float64 precision)
+            import decimal as _dec
             def norm(v):
                 if v is None:
                     return None
@@ -57,7 +64,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
                     return np.int64(v)
                 return v
             df[c] = df[c].map(norm)
-            if df[c].map(lambda v: v is None or isinstance(v, np.int64)).all():
+            nn = df[c].dropna()
+            if len(nn) and nn.map(
+                    lambda v: isinstance(v, _dec.Decimal)).all():
+                df[c] = df[c].astype("float64")
+            elif df[c].map(
+                    lambda v: v is None or isinstance(v, np.int64)).all():
                 df[c] = df[c].astype("Int64")
     return df
 
@@ -189,6 +201,8 @@ def main(sf_dir, out_dir):
     for name, p in problems:
         print(f"BAD {name}: {p}")
         print(f"    sql: {sqls[name]}")
+        print(f"    shrink: python3 tools/shrink_fuzz.py {sf_dir} "
+              f"--from {out_dir} {name}")
     print(f"\n{n_match} MATCH, {n_known} known-diff, "
           f"{len(problems)} problems / {len(sqls)} total")
     return 1 if problems else 0
