@@ -1,7 +1,5 @@
 package graft
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.SparkSession
 
 import graft.fuzz.SqlFuzzer
@@ -39,35 +37,16 @@ object Fuzz {
       val sql = SqlFuzzer.generate(seed0 + i)
       sqls(name) = sql
       try {
-        val out = spark.sql(sql)
-        val normalized = out.select(out.schema.fields.toIndexedSeq.map { f =>
-          if (f.dataType == org.apache.spark.sql.types.TimestampType)
-            org.apache.spark.sql.functions.col(f.name)
-              .cast("timestamp_ntz").as(f.name)
-          else org.apache.spark.sql.functions.col(f.name)
-        }: _*)
-        normalized.coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        Verify.ntzNormalized(spark.sql(sql))
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[fuzz] $name failed: ${errors(name)}")
         System.err.println(s"[fuzz]   sql: $sql")
       }
     }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    def dump(path: String, m: collection.Map[String, String]): Unit =
-      Files.writeString(Paths.get(path),
-        m.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
-    dump(s"$outDir/fuzz_sql.json", sqls)
-    dump(s"$outDir/fuzz_errors.json", errors)
+    Verify.writeJsonMap(s"$outDir/fuzz_sql.json", sqls)
+    Verify.writeJsonMap(s"$outDir/fuzz_errors.json", errors)
     println(s"[fuzz] ${n - errors.size}/$n ran on Spark; " +
       s"${errors.size} errors (fuzz_errors.json)")
     spark.stop()

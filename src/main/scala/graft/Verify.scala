@@ -1,11 +1,45 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.DataFrame
 import java.nio.file.{Files, Paths}
 
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare. The artifact
+  * helpers are shared with [[Fuzz]] (the differential gate writes the
+  * same layout) so the two gates can never drift on encoding. */
 object Verify {
+
+  /** Session-tz timestamps would dump with isAdjustedToUTC=true and
+    * fail the naive-TIMESTAMP oracle schema gate; the session zone is
+    * UTC so the NTZ cast is instant-preserving. */
+  private[graft] def ntzNormalized(out: DataFrame): DataFrame =
+    out.select(out.schema.fields.toIndexedSeq.map { f =>
+      if (f.dataType == org.apache.spark.sql.types.TimestampType)
+        org.apache.spark.sql.functions.col(f.name)
+          .cast("timestamp_ntz").as(f.name)
+      else org.apache.spark.sql.functions.col(f.name)
+    }: _*)
+
+  /** JSON string escape: backslash, quote, and ALL control chars
+    * (<0x20) — a tab or CR in builder-authored SQL would otherwise
+    * make the driver's json.load fail and silently zero the round's
+    * correctness. */
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Flat string-to-string JSON object, insertion-ordered. */
+  private[graft] def writeJsonMap(path: String,
+      m: collection.Map[String, String]): Unit =
+    Files.writeString(Paths.get(path),
+      m.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.builder("graft-verify")
@@ -24,35 +58,13 @@ object Verify {
     }
     selected.foreach { case (name, fn) =>
       try {
-        val out = fn(spark, sfDir)
-        // session-tz timestamps would dump with isAdjustedToUTC=true and
-        // fail the naive-TIMESTAMP oracle schema gate; the session zone
-        // is UTC so the NTZ cast is instant-preserving
-        val normalized = out.select(out.schema.fields.toIndexedSeq.map { f =>
-          if (f.dataType == org.apache.spark.sql.types.TimestampType)
-            org.apache.spark.sql.functions.col(f.name).cast("timestamp_ntz").as(f.name)
-          else org.apache.spark.sql.functions.col(f.name)
-        }: _*)
-        normalized.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        ntzNormalized(fn(spark, sfDir))
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    writeJsonMap(s"$outDir/oracle_sql.json", SparkEntry.oracleSql)
     spark.stop()
   }
 }

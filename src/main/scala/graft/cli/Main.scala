@@ -145,9 +145,13 @@ object Main {
       spark.sparkContext.setLogLevel(verboseLevel(v)))
     // reliable-checkpoint root (verdict r11 #5): the CLI/properties
     // surface reaches the same session knob operators consult via
-    // Checkpoints.corpus — no out-of-band Spark conf needed
-    conf.checkpointDir.foreach(d =>
-      spark.conf.set(graft.core.Checkpoints.ConfKey, d))
+    // Checkpoints.corpus — no out-of-band Spark conf needed. Absent
+    // flag UNSETS it: a reused session must behave like a fresh CLI
+    // invocation, not inherit the previous run's root (review r12)
+    conf.checkpointDir match {
+      case Some(d) => spark.conf.set(graft.core.Checkpoints.ConfKey, d)
+      case None => spark.conf.unset(graft.core.Checkpoints.ConfKey)
+    }
     ReplicaEngine.replicate(spark, conf)
   }
 

@@ -49,8 +49,17 @@ object Checkpoints {
   // call after registration is race-free. Closing that one-time
   // window would put every checkpoint job back under the lock —
   // the r11 serialization defect — so it is documented, not paid.)
-  private val rootsSeen =
-    new java.util.concurrent.ConcurrentHashMap[SparkContext, java.util.Set[String]]()
+  // WEAK keys (review r12): a long-lived process that stops and
+  // recreates contexts (notebook server, embedding service) must not
+  // accumulate strong references to every dead SparkContext and its
+  // root set. Collections.synchronizedMap makes computeIfAbsent
+  // atomic under the wrapper's mutex. Within one context's lifetime a
+  // second root flips that context to lock-across-job permanently —
+  // deliberate: "the divergent session is gone" is unknowable, and
+  // the flip is scoped to the context that actually saw divergence.
+  private val rootsSeen: java.util.Map[SparkContext, java.util.Set[String]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkContext, java.util.Set[String]]())
 
   /** Fully-qualified URI string for a configured or bound path —
     * scheme + authority INCLUDED (review r11: comparing bare path

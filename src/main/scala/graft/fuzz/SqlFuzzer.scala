@@ -53,6 +53,10 @@ package graft.fuzz
   *    whose parse behavior agrees ('abc', '', ' 42 ', '1e3').
   *  - `EXTRACT(DOW FROM ts)`: Spark counts Sunday=1, DuckDB
   *    Sunday=0 — only YEAR/MONTH/DAY/HOUR parts are emitted.
+  *  - `SPLIT_PART(NULL, d, n)`: Spark propagates NULL, DuckDB
+  *    returns `''` (and a NULL delimiter returns the whole string) —
+  *    found by fz0388 after the checker's NULL-comparator fix; the
+  *    generator COALESCEs the input to ''.
   *  - `BIT_COUNT(-10)` (INT input): Spark counts the SIGN-EXTENDED
   *    64-bit pattern (62), DuckDB the declared INT32 width (30) —
   *    found BY THIS GATE (fz0039/fz0483, grammar v2's first sweep);
@@ -272,8 +276,13 @@ object SqlFuzzer {
         s"${strExpr(t, r, depth - 1)}, ${3 + r.nextInt(8)}, '${r.oneOf(Seq("0", "xy", "."))}')"
       case 7 => s"${r.oneOf(Seq("LEFT", "RIGHT"))}(" +
         s"${strExpr(t, r, depth - 1)}, ${1 + r.nextInt(6)})"
-      case 8 => s"SPLIT_PART(${strExpr(t, r, depth - 1)}, " +
-        s"'${r.oneOf(Seq(" ", "a", "-"))}', ${1 + r.nextInt(3)})"
+      case 8 =>
+        // DuckDB's split_part treats a NULL string as '' (and a NULL
+        // delimiter as no-split) where Spark propagates NULL — found
+        // by the NULL-comparator fix unmasking fz0388 (outer-join
+        // NULLs reaching the function); COALESCE pins both to ''
+        s"SPLIT_PART(COALESCE(${strExpr(t, r, depth - 1)}, ''), " +
+          s"'${r.oneOf(Seq(" ", "a", "-"))}', ${1 + r.nextInt(3)})"
       case 9 => s"CONCAT_WS('${r.oneOf(Seq("-", ":", ""))}', " +
         s"${strExpr(t, r, depth - 1)}, " +
         s"NULLIF(${r.oneOf(strs).name}, ${strLit(r.oneOf(strs).name, r)}))"

@@ -26,7 +26,8 @@ class FuzzSpec extends SparkTestBase {
       val sql = SqlFuzzer.generate(50000L + i)
       try { spark.sql(sql).collect(); None }
       catch { case e: Exception => Some(s"seed ${50000 + i}: " +
-        s"${e.getMessage.linesIterator.next()}\n  $sql") }
+        s"${Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.next()}\n  $sql") }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }

@@ -140,9 +140,12 @@ def compare(sdf: pd.DataFrame, odf: pd.DataFrame, sql: str = ""):
     for c in exact:
         sv = s[c].astype("string")
         ov = o[c].astype("string")
-        neq = (sv != ov) & ~(sv.isna() & ov.isna())
-        # pandas <NA> != <NA> is <NA>; treat as equal
-        neq = neq.fillna(False)
+        # (sv != ov) is <NA> whenever EITHER side is NA, so a bare
+        # fillna(False) would also swallow one-sided NULL-vs-value
+        # mismatches — the NULL-handling divergence class this gate
+        # exists to catch (review r12). Both-NA is equal; XOR of the
+        # NA masks restores the one-sided case.
+        neq = (sv != ov).fillna(False) | (sv.isna() ^ ov.isna())
         if neq.any():
             i = int(neq.idxmax())
             return (f"VALUE[{c}] row{i}: spark={s[c][i]!r} "
