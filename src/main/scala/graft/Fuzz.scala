@@ -39,7 +39,9 @@ object Fuzz {
       try {
         Verify.ntzNormalized(spark.sql(sql))
           .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
+        // fatal JVM errors (OOM, StackOverflow) must ABORT the sweep:
+        // a corrupted driver would record misleading per-query rows
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[fuzz] $name failed: ${errors(name)}")
         System.err.println(s"[fuzz]   sql: $sql")

@@ -100,7 +100,20 @@ object Checkpoints {
           // THIS session's root
           if (!boundInRoot(sc, root)) sc.setCheckpointDir(dir)
           df.checkpoint(eager)
-        } else df.checkpoint(eager)
+        } else {
+          val out = df.checkpoint(eager)
+          // close the one-shot window (review r12): the FIRST
+          // registration of a second root can rebind this context
+          // while the unlocked materialization above is in flight,
+          // landing the "reliable" blocks on the other session's
+          // store. One cheap post-check; redo under the lock only on
+          // an actual steal — the steady state never pays it.
+          if (boundInRoot(sc, root)) out
+          else bindLock.synchronized {
+            if (!boundInRoot(sc, root)) sc.setCheckpointDir(dir)
+            df.checkpoint(eager)
+          }
+        }
       case _ => df.localCheckpoint(eager)
     }
   }

@@ -73,6 +73,17 @@ package graft.fuzz
   * arithmetic, and the shared string-function family (REPLACE,
   * REVERSE, L/RPAD, REPEAT, SPLIT_PART, LEFT/RIGHT, INSTR, CONTAINS,
   * CONCAT_WS, BIT_COUNT) — is generated freely.
+  *
+  * Grammar v3 (r13, each construct pair-probed on both engines over
+  * sf0.01 before adoption — 16/16 agreed): correlated scalar
+  * subqueries with outer references (COUNT/MAX over an FK equality,
+  * in the SELECT list and the WHERE), RANGE window frames over a
+  * single non-null BIGINT order key (peer-closed, so tie groups
+  * aggregate identical multisets), DISTINCT aggregates
+  * (SUM/AVG DISTINCT beyond COUNT), chained CTEs (2–3 deep over a
+  * typed synthetic scope), and ORDER BY + LIMIT inside parenthesized
+  * set-op branches (total order on the driving key keeps the cut
+  * content-deterministic).
   */
 object SqlFuzzer {
 
@@ -424,7 +435,7 @@ object SqlFuzzer {
     } else base
   }
 
-  private def aggExpr(t: Tab, r: Rng): String = r.nextInt(8) match {
+  private def aggExpr(t: Tab, r: Rng): String = r.nextInt(10) match {
     case 0 => "COUNT(*)"
     case 1 => s"COUNT(${anyGroupable(t, r)})"
     case 2 => s"COUNT(DISTINCT ${anyGroupable(t, r)})"
@@ -432,7 +443,14 @@ object SqlFuzzer {
     case 4 if t.of(TDouble).nonEmpty => s"SUM(${dblExpr(t, r, 1)})"
     case 5 if t.of(TDouble).nonEmpty => s"AVG(${dblExpr(t, r, 1)})"
     case 6 => s"MIN(${anyGroupable(t, r)})"
-    case _ => s"MAX(${anyGroupable(t, r)})"
+    case 7 => s"MAX(${anyGroupable(t, r)})"
+    // grammar v3 (probed r13): DISTINCT aggregates beyond COUNT —
+    // the distinct set is exact, so SUM(DISTINCT int) compares
+    // exactly and AVG(DISTINCT dbl) under the float tolerance
+    case 8 => s"CAST(SUM(DISTINCT ${intExpr(t, r, 1)}) AS BIGINT)"
+    case _ if t.of(TDouble).nonEmpty =>
+      s"AVG(DISTINCT ${r.oneOf(t.of(TDouble)).name})"
+    case _ => s"CAST(SUM(DISTINCT ${intExpr(t, r, 1)}) AS BIGINT)"
   }
 
   /** Group key: low-ish cardinality, NULLIF-injected sometimes. */
@@ -504,8 +522,19 @@ object SqlFuzzer {
     val t = r.oneOf(tables)
     val (sel, _) = selectList(t, r, 2 + r.nextInt(2), mustInclude = t.key)
     val op = r.oneOf(Seq("UNION", "UNION ALL", "INTERSECT", "EXCEPT"))
-    s"SELECT $sel FROM ${t.name} WHERE ${pred(t, r)} " +
-      s"$op SELECT $sel FROM ${t.name} WHERE ${pred(t, r)}"
+    if (r.chance(0.35)) {
+      // grammar v3 (probed r13): ORDER BY + LIMIT INSIDE parenthesized
+      // set-op branches — deterministic because each branch orders on
+      // the driving key (total up to fully-duplicate rows, whose
+      // projections are identical, so any tie cut is multiset-equal)
+      val keys = t.key.indices.map(i => s"k$i NULLS FIRST").mkString(", ")
+      s"(SELECT $sel FROM ${t.name} WHERE ${pred(t, r)} " +
+        s"ORDER BY $keys LIMIT ${50 + r.nextInt(300)}) $op " +
+        s"(SELECT $sel FROM ${t.name} WHERE ${pred(t, r)} " +
+        s"ORDER BY $keys LIMIT ${50 + r.nextInt(300)})"
+    } else
+      s"SELECT $sel FROM ${t.name} WHERE ${pred(t, r)} " +
+        s"$op SELECT $sel FROM ${t.name} WHERE ${pred(t, r)}"
   }
 
   private def subqueryQuery(r: Rng): String = {
@@ -533,16 +562,113 @@ object SqlFuzzer {
     }
   }
 
+  /** RANGE window frames (grammar v3, probed r13): a single NON-NULL
+    * numeric order key (value frames need one; fixture int cols are
+    * non-null and never NULLIF-injected here), peer-closed frames so
+    * tie groups aggregate the same multiset in both engines. */
+  private def rangeWindowQuery(r: Rng): String = {
+    val t = r.oneOf(tables.filter(_.of(TInt).nonEmpty))
+    val part = groupKey(t, r)
+    val ord = s"CAST(${r.oneOf(t.of(TInt)).name} AS BIGINT)"
+    val frame = r.nextInt(4) match {
+      case 0 => s"RANGE BETWEEN ${1 + r.nextInt(1000)} PRECEDING AND CURRENT ROW"
+      case 1 => "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+      case 2 => "RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
+      case _ => s"RANGE BETWEEN ${2 + r.nextInt(100)} PRECEDING AND 1 PRECEDING"
+    }
+    val over = s"OVER (PARTITION BY $part ORDER BY $ord $frame)"
+    val wf = r.nextInt(4) match {
+      case 0 => s"CAST(SUM(${intExpr(t, r, 1)}) $over AS BIGINT)"
+      case 1 => s"COUNT(*) $over"
+      case 2 if t.of(TDouble).nonEmpty =>
+        s"MIN(${r.oneOf(t.of(TDouble)).name}) $over"
+      case 3 if t.of(TDouble).nonEmpty =>
+        s"MAX(${r.oneOf(t.of(TDouble)).name}) $over"
+      case _ => s"COUNT(*) $over"
+    }
+    val keySel = t.key.zipWithIndex.map { case (k, i) => s"$k AS k$i" }
+    s"SELECT ${keySel.mkString(", ")}, $part AS g0, $wf AS w0 " +
+      s"FROM ${t.name} WHERE ${pred(t, r)}"
+  }
+
+  /** Correlated subqueries with outer references (grammar v3, probed
+    * r13): aggregate scalar subqueries correlated on an FK equality —
+    * the shape Spark's correlated-scalar support guarantees single-
+    * row. COUNT(*) probes the zero-match case (0, never NULL); MAX
+    * probes NULL-on-empty propagation into the outer row. */
+  private def correlatedQuery(r: Rng): String = {
+    val edge = r.oneOf(fks)
+    val child = tab(edge.child); val parent = tab(edge.parent)
+    val corr = s"${edge.child}.${edge.childCol} = " +
+      s"${edge.parent}.${edge.parentCol}"
+    val keySel = parent.key.zipWithIndex.map { case (k, i) => s"$k AS k$i" }
+    r.nextInt(3) match {
+      case 0 => // per-parent child COUNT in the SELECT list
+        s"SELECT ${keySel.mkString(", ")}, (SELECT COUNT(*) " +
+          s"FROM ${edge.child} WHERE $corr AND ${pred(child, r, 1)}) AS c0 " +
+          s"FROM ${edge.parent} WHERE ${pred(parent, r, 1)}"
+      case 1 => // scalar MAX: NULL on empty match set in both engines
+        val m = r.oneOf(child.of(TInt)).name
+        s"SELECT ${keySel.mkString(", ")}, (SELECT CAST(MAX(CAST($m " +
+          s"AS BIGINT)) AS BIGINT) FROM ${edge.child} WHERE $corr AND " +
+          s"${pred(child, r, 1)}) AS c0 FROM ${edge.parent}"
+      case _ => // correlated aggregate compared in the outer WHERE
+        val (sel, _) = selectList(parent, r, 2, mustInclude = parent.key)
+        s"SELECT $sel FROM ${edge.parent} WHERE (SELECT COUNT(*) " +
+          s"FROM ${edge.child} WHERE $corr AND ${pred(child, r, 1)}) " +
+          s"${r.oneOf(cmps)} ${1 + r.nextInt(10)}"
+    }
+  }
+
+  /** Chained CTEs (grammar v3, probed r13): t0 projects typed aliases
+    * off a fixture table, t1 (and sometimes t2) filter the synthetic
+    * scope, the final select aggregates or filters again — the alias
+    * scoping / predicate-pushdown-through-CTE surface. */
+  private def cteQuery(r: Rng): String = {
+    val t = r.oneOf(tables)
+    val picks = (0 until 2 + r.nextInt(2)).map { i =>
+      r.nextInt(3) match {
+        case 0 => (s"${intExpr(t, r, 1)} AS x$i", Col(s"x$i", TInt))
+        case 1 if t.of(TDouble).nonEmpty =>
+          (s"${dblExpr(t, r, 1)} AS x$i", Col(s"x$i", TDouble))
+        case _ => (s"${strExpr(t, r, 1)} AS x$i", Col(s"x$i", TString))
+      }
+    }
+    val keySel = t.key.zipWithIndex.map { case (k, i) => s"$k AS k$i" }
+    val keyCols = t.key.zipWithIndex.map { case (k, i) =>
+      Col(s"k$i", t.cols.find(_.name == k).get.typ) }
+    val scope = Tab("t1", keyCols ++ picks.map(_._2), keyCols.map(_.name))
+    val cte0 = s"t0 AS (SELECT ${(keySel ++ picks.map(_._1)).mkString(", ")} " +
+      s"FROM ${t.name} WHERE ${pred(t, r, 1)})"
+    val cte1 = s"t1 AS (SELECT * FROM t0 WHERE ${pred(scope, r, 1)})"
+    val chain =
+      if (r.chance(0.3))
+        s"$cte0, $cte1, t2 AS (SELECT * FROM t1 WHERE ${pred(scope, r, 1)})"
+      else s"$cte0, $cte1"
+    val last = if (chain.contains("t2 AS")) "t2" else "t1"
+    if (r.chance(0.5)) {
+      val key = groupKey(scope, r)
+      val aggs = (0 until 1 + r.nextInt(2)).map(_ => aggExpr(scope, r))
+        .zipWithIndex.map { case (a, i) => s"$a AS a$i" }
+      s"WITH $chain SELECT $key AS g0, ${aggs.mkString(", ")} " +
+        s"FROM $last GROUP BY $key"
+    } else
+      s"WITH $chain SELECT * FROM $last WHERE ${pred(scope, r, 1)}"
+  }
+
   /** Generate one deterministic query for a seed. */
   def generate(seed: Long): String = {
     val r = new Rng(seed)
     r.nextInt(100) match {
-      case n if n < 18 => scanQuery(r)
-      case n if n < 40 => joinQuery(r)
-      case n if n < 65 => aggQuery(r)
-      case n if n < 75 => windowQuery(r)
-      case n if n < 87 => setOpQuery(r)
-      case _ => subqueryQuery(r)
+      case n if n < 14 => scanQuery(r)
+      case n if n < 33 => joinQuery(r)
+      case n if n < 55 => aggQuery(r)
+      case n if n < 63 => windowQuery(r)
+      case n if n < 70 => rangeWindowQuery(r)
+      case n if n < 81 => setOpQuery(r)
+      case n if n < 89 => subqueryQuery(r)
+      case n if n < 95 => correlatedQuery(r)
+      case _ => cteQuery(r)
     }
   }
 }

@@ -280,9 +280,14 @@ object Retrieval {
       // top-k (review r11). Coverage is a CONTRACT, not a best-effort:
       // fail with the count instead of treating the gap as orthogonal.
       // One extra |Q|*pool-bounded aggregate, paid once per call.
+      // NULL-safe: a NULL embedding makes __nrm NULL, so a bare
+      // `!(__nrm > 0)` is NULL (not counted) while the pair-frame
+      // filter below still drops the row — exactly the escape this
+      // guard exists to close (review r12). coalesce pins it.
       val uncovered = cand
         .join(cv, cand("neighbor_id") === cv("__vid"), "left")
-        .filter(col("__vid").isNull || !(col("__nrm") > 0))
+        .filter(col("__vid").isNull ||
+          !coalesce(col("__nrm") > 0, lit(false)))
         .count()
       require(uncovered == 0L,
         s"mmrRerank: $uncovered candidate row(s) have no non-zero-norm " +

@@ -206,7 +206,7 @@ object Similarity {
     * join, then the same map-combined per-doc partial agg. */
   def maxSimTopKIvf(queries: DataFrame, chunks: DataFrame, idCol: String,
       vecCol: String, docIdCol: String, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4,
+      nCentroids: Int = AutoCentroids, nProbe: Int = 4,
       kmeansCentroids: Boolean = false, seed: Long = 42L): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     val cand = ivfCandidatePairs(queries, chunks, idCol, vecCol,
@@ -506,7 +506,7 @@ object Similarity {
   def pqIvfRerankTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String,
       books: Array[Array[Array[Double]]], k: Int, rerankDepth: Int,
-      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+      nCentroids: Int = AutoCentroids, nProbe: Int = 4): DataFrame = {
     require(rerankDepth >= k, s"rerankDepth must be >= k: $rerankDepth < $k")
     val cand = pqIvfTopK(queries, corpus, idCol, vecCol, books,
         k = rerankDepth, nCentroids = nCentroids, nProbe = nProbe)
@@ -598,8 +598,9 @@ object Similarity {
   def pqIvfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String,
       books: Array[Array[Array[Double]]], k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cent = pqCoarseCentroids(corpus, idCol, vecCol, nCentroids)
+      nCentroids: Int = AutoCentroids, nProbe: Int = 4): DataFrame = {
+    val cent = pqCoarseCentroids(corpus, idCol, vecCol,
+      resolveCentroids(nCentroids, corpus))
     // one pass builds the whole index row — coarse assignment, then
     // codes projected AFTER the window filter (never under the
     // centroid crossJoin), materialized once: the (cent_id, codes)
@@ -692,9 +693,10 @@ object Similarity {
     * [[pqIvfProbeIndex]] refuses stale or mixed stores. */
   def pqIndexStore(corpus: DataFrame, idCol: String, vecCol: String,
       books: Array[Array[Array[Double]]],
-      nCentroids: Int = 16): (DataFrame, DataFrame) = {
+      nCentroids: Int = AutoCentroids): (DataFrame, DataFrame) = {
     val tag = pqIndexAlgo(books)
-    val cent = pqCoarseCentroids(corpus, idCol, vecCol, nCentroids)
+    val cent = pqCoarseCentroids(corpus, idCol, vecCol,
+      resolveCentroids(nCentroids, corpus))
     val index = pqCoarseAssign(corpus, idCol, vecCol, cent, 1)
       .select(col(idCol).as("neighbor_id"), col("cent_id"),
         pqCodes(col(vecCol), books).as("codes"))
@@ -900,7 +902,7 @@ object Similarity {
     */
   def ivfTopKQuantized(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4,
+      nCentroids: Int = AutoCentroids, nProbe: Int = 4,
       kmeansCentroids: Boolean = false, seed: Long = 42L): DataFrame = {
     val (qv, _) = quantize(col(vecCol))
     val q = queries.select(col(idCol), qv.as("__qvec"))
@@ -934,9 +936,28 @@ object Similarity {
   def ivfCentroidsFor(n: Long): Int =
     math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
 
+  /** Sentinel default for every IVF/PQ `nCentroids` parameter:
+    * auto-size the coarse centroid count from the corpus via
+    * [[ivfCentroidsFor]]. The r12 scale probe proved that any FIXED
+    * default turns all-queries mining quadratic in corpus size
+    * (candidate pairs ∝ n²/c), so auto-sizing is what a default
+    * caller at 100× scale must get; curated queries pin explicit
+    * counts so oracle results stay byte-stable. */
+  val AutoCentroids: Int = -1
+
+  /** Resolve a caller's centroid count: [[AutoCentroids]] auto-sizes
+    * from the corpus row count (one count() job — callers building a
+    * persisted index already pay it; interactive callers can cache
+    * the corpus or pass an explicit count-derived value to amortize);
+    * explicit positive values pass through unchanged. */
+  private[graft] def resolveCentroids(nCentroids: Int,
+      corpus: DataFrame): Int =
+    if (nCentroids == AutoCentroids) ivfCentroidsFor(corpus.count())
+    else nCentroids
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4,
+      nCentroids: Int = AutoCentroids, nProbe: Int = 4,
       kmeansCentroids: Boolean = false, seed: Long = 42L): DataFrame = {
     val scored = ivfCandidatePairs(queries, corpus, idCol, vecCol,
         nCentroids, nProbe, kmeansCentroids = kmeansCentroids, seed = seed)
@@ -1008,13 +1029,14 @@ object Similarity {
     * path, recall priced in PERF.md. */
   def ivfCandidatePairs(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String,
-      nCentroids: Int = 16, nProbe: Int = 4,
+      nCentroids: Int = AutoCentroids, nProbe: Int = 4,
       queryCols: Seq[(String, String)] = Nil,
       corpusCols: Seq[(String, String)] = Nil,
       kmeansCentroids: Boolean = false, seed: Long = 42L): DataFrame = {
-    require(nCentroids >= 1 && nProbe >= 1 && nProbe <= nCentroids,
-      s"need 1 <= nProbe <= nCentroids: nProbe=$nProbe nCentroids=$nCentroids")
-    val cent = ivfCentroidFrame(corpus, idCol, vecCol, nCentroids,
+    val nCent = resolveCentroids(nCentroids, corpus)
+    require(nCent >= 1 && nProbe >= 1 && nProbe <= nCent,
+      s"need 1 <= nProbe <= nCentroids: nProbe=$nProbe nCentroids=$nCent")
+    val cent = ivfCentroidFrame(corpus, idCol, vecCol, nCent,
       kmeansCentroids, seed)
 
     def assign(df: DataFrame, topN: Int,
@@ -1129,7 +1151,7 @@ object Similarity {
     * path. */
   def bitextMarginPairsIvf(src: DataFrame, tgt: DataFrame, idCol: String,
       vecCol: String, k: Int = 4, marginThreshold: Double = 1.0,
-      nCentroids: Int = 16, nProbe: Int = 4,
+      nCentroids: Int = AutoCentroids, nProbe: Int = 4,
       kmeansCentroids: Boolean = false, seed: Long = 42L): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     val fwd = ivfCandidatePairs(src, tgt, idCol, vecCol, nCentroids, nProbe,
@@ -1193,7 +1215,7 @@ object Similarity {
     * cent_id-shuffled join, no cross product. */
   def hardNegativesIvf(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, labelCol: String, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4,
+      nCentroids: Int = AutoCentroids, nProbe: Int = 4,
       kmeansCentroids: Boolean = false, seed: Long = 42L): DataFrame = {
     val cand = ivfCandidatePairs(queries, corpus, idCol, vecCol,
       nCentroids, nProbe,

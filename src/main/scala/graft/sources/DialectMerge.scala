@@ -51,10 +51,23 @@ object DialectMerge {
     * only not-matched rows insert.
     */
   def mergeSql(sink: String, staging: String, allColumns: Seq[String],
-      keys: Seq[String], dialect: Dialect): String = {
+      keys: Seq[String], dialect: Dialect,
+      quoteIds: Boolean = true): String = {
     require(keys.nonEmpty, "merge requires at least one key column")
-    val nonKeys = allColumns.filterNot(keys.contains)
-    def q(c: String) = quote(c, dialect)
+    // unquoted mode folds, so key matching must fold too: discovered
+    // keys arrive in the SINK's case (pg_index: lower), the frame's
+    // columns in the SOURCE's (Derby metadata: upper)
+    val nonKeys =
+      if (quoteIds) allColumns.filterNot(keys.contains)
+      else allColumns.filterNot(c => keys.exists(_.equalsIgnoreCase(c)))
+    // quoteIds mirrors SinkConf.quotedIdentifiers (reference
+    // `--quoted-identifiers`, ConnManager.java:200-206): unquoted
+    // identifiers FOLD to the vendor's case, which is what makes a
+    // cross-case replication (Derby/Oracle UPPER frame -> PG lower
+    // table) work — the r13 mode fuzz caught the COPY path (never
+    // quotes, folds) and this merge path (always quoted, exact-case)
+    // disagreeing on the same table, so neither order could succeed.
+    def q(c: String) = if (quoteIds) quote(c, dialect) else c
     val colList = allColumns.map(q).mkString(", ")
 
     dialect match {

@@ -149,7 +149,9 @@ object JdbcConnector {
         withConnection(url, opts) { c =>
           c.setAutoCommit(false)
           try {
-            exec(c, DialectMerge.mergeSql(table, staging, aligned.columns.toSeq, keys, dialect))
+            exec(c, DialectMerge.mergeSql(table, staging,
+              aligned.columns.toSeq, keys, dialect,
+              quoteIds = conf.quotedIdentifiers))
             c.commit()
           } catch {
             case e: Throwable => c.rollback(); throw e

@@ -176,7 +176,8 @@ object PgWireTransport {
           copyAppend(aligned, c, staging, conf.disableEscape)
           try inTransaction(cl) {
             cl.exec(DialectMerge.mergeSql(table, staging,
-              aligned.columns.toSeq, keys, dialect))
+              aligned.columns.toSeq, keys, dialect,
+              quoteIds = conf.quotedIdentifiers))
           } finally execIgnore(cl, s"DROP TABLE $staging")
         }
     }

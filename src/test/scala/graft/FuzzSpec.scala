@@ -50,6 +50,15 @@ class FuzzSpec extends SparkTestBase {
     assert(n("TRY_CAST") > 5, "try_cast injection missing")
     assert(n("DISTINCT FROM") > 3, "null-safe compare missing")
     assert(n("INTERVAL") > 3, "interval arithmetic missing")
+    // grammar v3 families
+    assert(n("RANGE BETWEEN") > 10, "RANGE window frames missing")
+    assert(n("SUM(DISTINCT") + n("AVG(DISTINCT") > 5,
+      "DISTINCT aggregates missing")
+    assert(n("WITH t0 AS") > 5, "chained CTEs missing")
+    assert(n("(SELECT COUNT(*) FROM") + n("(SELECT CAST(MAX(") > 5,
+      "correlated scalar subqueries missing")
+    assert(qs.count(q => q.startsWith("(SELECT") && q.contains("LIMIT")) > 5,
+      "ordered set-op branches missing")
     // the BIT_COUNT width trap (fz0039): every emission carries the
     // BIGINT cast that makes the engines agree
     val bc = qs.flatMap(q => "BIT_COUNT\\(\\w*".r.findAllIn(q))

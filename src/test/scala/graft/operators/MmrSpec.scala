@@ -150,15 +150,20 @@ class MmrSpec extends SparkTestBase {
     val corpus = Seq(
       (100L, Array(1.0f, 0.0f)),
       (1L, Array(0.9f, 0.1f)),
-      (2L, Array(0.0f, 0.0f))) // zero-norm: cosine undefined
+      (2L, Array(0.0f, 0.0f)), // zero-norm: cosine undefined
+      (3L, null.asInstanceOf[Array[Float]])) // NULL vector: norm NULL
       .toDF("vec_id", "embedding")
-    // candidate 7 has no corpus row at all; candidate 2 is zero-norm
-    val cand = Seq((100L, 1L, 0.9), (100L, 7L, 0.8), (100L, 2L, 0.7))
+    // candidate 7 has no corpus row at all; candidate 2 is zero-norm;
+    // candidate 3 has a NULL embedding (review r12: a bare
+    // `!(__nrm > 0)` is NULL for it and escaped the guard while the
+    // pair frame still dropped it — the exact silent-skip condition)
+    val cand = Seq((100L, 1L, 0.9), (100L, 7L, 0.8), (100L, 2L, 0.7),
+      (100L, 3L, 0.65))
       .toDF("query_id", "neighbor_id", "cosine")
     val e = intercept[IllegalArgumentException](
       Retrieval.mmrRerank(cand, corpus, "vec_id", "embedding",
         k = 2, lambda = 0.5))
-    assert(e.getMessage.contains("2 candidate row(s)"), e.getMessage)
+    assert(e.getMessage.contains("3 candidate row(s)"), e.getMessage)
     // k=1 never reads the pair frame, so coverage is not consulted
     val r1 = Retrieval.mmrRerank(cand, corpus, "vec_id", "embedding",
       k = 1, lambda = 0.5).collect()

@@ -720,6 +720,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivf == bf)
   }
 
+  test("IVF defaults auto-size centroids from the corpus (sqrt-n rule)") {
+    // the sizing rule: sqrt(n), floored at 16 — a FIXED default is
+    // the quadratic-mining config the r12 scale probe measured
+    assert(Similarity.ivfCentroidsFor(100L) == 16)
+    assert(Similarity.ivfCentroidsFor(10000L) == 100)
+    assert(Similarity.ivfCentroidsFor(1000000L) == 1000)
+    // sentinel resolution scales with n; explicit values pass through
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val n = e.count()
+    assert(Similarity.resolveCentroids(Similarity.AutoCentroids, e)
+      == Similarity.ivfCentroidsFor(n))
+    assert(Similarity.resolveCentroids(
+      Similarity.AutoCentroids, spark.range(40000).toDF("v")) == 200)
+    assert(Similarity.resolveCentroids(7, e) == 7)
+    // the PUBLIC default path IS the auto-sized config: ivfTopK with
+    // nCentroids omitted equals ivfTopK pinned at the resolved count
+    val q = e.filter("vec_id < 3")
+    val auto = Similarity.ivfTopK(q, e, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val pinned = Similarity.ivfTopK(q, e, "vec_id", "embedding", 3,
+        nCentroids = Similarity.ivfCentroidsFor(n))
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(auto == pinned && auto.nonEmpty)
+  }
+
   test("full-probe quantized IVF equals quantized brute force; recall ~ float") {
     val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
       .withColumnRenamed("vec_id", "id").withColumnRenamed("embedding", "v")

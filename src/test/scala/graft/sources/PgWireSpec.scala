@@ -408,6 +408,103 @@ class PgWireSpec extends SparkTestBase with BeforeAndAfterAll {
       java.sql.Timestamp.valueOf("2024-01-01 03:04:05"))
   }
 
+  test("mode fuzz through the wire sink (verdict r12 #3, PG arm): " +
+      "random wide-type tables x all modes, EXCEPT ALL content " +
+      "equality judged inside a real PostgreSQL") {
+    assume(server.isDefined, "PostgreSQL not available in this environment")
+    import graft.ModeFuzz
+    import graft.core._
+    import graft.fuzz.SqlFuzzer
+    val sock = server.get._2
+    val cl = PgWireClient.connect(PgWireClient.UnixSocket(sock), pgUser,
+      "postgres")
+    val pgType = Map("BIGINT" -> "bigint", "INTEGER" -> "integer",
+      "SMALLINT" -> "smallint", "DOUBLE" -> "double precision",
+      "REAL" -> "real", "DECIMAL(12,3)" -> "numeric(12,3)",
+      "VARCHAR(64)" -> "varchar(80)", "DATE" -> "date",
+      "TIMESTAMP" -> "timestamp", "BOOLEAN" -> "boolean")
+    def sqlLit(r: org.apache.spark.sql.Row, i: Int): String =
+      if (r.isNullAt(i)) "NULL" else r.get(i) match {
+        case s: String => "'" + s.replace("'", "''") + "'"
+        case d: java.sql.Date => s"DATE '$d'"
+        case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
+        case b: java.lang.Boolean => if (b) "TRUE" else "FALSE"
+        case bd: java.math.BigDecimal => bd.toPlainString
+        case other => String.valueOf(other)
+      }
+    try {
+      for (i <- 0 until 6) {
+        val r = new SqlFuzzer.Rng(77000L + i)
+        val seed = 5150L * (i + 1)
+        val ddls = (0 until 3 + r.nextInt(3)).map(_ => r.oneOf(ModeFuzz.typePool))
+        // cycle so every mode runs at least twice across the 6 trials
+        val mode = Seq(ReplicationMode.Complete,
+          ReplicationMode.CompleteAtomic, ReplicationMode.Incremental)(i % 3)
+        val nRows = 60 + r.nextInt(200)
+        // Derby holds the source (the proven cross-vendor read path);
+        // PG is the sink under test
+        val durl = s"jdbc:derby:memory:pgmf$i;create=true"
+        graft.sources.JdbcConnector.withConnection(durl, Map.empty) { c =>
+          val st = c.createStatement()
+          st.execute(s"CREATE TABLE SRC (PK BIGINT NOT NULL PRIMARY KEY, " +
+            ddls.zipWithIndex.map { case (d, j) => s"C$j $d" }.mkString(", ") + ")")
+          st.close()
+        }
+        graft.sources.JdbcConnector.write(
+          ModeFuzz.mkDf(spark, ddls, 1L, nRows + 1L, salt = 0, seed),
+          SinkConf(connect = durl, table = Some("SRC"),
+            mode = ReplicationMode.Complete))
+        // the natural cross-case shape: the frame arrives with Derby's
+        // UPPERCASE names, the PG table has ordinary lowercase columns
+        // — with quotedIdentifiers OFF both the COPY and the merge SQL
+        // emit unquoted identifiers and each vendor folds to its own
+        // case (this exact trial caught the always-quoted merge bug)
+        val cols = ddls.zipWithIndex.map { case (d, j) => s"c$j ${pgType(d)}" }
+          .mkString(", ")
+        cl.exec(s"CREATE TABLE pgmf_snk_$i (pk bigint PRIMARY KEY, $cols)")
+        cl.exec(s"CREATE TABLE pgmf_exp_$i (pk bigint, $cols)")
+
+        def insertAll(table: String, rows: Seq[org.apache.spark.sql.Row]): Unit =
+          rows.grouped(40).foreach { g =>
+            cl.exec(s"INSERT INTO $table VALUES " + g.map(row =>
+              "(" + (0 until row.length).map(sqlLit(row, _)).mkString(", ") + ")")
+              .mkString(", "))
+          }
+
+        // incremental: pre-seed PG with conflicting + sink-only rows
+        val preseed: Seq[org.apache.spark.sql.Row] =
+          if (mode == ReplicationMode.Incremental) {
+            val pre = ModeFuzz.mkDf(spark, ddls, -15L, nRows / 3L + 1L,
+              salt = 1, seed).collect().toSeq
+            insertAll(s"pgmf_snk_$i", pre)
+            pre
+          } else Nil
+
+        ReplicaEngine.replicate(spark, ReplConf(
+          SourceConf(connect = durl, table = Some("SRC"),
+            partitions = r.oneOf(Seq(1, 2, 4))),
+          SinkConf(connect = "jdbc:postgresql://localhost/postgres",
+            table = Some(s"pgmf_snk_$i"), mode = mode,
+            options = Map("pgwire.socket" -> sock, "user" -> pgUser))))
+
+        // expected relation, landed via plain INSERT literals — a
+        // transport independent of the COPY path under test
+        val srcBack = graft.sources.JdbcConnector.read(spark,
+          SourceConf(connect = durl, table = Some("SRC"), partitions = 1))
+          .collect().toSeq
+        val srcPks = srcBack.map(_.getLong(0)).toSet
+        val expected = srcBack ++ preseed.filterNot(p => srcPks(p.getLong(0)))
+        insertAll(s"pgmf_exp_$i", expected)
+
+        val d = cl.exec(s"SELECT count(*) FROM ((TABLE pgmf_snk_$i " +
+          s"EXCEPT ALL TABLE pgmf_exp_$i) UNION ALL (TABLE pgmf_exp_$i " +
+          s"EXCEPT ALL TABLE pgmf_snk_$i)) x").single
+        assert(d == "0",
+          s"PG trial $i mode=$mode cols=$ddls rows=$nRows: $d diff rows")
+      }
+    } finally cl.close()
+  }
+
   test("S2: partition predicates slice a real PostgreSQL table disjointly") {
     assume(server.isDefined, "PostgreSQL not available in this environment")
     exec("CREATE TABLE ptab (k bigint)")

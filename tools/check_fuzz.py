@@ -111,7 +111,45 @@ def null_or_zero_row(df, i):
                for v in df.iloc[i])
 
 
-def compare(sdf: pd.DataFrame, odf: pd.DataFrame, sql: str = ""):
+def _top_level_find(s, token):
+    """First case-insensitive index of token at paren depth 0 outside
+    single quotes, or -1."""
+    up, tok = s.upper(), token.upper()
+    depth, q = 0, False
+    for i, ch in enumerate(s):
+        if ch == "'":
+            q = not q
+        elif not q:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and up.startswith(tok, i):
+                return i
+    return -1
+
+
+def grouped_input_is_empty(sql, con):
+    """True/False: does the grouping query's FROM/WHERE input have zero
+    rows (DuckDB COUNT(*) probe)? None when the query shape can't be
+    sliced (no top-level GROUP BY / FROM, or the probe errors)."""
+    g = _top_level_find(sql, " GROUP BY ")
+    if g < 0:
+        return None
+    pre = sql[:g]
+    f = _top_level_find(pre, " FROM ")
+    if f < 0:
+        return None
+    try:
+        n = con.execute(
+            "SELECT COUNT(*) FROM " + pre[f + len(" FROM "):]).fetchone()[0]
+    except Exception:
+        return None
+    return n == 0
+
+
+def compare(sdf: pd.DataFrame, odf: pd.DataFrame, sql: str = "",
+            con=None):
     s, o = canon(sdf), canon(odf)
     if list(s.columns) != list(o.columns):
         return f"SCHEMA spark={list(s.columns)} duckdb={list(o.columns)}"
@@ -124,16 +162,22 @@ def compare(sdf: pd.DataFrame, odf: pd.DataFrame, sql: str = ""):
         #   SELECT max(n_regionkey) FROM nation WHERE n_name='zzz'
         #   GROUP BY ROLLUP(n_name)        -- Spark: 0 rows, DuckDB: 1
         # Classified (not hidden): only when the query uses a grouping
-        # construct, DuckDB has exactly one extra row, that row is all
-        # NULL/zero, and removing it makes the engines agree exactly.
-        if (GROUPING_RE.search(sql) and len(o) == len(s) + 1):
-            for i in range(len(o)):
-                if null_or_zero_row(o, i):
-                    trimmed = odf.drop(odf.index[i]).reset_index(drop=True)
-                    if compare(sdf, trimmed, "") is None:
-                        return ("KNOWN_DIFF empty-input grouping-sets "
-                                "grand-total row (Spark omits, standard "
-                                "keeps)")
+        # construct, Spark returned ZERO rows (empty grouped input
+        # yields no grouping sets at all in Spark — a non-empty input
+        # always yields >= 1 row per set, so a dropped grand-total row
+        # over NON-empty input can never land here — review r12),
+        # DuckDB has exactly one all-NULL/zero row, removing it makes
+        # the engines agree, AND — when a DuckDB connection is at hand
+        # — a COUNT(*) probe over the query's own FROM/WHERE confirms
+        # the input really is empty (a probe that can't slice the
+        # query shape, or that counts > 0, vetoes the classification).
+        if (GROUPING_RE.search(sql) and len(s) == 0 and len(o) == 1
+                and null_or_zero_row(o, 0)):
+            trimmed = odf.drop(odf.index[0]).reset_index(drop=True)
+            if compare(sdf, trimmed, "") is None and (
+                    con is None or grouped_input_is_empty(sql, con)):
+                return ("KNOWN_DIFF empty-input grouping-sets "
+                        "grand-total row (Spark omits, standard keeps)")
         return f"ROWCOUNT spark={len(s)} duckdb={len(o)}"
     s, exact = sort_rows(s)
     o, _ = sort_rows(o)
@@ -191,7 +235,7 @@ def main(sf_dir, out_dir):
         except Exception as e:
             problems.append((name, f"DUCKDB_ERROR {e}"))
             continue
-        diff = compare(sdf, odf, sql)
+        diff = compare(sdf, odf, sql, con)
         if diff is None:
             n_match += 1
         elif diff.startswith("KNOWN_DIFF"):

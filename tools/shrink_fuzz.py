@@ -67,20 +67,35 @@ def register(spark, con, sf_dir):
 
 class Differ:
     def __init__(self, spark, con):
+        import tempfile
         self.spark, self.con, self.runs = spark, con, 0
+        self.tmp = tempfile.mkdtemp(prefix="graft_shrink_")
 
     def diverges(self, sql):
         """True iff the gate would report DIVERGE for this sql."""
         self.runs += 1
         try:
-            sdf = self.spark.sql(sql).toPandas()
+            # round-trip the Spark result through parquet + a DuckDB
+            # read, exactly as the gate canonicalizes it (review r12:
+            # toPandas normalizes nullable ints / decimals / timestamp
+            # units differently, so a shrink judged on toPandas dtypes
+            # can drift onto a tooling artifact the gate never saw)
+            out = os.path.join(self.tmp, f"q{self.runs}")
+            from pyspark.sql import functions as F
+            df = self.spark.sql(sql)
+            df = df.select(*[  # graft.Verify.ntzNormalized
+                F.col(c).cast("timestamp_ntz").alias(c)
+                if t == "timestamp" else F.col(c)
+                for c, t in df.dtypes])
+            df.coalesce(1).write.mode("overwrite").parquet(out)
+            sdf = self.con.execute(f"SELECT * FROM '{out}/*.parquet'").df()
         except Exception:
             return False  # must stay valid on BOTH engines
         try:
             odf = self.con.execute(sql).df()
         except Exception:
             return False
-        diff = check_fuzz.compare(sdf, odf, sql)
+        diff = check_fuzz.compare(sdf, odf, sql, self.con)
         return diff is not None and not diff.startswith("KNOWN_DIFF")
 
 
