@@ -1737,9 +1737,17 @@ object Probe {
         base.withColumn(idCol, col(idCol) + lit(i.toLong * 100000000L)))
         .reduce(_.unionAll(_))
     }
+    // min-of-2: the first execution of a family pays JIT/codegen
+    // warm-up that swamps second-scale points (the first r13 run fit
+    // NEGATIVE exponents off it); min over two back-to-back runs is
+    // the same statistic the bench protocol records
     def timed(f: => Long): (Double, Long) = {
-      val t0 = System.nanoTime(); val n = f
-      ((System.nanoTime() - t0) / 1e9, n)
+      def once: (Double, Long) = {
+        val t0 = System.nanoTime(); val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val a = once; val b = once
+      (math.min(a._1, b._1), b._2)
     }
     def report(family: String, pts: Seq[(Long, Double)]): Unit = {
       val fitPts = pts.takeRight(2)
@@ -1758,6 +1766,13 @@ object Probe {
           .as("text"),
         pmod(hash(col("id")), lit(5)).cast("string").as("lang"))
         .localCheckpoint()
+    }
+    // checkpointed fixtures accumulate in the block manager across
+    // arms — drop each one as soon as its runs finish so later points
+    // never time under earlier points' memory pressure
+    def withDocs(n: Long)(f: DataFrame => (Long, Double)): (Long, Double) = {
+      val docs = synthDocs(n)
+      try f(docs) finally docs.unpersist(blocking = true)
     }
 
     // IVF mining through the PUBLIC DEFAULTS (auto-sized centroids):
@@ -1785,7 +1800,7 @@ object Probe {
         (n, t)
       }
       report("dd21 containment df-capped", Seq(
-        run(synthDocs(5000)), run(synthDocs(20000)), run(synthDocs(80000))))
+        withDocs(5000)(run), withDocs(20000)(run), withDocs(80000)(run)))
     }
 
     // dd4 blocked n-gram jaccard (lang blocks, prefix join)
@@ -1798,7 +1813,7 @@ object Probe {
         (n, t)
       }
       report("dd4 blocked jaccard", Seq(
-        run(synthDocs(5000)), run(synthDocs(20000)), run(synthDocs(80000))))
+        withDocs(5000)(run), withDocs(20000)(run), withDocs(80000)(run)))
     }
 
     // dd7 bipartite cross-jaccard (contamination shape: small eval
@@ -1814,35 +1829,45 @@ object Probe {
         (n, t)
       }
       report("dd7 cross jaccard", Seq(
-        run(synthDocs(5000)), run(synthDocs(20000)), run(synthDocs(80000))))
+        withDocs(5000)(run), withDocs(20000)(run), withDocs(80000)(run)))
     }
 
     // streaming KEYED-STATE growth: streamingDedup holds one state
     // row per distinct key under a 30-day watermark; two micro-batches
     // of n/2 rows each, all keys distinct -> state = n rows
     locally {
+      // single fresh run per point (a min-of-2 would resume the
+      // second attempt from the first's checkpoint and time a no-op);
+      // a throwaway warm-up run below absorbs the one-time streaming
+      // machinery JIT instead
       def run(n: Long, tag: String): (Long, Double) = {
         val base = s"/tmp/graft_r13st_$tag"
+        org.apache.hadoop.fs.FileSystem.getLocal(
+          spark.sparkContext.hadoopConfiguration).delete(
+          new org.apache.hadoop.fs.Path(base), true)
         val in = s"$base/in"
+        // watermarks require TIMESTAMP (event-time, LTZ) — NTZ is
+        // rejected by EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
         val mk = (lo: Long, hi: Long) =>
           spark.range(lo, hi).select(col("id").as("event_id"),
-            (lit("2024-01-01 00:00:00").cast("timestamp_ntz") +
+            (lit("2024-01-01 00:00:00").cast("timestamp") +
               expr("make_interval(0, 0, 0, 0, 0, 0, id % 86400)")).as("ts"))
         mk(0L, n / 2).coalesce(4).write.mode("overwrite").parquet(in)
         mk(n / 2, n).coalesce(4).write.mode("append").parquet(in)
         val schema = spark.read.parquet(in).schema
-        val (t, _) = timed {
-          val stream = graft.streaming.EventStream.readFileStream(
-            spark, in, schema)
-          val deduped = graft.streaming.EventStream.streamingDedup(
-            stream, Seq("event_id"), "ts", "30 days")
-          val q = graft.streaming.EventStream.writeFileStream(
-            deduped, s"$base/out", s"$base/ckpt")
-          try q.processAllAvailable() finally q.stop()
-          spark.read.parquet(s"$base/out").count()
-        }
-        (n, t)
+        val t0 = System.nanoTime()
+        val stream = graft.streaming.EventStream.readFileStream(
+          spark, in, schema)
+        val deduped = graft.streaming.EventStream.streamingDedup(
+          stream, Seq("event_id"), "ts", "30 days")
+        val q = graft.streaming.EventStream.writeFileStream(
+          deduped, s"$base/out", s"$base/ckpt")
+        try q.processAllAvailable() finally q.stop()
+        require(spark.read.parquet(s"$base/out").count() == n,
+          s"streamingDedup dropped rows at n=$n")
+        (n, (System.nanoTime() - t0) / 1e9)
       }
+      run(10000L, "warm")
       report("streamingDedup keyed state", Seq(
         run(10000L, "a"), run(100000L, "b"), run(1000000L, "c")))
     }
