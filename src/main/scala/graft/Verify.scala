@@ -56,6 +56,13 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries
     }
+    // oracle_sql.json FIRST: it is a static map with zero dependence
+    // on execution, and it is the one file the driver's comparator
+    // cannot work without — writing it last meant a wall-clock kill
+    // 10 minutes from the end zeroed 283 already-completed dumps
+    // (round-13 gate: CORRECTNESS_r13.json = {}). Written up front,
+    // a timeout still yields a row for every dump that finished.
+    writeJsonMap(s"$outDir/oracle_sql.json", SparkEntry.oracleSql)
     selected.foreach { case (name, fn) =>
       try {
         ntzNormalized(fn(spark, sfDir))
@@ -64,7 +71,6 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    writeJsonMap(s"$outDir/oracle_sql.json", SparkEntry.oracleSql)
     spark.stop()
   }
 }

@@ -25,9 +25,12 @@ import graft.sources.JdbcConnector
   * the connector write path for all three modes — content must be
   * EXACT, not just present.
   *
-  * Binary columns are excluded here only because the canonical string
-  * compare would need special-casing; ReplicationMatrixSpec covers
-  * binary fidelity on the same path. The PG-wire sibling of this fuzz
+  * r14 (verdict r13 #6): binary columns join the generator (Derby
+  * `FOR BIT DATA`, hex-canonicalized in the compare), and a FILE-SINK
+  * arm fuzzes the CSV/ORC write paths (complete overwrite,
+  * complete-atomic symlink swap, incremental append —
+  * `FileConnector.write/writeAtomic`) through the same
+  * `ReplicaEngine.replicate` entry. The PG-wire sibling of this fuzz
   * (EXCEPT ALL compare inside a real PostgreSQL) lives in PgWireSpec.
   */
 object ModeFuzz {
@@ -39,7 +42,7 @@ object ModeFuzz {
     * cells are NULL. */
   val typePool: Seq[String] = Seq("BIGINT", "INTEGER", "SMALLINT",
     "DOUBLE", "REAL", "DECIMAL(12,3)", "VARCHAR(64)", "DATE",
-    "TIMESTAMP", "BOOLEAN")
+    "TIMESTAMP", "BOOLEAN", "VARCHAR(64) FOR BIT DATA")
 
   def valueCol(ddl: String, pk: Column, salt: Int, seed: Long): Column = {
     val h = pmod(hash(pk, lit(seed), lit(salt)), lit(1000000000))
@@ -64,6 +67,12 @@ object ModeFuzz {
       case "TIMESTAMP" =>
         timestamp_seconds(lit(946684800L) + pmod(h, lit(100000000)).cast("long"))
       case "BOOLEAN" => pmod(h, lit(2)) === 1
+      case b if b.endsWith("FOR BIT DATA") =>
+        // variable-length bytes (1-6), derived from the pk like every
+        // other column; UTF-8 of a digit string keeps the fixture
+        // readable in a failure dump while still exercising byte[]
+        // transport end-to-end
+        encode(concat(lit("b"), pmod(h, lit(100000)).cast("string")), "UTF-8")
       case other => throw new IllegalArgumentException(other)
     }
     when(pmod(hash(pk, lit(seed), lit(salt + 77)), lit(9)) === lit(3),
@@ -79,6 +88,21 @@ object ModeFuzz {
         valueCol(d, pk, salt * 100 + j, seed).as(s"C$j")
       }).toIndexedSeq: _*)
   }
+
+  /** Canonical row string for the multiset compare. Byte arrays render
+    * as hex (`String.valueOf` on an array is an identity hash — never
+    * comparable) and decimals strip trailing zeros (a CSV round-trip
+    * re-reads DECIMAL(12,3) at the declared-type default (38,18);
+    * widening is exact, renderings differ). Everything else compares
+    * by its JVM rendering, which cancels when BOTH sides pass through
+    * the same reader. */
+  def canon(rows: Seq[Row]): Seq[String] =
+    rows.map(r => (0 until r.length).map(i =>
+      if (r.isNullAt(i)) "NULL" else r.get(i) match {
+        case b: Array[Byte] => "0x" + b.map("%02x".format(_)).mkString
+        case d: java.math.BigDecimal => d.stripTrailingZeros.toPlainString
+        case v => String.valueOf(v)
+      }).mkString("\u0001")).sorted
 }
 
 class ModeFuzzSpec extends SparkTestBase {
@@ -92,13 +116,6 @@ class ModeFuzzSpec extends SparkTestBase {
   private def readT(url: String, table: String): DataFrame =
     JdbcConnector.read(spark,
       SourceConf(connect = url, table = Some(table), partitions = 1))
-
-  /** Canonical row string — both sides pass through the same JDBC
-    * reader, so type renderings cancel. */
-  private def canon(rows: Seq[Row]): Seq[String] =
-    rows.map(r => (0 until r.length).map(i =>
-      if (r.isNullAt(i)) "NULL" else String.valueOf(r.get(i)))
-      .mkString("\u0001")).sorted
 
   private val modes = Seq(ReplicationMode.Complete,
     ReplicationMode.CompleteAtomic, ReplicationMode.Incremental)
@@ -184,5 +201,89 @@ class ModeFuzzSpec extends SparkTestBase {
   test("4 seeded chaos trials: attempt-0 task deaths change nothing " +
       "about the landed content, any mode, any schema") {
     (100 until 104).foreach(i => runTrial(i, chaos = true))
+  }
+
+  /** File-sink arm (verdict r13 #6): CSV/ORC sinks through the same
+    * `ReplicaEngine.replicate` entry — complete (overwrite),
+    * complete-atomic (symlink swap, `FileConnector.writeAtomic`), and
+    * incremental (append; file sinks have no merge keys — reference
+    * parity, `LocalFileManager.java` appends). The source is staged
+    * parquet so the trial exercises scheme dispatch + file read + file
+    * write end-to-end; the read-back goes through the engine's own
+    * file SOURCE (declared `columns.types` for CSV, §S11 contract),
+    * and the expected side is cast to the read-back schema so JVM
+    * renderings cancel in canon(). */
+  private def runFileTrial(i: Int): Unit = {
+    val fmt = Seq("csv", "orc")(i % 2)
+    val mode = modes((i / 2) % 3)
+    val r = new SqlFuzzer.Rng(417000L + i)
+    val seed = 7741L * (i + 1)
+    // Spark's CSV writer rejects BinaryType; binary runs in the ORC arm
+    val pool =
+      if (fmt == "csv") typePool.filterNot(_.endsWith("FOR BIT DATA"))
+      else typePool
+    val ddls = (0 until 3 + r.nextInt(4)).map(_ => r.oneOf(pool))
+    val nRows = 80 + r.nextInt(300)
+    // CSV interchange carries naive timestamps (declared TIMESTAMP ->
+    // NTZ); the session zone is UTC so the cast is instant-preserving.
+    // ORC stores the LTZ values natively.
+    def gen(from: Long, to: Long, salt: Int): DataFrame = {
+      val df = mkDf(spark, ddls, from, to, salt, seed)
+      if (fmt != "csv") df
+      else df.select(df.schema.fields.toIndexedSeq.map { f =>
+        if (f.dataType == org.apache.spark.sql.types.TimestampType)
+          col(f.name).cast("timestamp_ntz").as(f.name)
+        else col(f.name)
+      }: _*)
+    }
+    val root = java.nio.file.Files.createTempDirectory(s"graft_ffz$i").toString
+    val srcDf = gen(1L, nRows + 1L, salt = 0)
+    srcDf.write.parquet(s"$root/src")
+    val sink = s"$root/snk"
+    def sinkConf(m: ReplicationMode) = SinkConf(connect = sink,
+      mode = m, fileFormat = Some(fmt))
+    def replicateInto(from: String, m: ReplicationMode): Unit =
+      ReplicaEngine.replicate(spark, ReplConf(
+        SourceConf(connect = from, partitions = 1), sinkConf(m)))
+
+    // preseed: incremental appends over existing content;
+    // complete-atomic swaps over a previous atomic version
+    val pre = gen(-20L, nRows / 3L + 1L, salt = 1)
+    val preseeded = mode match {
+      case ReplicationMode.Incremental =>
+        pre.write.parquet(s"$root/pre"); replicateInto(s"$root/pre", ReplicationMode.Complete); true
+      case ReplicationMode.CompleteAtomic =>
+        pre.write.parquet(s"$root/pre"); replicateInto(s"$root/pre", ReplicationMode.CompleteAtomic); true
+      case _ => false
+    }
+    replicateInto(s"$root/src", mode)
+
+    val csvTypeOf: String => String = {
+      case d if d.startsWith("DECIMAL") => "DECIMAL"
+      case d if d.startsWith("VARCHAR") => "VARCHAR"
+      case other => other
+    }
+    val backConf =
+      if (fmt == "csv") SourceConf(connect = sink, fileFormat = Some(fmt),
+        columnNames = Some("PK" +: ddls.indices.map(j => s"C$j")),
+        columnTypes = Some("BIGINT" +: ddls.map(csvTypeOf)),
+        options = Map("multiLine" -> "true"))
+      else SourceConf(connect = sink, fileFormat = Some(fmt))
+    val back = ReplicaEngine.read(spark, backConf)
+    val expectedDf = mode match {
+      case ReplicationMode.Incremental => srcDf.unionAll(pre)
+      case _ => srcDf // atomic swap replaced the preseeded version
+    }
+    val expRows = expectedDf.select(back.schema.fields.toIndexedSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*).collect().toSeq
+    assert(canon(back.collect().toSeq) == canon(expRows),
+      s"file trial $i fmt=$fmt mode=$mode cols=$ddls rows=$nRows " +
+        s"preseeded=$preseeded: content mismatch")
+  }
+
+  test("12 seeded file-sink trials: random schemas through CSV/ORC x " +
+      "{complete, complete-atomic, incremental-append} land exact " +
+      "content (each fmt x mode twice)") {
+    (0 until 12).foreach(runFileTrial)
   }
 }

@@ -422,9 +422,13 @@ class PgWireSpec extends SparkTestBase with BeforeAndAfterAll {
       "SMALLINT" -> "smallint", "DOUBLE" -> "double precision",
       "REAL" -> "real", "DECIMAL(12,3)" -> "numeric(12,3)",
       "VARCHAR(64)" -> "varchar(80)", "DATE" -> "date",
-      "TIMESTAMP" -> "timestamp", "BOOLEAN" -> "boolean")
+      "TIMESTAMP" -> "timestamp", "BOOLEAN" -> "boolean",
+      "VARCHAR(64) FOR BIT DATA" -> "bytea")
     def sqlLit(r: org.apache.spark.sql.Row, i: Int): String =
       if (r.isNullAt(i)) "NULL" else r.get(i) match {
+        // bytea hex input form; the column's input function applies it
+        case b: Array[Byte] =>
+          "'\\x" + b.map("%02x".format(_)).mkString + "'"
         case s: String => "'" + s.replace("'", "''") + "'"
         case d: java.sql.Date => s"DATE '$d'"
         case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
