@@ -2025,8 +2025,12 @@ object SparkEntry {
         books, nCentroids = 16)
       val appended = Similarity.pqIndexAppend(
         e.filter(col("vec_id") > 250), cents, "vec_id", "embedding", books)
+      // materialize the unioned store once: the generation-tag guard
+      // is an action and the probe a second consumer — without this
+      // the whole encode pipeline runs twice (a persisted store, as
+      // in sim15, is materialized by definition)
       Similarity.pqIvfProbeIndex(e.filter("vec_id < 10"),
-        index0.unionByName(appended), cents,
+        index0.unionByName(appended).localCheckpoint(), cents,
         "vec_id", "embedding", books, 5, nProbe = 16)
         .select("query_id", "neighbor_id", "rank")
     }),
@@ -2148,6 +2152,9 @@ object SparkEntry {
       val purged = Similarity.pqIndexDelete(index,
         e.filter(col("vec_id") > 250 && col("vec_id") % 2 === 1)
           .select("vec_id"))
+        // materialize the purged store once: the generation-tag guard
+        // is an action and the probe a second consumer (sim16's note)
+        .localCheckpoint()
       Similarity.pqIvfProbeIndex(e.filter("vec_id < 10"), purged, cents,
         "vec_id", "embedding", books, 5, nProbe = 16)
         .select("query_id", "neighbor_id", "rank")
@@ -2968,9 +2975,14 @@ object SparkEntry {
       // replays the entire funnel over the ground-truth pair closure
       // (the recall-1 adjudication — LSH finds every qualifying pair
       // on this fixture)
+      // materialize the normalized+gated corpus once: the filter
+      // pushdown otherwise collapses canonical() into the quality
+      // predicate AND the projection (2 evaluations/row), and
+      // dedupCorpus's exact stage consumes the frame twice more
       val docs = t(s, dir, "documents")
         .withColumn("text", TextNormalize.canonical(col("text")))
         .filter(TextAnalysis.qualityScore(col("text")) >= 0.3)
+        .localCheckpoint()
       Dedup.dedupCorpus(docs, "doc_id", "text", threshold = 0.8)
         .select(col("doc_id"), col("lang"), col("source"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"),

@@ -56,14 +56,23 @@ object Dedup {
     else df
   }
 
-  /** Word k-shingles of normalized text, distinct. */
+  /** Word k-shingles of normalized text, distinct.
+    *
+    * The token array is BOUND as a lambda variable (the 1-element
+    * `transform(array(toks), ts => ...)` wrapper) instead of being
+    * embedded as a subtree: higher-order functions are CodegenFallback
+    * and interpreted eval re-evaluates every embedded subtree on each
+    * lambda call — with the split inline, every shingle position
+    * re-tokenized the whole document (O(positions × doc length) regex
+    * splits per row, the dominant cost of the gram family's scan
+    * stage); bound, the split runs once per row. */
   def shingles(text: Column, k: Int): Column = {
     val toks = split(lower(trim(text)), "\\s+")
-    array_distinct(
-      when(size(toks) <= k, array(concat_ws(" ", toks)))
+    array_distinct(flatten(transform(array(toks), ts =>
+      when(size(ts) <= k, array(concat_ws(" ", ts)))
         .otherwise(transform(
-          sequence(lit(1), size(toks) - (k - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(k))))))
+          sequence(lit(1), size(ts) - (k - 1)),
+          i => concat_ws(" ", slice(ts, i, lit(k))))))))
   }
 
   /** Exact dedup: one surviving id (min) per distinct content value,
@@ -112,9 +121,12 @@ object Dedup {
       shingleSize: Int = 2, threshold: Double = 0.8,
       maxGramDf: Int = 100): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    // materialized once: the df-cap count and the cap join both
+    // consume it, and each otherwise re-runs the shingle explode
     val gh = df.select(col(idCol).as("id"),
       explode(shingles(col(textCol), shingleSize)).as("gram"))
       .select(col("id"), xxhash64(col("gram")).as("g"))
+      .localCheckpoint()
     val dfc = gh.groupBy("g").agg(count(lit(1)).as("__d"))
     val kept = gh
       .join(dfc.filter(col("__d") <= maxGramDf), Seq("g"))
@@ -210,7 +222,10 @@ object Dedup {
     // regressed: interpreted and re-evaluated per join row once
     // collapsed; the fused expression made it the winning shape.)
     val hs = TextExpressions.sorted_shingle_hashes(col(textCol), shingleSize)
+    // materialized once: BOTH verify sides derive from it, and each
+    // otherwise re-runs the per-doc shingle-hash pass over the corpus
     val sides = spread(df).select(col(idCol).as("id"), hs.as("hs"), size(hs).as("n"))
+      .localCheckpoint()
     val a = sides.select(col("id").as("id_a"), col("hs").as("hs_a"), col("n").as("n_a"))
     val b = sides.select(col("id").as("id_b"), col("hs").as("hs_b"), col("n").as("n_b"))
     val inter = TextExpressions
@@ -462,7 +477,14 @@ object Dedup {
       sigCol: String,
       maxHamming: Int = 3,
       maxBucketSize: Int = 10000): DataFrame = {
+    // Materialize (id, sig) once: FIVE consumers below (groups,
+    // members, distinctSigs, and the two id join-backs) — without
+    // this the upstream signature projection (simhash over the full
+    // text, a perceptual image hash, ...) re-ran per consumer: the
+    // r14 before-plan shows 28 scans / 25 simhash64 evaluations of
+    // the same corpus. 16 bytes per row, bounded by the input.
     val withSig = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"))
+      .localCheckpoint()
     // equal-signature groups: full cliques up to the cap, hub star
     // above it (identical signatures at corpus scale are millions of
     // boilerplate copies — m² pairs is the blowup the cap bounds)
@@ -711,9 +733,15 @@ object Dedup {
       words: Int,
       threshold: Double,
       saltBuckets: Int): DataFrame = {
-    val a = encoded.select((col("id").as("id_a") +: col("m").as("m_a") +: col("n").as("n_a") +:
+    // Materialize the encode once: both join sides derive from it,
+    // and Catalyst otherwise collapses the bitset_shingle_mask
+    // projection into each side's pushed-down n>0 filter AND its
+    // projection — the r14 dd4 before-plan evaluates the mask 4x per
+    // document. (8w + 24) bytes per row, bounded by the input.
+    val enc = encoded.localCheckpoint()
+    val a = enc.select((col("id").as("id_a") +: col("m").as("m_a") +: col("n").as("n_a") +:
       pmod(xxhash64(col("id")), lit(saltBuckets)).as("__salt") +: blockCols.map(col)): _*)
-    val b = encoded.select((col("id").as("id_b") +: col("m").as("m_b") +: col("n").as("n_b") +:
+    val b = enc.select((col("id").as("id_b") +: col("m").as("m_b") +: col("n").as("n_b") +:
       explode(sequence(lit(0L), lit(saltBuckets - 1L))).as("__salt") +: blockCols.map(col)): _*)
     val inter = (0 until words)
       .map(i => bit_count(element_at(col("m_a"), i + 1)
@@ -749,7 +777,9 @@ object Dedup {
     // set Jaccard is hash-invariant (collisions are ~2^-64), and the
     // pairwise inner loop becomes a codegen merge scan over sorted
     // longs (SortedIntersectCount) instead of per-pair hash sets.
+    // Materialized once — both join sides derive from it.
     val base = hashedShingleBase(df, idCol, textCol, blockCols, shingleSize)
+      .localCheckpoint()
     // Blocking keys are few (e.g. 5 languages) while in-block work is
     // quadratic — AQE's byte-based skew split cannot see compute skew,
     // so the join is salted explicitly: side A picks a deterministic
@@ -818,7 +848,12 @@ object Dedup {
       topVocab: Int = 256): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       "prefixJaccardPairs needs 0 < threshold <= 1 (at 0 nothing prunes; use allPairsJaccard)")
+    // materialize the shingle base once: it feeds the DF-rank collect,
+    // both prefix-explode sides, and both verify sides — five
+    // consumers, each otherwise re-running the per-doc shingle-hash
+    // pass; stored rows are the hashes the verify needs anyway
     val base = hashedShingleBase(df, idCol, textCol, blockCols, shingleSize)
+      .localCheckpoint()
     val prefixed = withPrefix(base, dfRankLit(base, topVocab), threshold)
 
     // Inverted-index candidate join on (block, prefix token), with the
@@ -943,8 +978,12 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       "crossJaccardPairs needs 0 < threshold <= 1")
     def prefixPath(): DataFrame = {
+      // each side's shingle base feeds the shared DF-rank collect,
+      // its prefix explode, and its verify side — materialize once
       val lBase = hashedShingleBase(left, idCol, textCol, blockCols, shingleSize)
+        .localCheckpoint()
       val rBase = hashedShingleBase(right, idCol, textCol, blockCols, shingleSize)
+        .localCheckpoint()
       val rankLit = dfRankLit(lBase.select("sh").unionAll(rBase.select("sh")), topVocab)
       val lPref = withPrefix(lBase, rankLit, threshold)
       val rPref = withPrefix(rBase, rankLit, threshold)
@@ -1008,8 +1047,14 @@ object Dedup {
       threshold: Double = 0.5,
       saltBuckets: Int = 32): DataFrame = {
     val words = (vocab.size + 63) / 64
+    // materialize each side's encode once — same mask-re-evaluation
+    // collapse as bitsetPairsFromEncoded (the r14 dd7 before-plan
+    // computes each side's mask inside the pushed filter AND the
+    // projection); compact (8w + 24)-byte rows
     val l = bitsetEncode(left, idCol, textCol, blockCols, vocab, shingleSize)
+      .localCheckpoint()
     val r = bitsetEncode(right, idCol, textCol, blockCols, vocab, shingleSize)
+      .localCheckpoint()
     val a = l.select((col("id").as("left_id") +: col("m").as("m_a") +: col("n").as("n_a") +:
       pmod(xxhash64(col("id")), lit(saltBuckets)).as("__salt") +: blockCols.map(col)): _*)
     val b = r.select((col("id").as("right_id") +: col("m").as("m_b") +: col("n").as("n_b") +:
@@ -1075,9 +1120,15 @@ object Dedup {
     val base = spread(df)
       .withColumn("__norm", Similarity.l2norm(col(vecCol)))
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("__norm").as("n"))
+    // Materialize (id, band, sig) once: the banded signature tree is
+    // b*r codegen dot products per row (240 at the 0.95 default) and
+    // the frame feeds stats + members (and through members both the
+    // clique and star branches) — the r14 before-plan re-ran it per
+    // consumer (16 scans of the corpus). 24 bytes x bands per row.
     val exploded = base.select(col("id"),
       posexplode(Similarity.bandedHyperplaneSignatures(base, "v", b, r, seed))
         .as(Seq("band", "sig")))
+      .localCheckpoint()
     val stats = exploded.groupBy("band", "sig")
       .agg(count(lit(1)).as("__n"), min("id").as("__hub"))
     val members = exploded.join(stats, Seq("band", "sig"))
@@ -1413,8 +1464,11 @@ object Dedup {
       .filter(length(col("token")) > 0)
       .dropDuplicates("id", "token")
     val sizes = toks.groupBy("token").agg(count(lit(1)).as("__n"))
+    // materialized once: both self-join sides consume it, each
+    // otherwise re-running the token explode AND the size-gate join
     val blocked = toks.join(sizes, "token")
       .filter(col("__n").between(2, maxBlockSize))
+      .localCheckpoint()
     blocked.select(col("token"), col("id").as("id_a"), col("name").as("__na"))
       .join(blocked.select(col("token"), col("id").as("id_b"),
         col("name").as("__nb")), Seq("token"))
@@ -1470,8 +1524,11 @@ object Dedup {
     val keysArr =
       if (maxDistance == 1) base
       else concat(base, flatten(transform(del1(col("w")), d => del1(d))))
+    // materialized once: both self-join sides consume it, and each
+    // otherwise re-runs the deletion-neighborhood explode per word
     val keyed = Dedup.spread(words)
       .select(col("w"), explode(array_distinct(keysArr)).as("__key"))
+      .localCheckpoint()
     keyed.select(col("__key"), col("w").as("word_a"))
       .join(keyed.select(col("__key"), col("w").as("word_b")), Seq("__key"))
       .filter(col("word_a") < col("word_b"))

@@ -316,7 +316,12 @@ object Similarity {
     */
   def quantize(vec: Column): (Column, Column) = {
     val scale = greatest(array_max(transform(vec, x => abs(x))), lit(1e-30f)) / 127.0
-    val q = transform(vec, x => round(x / scale).cast("tinyint"))
+    // bind `scale` as a lambda variable: HOFs are CodegenFallback and
+    // interpreted eval re-evaluates embedded subtrees per lambda call
+    // — inline, each of the dim elements re-ran the O(dim) max scan
+    // (O(dim²) per row); bound, scale computes once per row
+    val q = flatten(transform(array(scale), s =>
+      transform(vec, x => round(x / s).cast("tinyint"))))
     (q, scale)
   }
 
@@ -599,18 +604,18 @@ object Similarity {
       idCol: String, vecCol: String,
       books: Array[Array[Array[Double]]], k: Int,
       nCentroids: Int = AutoCentroids, nProbe: Int = 4): DataFrame = {
-    val cent = pqCoarseCentroids(corpus, idCol, vecCol,
-      resolveCentroids(nCentroids, corpus))
+    val nCent = resolveCentroids(nCentroids, corpus)
+    val cent = pqCoarseCentroids(corpus, idCol, vecCol, nCent)
     // one pass builds the whole index row — coarse assignment, then
-    // codes projected AFTER the window filter (never under the
-    // centroid crossJoin), materialized once: the (cent_id, codes)
-    // table IS the persisted IVF-PQ index artifact ([[pqIndexStore]]
-    // is this construction made durable)
+    // codes projected AFTER the argmax (never under the centroid
+    // crossJoin), materialized once: the (cent_id, codes) table IS
+    // the persisted IVF-PQ index artifact ([[pqIndexStore]] is this
+    // construction made durable)
     val index = pqCoarseAssign(corpus, idCol, vecCol, cent, 1)
       .select(col(idCol).as("neighbor_id"), col("cent_id"),
         pqCodes(col(vecCol), books).as("codes"))
       .localCheckpoint(eager = true)
-    pqProbeRank(queries, index, cent, idCol, vecCol, books, k, nProbe)
+    pqProbeRank(queries, index, cent, idCol, vecCol, books, k, nProbe, nCent)
   }
 
   /** The deterministic coarse-quantizer frame: `nCentroids`
@@ -625,20 +630,14 @@ object Similarity {
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"),
         l2norm(col(vecCol)).as("cent_n"))
 
-  /** Coarse assignment against a broadcast centroid frame: keeps the
-    * input row's columns plus cent_id, top-`topN` lists per row. */
+  /** Coarse assignment against a broadcast centroid frame — the PQ
+    * family's entry to [[centroidAssign]] (top-1 index builds plan as
+    * one map-combined argmax aggregate; full probe as a pure
+    * broadcast fan-out when `nCent` is known). Emits (idCol, vecCol,
+    * n, cent_id) — every caller selects from that set. */
   private def pqCoarseAssign(df: DataFrame, idCol: String, vecCol: String,
-      cent: DataFrame, topN: Int): DataFrame = {
-    val scored = df.withColumn("__n", l2norm(col(vecCol)))
-      .filter(col("__n") > 0)
-      .crossJoin(broadcast(cent))
-      .filter(col("cent_n") > 0)
-      .withColumn("sim",
-        dot(col(vecCol), col("cent_v")) / (col("__n") * col("cent_n")))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("sim").desc, col("cent_id").asc)
-    scored.withColumn("r", row_number().over(w)).filter(col("r") <= topN)
-  }
+      cent: DataFrame, topN: Int, nCent: Int = -1): DataFrame =
+    centroidAssign(df, idCol, vecCol, cent, topN, nCent, Nil)
 
   /** The probe/ADC/rank stage shared by [[pqIvfTopK]] (inline index)
     * and [[pqIvfProbeIndex]] (persisted store): queries coarse-route
@@ -646,8 +645,9 @@ object Similarity {
     * ADC-score, top-k. */
   private def pqProbeRank(queries: DataFrame, index: DataFrame,
       cent: DataFrame, idCol: String, vecCol: String,
-      books: Array[Array[Array[Double]]], k: Int, nProbe: Int): DataFrame = {
-    val probes = pqCoarseAssign(queries, idCol, vecCol, cent, nProbe)
+      books: Array[Array[Array[Double]]], k: Int, nProbe: Int,
+      nCent: Int = -1): DataFrame = {
+    val probes = pqCoarseAssign(queries, idCol, vecCol, cent, nProbe, nCent)
       .select(col(idCol).as("query_id"), col("cent_id"),
         col(vecCol).cast("array<double>").as("qv"))
     val scored = probes.join(index.select("cent_id", "neighbor_id", "codes"), "cent_id")
@@ -969,6 +969,62 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cosine")
   }
 
+  /** Nearest-centroid assignment against a broadcast centroid frame
+    * (cent_id, cent_v, cent_n) — the shared stage of every IVF/PQ
+    * operator. Emits each input row's `topN` nearest centroids by
+    * cosine (ties to the smallest cent_id):
+    * (idCol, vecCol, n, cent_id, extra_out...).
+    *
+    * Plan shape by topN (guide §2/§3: same rows, less shuffle):
+    *  - `topN >= nCent` (full probe): every nonzero-norm centroid is
+    *    kept, so ranking is the identity — pure broadcast fan-out,
+    *    ZERO exchanges (the window form shuffled and sorted all n·c
+    *    candidate rows, vector payloads included, to rank candidates
+    *    it then kept in full).
+    *  - `topN == 1` (corpus-side assignment): argmax via one
+    *    map-combined min(struct(-sim, cent_id, payload)) aggregate —
+    *    the exchange carries ONE row per id instead of all c candidate
+    *    copies of the vector, and there is no sort. min on (-sim,
+    *    cent_id) is exactly the window's (sim DESC, cent_id ASC)
+    *    order; cent_id is unique within a group, so the payload
+    *    fields never participate in the comparison.
+    *  - otherwise: the window rank (reduced multi-probe — query-side
+    *    only, small by construction; pass nCent <= 0 when unknown).
+    */
+  private def centroidAssign(df: DataFrame, idCol: String, vecCol: String,
+      cent: DataFrame, topN: Int, nCent: Int,
+      extra: Seq[(String, String)]): DataFrame = {
+    val keep = Seq(col(idCol), col(vecCol)) ++ extra.map(e => col(e._1))
+    val scored = df.select(keep: _*)
+      .withColumn("n", l2norm(col(vecCol)))
+      .filter(col("n") > 0)
+      .crossJoin(broadcast(cent))
+      .filter(col("cent_n") > 0)
+      .withColumn("sim",
+        dot(col(vecCol), col("cent_v")) / (col("n") * col("cent_n")))
+    val out = Seq(col(idCol), col(vecCol), col("n"), col("cent_id")) ++
+      extra.map { case (src, o) => col(src).as(o) }
+    if (nCent > 0 && topN >= nCent) {
+      scored.select(out: _*)
+    } else if (topN == 1) {
+      val payload =
+        Seq((-col("sim")).as("__ns"), col("cent_id").as("cent_id"),
+          col(vecCol).as("__v"), col("n").as("__n")) ++
+          extra.zipWithIndex.map { case ((src, _), i) => col(src).as(s"__e$i") }
+      scored.groupBy(col(idCol))
+        .agg(min(struct(payload: _*)).as("__m"))
+        .select(Seq(col(idCol), col("__m.__v").as(vecCol),
+          col("__m.__n").as("n"), col("__m.cent_id").as("cent_id")) ++
+          extra.zipWithIndex.map { case ((_, o), i) =>
+            col(s"__m.__e$i").as(o) }: _*)
+    } else {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("sim").desc, col("cent_id").asc)
+      scored.withColumn("r", row_number().over(w)).filter(col("r") <= topN)
+        .select(out: _*)
+    }
+  }
+
   /** The IVF coarse index: `nCentroids` rows (cent_id, cent_v,
     * cent_n), either the deterministic smallest-id corpus sample or
     * k-means centers — tiny by construction, always broadcast. */
@@ -1040,19 +1096,8 @@ object Similarity {
       kmeansCentroids, seed)
 
     def assign(df: DataFrame, topN: Int,
-        extra: Seq[(String, String)]): DataFrame = {
-      val keep = Seq(col(idCol), col(vecCol)) ++ extra.map(e => col(e._1))
-      val scored = df.select(keep: _*)
-        .withColumn("n", l2norm(col(vecCol)))
-        .filter(col("n") > 0)
-        .crossJoin(broadcast(cent))
-        .filter(col("cent_n") > 0)
-        .withColumn("sim", dot(col(vecCol), col("cent_v")) / (col("n") * col("cent_n")))
-      val w = Window.partitionBy(col(idCol)).orderBy(col("sim").desc, col("cent_id").asc)
-      scored.withColumn("r", row_number().over(w)).filter(col("r") <= topN)
-        .select(Seq(col(idCol), col(vecCol), col("n"), col("cent_id")) ++
-          extra.map { case (src, out) => col(src).as(out) }: _*)
-    }
+        extra: Seq[(String, String)]): DataFrame =
+      centroidAssign(df, idCol, vecCol, cent, topN, nCent, extra)
 
     val corpusAssigned = assign(corpus, 1, corpusCols)
       .withColumnsRenamed(Map(idCol -> "neighbor_id", vecCol -> "cv", "n" -> "cn"))
@@ -1109,9 +1154,17 @@ object Similarity {
       marginThreshold: Double): DataFrame = {
     val wf = Window.partitionBy("src_id").orderBy(col("cos").desc, col("tgt_id").asc)
     val wb = Window.partitionBy("tgt_id").orderBy(col("cos").desc, col("src_id").asc)
+    // `ranked` feeds THREE consumers (two kavg aggregates + the
+    // mutual-best filter); without materialization each consumer
+    // re-runs the full candidate scoring and both rank windows — 3×
+    // the dominant cost (mine2's r14 before-plan: 90 Exchanges, the
+    // IVF probe stage appearing 6×). localCheckpoint is bounded by
+    // the candidate frame, which each window shuffle already
+    // materializes in full anyway.
     val ranked = scored
       .withColumn("rf", row_number().over(wf))
       .withColumn("rb", row_number().over(wb))
+      .localCheckpoint()
     // rank-ordered fold: sum the top-k cosines smallest-rank-first,
     // so the accumulation order is pinned on both engines
     def kavg(keyCol: String, rankCol: String) = ranked
