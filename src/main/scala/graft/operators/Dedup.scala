@@ -126,7 +126,7 @@ object Dedup {
     val gh = df.select(col(idCol).as("id"),
       explode(shingles(col(textCol), shingleSize)).as("gram"))
       .select(col("id"), xxhash64(col("gram")).as("g"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val dfc = gh.groupBy("g").agg(count(lit(1)).as("__d"))
     val kept = gh
       .join(dfc.filter(col("__d") <= maxGramDf), Seq("g"))
@@ -225,7 +225,7 @@ object Dedup {
     // materialized once: BOTH verify sides derive from it, and each
     // otherwise re-runs the per-doc shingle-hash pass over the corpus
     val sides = spread(df).select(col(idCol).as("id"), hs.as("hs"), size(hs).as("n"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val a = sides.select(col("id").as("id_a"), col("hs").as("hs_a"), col("n").as("n_a"))
     val b = sides.select(col("id").as("id_b"), col("hs").as("hs_b"), col("n").as("n_b"))
     val inter = TextExpressions
@@ -484,7 +484,7 @@ object Dedup {
     // r14 before-plan shows 28 scans / 25 simhash64 evaluations of
     // the same corpus. 16 bytes per row, bounded by the input.
     val withSig = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // equal-signature groups: full cliques up to the cap, hub star
     // above it (identical signatures at corpus scale are millions of
     // boilerplate copies — m² pairs is the blowup the cap bounds)
@@ -738,7 +738,7 @@ object Dedup {
     // projection into each side's pushed-down n>0 filter AND its
     // projection — the r14 dd4 before-plan evaluates the mask 4x per
     // document. (8w + 24) bytes per row, bounded by the input.
-    val enc = encoded.localCheckpoint()
+    val enc = encoded.localCheckpoint(eager = false)
     val a = enc.select((col("id").as("id_a") +: col("m").as("m_a") +: col("n").as("n_a") +:
       pmod(xxhash64(col("id")), lit(saltBuckets)).as("__salt") +: blockCols.map(col)): _*)
     val b = enc.select((col("id").as("id_b") +: col("m").as("m_b") +: col("n").as("n_b") +:
@@ -779,7 +779,7 @@ object Dedup {
     // longs (SortedIntersectCount) instead of per-pair hash sets.
     // Materialized once — both join sides derive from it.
     val base = hashedShingleBase(df, idCol, textCol, blockCols, shingleSize)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // Blocking keys are few (e.g. 5 languages) while in-block work is
     // quadratic — AQE's byte-based skew split cannot see compute skew,
     // so the join is salted explicitly: side A picks a deterministic
@@ -853,7 +853,7 @@ object Dedup {
     // consumers, each otherwise re-running the per-doc shingle-hash
     // pass; stored rows are the hashes the verify needs anyway
     val base = hashedShingleBase(df, idCol, textCol, blockCols, shingleSize)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val prefixed = withPrefix(base, dfRankLit(base, topVocab), threshold)
 
     // Inverted-index candidate join on (block, prefix token), with the
@@ -981,9 +981,9 @@ object Dedup {
       // each side's shingle base feeds the shared DF-rank collect,
       // its prefix explode, and its verify side — materialize once
       val lBase = hashedShingleBase(left, idCol, textCol, blockCols, shingleSize)
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val rBase = hashedShingleBase(right, idCol, textCol, blockCols, shingleSize)
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val rankLit = dfRankLit(lBase.select("sh").unionAll(rBase.select("sh")), topVocab)
       val lPref = withPrefix(lBase, rankLit, threshold)
       val rPref = withPrefix(rBase, rankLit, threshold)
@@ -1052,9 +1052,9 @@ object Dedup {
     // computes each side's mask inside the pushed filter AND the
     // projection); compact (8w + 24)-byte rows
     val l = bitsetEncode(left, idCol, textCol, blockCols, vocab, shingleSize)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val r = bitsetEncode(right, idCol, textCol, blockCols, vocab, shingleSize)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val a = l.select((col("id").as("left_id") +: col("m").as("m_a") +: col("n").as("n_a") +:
       pmod(xxhash64(col("id")), lit(saltBuckets)).as("__salt") +: blockCols.map(col)): _*)
     val b = r.select((col("id").as("right_id") +: col("m").as("m_b") +: col("n").as("n_b") +:
@@ -1128,7 +1128,7 @@ object Dedup {
     val exploded = base.select(col("id"),
       posexplode(Similarity.bandedHyperplaneSignatures(base, "v", b, r, seed))
         .as(Seq("band", "sig")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val stats = exploded.groupBy("band", "sig")
       .agg(count(lit(1)).as("__n"), min("id").as("__hub"))
     val members = exploded.join(stats, Seq("band", "sig"))
@@ -1468,7 +1468,7 @@ object Dedup {
     // otherwise re-running the token explode AND the size-gate join
     val blocked = toks.join(sizes, "token")
       .filter(col("__n").between(2, maxBlockSize))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     blocked.select(col("token"), col("id").as("id_a"), col("name").as("__na"))
       .join(blocked.select(col("token"), col("id").as("id_b"),
         col("name").as("__nb")), Seq("token"))
@@ -1528,7 +1528,7 @@ object Dedup {
     // otherwise re-runs the deletion-neighborhood explode per word
     val keyed = Dedup.spread(words)
       .select(col("w"), explode(array_distinct(keysArr)).as("__key"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     keyed.select(col("__key"), col("w").as("word_a"))
       .join(keyed.select(col("__key"), col("w").as("word_b")), Seq("__key"))
       .filter(col("word_a") < col("word_b"))

@@ -125,9 +125,13 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("tok"))
     assert(!p.contains("__salt"))
     assert(!p.contains("CartesianProduct"))
-    // the fused shingle-hash base replaced the interpreted HOF stack:
-    // the whole plan stays out of CodegenFallback
-    assert(p.contains("sorted_shingle_hashes"))
+    // r14: the fused shingle-hash base is computed ONCE and
+    // materialized (lazy localCheckpoint) — the final plan reads it
+    // back as an RDD scan instead of re-deriving it per consumer
+    // (DF-rank collect, both prefix sides, both verify sides); the
+    // codegen verify kernel still runs in THIS plan
+    assert(p.contains("ExistingRDD"))
+    assert(p.contains("sorted_intersect_count"))
     assert(!p.contains("CodegenFallback"))
   }
 

@@ -720,6 +720,44 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivf == bf)
   }
 
+  test("centroid assignment: top-1 argmax ties to the smallest cent_id") {
+    // r14: the corpus-side assignment is a map-combined
+    // min(struct(-sim, cent_id, ...)) aggregate, not a window — ties
+    // must still elect the SMALLEST cent_id, the window's
+    // (sim DESC, cent_id ASC) order. Coarse centroids are the
+    // nCentroids smallest-id vectors, so duplicating vector 0 as
+    // vector 1 makes centroids 0 and 1 exact ties for every row
+    // nearest them; vector 4 is orthogonal to ALL centroids (every
+    // sim 0.0) — the maximal tie.
+    val dup = Seq(
+      (0L, Seq(1f, 0f, 0f)),
+      (1L, Seq(1f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f)),
+      (3L, Seq(0.9f, 0.1f, 0f)),
+      (4L, Seq(0f, 0f, 1f))).toDF("id", "v")
+    val books = Similarity.pqTrain(dup, "id", "v", m = 1, k = 2, maxIter = 0)
+    val (index, _) =
+      Similarity.pqIndexStore(dup, "id", "v", books, nCentroids = 3)
+    val assigned = index.select("neighbor_id", "cent_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 0L,
+      4L -> 0L))
+  }
+
+  test("reduced multi-probe (1 < nProbe < nCentroids) matches the hand reference") {
+    // the window branch of centroidAssign: with centroids = the 4
+    // smallest-id vectors and nProbe = 2, q0 (1,0,0) probes lists
+    // {c0, c1} and q1 (0.9,0.1,0) probes {c1, c0} (cos(q0,c1) =
+    // 0.9/|c1| ≈ 0.9939 beats the orthogonal c2/c3); each corpus row
+    // sits in exactly its own nearest list, so after self-exclusion
+    // the candidate sets are {1} and {0}
+    val out = Similarity.ivfTopK(vecs.filter("id < 2"), vecs, "id", "v", 3,
+        nCentroids = 4, nProbe = 2)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out == Set((0L, 1L, 1), (1L, 0L, 1)))
+  }
+
   test("IVF defaults auto-size centroids from the corpus (sqrt-n rule)") {
     // the sizing rule: sqrt(n), floored at 16 — a FIXED default is
     // the quadratic-mining config the r12 scale probe measured
