@@ -29,6 +29,15 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // prefer shuffled-hash over sort-merge when the planner's size
+      // conditions fit (optimization guide §3.1/§9: no sort, same
+      // result set; SMJ remains the fallback when neither side's
+      // per-partition build fits), and let AQE rewrite a planned SMJ
+      // to SHJ at runtime when every post-shuffle partition is small
+      // (64m per partition — scale-independent: it bounds the build
+      // HASH TABLE per task, not the dataset)
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       // reliable checkpoints (graft.core.Checkpoints with
       // spark.graft.checkpointDir set) are deleted by the

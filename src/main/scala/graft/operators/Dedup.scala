@@ -876,7 +876,7 @@ object Dedup {
   /** (id, sorted hashed shingles, set size, blocks) for one corpus —
     * one fused codegen pass per row (`sorted_shingle_hashes`), not the
     * stacked interpreted HOFs it replaced. */
-  private def hashedShingleBase(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def hashedShingleBase(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], shingleSize: Int): DataFrame = {
     val sh = TextExpressions.sorted_shingle_hashes(col(textCol), shingleSize)
     spread(df).select((col(idCol).as("id") +: sh.as("sh") +: size(sh).as("n") +:

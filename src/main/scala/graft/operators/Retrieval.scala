@@ -342,7 +342,11 @@ object Retrieval {
       // every pool exhausted -> the remaining rounds are all no-ops;
       // the emptiness read is free on the just-materialized frame
       if (pick.isEmpty) exhausted = true
-      else sel = sel.unionByName(pick).localCheckpoint()
+      // no checkpoint on the union: every input (first sel + each
+      // round's pick) is already a materialized RDD, so consumers
+      // re-plan a k-way union of in-memory scans but recompute
+      // nothing — one fewer job per greedy round (r15)
+      else sel = sel.unionByName(pick)
       i += 1
     }
     sel

@@ -457,7 +457,7 @@ object Similarity {
     // corpus scale the index is persisted, not recomputed per query
     val enc = pqEncode(corpus, idCol, vecCol, books)
       .select(col("id").as("neighbor_id"), col("codes"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
     val scored = q.crossJoin(enc)
@@ -614,7 +614,7 @@ object Similarity {
     val index = pqCoarseAssign(corpus, idCol, vecCol, cent, 1)
       .select(col(idCol).as("neighbor_id"), col("cent_id"),
         pqCodes(col(vecCol), books).as("codes"))
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false)
     pqProbeRank(queries, index, cent, idCol, vecCol, books, k, nProbe, nCent)
   }
 
@@ -875,15 +875,19 @@ object Similarity {
   def pqIvfProbeIndex(queries: DataFrame, index: DataFrame,
       centroids: DataFrame, idCol: String, vecCol: String,
       books: Array[Array[Array[Double]]], k: Int,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4, nCentroids: Int = -1): DataFrame = {
     val tag = pqIndexAlgo(books)
     Dedup.requireSigAlgo(index, tag, "IVF-PQ index",
       "re-encode with pqIndexStore under the current codebooks")
     Dedup.requireSigAlgo(centroids, tag, "IVF-PQ centroid",
       "re-encode with pqIndexStore under the current codebooks")
+    // callers that know the store's centroid count pass it so the
+    // full-probe configuration (nProbe >= nCentroids) plans as the
+    // zero-exchange broadcast fan-out pqIvfTopK gets, instead of the
+    // window shuffle (r15, advisor note); -1 = unknown, window path
     pqProbeRank(queries, index,
       centroids.select("cent_id", "cent_v", "cent_n"),
-      idCol, vecCol, books, k, nProbe)
+      idCol, vecCol, books, k, nProbe, nCentroids)
   }
 
   /** IVF over int8-quantized vectors — [[ivfTopK]]'s centroid probe
@@ -995,11 +999,16 @@ object Similarity {
       cent: DataFrame, topN: Int, nCent: Int,
       extra: Seq[(String, String)]): DataFrame = {
     val keep = Seq(col(idCol), col(vecCol)) ++ extra.map(e => col(e._1))
+    // NaN norms would pass a bare `> 0` gate (NaN orders greatest) and
+    // then rank FIRST in the window branch (sim DESC) but LAST in the
+    // top-1 argmax (min of -sim) — the branches must see the same
+    // candidate set, so NaN norms are dropped like zero norms (a NaN
+    // element makes the whole l2norm NaN, so this gates NaN sims too)
     val scored = df.select(keep: _*)
       .withColumn("n", l2norm(col(vecCol)))
-      .filter(col("n") > 0)
+      .filter(col("n") > 0 && !isnan(col("n")))
       .crossJoin(broadcast(cent))
-      .filter(col("cent_n") > 0)
+      .filter(col("cent_n") > 0 && !isnan(col("cent_n")))
       .withColumn("sim",
         dot(col(vecCol), col("cent_v")) / (col("n") * col("cent_n")))
     val out = Seq(col(idCol), col(vecCol), col("n"), col("cent_id")) ++
@@ -1164,7 +1173,10 @@ object Similarity {
     val ranked = scored
       .withColumn("rf", row_number().over(wf))
       .withColumn("rb", row_number().over(wb))
-      .localCheckpoint()
+      // lazy: building the plan (explain/PlanDump) must not execute
+      // the candidate scoring; the first action materializes it once
+      // and all three consumers reuse it (r15, advisor note)
+      .localCheckpoint(eager = false)
     // rank-ordered fold: sum the top-k cosines smallest-rank-first,
     // so the accumulation order is pinned on both engines
     def kavg(keyCol: String, rankCol: String) = ranked

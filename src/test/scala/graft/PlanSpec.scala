@@ -133,6 +133,18 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("ExistingRDD"))
     assert(p.contains("sorted_intersect_count"))
     assert(!p.contains("CodegenFallback"))
+    // r15 (advisor note): the checkpoint hides the shingle-hash scan
+    // stage from the final plan, so the codegen contract for THAT
+    // stage must be pinned on the pre-checkpoint subplan — build the
+    // base frame directly and assert the fused kernel plans inside
+    // whole-stage codegen with no fallback
+    val basePlan = graft.operators.Dedup
+      .hashedShingleBase(d, "doc_id", "text", Seq("blk"), 1)
+      .queryExecution.executedPlan.toString
+    assert(basePlan.contains("sorted_shingle_hashes"))
+    assert(!basePlan.contains("CodegenFallback"))
+    assert(basePlan.linesIterator.exists(l =>
+      l.contains("*(") && l.contains("sorted_shingle_hashes")))
   }
 
   test("LSH signature and verify stages stay inside codegen (no HOF fallback)") {
