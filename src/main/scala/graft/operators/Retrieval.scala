@@ -342,11 +342,12 @@ object Retrieval {
       // every pool exhausted -> the remaining rounds are all no-ops;
       // the emptiness read is free on the just-materialized frame
       if (pick.isEmpty) exhausted = true
-      // no checkpoint on the union: every input (first sel + each
-      // round's pick) is already a materialized RDD, so consumers
-      // re-plan a k-way union of in-memory scans but recompute
-      // nothing — one fewer job per greedy round (r15)
-      else sel = sel.unionByName(pick)
+      // the union IS re-checkpointed each round, deliberately: an
+      // unmaterialized growing union re-plans per consumer (two per
+      // round) and the A/B measured it ~35% SLOWER than paying one
+      // bounded |Q|*r-row checkpoint job per round (r15 measurement;
+      // "save a job by skipping the checkpoint" was tried and lost)
+      else sel = sel.unionByName(pick).localCheckpoint()
       i += 1
     }
     sel

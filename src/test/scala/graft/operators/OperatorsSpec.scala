@@ -758,6 +758,64 @@ class SimilaritySpec extends SparkTestBase {
     assert(out == Set((0L, 1L, 1), (1L, 0L, 1)))
   }
 
+  test("NaN-norm vectors drop identically from the argmax and window branches") {
+    // r15 (advisor note): a NaN norm passes a bare `> 0` gate (NaN
+    // orders greatest) and then ranks FIRST under the window's
+    // sim DESC but LAST under the argmax's min(-sim) — the two
+    // branches could disagree on which centroid a NaN row gets. The
+    // fix drops NaN norms like zero norms in BOTH branches: the NaN
+    // row must appear in neither the top-1 index nor any probe path.
+    val withNaN = Seq(
+      (0L, Seq(1f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 0f)),
+      (2L, Seq(0.9f, 0.1f, 0f)),
+      (3L, Seq(Float.NaN, 1f, 0f))).toDF("id", "v")
+    val books = Similarity.pqTrain(
+      withNaN.filter("id < 3"), "id", "v", m = 1, k = 2, maxIter = 0)
+    // top-1 argmax branch (corpus-side assignment)
+    val (index, _) =
+      Similarity.pqIndexStore(withNaN, "id", "v", books, nCentroids = 2)
+    assert(!index.select("neighbor_id").collect().map(_.getLong(0))
+      .contains(3L))
+    // window branch (reduced multi-probe): the NaN row is neither a
+    // query nor a neighbor
+    val probed = Similarity.ivfTopK(withNaN, withNaN, "id", "v", 3,
+        nCentroids = 3, nProbe = 2)
+      .select("query_id", "neighbor_id").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(!probed.contains(3L) && probed.nonEmpty)
+  }
+
+  test("probe-store full probe with a known centroid count drops the rank window") {
+    // r15 (advisor note): pqIvfProbeIndex forwards the store's
+    // centroid count, so the oracle-verified full-probe configuration
+    // (nProbe >= nCentroids) plans as the broadcast fan-out — no
+    // Window in the probe plan — and returns exactly the rows the
+    // window path returned
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val books = Similarity.pqTrain(e, "vec_id", "embedding",
+      m = 4, k = 4, maxIter = 1)
+    val (index, cents) =
+      Similarity.pqIndexStore(e, "vec_id", "embedding", books,
+        nCentroids = 8)
+    val q = e.filter("vec_id < 5")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val withCount = Similarity.pqIvfProbeIndex(q, index, cents,
+      "vec_id", "embedding", books, 5, nProbe = 8, nCentroids = 8)
+    val without = Similarity.pqIvfProbeIndex(q, index, cents,
+      "vec_id", "embedding", books, 5, nProbe = 8)
+    assert(rows(withCount) == rows(without) && rows(withCount).nonEmpty)
+    // the final top-k rank window remains; the PROBE-side rank window
+    // (nProbe candidate ranking over n*c rows) must be gone — exactly
+    // one Window stage in the fan-out plan, two in the window-path plan
+    def windows(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .count(_.contains("Window ["))
+    assert(windows(withCount) < windows(without))
+  }
+
   test("IVF defaults auto-size centroids from the corpus (sqrt-n rule)") {
     // the sizing rule: sqrt(n), floored at 16 — a FIXED default is
     // the quadratic-mining config the r12 scale probe measured
