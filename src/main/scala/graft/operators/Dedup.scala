@@ -1320,11 +1320,17 @@ object Dedup {
     // the frontier is corpus-edge-sized: the reliable-checkpoint knob
     // (spark.graft.checkpointDir) decides executor-loss semantics —
     // local pin (fast, job fails on loss) vs shared-store checkpoint
+    // lazy pin + count: the count action materializes the checkpoint,
+    // so each frontier costs ONE job instead of eager-materialize +
+    // count; the counts are kept across iterations so the fixpoint
+    // test never re-counts the previous frontier (r15: 3 jobs/round
+    // -> 1 for the loop bookkeeping)
     var edges = graft.core.Checkpoints.corpus(
       edgeSource.filter(col("id_a") =!= col("id_b"))
         .select(greatest(col("id_a"), col("id_b")).as("c"),
           least(col("id_a"), col("id_b")).as("p"))
-        .distinct())
+        .distinct(), eager = false)
+    var edgeCount = edges.count()
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -1343,12 +1349,14 @@ object Dedup {
       val small = smins.select(col("c"), col("m").as("p"))
         .union(large.join(smins, "c").filter(col("p") =!= col("m"))
           .select(col("p").as("c"), col("m").as("p")))
-      val next = graft.core.Checkpoints.corpus(small.distinct())
+      val next = graft.core.Checkpoints.corpus(small.distinct(), eager = false)
+      val nextCount = next.count()
       // exact fixpoint test: same edge set (stars are stable under
       // both operations, so an unchanged round means fully converged)
-      converged = next.count() == edges.count() &&
+      converged = nextCount == edgeCount &&
         next.exceptAll(edges).limit(1).count() == 0
       edges = next
+      edgeCount = nextCount
       i += 1
     }
     if (!converged)
